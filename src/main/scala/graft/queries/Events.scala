@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-stream operators over the `events` table (batch form; the
+  * streaming twins live in graft.streaming): tumbling windows,
+  * sessionization with an inactivity gap, as-of (latest prior event)
+  * join, and a per-user funnel pivot.
+  *
+  * The parquet column `ts` is TIMESTAMP(NANOS), which Spark's vectorized
+  * reader rejects; we read it as raw nanos-since-epoch (long) via
+  * `spark.sql.legacy.parquet.nanosAsLong` and do exact integer time
+  * arithmetic — cheaper than timestamps (pure long comparisons, fully
+  * codegen'd) and immune to truncation mismatches vs the oracle.
+  *
+  * Scale: every operator here is a single window or hash-agg partitioned
+  * by `user_id` / calendar bucket — state per key is O(session), nothing
+  * global. The as-of join is the union+window trick: O(n log n) per user
+  * partition instead of a quadratic range join.
+  */
+object Events {
+
+  /** Events with `ts` as nanos-since-epoch long. */
+  def load(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+  }
+
+  /** Tumbling 1-hour windows per event type. */
+  val qTumbling: Spec = Spec(
+    "ev_tumbling_hourly",
+    oracle = Some("""
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+             event_type, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      FROM events
+      GROUP BY window_start, event_type
+      ORDER BY window_start, event_type"""),
+    bench = true) { (s, dir) =>
+    import s.implicits._
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    load(s, dir)
+      .withColumn("window_start",
+        date_format(timestamp_micros(expr(s"(ts - ts % $hourNs) div 1000")),
+          "yyyy-MM-dd HH:mm:ss"))
+      .groupBy($"window_start", $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(18,6)")).cast("double").as("total_value"))
+      .orderBy($"window_start", $"event_type")
+  }
+
+  /** Sessionization: 30-minute inactivity gap, assembled with two windows
+    * (lag → session-break flags → running sum = session id). All time
+    * arithmetic in micros on both sides (DuckDB reads the nanos parquet
+    * at micros precision). */
+  val qSessionize: Spec = Spec(
+    "ev_sessionize",
+    oracle = Some("""
+      WITH m AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+          CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+               THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      sessed AS (
+        SELECT user_id, event_id, ts_us,
+          CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM m)
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+        strftime(make_timestamp(MIN(ts_us)), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        strftime(make_timestamp(MAX(ts_us)), '%Y-%m-%d %H:%M:%S.%f') AS session_end
+      FROM sessed GROUP BY user_id, session_id
+      ORDER BY user_id, session_id"""),
+    bench = true) { (s, dir) =>
+    import s.implicits._
+    val gapUs = 1800L * 1000 * 1000
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    load(s, dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("brk",
+        when(lag($"ts_us", 1).over(w).isNull ||
+          $"ts_us" - lag($"ts_us", 1).over(w) > gapUs, 1).otherwise(0))
+      .withColumn("session_id", sum($"brk").over(run).cast("long"))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+        date_format(timestamp_micros(min($"ts_us")), Spec.SparkTsFmt)
+          .as("session_start"),
+        date_format(timestamp_micros(max($"ts_us")), Spec.SparkTsFmt)
+          .as("session_end"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  /** As-of join: each purchase paired with the user's latest prior (or
+    * simultaneous) click. Implemented as one sorted window over the
+    * unioned event kinds — sort key puts clicks before purchases at
+    * equal ts so "or equal" resolves like the oracle's `c.ts <= p.ts`. */
+  val qAsofClick: Spec = Spec(
+    "ev_asof_last_click",
+    oracle = Some("""
+      SELECT p.event_id, p.user_id, MAX(epoch_us(c.ts)) AS last_click_us
+      FROM events p
+      LEFT JOIN events c
+        ON c.user_id = p.user_id AND c.event_type = 'click'
+          AND epoch_us(c.ts) <= epoch_us(p.ts)
+      WHERE p.event_type = 'purchase'
+      GROUP BY p.event_id, p.user_id
+      ORDER BY p.event_id""")) { (s, dir) =>
+    import s.implicits._
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts_us",
+        when($"event_type" === "click", 0).otherwise(1), $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    load(s, dir)
+      .filter($"event_type".isin("click", "purchase"))
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("last_click_us",
+        last(when($"event_type" === "click", $"ts_us"), ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"last_click_us")
+      .orderBy($"event_id")
+  }
+
+  /** Per-user funnel pivot with fixed event-type columns. */
+  val qFunnel: Spec = Spec(
+    "ev_user_funnel",
+    oracle = Some("""
+      SELECT user_id,
+        COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+          THEN CAST(value AS DECIMAL(18,6)) END), 0) AS DOUBLE) AS purchase_value
+      FROM events GROUP BY user_id ORDER BY user_id""")) { (s, dir) =>
+    import s.implicits._
+    load(s, dir)
+      .groupBy($"user_id")
+      .pivot("event_type", Seq("view", "click", "signup", "purchase", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0, Seq("view", "click", "signup", "purchase", "error"))
+      .join(
+        load(s, dir).groupBy($"user_id")
+          .agg(coalesce(
+            sum(when($"event_type" === "purchase", $"value").cast("decimal(18,6)")),
+            lit(0).cast("decimal(18,6)")).cast("double").as("purchase_value")),
+        Seq("user_id"))
+      .orderBy($"user_id")
+  }
+
+  val specs: Seq[Spec] = Seq(qTumbling, qSessionize, qAsofClick, qFunnel)
+}

@@ -1,0 +1,380 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Star-schema relational operators (SURVEY §2.2-§2.7): aggregation,
+  * equi-joins (broadcast + shuffle), semi/anti joins, windows, top-k,
+  * set ops, rollup, pivot, percentiles.
+  *
+  * Scale notes (100 TB design): dims (region/nation/supplier/part/
+  * customer) are broadcast explicitly where they are orders-of-magnitude
+  * smaller than the fact table, so the big join never shuffles lineitem
+  * more than once; aggregates are single hash-aggregates with map-side
+  * partials (never the reference's join-of-aggregates, SURVEY J1);
+  * windows partition by high-cardinality keys so state stays bounded.
+  */
+object Relational {
+
+  /** Exact, order-independent sum of a double column via decimal. */
+  private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  private val dsumSql = (c: String) =>
+    s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+
+  /** TPC-H Q1-style pricing summary: one hash aggregate over the fact
+    * table — partial aggregation map-side means the shuffle carries only
+    * |groups| x |partitions| rows regardless of input scale. */
+  val q1PricingSummary: Spec = Spec(
+    "q1_pricing_summary",
+    oracle = Some(s"""
+      SELECT l_returnflag, l_linestatus,
+        ${dsumSql("l_quantity")} AS sum_qty,
+        ${dsumSql("l_extendedprice")} AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        ${dsumSql("l_quantity")} / COUNT(*) AS avg_qty,
+        COUNT(*) AS count_order
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""),
+    bench = true) { (s, dir) =>
+    import s.implicits._
+    Tables.load(s, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_base_price"),
+        sum($"l_extendedprice".cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(18,2)")))
+          .cast("double").as("sum_disc_price"),
+        (dsum($"l_quantity") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** TPC-H Q3-style: broadcast the filtered customer dim into the
+    * orders⋈lineitem join; only one shuffle (orderkey agg). */
+  val q3TopOrders: Spec = Spec(
+    "q3_top_orders",
+    oracle = Some("""
+      SELECT l_orderkey,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderpriority
+      FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND l_shipdate > TIMESTAMP '1998-01-01'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey LIMIT 10"""),
+    bench = true) { (s, dir) =>
+    import s.implicits._
+    val cust = Tables.load(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+    val ord = Tables.load(s, dir, "orders")
+      .filter($"o_orderdate" < lit("1998-01-01").cast("timestamp_ntz"))
+    val li = Tables.load(s, dir, "lineitem")
+      .filter($"l_shipdate" > lit("1998-01-01").cast("timestamp_ntz"))
+    li.join(broadcast(ord.join(broadcast(cust), $"o_custkey" === $"c_custkey")),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(sum($"l_extendedprice".cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(18,2)")))
+        .cast("double").as("revenue"))
+      .select($"l_orderkey", $"revenue",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"),
+        $"o_orderpriority")
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style star join: revenue per region/nation. All dims
+    * broadcast; lineitem is shuffled once for the customer-nation match
+    * check (c_nationkey = s_nationkey semantics). */
+  val q5RegionRevenue: Spec = Spec(
+    "q5_region_revenue",
+    oracle = Some("""
+      SELECT r_name, n_name,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_items
+      FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+      ORDER BY r_name, n_name"""),
+    bench = true) { (s, dir) =>
+    import s.implicits._
+    val li = Tables.load(s, dir, "lineitem")
+    val sup = Tables.load(s, dir, "supplier")
+    val ord = Tables.load(s, dir, "orders")
+    val cust = Tables.load(s, dir, "customer")
+    val nat = Tables.load(s, dir, "nation")
+    val reg = Tables.load(s, dir, "region")
+    li.join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust),
+        $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(
+        sum($"l_extendedprice".cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(18,2)")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  /** Semi-join (EXISTS): orders with at least one line shipped >30 days
+    * after the order date, counted per priority. Left-semi keeps only the
+    * probe side flowing — no row multiplication. */
+  val q4LateShipments: Spec = Spec(
+    "q4_late_shipments",
+    oracle = Some("""
+      SELECT o_orderpriority, COUNT(*) AS n_orders
+      FROM orders o
+      WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")) { (s, dir) =>
+    import s.implicits._
+    val ord = Tables.load(s, dir, "orders")
+    val li = Tables.load(s, dir, "lineitem")
+    ord.join(li,
+        $"l_orderkey" === $"o_orderkey" &&
+          $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 30 DAYS"),
+        "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Anti-join (NOT EXISTS): customers that never ordered, per segment. */
+  val qAntiCustomers: Spec = Spec(
+    "q_anti_customers",
+    oracle = Some("""
+      SELECT c_mktsegment, COUNT(*) AS n_customers, MIN(c_custkey) AS min_custkey
+      FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""")) { (s, dir) =>
+    import s.implicits._
+    val cust = Tables.load(s, dir, "customer")
+    val ord = Tables.load(s, dir, "orders")
+    cust.join(ord, $"o_custkey" === $"c_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"), min($"c_custkey").as("min_custkey"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** Top-k per group via row_number window — the scalable top-k pattern
+    * (rank state per partition; no global sort of the input). */
+  val qTopPartsPerBrand: Spec = Spec(
+    "q_top_parts_per_brand",
+    oracle = Some("""
+      SELECT p_brand, rk, p_partkey, p_retailprice
+      FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+          CAST(row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rk
+        FROM part)
+      WHERE rk <= 3
+      ORDER BY p_brand, rk""")) { (s, dir) =>
+    import s.implicits._
+    val w = Window.partitionBy($"p_brand").orderBy($"p_retailprice".desc, $"p_partkey")
+    Tables.load(s, dir, "part")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 3)
+      .select($"p_brand", $"rk", $"p_partkey", $"p_retailprice")
+      .orderBy($"p_brand", $"rk")
+  }
+
+  /** Running total window (frame = unbounded preceding → current row),
+    * exact via decimal accumulation. Restricted to a supplier slice to
+    * keep the verify output bounded. */
+  val qRunningSupplier: Spec = Spec(
+    "q_running_supplier_qty",
+    oracle = Some(s"""
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+        strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+          OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+      FROM lineitem WHERE l_suppkey <= 10
+      ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""")) { (s, dir) =>
+    import s.implicits._
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "lineitem")
+      .filter($"l_suppkey" <= 10)
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+        date_format($"l_shipdate", "yyyy-MM-dd").as("ship_date"),
+        sum($"l_quantity".cast("decimal(18,2)")).over(w).cast("double").as("running_qty"))
+      .orderBy($"l_suppkey", $"ship_date", $"l_orderkey", $"l_linenumber")
+  }
+
+  /** Set operations: INTERSECT / EXCEPT / UNION over customer key sets. */
+  val qSetOps: Spec = Spec(
+    "q_set_ops",
+    oracle = Some("""
+      WITH big AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 200000),
+           bld AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING')
+      SELECT op, n FROM (
+        SELECT 'except' AS op, COUNT(*) AS n FROM (SELECT k FROM big EXCEPT SELECT k FROM bld)
+        UNION ALL SELECT 'intersect', COUNT(*) FROM (SELECT k FROM big INTERSECT SELECT k FROM bld)
+        UNION ALL SELECT 'union', COUNT(*) FROM (SELECT k FROM big UNION SELECT k FROM bld))
+      ORDER BY op""")) { (s, dir) =>
+    import s.implicits._
+    val big = Tables.load(s, dir, "orders")
+      .filter($"o_totalprice" > 200000).select($"o_custkey".as("k")).distinct()
+    val bld = Tables.load(s, dir, "customer")
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey".as("k"))
+    def cnt(df: DataFrame, tag: String) =
+      df.agg(count(lit(1)).as("n")).select(lit(tag).as("op"), $"n")
+    cnt(big.except(bld), "except")
+      .unionAll(cnt(big.intersect(bld), "intersect"))
+      .unionAll(cnt(big.union(bld).distinct(), "union"))
+      .orderBy($"op")
+  }
+
+  /** ROLLUP: order revenue by (year, priority) with subtotal rows. */
+  val qRollup: Spec = Spec(
+    "q_rollup_revenue",
+    oracle = Some("""
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+             o_orderpriority,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             COUNT(*) AS n_orders
+      FROM orders
+      GROUP BY ROLLUP(order_year, o_orderpriority)
+      ORDER BY order_year NULLS FIRST, o_orderpriority NULLS FIRST""")) { (s, dir) =>
+    import s.implicits._
+    Tables.load(s, dir, "orders")
+      .withColumn("order_year", year($"o_orderdate").cast("long"))
+      .rollup($"order_year", $"o_orderpriority")
+      .agg(dsum($"o_totalprice").as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy($"order_year".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  /** Pivot: order counts per priority × status (fixed pivot values so the
+    * output schema is static — required at scale and for the oracle). */
+  val qPivot: Spec = Spec(
+    "q_pivot_status",
+    oracle = Some("""
+      SELECT o_orderpriority,
+        COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+        COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+        COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")) { (s, dir) =>
+    import s.implicits._
+    Tables.load(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0, Seq("F", "O", "P"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Exact percentiles (dyadic fractions → bit-identical interpolation). */
+  val qPercentiles: Spec = Spec(
+    "q_quantity_percentiles",
+    oracle = Some("""
+      SELECT l_returnflag,
+        ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
+        ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75,
+        MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")) { (s, dir) =>
+    import s.implicits._
+    Tables.load(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        round(percentile($"l_quantity", lit(0.25)), 6).as("p25"),
+        round(percentile($"l_quantity", lit(0.5)), 6).as("p50"),
+        round(percentile($"l_quantity", lit(0.75)), 6).as("p75"),
+        min($"l_quantity").as("min_qty"), max($"l_quantity").as("max_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Fixed-width histogram over order totals (scan + single agg). */
+  val qHistogram: Spec = Spec(
+    "q_price_histogram",
+    oracle = Some("""
+      SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+             COUNT(*) AS n, CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+      FROM orders GROUP BY bucket ORDER BY bucket""")) { (s, dir) =>
+    import s.implicits._
+    Tables.load(s, dir, "orders")
+      .groupBy(floor($"o_totalprice" / 50000).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), min($"o_orderkey").cast("long").as("min_key"))
+      .orderBy($"bucket")
+  }
+
+  /** Distinct aggregation (expand + two-phase agg under the hood). */
+  val qDistinctAgg: Spec = Spec(
+    "q_distinct_agg",
+    oracle = Some("""
+      SELECT l_returnflag,
+        COUNT(DISTINCT l_partkey) AS n_parts,
+        COUNT(DISTINCT l_suppkey) AS n_supps,
+        COUNT(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")) { (s, dir) =>
+    import s.implicits._
+    Tables.load(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Calendar aggregation: orders per month. */
+  val qMonthly: Spec = Spec(
+    "q_monthly_orders",
+    oracle = Some("""
+      SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY order_month ORDER BY order_month""")) { (s, dir) =>
+    import s.implicits._
+    Tables.load(s, dir, "orders")
+      .groupBy(date_format($"o_orderdate", "yyyy-MM").as("order_month"))
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("revenue"))
+      .orderBy($"order_month")
+  }
+
+  /** CASE WHEN projection + filter pushdown sample (modulo sampling keeps
+    * the verify payload bounded while scanning the full table). */
+  val qCaseWhen: Spec = Spec(
+    "q_discount_classes",
+    oracle = Some("""
+      SELECT l_returnflag,
+        CASE WHEN l_discount >= 0.05 THEN 'HI' ELSE 'LO' END AS disc_class,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS base_price
+      FROM lineitem WHERE l_orderkey % 7 = 0
+      GROUP BY l_returnflag, disc_class ORDER BY l_returnflag, disc_class""")) { (s, dir) =>
+    import s.implicits._
+    Tables.load(s, dir, "lineitem")
+      .filter($"l_orderkey" % 7 === 0)
+      .groupBy($"l_returnflag",
+        when($"l_discount" >= 0.05, "HI").otherwise("LO").as("disc_class"))
+      .agg(count(lit(1)).as("n"), dsum($"l_extendedprice").as("base_price"))
+      .orderBy($"l_returnflag", $"disc_class")
+  }
+
+  val specs: Seq[Spec] = Seq(
+    q1PricingSummary, q3TopOrders, q5RegionRevenue, q4LateShipments,
+    qAntiCustomers, qTopPartsPerBrand, qRunningSupplier, qSetOps,
+    qRollup, qPivot, qPercentiles, qHistogram, qDistinctAgg, qMonthly,
+    qCaseWhen)
+}
