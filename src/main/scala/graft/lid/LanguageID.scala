@@ -1,0 +1,156 @@
+package graft.lid
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Heuristic language identification (SURVEY §2.10). The reference runs
+  * a 3-model ensemble (IndicLID + cld3 + NLLB fasttext) under
+  * rdd.mapPartitionsWithIndex and hard-majority-votes the results; the
+  * model weights aren't portable, so this engine keeps the *semantics* —
+  * N independent detectors, per-model output columns, majority vote with
+  * a fixed priority order on ties — over deterministic JVM heuristics:
+  *
+  *  - [[CharNgramDetector]]: cosine over character-trigram profiles
+  *    built from embedded seed text (the fasttext analog);
+  *  - [[StopwordDetector]]: function-word hit rates (the lexicon analog);
+  *  - [[ScriptDetector]]: Unicode-script histogram (script-deterministic
+  *    languages resolve here: zh/ja/ko/hi/ar/ru/el...).
+  *
+  * Tie-break priority: ngram > stopword > script (mirrors the
+  * reference's indiclid > cld3 > nllb sort-stability order,
+  * setu/lid.py:557-583 — whose probability-threshold branch is vacuous;
+  * we deliberately implement the pure majority it actually computes).
+  */
+final case class LidResult(lang: String, confidence: Double)
+
+trait Detector extends Serializable {
+  def name: String
+  def detect(text: String): LidResult
+}
+
+object ScriptDetector extends Detector {
+  val name = "script"
+  private val scriptLang: Map[Character.UnicodeScript, String] = {
+    import Character.UnicodeScript._
+    Map(HAN -> "zh", HIRAGANA -> "ja", KATAKANA -> "ja", HANGUL -> "ko",
+      DEVANAGARI -> "hi", BENGALI -> "bn", TAMIL -> "ta", TELUGU -> "te",
+      ARABIC -> "ar", CYRILLIC -> "ru", GREEK -> "el", HEBREW -> "he",
+      THAI -> "th", GEORGIAN -> "ka", ARMENIAN -> "hy")
+  }
+  def detect(text: String): LidResult = {
+    if (text.isEmpty) return LidResult("und", 0.0)
+    val counts = new java.util.HashMap[String, Int]()
+    var letters = 0
+    var i = 0
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      if (Character.isLetter(cp)) {
+        letters += 1
+        val lang = scriptLang.get(Character.UnicodeScript.of(cp)) match {
+          case Some(l) => l
+          case None =>
+            if (Character.UnicodeScript.of(cp) == Character.UnicodeScript.LATIN) "latin"
+            else "und"
+        }
+        counts.merge(lang, 1, _ + _)
+      }
+      i += Character.charCount(cp)
+    }
+    if (letters == 0) return LidResult("und", 0.0)
+    var bestLang = "und"; var bestN = -1
+    counts.forEach((l, n) => if (n > bestN || (n == bestN && l < bestLang)) { bestLang = l; bestN = n })
+    val frac = bestN.toDouble / letters
+    // Latin script alone can't name a language — weak English default.
+    if (bestLang == "latin") LidResult("en", 0.3 * frac)
+    else LidResult(bestLang, frac)
+  }
+}
+
+object StopwordDetector extends Detector {
+  val name = "stopword"
+  private val lists: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "a", "of", "and", "to", "in", "is", "that", "it", "for", "with", "was", "on", "are"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "für", "auf", "den", "von", "zu"),
+    "fr" -> Set("le", "la", "les", "et", "est", "une", "un", "des", "dans", "pour", "que", "qui", "pas", "sur"),
+    "es" -> Set("el", "los", "las", "y", "es", "una", "un", "en", "por", "para", "con", "del", "se", "no"),
+    "it" -> Set("il", "lo", "gli", "e", "è", "una", "un", "di", "che", "per", "con", "del", "si", "non"),
+    "pt" -> Set("o", "os", "as", "e", "é", "uma", "um", "de", "que", "para", "com", "do", "da", "não"))
+  def detect(text: String): LidResult = {
+    val toks = text.toLowerCase.split("[^\\p{L}']+").filter(_.nonEmpty)
+    if (toks.isEmpty) return LidResult("und", 0.0)
+    var bestLang = "und"; var bestHits = 0
+    for ((lang, set) <- lists.toSeq.sortBy(_._1)) {
+      val hits = toks.count(set.contains)
+      if (hits > bestHits) { bestLang = lang; bestHits = hits }
+    }
+    if (bestHits == 0) LidResult("und", 0.0)
+    else LidResult(bestLang, bestHits.toDouble / toks.length)
+  }
+}
+
+object CharNgramDetector extends Detector {
+  val name = "ngram"
+  // Embedded seed text per language (public sample sentences).
+  private val seeds: Map[String, String] = Map(
+    "en" -> "the quick brown fox jumps over the lazy dog and then it runs to the house with the other animals because they are waiting there for food and water",
+    "de" -> "der schnelle braune fuchs springt über den faulen hund und dann läuft er zum haus mit den anderen tieren weil sie dort auf futter und wasser warten",
+    "fr" -> "le rapide renard brun saute par dessus le chien paresseux et puis il court vers la maison avec les autres animaux parce qu'ils attendent la nourriture",
+    "es" -> "el rápido zorro marrón salta sobre el perro perezoso y luego corre hacia la casa con los otros animales porque están esperando comida y agua allí",
+    "it" -> "la rapida volpe marrone salta sopra il cane pigro e poi corre verso la casa con gli altri animali perché stanno aspettando cibo e acqua",
+    "pt" -> "a rápida raposa marrom pula sobre o cão preguiçoso e depois corre para a casa com os outros animais porque eles estão esperando comida e água")
+
+  private def profile(text: String): Map[String, Double] = {
+    val s = "  " + text.toLowerCase.replaceAll("[^\\p{L} ]", "") + "  "
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+    for (i <- 0 to s.length - 3)
+      counts.updateWith(s.substring(i, i + 3))(c => Some(c.getOrElse(0) + 1))
+    val n = math.sqrt(counts.values.map(v => v.toDouble * v).sum)
+    if (n == 0) Map.empty else counts.map { case (k, v) => k -> v / n }.toMap
+  }
+  private val profiles: Map[String, Map[String, Double]] =
+    seeds.map { case (l, t) => l -> profile(t) }
+
+  def detect(text: String): LidResult = {
+    val p = profile(text.take(4000))
+    if (p.isEmpty) return LidResult("und", 0.0)
+    var bestLang = "und"; var bestCos = 0.0
+    for ((lang, q) <- profiles.toSeq.sortBy(_._1)) {
+      var dot = 0.0
+      for ((g, w) <- p) dot += w * q.getOrElse(g, 0.0)
+      if (dot > bestCos) { bestLang = lang; bestCos = dot }
+    }
+    if (bestCos == 0.0) LidResult("und", 0.0) else LidResult(bestLang, bestCos)
+  }
+}
+
+object Ensemble extends Serializable {
+  val detectors: Seq[Detector] =
+    Seq(CharNgramDetector, StopwordDetector, ScriptDetector)
+
+  /** Hard majority vote; ties resolved by detector priority order. */
+  def vote(results: Seq[LidResult]): String = {
+    val votes = results.groupBy(_.lang).view.mapValues(_.size).toMap
+    val maxV = votes.values.max
+    // first detector (in priority order) whose lang has the max votes
+    results.find(r => votes(r.lang) == maxV).map(_.lang).getOrElse("und")
+  }
+
+  /** Annotate (id, text) rows with per-detector columns + the vote —
+    * executed per partition (the reference's mapPartitions shape; a
+    * model-backed detector would lazy-init here). */
+  def annotate(s: SparkSession, df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    import s.implicits._
+    df.select(df(idCol).cast("long"), df(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val rs = detectors.map(d => d.detect(if (text == null) "" else text))
+          (id, vote(rs),
+            rs(0).lang, rs(0).confidence,
+            rs(1).lang, rs(1).confidence,
+            rs(2).lang, rs(2).confidence)
+        }
+      }
+      .toDF(idCol, "doc_lang", "ngram_lang", "ngram_conf",
+        "stop_lang", "stop_conf", "script_lang", "script_conf")
+  }
+}

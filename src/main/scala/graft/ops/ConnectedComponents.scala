@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components via iterated min-label propagation over the
+  * edge list (the DataFrame form of the large-star/small-star family).
+  *
+  * Scale design (SURVEY §7 risk 4): labels live in a DataFrame keyed by
+  * node — never on the driver; each round is one shuffle join + one
+  * hash-agg. `localCheckpoint` truncates lineage every round so plans
+  * don't grow exponentially. Convergence is detected with a single
+  * count of changed labels per round (one lightweight action), capped
+  * at `maxIter` rounds — components in dedup graphs are shallow (near-
+  * clique), so this converges in a handful of rounds.
+  */
+object ConnectedComponents {
+
+  /** @param edges (src: long, dst: long) undirected edge list.
+    * @return (id: long, component: long) where component = min node id
+    *         reachable; isolated nodes of the edge list included. */
+  def run(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
+    val sym = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
+
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // neighbor-min pass: candidate label = min(own, min over neighbors)
+      val nbrMin = sym
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("component", "dst_comp"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("dst_comp")).as("nbr_comp"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_comp"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
+        .filter(col("component") =!= col("old")).limit(1).count()
+      converged = changed == 0
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+}

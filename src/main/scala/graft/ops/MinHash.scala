@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH fuzzy deduplication as pure DataFrame ops (SURVEY
+  * §2.11; public algorithm, Broder '97).
+  *
+  * Hash family: permutation i of shingle s is `md5(i || "|" || s)`,
+  * minimum taken lexicographically. md5 is deterministic, available in
+  * every engine (oracle parity), and uniform enough for LSH banding;
+  * strings are compared without any driver-side state.
+  *
+  * Scale design: signatures/bands are per-row HOF computations (no
+  * shuffle); candidate generation is a self-equi-join on
+  * (band_index, band_key) — the only shuffles are the band exchange and
+  * the pair dedup. Bucket skew (a viral shingle set) is handled by AQE
+  * skew-join splitting; nothing ever collects to the driver.
+  */
+object MinHash {
+
+  /** MinHash signature (array of `numPerm` lexicographic-min md5s). */
+  def signature(shingles: Column, numPerm: Int): Column =
+    transform(sequence(lit(0), lit(numPerm - 1)),
+      i => array_min(transform(shingles,
+        s => md5(concat(i.cast("string"), lit("|"), s)))))
+
+  /** LSH band keys: md5 over each `rowsPerBand`-slice of the signature. */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => md5(concat(b.cast("string"), lit("|"),
+        array_join(slice(sig, b * lit(rowsPerBand) + 1, lit(rowsPerBand)), ""))))
+
+  /** Candidate near-duplicate pairs (idA < idB) sharing ≥1 LSH band,
+    * with exact Jaccard computed on the shingle sets and filtered to
+    * `threshold`. Input: df with (idCol: long, textCol: string). */
+  def candidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numPerm: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numPerm / bands
+    require(bands * rowsPerBand == numPerm, "bands must divide numPerm")
+
+    val withSets = df
+      .select(col(idCol).as("id"), Text.shingleSet(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+    // Band exchange: ids only — shingle sets are re-attached after the
+    // pair dedup so the wide arrays never ride through the self-join.
+    val banded = withSets
+      .withColumn("sig", signature(col("sh"), numPerm))
+      .select(col("id"),
+        posexplode(bandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "key")))
+
+    val pairs = banded.toDF("id_a", "band", "key")
+      .join(banded.toDF("id_b", "band", "key"), Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+
+    pairs
+      .join(withSets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(withSets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", Text.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Duplicate clusters from candidate pairs: each id mapped to the
+    * minimum id of its connected component. Keep-one dedup = keep rows
+    * whose id equals their component. */
+  def clusters(pairs: DataFrame): DataFrame =
+    ConnectedComponents.run(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+}

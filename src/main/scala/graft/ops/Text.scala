@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-statistics column library (SURVEY §2.8) — pure built-in
+  * compositions, so every operator stays inside whole-stage codegen and
+  * Catalyst can push filters/pruning straight to the parquet scan.
+  *
+  * Semantics follow the reference exactly where it has an opinion:
+  *  - word count splits on a single space, `"".split(" ")` counts 1
+  *    (setu/filters.py:756-758) → `size(split(c, " ", -1))`;
+  *  - bytes = UTF-8 length (setu/filters.py:764-766) → `octet_length`;
+  *  - char count = codepoints (setu/filters.py:760-762) → `length`;
+  *  - is_number is Unicode-digit aware (setu/filters.py:773-775,
+  *    Python str.isdigit) → `\p{Nd}` regex, not `[0-9]`.
+  */
+object Text {
+
+  /** Reference word tokenization: split on single space, keep empties. */
+  def tokens(c: Column): Column = split(c, " ", -1)
+
+  def wordCount(c: Column): Column = size(tokens(c))
+
+  def charCount(c: Column): Column = length(c)
+
+  def byteCount(c: Column): Column = octet_length(c)
+
+  /** Unicode-digit-only test (Python `str.isdigit` parity incl.
+    * Devanagari ०-९). */
+  def isNumber(c: Column): Column = c.rlike("^[\\p{Nd}]+$")
+
+  /** Whitespace-collapse + trim + lowercase normalization (the portable
+    * core of F11; script-specific normalization is the NFKC expression
+    * in graft.functions). */
+  def normalizeWs(c: Column): Column =
+    regexp_replace(trim(lower(c)), "\\s+", " ")
+
+  /** Terminal-punctuation validity (F5): ends with a terminal mark and
+    * not with the `...` / `####` exceptions (setu/constants.py:125-134). */
+  def isTerminalValid(c: Column): Column =
+    c.rlike("[.!?।:,;)\"'؟۔]$|॥$") && !c.endsWith("...") && !c.endsWith("####")
+
+  /** Ratio of characters outside an allowed character class (the shape
+    * behind F4/F9/F10 symbol/non-li ratios): chars-not-in-class / chars.
+    * `regexp_replace(c, allowed, "")` strips the allowed class, so its
+    * length IS the disallowed count. */
+  def charClassOutRatio(c: Column, allowedClassRegex: String): Column =
+    when(length(c) === 0, 0.0d)
+      .otherwise(length(regexp_replace(c, allowedClassRegex, ""))
+        .cast("double") / length(c))
+
+  /** Count of characters matching a class (F10 non-li count shape). */
+  def charClassCount(c: Column, classRegex: String): Column =
+    length(c) - length(regexp_replace(c, classRegex, ""))
+
+  /** Word n-grams as strings, empty array when the doc is too short
+    * (guard matters: Spark `sequence(0, -1)` would yield a *descending*
+    * sequence, not an empty one). */
+  def wordNgrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array())
+
+  /** Character n-grams of a string column. */
+  def charNgrams(c: Column, n: Int): Column =
+    when(length(c) >= n,
+      transform(sequence(lit(1), length(c) - (n - 1)),
+        i => c.substr(i, lit(n))))
+      .otherwise(array())
+
+  /** Distinct word-shingle set for similarity/dedup. */
+  def shingleSet(textCol: Column, n: Int): Column =
+    array_distinct(wordNgrams(tokens(textCol), n))
+
+  /** Jaccard similarity of two pre-distinct shingle arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(a) + size(b) - size(array_intersect(a, b))
+    when(union === 0, 0.0d).otherwise(inter / union)
+  }
+}

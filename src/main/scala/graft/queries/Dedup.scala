@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{MinHash, SimHash, Text}
+
+/** Deduplication family (SURVEY §2.11 + training-pipeline additions):
+  * exact content-hash, MinHash+LSH with verified Jaccard, LSH clusters
+  * via connected components, block-local exact Jaccard, SimHash.
+  */
+object Dedup {
+
+  /** The md5-permutation minhash recipe, mirrored verbatim in SQL. The
+    * shingle/sig/band construction must stay in lockstep with
+    * [[graft.ops.MinHash]] — both sides hash `perm || "|" || shingle`
+    * and band-hash the concatenated signature slice. */
+  private val minhashPairsSql = """
+      WITH toks AS (
+        SELECT doc_id, string_split(text,' ') AS l FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(l)-1, 1)),
+          i -> array_to_string(l[i:i+2], ' '))) AS sh
+        FROM toks WHERE len(l) >= 3),
+      sig AS (
+        SELECT doc_id, list_transform(range(0, 32),
+          p -> list_min(list_transform(sh, s -> md5(p::VARCHAR || '|' || s)))) AS sig
+        FROM sh),
+      bands AS (
+        SELECT doc_id, b,
+          md5(b::VARCHAR || '|' || array_to_string(sig[b*4+1:b*4+4], '')) AS key
+        FROM sig CROSS JOIN unnest(range(0, 8)) AS t(b)),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+        FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key
+          AND a.doc_id < b.doc_id),
+      j AS (
+        SELECT ida, idb,
+          CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+            (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jac
+        FROM pairs JOIN sh sa ON sa.doc_id = ida JOIN sh sb ON sb.doc_id = idb)
+      SELECT ida AS id_a, idb AS id_b, ROUND(jac, 6) AS jaccard
+      FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b"""
+
+  /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification. */
+  val ddMinhashPairs: Spec = Spec(
+    "dd_minhash_pairs",
+    oracle = Some(minhashPairsSql),
+    bench = true) { (s, dir) =>
+    import s.implicits._
+    MinHash.candidatePairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, numPerm = 32, bands = 8, threshold = 0.5)
+      .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** Duplicate clusters: connected components over the LSH pair graph,
+    * keep-min-per-component (no SQL oracle — iterative fixpoint). */
+  val ddMinhashClusters: Spec = Spec(
+    "dd_minhash_clusters",
+    oracle = None) { (s, dir) =>
+    import s.implicits._
+    val pairs = MinHash.candidatePairs(
+      Tables.load(s, dir, "documents"), "doc_id", "text",
+      shingleSize = 3, numPerm = 32, bands = 8, threshold = 0.5)
+    MinHash.clusters(pairs)
+      .groupBy($"component")
+      .agg(count(lit(1)).as("cluster_size"), max($"id").as("max_id"))
+      .orderBy($"component")
+  }
+
+  /** Exact near-dup by block-local all-pairs Jaccard (recall limited to
+    * same (lang, source) blocks — the blocking strategy a 100 TB run
+    * would use to bound the quadratic term). */
+  val ddJaccardBlockPairs: Spec = Spec(
+    "dd_jaccard_block_pairs",
+    oracle = Some("""
+      WITH s AS (
+        SELECT doc_id, lang, source,
+          list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-1, 1)),
+            i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS sh
+        FROM documents WHERE len(string_split(text,' ')) >= 3)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+      FROM s a JOIN s b ON a.lang = b.lang AND a.source = b.source
+        AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+      ORDER BY id_a, id_b""")) { (s, dir) =>
+    import s.implicits._
+    val sets = Tables.load(s, dir, "documents")
+      .filter(size(Text.tokens($"text")) >= 3)
+      .select($"doc_id", $"lang", $"source",
+        Text.shingleSet($"text", 3).as("sh"))
+    val a = sets.select($"lang", $"source", $"doc_id".as("id_a"), $"sh".as("sh_a"))
+    val b = sets.select($"lang", $"source", $"doc_id".as("id_b"), $"sh".as("sh_b"))
+    a.join(b, Seq("lang", "source"))
+      .filter($"id_a" < $"id_b")
+      .withColumn("jaccard", Text.jaccard($"sh_a", $"sh_b"))
+      .filter($"jaccard" >= 0.5)
+      .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** Exact dedup by normalized content hash (P3/2.11 exact family). */
+  val ddExactHash: Spec = Spec(
+    "dd_exact_hash",
+    oracle = Some("""
+      SELECT lang, COUNT(*) AS n_docs,
+        COUNT(DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) AS n_unique,
+        COUNT(*) - COUNT(DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) AS n_exact_dups
+      FROM documents GROUP BY lang ORDER BY lang""")) { (s, dir) =>
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select($"lang", md5(Text.normalizeWs($"text")).as("h"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"h").as("n_unique"),
+        (count(lit(1)) - countDistinct($"h")).as("n_exact_dups"))
+      .orderBy($"lang")
+  }
+
+  /** 64-bit SimHash per document (xxhash64 has no DuckDB twin → no SQL
+    * oracle; parity covered by ScalaTest fixtures). */
+  val ddSimhash: Spec = Spec(
+    "dd_simhash",
+    oracle = None) { (s, dir) =>
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .filter($"doc_id" % 20 === 0)
+      .select($"doc_id", $"text")
+      .withColumn("toks", Text.tokens($"text"))
+      .select($"doc_id", SimHash.simhash64("toks").as("simhash"))
+      .orderBy($"doc_id")
+  }
+
+  val specs: Seq[Spec] = Seq(
+    ddMinhashPairs, ddMinhashClusters, ddJaccardBlockPairs, ddExactHash,
+    ddSimhash)
+}

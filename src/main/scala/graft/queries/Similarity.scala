@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Vectors
+
+/** Similarity search over `embeddings` (array<float>[64], labels 0-9):
+  * centroid aggregation, brute-force and cell-pruned top-k cosine kNN,
+  * and embedding near-dup pairs.
+  *
+  * Oracle parity: the DuckDB side mirrors the exact sequential fold
+  * (list_reduce over per-index products in double), so cosine values
+  * are bit-identical and ranking ties cannot diverge.
+  */
+object Similarity {
+
+  /** DuckDB dot product mirroring Vectors.dot's left fold (dim=64). */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
+
+  private def cosSql(qa: String, qb: String): String =
+    s"${dotSql(qa, qb)} / (sqrt(${dotSql(qa, qa)}) * sqrt(${dotSql(qb, qb)}))"
+
+  /** Per-label mean vector via positional explode + exact decimal sums
+    * (vector aggregation that scales: one shuffle keyed (label, pos)). */
+  val eCentroids: Spec = Spec(
+    "e_centroids",
+    oracle = Some("""
+      WITH t AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+                   unnest(embedding) AS v
+                 FROM embeddings)
+      SELECT label, CAST(pos AS BIGINT) AS pos,
+        ROUND(CAST(SUM(CAST(v AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*), 6) AS centroid,
+        COUNT(*) AS n
+      FROM t GROUP BY label, pos ORDER BY label, pos""")) { (s, dir) =>
+    import s.implicits._
+    Tables.load(s, dir, "embeddings")
+      .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+      .groupBy($"label", ($"pos" + 1).cast("long").as("pos"))
+      .agg(
+        round(sum($"v".cast("decimal(28,14)")).cast("double") / count(lit(1)), 6)
+          .as("centroid"),
+        count(lit(1)).as("n"))
+      .orderBy($"label", $"pos")
+  }
+
+  /** Brute-force cosine top-5 for query vectors (vec_id < 10). */
+  val eKnnBrute: Spec = Spec(
+    "e_knn_brute",
+    oracle = Some(s"""
+      WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+      scored AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+          ${cosSql("q.embedding", "c.embedding")} AS cos
+        FROM q JOIN embeddings c ON c.vec_id <> q.vec_id),
+      r AS (SELECT qid, cid, cos,
+        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rk
+        FROM scored)
+      SELECT qid, rk, cid, ROUND(cos, 6) AS cos_sim
+      FROM r WHERE rk <= 5 ORDER BY qid, rk"""),
+    bench = true) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    Vectors.knnBrute(emb.filter($"id" < 10), emb, 5)
+      .select($"qid", $"rk", $"cid", round($"cos_sim", 6).as("cos_sim"))
+      .orderBy($"qid", $"rk")
+  }
+
+  /** Cell-pruned (IVF-style) top-5: candidates share the query's label
+    * cell — the scale path where cells bound the scan. */
+  val eKnnCell: Spec = Spec(
+    "e_knn_ivf",
+    oracle = Some(s"""
+      WITH q AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 20),
+      scored AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+          ${cosSql("q.embedding", "c.embedding")} AS cos
+        FROM q JOIN embeddings c ON c.label = q.label AND c.vec_id <> q.vec_id),
+      r AS (SELECT qid, cid, cos,
+        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rk
+        FROM scored)
+      SELECT qid, rk, cid, ROUND(cos, 6) AS cos_sim
+      FROM r WHERE rk <= 5 ORDER BY qid, rk""")) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+      .select($"vec_id".as("id"), $"embedding".as("vec"), $"label")
+    Vectors.knnCell(emb.filter($"id" < 20), emb, "label", 5)
+      .select($"qid", $"rk", $"cid", round($"cos_sim", 6).as("cos_sim"))
+      .orderBy($"qid", $"rk")
+  }
+
+  /** Embedding near-duplicate pairs within label cells (cosine ≥ 0.35,
+    * the blocked quadratic the LSH/IVF paths exist to avoid). */
+  val eNearDup: Spec = Spec(
+    "e_neardup_cosine",
+    oracle = Some(s"""
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        ROUND(${cosSql("a.embedding", "b.embedding")}, 6) AS cos_sim
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35
+      ORDER BY id_a, id_b""")) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+      .select($"vec_id", $"embedding", $"label")
+      .withColumn("n", Vectors.norm($"embedding"))
+    val a = emb.select($"label", $"vec_id".as("id_a"),
+      $"embedding".as("va"), $"n".as("na"))
+    val b = emb.select($"label", $"vec_id".as("id_b"),
+      $"embedding".as("vb"), $"n".as("nb"))
+    a.join(b, Seq("label"))
+      .filter($"id_a" < $"id_b")
+      .withColumn("cos_sim", Vectors.cosine($"va", $"vb", $"na", $"nb"))
+      .filter($"cos_sim" >= 0.35)
+      .select($"id_a", $"id_b", round($"cos_sim", 6).as("cos_sim"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val specs: Seq[Spec] = Seq(eCentroids, eKnnBrute, eKnnCell, eNearDup)
+}

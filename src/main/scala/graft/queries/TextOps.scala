@@ -1,0 +1,359 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.ops.{Flagging, Text}
+
+/** Text-corpus operators over `documents` (the setu surface, SURVEY
+  * §2.8-§2.9): per-doc stats, line/token granularity (posexplode +
+  * reassembly), keyword hits, n-gram repetition, flagging & removal.
+  *
+  * NSFW-style keyword lists for the synthetic corpus: tokens
+  * {"slow","dup"} and the phrase "hash join" (vocabulary words chosen
+  * arbitrarily but fixed; the operator shape is what matters).
+  */
+object TextOps {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "documents")
+
+  /** DuckDB fragment: word-5-gram list of `l` (empty when too short). */
+  private val ng5Sql =
+    "list_transform(range(1, greatest(len(l)-3, 1)), i -> array_to_string(l[i:i+4], ' '))"
+
+  val dTokenStats: Spec = Spec(
+    "d_token_stats",
+    oracle = Some("""
+      SELECT doc_id, lang,
+        CAST(len(string_split(text,' ')) AS BIGINT) AS words_count,
+        CAST(length(text) AS BIGINT) AS char_count,
+        CAST(strlen(text) AS BIGINT) AS byte_count,
+        CAST(list_sum(list_transform(string_split(text,' '), x -> length(x))) AS DOUBLE)
+          / len(string_split(text,' ')) AS mean_word_len
+      FROM documents ORDER BY doc_id"""),
+    bench = true) { (s, dir) =>
+    import s.implicits._
+    val toks = Text.tokens($"text")
+    docs(s, dir).select(
+      $"doc_id", $"lang",
+      Text.wordCount($"text").cast("long").as("words_count"),
+      Text.charCount($"text").cast("long").as("char_count"),
+      Text.byteCount($"text").cast("long").as("byte_count"),
+      (aggregate(toks, lit(0L), (a, x) => a + length(x)).cast("double") /
+        size(toks)).as("mean_word_len"))
+      .orderBy($"doc_id")
+  }
+
+  /** A1-style single hash-aggregate over exploded tokens (never the
+    * reference's 9-way join of aggregates). */
+  val dDocStatsAgg: Spec = Spec(
+    "d_lang_token_stats",
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, lang, unnest(string_split(text,' ')) AS tok FROM documents)
+      SELECT lang, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_tokens,
+        COUNT(DISTINCT tok) AS n_distinct,
+        CAST(SUM(length(tok)) AS DOUBLE) / COUNT(*) AS avg_tok_len,
+        CAST(MIN(length(tok)) AS BIGINT) AS min_tok_len,
+        CAST(MAX(length(tok)) AS BIGINT) AS max_tok_len
+      FROM t GROUP BY lang ORDER BY lang""")) { (s, dir) =>
+    import s.implicits._
+    docs(s, dir)
+      .select($"doc_id", $"lang", explode(Text.tokens($"text")).as("tok"))
+      .groupBy($"lang")
+      .agg(
+        countDistinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        countDistinct($"tok").as("n_distinct"),
+        (sum(length($"tok")).cast("double") / count(lit(1))).as("avg_tok_len"),
+        min(length($"tok")).cast("long").as("min_tok_len"),
+        max(length($"tok")).cast("long").as("max_tok_len"))
+      .orderBy($"lang")
+  }
+
+  /** Corpus word-count with rank (token frequency table). */
+  val dWordFreq: Spec = Spec(
+    "d_word_freq",
+    oracle = Some("""
+      WITH t AS (SELECT unnest(string_split(text,' ')) AS tok FROM documents)
+      SELECT tok, COUNT(*) AS n,
+        CAST(row_number() OVER (ORDER BY COUNT(*) DESC, tok) AS BIGINT) AS rk
+      FROM t GROUP BY tok ORDER BY rk""")) { (s, dir) =>
+    import s.implicits._
+    docs(s, dir)
+      .select(explode(Text.tokens($"text")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("n"))
+      .withColumn("rk",
+        row_number().over(Window.orderBy($"n".desc, $"tok")).cast("long"))
+      .orderBy($"rk")
+  }
+
+  /** Doc→line explode with positional ordinal (SURVEY §1.3: line order
+    * is data). Sampled by doc_id to bound the verify payload. */
+  val dLineExplode: Spec = Spec(
+    "d_line_explode",
+    oracle = Some("""
+      SELECT doc_id, CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS pos,
+        unnest(l) AS tok
+      FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents
+            WHERE doc_id % 50 = 0)
+      ORDER BY doc_id, pos""")) { (s, dir) =>
+    import s.implicits._
+    docs(s, dir)
+      .filter($"doc_id" % 50 === 0)
+      .select($"doc_id", posexplode(Text.tokens($"text")).as(Seq("pos", "tok")))
+      .select($"doc_id", $"pos".cast("long").as("pos"), $"tok")
+      .orderBy($"doc_id", $"pos")
+  }
+
+  /** lines2doc reassembly (A4): explode, then rebuild the document from
+    * (pos, tok) pairs via array_sort — proves the round trip by md5. */
+  val dLines2Doc: Spec = Spec(
+    "d_lines2doc_roundtrip",
+    oracle = Some("""
+      WITH lines AS (
+        SELECT doc_id, md5(text) AS orig_md5,
+          generate_subscripts(string_split(text,' '), 1) AS pos,
+          unnest(string_split(text,' ')) AS tok
+        FROM documents WHERE doc_id % 20 = 0)
+      SELECT doc_id,
+        md5(string_agg(tok, ' ' ORDER BY pos)) AS rebuilt_md5,
+        (md5(string_agg(tok, ' ' ORDER BY pos)) = MIN(orig_md5)) AS ok
+      FROM lines GROUP BY doc_id ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    docs(s, dir)
+      .filter($"doc_id" % 20 === 0)
+      .select($"doc_id", md5($"text").as("orig_md5"),
+        posexplode(Text.tokens($"text")).as(Seq("pos", "tok")))
+      .groupBy($"doc_id")
+      .agg(
+        md5(array_join(
+          transform(array_sort(collect_list(struct($"pos", $"tok"))),
+            x => x.getField("tok")), " ")).as("rebuilt_md5"),
+        min($"orig_md5").as("orig_md5"))
+      .select($"doc_id", $"rebuilt_md5",
+        ($"rebuilt_md5" === $"orig_md5").as("ok"))
+      .orderBy($"doc_id")
+  }
+
+  /** Repeated-line distribution (A2/A3 shape) as rows. */
+  val dRepeatedTokens: Spec = Spec(
+    "d_repeated_tokens",
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+                 FROM documents WHERE doc_id % 20 = 0)
+      SELECT doc_id, tok, COUNT(*) AS n FROM t
+      GROUP BY doc_id, tok HAVING COUNT(*) >= 3
+      ORDER BY doc_id, tok""")) { (s, dir) =>
+    import s.implicits._
+    docs(s, dir)
+      .filter($"doc_id" % 20 === 0)
+      .select($"doc_id", explode(Text.tokens($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("n"))
+      .filter($"n" >= 3)
+      .orderBy($"doc_id", $"tok")
+  }
+
+  /** Keyword (NSFW-analog) hit counts: single tokens + a two-word
+    * phrase, computed row-local over the token array (F13/F14 shape). */
+  val dNsfwCounts: Spec = Spec(
+    "d_nsfw_counts",
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, string_split(text,' ') AS l FROM documents)
+      SELECT doc_id,
+        CAST(len(list_filter(l, x -> x = 'slow')) AS BIGINT) AS n_slow,
+        CAST(len(list_filter(l, x -> x = 'dup')) AS BIGINT) AS n_dup,
+        CAST(len(list_filter(list_transform(range(1, len(l)),
+          i -> array_to_string(l[i:i+1], ' ')), g -> g = 'hash join')) AS BIGINT) AS n_hashjoin,
+        CAST(len(list_filter(l, x -> x = 'slow' OR x = 'dup')) +
+          len(list_filter(list_transform(range(1, len(l)),
+            i -> array_to_string(l[i:i+1], ' ')), g -> g = 'hash join')) AS BIGINT) AS n_nsfw,
+        ROUND(CAST(len(list_filter(l, x -> x = 'slow' OR x = 'dup')) +
+          len(list_filter(list_transform(range(1, len(l)),
+            i -> array_to_string(l[i:i+1], ' ')), g -> g = 'hash join')) AS DOUBLE)
+          / len(l), 6) AS nsfw_ratio
+      FROM t ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    val toks = Text.tokens($"text")
+    val bigrams = Text.wordNgrams(toks, 2)
+    val nSlow = size(filter(toks, x => x === "slow")).cast("long")
+    val nDup = size(filter(toks, x => x === "dup")).cast("long")
+    val nHj = size(filter(bigrams, g => g === "hash join")).cast("long")
+    docs(s, dir).select(
+      $"doc_id",
+      nSlow.as("n_slow"), nDup.as("n_dup"), nHj.as("n_hashjoin"),
+      (nSlow + nDup + nHj).as("n_nsfw"),
+      round((nSlow + nDup + nHj).cast("double") / size(toks), 6).as("nsfw_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  // Shared doc-stats projection used by flagging/removal, all row-local:
+  // the 5-gram repetition score is the O(n²)-per-row HOF form (fine at
+  // ~100 tokens/doc; the shuffle-based form is d_ngram_rep_word).
+  private def statsDf(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    val toks = Text.tokens($"text")
+    val ng = Text.wordNgrams(toks, 5)
+    val once = size(filter(ng, g => size(filter(ng, h => h === g)) === 1))
+    val repScore = when(size(ng) === 0, 0.0d)
+      .otherwise((size(ng) - once).cast("double") / size(ng))
+    val nNsfw = size(filter(toks, x => x === "slow" || x === "dup")) +
+      size(filter(Text.wordNgrams(toks, 2), g => g === "hash join"))
+    docs(s, dir).select(
+      $"doc_id", $"lang",
+      Text.wordCount($"text").cast("long").as("words_count"),
+      (aggregate(toks, lit(0L), (a, x) => a + length(x)).cast("double") /
+        size(toks)).as("mean_word_len"),
+      (nNsfw.cast("double") / size(toks)).as("nsfw_ratio"),
+      Text.charClassOutRatio($"text", "[a-z ]").as("non_li_ratio"),
+      repScore.as("word_rep_score"))
+  }
+
+  private val statsSql = s"""
+      SELECT doc_id, lang,
+        CAST(len(l) AS BIGINT) AS words_count,
+        CAST(list_sum(list_transform(l, x -> length(x))) AS DOUBLE) / len(l) AS mean_word_len,
+        CAST(len(list_filter(l, x -> x = 'slow' OR x = 'dup')) +
+          len(list_filter(list_transform(range(1, len(l)),
+            i -> array_to_string(l[i:i+1], ' ')), g -> g = 'hash join')) AS DOUBLE)
+          / len(l) AS nsfw_ratio,
+        CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+          / length(text) AS non_li_ratio,
+        CASE WHEN len($ng5Sql) = 0 THEN 0.0
+          ELSE CAST(len($ng5Sql) - len(list_filter($ng5Sql,
+            g -> len(list_filter($ng5Sql, h -> h = g)) = 1)) AS DOUBLE)
+            / len($ng5Sql) END AS word_rep_score
+      FROM (SELECT doc_id, lang, text, string_split(text,' ') AS l FROM documents)"""
+
+  private val flagsSql = """
+        words_count <= 60 AS has_less_words,
+        mean_word_len <= 3.2 AS is_short_words_heavy,
+        nsfw_ratio >= 0.04 AS is_nsfw_heavy,
+        non_li_ratio >= 0.05 AS is_non_li_heavy,
+        word_rep_score >= 0.10 AS has_word_repetition"""
+
+  /** Doc flagging (§2.9): threshold flags over the stat columns. */
+  val dDocFlags: Spec = Spec(
+    "d_doc_flags",
+    oracle = Some(s"""
+      SELECT doc_id, words_count, ROUND(mean_word_len, 6) AS mean_word_len,
+        ROUND(nsfw_ratio, 6) AS nsfw_ratio, ROUND(word_rep_score, 6) AS word_rep_score,
+        $flagsSql
+      FROM ($statsSql) WHERE doc_id % 20 = 0 ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    Flagging.addFlags(statsDf(s, dir).filter($"doc_id" % 20 === 0))
+      .select($"doc_id", $"words_count",
+        round($"mean_word_len", 6).as("mean_word_len"),
+        round($"nsfw_ratio", 6).as("nsfw_ratio"),
+        round($"word_rep_score", 6).as("word_rep_score"),
+        $"has_less_words", $"is_short_words_heavy", $"is_nsfw_heavy",
+        $"is_non_li_heavy", $"has_word_repetition")
+      .orderBy($"doc_id")
+  }
+
+  /** Flag-and-remove survivors (J6 semantics) aggregated per language. */
+  val dRemovalSurvivors: Spec = Spec(
+    "d_removal_survivors",
+    oracle = Some(s"""
+      SELECT lang, COUNT(*) AS n_docs, CAST(SUM(words_count) AS BIGINT) AS total_words
+      FROM ($statsSql)
+      WHERE NOT (words_count <= 60) AND NOT (mean_word_len <= 3.2)
+        AND NOT (nsfw_ratio >= 0.04) AND NOT (non_li_ratio >= 0.05)
+        AND NOT (word_rep_score >= 0.10)
+      GROUP BY lang ORDER BY lang"""),
+    bench = true) { (s, dir) =>
+    import s.implicits._
+    Flagging.removeFlagged(Flagging.addFlags(statsDf(s, dir)))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"words_count").as("total_words"))
+      .orderBy($"lang")
+  }
+
+  /** Word-5-gram repetition score, shuffle form (F18 at corpus scale:
+    * explode → two hash-aggs; partial aggregation bounds the shuffle). */
+  val dNgramRepWord: Spec = Spec(
+    "d_ngram_rep_word",
+    oracle = Some(s"""
+      WITH g AS (
+        SELECT doc_id, unnest($ng5Sql) AS gram
+        FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents
+              WHERE doc_id % 10 = 0)),
+      c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram)
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_ngrams,
+        CAST(COALESCE(SUM(cnt) FILTER (cnt >= 2), 0) AS BIGINT) AS n_rep,
+        ROUND(CAST(COALESCE(SUM(cnt) FILTER (cnt >= 2), 0) AS DOUBLE) / SUM(cnt), 6) AS rep_score
+      FROM c GROUP BY doc_id ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    docs(s, dir)
+      .filter($"doc_id" % 10 === 0)
+      .select($"doc_id",
+        explode(Text.wordNgrams(Text.tokens($"text"), 5)).as("gram"))
+      .groupBy($"doc_id", $"gram").agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id")
+      .agg(
+        sum($"cnt").as("n_ngrams"),
+        coalesce(sum(when($"cnt" >= 2, $"cnt")), lit(0L)).as("n_rep"))
+      .select($"doc_id", $"n_ngrams", $"n_rep",
+        round($"n_rep".cast("double") / $"n_ngrams", 6).as("rep_score"))
+      .orderBy($"doc_id")
+  }
+
+  /** Symbol-ratio per doc (F9 shape: chars outside [a-z] — i.e. spaces
+    * here — over total chars). */
+  val dSymbolRatio: Spec = Spec(
+    "d_symbol_ratio",
+    oracle = Some("""
+      SELECT doc_id,
+        CAST(length(regexp_replace(text, '[a-z]', '', 'g')) AS BIGINT) AS symbol_count,
+        ROUND(CAST(length(regexp_replace(text, '[a-z]', '', 'g')) AS DOUBLE)
+          / length(text), 6) AS symbol_ratio
+      FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    docs(s, dir)
+      .filter($"doc_id" % 20 === 0)
+      .select($"doc_id",
+        length(regexp_replace($"text", "[a-z]", "")).cast("long").as("symbol_count"),
+        round(Text.charClassOutRatio($"text", "[a-z]"), 6).as("symbol_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  /** Document fingerprint: md5 over whitespace-normalized text (F11-lite
+    * normalize + stable content hash). */
+  val dFingerprint: Spec = Spec(
+    "d_fingerprint",
+    oracle = Some("""
+      SELECT doc_id,
+        md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
+        CAST(strlen(text) AS BIGINT) AS byte_count,
+        CAST(len(string_split(text,' ')) AS BIGINT) AS words_count
+      FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    docs(s, dir)
+      .filter($"doc_id" % 20 === 0)
+      .select($"doc_id",
+        md5(Text.normalizeWs($"text")).as("fingerprint"),
+        Text.byteCount($"text").cast("long").as("byte_count"),
+        Text.wordCount($"text").cast("long").as("words_count"))
+      .orderBy($"doc_id")
+  }
+
+  /** Deterministic dedup-by-key (P3 without the arbitrary-row hazard):
+    * keep min doc_id per (lang, source). */
+  val dDedupByKey: Spec = Spec(
+    "d_dedup_by_key",
+    oracle = Some("""
+      SELECT lang, source, MIN(doc_id) AS keep_id, COUNT(*) - 1 AS n_dropped
+      FROM documents GROUP BY lang, source ORDER BY lang, source""")) { (s, dir) =>
+    import s.implicits._
+    docs(s, dir)
+      .groupBy($"lang", $"source")
+      .agg(min($"doc_id").as("keep_id"), (count(lit(1)) - 1).as("n_dropped"))
+      .orderBy($"lang", $"source")
+  }
+
+  val specs: Seq[Spec] = Seq(
+    dTokenStats, dDocStatsAgg, dWordFreq, dLineExplode, dLines2Doc,
+    dRepeatedTokens, dNsfwCounts, dDocFlags, dRemovalSurvivors,
+    dNgramRepWord, dSymbolRatio, dFingerprint, dDedupByKey)
+}

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming twins of the batch event operators (SURVEY
+  * §2.12 — absent from the reference; engine addition). File source →
+  * event-time window aggregation with watermark → memory sink; the
+  * memory sink + processAllAvailable makes a finite parquet drive the
+  * streaming query synchronously (local smoke), while the same plan
+  * runs unbounded on a real source.
+  */
+object StreamOps {
+
+  /** events schema with ts as raw nanos (see queries.Events). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Tumbling 1-hour event counts as a streaming query, returned as the
+    * final batch result table. */
+  def tumblingCounts(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = s.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val agg = src
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_utc", "1 hour")
+      .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("st_tumbling_mem")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table("st_tumbling_mem")
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  /** Streaming exact-dedup: dropDuplicatesWithinWatermark on event_id.
+    * Returns the deduped count table (memory sink, append). */
+  def streamingDedupCount(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = s.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val deduped = src
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_utc", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("st_dedup_mem")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table("st_dedup_mem")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_unique"))
+      .orderBy(col("event_type"))
+  }
+}
