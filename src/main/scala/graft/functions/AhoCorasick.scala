@@ -1,0 +1,78 @@
+package graft.functions
+
+import scala.collection.mutable
+
+/** Aho-Corasick multi-pattern automaton (public algorithm, Aho &
+  * Corasick '75) — the JVM replacement for the reference's flashtext
+  * keyword processors (setu/constants.py:212-233, setu/filters.py:742-748).
+  *
+  * Matches are word-boundary-valid occurrences (flashtext semantics:
+  * a hit must not touch a letter/digit/underscore on either side);
+  * overlapping hits of *different* keywords are all counted, and the
+  * automaton is built once and shared per executor via the expression's
+  * transient lazy val — no driver-side state rides the plan.
+  */
+final class AhoCorasick(val keywords: IndexedSeq[String]) extends Serializable {
+
+  // Flat automaton arrays built eagerly; ~O(total pattern chars) states.
+  private val gotoMaps = mutable.ArrayBuffer[mutable.HashMap[Char, Int]]()
+  private val fail = mutable.ArrayBuffer[Int]()
+  private val out = mutable.ArrayBuffer[List[Int]]()
+
+  private def newState(): Int = {
+    gotoMaps += mutable.HashMap.empty
+    fail += 0
+    out += Nil
+    gotoMaps.size - 1
+  }
+
+  {
+    newState() // root
+    keywords.zipWithIndex.foreach { case (kw, idx) =>
+      var s = 0
+      kw.foreach { ch =>
+        s = gotoMaps(s).getOrElseUpdate(ch, newState())
+      }
+      out(s) = idx :: out(s)
+    }
+    // BFS fail links
+    val queue = mutable.Queue[Int]()
+    gotoMaps(0).values.foreach { s => fail(s) = 0; queue += s }
+    while (queue.nonEmpty) {
+      val r = queue.dequeue()
+      gotoMaps(r).foreach { case (ch, s) =>
+        queue += s
+        var f = fail(r)
+        while (f != 0 && !gotoMaps(f).contains(ch)) f = fail(f)
+        fail(s) = if (f != r && gotoMaps(f).contains(ch)) gotoMaps(f)(ch) else 0
+        out(s) = out(s) ::: out(fail(s))
+      }
+    }
+  }
+
+  @inline private def isWordChar(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '_'
+
+  /** Count boundary-valid occurrences per keyword index. */
+  def countMatches(text: String): Array[Int] = {
+    val counts = new Array[Int](keywords.size)
+    var s = 0
+    var i = 0
+    while (i < text.length) {
+      val ch = text.charAt(i)
+      while (s != 0 && !gotoMaps(s).contains(ch)) s = fail(s)
+      s = gotoMaps(s).getOrElse(ch, 0)
+      var hits = out(s)
+      while (hits.nonEmpty) {
+        val kw = keywords(hits.head)
+        val start = i - kw.length + 1
+        val leftOk = start == 0 || !isWordChar(text.charAt(start - 1))
+        val rightOk = i == text.length - 1 || !isWordChar(text.charAt(i + 1))
+        if (leftOk && rightOk) counts(hits.head) += 1
+        hits = hits.tail
+      }
+      i += 1
+    }
+    counts
+  }
+}

@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.graft.bridge.{column, expression}
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Column wrappers + SQL registration for the custom expressions, so
+  * every operator is reachable from both the DataFrame API and
+  * `spark.sql` (oracle tests exercise the SQL path too).
+  */
+object GraftFunctions {
+
+  def keywordMatches(c: Column, keywords: Seq[String]): Column =
+    column(KeywordMatches(expression(c), keywords))
+
+  def keywordCount(c: Column, keywords: Seq[String]): Column =
+    column(KeywordCount(expression(c), keywords))
+
+  def splitKeepDelim(c: Column, pattern: String): Column =
+    column(SplitKeepDelimiter(expression(c), pattern))
+
+  def normalizeUnicode(c: Column, form: String = "NFKC"): Column =
+    column(NormalizeUnicode(expression(c), form))
+
+  def charNgramRep(c: Column, n: Int): Column =
+    column(CharNgramRepScore(expression(c), n))
+
+  def wordNgramRep(tokens: Column, n: Int): Column =
+    column(WordNgramRepScore(expression(tokens), n))
+
+  def rollingHash(c: Column): Column =
+    column(RollingHash(expression(c)))
+
+  /** The reference's sentence-delimiter class (setu/filters.py:312):
+    * split after `.?!।|॥؟۔` plus any trailing newlines. */
+  val SentenceDelimiterPattern = "[.?!।|॥؟۔](\\n+)?"
+
+  private def litString(e: Expression, what: String): String = e match {
+    case Literal(s: UTF8String, StringType) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an int literal, got $other")
+  }
+
+  /** Register `graft_*` SQL functions on the session. Keyword-list
+    * arguments arrive as a single comma-separated string literal. */
+  def registerSql(spark: SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    def reg(name: String)(builder: Seq[Expression] => Expression): Unit =
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
+
+    reg("graft_keyword_matches") { es =>
+      KeywordMatches(es.head, litString(es(1), "keywords").split(",").toSeq)
+    }
+    reg("graft_keyword_count") { es =>
+      KeywordCount(es.head, litString(es(1), "keywords").split(",").toSeq)
+    }
+    reg("graft_split_keep_delim") { es =>
+      SplitKeepDelimiter(es.head, litString(es(1), "pattern"))
+    }
+    reg("graft_normalize") { es =>
+      NormalizeUnicode(es.head,
+        if (es.size > 1) litString(es(1), "form") else "NFKC")
+    }
+    reg("graft_char_ngram_rep") { es =>
+      CharNgramRepScore(es.head, litInt(es(1), "n"))
+    }
+    reg("graft_word_ngram_rep") { es =>
+      WordNgramRepScore(es.head, litInt(es(1), "n"))
+    }
+    reg("graft_rolling_hash")(es => RollingHash(es.head))
+  }
+}

@@ -1,0 +1,173 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom scalar Catalyst expressions (SURVEY §7): only the operators
+  * whose semantics built-ins genuinely can't express — multi-keyword
+  * automaton matching, regex split keeping delimiters, Unicode
+  * normalization forms, and linear-time n-gram repetition scores.
+  * All are deterministic, null-safe via UnaryExpression, and
+  * CodegenFallback (row-at-a-time eval; the surrounding projection
+  * stays codegen'd).
+  */
+
+/** F13/F14: keyword hit distribution via a shared Aho-Corasick
+  * automaton. Returns map<keyword, count> with only hit keywords, in
+  * keyword-list order (deterministic). */
+case class KeywordMatches(child: Expression, keywords: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType =
+    MapType(StringType, IntegerType, valueContainsNull = false)
+  override def nullable: Boolean = child.nullable
+  @transient private lazy val trie = new AhoCorasick(keywords.toIndexedSeq)
+  override def nullSafeEval(input: Any): Any = {
+    val counts = trie.countMatches(input.asInstanceOf[UTF8String].toString)
+    val keys: Array[Any] = keywords.iterator.zipWithIndex.collect {
+      case (k, i) if counts(i) > 0 => UTF8String.fromString(k): Any
+    }.toArray
+    val vals: Array[Any] = counts.iterator.filter(_ > 0).map(v => v: Any).toArray
+    new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "graft_keyword_matches"
+}
+
+/** Total keyword hits (F14 fused over the same automaton). */
+case class KeywordCount(child: Expression, keywords: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  @transient private lazy val trie = new AhoCorasick(keywords.toIndexedSeq)
+  override def nullSafeEval(input: Any): Any =
+    trie.countMatches(input.asInstanceOf[UTF8String].toString).sum
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "graft_keyword_count"
+}
+
+/** F1 split_with_delimiter (setu/filters.py:309-330): regex split that
+  * keeps each delimiter match attached to the preceding piece. */
+case class SplitKeepDelimiter(child: Expression, pattern: String)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  @transient private lazy val regex = java.util.regex.Pattern.compile(pattern)
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val m = regex.matcher(text)
+    val pieces = scala.collection.mutable.ArrayBuffer[Any]()
+    var last = 0
+    while (m.find()) {
+      if (m.end() > last) {
+        pieces += UTF8String.fromString(text.substring(last, m.end()))
+        last = m.end()
+      }
+    }
+    if (last < text.length) pieces += UTF8String.fromString(text.substring(last))
+    new GenericArrayData(pieces.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "graft_split_keep_delim"
+}
+
+/** F11-lite: Unicode normalization (NFC/NFD/NFKC/NFKD) — the portable
+  * core of the reference's IndicNLP normalize-then-NFKC chain. */
+case class NormalizeUnicode(child: Expression, form: String)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  @transient private lazy val nf = java.text.Normalizer.Form.valueOf(form)
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      java.text.Normalizer.normalize(input.asInstanceOf[UTF8String].toString, nf))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "graft_normalize"
+}
+
+/** F17 char n-gram repetition: (sum of top-⌊√distinct⌋ frequencies) /
+  * total n-grams (setu/filters.py:545-572), linear-time hashmap. */
+case class CharNgramRepScore(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    if (text.length < n) return 0.0d
+    val counts = new java.util.HashMap[String, Int]()
+    var i = 0
+    val total = text.length - n + 1
+    while (i < total) {
+      counts.merge(text.substring(i, i + n), 1, _ + _)
+      i += 1
+    }
+    val k = math.floor(math.sqrt(counts.size.toDouble)).toInt
+    if (k == 0) return 0.0d
+    val freqs = new Array[Int](counts.size)
+    var j = 0
+    val it = counts.values().iterator()
+    while (it.hasNext) { freqs(j) = it.next(); j += 1 }
+    java.util.Arrays.sort(freqs)
+    var top = 0L
+    var t = freqs.length - 1
+    while (t >= freqs.length - k) { top += freqs(t); t -= 1 }
+    top.toDouble / total
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "graft_char_ngram_rep"
+}
+
+/** F18 word n-gram repetition over a token array: (sum of frequencies
+  * ≥ 2) / total n-grams (setu/filters.py:574-602), linear-time. */
+case class WordNgramRepScore(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sz = arr.numElements()
+    if (sz < n) return 0.0d
+    val toks = new Array[String](sz)
+    var i = 0
+    while (i < sz) { toks(i) = arr.getUTF8String(i).toString; i += 1 }
+    val counts = new java.util.HashMap[String, Int]()
+    val total = sz - n + 1
+    i = 0
+    while (i < total) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      counts.merge(sb.toString, 1, _ + _)
+      i += 1
+    }
+    var rep = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) { val c = it.next(); if (c >= 2) rep += c }
+    rep.toDouble / total
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "graft_word_ngram_rep"
+}
+
+/** Rolling polynomial fingerprint (base 257 mod 2^61-1) — order-
+  * sensitive content hash for document fingerprinting. */
+case class RollingHash(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  private val Mod = (1L << 61) - 1
+  private val Base = 257L
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      // (h * Base + b) mod 2^61-1 via 128-bit-safe split multiply
+      val hi = Math.multiplyHigh(h, Base)
+      val lo = h * Base
+      val folded = (lo & Mod) + ((hi << 3) | (lo >>> 61))
+      h = (folded + (bytes(i) & 0xffL)) % Mod
+      i += 1
+    }
+    h
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "graft_rolling_hash"
+}

@@ -126,12 +126,15 @@ object Ensemble extends Serializable {
   val detectors: Seq[Detector] =
     Seq(CharNgramDetector, StopwordDetector, ScriptDetector)
 
-  /** Hard majority vote; ties resolved by detector priority order. */
+  /** Hard majority vote over non-abstaining detectors ("und" =
+    * abstain); ties resolved by detector priority order. */
   def vote(results: Seq[LidResult]): String = {
-    val votes = results.groupBy(_.lang).view.mapValues(_.size).toMap
+    val real = results.filter(_.lang != "und")
+    if (real.isEmpty) return "und"
+    val votes = real.groupBy(_.lang).view.mapValues(_.size).toMap
     val maxV = votes.values.max
     // first detector (in priority order) whose lang has the max votes
-    results.find(r => votes(r.lang) == maxV).map(_.lang).getOrElse("und")
+    real.find(r => votes(r.lang) == maxV).map(_.lang).getOrElse("und")
   }
 
   /** Annotate (id, text) rows with per-detector columns + the vote —

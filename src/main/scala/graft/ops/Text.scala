@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
   *  - word count splits on a single space, `"".split(" ")` counts 1
   *    (setu/filters.py:756-758) → `size(split(c, " ", -1))`;
   *  - bytes = UTF-8 length (setu/filters.py:764-766) → `octet_length`;
-  *  - char count = codepoints (setu/filters.py:760-762) → `length`;
+  *  - char count = codepoints (setu/filters.py:760-762) → `length`
+  *    (Spark's UTF8String.numChars counts codepoints, so non-BMP chars
+  *    count 1 exactly like Python `len` — verified in TextSemanticsSpec);
   *  - is_number is Unicode-digit aware (setu/filters.py:773-775,
   *    Python str.isdigit) → `\p{Nd}` regex, not `[0-9]`.
   */

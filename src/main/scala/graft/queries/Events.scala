@@ -153,5 +153,24 @@ object Events {
       .orderBy($"user_id")
   }
 
-  val specs: Seq[Spec] = Seq(qTumbling, qSessionize, qAsofClick, qFunnel)
+  /** Semi-structured JSON extraction from the props payload column. */
+  val qPropsJson: Spec = Spec(
+    "ev_props_json",
+    oracle = Some("""
+      SELECT event_type,
+        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+        COUNT(*) AS n
+      FROM events GROUP BY event_type ORDER BY event_type""")) { (s, dir) =>
+    import s.implicits._
+    load(s, dir)
+      .select($"event_type",
+        get_json_object($"props", "$.k").cast("long").as("k"))
+      .groupBy($"event_type")
+      .agg(sum($"k").as("sum_k"), max($"k").as("max_k"),
+        count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
+  val specs: Seq[Spec] = Seq(qTumbling, qSessionize, qAsofClick, qFunnel, qPropsJson)
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
+import graft.functions.GraftFunctions
 import graft.ops.{Flagging, Text}
 
 /** Text-corpus operators over `documents` (the setu surface, SURVEY
@@ -175,16 +176,21 @@ object TextOps {
           / len(l), 6) AS nsfw_ratio
       FROM t ORDER BY doc_id""")) { (s, dir) =>
     import s.implicits._
-    val toks = Text.tokens($"text")
-    val bigrams = Text.wordNgrams(toks, 2)
-    val nSlow = size(filter(toks, x => x === "slow")).cast("long")
-    val nDup = size(filter(toks, x => x === "dup")).cast("long")
-    val nHj = size(filter(bigrams, g => g === "hash join")).cast("long")
-    docs(s, dir).select(
-      $"doc_id",
-      nSlow.as("n_slow"), nDup.as("n_dup"), nHj.as("n_hashjoin"),
-      (nSlow + nDup + nHj).as("n_nsfw"),
-      round((nSlow + nDup + nHj).cast("double") / size(toks), 6).as("nsfw_ratio"))
+    // Aho-Corasick automaton expression (word-boundary multi-keyword
+    // matching incl. the phrase), validated against the token-filter
+    // SQL oracle.
+    def hits(k: String) =
+      coalesce(element_at(col("dist"), k), lit(0)).cast("long")
+    docs(s, dir)
+      .withColumn("dist",
+        GraftFunctions.keywordMatches($"text", Seq("slow", "dup", "hash join")))
+      .select(
+        $"doc_id",
+        hits("slow").as("n_slow"), hits("dup").as("n_dup"),
+        hits("hash join").as("n_hashjoin"),
+        (hits("slow") + hits("dup") + hits("hash join")).as("n_nsfw"),
+        round((hits("slow") + hits("dup") + hits("hash join")).cast("double") /
+          size(Text.tokens($"text")), 6).as("nsfw_ratio"))
       .orderBy($"doc_id")
   }
 
@@ -194,12 +200,10 @@ object TextOps {
   private def statsDf(s: org.apache.spark.sql.SparkSession, dir: String) = {
     import s.implicits._
     val toks = Text.tokens($"text")
-    val ng = Text.wordNgrams(toks, 5)
-    val once = size(filter(ng, g => size(filter(ng, h => h === g)) === 1))
-    val repScore = when(size(ng) === 0, 0.0d)
-      .otherwise((size(ng) - once).cast("double") / size(ng))
-    val nNsfw = size(filter(toks, x => x === "slow" || x === "dup")) +
-      size(filter(Text.wordNgrams(toks, 2), g => g === "hash join"))
+    // Custom expressions on the hot path: linear-time n-gram repetition
+    // (vs the O(n²) HOF the oracle states) and the keyword automaton.
+    val repScore = GraftFunctions.wordNgramRep(toks, 5)
+    val nNsfw = GraftFunctions.keywordCount($"text", Seq("slow", "dup", "hash join"))
     docs(s, dir).select(
       $"doc_id", $"lang",
       Text.wordCount($"text").cast("long").as("words_count"),

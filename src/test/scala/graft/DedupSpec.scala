@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{ConnectedComponents, MinHash, SimHash, Text}
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog near the old stone bridge while birds sing in the tall green trees above the quiet river bank today"
+  private val nearDup = base.replace("quiet", "silent") // one-token edit → high jaccard
+  private val distinct1 = "completely different content about database engines and query planners with hash joins and sort merge operators running on distributed clusters"
+  private val distinct2 = "yet another unrelated document mentioning streaming watermarks state stores and checkpoint intervals for long running pipelines"
+
+  test("minhash candidate pairs find the planted near-dup, nothing else") {
+    val docs = Seq(
+      (0L, base), (1L, nearDup), (2L, distinct1), (3L, distinct2)
+    ).toDF("doc_id", "text")
+    val pairs = MinHash.candidatePairs(docs, "doc_id", "text",
+      shingleSize = 3, numPerm = 32, bands = 8, threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("connected components: chain and isolated pair") {
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 4L)).toDF("src", "dst")
+    val comp = ConnectedComponents.run(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
+
+  test("minhash clusters keep min id per component") {
+    val docs = Seq(
+      (10L, base), (11L, nearDup), (12L, base + " extra"), (20L, distinct1)
+    ).toDF("doc_id", "text")
+    val pairs = MinHash.candidatePairs(docs, "doc_id", "text", threshold = 0.5)
+    val comp = MinHash.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert(comp.values.toSet == Set(10L))
+    assert(comp.keySet == Set(10L, 11L, 12L))
+  }
+
+  test("simhash: near-dups close in hamming, distinct docs far") {
+    val df = Seq((0L, base), (1L, nearDup), (2L, distinct1))
+      .toDF("doc_id", "text")
+      .withColumn("toks", Text.tokens($"text"))
+      .select($"doc_id", SimHash.simhash64("toks").as("sh"))
+    val m = df.as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(0L), m(1L)) <= 6)
+    assert(ham(m(0L), m(2L)) > 10)
+  }
+
+  test("exact-hash dedup is idempotent under whitespace normalization") {
+    val docs = Seq((0L, "A  b  c"), (1L, "a b C"), (2L, "other")).toDF("doc_id", "text")
+    val n = docs.select(md5(Text.normalizeWs($"text")).as("h")).distinct().count()
+    assert(n == 2)
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.functions.GraftFunctions._
+
+/** Unit vectors for the custom Catalyst expressions, including the
+  * Unicode edge cases from FIXTURES.md §10. */
+class ExpressionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("t").select(c.as("r")).collect()(0).getAs[T]("r")
+
+  private def oneSeq(c: org.apache.spark.sql.Column, text: String): List[String] =
+    Seq(text).toDF("t").select(c.as("r")).collect()(0).getSeq[String](0).toList
+
+  test("split_keep_delim keeps danda/urdu delimiters attached (F1)") {
+    val got = oneSeq(splitKeepDelim($"t", SentenceDelimiterPattern), "क।ख॥ग؟x")
+    // ॥ is two । in sequence? No — U+0965 is one char; class contains ॥
+    assert(got == Seq("क।", "ख॥", "ग؟", "x"))
+  }
+
+  test("split_keep_delim attaches trailing newlines and keeps remainder") {
+    val got = oneSeq(splitKeepDelim($"t", SentenceDelimiterPattern), "a.\n\nb! c? d")
+    assert(got == Seq("a.\n\n", "b!", " c?", " d"))
+  }
+
+  test("keyword automaton: word boundaries, phrases, counts") {
+    val kws = Seq("slow", "hash join", "dup")
+    assert(one[Map[String, Int]](keywordMatches($"t", kws),
+      "slow hash join slower dup hash join") ==
+      Map("slow" -> 1, "hash join" -> 2, "dup" -> 1))
+    // 'slower' must not match 'slow' (boundary), '_slow' neither
+    assert(one[Int](keywordCount($"t", kws), "slower _slow slowx") == 0)
+    assert(one[Int](keywordCount($"t", kws), "slow, dup; hash join.") == 3)
+  }
+
+  test("keyword automaton: overlapping distinct keywords all count") {
+    val got = one[Map[String, Int]](
+      keywordMatches($"t", Seq("hash join", "join")), "hash join")
+    assert(got == Map("hash join" -> 1, "join" -> 1))
+  }
+
+  test("normalize NFKC folds compatibility forms") {
+    assert(one[String](normalizeUnicode($"t"), "ﬁ①ｱ") == "fi1ア")
+    assert(one[String](normalizeUnicode($"t", "NFC"), "ﬁ") == "ﬁ")
+  }
+
+  test("char ngram repetition score (F17 semantics)") {
+    // "aaaa": 10 2-grams? "aaaa" has 3 bigrams all "aa": distinct=1,
+    // k=floor(sqrt(1))=1, top1=3, total=3 → 1.0
+    assert(one[Double](charNgramRep($"t", 2), "aaaa") == 1.0)
+    // "abcd": 3 distinct bigrams, k=1, top=1, total=3
+    assert(math.abs(one[Double](charNgramRep($"t", 2), "abcd") - 1.0 / 3) < 1e-12)
+    assert(one[Double](charNgramRep($"t", 5), "abc") == 0.0)
+  }
+
+  test("word ngram repetition score (F18 semantics)") {
+    val toks = split($"t", " ")
+    // tokens a b a b a → bigrams: (a b),(b a),(a b),(b a) → all freq 2 → 1.0
+    assert(one[Double](wordNgramRep(toks, 2), "a b a b a") == 1.0)
+    // a b c d → 3 distinct bigrams once each → 0.0
+    assert(one[Double](wordNgramRep(toks, 2), "a b c d") == 0.0)
+    assert(one[Double](wordNgramRep(toks, 9), "a b") == 0.0)
+  }
+
+  test("rolling hash: deterministic, order-sensitive") {
+    val h1 = one[Long](rollingHash($"t"), "hello world")
+    val h2 = one[Long](rollingHash($"t"), "world hello")
+    assert(h1 == one[Long](rollingHash($"t"), "hello world"))
+    assert(h1 != h2)
+    assert(h1 >= 0)
+  }
+
+  test("SQL registration: graft_* callable from spark.sql") {
+    GraftFunctions.registerSql(spark)
+    val r = spark.sql(
+      """SELECT graft_keyword_count('slow dup x', 'slow,dup') AS c,
+        |graft_normalize('ﬁ') AS n,
+        |graft_word_ngram_rep(array('a','b','a','b','a'), 2) AS w""".stripMargin)
+      .collect()(0)
+    assert(r.getAs[Int]("c") == 2)
+    assert(r.getAs[String]("n") == "fi")
+    assert(r.getAs[Double]("w") == 1.0)
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lid._
+
+class LidSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val samples = Map(
+    "en" -> "the cat is sitting on the mat and it is waiting for the food that we left there",
+    "de" -> "der hund ist nicht in dem haus und die katze wartet auf das futter für den abend",
+    "fr" -> "le chat est dans la maison et les oiseaux attendent dans le jardin pour la nourriture",
+    "es" -> "el perro está en la casa y los gatos esperan la comida para la noche con el niño",
+    "zh" -> "数据库引擎在大规模集群上执行查询计划并优化连接顺序",
+    "hi" -> "यह एक बड़ा दस्तावेज़ है जो भाषा पहचान का परीक्षण करता है",
+    "ru" -> "это большой документ который проверяет определение языка системы",
+    "ar" -> "هذه وثيقة كبيرة تختبر نظام تحديد اللغة في المحرك")
+
+  test("script detector resolves non-Latin scripts") {
+    assert(ScriptDetector.detect(samples("zh")).lang == "zh")
+    assert(ScriptDetector.detect(samples("hi")).lang == "hi")
+    assert(ScriptDetector.detect(samples("ru")).lang == "ru")
+    assert(ScriptDetector.detect(samples("ar")).lang == "ar")
+  }
+
+  test("stopword detector separates Latin languages") {
+    for (l <- Seq("en", "de", "fr", "es"))
+      assert(StopwordDetector.detect(samples(l)).lang == l, s"lang $l")
+  }
+
+  test("char-ngram detector separates Latin languages") {
+    for (l <- Seq("en", "de", "fr", "es"))
+      assert(CharNgramDetector.detect(samples(l)).lang == l, s"lang $l")
+  }
+
+  test("ensemble vote: majority wins, priority breaks ties") {
+    assert(Ensemble.vote(Seq(
+      LidResult("de", 0.9), LidResult("de", 0.5), LidResult("en", 0.3))) == "de")
+    // 3-way tie → first detector's answer (ngram priority)
+    assert(Ensemble.vote(Seq(
+      LidResult("fr", 0.5), LidResult("es", 0.5), LidResult("en", 0.5))) == "fr")
+    assert(Ensemble.vote(Seq(
+      LidResult("und", 0.0), LidResult("es", 0.5), LidResult("es", 0.4))) == "es")
+  }
+
+  test("annotate produces per-detector columns + vote over a DataFrame") {
+    import spark.implicits._
+    val df = samples.toSeq.zipWithIndex
+      .map { case ((l, t), i) => (i.toLong, l, t) }
+      .toDF("doc_id", "expected", "text")
+    val out = Ensemble.annotate(spark, df, "doc_id", "text")
+    assert(out.columns.toSeq == Seq("doc_id", "doc_lang", "ngram_lang",
+      "ngram_conf", "stop_lang", "stop_conf", "script_lang", "script_conf"))
+    val got = out.select("doc_id", "doc_lang").as[(Long, String)].collect().toMap
+    val expected = samples.toSeq.zipWithIndex
+      .map { case ((l, _), i) => i.toLong -> l }.toMap
+    assert(got == expected)
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Text
+
+/** Property tests (SURVEY §5.3): round trips and invariants over
+  * ScalaCheck-generated token streams, each batch driven through one
+  * real Spark plan. (Plain Gen + fixed seeds — the scalatestplus bridge
+  * isn't among the offline deps.) */
+class PropertiesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val token = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val doc = Gen.listOf(token).map(_.mkString(" "))
+
+  private def sampleDocs(n: Int): Seq[String] =
+    (0 until n).map(i => doc.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("doc2lines ∘ lines2doc = identity (posexplode round trip)") {
+    val df = sampleDocs(60).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val rebuilt = df
+      .select($"doc_id", posexplode(Text.tokens($"text")).as(Seq("pos", "tok")))
+      .groupBy($"doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct($"pos", $"tok"))),
+        x => x.getField("tok")), " ").as("re"))
+    val bad = rebuilt.join(df, "doc_id").filter($"re" =!= $"text").count()
+    assert(bad == 0)
+  }
+
+  test("word count == token array size >= 1 for all generated docs") {
+    val df = sampleDocs(60).toDF("text")
+    val bad = df.filter(
+      Text.wordCount($"text") =!= size(Text.tokens($"text")) ||
+        Text.wordCount($"text") < 1).count()
+    assert(bad == 0)
+  }
+
+  test("ngram count = max(0, tokens-n+1); jaccard(self)=1 when shingles exist") {
+    for (n <- 1 to 4) {
+      val df = sampleDocs(40).toDF("text")
+      val bad = df.select(
+        size(Text.tokens($"text")).as("toks"),
+        size(Text.wordNgrams(Text.tokens($"text"), n)).as("ngrams"),
+        Text.jaccard(Text.shingleSet($"text", n), Text.shingleSet($"text", n)).as("j"))
+        .filter(
+          $"ngrams" =!= greatest($"toks" - (n - 1), lit(0)) ||
+            !(($"j" === 1.0) || ($"toks" < n && $"j" === 0.0)))
+        .count()
+      assert(bad == 0, s"n=$n")
+    }
+  }
+
+  test("dedup-by-hash idempotence: dedup(dedup(x)) = dedup(x)") {
+    val df = (sampleDocs(30) ++ sampleDocs(30)).toDF("text") // planted dups
+    val once = df.dropDuplicates("text")
+    assert(once.count() == once.dropDuplicates("text").count())
+    assert(once.count() == 30)
+  }
+}

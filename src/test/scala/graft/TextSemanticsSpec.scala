@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Text
+
+/** Reference-semantics pins (SURVEY §1.3 + FIXTURES §10). */
+class TextSemanticsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("t").select(c.as("r")).collect()(0).getAs[T]("r")
+
+  private def oneSeq(c: org.apache.spark.sql.Column, text: String): List[String] =
+    Seq(text).toDF("t").select(c.as("r")).collect()(0).getSeq[String](0).toList
+
+  test("word count: empty string counts 1 (Python ''.split(' ') parity)") {
+    assert(one[Int](Text.wordCount($"t"), "") == 1)
+    assert(one[Int](Text.wordCount($"t"), "a  b") == 3) // double space → empty token
+  }
+
+  test("bytes = UTF-8 length; char count = codepoints (Python len parity)") {
+    assert(one[Int](Text.byteCount($"t"), "héllo") == 6)
+    assert(one[Int](Text.charCount($"t"), "héllo") == 5)
+    // Non-BMP: Spark length counts codepoints (UTF8String.numChars),
+    // matching Python len — SURVEY §7 risk 2 resolved in our favor.
+    assert(one[Int](Text.charCount($"t"), "𐍈") == 1)
+    assert(one[Int](Text.byteCount($"t"), "𐍈") == 4)
+  }
+
+  test("is_number is Unicode-digit aware (Devanagari १२३)") {
+    assert(one[Boolean](Text.isNumber($"t"), "१२३"))
+    assert(one[Boolean](Text.isNumber($"t"), "0123"))
+    assert(!one[Boolean](Text.isNumber($"t"), "12a"))
+    assert(!one[Boolean](Text.isNumber($"t"), ""))
+  }
+
+  test("terminal punctuation validity incl. exceptions (F5)") {
+    assert(one[Boolean](Text.isTerminalValid($"t"), "ok."))
+    assert(one[Boolean](Text.isTerminalValid($"t"), "हाँ।"))
+    assert(one[Boolean](Text.isTerminalValid($"t"), "शेर॥"))
+    assert(!one[Boolean](Text.isTerminalValid($"t"), "wait..."))
+    assert(!one[Boolean](Text.isTerminalValid($"t"), "head####"))
+    assert(!one[Boolean](Text.isTerminalValid($"t"), "no end"))
+  }
+
+  test("ngram builders guard short inputs (sequence(0,-1) hazard)") {
+    assert(oneSeq(Text.wordNgrams(split($"t", " "), 5), "a b").isEmpty)
+    assert(oneSeq(Text.charNgrams($"t", 4), "abc").isEmpty)
+    assert(oneSeq(Text.wordNgrams(split($"t", " "), 2), "a b c") ==
+      Seq("a b", "b c"))
+    assert(oneSeq(Text.charNgrams($"t", 2), "abc") == Seq("ab", "bc"))
+  }
+
+  test("charClassOutRatio counts disallowed chars") {
+    assert(one[Double](Text.charClassOutRatio($"t", "[a-z]"), "ab cd") == 0.2)
+    assert(one[Double](Text.charClassOutRatio($"t", "[a-z]"), "") == 0.0)
+  }
+
+  test("jaccard on shingle sets") {
+    val df = Seq(("a b c d", "a b c e")).toDF("x", "y")
+    val j = df.select(Text.jaccard(
+      Text.shingleSet($"x", 2), Text.shingleSet($"y", 2)).as("j"))
+      .collect()(0).getAs[Double]("j")
+    // bigrams x: {a b, b c, c d}; y: {a b, b c, c e}; inter 2, union 4
+    assert(j == 0.5)
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Vectors
+
+class VectorOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("knnBrute ranks by cosine with deterministic tie-break") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(0.9f, 0.1f, 0f)),   // closest to 0
+      (2L, Array(0f, 1f, 0f)),       // orthogonal
+      (3L, Array(-1f, 0f, 0f)),      // opposite
+      (4L, Array(0.5f, 0.5f, 0f))
+    ).toDF("id", "vec")
+    val got = Vectors.knnBrute(vecs.filter($"id" === 0), vecs, 3)
+      .select($"rk", $"cid").as[(Long, Long)].collect().toList
+    assert(got == List((1L, 1L), (2L, 4L), (3L, 2L)))
+  }
+
+  test("knnCell restricts candidates to the query cell") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(1f, 0.01f), 1) // nearer, but other cell
+    ).toDF("id", "vec", "cell")
+    val got = Vectors.knnCell(vecs.filter($"id" === 0), vecs, "cell", 5)
+      .select($"cid").as[Long].collect().toList
+    assert(got == List(1L))
+  }
+
+  test("dot/norm fold matches plain math") {
+    val df = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
+    val r = df.select(
+      Vectors.dot($"a", $"b").as("d"), Vectors.norm($"a").as("n"))
+      .collect()(0)
+    assert(r.getAs[Double]("d") == 32.0)
+    assert(math.abs(r.getAs[Double]("n") - math.sqrt(14.0)) < 1e-15)
+  }
+}
