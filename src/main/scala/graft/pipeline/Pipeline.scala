@@ -1,0 +1,170 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.ops.{Flagging, MinHash, Text}
+import graft.sources.DocSources
+
+/** The end-to-end corpus pipeline (SURVEY §3): clean → analyse → flag →
+  * remove → dedup → partitioned write, mirroring the reference's
+  * TextExtraction → CleanAnalysis → FlagAndRemove → dedup component
+  * order — but as ONE Catalyst plan per run by default. The reference
+  * materializes parquet between every stage (lineage cut at each
+  * boundary, SURVEY §3.6); here checkpointing is opt-in per stage via
+  * `checkpointRoot`, which a 100 TB run uses only where re-use or
+  * failure isolation demands it.
+  */
+final case class PipelineConfig(
+    keywords: Seq[String] = Seq("slow", "dup", "hash join"),
+    flags: Flagging.Config = Flagging.Config(),
+    minhashThreshold: Double = 0.5,
+    fuzzyDedup: Boolean = true,
+    langCol: String = "lang",
+    checkpointRoot: Option[String] = None)
+
+object PipelineConfig {
+  import scala.jdk.CollectionConverters._
+
+  /** Parse from a JSON config file (reference: per-language JSON configs,
+    * setu/main.py:131-151). Unknown keys ignored; absent keys default. */
+  def fromJsonFile(path: String): PipelineConfig = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(new java.io.File(path))
+    def str(k: String, d: String) = if (root.has(k)) root.get(k).asText else d
+    def dbl(k: String, d: Double) = if (root.has(k)) root.get(k).asDouble else d
+    def int(k: String, d: Int) = if (root.has(k)) root.get(k).asInt else d
+    def bool(k: String, d: Boolean) = if (root.has(k)) root.get(k).asBoolean else d
+    val kws =
+      if (root.has("keywords"))
+        root.get("keywords").elements().asScala.map(_.asText).toSeq
+      else Seq("slow", "dup", "hash join")
+    PipelineConfig(
+      keywords = kws,
+      flags = Flagging.Config(
+        minWordCount = int("min_word_count", 60),
+        minMeanWordLen = dbl("min_mean_word_len", 3.2),
+        nsfwRatio = dbl("nsfw_ratio", 0.04),
+        nonLiRatio = dbl("non_li_ratio", 0.05),
+        wordRepScore = dbl("word_rep_score", 0.10)),
+      minhashThreshold = dbl("minhash_threshold", 0.5),
+      fuzzyDedup = bool("fuzzy_dedup", true),
+      langCol = str("lang_col", "lang"),
+      checkpointRoot =
+        if (root.has("checkpoint_root")) Some(root.get("checkpoint_root").asText) else None)
+  }
+}
+
+/** A pipeline stage: named DataFrame transform (the reference's
+  * SetuStage surface, setu/base.py:105-143). */
+trait Stage extends Serializable {
+  def name: String
+  def apply(df: DataFrame): DataFrame
+}
+
+class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
+  import spark.implicits._
+
+  /** Clean: whitespace-normalize + NFKC (DocClean analog). */
+  object CleanStage extends Stage {
+    val name = "clean"
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn("text",
+        GraftFunctions.normalizeUnicode(Text.normalizeWs($"text")))
+  }
+
+  /** Analyse: append doc stats (Analysis analog — one projection, no
+    * joins of aggregates). */
+  object StatsStage extends Stage {
+    val name = "stats"
+    def apply(df: DataFrame): DataFrame = {
+      val toks = Text.tokens($"text")
+      df
+        .withColumn("words_count", Text.wordCount($"text").cast("long"))
+        .withColumn("char_count", Text.charCount($"text").cast("long"))
+        .withColumn("bytes", Text.byteCount($"text").cast("long"))
+        .withColumn("mean_word_len",
+          aggregate(toks, lit(0L), (a, x) => a + length(x)).cast("double") /
+            size(toks))
+        .withColumn("nsfw_ratio",
+          GraftFunctions.keywordCount($"text", cfg.keywords).cast("double") /
+            size(toks))
+        .withColumn("non_li_ratio", Text.charClassOutRatio($"text", "[a-z ]"))
+        .withColumn("word_rep_score", GraftFunctions.wordNgramRep(toks, 5))
+    }
+  }
+
+  /** Flag + remove (FlagAndRemove analog). */
+  object FlagRemoveStage extends Stage {
+    val name = "flag_remove"
+    def apply(df: DataFrame): DataFrame =
+      Flagging.removeFlagged(Flagging.addFlags(df, cfg.flags))
+  }
+
+  /** Exact dedup on normalized content hash (keep min id per hash). */
+  object ExactDedupStage extends Stage {
+    val name = "dedup_exact"
+    def apply(df: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5($"text")).orderBy($"doc_id")
+      df.withColumn("_rn", row_number().over(w))
+        .filter($"_rn" === 1).drop("_rn")
+    }
+  }
+
+  /** Fuzzy dedup: MinHash-LSH clusters, keep component minimum. */
+  object FuzzyDedupStage extends Stage {
+    val name = "dedup_fuzzy"
+    def apply(df: DataFrame): DataFrame = {
+      val pairs = MinHash.candidatePairs(df, "doc_id", "text",
+        threshold = cfg.minhashThreshold)
+      val drop = MinHash.clusters(pairs)
+        .filter($"id" =!= $"component")
+        .select($"id".as("doc_id"))
+      df.join(drop, Seq("doc_id"), "left_anti")
+    }
+  }
+
+  def stages: Seq[Stage] =
+    Seq(CleanStage, StatsStage, FlagRemoveStage, ExactDedupStage) ++
+      (if (cfg.fuzzyDedup) Seq(FuzzyDedupStage) else Nil)
+
+  /** Run all stages. With `checkpointRoot` set, each stage materializes
+    * to parquet and the next re-reads (the reference's semantics);
+    * otherwise one fused plan. */
+  def run(input: DataFrame): DataFrame =
+    stages.foldLeft(input) { (df, st) =>
+      val out = st(df)
+      cfg.checkpointRoot match {
+        case Some(root) =>
+          val path = s"$root/${st.name}"
+          DocSources.writeParquet(out, path)
+          spark.read.parquet(path)
+        case None => out
+      }
+    }
+
+  /** Run + write the final corpus partitioned by language (S9). */
+  def runAndWrite(input: DataFrame, outPath: String): Long = {
+    val out = run(input)
+    DocSources.writePartitioned(out, outPath, cfg.langCol)
+    spark.read.parquet(outPath).count()
+  }
+}
+
+/** CLI entry (the reference's spark-submit run.py surface):
+  * args: <inputParquet> <outputPath> [configJson]. */
+object Main {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: <inputParquet> <outputPath> [configJson]")
+    val spark = graft.Sessions.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
+    val cfg = if (args.length > 2) PipelineConfig.fromJsonFile(args(2))
+    else PipelineConfig()
+    val n = new Pipeline(spark, cfg)
+      .runAndWrite(spark.read.parquet(args(0)), args(1))
+    println(s"[pipeline] wrote $n docs to ${args(1)}")
+    spark.stop()
+  }
+}

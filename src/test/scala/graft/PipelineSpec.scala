@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.pipeline.{Pipeline, PipelineConfig}
+import graft.sources.DocSources
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("fused pipeline: clean→stats→flag→dedup over the sf0.001 corpus") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+    val out = new Pipeline(spark, PipelineConfig()).run(docs)
+    val n = out.count()
+    assert(n > 0 && n < docs.count())
+    // stats columns present; no flagged docs survive
+    assert(out.columns.contains("word_rep_score"))
+    assert(out.filter($"has_less_words" || $"is_nsfw_heavy").count() == 0)
+    // fuzzy dedup removed at least one of the planted near-dup pairs
+    val survivors = out.select("doc_id").as[Long].collect().toSet
+    val pairs = graft.ops.MinHash
+      .candidatePairs(docs, "doc_id", "text", threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    val bothSurvive = pairs.count { case (a, b) =>
+      survivors.contains(a) && survivors.contains(b) }
+    assert(pairs.nonEmpty && bothSurvive == 0)
+  }
+
+  test("checkpointed mode materializes each stage; partitioned write prunes") {
+    val ckpt = tmp("graft-ckpt")
+    val outDir = tmp("graft-out") + "/corpus"
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+    val cfg = PipelineConfig(fuzzyDedup = false, checkpointRoot = Some(ckpt))
+    val n = new Pipeline(spark, cfg).runAndWrite(docs, outDir)
+    assert(n > 0)
+    for (st <- Seq("clean", "stats", "flag_remove", "dedup_exact"))
+      assert(new java.io.File(s"$ckpt/$st").exists(), st)
+    // hive-partitioned layout, readable with partition pruning
+    val langs = new java.io.File(outDir).list().filter(_.startsWith("lang="))
+    assert(langs.length >= 4)
+    val en = spark.read.parquet(outDir).filter($"lang" === "en")
+    assert(en.count() > 0)
+  }
+
+  test("JSON source round trip with explicit schema (S1)") {
+    val dir = tmp("graft-json")
+    Files.writeString(java.nio.file.Path.of(s"$dir/a.json"),
+      """{"doc_id": 1, "text": "hello world", "lang": "en"}
+        |{"doc_id": 2, "text": "bonjour le monde", "lang": "fr"}
+        |not-json-garbage
+        |{"doc_id": 3, "text": "hola mundo", "lang": "es"}""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val df = DocSources.readJson(spark, s"$dir/a.json", schema)
+    assert(df.filter($"doc_id".isNotNull).count() == 3)
+  }
+
+  test("config file parsing with overrides and defaults") {
+    val p = tmp("graft-cfg") + "/c.json"
+    Files.writeString(java.nio.file.Path.of(p),
+      """{"min_word_count": 5, "fuzzy_dedup": false,
+        |"keywords": ["alpha", "beta gamma"], "minhash_threshold": 0.7}""".stripMargin)
+    val cfg = PipelineConfig.fromJsonFile(p)
+    assert(cfg.flags.minWordCount == 5)
+    assert(!cfg.fuzzyDedup)
+    assert(cfg.keywords == Seq("alpha", "beta gamma"))
+    assert(cfg.minhashThreshold == 0.7)
+    assert(cfg.flags.nonLiRatio == 0.05) // default preserved
+  }
+
+  test("manifest source unions listed parquet files (S3)") {
+    val m = tmp("graft-manifest") + "/m.info"
+    Files.writeString(java.nio.file.Path.of(m),
+      s"${TestSpark.Sf}/documents.parquet\n\n${TestSpark.Sf}/documents.parquet\n")
+    val n = DocSources.readManifest(spark, m).count()
+    assert(n == 2 * spark.read.parquet(s"${TestSpark.Sf}/documents.parquet").count())
+  }
+}
