@@ -72,6 +72,25 @@ object Text {
         i => c.substr(i, lit(n))))
       .otherwise(array())
 
+  /** F4 is_num_or_punc_only: numeric-only, or ≥`thr` of chars outside
+    * the allowed (letter/space) class (setu/filters.py:98-188 shape). */
+  def isNumOrPuncOnly(c: Column, thr: Double = 0.4): Column =
+    isNumber(c) || (charClassOutRatio(c, "[\\p{L} ]") >= thr)
+
+  /** F6/F7/F8 code handling (setu/filters.py:190-235,345-368): the
+    * reference regex family for HTML / JS / CSS blocks; removal is the
+    * end-to-end semantics (`remove_code`), detection is `hasCode`. */
+  val CodePatterns: Seq[String] = Seq(
+    "<[^>]+>[\\s\\S]*?</[^>]+>", // HTML element with body
+    "function\\s*\\w*\\s*\\([^)]*\\)\\s*\\{[\\s\\S]*?\\}", // JS function block
+    "[.#]?[\\w-]+\\s*\\{[^}]*\\}") // CSS rule block
+
+  def hasCode(c: Column): Column =
+    CodePatterns.map(p => c.rlike(p)).reduce(_ || _)
+
+  def removeCode(c: Column): Column =
+    CodePatterns.foldLeft(c)((col, p) => regexp_replace(col, p, ""))
+
   /** Distinct word-shingle set for similarity/dedup (first-occurrence
     * order; tight-loop expression — see WordShingles). */
   def shingleSet(textCol: Column, n: Int): Column =

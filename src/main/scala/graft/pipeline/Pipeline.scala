@@ -145,10 +145,22 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
       }
     }
 
-  /** Run + write the final corpus partitioned by language (S9). */
-  def runAndWrite(input: DataFrame, outPath: String): Long = {
+  /** Run + write the final corpus partitioned by language (S9), with
+    * the removed/flagged docs to a side channel (S10/S11 semantics:
+    * filtered-out rows are data too — audits and threshold tuning read
+    * them back). */
+  def runAndWrite(input: DataFrame, outPath: String,
+      sideChannel: Boolean = true): Long = {
     val out = run(input)
     DocSources.writePartitioned(out, outPath, cfg.langCol)
+    if (sideChannel) {
+      val flagged = Flagging.addFlags(
+        stages.take(2).foldLeft(input)((df, st) => st(df)), cfg.flags)
+        .filter(col("has_less_words") || col("is_short_words_heavy") ||
+          col("is_nsfw_heavy") || col("is_non_li_heavy") ||
+          col("has_word_repetition"))
+      DocSources.writeParquet(flagged, outPath + "_removed")
+    }
     spark.read.parquet(outPath).count()
   }
 }

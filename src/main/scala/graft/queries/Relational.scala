@@ -372,9 +372,62 @@ object Relational {
       .orderBy($"l_returnflag", $"disc_class")
   }
 
+  /** CUBE over part dims: all grouping-set combinations. */
+  val qCube: Spec = Spec(
+    "q_cube_parts",
+    oracle = Some("""
+      SELECT p_brand, CAST(p_size AS BIGINT) AS psize, COUNT(*) AS n,
+        CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      FROM part WHERE p_size <= 5
+      GROUP BY CUBE(p_brand, psize)
+      ORDER BY p_brand NULLS FIRST, psize NULLS FIRST""")) { (s, dir) =>
+    import s.implicits._
+    Tables.load(s, dir, "part")
+      .filter($"p_size" <= 5)
+      .withColumn("psize", $"p_size".cast("long"))
+      .cube($"p_brand", $"psize")
+      .agg(count(lit(1)).as("n"), dsum($"p_retailprice").as("total_price"))
+      .orderBy($"p_brand".asc_nulls_first, $"psize".asc_nulls_first)
+  }
+
+  /** The SQL surface: same engine through `spark.sql` over registered
+    * views (+ the graft_* function registry), not the DataFrame DSL. */
+  val qSqlSurface: Spec = Spec(
+    "q_sql_surface",
+    oracle = Some("""
+      SELECT n_name, COUNT(*) AS n_suppliers,
+        CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE s_acctbal > 0
+      GROUP BY n_name ORDER BY n_name""")) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    graft.functions.GraftFunctions.registerSql(s)
+    s.sql("""
+      SELECT n_name, COUNT(*) AS n_suppliers,
+        CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE s_acctbal > 0
+      GROUP BY n_name ORDER BY n_name""")
+  }
+
+  /** Approximate sketches (HLL distinct + approx quantiles): no exact
+    * oracle by nature — accuracy pinned against exact values in
+    * SketchesSpec; driver records the rows-only check. */
+  val qSketches: Spec = Spec(
+    "q_approx_sketches",
+    oracle = None) { (s, dir) =>
+    import s.implicits._
+    Tables.load(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_partkey").as("approx_parts"),
+        percentile_approx($"l_quantity", lit(0.5), lit(1000)).as("approx_median"))
+      .orderBy($"l_returnflag")
+  }
+
   val specs: Seq[Spec] = Seq(
     q1PricingSummary, q3TopOrders, q5RegionRevenue, q4LateShipments,
     qAntiCustomers, qTopPartsPerBrand, qRunningSupplier, qSetOps,
     qRollup, qPivot, qPercentiles, qHistogram, qDistinctAgg, qMonthly,
-    qCaseWhen)
+    qCaseWhen, qCube, qSqlSurface, qSketches)
 }

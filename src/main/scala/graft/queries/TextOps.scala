@@ -356,8 +356,61 @@ object TextOps {
       .orderBy($"lang", $"source")
   }
 
+  /** Char-10-gram repetition (F17): the tight-loop expression
+    * cross-validated against a windowed-SQL top-⌊√distinct⌋ oracle.
+    * Boundary ties in the top-k are count-equal, so the sum — and the
+    * score — is deterministic on both sides. */
+  val dNgramRepChar: Spec = Spec(
+    "d_ngram_rep_char",
+    oracle = Some("""
+      WITH g AS (
+        SELECT doc_id, unnest(list_transform(range(1, greatest(length(text)-8, 1)),
+          i -> substr(text, i, 10))) AS gram
+        FROM documents WHERE doc_id % 10 = 0 AND length(text) >= 10),
+      c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram),
+      r AS (SELECT doc_id, cnt,
+              row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC) AS rk,
+              COUNT(*) OVER (PARTITION BY doc_id) AS nd,
+              SUM(cnt) OVER (PARTITION BY doc_id) AS tot
+            FROM c)
+      SELECT doc_id,
+        ROUND(CAST(COALESCE(SUM(CASE WHEN rk <= FLOOR(SQRT(nd)) THEN cnt END), 0) AS DOUBLE)
+          / MAX(tot), 6) AS rep_score
+      FROM r GROUP BY doc_id ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    docs(s, dir)
+      .filter($"doc_id" % 10 === 0 && length($"text") >= 10)
+      .select($"doc_id",
+        round(GraftFunctions.charNgramRep($"text", 10), 6).as("rep_score"))
+      .orderBy($"doc_id")
+  }
+
+  /** Unique-chunk filter (J3/P12 semantics): keep (source, token)
+    * occurrences appearing exactly once corpus-wide — as a window count
+    * instead of the reference's inner-join-as-semi re-shuffle. */
+  val dUniqueTokens: Spec = Spec(
+    "d_unique_tokens",
+    oracle = Some("""
+      WITH t AS (SELECT source, doc_id, unnest(string_split(text,' ')) AS tok
+                 FROM documents WHERE doc_id % 5 = 0),
+      w AS (SELECT source, doc_id, tok,
+              COUNT(*) OVER (PARTITION BY source, tok) AS n FROM t)
+      SELECT source, doc_id, tok FROM w WHERE n = 1
+      ORDER BY source, doc_id, tok""")) { (s, dir) =>
+    import s.implicits._
+    val w = Window.partitionBy($"source", $"tok")
+    docs(s, dir)
+      .filter($"doc_id" % 5 === 0)
+      .select($"source", $"doc_id", explode(Text.tokens($"text")).as("tok"))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter($"n" === 1)
+      .select($"source", $"doc_id", $"tok")
+      .orderBy($"source", $"doc_id", $"tok")
+  }
+
   val specs: Seq[Spec] = Seq(
     dTokenStats, dDocStatsAgg, dWordFreq, dLineExplode, dLines2Doc,
     dRepeatedTokens, dNsfwCounts, dDocFlags, dRemovalSurvivors,
-    dNgramRepWord, dSymbolRatio, dFingerprint, dDedupByKey)
+    dNgramRepWord, dNgramRepChar, dUniqueTokens, dSymbolRatio,
+    dFingerprint, dDedupByKey)
 }

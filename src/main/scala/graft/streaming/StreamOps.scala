@@ -44,6 +44,69 @@ object StreamOps {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  final case class SessEvent(user_id: Long, ts_us: Long, ts_utc: java.sql.Timestamp)
+  final case class SessState(start: Long, end: Long, n: Long)
+  final case class SessionOut(
+      user_id: Long, session_start_us: Long, session_end_us: Long, n_events: Long)
+
+  /** Event-time sessionization with custom state
+    * (flatMapGroupsWithState + EventTimeTimeout): sessions close when
+    * the 30-minute gap passes the watermark. Emits closed sessions
+    * (append mode); sessions still open past the final watermark stay
+    * in state — on an unbounded source they'd close on later data. */
+  def statefulSessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = 1800L * 1000 * 1000
+
+    val src = s.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_utc", "30 minutes")
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("ts_utc"))
+      .as[SessEvent]
+
+    val sessions = src
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, events: Iterator[SessEvent], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, st.start, st.end, st.n))
+          } else {
+            val ts = events.map(_.ts_us).toArray.sorted
+            val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
+            var cur = state.getOption.orNull
+            for (t <- ts) {
+              cur match {
+                case null => cur = SessState(t, t, 1)
+                case c if t - c.end > gapUs =>
+                  closed += SessionOut(user, c.start, c.end, c.n)
+                  cur = SessState(t, t, 1)
+                case c => cur = SessState(c.start, t, c.n + 1)
+              }
+            }
+            if (cur != null) {
+              state.update(cur)
+              state.setTimeoutTimestamp(cur.end / 1000 + gapUs / 1000)
+            }
+            closed.iterator
+          }
+      }
+
+    val q = sessions.toDF().writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("st_sessions_mem")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table("st_sessions_mem")
+      .orderBy(col("user_id"), col("session_start_us"))
+  }
+
   /** Streaming exact-dedup: dropDuplicatesWithinWatermark on event_id.
     * Returns the deduped count table (memory sink, append). */
   def streamingDedupCount(s: SparkSession, dir: String): DataFrame = {

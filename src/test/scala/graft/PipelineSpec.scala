@@ -49,6 +49,10 @@ class PipelineSpec extends AnyFunSuite {
     assert(langs.length >= 4)
     val en = spark.read.parquet(outDir).filter($"lang" === "en")
     assert(en.count() > 0)
+    // side channel (S10/S11): removed docs written with their flags
+    val removed = spark.read.parquet(outDir + "_removed")
+    assert(removed.count() > 0)
+    assert(removed.columns.contains("has_less_words"))
   }
 
   test("JSON source round trip with explicit schema (S1)") {

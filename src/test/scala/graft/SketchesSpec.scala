@@ -1,0 +1,29 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+/** Approximate sketches pinned against exact values (no SQL oracle —
+  * HLL/KLL internals differ per engine by design). */
+class SketchesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("approx_count_distinct within 5% of exact; approx median within 1 quantity") {
+    val li = spark.read.parquet(s"${TestSpark.Sf}/lineitem.parquet")
+    val rows = li.groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_partkey").as("approx"),
+        countDistinct($"l_partkey").as("exact"),
+        percentile_approx($"l_quantity", lit(0.5), lit(1000)).as("amed"),
+        percentile($"l_quantity", lit(0.5)).as("emed"))
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (a, e) = (r.getAs[Long]("approx").toDouble, r.getAs[Long]("exact").toDouble)
+      assert(math.abs(a - e) / e < 0.05, s"hll off: $a vs $e")
+      assert(math.abs(r.getAs[Double]("amed") - r.getAs[Double]("emed")) <= 1.0)
+    }
+  }
+}

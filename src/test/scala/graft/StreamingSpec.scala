@@ -20,6 +20,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("stateful sessionization (flatMapGroupsWithState) matches batch sessions") {
+    val emitted = StreamOps.statefulSessions(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    // Batch-side expectation, sessionized in plain Scala.
+    val gapUs = 1800L * 1000 * 1000
+    val evs = Events.load(spark, TestSpark.Sf)
+      .selectExpr("user_id", "ts div 1000 as ts_us")
+      .as[(Long, Long)].collect()
+    val maxTs = evs.map(_._2).max
+    val all = evs.groupBy(_._1).flatMap { case (u, rows) =>
+      val ts = rows.map(_._2).sorted
+      val sessions = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+      var start = ts.head; var end = ts.head; var n = 1L
+      for (t <- ts.tail) {
+        if (t - end > gapUs) { sessions += ((u, start, end, n)); start = t; end = t; n = 1 }
+        else { end = t; n += 1 }
+      }
+      sessions += ((u, start, end, n))
+      sessions.map(s => (s, s == sessions.last))
+    }.toSeq
+    val allSet = all.map(_._1).toSet
+    // non-last sessions close in-batch; last sessions only when the
+    // final watermark (maxTs - 30min) passes their 30min timeout.
+    val certain = all.collect {
+      case (s, false) => s
+      case (s, true) if s._3 < maxTs - 2 * gapUs - 1000000L => s
+    }.toSet
+    assert(emitted.subsetOf(allSet), "emitted sessions must be real sessions")
+    assert(certain.subsetOf(emitted), "all watermark-closed sessions must emit")
+    assert(emitted.nonEmpty)
+  }
+
   test("streaming dedup-within-watermark preserves unique event counts") {
     val got = StreamOps.streamingDedupCount(spark, TestSpark.Sf)
       .as[(String, Long)].collect().toMap

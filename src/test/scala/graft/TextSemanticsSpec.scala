@@ -60,6 +60,26 @@ class TextSemanticsSpec extends AnyFunSuite {
     assert(one[Double](Text.charClassOutRatio($"t", "[a-z]"), "") == 0.0)
   }
 
+  test("is_num_or_punc_only (F4): numeric or punct-heavy") {
+    assert(one[Boolean](Text.isNumOrPuncOnly($"t"), "१२३"))
+    assert(one[Boolean](Text.isNumOrPuncOnly($"t"), "!!!###"))
+    assert(one[Boolean](Text.isNumOrPuncOnly($"t"), "a-+/=*%$"))
+    assert(!one[Boolean](Text.isNumOrPuncOnly($"t"), "normal words here"))
+  }
+
+  test("code detection and removal (F6/F7/F8)") {
+    val html = "before <div>inner text</div> after"
+    val js = "x function foo(a, b) { return a; } y"
+    val css = "p .cls { color: red } q"
+    assert(one[Boolean](Text.hasCode($"t"), html))
+    assert(one[Boolean](Text.hasCode($"t"), js))
+    assert(one[Boolean](Text.hasCode($"t"), css))
+    assert(!one[Boolean](Text.hasCode($"t"), "plain prose with no markup"))
+    assert(one[String](Text.removeCode($"t"), html) == "before  after")
+    assert(one[String](Text.removeCode($"t"), js) == "x  y")
+    assert(one[String](Text.removeCode($"t"), css) == "p  q")
+  }
+
   test("jaccard on shingle sets") {
     val df = Seq(("a b c d", "a b c e")).toDF("x", "y")
     val j = df.select(Text.jaccard(
