@@ -425,9 +425,91 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** Analytic-window shapes: dense_rank, ntile, lag/lead, first/last
+    * value over one supplier-ordered frame. The unpartitioned rank/ntile
+    * windows are deliberate here (supplier is dim-sized); on a fact
+    * table a global rank is a single-partition bottleneck — use the
+    * two-phase pattern (partition-local rank + offset merge) instead. */
+  val qWindowShapes: Spec = Spec(
+    "q_window_shapes",
+    oracle = Some("""
+      SELECT s_suppkey,
+        CAST(dense_rank() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS BIGINT) AS dr,
+        CAST(ntile(4) OVER (ORDER BY s_acctbal DESC, s_suppkey) AS BIGINT) AS quartile,
+        ROUND(COALESCE(lag(s_acctbal) OVER w, 0), 2) AS prev_bal,
+        ROUND(COALESCE(lead(s_acctbal) OVER w, 0), 2) AS next_bal,
+        ROUND(first_value(s_acctbal) OVER w, 2) AS nation_top,
+        ROUND(last_value(s_acctbal) OVER (PARTITION BY s_nationkey
+          ORDER BY s_acctbal DESC, s_suppkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS nation_bottom
+      FROM supplier
+      WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+      ORDER BY s_suppkey""")) { (s, dir) =>
+    import s.implicits._
+    val w = Window.partitionBy($"s_nationkey").orderBy($"s_acctbal".desc, $"s_suppkey")
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val g = Window.orderBy($"s_acctbal".desc, $"s_suppkey")
+    Tables.load(s, dir, "supplier").select(
+      $"s_suppkey",
+      dense_rank().over(g).cast("long").as("dr"),
+      ntile(4).over(g).cast("long").as("quartile"),
+      round(coalesce(lag($"s_acctbal", 1).over(w), lit(0)), 2).as("prev_bal"),
+      round(coalesce(lead($"s_acctbal", 1).over(w), lit(0)), 2).as("next_bal"),
+      round(first($"s_acctbal").over(w), 2).as("nation_top"),
+      round(last($"s_acctbal").over(wAll), 2).as("nation_bottom"))
+      .orderBy($"s_suppkey")
+  }
+
+  /** Calendar arithmetic: ship latency in days per priority. */
+  val qOrderLatency: Spec = Spec(
+    "q_order_latency",
+    oracle = Some("""
+      SELECT o_orderpriority,
+        CAST(SUM(CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT)) AS BIGINT) AS total_days,
+        COUNT(*) AS n,
+        CAST(MAX(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT) AS max_days
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")) { (s, dir) =>
+    import s.implicits._
+    val ord = Tables.load(s, dir, "orders")
+    val li = Tables.load(s, dir, "lineitem")
+    li.join(broadcast(ord), $"l_orderkey" === $"o_orderkey")
+      .select($"o_orderpriority",
+        datediff($"l_shipdate".cast("date"), $"o_orderdate".cast("date"))
+          .cast("long").as("days"))
+      .groupBy($"o_orderpriority")
+      .agg(sum($"days").as("total_days"), count(lit(1)).as("n"),
+        max($"days").as("max_days"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** String-function family over part names. */
+  val qStringOps: Spec = Spec(
+    "q_string_ops",
+    oracle = Some("""
+      SELECT p_partkey,
+        upper(substr(p_name, 1, 8)) AS head,
+        replace(p_type, ' ', '_') AS type_key,
+        lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_key,
+        concat_ws('|', p_brand, p_type) AS brand_type,
+        CAST(length(p_name) AS BIGINT) AS name_len
+      FROM part WHERE p_partkey % 20 = 0 ORDER BY p_partkey""")) { (s, dir) =>
+    import s.implicits._
+    Tables.load(s, dir, "part")
+      .filter($"p_partkey" % 20 === 0)
+      .select($"p_partkey",
+        upper(substring($"p_name", 1, 8)).as("head"),
+        regexp_replace($"p_type", " ", "_").as("type_key"),
+        lpad($"p_size".cast("string"), 4, "0").as("size_key"),
+        concat_ws("|", $"p_brand", $"p_type").as("brand_type"),
+        length($"p_name").cast("long").as("name_len"))
+      .orderBy($"p_partkey")
+  }
+
   val specs: Seq[Spec] = Seq(
     q1PricingSummary, q3TopOrders, q5RegionRevenue, q4LateShipments,
     qAntiCustomers, qTopPartsPerBrand, qRunningSupplier, qSetOps,
     qRollup, qPivot, qPercentiles, qHistogram, qDistinctAgg, qMonthly,
-    qCaseWhen, qCube, qSqlSurface, qSketches)
+    qCaseWhen, qCube, qSqlSurface, qSketches, qWindowShapes,
+    qOrderLatency, qStringOps)
 }

@@ -42,5 +42,18 @@ object StreamingQ {
       .orderBy($"doc_id")
   }
 
-  val specs: Seq[Spec] = Seq(stTumbling, stDedup, dLid)
+  /** Whole fused pipeline (clean → stats → flag/remove → exact+fuzzy
+    * dedup) as a single headline metric; CC clustering makes it
+    * non-SQL-expressible, so rows-only. */
+  val pipelineE2e: Spec = Spec(
+    "pipeline_e2e",
+    oracle = None,
+    bench = true) { (s, dir) =>
+    import graft.pipeline.{Pipeline, PipelineConfig}
+    new Pipeline(s, PipelineConfig())
+      .run(Tables.load(s, dir, "documents"))
+      .orderBy(org.apache.spark.sql.functions.col("doc_id"))
+  }
+
+  val specs: Seq[Spec] = Seq(stTumbling, stDedup, dLid, pipelineE2e)
 }
