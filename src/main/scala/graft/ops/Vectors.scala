@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Embedding-similarity operators over `array<float>` columns — all
   * built-in HOFs (zip_with + left-fold aggregate), so the dot product
@@ -27,6 +26,26 @@ object Vectors {
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / (normA * normB)
 
+  /** Scored pairs → per-query top-k via the typed TopK aggregator:
+    * map-side partial top-k means each partition ships ≤k entries per
+    * query, instead of a window sorting every scored pair through one
+    * exchange. Tie semantics (score desc, id asc) match row_number. */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val s = scored.sparkSession
+    import s.implicits._
+    scored.select(col("qid"), col("cos_sim"), col("cid"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(TopK.aggregator(k).toColumn)
+      .flatMap { case (qid, hits) =>
+        hits.iterator.zipWithIndex.map { case ((score, cid), i) =>
+          (qid, (i + 1).toLong, cid, score)
+        }
+      }
+      .toDF("qid", "rk", "cid", "cos_sim")
+  }
+
   /** Brute-force cosine top-k: every query row against every corpus row.
     * @param queries (id, vec); broadcast — keep it small.
     * @param corpus  (id, vec) plus optional carry columns. */
@@ -39,11 +58,7 @@ object Vectors {
       .withColumn("cn", norm(col("cv")))
     val scored = c.join(q, col("qid") =!= col("cid"))
       .withColumn("cos_sim", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("cid"))
-    scored
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("qid"), col("rk"), col("cid"), col("cos_sim"))
+    topK(scored, k)
   }
 
   /** Cell-pruned (IVF-style) cosine top-k: candidates restricted to the
@@ -59,10 +74,6 @@ object Vectors {
       .withColumn("cn", norm(col("cv")))
     val scored = c.join(q, Seq("cell")).filter(col("qid") =!= col("cid"))
       .withColumn("cos_sim", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("cid"))
-    scored
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("qid"), col("rk"), col("cid"), col("cos_sim"))
+    topK(scored, k)
   }
 }

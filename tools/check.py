@@ -53,6 +53,10 @@ def main() -> int:
             print(f"FAIL {name}: columns differ spark={list(got.columns)} duck={list(exp.columns)}")
             n_fail += 1
             continue
+        dt = [(c, str(got[c].dtype), str(exp[c].dtype))
+              for c in got.columns if str(got[c].dtype) != str(exp[c].dtype)]
+        if dt:
+            print(f"WARN {name}: dtype mismatch {dt}")
         if len(got) != len(exp):
             print(f"FAIL {name}: rows differ spark={len(got)} duck={len(exp)}")
             n_fail += 1
