@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling utilities. AQE's skew-join splitting covers joins; these
+  * cover the aggregation side (a hot groupBy key melting one reducer)
+  * and global ranking (a single-partition window sort) — the two shapes
+  * AQE can't fix for you.
+  */
+object Skew {
+
+  /** Two-phase (salted) aggregation: partial aggregate on (keys, salt),
+    * then merge on keys. The hot key's rows spread over `saltBuckets`
+    * reducers in phase 1; phase 2 only sees `saltBuckets` partial rows
+    * per key. `aggs` must be mergeable pairs: (partial expr, merge expr
+    * over the partial column name). */
+  def saltedAgg(
+      df: DataFrame,
+      keys: Seq[String],
+      saltBuckets: Int)(
+      partials: (String, Column)*)(
+      merges: (String, String => Column)*): DataFrame = {
+    val salted = df.withColumn("_salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val phase1 = salted
+      .groupBy((keys.map(col) :+ col("_salt")): _*)
+      .agg(partials.head._2.as(partials.head._1),
+        partials.tail.map { case (n, c) => c.as(n) }: _*)
+    phase1
+      .groupBy(keys.map(col): _*)
+      .agg(merges.head._2(merges.head._1).as(merges.head._1),
+        merges.tail.map { case (n, f) => f(n).as(n) }: _*)
+  }
+
+  /** Scalable global row_number: partition-local ranks + an offset merge
+    * from per-partition counts (tiny driver array), instead of pulling
+    * every row through one unpartitioned window sort.
+    * Rows are range-partitioned by the sort key first so partition-local
+    * order concatenates to global order. */
+  def globalRowNumber(df: DataFrame, orderCols: Seq[Column], n: Int = 0)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sorted = df.repartitionByRange(orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val withPart = sorted.withColumn("_pid", spark_partition_id())
+    val counts = withPart.groupBy($"_pid").count()
+      .as[(Int, Long)].collect().sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) => (pid + 1, acc + c) }
+      .take(counts.length).map(_._2)
+    val offsetMap = counts.map(_._1).zip(offsets).toMap
+    val bc = spark.sparkContext.broadcast(offsetMap)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"_pid").orderBy(orderCols: _*)
+    val offsetOf = udf((pid: Int) => bc.value(pid))
+    withPart
+      .withColumn("rn", row_number().over(w).cast("long") + offsetOf($"_pid"))
+      .drop("_pid")
+  }
+}

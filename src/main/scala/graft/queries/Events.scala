@@ -172,5 +172,88 @@ object Events {
       .orderBy($"event_type")
   }
 
-  val specs: Seq[Spec] = Seq(qTumbling, qSessionize, qAsofClick, qFunnel, qPropsJson)
+  /** Sliding windows (1h length, 15min slide): every event lands in
+    * exactly 4 windows; Spark's window() generator vs an explicit
+    * shift-and-replicate oracle. */
+  val qSliding: Spec = Spec(
+    "ev_sliding_windows",
+    oracle = Some("""
+      SELECT strftime(time_bucket(INTERVAL '15 minutes', ts)
+               - i * INTERVAL '15 minutes', '%Y-%m-%d %H:%M:%S') AS window_start,
+             event_type, COUNT(*) AS n_events
+      FROM events CROSS JOIN unnest(range(0, 4)) AS t(i)
+      GROUP BY window_start, event_type
+      ORDER BY window_start, event_type""")) { (s, dir) =>
+    import s.implicits._
+    load(s, dir)
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .groupBy(
+        window($"ts_utc", "1 hour", "15 minutes"),
+        $"event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        $"event_type", $"n_events")
+      .orderBy($"window_start", $"event_type")
+  }
+
+  /** Native session windows (session_window built-in) — must equal the
+    * manual lag/cumsum sessionization: start = min ts, end = max ts +
+    * the 30-minute gap. */
+  val qSessionWindowNative: Spec = Spec(
+    "ev_session_window_native",
+    oracle = Some("""
+      WITH m AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+          CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+               THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      sessed AS (
+        SELECT user_id, ts_us,
+          SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM m)
+      SELECT user_id,
+        strftime(make_timestamp(MIN(ts_us)), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        strftime(make_timestamp(MAX(ts_us) + 1800000000), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+        COUNT(*) AS n_events
+      FROM sessed GROUP BY user_id, sid
+      ORDER BY user_id, session_start""")) { (s, dir) =>
+    import s.implicits._
+    load(s, dir)
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .groupBy(session_window($"ts_utc", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id",
+        date_format($"session_window.start", Spec.SparkTsFmt).as("session_start"),
+        date_format($"session_window.end", Spec.SparkTsFmt).as("session_end"),
+        $"n_events")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  /** Range-frame rate counting: events per user in the trailing 5
+    * minutes of each event (RANGE frame over micros). */
+  val qRate5Min: Spec = Spec(
+    "ev_rate_5min",
+    oracle = Some("""
+      SELECT event_id, user_id,
+        CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+          RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_5min
+      FROM events WHERE user_id % 10 = 0
+      ORDER BY event_id""")) { (s, dir) =>
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us")
+      .rangeBetween(-300000000L, 0L)
+    load(s, dir)
+      .filter($"user_id" % 10 === 0)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .select($"event_id", $"user_id",
+        count(lit(1)).over(w).cast("long").as("n_5min"))
+      .orderBy($"event_id")
+  }
+
+  val specs: Seq[Spec] = Seq(qTumbling, qSessionize, qAsofClick, qFunnel,
+    qPropsJson, qSliding, qSessionWindowNative, qRate5Min)
 }
