@@ -53,6 +53,30 @@ final class AhoCorasick(val keywords: IndexedSeq[String]) extends Serializable {
   @inline private def isWordChar(c: Char): Boolean =
     Character.isLetterOrDigit(c) || c == '_'
 
+  /** Boundary-valid match spans as (start, end) codepoint-naive char
+    * offsets, in match-end order (F15 shape, setu/filters.py:733-740). */
+  def findSpans(text: String): Seq[(Int, Int)] = {
+    val spans = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    var s = 0
+    var i = 0
+    while (i < text.length) {
+      val ch = text.charAt(i)
+      while (s != 0 && !gotoMaps(s).contains(ch)) s = fail(s)
+      s = gotoMaps(s).getOrElse(ch, 0)
+      var hits = out(s)
+      while (hits.nonEmpty) {
+        val kw = keywords(hits.head)
+        val start = i - kw.length + 1
+        val leftOk = start == 0 || !isWordChar(text.charAt(start - 1))
+        val rightOk = i == text.length - 1 || !isWordChar(text.charAt(i + 1))
+        if (leftOk && rightOk) spans += ((start, i + 1))
+        hits = hits.tail
+      }
+      i += 1
+    }
+    spans.toSeq
+  }
+
   /** Count boundary-valid occurrences per keyword index. */
   def countMatches(text: String): Array[Int] = {
     val counts = new Array[Int](keywords.size)

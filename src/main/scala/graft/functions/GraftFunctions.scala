@@ -18,6 +18,9 @@ object GraftFunctions {
   def keywordCount(c: Column, keywords: Seq[String]): Column =
     column(KeywordCount(expression(c), keywords))
 
+  def keywordSpans(c: Column, keywords: Seq[String]): Column =
+    column(KeywordSpans(expression(c), keywords))
+
   def splitKeepDelim(c: Column, pattern: String): Column =
     column(SplitKeepDelimiter(expression(c), pattern))
 

@@ -48,6 +48,23 @@ case class KeywordCount(child: Expression, keywords: Seq[String])
   override def prettyName: String = "graft_keyword_count"
 }
 
+/** F15: keyword match spans as array<array<int>> of [start, end) char
+  * offsets (the code_spans / nsfw_words_pos shape). */
+case class KeywordSpans(child: Expression, keywords: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType =
+    ArrayType(ArrayType(IntegerType, containsNull = false), containsNull = false)
+  @transient private lazy val trie = new AhoCorasick(keywords.toIndexedSeq)
+  override def nullSafeEval(input: Any): Any = {
+    val spans = trie.findSpans(input.asInstanceOf[UTF8String].toString)
+    new GenericArrayData(spans.map { case (a, b) =>
+      new GenericArrayData(Array[Any](a, b)): Any
+    }.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "graft_keyword_spans"
+}
+
 /** F1 split_with_delimiter (setu/filters.py:309-330): regex split that
   * keeps each delimiter match attached to the preceding piece. */
 case class SplitKeepDelimiter(child: Expression, pattern: String)

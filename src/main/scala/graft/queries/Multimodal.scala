@@ -27,5 +27,31 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
-  val specs: Seq[Spec] = Seq(mmDecodeMeta)
+  /** Frame sampling over decoded media: up to 5 evenly-indexed frames
+    * per doc, each with a derived frame fingerprint — the generator
+    * (explode) plumbing a real video pipeline hangs its per-frame
+    * feature extraction on. */
+  val mmFrameSample: Spec = Spec(
+    "mm_frame_sample",
+    oracle = Some("""
+      WITH meta AS (
+        SELECT doc_id, 1 + strlen(text) % 100 AS n_frames, md5(text) AS checksum
+        FROM documents WHERE doc_id % 25 = 0)
+      SELECT doc_id, CAST(t.i AS BIGINT) AS frame_id,
+        md5(checksum || '|' || t.i::VARCHAR) AS frame_hash
+      FROM meta CROSS JOIN unnest(range(0, 5)) AS t(i)
+      WHERE t.i < n_frames
+      ORDER BY doc_id, frame_id""")) { (s, dir) =>
+    import s.implicits._
+    MM.extractMeta(
+        MM.asBlobs(s, Tables.load(s, dir, "documents").filter($"doc_id" % 25 === 0)))
+      .toDF()
+      .select($"doc_id", $"n_frames", $"checksum",
+        explode(sequence(lit(0L), least($"n_frames" - 1, lit(4L)))).as("frame_id"))
+      .select($"doc_id", $"frame_id",
+        md5(concat($"checksum", lit("|"), $"frame_id".cast("string"))).as("frame_hash"))
+      .orderBy($"doc_id", $"frame_id")
+  }
+
+  val specs: Seq[Spec] = Seq(mmDecodeMeta, mmFrameSample)
 }

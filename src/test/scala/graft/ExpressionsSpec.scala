@@ -40,6 +40,14 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(one[Int](keywordCount($"t", kws), "slow, dup; hash join.") == 3)
   }
 
+  test("keyword spans: [start,end) char offsets in match order (F15)") {
+    val got = Seq("slow x hash join y slow").toDF("t")
+      .select(keywordSpans($"t", Seq("slow", "hash join")).as("r"))
+      .collect()(0).getSeq[scala.collection.Seq[Int]](0)
+      .map(s => (s(0), s(1))).toList
+    assert(got == List((0, 4), (7, 16), (19, 23)))
+  }
+
   test("keyword automaton: overlapping distinct keywords all count") {
     val got = one[Map[String, Int]](
       keywordMatches($"t", Seq("hash join", "join")), "hash join")
