@@ -20,13 +20,24 @@ object ConnectedComponents {
     * @return (id: long, component: long) where component = min node id
     *         reachable; isolated nodes of the edge list included. */
   def run(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val spark = edges.sparkSession
+    // Materialize the edge list once — `edges` is usually a lazy plan
+    // (e.g. the whole MinHash pipeline) and every label round would
+    // otherwise re-execute it from the scan up.
     val sym = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
 
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint()
+    // Labels only ever decrease, so Σcomponent is strictly monotone —
+    // an unchanged sum IS convergence (one cheap agg per round, no
+    // join-diff pass); decimal sum so billions of 2^63-scale ids can't
+    // overflow.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)")))
+        .collect()(0).getDecimal(0)
+    var prevSum = labelSum(labels)
 
     var iter = 0
     var converged = false
@@ -42,9 +53,9 @@ object ConnectedComponents {
           least(col("component"), coalesce(col("nbr_comp"), col("component")))
             .as("component"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
-        .filter(col("component") =!= col("old")).limit(1).count()
-      converged = changed == 0
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
       iter += 1
     }
