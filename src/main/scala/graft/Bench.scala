@@ -21,14 +21,19 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val specs = SparkEntry.benchQueries
+    // Materialize EVERY column via a noop write — a bare count() would
+    // let Catalyst prune the aggregate/projection expressions and
+    // eliminate final sorts, timing a plan that skips the real work.
+    def runFully(sp: graft.queries.Spec, dir: String): Unit =
+      sp.fn(spark, dir).write.mode("overwrite").format("noop").save()
     // warmup (small sf): JIT + codegen caches
     specs.foreach { sp =>
-      try sp.fn(spark, "/root/testdata/sf0.001").count()
+      try runFully(sp, "/root/testdata/sf0.001")
       catch { case _: Throwable => }
     }
     val results = specs.map { sp =>
       val t0 = System.nanoTime()
-      try sp.fn(spark, sfDir).count()
+      try runFully(sp, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[bench] ${sp.name} failed: ${e.getMessage}")
       }

@@ -23,11 +23,8 @@ object Tables {
     spark.read.parquet(paths: _*)
 
   /** Manifest scan (SURVEY S3): newline-separated list of parquet paths. */
-  def loadManifest(spark: SparkSession, manifestPath: String): DataFrame = {
-    val paths = scala.io.Source.fromFile(manifestPath).getLines()
-      .map(_.trim).filter(_.nonEmpty).toSeq
-    loadMany(spark, paths)
-  }
+  def loadManifest(spark: SparkSession, manifestPath: String): DataFrame =
+    graft.sources.DocSources.readManifest(spark, manifestPath)
 
   /** Register every table as a temp view so `spark.sql` mirrors the
     * DuckDB oracle text closely. */

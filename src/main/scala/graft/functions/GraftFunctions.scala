@@ -66,6 +66,9 @@ object GraftFunctions {
     reg("graft_keyword_count") { es =>
       KeywordCount(es.head, litString(es(1), "keywords").split(",").toSeq)
     }
+    reg("graft_keyword_spans") { es =>
+      KeywordSpans(es.head, litString(es(1), "keywords").split(",").toSeq)
+    }
     reg("graft_split_keep_delim") { es =>
       SplitKeepDelimiter(es.head, litString(es(1), "pattern"))
     }

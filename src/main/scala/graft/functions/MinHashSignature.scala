@@ -26,6 +26,9 @@ case class MinHashSignature(child: Expression, numPerm: Int)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    // No shingles → no signature (null), mirroring array_min of an
+    // empty array; never an array of nulls under containsNull=false.
+    if (n == 0) return null
     val mins = new Array[Array[Byte]](numPerm)
     var p = 0
     while (p < numPerm) {
@@ -53,7 +56,7 @@ case class MinHashSignature(child: Expression, numPerm: Int)
     new GenericArrayData(
       mins.map(b => UTF8String.fromBytes(b): Any))
   }
-  override def nullable: Boolean = child.nullable
+  override def nullable: Boolean = true // null for empty shingle arrays
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "graft_minhash_signature"
 }

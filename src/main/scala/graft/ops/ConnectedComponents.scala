@@ -48,9 +48,18 @@ object ConnectedComponents {
           .withColumnRenamed("component", "dst_comp"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("dst_comp")).as("nbr_comp"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val propagated = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_comp"), col("component")))
+            .as("component"))
+      // Pointer jumping: component ← its component's component. Turns
+      // the per-round frontier from one hop into doubling, so chain
+      // diameters converge in O(log d) rounds instead of O(d).
+      val next = propagated.as("a")
+        .join(propagated.select(col("id").as("cid"), col("component").as("ccomp")),
+          col("a.component") === col("cid"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.component"), coalesce(col("ccomp"), col("a.component")))
             .as("component"))
         .localCheckpoint()
       val s = labelSum(next)
@@ -59,6 +68,11 @@ object ConnectedComponents {
       labels = next
       iter += 1
     }
+    // With pointer jumping, maxIter=20 covers diameters up to ~2^20;
+    // failing loudly beats silently keeping duplicates.
+    require(converged,
+      s"connected components did not converge in $maxIter rounds — " +
+        "raise maxIter (component diameter exceeds doubling budget)")
     labels
   }
 }

@@ -44,7 +44,12 @@ object Skew {
     import spark.implicits._
     val sorted = df.repartitionByRange(orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
+    // Materialize once: the counts job and the rank job must see the SAME
+    // partitioning — re-executing repartitionByRange re-samples range
+    // boundaries per run, which would let offsets drift from the final
+    // partition contents.
     val withPart = sorted.withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
     val counts = withPart.groupBy($"_pid").count()
       .as[(Int, Long)].collect().sortBy(_._1)
     val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) => (pid + 1, acc + c) }

@@ -57,6 +57,7 @@ object StreamOps {
   def statefulSessions(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val gapUs = 1800L * 1000 * 1000
 
     val src = s.readStream.schema(eventsSchema)

@@ -32,6 +32,14 @@ class DedupSpec extends AnyFunSuite {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
   }
 
+  test("connected components: 60-node chain converges (pointer jumping)") {
+    // Diameter 59 > maxIter=20 plain rounds — only O(log d) doubling
+    // converges. Edit-chain dedup graphs really look like this.
+    val edges = (1L until 60L).map(i => (i, i + 1)).toDF("src", "dst")
+    val comp = ConnectedComponents.run(edges).as[(Long, Long)].collect().toMap
+    assert(comp.size == 60 && comp.values.forall(_ == 1L))
+  }
+
   test("minhash clusters keep min id per component") {
     val docs = Seq(
       (10L, base), (11L, nearDup), (12L, base + " extra"), (20L, distinct1)

@@ -47,8 +47,9 @@ class PlanSpec extends AnyFunSuite {
 
   test("minhash pairs: no self-join recompute of signatures") {
     val p = plan("dd_minhash_pairs")
-    assert(!p.contains("graft_minhash_signature).*graft_minhash_signature"),
-      "signature should appear in exactly one scan branch")
+    val sigOccurrences = "graft_minhash_signature".r.findAllIn(p).size
+    assert(sigOccurrences <= 2,
+      s"signature computed in $sigOccurrences plan branches — self-join recompute?")
     assert(p.linesIterator.count(_.contains("FileScan parquet")) <= 3,
       "expected ≤3 scans (bands + two shingle re-attach):\n" + p)
   }
