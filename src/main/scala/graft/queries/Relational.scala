@@ -157,19 +157,22 @@ object Relational {
       .orderBy($"o_orderpriority")
   }
 
-  /** Anti-join (NOT EXISTS): customers that never ordered, per segment. */
+  /** Anti-join (NOT EXISTS): customers with no large order, per segment
+    * (every synthetic customer has ≥1 order, so the filter keeps the
+    * result non-degenerate). */
   val qAntiCustomers: Spec = Spec(
     "q_anti_customers",
     oracle = Some("""
       SELECT c_mktsegment, COUNT(*) AS n_customers, MIN(c_custkey) AS min_custkey
       FROM customer c
-      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment""")) { (s, dir) =>
     import s.implicits._
     val cust = Tables.load(s, dir, "customer")
-    val ord = Tables.load(s, dir, "orders")
-    cust.join(ord, $"o_custkey" === $"c_custkey", "left_anti")
+    val bigOrders = Tables.load(s, dir, "orders").filter($"o_totalprice" > 250000)
+    cust.join(bigOrders, $"o_custkey" === $"c_custkey", "left_anti")
       .groupBy($"c_mktsegment")
       .agg(count(lit(1)).as("n_customers"), min($"c_custkey").as("min_custkey"))
       .orderBy($"c_mktsegment")
