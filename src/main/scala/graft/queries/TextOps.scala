@@ -408,9 +408,67 @@ object TextOps {
       .orderBy($"source", $"doc_id", $"tok")
   }
 
+  /** Stopword distribution (F16 — same automaton, different lexicon):
+    * per-doc stopword hits and ratio. */
+  val dStopwords: Spec = Spec(
+    "d_stopword_stats",
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, string_split(text,' ') AS l FROM documents)
+      SELECT doc_id,
+        CAST(len(list_filter(l, x -> x = 'the' OR x = 'a')) AS BIGINT) AS n_stopwords,
+        ROUND(CAST(len(list_filter(l, x -> x = 'the' OR x = 'a')) AS DOUBLE)
+          / len(l), 6) AS stopword_ratio
+      FROM t WHERE doc_id % 4 = 0 ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    val n = GraftFunctions.keywordCount($"text", Seq("the", "a")).cast("long")
+    docs(s, dir)
+      .filter($"doc_id" % 4 === 0)
+      .select($"doc_id", n.as("n_stopwords"),
+        round(n.cast("double") / size(Text.tokens($"text")), 6).as("stopword_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  /** Threshold-gated exact dedup (SURVEY §2.11: per-language minimum
+    * char counts, setu/data/exact_dedup_thresholds): docs shorter
+    * than their language's threshold are exempt from dedup; the rest
+    * dedup by content hash keeping the minimum doc_id. */
+  val dDedupThresholded: Spec = Spec(
+    "d_exact_dedup_thresholded",
+    oracle = Some("""
+      WITH thr AS (SELECT * FROM (VALUES ('en', 291), ('de', 300), ('fr', 300),
+        ('es', 300), ('zh', 120)) AS t(lang, min_chars)),
+      d AS (SELECT doc_id, d.lang, n_chars, md5(text) AS h,
+              (n_chars >= min_chars) AS eligible
+            FROM documents d JOIN thr ON d.lang = thr.lang),
+      kept AS (
+        SELECT doc_id, lang, eligible FROM d
+        WHERE NOT eligible
+           OR doc_id = (SELECT MIN(doc_id) FROM d d2
+                        WHERE d2.h = d.h AND d2.eligible))
+      SELECT lang, COUNT(*) AS n_kept,
+        COUNT(CASE WHEN NOT eligible THEN 1 END) AS n_exempt
+      FROM kept GROUP BY lang ORDER BY lang""")) { (s, dir) =>
+    import s.implicits._
+    val thr = Seq(("en", 291), ("de", 300), ("fr", 300), ("es", 300), ("zh", 120))
+      .toDF("lang", "min_chars")
+    val d = docs(s, dir).join(broadcast(thr), Seq("lang"))
+      .withColumn("eligible", $"n_chars" >= $"min_chars")
+      .withColumn("h", md5($"text"))
+    val kept = d
+      .withColumn("rn",
+        when($"eligible", row_number().over(
+          Window.partitionBy($"h", $"eligible").orderBy($"doc_id")))
+          .otherwise(lit(1)))
+      .filter(!$"eligible" || $"rn" === 1)
+    kept.groupBy($"lang")
+      .agg(count(lit(1)).as("n_kept"),
+        count(when(!$"eligible", 1)).as("n_exempt"))
+      .orderBy($"lang")
+  }
+
   val specs: Seq[Spec] = Seq(
     dTokenStats, dDocStatsAgg, dWordFreq, dLineExplode, dLines2Doc,
     dRepeatedTokens, dNsfwCounts, dDocFlags, dRemovalSurvivors,
     dNgramRepWord, dNgramRepChar, dUniqueTokens, dSymbolRatio,
-    dFingerprint, dDedupByKey)
+    dFingerprint, dDedupByKey, dStopwords, dDedupThresholded)
 }
