@@ -56,10 +56,45 @@ object Dedup {
   }
 
   /** Duplicate clusters: connected components over the LSH pair graph,
-    * keep-min-per-component (no SQL oracle — iterative fixpoint). */
+    * keep-min-per-component. Oracle: the same pair recipe + a recursive
+    * reachability walk with min-label (DuckDB recursive CTE) — feasible
+    * because UNION dedups (id, comp) pairs, so the walk terminates. */
   val ddMinhashClusters: Spec = Spec(
     "dd_minhash_clusters",
-    oracle = None) { (s, dir) =>
+    oracle = Some("""
+      WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split(text,' ') AS l FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(l)-1, 1)),
+          i -> array_to_string(l[i:i+2], ' '))) AS sh
+        FROM toks WHERE len(l) >= 3),
+      sig AS (
+        SELECT doc_id, list_transform(range(0, 32),
+          p -> list_min(list_transform(sh, s -> md5(p::VARCHAR || '|' || s)))) AS sig
+        FROM sh),
+      bands AS (
+        SELECT doc_id, b,
+          md5(b::VARCHAR || '|' || array_to_string(sig[b*4+1:b*4+4], '')) AS bk
+        FROM sig CROSS JOIN unnest(range(0, 8)) AS t(b)),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+        FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk
+          AND a.doc_id < b.doc_id),
+      verified AS (
+        SELECT ida, idb FROM pairs
+        JOIN sh sa ON sa.doc_id = ida JOIN sh sb ON sb.doc_id = idb
+        WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+          (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5),
+      edges AS (
+        SELECT ida AS src, idb AS dst FROM verified
+        UNION ALL SELECT idb, ida FROM verified),
+      walk(id, comp) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id),
+      labels AS (SELECT id, MIN(comp) AS component FROM walk GROUP BY id)
+      SELECT component, COUNT(*) AS cluster_size, MAX(id) AS max_id
+      FROM labels GROUP BY component ORDER BY component""")) { (s, dir) =>
     import s.implicits._
     val pairs = MinHash.candidatePairs(
       Tables.load(s, dir, "documents"), "doc_id", "text",
