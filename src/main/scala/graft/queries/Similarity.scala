@@ -118,5 +118,21 @@ object Similarity {
       .orderBy($"id_a", $"id_b")
   }
 
-  val specs: Seq[Spec] = Seq(eCentroids, eKnnBrute, eKnnCell, eNearDup)
+  /** Two-stage quantized ANN (int8 coarse scan → exact re-rank): the
+    * 4×-memory-reduction scale path. No SQL oracle (per-engine rounding
+    * in the coarse stage); recall ≥ 0.9 vs brute force is pinned in
+    * VectorOpsSpec. */
+  val eKnnQuantized: Spec = Spec(
+    "e_knn_quantized",
+    oracle = None) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    Vectors.knnQuantized(emb.filter($"id" < 10), emb, 5, rerank = 50)
+      .select($"qid", $"rk", $"cid", round($"cos_sim", 6).as("cos_sim"))
+      .orderBy($"qid", $"rk")
+  }
+
+  val specs: Seq[Spec] = Seq(eCentroids, eKnnBrute, eKnnCell, eNearDup,
+    eKnnQuantized)
 }

@@ -31,6 +31,18 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(got == List(1L))
   }
 
+  test("quantized two-stage ANN recovers brute-force top-k on real embeddings") {
+    val emb = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val queries = emb.filter($"id" < 5)
+    val exact = Vectors.knnBrute(queries, emb, 5)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    val approx = Vectors.knnQuantized(queries, emb, 5, rerank = 50)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
   test("dot/norm fold matches plain math") {
     val df = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
     val r = df.select(
