@@ -56,9 +56,15 @@ case class KeywordSpans(child: Expression, keywords: Seq[String])
     ArrayType(ArrayType(IntegerType, containsNull = false), containsNull = false)
   @transient private lazy val trie = new AhoCorasick(keywords.toIndexedSeq)
   override def nullSafeEval(input: Any): Any = {
-    val spans = trie.findSpans(input.asInstanceOf[UTF8String].toString)
+    val text = input.asInstanceOf[UTF8String].toString
+    val spans = trie.findSpans(text)
+    // Offsets are CODE POINT positions (Python-reference semantics).
+    // Fast path: BMP-only text ⇒ UTF-16 index = codepoint index.
+    val bmpOnly = text.length == text.codePointCount(0, text.length)
+    def cp(utf16: Int): Int =
+      if (bmpOnly) utf16 else text.codePointCount(0, utf16)
     new GenericArrayData(spans.map { case (a, b) =>
-      new GenericArrayData(Array[Any](a, b)): Any
+      new GenericArrayData(Array[Any](cp(a), cp(b))): Any
     }.toArray)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -109,12 +115,16 @@ case class CharNgramRepScore(child: Expression, n: Int)
   override def dataType: DataType = DoubleType
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
-    if (text.length < n) return 0.0d
+    // n-grams over CODE POINTS, not UTF-16 units — the Python reference
+    // and the DuckDB oracle (substr/length) both count codepoints, and
+    // UTF-16 indexing would split astral chars through surrogates.
+    val cps = text.codePoints().toArray
+    if (cps.length < n) return 0.0d
     val counts = new java.util.HashMap[String, Int]()
     var i = 0
-    val total = text.length - n + 1
+    val total = cps.length - n + 1
     while (i < total) {
-      counts.merge(text.substring(i, i + n), 1, _ + _)
+      counts.merge(new String(cps, i, n), 1, _ + _)
       i += 1
     }
     val k = math.floor(math.sqrt(counts.size.toDouble)).toInt

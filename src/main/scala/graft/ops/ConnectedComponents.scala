@@ -34,8 +34,12 @@ object ConnectedComponents {
     // an unchanged sum IS convergence (one cheap agg per round, no
     // join-diff pass); decimal sum so billions of 2^63-scale ids can't
     // overflow.
+    // coalesce: sum over ZERO rows is null — an empty edge list (a
+    // corpus with no candidate pairs) must converge to an empty result,
+    // not NPE in compareTo below.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast("decimal(38,0)")))
+      df.agg(coalesce(sum(col("component").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")))
         .collect()(0).getDecimal(0)
     var prevSum = labelSum(labels)
 

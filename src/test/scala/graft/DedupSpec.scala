@@ -40,6 +40,29 @@ class DedupSpec extends AnyFunSuite {
     assert(comp.size == 60 && comp.values.forall(_ == 1L))
   }
 
+  test("connected components: empty edge list returns empty, no NPE") {
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(ConnectedComponents.run(edges).count() == 0)
+  }
+
+  test("minhash on corpus with no near-dups yields zero pairs and empty clusters") {
+    val docs = Seq((0L, distinct1), (1L, distinct2)).toDF("doc_id", "text")
+    val pairs = MinHash.candidatePairs(docs, "doc_id", "text", threshold = 0.5)
+    assert(pairs.count() == 0)
+    assert(MinHash.clusters(pairs).count() == 0)
+  }
+
+  test("oversized LSH buckets star-connect instead of dropping pairs") {
+    // maxBucket=3 with a 5-doc near-identical family: all 5 must still
+    // land in one cluster via star pairs to the bucket-min id.
+    val docs = (0L until 5L).map(i => (i, base + s" tail$i")).toDF("doc_id", "text")
+    val pairs = MinHash.candidatePairs(docs, "doc_id", "text",
+      threshold = 0.5, maxBucket = 3)
+    val comp = MinHash.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert(comp.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(comp.values.toSet == Set(0L))
+  }
+
   test("minhash clusters keep min id per component") {
     val docs = Seq(
       (10L, base), (11L, nearDup), (12L, base + " extra"), (20L, distinct1)
