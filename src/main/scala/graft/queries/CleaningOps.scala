@@ -1,0 +1,261 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions
+import graft.ops.Text
+
+/** Oracle-backed queries for the text-CLEANING scalar family (SURVEY
+  * §2.8 F1/F4/F5/F6-F8/F12) — previously ScalaTest-pinned only.
+  *
+  * The synthetic `documents` text is pure lowercase words, so each
+  * query derives its punctuation / digits / code inputs
+  * deterministically from table columns — identical expressions on the
+  * Spark and DuckDB sides — and then runs the REAL operator on them.
+  * That keeps the oracle comparison meaningful (operators see non-
+  * vacuous inputs) while using only driver-provided data.
+  */
+object CleaningOps {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "documents")
+
+  /** F1 split_with_delimiter (setu/filters.py:309-330): sentence split
+    * keeping each delimiter run attached to the preceding piece. Input
+    * is the doc text re-punctuated into 3 sentences. */
+  val dSplitSentences: Spec = Spec(
+    "d_split_sentences",
+    oracle = Some("""
+      WITH r AS (
+        SELECT doc_id,
+          substr(text,1,50) || '. ' || substr(text,51,40) || '! ' ||
+          substr(text,91,30) || '?' AS rich
+        FROM documents WHERE doc_id % 10 = 0),
+      p AS (SELECT doc_id, rich,
+              regexp_extract_all(rich, '[^.!?]*[.!?]+|[^.!?]+') AS l
+            FROM r)
+      SELECT doc_id, CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS pos,
+        unnest(l) AS piece,
+        (array_to_string(l, '') = rich) AS roundtrip_ok
+      FROM p ORDER BY doc_id, pos""")) { (s, dir) =>
+    import s.implicits._
+    val rich = concat(
+      substring($"text", 1, 50), lit(". "),
+      substring($"text", 51, 40), lit("! "),
+      substring($"text", 91, 30), lit("?"))
+    docs(s, dir)
+      .filter($"doc_id" % 10 === 0)
+      .select($"doc_id", rich.as("rich"),
+        GraftFunctions.splitKeepDelim(rich, "[.!?]+").as("l"))
+      .select($"doc_id", posexplode($"l").as(Seq("pos", "piece")),
+        (array_join($"l", "") === $"rich").as("roundtrip_ok"))
+      .select($"doc_id", $"pos".cast("long").as("pos"), $"piece", $"roundtrip_ok")
+      .orderBy($"doc_id", $"pos")
+  }
+
+  /** F4 is_num_or_punc_only (setu/filters.py:98-188 shape): numeric-only
+    * chunks, or chunks whose non-(letter/space) ratio ≥ 0.4. Chunk kinds:
+    * plain text / decimal id / Devanagari id / symbol-heavy. */
+  val dNumPuncChunks: Spec = Spec(
+    "d_num_punc_chunks",
+    oracle = Some("""
+      WITH c AS (
+        SELECT doc_id, 1 AS chunk_kind, trim(substr(text,1,30)) AS chunk
+          FROM documents WHERE doc_id % 10 = 0
+        UNION ALL SELECT doc_id, 2, CAST(doc_id AS VARCHAR)
+          FROM documents WHERE doc_id % 10 = 0
+        UNION ALL SELECT doc_id, 3,
+          translate(CAST(doc_id AS VARCHAR), '0123456789', '०१२३४५६७८९')
+          FROM documents WHERE doc_id % 10 = 0
+        UNION ALL SELECT doc_id, 4, '#%$' || substr(text,1,3) || '!!'
+          FROM documents WHERE doc_id % 10 = 0)
+      SELECT doc_id, chunk_kind, chunk,
+        (regexp_matches(chunk, '^[\p{Nd}]+$') OR
+         CAST(length(regexp_replace(chunk, '[\p{L} ]', '', 'g')) AS DOUBLE)
+           / length(chunk) >= 0.4) AS is_num_or_punc
+      FROM c ORDER BY doc_id, chunk_kind""")) { (s, dir) =>
+    import s.implicits._
+    docs(s, dir)
+      .filter($"doc_id" % 10 === 0)
+      .select($"doc_id", explode(array(
+        struct(lit(1).as("chunk_kind"),
+          trim(substring($"text", 1, 30)).as("chunk")),
+        struct(lit(2).as("chunk_kind"),
+          $"doc_id".cast("string").as("chunk")),
+        struct(lit(3).as("chunk_kind"),
+          translate($"doc_id".cast("string"),
+            "0123456789", "०१२३४५६७८९").as("chunk")),
+        struct(lit(4).as("chunk_kind"),
+          concat(lit("#%$"), substring($"text", 1, 3), lit("!!")).as("chunk"))))
+        .as("c"))
+      .select($"doc_id", $"c.chunk_kind", $"c.chunk",
+        Text.isNumOrPuncOnly($"c.chunk").as("is_num_or_punc"))
+      .orderBy($"doc_id", $"chunk_kind")
+  }
+
+  /** F5 is_terminal_valid (setu/filters.py:237-248, terminal marks at
+    * setu/constants.py:125-134): valid terminal punctuation incl. danda
+    * and double danda, minus the `...` ellipsis exception. */
+  val dTerminalChunks: Spec = Spec(
+    "d_terminal_chunks",
+    oracle = Some("""
+      WITH c AS (
+        SELECT doc_id, 1 AS chunk_kind, substr(text,1,20) || '.' AS chunk
+          FROM documents WHERE doc_id % 10 = 0
+        UNION ALL SELECT doc_id, 2, substr(text,1,20) || '...'
+          FROM documents WHERE doc_id % 10 = 0
+        UNION ALL SELECT doc_id, 3, substr(text,1,20)
+          FROM documents WHERE doc_id % 10 = 0
+        UNION ALL SELECT doc_id, 4, substr(text,1,20) || '।'
+          FROM documents WHERE doc_id % 10 = 0
+        UNION ALL SELECT doc_id, 5, substr(text,1,20) || '॥'
+          FROM documents WHERE doc_id % 10 = 0)
+      SELECT doc_id, chunk_kind, chunk,
+        (regexp_matches(chunk, '[.!?।:,;)"''؟۔]$|॥$')
+         AND NOT chunk LIKE '%...' AND NOT chunk LIKE '%####') AS terminal_valid
+      FROM c ORDER BY doc_id, chunk_kind""")) { (s, dir) =>
+    import s.implicits._
+    val pre = substring($"text", 1, 20)
+    docs(s, dir)
+      .filter($"doc_id" % 10 === 0)
+      .select($"doc_id", explode(array(
+        struct(lit(1).as("chunk_kind"), concat(pre, lit(".")).as("chunk")),
+        struct(lit(2).as("chunk_kind"), concat(pre, lit("...")).as("chunk")),
+        struct(lit(3).as("chunk_kind"), pre.as("chunk")),
+        struct(lit(4).as("chunk_kind"), concat(pre, lit("।")).as("chunk")),
+        struct(lit(5).as("chunk_kind"), concat(pre, lit("॥")).as("chunk"))))
+        .as("c"))
+      .select($"doc_id", $"c.chunk_kind", $"c.chunk",
+        Text.isTerminalValid($"c.chunk").as("terminal_valid"))
+      .orderBy($"doc_id", $"chunk_kind")
+  }
+
+  /** F12 is_numbers (setu/filters.py:773-775, Python str.isdigit):
+    * Unicode-digit-aware — ASCII and Devanagari digits both count. */
+  val dNumberChunks: Spec = Spec(
+    "d_number_chunks",
+    oracle = Some("""
+      WITH c AS (
+        SELECT doc_id, 1 AS chunk_kind, CAST(doc_id AS VARCHAR) AS chunk
+          FROM documents WHERE doc_id % 10 = 0
+        UNION ALL SELECT doc_id, 2,
+          translate(CAST(doc_id AS VARCHAR), '0123456789', '०१२३४५६७८९')
+          FROM documents WHERE doc_id % 10 = 0
+        UNION ALL SELECT doc_id, 3, substr(text,1,10)
+          FROM documents WHERE doc_id % 10 = 0
+        UNION ALL SELECT doc_id, 4, CAST(doc_id AS VARCHAR) || 'x'
+          FROM documents WHERE doc_id % 10 = 0)
+      SELECT doc_id, chunk_kind, chunk,
+        regexp_matches(chunk, '^[\p{Nd}]+$') AS is_number
+      FROM c ORDER BY doc_id, chunk_kind""")) { (s, dir) =>
+    import s.implicits._
+    docs(s, dir)
+      .filter($"doc_id" % 10 === 0)
+      .select($"doc_id", explode(array(
+        struct(lit(1).as("chunk_kind"), $"doc_id".cast("string").as("chunk")),
+        struct(lit(2).as("chunk_kind"),
+          translate($"doc_id".cast("string"),
+            "0123456789", "०१२३४५६७८९").as("chunk")),
+        struct(lit(3).as("chunk_kind"), substring($"text", 1, 10).as("chunk")),
+        struct(lit(4).as("chunk_kind"),
+          concat($"doc_id".cast("string"), lit("x")).as("chunk"))))
+        .as("c"))
+      .select($"doc_id", $"c.chunk_kind", $"c.chunk",
+        Text.isNumber($"c.chunk").as("is_number"))
+      .orderBy($"doc_id", $"chunk_kind")
+  }
+
+  // Deterministic code-injected text shared by the F6-F8 queries: HTML
+  // for doc_id%3=0, a JS function for doc_id%5=0, a CSS rule for
+  // doc_id%7=0 (so some docs carry several kinds and most carry none).
+  private def richCode(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    concat($"text",
+      when($"doc_id" % 3 === 0,
+        concat(lit(" <div class=\""), $"lang", lit("\">"), $"source",
+          lit("</div>"))).otherwise(lit("")),
+      when($"doc_id" % 5 === 0,
+        concat(lit(" function f_"), ($"doc_id" % 7).cast("string"),
+          lit("(a) { return a; }"))).otherwise(lit("")),
+      when($"doc_id" % 7 === 0,
+        concat(lit(" .cls-"), $"lang", lit(" { color: red }")))
+        .otherwise(lit("")))
+  }
+
+  private val richCodeSql = """
+        text ||
+        CASE WHEN doc_id % 3 = 0
+          THEN ' <div class="' || lang || '">' || source || '</div>'
+          ELSE '' END ||
+        CASE WHEN doc_id % 5 = 0
+          THEN ' function f_' || CAST(doc_id % 7 AS VARCHAR) || '(a) { return a; }'
+          ELSE '' END ||
+        CASE WHEN doc_id % 7 = 0
+          THEN ' .cls-' || lang || ' { color: red }'
+          ELSE '' END"""
+
+  private val htmlPat = "<[^>]+>[\\s\\S]*?</[^>]+>"
+  private val jsPat = "function\\s*\\w*\\s*\\([^)]*\\)\\s*\\{[\\s\\S]*?\\}"
+  private val cssPat = "[.#]?[\\w-]+\\s*\\{[^}]*\\}"
+
+  /** F6 code detection (setu/filters.py:190-235): per-pattern match
+    * counts + the fused has_code predicate. */
+  val dCodeDetect: Spec = Spec(
+    "d_code_detect",
+    oracle = Some(s"""
+      WITH r AS (SELECT doc_id, $richCodeSql AS rich
+                 FROM documents WHERE doc_id % 4 = 0)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(rich, '<[^>]+>[\\s\\S]*?</[^>]+>')) AS BIGINT) AS n_html,
+        CAST(len(regexp_extract_all(rich, 'function\\s*\\w*\\s*\\([^)]*\\)\\s*\\{[\\s\\S]*?\\}')) AS BIGINT) AS n_js,
+        CAST(len(regexp_extract_all(rich, '[.#]?[\\w-]+\\s*\\{[^}]*\\}')) AS BIGINT) AS n_css,
+        (regexp_matches(rich, '<[^>]+>[\\s\\S]*?</[^>]+>')
+         OR regexp_matches(rich, 'function\\s*\\w*\\s*\\([^)]*\\)\\s*\\{[\\s\\S]*?\\}')
+         OR regexp_matches(rich, '[.#]?[\\w-]+\\s*\\{[^}]*\\}')) AS has_code
+      FROM r ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    docs(s, dir)
+      .filter($"doc_id" % 4 === 0)
+      .select($"doc_id", richCode(s).as("rich"))
+      .select($"doc_id",
+        size(regexp_extract_all($"rich", lit(htmlPat), lit(0))).cast("long").as("n_html"),
+        size(regexp_extract_all($"rich", lit(jsPat), lit(0))).cast("long").as("n_js"),
+        size(regexp_extract_all($"rich", lit(cssPat), lit(0))).cast("long").as("n_css"),
+        Text.hasCode($"rich").as("has_code"))
+      .orderBy($"doc_id")
+  }
+
+  /** F7/F8 code removal (setu/filters.py:345-368): strip HTML→JS→CSS in
+    * order; verified by md5 of the cleaned text + removed-char count. */
+  val dCodeRemove: Spec = Spec(
+    "d_code_remove",
+    oracle = Some(s"""
+      WITH r AS (SELECT doc_id, $richCodeSql AS rich
+                 FROM documents WHERE doc_id % 4 = 0),
+      c AS (SELECT doc_id, rich,
+              regexp_replace(regexp_replace(regexp_replace(rich,
+                '<[^>]+>[\\s\\S]*?</[^>]+>', '', 'g'),
+                'function\\s*\\w*\\s*\\([^)]*\\)\\s*\\{[\\s\\S]*?\\}', '', 'g'),
+                '[.#]?[\\w-]+\\s*\\{[^}]*\\}', '', 'g') AS cleaned
+            FROM r)
+      SELECT doc_id, md5(cleaned) AS cleaned_md5,
+        CAST(length(cleaned) AS BIGINT) AS cleaned_chars,
+        CAST(length(rich) - length(cleaned) AS BIGINT) AS removed_chars
+      FROM c ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    docs(s, dir)
+      .filter($"doc_id" % 4 === 0)
+      .select($"doc_id", richCode(s).as("rich"))
+      .select($"doc_id", $"rich", Text.removeCode($"rich").as("cleaned"))
+      .select($"doc_id",
+        md5($"cleaned").as("cleaned_md5"),
+        length($"cleaned").cast("long").as("cleaned_chars"),
+        (length($"rich") - length($"cleaned")).cast("long").as("removed_chars"))
+      .orderBy($"doc_id")
+  }
+
+  val specs: Seq[Spec] = Seq(
+    dSplitSentences, dNumPuncChunks, dTerminalChunks, dNumberChunks,
+    dCodeDetect, dCodeRemove)
+}
