@@ -99,6 +99,53 @@ object MinHash {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** EXACT Jaccard-threshold pair join via prefix filtering (Bayardo,
+    * Ma, Srikant — "Scaling Up All Pairs Similarity Search", WWW'07;
+    * public algorithm): if J(A,B) ≥ t, then in any global canonical
+    * order of shingles the first (|A| − ⌈t·|A|⌉ + 1) elements of A
+    * must share an element with B's prefix. Candidates therefore come
+    * from exploding each set's PREFIX and bucketing on
+    * (blockCols, shingle) — cost Σ bucket², never an all-pairs block
+    * join — with ZERO recall loss (it's a theorem, not a probability).
+    * Canonical order = md5(shingle): deterministic and engine-free.
+    *
+    * @param sets one row per set: blockCols ++ (idCol: long,
+    *             shCol: array<string> pre-distinct shingles). */
+  def jaccardPairsExact(
+      sets: DataFrame,
+      idCol: String,
+      shCol: String,
+      blockCols: Seq[String],
+      threshold: Double): DataFrame = {
+    val base = sets.select(
+      (blockCols.map(col) :+ col(idCol).as("id") :+ col(shCol).as("sh")): _*)
+    val canon = array_sort(
+      transform(col("sh"), x => struct(md5(x).as("k"), x.as("v"))))
+    val prefLen =
+      (size(col("sh")) - ceil(lit(threshold) * size(col("sh"))) + 1).cast("int")
+    val exploded = base
+      .withColumn("_tok",
+        explode(transform(slice(canon, lit(1), prefLen), s => s.getField("v"))))
+      .select((blockCols.map(col) :+ col("id") :+ col("_tok")): _*)
+    val pairs = exploded
+      .groupBy((blockCols.map(col) :+ col("_tok")): _*)
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids,
+          |  x -> transform(filter(ids, y -> y > x),
+          |       y -> named_struct('id_a', x, 'id_b', y))))""".stripMargin))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+    pairs
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", Text.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Duplicate clusters from candidate pairs: each id mapped to the
     * minimum id of its connected component. Keep-one dedup = keep rows
     * whose id equals their component. */

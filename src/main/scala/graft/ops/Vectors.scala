@@ -107,6 +107,72 @@ object Vectors {
     topK(exact, k)
   }
 
+  /** Deterministic ±1 random-hyperplane signs for bit `b`, dims 1..`dim`:
+    * sign(b, d) = +1 iff the first hex char of md5("b_d") has even code.
+    * md5-derived so an oracle can rebuild the identical matrix in SQL. */
+  def hyperplaneSigns(nBits: Int, dim: Int): Seq[Seq[Double]] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    (0 until nBits).map { b =>
+      (1 to dim).map { d =>
+        val hex = digest.digest(s"${b}_$d".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        if (hex.charAt(0).toInt % 2 == 0) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** SimHash-style signature over an embedding: bit b = 1 iff the
+    * sequential-fold dot with hyperplane b is positive. Row-local (no
+    * shuffle); the signs matrix is a plan literal, not per-row md5s. */
+  def hyperplaneSignature(vec: Column, nBits: Int, dim: Int): Column = {
+    val signs = typedLit(hyperplaneSigns(nBits, dim))
+    transform(sequence(lit(0), lit(nBits - 1)), b =>
+      when(aggregate(
+        zip_with(vec, element_at(signs, b + 1),
+          (x, h) => x.cast("double") * h),
+        lit(0.0d), (acc, v) => acc + v) > 0, 1).otherwise(0))
+  }
+
+  /** Near-duplicate pairs via random-hyperplane LSH + exact cosine
+    * verification — the scale path that replaces all-pairs blocking:
+    * candidates are generated bucket-locally per (band, 4-bit key), so
+    * cost is Σ bucket² instead of n²/|blocks|. Recall vs the exact
+    * all-pairs form is probabilistic (pinned in VectorOpsSpec);
+    * emitted pairs are always true positives (exact re-check). */
+  def neardupLsh(emb: DataFrame, threshold: Double, nBits: Int = 16,
+      bands: Int = 4, dim: Int = 64): DataFrame = {
+    val rowsPerBand = nBits / bands
+    require(bands * rowsPerBand == nBits, "bands must divide nBits")
+    val withNorm = emb
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("n", norm(col("embedding")))
+    val banded = withNorm
+      .withColumn("sig", hyperplaneSignature(col("embedding"), nBits, dim))
+      .select(col("vec_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          aggregate(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+            lit(0), (acc, v) => acc * 2 + v))).as(Seq("band", "key")))
+    val pairs = banded
+      .groupBy(col("band"), col("key"))
+      .agg(collect_list(col("vec_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids,
+          |  x -> transform(filter(ids, y -> y > x),
+          |       y -> named_struct('id_a', x, 'id_b', y))))""".stripMargin))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+    pairs
+      .join(withNorm.select(col("vec_id").as("id_a"),
+        col("embedding").as("va"), col("n").as("na")), Seq("id_a"))
+      .join(withNorm.select(col("vec_id").as("id_b"),
+        col("embedding").as("vb"), col("n").as("nb")), Seq("id_b"))
+      .withColumn("cos_sim", cosine(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+
   /** Cell-pruned (IVF-style) cosine top-k: candidates restricted to the
     * query's cell (here a precomputed partition column — with learned
     * centroids this is the nearest-centroid assignment). */

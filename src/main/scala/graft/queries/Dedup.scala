@@ -105,9 +105,12 @@ object Dedup {
       .orderBy($"component")
   }
 
-  /** Exact near-dup by block-local all-pairs Jaccard (recall limited to
-    * same (lang, source) blocks — the blocking strategy a 100 TB run
-    * would use to bound the quadratic term). */
+  /** Exact near-dup within (lang, source) blocks — computed by PREFIX
+    * FILTERING (MinHash.jaccardPairsExact), not an all-pairs block
+    * join: candidates come from shared prefix shingles, so the cost is
+    * Σ bucket² over (block, shingle) buckets instead of Σ block².
+    * Output is provably identical to the all-pairs form (the oracle
+    * below still states the quadratic semantics). */
   val ddJaccardBlockPairs: Spec = Spec(
     "dd_jaccard_block_pairs",
     oracle = Some("""
@@ -129,12 +132,8 @@ object Dedup {
       .filter(size(Text.tokens($"text")) >= 3)
       .select($"doc_id", $"lang", $"source",
         Text.shingleSet($"text", 3).as("sh"))
-    val a = sets.select($"lang", $"source", $"doc_id".as("id_a"), $"sh".as("sh_a"))
-    val b = sets.select($"lang", $"source", $"doc_id".as("id_b"), $"sh".as("sh_b"))
-    a.join(b, Seq("lang", "source"))
-      .filter($"id_a" < $"id_b")
-      .withColumn("jaccard", Text.jaccard($"sh_a", $"sh_b"))
-      .filter($"jaccard" >= 0.5)
+    MinHash.jaccardPairsExact(sets, "doc_id", "sh",
+        Seq("lang", "source"), threshold = 0.5)
       .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
       .orderBy($"id_a", $"id_b")
   }

@@ -91,8 +91,11 @@ object Similarity {
       .orderBy($"qid", $"rk")
   }
 
-  /** Embedding near-duplicate pairs within label cells (cosine ≥ 0.35,
-    * the blocked quadratic the LSH/IVF paths exist to avoid). */
+  /** Embedding near-duplicate pairs within label cells — the blocked
+    * quadratic kept as a small-scale EXACT validation baseline.
+    * The scale path is [[eNearDupLsh]] (hyperplane-bucketed, Σbucket²
+    * cost); this form exists to pin its recall and as the oracle of
+    * record for exact all-pairs semantics at verify scale. */
   val eNearDup: Spec = Spec(
     "e_neardup_cosine",
     oracle = Some(s"""
@@ -118,6 +121,41 @@ object Similarity {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Near-dup pairs via random-hyperplane LSH (16 bits, 4 bands) +
+    * exact cosine verification — the 100 TB path: candidates come from
+    * band buckets, never an all-pairs (or label-blocked) join. The
+    * oracle rebuilds the identical md5-derived hyperplane matrix, so
+    * the probabilistic candidate set matches EXACTLY; recall vs the
+    * all-pairs form is pinned in VectorOpsSpec. */
+  val eNearDupLsh: Spec = Spec(
+    "e_neardup_lsh",
+    oracle = Some(s"""
+      WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      sig AS (SELECT vec_id,
+        list_transform(range(0, 16), b ->
+          CASE WHEN list_reduce(list_transform(range(1, 65), d ->
+            (CASE WHEN ascii(substr(md5(b::VARCHAR || '_' || d::VARCHAR), 1, 1)) % 2 = 0
+                  THEN 1.0 ELSE -1.0 END) * embedding[d]::DOUBLE),
+            (x, y) -> x + y) > 0 THEN 1 ELSE 0 END) AS sig
+        FROM e),
+      bands AS (SELECT vec_id, b,
+          sig[b*4+1]*8 + sig[b*4+2]*4 + sig[b*4+3]*2 + sig[b*4+4] AS key
+        FROM sig CROSS JOIN unnest(range(0, 4)) AS t(b)),
+      pairs AS (SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.key = b.key AND a.vec_id < b.vec_id),
+      scored AS (SELECT ida, idb,
+          ${cosSql("ea.embedding", "eb.embedding")} AS cos
+        FROM pairs JOIN e ea ON ea.vec_id = ida JOIN e eb ON eb.vec_id = idb)
+      SELECT ida AS id_a, idb AS id_b, ROUND(cos, 6) AS cos_sim
+      FROM scored WHERE cos >= 0.35 ORDER BY id_a, id_b""")) { (s, dir) =>
+    import s.implicits._
+    Vectors.neardupLsh(
+        Tables.load(s, dir, "embeddings"), threshold = 0.35)
+      .select($"id_a", $"id_b", round($"cos_sim", 6).as("cos_sim"))
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** Two-stage quantized ANN (int8 coarse scan → exact re-rank): the
     * 4×-memory-reduction scale path. No SQL oracle (per-engine rounding
     * in the coarse stage); recall ≥ 0.9 vs brute force is pinned in
@@ -134,5 +172,5 @@ object Similarity {
   }
 
   val specs: Seq[Spec] = Seq(eCentroids, eKnnBrute, eKnnCell, eNearDup,
-    eKnnQuantized)
+    eNearDupLsh, eKnnQuantized)
 }

@@ -82,11 +82,16 @@ object TextOps {
         CAST(row_number() OVER (ORDER BY COUNT(*) DESC, tok) AS BIGINT) AS rk
       FROM t GROUP BY tok ORDER BY rk""")) { (s, dir) =>
     import s.implicits._
-    docs(s, dir)
+    // Global rank WITHOUT an unpartitioned window: at corpus scale the
+    // distinct-token table is hundreds of millions of rows and a bare
+    // row_number().over(orderBy(...)) funnels all of it through one
+    // executor. Skew.globalRowNumber range-partitions by the sort key
+    // and merges partition-local ranks with broadcast offsets.
+    val counts = docs(s, dir)
       .select(explode(Text.tokens($"text")).as("tok"))
       .groupBy($"tok").agg(count(lit(1)).as("n"))
-      .withColumn("rk",
-        row_number().over(Window.orderBy($"n".desc, $"tok")).cast("long"))
+    graft.ops.Skew.globalRowNumber(counts, Seq($"n".desc, $"tok"))
+      .select($"tok", $"n", $"rn".as("rk"))
       .orderBy($"rk")
   }
 

@@ -73,6 +73,23 @@ class DedupSpec extends AnyFunSuite {
     assert(comp.keySet == Set(10L, 11L, 12L))
   }
 
+  test("prefix-filter jaccard join equals the naive quadratic (zero recall loss)") {
+    val docs = Seq(
+      (0L, "g1", base), (1L, "g1", nearDup), (2L, "g1", distinct1),
+      (3L, "g2", base), (4L, "g2", base + " coda"), (5L, "g2", distinct2)
+    ).toDF("doc_id", "grp", "text")
+    val sets = docs.select($"doc_id", $"grp", Text.shingleSet($"text", 3).as("sh"))
+    val fast = MinHash.jaccardPairsExact(sets, "doc_id", "sh", Seq("grp"), 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val a = sets.select($"grp", $"doc_id".as("id_a"), $"sh".as("sh_a"))
+    val b = sets.select($"grp", $"doc_id".as("id_b"), $"sh".as("sh_b"))
+    val naive = a.join(b, Seq("grp")).filter($"id_a" < $"id_b")
+      .filter(Text.jaccard($"sh_a", $"sh_b") >= 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(fast == naive)
+    assert(naive.contains((0L, 1L)) && naive.contains((3L, 4L)))
+  }
+
   test("simhash: near-dups close in hamming, distinct docs far") {
     val df = Seq((0L, base), (1L, nearDup), (2L, distinct1))
       .toDF("doc_id", "text")

@@ -45,6 +45,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("d_word_freq: no unpartitioned running window over unbounded input") {
+    // The global rank must go through Skew.globalRowNumber (range
+    // partition + offset merge) — a bare Window.orderBy would sort the
+    // whole distinct-token table in ONE partition at corpus scale.
+    val df = SparkEntry.queries("d_word_freq")(spark, TestSpark.Sf)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "found a window with an empty partitionSpec (single-partition sort)")
+  }
+
   test("minhash pairs: no self-join recompute of signatures") {
     val p = plan("dd_minhash_pairs")
     val sigOccurrences = "graft_minhash_signature".r.findAllIn(p).size

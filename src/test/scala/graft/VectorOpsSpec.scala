@@ -43,6 +43,26 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("neardupLsh: all emitted pairs are true positives; recall pinned vs exact") {
+    val emb = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+    val lsh = Vectors.neardupLsh(emb, threshold = 0.35)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // exact all-pairs ground truth (no label blocking)
+    val e = emb.select($"vec_id".as("id"), $"embedding".as("v"))
+      .withColumn("n", Vectors.norm($"v"))
+    val exact = e.as("a").join(e.as("b"), $"a.id" < $"b.id")
+      .withColumn("cos",
+        Vectors.cosine($"a.v", $"b.v", $"a.n", $"b.n"))
+      .filter($"cos" >= 0.35)
+      .select($"a.id", $"b.id").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "LSH must never emit a false positive")
+    val recall = if (exact.isEmpty) 1.0
+      else (lsh intersect exact).size.toDouble / exact.size
+    // 16-bit/4-band hyperplane LSH at cos≈0.35 (p_bit≈0.61): expected
+    // band-collision ≈ 1-(1-0.61^4)^4 ≈ 0.45 — pin a conservative floor.
+    assert(recall >= 0.2, s"recall $recall over ${exact.size} exact pairs")
+  }
+
   test("dot/norm fold matches plain math") {
     val df = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
     val r = df.select(
