@@ -27,6 +27,10 @@ object GraftFunctions {
   def normalizeUnicode(c: Column, form: String = "NFKC"): Column =
     column(NormalizeUnicode(expression(c), form))
 
+  /** F11 full: per-language Indic normalization → NFKC (lang per row). */
+  def indicNormalize(text: Column, lang: Column): Column =
+    column(IndicNormalize(expression(text), expression(lang)))
+
   def charNgramRep(c: Column, n: Int): Column =
     column(CharNgramRepScore(expression(c), n))
 
@@ -83,5 +87,6 @@ object GraftFunctions {
       WordNgramRepScore(es.head, litInt(es(1), "n"))
     }
     reg("graft_rolling_hash")(es => RollingHash(es.head))
+    reg("graft_indic_normalize")(es => IndicNormalize(es.head, es(1)))
   }
 }

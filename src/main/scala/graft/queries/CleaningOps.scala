@@ -255,7 +255,65 @@ object CleaningOps {
       .orderBy($"doc_id")
   }
 
+  /** F11 full (setu/filters.py:388-446): per-language Indic
+    * normalization → NFKC, exercised on text carrying NBSP, ZWJ, curly
+    * quotes, ellipsis, em dash, doubled apostrophes, a Devanagari word
+    * with `|` and `:`, plus Bengali and Tamil `:` cases. The oracle
+    * mirrors the chain per language on the NFKC-stable subset (every
+    * injected codepoint is either handled by the chain or NFKC-fixed);
+    * the NFKC-only rules (nukta decomposition etc.) are ScalaTest-
+    * pinned in IndicNormSpec. */
+  val dNormalizeIndic: Spec = Spec(
+    "d_normalize_indic",
+    oracle = Some("""
+      WITH r AS (
+        SELECT doc_id,
+          CASE doc_id % 4 WHEN 0 THEN 'hindi' WHEN 1 THEN 'bengali'
+                          WHEN 2 THEN 'tamil' ELSE 'english' END AS lang_name,
+          substr(text,1,15) || chr(160) || '“q”' || chr(8205) || '…' ||
+            ' — ' || '''''' || ' नमस्ते| राम: রাম: தமிழ்: end' AS rich
+        FROM documents WHERE doc_id % 5 = 0),
+      b AS (
+        SELECT doc_id, lang_name, rich,
+          replace(replace(replace(replace(replace(replace(replace(
+            rich, chr(8205), ''), chr(160), ' '),
+            '“', '"'), '”', '"'), '—', ' - '), '''''', '"'),
+            '…', '...') AS based
+        FROM r),
+      t AS (
+        SELECT doc_id, lang_name,
+          CASE lang_name
+            WHEN 'hindi' THEN
+              regexp_replace(replace(based, '|', '।'),
+                '([\x{0900}-\x{097f}]):', '\1ः', 'g')
+            WHEN 'bengali' THEN
+              regexp_replace(replace(based, '|', '।'),
+                '([\x{0980}-\x{09ff}]):', '\1ঃ', 'g')
+            WHEN 'tamil' THEN
+              regexp_replace(based, '([\x{0b80}-\x{0bff}]):', '\1ஃ', 'g')
+            ELSE replace(replace(rich, chr(160), ' '), '…', '...')
+          END AS normalized
+        FROM b)
+      SELECT doc_id, lang_name, normalized, md5(normalized) AS norm_md5
+      FROM t ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    val langName = element_at(
+      array(lit("hindi"), lit("bengali"), lit("tamil"), lit("english")),
+      ($"doc_id" % 4 + 1).cast("int"))
+    val rich = concat(substring($"text", 1, 15),
+      lit("\u00a0\u201cq\u201d\u200d\u2026 \u2014 ''"),
+      lit(" नमस्ते| राम: রাম: தமிழ்: end"))
+    docs(s, dir)
+      .filter($"doc_id" % 5 === 0)
+      .select($"doc_id", langName.as("lang_name"), rich.as("rich"))
+      .withColumn("normalized",
+        GraftFunctions.indicNormalize($"rich", $"lang_name"))
+      .select($"doc_id", $"lang_name", $"normalized",
+        md5($"normalized").as("norm_md5"))
+      .orderBy($"doc_id")
+  }
+
   val specs: Seq[Spec] = Seq(
     dSplitSentences, dNumPuncChunks, dTerminalChunks, dNumberChunks,
-    dCodeDetect, dCodeRemove)
+    dCodeDetect, dCodeRemove, dNormalizeIndic)
 }
