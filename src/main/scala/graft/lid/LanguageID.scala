@@ -98,7 +98,8 @@ object CharNgramDetector extends Detector {
     "it" -> "la rapida volpe marrone salta sopra il cane pigro e poi corre verso la casa con gli altri animali perché stanno aspettando cibo e acqua",
     "pt" -> "a rápida raposa marrom pula sobre o cão preguiçoso e depois corre para a casa com os outros animais porque eles estão esperando comida e água")
 
-  private def profile(text: String): Map[String, Double] = {
+  /** L2-normalized char-trigram profile (shared with IndicDetector). */
+  def profileOf(text: String): Map[String, Double] = {
     val s = "  " + text.toLowerCase.replaceAll("[^\\p{L} ]", "") + "  "
     val counts = scala.collection.mutable.Map.empty[String, Int]
     for (i <- 0 to s.length - 3)
@@ -107,10 +108,10 @@ object CharNgramDetector extends Detector {
     if (n == 0) Map.empty else counts.map { case (k, v) => k -> v / n }.toMap
   }
   private val profiles: Map[String, Map[String, Double]] =
-    seeds.map { case (l, t) => l -> profile(t) }
+    seeds.map { case (l, t) => l -> profileOf(t) }
 
   def detect(text: String): LidResult = {
-    val p = profile(text.take(4000))
+    val p = profileOf(text.take(4000))
     if (p.isEmpty) return LidResult("und", 0.0)
     var bestLang = "und"; var bestCos = 0.0
     for ((lang, q) <- profiles.toSeq.sortBy(_._1)) {
@@ -122,9 +123,97 @@ object CharNgramDetector extends Detector {
   }
 }
 
+/** Indic-capable detector mirroring the reference's IndicLID routing
+  * (setu/lid.py:241-273 + 557-583): a roman-character-ratio router
+  * (`char_percent_check`, faithfully including its double-subtraction
+  * of newlines) sends romanized text to ROMANIZED trigram profiles
+  * (hi/bn/ta/te transliteration seeds + the English seed) and native
+  * text to NATIVE-script trigram profiles, falling back to the script
+  * histogram for scripts without a profile.
+  *
+  * Deviation from IndicLID (documented): where the roman path resolves
+  * to English or is low-confidence, this detector ABSTAINS ("und")
+  * instead of asserting "en" — the other three ensemble members own
+  * non-Indic text, and an always-voting Indic head would break ties
+  * against them. */
+object IndicDetector extends Detector {
+  val name = "indic"
+  private val InputThreshold = 0.5 // setu/lid.py:85 input_threshold
+
+  private val SpecialChars = "[@_!#$%^&*()<>?/\\\\|}{~:]".r
+  private val WhitespaceRe = "\\s".r
+  private val NewlineRe = "\n".r
+  private val RomanRe = "[a-zA-Z0-9]".r
+
+  /** setu/lid.py:241-273 char_percent_check, arithmetic mirrored
+    * exactly (yes, newlines are subtracted twice — once inside \s and
+    * once on their own — exactly as the reference does). */
+  def romanRatio(text: String): Double = {
+    val inputLen = text.codePointCount(0, text.length)
+    val specials = SpecialChars.findAllIn(text).size
+    val spaces = WhitespaceRe.findAllIn(text).size
+    val newlines = NewlineRe.findAllIn(text).size
+    val total = inputLen - (specials + spaces + newlines)
+    if (total == 0) 0.0
+    else RomanRe.findAllIn(text).size.toDouble / total
+  }
+
+  // Romanized transliteration seeds (public sample sentences).
+  private val romanSeeds: Map[String, String] = Map(
+    "hi" -> "namaste yah ek chhota sa vakya hai jo bhasha pahchan ke liye likha gaya hai aur isme samanya hindi shabd hain jaise aur hai ki se mein yah vah nahi kya karna hota",
+    "bn" -> "nomoshkar eti ekti chhoto bakyo ja bhasha chinhito korar jonno lekha hoyeche ebong ete sadharon bangla shobdo ache jemon ebong hoy theke modhye ami tumi korte hobe",
+    "ta" -> "vanakkam idhu mozhi adaiyalathirkaga ezhudhappatta oru siriya vakkiyam idhil podhuvana tamizh sorkal ullana nandri romba seiya vendum irukku enna eppadi",
+    "te" -> "namaskaram idi bhasha gurtimpu kosam rasina chinna vakyam indulo sadharana telugu padalu unnayi dhanyavadalu chala cheyali undi emi ela avunu kadu",
+    "en" -> "the quick brown fox jumps over the lazy dog and then it runs to the house with the other animals because they are waiting there for food and water")
+
+  private val nativeSeeds: Map[String, String] = Map(
+    "hi" -> "नमस्ते यह एक छोटा सा वाक्य है जो भाषा पहचान के लिए लिखा गया है और इसमें सामान्य हिंदी शब्द हैं जैसे और है की से में यह वह नहीं क्या करना होता",
+    "bn" -> "নমস্কার এটি একটি ছোট বাক্য যা ভাষা শনাক্তকরণের জন্য লেখা হয়েছে এবং এতে সাধারণ বাংলা শব্দ আছে যেমন এবং হয় থেকে মধ্যে আমি তুমি করতে হবে",
+    "ta" -> "வணக்கம் இது மொழி அடையாளத்திற்காக எழுதப்பட்ட ஒரு சிறிய வாக்கியம் இதில் பொதுவான தமிழ் சொற்கள் உள்ளன நன்றி ரொம்ப செய்ய வேண்டும் இருக்கு என்ன எப்படி",
+    "te" -> "నమస్కారం ఇది భాషా గుర్తింపు కోసం రాసిన చిన్న వాక్యం ఇందులో సాధారణ తెలుగు పదాలు ఉన్నాయి ధన్యవాదాలు చాలా చేయాలి ఉంది ఏమి ఎలా అవును కాదు")
+
+  private val romanProfiles = romanSeeds.map { case (l, t) =>
+    l -> CharNgramDetector.profileOf(t)
+  }
+  private val nativeProfiles = nativeSeeds.map { case (l, t) =>
+    l -> CharNgramDetector.profileOf(t)
+  }
+
+  private def best(p: Map[String, Double],
+      profiles: Map[String, Map[String, Double]]): (String, Double) = {
+    var bestLang = "und"; var bestCos = 0.0
+    for ((lang, q) <- profiles.toSeq.sortBy(_._1)) {
+      var dot = 0.0
+      for ((g, w) <- p) dot += w * q.getOrElse(g, 0.0)
+      if (dot > bestCos) { bestLang = lang; bestCos = dot }
+    }
+    (bestLang, bestCos)
+  }
+
+  def detect(text: String): LidResult = {
+    if (text.isEmpty) return LidResult("und", 0.0)
+    val p = CharNgramDetector.profileOf(text.take(4000))
+    if (p.isEmpty) return LidResult("und", 0.0)
+    if (romanRatio(text) >= InputThreshold) {
+      val (lang, cos) = best(p, romanProfiles)
+      // roman path: only assert romanized INDIC with enough signal
+      if (lang == "en" || lang == "und" || cos < 0.3) LidResult("und", 0.0)
+      else LidResult(lang, cos)
+    } else {
+      val (lang, cos) = best(p, nativeProfiles)
+      if (lang != "und" && cos >= 0.3) LidResult(lang, cos)
+      else ScriptDetector.detect(text) match {
+        // script fallback names the language only off-Latin
+        case r if r.lang != "en" => r
+        case _ => LidResult("und", 0.0)
+      }
+    }
+  }
+}
+
 object Ensemble extends Serializable {
   val detectors: Seq[Detector] =
-    Seq(CharNgramDetector, StopwordDetector, ScriptDetector)
+    Seq(IndicDetector, CharNgramDetector, StopwordDetector, ScriptDetector)
 
   /** Hard majority vote over non-abstaining detectors ("und" =
     * abstain); ties resolved by detector priority order. */
@@ -150,10 +239,12 @@ object Ensemble extends Serializable {
           (id, vote(rs),
             rs(0).lang, rs(0).confidence,
             rs(1).lang, rs(1).confidence,
-            rs(2).lang, rs(2).confidence)
+            rs(2).lang, rs(2).confidence,
+            rs(3).lang, rs(3).confidence)
         }
       }
-      .toDF(idCol, "doc_lang", "ngram_lang", "ngram_conf",
-        "stop_lang", "stop_conf", "script_lang", "script_conf")
+      .toDF(idCol, "doc_lang", "indic_lang", "indic_conf",
+        "ngram_lang", "ngram_conf", "stop_lang", "stop_conf",
+        "script_lang", "script_conf")
   }
 }

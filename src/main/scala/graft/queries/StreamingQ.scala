@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+
 import graft.Tables
 import graft.lid.Ensemble
 import graft.streaming.StreamOps
@@ -42,6 +44,52 @@ object StreamingQ {
       .orderBy($"doc_id")
   }
 
+  /** The SCRIPT member of the LID ensemble, oracle-backed: the Unicode-
+    * script histogram vote IS SQL-expressible, so this pins the script
+    * detector against DuckDB on text carrying Devanagari / Bengali /
+    * Latin-only rows (letters = \p{L} on both sides; vowel signs are
+    * marks, not letters, in both engines). */
+  val dLidScript: Spec = Spec(
+    "d_lid_script",
+    oracle = Some("""
+      WITH r AS (SELECT doc_id,
+          substr(text,1,15) || CASE doc_id % 3
+            WHEN 0 THEN repeat(' नमस', 10)
+            WHEN 1 THEN repeat(' রাম', 10) ELSE '' END AS rich
+        FROM documents WHERE doc_id % 5 = 0),
+      c AS (SELECT doc_id,
+          length(regexp_replace(regexp_replace(rich,
+            '[^\x{0900}-\x{097f}]', '', 'g'), '[^\p{L}]', '', 'g')) AS n_hi,
+          length(regexp_replace(regexp_replace(rich,
+            '[^\x{0980}-\x{09ff}]', '', 'g'), '[^\p{L}]', '', 'g')) AS n_bn,
+          length(regexp_replace(rich, '[^a-zA-Z]', '', 'g')) AS n_lat
+        FROM r)
+      SELECT doc_id,
+        CASE WHEN n_hi > n_bn AND n_hi > n_lat THEN 'hi'
+             WHEN n_bn > n_hi AND n_bn > n_lat THEN 'bn'
+             ELSE 'en' END AS script_lang,
+        ROUND(CASE
+          WHEN n_hi > n_bn AND n_hi > n_lat
+            THEN CAST(n_hi AS DOUBLE) / (n_hi + n_bn + n_lat)
+          WHEN n_bn > n_hi AND n_bn > n_lat
+            THEN CAST(n_bn AS DOUBLE) / (n_hi + n_bn + n_lat)
+          ELSE 0.3 * CAST(n_lat AS DOUBLE) / (n_hi + n_bn + n_lat)
+        END, 6) AS script_conf
+      FROM c ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    val rich = concat(substring($"text", 1, 15),
+      when($"doc_id" % 3 === 0, repeat(lit(" नमस"), 10))
+        .when($"doc_id" % 3 === 1, repeat(lit(" রাম"), 10))
+        .otherwise(lit("")))
+    val input = Tables.load(s, dir, "documents")
+      .filter($"doc_id" % 5 === 0)
+      .select($"doc_id", rich.as("rich"))
+    Ensemble.annotate(s, input, "doc_id", "rich")
+      .select($"doc_id", $"script_lang",
+        round($"script_conf", 6).as("script_conf"))
+      .orderBy($"doc_id")
+  }
+
   /** Whole fused pipeline (clean → stats → flag/remove → exact+fuzzy
     * dedup) as a single headline metric; CC clustering makes it
     * non-SQL-expressible, so rows-only. */
@@ -55,5 +103,5 @@ object StreamingQ {
       .orderBy(org.apache.spark.sql.functions.col("doc_id"))
   }
 
-  val specs: Seq[Spec] = Seq(stTumbling, stDedup, dLid, pipelineE2e)
+  val specs: Seq[Spec] = Seq(stTumbling, stDedup, dLid, dLidScript, pipelineE2e)
 }

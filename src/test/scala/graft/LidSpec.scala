@@ -44,13 +44,41 @@ class LidSpec extends AnyFunSuite {
       LidResult("und", 0.0), LidResult("es", 0.5), LidResult("es", 0.4))) == "es")
   }
 
+  test("roman ratio mirrors char_percent_check arithmetic") {
+    // pure roman text → 1.0
+    assert(IndicDetector.romanRatio("abc def") == 1.0)
+    // pure Devanagari → 0.0
+    assert(IndicDetector.romanRatio("नमस्ते जी") == 0.0)
+    // special chars excluded from the denominator
+    assert(IndicDetector.romanRatio("ab!!") == 1.0)
+    // mixed: 4 roman / 8 non-space chars
+    assert(IndicDetector.romanRatio("abcd नमस्ते") == 4.0 / 10)
+  }
+
+  test("indic detector: native and romanized Hindi/Tamil, abstains on European") {
+    assert(IndicDetector.detect(samples("hi")).lang == "hi")
+    assert(IndicDetector.detect(
+      "namaste yah bhasha pahchan ka parikshan hai aur isme hindi shabd hain").lang == "hi")
+    assert(IndicDetector.detect(
+      "vanakkam idhu tamizh mozhi adaiyala parikshai nandri romba").lang == "ta")
+    assert(IndicDetector.detect(
+      "নমস্কার এটি বাংলা ভাষা শনাক্তকরণের পরীক্ষা").lang == "bn")
+    // European text must not get an Indic vote (abstain keeps the
+    // ensemble ties owned by the ngram/stopword heads)
+    assert(IndicDetector.detect(samples("en")).lang == "und")
+    assert(IndicDetector.detect(samples("fr")).lang == "und")
+    // non-profiled non-Latin scripts fall back to the script head
+    assert(IndicDetector.detect(samples("ru")).lang == "ru")
+  }
+
   test("annotate produces per-detector columns + vote over a DataFrame") {
     import spark.implicits._
     val df = samples.toSeq.zipWithIndex
       .map { case ((l, t), i) => (i.toLong, l, t) }
       .toDF("doc_id", "expected", "text")
     val out = Ensemble.annotate(spark, df, "doc_id", "text")
-    assert(out.columns.toSeq == Seq("doc_id", "doc_lang", "ngram_lang",
+    assert(out.columns.toSeq == Seq("doc_id", "doc_lang",
+      "indic_lang", "indic_conf", "ngram_lang",
       "ngram_conf", "stop_lang", "stop_conf", "script_lang", "script_conf"))
     val got = out.select("doc_id", "doc_lang").as[(Long, String)].collect().toMap
     val expected = samples.toSeq.zipWithIndex
