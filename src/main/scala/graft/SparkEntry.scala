@@ -16,7 +16,8 @@ object SparkEntry {
 
   def specs: Seq[Spec] =
     Relational.specs ++ Events.specs ++ TextOps.specs ++ CleaningOps.specs ++
-      Dedup.specs ++ Similarity.specs ++ Multimodal.specs ++ StreamingQ.specs
+      Lexical.specs ++ Dedup.specs ++ Similarity.specs ++ Multimodal.specs ++
+      StreamingQ.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -50,8 +50,15 @@ final class AhoCorasick(val keywords: IndexedSeq[String]) extends Serializable {
     }
   }
 
+  // Combining marks count as word chars: in Brahmic scripts a vowel
+  // sign / nukta / virama continues the word, so "चूत" must NOT match
+  // inside "चूतिया" (the following char is U+093F, category Mc).
   @inline private def isWordChar(c: Char): Boolean =
-    Character.isLetterOrDigit(c) || c == '_'
+    Character.isLetterOrDigit(c) || c == '_' || {
+      val t = Character.getType(c)
+      t == Character.NON_SPACING_MARK || t == Character.COMBINING_SPACING_MARK ||
+        t == Character.ENCLOSING_MARK
+    }
 
   /** Boundary-valid match spans as (start, end) codepoint-naive char
     * offsets, in match-end order (F15 shape, setu/filters.py:733-740). */

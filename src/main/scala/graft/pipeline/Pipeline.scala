@@ -18,6 +18,7 @@ import graft.sources.DocSources
   */
 final case class PipelineConfig(
     keywords: Seq[String] = Seq("slow", "dup", "hash join"),
+    stopwords: Seq[String] = Seq("the", "a"),
     flags: Flagging.Config = Flagging.Config(),
     minhashThreshold: Double = 0.5,
     fuzzyDedup: Boolean = true,
@@ -36,12 +37,22 @@ object PipelineConfig {
     def dbl(k: String, d: Double) = if (root.has(k)) root.get(k).asDouble else d
     def int(k: String, d: Int) = if (root.has(k)) root.get(k).asInt else d
     def bool(k: String, d: Boolean) = if (root.has(k)) root.get(k).asBoolean else d
-    val kws =
-      if (root.has("keywords"))
-        root.get("keywords").elements().asScala.map(_.asText).toSeq
-      else Seq("slow", "dup", "hash join")
+    def strList(k: String): Option[Seq[String]] =
+      if (root.has(k)) Some(root.get(k).elements().asScala.map(_.asText).toSeq)
+      else None
+    // Keyword sources, in precedence order: explicit inline list, then
+    // shipped per-language lexicons (the reference's filter_data files).
+    val kws = strList("keywords")
+      .orElse(strList("nsfw_lexicons")
+        .map(ls => graft.sources.Lexicons.nsfwUnion(ls)))
+      .getOrElse(Seq("slow", "dup", "hash join"))
+    val stops = strList("stopwords")
+      .orElse(strList("stopword_lexicons")
+        .map(ls => graft.sources.Lexicons.stopwordUnion(ls)))
+      .getOrElse(Seq("the", "a"))
     PipelineConfig(
       keywords = kws,
+      stopwords = stops,
       flags = Flagging.Config(
         minWordCount = int("min_word_count", 60),
         minMeanWordLen = dbl("min_mean_word_len", 3.2),
@@ -54,6 +65,11 @@ object PipelineConfig {
       checkpointRoot =
         if (root.has("checkpoint_root")) Some(root.get("checkpoint_root").asText) else None)
   }
+
+  /** The shipped per-language config (the reference's
+    * configs/crawls/spark_<lang>_config.json analog). */
+  def forLanguage(lang: String, configsDir: String = "configs"): PipelineConfig =
+    fromJsonFile(s"$configsDir/graft_${lang}_config.json")
 }
 
 /** A pipeline stage: named DataFrame transform (the reference's
@@ -91,6 +107,9 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
           GraftFunctions.keywordCount($"text", cfg.keywords).cast("double") /
             size(toks))
         .withColumn("non_li_ratio", Text.charClassOutRatio($"text", "[a-z ]"))
+        .withColumn("stopword_ratio",
+          GraftFunctions.keywordCount($"text", cfg.stopwords).cast("double") /
+            size(toks))
         .withColumn("word_rep_score", GraftFunctions.wordNgramRep(toks, 5))
     }
   }

@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions
+import graft.ops.Text
+import graft.sources.Lexicons
+
+/** Multi-language lexicon queries (SURVEY §2.8 F13/F14/F16 with REAL
+  * per-language data, reference: setu/data/filter_data + loading at
+  * setu/constants.py:179-233): one shared Aho-Corasick automaton over
+  * the UNION of the shipped language lexicons — the shape a mixed-
+  * language corpus run uses — verified against a token-membership
+  * DuckDB oracle generated from the very same lexicon files, so the
+  * two sides cannot drift.
+  *
+  * Inputs: the synthetic corpus has no lexicon terms, so each doc gets
+  * two terms of a doc_id-selected language appended deterministically
+  * (identical expression on both sides); base-text hits remain fully
+  * oracle-checked (membership over the whole union list).
+  */
+object Lexical {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "documents")
+
+  private val langs = Lexicons.languages // english german hindi bengali tamil
+
+  private def sqlQuote(w: String) = "'" + w.replace("'", "''") + "'"
+
+  /** First two single-token terms per language, used as the injected
+    * payload (loaded once; shared by Spark plan and oracle SQL). */
+  private def injected(kind: String): Seq[(String, String, String)] =
+    langs.map { l =>
+      val terms = (if (kind == "nsfw") Lexicons.nsfw(l)
+                   else Lexicons.stopwords(l)).filter(!_.contains(" "))
+      (l, terms(0), terms(1))
+    }
+
+  private def richSql(inj: Seq[(String, String, String)]): String = {
+    val cases = inj.zipWithIndex.map { case ((_, a, b), i) =>
+      s"WHEN $i THEN ' ' || ${sqlQuote(a)} || ' ' || ${sqlQuote(b)}"
+    }.mkString(" ")
+    s"text || CASE doc_id % ${inj.size} $cases END"
+  }
+
+  private def richCol(s: org.apache.spark.sql.SparkSession,
+      inj: Seq[(String, String, String)]) = {
+    import s.implicits._
+    val branches = inj.zipWithIndex.map { case ((_, a, b), i) =>
+      (i, s" $a $b")
+    }
+    branches.tail.foldLeft(
+        when($"doc_id" % inj.size === branches.head._1, lit(branches.head._2))) {
+      case (acc, (i, payload)) => acc.when($"doc_id" % inj.size === i, lit(payload))
+    }.otherwise(lit("")) // unreachable; keeps the CASE total
+  }
+
+  private def membershipSql(terms: Seq[String]): String =
+    s"len(list_filter(string_split(rich, ' '), x -> x IN (${terms.map(sqlQuote).mkString(", ")})))"
+
+  /** F13/F14 with the real multi-language NSFW union lexicon. */
+  val dNsfwMultilang: Spec = Spec(
+    "d_nsfw_multilang", {
+      val inj = injected("nsfw")
+      val union = Lexicons.nsfwUnion().filter(!_.contains(" "))
+      Some(s"""
+      WITH r AS (
+        SELECT doc_id, ${richSql(inj)} AS rich
+        FROM documents WHERE doc_id % 4 = 0)
+      SELECT doc_id,
+        CAST(${membershipSql(union)} AS BIGINT) AS n_nsfw,
+        ROUND(CAST(${membershipSql(union)} AS DOUBLE)
+          / len(string_split(rich, ' ')), 6) AS nsfw_ratio
+      FROM r ORDER BY doc_id""")
+    }) { (s, dir) =>
+    import s.implicits._
+    val inj = injected("nsfw")
+    val union = Lexicons.nsfwUnion().filter(!_.contains(" "))
+    val n = GraftFunctions.keywordCount($"rich", union).cast("long")
+    docs(s, dir)
+      .filter($"doc_id" % 4 === 0)
+      .select($"doc_id", concat($"text", richCol(s, inj)).as("rich"))
+      .select($"doc_id", n.as("n_nsfw"),
+        round(n.cast("double") / size(Text.tokens($"rich")), 6).as("nsfw_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  /** F16 with the real multi-language stopword union lexicon. */
+  val dStopwordMultilang: Spec = Spec(
+    "d_stopword_multilang", {
+      val inj = injected("stopwords")
+      val union = Lexicons.stopwordUnion().filter(!_.contains(" "))
+      Some(s"""
+      WITH r AS (
+        SELECT doc_id, ${richSql(inj)} AS rich
+        FROM documents WHERE doc_id % 4 = 0)
+      SELECT doc_id,
+        CAST(${membershipSql(union)} AS BIGINT) AS n_stopwords,
+        ROUND(CAST(${membershipSql(union)} AS DOUBLE)
+          / len(string_split(rich, ' ')), 6) AS stopword_ratio
+      FROM r ORDER BY doc_id""")
+    }) { (s, dir) =>
+    import s.implicits._
+    val inj = injected("stopwords")
+    val union = Lexicons.stopwordUnion().filter(!_.contains(" "))
+    val n = GraftFunctions.keywordCount($"rich", union).cast("long")
+    docs(s, dir)
+      .filter($"doc_id" % 4 === 0)
+      .select($"doc_id", concat($"text", richCol(s, inj)).as("rich"))
+      .select($"doc_id", n.as("n_stopwords"),
+        round(n.cast("double") / size(Text.tokens($"rich")), 6).as("stopword_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  val specs: Seq[Spec] = Seq(dNsfwMultilang, dStopwordMultilang)
+}

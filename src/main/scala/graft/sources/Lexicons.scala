@@ -1,0 +1,33 @@
+package graft.sources
+
+/** Per-language filter lexicons (the reference's
+  * `setu/data/filter_data/{nsfw,stopwords}/<lang>.txt`, loaded at
+  * setu/constants.py:179-233). Own compilations shipped as CLASSPATH
+  * resources so they travel inside the library jar to every executor —
+  * no side-channel file distribution on a cluster.
+  */
+object Lexicons {
+
+  private def load(kind: String, lang: String): Seq[String] = {
+    val path = s"/graft/lexicons/$kind/$lang.txt"
+    val in = getClass.getResourceAsStream(path)
+    require(in != null, s"no $kind lexicon for language '$lang' ($path)")
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().map(_.trim).filter(_.nonEmpty).toVector
+    finally in.close()
+  }
+
+  /** Languages with shipped lexicons. */
+  val languages: Seq[String] =
+    Seq("english", "german", "hindi", "bengali", "tamil")
+
+  def nsfw(lang: String): Seq[String] = load("nsfw", lang)
+  def stopwords(lang: String): Seq[String] = load("stopwords", lang)
+
+  /** Deduplicated union across languages — what a multilingual corpus
+    * run feeds the single shared Aho-Corasick automaton. */
+  def nsfwUnion(langs: Seq[String] = languages): Seq[String] =
+    langs.flatMap(nsfw).distinct
+  def stopwordUnion(langs: Seq[String] = languages): Seq[String] =
+    langs.flatMap(stopwords).distinct
+}

@@ -82,6 +82,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(cfg.flags.nonLiRatio == 0.05) // default preserved
   }
 
+  test("per-language lexicons load and thread through shipped configs") {
+    import graft.sources.Lexicons
+    for (l <- Lexicons.languages) {
+      assert(Lexicons.nsfw(l).nonEmpty, s"nsfw $l")
+      assert(Lexicons.stopwords(l).nonEmpty, s"stopwords $l")
+    }
+    // non-Latin lexicons really are non-Latin
+    assert(Lexicons.stopwords("hindi").exists(_.exists(_ >= 0x0900.toChar)))
+    assert(Lexicons.nsfw("bengali").exists(_.exists(c => c >= 0x0980.toChar && c <= 0x09FF.toChar)))
+    // union automaton input is deduplicated
+    val union = Lexicons.nsfwUnion()
+    assert(union.distinct.size == union.size)
+    // shipped config resolves its language's lexicons
+    val cfg = PipelineConfig.forLanguage("hindi")
+    assert(cfg.keywords == Lexicons.nsfw("hindi"))
+    assert(cfg.stopwords == Lexicons.stopwords("hindi"))
+    val en = PipelineConfig.forLanguage("english")
+    assert(en.stopwords.contains("the"))
+  }
+
   test("manifest source unions listed parquet files (S3)") {
     val m = tmp("graft-manifest") + "/m.info"
     Files.writeString(java.nio.file.Path.of(m),
