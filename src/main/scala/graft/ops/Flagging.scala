@@ -28,11 +28,14 @@ object Flagging {
       .withColumn("is_non_li_heavy", col("non_li_ratio") >= cfg.nonLiRatio)
       .withColumn("has_word_repetition", col("word_rep_score") >= cfg.wordRepScore)
 
+  /** Disjunction of all flags (the removed-docs predicate). */
+  def anyFlag: org.apache.spark.sql.Column =
+    col("has_less_words") || col("is_short_words_heavy") ||
+      col("is_nsfw_heavy") || col("is_non_li_heavy") ||
+      col("has_word_repetition")
+
   /** Survivors: docs with every flag false (reference's sequential
     * per-flag filters collapse to one conjunction). */
   def removeFlagged(flagged: DataFrame): DataFrame =
-    flagged.filter(
-      !col("has_less_words") && !col("is_short_words_heavy") &&
-        !col("is_nsfw_heavy") && !col("is_non_li_heavy") &&
-        !col("has_word_repetition"))
+    flagged.filter(!anyFlag)
 }

@@ -149,11 +149,8 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
     Seq(CleanStage, StatsStage, FlagRemoveStage, ExactDedupStage) ++
       (if (cfg.fuzzyDedup) Seq(FuzzyDedupStage) else Nil)
 
-  /** Run all stages. With `checkpointRoot` set, each stage materializes
-    * to parquet and the next re-reads (the reference's semantics);
-    * otherwise one fused plan. */
-  def run(input: DataFrame): DataFrame =
-    stages.foldLeft(input) { (df, st) =>
+  private def applyStages(input: DataFrame, sts: Seq[Stage]): DataFrame =
+    sts.foldLeft(input) { (df, st) =>
       val out = st(df)
       cfg.checkpointRoot match {
         case Some(root) =>
@@ -164,23 +161,47 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
       }
     }
 
+  /** Run all stages. With `checkpointRoot` set, each stage materializes
+    * to parquet and the next re-reads (the reference's semantics);
+    * otherwise one fused plan. */
+  def run(input: DataFrame): DataFrame = applyStages(input, stages)
+
   /** Run + write the final corpus partitioned by language (S9), with
     * the removed/flagged docs to a side channel (S10/S11 semantics:
     * filtered-out rows are data too — audits and threshold tuning read
-    * them back). */
+    * them back).
+    *
+    * Single-scan design: clean+stats+flags are computed ONCE and
+    * materialized (localCheckpoint); the `_removed` side channel and
+    * the survivor pipeline both read the materialized frame, and the
+    * final count rides the corpus write via `observe` — the input is
+    * scanned exactly once per run and the output is never re-read. */
   def runAndWrite(input: DataFrame, outPath: String,
       sideChannel: Boolean = true): Long = {
-    val out = run(input)
-    DocSources.writePartitioned(out, outPath, cfg.langCol)
-    if (sideChannel) {
-      val flagged = Flagging.addFlags(
-        stages.take(2).foldLeft(input)((df, st) => st(df)), cfg.flags)
-        .filter(col("has_less_words") || col("is_short_words_heavy") ||
-          col("is_nsfw_heavy") || col("is_non_li_heavy") ||
-          col("has_word_repetition"))
-      DocSources.writeParquet(flagged, outPath + "_removed")
+    val dedupStages =
+      Seq(ExactDedupStage) ++ (if (cfg.fuzzyDedup) Seq(FuzzyDedupStage) else Nil)
+    val (deduped, flaggedSrc) = cfg.checkpointRoot match {
+      case Some(root) =>
+        // reference semantics: every named stage materializes; the side
+        // channel re-reads the STATS checkpoint, never the raw input
+        val out = run(input)
+        (out, Flagging.addFlags(spark.read.parquet(s"$root/${StatsStage.name}"),
+          cfg.flags))
+      case None =>
+        val withFlags0 = Flagging.addFlags(
+          applyStages(input, Seq(CleanStage, StatsStage)), cfg.flags)
+        val withFlags =
+          if (sideChannel) withFlags0.localCheckpoint() else withFlags0
+        (applyStages(Flagging.removeFlagged(withFlags), dedupStages), withFlags)
     }
-    spark.read.parquet(outPath).count()
+    if (sideChannel)
+      DocSources.writeParquet(flaggedSrc.filter(Flagging.anyFlag),
+        outPath + "_removed")
+    val obs = org.apache.spark.sql.Observation("pipeline")
+    DocSources.writePartitioned(
+      deduped.observe(obs, count(lit(1)).as("n_docs")),
+      outPath, cfg.langCol)
+    obs.get("n_docs").asInstanceOf[Long]
   }
 }
 

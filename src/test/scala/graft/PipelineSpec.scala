@@ -82,6 +82,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(cfg.flags.nonLiRatio == 0.05) // default preserved
   }
 
+  test("runAndWrite: one input scan, observe-counted write, consistent outputs") {
+    val outDir = tmp("graft-single") + "/corpus"
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+    val cfg = PipelineConfig(fuzzyDedup = false)
+    val p = new Pipeline(spark, cfg)
+    val n = p.runAndWrite(docs, outDir)
+    // observe-counted result equals what actually landed on disk
+    assert(n == spark.read.parquet(outDir).count())
+    val removed = spark.read.parquet(outDir + "_removed")
+    assert(removed.count() > 0 && removed.columns.contains("has_less_words"))
+    // removed + survivors (pre-dedup) partition the input exactly
+    val flagged = graft.ops.Flagging.addFlags(
+      p.StatsStage(p.CleanStage(docs)), cfg.flags)
+    assert(removed.count() +
+      graft.ops.Flagging.removeFlagged(flagged).count() == docs.count())
+    // the materialized-flags pattern runAndWrite uses: downstream plans
+    // read the checkpointed frame, never the input files again
+    val ckpt = flagged.localCheckpoint()
+    val plan = graft.ops.Flagging.removeFlagged(ckpt)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan parquet"), plan)
+  }
+
   test("per-language lexicons load and thread through shipped configs") {
     import graft.sources.Lexicons
     for (l <- Lexicons.languages) {
