@@ -5,42 +5,80 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing (training-pipeline addition): media rides
   * as an opaque `binary` column + typed metadata; decode/feature steps
-  * run per-partition over iterators so a real decoder (image/audio libs)
-  * drops in without changing the plan shape.
+  * run per-partition over iterators so heavier codecs drop in without
+  * changing the plan shape.
   *
-  * The decode itself is STUBBED deterministically (this container ships
-  * no media codecs): "width/height/frames" derive from the byte length,
-  * and the checksum is a real md5 over the bytes. The Spark-side
-  * contract — binary schema in, typed metadata out, partition-batched
-  * execution, no driver collection — is the real, tested part.
+  * Decoding is REAL for image payloads: a header-only javax.imageio
+  * probe (in-JVM, no external codecs) yields true width/height/format
+  * for PNG/JPEG/GIF/BMP bytes without decoding pixel data. Non-image
+  * payloads (e.g. the synthetic text-bytes corpus, or audio/video whose
+  * codecs this container lacks) fall back to the deterministic stub,
+  * clearly tagged `format = "stub"`.
   */
 object Multimodal {
+
+  // no AWT display, no ImageIO disk cache (a temp file per row would
+  // dominate the probe cost on executors)
+  System.setProperty("java.awt.headless", "true")
+  javax.imageio.ImageIO.setUseCache(false)
 
   final case class MediaBlob(doc_id: Long, data: Array[Byte])
   final case class MediaMeta(
       doc_id: Long, byte_len: Long, width: Long, height: Long,
-      n_frames: Long, checksum: String)
+      n_frames: Long, checksum: String, format: String)
 
-  /** STUB decoder: deterministic pseudo-metadata from the payload. A
-    * production build replaces only this function with a codec call. */
+  private def md5Hex(data: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(data).map("%02x".format(_)).mkString
+
+  /** Header-only image probe: reader chosen by content sniffing, only
+    * dimensions + format name read — no pixel decode. */
+  def probeImage(data: Array[Byte]): Option[(Long, Long, String)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(data))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          Some((r.getWidth(0).toLong, r.getHeight(0).toLong,
+            r.getFormatName.toLowerCase))
+        } finally r.dispose()
+      }
+    } catch {
+      case _: java.io.IOException => None // truncated/corrupt header
+    } finally iis.close()
+  }
+
+  /** STUB decoder for non-image payloads: deterministic pseudo-metadata
+    * from the payload (md5 is real). */
   def decodeStub(blob: MediaBlob): MediaMeta = {
     val n = blob.data.length.toLong
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(blob.data).map("%02x".format(_)).mkString
     MediaMeta(
       doc_id = blob.doc_id,
       byte_len = n,
       width = 640L + n % 1280,
       height = 360L + (n * 7) % 720,
       n_frames = 1L + n % 100,
-      checksum = hex)
+      checksum = md5Hex(blob.data),
+      format = "stub")
+  }
+
+  /** Real-first decode: imageio probe, stub fallback. */
+  def decode(blob: MediaBlob): MediaMeta = probeImage(blob.data) match {
+    case Some((w, h, fmt)) =>
+      MediaMeta(blob.doc_id, blob.data.length.toLong, w, h,
+        n_frames = 1L, checksum = md5Hex(blob.data), format = fmt)
+    case None => decodeStub(blob)
   }
 
   /** Binary → metadata over partition iterators (the mapInPandas shape
     * in JVM form: stream batches, never materialize a partition). */
   def extractMeta(blobs: Dataset[MediaBlob]): Dataset[MediaMeta] = {
     import blobs.sparkSession.implicits._
-    blobs.mapPartitions(_.map(decodeStub))
+    blobs.mapPartitions(_.map(decode))
   }
 
   /** documents.text → binary payload (stand-in for real media bytes). */
@@ -48,5 +86,33 @@ object Multimodal {
     import s.implicits._
     docsDf.select(col("doc_id"), encode(col("text"), "UTF-8").as("data"))
       .as[MediaBlob]
+  }
+
+  /** Deterministic in-engine PNG payloads (fixture generator): a real
+    * RGB image of doc_id-derived dimensions, PNG-encoded per row on the
+    * executors. Exists so the REAL decode path has an oracle — the
+    * encoded bytes are engine-specific but the decoded dimensions are
+    * exactly the generator's arithmetic. */
+  def syntheticPngBlobs(ids: Dataset[java.lang.Long]): Dataset[MediaBlob] = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions(_.map { boxed =>
+      val id = boxed.longValue()
+      val w = (16 + id % 32).toInt
+      val h = (16 + (id * 3) % 32).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, ((x * 31 + y * 17 + id).toInt) & 0xFFFFFF)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      MediaBlob(id, bos.toByteArray)
+    })
   }
 }

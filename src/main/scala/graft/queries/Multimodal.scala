@@ -7,9 +7,10 @@ import graft.ops.{Multimodal => MM}
 
 object Multimodal {
 
-  /** Binary decode→metadata pipeline; the oracle replays the stub's
-    * arithmetic on the UTF-8 text bytes (md5(varchar) hashes UTF-8 in
-    * DuckDB, same bytes the Spark side digests). */
+  /** Binary decode→metadata pipeline on NON-image payloads (text
+    * bytes): the real imageio probe rejects them, so the oracle replays
+    * the stub's arithmetic with format='stub' (md5(varchar) hashes
+    * UTF-8 in DuckDB, same bytes the Spark side digests). */
   val mmDecodeMeta: Spec = Spec(
     "mm_decode_meta",
     oracle = Some("""
@@ -18,12 +19,37 @@ object Multimodal {
         CAST(640 + strlen(text) % 1280 AS BIGINT) AS width,
         CAST(360 + (strlen(text) * 7) % 720 AS BIGINT) AS height,
         CAST(1 + strlen(text) % 100 AS BIGINT) AS n_frames,
-        md5(text) AS checksum
+        md5(text) AS checksum,
+        'stub' AS format
       FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""")) { (s, dir) =>
     import s.implicits._
     MM.extractMeta(
         MM.asBlobs(s, Tables.load(s, dir, "documents").filter($"doc_id" % 10 === 0)))
       .toDF()
+      .orderBy($"doc_id")
+  }
+
+  /** REAL image decode: deterministic PNGs are generated per row on the
+    * executors (doc_id-derived dimensions), then decoded by the
+    * header-only javax.imageio probe. The oracle states the generator's
+    * dimension arithmetic — a decode bug (or stub fallback) cannot
+    * hash-match it. */
+  val mmImageDecode: Spec = Spec(
+    "mm_image_decode",
+    oracle = Some("""
+      SELECT doc_id,
+        CAST(16 + doc_id % 32 AS BIGINT) AS width,
+        CAST(16 + (doc_id * 3) % 32 AS BIGINT) AS height,
+        CAST(1 AS BIGINT) AS n_frames,
+        'png' AS format
+      FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    val ids = Tables.load(s, dir, "documents")
+      .filter($"doc_id" % 20 === 0)
+      .select($"doc_id").as[java.lang.Long]
+    MM.extractMeta(MM.syntheticPngBlobs(ids))
+      .toDF()
+      .select($"doc_id", $"width", $"height", $"n_frames", $"format")
       .orderBy($"doc_id")
   }
 
@@ -53,5 +79,5 @@ object Multimodal {
       .orderBy($"doc_id", $"frame_id")
   }
 
-  val specs: Seq[Spec] = Seq(mmDecodeMeta, mmFrameSample)
+  val specs: Seq[Spec] = Seq(mmDecodeMeta, mmImageDecode, mmFrameSample)
 }
