@@ -31,6 +31,10 @@ object GraftFunctions {
   def indicNormalize(text: Column, lang: Column): Column =
     column(IndicNormalize(expression(text), expression(lang)))
 
+  /** F20: truncate invalid chunks at their last terminal punctuation. */
+  def removeNonTerminalPuncSpan(c: Column, chunkLenThreshold: Double): Column =
+    column(NonTerminalPuncSpanRemove(expression(c), chunkLenThreshold))
+
   def charNgramRep(c: Column, n: Int): Column =
     column(CharNgramRepScore(expression(c), n))
 
@@ -88,5 +92,13 @@ object GraftFunctions {
     }
     reg("graft_rolling_hash")(es => RollingHash(es.head))
     reg("graft_indic_normalize")(es => IndicNormalize(es.head, es(1)))
+    reg("graft_remove_non_terminal_punc_span") { es =>
+      NonTerminalPuncSpanRemove(es.head, es(1) match {
+        case Literal(v: Double, _) => v
+        case Literal(v: Int, _) => v.toDouble
+        case other => throw new IllegalArgumentException(
+          s"chunk_len_threshold must be a numeric literal, got $other")
+      })
+    }
   }
 }

@@ -174,6 +174,51 @@ case class WordNgramRepScore(child: Expression, n: Int)
   override def prettyName: String = "graft_word_ngram_rep"
 }
 
+/** F20 remove_non_terminal_punc_span (setu/filters.py:250-281): for a
+  * chunk with invalid terminal punctuation, truncate at the LAST
+  * terminal-punctuation occurrence and keep the prefix only if it still
+  * has more than `chunkLenThreshold` single-space words; exception-
+  * suffixed chunks ("..."/"####") are removed outright. Returns null
+  * for removed chunks (the reference's None). */
+case class NonTerminalPuncSpanRemove(child: Expression, chunkLenThreshold: Double)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any = {
+    val chunk = input.asInstanceOf[UTF8String].toString
+    NonTerminalPuncSpanRemove.eval(chunk, chunkLenThreshold) match {
+      case null => null
+      case s    => UTF8String.fromString(s)
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "graft_remove_non_terminal_punc_span"
+}
+
+object NonTerminalPuncSpanRemove {
+  /** setu/constants.py:125-134 — the reference tuples verbatim. */
+  val TerminalPunctuations: Seq[String] =
+    Seq(".", "!", "?", "।", "।।", ":", ",", ";", ")", "\"", "'", "؟", "۔")
+  val TerminalExceptions: Seq[String] = Seq("...", "####")
+
+  def isTerminalValid(chunk: String): Boolean =
+    TerminalPunctuations.exists(chunk.endsWith) &&
+      !TerminalExceptions.exists(chunk.endsWith)
+
+  /** The reference's exact flow (valid chunks pass through unchanged). */
+  def eval(chunk: String, chunkLenThreshold: Double): String = {
+    if (isTerminalValid(chunk)) return chunk
+    if (TerminalExceptions.exists(chunk.endsWith)) return null
+    var latestIdx = -1
+    for (p <- TerminalPunctuations) {
+      val i = chunk.lastIndexOf(p)
+      if (latestIdx < i) latestIdx = i
+    }
+    val cut = chunk.substring(0, latestIdx + 1)
+    if (cut.split(" ", -1).length > chunkLenThreshold) cut else null
+  }
+}
+
 /** Rolling polynomial fingerprint (base 257 mod 2^61-1) — order-
   * sensitive content hash for document fingerprinting. */
 case class RollingHash(child: Expression)

@@ -91,6 +91,39 @@ object Text {
   def removeCode(c: Column): Column =
     CodePatterns.foldLeft(c)((col, p) => regexp_replace(col, p, ""))
 
+  /** F21 terminal_punc_filter (setu/filters.py:370-386): drop the
+    * `\n`-chunks whose terminal punctuation is invalid; returns the
+    * cleaned text. Pair with [[terminalPuncFlagged]] for the count. */
+  def terminalPuncClean(c: Column): Column =
+    array_join(filter(split(c, "\n", -1), ch => isTerminalValid(ch)), "\n")
+
+  /** F21 companion: number of chunks dropped. */
+  def terminalPuncFlagged(c: Column): Column =
+    size(split(c, "\n", -1)) -
+      size(filter(split(c, "\n", -1), ch => isTerminalValid(ch)))
+
+  /** F22 split_at_terminal_punc (setu/filters.py:295-307, IndicNLP
+    * sentence_split): language-routed sentence segmentation — Brahmic
+    * scripts split on danda family, Urdu-script languages on Arabic
+    * question/full stop, Latin on `.?!`; delimiter kept attached,
+    * pieces trimmed, empties dropped. */
+  def sentenceSplitPattern(lang: String): String =
+    graft.functions.IndicNorm.langScript.get(lang.toLowerCase) match {
+      case Some(Some(_)) => "[.?!।॥](\\n+)?" // Brahmic script
+      case Some(None)    => "[.?!؟۔](\\n+)?" // Urdu-script langs
+      case _             => "[.?!](\\n+)?"   // Latin / unknown
+    }
+
+  def sentenceSplit(c: Column, lang: String): Column =
+    filter(
+      transform(
+        org.apache.spark.sql.graft.bridge.column(
+          graft.functions.SplitKeepDelimiter(
+            org.apache.spark.sql.graft.bridge.expression(c),
+            sentenceSplitPattern(lang))),
+        s => trim(s)),
+      s => s =!= "")
+
   /** Distinct word-shingle set for similarity/dedup (first-occurrence
     * order; tight-loop expression — see WordShingles). */
   def shingleSet(textCol: Column, n: Int): Column =

@@ -313,7 +313,158 @@ object CleaningOps {
       .orderBy($"doc_id")
   }
 
+  /** F21 terminal_punc_filter (setu/filters.py:370-386): drop invalid
+    * newline-chunks, keep the cleaned text + flagged count. */
+  val dTerminalPuncFilter: Spec = Spec(
+    "d_terminal_punc_filter",
+    oracle = Some("""
+      WITH r AS (
+        SELECT doc_id,
+          substr(text,1,20) || '.' || chr(10) || substr(text,21,15) || chr(10) ||
+          substr(text,41,10) || '!' || chr(10) || substr(text,1,8) || '...' AS rich
+        FROM documents WHERE doc_id % 10 = 0),
+      f AS (
+        SELECT doc_id,
+          list_filter(string_split(rich, chr(10)), x ->
+            regexp_matches(x, '[.!?।:,;)"''؟۔]$|॥$')
+            AND NOT x LIKE '%...' AND NOT x LIKE '%####') AS kept,
+          string_split(rich, chr(10)) AS all_chunks
+        FROM r)
+      SELECT doc_id, array_to_string(kept, chr(10)) AS cleaned,
+        CAST(len(all_chunks) - len(kept) AS BIGINT) AS n_flagged
+      FROM f ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    val rich = concat(
+      substring($"text", 1, 20), lit(".\n"),
+      substring($"text", 21, 15), lit("\n"),
+      substring($"text", 41, 10), lit("!\n"),
+      substring($"text", 1, 8), lit("..."))
+    docs(s, dir)
+      .filter($"doc_id" % 10 === 0)
+      .select($"doc_id", rich.as("rich"))
+      .select($"doc_id",
+        Text.terminalPuncClean($"rich").as("cleaned"),
+        Text.terminalPuncFlagged($"rich").cast("long").as("n_flagged"))
+      .orderBy($"doc_id")
+  }
+
+  /** F20 remove_non_terminal_punc_span (setu/filters.py:250-281):
+    * invalid chunks truncate at their last terminal punctuation and
+    * survive only above the word threshold; exception suffixes remove
+    * outright. Null results surface as removed=true + empty string so
+    * the hash compare never sees engine-specific null encodings. */
+  val dNonTermSpanRemove: Spec = Spec(
+    "d_nonterm_span_remove",
+    oracle = Some("""
+      WITH c AS (
+        SELECT doc_id, 1 AS chunk_kind, substr(text,1,30) || '.' AS chunk
+          FROM documents WHERE doc_id % 10 = 0
+        UNION ALL SELECT doc_id, 2, substr(text,1,30) || ' tail words here'
+          FROM documents WHERE doc_id % 10 = 0
+        UNION ALL SELECT doc_id, 3, substr(text,1,30) || '. extra trailing junk'
+          FROM documents WHERE doc_id % 10 = 0
+        UNION ALL SELECT doc_id, 4, substr(text,1,5) || '...'
+          FROM documents WHERE doc_id % 10 = 0
+        UNION ALL SELECT doc_id, 5, substr(text,1,20) || ': xx'
+          FROM documents WHERE doc_id % 10 = 0
+        UNION ALL SELECT doc_id, 6, substr(text,1,2) || '. xx'
+          FROM documents WHERE doc_id % 10 = 0),
+      e AS (
+        SELECT doc_id, chunk_kind, chunk,
+          regexp_replace(chunk, '[^.!?।:,;)"''؟۔]*$', '') AS cut
+        FROM c),
+      o AS (
+        SELECT doc_id, chunk_kind,
+          CASE
+            WHEN regexp_matches(chunk, '[.!?।:,;)"''؟۔]$')
+                 AND NOT chunk LIKE '%...' AND NOT chunk LIKE '%####'
+              THEN chunk
+            WHEN chunk LIKE '%...' OR chunk LIKE '%####' THEN NULL
+            WHEN len(string_split(cut, ' ')) > 2 THEN cut
+            ELSE NULL
+          END AS result
+        FROM e)
+      SELECT doc_id, chunk_kind, COALESCE(result, '') AS result,
+        (result IS NULL) AS removed
+      FROM o ORDER BY doc_id, chunk_kind""")) { (s, dir) =>
+    import s.implicits._
+    docs(s, dir)
+      .filter($"doc_id" % 10 === 0)
+      .select($"doc_id", explode(array(
+        struct(lit(1).as("chunk_kind"),
+          concat(substring($"text", 1, 30), lit(".")).as("chunk")),
+        struct(lit(2).as("chunk_kind"),
+          concat(substring($"text", 1, 30), lit(" tail words here")).as("chunk")),
+        struct(lit(3).as("chunk_kind"),
+          concat(substring($"text", 1, 30), lit(". extra trailing junk")).as("chunk")),
+        struct(lit(4).as("chunk_kind"),
+          concat(substring($"text", 1, 5), lit("...")).as("chunk")),
+        struct(lit(5).as("chunk_kind"),
+          concat(substring($"text", 1, 20), lit(": xx")).as("chunk")),
+        struct(lit(6).as("chunk_kind"),
+          concat(substring($"text", 1, 2), lit(". xx")).as("chunk"))))
+        .as("c"))
+      .withColumn("result",
+        GraftFunctions.removeNonTerminalPuncSpan($"c.chunk", 2.0))
+      .select($"doc_id", $"c.chunk_kind",
+        coalesce($"result", lit("")).as("result"),
+        $"result".isNull.as("removed"))
+      .orderBy($"doc_id", $"chunk_kind")
+  }
+
+  /** F22 split_at_terminal_punc (setu/filters.py:295-307): language-
+    * routed sentence split — Hindi rows segment on the danda family,
+    * English rows on `.?!`; pieces trimmed, empties dropped. */
+  val dSentenceSplitLang: Spec = Spec(
+    "d_sentence_split_lang",
+    oracle = Some("""
+      WITH r AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 2 = 0 THEN 'hindi' ELSE 'english' END AS lang_name,
+          CASE WHEN doc_id % 2 = 0 THEN
+            substr(text,1,20) || '। ' || substr(text,21,15) || '? ' ||
+              substr(text,41,10) || '॥'
+          ELSE
+            substr(text,1,20) || '. ' || substr(text,21,15) || '! ' ||
+              substr(text,41,10)
+          END AS rich
+        FROM documents WHERE doc_id % 10 = 0),
+      p AS (
+        SELECT doc_id, lang_name,
+          list_filter(list_transform(
+            CASE WHEN lang_name = 'hindi'
+              THEN regexp_extract_all(rich, '[^.?!।॥]*[.?!।॥]|[^.?!।॥]+')
+              ELSE regexp_extract_all(rich, '[^.?!]*[.?!]|[^.?!]+')
+            END, x -> trim(x)), x -> x != '') AS sents
+        FROM r)
+      SELECT doc_id, lang_name,
+        CAST(generate_subscripts(sents, 1) - 1 AS BIGINT) AS pos,
+        unnest(sents) AS sentence
+      FROM p ORDER BY doc_id, pos""")) { (s, dir) =>
+    import s.implicits._
+    val richHi = concat(
+      substring($"text", 1, 20), lit("। "),
+      substring($"text", 21, 15), lit("? "),
+      substring($"text", 41, 10), lit("॥"))
+    val richEn = concat(
+      substring($"text", 1, 20), lit(". "),
+      substring($"text", 21, 15), lit("! "),
+      substring($"text", 41, 10))
+    docs(s, dir)
+      .filter($"doc_id" % 10 === 0)
+      .select($"doc_id",
+        when($"doc_id" % 2 === 0, lit("hindi")).otherwise(lit("english"))
+          .as("lang_name"),
+        when($"doc_id" % 2 === 0, Text.sentenceSplit(richHi, "hindi"))
+          .otherwise(Text.sentenceSplit(richEn, "english")).as("sents"))
+      .select($"doc_id", $"lang_name",
+        posexplode($"sents").as(Seq("pos", "sentence")))
+      .select($"doc_id", $"lang_name", $"pos".cast("long").as("pos"), $"sentence")
+      .orderBy($"doc_id", $"pos")
+  }
+
   val specs: Seq[Spec] = Seq(
     dSplitSentences, dNumPuncChunks, dTerminalChunks, dNumberChunks,
-    dCodeDetect, dCodeRemove, dNormalizeIndic)
+    dCodeDetect, dCodeRemove, dNormalizeIndic, dTerminalPuncFilter,
+    dNonTermSpanRemove, dSentenceSplitLang)
 }

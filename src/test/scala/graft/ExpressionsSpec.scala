@@ -19,6 +19,40 @@ class ExpressionsSpec extends AnyFunSuite {
   private def oneSeq(c: org.apache.spark.sql.Column, text: String): List[String] =
     Seq(text).toDF("t").select(c.as("r")).collect()(0).getSeq[String](0).toList
 
+  test("remove_non_terminal_punc_span mirrors the reference flow (F20)") {
+    import graft.functions.NonTerminalPuncSpanRemove.eval
+    // valid terminal → unchanged
+    assert(eval("hello world.", 2) == "hello world.")
+    // exception suffix → removed
+    assert(eval("abc...", 2) == null)
+    assert(eval("abc####", 2) == null)
+    // invalid tail truncates at the LAST terminal punctuation
+    assert(eval("one two three. junk junk", 2) == "one two three.")
+    // cut too short for the word threshold → removed
+    assert(eval("a. xx", 5) == null)
+    // no terminal punctuation at all → empty cut → removed
+    assert(eval("a b c", 2) == null)
+    // DataFrame/SQL surface
+    val got = one[String](
+      graft.functions.GraftFunctions
+        .removeNonTerminalPuncSpan($"t", 2.0), "one two three: tail")
+    assert(got == "one two three:")
+  }
+
+  test("sentence split routes delimiters by language (F22)") {
+    import graft.ops.Text
+    assert(oneSeq(Text.sentenceSplit($"t", "hindi"), "नमस्ते। कैसे हो? ठीक")
+      == List("नमस्ते।", "कैसे हो?", "ठीक"))
+    assert(oneSeq(Text.sentenceSplit($"t", "english"), "Hi there. Ok! end")
+      == List("Hi there.", "Ok!", "end"))
+    // danda is NOT a delimiter for english
+    assert(oneSeq(Text.sentenceSplit($"t", "english"), "a। b")
+      == List("a। b"))
+    // urdu splits on Arabic question mark / full stop
+    assert(oneSeq(Text.sentenceSplit($"t", "urdu"), "کیا؟ ہاں۔ اور")
+      == List("کیا؟", "ہاں۔", "اور"))
+  }
+
   test("split_keep_delim keeps danda/urdu delimiters attached (F1)") {
     val got = oneSeq(splitKeepDelim($"t", SentenceDelimiterPattern), "क।ख॥ग؟x")
     // ॥ is two । in sequence? No — U+0965 is one char; class contains ॥
