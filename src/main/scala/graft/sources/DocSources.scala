@@ -33,6 +33,38 @@ object DocSources {
     finally src.close()
   }
 
+  /** S12: remote object-store scan (the reference's GCS fetch,
+    * setu/main.py:141-150, downloads objects to local disk driver-side;
+    * on Spark the RIGHT shape is no fetch step at all).
+    *
+    * Spark reads object stores natively through the Hadoop FileSystem
+    * connector keyed by URI scheme — `gs://bucket/...` (GCS connector),
+    * `s3a://bucket/...` (hadoop-aws), `abfss://...` (ABFS), `hdfs://`,
+    * `file://`. Deployment story for a 100 TB run:
+    *  1. ship the connector jar (e.g. gcs-connector or hadoop-aws) on
+    *     the executor classpath;
+    *  2. credentials via Hadoop conf (`spark.hadoop.fs.gs.auth.*` /
+    *     `spark.hadoop.fs.s3a.*`), never in code;
+    *  3. read DIRECTLY with the same `readParquet`/`readJson` calls —
+    *     listing, splitting and range reads are distributed across
+    *     executors, with predicate/column pushdown intact, so there is
+    *     no local-disk staging bottleneck and no driver-side download.
+    * This helper only validates the scheme is a configured FileSystem —
+    * the local test environment ships no cloud connectors, so remote
+    * schemes fail fast with a clear message instead of mid-job. */
+  def readRemote(s: SparkSession, uri: String): DataFrame = {
+    val u = new java.net.URI(uri)
+    try org.apache.hadoop.fs.FileSystem.get(
+      u, s.sparkContext.hadoopConfiguration)
+    catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"no Hadoop FileSystem for scheme '${u.getScheme}' — ship the " +
+          "connector jar (gcs-connector / hadoop-aws) and configure " +
+          "spark.hadoop.fs.* credentials", e)
+    }
+    readParquet(s, uri)
+  }
+
   /** S8: overwrite parquet sink. */
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)

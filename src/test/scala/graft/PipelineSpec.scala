@@ -125,6 +125,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(en.stopwords.contains("the"))
   }
 
+  test("remote-FS source: file:// reads, unconfigured cloud scheme fails fast (S12)") {
+    val n = DocSources.readRemote(spark,
+      s"file://${TestSpark.Sf}/documents.parquet").count()
+    assert(n == spark.read.parquet(s"${TestSpark.Sf}/documents.parquet").count())
+    val e = intercept[IllegalArgumentException] {
+      DocSources.readRemote(spark, "gs://bucket/corpus.parquet")
+    }
+    assert(e.getMessage.contains("connector"))
+  }
+
   test("manifest source unions listed parquet files (S3)") {
     val m = tmp("graft-manifest") + "/m.info"
     Files.writeString(java.nio.file.Path.of(m),
