@@ -107,6 +107,51 @@ object Vectors {
     topK(exact, k)
   }
 
+  /** Nearest-centroid id for a vector against a (small) broadcast
+    * centroid matrix: squared-L2 by sequential fold (bit-exact
+    * mirrorable), ties to the lowest cell id via struct array_min. */
+  def nearestCell(vec: Column, cents: Seq[Seq[Double]]): Column = {
+    val c = typedLit(cents)
+    array_min(transform(sequence(lit(0), lit(cents.size - 1)), j =>
+      struct(
+        aggregate(
+          zip_with(vec, element_at(c, j + 1),
+            (x, h) => (x.cast("double") - h) * (x.cast("double") - h)),
+          lit(0.0d), (acc, v) => acc + v).as("dist"),
+        j.cast("long").as("cell"))))
+      .getField("cell")
+  }
+
+  /** Deterministic Lloyd's k-means for the IVF coarse quantizer:
+    * first-k init (vec_id < k), FIXED iteration count, decimal-exact
+    * per-(cell,pos) means — every step is engine-mirrorable, so learned
+    * cells can be oracle-checked end to end. Centroids ride the driver
+    * (k × dim doubles — tiny); each iteration is one broadcast argmin
+    * projection + one (cell,pos)-keyed shuffle agg over the corpus. A
+    * production quantizer would train on a SAMPLE and iterate to
+    * convergence; the fixed shape here is chosen for determinism. */
+  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int): Seq[Seq[Double]] = {
+    val base = emb.select(col("vec_id"), col("embedding"))
+    var cents: Seq[Seq[Double]] = base.filter(col("vec_id") < k)
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    for (_ <- 1 to iters) {
+      val dim = cents.head.size
+      val means = base
+        .withColumn("cell", nearestCell(col("embedding"), cents))
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(col("v").cast("decimal(28,14)")).cast("double") /
+          count(lit(1))).as("c"))
+        .collect()
+        .map(r => (r.getLong(0).toInt, r.getInt(1), r.getDouble(2)))
+      val next = Array.tabulate(k, dim)((cell, pos) => cents(cell)(pos))
+      means.foreach { case (cell, pos, v) => next(cell)(pos) = v }
+      cents = next.map(_.toSeq).toSeq
+    }
+    cents
+  }
+
   /** Deterministic ±1 random-hyperplane signs for bit `b`, dims 1..`dim`:
     * sign(b, d) = +1 iff the first hex char of md5("b_d") has even code.
     * md5-derived so an oracle can rebuild the identical matrix in SQL. */

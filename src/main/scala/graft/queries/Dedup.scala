@@ -170,7 +170,22 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** SimHash near-dup pairs via pigeonhole banding (hamming ≤ 3 ⇒ one
+    * of 4 16-bit bands agrees — recall 1 by construction, exact
+    * bit_count verify). xxhash64 has no DuckDB twin → no SQL oracle;
+    * exact equality with the all-pairs form is pinned in DedupSpec. */
+  val ddSimhashPairs: Spec = Spec(
+    "dd_simhash_pairs",
+    oracle = None) { (s, dir) =>
+    import s.implicits._
+    SimHash.neardupPairs(
+        Tables.load(s, dir, "documents")
+          .withColumn("toks", Text.tokens($"text")),
+        "doc_id", "toks", maxHamming = 3)
+      .orderBy($"id_a", $"id_b")
+  }
+
   val specs: Seq[Spec] = Seq(
     ddMinhashPairs, ddMinhashClusters, ddJaccardBlockPairs, ddExactHash,
-    ddSimhash)
+    ddSimhash, ddSimhashPairs)
 }

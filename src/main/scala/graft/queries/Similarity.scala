@@ -171,6 +171,111 @@ object Similarity {
       .orderBy($"qid", $"rk")
   }
 
+  /** DuckDB squared-L2 mirroring Vectors.nearestCell's sequential fold
+    * ((x-c)² accumulated left to right in double). */
+  private def distSql(v: String, c: String): String =
+    s"list_reduce(list_transform(range(1, 65), i -> ($v[i]::DOUBLE - $c[i]) * ($v[i]::DOUBLE - $c[i])), (x, y) -> x + y)"
+
+  /** Shared k-means CTE chain (k=8, deterministic first-k init,
+    * decimal-exact means) up to the second-iteration assignment. */
+  private val kmeansCtes = s"""
+      c0 AS (
+        SELECT vec_id AS cell, list_transform(embedding, x -> x::DOUBLE) AS cent
+        FROM embeddings WHERE vec_id < 8),
+      a1 AS (
+        SELECT vec_id, embedding, cell FROM (
+          SELECT e.vec_id, e.embedding, c.cell,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${distSql("e.embedding", "c.cent")}, c.cell) AS rk
+          FROM embeddings e CROSS JOIN c0 c) WHERE rk = 1),
+      c1 AS (
+        SELECT cell, pos,
+          CAST(SUM(CAST(v AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS cval
+        FROM (SELECT cell, generate_subscripts(embedding, 1) AS pos,
+                unnest(embedding) AS v FROM a1)
+        GROUP BY cell, pos),
+      c1l AS (SELECT cell, list(cval ORDER BY pos) AS cent FROM c1 GROUP BY cell),
+      a2 AS (
+        SELECT vec_id, embedding, cell FROM (
+          SELECT e.vec_id, e.embedding, c.cell,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${distSql("e.embedding", "c.cent")}, c.cell) AS rk
+          FROM embeddings e CROSS JOIN c1l c) WHERE rk = 1)"""
+
+  /** LEARNED IVF coarse quantizer: deterministic Lloyd's k-means (k=8,
+    * first-k init, decimal-exact means), oracle-checked END TO END —
+    * DuckDB re-runs both iterations and must reproduce every centroid
+    * component to 6 decimals and every cell size exactly. */
+  val eKmeansCentroids: Spec = Spec(
+    "e_kmeans_centroids",
+    oracle = Some(s"""
+      WITH $kmeansCtes
+      SELECT cell, CAST(pos AS BIGINT) AS pos,
+        FLOOR(CAST(SUM(CAST(v AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*)
+          * 1000000) / 1000000 AS centroid,
+        COUNT(*) AS n
+      FROM (SELECT cell, generate_subscripts(embedding, 1) AS pos,
+              unnest(embedding) AS v FROM a2)
+      GROUP BY cell, pos ORDER BY cell, pos""")) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val cents1 = Vectors.kmeansCentroids(emb, k = 8, iters = 1)
+    emb
+      .withColumn("cell", Vectors.nearestCell($"embedding", cents1))
+      .select($"cell", posexplode($"embedding").as(Seq("pos", "v")))
+      .groupBy($"cell", ($"pos" + 1).cast("long").as("pos"))
+      .agg(
+        // floor-truncate instead of round: rounding has half-way ties
+        // where engines disagree at the last digit; floor on the
+        // bit-identical mean is tie-free.
+        (floor(sum($"v".cast("decimal(28,14)")).cast("double") /
+          count(lit(1)) * 1000000).cast("double") / 1000000).as("centroid"),
+        count(lit(1)).as("n"))
+      .orderBy($"cell", $"pos")
+  }
+
+  /** kNN through the LEARNED quantizer: corpus and queries assigned to
+    * their nearest learned centroid, candidates restricted to the
+    * query's cell — e_knn_ivf with trained cells instead of labels.
+    * Oracle replays the full train+assign+search chain. */
+  val eKnnIvfLearned: Spec = Spec(
+    "e_knn_ivf_learned",
+    oracle = Some(s"""
+      WITH $kmeansCtes,
+      c2 AS (
+        SELECT cell, pos,
+          CAST(SUM(CAST(v AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS cval
+        FROM (SELECT cell, generate_subscripts(embedding, 1) AS pos,
+                unnest(embedding) AS v FROM a2)
+        GROUP BY cell, pos),
+      c2l AS (SELECT cell, list(cval ORDER BY pos) AS cent FROM c2 GROUP BY cell),
+      a3 AS (
+        SELECT vec_id, embedding, cell FROM (
+          SELECT e.vec_id, e.embedding, c.cell,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${distSql("e.embedding", "c.cent")}, c.cell) AS rk
+          FROM embeddings e CROSS JOIN c2l c) WHERE rk = 1),
+      scored AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+          ${cosSql("q.embedding", "c.embedding")} AS cos
+        FROM a3 q JOIN a3 c ON c.cell = q.cell AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < 20),
+      r AS (SELECT qid, cid, cos,
+        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rk
+        FROM scored)
+      SELECT qid, rk, cid, ROUND(cos, 6) AS cos_sim
+      FROM r WHERE rk <= 5 ORDER BY qid, rk""")) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val cents2 = Vectors.kmeansCentroids(emb, k = 8, iters = 2)
+    val assigned = emb
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+      .withColumn("cell", Vectors.nearestCell($"vec", cents2))
+    Vectors.knnCell(assigned.filter($"id" < 20), assigned, "cell", 5)
+      .select($"qid", $"rk", $"cid", round($"cos_sim", 6).as("cos_sim"))
+      .orderBy($"qid", $"rk")
+  }
+
   val specs: Seq[Spec] = Seq(eCentroids, eKnnBrute, eKnnCell, eNearDup,
-    eNearDupLsh, eKnnQuantized)
+    eNearDupLsh, eKnnQuantized, eKmeansCentroids, eKnnIvfLearned)
 }

@@ -44,6 +44,51 @@ object StreamingQ {
       .orderBy($"doc_id")
   }
 
+  /** Stateful streaming sessionization (flatMapGroupsWithState +
+    * EventTimeTimeout), oracle-backed: over a finite source the emitted
+    * set is exactly (a) every non-final session per user (closed
+    * in-batch by the 30-min gap) plus (b) final sessions whose timeout
+    * timestamp (session end in ms + 30 min) lies strictly below the
+    * final watermark (max event time in ms − 30 min) — the no-data
+    * micro-batch fires those timeouts. The oracle states that closure
+    * rule in SQL over the same batch sessionization. */
+  val stSessions: Spec = Spec(
+    "st_sessions",
+    oracle = Some("""
+      WITH m AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+          CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+               THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      sessed AS (
+        SELECT user_id, ts_us,
+          SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM m),
+      sess AS (
+        SELECT user_id, session_id,
+          MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
+          COUNT(*) AS n_events
+        FROM sessed GROUP BY user_id, session_id),
+      mx AS (SELECT MAX(epoch_us(ts)) AS max_us FROM events),
+      lastmark AS (
+        SELECT user_id, MAX(session_id) AS last_id FROM sess GROUP BY user_id)
+      SELECT s.user_id,
+        CAST(session_start_us AS BIGINT) AS session_start_us,
+        CAST(session_end_us AS BIGINT) AS session_end_us,
+        CAST(n_events AS BIGINT) AS n_events
+      FROM sess s JOIN lastmark l ON s.user_id = l.user_id CROSS JOIN mx
+      WHERE s.session_id < l.last_id
+         OR (session_end_us // 1000 + 1800000) < (max_us // 1000 - 1800000)
+      ORDER BY s.user_id, session_start_us""")) { (s, dir) =>
+    import s.implicits._
+    StreamOps.statefulSessions(s, dir)
+      .select($"user_id", $"session_start_us", $"session_end_us", $"n_events")
+      .orderBy($"user_id", $"session_start_us")
+  }
+
   /** The SCRIPT member of the LID ensemble, oracle-backed: the Unicode-
     * script histogram vote IS SQL-expressible, so this pins the script
     * detector against DuckDB on text carrying Devanagari / Bengali /
@@ -103,5 +148,6 @@ object StreamingQ {
       .orderBy(org.apache.spark.sql.functions.col("doc_id"))
   }
 
-  val specs: Seq[Spec] = Seq(stTumbling, stDedup, dLid, dLidScript, pipelineE2e)
+  val specs: Seq[Spec] = Seq(stTumbling, stDedup, stSessions, dLid, dLidScript,
+    pipelineE2e)
 }

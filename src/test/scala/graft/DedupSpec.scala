@@ -101,6 +101,19 @@ class DedupSpec extends AnyFunSuite {
     assert(ham(m(0L), m(2L)) > 10)
   }
 
+  test("simhash banded pairs equal the all-pairs form (pigeonhole recall 1)") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .withColumn("toks", Text.tokens($"text"))
+    val banded = SimHash.neardupPairs(docs, "doc_id", "toks", maxHamming = 3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val hashed = docs.select($"doc_id", SimHash.simhash64("toks").as("sh"))
+    val brute = hashed.as("a").join(hashed.as("b"), $"a.doc_id" < $"b.doc_id")
+      .filter(SimHash.hamming("a.sh", "b.sh") <= 3)
+      .select($"a.doc_id", $"b.doc_id").as[(Long, Long)].collect().toSet
+    assert(banded == brute)
+    assert(brute.nonEmpty, "corpus should contain simhash near-dups")
+  }
+
   test("exact-hash dedup is idempotent under whitespace normalization") {
     val docs = Seq((0L, "A  b  c"), (1L, "a b C"), (2L, "other")).toDF("doc_id", "text")
     val n = docs.select(md5(Text.normalizeWs($"text")).as("h")).distinct().count()
