@@ -82,12 +82,18 @@ trait Stage extends Serializable {
 class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
   import spark.implicits._
 
-  /** Clean: whitespace-normalize + NFKC (DocClean analog). */
+  /** Clean: per-language Indic normalization (F11 full — script rules +
+    * NFKC, routed by the language column when present) followed by
+    * whitespace-collapse/lowercase (DocClean analog). */
   object CleanStage extends Stage {
     val name = "clean"
-    def apply(df: DataFrame): DataFrame =
-      df.withColumn("text",
-        GraftFunctions.normalizeUnicode(Text.normalizeWs($"text")))
+    def apply(df: DataFrame): DataFrame = {
+      val normalized =
+        if (df.columns.contains(cfg.langCol))
+          GraftFunctions.indicNormalize($"text", col(cfg.langCol))
+        else GraftFunctions.normalizeUnicode($"text")
+      df.withColumn("text", Text.normalizeWs(normalized))
+    }
   }
 
   /** Analyse: append doc stats (Analysis analog — one projection, no

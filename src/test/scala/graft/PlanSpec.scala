@@ -57,6 +57,21 @@ class PlanSpec extends AnyFunSuite {
       "found a window with an empty partitionSpec (single-partition sort)")
   }
 
+  test("neardup lsh: signature computed once, bucket-local pairs, no cartesian") {
+    val p = plan("e_neardup_lsh")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) <= 3,
+      "expected ≤3 scans (bands + two vector re-attach):\n" + p)
+  }
+
+  test("prefix-filter jaccard: bucket-generated candidates, no block self-join") {
+    val p = plan("dd_jaccard_block_pairs")
+    assert(!p.contains("CartesianProduct"))
+    // candidates come from the (block, prefix-token) group-by, so the
+    // only joins are the two shingle-set re-attachments
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) <= 3, p)
+  }
+
   test("minhash pairs: no self-join recompute of signatures") {
     val p = plan("dd_minhash_pairs")
     val sigOccurrences = "graft_minhash_signature".r.findAllIn(p).size
