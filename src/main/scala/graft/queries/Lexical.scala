@@ -114,5 +114,42 @@ object Lexical {
       .orderBy($"doc_id")
   }
 
-  val specs: Seq[Spec] = Seq(dNsfwMultilang, dStopwordMultilang)
+  /** BPE-style pre-tokenization counting (GPT-2 pretokenizer shape,
+    * lookahead-free so both engines' RE2/Java regexes agree): runs of
+    * letters / digits / other-symbols each with an optional leading
+    * space, plus whitespace runs. Inputs carry injected punctuation and
+    * digits so all four branches fire. */
+  val dBpeTokenStats: Spec = Spec(
+    "d_bpe_token_stats", {
+      val pat = """ ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"""
+      Some(s"""
+      WITH r AS (
+        SELECT doc_id,
+          substr(text,1,60) || ', ' || CAST(doc_id AS VARCHAR) || ' items! ok' AS rich
+        FROM documents WHERE doc_id % 4 = 0),
+      t AS (SELECT doc_id, regexp_extract_all(rich, '$pat') AS toks FROM r)
+      SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
+        md5(array_to_string(toks, '|')) AS tokens_md5
+      FROM t ORDER BY doc_id""")
+    }) { (s, dir) =>
+    import s.implicits._
+    val pat = """ ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"""
+    docs(s, dir)
+      .filter($"doc_id" % 4 === 0)
+      .select($"doc_id", concat(
+        substring($"text", 1, 60), lit(", "),
+        $"doc_id".cast("string"), lit(" items! ok")).as("rich"))
+      .select($"doc_id",
+        regexp_extract_all($"rich", lit(pat), lit(0)).as("toks"))
+      .select($"doc_id",
+        size($"toks").cast("long").as("n_tokens"),
+        size(array_distinct($"toks")).cast("long").as("n_unique"),
+        md5(array_join($"toks", "|")).as("tokens_md5"))
+      .orderBy($"doc_id")
+  }
+
+  val specs: Seq[Spec] = Seq(dNsfwMultilang, dStopwordMultilang,
+    dBpeTokenStats)
 }
