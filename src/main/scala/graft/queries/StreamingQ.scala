@@ -135,12 +135,93 @@ object StreamingQ {
       .orderBy($"doc_id")
   }
 
-  /** Whole fused pipeline (clean → stats → flag/remove → exact+fuzzy
-    * dedup) as a single headline metric; CC clustering makes it
-    * non-SQL-expressible, so rows-only. */
+  /** Whole fused pipeline (clean → stats → flag/remove → exact dedup →
+    * MinHash-LSH fuzzy dedup with connected-component clustering),
+    * replayed END TO END by the oracle: cleaning + stats + flags as
+    * list ops, exact dedup as a QUALIFY window, the LSH pair recipe
+    * hash-for-hash, clusters as a recursive reachability CTE, and the
+    * final anti-join — every output column (including the unrounded
+    * double stats) must hash-match. */
   val pipelineE2e: Spec = Spec(
     "pipeline_e2e",
-    oracle = None,
+    oracle = Some {
+      val ng5 =
+        "list_transform(range(1, greatest(len(l)-3, 1)), i -> array_to_string(l[i:i+4], ' '))"
+      s"""
+      WITH RECURSIVE base AS (
+        SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS text,
+               lang, source, n_chars
+        FROM documents),
+      tok AS (SELECT *, string_split(text, ' ') AS l FROM base),
+      st AS (
+        SELECT doc_id, text, lang, source, n_chars, l,
+          CAST(len(l) AS BIGINT) AS words_count,
+          CAST(length(text) AS BIGINT) AS char_count,
+          CAST(strlen(text) AS BIGINT) AS bytes,
+          CAST(list_sum(list_transform(l, x -> length(x))) AS DOUBLE) / len(l)
+            AS mean_word_len,
+          CAST(len(list_filter(l, x -> x = 'slow' OR x = 'dup')) +
+            len(list_filter(list_transform(range(1, len(l)),
+              i -> array_to_string(l[i:i+1], ' ')), g -> g = 'hash join')) AS DOUBLE)
+            / len(l) AS nsfw_ratio,
+          CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+            / length(text) AS non_li_ratio,
+          CAST(len(list_filter(l, x -> x = 'the' OR x = 'a')) AS DOUBLE)
+            / len(l) AS stopword_ratio,
+          CASE WHEN len($ng5) = 0 THEN 0.0
+            ELSE CAST(len($ng5) - len(list_filter($ng5,
+              g -> len(list_filter($ng5, h -> h = g)) = 1)) AS DOUBLE)
+              / len($ng5) END AS word_rep_score
+        FROM tok),
+      fl AS (
+        SELECT *,
+          words_count <= 60 AS has_less_words,
+          mean_word_len <= 3.2 AS is_short_words_heavy,
+          nsfw_ratio >= 0.04 AS is_nsfw_heavy,
+          non_li_ratio >= 0.05 AS is_non_li_heavy,
+          word_rep_score >= 0.10 AS has_word_repetition
+        FROM st),
+      surv AS (
+        SELECT * FROM fl
+        WHERE NOT has_less_words AND NOT is_short_words_heavy
+          AND NOT is_nsfw_heavy AND NOT is_non_li_heavy
+          AND NOT has_word_repetition),
+      ex AS (
+        SELECT * FROM surv
+        QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(l)-1, 1)),
+          i -> array_to_string(l[i:i+2], ' '))) AS sh
+        FROM ex WHERE len(l) >= 3),
+      sig AS (SELECT doc_id, list_transform(range(0, 32),
+          p -> list_min(list_transform(sh, s -> md5(p::VARCHAR || '|' || s)))) AS sig
+        FROM sh),
+      bands AS (SELECT doc_id, b,
+          md5(b::VARCHAR || '|' || array_to_string(sig[b*4+1:b*4+4], '')) AS bk
+        FROM sig CROSS JOIN unnest(range(0, 8)) AS t(b)),
+      pairs AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+        FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk
+          AND a.doc_id < b.doc_id),
+      verified AS (
+        SELECT ida, idb FROM pairs
+        JOIN sh sa ON sa.doc_id = ida JOIN sh sb ON sb.doc_id = idb
+        WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+          (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5),
+      edges AS (SELECT ida AS src, idb AS dst FROM verified
+        UNION ALL SELECT idb, ida FROM verified),
+      walk(id, comp) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id),
+      labels AS (SELECT id, MIN(comp) AS component FROM walk GROUP BY id),
+      dropids AS (SELECT id FROM labels WHERE id <> component)
+      SELECT doc_id, text, lang, source, n_chars, words_count, char_count,
+        bytes, mean_word_len, nsfw_ratio, non_li_ratio, stopword_ratio,
+        word_rep_score, has_less_words, is_short_words_heavy, is_nsfw_heavy,
+        is_non_li_heavy, has_word_repetition
+      FROM ex WHERE doc_id NOT IN (SELECT id FROM dropids)
+      ORDER BY doc_id"""
+    },
     bench = true) { (s, dir) =>
     import graft.pipeline.{Pipeline, PipelineConfig}
     new Pipeline(s, PipelineConfig())
