@@ -64,4 +64,55 @@ class PropertiesSpec extends AnyFunSuite {
     assert(once.count() == once.dropDuplicates("text").count())
     assert(once.count() == 30)
   }
+
+  test("indic normalization is idempotent over generated + punctuated docs") {
+    import graft.functions.IndicNorm
+    val punct = Gen.oneOf("“", "”", "—", "–", "…", "''", "|", ":", " नमस्ते",
+      " ", "‍", ".")
+    val mixed = for {
+      d <- doc; p1 <- punct; p2 <- punct
+    } yield d + p1 + " x" + p2
+    val docs = (0 until 80).map(i =>
+      mixed.pureApply(Gen.Parameters.default, Seed(1000L + i)))
+    for (lang <- Seq("hindi", "bengali", "english", "urdu", "unknown"); t <- docs) {
+      val once = IndicNorm.normalize(t, lang)
+      assert(IndicNorm.normalize(once, lang) == once,
+        s"not idempotent for lang=$lang text=$t")
+    }
+  }
+
+  test("split-keep-delimiter reassembles to the input (generated docs)") {
+    val punctDoc = for {
+      d <- doc; tail <- Gen.oneOf(".", "!", "?", "", "!!", ". tail")
+    } yield d.replace(' ', '.') + tail
+    val docs = (0 until 60).map(i =>
+      punctDoc.pureApply(Gen.Parameters.default, Seed(2000L + i)))
+      .filter(_.nonEmpty)
+    val df = docs.toDF("t")
+      .select($"t",
+        graft.functions.GraftFunctions.splitKeepDelim($"t", "[.!?]+").as("l"))
+      .select(($"t" === array_join($"l", "")).as("ok"))
+    assert(df.filter(!$"ok").count() == 0)
+  }
+
+  test("prefix-filter jaccard join equals naive quadratic on random corpora") {
+    import graft.ops.{MinHash, Text}
+    // near-dup pairs planted by sharing prefixes of the same doc
+    val base = sampleDocs(25).filter(_.split(" ").length >= 8)
+    val docs = base.zipWithIndex.flatMap { case (t, i) =>
+      val toks = t.split(" ")
+      Seq((i * 2L, t), (i * 2L + 1, toks.dropRight(1).mkString(" ")))
+    }.toDF("doc_id", "text")
+    val sets = docs.filter(size(Text.tokens($"text")) >= 3)
+      .select($"doc_id", lit("g").as("g"), Text.shingleSet($"text", 3).as("sh"))
+    val fast = MinHash.jaccardPairsExact(sets, "doc_id", "sh", Seq("g"), 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val a = sets.select($"g", $"doc_id".as("id_a"), $"sh".as("sh_a"))
+    val b = sets.select($"g", $"doc_id".as("id_b"), $"sh".as("sh_b"))
+    val naive = a.join(b, Seq("g")).filter($"id_a" < $"id_b")
+      .filter(Text.jaccard($"sh_a", $"sh_b") >= 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(fast == naive)
+    assert(naive.nonEmpty)
+  }
 }
