@@ -509,10 +509,70 @@ object Relational {
       .orderBy($"p_partkey")
   }
 
+  /** Two-phase SALTED aggregation surfaced as a query: the hot-key
+    * shape AQE can't fix (a melting reducer under groupBy) goes through
+    * Skew.saltedAgg — partials on (key, salt), merge on key — and must
+    * produce EXACTLY the plain GROUP BY result the oracle states.
+    * Decimal partials keep the two-phase double sum order-independent. */
+  val qSaltedAgg: Spec = Spec(
+    "q_salted_agg",
+    oracle = Some(s"""
+      SELECT l_returnflag,
+        ${dsumSql("l_quantity")} AS sum_qty,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(MIN(l_orderkey) AS BIGINT) AS min_key
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")) { (s, dir) =>
+    import s.implicits._
+    graft.ops.Skew.saltedAgg(
+        Tables.load(s, dir, "lineitem"), Seq("l_returnflag"), saltBuckets = 16)(
+      "sum_qty" -> sum($"l_quantity".cast("decimal(18,2)")),
+      "n" -> count(lit(1)),
+      "min_key" -> min($"l_orderkey"))(
+      "sum_qty" -> (c => sum(col(c))),
+      "n" -> (c => sum(col(c))),
+      "min_key" -> (c => min(col(c))))
+      .select($"l_returnflag",
+        $"sum_qty".cast("double").as("sum_qty"),
+        $"n".cast("long").as("n"),
+        $"min_key".cast("long").as("min_key"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Interval (range) join: orders priced into NON-uniform bands via a
+    * broadcast interval table and a BETWEEN predicate — the band table
+    * is dim-sized, so the non-equi join plans as a broadcast nested
+    * loop, never a cartesian shuffle. */
+  val qRangeBandJoin: Spec = Spec(
+    "q_range_band_join",
+    oracle = Some("""
+      WITH bands(band_id, lo, hi) AS (VALUES
+        (0, 0.0, 50000.0), (1, 50000.0, 150000.0),
+        (2, 150000.0, 350000.0), (3, 350000.0, 1000000.0))
+      SELECT band_id, COUNT(*) AS n,
+        CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders JOIN bands
+        ON o_totalprice >= lo AND o_totalprice < hi
+      GROUP BY band_id ORDER BY band_id""")) { (s, dir) =>
+    import s.implicits._
+    val bands = Seq(
+      (0, 0.0, 50000.0), (1, 50000.0, 150000.0),
+      (2, 150000.0, 350000.0), (3, 350000.0, 1000000.0))
+      .toDF("band_id", "lo", "hi")
+    Tables.load(s, dir, "orders")
+      .join(broadcast(bands),
+        $"o_totalprice" >= $"lo" && $"o_totalprice" < $"hi")
+      .groupBy($"band_id")
+      .agg(count(lit(1)).as("n"),
+        min($"o_orderkey").cast("long").as("min_key"),
+        sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .orderBy($"band_id")
+  }
+
   val specs: Seq[Spec] = Seq(
     q1PricingSummary, q3TopOrders, q5RegionRevenue, q4LateShipments,
     qAntiCustomers, qTopPartsPerBrand, qRunningSupplier, qSetOps,
     qRollup, qPivot, qPercentiles, qHistogram, qDistinctAgg, qMonthly,
     qCaseWhen, qCube, qSqlSurface, qSketches, qWindowShapes,
-    qOrderLatency, qStringOps)
+    qOrderLatency, qStringOps, qSaltedAgg, qRangeBandJoin)
 }
