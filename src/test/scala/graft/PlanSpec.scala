@@ -2,6 +2,8 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import org.apache.spark.sql.functions.{count, lit}
+
 /** Physical-plan assertions: the plans we designed for are the plans we
   * get (pushdown reaches the scans, dims broadcast, no accidental
   * cartesian products, codegen on the hot aggregates). */
@@ -70,6 +72,42 @@ class PlanSpec extends AnyFunSuite {
     // candidates come from the (block, prefix-token) group-by, so the
     // only joins are the two shingle-set re-attachments
     assert(p.linesIterator.count(_.contains("FileScan parquet")) <= 3, p)
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange on either side") {
+    import spark.implicits._
+    // default warehouse dir (spark-warehouse/, gitignored) — the
+    // warehouse location is a static conf and can't move per-test
+    val orders = spark.read.parquet(s"${TestSpark.Sf}/orders.parquet")
+    val lineitem = spark.read.parquet(s"${TestSpark.Sf}/lineitem.parquet")
+    orders.write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("orders_bkt")
+    lineitem.write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("lineitem_bkt")
+    try {
+      // AQE off for the assertion: it rewraps the plan and hides the
+      // (absent) exchanges; the point is the static plan needs none.
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("lineitem_bkt")
+        .join(spark.table("orders_bkt"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
+      val p = joined.queryExecution.executedPlan.toString
+      val joinSection = p.substring(p.indexOf("SortMergeJoin"))
+      assert(!joinSection.contains("Exchange hashpartitioning"),
+        "bucketed join must not shuffle either side:\n" + p)
+      assert(joined.count() ==
+        lineitem.join(orders, $"l_orderkey" === $"o_orderkey")
+          .groupBy($"o_orderstatus").count().count())
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+    }
   }
 
   test("minhash pairs: no self-join recompute of signatures") {
