@@ -4,57 +4,75 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.types.UTF8String
 
 /** MinHash signature as a single tight-loop expression.
   *
-  * Semantics are EXACTLY graft.ops.MinHash.signature's HOF form (and the
-  * DuckDB oracle): perm i of shingle s = md5(i || "|" || s) hex,
-  * signature element = lexicographic min. The HOF form evaluates ~32×|sh|
-  * interpreted lambdas with boxed UTF8Strings per row (~100× slower);
-  * here the md5s run in one Java loop over reused byte buffers — this is
-  * the expression-beats-HOF case SURVEY §7 anticipated for hot scalars.
+  * Hash family (universal hashing over one md5-derived integer — the
+  * standard minwise recipe, vs the round-1 form's 32 md5s per shingle):
+  *   h(s)   = top 60 bits of md5(s) (= first 15 hex chars as int)
+  *   v_p(s) = (a_p·h(s) + b_p) mod M,  M = 2^61−1,
+  *   a_p = 2·p·2654435761 + 1,  b_p = p·40503 + 7
+  * signature element p = min over shingles of v_p. ONE md5 per shingle
+  * plus numPerm modular multiplies — ~32× less hashing on the dedup hot
+  * path at identical LSH quality; every step is exact integer math the
+  * DuckDB oracle replays verbatim (HUGEINT modulo there, 128-bit split
+  * multiply mod 2^61−1 here).
   */
 case class MinHashSignature(child: Expression, numPerm: Int)
     extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   @transient private lazy val digest =
     java.security.MessageDigest.getInstance("MD5")
-  private val hexChars = "0123456789abcdef".getBytes
+
+  private val M = (1L << 61) - 1
+
+  /** (a·h) mod 2^61−1 via 128-bit split multiply: 2^64 ≡ 8, 2^61 ≡ 1. */
+  @inline private def mulMod(a: Long, h: Long): Long = {
+    val hi = Math.multiplyHigh(a, h)
+    val lo = a * h
+    val r = hi * 8 + (lo >>> 61) + (lo & M)
+    val f = (r & M) + (r >>> 61)
+    if (f >= M) f - M else f
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    // No shingles → no signature (null), mirroring array_min of an
-    // empty array; never an array of nulls under containsNull=false.
+    // No shingles → no signature (null), mirroring list_min of an
+    // empty list; never an array of nulls under containsNull=false.
     if (n == 0) return null
-    val mins = new Array[Array[Byte]](numPerm)
+    // one md5 per shingle: top 60 bits (7 bytes + high nibble of byte 7)
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      digest.reset()
+      digest.update(arr.getUTF8String(i).getBytes)
+      val raw = digest.digest()
+      var h = 0L
+      var j = 0
+      while (j < 7) { h = (h << 8) | (raw(j) & 0xffL); j += 1 }
+      h = (h << 4) | ((raw(7) >> 4) & 0xfL)
+      hs(i) = h
+      i += 1
+    }
+    val mins = new Array[Any](numPerm)
     var p = 0
     while (p < numPerm) {
-      val prefix = (p.toString + "|").getBytes
-      var best: Array[Byte] = null
-      var i = 0
+      val a = 2L * p * 2654435761L + 1
+      val b = p.toLong * 40503 + 7
+      var best = Long.MaxValue
+      i = 0
       while (i < n) {
-        digest.reset()
-        digest.update(prefix)
-        digest.update(arr.getUTF8String(i).getBytes)
-        val raw = digest.digest()
-        val hex = new Array[Byte](32)
-        var j = 0
-        while (j < 16) {
-          hex(2 * j) = hexChars((raw(j) >> 4) & 0xf)
-          hex(2 * j + 1) = hexChars(raw(j) & 0xf)
-          j += 1
-        }
-        if (best == null || java.util.Arrays.compare(hex, best) < 0) best = hex
+        var v = mulMod(a, hs(i)) + b
+        if (v >= M) v -= M
+        if (v < best) best = v
         i += 1
       }
       mins(p) = best
       p += 1
     }
-    new GenericArrayData(
-      mins.map(b => UTF8String.fromBytes(b): Any))
+    new GenericArrayData(mins)
   }
   override def nullable: Boolean = true // null for empty shingle arrays
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

@@ -11,10 +11,11 @@ import graft.ops.{MinHash, SimHash, Text}
   */
 object Dedup {
 
-  /** The md5-permutation minhash recipe, mirrored verbatim in SQL. The
-    * shingle/sig/band construction must stay in lockstep with
-    * [[graft.ops.MinHash]] — both sides hash `perm || "|" || shingle`
-    * and band-hash the concatenated signature slice. */
+  /** The minhash recipe mirrored verbatim in SQL: one md5-derived
+    * 60-bit integer per shingle, universal-hash permutations
+    * (a_p·h + b_p) mod 2^61−1 via HUGEINT, band keys hashed over the
+    * concatenated decimal signature slice. Must stay in lockstep with
+    * [[graft.ops.MinHash]] / [[graft.functions.MinHashSignature]]. */
   private val minhashPairsSql = """
       WITH toks AS (
         SELECT doc_id, string_split(text,' ') AS l FROM documents),
@@ -24,7 +25,10 @@ object Dedup {
         FROM toks WHERE len(l) >= 3),
       sig AS (
         SELECT doc_id, list_transform(range(0, 32),
-          p -> list_min(list_transform(sh, s -> md5(p::VARCHAR || '|' || s)))) AS sig
+          p -> CAST(list_min(list_transform(sh, s ->
+            (CAST(2*p*2654435761 + 1 AS HUGEINT) *
+               (('0x' || substr(md5(s), 1, 15))::BIGINT) + (p*40503 + 7))
+              % 2305843009213693951)) AS BIGINT)) AS sig
         FROM sh),
       bands AS (
         SELECT doc_id, b,
@@ -70,7 +74,10 @@ object Dedup {
         FROM toks WHERE len(l) >= 3),
       sig AS (
         SELECT doc_id, list_transform(range(0, 32),
-          p -> list_min(list_transform(sh, s -> md5(p::VARCHAR || '|' || s)))) AS sig
+          p -> CAST(list_min(list_transform(sh, s ->
+            (CAST(2*p*2654435761 + 1 AS HUGEINT) *
+               (('0x' || substr(md5(s), 1, 15))::BIGINT) + (p*40503 + 7))
+              % 2305843009213693951)) AS BIGINT)) AS sig
         FROM sh),
       bands AS (
         SELECT doc_id, b,

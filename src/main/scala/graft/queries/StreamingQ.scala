@@ -194,7 +194,10 @@ object StreamingQ {
           i -> array_to_string(l[i:i+2], ' '))) AS sh
         FROM ex WHERE len(l) >= 3),
       sig AS (SELECT doc_id, list_transform(range(0, 32),
-          p -> list_min(list_transform(sh, s -> md5(p::VARCHAR || '|' || s)))) AS sig
+          p -> CAST(list_min(list_transform(sh, s ->
+            (CAST(2*p*2654435761 + 1 AS HUGEINT) *
+               (('0x' || substr(md5(s), 1, 15))::BIGINT) + (p*40503 + 7))
+              % 2305843009213693951)) AS BIGINT)) AS sig
         FROM sh),
       bands AS (SELECT doc_id, b,
           md5(b::VARCHAR || '|' || array_to_string(sig[b*4+1:b*4+4], '')) AS bk
