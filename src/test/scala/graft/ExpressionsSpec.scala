@@ -19,6 +19,26 @@ class ExpressionsSpec extends AnyFunSuite {
   private def oneSeq(c: org.apache.spark.sql.Column, text: String): List[String] =
     Seq(text).toDF("t").select(c.as("r")).collect()(0).getSeq[String](0).toList
 
+  test("minhash signature matches a BigInt reference implementation") {
+    // guards the 128-bit split-multiply mod 2^61-1 against the
+    // straightforward arbitrary-precision form
+    val shingles = Seq("a b c", "b c d", "c d e", "zebra quick fox", "x")
+    val M = BigInt(2).pow(61) - 1
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String): BigInt = BigInt(
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 15), 16)
+    val expected = (0 until 32).map { p =>
+      val a = BigInt(2L * p * 2654435761L + 1)
+      val b = BigInt(p.toLong * 40503 + 7)
+      shingles.map(s => (a * h(s) + b).mod(M)).min.toLong
+    }
+    val got = Seq(shingles).toDF("sh")
+      .select(graft.ops.MinHash.signature($"sh", 32).as("sig"))
+      .collect()(0).getSeq[Long](0)
+    assert(got == expected)
+  }
+
   test("remove_non_terminal_punc_span mirrors the reference flow (F20)") {
     import graft.functions.NonTerminalPuncSpanRemove.eval
     // valid terminal → unchanged
