@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Random-hyperplane signature bits as one tight loop (the LSH hot
+  * path for embedding dedup at corpus scale). Bit b = 1 iff the
+  * SEQUENTIAL left fold of Σ_d vec[d]·signs(b)(d) is positive —
+  * exactly the HOF form `aggregate(zip_with(vec, signs_b, *), 0.0, +)`
+  * and the oracle's `list_reduce`, so results are bit-identical while
+  * evaluating ~nBits×dim interpreted lambdas per row become one Java
+  * loop. Signs are the md5-derived ±1 matrix (Vectors.hyperplaneSigns).
+  */
+case class HyperplaneBits(child: Expression, signs: Seq[Seq[Double]])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  @transient private lazy val matrix: Array[Array[Double]] =
+    signs.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val dim = vec.numElements()
+    val v = new Array[Double](dim)
+    var d = 0
+    while (d < dim) { v(d) = vec.getFloat(d).toDouble; d += 1 }
+    val out = new Array[Any](matrix.length)
+    var b = 0
+    while (b < matrix.length) {
+      val row = matrix(b)
+      var acc = 0.0d
+      d = 0
+      // sequential fold, same order as the HOF/oracle form
+      while (d < dim && d < row.length) { acc += v(d) * row(d); d += 1 }
+      out(b) = if (acc > 0) 1 else 0
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "graft_hyperplane_bits"
+}

@@ -168,15 +168,13 @@ object Vectors {
 
   /** SimHash-style signature over an embedding: bit b = 1 iff the
     * sequential-fold dot with hyperplane b is positive. Row-local (no
-    * shuffle); the signs matrix is a plan literal, not per-row md5s. */
-  def hyperplaneSignature(vec: Column, nBits: Int, dim: Int): Column = {
-    val signs = typedLit(hyperplaneSigns(nBits, dim))
-    transform(sequence(lit(0), lit(nBits - 1)), b =>
-      when(aggregate(
-        zip_with(vec, element_at(signs, b + 1),
-          (x, h) => x.cast("double") * h),
-        lit(0.0d), (acc, v) => acc + v) > 0, 1).otherwise(0))
-  }
+    * shuffle); computed by one tight-loop expression with the signs
+    * matrix baked in — see [[graft.functions.HyperplaneBits]]. */
+  def hyperplaneSignature(vec: Column, nBits: Int, dim: Int): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.functions.HyperplaneBits(
+        org.apache.spark.sql.graft.bridge.expression(vec),
+        hyperplaneSigns(nBits, dim)))
 
   /** Near-duplicate pairs via random-hyperplane LSH + exact cosine
     * verification — the scale path that replaces all-pairs blocking:

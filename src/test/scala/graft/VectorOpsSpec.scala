@@ -63,6 +63,23 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall $recall over ${exact.size} exact pairs")
   }
 
+  test("hyperplane bits expression equals the HOF fold form") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+    val signs = Vectors.hyperplaneSigns(16, 64)
+    val signsLit = typedLit(signs)
+    val hof = transform(sequence(lit(0), lit(15)), b =>
+      when(aggregate(
+        zip_with($"embedding", element_at(signsLit, b + 1),
+          (x, h) => x.cast("double") * h),
+        lit(0.0d), (acc, v) => acc + v) > 0, 1).otherwise(0))
+    val diff = emb.select(
+        Vectors.hyperplaneSignature($"embedding", 16, 64).as("fast"),
+        hof.as("slow"))
+      .filter($"fast" =!= $"slow").count()
+    assert(diff == 0)
+  }
+
   test("dot/norm fold matches plain math") {
     val df = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
     val r = df.select(
