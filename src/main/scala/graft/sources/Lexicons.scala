@@ -19,7 +19,8 @@ object Lexicons {
 
   /** Languages with shipped lexicons. */
   val languages: Seq[String] =
-    Seq("english", "german", "hindi", "bengali", "tamil")
+    Seq("english", "german", "hindi", "bengali", "tamil",
+      "telugu", "kannada", "malayalam", "marathi", "urdu")
 
   def nsfw(lang: String): Seq[String] = load("nsfw", lang)
   def stopwords(lang: String): Seq[String] = load("stopwords", lang)
