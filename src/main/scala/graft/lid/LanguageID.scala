@@ -33,6 +33,8 @@ object ScriptDetector extends Detector {
     import Character.UnicodeScript._
     Map(HAN -> "zh", HIRAGANA -> "ja", KATAKANA -> "ja", HANGUL -> "ko",
       DEVANAGARI -> "hi", BENGALI -> "bn", TAMIL -> "ta", TELUGU -> "te",
+      KANNADA -> "kn", MALAYALAM -> "ml", GUJARATI -> "gu",
+      GURMUKHI -> "pa", ORIYA -> "or",
       ARABIC -> "ar", CYRILLIC -> "ru", GREEK -> "el", HEBREW -> "he",
       THAI -> "th", GEORGIAN -> "ka", ARMENIAN -> "hy")
   }

@@ -22,6 +22,11 @@ class LidSpec extends AnyFunSuite {
     assert(ScriptDetector.detect(samples("hi")).lang == "hi")
     assert(ScriptDetector.detect(samples("ru")).lang == "ru")
     assert(ScriptDetector.detect(samples("ar")).lang == "ar")
+    assert(ScriptDetector.detect("ಕನ್ನಡ ಭಾಷೆ ಪರೀಕ್ಷೆ").lang == "kn")
+    assert(ScriptDetector.detect("മലയാളം ഭാഷ പരീക്ഷ").lang == "ml")
+    assert(ScriptDetector.detect("ગુજરાતી ભાષા પરીક્ષણ").lang == "gu")
+    assert(ScriptDetector.detect("ਪੰਜਾਬੀ ਭਾਸ਼ਾ ਜਾਂਚ").lang == "pa")
+    assert(ScriptDetector.detect("ଓଡ଼ିଆ ଭାଷା ପରୀକ୍ଷା").lang == "or")
   }
 
   test("stopword detector separates Latin languages") {
