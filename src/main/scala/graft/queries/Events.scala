@@ -125,6 +125,42 @@ object Events {
       .orderBy($"event_id")
   }
 
+  /** As-of join WITH TOLERANCE: last click within 10 minutes before
+    * each purchase, else a -1 sentinel (null-free output keeps the
+    * hash compare engine-agnostic). The oracle states the semantics
+    * independently via DuckDB's native ASOF LEFT JOIN + gap filter —
+    * not a transliteration of the window plan. */
+  val qAsofTolerance: Spec = Spec(
+    "ev_asof_click_tolerance",
+    oracle = Some("""
+      WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                 FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, epoch_us(ts) AS ts_us
+            FROM events WHERE event_type = 'click')
+      SELECT p.event_id, p.user_id,
+        COALESCE(CASE WHEN p.ts_us - c.ts_us <= 600000000 THEN c.ts_us END, -1)
+          AS last_click_us
+      FROM p ASOF LEFT JOIN c
+        ON c.user_id = p.user_id AND c.ts_us <= p.ts_us
+      ORDER BY event_id""")) { (s, dir) =>
+    import s.implicits._
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts_us",
+        when($"event_type" === "click", 0).otherwise(1), $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    load(s, dir)
+      .filter($"event_type".isin("click", "purchase"))
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("last_click_us",
+        last(when($"event_type" === "click", $"ts_us"), ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id",
+        coalesce(
+          when($"ts_us" - $"last_click_us" <= 600000000L, $"last_click_us"),
+          lit(-1L)).as("last_click_us"))
+      .orderBy($"event_id")
+  }
+
   /** Per-user funnel pivot with fixed event-type columns. */
   val qFunnel: Spec = Spec(
     "ev_user_funnel",
@@ -254,6 +290,7 @@ object Events {
       .orderBy($"event_id")
   }
 
-  val specs: Seq[Spec] = Seq(qTumbling, qSessionize, qAsofClick, qFunnel,
-    qPropsJson, qSliding, qSessionWindowNative, qRate5Min)
+  val specs: Seq[Spec] = Seq(qTumbling, qSessionize, qAsofClick,
+    qAsofTolerance, qFunnel, qPropsJson, qSliding, qSessionWindowNative,
+    qRate5Min)
 }
