@@ -93,9 +93,12 @@ object GraftFunctions {
     reg("graft_rolling_hash")(es => RollingHash(es.head))
     reg("graft_indic_normalize")(es => IndicNormalize(es.head, es(1)))
     reg("graft_remove_non_terminal_punc_span") { es =>
+      // SQL parses `2.0` as a Decimal literal, not Double — accept all
+      // three numeric literal shapes.
       NonTerminalPuncSpanRemove(es.head, es(1) match {
         case Literal(v: Double, _) => v
         case Literal(v: Int, _) => v.toDouble
+        case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
         case other => throw new IllegalArgumentException(
           s"chunk_len_threshold must be a numeric literal, got $other")
       })

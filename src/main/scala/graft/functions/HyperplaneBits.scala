@@ -17,12 +17,26 @@ case class HyperplaneBits(child: Expression, signs: Seq[Seq[Double]])
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
+  // getFloat below reads 4-byte slots: a double array child would yield
+  // silent garbage, so reject anything but array<float> up front.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_hyperplane_bits expects array<float>, got $other")
+    }
+
   @transient private lazy val matrix: Array[Array[Double]] =
     signs.map(_.toArray).toArray
 
   override def nullSafeEval(input: Any): Any = {
     val vec = input.asInstanceOf[ArrayData]
     val dim = vec.numElements()
+    require(matrix.isEmpty || dim == matrix(0).length,
+      s"vector dim $dim != hyperplane dim ${matrix(0).length} — " +
+        "a truncated signature would be silently wrong")
     val v = new Array[Double](dim)
     var d = 0
     while (d < dim) { v(d) = vec.getFloat(d).toDouble; d += 1 }
@@ -33,7 +47,7 @@ case class HyperplaneBits(child: Expression, signs: Seq[Seq[Double]])
       var acc = 0.0d
       d = 0
       // sequential fold, same order as the HOF/oracle form
-      while (d < dim && d < row.length) { acc += v(d) * row(d); d += 1 }
+      while (d < dim) { acc += v(d) * row(d); d += 1 }
       out(b) = if (acc > 0) 1 else 0
       b += 1
     }

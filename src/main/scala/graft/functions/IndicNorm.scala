@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types.{DataType, StringType}
@@ -137,14 +138,21 @@ object IndicNorm {
 }
 
 /** Catalyst expression for [[IndicNorm.normalize]] — lang is a per-row
-  * column, matching the reference's per-document routing. */
+  * column, matching the reference's per-document routing. A NULL lang
+  * must NOT null the text (the default binary null-intolerance would
+  * silently drop such docs from the pipeline): it falls back to the
+  * unknown-language path (NFKC only). */
 case class IndicNormalize(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = StringType
-  override def nullSafeEval(text: Any, lang: Any): Any =
+  override def eval(input: InternalRow): Any = {
+    val text = left.eval(input)
+    if (text == null) return null
+    val lang = right.eval(input)
     UTF8String.fromString(IndicNorm.normalize(
       text.asInstanceOf[UTF8String].toString,
-      lang.asInstanceOf[UTF8String].toString))
+      if (lang == null) null else lang.asInstanceOf[UTF8String].toString))
+  }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)

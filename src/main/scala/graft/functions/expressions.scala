@@ -196,9 +196,12 @@ case class NonTerminalPuncSpanRemove(child: Expression, chunkLenThreshold: Doubl
 }
 
 object NonTerminalPuncSpanRemove {
-  /** setu/constants.py:125-134 — the reference tuples verbatim. */
+  /** setu/constants.py:125-134 — the reference tuple, plus '॥' (double
+    * danda) so this predicate stays consistent with Text.isTerminalValid
+    * and the F22 delimiter set (the reference writes '।।' as two single
+    * dandas; real text uses U+0965). */
   val TerminalPunctuations: Seq[String] =
-    Seq(".", "!", "?", "।", "।।", ":", ",", ";", ")", "\"", "'", "؟", "۔")
+    Seq(".", "!", "?", "।", "।।", "॥", ":", ",", ";", ")", "\"", "'", "؟", "۔")
   val TerminalExceptions: Seq[String] = Seq("...", "####")
 
   def isTerminalValid(chunk: String): Boolean =

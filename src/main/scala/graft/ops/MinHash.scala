@@ -71,29 +71,12 @@ object MinHash {
       .select(col("id"),
         posexplode(bandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "key")))
 
-    // Pair generation per bucket. Buckets ≤ maxBucket emit all pairs
-    // (quadratic but bounded). Oversized buckets — thousands of docs
-    // sharing a band — are NOT dropped (that would silently lose
-    // template-generated near-dup families): they emit star pairs to
-    // the bucket-min id, O(n) pairs that preserve connectivity for
-    // clustering while bounding the blowup. At verify scale (sf0.01)
-    // no bucket exceeds maxBucket, so the DuckDB oracle (all-pairs, no
+    // Bucket-local pair generation (see Buckets.pairs for the oversized-
+    // bucket star-candidate semantics). At verify scale (sf0.01) no
+    // bucket exceeds maxBucket, so the DuckDB oracle (all-pairs, no
     // cap) matches exactly.
-    val pairs = banded
-      .groupBy(col("band"), col("key"))
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(
-        when(size(col("ids")) <= maxBucket,
-          expr("""flatten(transform(ids,
-            |  x -> transform(filter(ids, y -> y > x),
-            |       y -> named_struct('id_a', x, 'id_b', y))))""".stripMargin))
-        .otherwise(
-          expr("""transform(filter(ids, x -> x != array_min(ids)),
-            |  x -> named_struct('id_a', array_min(ids), 'id_b', x))""".stripMargin)))
-        .as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-      .distinct()
+    val pairs = Buckets.pairs(banded, Seq("band", "key"), "id",
+      maxBucket = Some(maxBucket))
 
     pairs
       .join(withSets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
@@ -131,17 +114,7 @@ object MinHash {
       .withColumn("_tok",
         explode(transform(slice(canon, lit(1), prefLen), s => s.getField("v"))))
       .select((blockCols.map(col) :+ col("id") :+ col("_tok")): _*)
-    val pairs = exploded
-      .groupBy((blockCols.map(col) :+ col("_tok")): _*)
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ids,
-          |  x -> transform(filter(ids, y -> y > x),
-          |       y -> named_struct('id_a', x, 'id_b', y))))""".stripMargin))
-        .as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-      .distinct()
+    val pairs = Buckets.pairs(exploded, blockCols :+ "_tok", "id")
     pairs
       .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))

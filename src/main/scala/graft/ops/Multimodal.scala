@@ -48,7 +48,11 @@ object Multimodal {
         } finally r.dispose()
       }
     } catch {
-      case _: java.io.IOException => None // truncated/corrupt header
+      // ImageIO plugin readers throw unchecked exceptions (IAE, AIOOBE,
+      // NegativeArraySize...) on fuzzed-but-sniffable headers — a real
+      // crawl corpus contains such blobs, and one must not abort the
+      // job: anything non-fatal falls back to the stub.
+      case scala.util.control.NonFatal(_) => None
     } finally iis.close()
   }
 

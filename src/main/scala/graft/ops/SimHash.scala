@@ -50,17 +50,7 @@ object SimHash {
            |  b -> shiftrightunsigned(sh, CAST(b * $bits AS INT))
            |       & CAST($mask AS BIGINT))""".stripMargin))
         .as(Seq("band", "key")))
-    val pairs = banded
-      .groupBy(col("band"), col("key"))
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ids,
-          |  x -> transform(filter(ids, y -> y > x),
-          |       y -> named_struct('id_a', x, 'id_b', y))))""".stripMargin))
-        .as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-      .distinct()
+    val pairs = Buckets.pairs(banded, Seq("band", "key"), "id")
     pairs
       .join(hashed.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(hashed.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))

@@ -132,9 +132,13 @@ object Vectors {
     * convergence; the fixed shape here is chosen for determinism. */
   def kmeansCentroids(emb: DataFrame, k: Int, iters: Int): Seq[Seq[Double]] = {
     val base = emb.select(col("vec_id"), col("embedding"))
-    var cents: Seq[Seq[Double]] = base.filter(col("vec_id") < k)
-      .orderBy("vec_id").collect()
+    // init: the k lowest-id vectors, whatever the id range — sparse or
+    // offset ids must not under-train silently
+    var cents: Seq[Seq[Double]] = base
+      .orderBy("vec_id").limit(k).collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    require(cents.size == k,
+      s"k-means needs at least k=$k vectors, found ${cents.size}")
     for (_ <- 1 to iters) {
       val dim = cents.head.size
       val means = base
@@ -195,17 +199,7 @@ object Vectors {
         posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
           aggregate(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
             lit(0), (acc, v) => acc * 2 + v))).as(Seq("band", "key")))
-    val pairs = banded
-      .groupBy(col("band"), col("key"))
-      .agg(collect_list(col("vec_id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ids,
-          |  x -> transform(filter(ids, y -> y > x),
-          |       y -> named_struct('id_a', x, 'id_b', y))))""".stripMargin))
-        .as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-      .distinct()
+    val pairs = Buckets.pairs(banded, Seq("band", "key"), "vec_id")
     pairs
       .join(withNorm.select(col("vec_id").as("id_a"),
         col("embedding").as("va"), col("n").as("na")), Seq("id_a"))

@@ -371,12 +371,12 @@ object CleaningOps {
           FROM documents WHERE doc_id % 10 = 0),
       e AS (
         SELECT doc_id, chunk_kind, chunk,
-          regexp_replace(chunk, '[^.!?।:,;)"''؟۔]*$', '') AS cut
+          regexp_replace(chunk, '[^.!?।॥:,;)"''؟۔]*$', '') AS cut
         FROM c),
       o AS (
         SELECT doc_id, chunk_kind,
           CASE
-            WHEN regexp_matches(chunk, '[.!?।:,;)"''؟۔]$')
+            WHEN regexp_matches(chunk, '[.!?।॥:,;)"''؟۔]$')
                  AND NOT chunk LIKE '%...' AND NOT chunk LIKE '%####'
               THEN chunk
             WHEN chunk LIKE '%...' OR chunk LIKE '%####' THEN NULL

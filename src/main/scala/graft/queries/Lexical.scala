@@ -38,22 +38,26 @@ object Lexical {
       (l, terms(0), terms(1))
     }
 
+  // Language routing uses (doc_id / 4) % n, NOT doc_id % n: the queries
+  // filter doc_id % 4 = 0, so a plain modulus would only ever hit the
+  // even-indexed languages and half the lexicons would go unexercised.
   private def richSql(inj: Seq[(String, String, String)]): String = {
     val cases = inj.zipWithIndex.map { case ((_, a, b), i) =>
       s"WHEN $i THEN ' ' || ${sqlQuote(a)} || ' ' || ${sqlQuote(b)}"
     }.mkString(" ")
-    s"text || CASE doc_id % ${inj.size} $cases END"
+    s"text || CASE (doc_id // 4) % ${inj.size} $cases END"
   }
 
   private def richCol(s: org.apache.spark.sql.SparkSession,
       inj: Seq[(String, String, String)]) = {
     import s.implicits._
+    val route = expr("doc_id div 4") % inj.size
     val branches = inj.zipWithIndex.map { case ((_, a, b), i) =>
       (i, s" $a $b")
     }
     branches.tail.foldLeft(
-        when($"doc_id" % inj.size === branches.head._1, lit(branches.head._2))) {
-      case (acc, (i, payload)) => acc.when($"doc_id" % inj.size === i, lit(payload))
+        when(route === branches.head._1, lit(branches.head._2))) {
+      case (acc, (i, payload)) => acc.when(route === i, lit(payload))
     }.otherwise(lit("")) // unreachable; keeps the CASE total
   }
 

@@ -60,6 +60,18 @@ class IndicNormSpec extends AnyFunSuite {
     assert(IndicNorm.normalize("x‍y", "kashmiri") == "xy")
   }
 
+  test("null lang must NOT null the text (docs with missing lang survive)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq((1L, "a…b", "hindi"), (2L, "a…b", null))
+      .toDF("id", "text", "lang")
+      .select($"id",
+        graft.functions.GraftFunctions.indicNormalize($"text", $"lang").as("n"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "a...b") // Moses + NFKC path
+    assert(got(2L) == "a...b") // NFKC-only fallback, NOT null
+  }
+
   test("expression is registered and callable from SQL") {
     val spark = TestSpark.spark
     graft.functions.GraftFunctions.registerSql(spark)
