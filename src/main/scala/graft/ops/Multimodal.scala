@@ -92,6 +92,32 @@ object Multimodal {
       .as[MediaBlob]
   }
 
+  /** Real image resize on the executors (java.awt, headless): decode →
+    * scale to (targetW, targetH) → re-encode PNG. Non-image payloads
+    * pass through unchanged (tagged by the downstream decode as stub).
+    * The mapInPandas-shaped contract: binary in, binary out, partition
+    * iterators, no driver involvement. */
+  def resize(blobs: Dataset[MediaBlob], targetW: Int, targetH: Int)
+      : Dataset[MediaBlob] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map { blob =>
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob.data))
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (img == null) blob
+      else {
+        val out = new java.awt.image.BufferedImage(
+          targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try g.drawImage(img, 0, 0, targetW, targetH, null)
+        finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        MediaBlob(blob.doc_id, bos.toByteArray)
+      }
+    })
+  }
+
   /** Deterministic in-engine PNG payloads (fixture generator): a real
     * RGB image of doc_id-derived dimensions, PNG-encoded per row on the
     * executors. Exists so the REAL decode path has an oracle — the

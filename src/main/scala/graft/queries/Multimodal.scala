@@ -79,5 +79,29 @@ object Multimodal {
       .orderBy($"doc_id", $"frame_id")
   }
 
-  val specs: Seq[Spec] = Seq(mmDecodeMeta, mmImageDecode, mmFrameSample)
+  /** REAL resize: generated PNGs scaled to 8×8 on the executors, then
+    * re-decoded through the probe — the oracle pins the post-resize
+    * dimensions and format, so a resize or re-encode bug cannot match.
+    * Byte length is intentionally NOT compared (PNG encoder output is
+    * JVM-specific); dimension metadata is the engine contract. */
+  val mmResize: Spec = Spec(
+    "mm_resize",
+    oracle = Some("""
+      SELECT doc_id,
+        CAST(8 AS BIGINT) AS width,
+        CAST(8 AS BIGINT) AS height,
+        'png' AS format
+      FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    val ids = Tables.load(s, dir, "documents")
+      .filter($"doc_id" % 20 === 0)
+      .select($"doc_id").as[java.lang.Long]
+    MM.extractMeta(MM.resize(MM.syntheticPngBlobs(ids), 8, 8))
+      .toDF()
+      .select($"doc_id", $"width", $"height", $"format")
+      .orderBy($"doc_id")
+  }
+
+  val specs: Seq[Spec] = Seq(mmDecodeMeta, mmImageDecode, mmFrameSample,
+    mmResize)
 }

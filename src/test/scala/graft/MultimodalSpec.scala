@@ -41,6 +41,17 @@ class MultimodalSpec extends AnyFunSuite {
     assert(broken.format == "stub")
   }
 
+  test("resize scales images and passes non-images through untouched") {
+    import spark.implicits._
+    val blobs = Seq(
+      MediaBlob(1L, png(40, 30)),
+      MediaBlob(2L, "not an image".getBytes("UTF-8"))).toDS()
+    val out = Multimodal.extractMeta(Multimodal.resize(blobs, 12, 9))
+      .collect().sortBy(_.doc_id)
+    assert(out(0).width == 12 && out(0).height == 9 && out(0).format == "png")
+    assert(out(1).format == "stub" && out(1).byte_len == 12)
+  }
+
   test("distributed decode of generated PNGs yields generator dimensions") {
     import spark.implicits._
     val ids = spark.range(0, 40, 20).select($"id".as("doc_id"))
