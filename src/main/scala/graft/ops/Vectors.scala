@@ -122,6 +122,22 @@ object Vectors {
       .getField("cell")
   }
 
+  /** The `nprobe` nearest centroid ids, by (distance, cell) order —
+    * IVF multiprobe: querying neighbors of the best cell recovers the
+    * recall lost to hard cell boundaries. */
+  def nearestCells(vec: Column, cents: Seq[Seq[Double]], nprobe: Int): Column = {
+    val c = typedLit(cents)
+    transform(
+      slice(array_sort(transform(sequence(lit(0), lit(cents.size - 1)), j =>
+        struct(
+          aggregate(
+            zip_with(vec, element_at(c, j + 1),
+              (x, h) => (x.cast("double") - h) * (x.cast("double") - h)),
+            lit(0.0d), (acc, v) => acc + v).as("dist"),
+          j.cast("long").as("cell")))), 1, nprobe),
+      s => s.getField("cell"))
+  }
+
   /** Deterministic Lloyd's k-means for the IVF coarse quantizer:
     * first-k init (vec_id < k), FIXED iteration count, decimal-exact
     * per-(cell,pos) means — every step is engine-mirrorable, so learned

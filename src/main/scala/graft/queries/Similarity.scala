@@ -276,6 +276,59 @@ object Similarity {
       .orderBy($"qid", $"rk")
   }
 
+  /** IVF MULTIPROBE through the learned quantizer: each query probes
+    * its 2 nearest cells (corpus stays single-cell) — the standard
+    * recall lever at hard cell boundaries. Oracle replays train +
+    * 2-cell probe + search end to end. */
+  val eKnnIvfMultiprobe: Spec = Spec(
+    "e_knn_ivf_multiprobe",
+    oracle = Some(s"""
+      WITH $kmeansCtes,
+      c2 AS (
+        SELECT cell, pos,
+          CAST(SUM(CAST(v AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS cval
+        FROM (SELECT cell, generate_subscripts(embedding, 1) AS pos,
+                unnest(embedding) AS v FROM a2)
+        GROUP BY cell, pos),
+      c2l AS (SELECT cell, list(cval ORDER BY pos) AS cent FROM c2 GROUP BY cell),
+      a3 AS (
+        SELECT vec_id, embedding, cell FROM (
+          SELECT e.vec_id, e.embedding, c.cell,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${distSql("e.embedding", "c.cent")}, c.cell) AS rk
+          FROM embeddings e CROSS JOIN c2l c) WHERE rk = 1),
+      q3 AS (
+        SELECT vec_id, embedding, cell FROM (
+          SELECT e.vec_id, e.embedding, c.cell,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${distSql("e.embedding", "c.cent")}, c.cell) AS rk
+          FROM embeddings e CROSS JOIN c2l c
+          WHERE e.vec_id < 20) WHERE rk <= 2),
+      scored AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+          ${cosSql("q.embedding", "c.embedding")} AS cos
+        FROM q3 q JOIN a3 c ON c.cell = q.cell AND c.vec_id <> q.vec_id),
+      r AS (SELECT qid, cid, cos,
+        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rk
+        FROM scored)
+      SELECT qid, rk, cid, ROUND(cos, 6) AS cos_sim
+      FROM r WHERE rk <= 5 ORDER BY qid, rk""")) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val cents2 = Vectors.kmeansCentroids(emb, k = 8, iters = 2)
+    val corpus = emb
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+      .withColumn("cell", Vectors.nearestCell($"vec", cents2))
+    val queries = emb.filter($"vec_id" < 20)
+      .select($"vec_id".as("id"), $"embedding".as("vec"),
+        explode(Vectors.nearestCells($"embedding", cents2, nprobe = 2))
+          .as("cell"))
+    Vectors.knnCell(queries, corpus, "cell", 5)
+      .select($"qid", $"rk", $"cid", round($"cos_sim", 6).as("cos_sim"))
+      .orderBy($"qid", $"rk")
+  }
+
   val specs: Seq[Spec] = Seq(eCentroids, eKnnBrute, eKnnCell, eNearDup,
-    eNearDupLsh, eKnnQuantized, eKmeansCentroids, eKnnIvfLearned)
+    eNearDupLsh, eKnnQuantized, eKmeansCentroids, eKnnIvfLearned,
+    eKnnIvfMultiprobe)
 }
