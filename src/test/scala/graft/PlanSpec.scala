@@ -59,6 +59,12 @@ class PlanSpec extends AnyFunSuite {
       "found a window with an empty partitionSpec (single-partition sort)")
   }
 
+  test("range band join: broadcast nested loop on the dim side, no cartesian") {
+    val p = plan("q_range_band_join")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.linesIterator.take(5).mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("neardup lsh: signature computed once, bucket-local pairs, no cartesian") {
     val p = plan("e_neardup_lsh")
     assert(!p.contains("CartesianProduct"))
