@@ -16,10 +16,13 @@ import org.apache.spark.sql.functions._
   */
 object Vectors {
 
-  /** Sequential-fold dot product in double precision. */
+  /** Sequential-fold dot product in double precision (tight-loop
+    * expression; accumulation order identical to the HOF/oracle form). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0d), (acc, v) => acc + v)
+    org.apache.spark.sql.graft.bridge.column(
+      graft.functions.FloatDot(
+        org.apache.spark.sql.graft.bridge.expression(a),
+        org.apache.spark.sql.graft.bridge.expression(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -198,12 +201,18 @@ object Vectors {
 
   /** Near-duplicate pairs via random-hyperplane LSH + exact cosine
     * verification — the scale path that replaces all-pairs blocking:
-    * candidates are generated bucket-locally per (band, 4-bit key), so
+    * candidates are generated bucket-locally per (band, band-key), so
     * cost is Σ bucket² instead of n²/|blocks|. Recall vs the exact
     * all-pairs form is probabilistic (pinned in VectorOpsSpec);
-    * emitted pairs are always true positives (exact re-check). */
+    * emitted pairs are always true positives (exact re-check).
+    *
+    * Band keys have nBits/bands bits, so key cardinality bounds the
+    * bucket count per band — at corpus scale raise nBits (more, wider
+    * bands) AND keep `maxBucket`: buckets past the cap star-connect to
+    * their minimum (see Buckets.pairs) instead of going quadratic,
+    * which an 8×-corpus stress probe showed dominating the runtime. */
   def neardupLsh(emb: DataFrame, threshold: Double, nBits: Int = 16,
-      bands: Int = 4, dim: Int = 64): DataFrame = {
+      bands: Int = 4, dim: Int = 64, maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = nBits / bands
     require(bands * rowsPerBand == nBits, "bands must divide nBits")
     val withNorm = emb
@@ -215,7 +224,8 @@ object Vectors {
         posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
           aggregate(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
             lit(0), (acc, v) => acc * 2 + v))).as(Seq("band", "key")))
-    val pairs = Buckets.pairs(banded, Seq("band", "key"), "vec_id")
+    val pairs = Buckets.pairs(banded, Seq("band", "key"), "vec_id",
+      maxBucket = Some(maxBucket))
     pairs
       .join(withNorm.select(col("vec_id").as("id_a"),
         col("embedding").as("va"), col("n").as("na")), Seq("id_a"))
