@@ -471,9 +471,45 @@ object TextOps {
       .orderBy($"lang")
   }
 
+  /** Per-LANGUAGE flag thresholds (the reference's deployment shape:
+    * one spark_<lang>_config.json per corpus, different knobs per
+    * language): thresholds ride a broadcast dim and the flag
+    * comparisons read them per row instead of from constants. */
+  val dFlagsPerLang: Spec = Spec(
+    "d_flags_per_lang",
+    oracle = Some(s"""
+      WITH thr(lang, min_words, nsfw_thr) AS (VALUES
+        ('en', 60, 0.04), ('de', 55, 0.05), ('fr', 50, 0.04),
+        ('es', 58, 0.045), ('zh', 30, 0.03)),
+      st AS ($statsSql)
+      SELECT st.lang, COUNT(*) AS n_docs,
+        COUNT(CASE WHEN words_count <= min_words THEN 1 END) AS n_less_words,
+        COUNT(CASE WHEN nsfw_ratio >= nsfw_thr THEN 1 END) AS n_nsfw_heavy,
+        COUNT(CASE WHEN NOT (words_count <= min_words)
+                    AND NOT (nsfw_ratio >= nsfw_thr) THEN 1 END) AS n_survivors
+      FROM st JOIN thr ON st.lang = thr.lang
+      GROUP BY st.lang ORDER BY st.lang""")) { (s, dir) =>
+    import s.implicits._
+    val thr = Seq(
+      ("en", 60, 0.04), ("de", 55, 0.05), ("fr", 50, 0.04),
+      ("es", 58, 0.045), ("zh", 30, 0.03))
+      .toDF("lang", "min_words", "nsfw_thr")
+    statsDf(s, dir)
+      .join(broadcast(thr), Seq("lang"))
+      .withColumn("less_words", $"words_count" <= $"min_words")
+      .withColumn("nsfw_heavy", $"nsfw_ratio" >= $"nsfw_thr")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when($"less_words", 1)).as("n_less_words"),
+        count(when($"nsfw_heavy", 1)).as("n_nsfw_heavy"),
+        count(when(!$"less_words" && !$"nsfw_heavy", 1)).as("n_survivors"))
+      .orderBy($"lang")
+  }
+
   val specs: Seq[Spec] = Seq(
     dTokenStats, dDocStatsAgg, dWordFreq, dLineExplode, dLines2Doc,
     dRepeatedTokens, dNsfwCounts, dDocFlags, dRemovalSurvivors,
     dNgramRepWord, dNgramRepChar, dUniqueTokens, dSymbolRatio,
-    dFingerprint, dDedupByKey, dStopwords, dDedupThresholded)
+    dFingerprint, dDedupByKey, dStopwords, dDedupThresholded,
+    dFlagsPerLang)
 }
