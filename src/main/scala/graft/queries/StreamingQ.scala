@@ -22,6 +22,20 @@ object StreamingQ {
     StreamOps.tumblingCounts(s, dir)
   }
 
+  /** Streaming sliding windows (1h every 15min) — oracle is the batch
+    * shift-and-replicate SQL; streaming/batch parity is the point. */
+  val stSliding: Spec = Spec(
+    "st_sliding_hourly",
+    oracle = Some("""
+      SELECT strftime(time_bucket(INTERVAL '15 minutes', ts)
+               - i * INTERVAL '15 minutes', '%Y-%m-%d %H:%M:%S') AS window_start,
+             event_type, COUNT(*) AS n_events
+      FROM events CROSS JOIN unnest(range(0, 4)) AS t(i)
+      GROUP BY window_start, event_type
+      ORDER BY window_start, event_type""")) { (s, dir) =>
+    StreamOps.slidingCounts(s, dir)
+  }
+
   /** Streaming exact dedup on event_id (ids are unique in the synthetic
     * feed, so per-type uniques = per-type counts). */
   val stDedup: Spec = Spec(
@@ -232,6 +246,6 @@ object StreamingQ {
       .orderBy(org.apache.spark.sql.functions.col("doc_id"))
   }
 
-  val specs: Seq[Spec] = Seq(stTumbling, stDedup, stSessions, dLid, dLidScript,
-    pipelineE2e)
+  val specs: Seq[Spec] = Seq(stTumbling, stSliding, stDedup, stSessions,
+    dLid, dLidScript, pipelineE2e)
 }

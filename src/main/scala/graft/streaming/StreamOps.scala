@@ -44,6 +44,32 @@ object StreamOps {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  /** Sliding 1-hour windows every 15 minutes as a streaming query —
+    * each event lands in 4 overlapping windows; watermarked state,
+    * complete-mode memory sink for the finite-source smoke. */
+  def slidingCounts(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = s.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val agg = src
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_utc", "1 hour")
+      .groupBy(window(col("ts_utc"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("st_sliding_mem")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table("st_sliding_mem")
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
   final case class SessEvent(user_id: Long, ts_us: Long, ts_utc: java.sql.Timestamp)
   final case class SessState(start: Long, end: Long, n: Long)
   final case class SessionOut(
