@@ -32,28 +32,40 @@ object Bench {
       try runFully(sp, "/root/testdata/sf0.001")
       catch { case _: Throwable => }
     }
+    // n samples per query, reported value = min. A single shared-JVM run
+    // is exposed to GC/JIT jitter (r2 showed unexplained 30-40% swings on
+    // queries whose code hadn't changed); min-of-3 measures the plan.
+    val samples = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "3").toInt
     val results = specs.map { sp =>
-      val t0 = System.nanoTime()
-      try runFully(sp, sfDir)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${sp.name} failed: ${e.getMessage}")
+      val times = (1 to samples).map { _ =>
+        val t0 = System.nanoTime()
+        try runFully(sp, sfDir)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${sp.name} failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      sp.name -> (System.nanoTime() - t0) / 1e9
+      (sp.name, times.min, times)
     }
     // Locale.ROOT: the f-interpolator is default-locale-sensitive and a
     // comma decimal separator would emit invalid JSON for the driver.
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + num(v) }
+      .map { case (k, v, _) => "\"" + k + "\":" + num(v) }
+      .mkString("{", ",", "}")
+    val all = results
+      .map { case (k, _, ts) => "\"" + k + "\":[" + ts.map(num).mkString(",") + "]" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"samples":$all,"sf":"$sfDir"}"""
     println(line)
-    // Also write the line to a file — sbt log noise makes stdout
-    // scraping unreliable (BENCH_r01 had parsed:null).
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    // Also write the line to a file when asked — sbt log noise makes
+    // stdout scraping unreliable (BENCH_r01 had parsed:null). Opt-in via
+    // env so embedding Bench never drops files into a caller's cwd.
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { out =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    }
     spark.stop()
   }
 }

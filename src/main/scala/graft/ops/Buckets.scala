@@ -1,12 +1,26 @@
 package graft.ops
 
+import java.util.concurrent.atomic.AtomicLong
+
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Shared bucket-local candidate-pair generation — the one scaffold
   * behind every LSH/blocking path (MinHash bands, prefix-filter token
   * buckets, SimHash bands, hyperplane bands). Keeping it in one place
   * means the star-pair cap semantics cannot drift between callers.
+  *
+  * Scale design: bucket membership stats come from a WINDOW over the
+  * bucket key, not a `collect_list` aggregation — window sort state is
+  * an external (spilling) sorter, so a degenerate bucket with 10⁸
+  * members streams through disk instead of materializing one
+  * aggregation-buffer row. Oversized buckets emit their star pairs as a
+  * pure row-local projection (never any list); only buckets at or under
+  * `maxBucket` are list-collected (buffer ≤ maxBucket ids by
+  * construction) for all-pairs expansion. The window exchange and the
+  * small-bucket groupBy hash-partition on the same key, so the group-by
+  * reuses the window's shuffle.
   */
 object Buckets {
 
@@ -15,33 +29,50 @@ object Buckets {
       |  x -> transform(filter(ids, y -> y > x),
       |       y -> named_struct('id_a', x, 'id_b', y))))""".stripMargin)
 
-  private val starPairs = expr(
-    """transform(filter(ids, x -> x != array_min(ids)),
-      |  x -> named_struct('id_a', array_min(ids), 'id_b', x))""".stripMargin)
+  private val obsId = new AtomicLong()
 
   /** Distinct ordered candidate pairs (id_a < id_b) generated INSIDE
-    * each bucket (groupBy bucketCols → in-bucket pair expansion) — the
-    * only shuffles are the bucket group-by and the pair dedup; nothing
-    * recomputes per join side and nothing reaches the driver.
+    * each bucket — the only shuffles are the bucket-key exchange and the
+    * pair dedup; nothing recomputes per join side and nothing reaches
+    * the driver.
     *
-    * @param maxBucket when set, buckets above the cap emit O(n) star
-    *   CANDIDATES to the bucket-min id instead of O(n²) pairs. That
-    *   keeps recall for members similar to the bucket minimum; cross
-    *   pairs below-threshold vs the minimum can be missed after exact
-    *   verification — a documented recall/cost trade for degenerate
-    *   buckets, strictly better than dropping them outright. */
+    * Buckets above `maxBucket` emit O(n) star CANDIDATES to the
+    * bucket-min id instead of O(n²) pairs. That keeps recall for members
+    * similar to the bucket minimum; cross pairs below-threshold vs the
+    * minimum can be missed after exact verification — a documented
+    * recall/cost trade for degenerate buckets, strictly better than
+    * dropping them outright. Every call carries the cap (it is not
+    * optional): an uncapped bucket is the one remaining way a blocking
+    * scheme goes quadratic at 100 TB.
+    *
+    * Cap visibility: the plan carries an `observe` metric
+    * (`graft_buckets_<n>`: `capped_buckets`, `capped_rows`) so a
+    * triggered cap — which changes output vs a no-cap oracle — is
+    * loggable/assertable rather than silent (see BucketsSpec).
+    */
   def pairs(df: DataFrame, bucketCols: Seq[String], idCol: String,
-      maxBucket: Option[Int] = None): DataFrame = {
-    val gen = maxBucket match {
-      case Some(cap) =>
-        when(size(col("ids")) <= cap, allPairs).otherwise(starPairs)
-      case None => allPairs
-    }
-    df.groupBy(bucketCols.map(col): _*)
-      .agg(collect_list(col(idCol)).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(gen).as("p"))
+      maxBucket: Int = 1000): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket=$maxBucket must be >= 2")
+    val w = Window.partitionBy(bucketCols.map(col): _*)
+    val withStats = df
+      .select((bucketCols.map(col) :+ col(idCol).as("_id")): _*)
+      .withColumn("_n", count(lit(1)).over(w))
+      .withColumn("_min", min(col("_id")).over(w))
+      .filter(col("_n") > 1)
+    val star = withStats
+      .filter(col("_n") > maxBucket)
+      .observe(s"graft_buckets_${obsId.incrementAndGet()}",
+        sum(when(col("_id") === col("_min"), 1L).otherwise(0L))
+          .as("capped_buckets"),
+        count(lit(1)).as("capped_rows"))
+      .filter(col("_id") =!= col("_min"))
+      .select(col("_min").as("id_a"), col("_id").as("id_b"))
+    val small = withStats
+      .filter(col("_n") <= maxBucket)
+      .groupBy(bucketCols.map(col): _*)
+      .agg(collect_list(col("_id")).as("ids"))
+      .select(explode(allPairs).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
-      .distinct()
+    star.unionByName(small).distinct()
   }
 }

@@ -76,7 +76,7 @@ object MinHash {
     // bucket exceeds maxBucket, so the DuckDB oracle (all-pairs, no
     // cap) matches exactly.
     val pairs = Buckets.pairs(banded, Seq("band", "key"), "id",
-      maxBucket = Some(maxBucket))
+      maxBucket = maxBucket)
 
     pairs
       .join(withSets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
@@ -96,6 +96,12 @@ object MinHash {
     * join — with ZERO recall loss (it's a theorem, not a probability).
     * Canonical order = md5(shingle): deterministic and engine-free.
     *
+    * Exactness holds while no prefix-token bucket exceeds `maxBucket`;
+    * past the cap a bucket degrades to star candidates (see
+    * Buckets.pairs) — a hyper-frequent prefix token inside one block is
+    * precisely the degenerate shape that would otherwise go bucket²
+    * (the cap triggering is observable via the plan metric).
+    *
     * @param sets one row per set: blockCols ++ (idCol: long,
     *             shCol: array<string> pre-distinct shingles). */
   def jaccardPairsExact(
@@ -103,7 +109,8 @@ object MinHash {
       idCol: String,
       shCol: String,
       blockCols: Seq[String],
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxBucket: Int = 1000): DataFrame = {
     val base = sets.select(
       (blockCols.map(col) :+ col(idCol).as("id") :+ col(shCol).as("sh")): _*)
     val canon = array_sort(
@@ -114,7 +121,7 @@ object MinHash {
       .withColumn("_tok",
         explode(transform(slice(canon, lit(1), prefLen), s => s.getField("v"))))
       .select((blockCols.map(col) :+ col("id") :+ col("_tok")): _*)
-    val pairs = Buckets.pairs(exploded, blockCols :+ "_tok", "id")
+    val pairs = Buckets.pairs(exploded, blockCols :+ "_tok", "id", maxBucket)
     pairs
       .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))

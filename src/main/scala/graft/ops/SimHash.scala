@@ -35,9 +35,15 @@ object SimHash {
     * bit_count filter. Cost is Σ bucket² over 16-bit-key buckets,
     * never an all-pairs join.
     *
+    * Recall 1 holds while no band bucket exceeds `maxBucket`; past the
+    * cap (near-dup-dense corpora put thousands of ids behind one 16-bit
+    * band value) the bucket degrades to star candidates (see
+    * Buckets.pairs), keeping cost linear in bucket size — the cap
+    * triggering is observable via the plan metric.
+    *
     * @param df (idCol: long, toksCol: array<string>) */
   def neardupPairs(df: DataFrame, idCol: String, toksCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val bands = maxHamming + 1
     require(64 % bands == 0, s"bands=$bands must divide 64")
     val bits = 64 / bands
@@ -50,7 +56,7 @@ object SimHash {
            |  b -> shiftrightunsigned(sh, CAST(b * $bits AS INT))
            |       & CAST($mask AS BIGINT))""".stripMargin))
         .as(Seq("band", "key")))
-    val pairs = Buckets.pairs(banded, Seq("band", "key"), "id")
+    val pairs = Buckets.pairs(banded, Seq("band", "key"), "id", maxBucket)
     pairs
       .join(hashed.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(hashed.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))

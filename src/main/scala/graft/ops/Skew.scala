@@ -54,13 +54,17 @@ object Skew {
       .as[(Int, Long)].collect().sortBy(_._1)
     val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) => (pid + 1, acc + c) }
       .take(counts.length).map(_._2)
-    val offsetMap = counts.map(_._1).zip(offsets).toMap
-    val bc = spark.sparkContext.broadcast(offsetMap)
+    // The (pid → offset) table is tiny (one entry per partition), so it
+    // bakes into the plan as a literal map — element_at stays inside
+    // whole-stage codegen, where a lookup UDF would break the rank
+    // projection out of it.
+    val offsetMap = map_from_arrays(
+      typedlit(counts.map(_._1).toSeq), typedlit(offsets.toSeq))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"_pid").orderBy(orderCols: _*)
-    val offsetOf = udf((pid: Int) => bc.value(pid))
     withPart
-      .withColumn("rn", row_number().over(w).cast("long") + offsetOf($"_pid"))
+      .withColumn("rn",
+        row_number().over(w).cast("long") + element_at(offsetMap, $"_pid"))
       .drop("_pid")
   }
 }

@@ -225,7 +225,7 @@ object Vectors {
           aggregate(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
             lit(0), (acc, v) => acc * 2 + v))).as(Seq("band", "key")))
     val pairs = Buckets.pairs(banded, Seq("band", "key"), "vec_id",
-      maxBucket = Some(maxBucket))
+      maxBucket = maxBucket)
     pairs
       .join(withNorm.select(col("vec_id").as("id_a"),
         col("embedding").as("va"), col("n").as("na")), Seq("id_a"))

@@ -15,7 +15,13 @@ object Dedup {
     * 60-bit integer per shingle, universal-hash permutations
     * (a_p·h + b_p) mod 2^61−1 via HUGEINT, band keys hashed over the
     * concatenated decimal signature slice. Must stay in lockstep with
-    * [[graft.ops.MinHash]] / [[graft.functions.MinHashSignature]]. */
+    * [[graft.ops.MinHash]] / [[graft.functions.MinHashSignature]].
+    *
+    * NOTE the oracle states NO-CAP all-pairs semantics while the engine
+    * star-caps buckets past `maxBucket` (default 1000) — parity holds
+    * because no verify-scale bucket comes near the cap. If corpus growth
+    * ever trips it, the engine emits a non-zero `capped_buckets` observe
+    * metric (graft_buckets_*) rather than failing silently. */
   private val minhashPairsSql = """
       WITH toks AS (
         SELECT doc_id, string_split(text,' ') AS l FROM documents),
@@ -117,7 +123,9 @@ object Dedup {
     * join: candidates come from shared prefix shingles, so the cost is
     * Σ bucket² over (block, shingle) buckets instead of Σ block².
     * Output is provably identical to the all-pairs form (the oracle
-    * below still states the quadratic semantics). */
+    * below still states the quadratic semantics) while no prefix-token
+    * bucket exceeds the star-cap; a tripped cap is observable via the
+    * graft_buckets_* metric (see Buckets.pairs). */
   val ddJaccardBlockPairs: Spec = Spec(
     "dd_jaccard_block_pairs",
     oracle = Some("""
@@ -180,7 +188,9 @@ object Dedup {
   /** SimHash near-dup pairs via pigeonhole banding (hamming ≤ 3 ⇒ one
     * of 4 16-bit bands agrees — recall 1 by construction, exact
     * bit_count verify). xxhash64 has no DuckDB twin → no SQL oracle;
-    * exact equality with the all-pairs form is pinned in DedupSpec. */
+    * exact equality with the all-pairs form is pinned in DedupSpec.
+    * Recall 1 holds up to the star-cap (Buckets.pairs); a tripped cap
+    * surfaces via the graft_buckets_* metric. */
   val ddSimhashPairs: Spec = Spec(
     "dd_simhash_pairs",
     oracle = None) { (s, dir) =>

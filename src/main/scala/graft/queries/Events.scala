@@ -22,9 +22,15 @@ import org.apache.spark.sql.expressions.Window
   */
 object Events {
 
-  /** Events with `ts` as nanos-since-epoch long. */
+  /** Events with `ts` as nanos-since-epoch long. Requires
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, which every session
+    * builder in this repo (Sessions/Verify/Bench) sets at construction —
+    * asserted here rather than mutated, so a query function never
+    * side-effects shared session conf. */
   def load(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(
+      s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events queries need spark.sql.legacy.parquet.nanosAsLong=true at session construction")
     s.read.parquet(s"$dir/events.parquet")
   }
 

@@ -126,7 +126,10 @@ object Similarity {
     * band buckets, never an all-pairs (or label-blocked) join. The
     * oracle rebuilds the identical md5-derived hyperplane matrix, so
     * the probabilistic candidate set matches EXACTLY; recall vs the
-    * all-pairs form is pinned in VectorOpsSpec. */
+    * all-pairs form is pinned in VectorOpsSpec. The oracle has no
+    * star-cap — parity holds because no verify-scale band bucket nears
+    * `maxBucket`; a tripped cap surfaces via the graft_buckets_*
+    * observe metric (see Buckets.pairs). */
   val eNearDupLsh: Spec = Spec(
     "e_neardup_lsh",
     oracle = Some(s"""

@@ -14,6 +14,17 @@ class PlanSpec extends AnyFunSuite {
     SparkEntry.queries(name)(spark, TestSpark.Sf)
       .queryExecution.executedPlan.toString
 
+  /** Post-execution ADAPTIVE plan, final section only — exchange reuse
+    * (the thing that makes the star/small bucket branches share one
+    * signature computation) only materializes once stages run. */
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, TestSpark.Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val cut = p.indexOf("== Initial Plan ==")
+    if (cut >= 0) p.substring(0, cut) else p
+  }
+
   test("q3: filters pushed to parquet scans, dims broadcast") {
     val p = plan("q3_top_orders")
     assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)"), p)
@@ -66,16 +77,20 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("neardup lsh: signature computed once, bucket-local pairs, no cartesian") {
-    val p = plan("e_neardup_lsh")
+    val p = finalPlan("e_neardup_lsh")
     assert(!p.contains("CartesianProduct"))
+    // star + small-bucket branches must share ONE banded exchange — the
+    // hyperplane signatures and the scan behind it execute once
+    assert(p.contains("ReusedExchange"), "bucket branches must reuse the banded shuffle:\n" + p)
     assert(p.linesIterator.count(_.contains("FileScan parquet")) <= 3,
       "expected ≤3 scans (bands + two vector re-attach):\n" + p)
   }
 
   test("prefix-filter jaccard: bucket-generated candidates, no block self-join") {
-    val p = plan("dd_jaccard_block_pairs")
+    val p = finalPlan("dd_jaccard_block_pairs")
     assert(!p.contains("CartesianProduct"))
-    // candidates come from the (block, prefix-token) group-by, so the
+    assert(p.contains("ReusedExchange"), "bucket branches must reuse the prefix-token shuffle:\n" + p)
+    // candidates come from the (block, prefix-token) buckets, so the
     // only joins are the two shingle-set re-attachments
     assert(p.linesIterator.count(_.contains("FileScan parquet")) <= 3, p)
   }
@@ -117,10 +132,12 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("minhash pairs: no self-join recompute of signatures") {
-    val p = plan("dd_minhash_pairs")
+    val p = finalPlan("dd_minhash_pairs")
     val sigOccurrences = "graft_minhash_signature".r.findAllIn(p).size
-    assert(sigOccurrences <= 2,
-      s"signature computed in $sigOccurrences plan branches — self-join recompute?")
+    assert(sigOccurrences <= 1,
+      s"signature computed in $sigOccurrences plan branches — self-join recompute?\n$p")
+    assert(p.contains("ReusedExchange"),
+      "star/small bucket branches must reuse the banded shuffle:\n" + p)
     assert(p.linesIterator.count(_.contains("FileScan parquet")) <= 3,
       "expected ≤3 scans (bands + two shingle re-attach):\n" + p)
   }
