@@ -22,6 +22,29 @@ object Text {
   /** Reference word tokenization: split on single space, keep empties. */
   def tokens(c: Column): Column = split(c, " ", -1)
 
+  /** IndicNLP `trivial_tokenize` (the tokenizer behind the reference's
+    * word n-gram repetition, setu/filters.py:584; the rule itself is the
+    * public indic-nlp-library `trivial_tokenize_indic`): tabs → space,
+    * every ASCII punctuation char + danda/double-danda padded with
+    * spaces, space runs collapsed, space-stripped, split on single
+    * space. `lang="ur"` routes to the library's Urdu variant, whose
+    * class swaps the dandas for the Urdu-script marks. Two faithful
+    * quirks: newlines are NOT split points (the Python rule collapses
+    * only spaces), and BACKSLASH never splits — the library embeds
+    * `string.punctuation` in a regex class where its `\]` reads as an
+    * escaped bracket, consuming the backslash. Parity is pinned in
+    * TextSemanticsSpec and oracled in d_ngram_rep_word_tok. */
+  def trivialTokenize(c: Column, lang: String = "hi"): Column = {
+    val ascii = """!"#$%&'()*+,\-./:;<=>?@\[\]^_`{|}~"""
+    val cls =
+      if (lang.equalsIgnoreCase("ur"))
+        ascii + "؉؊،؞٪٫٬٭۔"
+      else ascii + "।॥"
+    val padded = regexp_replace(regexp_replace(c, "\t", " "),
+      "([" + cls + "])", " $1 ")
+    split(trim(regexp_replace(padded, " +", " ")), " ", -1)
+  }
+
   def wordCount(c: Column): Column = size(tokens(c))
 
   def charCount(c: Column): Column = length(c)

@@ -116,7 +116,11 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
         .withColumn("stopword_ratio",
           GraftFunctions.keywordCount($"text", cfg.stopwords).cast("double") /
             size(toks))
-        .withColumn("word_rep_score", GraftFunctions.wordNgramRep(toks, 5))
+        // repetition tokenizes punct-aware (trivial_tokenize, F18
+        // parity); the count stats above keep the reference's
+        // single-space word-count rule
+        .withColumn("word_rep_score",
+          GraftFunctions.wordNgramRep(Text.trivialTokenize($"text"), 5))
     }
   }
 

@@ -160,13 +160,14 @@ object StreamingQ {
     "pipeline_e2e",
     oracle = Some {
       val ng5 =
-        "list_transform(range(1, greatest(len(l)-3, 1)), i -> array_to_string(l[i:i+4], ' '))"
+        "list_transform(range(1, greatest(len(lt)-3, 1)), i -> array_to_string(lt[i:i+4], ' '))"
       s"""
       WITH RECURSIVE base AS (
         SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS text,
                lang, source, n_chars
         FROM documents),
-      tok AS (SELECT *, string_split(text, ' ') AS l FROM base),
+      tok AS (SELECT *, string_split(text, ' ') AS l,
+              ${TextOps.trivSql("text")} AS lt FROM base),
       st AS (
         SELECT doc_id, text, lang, source, n_chars, l,
           CAST(len(l) AS BIGINT) AS words_count,

@@ -20,9 +20,18 @@ object TextOps {
   private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.load(s, dir, "documents")
 
-  /** DuckDB fragment: word-5-gram list of `l` (empty when too short). */
-  private val ng5Sql =
-    "list_transform(range(1, greatest(len(l)-3, 1)), i -> array_to_string(l[i:i+4], ' '))"
+  /** DuckDB fragment: IndicNLP trivial_tokenize of column `c` — must
+    * stay in lockstep with [[graft.ops.Text.trivialTokenize]] (tab →
+    * space, ASCII punct + danda family space-padded — faithfully MINUS
+    * backslash — space runs collapsed, strip, split on single space). */
+  private[queries] def trivSql(c: String): String =
+    raw"""string_split(trim(regexp_replace(regexp_replace(replace($c, chr(9), ' '), '([!"#$$%&''()*+,\-./:;<=>?@\[\]^_`{|}~।॥])', ' \1 ', 'g'), ' +', ' ')), ' ')"""
+
+  /** DuckDB fragment: word-5-gram list of token list `l` (empty when
+    * too short). */
+  private def ng5SqlOf(l: String) =
+    s"list_transform(range(1, greatest(len($l)-3, 1)), i -> array_to_string($l[i:i+4], ' '))"
+  private val ng5Sql = ng5SqlOf("lt")
 
   val dTokenStats: Spec = Spec(
     "d_token_stats",
@@ -207,7 +216,10 @@ object TextOps {
     val toks = Text.tokens($"text")
     // Custom expressions on the hot path: linear-time n-gram repetition
     // (vs the O(n²) HOF the oracle states) and the keyword automaton.
-    val repScore = GraftFunctions.wordNgramRep(toks, 5)
+    // Repetition tokenizes via trivial_tokenize (punct-aware, F18
+    // reference parity); the count stats stay single-space split, which
+    // IS the reference's word count rule (filters.py:756-758).
+    val repScore = GraftFunctions.wordNgramRep(Text.trivialTokenize($"text"), 5)
     val nNsfw = GraftFunctions.keywordCount($"text", Seq("slow", "dup", "hash join"))
     docs(s, dir).select(
       $"doc_id", $"lang",
@@ -233,7 +245,8 @@ object TextOps {
           ELSE CAST(len($ng5Sql) - len(list_filter($ng5Sql,
             g -> len(list_filter($ng5Sql, h -> h = g)) = 1)) AS DOUBLE)
             / len($ng5Sql) END AS word_rep_score
-      FROM (SELECT doc_id, lang, text, string_split(text,' ') AS l FROM documents)"""
+      FROM (SELECT doc_id, lang, text, string_split(text,' ') AS l,
+              ${trivSql("text")} AS lt FROM documents)"""
 
   private val flagsSql = """
         words_count <= 60 AS has_less_words,
@@ -280,13 +293,14 @@ object TextOps {
   }
 
   /** Word-5-gram repetition score, shuffle form (F18 at corpus scale:
-    * explode → two hash-aggs; partial aggregation bounds the shuffle). */
+    * explode → two hash-aggs; partial aggregation bounds the shuffle).
+    * Tokenization is trivial_tokenize (reference filters.py:584). */
   val dNgramRepWord: Spec = Spec(
     "d_ngram_rep_word",
     oracle = Some(s"""
       WITH g AS (
         SELECT doc_id, unnest($ng5Sql) AS gram
-        FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents
+        FROM (SELECT doc_id, ${trivSql("text")} AS lt FROM documents
               WHERE doc_id % 10 = 0)),
       c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram)
       SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_ngrams,
@@ -297,7 +311,7 @@ object TextOps {
     docs(s, dir)
       .filter($"doc_id" % 10 === 0)
       .select($"doc_id",
-        explode(Text.wordNgrams(Text.tokens($"text"), 5)).as("gram"))
+        explode(Text.wordNgrams(Text.trivialTokenize($"text"), 5)).as("gram"))
       .groupBy($"doc_id", $"gram").agg(count(lit(1)).as("cnt"))
       .groupBy($"doc_id")
       .agg(
@@ -305,6 +319,48 @@ object TextOps {
         coalesce(sum(when($"cnt" >= 2, $"cnt")), lit(0L)).as("n_rep"))
       .select($"doc_id", $"n_ngrams", $"n_rep",
         round($"n_rep".cast("double") / $"n_ngrams", 6).as("rep_score"))
+      .orderBy($"doc_id")
+  }
+
+  /** F18 with the tokenizer rule PROVEN: the synthetic corpus carries no
+    * punctuation, so this query plants some deterministically (a '.'
+    * glued to a word, a '( ),' cluster, a danda) on both sides, then
+    * pins the full trivial_tokenize chain (pad → collapse → strip →
+    * split) via a token-list md5 and the word-2-gram repetition score
+    * over the punct-aware tokens. FLOOR(x·1e6)/1e6 instead of ROUND:
+    * n_ngrams can be a power of two, whose ratios hit exact half-way
+    * decimals where engines' rounding modes disagree. */
+  val dNgramRepWordTok: Spec = Spec(
+    "d_ngram_rep_word_tok",
+    oracle = Some {
+      val ng2 =
+        "list_transform(range(1, greatest(len(lt)-0, 1)), i -> array_to_string(lt[i:i+1], ' '))"
+      s"""
+      WITH p AS (
+        SELECT doc_id,
+          replace(replace(replace(text, ' table', ' table.'),
+            ' query', ' (query),'), ' scan', ' scan।') AS t
+        FROM documents WHERE doc_id % 10 = 0),
+      tok AS (SELECT doc_id, ${trivSql("t")} AS lt FROM p)
+      SELECT doc_id,
+        CAST(len(lt) AS BIGINT) AS n_tok,
+        md5(array_to_string(lt, chr(1))) AS tok_md5,
+        FLOOR((CASE WHEN len($ng2) = 0 THEN 0.0
+          ELSE CAST(len($ng2) - len(list_filter($ng2,
+            g -> len(list_filter($ng2, h -> h = g)) = 1)) AS DOUBLE)
+            / len($ng2) END) * 1e6) / 1e6 AS rep_score
+      FROM tok ORDER BY doc_id"""
+    }) { (s, dir) =>
+    import s.implicits._
+    val injected = expr(
+      "replace(replace(replace(text, ' table', ' table.'), ' query', ' (query),'), ' scan', ' scan।')")
+    val lt = Text.trivialTokenize(injected)
+    docs(s, dir)
+      .filter($"doc_id" % 10 === 0)
+      .select($"doc_id",
+        size(lt).cast("long").as("n_tok"),
+        md5(concat_ws("\u0001", lt)).as("tok_md5"),
+        (floor(GraftFunctions.wordNgramRep(lt, 2) * 1e6) / 1e6).as("rep_score"))
       .orderBy($"doc_id")
   }
 
@@ -509,7 +565,7 @@ object TextOps {
   val specs: Seq[Spec] = Seq(
     dTokenStats, dDocStatsAgg, dWordFreq, dLineExplode, dLines2Doc,
     dRepeatedTokens, dNsfwCounts, dDocFlags, dRemovalSurvivors,
-    dNgramRepWord, dNgramRepChar, dUniqueTokens, dSymbolRatio,
+    dNgramRepWord, dNgramRepWordTok, dNgramRepChar, dUniqueTokens, dSymbolRatio,
     dFingerprint, dDedupByKey, dStopwords, dDedupThresholded,
     dFlagsPerLang)
 }

@@ -88,4 +88,30 @@ class TextSemanticsSpec extends AnyFunSuite {
     // bigrams x: {a b, b c, c d}; y: {a b, b c, c e}; inter 2, union 4
     assert(j == 0.5)
   }
+
+  test("trivial_tokenize: IndicNLP rule parity (F18 tokenizer)") {
+    // Vectors generated from the Python reference rule
+    // (re.sub(r'([punct+dandas])', r' \1 ', text.replace('\t',' ')),
+    //  collapse spaces, strip(' '), split(' ')).
+    def tok(t: String) = oneSeq(Text.trivialTokenize($"t"), t)
+    assert(tok("hello, world! its a test") ==
+      List("hello", ",", "world", "!", "its", "a", "test"))
+    assert(tok("don't stop") == List("don", "'", "t", "stop"))
+    assert(tok("रही। घर॥ चला") == List("रही", "।", "घर", "॥", "चला"))
+    assert(tok("a  b") == List("a", "b")) // space runs collapse (unlike tokens())
+    assert(tok("") == List(""))           // ''.split(' ') parity
+    assert(tok("...") == List(".", ".", "."))
+    assert(tok("x\ty") == List("x", "y")) // tab → space
+    assert(tok("a\nb") == List("a\nb"))   // newline is NOT a split point
+    assert(tok(" lead trail ") == List("lead", "trail"))
+    // the library's string.punctuation-in-class quirk: '\' never splits
+    assert(tok("(x)[y]\\w") ==
+      List("(", "x", ")", "[", "y", "]", "\\w"))
+  }
+
+  test("trivial_tokenize: Urdu routing pads Urdu marks, not dandas") {
+    def tokUr(t: String) = oneSeq(Text.trivialTokenize($"t", "ur"), t)
+    assert(tokUr("کیا۔ ہاں، ٹھیک") == List("کیا", "۔", "ہاں", "،", "ٹھیک"))
+    assert(tokUr("रही। घर") == List("रही।", "घर")) // dandas NOT in the ur class
+  }
 }
