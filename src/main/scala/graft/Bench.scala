@@ -60,12 +60,12 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"samples":$all,"sf":"$sfDir"}"""
     println(line)
-    // Also write the line to a file when asked — sbt log noise makes
-    // stdout scraping unreliable (BENCH_r01 had parsed:null). Opt-in via
-    // env so embedding Bench never drops files into a caller's cwd.
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { out =>
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
-    }
+    // Also write the line to a file — sbt log noise makes stdout scraping
+    // unreliable (BENCH_r01 and r03 both had parsed:null when the file
+    // write was absent/opt-in). Default bench_out.json in cwd; env
+    // overrides the path.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     spark.stop()
   }
 }

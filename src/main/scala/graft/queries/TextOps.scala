@@ -25,7 +25,7 @@ object TextOps {
     * space, ASCII punct + danda family space-padded — faithfully MINUS
     * backslash — space runs collapsed, strip, split on single space). */
   private[queries] def trivSql(c: String): String =
-    raw"""string_split(trim(regexp_replace(regexp_replace(replace($c, chr(9), ' '), '([!"#$$%&''()*+,\-./:;<=>?@\[\]^_`{|}~।॥])', ' \1 ', 'g'), ' +', ' ')), ' ')"""
+    raw"""string_split(trim(regexp_replace(regexp_replace(replace($c, chr(9), ' '), '([!"#$$%&''()*+,\-./:;<=>?@\[\]^_`{|}~।॥])', ' \1 ', 'g'), ' +', ' ', 'g')), ' ')"""
 
   /** DuckDB fragment: word-5-gram list of token list `l` (empty when
     * too short). */

@@ -19,12 +19,22 @@ object StreamOps {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** Streaming events source with `ts` as raw nanos. Like
+    * [[graft.queries.Events.load]]: the nanosAsLong conf is asserted
+    * (set by every session builder in this repo at construction), not
+    * mutated — a query function never side-effects shared session conf. */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    require(
+      s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "streaming events queries need spark.sql.legacy.parquet.nanosAsLong=true at session construction")
+    s.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+  }
+
   /** Tumbling 1-hour event counts as a streaming query, returned as the
     * final batch result table. */
   def tumblingCounts(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = s.readStream.schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val src = eventsStream(s, dir)
     val agg = src
       .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts_utc", "1 hour")
@@ -48,9 +58,7 @@ object StreamOps {
     * each event lands in 4 overlapping windows; watermarked state,
     * complete-mode memory sink for the finite-source smoke. */
   def slidingCounts(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = s.readStream.schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val src = eventsStream(s, dir)
     val agg = src
       .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts_utc", "1 hour")
@@ -83,11 +91,9 @@ object StreamOps {
   def statefulSessions(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val gapUs = 1800L * 1000 * 1000
 
-    val src = s.readStream.schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val src = eventsStream(s, dir)
       .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts_utc", "30 minutes")
       .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("ts_utc"))
@@ -137,9 +143,7 @@ object StreamOps {
   /** Streaming exact-dedup: dropDuplicatesWithinWatermark on event_id.
     * Returns the deduped count table (memory sink, append). */
   def streamingDedupCount(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = s.readStream.schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val src = eventsStream(s, dir)
     val deduped = src
       .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts_utc", "2 hours")
