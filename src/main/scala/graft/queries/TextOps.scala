@@ -364,6 +364,51 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** F15 keyword spans (setu/filters.py:733-740, flashtext
+    * span_info=True): [start, end) codepoint offsets of boundary-valid
+    * keyword hits, in match order. The oracle rebuilds every expected
+    * span from token-offset arithmetic (token i of a single-space-joined
+    * corpus starts at sum of prior token lengths + i-1), and a appended
+    * ` (slow).` payload pins the punctuation-boundary case at a
+    * deterministic offset (length(text)+2) — so every doc emits at
+    * least one span and the codepoint arithmetic is hash-proven. */
+  val dKeywordSpans: Spec = Spec(
+    "d_keyword_spans",
+    oracle = Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text,' ') AS l, length(text) AS n
+        FROM documents WHERE doc_id % 10 = 0),
+      pos AS (
+        SELECT doc_id, l, generate_subscripts(l, 1) AS i, unnest(l) AS tok FROM t),
+      off AS (
+        SELECT doc_id, i, tok,
+          COALESCE(list_sum(list_transform(l[1:i-1], x -> length(x))), 0) + (i - 1) AS s0,
+          lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+        FROM pos),
+      sp AS (
+        SELECT doc_id, s0 AS s, s0 + length(tok) AS e
+        FROM off WHERE tok IN ('slow', 'dup')
+        UNION ALL
+        SELECT doc_id, s0, s0 + length(tok) + 1 + length(nxt)
+        FROM off WHERE tok = 'hash' AND nxt = 'join'
+        UNION ALL
+        SELECT doc_id, n + 2, n + 6 FROM t)
+      SELECT doc_id,
+        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS BIGINT) AS idx,
+        CAST(s AS BIGINT) AS s, CAST(e AS BIGINT) AS e
+      FROM sp ORDER BY doc_id, idx""")) { (s, dir) =>
+    import s.implicits._
+    val spans = GraftFunctions.keywordSpans(
+      concat($"text", lit(" (slow).")), Seq("slow", "dup", "hash join"))
+    docs(s, dir)
+      .filter($"doc_id" % 10 === 0)
+      .select($"doc_id", posexplode(spans).as(Seq("idx", "sp")))
+      .select($"doc_id", $"idx".cast("long").as("idx"),
+        element_at($"sp", 1).cast("long").as("s"),
+        element_at($"sp", 2).cast("long").as("e"))
+      .orderBy($"doc_id", $"idx")
+  }
+
   /** Symbol-ratio per doc (F9 shape: chars outside [a-z] — i.e. spaces
     * here — over total chars). */
   val dSymbolRatio: Spec = Spec(
@@ -565,7 +610,8 @@ object TextOps {
   val specs: Seq[Spec] = Seq(
     dTokenStats, dDocStatsAgg, dWordFreq, dLineExplode, dLines2Doc,
     dRepeatedTokens, dNsfwCounts, dDocFlags, dRemovalSurvivors,
-    dNgramRepWord, dNgramRepWordTok, dNgramRepChar, dUniqueTokens, dSymbolRatio,
+    dNgramRepWord, dNgramRepWordTok, dNgramRepChar, dUniqueTokens,
+    dKeywordSpans, dSymbolRatio,
     dFingerprint, dDedupByKey, dStopwords, dDedupThresholded,
     dFlagsPerLang)
 }
