@@ -79,6 +79,20 @@ object Text {
   def charClassCount(c: Column, classRegex: String): Column =
     length(c) - length(regexp_replace(c, classRegex, ""))
 
+  /** A4 lines2doc join (setu/utilities.py:116-128 `join_using_symbol`):
+    * lines concatenated in (pos) sort order with NO separator — each
+    * line carries its own delimiter — and a line whose first two chars
+    * are both spaces is dedented by exactly one (`line[1:]`; lines with
+    * MORE leading spaces still lose only one). Takes an
+    * `array<struct<pos,line>>` so it composes with `collect_list` under
+    * a hash aggregate (no window needed). */
+  def linesToDoc(lines: Column): Column =
+    array_join(
+      transform(array_sort(lines), x => {
+        val l = x.getField("line")
+        when(l.startsWith("  "), l.substr(lit(2), length(l))).otherwise(l)
+      }), "")
+
   /** Word n-grams as strings, empty array when the doc is too short
     * (guard matters: Spark `sequence(0, -1)` would yield a *descending*
     * sequence, not an empty one). */

@@ -152,6 +152,49 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** A4 dedent quirk (setu/utilities.py:116-128): the reference's
+    * lines2doc concatenates sorted lines with NO separator (each line
+    * keeps its own trailing delimiter) and dedents any line whose first
+    * two chars are spaces by exactly one. Lines are built
+    * deterministically here — every 3rd token gets a two-space indent,
+    * every token a trailing newline — so the oracle can restate the
+    * dedent+join in SQL and hash the reassembled doc. Exact handcrafted
+    * vectors (incl. the bare-two-spaces line) are pinned in
+    * TextSemanticsSpec. */
+  val dLines2DocDedent: Spec = Spec(
+    "d_lines2doc_dedent",
+    oracle = Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents WHERE doc_id % 20 = 0),
+      lines AS (
+        SELECT doc_id, generate_subscripts(w, 1) AS pos,
+          CASE WHEN generate_subscripts(w, 1) % 3 = 0
+               THEN '  ' || unnest(w) || chr(10)
+               ELSE unnest(w) || chr(10) END AS line
+        FROM t)
+      SELECT doc_id,
+        md5(string_agg(CASE WHEN line LIKE '  %' THEN line[2:] ELSE line END,
+                       '' ORDER BY pos)) AS doc_md5,
+        CAST(SUM(CASE WHEN line LIKE '  %' THEN 1 ELSE 0 END) AS BIGINT)
+          AS dedented
+      FROM lines GROUP BY doc_id ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    docs(s, dir)
+      .filter($"doc_id" % 20 === 0)
+      .select($"doc_id", posexplode(Text.tokens($"text")).as(Seq("p0", "tok")))
+      .select($"doc_id", ($"p0" + 1).as("pos"),
+        when(($"p0" + 1) % 3 === 0, concat(lit("  "), $"tok", lit("\n")))
+          .otherwise(concat($"tok", lit("\n"))).as("line"))
+      .groupBy($"doc_id")
+      .agg(
+        md5(Text.linesToDoc(collect_list(struct($"pos", $"line"))))
+          .as("doc_md5"),
+        sum(when($"line".startsWith("  "), 1L).otherwise(0L))
+          .as("dedented"))
+      .orderBy($"doc_id")
+  }
+
   /** Repeated-line distribution (A2/A3 shape) as rows. */
   val dRepeatedTokens: Spec = Spec(
     "d_repeated_tokens",
@@ -609,7 +652,7 @@ object TextOps {
 
   val specs: Seq[Spec] = Seq(
     dTokenStats, dDocStatsAgg, dWordFreq, dLineExplode, dLines2Doc,
-    dRepeatedTokens, dNsfwCounts, dDocFlags, dRemovalSurvivors,
+    dLines2DocDedent, dRepeatedTokens, dNsfwCounts, dDocFlags, dRemovalSurvivors,
     dNgramRepWord, dNgramRepWordTok, dNgramRepChar, dUniqueTokens,
     dKeywordSpans, dSymbolRatio,
     dFingerprint, dDedupByKey, dStopwords, dDedupThresholded,

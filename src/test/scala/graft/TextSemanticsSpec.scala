@@ -47,6 +47,25 @@ class TextSemanticsSpec extends AnyFunSuite {
     assert(!one[Boolean](Text.isTerminalValid($"t"), "no end"))
   }
 
+  test("lines2doc dedent quirk (A4, setu/utilities.py:116-128 parity)") {
+    // Python join_using_symbol: no join separator; a line whose first
+    // TWO chars are spaces loses exactly one. Vectors cover: plain,
+    // two-space (dedent), one-space (kept), three-space (loses one,
+    // keeps two), and the bare-two-spaces line ("  " -> " ").
+    def join(lines: Seq[String]): String = {
+      val df = lines.zipWithIndex.map { case (l, i) => (i, l) }
+        .toDF("pos", "line")
+      df.agg(Text.linesToDoc(collect_list(struct($"pos", $"line")))
+        .as("doc")).collect()(0).getString(0)
+    }
+    assert(join(Seq("ab\n", "  cd\n", " e\n", "   f\n", "  ")) ==
+      "ab\n cd\n e\n  f\n ")
+    // Out-of-order pos is sorted before the join (reference array_sort).
+    val shuffled = Seq((2, "  c"), (0, "a"), (1, "b")).toDF("pos", "line")
+    assert(shuffled.agg(Text.linesToDoc(collect_list(struct($"pos", $"line"))))
+      .collect()(0).getString(0) == "ab c")
+  }
+
   test("ngram builders guard short inputs (sequence(0,-1) hazard)") {
     assert(oneSeq(Text.wordNgrams(split($"t", " "), 5), "a b").isEmpty)
     assert(oneSeq(Text.charNgrams($"t", 4), "abc").isEmpty)
