@@ -31,47 +31,53 @@ object StreamOps {
       .option("pathGlobFilter", "events.parquet").parquet(dir)
   }
 
-  /** Tumbling 1-hour event counts as a streaming query, returned as the
-    * final batch result table. */
-  def tumblingCounts(s: SparkSession, dir: String): DataFrame = {
-    val src = eventsStream(s, dir)
+  /** Drain a finite streaming aggregate into its memory-sink table.
+    * `processAllAvailable` makes any bounded source (file, MemoryStream)
+    * drive the query synchronously; the same plan runs unbounded on a
+    * real source. */
+  private def runToTable(
+      s: SparkSession, agg: DataFrame, sink: String, mode: String): DataFrame = {
+    val q = agg.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(sink)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(sink)
+  }
+
+  /** Tumbling 1-hour event counts over ANY streaming events frame
+    * (events schema, ts as raw nanos) — source-agnostic: the file twin
+    * and the MemoryStream twin (StreamingSpec) run this same plan. */
+  def tumblingFrom(s: SparkSession, src: DataFrame, sink: String): DataFrame = {
     val agg = src
       .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts_utc", "1 hour")
       .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName("st_tumbling_mem")
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    s.table("st_tumbling_mem")
+    runToTable(s, agg, sink, "complete")
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n_events"))
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  /** Tumbling 1-hour event counts as a streaming query, returned as the
+    * final batch result table. */
+  def tumblingCounts(s: SparkSession, dir: String): DataFrame =
+    tumblingFrom(s, eventsStream(s, dir), "st_tumbling_mem")
+
   /** Sliding 1-hour windows every 15 minutes as a streaming query —
     * each event lands in 4 overlapping windows; watermarked state,
     * complete-mode memory sink for the finite-source smoke. */
   def slidingCounts(s: SparkSession, dir: String): DataFrame = {
-    val src = eventsStream(s, dir)
-    val agg = src
+    val agg = eventsStream(s, dir)
       .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts_utc", "1 hour")
       .groupBy(window(col("ts_utc"), "1 hour", "15 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName("st_sliding_mem")
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    s.table("st_sliding_mem")
+    runToTable(s, agg, "st_sliding_mem", "complete")
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n_events"))
@@ -88,12 +94,17 @@ object StreamOps {
     * the 30-minute gap passes the watermark. Emits closed sessions
     * (append mode); sessions still open past the final watermark stay
     * in state — on an unbounded source they'd close on later data. */
-  def statefulSessions(s: SparkSession, dir: String): DataFrame = {
+  def statefulSessions(s: SparkSession, dir: String): DataFrame =
+    sessionsFrom(s, eventsStream(s, dir), "st_sessions_mem")
+
+  /** Source-agnostic core of [[statefulSessions]] (same contract as
+    * [[tumblingFrom]]). */
+  def sessionsFrom(s: SparkSession, events: DataFrame, sink: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val gapUs = 1800L * 1000 * 1000
 
-    val src = eventsStream(s, dir)
+    val src = events
       .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts_utc", "30 minutes")
       .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("ts_utc"))
@@ -129,14 +140,7 @@ object StreamOps {
           }
       }
 
-    val q = sessions.toDF().writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName("st_sessions_mem")
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    s.table("st_sessions_mem")
+    runToTable(s, sessions.toDF(), sink, "append")
       .orderBy(col("user_id"), col("session_start_us"))
   }
 
@@ -148,14 +152,7 @@ object StreamOps {
       .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts_utc", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
-    val q = deduped.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName("st_dedup_mem")
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    s.table("st_dedup_mem")
+    runToTable(s, deduped, "st_dedup_mem", "append")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_unique"))
       .orderBy(col("event_type"))
