@@ -45,6 +45,14 @@ object Text {
     split(trim(regexp_replace(padded, " +", " ")), " ", -1)
   }
 
+  /** Column-routed [[trivialTokenize]]: the reference calls
+    * trivial_tokenize(text, lang_code) per document (setu/filters.py:584)
+    * and the library dispatches `lang == "ur"` to the Urdu variant —
+    * same dispatch here, per row, as a single `when` projection. */
+  def trivialTokenizeBy(c: Column, lang: Column): Column =
+    when(lower(lang) === "ur", trivialTokenize(c, "ur"))
+      .otherwise(trivialTokenize(c))
+
   def wordCount(c: Column): Column = size(tokens(c))
 
   def charCount(c: Column): Column = length(c)

@@ -117,10 +117,14 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
           GraftFunctions.keywordCount($"text", cfg.stopwords).cast("double") /
             size(toks))
         // repetition tokenizes punct-aware (trivial_tokenize, F18
-        // parity); the count stats above keep the reference's
-        // single-space word-count rule
+        // parity), routed per-row by the language column like CleanStage
+        // routes normalization; the count stats above keep the
+        // reference's single-space word-count rule
         .withColumn("word_rep_score",
-          GraftFunctions.wordNgramRep(Text.trivialTokenize($"text"), 5))
+          GraftFunctions.wordNgramRep(
+            if (df.columns.contains(cfg.langCol))
+              Text.trivialTokenizeBy($"text", col(cfg.langCol))
+            else Text.trivialTokenize($"text"), 5))
     }
   }
 

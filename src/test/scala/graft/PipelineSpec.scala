@@ -35,6 +35,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.nonEmpty && bothSurvive == 0)
   }
 
+  test("pipeline routes trivial_tokenize by lang: Urdu docs use the Urdu marks (F18)") {
+    import graft.functions.GraftFunctions
+    import graft.ops.Text
+    // Urdu full stop ۔ is a pad-split mark only on the Urdu route; the
+    // danda route leaves it glued to the preceding word. The 5-gram
+    // "الف ب پ ت ث" repeats ONLY once ۔ is split off, so the Urdu route
+    // scores > 0 while the danda route scores 0 on this text.
+    val txt = "الف ب پ ت ث۔ ک گ ل م ن الف ب پ ت ث"
+    val df = Seq((1L, "ur", txt), (2L, "hi", txt)).toDF("doc_id", "lang", "text")
+    val p = new Pipeline(spark, PipelineConfig())
+    val scores = p.StatsStage(df)
+      .select($"lang", $"word_rep_score").as[(String, Double)].collect().toMap
+    val Seq(expUr, expHi) = Seq("ur", "hi").map { l =>
+      df.limit(1).select(
+        GraftFunctions.wordNgramRep(Text.trivialTokenize($"text", l), 5))
+        .as[Double].head()
+    }
+    assert(scores("ur") == expUr)
+    assert(scores("hi") == expHi)
+    assert(expUr != expHi, "routing must be observable on this vector")
+  }
+
   test("checkpointed mode materializes each stage; partitioned write prunes") {
     val ckpt = tmp("graft-ckpt")
     val outDir = tmp("graft-out") + "/corpus"
