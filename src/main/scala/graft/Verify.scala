@@ -21,10 +21,32 @@ object Verify {
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only.contains(n) }
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(deleteRec))
+      f.delete(); ()
+    }
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // Star-cap observability, wired into the gate: every oracle
+        // except dd_capped_star_pairs states NO-CAP semantics, so a
+        // tripped cap there means the output silently diverged from its
+        // oracle — delete the dump so the compare goes red instead.
+        val caps = graft.ops.Buckets.drainCapCounts()
+        val tripped = caps.values.sum
+        if (name == "dd_capped_star_pairs") {
+          if (tripped <= 0) {
+            deleteRec(new java.io.File(s"$outDir/$name"))
+            throw new IllegalStateException(
+              s"expected a tripped star cap, observe metrics: $caps")
+          }
+        } else if (tripped != 0) {
+          deleteRec(new java.io.File(s"$outDir/$name"))
+          throw new IllegalStateException(
+            s"star cap tripped under a no-cap oracle: $caps")
+        }
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -2,7 +2,7 @@ package graft.ops
 
 import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -30,6 +30,38 @@ object Buckets {
       |       y -> named_struct('id_a', x, 'id_b', y))))""".stripMargin)
 
   private val obsId = new AtomicLong()
+
+  /** Every pairs() plan registers its cap Observation here so a driver
+    * (graft.Verify) can DRAIN the realized metrics per query and assert
+    * capped_buckets==0 wherever the oracle states no-cap semantics —
+    * the documented observability wired into the gate, not just
+    * available to it. */
+  private val observations =
+    new java.util.concurrent.ConcurrentLinkedQueue[Observation]()
+
+  /** Collect (observation name → capped_buckets) for every registered
+    * observation whose plan has executed since the last drain, removing
+    * all registered observations. Polls briefly per observation for
+    * listener-bus completion; plans that were built but never executed
+    * contribute nothing. */
+  def drainCapCounts(timeoutMs: Long = 2000): Map[String, Long] = {
+    import scala.concurrent.Await
+    import scala.concurrent.duration._
+    val out = scala.collection.mutable.Map[String, Long]()
+    var o = observations.poll()
+    while (o != null) {
+      val row =
+        try Some(Await.result(o.future, timeoutMs.millis))
+        catch { case _: java.util.concurrent.TimeoutException => None }
+      row.foreach { r =>
+        // sum() over an empty star branch is SQL NULL — zero trips
+        val v = r.getAs[Any]("capped_buckets")
+        out(o.name) = if (v == null) 0L else v.asInstanceOf[Long]
+      }
+      o = observations.poll()
+    }
+    out.toMap
+  }
 
   /** Distinct ordered candidate pairs (id_a < id_b) generated INSIDE
     * each bucket — the only shuffles are the bucket-key exchange and the
@@ -59,9 +91,11 @@ object Buckets {
       .withColumn("_n", count(lit(1)).over(w))
       .withColumn("_min", min(col("_id")).over(w))
       .filter(col("_n") > 1)
+    val obs = Observation(s"graft_buckets_${obsId.incrementAndGet()}")
+    observations.add(obs)
     val star = withStats
       .filter(col("_n") > maxBucket)
-      .observe(s"graft_buckets_${obsId.incrementAndGet()}",
+      .observe(obs,
         sum(when(col("_id") === col("_min"), 1L).otherwise(0L))
           .as("capped_buckets"),
         count(lit(1)).as("capped_rows"))

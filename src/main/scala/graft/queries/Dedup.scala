@@ -171,6 +171,54 @@ object Dedup {
       .orderBy($"lang")
   }
 
+  /** The star-cap TRIP path, hash-proven end-to-end: a synthetic bucket
+    * assignment makes two buckets deliberately oversized (doc_id < 100
+    * → bucket doc_id%2, far over maxBucket=10) while the rest stay
+    * small (≤10 members → all-pairs). The oracle states the DEGRADED
+    * semantics explicitly — min-id star pairs over oversized buckets,
+    * all-pairs under the cap — so the 100 TB degradation path is
+    * oracle-proven, not just unit-tested (BucketsSpec). Every row also
+    * carries n_capped (count of tripped buckets, > 0 by construction);
+    * graft.Verify cross-checks the same number against the
+    * graft_buckets_* observe metric. */
+  val ddCappedStarPairs: Spec = Spec(
+    "dd_capped_star_pairs",
+    oracle = Some("""
+      WITH d AS (
+        SELECT doc_id,
+          CASE WHEN doc_id < 100 THEN doc_id % 2
+               ELSE 100 + doc_id % 50 END AS b
+        FROM documents),
+      s AS (
+        SELECT b, doc_id,
+          COUNT(*) OVER (PARTITION BY b) AS n,
+          MIN(doc_id) OVER (PARTITION BY b) AS mn
+        FROM d),
+      pairs AS (
+        SELECT mn AS id_a, doc_id AS id_b
+        FROM s WHERE n > 10 AND doc_id <> mn
+        UNION
+        SELECT a.doc_id, c.doc_id
+        FROM s a JOIN s c USING (b)
+        WHERE a.n <= 10 AND a.n > 1 AND a.doc_id < c.doc_id),
+      cap AS (SELECT COUNT(DISTINCT b) AS n_capped FROM s WHERE n > 10)
+      SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+        CAST(n_capped AS BIGINT) AS n_capped
+      FROM pairs, cap ORDER BY id_a, id_b""")) { (s, dir) =>
+    import s.implicits._
+    val d = Tables.load(s, dir, "documents").select($"doc_id",
+      when($"doc_id" < 100, $"doc_id" % 2)
+        .otherwise(lit(100) + $"doc_id" % 50).as("b"))
+    val pairs = graft.ops.Buckets.pairs(d, Seq("b"), "doc_id", maxBucket = 10)
+    val nCapped = d
+      .groupBy($"b").agg(count(lit(1)).as("n"))
+      .filter($"n" > 10)
+      .agg(count(lit(1)).cast("long").as("n_capped"))
+    pairs.crossJoin(broadcast(nCapped))
+      .select($"id_a", $"id_b", $"n_capped")
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** 64-bit SimHash per document (xxhash64 has no DuckDB twin → no SQL
     * oracle; parity covered by ScalaTest fixtures). */
   val ddSimhash: Spec = Spec(
@@ -204,5 +252,5 @@ object Dedup {
 
   val specs: Seq[Spec] = Seq(
     ddMinhashPairs, ddMinhashClusters, ddJaccardBlockPairs, ddExactHash,
-    ddSimhash, ddSimhashPairs)
+    ddCappedStarPairs, ddSimhash, ddSimhashPairs)
 }

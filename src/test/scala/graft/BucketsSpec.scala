@@ -71,6 +71,15 @@ class BucketsSpec extends AnyFunSuite {
     assert(m2.getAs[Long]("capped_buckets") == 0L)
   }
 
+  test("drainCapCounts surfaces tripped caps once, then drains clean") {
+    Buckets.drainCapCounts(10) // flush observations left by other tests
+    val df = bucketDf((1L to 50L).map(i => ("hot", i)))
+    Buckets.pairs(df, Seq("bkt"), "id", maxBucket = 10).count()
+    val caps = Buckets.drainCapCounts()
+    assert(caps.values.sum == 1L, s"one tripped bucket expected: $caps")
+    assert(Buckets.drainCapCounts(10).isEmpty, "queue must be drained")
+  }
+
   test("plan shape: bucket membership comes from a window, and the only " +
     "collect_list sits behind the under-cap filter") {
     val df = bucketDf(Seq(("a", 1L), ("a", 2L)))
