@@ -38,8 +38,8 @@ object Skew {
     * every row through one unpartitioned window sort.
     * Rows are range-partitioned by the sort key first so partition-local
     * order concatenates to global order. */
-  def globalRowNumber(df: DataFrame, orderCols: Seq[Column], n: Int = 0)
-      : DataFrame = {
+  def globalRowNumber(df: DataFrame, orderCols: Seq[Column], n: Int = 0,
+      literalMapMaxParts: Int = 1024): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val sorted = df.repartitionByRange(orderCols: _*)
@@ -54,17 +54,31 @@ object Skew {
       .as[(Int, Long)].collect().sortBy(_._1)
     val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) => (pid + 1, acc + c) }
       .take(counts.length).map(_._2)
-    // The (pid → offset) table is tiny (one entry per partition), so it
-    // bakes into the plan as a literal map — element_at stays inside
-    // whole-stage codegen, where a lookup UDF would break the rank
-    // projection out of it.
-    val offsetMap = map_from_arrays(
-      typedlit(counts.map(_._1).toSeq), typedlit(offsets.toSeq))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"_pid").orderBy(orderCols: _*)
-    withPart
-      .withColumn("rn",
-        row_number().over(w).cast("long") + element_at(offsetMap, $"_pid"))
-      .drop("_pid")
+    if (counts.length <= literalMapMaxParts) {
+      // Few partitions: bake the (pid → offset) table into the plan as a
+      // literal map — element_at stays inside whole-stage codegen, where
+      // a lookup UDF would break the rank projection out of it. Literal
+      // maps have NO hash index (ArrayBasedMapData scans keys linearly),
+      // which is why this path is gated on partition count.
+      val offsetMap = map_from_arrays(
+        typedlit(counts.map(_._1).toSeq), typedlit(offsets.toSeq))
+      withPart
+        .withColumn("rn",
+          row_number().over(w).cast("long") + element_at(offsetMap, $"_pid"))
+        .drop("_pid")
+    } else {
+      // Many partitions (a 100 TB run range-partitions into 1e4+): an
+      // O(#parts)-per-row key scan regresses past the UDF it replaced —
+      // broadcast-hash-join the offset table on _pid instead (O(1)
+      // probes, and the join is on the rank stage's existing rows, no
+      // extra shuffle).
+      val offsetsDf = counts.map(_._1).zip(offsets).toSeq.toDF("_pid", "_off")
+      withPart
+        .join(broadcast(offsetsDf), Seq("_pid"))
+        .withColumn("rn", row_number().over(w).cast("long") + $"_off")
+        .drop("_pid", "_off")
+    }
   }
 }

@@ -37,5 +37,12 @@ class SkewSpec extends AnyFunSuite {
     val got = Skew.globalRowNumber(part, order)
       .select($"p_partkey", $"rn").as[(Long, Long)].collect().toMap
     assert(got == expected)
+
+    // High-partition-count path: offsets merge via a broadcast join
+    // instead of an O(#parts)-per-row literal-map scan. Forcing the
+    // threshold to 0 must not change a single rank.
+    val broadcastPath = Skew.globalRowNumber(part, order, literalMapMaxParts = 0)
+      .select($"p_partkey", $"rn").as[(Long, Long)].collect().toMap
+    assert(broadcastPath == expected)
   }
 }
