@@ -71,6 +71,86 @@ case class KeywordSpans(child: Expression, keywords: Seq[String])
   override def prettyName: String = "graft_keyword_spans"
 }
 
+/** Whitespace-collapse normalization, fused: exactly
+  * `regexp_replace(trim(x), "\s+", " ")` — trim strips ASCII spaces
+  * only, then every Java-`\s` run ([ \t\n\x0B\f\r]) collapses to one
+  * space — but as a single byte-level pass with no regex engine and no
+  * char decode (all `\s` chars are single-byte in UTF-8; multi-byte
+  * sequences have the high bit set and can never match). The clean
+  * stage runs this over every document, so the 2-pass regex form was
+  * measurable pipeline cost. Equivalence to the regex composition is
+  * property-pinned in PropertiesSpec. */
+case class CollapseWs(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[UTF8String].getBytes
+    @inline def isWs(x: Byte): Boolean =
+      x == ' ' || x == '\t' || x == '\n' || x == 0x0b || x == '\f' || x == '\r'
+    var i = 0
+    var j = b.length
+    while (i < j && b(i) == ' ') i += 1
+    while (j > i && b(j - 1) == ' ') j -= 1
+    val out = new Array[Byte](j - i)
+    var o = 0
+    var inWs = false
+    while (i < j) {
+      val x = b(i)
+      if (isWs(x)) inWs = true
+      else {
+        if (inWs) { out(o) = ' '; o += 1; inWs = false }
+        out(o) = x; o += 1
+      }
+      i += 1
+    }
+    if (inWs) { out(o) = ' '; o += 1 } // a trailing non-space \s run
+    UTF8String.fromBytes(out, 0, o)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "graft_collapse_ws"
+}
+
+/** IndicNLP trivial_tokenize (setu/filters.py:584; the public
+  * indic-nlp-library rule), fused: equivalent to tab→space, space-pad
+  * every mark in `marks`, collapse space runs, trim, split on single
+  * space — but as ONE char pass that emits tokens directly (separators
+  * are space/tab; each mark is its own token; anything else, newlines
+  * included, accretes onto the current token). An input with no tokens
+  * yields [""], matching `split` on the trimmed empty string.
+  * Equivalence to the 3-regex composition is property-pinned in
+  * PropertiesSpec; reference quirks (backslash never splits, newline
+  * not a separator) are pinned in TextSemanticsSpec. */
+case class TrivialTokenize(child: Expression, marks: String)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  @transient private lazy val isMark: java.util.BitSet = {
+    val s = new java.util.BitSet()
+    marks.foreach(ch => s.set(ch.toInt))
+    s
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    val sb = new java.lang.StringBuilder()
+    @inline def flush(): Unit =
+      if (sb.length > 0) { out += UTF8String.fromString(sb.toString); sb.setLength(0) }
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == ' ' || ch == '\t') flush()
+      else if (ch < 0x10000 && isMark.get(ch.toInt)) {
+        flush(); out += UTF8String.fromString(String.valueOf(ch))
+      } else sb.append(ch)
+      i += 1
+    }
+    flush()
+    if (out.isEmpty) out += UTF8String.EMPTY_UTF8
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "graft_trivial_tokenize"
+}
+
 /** F1 split_with_delimiter (setu/filters.py:309-330): regex split that
   * keeps each delimiter match attached to the preceding piece. */
 case class SplitKeepDelimiter(child: Expression, pattern: String)

@@ -34,12 +34,26 @@ object Text {
     * `string.punctuation` in a regex class where its `\]` reads as an
     * escaped bracket, consuming the backslash. Parity is pinned in
     * TextSemanticsSpec and oracled in d_ngram_rep_word_tok. */
-  def trivialTokenize(c: Column, lang: String = "hi"): Column = {
-    val ascii = """!"#$%&'()*+,\-./:;<=>?@\[\]^_`{|}~"""
-    val cls =
-      if (lang.equalsIgnoreCase("ur"))
-        ascii + "؉؊،؞٪٫٬٭۔"
-      else ascii + "।॥"
+  def trivialTokenize(c: Column, lang: String = "hi"): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.functions.TrivialTokenize(
+        org.apache.spark.sql.graft.bridge.expression(c), trivialMarks(lang)))
+
+  /** The mark class trivial_tokenize pads: ASCII punctuation minus
+    * backslash (the library's regex quirk), plus the language-routed
+    * marks (danda family, or the Urdu set for `ur`). */
+  def trivialMarks(lang: String): String = {
+    val ascii = """!"#$%&'()*+,-./:;<=>?@[]^_`{|}~"""
+    if (lang.equalsIgnoreCase("ur")) ascii + "؉؊،؞٪٫٬٭۔"
+    else ascii + "।॥"
+  }
+
+  /** The 3-regex composition [[trivialTokenize]] fuses — kept ONLY as
+    * the property-test reference (PropertiesSpec pins fused == this). */
+  private[graft] def trivialTokenizeRegex(c: Column, lang: String = "hi"): Column = {
+    val cls = trivialMarks(lang)
+      .replace("\\", "\\\\").replace("[", "\\[").replace("]", "\\]")
+      .replace("-", "\\-")
     val padded = regexp_replace(regexp_replace(c, "\t", " "),
       "([" + cls + "])", " $1 ")
     split(trim(regexp_replace(padded, " +", " ")), " ", -1)
@@ -65,8 +79,16 @@ object Text {
 
   /** Whitespace-collapse + trim + lowercase normalization (the portable
     * core of F11; script-specific normalization is the NFKC expression
-    * in graft.functions). */
+    * in graft.functions). Collapse+trim run as one fused byte pass
+    * (CollapseWs); lower() stays the built-in. */
   def normalizeWs(c: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.functions.CollapseWs(
+        org.apache.spark.sql.graft.bridge.expression(lower(c))))
+
+  /** The regex composition [[normalizeWs]] fuses — kept ONLY as the
+    * property-test reference (PropertiesSpec pins fused == this). */
+  private[graft] def normalizeWsRegex(c: Column): Column =
     regexp_replace(trim(lower(c)), "\\s+", " ")
 
   /** Terminal-punctuation validity (F5): ends with a terminal mark and

@@ -22,6 +22,37 @@ class PropertiesSpec extends AnyFunSuite {
   private def sampleDocs(n: Int): Seq[String] =
     (0 until n).map(i => doc.pureApply(Gen.Parameters.default, Seed(i.toLong)))
 
+  // Rich alphabet for the fused-expression pins: letters, every
+  // whitespace flavor, pad marks (ASCII + danda + Urdu), the backslash
+  // quirk, multibyte and non-BMP codepoints.
+  private val richChar: Gen[String] = Gen.frequency(
+    6 -> Gen.alphaLowerChar.map(_.toString),
+    3 -> Gen.oneOf(" ", " ", "\t", "\n", "", "\f", "\r"),
+    3 -> Gen.oneOf("!", ",", ".", "(", ")", "[", "]", "-", "^", "~",
+      "।", "॥", "۔", "،", "٪"),
+    1 -> Gen.oneOf("\\", "é", "नम", "𐍈", "A", "Z"))
+  private val richDoc: Gen[String] =
+    Gen.listOf(richChar).map(_.mkString)
+  private def richDocs(n: Int): Seq[String] =
+    (0 until n).map(i => richDoc.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("fused CollapseWs == regex trim+collapse composition") {
+    val df = richDocs(300).toDF("text")
+    val bad = df.filter(
+      Text.normalizeWs($"text") =!= Text.normalizeWsRegex($"text")).count()
+    assert(bad == 0)
+  }
+
+  test("fused TrivialTokenize == 3-regex composition (hi and ur routes)") {
+    val df = richDocs(300).toDF("text")
+    for (lang <- Seq("hi", "ur")) {
+      val bad = df.filter(
+        to_json(Text.trivialTokenize($"text", lang)) =!=
+          to_json(Text.trivialTokenizeRegex($"text", lang))).count()
+      assert(bad == 0, s"lang=$lang")
+    }
+  }
+
   test("doc2lines ∘ lines2doc = identity (posexplode round trip)") {
     val df = sampleDocs(60).zipWithIndex
       .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
