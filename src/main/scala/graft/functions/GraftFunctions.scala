@@ -91,6 +91,12 @@ object GraftFunctions {
       WordNgramRepScore(es.head, litInt(es(1), "n"))
     }
     reg("graft_rolling_hash")(es => RollingHash(es.head))
+    reg("graft_collapse_ws")(es => CollapseWs(es.head))
+    reg("graft_trivial_tokenize") { es =>
+      TrivialTokenize(es.head,
+        graft.ops.Text.trivialMarks(
+          if (es.size > 1) litString(es(1), "lang") else "hi"))
+    }
     reg("graft_indic_normalize")(es => IndicNormalize(es.head, es(1)))
     reg("graft_remove_non_terminal_punc_span") { es =>
       // SQL parses `2.0` as a Decimal literal, not Double — accept all

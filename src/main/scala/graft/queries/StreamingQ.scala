@@ -167,7 +167,7 @@ object StreamingQ {
                lang, source, n_chars
         FROM documents),
       tok AS (SELECT *, string_split(text, ' ') AS l,
-              ${TextOps.trivSql("text")} AS lt FROM base),
+              ${TextOps.trivSqlRouted("text", "lang")} AS lt FROM base),
       st AS (
         SELECT doc_id, text, lang, source, n_chars, l,
           CAST(len(l) AS BIGINT) AS words_count,

@@ -24,8 +24,16 @@ object TextOps {
     * stay in lockstep with [[graft.ops.Text.trivialTokenize]] (tab →
     * space, ASCII punct + danda family space-padded — faithfully MINUS
     * backslash — space runs collapsed, strip, split on single space). */
-  private[queries] def trivSql(c: String): String =
-    raw"""string_split(trim(regexp_replace(regexp_replace(replace($c, chr(9), ' '), '([!"#$$%&''()*+,\-./:;<=>?@\[\]^_`{|}~।॥])', ' \1 ', 'g'), ' +', ' ', 'g')), ' ')"""
+  private def trivSqlCls(c: String, marks: String): String =
+    raw"""string_split(trim(regexp_replace(regexp_replace(replace($c, chr(9), ' '), '([!"#$$%&''()*+,\-./:;<=>?@\[\]^_`{|}~$marks])', ' \1 ', 'g'), ' +', ' ', 'g')), ' ')"""
+
+  private[queries] def trivSql(c: String): String = trivSqlCls(c, "।॥")
+
+  /** Lang-routed twin of [[trivSql]], mirroring
+    * [[graft.ops.Text.trivialTokenizeBy]]'s per-row `ur` dispatch. */
+  private[queries] def trivSqlRouted(c: String, lang: String): String =
+    s"CASE WHEN lower($lang) = 'ur' THEN ${trivSqlCls(c, "؉؊،؞٪٫٬٭۔")} " +
+      s"ELSE ${trivSql(c)} END"
 
   /** DuckDB fragment: word-5-gram list of token list `l` (empty when
     * too short). */

@@ -144,10 +144,14 @@ class ExpressionsSpec extends AnyFunSuite {
     val r = spark.sql(
       """SELECT graft_keyword_count('slow dup x', 'slow,dup') AS c,
         |graft_normalize('ﬁ') AS n,
-        |graft_word_ngram_rep(array('a','b','a','b','a'), 2) AS w""".stripMargin)
+        |graft_word_ngram_rep(array('a','b','a','b','a'), 2) AS w,
+        |graft_collapse_ws('  a\t\tb  ') AS ws,
+        |graft_trivial_tokenize('کیا۔', 'ur') AS ut""".stripMargin)
       .collect()(0)
     assert(r.getAs[Int]("c") == 2)
     assert(r.getAs[String]("n") == "fi")
     assert(r.getAs[Double]("w") == 1.0)
+    assert(r.getAs[String]("ws") == "a b")
+    assert(r.getSeq[String](4) == Seq("کیا", "۔"))
   }
 }
