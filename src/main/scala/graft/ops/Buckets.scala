@@ -39,6 +39,11 @@ object Buckets {
   private val observations =
     new java.util.concurrent.ConcurrentLinkedQueue[Observation]()
 
+  /** A long-lived driver that never drains (anything but Verify) must
+    * not accumulate Observation refs forever — older entries beyond
+    * this bound are discarded on registration. */
+  private val MaxPendingObservations = 1024
+
   /** Collect (observation name → capped_buckets) for every registered
     * observation whose plan has executed since the last drain, removing
     * all registered observations. Polls briefly per observation for
@@ -93,6 +98,7 @@ object Buckets {
       .filter(col("_n") > 1)
     val obs = Observation(s"graft_buckets_${obsId.incrementAndGet()}")
     observations.add(obs)
+    while (observations.size > MaxPendingObservations) observations.poll()
     val star = withStats
       .filter(col("_n") > maxBucket)
       .observe(obs,
