@@ -86,6 +86,74 @@ object MinHash {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Persistable LSH dedup state (incremental form of §2.11): ONE row
+    * per document — (id, sh, bands array<string>) — parquet-storable.
+    * Build once per corpus snapshot; daily batches then dedup against
+    * it via [[incrementalCandidatePairs]] without touching corpus text
+    * (or recomputing 100 TB of signatures) again. Same shingle/
+    * signature/band recipe as [[candidatePairs]], so a state built
+    * today keys into the same buckets tomorrow. */
+  def lshState(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numPerm: Int = 32,
+      bands: Int = 8): DataFrame = {
+    val rowsPerBand = numPerm / bands
+    require(bands * rowsPerBand == numPerm, "bands must divide numPerm")
+    df.select(col(idCol).as("id"),
+        Text.shingleSet(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", signature(col("sh"), numPerm))
+      .select(col("id"), col("sh"),
+        bandKeys(col("sig"), bands, rowsPerBand).as("bands"))
+  }
+
+  /** Near-duplicate pairs between a NEW batch and an existing corpus
+    * state, plus within the batch itself — never corpus × corpus.
+    * Batch-internal pairs go through the capped bucket scaffold;
+    * batch↔corpus candidates come from an equi-join on (band, key)
+    * restricted (left-semi) to buckets the batch actually touches, so
+    * per-run cost scales with the batch and its matched buckets, not
+    * with the corpus. A degenerate corpus bucket is bounded to its
+    * `maxBucket` smallest ids (window over touched buckets only) —
+    * the same deterministic bounded-recall trade as the star cap.
+    * Batch and corpus ids are expected disjoint; an id present in both
+    * contributes one shingle set (first wins) and never self-pairs. */
+  def incrementalCandidatePairs(
+      batchState: DataFrame,
+      corpusState: DataFrame,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
+    val bBands = batchState
+      .select(col("id"), posexplode(col("bands")).as(Seq("band", "key")))
+    val batchPairs = Buckets.pairs(bBands, Seq("band", "key"), "id", maxBucket)
+    val touched = corpusState
+      .select(col("id").as("cid"), posexplode(col("bands")).as(Seq("band", "key")))
+      .join(bBands.select("band", "key").distinct(), Seq("band", "key"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "key").orderBy("cid")
+    val cross = touched
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= maxBucket)
+      .join(bBands, Seq("band", "key"))
+      .filter(col("id") =!= col("cid"))
+      .select(least(col("id"), col("cid")).as("id_a"),
+        greatest(col("id"), col("cid")).as("id_b"))
+    val pairs = batchPairs.select("id_a", "id_b")
+      .unionByName(cross).distinct()
+    val sets = batchState.select(col("id"), col("sh"))
+      .unionByName(corpusState.select(col("id"), col("sh")))
+      .dropDuplicates("id")
+    pairs
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", Text.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** EXACT Jaccard-threshold pair join via prefix filtering (Bayardo,
     * Ma, Srikant — "Scaling Up All Pairs Similarity Search", WWW'07;
     * public algorithm): if J(A,B) ≥ t, then in any global canonical

@@ -65,6 +65,27 @@ object Dedup {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Incremental dedup: batch (doc_id % 10 = 0) against a prebuilt
+    * corpus LSH state (the rest) — the daily-increment shape at 100 TB:
+    * corpus signatures computed once, per-run cost scales with the
+    * batch. The oracle is the FULL pair recipe restricted to pairs
+    * touching the batch, which the batch-internal + batch↔corpus
+    * decomposition must reproduce exactly (caps untripped at verify
+    * scale). */
+  val ddMinhashIncremental: Spec = Spec(
+    "dd_minhash_incremental",
+    oracle = Some(minhashPairsSql.replace(
+      "FROM j WHERE jac >= 0.5",
+      "FROM j WHERE jac >= 0.5 AND (ida % 10 = 0 OR idb % 10 = 0)"))) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val corpusState = MinHash.lshState(docs.filter($"doc_id" % 10 =!= 0), "doc_id", "text")
+    val batchState = MinHash.lshState(docs.filter($"doc_id" % 10 === 0), "doc_id", "text")
+    MinHash.incrementalCandidatePairs(batchState, corpusState, threshold = 0.5)
+      .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** Duplicate clusters: connected components over the LSH pair graph,
     * keep-min-per-component. Oracle: the same pair recipe + a recursive
     * reachability walk with min-label (DuckDB recursive CTE) — feasible
@@ -251,6 +272,7 @@ object Dedup {
   }
 
   val specs: Seq[Spec] = Seq(
-    ddMinhashPairs, ddMinhashClusters, ddJaccardBlockPairs, ddExactHash,
+    ddMinhashPairs, ddMinhashClusters, ddMinhashIncremental,
+    ddJaccardBlockPairs, ddExactHash,
     ddCappedStarPairs, ddSimhash, ddSimhashPairs)
 }

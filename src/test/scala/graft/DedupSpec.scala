@@ -25,6 +25,25 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("incremental LSH state: parquet round trip, equals full recompute on batch pairs") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+    val corpus = docs.filter($"doc_id" % 4 =!= 0)
+    val batch = docs.filter($"doc_id" % 4 === 0)
+    // Corpus state built once and STORED — the incremental contract.
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-lsh-state").toString
+    MinHash.lshState(corpus, "doc_id", "text").write.mode("overwrite").parquet(stateDir)
+    val corpusState = spark.read.parquet(stateDir)
+    val got = MinHash.incrementalCandidatePairs(
+        MinHash.lshState(batch, "doc_id", "text"), corpusState)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // Reference: full recompute over everything, keep pairs touching batch.
+    val full = MinHash.candidatePairs(docs, "doc_id", "text", threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val expected = full.filter(p => p._1 % 4 == 0 || p._2 % 4 == 0)
+    assert(got == expected)
+    assert(got.nonEmpty, "sf0.001 plants near-dup families across the split")
+  }
+
   test("connected components: chain and isolated pair") {
     val edges = Seq((1L, 2L), (2L, 3L), (5L, 4L)).toDF("src", "dst")
     val comp = ConnectedComponents.run(edges)
