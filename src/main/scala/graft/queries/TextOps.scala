@@ -460,6 +460,48 @@ object TextOps {
       .orderBy($"doc_id", $"idx")
   }
 
+  /** Lexical-diversity quality signals (training-pipeline addition):
+    * type-token ratio and the Simpson diversity index 1 − Σcᵢ²/N² over
+    * the token distribution — a repetition/gibberish detector that
+    * needs NO transcendentals, so both engines compute bit-identical
+    * doubles (integer Σcᵢ² and N, one division each, fixed op order;
+    * contrast entropy, whose log2 is not correctly-rounded and ulp-
+    * diverges between engines). */
+  val dTokenDiversity: Spec = Spec(
+    "d_token_diversity",
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      c AS (SELECT doc_id,
+          CAST(len(l) AS BIGINT) AS n_tok,
+          CAST(len(list_distinct(l)) AS BIGINT) AS n_types,
+          list_sum(list_transform(list_transform(list_distinct(l),
+            tk -> len(list_filter(l, x -> x = tk))),
+            cnt -> CAST(cnt AS BIGINT) * cnt)) AS sumsq
+        FROM t)
+      SELECT doc_id, n_tok, n_types,
+        CAST(n_types AS DOUBLE) / n_tok AS ttr,
+        1.0 - CAST(sumsq AS DOUBLE) / (n_tok * n_tok) AS simpson,
+        (1.0 - CAST(sumsq AS DOUBLE) / (n_tok * n_tok)) < 0.9
+          AS is_low_diversity
+      FROM c ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    val toks = Text.tokens($"text")
+    val counts = transform(array_distinct(toks),
+      t => size(filter(toks, x => x === t)).cast("long"))
+    val simpson =
+      lit(1.0) - $"sumsq".cast("double") / ($"n_tok" * $"n_tok")
+    docs(s, dir)
+      .select($"doc_id",
+        size(toks).cast("long").as("n_tok"),
+        size(array_distinct(toks)).cast("long").as("n_types"),
+        aggregate(counts, lit(0L), (a, c) => a + c * c).as("sumsq"))
+      .select($"doc_id", $"n_tok", $"n_types",
+        ($"n_types".cast("double") / $"n_tok").as("ttr"),
+        simpson.as("simpson"),
+        (simpson < 0.9).as("is_low_diversity"))
+      .orderBy($"doc_id")
+  }
+
   /** Symbol-ratio per doc (F9 shape: chars outside [a-z] — i.e. spaces
     * here — over total chars). */
   val dSymbolRatio: Spec = Spec(
@@ -662,7 +704,7 @@ object TextOps {
     dTokenStats, dDocStatsAgg, dWordFreq, dLineExplode, dLines2Doc,
     dLines2DocDedent, dRepeatedTokens, dNsfwCounts, dDocFlags, dRemovalSurvivors,
     dNgramRepWord, dNgramRepWordTok, dNgramRepChar, dUniqueTokens,
-    dKeywordSpans, dSymbolRatio,
+    dKeywordSpans, dTokenDiversity, dSymbolRatio,
     dFingerprint, dDedupByKey, dStopwords, dDedupThresholded,
     dFlagsPerLang)
 }
