@@ -131,6 +131,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental dedup: corpus restricted by semi-join before the cap, no cartesian") {
+    val p = plan("dd_minhash_incremental")
+    // The corpus band table must be cut down to batch-touched buckets
+    // (LeftSemi) before any window/cap/join work — this is the clause
+    // that keeps per-run cost proportional to the batch at 100 TB.
+    assert(p.contains("LeftSemi"), "corpus side must be semi-join restricted:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("minhash pairs: no self-join recompute of signatures") {
     val p = finalPlan("dd_minhash_pairs")
     val sigOccurrences = "graft_minhash_signature".r.findAllIn(p).size
