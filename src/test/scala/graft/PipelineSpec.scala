@@ -35,6 +35,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.nonEmpty && bothSurvive == 0)
   }
 
+  test("golden stage schemas: every pipeline stage pins its output shape (SURVEY §5.4)") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+    val p = new Pipeline(spark, PipelineConfig())
+    val baseCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    assert(docs.columns.toSeq == baseCols)
+
+    val afterClean = p.CleanStage(docs)
+    assert(afterClean.schema == docs.schema, "clean is schema-preserving")
+
+    val statCols = Seq(
+      "words_count" -> "bigint", "char_count" -> "bigint",
+      "bytes" -> "bigint", "mean_word_len" -> "double",
+      "nsfw_ratio" -> "double", "non_li_ratio" -> "double",
+      "stopword_ratio" -> "double", "word_rep_score" -> "double")
+    val afterStats = p.StatsStage(afterClean)
+    assert(afterStats.columns.toSeq == baseCols ++ statCols.map(_._1))
+    statCols.foreach { case (c, t) =>
+      assert(afterStats.schema(c).dataType.simpleString == t, c) }
+
+    val flagCols = Seq("has_less_words", "is_short_words_heavy",
+      "is_nsfw_heavy", "is_non_li_heavy", "has_word_repetition")
+    val afterFlags = graft.ops.Flagging.addFlags(afterStats, PipelineConfig().flags)
+    assert(afterFlags.columns.toSeq ==
+      baseCols ++ statCols.map(_._1) ++ flagCols)
+    flagCols.foreach(c =>
+      assert(afterFlags.schema(c).dataType.simpleString == "boolean", c))
+
+    // Final output: stats + flags survive (the reference keeps the full
+    // doc record through removal); dedup stages add nothing.
+    assert(p.run(docs).columns.toSeq ==
+      baseCols ++ statCols.map(_._1) ++ flagCols)
+  }
+
   test("pipeline routes trivial_tokenize by lang: Urdu docs use the Urdu marks (F18)") {
     import graft.functions.GraftFunctions
     import graft.ops.Text
