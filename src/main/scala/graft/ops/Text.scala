@@ -198,8 +198,18 @@ object Text {
       graft.functions.WordShingles(
         org.apache.spark.sql.graft.bridge.expression(tokens(textCol)), n))
 
-  /** Jaccard similarity of two pre-distinct shingle arrays. */
-  def jaccard(a: Column, b: Column): Column = {
+  /** Jaccard similarity of two pre-distinct shingle arrays — fused
+    * one-pass expression (see JaccardSim; the HOF form materialized
+    * array_intersect twice per candidate pair). */
+  def jaccard(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.functions.JaccardSim(
+        org.apache.spark.sql.graft.bridge.expression(a),
+        org.apache.spark.sql.graft.bridge.expression(b)))
+
+  /** The built-in composition [[jaccard]] fuses — kept ONLY as the
+    * property-test reference (PropertiesSpec pins fused == this). */
+  private[graft] def jaccardHof(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     val union = size(a) + size(b) - size(array_intersect(a, b))
     when(union === 0, 0.0d).otherwise(inter / union)

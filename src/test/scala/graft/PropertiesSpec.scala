@@ -36,6 +36,16 @@ class PropertiesSpec extends AnyFunSuite {
   private def richDocs(n: Int): Seq[String] =
     (0 until n).map(i => richDoc.pureApply(Gen.Parameters.default, Seed(i.toLong)))
 
+  test("fused JaccardSim == array_intersect composition on shingle sets") {
+    val df = richDocs(200).toDF("text")
+      .withColumn("i", monotonically_increasing_id())
+    val pairs = df.select($"i".as("ia"), Text.shingleSet($"text", 2).as("a"))
+      .crossJoin(df.limit(20).select(Text.shingleSet($"text", 2).as("b")))
+    val bad = pairs.filter(
+      Text.jaccard($"a", $"b") =!= Text.jaccardHof($"a", $"b")).count()
+    assert(bad == 0)
+  }
+
   test("fused CollapseWs == regex trim+collapse composition") {
     val df = richDocs(300).toDF("text")
     val bad = df.filter(
