@@ -119,19 +119,26 @@ object MinHash {
     * with the corpus. A degenerate corpus bucket is bounded to its
     * `maxBucket` smallest ids (window over touched buckets only) —
     * the same deterministic bounded-recall trade as the star cap.
-    * Batch and corpus ids are expected disjoint; an id present in both
-    * contributes one shingle set (first wins) and never self-pairs. */
+    * Batch and corpus ids MUST be disjoint (an id in both frames would
+    * fan out the verify joins); self-pairs are filtered either way. */
   def incrementalCandidatePairs(
       batchState: DataFrame,
       corpusState: DataFrame,
       threshold: Double = 0.5,
       maxBucket: Int = 1000): DataFrame = {
-    val bBands = batchState
+    // The batch is small by contract — materialize it once (its
+    // signature plan feeds three branches) and BROADCAST everything
+    // batch-derived, so every corpus-proportional step below is a
+    // streamed scan past a broadcast, never a corpus-wide exchange.
+    val bs = batchState.localCheckpoint()
+    val bBands = bs
       .select(col("id"), posexplode(col("bands")).as(Seq("band", "key")))
     val batchPairs = Buckets.pairs(bBands, Seq("band", "key"), "id", maxBucket)
     val touched = corpusState
       .select(col("id").as("cid"), posexplode(col("bands")).as(Seq("band", "key")))
-      .join(bBands.select("band", "key").distinct(), Seq("band", "key"), "left_semi")
+      .join(broadcast(bBands.select("band", "key").distinct()),
+        Seq("band", "key"), "left_semi")
+    // Cap runs on the TOUCHED buckets only (already batch-sized).
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("band", "key").orderBy("cid")
     val cross = touched
@@ -141,11 +148,20 @@ object MinHash {
       .filter(col("id") =!= col("cid"))
       .select(least(col("id"), col("cid")).as("id_a"),
         greatest(col("id"), col("cid")).as("id_b"))
+    // Candidate pairs are batch-proportional; materialize once — they
+    // feed both the needed-ids broadcast and the verify joins, and
+    // recomputing them would re-run the whole bucket scaffold twice.
     val pairs = batchPairs.select("id_a", "id_b")
-      .unionByName(cross).distinct()
-    val sets = batchState.select(col("id"), col("sh"))
+      .unionByName(cross).distinct().localCheckpoint()
+    // Shingle lookup: semi-restrict the (id, sh) union to pair members
+    // before the verify joins — corpus sh arrays for untouched docs are
+    // never shuffled (column pruning keeps the two corpus scans narrow:
+    // one reads bands, this one reads sh).
+    val needed = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val sets = bs.select(col("id"), col("sh"))
       .unionByName(corpusState.select(col("id"), col("sh")))
-      .dropDuplicates("id")
+      .join(broadcast(needed), Seq("id"), "left_semi")
     pairs
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
