@@ -240,6 +240,38 @@ object Dedup {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Exact-dedup twin of the incremental story: batch survivors after
+    * (a) keep-min within the batch and (b) anti-join against the STORED
+    * corpus content-hash set — daily increments never rescan corpus
+    * text. At cluster scale the anti join shuffles the hash store once
+    * per run (32-byte rows); a bloom/bucketed hash store cuts even
+    * that, but the query states the exact semantics. */
+  val ddExactIncremental: Spec = Spec(
+    "dd_exact_incremental",
+    oracle = Some("""
+      WITH h AS (SELECT doc_id,
+          md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h
+        FROM documents),
+      corpus AS (SELECT h FROM h WHERE doc_id % 10 <> 0),
+      batch AS (SELECT doc_id, h FROM h WHERE doc_id % 10 = 0),
+      keep AS (
+        SELECT doc_id, h FROM batch
+        QUALIFY row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1)
+      SELECT k.doc_id FROM keep k ANTI JOIN corpus c ON k.h = c.h
+      ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    val hashed = Tables.load(s, dir, "documents")
+      .select($"doc_id", md5(Text.normalizeWs($"text")).as("h"))
+    val corpusH = hashed.filter($"doc_id" % 10 =!= 0).select($"h")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"h").orderBy($"doc_id")
+    hashed.filter($"doc_id" % 10 === 0)
+      .withColumn("_rn", row_number().over(w)).filter($"_rn" === 1)
+      .join(corpusH, Seq("h"), "left_anti")
+      .select($"doc_id")
+      .orderBy($"doc_id")
+  }
+
   /** 64-bit SimHash per document (xxhash64 has no DuckDB twin → no SQL
     * oracle; parity covered by ScalaTest fixtures). */
   val ddSimhash: Spec = Spec(
@@ -273,6 +305,6 @@ object Dedup {
 
   val specs: Seq[Spec] = Seq(
     ddMinhashPairs, ddMinhashClusters, ddMinhashIncremental,
-    ddJaccardBlockPairs, ddExactHash,
+    ddJaccardBlockPairs, ddExactHash, ddExactIncremental,
     ddCappedStarPairs, ddSimhash, ddSimhashPairs)
 }
