@@ -48,6 +48,9 @@ object Verify {
         }
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Discard observations a failed plan left behind — they must
+        // not be attributed to the NEXT query's drain.
+        graft.ops.Buckets.drainCapCounts(timeoutMs = 100)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
