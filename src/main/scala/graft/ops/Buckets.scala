@@ -39,6 +39,17 @@ object Buckets {
   private val observations =
     new java.util.concurrent.ConcurrentLinkedQueue[Observation]()
 
+  /** Register a cap Observation from another bounded-degradation path
+    * (e.g. the incremental-dedup corpus cap) so Verify's drain sees it
+    * with the same semantics as the star cap's. The observed row must
+    * carry a `capped_buckets` long. */
+  private[ops] def registerCapObservation(prefix: String): Observation = {
+    val obs = Observation(s"${prefix}_${obsId.incrementAndGet()}")
+    observations.add(obs)
+    while (observations.size > MaxPendingObservations) observations.poll()
+    obs
+  }
+
   /** A long-lived driver that never drains (anything but Verify) must
     * not accumulate Observation refs forever — older entries beyond
     * this bound are discarded on registration. */
@@ -49,7 +60,7 @@ object Buckets {
     * all registered observations. Polls briefly per observation for
     * listener-bus completion; plans that were built but never executed
     * contribute nothing. */
-  def drainCapCounts(timeoutMs: Long = 2000): Map[String, Long] = {
+  def drainCapCounts(timeoutMs: Long = 10000): Map[String, Long] = {
     import scala.concurrent.Await
     import scala.concurrent.duration._
     val out = scala.collection.mutable.Map[String, Long]()
@@ -96,9 +107,7 @@ object Buckets {
       .withColumn("_n", count(lit(1)).over(w))
       .withColumn("_min", min(col("_id")).over(w))
       .filter(col("_n") > 1)
-    val obs = Observation(s"graft_buckets_${obsId.incrementAndGet()}")
-    observations.add(obs)
-    while (observations.size > MaxPendingObservations) observations.poll()
+    val obs = registerCapObservation("graft_buckets")
     val star = withStats
       .filter(col("_n") > maxBucket)
       .observe(obs,

@@ -119,8 +119,9 @@ object MinHash {
     * with the corpus. A degenerate corpus bucket is bounded to its
     * `maxBucket` smallest ids (window over touched buckets only) —
     * the same deterministic bounded-recall trade as the star cap.
-    * Batch and corpus ids MUST be disjoint (an id in both frames would
-    * fan out the verify joins); self-pairs are filtered either way. */
+    * Batch and corpus ids are expected disjoint; an id in both frames
+    * contributes one shingle set (post-restriction dropDuplicates) and
+    * never self-pairs. */
   def incrementalCandidatePairs(
       batchState: DataFrame,
       corpusState: DataFrame,
@@ -138,13 +139,22 @@ object MinHash {
       .select(col("id").as("cid"), posexplode(col("bands")).as(Seq("band", "key")))
       .join(broadcast(bBands.select("band", "key").distinct()),
         Seq("band", "key"), "left_semi")
-    // Cap runs on the TOUCHED buckets only (already batch-sized).
+    // Cap runs on the TOUCHED buckets only (already batch-sized), and
+    // like the star cap it is OBSERVED: a corpus bucket overflowing
+    // maxBucket drops candidates, so the trip must reach Verify's
+    // drain, not pass silently.
+    val corpusCapObs = Buckets.registerCapObservation("graft_buckets_corpuscap")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("band", "key").orderBy("cid")
     val cross = touched
       .withColumn("_rk", row_number().over(w))
+      .observe(corpusCapObs,
+        sum(when(col("_rk") === maxBucket + 1, 1L).otherwise(0L))
+          .as("capped_buckets"),
+        sum(when(col("_rk") > maxBucket, 1L).otherwise(0L))
+          .as("capped_rows"))
       .filter(col("_rk") <= maxBucket)
-      .join(bBands, Seq("band", "key"))
+      .join(broadcast(bBands), Seq("band", "key"))
       .filter(col("id") =!= col("cid"))
       .select(least(col("id"), col("cid")).as("id_a"),
         greatest(col("id"), col("cid")).as("id_b"))
@@ -159,9 +169,13 @@ object MinHash {
     // one reads bands, this one reads sh).
     val needed = pairs
       .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    // dropDuplicates AFTER the semi-restriction is pair-member-sized
+    // (cheap) and makes an id that violates the disjointness contract
+    // contribute one shingle set instead of fanning out the joins.
     val sets = bs.select(col("id"), col("sh"))
       .unionByName(corpusState.select(col("id"), col("sh")))
       .join(broadcast(needed), Seq("id"), "left_semi")
+      .dropDuplicates("id")
     pairs
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
