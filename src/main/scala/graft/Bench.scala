@@ -64,8 +64,13 @@ object Bench {
     // unreliable (BENCH_r01 and r03 both had parsed:null when the file
     // write was absent/opt-in). Default bench_out.json in cwd; env
     // overrides the path.
+    // Best-effort: an unwritable cwd must not turn a successful bench
+    // (metric line already printed) into a non-zero exit.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -33,13 +33,25 @@ object Verify {
         // except dd_capped_star_pairs states NO-CAP semantics, so a
         // tripped cap there means the output silently diverged from its
         // oracle — delete the dump so the compare goes red instead.
-        val caps = graft.ops.Buckets.drainCapCounts()
+        // The query's plans all executed (the write above succeeded), so
+        // an observation that failed to report within the drain deadline
+        // means cap state UNKNOWN — fail closed, never fail open.
+        val (caps, unreported) = graft.ops.Buckets.drainCapCounts()
         val tripped = caps.values.sum
+        if (unreported.nonEmpty) {
+          deleteRec(new java.io.File(s"$outDir/$name"))
+          throw new IllegalStateException(
+            s"cap observation(s) never reported (cap state unknown): $unreported")
+        }
         if (name == "dd_capped_star_pairs") {
-          if (tripped <= 0) {
+          // The query output carries n_capped on every row; the observe
+          // metric must agree with it exactly, not merely be non-zero.
+          val expected = spark.read.parquet(s"$outDir/$name")
+            .select("n_capped").head.getLong(0)
+          if (tripped != expected) {
             deleteRec(new java.io.File(s"$outDir/$name"))
             throw new IllegalStateException(
-              s"expected a tripped star cap, observe metrics: $caps")
+              s"observe metric $tripped != query n_capped $expected: $caps")
           }
         } else if (tripped != 0) {
           deleteRec(new java.io.File(s"$outDir/$name"))
@@ -50,7 +62,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // Discard observations a failed plan left behind — they must
         // not be attributed to the NEXT query's drain.
-        graft.ops.Buckets.drainCapCounts(timeoutMs = 100)
+        val _ = graft.ops.Buckets.drainCapCounts(timeoutMs = 100)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -56,27 +56,39 @@ object Buckets {
   private val MaxPendingObservations = 1024
 
   /** Collect (observation name → capped_buckets) for every registered
-    * observation whose plan has executed since the last drain, removing
-    * all registered observations. Polls briefly per observation for
-    * listener-bus completion; plans that were built but never executed
-    * contribute nothing. */
-  def drainCapCounts(timeoutMs: Long = 10000): Map[String, Long] = {
+    * observation that has reported since the last drain, removing all
+    * registered observations. Returns the realized counts plus the
+    * names that did NOT report within the (shared, not per-observation)
+    * deadline — either a plan that was built but never executed, or one
+    * that executed under a listener bus too slow to deliver. The two
+    * are indistinguishable from the Observation API, so a caller that
+    * knows its plans executed (graft.Verify's success path) must treat
+    * a non-empty second component as "cap state unknown" and fail
+    * closed rather than assume no cap tripped. */
+  def drainCapCounts(timeoutMs: Long = 10000): (Map[String, Long], Seq[String]) = {
     import scala.concurrent.Await
     import scala.concurrent.duration._
-    val out = scala.collection.mutable.Map[String, Long]()
+    val pending = scala.collection.mutable.ListBuffer[Observation]()
     var o = observations.poll()
-    while (o != null) {
-      val row =
-        try Some(Await.result(o.future, timeoutMs.millis))
-        catch { case _: java.util.concurrent.TimeoutException => None }
-      row.foreach { r =>
+    while (o != null) { pending += o; o = observations.poll() }
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    val out = scala.collection.mutable.Map[String, Long]()
+    val unreported = scala.collection.mutable.ListBuffer[String]()
+    pending.foreach { obs =>
+      // Await.result returns immediately for a completed future even at
+      // 0ms, so orphans cost at most timeoutMs TOTAL across the drain.
+      val leftMs = math.max(0L, (deadline - System.nanoTime()) / 1000000L)
+      try {
+        val r = Await.result(obs.future, leftMs.millis)
         // sum() over an empty star branch is SQL NULL — zero trips
         val v = r.getAs[Any]("capped_buckets")
-        out(o.name) = if (v == null) 0L else v.asInstanceOf[Long]
+        out(obs.name) = if (v == null) 0L else v.asInstanceOf[Long]
+      } catch {
+        case _: java.util.concurrent.TimeoutException =>
+          unreported += obs.name
       }
-      o = observations.poll()
     }
-    out.toMap
+    (out.toMap, unreported.toList)
   }
 
   /** Distinct ordered candidate pairs (id_a < id_b) generated INSIDE

@@ -179,8 +179,8 @@ object Dedup {
     "dd_exact_hash",
     oracle = Some("""
       SELECT lang, COUNT(*) AS n_docs,
-        COUNT(DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) AS n_unique,
-        COUNT(*) - COUNT(DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) AS n_exact_dups
+        COUNT(DISTINCT md5(regexp_replace(trim(lower(text)), '[\s\x0B]+', ' ', 'g'))) AS n_unique,
+        COUNT(*) - COUNT(DISTINCT md5(regexp_replace(trim(lower(text)), '[\s\x0B]+', ' ', 'g'))) AS n_exact_dups
       FROM documents GROUP BY lang ORDER BY lang""")) { (s, dir) =>
     import s.implicits._
     Tables.load(s, dir, "documents")
@@ -250,7 +250,7 @@ object Dedup {
     "dd_exact_incremental",
     oracle = Some("""
       WITH h AS (SELECT doc_id,
-          md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h
+          md5(regexp_replace(trim(lower(text)), '[\s\x0B]+', ' ', 'g')) AS h
         FROM documents),
       corpus AS (SELECT h FROM h WHERE doc_id % 10 <> 0),
       batch AS (SELECT doc_id, h FROM h WHERE doc_id % 10 = 0),

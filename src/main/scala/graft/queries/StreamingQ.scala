@@ -163,7 +163,7 @@ object StreamingQ {
         "list_transform(range(1, greatest(len(lt)-3, 1)), i -> array_to_string(lt[i:i+4], ' '))"
       s"""
       WITH RECURSIVE base AS (
-        SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS text,
+        SELECT doc_id, regexp_replace(trim(lower(text)), '[\\s\\x0B]+', ' ', 'g') AS text,
                lang, source, n_chars
         FROM documents),
       tok AS (SELECT *, string_split(text, ' ') AS l,

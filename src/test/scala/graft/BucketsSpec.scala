@@ -75,9 +75,19 @@ class BucketsSpec extends AnyFunSuite {
     Buckets.drainCapCounts(10) // flush observations left by other tests
     val df = bucketDf((1L to 50L).map(i => ("hot", i)))
     Buckets.pairs(df, Seq("bkt"), "id", maxBucket = 10).count()
-    val caps = Buckets.drainCapCounts()
+    val (caps, unreported) = Buckets.drainCapCounts()
+    assert(unreported.isEmpty, s"executed plan must report: $unreported")
     assert(caps.values.sum == 1L, s"one tripped bucket expected: $caps")
-    assert(Buckets.drainCapCounts(10).isEmpty, "queue must be drained")
+    assert(Buckets.drainCapCounts(10)._1.isEmpty, "queue must be drained")
+  }
+
+  test("drainCapCounts names a built-but-never-executed plan as unreported") {
+    Buckets.drainCapCounts(10) // flush observations left by other tests
+    val df = bucketDf(Seq(("a", 1L), ("a", 2L)))
+    Buckets.pairs(df, Seq("bkt"), "id", maxBucket = 10) // plan built, no action
+    val (caps, unreported) = Buckets.drainCapCounts(timeoutMs = 50)
+    assert(caps.isEmpty && unreported.size == 1,
+      s"orphan observation must surface by name, got ($caps, $unreported)")
   }
 
   test("plan shape: bucket membership comes from a window, and the only " +
