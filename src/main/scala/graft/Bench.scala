@@ -67,8 +67,10 @@ object Bench {
     // Best-effort: an unwritable cwd must not turn a successful bench
     // (metric line already printed) into a non-zero exit.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // NonFatal, not just IOException: a malformed override path makes
+    // Paths.get itself throw InvalidPathException (a RuntimeException).
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
-    catch { case e: java.io.IOException =>
+    catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
     spark.stop()

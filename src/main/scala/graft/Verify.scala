@@ -46,9 +46,17 @@ object Verify {
         if (name == "dd_capped_star_pairs") {
           // The query output carries n_capped on every row; the observe
           // metric must agree with it exactly, not merely be non-zero.
+          // Exact equality assumes exactly-once accumulator updates,
+          // which holds in local[n] (no stage retry / speculation); on a
+          // real cluster a retried stage can over-count, so there we
+          // only require tripped >= expected and warn on the overshoot.
           val expected = spark.read.parquet(s"$outDir/$name")
             .select("n_capped").head.getLong(0)
-          if (tripped != expected) {
+          if (!spark.sparkContext.isLocal && tripped >= expected) {
+            if (tripped > expected) System.err.println(
+              s"[verify] $name: observe metric $tripped > n_capped " +
+                s"$expected (accumulator over-count under retry; tolerated off-local)")
+          } else if (tripped != expected) {
             deleteRec(new java.io.File(s"$outDir/$name"))
             throw new IllegalStateException(
               s"observe metric $tripped != query n_capped $expected: $caps")

@@ -74,19 +74,25 @@ object Buckets {
     val deadline = System.nanoTime() + timeoutMs * 1000000L
     val out = scala.collection.mutable.Map[String, Long]()
     val unreported = scala.collection.mutable.ListBuffer[String]()
-    pending.foreach { obs =>
-      // Await.result returns immediately for a completed future even at
-      // 0ms, so orphans cost at most timeoutMs TOTAL across the drain.
-      val leftMs = math.max(0L, (deadline - System.nanoTime()) / 1000000L)
+    def harvest(obs: Observation, waitMs: Long): Boolean =
       try {
-        val r = Await.result(obs.future, leftMs.millis)
+        val r = Await.result(obs.future, waitMs.millis)
         // sum() over an empty star branch is SQL NULL — zero trips
         val v = r.getAs[Any]("capped_buckets")
         out(obs.name) = if (v == null) 0L else v.asInstanceOf[Long]
+        true
       } catch {
-        case _: java.util.concurrent.TimeoutException =>
-          unreported += obs.name
+        case _: java.util.concurrent.TimeoutException => false
       }
+    // Two passes over a SHARED deadline: first harvest already-completed
+    // observations at 0ms so one slow listener-bus delivery cannot eat
+    // the whole budget and surface executed-but-undelivered siblings as
+    // unreported; only then spend the remaining budget waiting on the
+    // genuinely incomplete ones.
+    val incomplete = pending.filterNot(harvest(_, 0L))
+    incomplete.foreach { obs =>
+      val leftMs = math.max(0L, (deadline - System.nanoTime()) / 1000000L)
+      if (!harvest(obs, leftMs)) unreported += obs.name
     }
     (out.toMap, unreported.toList)
   }

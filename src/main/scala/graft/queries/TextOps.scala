@@ -527,7 +527,7 @@ object TextOps {
     "d_fingerprint",
     oracle = Some("""
       SELECT doc_id,
-        md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
+        md5(regexp_replace(trim(lower(text)), '[\s\x0B]+', ' ', 'g')) AS fingerprint,
         CAST(strlen(text) AS BIGINT) AS byte_count,
         CAST(len(string_split(text,' ')) AS BIGINT) AS words_count
       FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id""")) { (s, dir) =>
