@@ -303,8 +303,70 @@ object Dedup {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** DuckDB twin of [[graft.ops.SimHash.md5TokenHashes]] +
+    * [[graft.ops.SimHash.simhashFromHashes]]: 60-bit token hash from the
+    * first 15 md5 hex chars, then the Charikar per-bit majority fold. */
+  private def simhash60Sql(hsCol: String): String =
+    s"""CAST(list_sum(list_transform(range(0, 60), b ->
+       CASE WHEN list_sum(list_transform($hsCol,
+           h -> CASE WHEN ((h >> CAST(b AS INT)) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+       THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END)) AS BIGINT)"""
+
+  /** 60-bit md5-backed SimHash per document — the ORACLE-PARITY twin of
+    * [[ddSimhash]]: same Charikar fold, but the token hash (top 60 bits
+    * of md5, = the minhash shingle hash) is rebuildable in DuckDB, so
+    * the SimHash semantics themselves get a hash-proven CORRECTNESS row
+    * rather than only ScalaTest fixtures. xxhash64 remains the hot path. */
+  val ddSimhashMd5: Spec = Spec(
+    "dd_simhash_md5",
+    oracle = Some(s"""
+      WITH hs AS (
+        SELECT doc_id, list_transform(string_split(text,' '),
+          t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+        FROM documents WHERE doc_id % 20 = 0)
+      SELECT doc_id, ${simhash60Sql("hs")} AS simhash
+      FROM hs ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .filter($"doc_id" % 20 === 0)
+      .withColumn("toks", Text.tokens($"text"))
+      .withColumn("hs", SimHash.md5TokenHashes("toks"))
+      .select($"doc_id", SimHash.simhashFromHashes("hs", 60).as("simhash"))
+      .orderBy($"doc_id")
+  }
+
+  /** md5-SimHash near-dup pairs: engine runs the SAME pigeonhole
+    * banding as [[ddSimhashPairs]] (4 × 15-bit bands, recall 1 for
+    * hamming ≤ 3, star-capped); the oracle states the equivalent
+    * all-pairs semantics, valid because Verify asserts the cap never
+    * tripped. This makes the banding path itself hash-proven, not just
+    * equality-pinned in ScalaTest. */
+  val ddSimhashMd5Pairs: Spec = Spec(
+    "dd_simhash_md5_pairs",
+    oracle = Some(s"""
+      WITH hs AS (
+        SELECT doc_id, list_transform(string_split(text,' '),
+          t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+        FROM documents),
+      sh AS (SELECT doc_id, ${simhash60Sql("hs")} AS sh FROM hs)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh, b.sh)) <= 3
+      ORDER BY id_a, id_b""")) { (s, dir) =>
+    import s.implicits._
+    val hashed = Tables.load(s, dir, "documents")
+      .withColumn("toks", Text.tokens($"text"))
+      .withColumn("hs", SimHash.md5TokenHashes("toks"))
+      .select($"doc_id".as("id"), SimHash.simhashFromHashes("hs", 60).as("sh"))
+    SimHash.neardupPairsBanded(hashed, maxHamming = 3, totalBits = 60,
+        maxBucket = 1000)
+      .orderBy($"id_a", $"id_b")
+  }
+
   val specs: Seq[Spec] = Seq(
     ddMinhashPairs, ddMinhashClusters, ddMinhashIncremental,
     ddJaccardBlockPairs, ddExactHash, ddExactIncremental,
-    ddCappedStarPairs, ddSimhash, ddSimhashPairs)
+    ddCappedStarPairs, ddSimhash, ddSimhashPairs,
+    ddSimhashMd5, ddSimhashMd5Pairs)
 }

@@ -133,6 +133,39 @@ class DedupSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "corpus should contain simhash near-dups")
   }
 
+  test("md5 token hash = top 60 bits of a JVM MessageDigest md5") {
+    val toks = Seq("hello", "", "naïve", "क्या", "a b")
+    val got = Seq(Tuple1(toks)).toDF("toks")
+      .select(SimHash.md5TokenHashes("toks").as("hs"))
+      .as[Seq[Long]].head
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val want = toks.map { t =>
+      val raw = md.digest(t.getBytes("UTF-8"))
+      var h = 0L
+      (0 until 7).foreach(j => h = (h << 8) | (raw(j) & 0xffL))
+      (h << 4) | ((raw(7) >> 4) & 0xfL)
+    }
+    assert(got == want)
+  }
+
+  test("md5 simhash60: 60-bit banding equals the all-pairs form") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .withColumn("toks", Text.tokens($"text"))
+      .withColumn("hs", SimHash.md5TokenHashes("toks"))
+    val hashed = docs.select($"doc_id".as("id"),
+      SimHash.simhashFromHashes("hs", 60).as("sh"))
+    val banded = SimHash.neardupPairsBanded(hashed, maxHamming = 3,
+        totalBits = 60, maxBucket = 1000)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val brute = hashed.as("a").join(hashed.as("b"), $"a.id" < $"b.id")
+      .filter(SimHash.hamming("a.sh", "b.sh") <= 3)
+      .select($"a.id", $"b.id").as[(Long, Long)].collect().toSet
+    assert(banded == brute)
+    assert(brute.nonEmpty, "corpus should contain simhash near-dups")
+    // all hashes fit 60 bits — banding masks assume no stray high bits
+    assert(hashed.filter($"sh" < 0 || $"sh" >= (1L << 60)).count() == 0)
+  }
+
   test("exact-hash dedup is idempotent under whitespace normalization") {
     val docs = Seq((0L, "A  b  c"), (1L, "a b C"), (2L, "other")).toDF("doc_id", "text")
     val n = docs.select(md5(Text.normalizeWs($"text")).as("h")).distinct().count()
