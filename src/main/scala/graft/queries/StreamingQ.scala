@@ -46,6 +46,42 @@ object StreamingQ {
     StreamOps.streamingDedupCount(s, dir)
   }
 
+  /** Stream-static enrichment (streaming events ⋈ broadcast customer
+    * dim → watermarked hourly agg per segment) — oracle is the batch
+    * join+agg; parity proves the stream-side plan computes the batch
+    * answer. */
+  val stEnrich: Spec = Spec(
+    "st_enrich_hourly",
+    oracle = Some("""
+      SELECT strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+             c.c_mktsegment AS mktsegment, COUNT(*) AS n_events,
+             CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY window_start, mktsegment
+      ORDER BY window_start, mktsegment""")) { (s, dir) =>
+    StreamOps.enrichedCounts(s, dir)
+  }
+
+  /** Stream-stream event-time interval join (clicks ⋈ same-user views
+    * within the preceding 10 minutes, watermarked both sides) — oracle
+    * is the batch interval self-join in epoch_us; inner-join emission is
+    * watermark-independent so the finite-source result is exactly the
+    * batch answer. */
+  val stClickView: Spec = Spec(
+    "st_click_view",
+    oracle = Some("""
+      SELECT a.event_id AS click_id, b.event_id AS view_id,
+             a.user_id AS user_id,
+             epoch_us(a.ts) - epoch_us(b.ts) AS lag_us
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+        AND a.event_type = 'click' AND b.event_type = 'view'
+        AND epoch_us(b.ts) >= epoch_us(a.ts) - 600000000
+        AND epoch_us(b.ts) <= epoch_us(a.ts)
+      ORDER BY click_id, view_id""")) { (s, dir) =>
+    StreamOps.clickViewJoin(s, dir)
+  }
+
   /** Heuristic LID ensemble (no SQL oracle — model-style subsystem;
     * parity covered by multilingual ScalaTest fixtures). */
   val dLid: Spec = Spec(
@@ -248,5 +284,5 @@ object StreamingQ {
   }
 
   val specs: Seq[Spec] = Seq(stTumbling, stSliding, stDedup, stSessions,
-    dLid, dLidScript, pipelineE2e)
+    stEnrich, stClickView, dLid, dLidScript, pipelineE2e)
 }

@@ -144,6 +144,68 @@ object StreamOps {
       .orderBy(col("user_id"), col("session_start_us"))
   }
 
+  /** Stream-static enrichment join: the streaming events feed joined to
+    * a BROADCAST static dimension (customer), then watermarked hourly
+    * aggregation per market segment. The static side is re-broadcast per
+    * micro-batch by Structured Streaming; at cluster scale this is the
+    * standard "enrich the firehose with a dim table" shape — no shuffle
+    * of the stream, one hash-agg after the join. */
+  def enrichFrom(s: SparkSession, src: DataFrame, dim: DataFrame,
+      sink: String): DataFrame = {
+    val agg = src
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_utc", "1 hour")
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts_utc"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+    runToTable(s, agg, sink, "complete")
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("c_mktsegment").as("mktsegment"), col("n_events"), col("total_value"))
+      .orderBy(col("window_start"), col("mktsegment"))
+  }
+
+  /** File-source driver of [[enrichFrom]]: events stream ⋈ customer. */
+  def enrichedCounts(s: SparkSession, dir: String): DataFrame =
+    enrichFrom(s, eventsStream(s, dir),
+      s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_mktsegment")),
+      "st_enrich_mem")
+
+  /** Stream-stream event-time interval join: every click matched to the
+    * same user's views in the 10 minutes before it. Both sides carry
+    * watermarks and the join condition is on the event-time columns, so
+    * Spark bounds each side's state (views older than click-watermark −
+    * 10 min are dropped); inner-join emission itself is
+    * watermark-independent, which keeps the finite-source result exactly
+    * the batch interval join. */
+  def clickViewJoinFrom(s: SparkSession, clicksSrc: DataFrame,
+      viewsSrc: DataFrame, sink: String): DataFrame = {
+    def side(df: DataFrame, typ: String, pfx: String): DataFrame = df
+      .filter(col("event_type") === typ)
+      .withColumn(s"${pfx}_ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark(s"${pfx}_ts", "1 hour")
+      .select(col("event_id").as(s"${pfx}_id"), col("user_id").as(s"${pfx}_user"),
+        col(s"${pfx}_ts"), expr("ts div 1000").as(s"${pfx}_us"))
+    val clicks = side(clicksSrc, "click", "click")
+    val views = side(viewsSrc, "view", "view")
+    val joined = clicks.join(views, expr(
+      """click_user = view_user AND
+        |view_ts >= click_ts - INTERVAL 10 MINUTES AND
+        |view_ts <= click_ts""".stripMargin))
+      .select(col("click_id"), col("view_id"), col("click_user").as("user_id"),
+        (col("click_us") - col("view_us")).as("lag_us"))
+    runToTable(s, joined, sink, "append")
+      .orderBy(col("click_id"), col("view_id"))
+  }
+
+  /** File-source driver of [[clickViewJoinFrom]] — two independent
+    * streaming scans of the same feed. */
+  def clickViewJoin(s: SparkSession, dir: String): DataFrame =
+    clickViewJoinFrom(s, eventsStream(s, dir), eventsStream(s, dir),
+      "st_click_view_mem")
+
   /** Streaming exact-dedup: dropDuplicatesWithinWatermark on event_id.
     * Returns the deduped count table (memory sink, append). */
   def streamingDedupCount(s: SparkSession, dir: String): DataFrame = {

@@ -87,6 +87,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotS.nonEmpty)
   }
 
+  test("non-file source: MemoryStream stream-stream interval join matches the file-source run") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Events.load(spark, TestSpark.Sf)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[(Long, Long, Long, String, Double, String)].collect().toSeq
+    def memSrc(): org.apache.spark.sql.DataFrame = {
+      val ms = MemoryStream[(Long, Long, Long, String, Double, String)]
+      ms.addData(rows)
+      ms.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    }
+    val got = StreamOps.clickViewJoinFrom(spark, memSrc(), memSrc(), "st_cv_msrc")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val file = StreamOps.clickViewJoin(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == file)
+    assert(got.nonEmpty)
+  }
+
   test("streaming dedup-within-watermark preserves unique event counts") {
     val got = StreamOps.streamingDedupCount(spark, TestSpark.Sf)
       .as[(String, Long)].collect().toMap
