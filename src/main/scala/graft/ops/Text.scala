@@ -207,6 +207,24 @@ object Text {
         org.apache.spark.sql.graft.bridge.expression(a),
         org.apache.spark.sql.graft.bridge.expression(b)))
 
+  /** PII masking for training-data pipelines: emails, international
+    * phone numbers, and 4-4-4 digit id sequences replaced by typed
+    * placeholder tokens. RE2-compatible patterns (no lookaround, ASCII
+    * digit classes) so the identical regex runs in DuckDB oracles, and
+    * the whole chain is codegen'd `regexp_replace` — no UDF. Mask order
+    * (email → id → phone) is part of the contract: placeholders contain
+    * no digits, so later patterns cannot re-match earlier replacements. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val IdRe = "\\d{4} \\d{4} \\d{4}"
+  val PhoneRe = "\\+\\d{1,3} \\d{5} \\d{5}"
+
+  def maskPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        IdRe, "<ID>"),
+      PhoneRe, "<PHONE>")
+
   /** The built-in composition [[jaccard]] fuses — kept ONLY as the
     * property-test reference (PropertiesSpec pins fused == this). */
   private[graft] def jaccardHof(a: Column, b: Column): Column = {

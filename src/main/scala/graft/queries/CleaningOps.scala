@@ -463,8 +463,52 @@ object CleaningOps {
       .orderBy($"doc_id", $"pos")
   }
 
+  /** PII masking (training-pipeline op): deterministic emails / 4-4-4
+    * ids / intl phone numbers injected from table columns, then
+    * [[Text.maskPii]] masks them and per-kind counts are taken from the
+    * pre-mask text. Same regexes verbatim on the DuckDB side. */
+  val dPiiMask: Spec = Spec(
+    "d_pii_mask",
+    oracle = Some(s"""
+      WITH r AS (
+        SELECT doc_id,
+          substr(text,1,40) || ' mail user' || doc_id || '@example.co.in id 1234 5678 ' ||
+          lpad(CAST(doc_id%10000 AS VARCHAR),4,'0') || ' call +91 98765 ' ||
+          lpad(CAST(doc_id%100000 AS VARCHAR),5,'0') ||
+          CASE WHEN doc_id%20 = 0 THEN ' cc admin@corp.example.org' ELSE '' END ||
+          ' ' || substr(text,41,30) AS rich
+        FROM documents WHERE doc_id % 10 = 0)
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(rich,
+          '${Text.EmailRe}', '<EMAIL>', 'g'),
+          '${Text.IdRe}', '<ID>', 'g'),
+          '${Text.PhoneRe}', '<PHONE>', 'g') AS masked,
+        CAST(len(regexp_extract_all(rich, '${Text.EmailRe}')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(rich, '${Text.IdRe}')) AS BIGINT) AS n_ids,
+        CAST(len(regexp_extract_all(rich, '${Text.PhoneRe}')) AS BIGINT) AS n_phones
+      FROM r ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    val rich = concat(
+      substring($"text", 1, 40), lit(" mail user"), $"doc_id".cast("string"),
+      lit("@example.co.in id 1234 5678 "),
+      lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+      lit(" call +91 98765 "),
+      lpad(($"doc_id" % 100000).cast("string"), 5, "0"),
+      when($"doc_id" % 20 === 0, lit(" cc admin@corp.example.org")).otherwise(lit("")),
+      lit(" "), substring($"text", 41, 30))
+    docs(s, dir)
+      .filter($"doc_id" % 10 === 0)
+      .withColumn("rich", rich)
+      .select($"doc_id",
+        Text.maskPii($"rich").as("masked"),
+        regexp_count($"rich", lit(Text.EmailRe)).cast("long").as("n_emails"),
+        regexp_count($"rich", lit(Text.IdRe)).cast("long").as("n_ids"),
+        regexp_count($"rich", lit(Text.PhoneRe)).cast("long").as("n_phones"))
+      .orderBy($"doc_id")
+  }
+
   val specs: Seq[Spec] = Seq(
     dSplitSentences, dNumPuncChunks, dTerminalChunks, dNumberChunks,
     dCodeDetect, dCodeRemove, dNormalizeIndic, dTerminalPuncFilter,
-    dNonTermSpanRemove, dSentenceSplitLang)
+    dNonTermSpanRemove, dSentenceSplitLang, dPiiMask)
 }

@@ -128,6 +128,19 @@ class TextSemanticsSpec extends AnyFunSuite {
       List("(", "x", ")", "[", "y", "]", "\\w"))
   }
 
+  test("PII masking: emails, 4-4-4 ids, intl phones; placeholders never re-match") {
+    def mask(t: String) = one[String](Text.maskPii($"t"), t)
+    assert(mask("write a@b.co now") == "write <EMAIL> now")
+    assert(mask("first.last+tag@sub.example.co.in") == "<EMAIL>")
+    assert(mask("id 1234 5678 9012 ok") == "id <ID> ok")
+    assert(mask("call +91 98765 43210") == "call <PHONE>")
+    assert(mask("a@b.io c@d.ai") == "<EMAIL> <EMAIL>")
+    // a phone is NOT a 4-4-4 id (5-5 digit groups) and vice versa
+    assert(mask("+1 12345 67890 and 1111 2222 3333") == "<PHONE> and <ID>")
+    // untouched text passes through
+    assert(mask("no pii here 123") == "no pii here 123")
+  }
+
   test("trivial_tokenize: Urdu routing pads Urdu marks, not dandas") {
     def tokUr(t: String) = oneSeq(Text.trivialTokenize($"t", "ur"), t)
     assert(tokUr("کیا۔ ہاں، ٹھیک") == List("کیا", "۔", "ہاں", "،", "ٹھیک"))
