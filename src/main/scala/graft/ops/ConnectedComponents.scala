@@ -17,15 +17,30 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** @param edges (src: long, dst: long) undirected edge list.
+    * @param smallGraphMax symmetrized-edge count at or under which the
+    *        component labels are computed by a driver-side union-find
+    *        instead of shuffle rounds. Dedup pair graphs are sparse
+    *        (LSH candidates, not the corpus), so this is the common
+    *        case; the bound keeps the collect at tens of MB. Pass 0 to
+    *        force the distributed path.
     * @return (id: long, component: long) where component = min node id
     *         reachable; isolated nodes of the edge list included. */
-  def run(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def run(edges: DataFrame, maxIter: Int = 20,
+      smallGraphMax: Long = 2000000L): DataFrame = {
     // Materialize the edge list once — `edges` is usually a lazy plan
     // (e.g. the whole MinHash pipeline) and every label round would
     // otherwise re-execute it from the scan up.
     val sym = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
+
+    // Small-graph fast path: one bounded collect + union-find replaces
+    // ~2·log(d) shuffle rounds with their per-round actions and
+    // checkpoints — identical output (min reachable id, order-free).
+    // The count is cheap (sym is already materialized). This is one of
+    // the repo's documented bounded collects; the distributed
+    // min-label + pointer-jumping loop below remains the 100 TB route.
+    if (sym.count() <= smallGraphMax) return unionFindLocal(sym)
 
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
@@ -78,5 +93,35 @@ object ConnectedComponents {
       s"connected components did not converge in $maxIter rounds — " +
         "raise maxIter (component diameter exceeds doubling budget)")
     labels
+  }
+
+  /** Driver-side union-find over a bounded symmetrized edge list —
+    * union-by-min with full path compression, so every root is its
+    * component's minimum id and the result is edge-order-independent. */
+  private def unionFindLocal(sym: DataFrame): DataFrame = {
+    val sp = sym.sparkSession
+    import sp.implicits._
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    sym.select(col("src"), col("dst")).as[(Long, Long)].collect()
+      .foreach { case (s, d) =>
+        parent.putIfAbsent(s, s)
+        parent.putIfAbsent(d, d)
+        val (rs, rd) = (find(s), find(d))
+        if (rs < rd) parent.put(rd, rs)
+        else if (rd < rs) parent.put(rs, rd)
+      }
+    val labels = new Array[(Long, Long)](parent.size())
+    val it = parent.keySet().iterator()
+    var i = 0
+    while (it.hasNext) { val id = it.next(); labels(i) = (id, find(id)); i += 1 }
+    // toSeq on the array keeps the encoder-driven schema (id, component)
+    labels.toSeq.toDF("id", "component")
   }
 }

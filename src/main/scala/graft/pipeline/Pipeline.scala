@@ -150,12 +150,18 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
   object FuzzyDedupStage extends Stage {
     val name = "dedup_fuzzy"
     def apply(df: DataFrame): DataFrame = {
-      val pairs = MinHash.candidatePairs(df, "doc_id", "text",
+      // Materialize the stage input once (fused mode only): both the
+      // pair generation (via CC's edge checkpoint) and the final
+      // anti-join consume `df`, and without this the whole upstream
+      // clean→stats→flag→window chain executes TWICE per run. Under
+      // checkpointRoot the input is already a parquet re-read.
+      val mat = if (cfg.checkpointRoot.isEmpty) df.localCheckpoint() else df
+      val pairs = MinHash.candidatePairs(mat, "doc_id", "text",
         threshold = cfg.minhashThreshold)
       val drop = MinHash.clusters(pairs)
         .filter($"id" =!= $"component")
         .select($"id".as("doc_id"))
-      df.join(drop, Seq("doc_id"), "left_anti")
+      mat.join(drop, Seq("doc_id"), "left_anti")
     }
   }
 

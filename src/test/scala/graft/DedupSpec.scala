@@ -44,24 +44,34 @@ class DedupSpec extends AnyFunSuite {
     assert(got.nonEmpty, "sf0.001 plants near-dup families across the split")
   }
 
-  test("connected components: chain and isolated pair") {
+  test("connected components: chain and isolated pair (both paths agree)") {
     val edges = Seq((1L, 2L), (2L, 3L), (5L, 4L)).toDF("src", "dst")
-    val comp = ConnectedComponents.run(edges)
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L)
+    val local = ConnectedComponents.run(edges)
       .as[(Long, Long)].collect().toMap
-    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+    val dist = ConnectedComponents.run(edges, smallGraphMax = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(local == want && dist == want)
   }
 
   test("connected components: 60-node chain converges (pointer jumping)") {
     // Diameter 59 > maxIter=20 plain rounds — only O(log d) doubling
     // converges. Edit-chain dedup graphs really look like this.
+    // smallGraphMax=0 forces the DISTRIBUTED path — the union-find fast
+    // path must not mask a pointer-jumping regression.
     val edges = (1L until 60L).map(i => (i, i + 1)).toDF("src", "dst")
-    val comp = ConnectedComponents.run(edges).as[(Long, Long)].collect().toMap
+    val comp = ConnectedComponents.run(edges, smallGraphMax = 0)
+      .as[(Long, Long)].collect().toMap
     assert(comp.size == 60 && comp.values.forall(_ == 1L))
+    val localComp = ConnectedComponents.run(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(localComp == comp)
   }
 
   test("connected components: empty edge list returns empty, no NPE") {
     val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
     assert(ConnectedComponents.run(edges).count() == 0)
+    assert(ConnectedComponents.run(edges, smallGraphMax = 0).count() == 0)
   }
 
   test("minhash on corpus with no near-dups yields zero pairs and empty clusters") {
