@@ -62,9 +62,16 @@ object MinHash {
     val rowsPerBand = numPerm / bands
     require(bands * rowsPerBand == numPerm, "bands must divide numPerm")
 
+    // Materialized once: the banding path AND both exact-verify join
+    // sides consume the shingle sets — without this the scan + shingle
+    // extraction executes three times per run. localCheckpoint (executor
+    // block storage, lineage cut) over persist() keeps the downstream
+    // plan free of InMemoryRelation re-prints; the repo-wide caveat
+    // (block loss fails the job instead of recomputing) applies.
     val withSets = df
       .select(col(idCol).as("id"), Text.shingleSet(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
+      .localCheckpoint()
 
     val banded = withSets
       .withColumn("sig", signature(col("sh"), numPerm))

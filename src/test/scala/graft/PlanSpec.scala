@@ -147,7 +147,8 @@ class PlanSpec extends AnyFunSuite {
       s"signature computed in $sigOccurrences plan branches — self-join recompute?\n$p")
     assert(p.contains("ReusedExchange"),
       "star/small bucket branches must reuse the banded shuffle:\n" + p)
-    assert(p.linesIterator.count(_.contains("FileScan parquet")) <= 3,
-      "expected ≤3 scans (bands + two shingle re-attach):\n" + p)
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 0,
+      "shingle sets are checkpointed once — the final plan must read " +
+        "the materialized blocks, not re-scan parquet:\n" + p)
   }
 }
