@@ -507,8 +507,53 @@ object CleaningOps {
       .orderBy($"doc_id")
   }
 
+  /** Corpus-level boilerplate removal (C4/RefinedWeb rule): lines
+    * occurring in ≥3 distinct docs are template chrome, dropped from
+    * every doc. Injection plants a shared newsletter line (docs %3) and
+    * a shared footer (docs %4) among per-doc-unique lines; the leading
+    * "doc <id>" title line guarantees no document ever empties. */
+  val dBoilerplateLines: Spec = Spec(
+    "d_boilerplate_lines",
+    oracle = Some("""
+      WITH r AS (
+        SELECT doc_id,
+          'doc ' || doc_id || chr(10) ||
+          substr(text,1,40) || chr(10) ||
+          CASE WHEN doc_id%3 = 0 THEN 'subscribe to our newsletter for updates'
+               ELSE 'unique ' || doc_id || ' middle line' END ||
+          CASE WHEN doc_id%4 = 0 THEN chr(10) || 'all rights reserved' ELSE '' END ||
+          chr(10) || substr(text,41,35) AS rich
+        FROM documents WHERE doc_id % 5 = 0),
+      lines AS (
+        SELECT doc_id, CAST(generate_subscripts(l,1) AS BIGINT) AS pos, unnest(l) AS line
+        FROM (SELECT doc_id, string_split(rich, chr(10)) AS l FROM r)),
+      boiler AS (
+        SELECT line FROM (
+          SELECT line, COUNT(DISTINCT doc_id) AS nd FROM lines GROUP BY line)
+        WHERE nd >= 3)
+      SELECT doc_id,
+        string_agg(CASE WHEN line NOT IN (SELECT line FROM boiler)
+                        THEN line END, chr(10) ORDER BY pos) AS cleaned,
+        CAST(COUNT(CASE WHEN line IN (SELECT line FROM boiler)
+                        THEN 1 END) AS BIGINT) AS n_removed
+      FROM lines GROUP BY doc_id ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    val rich = concat(
+      lit("doc "), $"doc_id".cast("string"), lit("\n"),
+      substring($"text", 1, 40), lit("\n"),
+      when($"doc_id" % 3 === 0, lit("subscribe to our newsletter for updates"))
+        .otherwise(concat(lit("unique "), $"doc_id".cast("string"), lit(" middle line"))),
+      when($"doc_id" % 4 === 0, lit("\nall rights reserved")).otherwise(lit("")),
+      lit("\n"), substring($"text", 41, 35))
+    graft.ops.Boilerplate.removeRepeatedLines(
+        docs(s, dir).filter($"doc_id" % 5 === 0).withColumn("rich", rich),
+        "doc_id", "rich", minDocs = 3)
+      .select($"doc_id", $"cleaned", $"n_removed")
+      .orderBy($"doc_id")
+  }
+
   val specs: Seq[Spec] = Seq(
     dSplitSentences, dNumPuncChunks, dTerminalChunks, dNumberChunks,
     dCodeDetect, dCodeRemove, dNormalizeIndic, dTerminalPuncFilter,
-    dNonTermSpanRemove, dSentenceSplitLang, dPiiMask)
+    dNonTermSpanRemove, dSentenceSplitLang, dPiiMask, dBoilerplateLines)
 }

@@ -141,6 +141,25 @@ class TextSemanticsSpec extends AnyFunSuite {
     assert(mask("no pii here 123") == "no pii here 123")
   }
 
+  test("corpus boilerplate: lines in >= minDocs distinct docs removed, order kept") {
+    val docs = Seq(
+      (0L, "title zero\ncommon footer\nbody a"),
+      (1L, "title one\ncommon footer\nbody b"),
+      (2L, "title two\ncommon footer\nbody c\ncommon footer"),
+      (3L, "title three\nbody d")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Boilerplate
+      .removeRepeatedLines(docs, "doc_id", "text", minDocs = 3)
+      .as[(Long, String, Long)].collect()
+      .map { case (k, v, n) => k -> ((v, n)) }.toMap
+    assert(got(0L) == ("title zero\nbody a", 1L))
+    assert(got(1L) == ("title one\nbody b", 1L))
+    // duplicate occurrences within one doc count once for distinct-docs
+    // but every occurrence is removed
+    assert(got(2L) == ("title two\nbody c", 2L))
+    assert(got(3L) == ("title three\nbody d", 0L))
+  }
+
   test("trivial_tokenize: Urdu routing pads Urdu marks, not dandas") {
     def tokUr(t: String) = oneSeq(Text.trivialTokenize($"t", "ur"), t)
     assert(tokUr("کیا۔ ہاں، ٹھیک") == List("کیا", "۔", "ہاں", "،", "ٹھیک"))
