@@ -364,9 +364,58 @@ object Dedup {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Benchmark decontamination (standard LLM-training hygiene): flag
+    * training docs sharing any 5-gram with a benchmark/eval set. The
+    * benchmark here is a deterministic slice of the corpus (doc_id %
+    * 97); its DISTINCT shingle set is BROADCAST — eval suites are
+    * small by construction, so the firehose side never shuffles. */
+  val ddDecontaminate: Spec = Spec(
+    "d_decontaminate",
+    oracle = Some("""
+      WITH r AS (
+        SELECT doc_id, text || CASE WHEN doc_id % 97 = 0 OR doc_id % 21 = 0
+          THEN ' alpha beta gamma delta epsilon' ELSE '' END AS text
+        FROM documents),
+      g AS (
+        SELECT doc_id, list_distinct(list_transform(
+          range(1, greatest(len(string_split(text,' '))-3, 1)),
+          i -> array_to_string(string_split(text,' ')[i:i+4], ' '))) AS sh
+        FROM r),
+      bs AS (SELECT DISTINCT unnest(sh) AS s FROM g WHERE doc_id % 97 = 0),
+      ds AS (SELECT doc_id, unnest(sh) AS s FROM g
+             WHERE doc_id % 97 <> 0 AND doc_id % 7 = 0),
+      ov AS (SELECT doc_id, COUNT(*) AS n FROM ds JOIN bs USING (s)
+             GROUP BY doc_id)
+      SELECT d.doc_id, CAST(coalesce(ov.n, 0) AS BIGINT) AS n_overlap,
+             coalesce(ov.n, 0) > 0 AS contaminated
+      FROM (SELECT doc_id FROM documents
+            WHERE doc_id % 97 <> 0 AND doc_id % 7 = 0) d
+      LEFT JOIN ov USING (doc_id) ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    // planted contamination: benchmark docs and a sample subset share
+    // one appended phrase, so the flag path is provably non-vacuous
+    val all = Tables.load(s, dir, "documents")
+      .withColumn("text", concat($"text",
+        when($"doc_id" % 97 === 0 || $"doc_id" % 21 === 0,
+          lit(" alpha beta gamma delta epsilon")).otherwise(lit(""))))
+    val benchSh = all.filter($"doc_id" % 97 === 0)
+      .select(explode(Text.shingleSet($"text", 5)).as("s")).distinct()
+    val docSh = all.filter($"doc_id" % 97 =!= 0 && $"doc_id" % 7 === 0)
+      .select($"doc_id", explode(Text.shingleSet($"text", 5)).as("s"))
+    val overlap = docSh.join(broadcast(benchSh), Seq("s"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    all.filter($"doc_id" % 97 =!= 0 && $"doc_id" % 7 === 0)
+      .select($"doc_id")
+      .join(overlap, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n", lit(0L)).cast("long").as("n_overlap"),
+        (coalesce($"n", lit(0L)) > 0).as("contaminated"))
+      .orderBy($"doc_id")
+  }
+
   val specs: Seq[Spec] = Seq(
     ddMinhashPairs, ddMinhashClusters, ddMinhashIncremental,
     ddJaccardBlockPairs, ddExactHash, ddExactIncremental,
     ddCappedStarPairs, ddSimhash, ddSimhashPairs,
-    ddSimhashMd5, ddSimhashMd5Pairs)
+    ddSimhashMd5, ddSimhashMd5Pairs, ddDecontaminate)
 }
