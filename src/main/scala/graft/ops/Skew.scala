@@ -81,4 +81,55 @@ object Skew {
         .drop("_pid", "_off")
     }
   }
+
+  /** Scalable keyed prefix sum (inclusive running total of `value`
+    * within each `key` group, ordered by `orderCols`): the running-sum
+    * twin of [[globalRowNumber]]. A plain
+    * `sum().over(Window.partitionBy(key).orderBy(...))` funnels every
+    * row of a key through ONE reducer — with a handful of language
+    * strata over 100 TB that is billions of rows per task. Here rows
+    * are range-partitioned by (key, order) so each key occupies a run
+    * of partitions, partials are summed per (partition, key) — a tiny
+    * driver-side table, #partitions × #keys — and the per-partition
+    * running sum is shifted by the broadcast offset. Result is
+    * bit-identical to the single-reducer window (Long arithmetic is
+    * associative), which TrainingPrepSpec pins.
+    *
+    * `value` must be integral (summed as Long) so the split-and-shift
+    * recomposition is exact. */
+  def prefixSumByKey(
+      df: DataFrame,
+      key: String,
+      orderCols: Seq[Column],
+      value: Column,
+      out: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sortCols = col(key) +: orderCols
+    val sorted = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    // Same materialize-once rationale as globalRowNumber: the partials
+    // job and the final job must see identical range boundaries.
+    val withPart = sorted
+      .withColumn("_v", value.cast("long"))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val partials = withPart.groupBy($"_pid", col(key))
+      .agg(sum($"_v").as("_s"))
+      .as[(Int, String, Long)].collect()
+    val offsets = partials
+      .groupBy(_._2).toSeq
+      .flatMap { case (k, rows) =>
+        val byPid = rows.sortBy(_._1)
+        val cums = byPid.scanLeft(0L)(_ + _._3)
+        byPid.map(_._1).zip(cums).toSeq
+          .map { case (pid, off) => (pid, k, off) }
+      }.toDF("_pid", key, "_off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"_pid", col(key)).orderBy(orderCols: _*)
+    withPart
+      .join(broadcast(offsets), Seq("_pid", key))
+      .withColumn(out, sum($"_v").over(w) + $"_off")
+      .drop("_pid", "_v", "_off")
+  }
 }

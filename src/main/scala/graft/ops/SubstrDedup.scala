@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact-substring duplicate-SPAN detection (the ExactSubstr family of
+  * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+  * Better": a token n-gram that recurs across documents marks a span of
+  * memorizable duplicated text; overlapping duplicated n-grams merge
+  * into maximal spans that a trainer would cut, rather than dropping
+  * whole documents).
+  *
+  * Spark-first shape (the paper's suffix array is a single-machine
+  * structure; the distributed equivalent is n-gram blocking):
+  *   1. explode each doc into (doc, pos, md5(gram)) — the md5 keys the
+  *      shuffle with fixed-width 32-byte strings instead of raw n-gram
+  *      text, so the gram exchange width is bounded no matter how long
+  *      tokens are;
+  *   2. hash-aggregate DISTINCT doc counts per gram key (map-side
+  *      partial agg) and keep grams seen in ≥ minDocs docs;
+  *   3. join positions back on the gram key (shuffle hash join on the
+  *      same key as step 2 — AQE reuses the exchange);
+  *   4. merge overlapping/adjacent positions per doc into maximal spans
+  *      with one per-doc window (island numbering: a gap > n tokens
+  *      starts a new span). The window partitions by doc id, so no
+  *      single reducer ever sees more than one document's hits.
+  *
+  * Nothing is collected; every stage is a hash exchange on either the
+  * gram key or the doc id. Oracled end-to-end in `dd_dup_spans`.
+  */
+object SubstrDedup {
+
+  /** Maximal duplicated-token spans per document.
+    *
+    * @param df      input frame
+    * @param idCol   long document id column name
+    * @param toksCol array<string> token column name
+    * @param n       n-gram width in tokens
+    * @param minDocs a gram must occur in at least this many DISTINCT
+    *                documents to count as duplicated
+    * @return (idCol, span_start, span_end, n_dup_grams) — token spans
+    *         [span_start, span_end) in 0-based token positions. */
+  def dupSpans(df: DataFrame, idCol: String, toksCol: String,
+      n: Int, minDocs: Long): DataFrame = {
+    val grams = df
+      .select(col(idCol),
+        posexplode(Text.wordNgrams(col(toksCol), n)).as(Seq("pos", "gram")))
+      .select(col(idCol), col("pos"), md5(col("gram")).as("_gh"))
+    val dup = grams
+      .groupBy(col("_gh"))
+      .agg(countDistinct(col(idCol)).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select(col("_gh"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    grams
+      .join(dup, Seq("_gh"))
+      .withColumn("_brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= n, 0).otherwise(1))
+      .withColumn("_isl", sum(col("_brk")).over(w))
+      .groupBy(col(idCol), col("_isl"))
+      .agg(
+        min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + n).cast("long").as("span_end"),
+        count(lit(1)).as("n_dup_grams"))
+      .drop("_isl")
+  }
+}

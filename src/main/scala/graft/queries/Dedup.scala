@@ -413,9 +413,71 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Exact-substring duplicate spans ([[graft.ops.SubstrDedup]], the
+    * Lee et al. 2022 ExactSubstr family): maximal token spans covered
+    * by word-8-grams recurring across documents. Two passages are
+    * planted — a shared header prefix (doc_id % 7) and a shared tail
+    * (doc_id % 3) — so multi-island docs exist; the corpus' own
+    * accidental 8-gram collisions count too, identically on both
+    * engines. */
+  val ddDupSpans: Spec = Spec(
+    "dd_dup_spans",
+    oracle = Some("""
+      WITH r AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 7 = 0 THEN
+            'shared header boilerplate passage repeated across many documents verbatim '
+          ELSE '' END || text ||
+          CASE WHEN doc_id % 3 = 0 THEN
+            ' the quick brown fox jumps over the lazy dog again and again in the end'
+          ELSE '' END AS rich
+        FROM documents WHERE doc_id % 2 = 0),
+      t AS (SELECT doc_id, string_split(rich, ' ') AS l FROM r),
+      g AS (
+        SELECT doc_id, unnest(range(0, greatest(len(l)-7, 0))) AS pos, l
+        FROM t),
+      g2 AS (
+        SELECT doc_id, pos,
+          md5(array_to_string(l[pos+1:pos+8], ' ')) AS gh
+        FROM g),
+      d AS (
+        SELECT gh FROM (
+          SELECT gh, COUNT(DISTINCT doc_id) AS nd FROM g2 GROUP BY gh)
+        WHERE nd >= 2),
+      hit AS (SELECT doc_id, pos FROM g2 WHERE gh IN (SELECT gh FROM d)),
+      brk AS (
+        SELECT doc_id, pos,
+          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+               THEN 0 ELSE 1 END AS b
+        FROM hit),
+      isl AS (
+        SELECT doc_id, pos,
+          SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS i
+        FROM brk)
+      SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+        CAST(MAX(pos)+8 AS BIGINT) AS span_end,
+        CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+      FROM isl GROUP BY doc_id, i
+      ORDER BY doc_id, span_start""")) { (s, dir) =>
+    import s.implicits._
+    val rich = concat(
+      when($"doc_id" % 7 === 0,
+        lit("shared header boilerplate passage repeated across many documents verbatim "))
+        .otherwise(lit("")),
+      $"text",
+      when($"doc_id" % 3 === 0,
+        lit(" the quick brown fox jumps over the lazy dog again and again in the end"))
+        .otherwise(lit("")))
+    val base = Tables.load(s, dir, "documents")
+      .filter($"doc_id" % 2 === 0)
+      .select($"doc_id", Text.tokens(rich).as("l"))
+    graft.ops.SubstrDedup.dupSpans(base, "doc_id", "l", n = 8, minDocs = 2)
+      .orderBy($"doc_id", $"span_start")
+  }
+
   val specs: Seq[Spec] = Seq(
     ddMinhashPairs, ddMinhashClusters, ddMinhashIncremental,
     ddJaccardBlockPairs, ddExactHash, ddExactIncremental,
     ddCappedStarPairs, ddSimhash, ddSimhashPairs,
-    ddSimhashMd5, ddSimhashMd5Pairs, ddDecontaminate)
+    ddSimhashMd5, ddSimhashMd5Pairs, ddDecontaminate, ddDupSpans)
 }

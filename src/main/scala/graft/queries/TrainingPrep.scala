@@ -1,0 +1,269 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Skew, Text, TopK}
+
+/** Training-data preparation operators — the corpus-to-training-run
+  * steps a 100 TB LLM pipeline needs AFTER cleaning and dedup:
+  * stratified sampling, token-budget shard packing, context-window
+  * chunking, statistical quality scoring (unigram LM + Gopher rules).
+  * Every query is oracled against DuckDB on the same tables.
+  */
+object TrainingPrep {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "documents")
+
+  /** Deterministic stratified sampling: an exact per-language quota of
+    * documents, ordered by a 48-bit md5-derived hash of the id (a
+    * replayable pseudorandom permutation — the FineWeb/Dolma "sample by
+    * hash of id" idiom, and 48 bits so the score is exact in a Double
+    * AND a DuckDB BIGINT).
+    *
+    * Scale shape: per-stratum quota selection is top-k-by-hash, so it
+    * runs on the typed [[TopK]] aggregator — map-side partial top-k
+    * ships ≤ k rows per partition per language to the shuffle, where
+    * the equivalent `row_number() OVER (PARTITION BY lang ORDER BY
+    * hash)` would sort EVERY row of a language through one reducer.
+    * The oracle states exactly that window form; TopK's (score desc,
+    * id asc) tie order matches `ORDER BY h48, doc_id`. */
+  val dStratifiedSample: Spec = Spec(
+    "d_stratified_sample",
+    oracle = Some("""
+      WITH h AS (
+        SELECT doc_id, lang,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,12) AS BIGINT) AS h48
+        FROM documents),
+      r AS (
+        SELECT lang, doc_id, h48,
+          row_number() OVER (PARTITION BY lang ORDER BY h48, doc_id) AS rk
+        FROM h)
+      SELECT lang, CAST(rk AS BIGINT) AS sample_rank, doc_id, h48
+      FROM r WHERE rk <= 20 ORDER BY lang, sample_rank""")) { (s, dir) =>
+    import s.implicits._
+    val k = 20
+    docs(s, dir)
+      .select($"lang",
+        conv(substring(md5($"doc_id".cast("string")), 1, 12), 16, 10)
+          .cast("long").as("h48"),
+        $"doc_id")
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (-t._2.toDouble, t._3)) // smallest hash = best score
+      .agg(TopK.aggregator(k).toColumn)
+      .flatMap { case (lang, hits) =>
+        hits.iterator.zipWithIndex.map { case ((negH, id), i) =>
+          (lang, (i + 1).toLong, id, (-negH).toLong)
+        }
+      }
+      .toDF("lang", "sample_rank", "doc_id", "h48")
+      .orderBy($"lang", $"sample_rank")
+  }
+
+  /** Token-budget shard packing: assign documents to training shards of
+    * ~`budget` tokens by a running token total per language (the
+    * deterministic "pack in id order" variant of sequence packing —
+    * shard boundaries fall wherever the cumulative count crosses a
+    * budget multiple, so shard assignment is a pure function of the
+    * corpus, reproducible across runs).
+    *
+    * The running sum is [[Skew.prefixSumByKey]] — range-partitioned
+    * partials plus a broadcast offset merge — NOT a single-reducer
+    * `SUM() OVER (PARTITION BY lang ...)` window: with a handful of
+    * languages over 100 TB, a per-language window funnels billions of
+    * rows through one task. The oracle states the window form;
+    * TrainingPrepSpec pins the two forms equal. */
+  val dShardPacking: Spec = Spec(
+    "d_shard_packing",
+    oracle = Some("""
+      WITH t AS (
+        SELECT doc_id, lang,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      c AS (
+        SELECT doc_id, lang, n_tok,
+          CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT)
+            AS cum_tokens
+        FROM t)
+      SELECT doc_id, lang, n_tok, cum_tokens,
+        (cum_tokens - n_tok) // 400 AS shard_idx
+      FROM c ORDER BY lang, doc_id""")) { (s, dir) =>
+    import s.implicits._
+    val budget = 400
+    val withTok = docs(s, dir)
+      .select($"doc_id", $"lang", Text.wordCount($"text").cast("long").as("n_tok"))
+    Skew.prefixSumByKey(withTok, "lang", Seq($"doc_id"), $"n_tok", "cum_tokens")
+      .withColumn("shard_idx", expr(s"(cum_tokens - n_tok) div $budget"))
+      .select($"doc_id", $"lang", $"n_tok", $"cum_tokens", $"shard_idx")
+      .orderBy($"lang", $"doc_id")
+  }
+
+  /** Context-window chunking: split each document into token windows of
+    * `size` with stride `stride` (overlap = size - stride), the
+    * pretraining/embedding-model "sliding context window" transform.
+    * Emits one row per window with its token span and an md5 of the
+    * window text (spans + hash keep the oracle compare narrow; the
+    * text itself is `array_join(slice(...))` — same expression, wider).
+    *
+    * Pure per-row generate-and-explode: no shuffle at all until the
+    * final presentation sort, so it scales embarrassingly. */
+  val dChunkWindows: Spec = Spec(
+    "d_chunk_windows",
+    oracle = Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS l
+        FROM documents WHERE doc_id % 5 = 0),
+      s AS (
+        SELECT doc_id, l, len(l) AS n,
+          unnest(range(0, len(l), 24)) AS st
+        FROM t)
+      SELECT doc_id, CAST(st // 24 AS BIGINT) AS chunk_idx,
+        CAST(st AS BIGINT) AS start_tok,
+        CAST(least(32, n - st) AS BIGINT) AS chunk_len,
+        md5(array_to_string(l[st+1:st+32], ' ')) AS chunk_md5
+      FROM s ORDER BY doc_id, chunk_idx""")) { (s, dir) =>
+    import s.implicits._
+    val (size32, stride) = (32, 24)
+    docs(s, dir)
+      .filter($"doc_id" % 5 === 0)
+      .select($"doc_id", Text.tokens($"text").as("l"))
+      .select($"doc_id", $"l", size($"l").as("n"),
+        posexplode(sequence(lit(0), size($"l") - 1, lit(stride)))
+          .as(Seq("chunk_idx", "st")))
+      .select($"doc_id",
+        $"chunk_idx".cast("long").as("chunk_idx"),
+        $"st".cast("long").as("start_tok"),
+        least(lit(size32), $"n" - $"st").cast("long").as("chunk_len"),
+        md5(array_join(slice($"l", $"st" + 1, lit(size32)), " ")).as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  /** Unigram-LM quality score (the CCNet idea with the corpus itself as
+    * the LM): token log-probabilities under corpus unigram frequencies,
+    * averaged per document — template/repetitive docs score high,
+    * rare-token noise scores low. Per-token log10 is rounded to 6
+    * places and summed as DECIMAL so the aggregation is
+    * order-independent and hash-stable (Spec determinism rule 1); the
+    * only double ops are one log10 and one final division, identical
+    * per-value on both engines.
+    *
+    * Scale shape: vocab is a hash agg on the token; scoring is a hash
+    * join on the same key (no broadcast assumption — a 100 TB corpus
+    * vocabulary does not fit one executor); the doc roll-up re-shuffles
+    * on doc_id. Three exchanges, all keyed, no driver state. */
+  val dUnigramLmScore: Spec = Spec(
+    "d_unigram_lm_score",
+    oracle = Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      vocab AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w),
+      tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM vocab),
+      scored AS (
+        SELECT tok.doc_id,
+          CAST(round(log10(CAST(c AS DOUBLE) / CAST(total AS DOUBLE)), 6)
+            AS DECIMAL(18,6)) AS lp
+        FROM tok JOIN vocab ON tok.w = vocab.w CROSS JOIN tot)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+        round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+      FROM scored GROUP BY doc_id ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    val tok = docs(s, dir).select($"doc_id", explode(Text.tokens($"text")).as("w"))
+    val vocab = tok.groupBy($"w").agg(count(lit(1)).as("c"))
+    val tot = vocab.agg(sum($"c").cast("long").as("total"))
+    tok.join(vocab, "w")
+      .crossJoin(broadcast(tot))
+      .withColumn("lp",
+        round(log10($"c".cast("double") / $"total".cast("double")), 6)
+          .cast("decimal(18,6)"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        round(sum($"lp").cast("double") / count(lit(1)), 6).as("avg_logprob"))
+      .orderBy($"doc_id")
+  }
+
+  /** Gopher-style composite quality rules (Rae et al. 2021 §A1.1, the
+    * repetition-free subset): word count in [50, 100000], mean word
+    * length in [3, 10], ≤30% of lines ending in an ellipsis, ≤90% of
+    * lines starting with a bullet, symbol ratio < 0.4 — one boolean
+    * keep decision from five metrics. Bullet / ellipsis lines are
+    * injected deterministically so both decision branches occur.
+    * All metrics are single divisions rounded to 6 places (no
+    * order-dependent double sums). */
+  val dGopherRules: Spec = Spec(
+    "d_gopher_rules",
+    oracle = Some("""
+      WITH r AS (
+        SELECT doc_id,
+          text || chr(10) ||
+          CASE WHEN doc_id % 3 = 0 THEN '• ' ELSE '' END ||
+            substr(text, 31, 20) || chr(10) ||
+          substr(text, 51, 15) ||
+            CASE WHEN doc_id % 4 = 0 THEN '...' ELSE '.' END AS rich
+        FROM documents),
+      m AS (
+        SELECT doc_id, rich,
+          CAST(len(string_split(replace(rich, chr(10), ' '), ' ')) AS BIGINT)
+            AS n_words,
+          length(replace(replace(rich, ' ', ''), chr(10), '')) AS n_ch,
+          CAST(len(list_filter(string_split(rich, chr(10)),
+            x -> x LIKE '•%')) AS BIGINT) AS n_bullet,
+          CAST(len(list_filter(string_split(rich, chr(10)),
+            x -> x LIKE '%...')) AS BIGINT) AS n_ellip,
+          CAST(len(string_split(rich, chr(10))) AS BIGINT) AS n_lines
+        FROM r),
+      f AS (
+        SELECT doc_id, n_words,
+          round(CAST(n_ch AS DOUBLE) / n_words, 6) AS mean_word_len,
+          round(CAST(n_bullet AS DOUBLE) / n_lines, 6) AS bullet_frac,
+          round(CAST(n_ellip AS DOUBLE) / n_lines, 6) AS ellipsis_frac,
+          round(CAST(length(regexp_replace(rich, '[\p{L}\s]', '', 'g'))
+            AS DOUBLE) / length(rich), 6) AS symbol_ratio
+        FROM m)
+      SELECT doc_id, n_words, mean_word_len, bullet_frac, ellipsis_frac,
+        symbol_ratio,
+        (n_words BETWEEN 50 AND 100000
+         AND mean_word_len BETWEEN 3 AND 10
+         AND ellipsis_frac <= 0.3 AND bullet_frac <= 0.9
+         AND symbol_ratio < 0.4) AS gopher_keep
+      FROM f ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    val rich = concat(
+      $"text", lit("\n"),
+      when($"doc_id" % 3 === 0, lit("• ")).otherwise(lit("")),
+      substring($"text", 31, 20), lit("\n"),
+      substring($"text", 51, 15),
+      when($"doc_id" % 4 === 0, lit("...")).otherwise(lit(".")))
+    val lines = split($"rich", "\n", -1)
+    docs(s, dir)
+      .withColumn("rich", rich)
+      .select($"doc_id", $"rich",
+        Text.wordCount(regexp_replace($"rich", "\n", " ")).cast("long")
+          .as("n_words"),
+        length(regexp_replace($"rich", "[ \n]", "")).as("n_ch"),
+        org.apache.spark.sql.functions.size(
+          filter(lines, x => x.startsWith("•"))).cast("long").as("n_bullet"),
+        org.apache.spark.sql.functions.size(
+          filter(lines, x => x.endsWith("..."))).cast("long").as("n_ellip"),
+        org.apache.spark.sql.functions.size(lines).cast("long").as("n_lines"))
+      .select($"doc_id", $"n_words",
+        round($"n_ch".cast("double") / $"n_words", 6).as("mean_word_len"),
+        round($"n_bullet".cast("double") / $"n_lines", 6).as("bullet_frac"),
+        round($"n_ellip".cast("double") / $"n_lines", 6).as("ellipsis_frac"),
+        round(Text.charClassOutRatio($"rich", "[\\p{L}\\s]"), 6)
+          .as("symbol_ratio"),
+        ($"n_words".between(50, 100000) &&
+          round($"n_ch".cast("double") / $"n_words", 6).between(3, 10) &&
+          round($"n_ellip".cast("double") / $"n_lines", 6) <= 0.3 &&
+          round($"n_bullet".cast("double") / $"n_lines", 6) <= 0.9 &&
+          round(Text.charClassOutRatio($"rich", "[\\p{L}\\s]"), 6) < 0.4)
+          .as("gopher_keep"))
+      .orderBy($"doc_id")
+  }
+
+  val specs: Seq[Spec] = Seq(
+    dStratifiedSample, dShardPacking, dChunkWindows, dUnigramLmScore,
+    dGopherRules)
+}

