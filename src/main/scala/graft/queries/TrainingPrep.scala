@@ -263,7 +263,101 @@ object TrainingPrep {
       .orderBy($"doc_id")
   }
 
+  /** TF-IDF top terms per document (the classic salient-term extractor
+    * for corpus exploration / topic labeling): tf from a per-doc hash
+    * agg, df from a token-key hash agg, idf = log10(N/df) rounded to
+    * 6dp, and the score kept in DECIMAL (integer tf × 6dp idf) so
+    * ranking ties are exact on both engines. Top-3 per doc via a
+    * row_number window PARTITIONED BY doc_id — the partition key is
+    * the highest-cardinality column there is, so the window scales
+    * (unlike a per-corpus rank). Tie order (score desc, term asc) is
+    * total. */
+  val dTfidfTopTerms: Spec = Spec(
+    "d_tfidf_top_terms",
+    oracle = Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE doc_id % 4 = 0),
+      tf AS (
+        SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY doc_id, w),
+      df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+      n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd FROM tok),
+      sc AS (
+        SELECT doc_id, w, tf,
+          CAST(tf AS DECIMAL(18,6)) *
+            CAST(round(log10(CAST(nd AS DOUBLE) / df), 6) AS DECIMAL(18,6))
+            AS score
+        FROM tf JOIN df USING (w) CROSS JOIN n),
+      r AS (
+        SELECT doc_id, w, tf, score,
+          row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rk
+        FROM sc)
+      SELECT doc_id, CAST(rk AS BIGINT) AS rk, w AS term, tf,
+        CAST(score AS DOUBLE) AS tfidf
+      FROM r WHERE rk <= 3 ORDER BY doc_id, rk""")) { (s, dir) =>
+    import s.implicits._
+    val tok = docs(s, dir).filter($"doc_id" % 4 === 0)
+      .select($"doc_id", explode(Text.tokens($"text")).as("w"))
+    val tf = tok.groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"w").agg(count(lit(1)).as("df"))
+    val nd = tok.agg(countDistinct($"doc_id").as("nd"))
+    tf.join(df, "w")
+      .crossJoin(broadcast(nd))
+      .withColumn("score",
+        $"tf".cast("decimal(18,6)") *
+          round(log10($"nd".cast("double") / $"df"), 6).cast("decimal(18,6)"))
+      .withColumn("rk",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"doc_id").orderBy($"score".desc, $"w")))
+      .filter($"rk" <= 3)
+      .select($"doc_id", $"rk".cast("long").as("rk"), $"w".as("term"),
+        $"tf", $"score".cast("double").as("tfidf"))
+      .orderBy($"doc_id", $"rk")
+  }
+
+  /** Mixture (temperature) sampling: cap each language at a fixed
+    * token budget, taking documents in deterministic 48-bit-hash order
+    * until the budget is exhausted — the multilingual-training
+    * "rebalance the language mixture" step (capping head languages is
+    * exactly how temperature-flattened mixtures are materialized). A
+    * document is kept if it STARTS before the budget line, so the
+    * sample slightly overshoots rather than undershoots — a defined,
+    * replayable boundary rule. Running totals come from
+    * [[Skew.prefixSumByKey]] (no single-reducer per-language window);
+    * the oracle states the window form. */
+  val dMixtureSample: Spec = Spec(
+    "d_mixture_sample",
+    oracle = Some("""
+      WITH h AS (
+        SELECT doc_id, lang,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,12) AS BIGINT) AS h48
+        FROM documents),
+      c AS (
+        SELECT doc_id, lang, n_tok, h48,
+          CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY h48, doc_id)
+            AS BIGINT) AS cum_tokens
+        FROM h)
+      SELECT lang, doc_id, n_tok, cum_tokens
+      FROM c WHERE cum_tokens - n_tok < 1500
+      ORDER BY lang, cum_tokens""")) { (s, dir) =>
+    import s.implicits._
+    val budget = 1500
+    val withTok = docs(s, dir)
+      .select($"doc_id", $"lang",
+        Text.wordCount($"text").cast("long").as("n_tok"),
+        conv(substring(md5($"doc_id".cast("string")), 1, 12), 16, 10)
+          .cast("long").as("h48"))
+    Skew.prefixSumByKey(withTok, "lang", Seq($"h48", $"doc_id"), $"n_tok",
+        "cum_tokens")
+      .filter($"cum_tokens" - $"n_tok" < budget)
+      .select($"lang", $"doc_id", $"n_tok", $"cum_tokens")
+      .orderBy($"lang", $"cum_tokens")
+  }
+
   val specs: Seq[Spec] = Seq(
     dStratifiedSample, dShardPacking, dChunkWindows, dUnigramLmScore,
-    dGopherRules)
+    dGopherRules, dTfidfTopTerms, dMixtureSample)
 }

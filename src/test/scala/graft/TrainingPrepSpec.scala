@@ -109,6 +109,45 @@ class TrainingPrepSpec extends AnyFunSuite {
     }
   }
 
+  test("mixture sample: per-lang prefix in hash order, budget boundary rule") {
+    val out = graft.queries.TrainingPrep.dMixtureSample.fn(spark, TestSpark.Sf)
+      .as[(String, Long, Long, Long)].collect()
+    val all = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select($"lang",
+        conv(substring(md5($"doc_id".cast("string")), 1, 12), 16, 10)
+          .cast("long"), $"doc_id",
+        Text.wordCount($"text").cast("long"))
+      .as[(String, Long, Long, Long)].collect()
+    out.groupBy(_._1).foreach { case (lang, kept) =>
+      // kept docs form exactly the prefix of the lang's (h48, id) order
+      // whose doc START falls under the budget
+      val ordered = all.filter(_._1 == lang).sortBy(t => (t._2, t._3))
+      val expect = ordered
+        .scanLeft(0L)(_ + _._4).zip(ordered)
+        .takeWhile { case (before, _) => before < 1500 }
+        .map(_._2._3).toSet
+      assert(kept.map(_._2).toSet == expect)
+      // the sample crosses the budget line unless the stratum ran dry
+      val total = ordered.map(_._4).sum
+      assert(kept.map(_._3).sum >= math.min(1500L, total))
+    }
+  }
+
+  test("tfidf top terms: ≤3 per doc, distinct, scores non-increasing") {
+    val out = graft.queries.TrainingPrep.dTfidfTopTerms.fn(spark, TestSpark.Sf)
+      .select($"doc_id", $"rk", $"term", $"tfidf")
+      .as[(Long, Long, String, Double)].collect()
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.length <= 3)
+      assert(sorted.map(_._3).distinct.length == sorted.length)
+      assert(sorted.map(_._4).sliding(2).forall {
+        case Array(a, b) => a >= b
+        case _           => true
+      })
+    }
+  }
+
   test("unigram LM score: repeated-token doc scores higher than rare-token doc") {
     val out = graft.queries.TrainingPrep.dUnigramLmScore.fn(spark, TestSpark.Sf)
     // avg_logprob is a real score: finite, negative, and docs made of
