@@ -47,11 +47,23 @@ object SubstrDedup {
       .select(col(idCol),
         posexplode(Text.wordNgrams(col(toksCol), n)).as(Seq("pos", "gram")))
       .select(col(idCol), col("pos"), md5(col("gram")).as("_gh"))
-    val dup = grams
-      .groupBy(col("_gh"))
-      .agg(countDistinct(col(idCol)).as("_nd"))
-      .filter(col("_nd") >= minDocs)
-      .select(col("_gh"))
+    // minDocs == 2 (the standard cross-doc rule) only needs "more than
+    // one distinct doc", which min != max answers in ONE exchange with
+    // full map-side partial aggregation — where count(DISTINCT doc)
+    // plans a (gram, doc) pre-shuffle plus a second gram exchange,
+    // i.e. the whole gram stream shuffled twice. The general path
+    // keeps the exact distinct count.
+    val dup =
+      if (minDocs == 2)
+        grams.groupBy(col("_gh"))
+          .agg(min(col(idCol)).as("_mn"), max(col(idCol)).as("_mx"))
+          .filter(col("_mn") =!= col("_mx"))
+          .select(col("_gh"))
+      else
+        grams.groupBy(col("_gh"))
+          .agg(countDistinct(col(idCol)).as("_nd"))
+          .filter(col("_nd") >= minDocs)
+          .select(col("_gh"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     grams
       .join(dup, Seq("_gh"))

@@ -140,6 +140,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("dup spans: single gram exchange (no count-distinct pre-shuffle), no cartesian") {
+    val p = plan("dd_dup_spans")
+    // minDocs=2 rides min!=max, so no Exchange may partition on
+    // (gram, doc) — that pattern is the two-phase distinct the op
+    // deliberately avoids.
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning(_gh") && l.contains("doc_id")),
+      "count-distinct (gram, doc) pre-shuffle crept back in:\n" + p)
+    assert(!p.contains("count(distinct"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // island merge must stay partitioned per doc, never one global sort
+    assert(p.contains("windowspecdefinition(doc_id"), p)
+  }
+
   test("minhash pairs: no self-join recompute of signatures") {
     val p = finalPlan("dd_minhash_pairs")
     val sigOccurrences = "graft_minhash_signature".r.findAllIn(p).size
