@@ -77,4 +77,49 @@ object SubstrDedup {
         count(lit(1)).as("n_dup_grams"))
       .drop("_isl")
   }
+
+  /** ExactSubstr-CUT: rebuild each document with every duplicated span
+    * removed (the acting twin of [[dupSpans]]). Deviation from Lee et
+    * al., documented: the reference cut keeps ONE occurrence corpus-
+    * wide; span-level ownership is ill-defined once islands differ
+    * across docs, so this removes the span from EVERY doc — the same
+    * everywhere-rule as [[Boilerplate.removeRepeatedLines]], and the
+    * right call for template chrome.
+    *
+    * Shape: spans (already per-doc, few) anti-join the exploded tokens
+    * on (id, pos ∈ [start, end)) — an equi-join on the id with a range
+    * residual, never a cartesian — then one per-doc hash agg reassembles
+    * survivors in position order. Docs whose every token is covered
+    * survive as empty text (md5('')), never dropped rows.
+    *
+    * @return (idCol, cleaned_md5, kept_tokens, removed_tokens). */
+  def removeDupSpans(df: DataFrame, idCol: String, toksCol: String,
+      n: Int, minDocs: Long): DataFrame = {
+    val spans = dupSpans(df, idCol, toksCol, n, minDocs).as("sp")
+    val toks = df
+      .select(col(idCol), posexplode(col(toksCol)).as(Seq("tpos", "tk")))
+      .as("t")
+    val keptAgg = toks
+      .join(spans,
+        col(s"t.$idCol") === col(s"sp.$idCol") &&
+          col("t.tpos") >= col("sp.span_start") &&
+          col("t.tpos") < col("sp.span_end"),
+        "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("tpos"), col("tk")))),
+            x => x.getField("tk")),
+          " ")).as("_md5"),
+        count(lit(1)).as("_kept"))
+    df.select(col(idCol), size(col(toksCol)).cast("long").as("_total"))
+      .join(keptAgg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_md5"), lit(md5Empty)).as("cleaned_md5"),
+        coalesce(col("_kept"), lit(0L)).as("kept_tokens"),
+        (col("_total") - coalesce(col("_kept"), lit(0L))).as("removed_tokens"))
+  }
+
+  /** md5("") — the cleaned hash of a fully-duplicated document. */
+  private val md5Empty = "d41d8cd98f00b204e9800998ecf8427e"
 }

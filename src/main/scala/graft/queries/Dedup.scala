@@ -475,9 +475,78 @@ object Dedup {
       .orderBy($"doc_id", $"span_start")
   }
 
+  /** ExactSubstr-CUT ([[graft.ops.SubstrDedup.removeDupSpans]]): the
+    * acting twin of dd_dup_spans — duplicated spans removed from every
+    * doc (everywhere-rule; deviation from keep-one documented at the
+    * op), survivors reassembled in position order and verified by md5
+    * + kept/removed counts. Same planted passages as dd_dup_spans. */
+  val ddDupSpanRemoval: Spec = Spec(
+    "dd_dup_span_removal",
+    oracle = Some("""
+      WITH r AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 7 = 0 THEN
+            'shared header boilerplate passage repeated across many documents verbatim '
+          ELSE '' END || text ||
+          CASE WHEN doc_id % 3 = 0 THEN
+            ' the quick brown fox jumps over the lazy dog again and again in the end'
+          ELSE '' END AS rich
+        FROM documents WHERE doc_id % 2 = 0),
+      t AS (SELECT doc_id, string_split(rich, ' ') AS l FROM r),
+      g AS (
+        SELECT doc_id, unnest(range(0, greatest(len(l)-7, 0))) AS pos, l
+        FROM t),
+      g2 AS (
+        SELECT doc_id, pos,
+          md5(array_to_string(l[pos+1:pos+8], ' ')) AS gh
+        FROM g),
+      d AS (
+        SELECT gh FROM (
+          SELECT gh, MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM g2 GROUP BY gh)
+        WHERE mn <> mx),
+      hit AS (SELECT doc_id, pos FROM g2 WHERE gh IN (SELECT gh FROM d)),
+      cov AS (
+        SELECT DISTINCT doc_id, pos + u.i AS tpos
+        FROM hit CROSS JOIN (SELECT unnest(range(0, 8)) AS i) u),
+      tok AS (
+        SELECT doc_id, unnest(l) AS tk,
+          CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS tpos
+        FROM t),
+      kept AS (
+        SELECT tok.doc_id, tok.tk, tok.tpos AS tpos
+        FROM tok LEFT JOIN cov
+          ON tok.doc_id = cov.doc_id AND tok.tpos = cov.tpos
+        WHERE cov.doc_id IS NULL),
+      ka AS (
+        SELECT doc_id, md5(string_agg(tk, ' ' ORDER BY tpos)) AS m,
+          CAST(COUNT(*) AS BIGINT) AS k
+        FROM kept GROUP BY doc_id)
+      SELECT t.doc_id,
+        COALESCE(ka.m, md5('')) AS cleaned_md5,
+        COALESCE(ka.k, 0) AS kept_tokens,
+        CAST(len(t.l) - COALESCE(ka.k, 0) AS BIGINT) AS removed_tokens
+      FROM t LEFT JOIN ka ON t.doc_id = ka.doc_id
+      ORDER BY t.doc_id""")) { (s, dir) =>
+    import s.implicits._
+    val rich = concat(
+      when($"doc_id" % 7 === 0,
+        lit("shared header boilerplate passage repeated across many documents verbatim "))
+        .otherwise(lit("")),
+      $"text",
+      when($"doc_id" % 3 === 0,
+        lit(" the quick brown fox jumps over the lazy dog again and again in the end"))
+        .otherwise(lit("")))
+    val base = Tables.load(s, dir, "documents")
+      .filter($"doc_id" % 2 === 0)
+      .select($"doc_id", Text.tokens(rich).as("l"))
+    graft.ops.SubstrDedup.removeDupSpans(base, "doc_id", "l", n = 8, minDocs = 2)
+      .orderBy($"doc_id")
+  }
+
   val specs: Seq[Spec] = Seq(
     ddMinhashPairs, ddMinhashClusters, ddMinhashIncremental,
     ddJaccardBlockPairs, ddExactHash, ddExactIncremental,
     ddCappedStarPairs, ddSimhash, ddSimhashPairs,
-    ddSimhashMd5, ddSimhashMd5Pairs, ddDecontaminate, ddDupSpans)
+    ddSimhashMd5, ddSimhashMd5Pairs, ddDecontaminate, ddDupSpans,
+    ddDupSpanRemoval)
 }

@@ -78,6 +78,26 @@ class TrainingPrepSpec extends AnyFunSuite {
       expectedPerDoc.map { case (a, b, n) => (id, a, b, n) }))
   }
 
+  test("removeDupSpans: fully-duplicated doc empties, untouched doc keeps all") {
+    val md5Empty = "d41d8cd98f00b204e9800998ecf8427e"
+    val shared = (0 until 6).map(i => s"s$i") // 6 tokens, dup as whole doc
+    val df = Seq(
+      (1L, shared),                           // fully covered → empty
+      (2L, shared ++ Seq("x2", "y2", "z2")),  // prefix covered
+      (3L, Seq("a", "b", "c", "d", "e", "f")) // untouched
+    ).toDF("id", "l")
+    val got = graft.ops.SubstrDedup
+      .removeDupSpans(df, "id", "l", n = 3, minDocs = 2)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, md5Empty, 0L, 6L)))
+    // doc 2: grams 0..3 duplicated (span [0,6)) — wait, gram at pos 3
+    // is (s3 s4 s5) which doc 1 also has → covered [0,6); x2 y2 z2 kept
+    val keptMd5 = spark.sql("SELECT md5('x2 y2 z2')").head.getString(0)
+    assert(got(1) == ((2L, keptMd5, 3L, 6L)))
+    val fullMd5 = spark.sql("SELECT md5('a b c d e f')").head.getString(0)
+    assert(got(2) == ((3L, fullMd5, 6L, 0L)))
+  }
+
   test("dupSpans ignores grams below minDocs and within-doc-only repeats") {
     val df = Seq(
       (1L, Seq("x", "y", "z", "q", "x", "y", "z")), // repeats only within doc 1
