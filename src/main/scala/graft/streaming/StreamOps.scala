@@ -206,6 +206,74 @@ object StreamOps {
     clickViewJoinFrom(s, eventsStream(s, dir), eventsStream(s, dir),
       "st_click_view_mem")
 
+  /** Streaming INCREMENTAL exact dedup via foreachBatch: each
+    * micro-batch is content-hashed, first-win reduced within the batch
+    * (min id per hash — same deterministic rule as the batch
+    * d_dedup_by_key), anti-joined against the ACCUMULATED hash state of
+    * all prior batches, and the survivors appended to both the output
+    * and the state. This is the production stream-ingest shape the
+    * watermark-bounded `dropDuplicatesWithinWatermark` cannot express:
+    * state never expires — a document seen a month ago still
+    * deduplicates today's arrival (the corpus-lifetime guarantee the
+    * batch incremental dedup [dd_exact_incremental] gives).
+    *
+    * Exactly-once without a transactional sink: every batch writes to
+    * its OWN `batch=<id>` directory with overwrite, so a Spark retry of
+    * the same micro-batch overwrites rather than duplicates — the
+    * textbook idempotent-foreachBatch pattern. State reads glob all
+    * prior batch dirs; the anti-join side is a hash column only, so at
+    * cluster scale the state scan is a single narrow column that AQE
+    * can bucket or broadcast as its size dictates.
+    *
+    * @return survivors (idCol, textCol, _h) read back from the output
+    *         dirs after the stream drains. */
+  private def existingParquet(s: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+      Some(s.read.parquet(path)) else None
+  }
+
+  /** Start the incremental-dedup stream; the caller drives it
+    * (processAllAvailable between source feeds) and stops it. */
+  def incrementalDedupStart(s: SparkSession, src: DataFrame,
+      idCol: String, textCol: String,
+      outDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val stateDir = s"$outDir/state"
+    val survDir = s"$outDir/survivors"
+    src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val hashed = batch.withColumn("_h", md5(col(textCol)))
+        val firstInBatch = hashed
+          .groupBy(col("_h")).agg(min(col(idCol)).as(idCol))
+          .join(hashed, Seq("_h", idCol))
+        val survivors = existingParquet(s, stateDir) match {
+          case Some(st) => firstInBatch.join(st, Seq("_h"), "left_anti")
+          case None     => firstInBatch
+        }
+        // overwrite THIS batch's directories: a micro-batch retry
+        // rewrites them instead of appending duplicates
+        survivors.write.mode("overwrite").parquet(s"$survDir/batch=$batchId")
+        survivors.select(col("_h")).write.mode("overwrite")
+          .parquet(s"$stateDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /** Survivors accumulated across every processed batch. */
+  def incrementalDedupResult(s: SparkSession, outDir: String): DataFrame =
+    existingParquet(s, s"$outDir/survivors").getOrElse(s.emptyDataFrame)
+
+  /** Bounded-source convenience: start, drain, stop, read back. */
+  def incrementalDedupBatches(s: SparkSession, src: DataFrame,
+      idCol: String, textCol: String, outDir: String): DataFrame = {
+    val q = incrementalDedupStart(s, src, idCol, textCol, outDir)
+    try q.processAllAvailable()
+    finally q.stop()
+    incrementalDedupResult(s, outDir)
+  }
+
   /** Streaming exact-dedup: dropDuplicatesWithinWatermark on event_id.
     * Returns the deduped count table (memory sink, append). */
   def streamingDedupCount(s: SparkSession, dir: String): DataFrame = {

@@ -114,4 +114,34 @@ class StreamingSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(got == batch)
   }
+
+  test("foreachBatch incremental dedup: cross-batch state, first-win, idempotent dirs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_incdedup").toString
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamOps.incrementalDedupStart(
+      spark, ms.toDF().toDF("doc_id", "text"), "doc_id", "text", outDir)
+    try {
+      // batch 0: in-batch duplicate (ids 2,3 same text) → min id 2 wins
+      ms.addData(Seq((1L, "alpha"), (2L, "beta"), (3L, "beta")))
+      q.processAllAvailable()
+      // batch 1: cross-batch duplicate ("alpha" again, new id) must be
+      // dropped by the STATE, not by in-batch logic; "gamma" is new
+      ms.addData(Seq((10L, "alpha"), (11L, "gamma")))
+      q.processAllAvailable()
+      // batch 2: everything seen before → zero survivors
+      ms.addData(Seq((20L, "beta"), (21L, "gamma")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = StreamOps.incrementalDedupResult(spark, outDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "alpha"), (2L, "beta"), (11L, "gamma")))
+    // == global batch dedup of the full feed (keep-min per content)
+    val all = Seq((1L, "alpha"), (2L, "beta"), (3L, "beta"),
+      (10L, "alpha"), (11L, "gamma"), (20L, "beta"), (21L, "gamma"))
+    val expect = all.groupBy(_._2).map { case (_, g) => g.minBy(_._1) }.toSet
+    assert(got == expect)
+  }
 }
