@@ -543,10 +543,88 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Canonical-representative selection per near-dup cluster: instead
+    * of blind keep-min, each MinHash/CC cluster keeps its BEST member
+    * by a quality score (here token count as the pluggable proxy; any
+    * scored column — unigram-LM, Gopher — slots into the same argmax).
+    * Deterministic total order (quality desc, id asc); the argmax
+    * window partitions by component — cluster count grows with the
+    * corpus, so state per task stays bounded at 100 TB. Oracle: the
+    * dd_minhash_clusters recursive-CTE recipe + the same windowed
+    * argmax. */
+  val ddClusterRepresentatives: Spec = Spec(
+    "dd_cluster_representatives",
+    oracle = Some("""
+      WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split(text,' ') AS l FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(l)-1, 1)),
+          i -> array_to_string(l[i:i+2], ' '))) AS sh
+        FROM toks WHERE len(l) >= 3),
+      sig AS (
+        SELECT doc_id, list_transform(range(0, 32),
+          p -> CAST(list_min(list_transform(sh, s ->
+            (CAST(2*p*2654435761 + 1 AS HUGEINT) *
+               (('0x' || substr(md5(s), 1, 15))::BIGINT) + (p*40503 + 7))
+              % 2305843009213693951)) AS BIGINT)) AS sig
+        FROM sh),
+      bands AS (
+        SELECT doc_id, b,
+          md5(b::VARCHAR || '|' || array_to_string(sig[b*4+1:b*4+4], '')) AS bk
+        FROM sig CROSS JOIN unnest(range(0, 8)) AS t(b)),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+        FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk
+          AND a.doc_id < b.doc_id),
+      verified AS (
+        SELECT ida, idb FROM pairs
+        JOIN sh sa ON sa.doc_id = ida JOIN sh sb ON sb.doc_id = idb
+        WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+          (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5),
+      edges AS (
+        SELECT ida AS src, idb AS dst FROM verified
+        UNION ALL SELECT idb, ida FROM verified),
+      walk(id, comp) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id),
+      labels AS (SELECT id, MIN(comp) AS component FROM walk GROUP BY id),
+      q AS (
+        SELECT l.id, l.component,
+          CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+        FROM labels l JOIN documents d ON d.doc_id = l.id),
+      r AS (
+        SELECT component, id, n_tok,
+          row_number() OVER (PARTITION BY component
+            ORDER BY n_tok DESC, id) AS rk,
+          COUNT(*) OVER (PARTITION BY component) AS n_members
+        FROM q)
+      SELECT component, id AS rep_id, n_tok AS rep_tokens,
+        CAST(n_members AS BIGINT) AS n_members
+      FROM r WHERE rk = 1 ORDER BY component""")) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val pairs = MinHash.candidatePairs(docs, "doc_id", "text",
+      shingleSize = 3, numPerm = 32, bands = 8, threshold = 0.5)
+    val labeled = MinHash.clusters(pairs)
+      .join(docs.select($"doc_id".as("id"),
+        Text.wordCount($"text").cast("long").as("n_tok")), Seq("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"component").orderBy($"n_tok".desc, $"id")
+    labeled
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"component")))
+      .filter($"rk" === 1)
+      .select($"component", $"id".as("rep_id"), $"n_tok".as("rep_tokens"),
+        $"n_members")
+      .orderBy($"component")
+  }
+
   val specs: Seq[Spec] = Seq(
     ddMinhashPairs, ddMinhashClusters, ddMinhashIncremental,
     ddJaccardBlockPairs, ddExactHash, ddExactIncremental,
     ddCappedStarPairs, ddSimhash, ddSimhashPairs,
     ddSimhashMd5, ddSimhashMd5Pairs, ddDecontaminate, ddDupSpans,
-    ddDupSpanRemoval)
+    ddDupSpanRemoval, ddClusterRepresentatives)
 }

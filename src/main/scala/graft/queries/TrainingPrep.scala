@@ -357,7 +357,40 @@ object TrainingPrep {
       .orderBy($"lang", $"cum_tokens")
   }
 
+  /** Adaptive length-outlier trim: flag documents outside the corpus'
+    * own [1/16, 15/16] token-length quantiles (data-driven thresholds,
+    * the robust alternative to Gopher's fixed word-count band — the
+    * RefinedWeb/CCNet practice of trimming per-corpus length tails).
+    * Quantiles are DYADIC fractions so Spark `percentile` and DuckDB
+    * `quantile_cont` interpolate bit-identically (the
+    * q_quantity_percentiles rule); the two-row threshold aggregate is
+    * broadcast under a cross join — the corpus side never shuffles. */
+  val dLengthOutliers: Spec = Spec(
+    "d_length_outliers",
+    oracle = Some("""
+      WITH t AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      p AS (
+        SELECT ROUND(quantile_cont(n_tok, 0.0625), 6) AS lo,
+               ROUND(quantile_cont(n_tok, 0.9375), 6) AS hi
+        FROM t)
+      SELECT doc_id, n_tok, lo, hi,
+        (n_tok >= lo AND n_tok <= hi) AS within_band
+      FROM t CROSS JOIN p ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    val t = docs(s, dir)
+      .select($"doc_id", Text.wordCount($"text").cast("long").as("n_tok"))
+    val p = t.agg(
+      round(percentile($"n_tok", lit(0.0625)), 6).as("lo"),
+      round(percentile($"n_tok", lit(0.9375)), 6).as("hi"))
+    t.crossJoin(broadcast(p))
+      .select($"doc_id", $"n_tok", $"lo", $"hi",
+        ($"n_tok" >= $"lo" && $"n_tok" <= $"hi").as("within_band"))
+      .orderBy($"doc_id")
+  }
+
   val specs: Seq[Spec] = Seq(
     dStratifiedSample, dShardPacking, dChunkWindows, dUnigramLmScore,
-    dGopherRules, dTfidfTopTerms, dMixtureSample)
+    dGopherRules, dTfidfTopTerms, dMixtureSample, dLengthOutliers)
 }
