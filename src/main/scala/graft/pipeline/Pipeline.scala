@@ -22,6 +22,7 @@ final case class PipelineConfig(
     flags: Flagging.Config = Flagging.Config(),
     minhashThreshold: Double = 0.5,
     fuzzyDedup: Boolean = true,
+    keepBestInCluster: Boolean = false,
     langCol: String = "lang",
     checkpointRoot: Option[String] = None)
 
@@ -61,6 +62,7 @@ object PipelineConfig {
         wordRepScore = dbl("word_rep_score", 0.10)),
       minhashThreshold = dbl("minhash_threshold", 0.5),
       fuzzyDedup = bool("fuzzy_dedup", true),
+      keepBestInCluster = bool("keep_best_in_cluster", false),
       langCol = str("lang_col", "lang"),
       checkpointRoot =
         if (root.has("checkpoint_root")) Some(root.get("checkpoint_root").asText) else None)
@@ -146,7 +148,12 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
     }
   }
 
-  /** Fuzzy dedup: MinHash-LSH clusters, keep component minimum. */
+  /** Fuzzy dedup: MinHash-LSH clusters; keep the component minimum by
+    * default, or (keepBestInCluster) the cluster's best member by the
+    * StatsStage words_count — the canonical-representative rule of
+    * dd_cluster_representatives, with (quality desc, id asc) as the
+    * deterministic total order. The quality argmax windows per
+    * component, so state per task stays bounded at any corpus size. */
   object FuzzyDedupStage extends Stage {
     val name = "dedup_fuzzy"
     def apply(df: DataFrame): DataFrame = {
@@ -158,9 +165,18 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
       val mat = if (cfg.checkpointRoot.isEmpty) df.localCheckpoint() else df
       val pairs = MinHash.candidatePairs(mat, "doc_id", "text",
         threshold = cfg.minhashThreshold)
-      val drop = MinHash.clusters(pairs)
-        .filter($"id" =!= $"component")
-        .select($"id".as("doc_id"))
+      val clusters = MinHash.clusters(pairs)
+      val drop =
+        if (cfg.keepBestInCluster) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy($"component").orderBy($"words_count".desc, $"id")
+          clusters
+            .join(mat.select($"doc_id".as("id"), $"words_count"), Seq("id"))
+            .withColumn("_rk", row_number().over(w))
+            .filter($"_rk" =!= 1)
+            .select($"id".as("doc_id"))
+        } else
+          clusters.filter($"id" =!= $"component").select($"id".as("doc_id"))
       mat.join(drop, Seq("doc_id"), "left_anti")
     }
   }

@@ -35,6 +35,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.nonEmpty && bothSurvive == 0)
   }
 
+  test("keep_best_in_cluster: fuzzy dedup keeps the highest-quality member, not min id") {
+    // near-dup pair {2, 5} where the LONGER doc has the LARGER id, plus
+    // an untouched singleton; letter-only words keep every flag green
+    val basewords = for { a <- 'a' to 'j'; b <- 'a' to 'g' } yield s"word$a$b"
+    val base = basewords.mkString(" ")
+    val longer = base + " extraone extratwo extrathree"
+    val other = (for { a <- 'k' to 't'; b <- 'a' to 'g' } yield s"term$a$b")
+      .mkString(" ")
+    val docs = Seq(
+      (2L, base, "en", "s", base.length.toLong),
+      (5L, longer, "en", "s", longer.length.toLong),
+      (9L, other, "en", "s", other.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val keepMin = new Pipeline(spark, PipelineConfig()).run(docs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keepMin == Set(2L, 9L))
+    val keepBest = new Pipeline(spark, PipelineConfig(keepBestInCluster = true))
+      .run(docs).select("doc_id").as[Long].collect().toSet
+    assert(keepBest == Set(5L, 9L))
+  }
+
   test("golden stage schemas: every pipeline stage pins its output shape (SURVEY §5.4)") {
     val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
     val p = new Pipeline(spark, PipelineConfig())
