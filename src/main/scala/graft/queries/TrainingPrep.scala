@@ -43,22 +43,7 @@ object TrainingPrep {
       SELECT lang, CAST(rk AS BIGINT) AS sample_rank, doc_id, h48
       FROM r WHERE rk <= 20 ORDER BY lang, sample_rank""")) { (s, dir) =>
     import s.implicits._
-    val k = 20
-    docs(s, dir)
-      .select($"lang",
-        conv(substring(md5($"doc_id".cast("string")), 1, 12), 16, 10)
-          .cast("long").as("h48"),
-        $"doc_id")
-      .as[(String, Long, Long)]
-      .groupByKey(_._1)
-      .mapValues(t => (-t._2.toDouble, t._3)) // smallest hash = best score
-      .agg(TopK.aggregator(k).toColumn)
-      .flatMap { case (lang, hits) =>
-        hits.iterator.zipWithIndex.map { case ((negH, id), i) =>
-          (lang, (i + 1).toLong, id, (-negH).toLong)
-        }
-      }
-      .toDF("lang", "sample_rank", "doc_id", "h48")
+    graft.ops.Sampling.stratifiedByHash(docs(s, dir), "lang", "doc_id", k = 20)
       .orderBy($"lang", $"sample_rank")
   }
 
@@ -170,17 +155,9 @@ object TrainingPrep {
         round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
       FROM scored GROUP BY doc_id ORDER BY doc_id""")) { (s, dir) =>
     import s.implicits._
-    val tok = docs(s, dir).select($"doc_id", explode(Text.tokens($"text")).as("w"))
-    val vocab = tok.groupBy($"w").agg(count(lit(1)).as("c"))
-    val tot = vocab.agg(sum($"c").cast("long").as("total"))
-    tok.join(vocab, "w")
-      .crossJoin(broadcast(tot))
-      .withColumn("lp",
-        round(log10($"c".cast("double") / $"total".cast("double")), 6)
-          .cast("decimal(18,6)"))
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_tok"),
-        round(sum($"lp").cast("double") / count(lit(1)), 6).as("avg_logprob"))
+    graft.ops.Quality.unigramLmScores(
+        docs(s, dir).select($"doc_id", Text.tokens($"text").as("toks")),
+        "doc_id", "toks")
       .orderBy($"doc_id")
   }
 
@@ -344,15 +321,10 @@ object TrainingPrep {
       FROM c WHERE cum_tokens - n_tok < 1500
       ORDER BY lang, cum_tokens""")) { (s, dir) =>
     import s.implicits._
-    val budget = 1500
     val withTok = docs(s, dir)
-      .select($"doc_id", $"lang",
-        Text.wordCount($"text").cast("long").as("n_tok"),
-        conv(substring(md5($"doc_id".cast("string")), 1, 12), 16, 10)
-          .cast("long").as("h48"))
-    Skew.prefixSumByKey(withTok, "lang", Seq($"h48", $"doc_id"), $"n_tok",
-        "cum_tokens")
-      .filter($"cum_tokens" - $"n_tok" < budget)
+      .select($"doc_id", $"lang", Text.wordCount($"text").cast("long").as("n_tok"))
+    graft.ops.Sampling.tokenBudgetByHash(withTok, "lang", "doc_id", "n_tok",
+        budget = 1500)
       .select($"lang", $"doc_id", $"n_tok", $"cum_tokens")
       .orderBy($"lang", $"cum_tokens")
   }
