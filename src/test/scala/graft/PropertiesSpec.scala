@@ -156,4 +156,60 @@ class PropertiesSpec extends AnyFunSuite {
     assert(fast == naive)
     assert(naive.nonEmpty)
   }
+
+  test("dupSpans island merge equals brute-force interval union (random hit sets)") {
+    import graft.ops.SubstrDedup
+    // random duplicated-position sets driven through the REAL op by
+    // planting the same token at chosen positions in two docs, then
+    // checked against a driver-side interval-union reference
+    val n = 3
+    val posGen = Gen.listOf(Gen.choose(0, 40)).map(_.distinct.sorted)
+    (0 until 30).foreach { seed =>
+      val dup = posGen.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      // tokens 0..49: token i is SHARED between the two docs iff a
+      // planted interval [p, p+n) covers it; a gram duplicates iff all
+      // its n tokens are shared (position-tagged names make any other
+      // cross- or within-doc gram collision impossible)
+      def toks(pfx: String): Seq[String] = (0 until 50).map { i =>
+        if (dup.exists(p => i >= p && i < p + n)) s"s$i" else s"$pfx$i"
+      }
+      val df = Seq((1L, toks("a")), (2L, toks("b"))).toDF("id", "l")
+      val got = SubstrDedup.dupSpans(df, "id", "l", n, 2)
+        .filter($"id" === 1L)
+        .select($"span_start", $"span_end")
+        .as[(Long, Long)].collect().toSet
+      // reference: duplicated gram starts are every q where tokens
+      // q..q+n-1 are all shared; merge [q, q+n) intervals
+      val shared = (0 until 50).map(i => dup.exists(p => i >= p && i < p + n))
+      val starts = (0 to 50 - n).filter(q => (q until q + n).forall(shared))
+      val merged = starts.foldLeft(List.empty[(Long, Long)]) {
+        case ((s, e) :: rest, q) if q <= e => (s, math.max(e, q + n)) :: rest
+        case (acc, q) => (q.toLong, (q + n).toLong) :: acc
+      }.toSet
+      assert(got == merged, s"seed=$seed dup=$dup")
+    }
+  }
+
+  test("prefixSumByKey equals window running sum on random keyed data") {
+    import graft.ops.Skew
+    import org.apache.spark.sql.expressions.Window
+    val rows = (0 until 500).map { i =>
+      val seed = Seed(9000L + i)
+      val k = Gen.oneOf("a", "b", "c", "d").pureApply(Gen.Parameters.default, seed)
+      val v = Gen.choose(0L, 1000L).pureApply(Gen.Parameters.default, seed.next)
+      (i.toLong, k, v)
+    }
+    val df = rows.toDF("id", "k", "v").repartition(7)
+    val expected = rows.groupBy(_._2).flatMap { case (_, g) =>
+      val sorted = g.sortBy(_._1)
+      sorted.zip(sorted.scanLeft(0L)(_ + _._3).tail).map { case ((id, _, _), c) => (id, c) }
+    }.toMap
+    val got = Skew.prefixSumByKey(df, "k", Seq($"id"), $"v", "cum")
+      .select($"id", $"cum").as[(Long, Long)].collect().toMap
+    assert(got == expected)
+    val win = df.withColumn("cum",
+      sum($"v").over(Window.partitionBy($"k").orderBy($"id")))
+      .select($"id", $"cum").as[(Long, Long)].collect().toMap
+    assert(got == win)
+  }
 }
