@@ -122,4 +122,40 @@ object SubstrDedup {
 
   /** md5("") — the cleaned hash of a fully-duplicated document. */
   private val md5Empty = "d41d8cd98f00b204e9800998ecf8427e"
+
+  /** Intra-document repetition fraction (the Gopher dup-ngram-fraction
+    * family, Rae et al. 2021 §A1.1): share of a document's tokens
+    * covered by n-grams occurring MORE THAN ONCE within that same
+    * document. Repetition is detected with one window over
+    * (doc, gram-key) — both high-cardinality, so no reducer hot-spots —
+    * and coverage reuses the island merge (union of [pos, pos+n)
+    * without exploding n rows per hit).
+    *
+    * @return (idCol, n_tok, covered_tokens, dup_frac) for every input
+    *         row; dup-free docs report 0.0. */
+  def intraDupFraction(df: DataFrame, idCol: String, toksCol: String,
+      n: Int): DataFrame = {
+    val grams = df
+      .select(col(idCol),
+        posexplode(Text.wordNgrams(col(toksCol), n)).as(Seq("pos", "gram")))
+      .select(col(idCol), col("pos"), md5(col("gram")).as("_gh"))
+    val wCnt = Window.partitionBy(col(idCol), col("_gh"))
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val covered = grams
+      .withColumn("_cnt", count(lit(1)).over(wCnt))
+      .filter(col("_cnt") > 1)
+      .withColumn("_brk",
+        when(col("pos") - lag(col("pos"), 1).over(wDoc) <= n, 0).otherwise(1))
+      .withColumn("_isl", sum(col("_brk")).over(wDoc))
+      .groupBy(col(idCol), col("_isl"))
+      .agg((max(col("pos")) + n - min(col("pos"))).as("_len"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_len")).cast("long").as("covered_tokens"))
+    df.select(col(idCol), size(col(toksCol)).cast("long").as("n_tok"))
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("n_tok"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        round(coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+          col("n_tok"), 6).as("dup_frac"))
+  }
 }

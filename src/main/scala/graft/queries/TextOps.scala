@@ -631,6 +631,69 @@ object TextOps {
     * char counts, setu/data/exact_dedup_thresholds): docs shorter
     * than their language's threshold are exempt from dedup; the rest
     * dedup by content hash keeping the minimum doc_id. */
+  /** Intra-doc repetition fraction
+    * ([[graft.ops.SubstrDedup.intraDupFraction]], the Gopher
+    * dup-ngram-fraction family): tokens covered by word-4-grams that
+    * recur WITHIN the same document, as a fraction. A 4-token phrase is
+    * planted twice in doc_id%3 docs so the covered path is non-vacuous;
+    * the corpus' natural within-doc repeats count identically on both
+    * engines. */
+  val dIntraDupFraction: Spec = Spec(
+    "d_intra_dup_fraction",
+    oracle = Some("""
+      WITH r AS (
+        SELECT doc_id, text ||
+          CASE WHEN doc_id % 3 = 0
+            THEN ' repeat cycle tokens here repeat cycle tokens here'
+            ELSE '' END AS rich
+        FROM documents WHERE doc_id % 2 = 1),
+      t AS (SELECT doc_id, string_split(rich, ' ') AS l FROM r),
+      g AS (
+        SELECT doc_id, unnest(range(0, greatest(len(l)-3, 0))) AS pos, l
+        FROM t),
+      g2 AS (
+        SELECT doc_id, pos,
+          md5(array_to_string(l[pos+1:pos+4], ' ')) AS gh
+        FROM g),
+      hit AS (
+        SELECT doc_id, pos FROM (
+          SELECT doc_id, pos,
+            COUNT(*) OVER (PARTITION BY doc_id, gh) AS cnt
+          FROM g2)
+        WHERE cnt > 1),
+      brk AS (
+        SELECT doc_id, pos,
+          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 4
+               THEN 0 ELSE 1 END AS b
+        FROM hit),
+      isl AS (
+        SELECT doc_id, pos,
+          SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS i
+        FROM brk),
+      spans AS (
+        SELECT doc_id, MAX(pos) + 4 - MIN(pos) AS len
+        FROM isl GROUP BY doc_id, i),
+      cov AS (
+        SELECT doc_id, CAST(SUM(len) AS BIGINT) AS covered_tokens
+        FROM spans GROUP BY doc_id)
+      SELECT t.doc_id, CAST(len(t.l) AS BIGINT) AS n_tok,
+        COALESCE(cov.covered_tokens, 0) AS covered_tokens,
+        round(CAST(COALESCE(cov.covered_tokens, 0) AS DOUBLE) / len(t.l), 6)
+          AS dup_frac
+      FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id
+      ORDER BY t.doc_id""")) { (s, dir) =>
+    import s.implicits._
+    val rich = concat($"text",
+      when($"doc_id" % 3 === 0,
+        lit(" repeat cycle tokens here repeat cycle tokens here"))
+        .otherwise(lit("")))
+    val base = docs(s, dir)
+      .filter($"doc_id" % 2 === 1)
+      .select($"doc_id", Text.tokens(rich).as("l"))
+    graft.ops.SubstrDedup.intraDupFraction(base, "doc_id", "l", n = 4)
+      .orderBy($"doc_id")
+  }
+
   val dDedupThresholded: Spec = Spec(
     "d_exact_dedup_thresholded",
     oracle = Some("""
@@ -706,5 +769,5 @@ object TextOps {
     dNgramRepWord, dNgramRepWordTok, dNgramRepChar, dUniqueTokens,
     dKeywordSpans, dTokenDiversity, dSymbolRatio,
     dFingerprint, dDedupByKey, dStopwords, dDedupThresholded,
-    dFlagsPerLang)
+    dFlagsPerLang, dIntraDupFraction)
 }

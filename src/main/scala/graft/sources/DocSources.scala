@@ -72,4 +72,21 @@ object DocSources {
   /** S9: hive-partitioned sink (downstream per-language reads prune). */
   def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+
+  /** Training-shard JSONL export: the standard LLM training-data
+    * delivery format (one JSON object per line, sharded). Spark's json
+    * sink IS JSONL per part-file; partitioning by the shard column —
+    * typically [[graft.ops.Skew.prefixSumByKey]]-derived
+    * `shard_idx` (d_shard_packing) — gives directory-per-shard layout
+    * with token-budgeted shard sizes, and `maxRecordsPerFile` bounds
+    * any single file. Gzip keeps the bytes-on-disk shape trainers
+    * expect; compression is splittable-irrelevant here because shard
+    * files are the read unit. */
+  def writeJsonlShards(df: DataFrame, path: String, shardCol: String,
+      maxRecordsPerFile: Long = 0L): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(shardCol)
+      .option("compression", "gzip")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .json(path)
 }

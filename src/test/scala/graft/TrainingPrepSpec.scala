@@ -168,6 +168,34 @@ class TrainingPrepSpec extends AnyFunSuite {
     }
   }
 
+  test("JSONL shard export: packing → directory-per-shard → lossless read-back") {
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val packed = graft.queries.TrainingPrep.dShardPacking.fn(spark, TestSpark.Sf)
+      .join(spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+        .select($"doc_id", $"text"), Seq("doc_id"))
+      .withColumn("shard",
+        concat($"lang", org.apache.spark.sql.functions.lit("-"),
+          $"shard_idx".cast("string")))
+    graft.sources.DocSources.writeJsonlShards(
+      packed.select($"doc_id", $"text", $"n_tok", $"shard"), out, "shard")
+    // directory-per-shard layout, gzip jsonl part files inside
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard="))
+    assert(dirs.nonEmpty)
+    assert(dirs.forall(d => new java.io.File(s"$out/$d").listFiles()
+      .exists(f => f.getName.endsWith(".json.gz"))))
+    // lossless round trip including the partition column
+    val back = spark.read.json(out)
+    assert(back.count() == packed.count())
+    val origIds = packed.select($"doc_id").as[Long].collect().toSet
+    assert(back.select($"doc_id").as[Long].collect().toSet == origIds)
+    // every shard (except possibly each lang's last) holds one doc
+    // crossing the 400-token line, never two budget-fulls
+    val perShard = back.groupBy($"shard")
+      .agg(sum($"n_tok").as("t")).as[(String, Long)].collect()
+    assert(perShard.forall(_._2 < 800 + 99)) // budget + max doc len slack
+  }
+
   test("unigram LM score: repeated-token doc scores higher than rare-token doc") {
     val out = graft.queries.TrainingPrep.dUnigramLmScore.fn(spark, TestSpark.Sf)
     // avg_logprob is a real score: finite, negative, and docs made of
