@@ -31,6 +31,22 @@ object TrainingPrepStress {
     }
     println(s"[stress] spans: $spans")
 
+    // noop writes, not count(): count() lets Catalyst eliminate the
+    // final outer join and prune the md5 reassembly — the Bench rule
+    time("dup-span REMOVAL (worst case: rebuild all docs)") {
+      SubstrDedup.removeDupSpans(
+        docs.select($"doc_id", Text.tokens($"text").as("l")),
+        "doc_id", "l", n = 8, minDocs = 2)
+        .write.mode("overwrite").format("noop").save()
+    }
+
+    time("intra-doc dup fraction") {
+      SubstrDedup.intraDupFraction(
+        docs.select($"doc_id", Text.tokens($"text").as("l")),
+        "doc_id", "l", n = 4)
+        .write.mode("overwrite").format("noop").save()
+    }
+
     val lm = time("unigram LM score") {
       val tok = docs.select($"doc_id", explode(Text.tokens($"text")).as("w"))
       val vocab = tok.groupBy($"w").agg(count(lit(1)).as("c"))
