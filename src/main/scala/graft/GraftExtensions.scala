@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Config-driven injection of the `graft_*` SQL function surface — the
+  * zero-code cluster deployment path:
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * }}}
+  *
+  * or programmatically `SparkSession.builder.withExtensions(new
+  * GraftExtensions)`. Injected functions resolve in every session built
+  * from that config (SQL, thrift-server, notebooks) without calling
+  * [[graft.functions.GraftFunctions.registerSql]] first. The function
+  * list itself is `GraftFunctions.sqlFunctions` — one source of truth
+  * for both paths (pinned equal in ExpressionsSpec).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    graft.functions.GraftFunctions.sqlFunctions.foreach {
+      case (name, builder) =>
+        ext.injectFunction((
+          FunctionIdentifier(name),
+          new ExpressionInfo(classOf[GraftExtensions].getName, name),
+          builder))
+    }
+}

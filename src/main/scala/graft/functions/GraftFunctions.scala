@@ -60,13 +60,15 @@ object GraftFunctions {
       s"$what must be an int literal, got $other")
   }
 
-  /** Register `graft_*` SQL functions on the session. Keyword-list
+  /** The complete `graft_*` SQL function surface as (name, builder)
+    * pairs — the single source for BOTH session-imperative registration
+    * ([[registerSql]]) and config-driven injection
+    * ([[graft.GraftExtensions]], `spark.sql.extensions`). Keyword-list
     * arguments arrive as a single comma-separated string literal. */
-  def registerSql(spark: SparkSession): Unit = {
-    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
+  lazy val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = {
+    val out = Seq.newBuilder[(String, Seq[Expression] => Expression)]
     def reg(name: String)(builder: Seq[Expression] => Expression): Unit =
-      registry.createOrReplaceTempFunction(name, builder, "built-in")
+      out += (name -> builder)
 
     reg("graft_keyword_matches") { es =>
       KeywordMatches(es.head, litString(es(1), "keywords").split(",").toSeq)
@@ -108,6 +110,16 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(
           s"chunk_len_threshold must be a numeric literal, got $other")
       })
+    }
+    out.result()
+  }
+
+  /** Register every [[sqlFunctions]] entry on an existing session. */
+  def registerSql(spark: SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    sqlFunctions.foreach { case (name, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
     }
   }
 }

@@ -154,4 +154,27 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(r.getAs[String]("ws") == "a b")
     assert(r.getSeq[String](4) == Seq("کیا", "۔"))
   }
+
+  test("GraftExtensions injects the full SQL surface (spark.sql.extensions path)") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    // apply the extension to a fresh extensions object and materialize
+    // its registry — exactly what session construction does with
+    // spark.sql.extensions=graft.GraftExtensions
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext)
+    val registry = org.apache.spark.sql.graft.testbridge.registerFunctions(
+      ext, FunctionRegistry.builtin.clone().asInstanceOf[FunctionRegistry])
+    // one source of truth: every registerSql name resolves via injection
+    val names = GraftFunctions.sqlFunctions.map(_._1)
+    assert(names.nonEmpty)
+    names.foreach { n =>
+      assert(registry.functionExists(FunctionIdentifier(n)), n)
+    }
+    // an injected builder produces a working expression
+    val collapse = registry.lookupFunction(
+      FunctionIdentifier("graft_collapse_ws"), Seq(Literal.create("  a\t\tb  ")))
+    assert(collapse.eval(null).toString == "a b")
+  }
 }
