@@ -207,6 +207,41 @@ object Text {
         org.apache.spark.sql.graft.bridge.expression(a),
         org.apache.spark.sql.graft.bridge.expression(b)))
 
+  /** HTML → text extraction (the reference's stage-1 role,
+    * setu/text_extraction.py: trafilatura.extract): readability-grade
+    * main-content extraction is a Python-library affair; the
+    * Spark-native operator is a codegen'd regexp chain that covers the
+    * structural part — script/style/comment removal, block tags to
+    * newlines, tag stripping, basic entity decode, whitespace cleanup.
+    * Every pattern carries inline (?is) flags so the IDENTICAL regex
+    * runs in the DuckDB oracle (d_html_extract). For
+    * readability-parity with trafilatura (boilerplate scoring etc.)
+    * plug a library via mapPartitions — the surrounding plumbing
+    * (schema, per-partition batching) is what this engine provides. */
+  val HtmlDropPatterns: Seq[String] = Seq(
+    "(?is)<script[^>]*>.*?</script>",
+    "(?is)<style[^>]*>.*?</style>",
+    "(?s)<!--.*?-->")
+  val HtmlBlockPattern: String =
+    "(?i)</?(p|br|div|h[1-6]|li|ul|ol|tr|table|section|article)[^>]*>"
+  val HtmlTagPattern: String = "<[^>]+>"
+
+  def extractHtmlText(c: Column): Column = {
+    val dropped = HtmlDropPatterns.foldLeft(c)((col, p) => regexp_replace(col, p, ""))
+    val blocks = regexp_replace(dropped, HtmlBlockPattern, "\n")
+    val untagged = regexp_replace(blocks, HtmlTagPattern, " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&nbsp;" -> " ", "&amp;" -> "&") // &amp; LAST so it can't re-form entities
+      .foldLeft(untagged) { case (col, (e, ch)) => regexp_replace(col, e, ch) }
+    // per-line trim + drop empties, preserve line structure
+    array_join(
+      filter(transform(split(decoded, "\n", -1),
+          l => trim(regexp_replace(l, "[ \\t]+", " "))),
+        l => l =!= ""),
+      "\n")
+  }
+
   /** PII masking for training-data pipelines: emails, international
     * phone numbers, and 4-4-4 digit id sequences replaced by typed
     * placeholder tokens. RE2-compatible patterns (no lookaround, ASCII

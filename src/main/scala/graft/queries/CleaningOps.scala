@@ -552,8 +552,70 @@ object CleaningOps {
       .orderBy($"doc_id")
   }
 
+  /** HTML → text extraction ([[Text.extractHtmlText]], the reference's
+    * stage-1 trafilatura role re-expressed as a codegen'd regexp
+    * chain): script/style/comment removal, block tags → newlines, tag
+    * strip, entity decode, per-line cleanup. The synthetic HTML wraps
+    * table-derived text in head/style/script chrome plus entities and
+    * a comment, so every removal path fires. */
+  val dHtmlExtract: Spec = Spec(
+    "d_html_extract",
+    oracle = Some("""
+      WITH r AS (
+        SELECT doc_id,
+          '<html><head><style>p { color: red }</style>' ||
+          '<script>var x = 1; if (x < 2) { x = 2; }</script></head><body>' ||
+          '<h1 class="t">' || substr(text,1,20) || '</h1>' ||
+          '<p>' || substr(text,21,30) || ' &amp; more &lt;tags&gt;</p>' ||
+          '<!-- hidden --><div>' || substr(text,51,25) || '</div></body></html>'
+          AS html
+        FROM documents WHERE doc_id % 5 = 0),
+      e AS (
+        SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(html,
+              '(?is)<script[^>]*>.*?</script>', '', 'g'),
+              '(?is)<style[^>]*>.*?</style>', '', 'g'),
+              '(?s)<!--.*?-->', '', 'g'),
+              '(?i)</?(p|br|div|h[1-6]|li|ul|ol|tr|table|section|article)[^>]*>',
+                chr(10), 'g'),
+              '<[^>]+>', ' ', 'g') AS untagged
+        FROM r),
+      d AS (
+        SELECT doc_id,
+          replace(replace(replace(replace(replace(replace(untagged,
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+            '&nbsp;', ' '), '&amp;', '&') AS decoded
+        FROM e),
+      c AS (
+        SELECT doc_id,
+          array_to_string(list_filter(list_transform(
+            string_split(decoded, chr(10)),
+            x -> trim(regexp_replace(x, '[ \t]+', ' ', 'g'))),
+            x -> x != ''), chr(10)) AS extracted
+        FROM d)
+      SELECT doc_id, extracted, md5(extracted) AS extract_md5,
+        CAST(len(string_split(extracted, chr(10))) AS BIGINT) AS n_lines
+      FROM c ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    val html = concat(
+      lit("<html><head><style>p { color: red }</style>"),
+      lit("<script>var x = 1; if (x < 2) { x = 2; }</script></head><body>"),
+      lit("<h1 class=\"t\">"), substring($"text", 1, 20), lit("</h1>"),
+      lit("<p>"), substring($"text", 21, 30), lit(" &amp; more &lt;tags&gt;</p>"),
+      lit("<!-- hidden --><div>"), substring($"text", 51, 25),
+      lit("</div></body></html>"))
+    docs(s, dir)
+      .filter($"doc_id" % 5 === 0)
+      .select($"doc_id", Text.extractHtmlText(html).as("extracted"))
+      .select($"doc_id", $"extracted", md5($"extracted").as("extract_md5"),
+        size(split($"extracted", "\n", -1)).cast("long").as("n_lines"))
+      .orderBy($"doc_id")
+  }
+
   val specs: Seq[Spec] = Seq(
     dSplitSentences, dNumPuncChunks, dTerminalChunks, dNumberChunks,
     dCodeDetect, dCodeRemove, dNormalizeIndic, dTerminalPuncFilter,
-    dNonTermSpanRemove, dSentenceSplitLang, dPiiMask, dBoilerplateLines)
+    dNonTermSpanRemove, dSentenceSplitLang, dPiiMask, dBoilerplateLines,
+    dHtmlExtract)
 }

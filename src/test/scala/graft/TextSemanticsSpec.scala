@@ -160,6 +160,21 @@ class TextSemanticsSpec extends AnyFunSuite {
     assert(got(3L) == ("title three\nbody d", 0L))
   }
 
+  test("extractHtmlText: script/style/comment drop, blocks→lines, entities") {
+    def ex(t: String) = one[String](Text.extractHtmlText($"t"), t)
+    assert(ex("<p>hello</p><p>world</p>") == "hello\nworld")
+    assert(ex("<script>if (a < b) { alert('x') }</script>keep") == "keep")
+    assert(ex("<style>.c { k: v }</style><div>d</div>") == "d")
+    assert(ex("a <!-- no --> b") == "a b")
+    // double-escaped entity decodes ONE level; &amp; decoded last
+    assert(ex("&amp;lt;tag&amp;gt; &amp; x") == "&lt;tag&gt; & x")
+    assert(ex("<span>in  line</span> join") == "in line join")
+    assert(ex("<ul><li>one</li><li>two</li></ul>") == "one\ntwo")
+    // attributes with > inside quotes are NOT handled (documented regex
+    // limit); plain attributes are
+    assert(ex("<a href=\"u\">link</a>") == "link")
+  }
+
   test("trivial_tokenize: Urdu routing pads Urdu marks, not dandas") {
     def tokUr(t: String) = oneSeq(Text.trivialTokenize($"t", "ur"), t)
     assert(tokUr("کیا۔ ہاں، ٹھیک") == List("کیا", "۔", "ہاں", "،", "ٹھیک"))
