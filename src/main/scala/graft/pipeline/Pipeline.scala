@@ -23,6 +23,7 @@ final case class PipelineConfig(
     minhashThreshold: Double = 0.5,
     fuzzyDedup: Boolean = true,
     keepBestInCluster: Boolean = false,
+    htmlInput: Boolean = false,
     langCol: String = "lang",
     checkpointRoot: Option[String] = None)
 
@@ -63,6 +64,7 @@ object PipelineConfig {
       minhashThreshold = dbl("minhash_threshold", 0.5),
       fuzzyDedup = bool("fuzzy_dedup", true),
       keepBestInCluster = bool("keep_best_in_cluster", false),
+      htmlInput = bool("html_input", false),
       langCol = str("lang_col", "lang"),
       checkpointRoot =
         if (root.has("checkpoint_root")) Some(root.get("checkpoint_root").asText) else None)
@@ -83,6 +85,15 @@ trait Stage extends Serializable {
 
 class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
   import spark.implicits._
+
+  /** Extract (reference TextExtractionStage): HTML chrome stripped to
+    * text lines before cleaning. Opt-in — parquet corpora arrive
+    * already extracted. */
+  object ExtractStage extends Stage {
+    val name = "extract"
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn("text", graft.ops.Text.extractHtmlText($"text"))
+  }
 
   /** Clean: per-language Indic normalization (F11 full — script rules +
     * NFKC, routed by the language column when present) followed by
@@ -182,7 +193,8 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
   }
 
   def stages: Seq[Stage] =
-    Seq(CleanStage, StatsStage, FlagRemoveStage, ExactDedupStage) ++
+    (if (cfg.htmlInput) Seq(ExtractStage) else Nil) ++
+      Seq(CleanStage, StatsStage, FlagRemoveStage, ExactDedupStage) ++
       (if (cfg.fuzzyDedup) Seq(FuzzyDedupStage) else Nil)
 
   private def applyStages(input: DataFrame, sts: Seq[Stage]): DataFrame =

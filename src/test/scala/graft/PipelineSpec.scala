@@ -56,6 +56,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(keepBest == Set(5L, 9L))
   }
 
+  test("html_input: ExtractStage strips chrome before cleaning (reference stage-1)") {
+    val words = (for { a <- 'a' to 'j'; b <- 'a' to 'g' } yield s"word$a$b")
+    val body = words.mkString(" ")
+    val html = s"<html><head><script>var x = 1;</script></head>" +
+      s"<body><p>$body</p><!-- c --></body></html>"
+    val docs = Seq((1L, html, "en", "s", html.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = new Pipeline(spark,
+      PipelineConfig(htmlInput = true, fuzzyDedup = false)).run(docs)
+    assert(out.count() == 1)
+    assert(out.select($"text").as[String].head == body)
+    // without extraction the same doc dies on the symbol-heavy flags
+    val raw = new Pipeline(spark,
+      PipelineConfig(fuzzyDedup = false)).run(docs)
+    assert(raw.count() == 0)
+  }
+
   test("golden stage schemas: every pipeline stage pins its output shape (SURVEY §5.4)") {
     val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
     val p = new Pipeline(spark, PipelineConfig())
