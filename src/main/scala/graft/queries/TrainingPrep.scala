@@ -362,7 +362,49 @@ object TrainingPrep {
       .orderBy($"doc_id")
   }
 
+  /** Corpus profiling ([[graft.ops.Profile.profileColumns]]): the
+    * ANALYZE-style QA report — null/distinct/min/max/mean-length per
+    * column in one scan (multi-distinct plans as a single Expand
+    * pass). */
+  val dProfileColumns: Spec = Spec(
+    "d_profile_columns",
+    oracle = Some("""
+      WITH p AS (
+        SELECT 'doc_id' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+          CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS n_nulls,
+          CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+          CAST(MIN(doc_id) AS VARCHAR) AS min_val,
+          CAST(MAX(doc_id) AS VARCHAR) AS max_val,
+          round(AVG(length(CAST(doc_id AS VARCHAR))), 6) AS avg_len
+        FROM documents
+        UNION ALL
+        SELECT 'lang', CAST(COUNT(*) AS BIGINT),
+          CAST(COUNT(*) - COUNT(lang) AS BIGINT),
+          CAST(COUNT(DISTINCT lang) AS BIGINT),
+          MIN(lang), MAX(lang), round(AVG(length(lang)), 6)
+        FROM documents
+        UNION ALL
+        SELECT 'source', CAST(COUNT(*) AS BIGINT),
+          CAST(COUNT(*) - COUNT(source) AS BIGINT),
+          CAST(COUNT(DISTINCT source) AS BIGINT),
+          MIN(source), MAX(source), round(AVG(length(source)), 6)
+        FROM documents
+        UNION ALL
+        SELECT 'n_chars', CAST(COUNT(*) AS BIGINT),
+          CAST(COUNT(*) - COUNT(n_chars) AS BIGINT),
+          CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+          CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR),
+          round(AVG(length(CAST(n_chars AS VARCHAR))), 6)
+        FROM documents)
+      SELECT * FROM p ORDER BY column_name""")) { (s, dir) =>
+    import s.implicits._
+    graft.ops.Profile.profileColumns(docs(s, dir),
+        Seq("doc_id", "lang", "source", "n_chars"))
+      .orderBy($"column_name")
+  }
+
   val specs: Seq[Spec] = Seq(
     dStratifiedSample, dShardPacking, dChunkWindows, dUnigramLmScore,
-    dGopherRules, dTfidfTopTerms, dMixtureSample, dLengthOutliers)
+    dGopherRules, dTfidfTopTerms, dMixtureSample, dLengthOutliers,
+    dProfileColumns)
 }
