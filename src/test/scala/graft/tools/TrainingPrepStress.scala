@@ -11,10 +11,11 @@ import graft.ops.{Skew, SubstrDedup, Text}
   * corpus-scale path. */
 object TrainingPrepStress {
   def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(8)
     val s = Sessions.local(32)
     import s.implicits._
     val docs0 = s.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    val docs = (0 until 8).map { i =>
+    val docs = (0 until factor).map { i =>
       docs0.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
         col("text"), col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionAll _).localCheckpoint()
