@@ -621,10 +621,43 @@ object Dedup {
       .orderBy($"component")
   }
 
+  /** Corpus dedup-health report: per-language exact duplicate rate
+    * (the first number any curation run publishes). One hash aggregate
+    * per language over content hashes — count-distinct plans the
+    * standard two-phase Expand; dup_rate is a single division rounded
+    * to 6dp. Duplicates are planted (doc_id%11 docs share a canned
+    * text per language) so rates are non-zero. */
+  val ddDedupReport: Spec = Spec(
+    "dd_dedup_report",
+    oracle = Some("""
+      WITH r AS (
+        SELECT doc_id, lang,
+          CASE WHEN doc_id % 11 = 0 THEN 'canned duplicate body for ' || lang
+               ELSE text END AS text
+        FROM documents)
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+        round(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 6)
+          AS dup_rate
+      FROM r GROUP BY lang ORDER BY lang""")) { (s, dir) =>
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .withColumn("text",
+        when($"doc_id" % 11 === 0,
+          concat(lit("canned duplicate body for "), $"lang"))
+          .otherwise($"text"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5($"text")).as("n_unique"),
+        round(lit(1.0) - countDistinct(md5($"text")).cast("double") /
+          count(lit(1)), 6).as("dup_rate"))
+      .orderBy($"lang")
+  }
+
   val specs: Seq[Spec] = Seq(
     ddMinhashPairs, ddMinhashClusters, ddMinhashIncremental,
     ddJaccardBlockPairs, ddExactHash, ddExactIncremental,
     ddCappedStarPairs, ddSimhash, ddSimhashPairs,
     ddSimhashMd5, ddSimhashMd5Pairs, ddDecontaminate, ddDupSpans,
-    ddDupSpanRemoval, ddClusterRepresentatives)
+    ddDupSpanRemoval, ddClusterRepresentatives, ddDedupReport)
 }

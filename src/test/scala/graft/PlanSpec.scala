@@ -154,6 +154,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("windowspecdefinition(doc_id"), p)
   }
 
+  test("profile columns: ONE scan feeds the multi-distinct (single-pass claim)") {
+    val p = plan("d_profile_columns")
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      "profiler must read the table exactly once:\n" + p)
+    assert(p.contains("Expand"), "multi-distinct should plan via Expand:\n" + p)
+  }
+
+  test("chunk windows: shuffle-free generate-and-explode (only the final sort exchanges)") {
+    val p = plan("d_chunk_windows")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      "no hash exchange may appear before the presentation sort:\n" + p)
+  }
+
+  test("length outliers: corpus scan never shuffles; thresholds broadcast") {
+    val p = plan("d_length_outliers")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "two-row threshold aggregate must broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("minhash pairs: no self-join recompute of signatures") {
     val p = finalPlan("dd_minhash_pairs")
     val sigOccurrences = "graft_minhash_signature".r.findAllIn(p).size
