@@ -403,8 +403,67 @@ object TrainingPrep {
       .orderBy($"column_name")
   }
 
+  /** Per-language Zipf fit: least-squares slope of log10(freq) over
+    * log10(rank) on the token frequency table — the standard
+    * distribution-health check for a text corpus (natural language
+    * ≈ −1; templated/synthetic corpora drift). Hash-stable least
+    * squares: each (x, y) is rounded to 6dp and lifted to DECIMAL, so
+    * Σx, Σy, Σxy, Σx² are exact in any aggregation order; the only
+    * end-of-plan doubles are the closed-form divisions. The window
+    * ranks the DISTINCT-TOKEN table (vocab-sized, orders of magnitude
+    * below the corpus), which keeps the per-language sort bounded even
+    * at 100 TB corpus scale. */
+  val dZipfSlope: Spec = Spec(
+    "d_zipf_slope",
+    oracle = Some("""
+      WITH tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+      freq AS (
+        SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY lang, w),
+      ranked AS (
+        SELECT lang, c,
+          row_number() OVER (PARTITION BY lang ORDER BY c DESC, w) AS rk
+        FROM freq),
+      pts AS (
+        SELECT lang,
+          CAST(round(log10(CAST(rk AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+          CAST(round(log10(CAST(c AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+        FROM ranked),
+      s AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_types,
+          SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx
+        FROM pts GROUP BY lang)
+      SELECT lang, n_types,
+        round((n_types * CAST(sxy AS DOUBLE) -
+               CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+              (n_types * CAST(sxx AS DOUBLE) -
+               CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope
+      FROM s ORDER BY lang""")) { (s, dir) =>
+    import s.implicits._
+    val freq = docs(s, dir)
+      .select($"lang", explode(Text.tokens($"text")).as("w"))
+      .groupBy($"lang", $"w").agg(count(lit(1)).as("c"))
+    val ranked = freq.withColumn("rk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy($"c".desc, $"w")))
+    val pts = ranked.select($"lang",
+      round(log10($"rk".cast("double")), 6).cast("decimal(18,6)").as("x"),
+      round(log10($"c".cast("double")), 6).cast("decimal(18,6)").as("y"))
+    pts.groupBy($"lang")
+      .agg(count(lit(1)).as("n_types"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+      .select($"lang", $"n_types",
+        round(($"n_types" * $"sxy".cast("double") -
+            $"sx".cast("double") * $"sy".cast("double")) /
+          ($"n_types" * $"sxx".cast("double") -
+            $"sx".cast("double") * $"sx".cast("double")), 6).as("zipf_slope"))
+      .orderBy($"lang")
+  }
+
   val specs: Seq[Spec] = Seq(
     dStratifiedSample, dShardPacking, dChunkWindows, dUnigramLmScore,
     dGopherRules, dTfidfTopTerms, dMixtureSample, dLengthOutliers,
-    dProfileColumns)
+    dProfileColumns, dZipfSlope)
 }
