@@ -145,4 +145,79 @@ object Multimodal {
       MediaBlob(id, bos.toByteArray)
     })
   }
+
+  final case class AudioMeta(
+      doc_id: Long, byte_len: Long, sample_rate: Long, n_channels: Long,
+      n_samples: Long, duration_ms: Long, checksum: String, format: String)
+
+  /** Deterministic 16-bit mono PCM WAV payloads (fixture generator for
+    * the REAL audio probe): canonical RIFF/fmt/data layout, per-row on
+    * the executors, doc_id-derived rate and length. */
+  def syntheticWavBlobs(ids: Dataset[java.lang.Long]): Dataset[MediaBlob] = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions(_.map { boxed =>
+      val id = boxed.longValue()
+      val rate = (8000 + (id % 4) * 4000).toInt
+      val n = (1600 + id % 800).toInt
+      val dataSize = n * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataSize)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+      bb.putShort(1); bb.putShort(1) // PCM, mono
+      bb.putInt(rate); bb.putInt(rate * 2) // byte rate
+      bb.putShort(2); bb.putShort(16) // block align, bits
+      bb.put("data".getBytes("US-ASCII")); bb.putInt(dataSize)
+      var i = 0
+      while (i < n) { bb.putShort(((i * 257 + id) % 32768).toShort); i += 1 }
+      MediaBlob(id, bb.array())
+    })
+  }
+
+  /** REAL WAV probe: generic RIFF chunk walk (fmt may sit anywhere
+    * after the WAVE tag), little-endian fields, no audio framework —
+    * pure JVM byte parsing. None for anything that isn't a well-formed
+    * PCM WAV. */
+  def probeWav(data: Array[Byte]): Option[(Long, Long, Long)] =
+    try {
+      val bb = java.nio.ByteBuffer.wrap(data)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(off: Int) = new String(data, off, 4, "US-ASCII")
+      if (data.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") None
+      else {
+        var off = 12
+        var rate = -1L; var channels = -1L; var bits = -1L; var dataSize = -1L
+        while (off + 8 <= data.length && (rate < 0 || dataSize < 0)) {
+          val id = tag(off)
+          val size = bb.getInt(off + 4).toLong & 0xFFFFFFFFL
+          if (id == "fmt " && size >= 16) {
+            channels = bb.getShort(off + 10).toLong
+            rate = bb.getInt(off + 12).toLong
+            bits = bb.getShort(off + 22).toLong
+          } else if (id == "data") dataSize = size
+          off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+        }
+        if (rate > 0 && channels > 0 && bits > 0 && dataSize >= 0)
+          Some((rate, channels, dataSize / (channels * bits / 8)))
+        else None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Audio metadata over partition iterators (real probe, stub-tagged
+    * fallback like [[decode]]). duration_ms is integer arithmetic
+    * (n_samples * 1000 div rate) so oracles restate it exactly. */
+  def extractAudioMeta(blobs: Dataset[MediaBlob]): Dataset[AudioMeta] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map { blob =>
+      probeWav(blob.data) match {
+        case Some((rate, channels, samples)) =>
+          AudioMeta(blob.doc_id, blob.data.length.toLong, rate, channels,
+            samples, samples * 1000L / rate, md5Hex(blob.data), "wav")
+        case None =>
+          AudioMeta(blob.doc_id, blob.data.length.toLong, 0L, 0L, 0L, 0L,
+            md5Hex(blob.data), "stub")
+      }
+    })
+  }
 }

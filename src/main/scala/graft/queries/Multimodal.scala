@@ -102,6 +102,32 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** REAL audio probe: deterministic PCM WAVs generated per row on the
+    * executors, parsed back by the pure-JVM RIFF chunk walk. The oracle
+    * states the generator's rate/length arithmetic — a parse bug (or
+    * stub fallback) cannot hash-match it. */
+  val mmAudioMeta: Spec = Spec(
+    "mm_audio_meta",
+    oracle = Some("""
+      SELECT doc_id,
+        CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sample_rate,
+        CAST(1 AS BIGINT) AS n_channels,
+        CAST(1600 + doc_id % 800 AS BIGINT) AS n_samples,
+        (CAST(1600 + doc_id % 800 AS BIGINT) * 1000)
+          // (8000 + (doc_id % 4) * 4000) AS duration_ms,
+        'wav' AS format
+      FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    val ids = Tables.load(s, dir, "documents")
+      .filter($"doc_id" % 20 === 0)
+      .select($"doc_id").as[java.lang.Long]
+    MM.extractAudioMeta(MM.syntheticWavBlobs(ids))
+      .toDF()
+      .select($"doc_id", $"sample_rate", $"n_channels", $"n_samples",
+        $"duration_ms", $"format")
+      .orderBy($"doc_id")
+  }
+
   val specs: Seq[Spec] = Seq(mmDecodeMeta, mmImageDecode, mmFrameSample,
-    mmResize)
+    mmResize, mmAudioMeta)
 }

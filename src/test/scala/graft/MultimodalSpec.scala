@@ -61,4 +61,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(metas.map(m => (m.doc_id, m.width, m.height, m.format)).toSeq == Seq(
       (0L, 16L, 16L, "png"), (20L, 16L + 20 % 32, 16L + 60 % 32, "png")))
   }
+
+  test("probeWav: chunk walk handles extra chunks; malformed bytes fall to stub") {
+    // well-formed WAV with a LIST chunk BEFORE fmt (players emit these)
+    def wav(rate: Int, n: Int, preChunk: Boolean): Array[Byte] = {
+      val dataSize = n * 2
+      val pre = if (preChunk) 12 else 0
+      val bb = java.nio.ByteBuffer.allocate(44 + pre + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(36 + pre + dataSize)
+      bb.put("WAVE".getBytes)
+      if (preChunk) { bb.put("LIST".getBytes); bb.putInt(4); bb.putInt(0) }
+      bb.put("fmt ".getBytes); bb.putInt(16)
+      bb.putShort(1); bb.putShort(1); bb.putInt(rate); bb.putInt(rate * 2)
+      bb.putShort(2); bb.putShort(16)
+      bb.put("data".getBytes); bb.putInt(dataSize)
+      (0 until n).foreach(i => bb.putShort(i.toShort))
+      bb.array()
+    }
+    assert(Multimodal.probeWav(wav(16000, 320, preChunk = false))
+      .contains((16000L, 1L, 320L)))
+    assert(Multimodal.probeWav(wav(16000, 320, preChunk = true))
+      .contains((16000L, 1L, 320L)))
+    assert(Multimodal.probeWav("not audio at all".getBytes).isEmpty)
+    assert(Multimodal.probeWav(wav(16000, 320, false).take(20)).isEmpty)
+    // image bytes must not sniff as wav
+    assert(Multimodal.probeWav(Array.fill[Byte](64)(0x42)).isEmpty)
+  }
 }
