@@ -26,6 +26,18 @@ object DocSources {
   def readParquet(s: SparkSession, paths: String*): DataFrame =
     s.read.parquet(paths: _*)
 
+  /** CSV scan (format-breadth twin of S1): explicit schema — never
+    * inferSchema, which triggers an extra full pass over 100 TB —
+    * header-aware, malformed rows tolerated as nulls (PERMISSIVE). */
+  def readCsv(s: SparkSession, path: String, schema: StructType,
+      header: Boolean = true, delimiter: String = ","): DataFrame =
+    s.read
+      .schema(schema)
+      .option("header", header)
+      .option("sep", delimiter)
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+
   /** S3: manifest scan — newline-separated parquet paths. */
   def readManifest(s: SparkSession, manifestPath: String): DataFrame = {
     val src = scala.io.Source.fromFile(manifestPath)

@@ -148,6 +148,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(removed.columns.contains("has_less_words"))
   }
 
+  test("CSV source: explicit schema, header, malformed row tolerated") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv")
+    val f = dir.resolve("docs.csv")
+    java.nio.file.Files.writeString(f,
+      "doc_id,text,lang\n1,hello world,en\n2,bonjour,fr\nnot_a_long,x,y\n")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val got = graft.sources.DocSources
+      .readCsv(spark, f.toString, schema)
+      .collect().sortBy(r => Option(r.getAs[java.lang.Long]("doc_id"))
+        .map(_.longValue).getOrElse(Long.MinValue))
+    assert(got.length == 3)
+    assert(got(1).getLong(0) == 1L && got(1).getString(1) == "hello world")
+    assert(got(0).isNullAt(0)) // malformed doc_id → null, row kept
+  }
+
   test("JSON source round trip with explicit schema (S1)") {
     val dir = tmp("graft-json")
     Files.writeString(java.nio.file.Path.of(s"$dir/a.json"),
