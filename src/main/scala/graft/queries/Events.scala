@@ -296,7 +296,54 @@ object Events {
       .orderBy($"event_id")
   }
 
+  /** Robust per-type anomaly detection: median/MAD z-scores (the
+    * outlier rule that survives heavy tails where mean/stddev melt).
+    * Median and MAD are exact percentile(0.5) — a dyadic fraction, so
+    * Spark `percentile` and DuckDB `quantile_cont` interpolate
+    * bit-identically — and every z is pure per-row double arithmetic
+    * on identical inputs (no order-dependent sums anywhere). The
+    * two-phase shape (tiny per-type stats broadcast back over the
+    * stream) is the standard firehose-anomaly plan: the event scan
+    * never shuffles. */
+  val qValueOutliers: Spec = Spec(
+    "ev_value_outliers",
+    oracle = Some("""
+      WITH med AS (
+        SELECT event_type,
+          quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type),
+      mad AS (
+        SELECT e.event_type,
+          quantile_cont(abs(e.value - m.med), 0.5) AS mad, MIN(m.med) AS med
+        FROM events e JOIN med m ON e.event_type = m.event_type
+        GROUP BY e.event_type)
+      SELECT e.event_type,
+        CAST(COUNT(*) AS BIGINT) AS n_events,
+        round(MIN(m.med), 6) AS median_value,
+        round(MIN(m.mad), 6) AS mad_value,
+        CAST(COUNT(CASE WHEN abs(e.value - m.med) > 3 * 1.4826 * m.mad
+                        THEN 1 END) AS BIGINT) AS n_outliers
+      FROM events e JOIN mad m ON e.event_type = m.event_type
+      GROUP BY e.event_type ORDER BY e.event_type""")) { (s, dir) =>
+    import s.implicits._
+    val ev = load(s, dir)
+    val med = ev.groupBy($"event_type")
+      .agg(percentile($"value", lit(0.5)).as("med"))
+    val mad = ev.join(broadcast(med), "event_type")
+      .groupBy($"event_type")
+      .agg(percentile(abs($"value" - $"med"), lit(0.5)).as("mad"),
+        min($"med").as("med"))
+    ev.join(broadcast(mad), "event_type")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(min($"med"), 6).as("median_value"),
+        round(min($"mad"), 6).as("mad_value"),
+        sum(when(abs($"value" - $"med") > lit(3) * lit(1.4826) * $"mad", 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy($"event_type")
+  }
+
   val specs: Seq[Spec] = Seq(qTumbling, qSessionize, qAsofClick,
     qAsofTolerance, qFunnel, qPropsJson, qSliding, qSessionWindowNative,
-    qRate5Min)
+    qRate5Min, qValueOutliers)
 }
