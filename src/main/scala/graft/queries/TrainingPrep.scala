@@ -462,8 +462,62 @@ object TrainingPrep {
       .orderBy($"lang")
   }
 
+  /** Distribution-drift monitor (Population Stability Index between
+    * two corpus slices over length deciles — the standard "did this
+    * batch change shape" check between crawl snapshots). Per-bin
+    * shares are single rounded divisions; each PSI term is rounded to
+    * 6dp and lifted to DECIMAL before the total, so the sum is
+    * aggregation-order-independent. Empty bins take the standard 1e-4
+    * floor. The slices here are doc_id parity — the same query runs
+    * against any two snapshot frames. */
+  val dDriftPsi: Spec = Spec(
+    "d_drift_psi",
+    oracle = Some("""
+      WITH b AS (
+        SELECT doc_id % 2 AS slice,
+          least(9, greatest(0, (n_chars - 48) // 51)) AS bin
+        FROM documents),
+      c AS (SELECT slice, bin, CAST(COUNT(*) AS BIGINT) AS n
+            FROM b GROUP BY slice, bin),
+      t AS (SELECT slice, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY slice),
+      p AS (
+        SELECT bin,
+          COALESCE(MAX(CASE WHEN slice = 0
+            THEN round(CAST(n AS DOUBLE) / tot, 6) END), 0.0001) AS p0,
+          COALESCE(MAX(CASE WHEN slice = 1
+            THEN round(CAST(n AS DOUBLE) / tot, 6) END), 0.0001) AS p1
+        FROM c JOIN t USING (slice) GROUP BY bin),
+      terms AS (
+        SELECT bin, p0, p1,
+          CAST(round((p0 - p1) * ln(p0 / p1), 6) AS DECIMAL(18,6)) AS term
+        FROM p)
+      SELECT CAST(bin AS BIGINT) AS bin, p0, p1,
+        CAST(term AS DOUBLE) AS psi_term,
+        CAST(SUM(term) OVER () AS DOUBLE) AS psi_total
+      FROM terms ORDER BY bin""")) { (s, dir) =>
+    import s.implicits._
+    val b = docs(s, dir).select(($"doc_id" % 2).as("slice"),
+      least(lit(9), greatest(lit(0), expr("(n_chars - 48) div 51"))).as("bin"))
+    val c = b.groupBy($"slice", $"bin").agg(count(lit(1)).as("n"))
+    val t = c.groupBy($"slice").agg(sum($"n").as("tot"))
+    val p = c.join(broadcast(t), "slice")
+      .groupBy($"bin")
+      .agg(
+        coalesce(max(when($"slice" === 0,
+          round($"n".cast("double") / $"tot", 6))), lit(0.0001)).as("p0"),
+        coalesce(max(when($"slice" === 1,
+          round($"n".cast("double") / $"tot", 6))), lit(0.0001)).as("p1"))
+    p.withColumn("term",
+        round(($"p0" - $"p1") * log($"p0" / $"p1"), 6).cast("decimal(18,6)"))
+      .select($"bin".cast("long").as("bin"), $"p0", $"p1",
+        $"term".cast("double").as("psi_term"),
+        sum($"term").over(org.apache.spark.sql.expressions.Window
+          .partitionBy()).cast("double").as("psi_total"))
+      .orderBy($"bin")
+  }
+
   val specs: Seq[Spec] = Seq(
     dStratifiedSample, dShardPacking, dChunkWindows, dUnigramLmScore,
     dGopherRules, dTfidfTopTerms, dMixtureSample, dLengthOutliers,
-    dProfileColumns, dZipfSlope)
+    dProfileColumns, dZipfSlope, dDriftPsi)
 }
