@@ -31,6 +31,14 @@ import org.apache.spark.sql.functions._
   */
 object SubstrDedup {
 
+  /** Fused positional gram-md5 keys (one tight loop, gram strings never
+    * materialize as column data — see
+    * [[graft.functions.WordGramHashes]]). */
+  private def gramHashes(toks: org.apache.spark.sql.Column, n: Int) =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.functions.WordGramHashes(
+        org.apache.spark.sql.graft.bridge.expression(toks), n))
+
   /** Maximal duplicated-token spans per document.
     *
     * @param df      input frame
@@ -45,8 +53,7 @@ object SubstrDedup {
       n: Int, minDocs: Long): DataFrame = {
     val grams = df
       .select(col(idCol),
-        posexplode(Text.wordNgrams(col(toksCol), n)).as(Seq("pos", "gram")))
-      .select(col(idCol), col("pos"), md5(col("gram")).as("_gh"))
+        posexplode(gramHashes(col(toksCol), n)).as(Seq("pos", "_gh")))
     // minDocs == 2 (the standard cross-doc rule) only needs "more than
     // one distinct doc", which min != max answers in ONE exchange with
     // full map-side partial aggregation — where count(DISTINCT doc)
@@ -137,8 +144,7 @@ object SubstrDedup {
       n: Int): DataFrame = {
     val grams = df
       .select(col(idCol),
-        posexplode(Text.wordNgrams(col(toksCol), n)).as(Seq("pos", "gram")))
-      .select(col(idCol), col("pos"), md5(col("gram")).as("_gh"))
+        posexplode(gramHashes(col(toksCol), n)).as(Seq("pos", "_gh")))
     val wCnt = Window.partitionBy(col(idCol), col("_gh"))
     val wDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val covered = grams

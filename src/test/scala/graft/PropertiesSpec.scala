@@ -157,6 +157,23 @@ class PropertiesSpec extends AnyFunSuite {
     assert(naive.nonEmpty)
   }
 
+  test("fused WordGramHashes == transform(wordNgrams, md5) on rich docs") {
+    import org.apache.spark.sql.Column
+    def fused(c: Column, n: Int) =
+      org.apache.spark.sql.graft.bridge.column(
+        graft.functions.WordGramHashes(
+          org.apache.spark.sql.graft.bridge.expression(c), n))
+    val df = richDocs(300).toDF("text")
+      .select(Text.tokens($"text").as("l"))
+    for (n <- Seq(1, 3, 8)) {
+      val bad = df.select(
+        fused($"l", n).as("a"),
+        transform(Text.wordNgrams($"l", n), g => md5(g)).as("b"))
+        .filter($"a" =!= $"b").count()
+      assert(bad == 0, s"n=$n")
+    }
+  }
+
   test("dupSpans island merge equals brute-force interval union (random hit sets)") {
     import graft.ops.SubstrDedup
     // random duplicated-position sets driven through the REAL op by
