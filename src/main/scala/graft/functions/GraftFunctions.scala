@@ -93,6 +93,9 @@ object GraftFunctions {
       WordNgramRepScore(es.head, litInt(es(1), "n"))
     }
     reg("graft_rolling_hash")(es => RollingHash(es.head))
+    reg("graft_word_gram_hashes") { es =>
+      WordGramHashes(es.head, litInt(es(1), "n"))
+    }
     reg("graft_collapse_ws")(es => CollapseWs(es.head))
     reg("graft_trivial_tokenize") { es =>
       TrivialTokenize(es.head,

@@ -36,6 +36,19 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(Skew.prefixSumByKey(empty, "k", Seq($"id"), $"v", "cum").count() == 0)
   }
 
+  test("tokenBudgetByHash: first doc kept even when it alone exceeds the budget") {
+    val df = Seq((1L, "a", 500L), (2L, "a", 500L), (3L, "a", 500L))
+      .toDF("id", "k", "tok")
+    // hash order of ids within stratum 'a' decides which is "first"
+    val first = df
+      .withColumn("h", graft.ops.Sampling.hash48($"id"))
+      .orderBy($"h", $"id").select($"id").as[Long].head
+    val kept = graft.ops.Sampling
+      .tokenBudgetByHash(df, "k", "id", "tok", budget = 100)
+      .select($"id").as[Long].collect().toSet
+    assert(kept == Set(first)) // overshoot rule: starts-under-budget keeps it
+  }
+
   test("TopK stratified sample == window row_number form") {
     val k = 20
     val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
