@@ -175,6 +175,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("shard packing: offsets broadcast, no sort-merge join, no global window") {
+    val p = plan("d_shard_packing")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "the (partition, key) offset table must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "offset merge must not shuffle the data side:\n" + p)
+    // the running-sum window must partition by (_pid, lang) — never a
+    // bare per-lang window (the single-reducer shape prefixSumByKey
+    // exists to avoid)
+    assert(p.contains("windowspecdefinition(_pid"),
+      "window must include the partition id in its keys:\n" + p)
+  }
+
   test("minhash pairs: no self-join recompute of signatures") {
     val p = finalPlan("dd_minhash_pairs")
     val sigOccurrences = "graft_minhash_signature".r.findAllIn(p).size
