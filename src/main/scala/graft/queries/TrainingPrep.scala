@@ -516,8 +516,40 @@ object TrainingPrep {
       .orderBy($"bin")
   }
 
+  /** Heavy hitters ([[graft.ops.HeavyHitters]]): tokens above 1/20 of
+    * the stream via a mergeable Misra–Gries summary + exact recount —
+    * the result is EXACT (the MG invariant guarantees recall of every
+    * item over threshold; the second pass restores true counts), so
+    * the oracle states plain GROUP BY/HAVING semantics while the plan
+    * ships ≤ k counters per partition instead of a vocabulary-wide
+    * aggregation. A hot token (planted ×8 per doc) sits above the
+    * threshold; a warm one (×2) sits below it, pinning the boundary. */
+  val dHeavyHitters: Spec = Spec(
+    "d_heavy_hitters",
+    oracle = Some("""
+      WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        UNION ALL
+        SELECT 'hotword' FROM documents CROSS JOIN unnest(range(0, 8))
+        UNION ALL
+        SELECT 'warmword' FROM documents CROSS JOIN unnest(range(0, 2))),
+      t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM tok),
+      c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY tok)
+      SELECT tok, n, (SELECT total FROM t) AS total
+      FROM c WHERE n * 20 > (SELECT total FROM t) ORDER BY tok""")) { (s, dir) =>
+    import s.implicits._
+    val d = docs(s, dir)
+    val toks = d.select(explode(Text.tokens($"text")).as("tok"))
+      .unionAll(d.select(explode(array((0 until 8).map(_ => lit("hotword")): _*))
+        .as("tok")))
+      .unionAll(d.select(explode(array(lit("warmword"), lit("warmword")))
+        .as("tok")))
+    graft.ops.HeavyHitters.exactOverThreshold(toks, "tok", k = 20)
+      .orderBy($"tok")
+  }
+
   val specs: Seq[Spec] = Seq(
     dStratifiedSample, dShardPacking, dChunkWindows, dUnigramLmScore,
     dGopherRules, dTfidfTopTerms, dMixtureSample, dLengthOutliers,
-    dProfileColumns, dZipfSlope, dDriftPsi)
+    dProfileColumns, dZipfSlope, dDriftPsi, dHeavyHitters)
 }

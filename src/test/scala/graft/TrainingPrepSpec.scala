@@ -209,6 +209,40 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(perShard.forall(_._2 < 800 + 99)) // budget + max doc len slack
   }
 
+  test("Misra-Gries summary: recall guarantee and merge validity on skewed streams") {
+    import graft.ops.HeavyHitters
+    val k = 10
+    val rnd = new scala.util.Random(42)
+    // skewed stream: token i drawn with weight ~ 1/(i+1)
+    val stream = (0 until 20000).map { _ =>
+      val r = rnd.nextDouble()
+      val i = math.min(49, (math.pow(50.0, r) - 1).toInt) // log-skewed
+      s"t$i"
+    }
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = stream.size.toLong
+    // sequential build
+    val seq = stream.foldLeft(Map.empty[String, Long])(
+      (m, x) => HeavyHitters.mgInsert(m, x, k))
+    // split-and-merge build (any partitioning must preserve the invariant)
+    val parts = stream.grouped(1700).map(
+      _.foldLeft(Map.empty[String, Long])((m, x) => HeavyHitters.mgInsert(m, x, k)))
+    val merged = parts.reduce(HeavyHitters.mgMerge(_, _, k))
+    for (m <- Seq(seq, merged)) {
+      assert(m.size <= k)
+      // EVERY item with true frequency > n/k must be present
+      exact.filter(_._2 > n / k).keys.foreach(t =>
+        assert(m.contains(t), s"missing heavy item $t in ${m.keys}"))
+      // MG undercount bound: kept count never exceeds the true count
+      m.foreach { case (t, c) => assert(c <= exact(t)) }
+    }
+    // end-to-end: exactOverThreshold returns exactly GROUP BY/HAVING
+    val df = stream.toDF("tok")
+    val got = HeavyHitters.exactOverThreshold(df, "tok", k)
+      .select($"tok", $"n").as[(String, Long)].collect().toMap
+    assert(got == exact.filter { case (_, c) => c * k > n }.toMap)
+  }
+
   test("unigram LM score: repeated-token doc scores higher than rare-token doc") {
     val out = graft.queries.TrainingPrep.dUnigramLmScore.fn(spark, TestSpark.Sf)
     // avg_logprob is a real score: finite, negative, and docs made of
