@@ -154,6 +154,45 @@ object Lexical {
       .orderBy($"doc_id")
   }
 
+  /** BPE merge-step statistics — the distributed first iteration of
+    * tokenizer training (count adjacent symbol pairs weighted by word
+    * frequency; the argmax pair is what BPE merges next). Single-node
+    * tokenizer trainers do this over a word-frequency dict; at corpus
+    * scale the dict itself is distributed, so the pipeline is two hash
+    * aggs (word freq → pair counts, both keyed, map-side combined) and
+    * the top-k runs over the pair table — alphabet², trivially small.
+    * Total order (count desc, pair asc) makes ranks deterministic. */
+  val dBpePairCounts: Spec = Spec(
+    "d_bpe_pair_counts",
+    oracle = Some("""
+      WITH w AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM w GROUP BY w),
+      p AS (
+        SELECT substr(w, CAST(i.x AS INT), 2) AS pair, f
+        FROM wf CROSS JOIN unnest(range(1, length(w))) i(x)),
+      pc AS (SELECT pair, CAST(SUM(f) AS BIGINT) AS n FROM p GROUP BY pair),
+      r AS (
+        SELECT pair, n,
+          row_number() OVER (ORDER BY n DESC, pair) AS rk
+        FROM pc)
+      SELECT CAST(rk AS BIGINT) AS rk, pair, n
+      FROM r WHERE rk <= 20 ORDER BY rk""")) { (s, dir) =>
+    import s.implicits._
+    val wf = docs(s, dir)
+      .select(explode(Text.tokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("f"))
+    val pc = wf
+      .select(explode(Text.charNgrams($"w", 2)).as("pair"), $"f")
+      .groupBy($"pair").agg(sum($"f").as("n"))
+    pc.withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy($"n".desc, $"pair")))
+      .filter($"rk" <= 20)
+      .select($"rk".cast("long").as("rk"), $"pair", $"n".cast("long").as("n"))
+      .orderBy($"rk")
+  }
+
   val specs: Seq[Spec] = Seq(dNsfwMultilang, dStopwordMultilang,
-    dBpeTokenStats)
+    dBpeTokenStats, dBpePairCounts)
 }
