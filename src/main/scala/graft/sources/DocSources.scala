@@ -26,6 +26,17 @@ object DocSources {
   def readParquet(s: SparkSession, paths: String*): DataFrame =
     s.read.parquet(paths: _*)
 
+  /** XML scan (Spark 4 built-in; the Wikipedia-dump / sitemap ingest
+    * shape): one row per `rowTag` element, schema explicit for the
+    * same no-infer-pass reason as [[readCsv]]. */
+  def readXml(s: SparkSession, path: String, rowTag: String,
+      schema: StructType): DataFrame =
+    s.read
+      .format("xml")
+      .option("rowTag", rowTag)
+      .schema(schema)
+      .load(path)
+
   /** CSV scan (format-breadth twin of S1): explicit schema — never
     * inferSchema, which triggers an extra full pass over 100 TB —
     * header-aware, malformed rows tolerated as nulls (PERMISSIVE). */

@@ -166,6 +166,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(0).isNullAt(0)) // malformed doc_id → null, row kept
   }
 
+  test("XML source: rowTag elements with explicit schema (wiki-dump shape)") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_xml")
+    java.nio.file.Files.writeString(dir.resolve("dump.xml"),
+      """<docs>
+        |<doc><doc_id>1</doc_id><text>hello world</text><lang>en</lang></doc>
+        |<doc><doc_id>2</doc_id><text>bonjour</text><lang>fr</lang></doc>
+        |</docs>""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val got = graft.sources.DocSources
+      .readXml(spark, s"$dir/dump.xml", "doc", schema)
+      .orderBy($"doc_id")
+      .as[(Long, String, String)].collect().toSeq
+    assert(got == Seq((1L, "hello world", "en"), (2L, "bonjour", "fr")))
+  }
+
   test("JSON source round trip with explicit schema (S1)") {
     val dir = tmp("graft-json")
     Files.writeString(java.nio.file.Path.of(s"$dir/a.json"),
