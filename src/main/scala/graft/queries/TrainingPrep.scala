@@ -548,8 +548,56 @@ object TrainingPrep {
       .orderBy($"tok")
   }
 
+  /** Sequence-packing segment manifest: the trainer-consumable form of
+    * [[dShardPacking]] — for every packed sequence, each member
+    * document's in-sequence token offset (where its attention-mask
+    * boundary falls). seg_offset = doc's running-total start minus the
+    * sequence's first start; the extra window partitions by
+    * (lang, sequence) — cardinality grows with the corpus, so no
+    * reducer hot-spots. Pure integer arithmetic end to end. */
+  val dSequenceSegments: Spec = Spec(
+    "d_sequence_segments",
+    oracle = Some("""
+      WITH t AS (
+        SELECT doc_id, lang,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      c AS (
+        SELECT doc_id, lang, n_tok,
+          CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id)
+            AS BIGINT) AS cum
+        FROM t),
+      sh AS (
+        SELECT doc_id, lang, n_tok, cum - n_tok AS cb,
+          (cum - n_tok) // 400 AS seq_idx
+        FROM c),
+      o AS (
+        SELECT lang, seq_idx, doc_id, n_tok,
+          cb - MIN(cb) OVER (PARTITION BY lang, seq_idx) AS seg_offset
+        FROM sh)
+      SELECT lang, CAST(seq_idx AS BIGINT) AS seq_idx, doc_id,
+        CAST(seg_offset AS BIGINT) AS seg_offset, n_tok
+      FROM o ORDER BY lang, seq_idx, seg_offset""")) { (s, dir) =>
+    import s.implicits._
+    val budget = 400
+    val withTok = docs(s, dir)
+      .select($"doc_id", $"lang", Text.wordCount($"text").cast("long").as("n_tok"))
+    val packed = Skew
+      .prefixSumByKey(withTok, "lang", Seq($"doc_id"), $"n_tok", "cum")
+      .withColumn("cb", $"cum" - $"n_tok")
+      .withColumn("seq_idx", expr(s"cb div $budget"))
+    packed
+      .withColumn("seg_offset",
+        $"cb" - min($"cb").over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"lang", $"seq_idx")))
+      .select($"lang", $"seq_idx".cast("long").as("seq_idx"), $"doc_id",
+        $"seg_offset".cast("long").as("seg_offset"), $"n_tok")
+      .orderBy($"lang", $"seq_idx", $"seg_offset")
+  }
+
   val specs: Seq[Spec] = Seq(
     dStratifiedSample, dShardPacking, dChunkWindows, dUnigramLmScore,
     dGopherRules, dTfidfTopTerms, dMixtureSample, dLengthOutliers,
-    dProfileColumns, dZipfSlope, dDriftPsi, dHeavyHitters)
+    dProfileColumns, dZipfSlope, dDriftPsi, dHeavyHitters,
+    dSequenceSegments)
 }
