@@ -283,6 +283,33 @@ object StreamingQ {
       .orderBy(org.apache.spark.sql.functions.col("doc_id"))
   }
 
+  /** STREAMING doc flagging — the cleaning pipeline's stats+flags run
+    * unchanged on an unbounded document feed (stateless projections:
+    * no state store, no watermark, append mode). Column logic is
+    * shared with the batch d_doc_flags via TextOps.statsCols, and the
+    * oracle IS the batch SQL — streaming/batch parity on the text
+    * pipeline itself, not just the event operators. */
+  val stDocFlags: Spec = Spec(
+    "st_doc_flags",
+    oracle = Some(s"""
+      SELECT doc_id, words_count, ROUND(mean_word_len, 6) AS mean_word_len,
+        ROUND(nsfw_ratio, 6) AS nsfw_ratio, ROUND(word_rep_score, 6) AS word_rep_score,
+        ${TextOps.flagsSql}
+      FROM (${TextOps.statsSql}) WHERE doc_id % 20 = 0 ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    StreamOps.docFlagsStream(s, dir, src =>
+      graft.ops.Flagging.addFlags(
+        TextOps.statsCols(src.filter($"doc_id" % 20 === 0)))
+        .select($"doc_id", $"words_count",
+          round($"mean_word_len", 6).as("mean_word_len"),
+          round($"nsfw_ratio", 6).as("nsfw_ratio"),
+          round($"word_rep_score", 6).as("word_rep_score"),
+          $"has_less_words", $"is_short_words_heavy", $"is_nsfw_heavy",
+          $"is_non_li_heavy", $"has_word_repetition"),
+      "st_doc_flags_mem")
+      .orderBy($"doc_id")
+  }
+
   val specs: Seq[Spec] = Seq(stTumbling, stSliding, stDedup, stSessions,
-    stEnrich, stClickView, dLid, dLidScript, pipelineE2e)
+    stEnrich, stClickView, dLid, dLidScript, pipelineE2e, stDocFlags)
 }

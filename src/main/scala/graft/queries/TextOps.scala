@@ -262,27 +262,32 @@ object TextOps {
   // Shared doc-stats projection used by flagging/removal, all row-local:
   // the 5-gram repetition score is the O(n²)-per-row HOF form (fine at
   // ~100 tokens/doc; the shuffle-based form is d_ngram_rep_word).
-  private def statsDf(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    import s.implicits._
-    val toks = Text.tokens($"text")
-    // Custom expressions on the hot path: linear-time n-gram repetition
-    // (vs the O(n²) HOF the oracle states) and the keyword automaton.
-    // Repetition tokenizes via trivial_tokenize (punct-aware, F18
-    // reference parity); the count stats stay single-space split, which
-    // IS the reference's word count rule (filters.py:756-758).
-    val repScore = GraftFunctions.wordNgramRep(Text.trivialTokenize($"text"), 5)
-    val nNsfw = GraftFunctions.keywordCount($"text", Seq("slow", "dup", "hash join"))
-    docs(s, dir).select(
-      $"doc_id", $"lang",
-      Text.wordCount($"text").cast("long").as("words_count"),
+  // Custom expressions on the hot path: linear-time n-gram repetition
+  // (vs the O(n²) HOF the oracle states) and the keyword automaton.
+  // Repetition tokenizes via trivial_tokenize (punct-aware, F18
+  // reference parity); the count stats stay single-space split, which
+  // IS the reference's word count rule (filters.py:756-758).
+  // Takes ANY documents-shaped frame (batch or streaming) — the
+  // st_doc_flags twin runs these identical columns on a stream.
+  private[queries] def statsCols(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val repScore = GraftFunctions.wordNgramRep(Text.trivialTokenize(col("text")), 5)
+    val nNsfw = GraftFunctions.keywordCount(col("text"), Seq("slow", "dup", "hash join"))
+    df.select(
+      col("doc_id"), col("lang"),
+      Text.wordCount(col("text")).cast("long").as("words_count"),
       (aggregate(toks, lit(0L), (a, x) => a + length(x)).cast("double") /
         size(toks)).as("mean_word_len"),
       (nNsfw.cast("double") / size(toks)).as("nsfw_ratio"),
-      Text.charClassOutRatio($"text", "[a-z ]").as("non_li_ratio"),
+      Text.charClassOutRatio(col("text"), "[a-z ]").as("non_li_ratio"),
       repScore.as("word_rep_score"))
   }
 
-  private val statsSql = s"""
+  private def statsDf(s: org.apache.spark.sql.SparkSession, dir: String) =
+    statsCols(docs(s, dir))
+
+  private[queries] val statsSql = s"""
       SELECT doc_id, lang,
         CAST(len(l) AS BIGINT) AS words_count,
         CAST(list_sum(list_transform(l, x -> length(x))) AS DOUBLE) / len(l) AS mean_word_len,
@@ -299,7 +304,7 @@ object TextOps {
       FROM (SELECT doc_id, lang, text, string_split(text,' ') AS l,
               ${trivSql("text")} AS lt FROM documents)"""
 
-  private val flagsSql = """
+  private[queries] val flagsSql = """
         words_count <= 60 AS has_less_words,
         mean_word_len <= 3.2 AS is_short_words_heavy,
         nsfw_ratio >= 0.04 AS is_nsfw_heavy,

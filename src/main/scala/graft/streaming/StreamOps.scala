@@ -274,6 +274,26 @@ object StreamOps {
     incrementalDedupResult(s, outDir)
   }
 
+  /** documents schema for the streaming source twin. */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** STREAMING document flagging: the cleaning pipeline's stats + flag
+    * stages are stateless projections/filters, so the identical column
+    * logic runs on an unbounded document feed with no state store at
+    * all (append mode, no watermark needed) — the "flag documents as
+    * they arrive from the crawler" shape. Takes the stat/flag columns
+    * as a function so the batch query (d_doc_flags) and this twin
+    * cannot drift. */
+  def docFlagsStream(s: SparkSession, dir: String,
+      flagged: DataFrame => DataFrame, sink: String): DataFrame = {
+    val src = s.readStream.schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    runToTable(s, flagged(src), sink, "append")
+  }
+
   /** Streaming exact-dedup: dropDuplicatesWithinWatermark on event_id.
     * Returns the deduped count table (memory sink, append). */
   def streamingDedupCount(s: SparkSession, dir: String): DataFrame = {
