@@ -27,7 +27,13 @@ case class WordGramHashes(child: Expression, n: Int)
     if (sz < n) return new GenericArrayData(Array.empty[Any])
     val toks = new Array[Array[Byte]](sz)
     var i = 0
-    while (i < sz) { toks(i) = arr.getUTF8String(i).getBytes; i += 1 }
+    // null elements hash as empty string (defined semantics for the
+    // SQL-registered form, whose array<string> may contain nulls)
+    while (i < sz) {
+      val t = arr.getUTF8String(i)
+      toks(i) = if (t == null) Array.emptyByteArray else t.getBytes
+      i += 1
+    }
     val md = java.security.MessageDigest.getInstance("MD5")
     val total = sz - n + 1
     val out = new Array[Any](total)

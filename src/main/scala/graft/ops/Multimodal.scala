@@ -186,17 +186,21 @@ object Multimodal {
       def tag(off: Int) = new String(data, off, 4, "US-ASCII")
       if (data.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") None
       else {
-        var off = 12
+        var off = 12L
         var rate = -1L; var channels = -1L; var bits = -1L; var dataSize = -1L
         while (off + 8 <= data.length && (rate < 0 || dataSize < 0)) {
-          val id = tag(off)
-          val size = bb.getInt(off + 4).toLong & 0xFFFFFFFFL
+          val o = off.toInt
+          val id = tag(o)
+          val size = bb.getInt(o + 4).toLong & 0xFFFFFFFFL
           if (id == "fmt " && size >= 16) {
-            channels = bb.getShort(off + 10).toLong
-            rate = bb.getInt(off + 12).toLong
-            bits = bb.getShort(off + 22).toLong
+            channels = bb.getShort(o + 10).toLong
+            rate = bb.getInt(o + 12).toLong
+            bits = bb.getShort(o + 22).toLong
           } else if (id == "data") dataSize = size
-          off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+          // Long step (chunks are word-aligned): a corrupt 32-bit size
+          // can't truncate negative and stall the walk — it just runs
+          // off the end and exits via the loop condition.
+          off += 8L + size + (size & 1L)
         }
         if (rate > 0 && channels > 0 && bits > 0 && dataSize >= 0)
           Some((rate, channels, dataSize / (channels * bits / 8)))

@@ -110,11 +110,16 @@ object Skew {
       .sortWithinPartitions(sortCols: _*)
     // Same materialize-once rationale as globalRowNumber: the partials
     // job and the final job must see identical range boundaries.
+    // The partials collect goes through a string image of the key so
+    // the API works for any key type (int doc ids, dates, …), not just
+    // StringType — casting to string is injective per distinct value,
+    // and the offsets join keys on the same casted column.
     val withPart = sorted
       .withColumn("_v", value.cast("long"))
+      .withColumn("_kstr", col(key).cast("string"))
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint()
-    val partials = withPart.groupBy($"_pid", col(key))
+    val partials = withPart.groupBy($"_pid", $"_kstr")
       .agg(sum($"_v").as("_s"))
       .as[(Int, String, Long)].collect()
     val offsets = partials
@@ -124,12 +129,12 @@ object Skew {
         val cums = byPid.scanLeft(0L)(_ + _._3)
         byPid.map(_._1).zip(cums).toSeq
           .map { case (pid, off) => (pid, k, off) }
-      }.toDF("_pid", key, "_off")
+      }.toDF("_pid", "_kstr", "_off")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"_pid", col(key)).orderBy(orderCols: _*)
+      .partitionBy($"_pid", $"_kstr").orderBy(orderCols: _*)
     withPart
-      .join(broadcast(offsets), Seq("_pid", key))
+      .join(broadcast(offsets), Seq("_pid", "_kstr"))
       .withColumn(out, sum($"_v").over(w) + $"_off")
-      .drop("_pid", "_v", "_off")
+      .drop("_pid", "_v", "_off", "_kstr")
   }
 }

@@ -220,8 +220,11 @@ object StreamOps {
     * Exactly-once without a transactional sink: every batch writes to
     * its OWN `batch=<id>` directory with overwrite, so a Spark retry of
     * the same micro-batch overwrites rather than duplicates — the
-    * textbook idempotent-foreachBatch pattern. State reads glob all
-    * prior batch dirs; the anti-join side is a hash column only, so at
+    * textbook idempotent-foreachBatch pattern. State reads list only
+    * batch dirs with id < the current batch, so a retry never
+    * anti-joins against the partial state its own failed attempt wrote
+    * (that would silently drop every survivor of the batch). The
+    * anti-join side is a hash column only, so at
     * cluster scale the state scan is a single narrow column that AQE
     * can bucket or broadcast as its size dictates.
     *
@@ -232,6 +235,24 @@ object StreamOps {
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p) && fs.listStatus(p).nonEmpty)
       Some(s.read.parquet(path)) else None
+  }
+
+  /** State dirs from batches STRICTLY BEFORE `batchId` — a micro-batch
+    * retry must not see the `batch=<id>` dir its own failed attempt
+    * wrote, or the batch anti-joins against its own hashes and writes
+    * an empty survivors set. */
+  private def priorState(s: SparkSession, stateDir: String,
+      batchId: Long): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val prior = fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+        .filter(d => d.getName.stripPrefix("batch=").toLongOption
+          .exists(_ < batchId))
+      if (prior.isEmpty) None
+      else Some(s.read.parquet(prior.map(_.toString).toSeq: _*))
+    }
   }
 
   /** Start the incremental-dedup stream; the caller drives it
@@ -247,7 +268,7 @@ object StreamOps {
         val firstInBatch = hashed
           .groupBy(col("_h")).agg(min(col(idCol)).as(idCol))
           .join(hashed, Seq("_h", idCol))
-        val survivors = existingParquet(s, stateDir) match {
+        val survivors = priorState(s, stateDir, batchId) match {
           case Some(st) => firstInBatch.join(st, Seq("_h"), "left_anti")
           case None     => firstInBatch
         }

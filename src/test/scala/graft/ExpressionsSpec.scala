@@ -155,6 +155,16 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(r.getSeq[String](4) == Seq("کیا", "۔"))
   }
 
+  test("graft_word_gram_hashes: null array elements hash as empty string") {
+    GraftFunctions.registerSql(spark)
+    val got = spark.sql(
+      "SELECT graft_word_gram_hashes(array('a', cast(null as string), 'b'), 2) AS g")
+      .collect()(0).getSeq[String](0)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got == Seq(md5hex("a "), md5hex(" b")))
+  }
+
   test("GraftExtensions injects the full SQL surface (spark.sql.extensions path)") {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.analysis.FunctionRegistry

@@ -88,4 +88,20 @@ class MultimodalSpec extends AnyFunSuite {
     // image bytes must not sniff as wav
     assert(Multimodal.probeWav(Array.fill[Byte](64)(0x42)).isEmpty)
   }
+
+  test("probeWav: corrupt negative chunk size terminates (no spin)") {
+    // RIFF/WAVE then a JUNK chunk whose 32-bit size is 0xFFFFFFF8
+    // (-8 as Int): the old Int step was 0 → infinite executor loop.
+    val bb = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(56); bb.put("WAVE".getBytes)
+    bb.put("JUNK".getBytes); bb.putInt(0xFFFFFFF8)
+    assert(Multimodal.probeWav(bb.array()).isEmpty)
+    // same with a size that overflows past the buffer mid-walk
+    val bb2 = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb2.put("RIFF".getBytes); bb2.putInt(56); bb2.put("WAVE".getBytes)
+    bb2.put("LIST".getBytes); bb2.putInt(Int.MaxValue)
+    assert(Multimodal.probeWav(bb2.array()).isEmpty)
+  }
 }

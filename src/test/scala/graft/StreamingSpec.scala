@@ -144,4 +144,30 @@ class StreamingSpec extends AnyFunSuite {
     val expect = all.groupBy(_._2).map { case (_, g) => g.minBy(_._1) }.toSet
     assert(got == expect)
   }
+
+  test("incremental dedup retry: batch must ignore its own failed-attempt state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.md5
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_incretry").toString
+    // Simulate a failed first attempt of batch 0 that wrote its state
+    // partition before dying: on replay the batch must NOT anti-join
+    // against these (its own) hashes, or every survivor is dropped.
+    Seq("alpha", "beta").toDF("t").select(md5($"t").as("_h"))
+      .write.parquet(s"$outDir/state/batch=0")
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamOps.incrementalDedupStart(
+      spark, ms.toDF().toDF("doc_id", "text"), "doc_id", "text", outDir)
+    try {
+      ms.addData(Seq((1L, "alpha"), (2L, "beta")))
+      q.processAllAvailable()
+      // next batch still sees batch 0's (rewritten) state
+      ms.addData(Seq((10L, "alpha"), (11L, "gamma")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = StreamOps.incrementalDedupResult(spark, outDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "alpha"), (2L, "beta"), (11L, "gamma")))
+  }
 }

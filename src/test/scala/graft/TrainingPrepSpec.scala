@@ -26,6 +26,29 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("prefixSumByKey works with a non-string key column") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select($"doc_id", ($"doc_id" % 7).as("k"),
+        Text.wordCount($"text").cast("long").as("v"))
+    val expected = docs
+      .withColumn("cum", sum($"v").over(
+        Window.partitionBy($"k").orderBy($"doc_id")))
+      .select($"doc_id", $"cum").as[(Long, Long)].collect().toMap
+    val got = Skew.prefixSumByKey(docs, "k", Seq($"doc_id"), $"v", "cum")
+      .select($"doc_id", $"cum").as[(Long, Long)].collect().toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("profileColumns survives SQL-metacharacter column names") {
+    val df = Seq((1, "a"), (2, null), (3, "c"))
+      .toDF("id num", "va'l`ue")
+    val prof = graft.ops.Profile
+      .profileColumns(df, Seq("id num", "va'l`ue"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(prof == Map("id num" -> 0L, "va'l`ue" -> 1L))
+  }
+
   test("prefixSumByKey handles a key confined to one partition and empty input") {
     val one = Seq((1L, "a", 5L), (2L, "a", 7L), (3L, "b", 11L))
       .toDF("id", "k", "v")
