@@ -56,8 +56,12 @@ object Relational {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
-  /** TPC-H Q3-style: broadcast the filtered customer dim into the
-    * orders⋈lineitem join; only one shuffle (orderkey agg). */
+  /** TPC-H Q3-style. No broadcast hints: customer and orders both grow
+    * linearly with scale factor, so pinning either side OOMs executors
+    * at 100× (hints override AQE's size check). AQE picks broadcast at
+    * small SF via `autoBroadcastJoinThreshold` and degrades to a
+    * shuffled join when the filtered sides outgrow it — the plan is
+    * size-driven, not pinned (PlanSpec asserts the AQE choice). */
   val q3TopOrders: Spec = Spec(
     "q3_top_orders",
     oracle = Some("""
@@ -78,7 +82,7 @@ object Relational {
       .filter($"o_orderdate" < lit("1998-01-01").cast("timestamp_ntz"))
     val li = Tables.load(s, dir, "lineitem")
       .filter($"l_shipdate" > lit("1998-01-01").cast("timestamp_ntz"))
-    li.join(broadcast(ord.join(broadcast(cust), $"o_custkey" === $"c_custkey")),
+    li.join(ord.join(cust, $"o_custkey" === $"c_custkey"),
         $"l_orderkey" === $"o_orderkey")
       .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
       .agg(sum($"l_extendedprice".cast("decimal(18,2)") *
@@ -91,9 +95,13 @@ object Relational {
       .limit(10)
   }
 
-  /** TPC-H Q5-style star join: revenue per region/nation. All dims
-    * broadcast; lineitem is shuffled once for the customer-nation match
-    * check (c_nationkey = s_nationkey semantics). */
+  /** TPC-H Q5-style star join: revenue per region/nation. Only the
+    * BOUNDED dims (nation: 25 rows, region: 5 rows — fixed cardinality
+    * at every scale factor) carry broadcast hints; supplier and
+    * customer grow with SF, so their join strategy is left to AQE: at
+    * small SF it still broadcasts them via the size threshold, at 100×
+    * it degrades to shuffled joins instead of OOMing on a forced
+    * multi-GB broadcast. */
   val q5RegionRevenue: Spec = Spec(
     "q5_region_revenue",
     oracle = Some("""
@@ -116,9 +124,9 @@ object Relational {
     val cust = Tables.load(s, dir, "customer")
     val nat = Tables.load(s, dir, "nation")
     val reg = Tables.load(s, dir, "region")
-    li.join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+    li.join(sup, $"l_suppkey" === $"s_suppkey")
       .join(ord, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(cust),
+      .join(cust,
         $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
       .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
       .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
