@@ -17,10 +17,13 @@ object Lexicons {
     finally in.close()
   }
 
-  /** Languages with shipped lexicons. */
+  /** Languages with shipped lexicons — the reference's 17-language
+    * filter_data set (setu/data/filter_data/nsfw) plus german. */
   val languages: Seq[String] =
     Seq("english", "german", "hindi", "bengali", "tamil",
-      "telugu", "kannada", "malayalam", "marathi", "urdu")
+      "telugu", "kannada", "malayalam", "marathi", "urdu",
+      "assamese", "gujarati", "nepali", "oriya", "punjabi",
+      "konkani", "dogri", "manipuri")
 
   def nsfw(lang: String): Seq[String] = load("nsfw", lang)
   def stopwords(lang: String): Seq[String] = load("stopwords", lang)

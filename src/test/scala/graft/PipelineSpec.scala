@@ -240,9 +240,17 @@ class PipelineSpec extends AnyFunSuite {
       assert(Lexicons.nsfw(l).nonEmpty, s"nsfw $l")
       assert(Lexicons.stopwords(l).nonEmpty, s"stopwords $l")
     }
-    // non-Latin lexicons really are non-Latin
+    // non-Latin lexicons really are non-Latin, in their own scripts
     assert(Lexicons.stopwords("hindi").exists(_.exists(_ >= 0x0900.toChar)))
     assert(Lexicons.nsfw("bengali").exists(_.exists(c => c >= 0x0980.toChar && c <= 0x09FF.toChar)))
+    assert(Lexicons.stopwords("punjabi").forall(_.forall(c => c >= 0x0A00.toChar && c <= 0x0A7F.toChar)), "Gurmukhi")
+    assert(Lexicons.stopwords("gujarati").forall(_.forall(c => c >= 0x0A80.toChar && c <= 0x0AFF.toChar)), "Gujarati script")
+    assert(Lexicons.stopwords("oriya").forall(_.forall(c => c >= 0x0B00.toChar && c <= 0x0B7F.toChar)), "Odia script")
+    // Bengali-script languages (assamese, manipuri) and Devanagari ones
+    // (nepali, konkani, dogri) share their script blocks
+    assert(Lexicons.stopwords("assamese").exists(_.exists(c => c >= 0x0980.toChar && c <= 0x09FF.toChar)))
+    assert(Lexicons.stopwords("manipuri").exists(_.exists(c => c >= 0x0980.toChar && c <= 0x09FF.toChar)))
+    assert(Lexicons.stopwords("nepali").exists(_.exists(c => c >= 0x0900.toChar && c <= 0x097F.toChar)))
     // union automaton input is deduplicated
     val union = Lexicons.nsfwUnion()
     assert(union.distinct.size == union.size)
