@@ -44,13 +44,18 @@ object PipelineConfig {
       else None
     // Keyword sources, in precedence order: explicit inline list, then
     // shipped per-language lexicons (the reference's filter_data files).
+    // Language spellings canonicalize through the shipped mapping
+    // (F27 generalized): a reference-shaped config may say "urd" or
+    // "ur" where the lexicon files are keyed "urdu".
+    def canon(ls: Seq[String]): Seq[String] =
+      ls.map(l => graft.sources.LangData.canonicalName(l).getOrElse(l))
     val kws = strList("keywords")
       .orElse(strList("nsfw_lexicons")
-        .map(ls => graft.sources.Lexicons.nsfwUnion(ls)))
+        .map(ls => graft.sources.Lexicons.nsfwUnion(canon(ls))))
       .getOrElse(Seq("slow", "dup", "hash join"))
     val stops = strList("stopwords")
       .orElse(strList("stopword_lexicons")
-        .map(ls => graft.sources.Lexicons.stopwordUnion(ls)))
+        .map(ls => graft.sources.Lexicons.stopwordUnion(canon(ls))))
       .getOrElse(Seq("the", "a"))
     PipelineConfig(
       keywords = kws,
@@ -71,9 +76,12 @@ object PipelineConfig {
   }
 
   /** The shipped per-language config (the reference's
-    * configs/crawls/spark_<lang>_config.json analog). */
-  def forLanguage(lang: String, configsDir: String = "configs"): PipelineConfig =
-    fromJsonFile(s"$configsDir/graft_${lang}_config.json")
+    * configs/crawls/spark_<lang>_config.json analog). Accepts any
+    * language spelling the mapping resource knows (name/iso1/iso3). */
+  def forLanguage(lang: String, configsDir: String = "configs"): PipelineConfig = {
+    val name = graft.sources.LangData.canonicalName(lang).getOrElse(lang)
+    fromJsonFile(s"$configsDir/graft_${name}_config.json")
+  }
 }
 
 /** A pipeline stage: named DataFrame transform (the reference's

@@ -699,26 +699,40 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
-  val dDedupThresholded: Spec = Spec(
-    "d_exact_dedup_thresholded",
-    oracle = Some("""
-      WITH thr AS (SELECT * FROM (VALUES ('en', 291), ('de', 300), ('fr', 300),
-        ('es', 300), ('zh', 120)) AS t(lang, min_chars)),
-      d AS (SELECT doc_id, d.lang, n_chars, md5(text) AS h,
+  /** Exact dedup with per-language length exemption, thresholds from
+    * the SHIPPED resource table ([[graft.sources.LangData]], 27
+    * languages — the reference keeps these as one file per language in
+    * setu/data/exact_dedup_thresholds/). Docs route to languages by
+    * doc_id so every shipped threshold row is exercised; the oracle
+    * VALUES are generated from the same resource, so the two sides
+    * cannot drift. */
+  val dDedupThresholded: Spec = {
+    val thr = graft.sources.LangData.dedupThresholds
+    val iso = graft.sources.LangData.byName
+    val nL = thr.size
+    val values = thr.zipWithIndex.map { case ((l, m), i) =>
+      s"($i, '$l', '${iso(l).iso3}', $m)"
+    }.mkString(", ")
+    Spec(
+      "d_exact_dedup_thresholded",
+      oracle = Some(s"""
+      WITH thr(idx, lang_name, iso3, min_chars) AS (VALUES $values),
+      d AS (SELECT doc_id, lang_name, iso3, n_chars, md5(text) AS h,
               (n_chars >= min_chars) AS eligible
-            FROM documents d JOIN thr ON d.lang = thr.lang),
+            FROM documents JOIN thr ON doc_id % $nL = idx),
       kept AS (
-        SELECT doc_id, lang, eligible FROM d
+        SELECT doc_id, lang_name, iso3, eligible FROM d
         WHERE NOT eligible
            OR doc_id = (SELECT MIN(doc_id) FROM d d2
                         WHERE d2.h = d.h AND d2.eligible))
-      SELECT lang, COUNT(*) AS n_kept,
+      SELECT lang_name, iso3, COUNT(*) AS n_kept,
         COUNT(CASE WHEN NOT eligible THEN 1 END) AS n_exempt
-      FROM kept GROUP BY lang ORDER BY lang""")) { (s, dir) =>
+      FROM kept GROUP BY lang_name, iso3 ORDER BY lang_name""")) { (s, dir) =>
     import s.implicits._
-    val thr = Seq(("en", 291), ("de", 300), ("fr", 300), ("es", 300), ("zh", 120))
-      .toDF("lang", "min_chars")
-    val d = docs(s, dir).join(broadcast(thr), Seq("lang"))
+    val thrDf = thr.zipWithIndex.map { case ((l, m), i) =>
+      (i, l, iso(l).iso3, m)
+    }.toDF("idx", "lang_name", "iso3", "min_chars")
+    val d = docs(s, dir).join(broadcast(thrDf), $"doc_id" % nL === $"idx")
       .withColumn("eligible", $"n_chars" >= $"min_chars")
       .withColumn("h", md5($"text"))
     val kept = d
@@ -727,10 +741,11 @@ object TextOps {
           Window.partitionBy($"h", $"eligible").orderBy($"doc_id")))
           .otherwise(lit(1)))
       .filter(!$"eligible" || $"rn" === 1)
-    kept.groupBy($"lang")
+    kept.groupBy($"lang_name", $"iso3")
       .agg(count(lit(1)).as("n_kept"),
         count(when(!$"eligible", 1)).as("n_exempt"))
-      .orderBy($"lang")
+      .orderBy($"lang_name")
+    }
   }
 
   /** Per-LANGUAGE flag thresholds (the reference's deployment shape:

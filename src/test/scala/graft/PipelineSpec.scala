@@ -262,6 +262,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(en.stopwords.contains("the"))
   }
 
+  test("language mapping: ISO-coded configs resolve lexicons; F27 column rename") {
+    import graft.sources.LangData
+    // reference-shaped config keyed by ISO codes, not names
+    val dir = java.nio.file.Files.createTempDirectory("graft_cfg")
+    val f = dir.resolve("graft_urdu_config.json")
+    java.nio.file.Files.writeString(f,
+      """{"language": "urd", "nsfw_lexicons": ["urd"],
+        | "stopword_lexicons": ["ur"], "min_word_count": 40}""".stripMargin)
+    val cfg = PipelineConfig.forLanguage("urd", dir.toString)
+    assert(cfg.keywords == graft.sources.Lexicons.nsfw("urdu"))
+    assert(cfg.stopwords == graft.sources.Lexicons.stopwords("urdu"))
+    assert(cfg.flags.minWordCount == 40)
+    // the reference's F27 tuple: (urdu, urd) -> code "ur"; generalized
+    // to every shipped language, unknown values pass through
+    val df = Seq("urdu", "urd", "ur", "HINDI", "brx", "klingon")
+      .toDF("l")
+      .select(LangData.nameCol($"l").as("name"), LangData.codeCol($"l").as("code"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(df == Seq(("urdu", "ur"), ("urdu", "ur"), ("urdu", "ur"),
+      ("hindi", "hi"), ("bodo", "brx"), ("klingon", "klingon")))
+    // mapping invariants: names unique, iso3 unique, thresholds cover
+    // the reference's 23-language set
+    assert(LangData.all.map(_.language).distinct.size == LangData.all.size)
+    assert(LangData.all.map(_.iso3).distinct.size == LangData.all.size)
+    assert(LangData.dedupThresholds.size >= 23)
+    assert(LangData.dedupThresholds.forall { case (l, m) =>
+      LangData.byName.contains(l) && m > 0 })
+  }
+
   test("remote-FS source: file:// reads, unconfigured cloud scheme fails fast (S12)") {
     val n = DocSources.readRemote(spark,
       s"file://${TestSpark.Sf}/documents.parquet").count()
