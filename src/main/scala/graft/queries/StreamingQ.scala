@@ -310,6 +310,38 @@ object StreamingQ {
       .orderBy($"doc_id")
   }
 
+  /** STREAMING heavy hitters (Misra–Gries per micro-batch + exact
+    * recount, [[StreamOps.heavyHittersStart]]) — the oracle is the
+    * same plain SQL as batch d_heavy_hitters because the recount makes
+    * the output exact regardless of batch boundaries or summary
+    * merge order. Same injected hot/warm tokens as the batch query. */
+  val stHeavyHitters: Spec = Spec(
+    "st_heavy_hitters",
+    oracle = Some("""
+      WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        UNION ALL
+        SELECT 'hotword' FROM documents CROSS JOIN unnest(range(0, 8))
+        UNION ALL
+        SELECT 'warmword' FROM documents CROSS JOIN unnest(range(0, 2))),
+      t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM tok),
+      c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY tok)
+      SELECT tok, n, (SELECT total FROM t) AS total
+      FROM c WHERE n * 20 > (SELECT total FROM t) ORDER BY tok""")) { (s, dir) =>
+    import s.implicits._
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_st_hh").toString
+    val src = s.readStream.schema(StreamOps.documentsSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val toks = src.select(explode(concat(
+      graft.ops.Text.tokens($"text"),
+      array((0 until 8).map(_ => lit("hotword")): _*),
+      array(lit("warmword"), lit("warmword")))).as("tok"))
+    StreamOps.heavyHittersBatches(s, toks, "tok", 20, outDir)
+      .orderBy($"tok")
+  }
+
   val specs: Seq[Spec] = Seq(stTumbling, stSliding, stDedup, stSessions,
-    stEnrich, stClickView, dLid, dLidScript, pipelineE2e, stDocFlags)
+    stEnrich, stClickView, dLid, dLidScript, pipelineE2e, stDocFlags,
+    stHeavyHitters)
 }

@@ -295,6 +295,60 @@ object StreamOps {
     incrementalDedupResult(s, outDir)
   }
 
+  /** STREAMING heavy hitters: per micro-batch, a k-counter Misra–Gries
+    * summary (≤ k rows, the bounded sketch) plus the batch's raw token
+    * column land in `batch=<id>` dirs — idempotent on retry like
+    * [[incrementalDedupStart]]. The union of per-batch summaries
+    * contains every GLOBAL heavy hitter: if Σcᵢ > Σnᵢ/k then some
+    * batch has cᵢ > nᵢ/k (average argument), and the MG invariant
+    * (counter ≥ c − n/k) keeps that token in that batch's summary.
+    * [[heavyHittersResult]] then recounts candidates EXACTLY over the
+    * archived tokens — the recount is what makes MG merge-order
+    * nondeterminism irrelevant: whatever summaries arose, the output
+    * is "all tokens with count > total/k, true counts", stateable as
+    * plain SQL (st_heavy_hitters). At cluster scale the token archive
+    * is the landed bronze table the stream writes anyway (kappa
+    * shape); the summaries are ≤ k rows per batch. */
+  def heavyHittersStart(s: SparkSession, src: DataFrame, tokCol: String,
+      k: Int, outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import batch.sparkSession.implicits._
+        val toks = batch.select(col(tokCol).as("tok"))
+        toks.as[String]
+          .groupByKey(_ => 0)
+          .agg(graft.ops.HeavyHitters.aggregator(k).toColumn)
+          .flatMap(_._2).toDF("tok")
+          .write.mode("overwrite").parquet(s"$outDir/summaries/batch=$batchId")
+        toks.write.mode("overwrite").parquet(s"$outDir/tokens/batch=$batchId")
+        ()
+      }
+      .start()
+
+  /** Exact heavy-hitter recount over the drained stream: candidates =
+    * union of batch summaries (bounded, broadcast), counts from the
+    * archived token column, true threshold n·k > total. */
+  def heavyHittersResult(s: SparkSession, outDir: String, k: Int): DataFrame = {
+    import s.implicits._
+    val cands = s.read.parquet(s"$outDir/summaries").select($"tok").distinct()
+    val toks = s.read.parquet(s"$outDir/tokens").select($"tok")
+    val total = toks.agg(count(lit(1)).as("total"))
+    toks.join(broadcast(cands), Seq("tok"), "left_semi")
+      .groupBy($"tok").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .filter($"n" * k > $"total")
+      .select($"tok", $"n", $"total")
+  }
+
+  /** Bounded-source convenience: start, drain, stop, recount. */
+  def heavyHittersBatches(s: SparkSession, src: DataFrame, tokCol: String,
+      k: Int, outDir: String): DataFrame = {
+    val q = heavyHittersStart(s, src, tokCol, k, outDir)
+    try q.processAllAvailable()
+    finally q.stop()
+    heavyHittersResult(s, outDir, k)
+  }
+
   /** documents schema for the streaming source twin. */
   val documentsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType),

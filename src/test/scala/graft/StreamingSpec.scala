@@ -145,6 +145,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("streaming heavy hitters: cross-batch heavy token found even when light per batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_st_hh_mem").toString
+    val ms = MemoryStream[String]
+    val q = graft.streaming.StreamOps.heavyHittersStart(
+      spark, ms.toDF().toDF("tok"), "tok", 4, outDir)
+    // "spread" is never a within-batch majority (k=4 → threshold is
+    // n/4 per the final recount) but is heavy globally; fillers differ
+    // per batch so no filler accumulates.
+    try {
+      ms.addData(Seq("spread", "spread", "a1", "a2", "a3", "a4"))
+      q.processAllAvailable()
+      ms.addData(Seq("spread", "spread", "b1", "b2", "b3", "b4"))
+      q.processAllAvailable()
+      ms.addData(Seq("spread", "spread", "c1", "c2", "c3", "c4"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = graft.streaming.StreamOps.heavyHittersResult(spark, outDir, 4)
+      .as[(String, Long, Long)].collect().toSet
+    // total 18; only "spread" (6) exceeds 18/4
+    assert(got == Set(("spread", 6L, 18L)))
+  }
+
   test("incremental dedup retry: batch must ignore its own failed-attempt state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.md5
