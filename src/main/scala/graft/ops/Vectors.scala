@@ -67,12 +67,15 @@ object Vectors {
   /** int8 scalar quantization: each vector scaled into [-127,127] by
     * its own max-abs (scale carried alongside for exact dot recovery
     * up to quantization error). The 100 TB memory lever: 4× smaller
-    * than float32, integer dot products for coarse scoring. */
+    * than float32, integer dot products for coarse scoring. The code
+    * is floor(x + 0.5), not round(): floor over an IEEE double is
+    * bit-identical across engines, which is what lets a plain-SQL
+    * oracle restate the whole two-stage pipeline (e_knn_quantized). */
   def quantize(vec: Column): Column = {
     val maxAbs = array_max(transform(vec, v => abs(v.cast("double"))))
     struct(
       transform(vec, v =>
-        round(v.cast("double") / maxAbs * 127).cast("int")).as("q"),
+        floor(v.cast("double") / maxAbs * 127 + lit(0.5)).cast("int")).as("q"),
       (maxAbs / 127).as("scale"))
   }
 

@@ -160,12 +160,49 @@ object Similarity {
   }
 
   /** Two-stage quantized ANN (int8 coarse scan → exact re-rank): the
-    * 4×-memory-reduction scale path. No SQL oracle (per-engine rounding
-    * in the coarse stage); recall ≥ 0.9 vs brute force is pinned in
+    * 4×-memory-reduction scale path. Fully oracled end to end — the
+    * quantizer is floor(x+0.5) over IEEE doubles (deterministic in
+    * both engines, see [[graft.ops.Vectors.quantize]]), so DuckDB
+    * replays quantization, integer coarse scoring, the rerank-50
+    * shortlist, and the exact re-rank, and must land on the identical
+    * top-5. Recall ≥ 0.9 vs brute force additionally pinned in
     * VectorOpsSpec. */
   val eKnnQuantized: Spec = Spec(
     "e_knn_quantized",
-    oracle = None) { (s, dir) =>
+    oracle = Some(s"""
+      WITH e AS (
+        SELECT vec_id, embedding,
+          list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS ma
+        FROM embeddings),
+      qz AS (
+        SELECT vec_id, embedding,
+          list_transform(embedding,
+            x -> CAST(floor(x::DOUBLE / ma * 127 + 0.5) AS INT)) AS q,
+          ma / 127 AS scale,
+          sqrt(${dotSql("embedding", "embedding")}) AS nrm
+        FROM e),
+      coarse AS (
+        SELECT a.vec_id AS qid, b.vec_id AS cid,
+          list_reduce(list_transform(range(1, 65),
+              i -> CAST(a.q[i] * b.q[i] AS BIGINT)), (x, y) -> x + y)::DOUBLE
+            * a.scale * b.scale / (a.nrm * b.nrm) AS ccos
+        FROM qz a JOIN qz b ON a.vec_id < 10 AND b.vec_id <> a.vec_id),
+      short AS (
+        SELECT qid, cid FROM (
+          SELECT qid, cid,
+            row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, cid) AS srk
+          FROM coarse) WHERE srk <= 50),
+      ex AS (
+        SELECT s.qid, s.cid,
+          ${cosSql("qe.embedding", "ce.embedding")} AS cos
+        FROM short s
+          JOIN embeddings qe ON qe.vec_id = s.qid
+          JOIN embeddings ce ON ce.vec_id = s.cid),
+      r AS (SELECT qid, cid, cos,
+        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rk
+        FROM ex)
+      SELECT qid, rk, cid, ROUND(cos, 6) AS cos_sim
+      FROM r WHERE rk <= 5 ORDER BY qid, rk""")) { (s, dir) =>
     import s.implicits._
     val emb = Tables.load(s, dir, "embeddings")
       .select($"vec_id".as("id"), $"embedding".as("vec"))
