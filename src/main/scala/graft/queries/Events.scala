@@ -343,7 +343,74 @@ object Events {
       .orderBy($"event_type")
   }
 
+  /** WINDOWED PSI drift over event time — the monitoring twin of
+    * d_drift_psi (corpus-slice PSI, TrainingPrep): each tumbling hour's
+    * event-type distribution scored against the global reference
+    * distribution. Missing categories take the standard 1e-4 floor via
+    * a (window × type) grid — windows-per-year × #types rows, bounded.
+    * Terms round to 6dp and sum as DECIMAL per window so the per-window
+    * total is aggregation-order-independent; the reference counts ride
+    * a broadcast, so the plan is two hash aggs plus a bounded-partition
+    * window — no scale-variant reducer. */
+  val qDriftWindowed: Spec = Spec(
+    "ev_drift_windowed",
+    oracle = Some("""
+      WITH w AS (
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type FROM events),
+      wc AS (SELECT window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n
+             FROM w GROUP BY window_start, event_type),
+      wt AS (SELECT window_start, CAST(SUM(n) AS BIGINT) AS wtot
+             FROM wc GROUP BY window_start),
+      g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS gn
+            FROM w GROUP BY event_type),
+      gp AS (SELECT event_type,
+               round(CAST(gn AS DOUBLE) / (SELECT SUM(gn) FROM g), 6) AS p_ref
+             FROM g),
+      p AS (
+        SELECT wt.window_start, gp.event_type,
+          COALESCE(round(CAST(wc.n AS DOUBLE) / wt.wtot, 6), 0.0001) AS p_win,
+          gp.p_ref
+        FROM wt CROSS JOIN gp
+        LEFT JOIN wc ON wc.window_start = wt.window_start
+                    AND wc.event_type = gp.event_type),
+      terms AS (
+        SELECT window_start, event_type, p_win, p_ref,
+          CAST(round((p_win - p_ref) * ln(p_win / p_ref), 6) AS DECIMAL(18,6)) AS term
+        FROM p)
+      SELECT window_start, event_type, p_win, p_ref,
+        CAST(term AS DOUBLE) AS psi_term,
+        CAST(SUM(term) OVER (PARTITION BY window_start) AS DOUBLE) AS psi_window
+      FROM terms ORDER BY window_start, event_type""")) { (s, dir) =>
+    import s.implicits._
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    val ev = load(s, dir).withColumn("window_start",
+      date_format(timestamp_micros(expr(s"(ts - ts % $hourNs) div 1000")),
+        "yyyy-MM-dd HH:mm:ss"))
+    val wc = ev.groupBy($"window_start", $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val wt = wc.groupBy($"window_start").agg(sum($"n").as("wtot"))
+    val g = ev.groupBy($"event_type").agg(count(lit(1)).as("gn"))
+    val gp = g.crossJoin(broadcast(g.agg(sum($"gn").as("gtot"))))
+      .select($"event_type",
+        round($"gn".cast("double") / $"gtot", 6).as("p_ref"))
+    val p = wt.crossJoin(broadcast(gp))
+      .join(wc, Seq("window_start", "event_type"), "left")
+      .select($"window_start", $"event_type",
+        coalesce(round($"n".cast("double") / $"wtot", 6), lit(0.0001))
+          .as("p_win"),
+        $"p_ref")
+    p.withColumn("term",
+        round(($"p_win" - $"p_ref") * log($"p_win" / $"p_ref"), 6)
+          .cast("decimal(18,6)"))
+      .select($"window_start", $"event_type", $"p_win", $"p_ref",
+        $"term".cast("double").as("psi_term"),
+        sum($"term").over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"window_start")).cast("double").as("psi_window"))
+      .orderBy($"window_start", $"event_type")
+  }
+
   val specs: Seq[Spec] = Seq(qTumbling, qSessionize, qAsofClick,
     qAsofTolerance, qFunnel, qPropsJson, qSliding, qSessionWindowNative,
-    qRate5Min, qValueOutliers)
+    qRate5Min, qValueOutliers, qDriftWindowed)
 }
