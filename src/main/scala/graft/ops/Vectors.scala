@@ -178,6 +178,68 @@ object Vectors {
     cents
   }
 
+  /** Product-quantization codebooks: `m` subspaces × `k` centroids,
+    * each learned by the deterministic Lloyd recipe
+    * ([[kmeansCentroids]]) on that subspace's subvector frame. The
+    * result is m×k×(dim/m) doubles on the driver (8×16×8 = 1 KiB here)
+    * — the PQ memory story at 100 TB: corpus rows store m byte-sized
+    * codes (8 bytes/vector vs 256 for float32), codebooks broadcast. */
+  def pqCodebooks(emb: DataFrame, dim: Int, m: Int, k: Int,
+      iters: Int): Seq[Seq[Seq[Double]]] = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val sub = dim / m
+    (0 until m).map { j =>
+      kmeansCentroids(
+        emb.select(col("vec_id"),
+          slice(col("embedding"), j * sub + 1, sub).as("embedding")),
+        k, iters)
+    }
+  }
+
+  /** PQ encode: per subspace, the nearest codebook cell (L2, ties to
+    * the lowest cell like [[nearestCell]]) — an array<long> of m codes
+    * per vector, computed row-locally against the broadcast literal. */
+  def pqCodes(vec: Column, books: Seq[Seq[Seq[Double]]]): Column = {
+    val sub = books.head.head.size
+    array(books.zipWithIndex.map { case (cb, j) =>
+      nearestCell(slice(vec, j * sub + 1, sub), cb)
+    }: _*)
+  }
+
+  /** PQ ANN with asymmetric-distance scoring (ADC): the corpus side is
+    * scored from its m codes only — per subspace, dot(query subvector,
+    * centroid[code]) — then the shortlist re-ranks exactly, as in
+    * [[knnQuantized]]. Subspace dots round to 9dp and sum as DECIMAL,
+    * so the coarse score is aggregation-order-independent and a SQL
+    * oracle can restate the whole chain. */
+  def knnPq(queries: DataFrame, corpus: DataFrame,
+      books: Seq[Seq[Seq[Double]]], k: Int, rerank: Int = 50): DataFrame = {
+    val m = books.size
+    val sub = books.head.head.size
+    val q = broadcast(queries
+      .select(col("id").as("qid"), col("vec").as("qv"))
+      .withColumn("qn", norm(col("qv"))))
+    val c = corpus
+      .select(col("id").as("cid"), col("vec").as("cv"))
+      .withColumn("codes", pqCodes(col("cv"), books))
+      .withColumn("cn", norm(col("cv")))
+    val adc = (0 until m).map { j =>
+      val cent = element_at(typedLit(books(j)),
+        element_at(col("codes"), j + 1).cast("int") + 1)
+      val qsub = slice(col("qv"), j * sub + 1, sub)
+      round(aggregate(zip_with(qsub, cent, (x, h) => x.cast("double") * h),
+        lit(0.0d), (acc, v) => acc + v), 9).cast("decimal(28,12)")
+    }.reduce(_ + _)
+    val coarse = c.join(q, col("qid") =!= col("cid"))
+      .withColumn("cos_sim", adc.cast("double") / (col("qn") * col("cn")))
+    val shortlist = topK(coarse, rerank).select(col("qid"), col("cid"))
+    val exact = shortlist
+      .join(c.select(col("cid"), col("cv"), col("cn")), Seq("cid"))
+      .join(q.select(col("qid"), col("qv"), col("qn")), Seq("qid"))
+      .withColumn("cos_sim", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+    topK(exact, k)
+  }
+
   /** Deterministic ±1 random-hyperplane signs for bit `b`, dims 1..`dim`:
     * sign(b, d) = +1 iff the first hex char of md5("b_d") has even code.
     * md5-derived so an oracle can rebuild the identical matrix in SQL. */

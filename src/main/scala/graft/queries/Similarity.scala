@@ -368,7 +368,88 @@ object Similarity {
       .orderBy($"qid", $"rk")
   }
 
+  private def dist8(a: String, c: String): String =
+    s"list_reduce(list_transform(range(1, 9), i -> ($a[i]::DOUBLE - $c[i]) * ($a[i]::DOUBLE - $c[i])), (x, y) -> x + y)"
+  private def dot8(a: String, c: String): String =
+    s"list_reduce(list_transform(range(1, 9), i -> $a[i]::DOUBLE * $c[i]), (x, y) -> x + y)"
+
+  /** PRODUCT-quantized ANN ([[graft.ops.Vectors.knnPq]]): 8 subspaces
+    * × 16 learned centroids (deterministic Lloyd per subspace, the
+    * e_kmeans recipe), asymmetric-distance coarse scoring from the
+    * corpus side's 8 codes only, exact re-rank of the 50-shortlist.
+    * The oracle re-trains every codebook, re-encodes the corpus,
+    * replays ADC (subspace dots rounded to 9dp, summed as DECIMAL so
+    * order can't matter) and must land on the identical top-5. */
+  val eKnnPq: Spec = Spec(
+    "e_knn_pq",
+    oracle = Some(s"""
+      WITH sub AS (
+        SELECT vec_id, m, embedding[(m*8+1):(m*8+8)] AS sv
+        FROM embeddings CROSS JOIN unnest(range(0, 8)) t(m)),
+      c0 AS (SELECT m, vec_id AS cell,
+               list_transform(sv, x -> x::DOUBLE) AS cent
+             FROM sub WHERE vec_id < 16),
+      a1 AS (SELECT vec_id, m, sv, cell FROM (
+          SELECT s.vec_id, s.m, s.sv, c.cell,
+            row_number() OVER (PARTITION BY s.vec_id, s.m
+              ORDER BY ${dist8("s.sv", "c.cent")}, c.cell) AS rk
+          FROM sub s JOIN c0 c ON c.m = s.m) WHERE rk = 1),
+      c1 AS (SELECT m, cell, pos,
+               CAST(SUM(CAST(v AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS cval
+             FROM (SELECT m, cell, generate_subscripts(sv, 1) AS pos,
+                     unnest(sv) AS v FROM a1)
+             GROUP BY m, cell, pos),
+      cbp AS (SELECT c0.m, c0.cell, p.pos,
+                COALESCE(c1.cval, c0.cent[CAST(p.pos AS INT)]) AS cval
+              FROM c0 CROSS JOIN unnest(range(1, 9)) p(pos)
+              LEFT JOIN c1 ON c1.m = c0.m AND c1.cell = c0.cell
+                          AND c1.pos = p.pos),
+      cb AS (SELECT m, cell, list(cval ORDER BY pos) AS cent
+             FROM cbp GROUP BY m, cell),
+      enc AS (SELECT vec_id, m, cell FROM (
+          SELECT s.vec_id, s.m, b.cell,
+            row_number() OVER (PARTITION BY s.vec_id, s.m
+              ORDER BY ${dist8("s.sv", "b.cent")}, b.cell) AS rk
+          FROM sub s JOIN cb b ON b.m = s.m) WHERE rk = 1),
+      nrm AS (SELECT vec_id, sqrt(${dotSql("embedding", "embedding")}) AS n
+              FROM embeddings),
+      adc AS (
+        SELECT q.vec_id AS qid, e.vec_id AS cid,
+          SUM(CAST(round(${dot8("q.sv", "b.cent")}, 9) AS DECIMAL(28,12))) AS adot
+        FROM sub q
+          JOIN enc e ON e.m = q.m AND e.vec_id <> q.vec_id
+          JOIN cb b ON b.m = e.m AND b.cell = e.cell
+        WHERE q.vec_id < 10
+        GROUP BY qid, cid),
+      coarse AS (
+        SELECT adc.qid, adc.cid,
+          CAST(adot AS DOUBLE) / (qn.n * cn.n) AS ccos
+        FROM adc JOIN nrm qn ON qn.vec_id = adc.qid
+                 JOIN nrm cn ON cn.vec_id = adc.cid),
+      short AS (SELECT qid, cid FROM (
+          SELECT qid, cid,
+            row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, cid) AS srk
+          FROM coarse) WHERE srk <= 50),
+      ex AS (SELECT s.qid, s.cid,
+               ${cosSql("qe.embedding", "ce.embedding")} AS cos
+             FROM short s
+               JOIN embeddings qe ON qe.vec_id = s.qid
+               JOIN embeddings ce ON ce.vec_id = s.cid),
+      r AS (SELECT qid, cid, cos,
+        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rk
+        FROM ex)
+      SELECT qid, rk, cid, ROUND(cos, 6) AS cos_sim
+      FROM r WHERE rk <= 5 ORDER BY qid, rk""")) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val books = Vectors.pqCodebooks(emb, dim = 64, m = 8, k = 16, iters = 1)
+    val e = emb.select($"vec_id".as("id"), $"embedding".as("vec"))
+    Vectors.knnPq(e.filter($"id" < 10), e, books, 5, rerank = 50)
+      .select($"qid", $"rk", $"cid", round($"cos_sim", 6).as("cos_sim"))
+      .orderBy($"qid", $"rk")
+  }
+
   val specs: Seq[Spec] = Seq(eCentroids, eKnnBrute, eKnnCell, eNearDup,
     eNearDupLsh, eKnnQuantized, eKmeansCentroids, eKnnIvfLearned,
-    eKnnIvfMultiprobe)
+    eKnnIvfMultiprobe, eKnnPq)
 }

@@ -43,6 +43,23 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("PQ ANN (8x16 learned codebooks) recall vs brute force on real embeddings") {
+    val embRaw = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+    val emb = embRaw.select($"vec_id".as("id"), $"embedding".as("vec"))
+    val books = Vectors.pqCodebooks(embRaw, dim = 64, m = 8, k = 16, iters = 1)
+    assert(books.size == 8 && books.forall(b =>
+      b.size == 16 && b.forall(_.size == 8)))
+    val queries = emb.filter($"id" < 5)
+    val exact = Vectors.knnBrute(queries, emb, 5)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    val approx = Vectors.knnPq(queries, emb, books, 5, rerank = 50)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    // 8-byte codes vs 256-byte floats: the 50-deep exact re-rank is
+    // what buys the recall back — pin a conservative floor.
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall $recall")
+  }
+
   test("neardupLsh: all emitted pairs are true positives; recall pinned vs exact") {
     val emb = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
     val lsh = Vectors.neardupLsh(emb, threshold = 0.35)
