@@ -72,6 +72,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("knn pq: codebooks ride broadcasts, no cartesian, no scale-variant shuffle join") {
+    val p = plan("e_knn_pq")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.linesIterator.take(5).mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("ev_drift_windowed: reference distribution broadcast, window partitioned by window_start") {
+    val p = plan("ev_drift_windowed")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      "global reference counts must ride a broadcast:\n" +
+        p.linesIterator.take(10).mkString("\n"))
+    // per-window PSI total must partition by window_start — a global
+    // (empty-partition) window would single-reduce the whole table
+    val df = SparkEntry.queries("ev_drift_windowed")(spark, TestSpark.Sf)
+    val globalWindows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty, "unpartitioned window in drift plan")
+  }
+
   test("d_word_freq: no unpartitioned running window over unbounded input") {
     // The global rank must go through Skew.globalRowNumber (range
     // partition + offset merge) — a bare Window.orderBy would sort the
