@@ -193,6 +193,37 @@ object Lexical {
       .orderBy($"rk")
   }
 
+  /** F27 language-code canonicalization as an ORACLED corpus query:
+    * the corpus lang codes map through the shipped
+    * [[graft.sources.LangData]] resource to canonical name + preferred
+    * short code; the oracle CASE is generated from the same resource,
+    * so the two sides cannot drift. Unknown codes pass through. */
+  val dLangNormalize: Spec = {
+    import graft.sources.LangData
+    def caseSql(to: LangData.LangInfo => String): String =
+      "CASE lower(lang) " + LangData.all.flatMap { l =>
+        Seq(l.language, l.iso3).distinct ++ l.iso1
+      }.distinct.map { sp =>
+        val l = LangData.byName(LangData.canonicalName(sp).get)
+        s"WHEN ${sqlQuote(sp)} THEN ${sqlQuote(to(l))}"
+      }.mkString(" ") + " ELSE lang END"
+    Spec(
+      "d_lang_normalize",
+      oracle = Some(s"""
+      SELECT lang, ${caseSql(_.language)} AS lang_name,
+        ${caseSql(l => l.iso1.getOrElse(l.iso3))} AS lang_code,
+        COUNT(*) AS n_docs
+      FROM documents GROUP BY 1, 2, 3 ORDER BY lang""")) { (s, dir) =>
+      import s.implicits._
+      docs(s, dir)
+        .select($"lang", LangData.nameCol($"lang").as("lang_name"),
+          LangData.codeCol($"lang").as("lang_code"))
+        .groupBy($"lang", $"lang_name", $"lang_code")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy($"lang")
+    }
+  }
+
   val specs: Seq[Spec] = Seq(dNsfwMultilang, dStopwordMultilang,
-    dBpeTokenStats, dBpePairCounts)
+    dBpeTokenStats, dBpePairCounts, dLangNormalize)
 }
