@@ -69,13 +69,25 @@ object ScriptDetector extends Detector {
 
 object StopwordDetector extends Detector {
   val name = "stopword"
-  private val lists: Map[String, Set[String]] = Map(
-    "en" -> Set("the", "a", "of", "and", "to", "in", "is", "that", "it", "for", "with", "was", "on", "are"),
-    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "für", "auf", "den", "von", "zu"),
-    "fr" -> Set("le", "la", "les", "et", "est", "une", "un", "des", "dans", "pour", "que", "qui", "pas", "sur"),
-    "es" -> Set("el", "los", "las", "y", "es", "una", "un", "en", "por", "para", "con", "del", "se", "no"),
-    "it" -> Set("il", "lo", "gli", "e", "è", "una", "un", "di", "che", "per", "con", "del", "si", "non"),
-    "pt" -> Set("o", "os", "as", "e", "é", "uma", "um", "de", "que", "para", "com", "do", "da", "não"))
+  // Inline lists for the European set (tuned for short synthetic text),
+  // widened with every SHIPPED stopword lexicon (the reference's
+  // filter_data languages — hindi, bengali, …, manipuri) keyed by the
+  // mapping resource's preferred short code. Inline entries win on key
+  // collision (en/de appear in both).
+  private val lists: Map[String, Set[String]] = {
+    val shipped = graft.sources.Lexicons.languages.map { l =>
+      val code = graft.sources.LangData.byName.get(l)
+        .map(graft.sources.LangData.shortCode).getOrElse(l)
+      code -> graft.sources.Lexicons.stopwords(l).toSet
+    }.toMap
+    shipped ++ Map(
+      "en" -> Set("the", "a", "of", "and", "to", "in", "is", "that", "it", "for", "with", "was", "on", "are"),
+      "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "für", "auf", "den", "von", "zu"),
+      "fr" -> Set("le", "la", "les", "et", "est", "une", "un", "des", "dans", "pour", "que", "qui", "pas", "sur"),
+      "es" -> Set("el", "los", "las", "y", "es", "una", "un", "en", "por", "para", "con", "del", "se", "no"),
+      "it" -> Set("il", "lo", "gli", "e", "è", "una", "un", "di", "che", "per", "con", "del", "si", "non"),
+      "pt" -> Set("o", "os", "as", "e", "é", "uma", "um", "de", "que", "para", "com", "do", "da", "não"))
+  }
   def detect(text: String): LidResult = {
     val toks = text.toLowerCase.split("[^\\p{L}']+").filter(_.nonEmpty)
     if (toks.isEmpty) return LidResult("und", 0.0)

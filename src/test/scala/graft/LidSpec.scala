@@ -34,6 +34,20 @@ class LidSpec extends AnyFunSuite {
       assert(StopwordDetector.detect(samples(l)).lang == l, s"lang $l")
   }
 
+  test("stopword detector covers the shipped Indic lexicon languages") {
+    // sentences built from each language's own function words — the
+    // detector must name the language from the resource-backed lists
+    assert(StopwordDetector.detect(
+      "यह एक है और वह भी है लेकिन मैं नहीं").lang == "hi")
+    // disjoint-from-assamese words only (the two share script + core)
+    assert(StopwordDetector.detect(
+      "একটি এবং ছিল মধ্যে থেকে উপর যে না").lang == "bn")
+    assert(StopwordDetector.detect(
+      "ਇਹ ਇੱਕ ਹੈ ਅਤੇ ਉਹ ਵੀ ਹੈ ਪਰ ਮੈਂ ਨਹੀਂ").lang == "pa")
+    assert(StopwordDetector.detect(
+      "આ એક છે અને તે પણ છે કે હું").lang == "gu")
+  }
+
   test("char-ngram detector separates Latin languages") {
     for (l <- Seq("en", "de", "fr", "es"))
       assert(CharNgramDetector.detect(samples(l)).lang == l, s"lang $l")
