@@ -389,8 +389,9 @@ object Events {
         "yyyy-MM-dd HH:mm:ss"))
     val wc = ev.groupBy($"window_start", $"event_type")
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // one events scan; wt and g both derive from wc
     val wt = wc.groupBy($"window_start").agg(sum($"n").as("wtot"))
-    val g = ev.groupBy($"event_type").agg(count(lit(1)).as("gn"))
+    val g = wc.groupBy($"event_type").agg(sum($"n").as("gn"))
     val gp = g.crossJoin(broadcast(g.agg(sum($"gn").as("gtot"))))
       .select($"event_type",
         round($"gn".cast("double") / $"gtot", 6).as("p_ref"))
