@@ -346,15 +346,44 @@ object Events {
   /** WINDOWED PSI drift over event time — the monitoring twin of
     * d_drift_psi (corpus-slice PSI, TrainingPrep): each tumbling hour's
     * event-type distribution scored against the global reference
-    * distribution. Missing categories take the standard 1e-4 floor via
-    * a (window × type) grid — windows-per-year × #types rows, bounded.
-    * Terms round to 6dp and sum as DECIMAL per window so the per-window
-    * total is aggregation-order-independent; the reference counts ride
-    * a broadcast, so the plan is two hash aggs plus a bounded-partition
-    * window — no scale-variant reducer. */
-  val qDriftWindowed: Spec = Spec(
-    "ev_drift_windowed",
-    oracle = Some("""
+    * distribution (the counts re-aggregated by type). Missing
+    * categories take the standard 1e-4 floor via a (window × type)
+    * grid — windows-per-year × #types rows, bounded. Terms round to
+    * 6dp and sum as DECIMAL per window so the per-window total is
+    * aggregation-order-independent; reference counts ride a broadcast,
+    * so the plan is two hash aggs over one corpus scan plus a
+    * bounded-partition window — no scale-variant reducer. Takes the
+    * (window_start, event_type, n) count table as input, shared by the
+    * batch query (ev_drift_windowed) and the streaming twin
+    * (st_drift_windowed) so the two cannot drift. */
+  def psiOverWindowCounts(wcRaw: DataFrame): DataFrame = {
+    val s = wcRaw.sparkSession
+    import s.implicits._
+    val wc = wcRaw.select($"window_start", $"event_type", $"n")
+      .localCheckpoint() // one upstream evaluation; three consumers
+    val wt = wc.groupBy($"window_start").agg(sum($"n").as("wtot"))
+    val g = wc.groupBy($"event_type").agg(sum($"n").as("gn"))
+    val gp = g.crossJoin(broadcast(g.agg(sum($"gn").as("gtot"))))
+      .select($"event_type",
+        round($"gn".cast("double") / $"gtot", 6).as("p_ref"))
+    val p = wt.crossJoin(broadcast(gp))
+      .join(wc, Seq("window_start", "event_type"), "left")
+      .select($"window_start", $"event_type",
+        coalesce(round($"n".cast("double") / $"wtot", 6), lit(0.0001))
+          .as("p_win"),
+        $"p_ref")
+    p.withColumn("term",
+        round(($"p_win" - $"p_ref") * log($"p_win" / $"p_ref"), 6)
+          .cast("decimal(18,6)"))
+      .select($"window_start", $"event_type", $"p_win", $"p_ref",
+        $"term".cast("double").as("psi_term"),
+        sum($"term").over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"window_start")).cast("double").as("psi_window"))
+      .orderBy($"window_start", $"event_type")
+  }
+
+  /** The shared drift oracle: PSI restated from the raw events table. */
+  val driftOracleSql: String = """
       WITH w AS (
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                event_type FROM events),
@@ -381,34 +410,20 @@ object Events {
       SELECT window_start, event_type, p_win, p_ref,
         CAST(term AS DOUBLE) AS psi_term,
         CAST(SUM(term) OVER (PARTITION BY window_start) AS DOUBLE) AS psi_window
-      FROM terms ORDER BY window_start, event_type""")) { (s, dir) =>
+      FROM terms ORDER BY window_start, event_type"""
+
+  val qDriftWindowed: Spec = Spec(
+    "ev_drift_windowed",
+    oracle = Some(driftOracleSql)) { (s, dir) =>
     import s.implicits._
     val hourNs = 3600L * 1000 * 1000 * 1000
-    val ev = load(s, dir).withColumn("window_start",
-      date_format(timestamp_micros(expr(s"(ts - ts % $hourNs) div 1000")),
-        "yyyy-MM-dd HH:mm:ss"))
-    val wc = ev.groupBy($"window_start", $"event_type")
+    val wc = load(s, dir)
+      .withColumn("window_start",
+        date_format(timestamp_micros(expr(s"(ts - ts % $hourNs) div 1000")),
+          "yyyy-MM-dd HH:mm:ss"))
+      .groupBy($"window_start", $"event_type")
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint() // one events scan; wt and g both derive from wc
-    val wt = wc.groupBy($"window_start").agg(sum($"n").as("wtot"))
-    val g = wc.groupBy($"event_type").agg(sum($"n").as("gn"))
-    val gp = g.crossJoin(broadcast(g.agg(sum($"gn").as("gtot"))))
-      .select($"event_type",
-        round($"gn".cast("double") / $"gtot", 6).as("p_ref"))
-    val p = wt.crossJoin(broadcast(gp))
-      .join(wc, Seq("window_start", "event_type"), "left")
-      .select($"window_start", $"event_type",
-        coalesce(round($"n".cast("double") / $"wtot", 6), lit(0.0001))
-          .as("p_win"),
-        $"p_ref")
-    p.withColumn("term",
-        round(($"p_win" - $"p_ref") * log($"p_win" / $"p_ref"), 6)
-          .cast("decimal(18,6)"))
-      .select($"window_start", $"event_type", $"p_win", $"p_ref",
-        $"term".cast("double").as("psi_term"),
-        sum($"term").over(org.apache.spark.sql.expressions.Window
-          .partitionBy($"window_start")).cast("double").as("psi_window"))
-      .orderBy($"window_start", $"event_type")
+    psiOverWindowCounts(wc)
   }
 
   val specs: Seq[Spec] = Seq(qTumbling, qSessionize, qAsofClick,

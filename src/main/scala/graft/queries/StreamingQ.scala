@@ -341,7 +341,22 @@ object StreamingQ {
       .orderBy($"tok")
   }
 
+  /** STREAMING drift monitor: the watermarked tumbling count query
+    * maintains the (window, type) table; PSI is a batch view over that
+    * state — the standard streaming-monitor split (stream keeps the
+    * cheap sufficient statistics, the expensive comparison runs over
+    * the bounded result). Shares [[Events.psiOverWindowCounts]] and the
+    * batch oracle with ev_drift_windowed. */
+  val stDriftWindowed: Spec = Spec(
+    "st_drift_windowed",
+    oracle = Some(Events.driftOracleSql)) { (s, dir) =>
+    import s.implicits._
+    Events.psiOverWindowCounts(
+      StreamOps.tumblingCounts(s, dir, sink = "st_drift_mem")
+        .select($"window_start", $"event_type", $"n_events".as("n")))
+  }
+
   val specs: Seq[Spec] = Seq(stTumbling, stSliding, stDedup, stSessions,
     stEnrich, stClickView, dLid, dLidScript, pipelineE2e, stDocFlags,
-    stHeavyHitters)
+    stHeavyHitters, stDriftWindowed)
 }

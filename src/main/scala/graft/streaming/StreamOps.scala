@@ -64,9 +64,11 @@ object StreamOps {
   }
 
   /** Tumbling 1-hour event counts as a streaming query, returned as the
-    * final batch result table. */
-  def tumblingCounts(s: SparkSession, dir: String): DataFrame =
-    tumblingFrom(s, eventsStream(s, dir), "st_tumbling_mem")
+    * final batch result table. `sink` must be unique per caller — two
+    * queries sharing a memory-sink name would race on the temp view. */
+  def tumblingCounts(s: SparkSession, dir: String,
+      sink: String = "st_tumbling_mem"): DataFrame =
+    tumblingFrom(s, eventsStream(s, dir), sink)
 
   /** Sliding 1-hour windows every 15 minutes as a streaming query —
     * each event lands in 4 overlapping windows; watermarked state,
