@@ -266,6 +266,36 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(got == exact.filter { case (_, c) => c * k > n }.toMap)
   }
 
+  test("per-batch MG summary UNION contains every global heavy hitter (streaming guarantee)") {
+    // The streaming heavy-hitter design rests on: if Σc_i > Σn_i/k then
+    // some batch has c_i > n_i/k (average argument), and the MG
+    // invariant keeps that token in that batch's summary — so the
+    // UNION of independent per-batch summaries (no merging at all) is
+    // a valid candidate set for the exact recount. Pin it on a skewed
+    // stream cut into adversarially uneven batches.
+    import graft.ops.HeavyHitters
+    val k = 10
+    val rnd = new scala.util.Random(7)
+    val stream = (0 until 30000).map { _ =>
+      val r = rnd.nextDouble()
+      val i = math.min(79, (math.pow(80.0, r) - 1).toInt)
+      s"t$i"
+    }
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = stream.size.toLong
+    val sizes = Seq(101, 5000, 37, 9000, 1500, 30000) // last takes the rest
+    val batches = sizes.foldLeft((Seq.empty[Seq[String]], stream: Seq[String])) {
+      case ((acc, rest), sz) =>
+        val (h, t) = rest.splitAt(sz); (acc :+ h, t)
+    }._1.filter(_.nonEmpty)
+    assert(batches.map(_.size).sum == n)
+    val union = batches.flatMap(
+      _.foldLeft(Map.empty[String, Long])(
+        (m, x) => HeavyHitters.mgInsert(m, x, k)).keys).toSet
+    exact.filter(_._2 > n / k).keys.foreach(t =>
+      assert(union.contains(t), s"global heavy item $t absent from union"))
+  }
+
   test("unigram LM score: repeated-token doc scores higher than rare-token doc") {
     val out = graft.queries.TrainingPrep.dUnigramLmScore.fn(spark, TestSpark.Sf)
     // avg_logprob is a real score: finite, negative, and docs made of
