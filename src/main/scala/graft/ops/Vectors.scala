@@ -156,9 +156,11 @@ object Vectors {
     val base = emb.select(col("vec_id"), col("embedding"))
     // init: the k lowest-id vectors, whatever the id range — sparse or
     // offset ids must not under-train silently
+    // Number, not Float: the frame may carry float embeddings or
+    // double residuals (IVF-PQ trains on residual vectors)
     var cents: Seq[Seq[Double]] = base
       .orderBy("vec_id").limit(k).collect()
-      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+      .map(_.getSeq[Number](1).map(_.doubleValue()).toSeq).toSeq
     require(cents.size == k,
       s"k-means needs at least k=$k vectors, found ${cents.size}")
     for (_ <- 1 to iters) {
@@ -232,6 +234,61 @@ object Vectors {
     }.reduce(_ + _)
     val coarse = c.join(q, col("qid") =!= col("cid"))
       .withColumn("cos_sim", adc.cast("double") / (col("qn") * col("cn")))
+    val shortlist = topK(coarse, rerank).select(col("qid"), col("cid"))
+    val exact = shortlist
+      .join(c.select(col("cid"), col("cv"), col("cn")), Seq("cid"))
+      .join(q.select(col("qid"), col("qv"), col("qn")), Seq("qid"))
+      .withColumn("cos_sim", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+    topK(exact, k)
+  }
+
+  /** Elementwise residual vs the row's cell centroid (double array) —
+    * what IVF-PQ quantizes: residuals are small, so a 16-cell codebook
+    * spends its resolution near zero instead of across the whole
+    * embedding range. */
+  def residual(vec: Column, cell: Column, cents: Seq[Seq[Double]]): Column =
+    zip_with(vec, element_at(typedLit(cents), cell.cast("int") + 1),
+      (x, c) => x.cast("double") - c)
+
+  /** IVF-PQ search (FAISS-style composite index): corpus rows carry a
+    * coarse cell + m residual codes; a query scores ONLY its own
+    * cell's rows as dot(q, cell centroid) + Σ_m dot(q_sub_m,
+    * codebook_m[code_m]) — the exact ADC decomposition of
+    * dot(q, cent + residual≈PQ) — then the shortlist re-ranks exactly.
+    * All dot terms round to 9dp and sum as DECIMAL (order-free), so
+    * the whole chain is SQL-restatable. At scale: cells bound the scan
+    * (1/nCells of the corpus per query), codes are m bytes per row,
+    * centroids + codebooks broadcast.
+    *
+    * @param assigned (vec_id, embedding float[], cell, resid double[]) */
+  def knnIvfPq(assigned: DataFrame, cents: Seq[Seq[Double]],
+      books: Seq[Seq[Seq[Double]]], queryPred: Column, k: Int,
+      rerank: Int = 50): DataFrame = {
+    val m = books.size
+    val sub = books.head.head.size
+    val centsLit = typedLit(cents)
+    val c = assigned
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("cell"), pqCodes(col("resid"), books).as("codes"))
+      .withColumn("cn", norm(col("cv")))
+    val q = broadcast(assigned.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("cell"))
+      .withColumn("qn", norm(col("qv")))
+      .withColumn("qcdot",
+        round(aggregate(
+          zip_with(col("qv"), element_at(centsLit, col("cell").cast("int") + 1),
+            (x, h) => x.cast("double") * h),
+          lit(0.0d), (acc, v) => acc + v), 9).cast("decimal(28,12)")))
+    val adcRes = (0 until m).map { j =>
+      val cent = element_at(typedLit(books(j)),
+        element_at(col("codes"), j + 1).cast("int") + 1)
+      val qsub = slice(col("qv"), j * sub + 1, sub)
+      round(aggregate(zip_with(qsub, cent, (x, h) => x.cast("double") * h),
+        lit(0.0d), (acc, v) => acc + v), 9).cast("decimal(28,12)")
+    }.reduce(_ + _)
+    val coarse = c.join(q, Seq("cell")).filter(col("qid") =!= col("cid"))
+      .withColumn("cos_sim",
+        (col("qcdot") + adcRes).cast("double") / (col("qn") * col("cn")))
     val shortlist = topK(coarse, rerank).select(col("qid"), col("cid"))
     val exact = shortlist
       .join(c.select(col("cid"), col("cv"), col("cn")), Seq("cid"))

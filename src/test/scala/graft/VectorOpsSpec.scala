@@ -60,6 +60,32 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"recall $recall")
   }
 
+  test("IVF-PQ recall vs exact within-cell search") {
+    val embRaw = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+    val cents = Vectors.kmeansCentroids(embRaw, k = 8, iters = 1)
+    val assigned = embRaw.select($"vec_id", $"embedding")
+      .withColumn("cell", Vectors.nearestCell($"embedding", cents))
+      .withColumn("resid", Vectors.residual($"embedding", $"cell", cents))
+      .localCheckpoint()
+    val books = Vectors.pqCodebooks(
+      assigned.select($"vec_id", $"resid".as("embedding")),
+      dim = 64, m = 8, k = 16, iters = 1)
+    val approx = Vectors.knnIvfPq(assigned, cents, books, $"vec_id" < 5, 5)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    // ground truth: exact cosine within the same learned cells
+    val cellFrame = assigned
+      .select($"vec_id".as("id"), $"embedding".as("vec"), $"cell")
+    val exact = Vectors.knnCell(
+        cellFrame.filter($"id" < 5), cellFrame, "cell", 5)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall $recall")
+    // structural: every neighbor shares the query's cell
+    val cells = assigned.select($"vec_id", $"cell")
+      .as[(Long, Long)].collect().toMap
+    approx.foreach { case (q, c) => assert(cells(q) == cells(c)) }
+  }
+
   test("neardupLsh: all emitted pairs are true positives; recall pinned vs exact") {
     val emb = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
     val lsh = Vectors.neardupLsh(emb, threshold = 0.35)
