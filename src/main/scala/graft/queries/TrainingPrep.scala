@@ -595,9 +595,47 @@ object TrainingPrep {
       .orderBy($"lang", $"seq_idx", $"seg_offset")
   }
 
+  /** KMV (k-minimum-values) distinct-count sketch over the corpus
+    * vocabulary — unlike HLL (q_approx_sketches, no-oracle by nature)
+    * the KMV estimate is a DETERMINISTIC function of the md5 hash
+    * values, so the oracle replays it exactly: estimate =
+    * (k−1)·2⁴⁸ / (k-th smallest distinct 48-bit hash). Mergeable by
+    * construction (union partial k-min sets, re-take k) — here the
+    * shuffle carries only the distinct hash column and the k-min is a
+    * TakeOrdered (per-partition top-k + driver merge), never a global
+    * sort. Exact distinct shipped alongside so the row also documents
+    * the sketch's error at this scale. */
+  val dKmvDistinct: Spec = Spec(
+    "d_kmv_distinct",
+    oracle = Some("""
+      WITH tok AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+                   FROM documents),
+      h AS (SELECT DISTINCT CAST('0x' || substr(md5(tok), 1, 12) AS BIGINT) AS hv
+            FROM tok),
+      km AS (SELECT hv FROM h ORDER BY hv LIMIT 64)
+      SELECT CAST(64 AS BIGINT) AS k, MAX(hv) AS kth_min,
+        ROUND(63 * 281474976710656.0 / MAX(hv), 6) AS est_distinct,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM h) AS exact_distinct
+      FROM km""")) { (s, dir) =>
+    import s.implicits._
+    val hv = docs(s, dir)
+      .select(explode(Text.tokens($"text")).as("tok"))
+      .select(conv(substring(md5($"tok"), 1, 12), 16, 10)
+        .cast("long").as("hv"))
+      .distinct()
+      .localCheckpoint() // one vocab hash: k-min and exact count share it
+    val kmin = hv.orderBy($"hv").limit(64)
+    kmin
+      .agg(max($"hv").as("kth_min"))
+      .select(lit(64L).as("k"), $"kth_min",
+        round(lit(63) * lit(281474976710656.0) / $"kth_min", 6)
+          .as("est_distinct"))
+      .crossJoin(broadcast(hv.agg(count(lit(1)).as("exact_distinct"))))
+  }
+
   val specs: Seq[Spec] = Seq(
     dStratifiedSample, dShardPacking, dChunkWindows, dUnigramLmScore,
     dGopherRules, dTfidfTopTerms, dMixtureSample, dLengthOutliers,
     dProfileColumns, dZipfSlope, dDriftPsi, dHeavyHitters,
-    dSequenceSegments)
+    dSequenceSegments, dKmvDistinct)
 }

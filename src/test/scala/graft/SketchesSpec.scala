@@ -26,4 +26,19 @@ class SketchesSpec extends AnyFunSuite {
       assert(math.abs(r.getAs[Double]("amed") - r.getAs[Double]("emed")) <= 1.0)
     }
   }
+
+  test("KMV sketch: merge = union-then-retake; estimate within 25% on synthetic vocab") {
+    // the mergeability the d_kmv_distinct design rests on: k smallest
+    // of (A ∪ B) == k smallest of (kmin(A) ∪ kmin(B))
+    val k = 64
+    val rnd = new scala.util.Random(11)
+    val a = Seq.fill(5000)(rnd.nextLong().abs % (1L << 48)).distinct
+    val b = Seq.fill(5000)(rnd.nextLong().abs % (1L << 48)).distinct
+    def kmin(xs: Seq[Long]) = xs.distinct.sorted.take(k)
+    assert(kmin(a ++ b) == kmin(kmin(a) ++ kmin(b)))
+    // estimator sanity on uniform 48-bit hashes
+    val u = (a ++ b).distinct
+    val est = (k - 1) * math.pow(2, 48) / kmin(u).last
+    assert(math.abs(est - u.size) / u.size < 0.25, s"est $est vs ${u.size}")
+  }
 }
