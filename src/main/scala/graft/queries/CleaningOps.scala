@@ -613,9 +613,67 @@ object CleaningOps {
       .orderBy($"doc_id")
   }
 
+  /** Junk-line filtering from the SHIPPED junk lexicons (the
+    * reference's filter_data/junk surface): `complete` entries remove
+    * a line by whole-line match (case-insensitive, trimmed), `partial`
+    * by substring. Both the Spark predicates and the oracle SQL derive
+    * from the same resource files; per-doc counts keep the oracle
+    * tidy. Junk lines are injected doc_id-deterministically (the
+    * synthetic corpus contains none). */
+  val dJunkLines: Spec = {
+    val complete = graft.sources.Lexicons.junkComplete("english")
+    val partial = graft.sources.Lexicons.junkPartial("english")
+    def q(w: String) = "'" + w.replace("'", "''") + "'"
+    val inSql = complete.map(c => q(c.toLowerCase)).mkString(", ")
+    val partSql = partial
+      .map(p => s"contains(lower(line), ${q(p.toLowerCase)})").mkString(" OR ")
+    Spec(
+      "d_junk_lines",
+      oracle = Some(s"""
+      WITH r AS (
+        SELECT doc_id, substr(text, 1, 40) || CASE doc_id % 3
+          WHEN 0 THEN chr(10) || 'Loading...'
+          WHEN 1 THEN chr(10) || 'please subscribe to our newsletter today'
+          ELSE chr(10) || 'this line stays' END AS rich
+        FROM documents WHERE doc_id % 4 = 1),
+      l AS (SELECT doc_id, unnest(string_split(rich, chr(10))) AS line FROM r),
+      c AS (SELECT doc_id, line,
+              (lower(trim(line)) IN ($inSql)) AS is_c,
+              ($partSql) AS is_p
+            FROM l)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        CAST(COUNT(CASE WHEN is_c THEN 1 END) AS BIGINT) AS n_junk_complete,
+        CAST(COUNT(CASE WHEN is_p AND NOT is_c THEN 1 END) AS BIGINT) AS n_junk_partial,
+        CAST(COUNT(CASE WHEN NOT is_c AND NOT is_p THEN 1 END) AS BIGINT) AS n_kept
+      FROM c GROUP BY doc_id ORDER BY doc_id""")) { (s, dir) =>
+      import s.implicits._
+      val rich = concat(substring($"text", 1, 40),
+        when($"doc_id" % 3 === 0, lit("\nLoading..."))
+          .when($"doc_id" % 3 === 1,
+            lit("\nplease subscribe to our newsletter today"))
+          .otherwise(lit("\nthis line stays")))
+      val lines = docs(s, dir)
+        .filter($"doc_id" % 4 === 1)
+        .select($"doc_id", explode(split(rich, "\n")).as("line"))
+      val isC = lower(trim($"line"))
+        .isin(complete.map(_.toLowerCase): _*)
+      val isP = partial
+        .map(p => lower($"line").contains(p.toLowerCase))
+        .reduce(_ || _)
+      lines
+        .select($"doc_id", isC.as("is_c"), isP.as("is_p"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_lines"),
+          count(when($"is_c", 1)).as("n_junk_complete"),
+          count(when($"is_p" && !$"is_c", 1)).as("n_junk_partial"),
+          count(when(!$"is_c" && !$"is_p", 1)).as("n_kept"))
+        .orderBy($"doc_id")
+    }
+  }
+
   val specs: Seq[Spec] = Seq(
     dSplitSentences, dNumPuncChunks, dTerminalChunks, dNumberChunks,
     dCodeDetect, dCodeRemove, dNormalizeIndic, dTerminalPuncFilter,
     dNonTermSpanRemove, dSentenceSplitLang, dPiiMask, dBoilerplateLines,
-    dHtmlExtract)
+    dHtmlExtract, dJunkLines)
 }

@@ -28,6 +28,14 @@ object Lexicons {
   def nsfw(lang: String): Seq[String] = load("nsfw", lang)
   def stopwords(lang: String): Seq[String] = load("stopwords", lang)
 
+  /** Junk-line lexicons (reference surface:
+    * filter_data/junk/{complete,partial} — constants.py:20-21,93-94):
+    * `complete` entries kill a line by whole-line match, `partial` by
+    * substring. English out of the box (like the reference),
+    * parameterized like the other lexicon families. */
+  def junkComplete(lang: String): Seq[String] = load("junk_complete", lang)
+  def junkPartial(lang: String): Seq[String] = load("junk_partial", lang)
+
   /** Deduplicated union across languages — what a multilingual corpus
     * run feeds the single shared Aho-Corasick automaton. */
   def nsfwUnion(langs: Seq[String] = languages): Seq[String] =
