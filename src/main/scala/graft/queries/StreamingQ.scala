@@ -144,9 +144,8 @@ object StreamingQ {
     * detector against DuckDB on text carrying Devanagari / Bengali /
     * Latin-only rows (letters = \p{L} on both sides; vowel signs are
     * marks, not letters, in both engines). */
-  val dLidScript: Spec = Spec(
-    "d_lid_script",
-    oracle = Some("""
+  /** Shared by d_lid_script and its streaming twin. */
+  private val lidScriptOracleSql: String = """
       WITH r AS (SELECT doc_id,
           substr(text,1,15) || CASE doc_id % 3
             WHEN 0 THEN repeat(' नमस', 10)
@@ -170,19 +169,41 @@ object StreamingQ {
             THEN CAST(n_bn AS DOUBLE) / (n_hi + n_bn + n_lat)
           ELSE 0.3 * CAST(n_lat AS DOUBLE) / (n_hi + n_bn + n_lat)
         END, 6) AS script_conf
-      FROM c ORDER BY doc_id""")) { (s, dir) =>
+      FROM c ORDER BY doc_id"""
+
+  /** The script-vote projection shared by batch and streaming LID. */
+  private def lidScriptCols(s: org.apache.spark.sql.SparkSession,
+      src: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val rich = concat(substring($"text", 1, 15),
       when($"doc_id" % 3 === 0, repeat(lit(" नमस"), 10))
         .when($"doc_id" % 3 === 1, repeat(lit(" রাম"), 10))
         .otherwise(lit("")))
-    val input = Tables.load(s, dir, "documents")
-      .filter($"doc_id" % 5 === 0)
+    val input = src.filter($"doc_id" % 5 === 0)
       .select($"doc_id", rich.as("rich"))
     Ensemble.annotate(s, input, "doc_id", "rich")
       .select($"doc_id", $"script_lang",
         round($"script_conf", 6).as("script_conf"))
-      .orderBy($"doc_id")
+  }
+
+  val dLidScript: Spec = Spec(
+    "d_lid_script",
+    oracle = Some(lidScriptOracleSql)) { (s, dir) =>
+    import s.implicits._
+    lidScriptCols(s, Tables.load(s, dir, "documents")).orderBy($"doc_id")
+  }
+
+  /** STREAMING LID: the ensemble's mapPartitions annotation is
+    * stateless, so the identical column logic runs on an unbounded
+    * document feed (append mode, no state store) — "tag language as
+    * docs arrive from the crawler". Shares [[lidScriptCols]] and the
+    * oracle with d_lid_script. */
+  val stLidScript: Spec = Spec(
+    "st_lid_script",
+    oracle = Some(lidScriptOracleSql)) { (s, dir) =>
+    import s.implicits._
+    StreamOps.docFlagsStream(s, dir, src => lidScriptCols(s, src),
+      "st_lid_mem").orderBy($"doc_id")
   }
 
   /** Whole fused pipeline (clean → stats → flag/remove → exact dedup →
@@ -358,5 +379,5 @@ object StreamingQ {
 
   val specs: Seq[Spec] = Seq(stTumbling, stSliding, stDedup, stSessions,
     stEnrich, stClickView, dLid, dLidScript, pipelineE2e, stDocFlags,
-    stHeavyHitters, stDriftWindowed)
+    stHeavyHitters, stDriftWindowed, stLidScript)
 }
