@@ -671,9 +671,53 @@ object CleaningOps {
     }
   }
 
+  /** Script-run segmentation for code-mixed documents (the Indic-web
+    * reality setu curates: Hindi/Bengali prose with embedded Latin) —
+    * ONE ordered alternation regex extracts the letter runs, so
+    * segments come out interleaved in document order; each classifies
+    * by its first codepoint. Row-local (no shuffle, no UDF), and the
+    * same RE2-safe pattern runs in the oracle, which must reproduce
+    * every segment's position, script, length and md5. */
+  val dScriptSegments: Spec = Spec(
+    "d_script_segments",
+    oracle = Some("""
+      WITH r AS (
+        SELECT doc_id, substr(text, 1, 30) ||
+          ' नमस्ते दुनिया hello world আবার দেখা হবে ok' AS rich
+        FROM documents WHERE doc_id % 4 = 2),
+      seg AS (SELECT doc_id, generate_subscripts(ss, 1) AS seg_idx,
+                unnest(ss) AS seg
+              FROM (SELECT doc_id, regexp_extract_all(rich,
+                '[\x{0900}-\x{097f}]+|[\x{0980}-\x{09ff}]+|[A-Za-z]+') AS ss
+                FROM r))
+      SELECT doc_id, CAST(seg_idx AS BIGINT) AS seg_idx,
+        CASE WHEN regexp_matches(seg, '^[\x{0900}-\x{097f}]') THEN 'devanagari'
+             WHEN regexp_matches(seg, '^[\x{0980}-\x{09ff}]') THEN 'bengali'
+             ELSE 'latin' END AS script,
+        CAST(length(seg) AS BIGINT) AS seg_chars,
+        md5(seg) AS seg_md5
+      FROM seg ORDER BY doc_id, seg_idx""")) { (s, dir) =>
+    import s.implicits._
+    val pat = "[\\u0900-\\u097F]+|[\\u0980-\\u09FF]+|[A-Za-z]+"
+    docs(s, dir)
+      .filter($"doc_id" % 4 === 2)
+      .select($"doc_id", concat(substring($"text", 1, 30),
+        lit(" नमस्ते दुनिया hello world আবার দেখা হবে ok")).as("rich"))
+      .select($"doc_id",
+        posexplode(regexp_extract_all($"rich", lit(pat), lit(0)))
+          .as(Seq("i", "seg")))
+      .select($"doc_id", ($"i" + 1).cast("long").as("seg_idx"),
+        when($"seg".rlike("^[\\u0900-\\u097F]"), "devanagari")
+          .when($"seg".rlike("^[\\u0980-\\u09FF]"), "bengali")
+          .otherwise("latin").as("script"),
+        length($"seg").cast("long").as("seg_chars"),
+        md5($"seg").as("seg_md5"))
+      .orderBy($"doc_id", $"seg_idx")
+  }
+
   val specs: Seq[Spec] = Seq(
     dSplitSentences, dNumPuncChunks, dTerminalChunks, dNumberChunks,
     dCodeDetect, dCodeRemove, dNormalizeIndic, dTerminalPuncFilter,
     dNonTermSpanRemove, dSentenceSplitLang, dPiiMask, dBoilerplateLines,
-    dHtmlExtract, dJunkLines)
+    dHtmlExtract, dJunkLines, dScriptSegments)
 }
