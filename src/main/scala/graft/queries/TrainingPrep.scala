@@ -633,9 +633,54 @@ object TrainingPrep {
       .crossJoin(broadcast(hv.agg(count(lit(1)).as("exact_distinct"))))
   }
 
+  /** Corpus snapshot diff — the versioned-corpus management op: two
+    * snapshots full-outer-join on doc_id, rows classify as
+    * added / removed / changed (content md5 differs) with unchanged
+    * rows dropped from the detail (they dominate at scale and carry no
+    * information). One id-keyed shuffle; the md5 comparison is the only
+    * content read. Snapshots here are deterministic slices of the same
+    * table (prev: doc_id % 7 ≠ 0; curr: doc_id % 5 ≠ 0, with every
+    * doc_id % 3 = 0 text revised) so the oracle can rebuild both. */
+  val dSnapshotDiff: Spec = Spec(
+    "d_snapshot_diff",
+    oracle = Some("""
+      WITH prev AS (
+        SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 <> 0),
+      curr AS (
+        SELECT doc_id,
+          md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END) AS h
+        FROM documents WHERE doc_id % 5 <> 0),
+      d AS (
+        SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
+          CASE WHEN p.doc_id IS NULL THEN 'added'
+               WHEN c.doc_id IS NULL THEN 'removed'
+               WHEN p.h <> c.h THEN 'changed'
+               ELSE 'unchanged' END AS status
+        FROM prev p FULL OUTER JOIN curr c ON p.doc_id = c.doc_id)
+      SELECT doc_id, status FROM d WHERE status <> 'unchanged'
+      ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    val d = docs(s, dir)
+    val prev = d.filter($"doc_id" % 7 =!= 0)
+      .select($"doc_id", md5($"text").as("h"))
+    val curr = d.filter($"doc_id" % 5 =!= 0)
+      .select($"doc_id",
+        md5(when($"doc_id" % 3 === 0, concat($"text", lit(" v2")))
+          .otherwise($"text")).as("h"))
+    prev.as("p").join(curr.as("c"),
+        $"p.doc_id" === $"c.doc_id", "full_outer")
+      .select(coalesce($"p.doc_id", $"c.doc_id").as("doc_id"),
+        when($"p.doc_id".isNull, "added")
+          .when($"c.doc_id".isNull, "removed")
+          .when($"p.h" =!= $"c.h", "changed")
+          .otherwise("unchanged").as("status"))
+      .filter($"status" =!= "unchanged")
+      .orderBy($"doc_id")
+  }
+
   val specs: Seq[Spec] = Seq(
     dStratifiedSample, dShardPacking, dChunkWindows, dUnigramLmScore,
     dGopherRules, dTfidfTopTerms, dMixtureSample, dLengthOutliers,
     dProfileColumns, dZipfSlope, dDriftPsi, dHeavyHitters,
-    dSequenceSegments, dKmvDistinct)
+    dSequenceSegments, dKmvDistinct, dSnapshotDiff)
 }
