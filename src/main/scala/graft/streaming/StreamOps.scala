@@ -332,8 +332,22 @@ object StreamOps {
     * archived token column, true threshold n·k > total. */
   def heavyHittersResult(s: SparkSession, outDir: String, k: Int): DataFrame = {
     import s.implicits._
-    val cands = s.read.parquet(s"$outDir/summaries").select($"tok").distinct()
-    val toks = s.read.parquet(s"$outDir/tokens").select($"tok")
+    // a stream that never saw a batch has no dirs — empty result, not
+    // a missing-path AnalysisException
+    (existingParquet(s, s"$outDir/summaries"),
+        existingParquet(s, s"$outDir/tokens")) match {
+      case (Some(sums), Some(tokens)) =>
+        heavyHitterRecount(s, sums, tokens, k)
+      case _ =>
+        Seq.empty[(String, Long, Long)].toDF("tok", "n", "total")
+    }
+  }
+
+  private def heavyHitterRecount(s: SparkSession, sums: DataFrame,
+      tokens: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    val cands = sums.select($"tok").distinct()
+    val toks = tokens.select($"tok")
     val total = toks.agg(count(lit(1)).as("total"))
     toks.join(broadcast(cands), Seq("tok"), "left_semi")
       .groupBy($"tok").agg(count(lit(1)).as("n"))

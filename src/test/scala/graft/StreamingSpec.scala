@@ -170,6 +170,13 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set(("spread", 6L, 18L)))
   }
 
+  test("heavy hitters on a stream that never saw a batch returns empty") {
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_hh_empty").toString
+    assert(graft.streaming.StreamOps
+      .heavyHittersResult(spark, outDir, 4).isEmpty)
+  }
+
   test("incremental dedup retry: batch must ignore its own failed-attempt state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.md5
