@@ -545,7 +545,83 @@ object Similarity {
       .orderBy($"qid", $"rk")
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk '19): candidate
+    * pairs score as cos(x,y) normalized by the mean of both sides'
+    * k-NN neighborhoods — the ratio margin that separates true
+    * translations from merely-similar sentences. "Languages" here are
+    * the vec_id parity slices; neighborhood means sum 9dp-rounded
+    * cosines as DECIMAL (order-free) before one double division, so
+    * the oracle replays scoring, both neighborhoods, and the per-source
+    * argmax exactly. Scale path: the dense A×B scoring block is what
+    * the ANN family (IVF/PQ above) replaces at corpus size; margin
+    * arithmetic is unchanged. */
+  val eBitextMine: Spec = Spec(
+    "e_bitext_mine",
+    oracle = Some(s"""
+      WITH a AS (SELECT vec_id, embedding FROM embeddings
+                 WHERE vec_id % 2 = 0 AND vec_id < 100),
+      b AS (SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id % 2 = 1 AND vec_id < 100),
+      scored AS (
+        SELECT a.vec_id AS aid, b.vec_id AS bid,
+          ${cosSql("a.embedding", "b.embedding")} AS cos
+        FROM a CROSS JOIN b),
+      ra AS (SELECT aid,
+               CAST(SUM(CAST(round(cos, 9) AS DECIMAL(18,12))) AS DOUBLE) / 4 AS na
+             FROM (SELECT aid, cos, row_number() OVER (PARTITION BY aid
+                     ORDER BY cos DESC, bid) AS rk FROM scored)
+             WHERE rk <= 4 GROUP BY aid),
+      rb AS (SELECT bid,
+               CAST(SUM(CAST(round(cos, 9) AS DECIMAL(18,12))) AS DOUBLE) / 4 AS nb
+             FROM (SELECT bid, cos, row_number() OVER (PARTITION BY bid
+                     ORDER BY cos DESC, aid) AS rk FROM scored)
+             WHERE rk <= 4 GROUP BY bid),
+      m AS (
+        SELECT s.aid, s.bid, s.cos,
+          s.cos / ((ra.na + rb.nb) / 2) AS margin
+        FROM scored s JOIN ra ON ra.aid = s.aid JOIN rb ON rb.bid = s.bid),
+      best AS (SELECT aid, bid, cos, margin,
+                 row_number() OVER (PARTITION BY aid
+                   ORDER BY margin DESC, bid) AS rk
+               FROM m)
+      SELECT aid, bid, ROUND(cos, 6) AS cos_sim, ROUND(margin, 6) AS margin
+      FROM best WHERE rk = 1 ORDER BY aid""")) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+      .filter($"vec_id" < 100)
+      .select($"vec_id", $"embedding", Vectors.norm($"embedding").as("nrm"))
+    val a = emb.filter($"vec_id" % 2 === 0)
+      .select($"vec_id".as("aid"), $"embedding".as("av"), $"nrm".as("an"))
+    val b = emb.filter($"vec_id" % 2 === 1)
+      .select($"vec_id".as("bid"), $"embedding".as("bv"), $"nrm".as("bn"))
+    val scored = a.join(broadcast(b))
+      .select($"aid", $"bid",
+        Vectors.cosine($"av", $"bv", $"an", $"bn").as("cos"))
+      .localCheckpoint() // consumed three times: two neighborhoods + margin
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy($"aid").orderBy($"cos".desc, $"bid")
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy($"bid").orderBy($"cos".desc, $"aid")
+    val dec = round($"cos", 9).cast("decimal(18,12)")
+    val ra = scored.withColumn("rk", row_number().over(wA))
+      .filter($"rk" <= 4).groupBy($"aid")
+      .agg((sum(dec).cast("double") / 4).as("na"))
+    val rb = scored.withColumn("rk", row_number().over(wB))
+      .filter($"rk" <= 4).groupBy($"bid")
+      .agg((sum(dec).cast("double") / 4).as("nb"))
+    scored
+      .join(broadcast(ra), "aid").join(broadcast(rb), "bid")
+      .withColumn("margin", $"cos" / (($"na" + $"nb") / 2))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"aid").orderBy($"margin".desc, $"bid")))
+      .filter($"rk" === 1)
+      .select($"aid", $"bid", round($"cos", 6).as("cos_sim"),
+        round($"margin", 6).as("margin"))
+      .orderBy($"aid")
+  }
+
   val specs: Seq[Spec] = Seq(eCentroids, eKnnBrute, eKnnCell, eNearDup,
     eNearDupLsh, eKnnQuantized, eKmeansCentroids, eKnnIvfLearned,
-    eKnnIvfMultiprobe, eKnnPq, eKnnIvfPq)
+    eKnnIvfMultiprobe, eKnnPq, eKnnIvfPq, eBitextMine)
 }
