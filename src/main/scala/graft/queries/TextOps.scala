@@ -783,11 +783,72 @@ object TextOps {
       .orderBy($"lang")
   }
 
+  /** Per-SOURCE curation report (documents carry a `source` column —
+    * the crawl/provider axis a real cleanup run slices by): doc count,
+    * token volume, and flag incidence per source. The stat columns are
+    * the shared [[statsCols]]/statsSql pair, so this cannot drift from
+    * the flag family; one id-keyed join attaches source, one hash agg
+    * groups — no scale-variant state. */
+  val dSourceReport: Spec = Spec(
+    "d_source_report",
+    oracle = Some(s"""
+      WITH st AS ($statsSql)
+      SELECT d.source, COUNT(*) AS n_docs,
+        CAST(SUM(words_count) AS BIGINT) AS total_words,
+        CAST(COUNT(CASE WHEN words_count <= 60 THEN 1 END) AS BIGINT) AS n_less_words,
+        CAST(COUNT(CASE WHEN nsfw_ratio >= 0.04 THEN 1 END) AS BIGINT) AS n_nsfw_heavy,
+        CAST(COUNT(CASE WHEN word_rep_score >= 0.10 THEN 1 END) AS BIGINT) AS n_repetitive
+      FROM st JOIN documents d ON st.doc_id = d.doc_id
+      GROUP BY d.source ORDER BY d.source""")) { (s, dir) =>
+    import s.implicits._
+    statsDf(s, dir)
+      .join(docs(s, dir).select($"doc_id", $"source"), "doc_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"words_count").as("total_words"),
+        count(when($"words_count" <= 60, 1)).as("n_less_words"),
+        count(when($"nsfw_ratio" >= 0.04, 1)).as("n_nsfw_heavy"),
+        count(when($"word_rep_score" >= 0.10, 1)).as("n_repetitive"))
+      .orderBy($"source")
+  }
+
+  /** Tokenizer fertility per language — tokens-per-word under the
+    * BPE-style pre-tokenizer vs whitespace words, THE quick metric for
+    * "how expensive is this language for the tokenizer". Pure
+    * scan+agg; the ratio divides exact BIGINT sums so the rounded
+    * double is engine-identical. */
+  val dTokenizerFertility: Spec = Spec(
+    "d_tokenizer_fertility",
+    oracle = Some("""
+      WITH t AS (
+        SELECT lang,
+          len(string_split(text, ' ')) AS n_words,
+          len(regexp_extract_all(text,
+            '[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]+')) AS n_pieces
+        FROM documents)
+      SELECT lang, CAST(SUM(n_words) AS BIGINT) AS total_words,
+        CAST(SUM(n_pieces) AS BIGINT) AS total_pieces,
+        ROUND(CAST(SUM(n_pieces) AS DOUBLE) / SUM(n_words), 6) AS fertility
+      FROM t GROUP BY lang ORDER BY lang""")) { (s, dir) =>
+    import s.implicits._
+    val pat = """[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]+"""
+    docs(s, dir)
+      .select($"lang", size(Text.tokens($"text")).cast("long").as("n_words"),
+        size(regexp_extract_all($"text", lit(pat), lit(0)))
+          .cast("long").as("n_pieces"))
+      .groupBy($"lang")
+      .agg(sum($"n_words").as("total_words"),
+        sum($"n_pieces").as("total_pieces"),
+        round(sum($"n_pieces").cast("double") / sum($"n_words"), 6)
+          .as("fertility"))
+      .orderBy($"lang")
+  }
+
   val specs: Seq[Spec] = Seq(
     dTokenStats, dDocStatsAgg, dWordFreq, dLineExplode, dLines2Doc,
     dLines2DocDedent, dRepeatedTokens, dNsfwCounts, dDocFlags, dRemovalSurvivors,
     dNgramRepWord, dNgramRepWordTok, dNgramRepChar, dUniqueTokens,
     dKeywordSpans, dTokenDiversity, dSymbolRatio,
     dFingerprint, dDedupByKey, dStopwords, dDedupThresholded,
-    dFlagsPerLang, dIntraDupFraction)
+    dFlagsPerLang, dIntraDupFraction, dSourceReport, dTokenizerFertility)
 }
