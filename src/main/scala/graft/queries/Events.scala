@@ -382,11 +382,9 @@ object Events {
       .orderBy($"window_start", $"event_type")
   }
 
-  /** The shared drift oracle: PSI restated from the raw events table. */
-  val driftOracleSql: String = """
-      WITH w AS (
-        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-               event_type FROM events),
+  /** The PSI tail shared by every drift oracle: expects a `w` CTE of
+    * (window_start, event_type) memberships. */
+  private val driftTailSql: String = """
       wc AS (SELECT window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n
              FROM w GROUP BY window_start, event_type),
       wt AS (SELECT window_start, CAST(SUM(n) AS BIGINT) AS wtot
@@ -412,6 +410,15 @@ object Events {
         CAST(SUM(term) OVER (PARTITION BY window_start) AS DOUBLE) AS psi_window
       FROM terms ORDER BY window_start, event_type"""
 
+  /** Drift oracle over a given window-membership CTE body. */
+  def driftOracleFrom(wSql: String): String =
+    s"WITH w AS ($wSql), $driftTailSql"
+
+  /** The tumbling-hourly drift oracle (shared with st_drift_windowed). */
+  val driftOracleSql: String = driftOracleFrom("""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type FROM events""")
+
   val qDriftWindowed: Spec = Spec(
     "ev_drift_windowed",
     oracle = Some(driftOracleSql)) { (s, dir) =>
@@ -426,7 +433,29 @@ object Events {
     psiOverWindowCounts(wc)
   }
 
+  /** SLIDING-window drift: the same PSI over 1h windows every 15 min —
+    * four overlapping windows per event, so short drift episodes
+    * surface at 15-minute resolution instead of being averaged into an
+    * hour. The uniform 4× membership inflation cancels in both the
+    * window and reference ratios. */
+  val qDriftSliding: Spec = Spec(
+    "ev_drift_sliding",
+    oracle = Some(driftOracleFrom("""
+        SELECT strftime(time_bucket(INTERVAL '15 minutes', ts)
+                 - i * INTERVAL '15 minutes', '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type
+        FROM events CROSS JOIN unnest(range(0, 4)) AS t(i)"""))) { (s, dir) =>
+    import s.implicits._
+    val wc = load(s, dir)
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window($"ts_utc", "1 hour", "15 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss")
+        .as("window_start"), $"event_type", $"n")
+    psiOverWindowCounts(wc)
+  }
+
   val specs: Seq[Spec] = Seq(qTumbling, qSessionize, qAsofClick,
     qAsofTolerance, qFunnel, qPropsJson, qSliding, qSessionWindowNative,
-    qRate5Min, qValueOutliers, qDriftWindowed)
+    qRate5Min, qValueOutliers, qDriftWindowed, qDriftSliding)
 }
