@@ -114,6 +114,24 @@ object GraftFunctions {
           s"chunk_len_threshold must be a numeric literal, got $other")
       })
     }
+    // F27 language canonicalization on the SQL surface: the literal
+    // CASE chains from the shipped mapping resource (sources.LangData),
+    // built as raw Catalyst CaseWhen (the registry path never analyzes
+    // Column-DSL nodes).
+    def langCase(input: Expression,
+        mapping: Seq[(String, String)]): Expression = {
+      import org.apache.spark.sql.catalyst.expressions.{CaseWhen, EqualTo, Lower}
+      val lc = Lower(input)
+      CaseWhen(
+        mapping.map { case (from, to) =>
+          (EqualTo(lc, Literal(from)): Expression, Literal(to): Expression)
+        },
+        Some(input))
+    }
+    reg("graft_lang_name")(es =>
+      langCase(es.head, graft.sources.LangData.nameMapping))
+    reg("graft_lang_code")(es =>
+      langCase(es.head, graft.sources.LangData.codeMapping))
     out.result()
   }
 

@@ -66,12 +66,17 @@ object LangData {
     * any spelling (name / iso1 / iso3) maps to the canonical name and
     * preferred short code; unknown values pass through unchanged. A
     * bounded literal CASE chain — codegen'd, no join, no UDF. */
+  /** (spelling → canonical name) pairs, first match wins. */
+  lazy val nameMapping: Seq[(String, String)] =
+    all.flatMap(l => spellings(l).map(_ -> l.language))
+  /** (spelling → preferred short code) pairs, first match wins. */
+  lazy val codeMapping: Seq[(String, String)] =
+    all.flatMap(l => spellings(l).map(_ -> shortCode(l)))
+
   def nameCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    caseChain(c, all.flatMap(l =>
-      spellings(l).map(_ -> l.language)))
+    caseChain(c, nameMapping)
   def codeCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    caseChain(c, all.flatMap(l =>
-      spellings(l).map(_ -> shortCode(l))))
+    caseChain(c, codeMapping)
 
   private def spellings(l: LangInfo): Seq[String] =
     (Seq(l.language, l.iso3) ++ l.iso1).distinct

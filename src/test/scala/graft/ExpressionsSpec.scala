@@ -155,6 +155,16 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(r.getSeq[String](4) == Seq("کیا", "۔"))
   }
 
+  test("graft_lang_name/graft_lang_code callable from SQL") {
+    GraftFunctions.registerSql(spark)
+    val r = spark.sql(
+      """SELECT graft_lang_name('urd') AS n, graft_lang_code('URDU') AS c,
+        |graft_lang_name('klingon') AS u""".stripMargin).collect()(0)
+    assert(r.getString(0) == "urdu")
+    assert(r.getString(1) == "ur")
+    assert(r.getString(2) == "klingon")
+  }
+
   test("graft_word_gram_hashes: null array elements hash as empty string") {
     GraftFunctions.registerSql(spark)
     val got = spark.sql(
