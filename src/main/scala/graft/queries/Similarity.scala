@@ -621,7 +621,72 @@ object Similarity {
       .orderBy($"aid")
   }
 
+  /** Embedding outliers — the embedding-QA op: distance to the
+    * per-label centroid, flagged beyond mean + 2σ within the label.
+    * Centroids are the decimal-exact per-(label,pos) means
+    * (e_centroids' recipe, kept as a broadcast list per label);
+    * distance sums round to 9dp and aggregate as DECIMAL so the
+    * label statistics are order-free, and the z-threshold comparison
+    * is pure IEEE on identical operands. Catches mis-embedded or
+    * mislabeled rows before they poison ANN indexes or dedup. */
+  val eEmbeddingOutliers: Spec = Spec(
+    "e_embedding_outliers",
+    oracle = Some(s"""
+      WITH cp AS (
+        SELECT label, pos,
+          CAST(SUM(CAST(v AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS c
+        FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
+                unnest(embedding) AS v FROM embeddings)
+        GROUP BY label, pos),
+      cl AS (SELECT label, list(c ORDER BY pos) AS cent FROM cp GROUP BY label),
+      d AS (
+        SELECT e.vec_id, e.label,
+          sqrt(${distSql("e.embedding", "cl.cent")}) AS dist
+        FROM embeddings e JOIN cl ON cl.label = e.label),
+      st AS (
+        SELECT label, COUNT(*) AS n,
+          CAST(SUM(CAST(round(dist, 9) AS DECIMAL(18,12))) AS DOUBLE) AS sd,
+          CAST(SUM(CAST(round(dist * dist, 9) AS DECIMAL(18,12))) AS DOUBLE) AS sd2
+        FROM d GROUP BY label),
+      z AS (
+        SELECT d.vec_id, d.label, d.dist,
+          st.sd / st.n AS mean_d,
+          sqrt(greatest(st.sd2 / st.n - (st.sd / st.n) * (st.sd / st.n), 0)) AS std_d
+        FROM d JOIN st ON st.label = d.label)
+      SELECT vec_id, label, ROUND(dist, 6) AS dist,
+        (dist > mean_d + 2 * std_d) AS is_outlier
+      FROM z ORDER BY vec_id""")) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val cent = emb
+      .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+      .groupBy($"label", $"pos")
+      .agg((sum($"v".cast("decimal(28,14)")).cast("double") /
+        count(lit(1))).as("c"))
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
+        p => p.getField("c")).as("cent"))
+    val d = emb.join(broadcast(cent), "label")
+      .select($"vec_id", $"label",
+        sqrt(aggregate(
+          zip_with($"embedding", $"cent",
+            (x, h) => (x.cast("double") - h) * (x.cast("double") - h)),
+          lit(0.0d), (acc, v) => acc + v)).as("dist"))
+      .localCheckpoint() // stats and the z-join both consume it
+    val st = d.groupBy($"label")
+      .agg(count(lit(1)).as("n"),
+        sum(round($"dist", 9).cast("decimal(18,12)")).cast("double").as("sd"),
+        sum(round($"dist" * $"dist", 9).cast("decimal(18,12)"))
+          .cast("double").as("sd2"))
+    d.join(broadcast(st), "label")
+      .select($"vec_id", $"label", round($"dist", 6).as("dist"),
+        ($"dist" > $"sd" / $"n" +
+          lit(2) * sqrt(greatest($"sd2" / $"n" -
+            ($"sd" / $"n") * ($"sd" / $"n"), lit(0.0d)))).as("is_outlier"))
+      .orderBy($"vec_id")
+  }
+
   val specs: Seq[Spec] = Seq(eCentroids, eKnnBrute, eKnnCell, eNearDup,
     eNearDupLsh, eKnnQuantized, eKmeansCentroids, eKnnIvfLearned,
-    eKnnIvfMultiprobe, eKnnPq, eKnnIvfPq, eBitextMine)
+    eKnnIvfMultiprobe, eKnnPq, eKnnIvfPq, eBitextMine, eEmbeddingOutliers)
 }
