@@ -678,9 +678,60 @@ object TrainingPrep {
       .orderBy($"doc_id")
   }
 
+  /** Token-budget apportionment across sources (largest-remainder /
+    * Hamilton method): each source's share of a fixed training-token
+    * budget is proportional to its available tokens, floored, with the
+    * leftover tokens going to the largest fractional parts (ties to
+    * source asc) — so allocations are integers that sum EXACTLY to the
+    * budget. The mix-planning op a curriculum builder runs before
+    * sampling; one agg + one broadcast of the per-source table. Quota
+    * arithmetic is exact-integer (avail·budget via DECIMAL, floor =
+    * integer division) so both engines apportion identically. */
+  val dTokenBudget: Spec = Spec(
+    "d_token_budget_allocation",
+    oracle = Some("""
+      WITH avail AS (
+        SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+        FROM documents GROUP BY source),
+      tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS total FROM avail),
+      q AS (
+        SELECT source, n_tok,
+          (n_tok * 100000) // (SELECT total FROM tot) AS base,
+          (n_tok * 100000) % (SELECT total FROM tot) AS rem
+        FROM avail),
+      r AS (SELECT source, n_tok, base, rem,
+              row_number() OVER (ORDER BY rem DESC, source) AS rk,
+              (SELECT 100000 - SUM(base) FROM q) AS leftover
+            FROM q)
+      SELECT source, n_tok AS available_tokens,
+        CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+          AS allocated_tokens
+      FROM r ORDER BY source""")) { (s, dir) =>
+    import s.implicits._
+    val budget = 100000L
+    val avail = docs(s, dir)
+      .select($"source", size(Text.tokens($"text")).cast("long").as("t"))
+      .groupBy($"source").agg(sum($"t").as("n_tok"))
+    val tot = avail.agg(sum($"n_tok").as("total"))
+    val q = avail.crossJoin(broadcast(tot))
+      .select($"source", $"n_tok",
+        // div, not `/`: Spark's / on longs is double division
+        expr(s"(n_tok * $budget) div total").as("base"),
+        (($"n_tok" * budget) % $"total").as("rem"))
+    val left = q.agg((lit(budget) - sum($"base")).as("leftover"))
+    q.crossJoin(broadcast(left))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"rem".desc, $"source")))
+      .select($"source", $"n_tok".as("available_tokens"),
+        ($"base" + when($"rk" <= $"leftover", 1L).otherwise(0L))
+          .cast("long").as("allocated_tokens"))
+      .orderBy($"source")
+  }
+
   val specs: Seq[Spec] = Seq(
     dStratifiedSample, dShardPacking, dChunkWindows, dUnigramLmScore,
     dGopherRules, dTfidfTopTerms, dMixtureSample, dLengthOutliers,
     dProfileColumns, dZipfSlope, dDriftPsi, dHeavyHitters,
-    dSequenceSegments, dKmvDistinct, dSnapshotDiff)
+    dSequenceSegments, dKmvDistinct, dSnapshotDiff, dTokenBudget)
 }
