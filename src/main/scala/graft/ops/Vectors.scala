@@ -260,10 +260,15 @@ object Vectors {
     * (1/nCells of the corpus per query), codes are m bytes per row,
     * centroids + codebooks broadcast.
     *
-    * @param assigned (vec_id, embedding float[], cell, resid double[]) */
+    * @param assigned (vec_id, embedding float[], cell, resid double[])
+    * @param nprobe   probe the query's `nprobe` nearest cells (corpus
+    *                 stays single-cell coded) — the standard recall
+    *                 lever at hard cell boundaries; qcdot is computed
+    *                 per probed cell so the ADC decomposition stays
+    *                 exact for rows of the second cell too. */
   def knnIvfPq(assigned: DataFrame, cents: Seq[Seq[Double]],
       books: Seq[Seq[Seq[Double]]], queryPred: Column, k: Int,
-      rerank: Int = 50): DataFrame = {
+      rerank: Int = 50, nprobe: Int = 1): DataFrame = {
     val m = books.size
     val sub = books.head.head.size
     val centsLit = typedLit(cents)
@@ -271,9 +276,14 @@ object Vectors {
       .select(col("vec_id").as("cid"), col("embedding").as("cv"),
         col("cell"), pqCodes(col("resid"), books).as("codes"))
       .withColumn("cn", norm(col("cv")))
-    val q = broadcast(assigned.filter(queryPred)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("cell"))
-      .withColumn("qn", norm(col("qv")))
+    // qBase stays ONE row per query — the re-rank must join against it,
+    // not the per-probed-cell exploded frame, or every shortlist pair
+    // duplicates nprobe times
+    val qBase = broadcast(assigned.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .withColumn("qn", norm(col("qv"))))
+    val q = broadcast(qBase
+      .withColumn("cell", explode(nearestCells(col("qv"), cents, nprobe)))
       .withColumn("qcdot",
         round(aggregate(
           zip_with(col("qv"), element_at(centsLit, col("cell").cast("int") + 1),
@@ -292,7 +302,7 @@ object Vectors {
     val shortlist = topK(coarse, rerank).select(col("qid"), col("cid"))
     val exact = shortlist
       .join(c.select(col("cid"), col("cv"), col("cn")), Seq("cid"))
-      .join(q.select(col("qid"), col("qv"), col("qn")), Seq("qid"))
+      .join(qBase.select(col("qid"), col("qv"), col("qn")), Seq("qid"))
       .withColumn("cos_sim", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
     topK(exact, k)
   }

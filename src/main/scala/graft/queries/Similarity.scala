@@ -686,7 +686,107 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** IVF-PQ with 2-cell multiprobe: queries probe their two nearest
+    * coarse cells (corpus stays single-cell coded), recovering the
+    * recall lost at hard cell boundaries; qcdot is per probed cell so
+    * the ADC decomposition stays exact for second-cell rows. Oracle =
+    * the IVF-PQ chain with a rank≤2 probe CTE. */
+  val eKnnIvfPqProbe: Spec = Spec(
+    "e_knn_ivf_pq_multiprobe",
+    oracle = Some(s"""
+      WITH $kmeansCtes,
+      res AS (
+        SELECT a.vec_id, a.cell, a.embedding,
+          list_transform(range(1, 65),
+            i -> a.embedding[i]::DOUBLE - c.cent[i]) AS rv
+        FROM a2 a JOIN c1l c ON c.cell = a.cell),
+      sub AS (
+        SELECT vec_id, cell, m, rv[(m*8+1):(m*8+8)] AS sv
+        FROM res CROSS JOIN unnest(range(0, 8)) t(m)),
+      p0 AS (SELECT m, vec_id AS pcell, sv AS cent
+             FROM sub WHERE vec_id < 16),
+      pa1 AS (SELECT vec_id, m, sv, pcell FROM (
+          SELECT s.vec_id, s.m, s.sv, c.pcell,
+            row_number() OVER (PARTITION BY s.vec_id, s.m
+              ORDER BY ${dist8("s.sv", "c.cent")}, c.pcell) AS rk
+          FROM sub s JOIN p0 c ON c.m = s.m) WHERE rk = 1),
+      pc1 AS (SELECT m, pcell, pos,
+               CAST(SUM(CAST(v AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS cval
+             FROM (SELECT m, pcell, generate_subscripts(sv, 1) AS pos,
+                     unnest(sv) AS v FROM pa1)
+             GROUP BY m, pcell, pos),
+      pcbp AS (SELECT p0.m, p0.pcell, p.pos,
+                COALESCE(pc1.cval, p0.cent[CAST(p.pos AS INT)]) AS cval
+              FROM p0 CROSS JOIN unnest(range(1, 9)) p(pos)
+              LEFT JOIN pc1 ON pc1.m = p0.m AND pc1.pcell = p0.pcell
+                           AND pc1.pos = p.pos),
+      pcb AS (SELECT m, pcell, list(cval ORDER BY pos) AS cent
+             FROM pcbp GROUP BY m, pcell),
+      enc AS (SELECT vec_id, cell, m, pcell FROM (
+          SELECT s.vec_id, s.cell, s.m, b.pcell,
+            row_number() OVER (PARTITION BY s.vec_id, s.m
+              ORDER BY ${dist8("s.sv", "b.cent")}, b.pcell) AS rk
+          FROM sub s JOIN pcb b ON b.m = s.m) WHERE rk = 1),
+      nrm AS (SELECT vec_id, sqrt(${dotSql("embedding", "embedding")}) AS n
+              FROM embeddings),
+      qp AS (SELECT vec_id, embedding, cell FROM (
+          SELECT e.vec_id, e.embedding, c.cell,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${distSql("e.embedding", "c.cent")}, c.cell) AS rk
+          FROM embeddings e CROSS JOIN c1l c
+          WHERE e.vec_id < 10) WHERE rk <= 2),
+      qc AS (
+        SELECT p.vec_id, p.cell,
+          CAST(round(${dotSql("p.embedding", "c.cent")}, 9) AS DECIMAL(28,12)) AS qcdot
+        FROM qp p JOIN c1l c ON c.cell = p.cell),
+      qsub AS (
+        SELECT p.vec_id, p.cell, t.m, p.embedding[(t.m*8+1):(t.m*8+8)] AS sv
+        FROM qp p CROSS JOIN unnest(range(0, 8)) t(m)),
+      adc AS (
+        SELECT q.vec_id AS qid, e.vec_id AS cid, e.cell,
+          SUM(CAST(round(${dot8("q.sv", "b.cent")}, 9) AS DECIMAL(28,12))) AS adot
+        FROM qsub q
+          JOIN enc e ON e.m = q.m AND e.cell = q.cell AND e.vec_id <> q.vec_id
+          JOIN pcb b ON b.m = e.m AND b.pcell = e.pcell
+        GROUP BY qid, cid, e.cell),
+      coarse AS (
+        SELECT adc.qid, adc.cid,
+          CAST(qc.qcdot + adc.adot AS DOUBLE) / (qn.n * cn.n) AS ccos
+        FROM adc JOIN qc ON qc.vec_id = adc.qid AND qc.cell = adc.cell
+                 JOIN nrm qn ON qn.vec_id = adc.qid
+                 JOIN nrm cn ON cn.vec_id = adc.cid),
+      short AS (SELECT qid, cid FROM (
+          SELECT qid, cid,
+            row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, cid) AS srk
+          FROM coarse) WHERE srk <= 50),
+      ex AS (SELECT s.qid, s.cid,
+               ${cosSql("qe.embedding", "ce.embedding")} AS cos
+             FROM short s
+               JOIN embeddings qe ON qe.vec_id = s.qid
+               JOIN embeddings ce ON ce.vec_id = s.cid),
+      r AS (SELECT qid, cid, cos,
+        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rk
+        FROM ex)
+      SELECT qid, rk, cid, ROUND(cos, 6) AS cos_sim
+      FROM r WHERE rk <= 5 ORDER BY qid, rk""")) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val cents1 = Vectors.kmeansCentroids(emb, k = 8, iters = 1)
+    val assigned = emb.select($"vec_id", $"embedding")
+      .withColumn("cell", Vectors.nearestCell($"embedding", cents1))
+      .withColumn("resid", Vectors.residual($"embedding", $"cell", cents1))
+      .localCheckpoint()
+    val books = Vectors.pqCodebooks(
+      assigned.select($"vec_id", $"resid".as("embedding")),
+      dim = 64, m = 8, k = 16, iters = 1)
+    Vectors.knnIvfPq(assigned, cents1, books, $"vec_id" < 10, 5,
+        rerank = 50, nprobe = 2)
+      .select($"qid", $"rk", $"cid", round($"cos_sim", 6).as("cos_sim"))
+      .orderBy($"qid", $"rk")
+  }
+
   val specs: Seq[Spec] = Seq(eCentroids, eKnnBrute, eKnnCell, eNearDup,
     eNearDupLsh, eKnnQuantized, eKmeansCentroids, eKnnIvfLearned,
-    eKnnIvfMultiprobe, eKnnPq, eKnnIvfPq, eBitextMine, eEmbeddingOutliers)
+    eKnnIvfMultiprobe, eKnnPq, eKnnIvfPq, eBitextMine, eEmbeddingOutliers,
+    eKnnIvfPqProbe)
 }
