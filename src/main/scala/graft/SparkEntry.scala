@@ -17,7 +17,7 @@ object SparkEntry {
   def specs: Seq[Spec] =
     Relational.specs ++ Events.specs ++ TextOps.specs ++ CleaningOps.specs ++
       Lexical.specs ++ Dedup.specs ++ Similarity.specs ++ Multimodal.specs ++
-      StreamingQ.specs ++ TrainingPrep.specs
+      StreamingQ.specs ++ TrainingPrep.specs ++ Retrieval.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

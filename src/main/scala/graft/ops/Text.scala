@@ -267,4 +267,33 @@ object Text {
     val union = size(a) + size(b) - size(array_intersect(a, b))
     when(union === 0, 0.0d).otherwise(inter / union)
   }
+
+  /** Collapse runs of consecutive equal tokens to one ("the the the" →
+    * "the"): an indexed HOF filter keeping positions whose token
+    * differs from its predecessor. Pure per-row expression — no
+    * explode/window — so it stays inside scan codegen. */
+  def collapseRuns(toks: Column): Column =
+    filter(toks, (x, i) => i === 0 || x =!= element_at(toks, i))
+
+  /** Mojibake signature pairs: UTF-8 bytes decoded as Latin-1/cp1252
+    * (é→Ã©, ’→â€™, “→â€œ, ”→â€, NBSP→Â +space). Alternation order
+    * puts longer sequences first so the â€œ/â€ prefix overlap resolves
+    * identically under Java regex and RE2 (both leftmost-first). */
+  val MojibakeRe = "Ã©|â€™|â€œ|â€|Â "
+
+  def mojibakeCount(c: Column): Column =
+    regexp_count(c, lit(MojibakeRe)).cast("long")
+
+  /** Reverse the mojibake pairs, longest-first (same chain order as the
+    * oracle — replace is order-sensitive over the shared â€ prefix). */
+  def mojibakeRepair(c: Column): Column =
+    replace(
+      replace(
+        replace(
+          replace(
+            replace(c, lit("Ã©"), lit("é")),
+            lit("â€™"), lit("’")),
+          lit("â€œ"), lit("“")),
+        lit("â€"), lit("”")),
+      lit("Â "), lit(" "))
 }

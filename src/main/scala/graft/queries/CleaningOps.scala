@@ -715,9 +715,83 @@ object CleaningOps {
       .orderBy($"doc_id", $"seg_idx")
   }
 
+  /** Consecutive-duplicate-token collapse ("the the the" → "the") — the
+    * token-level twin of whitespace normalization, a standard crawl-
+    * cleaning pass (stutter artifacts from OCR/ASR and template
+    * unrolling). Shuffle-free: the collapse is a single Catalyst
+    * expression chain (filter over lagged array positions) evaluated
+    * per row inside the scan's codegen stage — no explode, no window,
+    * so it runs at scan speed on any corpus size. */
+  val dRunCollapse: Spec = Spec(
+    "d_run_collapse",
+    oracle = Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        WHERE doc_id % 7 = 0)
+      SELECT doc_id,
+        CAST(len(l) AS BIGINT) AS n_tok,
+        CAST(len(list_filter(l, (x, i) -> i = 1 OR x <> l[i-1])) AS BIGINT) AS n_tok_collapsed,
+        array_to_string(list_filter(l, (x, i) -> i = 1 OR x <> l[i-1]), ' ') AS collapsed
+      FROM t ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    docs(s, dir)
+      .filter($"doc_id" % 7 === 0)
+      .select($"doc_id", Text.tokens($"text").as("l"))
+      .select($"doc_id",
+        size($"l").cast("long").as("n_tok"),
+        size(Text.collapseRuns($"l")).cast("long").as("n_tok_collapsed"),
+        array_join(Text.collapseRuns($"l"), " ").as("collapsed"))
+      .orderBy($"doc_id")
+  }
+
+  /** Encoding-artifact (mojibake) detection + repair: UTF-8 read as
+    * Latin-1 leaves signature byte pairs (Ã©, â€™, â€œ, Â ) that a
+    * crawl-cleaning pass counts and reverses. The corpus is pure ASCII,
+    * so artifacts are injected deterministically into doc_id%11 rows —
+    * identical expression both sides (the [[Lexical]] injection
+    * pattern) — and the REAL detector/repairer runs on the result.
+    * Detection is one regexp count, repair a replace chain: per-row
+    * scalar work inside scan codegen, shuffle-free at any scale. */
+  val dMojibake: Spec = Spec(
+    "d_mojibake",
+    oracle = Some(s"""
+      WITH r AS (
+        SELECT doc_id,
+          CASE doc_id % 3
+            WHEN 0 THEN substr(text,1,40) || 'cafÃ©' || substr(text,41,40)
+            WHEN 1 THEN substr(text,1,30) || 'donâ€™t stop' || substr(text,31,20) || 'â€œquotedâ€'
+            ELSE substr(text,1,60) || 'plainÂ space'
+          END AS rich
+        FROM documents WHERE doc_id % 11 = 0),
+      d AS (
+        SELECT doc_id, rich,
+          CAST(len(regexp_extract_all(rich, 'Ã©|â€™|â€œ|â€|Â ')) AS BIGINT) AS n_artifacts,
+          replace(replace(replace(replace(replace(rich,
+            'Ã©', 'é'), 'â€™', '’'), 'â€œ', '“'), 'â€', '”'), 'Â ', ' ') AS repaired
+        FROM r)
+      SELECT doc_id, n_artifacts, n_artifacts > 0 AS is_mojibake,
+        md5(repaired) AS repaired_md5
+      FROM d ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    val rich = when($"doc_id" % 3 === 0,
+        concat(substring($"text", 1, 40), lit("cafÃ©"), substring($"text", 41, 40)))
+      .when($"doc_id" % 3 === 1,
+        concat(substring($"text", 1, 30), lit("donâ€™t stop"),
+          substring($"text", 31, 20), lit("â€œquotedâ€")))
+      .otherwise(concat(substring($"text", 1, 60), lit("plainÂ space")))
+    docs(s, dir)
+      .filter($"doc_id" % 11 === 0)
+      .select($"doc_id", rich.as("rich"))
+      .select($"doc_id",
+        Text.mojibakeCount($"rich").as("n_artifacts"),
+        (Text.mojibakeCount($"rich") > 0).as("is_mojibake"),
+        md5(Text.mojibakeRepair($"rich")).as("repaired_md5"))
+      .orderBy($"doc_id")
+  }
+
   val specs: Seq[Spec] = Seq(
     dSplitSentences, dNumPuncChunks, dTerminalChunks, dNumberChunks,
     dCodeDetect, dCodeRemove, dNormalizeIndic, dTerminalPuncFilter,
     dNonTermSpanRemove, dSentenceSplitLang, dPiiMask, dBoilerplateLines,
-    dHtmlExtract, dJunkLines, dScriptSegments)
+    dHtmlExtract, dJunkLines, dScriptSegments, dRunCollapse, dMojibake)
 }

@@ -272,6 +272,55 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** [[ddExactIncremental]] with the bloom prefilter the scale note
+    * there promises: a Bloom filter over the BATCH hashes (the small,
+    * bounded side — a daily increment) rides a broadcast and prunes the
+    * corpus hash store down to possible collisions BEFORE the anti
+    * join, so the per-run shuffle is proportional to the candidate set
+    * (≈ true dups + fpp·|corpus|), not the whole store. Result is
+    * EXACTLY the un-prefiltered anti join — blooms have no false
+    * negatives, so every corpus hash equal to some batch hash survives
+    * the prefilter — which is why this query shares [[ddExactIncremental]]'s
+    * oracle verbatim. The membership probe is a driver-broadcast
+    * `BloomFilter.mightContainString` inside a Scala UDF: the filter is
+    * opaque bytes, so there is no Catalyst-expression form to prefer,
+    * and the UDF sits behind a hash-store scan that was going to
+    * deserialize strings anyway. */
+  val ddBloomIncremental: Spec = Spec(
+    "dd_bloom_incremental",
+    oracle = Some("""
+      WITH h AS (SELECT doc_id,
+          md5(regexp_replace(trim(lower(text)), '[\s\x0B]+', ' ', 'g')) AS h
+        FROM documents),
+      corpus AS (SELECT h FROM h WHERE doc_id % 10 <> 0),
+      batch AS (SELECT doc_id, h FROM h WHERE doc_id % 10 = 0),
+      keep AS (
+        SELECT doc_id, h FROM batch
+        QUALIFY row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1)
+      SELECT k.doc_id FROM keep k ANTI JOIN corpus c ON k.h = c.h
+      ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    val hashed = Tables.load(s, dir, "documents")
+      .select($"doc_id", md5(Text.normalizeWs($"text")).as("h"))
+    val corpusH = hashed.filter($"doc_id" % 10 =!= 0).select($"h")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"h").orderBy($"doc_id")
+    val keep = hashed.filter($"doc_id" % 10 === 0)
+      .withColumn("_rn", row_number().over(w)).filter($"_rn" === 1)
+      .select($"doc_id", $"h")
+    // Size the bloom from the batch itself (one count over the small
+    // side). 1% fpp ⇒ ~1.2 MB per million batch rows broadcast.
+    val nBatch = math.max(keep.count(), 1000L)
+    val bloom = keep.stat.bloomFilter("h", nBatch, 0.01)
+    val bloomBc = s.sparkContext.broadcast(bloom)
+    val mightContain =
+      udf((x: String) => x != null && bloomBc.value.mightContainString(x))
+    val candidates = corpusH.filter(mightContain($"h"))
+    keep.join(candidates, Seq("h"), "left_anti")
+      .select($"doc_id")
+      .orderBy($"doc_id")
+  }
+
   /** 64-bit SimHash per document (xxhash64 has no DuckDB twin → no SQL
     * oracle; parity covered by ScalaTest fixtures). */
   val ddSimhash: Spec = Spec(
@@ -656,7 +705,7 @@ object Dedup {
 
   val specs: Seq[Spec] = Seq(
     ddMinhashPairs, ddMinhashClusters, ddMinhashIncremental,
-    ddJaccardBlockPairs, ddExactHash, ddExactIncremental,
+    ddJaccardBlockPairs, ddExactHash, ddExactIncremental, ddBloomIncremental,
     ddCappedStarPairs, ddSimhash, ddSimhashPairs,
     ddSimhashMd5, ddSimhashMd5Pairs, ddDecontaminate, ddDupSpans,
     ddDupSpanRemoval, ddClusterRepresentatives, ddDedupReport)

@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Text, TopK}
+
+/** BM25 ranked retrieval over the documents corpus — the lexical half
+  * of a retrieval/dedup stack (the dense half is `queries/Similarity`).
+  * Okapi BM25 (Robertson & Walker '94; the k1/b form every open
+  * implementation uses — Lucene's BM25Similarity, Trino's ML functions):
+  *
+  *   score(d, q) = Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+  *   idf(t)      = log10((N − df + 0.5)/(df + 0.5) + 1)
+  *
+  * (log10 rather than ln so the oracle shares the engine-parity-proven
+  * log path of [[graft.ops.Quality.unigramLmScores]]; a constant factor
+  * never changes ranking.)
+  *
+  * Scale design (100 TB): term statistics are ONE explode + two
+  * hash aggregations (tf keyed by (doc,term), df keyed by term) — both
+  * map-side combined; the query-term table rides a broadcast so scoring
+  * adds no shuffle beyond tf's own; corpus scalars (N, Σdl) are a
+  * 1-row broadcast crossJoin. Per-query top-k runs on the typed
+  * [[TopK]] aggregator — each partition ships ≤k candidates per query,
+  * never a single-partition global window, so a query over a billion
+  * scored docs still shuffles only k·partitions rows. Query-term
+  * selection (top terms by df) is `orderBy().limit()` =
+  * TakeOrderedAndProject, a distributed top-k, not a full vocab sort.
+  *
+  * Determinism: per-term scores are rounded to 6dp and summed as
+  * DECIMAL(18,6) (order-independent), matching the repo-wide rule;
+  * tie-break on doc_id makes the ranking total.
+  */
+object Retrieval {
+
+  private val K1 = 1.2
+  private val B = 0.75
+  private val TopDocs = 10
+  private val QueryTerms = 6 // split into 2 queries of 3 terms
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Per-(doc, term) BM25 partial score, 6dp-rounded decimal. The
+    * arithmetic mirrors the oracle token for token — every op is a
+    * correctly-rounded IEEE double op, so both engines produce the same
+    * bits before the round. */
+  private def partialScore(tf: Column, df: Column, dl: Column,
+      nDocs: Column, sumDl: Column): Column = {
+    val avgdl = sumDl / nDocs
+    val idf = log10((nDocs - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0))
+    val tfn = tf * lit(K1 + 1) / (tf + lit(K1) * (lit(1 - B) + lit(B) * (dl / avgdl)))
+    round(idf * tfn, 6).cast("decimal(18,6)")
+  }
+
+  /** BM25 top-10 docs for 2 corpus-derived 3-term queries (query terms
+    * = the 6 highest-df terms, df desc / term asc, routed round-robin
+    * free: query_id = (rank−1) div 3). */
+  val dBm25TopK: Spec = Spec(
+    "d_bm25_topk",
+    bench = true,
+    oracle = Some(s"""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (
+        SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        FROM tok GROUP BY doc_id, term),
+      lens AS (
+        SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id),
+      stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs, SUM(dl) AS sum_dl FROM lens),
+      dfreq AS (
+        SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM tok GROUP BY term),
+      qt AS (
+        SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS rk
+        FROM dfreq ORDER BY df DESC, term LIMIT $QueryTerms),
+      q AS (SELECT CAST((rk - 1) // 3 AS BIGINT) AS query_id, term, df FROM qt),
+      scored AS (
+        SELECT q.query_id, tf.doc_id,
+          CAST(round(
+            log10((s.n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0)
+              * (tf.tf * ${K1 + 1} / (tf.tf + $K1 * (${1 - B} + $B * (l.dl / (s.sum_dl / s.n_docs))))),
+            6) AS DECIMAL(18,6)) AS part
+        FROM tf JOIN q ON tf.term = q.term
+        JOIN lens l ON tf.doc_id = l.doc_id
+        CROSS JOIN stats s),
+      agg AS (
+        SELECT query_id, doc_id, CAST(SUM(part) AS DOUBLE) AS score
+        FROM scored GROUP BY query_id, doc_id)
+      SELECT query_id,
+        CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rk,
+        doc_id, score
+      FROM agg
+      QUALIFY rk <= $TopDocs
+      ORDER BY query_id, rk""")) { (s, dir) =>
+    import s.implicits._
+    val tok = docs(s, dir)
+      .select($"doc_id", explode(Text.tokens($"text")).as("term"))
+    val tf = tok.groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val lens = tok.groupBy($"doc_id")
+      .agg(count(lit(1)).cast("double").as("dl"))
+    val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"),
+      sum($"dl").as("sum_dl"))
+    val dfreq = tok.select($"doc_id", $"term").distinct()
+      .groupBy($"term").agg(count(lit(1)).cast("double").as("df"))
+    // TakeOrderedAndProject (distributed top-k), then a 6-row window.
+    val top = dfreq.orderBy($"df".desc, $"term").limit(QueryTerms)
+    val qw = org.apache.spark.sql.expressions.Window.orderBy($"df".desc, $"term")
+    val queries = top.withColumn("rk", row_number().over(qw))
+      .select(expr("CAST((rk - 1) div 3 AS LONG)").as("query_id"), $"term", $"df")
+    val scored = tf
+      .join(broadcast(queries), "term")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select($"query_id", $"doc_id",
+        partialScore($"tf", $"df", $"dl", $"n_docs", $"sum_dl").as("part"))
+    val agg = scored.groupBy($"query_id", $"doc_id")
+      .agg(sum($"part").cast("double").as("score"))
+    agg.select($"query_id", $"score", $"doc_id")
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(TopK.aggregator(TopDocs).toColumn)
+      .flatMap { case (qid, hits) =>
+        hits.iterator.zipWithIndex.map { case ((score, did), i) =>
+          (qid, (i + 1).toLong, did, score)
+        }
+      }
+      .toDF("query_id", "rk", "doc_id", "score")
+      .orderBy($"query_id", $"rk")
+  }
+
+  val specs: Seq[Spec] = Seq(dBm25TopK)
+}
