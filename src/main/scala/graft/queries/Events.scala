@@ -455,7 +455,62 @@ object Events {
     psiOverWindowCounts(wc)
   }
 
+  /** Cohort retention: users grouped by first-activity day, then for
+    * each (cohort, day-offset) the count of cohort members active that
+    * day — the canonical product-analytics triangle every OLAP engine
+    * ships (Mixpanel/Amplitude retention, ClickHouse retention()).
+    *
+    * Scale shape: first-seen is a hash agg keyed by user (map-side
+    * combined min), joined back on user_id — AQE broadcasts the
+    * first-seen table while it fits and degrades to shuffle when the
+    * user dimension outgrows it; the final distinct-count agg is keyed
+    * by (cohort, offset), whose cardinality is days², not events. All
+    * time math is exact integer nanos (see the object note). */
+  val qCohortRetention: Spec = Spec(
+    "ev_cohort_retention",
+    oracle = Some("""
+      WITH f AS (
+        SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day
+        FROM events GROUP BY user_id),
+      act AS (
+        SELECT DISTINCT e.user_id, f.cohort_day,
+          datediff('day', f.cohort_day, date_trunc('day', e.ts)) AS day_offset
+        FROM events e JOIN f ON e.user_id = f.user_id),
+      size AS (
+        SELECT cohort_day, COUNT(*) AS cohort_users FROM f GROUP BY cohort_day)
+      SELECT strftime(a.cohort_day, '%Y-%m-%d') AS cohort_day,
+        CAST(a.day_offset AS BIGINT) AS day_offset,
+        COUNT(*) AS n_active, ANY_VALUE(s.cohort_users) AS cohort_users,
+        round(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(s.cohort_users), 6)
+          AS retention
+      FROM act a JOIN size s ON a.cohort_day = s.cohort_day
+      GROUP BY a.cohort_day, a.day_offset
+      ORDER BY cohort_day, day_offset""")) { (s, dir) =>
+    import s.implicits._
+    val dayNs = 86400L * 1000 * 1000 * 1000
+    val ev = load(s, dir)
+      .select($"user_id", ($"ts" - $"ts" % dayNs).as("day_ns"))
+    val first = ev.groupBy($"user_id")
+      .agg(min($"day_ns").as("cohort_ns"))
+    val sizes = first.groupBy($"cohort_ns")
+      .agg(count(lit(1)).as("cohort_users"))
+    ev.join(first, "user_id")
+      .select($"user_id", $"cohort_ns",
+        (($"day_ns" - $"cohort_ns") / dayNs).cast("long").as("day_offset"))
+      .distinct()
+      .groupBy($"cohort_ns", $"day_offset")
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort_ns")
+      .select(
+        date_format(timestamp_micros(expr("cohort_ns div 1000")), "yyyy-MM-dd")
+          .as("cohort_day"),
+        $"day_offset", $"n_active", $"cohort_users",
+        round($"n_active".cast("double") / $"cohort_users", 6).as("retention"))
+      .orderBy($"cohort_day", $"day_offset")
+  }
+
   val specs: Seq[Spec] = Seq(qTumbling, qSessionize, qAsofClick,
     qAsofTolerance, qFunnel, qPropsJson, qSliding, qSessionWindowNative,
-    qRate5Min, qValueOutliers, qDriftWindowed, qDriftSliding)
+    qRate5Min, qValueOutliers, qDriftWindowed, qDriftSliding,
+    qCohortRetention)
 }

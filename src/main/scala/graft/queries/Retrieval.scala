@@ -18,9 +18,12 @@ import graft.ops.{Text, TopK}
   * log path of [[graft.ops.Quality.unigramLmScores]]; a constant factor
   * never changes ranking.)
   *
-  * Scale design (100 TB): term statistics are ONE explode + two
-  * hash aggregations (tf keyed by (doc,term), df keyed by term) — both
-  * map-side combined; the query-term table rides a broadcast so scoring
+  * Scale design (100 TB): ONE explode feeds the tf aggregation
+  * (keyed by (doc,term), map-side combined), and every other statistic
+  * derives from tf without touching tokens again: dl = Σ tf per doc,
+  * df = row count per term (tf is already distinct per (doc,term), so
+  * no count-distinct shuffle), N/Σdl one more agg over dl. The corpus
+  * is scanned once; the query-term table rides a broadcast so scoring
   * adds no shuffle beyond tf's own; corpus scalars (N, Σdl) are a
   * 1-row broadcast crossJoin. Per-query top-k runs on the typed
   * [[TopK]] aggregator — each partition ships ≤k candidates per query,
@@ -97,16 +100,16 @@ object Retrieval {
       QUALIFY rk <= $TopDocs
       ORDER BY query_id, rk""")) { (s, dir) =>
     import s.implicits._
-    val tok = docs(s, dir)
+    val tf = docs(s, dir)
       .select($"doc_id", explode(Text.tokens($"text")).as("term"))
-    val tf = tok.groupBy($"doc_id", $"term")
+      .groupBy($"doc_id", $"term")
       .agg(count(lit(1)).cast("double").as("tf"))
-    val lens = tok.groupBy($"doc_id")
-      .agg(count(lit(1)).cast("double").as("dl"))
+      .localCheckpoint() // tf feeds lens, dfreq AND scoring: one explode
+    val lens = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
     val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"),
       sum($"dl").as("sum_dl"))
-    val dfreq = tok.select($"doc_id", $"term").distinct()
-      .groupBy($"term").agg(count(lit(1)).cast("double").as("df"))
+    val dfreq = tf.groupBy($"term")
+      .agg(count(lit(1)).cast("double").as("df"))
     // TakeOrderedAndProject (distributed top-k), then a 6-row window.
     val top = dfreq.orderBy($"df".desc, $"term").limit(QueryTerms)
     val qw = org.apache.spark.sql.expressions.Window.orderBy($"df".desc, $"term")

@@ -785,8 +785,57 @@ object Similarity {
       .orderBy($"qid", $"rk")
   }
 
+  /** Embedding near-dup CLUSTERS: the [[eNearDup]] pair graph closed
+    * into connected components — semantic dedup's final shape (SemDeDup
+    * et al. drop all but one doc per embedding cluster). Pairs come
+    * from the label-blocked exact form (the verify-scale oracle of
+    * record; at 100 TB the identical edge list comes out of
+    * [[eNearDupLsh]]'s buckets instead and this query doesn't change);
+    * components via [[graft.ops.ConnectedComponents]] — labels live in
+    * a DataFrame, never on the driver, min-label propagation with
+    * per-round lineage truncation. Representative = min vec_id, the
+    * deterministic keep rule. */
+  val eNearDupClusters: Spec = Spec(
+    "e_neardup_clusters",
+    oracle = Some(s"""
+      WITH RECURSIVE verified AS (
+        SELECT a.vec_id AS ida, b.vec_id AS idb
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35),
+      edges AS (
+        SELECT ida AS src, idb AS dst FROM verified
+        UNION ALL SELECT idb, ida FROM verified),
+      walk(id, comp) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id),
+      labels AS (SELECT id, MIN(comp) AS component FROM walk GROUP BY id)
+      SELECT component AS representative, COUNT(*) AS cluster_size,
+        CAST(COUNT(*) - 1 AS BIGINT) AS n_removed, MAX(id) AS max_id
+      FROM labels GROUP BY component ORDER BY representative""")) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+      .select($"vec_id", $"embedding", $"label")
+      .withColumn("n", Vectors.norm($"embedding"))
+    val a = emb.select($"label", $"vec_id".as("src"),
+      $"embedding".as("va"), $"n".as("na"))
+    val b = emb.select($"label", $"vec_id".as("dst"),
+      $"embedding".as("vb"), $"n".as("nb"))
+    val pairs = a.join(b, Seq("label"))
+      .filter($"src" < $"dst")
+      .filter(Vectors.cosine($"va", $"vb", $"na", $"nb") >= 0.35)
+      .select($"src", $"dst")
+    graft.ops.ConnectedComponents.run(pairs)
+      .groupBy($"component".as("representative"))
+      .agg(count(lit(1)).as("cluster_size"),
+        (count(lit(1)) - 1).cast("long").as("n_removed"),
+        max($"id").as("max_id"))
+      .orderBy($"representative")
+  }
+
   val specs: Seq[Spec] = Seq(eCentroids, eKnnBrute, eKnnCell, eNearDup,
     eNearDupLsh, eKnnQuantized, eKmeansCentroids, eKnnIvfLearned,
     eKnnIvfMultiprobe, eKnnPq, eKnnIvfPq, eBitextMine, eEmbeddingOutliers,
-    eKnnIvfPqProbe)
+    eKnnIvfPqProbe, eNearDupClusters)
 }

@@ -729,9 +729,161 @@ object TrainingPrep {
       .orderBy($"source")
   }
 
+  /** Deterministic train/val/test split: bucket = 48-bit id hash mod
+    * 100 → train (<90) / val (90-94) / test (≥95). A pure per-row
+    * function of doc_id — no shuffle to ASSIGN splits (the groupBy here
+    * only summarizes them), replayable across runs, and disjoint by
+    * construction (one bucket, one split), which is the property that
+    * matters: eval rows can never leak into train between pipeline
+    * versions. The same [[graft.ops.Sampling.hash48]] drives sampling
+    * and splitting, so "sampled subset of train" stays consistent. */
+  val dHashSplit: Spec = Spec(
+    "d_hash_split",
+    oracle = Some("""
+      WITH h AS (
+        SELECT doc_id, lang,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,12) AS BIGINT)
+            % 100 AS bucket
+        FROM documents),
+      s AS (
+        SELECT lang, n_tok, doc_id,
+          CASE WHEN bucket < 90 THEN 'train'
+               WHEN bucket < 95 THEN 'val'
+               ELSE 'test' END AS split
+        FROM h)
+      SELECT lang, split, COUNT(*) AS n_docs,
+        CAST(SUM(n_tok) AS BIGINT) AS n_tokens, MIN(doc_id) AS min_doc_id
+      FROM s GROUP BY lang, split ORDER BY lang, split""")) { (s, dir) =>
+    import s.implicits._
+    val bucket = graft.ops.Sampling.hash48($"doc_id") % 100
+    docs(s, dir)
+      .select($"lang", size(Text.tokens($"text")).cast("long").as("n_tok"),
+        $"doc_id",
+        when(bucket < 90, "train").when(bucket < 95, "val")
+          .otherwise("test").as("split"))
+      .groupBy($"lang", $"split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tok").cast("long").as("n_tokens"),
+        min($"doc_id").as("min_doc_id"))
+      .orderBy($"lang", $"split")
+  }
+
+  /** Readability scoring (Flesch reading ease + Flesch-Kincaid grade):
+    * syllables from vowel-group runs (`[aeiouy]+` — the standard
+    * dictionary-free estimator), sentences from a fixed ~13-word
+    * segmentation (the corpus is unpunctuated crawl-style text, the
+    * same estimate a chunker would apply; on punctuated text the
+    * sentence count would come from [[graft.ops.Text.isTerminalValid]]
+    * splits instead and nothing else changes). Entirely per-row scalar
+    * arithmetic — runs at scan speed, no shuffle, any corpus size. */
+  val dReadability: Spec = Spec(
+    "d_readability",
+    oracle = Some("""
+      WITH m AS (
+        SELECT doc_id,
+          CAST(len(string_split(text,' ')) AS DOUBLE) AS w,
+          CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE) AS sy,
+          greatest(1.0, ceil(len(string_split(text,' ')) / 13.0)) AS sent
+        FROM documents WHERE doc_id % 4 = 1)
+      SELECT doc_id,
+        CAST(w AS BIGINT) AS n_words,
+        CAST(sy AS BIGINT) AS n_syllables,
+        CAST(sent AS BIGINT) AS n_sentences,
+        round(206.835 - 1.015 * (w / sent) - 84.6 * (sy / w), 6) AS fre,
+        round(0.39 * (w / sent) + 11.8 * (sy / w) - 15.59, 6) AS fk_grade,
+        CASE WHEN 206.835 - 1.015 * (w / sent) - 84.6 * (sy / w) >= 60 THEN 'easy'
+             WHEN 206.835 - 1.015 * (w / sent) - 84.6 * (sy / w) >= 30 THEN 'medium'
+             ELSE 'hard' END AS band
+      FROM m ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    val w = size(Text.tokens($"text")).cast("double")
+    val sy = regexp_count(lower($"text"), lit("[aeiouy]+")).cast("double")
+    val sent = greatest(lit(1.0), ceil(w / 13.0))
+    val fre = lit(206.835) - lit(1.015) * (w / sent) - lit(84.6) * (sy / w)
+    docs(s, dir)
+      .filter($"doc_id" % 4 === 1)
+      .select($"doc_id",
+        w.cast("long").as("n_words"),
+        sy.cast("long").as("n_syllables"),
+        sent.cast("long").as("n_sentences"),
+        round(fre, 6).as("fre"),
+        round(lit(0.39) * (w / sent) + lit(11.8) * (sy / w) - lit(15.59), 6)
+          .as("fk_grade"),
+        when(fre >= 60, "easy").when(fre >= 30, "medium").otherwise("hard")
+          .as("band"))
+      .orderBy($"doc_id")
+  }
+
+  /** Bigram LM scoring with add-one smoothing — the conditional
+    * upgrade of [[dUnigramLmScore]] (KenLM-style corpus perplexity is
+    * THE classic quality filter; a bigram model is its smallest honest
+    * form): logP(doc) = Σ log10((c(w₁w₂)+1) / (c(w₁)+V)).
+    *
+    * Scale shape: ONE explode builds the bigram count table (hash agg,
+    * map-side combined); context counts c(w₁) derive from it by a
+    * second agg over the FIRST token — no re-explode; V is a distinct
+    * count of unigrams. Scoring joins doc bigrams against the count
+    * table on the gram key — a plain shuffle join whose build side is
+    * the model itself, exactly how a distributed LM scorer shards its
+    * table; the context counts join stays un-hinted so AQE broadcasts
+    * while the vocab fits and degrades when it doesn't. Per-bigram
+    * log-probs are 6dp-rounded and summed as DECIMAL (order-free). */
+  val dBigramLm: Spec = Spec(
+    "d_bigram_lm",
+    oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text,' ') AS l FROM documents),
+      bi AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(l)),
+          i -> array_to_string(l[i:i+1], ' '))) AS g
+        FROM toks WHERE len(l) >= 2),
+      cb AS (SELECT g, CAST(COUNT(*) AS DOUBLE) AS cb FROM bi GROUP BY g),
+      c1 AS (SELECT string_split(g,' ')[1] AS w1, SUM(cb) AS c1
+             FROM cb GROUP BY 1),
+      v AS (SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS v
+            FROM (SELECT unnest(l) AS w FROM toks)),
+      lp AS (
+        SELECT bi.doc_id,
+          CAST(round(log10((cb.cb + 1) / (c1.c1 + v.v)), 6)
+            AS DECIMAL(18,6)) AS lp
+        FROM bi JOIN cb ON bi.g = cb.g
+          JOIN c1 ON string_split(bi.g,' ')[1] = c1.w1
+          CROSS JOIN v)
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+        FLOOR(CAST(SUM(lp) AS DOUBLE) / COUNT(*) * 1e6) / 1e6 AS avg_logprob
+      FROM lp GROUP BY doc_id ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    val toks = docs(s, dir).select($"doc_id", Text.tokens($"text").as("l"))
+    val bi = toks.filter(size($"l") >= 2)
+      .select($"doc_id", explode(Text.wordNgrams($"l", 2)).as("g"))
+    val cb = bi.groupBy($"g")
+      .agg(count(lit(1)).cast("double").as("cb"))
+      .localCheckpoint() // the model table: feeds c1 AND scoring
+    val c1 = cb.groupBy(split($"g", " ", 2).getItem(0).as("w1"))
+      .agg(sum($"cb").as("c1"))
+    val v = toks.select(explode($"l").as("w")).agg(
+      countDistinct($"w").cast("double").as("v"))
+    bi.join(cb, "g")
+      .withColumn("w1", split($"g", " ", 2).getItem(0))
+      .join(c1, "w1")
+      .crossJoin(broadcast(v))
+      .withColumn("lp",
+        round(log10(($"cb" + 1) / ($"c1" + $"v")), 6).cast("decimal(18,6)"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        // FLOOR, not ROUND: the exact decimal sum divided by an integer
+        // count can land on half-way 6dp boundaries where the engines'
+        // rounding modes disagree (the d_ngram_rep_word_tok rule)
+        (floor(sum($"lp").cast("double") / count(lit(1)) * 1e6) / 1e6)
+          .as("avg_logprob"))
+      .orderBy($"doc_id")
+  }
+
   val specs: Seq[Spec] = Seq(
     dStratifiedSample, dShardPacking, dChunkWindows, dUnigramLmScore,
     dGopherRules, dTfidfTopTerms, dMixtureSample, dLengthOutliers,
     dProfileColumns, dZipfSlope, dDriftPsi, dHeavyHitters,
-    dSequenceSegments, dKmvDistinct, dSnapshotDiff, dTokenBudget)
+    dSequenceSegments, dKmvDistinct, dSnapshotDiff, dTokenBudget,
+    dHashSplit, dReadability, dBigramLm)
 }

@@ -88,9 +88,20 @@ object DocSources {
     readParquet(s, uri)
   }
 
+  /** ORC scan (format-breadth: the other columnar format Hive-era
+    * lakes hold; Spark's reader pushes predicates and prunes columns
+    * exactly as with parquet, so a migration reads in place instead of
+    * converting 100 TB first). */
+  def readOrc(s: SparkSession, paths: String*): DataFrame =
+    s.read.orc(paths: _*)
+
   /** S8: overwrite parquet sink. */
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
+
+  /** ORC sink (zlib default — the ORC ecosystem's parquet-gzip). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
 
   /** S9: hive-partitioned sink (downstream per-language reads prune). */
   def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =

@@ -184,6 +184,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Seq((1L, "hello world", "en"), (2L, "bonjour", "fr")))
   }
 
+  test("ORC source/sink round trip with predicate pushdown") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc")
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+    graft.sources.DocSources.writeOrc(docs, s"$dir/docs.orc")
+    val back = graft.sources.DocSources.readOrc(spark, s"$dir/docs.orc")
+    assert(back.schema == docs.schema)
+    assert(back.count() == docs.count())
+    // filter + projection reach the ORC scan (same pushdown contract
+    // as the parquet source tests)
+    val plan = back.filter($"doc_id" < 10).select($"doc_id", $"lang")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]"),
+      s"ORC scan must receive the pushed filter:\n$plan")
+    assert(back.filter($"doc_id" < 10).count() ==
+      docs.filter($"doc_id" < 10).count())
+  }
+
   test("JSON source round trip with explicit schema (S1)") {
     val dir = tmp("graft-json")
     Files.writeString(java.nio.file.Path.of(s"$dir/a.json"),

@@ -234,4 +234,45 @@ class PlanSpec extends AnyFunSuite {
       "shingle sets are checkpointed once — the final plan must read " +
         "the materialized blocks, not re-scan parquet:\n" + p)
   }
+
+  test("bm25: ONE explode builds tf; lens/df derive without re-scanning tokens") {
+    val p = finalPlan("d_bm25_topk")
+    assert(p.linesIterator.count(_.contains("Generate explode")) <= 1,
+      "tf is the only token explode — dl and df must derive from it:\n" + p)
+    assert(!p.contains("CartesianProduct"),
+      "query-term and corpus-stats joins must broadcast:\n" + p)
+  }
+
+  test("bigram lm: one explode for the model table, context counts derived") {
+    val p = plan("d_bigram_lm")
+    // two explodes total: bigrams (model+scoring share the checkpointed
+    // table) and the vocab-count unigram pass — never one per consumer
+    assert(p.linesIterator.count(_.contains("Generate explode")) <= 2,
+      "bigram table must be built once and reused:\n" + p)
+    assert(!p.contains("CartesianProduct"), "V must ride a broadcast:\n" + p)
+  }
+
+  test("hash split: split assignment is per-row scalar work, no pre-agg shuffle") {
+    val p = plan("d_hash_split")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    // one shuffle for the (lang, split) summary agg + the final sort —
+    // assigning splits itself must not shuffle
+    assert(exchanges <= 3,
+      s"expected only the summary agg + sort exchanges, got $exchanges:\n" + p)
+    assert(p.contains("partial"), "summary agg must map-side combine:\n" + p)
+  }
+
+  test("cohort retention: first-seen table broadcasts back; offsets never window") {
+    val p = finalPlan("ev_cohort_retention")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "cohort sizes (days-scale dim) must ride a broadcast:\n" + p)
+    assert(!p.contains("Window"),
+      "per-user first-seen is a hash agg, not a global window:\n" + p)
+  }
+
+  test("neardup clusters: label-blocked pair join, no cartesian") {
+    val p = plan("e_neardup_clusters")
+    assert(!p.contains("CartesianProduct"),
+      "pair generation must join on the label block key:\n" + p)
+  }
 }
