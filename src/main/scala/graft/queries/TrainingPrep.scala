@@ -880,10 +880,68 @@ object TrainingPrep {
       .orderBy($"doc_id")
   }
 
+  /** Per-language quality DECILES of the unigram-LM score — the
+    * CCNet head/middle/tail policy generalized to 10 buckets: rank
+    * docs within their language by score, bucket by rank decile, and
+    * report each bucket's population and score range (the table a
+    * curriculum or head-only filter reads its cutoffs from).
+    *
+    * Scale shape: ranking within language is [[Skew.prefixSumByKey]]
+    * over value=1 (range-partitioned partials + broadcast offsets) —
+    * NOT `row_number() OVER (PARTITION BY lang ...)`, which funnels
+    * every doc of a language through one reducer at corpus scale. The
+    * oracle states exactly that window form; TrainingPrepSpec pins the
+    * two equal elsewhere. Bucket math is integer div on BOTH sides
+    * (never a double ntile — DuckDB's ntile spreads remainders
+    * differently). */
+  val dScoreDeciles: Spec = Spec(
+    "d_score_deciles",
+    oracle = Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      vocab AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w),
+      tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM vocab),
+      scored AS (
+        SELECT tok.doc_id,
+          CAST(round(log10(CAST(c AS DOUBLE) / CAST(total AS DOUBLE)), 6)
+            AS DECIMAL(18,6)) AS lp
+        FROM tok JOIN vocab ON tok.w = vocab.w CROSS JOIN tot),
+      doc AS (
+        SELECT doc_id, round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS score
+        FROM scored GROUP BY doc_id),
+      ranked AS (
+        SELECT d.lang, doc.score,
+          row_number() OVER (PARTITION BY d.lang
+            ORDER BY doc.score, doc.doc_id) AS rn,
+          COUNT(*) OVER (PARTITION BY d.lang) AS cnt
+        FROM doc JOIN documents d ON doc.doc_id = d.doc_id)
+      SELECT lang, CAST((rn - 1) * 10 // cnt + 1 AS BIGINT) AS decile,
+        COUNT(*) AS n_docs,
+        MIN(score) AS min_score, MAX(score) AS max_score
+      FROM ranked GROUP BY lang, decile ORDER BY lang, decile""")) { (s, dir) =>
+    import s.implicits._
+    val scores = graft.ops.Quality.unigramLmScores(
+        docs(s, dir).select($"doc_id", Text.tokens($"text").as("toks")),
+        "doc_id", "toks")
+      .select($"doc_id", $"avg_logprob".as("score"))
+    val withLang = scores.join(
+      docs(s, dir).select($"doc_id", $"lang"), "doc_id")
+    val ranked = Skew.prefixSumByKey(withLang, "lang",
+      Seq($"score", $"doc_id"), lit(1L), "rn")
+    val counts = ranked.groupBy($"lang").agg(count(lit(1)).as("cnt"))
+    ranked.join(broadcast(counts), "lang")
+      .withColumn("decile", expr("(rn - 1) * 10 div cnt + 1").cast("long"))
+      .groupBy($"lang", $"decile")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"score").as("min_score"), max($"score").as("max_score"))
+      .orderBy($"lang", $"decile")
+  }
+
   val specs: Seq[Spec] = Seq(
     dStratifiedSample, dShardPacking, dChunkWindows, dUnigramLmScore,
     dGopherRules, dTfidfTopTerms, dMixtureSample, dLengthOutliers,
     dProfileColumns, dZipfSlope, dDriftPsi, dHeavyHitters,
     dSequenceSegments, dKmvDistinct, dSnapshotDiff, dTokenBudget,
-    dHashSplit, dReadability, dBigramLm)
+    dHashSplit, dReadability, dBigramLm, dScoreDeciles)
 }

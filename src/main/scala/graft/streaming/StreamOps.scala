@@ -270,9 +270,25 @@ object StreamOps {
         val firstInBatch = hashed
           .groupBy(col("_h")).agg(min(col(idCol)).as(idCol))
           .join(hashed, Seq("_h", idCol))
+          .localCheckpoint() // feeds the bloom count AND the anti join
         val survivors = priorState(s, stateDir, batchId) match {
-          case Some(st) => firstInBatch.join(st, Seq("_h"), "left_anti")
-          case None     => firstInBatch
+          case Some(st) =>
+            // Bloom prefilter (the dd_bloom_incremental design, stream
+            // side): a filter over the BATCH hashes — the small, bounded
+            // side — rides a broadcast and prunes the accumulated state
+            // store to possible collisions before the anti join, so the
+            // per-batch shuffle is candidate-sized, not store-sized.
+            // No false negatives ⇒ survivors are EXACTLY the
+            // un-prefiltered anti join (StreamingSpec pins the results,
+            // and st_dedup_count's oracle re-proves it every verify).
+            val nBatch = math.max(firstInBatch.count(), 1000L)
+            val bloom = firstInBatch.stat.bloomFilter("_h", nBatch, 0.01)
+            val bloomBc = s.sparkContext.broadcast(bloom)
+            val mightContain = udf((x: String) =>
+              x != null && bloomBc.value.mightContainString(x))
+            firstInBatch.join(
+              st.filter(mightContain(col("_h"))), Seq("_h"), "left_anti")
+          case None => firstInBatch
         }
         // overwrite THIS batch's directories: a micro-batch retry
         // rewrites them instead of appending duplicates
