@@ -22,7 +22,7 @@ object Dedup {
     * because no verify-scale bucket comes near the cap. If corpus growth
     * ever trips it, the engine emits a non-zero `capped_buckets` observe
     * metric (graft_buckets_*) rather than failing silently. */
-  private val minhashPairsSql = """
+  private[queries] val minhashPairsSql = """
       WITH toks AS (
         SELECT doc_id, string_split(text,' ') AS l FROM documents),
       sh AS (

@@ -377,7 +377,27 @@ object StreamingQ {
         .select($"window_start", $"event_type", $"n_events".as("n")))
   }
 
+  /** STREAMING MinHash near-dup: foreachBatch accumulates an LSH state
+    * store and emits each batch's verified pairs vs prior state + in
+    * batch ([[graft.streaming.StreamOps.minhashIncrementalStart]]).
+    * Over the finite verify feed the accumulated pairs are EXACTLY the
+    * one-shot dd_minhash_pairs set, so this shares its oracle verbatim;
+    * the multi-batch state path (pairs split across arrivals) is pinned
+    * by the MemoryStream twin in StreamingSpec. */
+  val stMinhashPairs: Spec = Spec(
+    "st_minhash_pairs",
+    oracle = Some(Dedup.minhashPairsSql)) { (s, dir) =>
+    import s.implicits._
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_st_mh").toString
+    val src = s.readStream.schema(StreamOps.documentsSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    StreamOps.minhashPairsBatches(s, src, "doc_id", "text", outDir)
+      .select($"id_a", $"id_b", $"jaccard")
+      .orderBy($"id_a", $"id_b")
+  }
+
   val specs: Seq[Spec] = Seq(stTumbling, stSliding, stDedup, stSessions,
     stEnrich, stClickView, dLid, dLidScript, pipelineE2e, stDocFlags,
-    stHeavyHitters, stDriftWindowed, stLidScript)
+    stHeavyHitters, stDriftWindowed, stLidScript, stMinhashPairs)
 }

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.ops.MinHash
+
 /** Structured Streaming twins of the batch event operators (SURVEY
   * §2.12 — absent from the reference; engine addition). File source →
   * event-time window aggregation with watermark → memory sink; the
@@ -379,6 +381,49 @@ object StreamOps {
     try q.processAllAvailable()
     finally q.stop()
     heavyHittersResult(s, outDir, k)
+  }
+
+  /** Streaming MinHash LSH near-dup: foreachBatch maintains a parquet
+    * LSH state store ([[graft.ops.MinHash.lshState]] rows — shingle
+    * sets + signatures + band keys, never raw text) and emits each
+    * micro-batch's verified pairs against all PRIOR state plus within
+    * the batch ([[graft.ops.MinHash.incrementalCandidatePairs]]: the
+    * batch side broadcasts, corpus state is only scanned in buckets the
+    * batch touches — per-batch cost scales with the batch, never the
+    * accumulated corpus). Feeding a corpus through in ANY batch split
+    * accumulates exactly the one-shot
+    * [[graft.ops.MinHash.candidatePairs]] pair set: each pair is
+    * emitted once, by the batch of its later-arriving member (ids are
+    * unique across the feed by contract). Idempotent per-batch
+    * overwrite dirs + strictly-prior state reads, exactly as
+    * [[incrementalDedupStart]]. */
+  def minhashIncrementalStart(s: SparkSession, src: DataFrame,
+      idCol: String, textCol: String,
+      outDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val stateDir = s"$outDir/state"
+    val pairsDir = s"$outDir/pairs"
+    src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val st = MinHash.lshState(batch, idCol, textCol).localCheckpoint()
+        val prior = priorState(s, stateDir, batchId).getOrElse(st.limit(0))
+        MinHash.incrementalCandidatePairs(st, prior)
+          .select(col("id_a"), col("id_b"),
+            round(col("jaccard"), 6).as("jaccard"))
+          .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+        st.write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /** Drive [[minhashIncrementalStart]] to completion over a finite
+    * source and return the accumulated pair set. */
+  def minhashPairsBatches(s: SparkSession, src: DataFrame, idCol: String,
+      textCol: String, outDir: String): DataFrame = {
+    val q = minhashIncrementalStart(s, src, idCol, textCol, outDir)
+    try q.processAllAvailable()
+    finally q.stop()
+    existingParquet(s, s"$outDir/pairs").getOrElse(s.emptyDataFrame)
   }
 
   /** documents schema for the streaming source twin. */

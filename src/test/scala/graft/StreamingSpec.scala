@@ -145,6 +145,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("streaming minhash: multi-batch accumulation equals one-shot pair set") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_st_mh_mem").toString
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val (batch1, batch0) = docs.partition(_._1 % 10 == 0)
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamOps.minhashIncrementalStart(
+      spark, ms.toDF().toDF("doc_id", "text"), "doc_id", "text", outDir)
+    try {
+      ms.addData(batch0) // the accumulated "corpus"
+      q.processAllAvailable()
+      ms.addData(batch1) // the increment: cross-batch pairs need STATE
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(s"$outDir/pairs")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val oneShot = graft.ops.MinHash.candidatePairs(
+        spark.read.parquet(s"${TestSpark.Sf}/documents.parquet"),
+        "doc_id", "text", shingleSize = 3, numPerm = 32, bands = 8,
+        threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got == oneShot)
+    // cross-batch pairs exist (the state path actually fired)
+    assert(got.exists { case (a, b) => (a % 10 == 0) != (b % 10 == 0) })
+  }
+
   test("streaming heavy hitters: cross-batch heavy token found even when light per batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
