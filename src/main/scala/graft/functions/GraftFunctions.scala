@@ -132,6 +132,20 @@ object GraftFunctions {
       langCase(es.head, graft.sources.LangData.nameMapping))
     reg("graft_lang_code")(es =>
       langCase(es.head, graft.sources.LangData.codeMapping))
+    // Mojibake surface (ops.Text.mojibakeRepair/-Count as raw Catalyst
+    // trees — nested StringReplace / one RegExpCount, fully codegen'd).
+    reg("graft_mojibake_count") { es =>
+      import org.apache.spark.sql.catalyst.expressions.{Cast, RegExpCount}
+      Cast(RegExpCount(es.head, Literal(graft.ops.Text.MojibakeRe)),
+        org.apache.spark.sql.types.LongType)
+    }
+    reg("graft_mojibake_repair") { es =>
+      import org.apache.spark.sql.catalyst.expressions.StringReplace
+      graft.ops.Text.MojibakePairs.foldLeft(es.head) {
+        case (acc, (bad, good)) =>
+          StringReplace(acc, Literal(bad), Literal(good))
+      }
+    }
     out.result()
   }
 

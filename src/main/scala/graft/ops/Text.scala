@@ -281,19 +281,19 @@ object Text {
     * identically under Java regex and RE2 (both leftmost-first). */
   val MojibakeRe = "Ã©|â€™|â€œ|â€|Â "
 
+  /** Repair pairs in application order — longer sequences before their
+    * shared â€ prefix (replace is order-sensitive). Single source for
+    * the Column chain below AND the graft_mojibake_repair SQL builder. */
+  val MojibakePairs: Seq[(String, String)] = Seq(
+    "Ã©" -> "é", "â€™" -> "’", "â€œ" -> "“", "â€" -> "”", "Â " -> " ")
+
   def mojibakeCount(c: Column): Column =
     regexp_count(c, lit(MojibakeRe)).cast("long")
 
   /** Reverse the mojibake pairs, longest-first (same chain order as the
     * oracle — replace is order-sensitive over the shared â€ prefix). */
   def mojibakeRepair(c: Column): Column =
-    replace(
-      replace(
-        replace(
-          replace(
-            replace(c, lit("Ã©"), lit("é")),
-            lit("â€™"), lit("’")),
-          lit("â€œ"), lit("“")),
-        lit("â€"), lit("”")),
-      lit("Â "), lit(" "))
+    MojibakePairs.foldLeft(c) { case (acc, (bad, good)) =>
+      replace(acc, lit(bad), lit(good))
+    }
 }

@@ -509,8 +509,80 @@ object Events {
       .orderBy($"cohort_day", $"day_offset")
   }
 
+  /** Windowed SEQUENCED funnel (the ClickHouse `windowFunnel` shape,
+    * first-touch anchored): view → click → purchase must occur in
+    * order, each step strictly after the previous, with the whole
+    * chain inside a 24-hour window of the user's FIRST view. Unlike
+    * [[qFunnel]] (unordered per-user counts), order and timing gate
+    * each level.
+    *
+    * Scale shape: three chained hash aggs on user_id (anchor, then min
+    * qualifying next-step per level) — each join is keyed on user_id
+    * and AQE-degradable; no per-user event-sorted window is needed
+    * because first-touch anchoring only wants MINs. All arithmetic is
+    * exact integer time (ns in Spark, µs in the oracle — same
+    * comparisons). */
+  val qFunnelWindowed: Spec = Spec(
+    "ev_funnel_windowed",
+    oracle = Some("""
+      WITH t1 AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+      t2 AS (
+        SELECT e.user_id, ANY_VALUE(t1.t1) AS t1, MIN(epoch_us(e.ts)) AS t2
+        FROM events e JOIN t1 ON e.user_id = t1.user_id
+        WHERE e.event_type = 'click' AND epoch_us(e.ts) > t1.t1
+        GROUP BY e.user_id),
+      t3 AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+        FROM events e JOIN t2 ON e.user_id = t2.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t2.t2
+        GROUP BY e.user_id),
+      lv AS (
+        SELECT t1.user_id,
+          CASE WHEN t3.t3 IS NOT NULL AND t3.t3 - t1.t1 <= 86400000000 THEN 3
+               WHEN t2.t2 IS NOT NULL AND t2.t2 - t1.t1 <= 86400000000 THEN 2
+               ELSE 1 END AS level,
+          CASE WHEN t3.t3 IS NOT NULL AND t3.t3 - t1.t1 <= 86400000000
+                 THEN t3.t3 - t1.t1
+               WHEN t2.t2 IS NOT NULL AND t2.t2 - t1.t1 <= 86400000000
+                 THEN t2.t2 - t1.t1
+               ELSE 0 END AS reach_us
+        FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+        LEFT JOIN t3 ON t1.user_id = t3.user_id)
+      SELECT CAST(level AS BIGINT) AS level, COUNT(*) AS n_users,
+        CAST(SUM(reach_us) AS BIGINT) AS total_reach_us
+      FROM lv GROUP BY level ORDER BY level""")) { (s, dir) =>
+    import s.implicits._
+    val windowUs = 86400000000L // 24 h in µs — ts cols below are µs
+    val ev = load(s, dir)
+      .select($"user_id", $"event_type", expr("ts div 1000").as("tus"))
+    val t1 = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"tus").as("t1"))
+    val t2 = ev.filter($"event_type" === "click")
+      .join(t1, "user_id").filter($"tus" > $"t1")
+      .groupBy($"user_id").agg(min($"tus").as("t2"))
+    val t3 = ev.filter($"event_type" === "purchase")
+      .join(t2, "user_id").filter($"tus" > $"t2")
+      .groupBy($"user_id").agg(min($"tus").as("t3"))
+    val lv = t1
+      .join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .select(
+        when($"t3".isNotNull && $"t3" - $"t1" <= windowUs, 3)
+          .when($"t2".isNotNull && $"t2" - $"t1" <= windowUs, 2)
+          .otherwise(1).cast("long").as("level"),
+        when($"t3".isNotNull && $"t3" - $"t1" <= windowUs, $"t3" - $"t1")
+          .when($"t2".isNotNull && $"t2" - $"t1" <= windowUs, $"t2" - $"t1")
+          .otherwise(0L).as("reach_us"))
+    lv.groupBy($"level")
+      .agg(count(lit(1)).as("n_users"),
+        sum($"reach_us").cast("long").as("total_reach_us"))
+      .orderBy($"level")
+  }
+
   val specs: Seq[Spec] = Seq(qTumbling, qSessionize, qAsofClick,
     qAsofTolerance, qFunnel, qPropsJson, qSliding, qSessionWindowNative,
     qRate5Min, qValueOutliers, qDriftWindowed, qDriftSliding,
-    qCohortRetention)
+    qCohortRetention, qFunnelWindowed)
 }

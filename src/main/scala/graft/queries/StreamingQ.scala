@@ -193,6 +193,34 @@ object StreamingQ {
     lidScriptCols(s, Tables.load(s, dir, "documents")).orderBy($"doc_id")
   }
 
+  /** LID evaluation harness: confusion matrix of the script vote
+    * against the corpus' labeled `lang` column — the accuracy report a
+    * model-swap ships with (per cell: doc count + mean confidence).
+    * Aggregation is a (true, predicted) hash agg over the detector
+    * projection — cells are languages², so the summary is driver-tiny
+    * at any corpus size. Confidence averages as DECIMAL with the FLOOR
+    * 1e6 rule (6dp means divided by counts land on half-way points). */
+  val dLidConfusion: Spec = Spec(
+    "d_lid_confusion",
+    oracle = Some(s"""
+      WITH det AS ($lidScriptOracleSql)
+      SELECT d.lang AS true_lang, det.script_lang AS pred_lang,
+        COUNT(*) AS n_docs,
+        FLOOR(CAST(SUM(CAST(det.script_conf AS DECIMAL(18,6))) AS DOUBLE)
+          / COUNT(*) * 1e6) / 1e6 AS mean_conf
+      FROM det JOIN documents d ON det.doc_id = d.doc_id
+      GROUP BY true_lang, pred_lang ORDER BY true_lang, pred_lang""")) { (s, dir) =>
+    import s.implicits._
+    val det = lidScriptCols(s, Tables.load(s, dir, "documents"))
+    det.join(Tables.load(s, dir, "documents").select($"doc_id", $"lang"),
+        "doc_id")
+      .groupBy($"lang".as("true_lang"), $"script_lang".as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        (floor(sum($"script_conf".cast("decimal(18,6)")).cast("double")
+          / count(lit(1)) * 1e6) / 1e6).as("mean_conf"))
+      .orderBy($"true_lang", $"pred_lang")
+  }
+
   /** STREAMING LID: the ensemble's mapPartitions annotation is
     * stateless, so the identical column logic runs on an unbounded
     * document feed (append mode, no state store) — "tag language as
@@ -398,6 +426,7 @@ object StreamingQ {
   }
 
   val specs: Seq[Spec] = Seq(stTumbling, stSliding, stDedup, stSessions,
-    stEnrich, stClickView, dLid, dLidScript, pipelineE2e, stDocFlags,
-    stHeavyHitters, stDriftWindowed, stLidScript, stMinhashPairs)
+    stEnrich, stClickView, dLid, dLidScript, dLidConfusion, pipelineE2e,
+    stDocFlags, stHeavyHitters, stDriftWindowed, stLidScript,
+    stMinhashPairs)
 }

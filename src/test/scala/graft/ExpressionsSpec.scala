@@ -155,6 +155,22 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(r.getSeq[String](4) == Seq("کیا", "۔"))
   }
 
+  test("graft_mojibake_count/repair callable from SQL, match the Column forms") {
+    GraftFunctions.registerSql(spark)
+    val s = "cafÃ© donâ€™t â€œquotedâ€ plainÂ x"
+    val r = spark.sql(
+      s"""SELECT graft_mojibake_count('$s') AS c,
+         |graft_mojibake_repair('$s') AS rep""".stripMargin).collect()(0)
+    assert(r.getAs[Long]("c") == 5L)
+    assert(r.getAs[String]("rep") == "café don’t “quoted” plain x")
+    import spark.implicits._
+    val col = Seq(s).toDF("t")
+      .select(graft.ops.Text.mojibakeCount($"t").as("c"),
+        graft.ops.Text.mojibakeRepair($"t").as("rep")).collect()(0)
+    assert(col.getAs[Long]("c") == r.getAs[Long]("c"))
+    assert(col.getAs[String]("rep") == r.getAs[String]("rep"))
+  }
+
   test("graft_lang_name/graft_lang_code callable from SQL") {
     GraftFunctions.registerSql(spark)
     val r = spark.sql(
