@@ -113,6 +113,37 @@ object Vectors {
     topK(exact, k)
   }
 
+  /** Matryoshka / truncated-dimension two-stage ANN (the MRL serving
+    * pattern): coarse cosine over only the first `coarseDims`
+    * components — matryoshka-trained embeddings front-load
+    * information, so a prefix slice is the cheapest flop/byte
+    * reduction (4× here) and needs NO learned artifact at all — then
+    * exact re-rank of the per-query shortlist on full vectors. Same
+    * two-stage shape (broadcast queries, TopK shortlist, keyed rerank
+    * joins) as [[knnQuantized]]. */
+  def knnMatryoshka(queries: DataFrame, corpus: DataFrame, k: Int,
+      coarseDims: Int = 16, rerank: Int = 50): DataFrame = {
+    val q = broadcast(queries
+      .select(col("id").as("qid"), col("vec").as("qv"))
+      .withColumn("qs", slice(col("qv"), 1, coarseDims))
+      .withColumn("qsn", norm(col("qs")))
+      .withColumn("qn", norm(col("qv"))))
+    val c = corpus
+      .select(col("id").as("cid"), col("vec").as("cv"))
+      .withColumn("cs", slice(col("cv"), 1, coarseDims))
+      .withColumn("csn", norm(col("cs")))
+      .withColumn("cn", norm(col("cv")))
+    val coarse = c.join(q, col("qid") =!= col("cid"))
+      .withColumn("cos_sim", cosine(col("qs"), col("cs"), col("qsn"), col("csn")))
+    val shortlist = topK(coarse, rerank)
+      .select(col("qid"), col("cid"))
+    val exact = shortlist
+      .join(c.select(col("cid"), col("cv"), col("cn")), Seq("cid"))
+      .join(q.select(col("qid"), col("qv"), col("qn")), Seq("qid"))
+      .withColumn("cos_sim", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+    topK(exact, k)
+  }
+
   /** Nearest-centroid id for a vector against a (small) broadcast
     * centroid matrix: squared-L2 by sequential fold (bit-exact
     * mirrorable), ties to the lowest cell id via struct array_min. */

@@ -275,6 +275,43 @@ object Relational {
       .orderBy($"order_year".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
   }
 
+  /** Explicit GROUPING SETS (the general form rollup/cube specialize):
+    * three hand-picked grouping levels in ONE pass over orders —
+    * Spark's Expand feeds a single hash agg, so the multi-level report
+    * costs one scan + one shuffle, not one query per level. grouping()
+    * markers disambiguate "NULL because super-aggregate" from data
+    * nulls, cast BIGINT on both engines. */
+  val qGroupingSets: Spec = Spec(
+    "q_grouping_sets",
+    oracle = Some("""
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+             o_orderstatus, o_orderpriority,
+             CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+             CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             COUNT(*) AS n_orders
+      FROM orders
+      GROUP BY GROUPING SETS ((order_year, o_orderstatus),
+                              (order_year, o_orderpriority),
+                              (order_year))
+      ORDER BY order_year NULLS FIRST, o_orderstatus NULLS FIRST,
+               o_orderpriority NULLS FIRST, g_status, g_priority""")) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql("""
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+             o_orderstatus, o_orderpriority,
+             CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+             CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             COUNT(*) AS n_orders
+      FROM orders
+      GROUP BY GROUPING SETS ((order_year, o_orderstatus),
+                              (order_year, o_orderpriority),
+                              (order_year))
+      ORDER BY order_year NULLS FIRST, o_orderstatus NULLS FIRST,
+               o_orderpriority NULLS FIRST, g_status, g_priority""")
+  }
+
   /** Pivot: order counts per priority × status (fixed pivot values so the
     * output schema is static — required at scale and for the oracle). */
   val qPivot: Spec = Spec(
@@ -580,7 +617,7 @@ object Relational {
   val specs: Seq[Spec] = Seq(
     q1PricingSummary, q3TopOrders, q5RegionRevenue, q4LateShipments,
     qAntiCustomers, qTopPartsPerBrand, qRunningSupplier, qSetOps,
-    qRollup, qPivot, qPercentiles, qHistogram, qDistinctAgg, qMonthly,
-    qCaseWhen, qCube, qSqlSurface, qSketches, qWindowShapes,
+    qRollup, qGroupingSets, qPivot, qPercentiles, qHistogram, qDistinctAgg,
+    qMonthly, qCaseWhen, qCube, qSqlSurface, qSketches, qWindowShapes,
     qOrderLatency, qStringOps, qSaltedAgg, qRangeBandJoin)
 }

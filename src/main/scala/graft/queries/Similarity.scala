@@ -834,8 +834,53 @@ object Similarity {
       .orderBy($"representative")
   }
 
+  /** Matryoshka (truncated-dimension) two-stage ANN: coarse cosine on
+    * the first 16 of 64 components — the MRL serving pattern, a 4×
+    * flop/byte cut with NO learned artifact — then exact re-rank of a
+    * 50-deep shortlist. Fully oracled: DuckDB replays the prefix-slice
+    * scoring, the (cos DESC, cid) shortlist, and the full-vector
+    * re-rank; recall vs brute force pinned in VectorOpsSpec. */
+  val eKnnMatryoshka: Spec = Spec(
+    "e_knn_matryoshka",
+    oracle = Some(s"""
+      WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+      coarse AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+          list_reduce(list_transform(range(1, 17),
+              i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(range(1, 17),
+                i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE), (x, y) -> x + y))
+             * sqrt(list_reduce(list_transform(range(1, 17),
+                i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE), (x, y) -> x + y)))
+            AS ccos
+        FROM q JOIN embeddings c ON c.vec_id <> q.vec_id),
+      short AS (
+        SELECT qid, cid FROM (
+          SELECT qid, cid,
+            row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, cid) AS srk
+          FROM coarse) WHERE srk <= 50),
+      ex AS (
+        SELECT s.qid, s.cid,
+          ${cosSql("qe.embedding", "ce.embedding")} AS cos
+        FROM short s
+          JOIN embeddings qe ON qe.vec_id = s.qid
+          JOIN embeddings ce ON ce.vec_id = s.cid),
+      r AS (SELECT qid, cid, cos,
+        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rk
+        FROM ex)
+      SELECT qid, rk, cid, ROUND(cos, 6) AS cos_sim
+      FROM r WHERE rk <= 5 ORDER BY qid, rk""")) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    Vectors.knnMatryoshka(emb.filter($"id" < 10), emb, 5,
+        coarseDims = 16, rerank = 50)
+      .select($"qid", $"rk", $"cid", round($"cos_sim", 6).as("cos_sim"))
+      .orderBy($"qid", $"rk")
+  }
+
   val specs: Seq[Spec] = Seq(eCentroids, eKnnBrute, eKnnCell, eNearDup,
     eNearDupLsh, eKnnQuantized, eKmeansCentroids, eKnnIvfLearned,
     eKnnIvfMultiprobe, eKnnPq, eKnnIvfPq, eBitextMine, eEmbeddingOutliers,
-    eKnnIvfPqProbe, eNearDupClusters)
+    eKnnIvfPqProbe, eNearDupClusters, eKnnMatryoshka)
 }

@@ -229,4 +229,50 @@ class PropertiesSpec extends AnyFunSuite {
       .select($"id", $"cum").as[(Long, Long)].collect().toMap
     assert(got == win)
   }
+
+  test("bloom prefilter never changes an anti-join (no false negatives)") {
+    // Generated corpus/batch with forced hash collisions across the
+    // split: the bloom-prefiltered anti join must equal the plain one
+    // for every seed — the exactness claim dd_bloom_incremental and the
+    // streaming state read both rest on.
+    for (seed <- 0 until 3) {
+      val texts = (0 until 300).map { i =>
+        val g = Gen.oneOf((0 until 40).map(j => s"text$j")) // heavy overlap
+        (i.toLong, g.pureApply(Gen.Parameters.default, Seed(seed * 1000L + i)))
+      }
+      val df = texts.toDF("id", "t").withColumn("h", md5($"t"))
+      val corpus = df.filter($"id" % 3 =!= 0).select($"h")
+      val batch = df.filter($"id" % 3 === 0).select($"id", $"h")
+      val plain = batch.join(corpus, Seq("h"), "left_anti")
+        .select($"id").as[Long].collect().toSet
+      val bloom = batch.stat.bloomFilter("h", 1000L, 0.01)
+      val bc = spark.sparkContext.broadcast(bloom)
+      val mightContain =
+        udf((x: String) => x != null && bc.value.mightContainString(x))
+      val pre = batch.join(corpus.filter(mightContain($"h")), Seq("h"), "left_anti")
+        .select($"id").as[Long].collect().toSet
+      assert(pre == plain, s"seed=$seed")
+    }
+  }
+
+  test("hash split: disjoint by construction, stable, ~90/5/5") {
+    val ids = (0L until 4000L).toDF("doc_id")
+    val bucket = graft.ops.Sampling.hash48($"doc_id") % 100
+    val split = ids.select($"doc_id",
+      when(bucket < 90, "train").when(bucket < 95, "val")
+        .otherwise("test").as("split"))
+    val counts = split.groupBy($"split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 4000L)
+    assert(counts("train") > 3400 && counts("train") < 3800, counts)
+    assert(counts("val") > 100 && counts("val") < 300, counts)
+    assert(counts("test") > 100 && counts("test") < 300, counts)
+    // replayable: identical assignment on recompute
+    val again = split.groupBy($"split").count()
+      .as[(String, Long)].collect().toMap
+    assert(again == counts)
+    // one id, one split (disjointness): doc-level assignment is a pure
+    // function, so distinct (id, split) pairs == id count
+    assert(split.distinct().count() == 4000L)
+  }
 }

@@ -43,6 +43,29 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("matryoshka (16-dim prefix) ANN recall vs brute force on real embeddings") {
+    val emb = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val queries = emb.filter($"id" < 5)
+    val exact = Vectors.knnBrute(queries, emb, 5)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    def recallAt(rerank: Int): Double = {
+      val approx = Vectors.knnMatryoshka(queries, emb, 5, coarseDims = 16,
+          rerank = rerank)
+        .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    // these embeddings are NOT matryoshka-trained, so the 16-dim prefix
+    // is a deliberately pessimistic coarse scorer (~25% of the signal);
+    // the property that matters is the serving knob: rerank depth buys
+    // recall monotonically, and a deep shortlist recovers most of it.
+    val r50 = recallAt(50)
+    val r200 = recallAt(200)
+    assert(r50 >= 0.3, s"recall@50 $r50")
+    assert(r200 >= r50, s"recall must not degrade with depth: $r50 -> $r200")
+    assert(r200 >= 0.7, s"recall@200 $r200")
+  }
+
   test("PQ ANN (8x16 learned codebooks) recall vs brute force on real embeddings") {
     val embRaw = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
     val emb = embRaw.select($"vec_id".as("id"), $"embedding".as("vec"))
