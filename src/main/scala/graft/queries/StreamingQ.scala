@@ -425,8 +425,57 @@ object StreamingQ {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** STREAMING funnel (first-touch-per-step): the stream keeps
+    * per-(user, type) min event times — order-independent state, 3
+    * longs per user — and the level computation (strict
+    * view < click < purchase inside 24 h of first view) runs batch-side
+    * over that bounded table. Different step semantics than the batch
+    * [[Events.qFunnelWindowed]] (first click OVERALL must follow the
+    * first view, not first-click-after-view) because streaming
+    * correctness under out-of-order arrival demands order-independent
+    * state; the oracle states these semantics directly. */
+  val stFunnelLevels: Spec = Spec(
+    "st_funnel_levels",
+    oracle = Some("""
+      WITH m AS (
+        SELECT user_id,
+          MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS tv,
+          MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS tc,
+          MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp
+        FROM events GROUP BY user_id),
+      lv AS (
+        SELECT user_id,
+          CASE WHEN tc IS NOT NULL AND tp IS NOT NULL
+                 AND tv < tc AND tc < tp AND tp - tv <= 86400000000 THEN 3
+               WHEN tc IS NOT NULL AND tv < tc
+                 AND tc - tv <= 86400000000 THEN 2
+               ELSE 1 END AS level
+        FROM m WHERE tv IS NOT NULL)
+      SELECT CAST(level AS BIGINT) AS level, COUNT(*) AS n_users
+      FROM lv GROUP BY level ORDER BY level""")) { (s, dir) =>
+    import s.implicits._
+    val windowUs = 86400000000L
+    val mins = StreamOps.funnelMins(s, dir, "st_funnel_mem")
+    val m = mins.groupBy($"user_id")
+      .pivot("event_type", Seq("view", "click", "purchase"))
+      .agg(first($"min_tus"))
+      .withColumnRenamed("view", "tv")
+      .withColumnRenamed("click", "tc")
+      .withColumnRenamed("purchase", "tp")
+    m.filter($"tv".isNotNull)
+      .select(
+        when($"tc".isNotNull && $"tp".isNotNull &&
+            $"tv" < $"tc" && $"tc" < $"tp" && $"tp" - $"tv" <= windowUs, 3)
+          .when($"tc".isNotNull && $"tv" < $"tc" &&
+            $"tc" - $"tv" <= windowUs, 2)
+          .otherwise(1).cast("long").as("level"))
+      .groupBy($"level")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"level")
+  }
+
   val specs: Seq[Spec] = Seq(stTumbling, stSliding, stDedup, stSessions,
     stEnrich, stClickView, dLid, dLidScript, dLidConfusion, pipelineE2e,
     stDocFlags, stHeavyHitters, stDriftWindowed, stLidScript,
-    stMinhashPairs)
+    stMinhashPairs, stFunnelLevels)
 }

@@ -446,6 +446,32 @@ object StreamOps {
     runToTable(s, flagged(src), sink, "append")
   }
 
+  /** STREAMING funnel statistics: the stream maintains per-(user, type)
+    * MIN event times — an order-independent streaming aggregate, so
+    * arbitrary cross-batch arrival order cannot change the state (the
+    * reason this uses first-touch-per-step semantics: "first click
+    * after first view" needs order-dependent state that out-of-order
+    * delivery corrupts; strict mins need 3 longs per user, period).
+    * Level math over the bounded per-user state runs batch-side — the
+    * same stream-keeps-sufficient-statistics split as st_drift_windowed.
+    * Complete output mode is fine: state cardinality is users × 3, not
+    * events. */
+  def funnelMins(s: SparkSession, dir: String, sink: String): DataFrame =
+    funnelMinsFrom(s, eventsStream(s, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("tus")), sink)
+
+  /** Source-agnostic core of [[funnelMins]]: any streaming frame with
+    * (user_id, event_type, tus µs) — the MemoryStream twin feeds this
+    * with adversarial cross-batch arrival orders. */
+  def funnelMinsFrom(s: SparkSession, src: DataFrame,
+      sink: String): DataFrame =
+    runToTable(s,
+      src.filter(col("event_type").isin("view", "click", "purchase"))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("tus")).as("min_tus")),
+      sink, "complete")
+
   /** Streaming exact-dedup: dropDuplicatesWithinWatermark on event_id.
     * Returns the deduped count table (memory sink, append). */
   def streamingDedupCount(s: SparkSession, dir: String): DataFrame = {

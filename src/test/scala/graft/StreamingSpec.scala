@@ -145,6 +145,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("streaming funnel mins: out-of-order cross-batch arrival is irrelevant") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // (user, type, tus): user 1 converts fully; user 2's click precedes
+    // their first view (level 1 under strict-mins semantics); user 3
+    // views only. Delivered in REVERSE time order split across batches —
+    // the min-per-(user, type) state must not care.
+    val events = Seq(
+      (1L, "view", 100L), (1L, "click", 200L), (1L, "purchase", 300L),
+      (2L, "click", 50L), (2L, "view", 80L), (2L, "purchase", 400L),
+      (3L, "view", 10L))
+    val ms = MemoryStream[(Long, String, Long)]
+    ms.addData(events.sortBy(-_._3).take(3)) // latest events first
+    ms.addData(events.sortBy(-_._3).drop(3))
+    val mins = graft.streaming.StreamOps.funnelMinsFrom(
+      spark, ms.toDF().toDF("user_id", "event_type", "tus"), "st_fm_mem")
+    val got = mins.as[(Long, String, Long)].collect().toSet
+    val expect = events.groupBy(e => (e._1, e._2))
+      .map { case ((u, t), g) => (u, t, g.map(_._3).min) }.toSet
+    assert(got == expect)
+    // level math over the state: 1→3 (ordered chain), 2→1 (click
+    // before first view breaks the chain), 3→1
+    val lv = got.groupBy(_._1).map { case (u, rows) =>
+      val m = rows.map(r => r._2 -> r._3).toMap
+      val tv = m.get("view"); val tc = m.get("click"); val tp = m.get("purchase")
+      u -> ((tv, tc, tp) match {
+        case (Some(v), Some(c), Some(p)) if v < c && c < p => 3
+        case (Some(v), Some(c), _) if v < c => 2
+        case (Some(_), _, _) => 1
+        case _ => 0
+      })
+    }
+    assert(lv == Map(1L -> 3, 2L -> 1, 3L -> 1))
+  }
+
   test("streaming minhash: multi-batch accumulation equals one-shot pair set") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
