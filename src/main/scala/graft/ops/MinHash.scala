@@ -58,7 +58,8 @@ object MinHash {
       numPerm: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.5,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000,
+      blockCols: Seq[String] = Nil): DataFrame = {
     val rowsPerBand = numPerm / bands
     require(bands * rowsPerBand == numPerm, "bands must divide numPerm")
 
@@ -69,20 +70,25 @@ object MinHash {
     // plan free of InMemoryRelation re-prints; the repo-wide caveat
     // (block loss fails the job instead of recomputing) applies.
     val withSets = df
-      .select(col(idCol).as("id"), Text.shingleSet(col(textCol), shingleSize).as("sh"))
+      .select((col(idCol).as("id") +: Text.shingleSet(col(textCol), shingleSize).as("sh")
+        +: blockCols.map(col)): _*)
       .filter(size(col("sh")) > 0)
       .localCheckpoint()
 
     val banded = withSets
       .withColumn("sig", signature(col("sh"), numPerm))
-      .select(col("id"),
-        posexplode(bandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "key")))
+      .select((col("id") +:
+        posexplode(bandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "key"))
+        +: blockCols.map(col)): _*)
 
     // Bucket-local pair generation (see Buckets.pairs for the oversized-
     // bucket star-candidate semantics). At verify scale (sf0.01) no
     // bucket exceeds maxBucket, so the DuckDB oracle (all-pairs, no
-    // cap) matches exactly.
-    val pairs = Buckets.pairs(banded, Seq("band", "key"), "id",
+    // cap) matches exactly. `blockCols` (e.g. lang) join the bucket
+    // key: near-dups across blocks are out of scope by declaration, and
+    // the extra key component splits viral buckets by block — the cheap
+    // skew lever before the cap has to act.
+    val pairs = Buckets.pairs(banded, blockCols ++ Seq("band", "key"), "id",
       maxBucket = maxBucket)
 
     pairs

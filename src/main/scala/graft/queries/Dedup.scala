@@ -65,6 +65,56 @@ object Dedup {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Language-BLOCKED MinHash pairs: `lang` joins the LSH bucket key,
+    * so candidates only form inside a language — near-dups across
+    * languages are out of scope by declaration (the standard corpus-
+    * dedup policy), and at 100 TB the extra key component splits viral
+    * buckets by language BEFORE the star cap has to act: the cheap
+    * skew lever. Bucket-key equality is unchanged otherwise, so the
+    * result is EXACTLY the global pair set restricted to same-lang
+    * pairs — which is what the oracle states. */
+  val ddMinhashBlocked: Spec = Spec(
+    "dd_minhash_blocked",
+    oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text,' ') AS l FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(l)-1, 1)),
+          i -> array_to_string(l[i:i+2], ' '))) AS sh
+        FROM toks WHERE len(l) >= 3),
+      sig AS (
+        SELECT doc_id, list_transform(range(0, 32),
+          p -> CAST(list_min(list_transform(sh, s ->
+            (CAST(2*p*2654435761 + 1 AS HUGEINT) *
+               (('0x' || substr(md5(s), 1, 15))::BIGINT) + (p*40503 + 7))
+              % 2305843009213693951)) AS BIGINT)) AS sig
+        FROM sh),
+      bands AS (
+        SELECT doc_id, b,
+          md5(b::VARCHAR || '|' || array_to_string(sig[b*4+1:b*4+4], '')) AS key
+        FROM sig CROSS JOIN unnest(range(0, 8)) AS t(b)),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+        FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key
+          AND a.doc_id < b.doc_id
+        JOIN documents da ON da.doc_id = a.doc_id
+        JOIN documents db ON db.doc_id = b.doc_id AND da.lang = db.lang),
+      j AS (
+        SELECT ida, idb,
+          CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+            (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jac
+        FROM pairs JOIN sh sa ON sa.doc_id = ida JOIN sh sb ON sb.doc_id = idb)
+      SELECT ida AS id_a, idb AS id_b, ROUND(jac, 6) AS jaccard
+      FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b""")) { (s, dir) =>
+    import s.implicits._
+    MinHash.candidatePairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, numPerm = 32, bands = 8, threshold = 0.5,
+        blockCols = Seq("lang"))
+      .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** Incremental dedup: batch (doc_id % 10 = 0) against a prebuilt
     * corpus LSH state (the rest) — the daily-increment shape at 100 TB:
     * corpus signatures computed once, per-run cost scales with the
@@ -704,7 +754,7 @@ object Dedup {
   }
 
   val specs: Seq[Spec] = Seq(
-    ddMinhashPairs, ddMinhashClusters, ddMinhashIncremental,
+    ddMinhashPairs, ddMinhashBlocked, ddMinhashClusters, ddMinhashIncremental,
     ddJaccardBlockPairs, ddExactHash, ddExactIncremental, ddBloomIncremental,
     ddCappedStarPairs, ddSimhash, ddSimhashPairs,
     ddSimhashMd5, ddSimhashMd5Pairs, ddDecontaminate, ddDupSpans,
