@@ -938,10 +938,54 @@ object TrainingPrep {
       .orderBy($"lang", $"decile")
   }
 
+  /** Deterministic source-interleaved training manifest via STRIDE
+    * SCHEDULING: doc k of a source with n_s docs sits at stride key
+    * (2k−1)/n_s ∈ (0,2), so ordering by the key interleaves sources
+    * proportionally to their size (source s appears every ~N/n_s
+    * positions) — the "don't feed the trainer a source-sorted corpus"
+    * manifest, reproducible because within-source order is the hash48
+    * permutation.
+    *
+    * Scale shape: within-source rank is [[Skew.prefixSumByKey]];
+    * the global sequence number is [[Skew.globalRowNumber]]
+    * (range-partition + per-partition rank + broadcast offsets) — no
+    * single-reducer global window anywhere. The stride key is one IEEE
+    * division of small exact integers — bit-identical across engines,
+    * and the (stride, source, doc_id) sort key is total. */
+  val dSourceInterleave: Spec = Spec(
+    "d_source_interleave",
+    oracle = Some("""
+      WITH h AS (
+        SELECT doc_id, source,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,12) AS BIGINT) AS h48
+        FROM documents),
+      r AS (
+        SELECT doc_id, source,
+          row_number() OVER (PARTITION BY source ORDER BY h48, doc_id) AS src_rn,
+          COUNT(*) OVER (PARTITION BY source) AS n_s
+        FROM h)
+      SELECT CAST(row_number() OVER (ORDER BY
+          (2.0 * src_rn - 1) / n_s, source, doc_id) AS BIGINT) AS seq,
+        doc_id, source, CAST(src_rn AS BIGINT) AS src_rn
+      FROM r ORDER BY seq""")) { (s, dir) =>
+    import s.implicits._
+    val d = docs(s, dir)
+      .select($"source", $"doc_id", graft.ops.Sampling.hash48($"doc_id").as("h48"))
+    val ranked = Skew.prefixSumByKey(d, "source",
+        Seq($"h48", $"doc_id"), lit(1L), "src_rn")
+    val counts = ranked.groupBy($"source").agg(count(lit(1)).as("n_s"))
+    val withStride = ranked.join(broadcast(counts), "source")
+      .withColumn("stride", (lit(2.0) * $"src_rn" - 1) / $"n_s")
+    Skew.globalRowNumber(withStride, Seq($"stride", $"source", $"doc_id"))
+      .select($"rn".cast("long").as("seq"), $"doc_id", $"source",
+        $"src_rn".cast("long").as("src_rn"))
+      .orderBy($"seq")
+  }
+
   val specs: Seq[Spec] = Seq(
     dStratifiedSample, dShardPacking, dChunkWindows, dUnigramLmScore,
     dGopherRules, dTfidfTopTerms, dMixtureSample, dLengthOutliers,
     dProfileColumns, dZipfSlope, dDriftPsi, dHeavyHitters,
     dSequenceSegments, dKmvDistinct, dSnapshotDiff, dTokenBudget,
-    dHashSplit, dReadability, dBigramLm, dScoreDeciles)
+    dHashSplit, dReadability, dBigramLm, dScoreDeciles, dSourceInterleave)
 }
