@@ -243,6 +243,14 @@ class PlanSpec extends AnyFunSuite {
       "query-term and corpus-stats joins must broadcast:\n" + p)
   }
 
+  test("bm25 indexed: query plan reads only index tables — no corpus scan, no tokenize") {
+    val p = plan("d_bm25_indexed")
+    assert(!p.contains("documents.parquet"),
+      "query-time plan must not rescan the corpus:\n" + p)
+    assert(p.linesIterator.count(_.contains("Generate explode")) == 0,
+      "no tokenization at query time — the index already holds tf:\n" + p)
+  }
+
   test("bigram lm: one explode for the model table, context counts derived") {
     val p = plan("d_bigram_lm")
     // two explodes total: bigrams (model+scoring share the checkpointed
