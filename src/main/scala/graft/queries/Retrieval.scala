@@ -117,8 +117,8 @@ object Retrieval {
     * stats) — shared verbatim by [[dBm25TopK]] (index built in-plan)
     * and [[dBm25Indexed]] (index read back from parquet), so the two
     * cannot drift. */
-  private def scoreIndex(s: SparkSession, tf: DataFrame, lens: DataFrame,
-      dfreq: DataFrame, stats: DataFrame): DataFrame = {
+  private[graft] def scoreIndex(s: SparkSession, tf: DataFrame,
+      lens: DataFrame, dfreq: DataFrame, stats: DataFrame): DataFrame = {
     import s.implicits._
     // TakeOrderedAndProject (distributed top-k), then a 6-row window.
     val top = dfreq.orderBy($"df".desc, $"term").limit(QueryTerms)

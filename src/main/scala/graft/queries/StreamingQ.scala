@@ -474,8 +474,30 @@ object StreamingQ {
       .orderBy($"level")
   }
 
+  /** STREAMING BM25 index maintenance: documents stream through
+    * foreachBatch, which appends per-document tf/dl partials (pure
+    * partition appends — per-doc facts never merge); df and corpus
+    * scalars are re-derived from the accumulated index at query time.
+    * Scoring reads ONLY index tables via the same
+    * [[Retrieval.scoreIndex]] tail as the batch queries, and the result
+    * over the finite feed equals the one-shot ranking — the oracle is
+    * d_bm25_topk's verbatim. */
+  val stBm25Indexed: Spec = Spec(
+    "st_bm25_indexed",
+    oracle = Retrieval.dBm25TopK.oracle) { (s, dir) =>
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft_st_bm25").toString
+    val src = s.readStream.schema(StreamOps.documentsSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val q = StreamOps.bm25IndexStart(s, src, "doc_id", "text", indexDir)
+    try q.processAllAvailable()
+    finally q.stop()
+    val (tf, dl, df, stats) = StreamOps.bm25IndexFrames(s, indexDir)
+    Retrieval.scoreIndex(s, tf, dl, df, stats)
+  }
+
   val specs: Seq[Spec] = Seq(stTumbling, stSliding, stDedup, stSessions,
     stEnrich, stClickView, dLid, dLidScript, dLidConfusion, pipelineE2e,
     stDocFlags, stHeavyHitters, stDriftWindowed, stLidScript,
-    stMinhashPairs, stFunnelLevels)
+    stMinhashPairs, stFunnelLevels, stBm25Indexed)
 }

@@ -426,6 +426,50 @@ object StreamOps {
     existingParquet(s, s"$outDir/pairs").getOrElse(s.emptyDataFrame)
   }
 
+  /** STREAMING BM25 index maintenance: each micro-batch appends its
+    * (doc, term, tf) and (doc, dl) partials to per-batch parquet dirs —
+    * tf/dl are PER-DOCUMENT facts, so new docs are pure partition
+    * appends with no merge step; df and the corpus scalars are
+    * vocabulary-/unit-sized and re-derived from the accumulated tf at
+    * query time (one hash agg over the index, never over raw text).
+    * Same idempotent batch=<id> overwrite layout as the dedup stores.
+    * Ids must be unique across the feed (re-ingesting a doc would
+    * double-count its terms — dedup upstream, exactly as a production
+    * indexer does). */
+  def bm25IndexStart(s: SparkSession, src: DataFrame,
+      idCol: String, textCol: String,
+      indexDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val tf = batch
+          .select(col(idCol).as("doc_id"),
+            explode(graft.ops.Text.tokens(col(textCol))).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).cast("double").as("tf"))
+          .localCheckpoint()
+        tf.write.mode("overwrite").parquet(s"$indexDir/tf/batch=$batchId")
+        tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+          .write.mode("overwrite").parquet(s"$indexDir/dl/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /** Read the accumulated streaming index back as the (tf, dl, df,
+    * stats) frames the batch scorer consumes — df/stats re-derived
+    * from the stored tf/dl (index-sized aggs, no text). */
+  def bm25IndexFrames(s: SparkSession, indexDir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val tf = s.read.parquet(s"$indexDir/tf")
+      .select(col("doc_id"), col("term"), col("tf"))
+    val dl = s.read.parquet(s"$indexDir/dl").select(col("doc_id"), col("dl"))
+    val df = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    (tf, dl, df, stats)
+  }
+
   /** documents schema for the streaming source twin. */
   val documentsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType),

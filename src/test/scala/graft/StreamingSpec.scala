@@ -180,6 +180,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(lv == Map(1L -> 3, 2L -> 1, 3L -> 1))
   }
 
+  test("streaming bm25 index: multi-batch accumulation equals one-shot ranking") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft_st_bm25_mem").toString
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val (b0, b1) = docs.partition(_._1 % 2 == 0)
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamOps.bm25IndexStart(
+      spark, ms.toDF().toDF("doc_id", "text"), "doc_id", "text", indexDir)
+    try {
+      ms.addData(b0); q.processAllAvailable()
+      ms.addData(b1); q.processAllAvailable()
+    } finally q.stop()
+    val (tf, dl, df, stats) =
+      graft.streaming.StreamOps.bm25IndexFrames(spark, indexDir)
+    val got = graft.queries.Retrieval.scoreIndex(spark, tf, dl, df, stats)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val direct = SparkEntry.queries("d_bm25_topk")(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == direct)
+    assert(got.nonEmpty)
+  }
+
   test("streaming minhash: multi-batch accumulation equals one-shot pair set") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
