@@ -581,8 +581,45 @@ object Events {
       .orderBy($"level")
   }
 
+  /** Daily active users split into NEW (first-ever activity that day)
+    * vs RETURNING — the DAU companion of [[qCohortRetention]]. The
+    * "running distinct" trap is avoided the standard way: a per-user
+    * first-seen hash agg turns the cumulative-distinct question into a
+    * per-day count of firsts; active counts are a distinct on
+    * (user, day) — both keyed aggs, no unbounded window state. */
+  val qDauNewReturning: Spec = Spec(
+    "ev_dau_new_returning",
+    oracle = Some("""
+      WITH ud AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+      f AS (SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY user_id),
+      a AS (
+        SELECT ud.day, COUNT(*) AS dau,
+          COUNT(CASE WHEN ud.day = f.first_day THEN 1 END) AS new_users
+        FROM ud JOIN f ON ud.user_id = f.user_id GROUP BY ud.day)
+      SELECT strftime(day, '%Y-%m-%d') AS day, dau, new_users,
+        CAST(dau - new_users AS BIGINT) AS returning_users
+      FROM a ORDER BY day""")) { (s, dir) =>
+    import s.implicits._
+    val dayNs = 86400L * 1000 * 1000 * 1000
+    val ud = load(s, dir)
+      .select($"user_id", ($"ts" - $"ts" % dayNs).as("day_ns"))
+      .distinct()
+    val first = ud.groupBy($"user_id").agg(min($"day_ns").as("first_ns"))
+    ud.join(first, "user_id")
+      .groupBy($"day_ns")
+      .agg(count(lit(1)).as("dau"),
+        count(when($"day_ns" === $"first_ns", 1)).as("new_users"))
+      .select(
+        date_format(timestamp_micros(expr("day_ns div 1000")), "yyyy-MM-dd")
+          .as("day"),
+        $"dau", $"new_users",
+        ($"dau" - $"new_users").cast("long").as("returning_users"))
+      .orderBy($"day")
+  }
+
   val specs: Seq[Spec] = Seq(qTumbling, qSessionize, qAsofClick,
     qAsofTolerance, qFunnel, qPropsJson, qSliding, qSessionWindowNative,
     qRate5Min, qValueOutliers, qDriftWindowed, qDriftSliding,
-    qCohortRetention, qFunnelWindowed)
+    qCohortRetention, qFunnelWindowed, qDauNewReturning)
 }

@@ -151,9 +151,10 @@ object Retrieval {
     * tables under `indexDir`. At 100 TB this runs ONCE (the only pass
     * over raw text); every later query reads the index — the same
     * state-store economics as the incremental-dedup LSH state. */
-  def buildIndex(s: SparkSession, dir: String, indexDir: String): Unit = {
+  def buildIndex(s: SparkSession, dir: String, indexDir: String,
+      docsOverride: Option[DataFrame] = None): Unit = {
     import s.implicits._
-    val tf = docs(s, dir)
+    val tf = docsOverride.getOrElse(docs(s, dir))
       .select($"doc_id", explode(Text.tokens($"text")).as("term"))
       .groupBy($"doc_id", $"term")
       .agg(count(lit(1)).cast("double").as("tf"))

@@ -84,6 +84,22 @@ object TrainingPrepStress {
         .count()
     }
     println(s"[stress] sampled: $sampled")
+
+    // BM25 index economics: ONE build pass over text, then queries
+    // never touch the corpus — time both halves separately.
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_stress_bm25").toString
+    time("bm25 index BUILD (the only text pass)") {
+      graft.queries.Retrieval.buildIndex(s, "", idxDir, Some(docs))
+    }
+    val ranked = time("bm25 QUERY from stored index (no corpus scan)") {
+      graft.queries.Retrieval.scoreIndex(s,
+        s.read.parquet(s"$idxDir/tf"),
+        s.read.parquet(s"$idxDir/dl"),
+        s.read.parquet(s"$idxDir/df"),
+        s.read.parquet(s"$idxDir/stats")).count()
+    }
+    println(s"[stress] bm25 ranked rows: $ranked")
     s.stop()
   }
 }
