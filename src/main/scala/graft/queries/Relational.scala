@@ -508,7 +508,11 @@ object Relational {
       .orderBy($"s_suppkey")
   }
 
-  /** Calendar arithmetic: ship latency in days per priority. */
+  /** Calendar arithmetic: ship latency in days per priority. No
+    * broadcast hint: orders is fact-scale (grows with SF), so a pinned
+    * broadcast OOMs at 100× — project to the three needed columns and
+    * let AQE pick (threshold-broadcast at small SF, shuffle join at
+    * scale). */
   val qOrderLatency: Spec = Spec(
     "q_order_latency",
     oracle = Some("""
@@ -520,8 +524,9 @@ object Relational {
       GROUP BY o_orderpriority ORDER BY o_orderpriority""")) { (s, dir) =>
     import s.implicits._
     val ord = Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderpriority", $"o_orderdate")
     val li = Tables.load(s, dir, "lineitem")
-    li.join(broadcast(ord), $"l_orderkey" === $"o_orderkey")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
       .select($"o_orderpriority",
         datediff($"l_shipdate".cast("date"), $"o_orderdate".cast("date"))
           .cast("long").as("days"))

@@ -53,6 +53,19 @@ class PlanSpec extends AnyFunSuite {
       "at this SF every dim fits the AQE broadcast threshold:\n" + p)
   }
 
+  test("q_order_latency: no pinned broadcast on fact-scale orders; scan pruned to 3 columns") {
+    val df = SparkEntry.queries("q_order_latency")(spark, TestSpark.Sf)
+    assert(!df.queryExecution.optimizedPlan.toString.contains("Hint"),
+      "orders is fact-scale: the join must be AQE-chosen, not hinted:\n" +
+        df.queryExecution.optimizedPlan.toString)
+    val p = plan("q_order_latency")
+    // column pruning reaches the orders scan (3 of 9 columns)
+    assert(p.contains("o_orderkey") && p.contains("o_orderpriority"), p)
+    assert(!p.contains("o_custkey"), "orders scan must be pruned:\n" + p)
+    assert(finalPlan("q_order_latency").contains("BroadcastHashJoin"),
+      "AQE should still choose broadcast at this SF via the size threshold")
+  }
+
   test("q1: partial aggregation before the exchange (map-side combine)") {
     val p = plan("q1_pricing_summary")
     assert(p.contains("partial_sum"), "map-side combine expected:\n" + p)
