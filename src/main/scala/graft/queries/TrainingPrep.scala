@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Skew, Text, TopK}
+import graft.ops.{CountMin, Sampling, Skew, Text, TopK}
 
 /** Training-data preparation operators — the corpus-to-training-run
   * steps a 100 TB LLM pipeline needs AFTER cleaning and dedup:
@@ -633,6 +633,92 @@ object TrainingPrep {
       .crossJoin(broadcast(hv.agg(count(lit(1)).as("exact_distinct"))))
   }
 
+  /** Count-min point-frequency estimates for the corpus's 10 most
+    * frequent tokens, exact counts alongside — the row documents the
+    * sketch's one-sided error (est ≥ exact always) at this d=4, w=128
+    * configuration. The sketch is a mergeable grouped count (≤ d·w
+    * rows shuffled per partition regardless of corpus size — see
+    * [[CountMin]]); the probe set is a distributed top-k
+    * (TakeOrderedAndProject), and estimation is a broadcast join
+    * against the ≤ 512-row counter table. Deterministic end to end:
+    * md5-48 row-salted bucketing, so the oracle replays the exact
+    * matrix. Completes the sketch triad: Misra–Gries (which tokens),
+    * KMV (how many distinct), CMS (how often each). */
+  val dCmsCounts: Spec = Spec(
+    "d_cms_counts",
+    oracle = Some("""
+      WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      rows AS (SELECT unnest([0, 1, 2, 3]) AS row),
+      counters AS (
+        SELECT row,
+          CAST('0x' || substr(md5(CAST(row AS VARCHAR) || ':' || tok), 1, 12)
+            AS BIGINT) % 128 AS bucket,
+          COUNT(*) AS cnt
+        FROM tok CROSS JOIN rows GROUP BY 1, 2),
+      exact AS (SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok),
+      probe AS (SELECT tok, n FROM exact ORDER BY n DESC, tok LIMIT 10),
+      pb AS (
+        SELECT p.tok, p.n, r.row,
+          CAST('0x' || substr(md5(CAST(r.row AS VARCHAR) || ':' || p.tok), 1, 12)
+            AS BIGINT) % 128 AS bucket
+        FROM probe p CROSS JOIN rows r)
+      SELECT pb.tok, CAST(MIN(pb.n) AS BIGINT) AS exact_n,
+        CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS cms_est
+      FROM pb LEFT JOIN counters c ON c.row = pb.row AND c.bucket = pb.bucket
+      GROUP BY pb.tok
+      ORDER BY exact_n DESC, tok""")) { (s, dir) =>
+    import s.implicits._
+    val toks = docs(s, dir)
+      .select(explode(Text.tokens($"text")).as("tok"))
+      .localCheckpoint() // one explode feeds sketch AND exact probe counts
+    val counters = CountMin.sketch(toks, "tok", d = 4, w = 128)
+    val probes = toks.groupBy($"tok").agg(count(lit(1)).as("exact_n"))
+      .orderBy($"exact_n".desc, $"tok").limit(10)
+    CountMin.estimate(counters, probes, "tok", d = 4, w = 128)
+      .join(probes, "tok")
+      .select($"tok", $"exact_n", $"cms_est")
+      .orderBy($"exact_n".desc, $"tok")
+  }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis '06
+    * A-ES): each doc gets key u^(1/w) for u = hash-uniform(doc_id),
+    * w = its weight (n_chars — longer docs proportionally likelier);
+    * the top-k keys ARE a weighted sample without replacement. Ranking
+    * by log10(u)/w (monotone in u^(1/w); the engine-parity-proven log
+    * path of unigramLmScores) keeps the key exactly replayable, and
+    * u = (h48 + 0.5)/2^48 makes it a pure function of doc_id — the
+    * reproducible-sampling guarantee of [[Sampling]] extended to
+    * weighted draws. Top-k is orderBy+limit = TakeOrderedAndProject
+    * (per-partition top-k, driver merge), never a global sort; at
+    * 100 TB the shuffle is k rows per partition. */
+  val dWeightedSample: Spec = Spec(
+    "d_weighted_sample",
+    oracle = Some("""
+      WITH k AS (
+        SELECT doc_id, n_chars,
+          ROUND(log10(
+              (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+                + 0.5) / 281474976710656.0) / n_chars, 9) AS skey
+        FROM documents),
+      r AS (SELECT doc_id, n_chars, skey,
+              row_number() OVER (ORDER BY skey DESC, doc_id) AS rk FROM k)
+      SELECT CAST(rk AS BIGINT) AS sample_rank, doc_id, n_chars AS weight,
+        skey
+      FROM r WHERE rk <= 20 ORDER BY rk""")) { (s, dir) =>
+    import s.implicits._
+    val keyed = docs(s, dir).select($"doc_id", $"n_chars",
+      round(log10((Sampling.hash48($"doc_id") + lit(0.5)) /
+          lit(281474976710656.0)) / $"n_chars", 9).as("skey"))
+      .orderBy($"skey".desc, $"doc_id").limit(20)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"skey".desc, $"doc_id")
+    keyed // 20-row frame: the rank window is driver-bounded
+      .select(row_number().over(w).cast("long").as("sample_rank"),
+        $"doc_id", $"n_chars".as("weight"), $"skey")
+      .orderBy($"sample_rank")
+  }
+
   /** Corpus snapshot diff — the versioned-corpus management op: two
     * snapshots full-outer-join on doc_id, rows classify as
     * added / removed / changed (content md5 differs) with unchanged
@@ -987,5 +1073,6 @@ object TrainingPrep {
     dGopherRules, dTfidfTopTerms, dMixtureSample, dLengthOutliers,
     dProfileColumns, dZipfSlope, dDriftPsi, dHeavyHitters,
     dSequenceSegments, dKmvDistinct, dSnapshotDiff, dTokenBudget,
-    dHashSplit, dReadability, dBigramLm, dScoreDeciles, dSourceInterleave)
+    dHashSplit, dReadability, dBigramLm, dScoreDeciles, dSourceInterleave,
+    dCmsCounts, dWeightedSample)
 }
