@@ -58,13 +58,10 @@ object Retrieval {
     round(idf * tfn, 6).cast("decimal(18,6)")
   }
 
-  /** BM25 top-10 docs for 2 corpus-derived 3-term queries (query terms
-    * = the 6 highest-df terms, df desc / term asc, routed round-robin
-    * free: query_id = (rank−1) div 3). */
-  val dBm25TopK: Spec = Spec(
-    "d_bm25_topk",
-    bench = true,
-    oracle = Some(s"""
+  /** The oracle's index-and-score pipeline through the per-(query, doc)
+    * score aggregation — shared by the top-k, indexed, and
+    * hard-negative oracles so the three restate ONE scoring model. */
+  private val bmCte = s"""
       WITH tok AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
       tf AS (
@@ -92,13 +89,30 @@ object Retrieval {
         CROSS JOIN stats s),
       agg AS (
         SELECT query_id, doc_id, CAST(SUM(part) AS DOUBLE) AS score
-        FROM scored GROUP BY query_id, doc_id)
+        FROM scored GROUP BY query_id, doc_id)"""
+
+  /** BM25 top-10 docs for 2 corpus-derived 3-term queries (query terms
+    * = the 6 highest-df terms, df desc / term asc, routed round-robin
+    * free: query_id = (rank−1) div 3). */
+  val dBm25TopK: Spec = Spec(
+    "d_bm25_topk",
+    bench = true,
+    oracle = Some(s"""$bmCte
       SELECT query_id,
         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rk,
         doc_id, score
       FROM agg
       QUALIFY rk <= $TopDocs
       ORDER BY query_id, rk""")) { (s, dir) =>
+    val (tf, lens, dfreq, stats) = inPlanIndex(s, dir)
+    scoreIndex(s, tf, lens, dfreq, stats)
+  }
+
+  /** The in-plan (non-materialized) index frames behind [[dBm25TopK]]
+    * and [[dBm25Negatives]]: one explode feeds tf, which feeds
+    * everything else. */
+  private def inPlanIndex(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     val tf = docs(s, dir)
       .select($"doc_id", explode(Text.tokens($"text")).as("term"))
@@ -110,7 +124,7 @@ object Retrieval {
       sum($"dl").as("sum_dl"))
     val dfreq = tf.groupBy($"term")
       .agg(count(lit(1)).cast("double").as("df"))
-    scoreIndex(s, tf, lens, dfreq, stats)
+    (tf, lens, dfreq, stats)
   }
 
   /** The query-time half of BM25 over index frames (tf, dl, df, corpus
@@ -118,7 +132,8 @@ object Retrieval {
     * and [[dBm25Indexed]] (index read back from parquet), so the two
     * cannot drift. */
   private[graft] def scoreIndex(s: SparkSession, tf: DataFrame,
-      lens: DataFrame, dfreq: DataFrame, stats: DataFrame): DataFrame = {
+      lens: DataFrame, dfreq: DataFrame, stats: DataFrame,
+      topN: Int = TopDocs): DataFrame = {
     import s.implicits._
     // TakeOrderedAndProject (distributed top-k), then a 6-row window.
     val top = dfreq.orderBy($"df".desc, $"term").limit(QueryTerms)
@@ -137,7 +152,7 @@ object Retrieval {
       .as[(Long, Double, Long)]
       .groupByKey(_._1)
       .mapValues(t => (t._2, t._3))
-      .agg(TopK.aggregator(TopDocs).toColumn)
+      .agg(TopK.aggregator(topN).toColumn)
       .flatMap { case (qid, hits) =>
         hits.iterator.zipWithIndex.map { case ((score, did), i) =>
           (qid, (i + 1).toLong, did, score)
@@ -187,5 +202,49 @@ object Retrieval {
       s.read.parquet(s"$indexDir/stats"))
   }
 
-  val specs: Seq[Spec] = Seq(dBm25TopK, dBm25Indexed)
+  /** Hard-negative mining for retrieval training sets (the DPR /
+    * sentence-transformers recipe: negatives = a lexical retriever's
+    * top candidates minus the labeled positives): BM25 top-20 per
+    * query, anti-joined against the positives table, first 5 survivors
+    * in rank order become the training negatives. Positives here are a
+    * deterministic pseudo-qrels (doc_id mod 2 = query_id) standing in
+    * for the labeled pairs a real run supplies — the operator shape
+    * (candidate top-k → LEFT ANTI on (query, doc) → re-rank) is the
+    * deliverable. Scale: candidates are ≤ k rows per query out of the
+    * TopK aggregator, the anti-join keys on (query_id, doc_id), and
+    * the re-rank window orders ≤ k rows per query — per-query-bounded
+    * everywhere, so a million-query mining run shuffles O(queries·k),
+    * never corpus-sized. */
+  val dBm25Negatives: Spec = Spec(
+    "d_bm25_negatives",
+    oracle = Some(s"""$bmCte,
+      ranked AS (
+        SELECT query_id, doc_id, score,
+          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+        FROM agg),
+      cand AS (SELECT * FROM ranked WHERE rk <= 20),
+      neg AS (
+        SELECT query_id, doc_id, score,
+          row_number() OVER (PARTITION BY query_id ORDER BY rk) AS neg_rank
+        FROM cand
+        WHERE NOT (doc_id % 2 = query_id))
+      SELECT query_id, CAST(neg_rank AS BIGINT) AS neg_rank, doc_id, score
+      FROM neg WHERE neg_rank <= 5
+      ORDER BY query_id, neg_rank""")) { (s, dir) =>
+    import s.implicits._
+    val (tf, lens, dfreq, stats) = inPlanIndex(s, dir)
+    val cand = scoreIndex(s, tf, lens, dfreq, stats, topN = 20)
+    val positives = cand // pseudo-qrels; a real run passes its labels
+      .filter($"doc_id" % 2 === $"query_id")
+      .select($"query_id", $"doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"rk")
+    cand.join(positives, Seq("query_id", "doc_id"), "left_anti")
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter($"neg_rank" <= 5)
+      .select($"query_id", $"neg_rank", $"doc_id", $"score")
+      .orderBy($"query_id", $"neg_rank")
+  }
+
+  val specs: Seq[Spec] = Seq(dBm25TopK, dBm25Indexed, dBm25Negatives)
 }
