@@ -390,6 +390,23 @@ object StreamingQ {
       .orderBy($"tok")
   }
 
+  /** STREAMING count-min ([[StreamOps.cmsStart]]): per-batch d×w
+    * matrices summed cell-wise into the global sketch — CMS linearity
+    * means batch boundaries cannot change the result, so this shares
+    * the batch d_cms_counts oracle verbatim. Multi-batch merge ==
+    * one-shot additionally pinned on a MemoryStream in StreamingSpec. */
+  val stCmsCounts: Spec = Spec(
+    "st_cms_counts",
+    oracle = Some(TrainingPrep.cmsOracleSql)) { (s, dir) =>
+    import s.implicits._
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_st_cms").toString
+    val src = s.readStream.schema(StreamOps.documentsSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val toks = src.select(explode(graft.ops.Text.tokens($"text")).as("tok"))
+    StreamOps.cmsBatches(s, toks, "tok", d = 4, w = 128, outDir)
+  }
+
   /** STREAMING drift monitor: the watermarked tumbling count query
     * maintains the (window, type) table; PSI is a batch view over that
     * state — the standard streaming-monitor split (stream keeps the
@@ -499,5 +516,5 @@ object StreamingQ {
   val specs: Seq[Spec] = Seq(stTumbling, stSliding, stDedup, stSessions,
     stEnrich, stClickView, dLid, dLidScript, dLidConfusion, pipelineE2e,
     stDocFlags, stHeavyHitters, stDriftWindowed, stLidScript,
-    stMinhashPairs, stFunnelLevels, stBm25Indexed)
+    stMinhashPairs, stFunnelLevels, stBm25Indexed, stCmsCounts)
 }

@@ -633,20 +633,10 @@ object TrainingPrep {
       .crossJoin(broadcast(hv.agg(count(lit(1)).as("exact_distinct"))))
   }
 
-  /** Count-min point-frequency estimates for the corpus's 10 most
-    * frequent tokens, exact counts alongside — the row documents the
-    * sketch's one-sided error (est ≥ exact always) at this d=4, w=128
-    * configuration. The sketch is a mergeable grouped count (≤ d·w
-    * rows shuffled per partition regardless of corpus size — see
-    * [[CountMin]]); the probe set is a distributed top-k
-    * (TakeOrderedAndProject), and estimation is a broadcast join
-    * against the ≤ 512-row counter table. Deterministic end to end:
-    * md5-48 row-salted bucketing, so the oracle replays the exact
-    * matrix. Completes the sketch triad: Misra–Gries (which tokens),
-    * KMV (how many distinct), CMS (how often each). */
-  val dCmsCounts: Spec = Spec(
-    "d_cms_counts",
-    oracle = Some("""
+  /** Shared by batch d_cms_counts and streaming st_cms_counts — the
+    * cell-wise-summed stream sketch equals the one-shot sketch (CMS
+    * linearity), so both restate the same SQL. */
+  private[graft] val cmsOracleSql: String = """
       WITH tok AS (
         SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
       rows AS (SELECT unnest([0, 1, 2, 3]) AS row),
@@ -667,7 +657,22 @@ object TrainingPrep {
         CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS cms_est
       FROM pb LEFT JOIN counters c ON c.row = pb.row AND c.bucket = pb.bucket
       GROUP BY pb.tok
-      ORDER BY exact_n DESC, tok""")) { (s, dir) =>
+      ORDER BY exact_n DESC, tok"""
+
+  /** Count-min point-frequency estimates for the corpus's 10 most
+    * frequent tokens, exact counts alongside — the row documents the
+    * sketch's one-sided error (est ≥ exact always) at this d=4, w=128
+    * configuration. The sketch is a mergeable grouped count (≤ d·w
+    * rows shuffled per partition regardless of corpus size — see
+    * [[CountMin]]); the probe set is a distributed top-k
+    * (TakeOrderedAndProject), and estimation is a broadcast join
+    * against the ≤ 512-row counter table. Deterministic end to end:
+    * md5-48 row-salted bucketing, so the oracle replays the exact
+    * matrix. Completes the sketch triad: Misra–Gries (which tokens),
+    * KMV (how many distinct), CMS (how often each). */
+  val dCmsCounts: Spec = Spec(
+    "d_cms_counts",
+    oracle = Some(cmsOracleSql)) { (s, dir) =>
     import s.implicits._
     val toks = docs(s, dir)
       .select(explode(Text.tokens($"text")).as("tok"))

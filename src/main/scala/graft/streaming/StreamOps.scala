@@ -383,6 +383,58 @@ object StreamOps {
     heavyHittersResult(s, outDir, k)
   }
 
+  /** STREAMING count-min sketch: each micro-batch writes ITS OWN d×w
+    * counter matrix (≤ d·w rows) plus its raw token column to
+    * `batch=<id>` dirs — idempotent overwrite on retry, like
+    * [[heavyHittersStart]]. The global sketch is the CELL-WISE SUM of
+    * the batch matrices: CMS is linear (sketch(A ⊎ B) = sketch(A) +
+    * sketch(B)), the same property map-side combine exploits inside a
+    * batch, so batch boundaries cannot change the result — which is
+    * why st_cms_counts restates the batch oracle verbatim. The token
+    * archive (the bronze table a kappa pipeline lands anyway) only
+    * feeds the probe-selection/exact-count side; the sketch itself
+    * stays ≤ d·w rows per batch no matter the stream volume. */
+  def cmsStart(s: SparkSession, src: DataFrame, tokCol: String,
+      d: Int, w: Int, outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val toks = batch.select(col(tokCol).as("tok"))
+        graft.ops.CountMin.sketch(toks, "tok", d, w)
+          .write.mode("overwrite").parquet(s"$outDir/sketch/batch=$batchId")
+        toks.write.mode("overwrite").parquet(s"$outDir/tokens/batch=$batchId")
+        ()
+      }
+      .start()
+
+  /** Assemble the drained stream's global CMS (cell-wise sum) and
+    * estimate the top-10 exact tokens — same output contract as batch
+    * d_cms_counts. */
+  def cmsResult(s: SparkSession, outDir: String, d: Int, w: Int): DataFrame = {
+    import s.implicits._
+    (existingParquet(s, s"$outDir/sketch"),
+        existingParquet(s, s"$outDir/tokens")) match {
+      case (Some(sk), Some(tokens)) =>
+        val counters = sk.groupBy($"row", $"bucket").agg(sum($"cnt").as("cnt"))
+        val probes = tokens.groupBy($"tok").agg(count(lit(1)).as("exact_n"))
+          .orderBy($"exact_n".desc, $"tok").limit(10)
+        graft.ops.CountMin.estimate(counters, probes, "tok", d, w)
+          .join(probes, "tok")
+          .select($"tok", $"exact_n", $"cms_est")
+          .orderBy($"exact_n".desc, $"tok")
+      case _ =>
+        Seq.empty[(String, Long, Long)].toDF("tok", "exact_n", "cms_est")
+    }
+  }
+
+  /** Bounded-source convenience: start, drain, stop, assemble. */
+  def cmsBatches(s: SparkSession, src: DataFrame, tokCol: String,
+      d: Int, w: Int, outDir: String): DataFrame = {
+    val q = cmsStart(s, src, tokCol, d, w, outDir)
+    try q.processAllAvailable()
+    finally q.stop()
+    cmsResult(s, outDir, d, w)
+  }
+
   /** Streaming MinHash LSH near-dup: foreachBatch maintains a parquet
     * LSH state store ([[graft.ops.MinHash.lshState]] rows — shingle
     * sets + signatures + band keys, never raw text) and emits each

@@ -266,6 +266,36 @@ class StreamingSpec extends AnyFunSuite {
       .heavyHittersResult(spark, outDir, 4).isEmpty)
   }
 
+  test("streaming CMS: cell-wise sum over batches equals the one-shot sketch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (d, w) = (4, 128)
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_st_cms_mem").toString
+    val ms = MemoryStream[String]
+    val q = graft.streaming.StreamOps.cmsStart(
+      spark, ms.toDF().toDF("tok"), "tok", d, w, outDir)
+    val b1 = Seq.fill(30)("x") ++ Seq("p", "q", "r")
+    val b2 = Seq.fill(20)("x") ++ Seq.fill(9)("y") ++ Seq("p")
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val got = graft.streaming.StreamOps.cmsResult(spark, outDir, d, w)
+      .as[(String, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    // one-shot over the concatenated stream, through the batch op
+    val oneShot = graft.ops.CountMin.estimate(
+        graft.ops.CountMin.sketch((b1 ++ b2).toDF("tok"), "tok", d, w),
+        got.keys.toSeq.toDF("tok"), "tok", d, w)
+      .as[(String, Long)].collect().toMap
+    assert(got.view.mapValues(_._2).toMap == oneShot,
+      "merged stream sketch must equal the one-shot sketch")
+    // exact counts correct and estimates never undercount
+    assert(got("x") == (50L, 50L) && got("p")._1 == 2L)
+    got.foreach { case (t, (exact, est)) => assert(est >= exact, t) }
+  }
+
   test("incremental dedup retry: batch must ignore its own failed-attempt state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.md5
