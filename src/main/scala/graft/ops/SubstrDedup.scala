@@ -34,7 +34,7 @@ object SubstrDedup {
   /** Fused positional gram-md5 keys (one tight loop, gram strings never
     * materialize as column data — see
     * [[graft.functions.WordGramHashes]]). */
-  private def gramHashes(toks: org.apache.spark.sql.Column, n: Int) =
+  private[graft] def gramHashes(toks: org.apache.spark.sql.Column, n: Int) =
     org.apache.spark.sql.graft.bridge.column(
       graft.functions.WordGramHashes(
         org.apache.spark.sql.graft.bridge.expression(toks), n))

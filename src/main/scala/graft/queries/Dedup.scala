@@ -753,10 +753,70 @@ object Dedup {
       .orderBy($"lang")
   }
 
+  /** Cross-source contamination matrix: for every source pair, how many
+    * distinct 8-token shingles they share, with the shingle-level
+    * Jaccard — the provenance/leakage report run before mixing sources
+    * into a training corpus (a high overlap means one source republishes
+    * another and the mixture double-counts it; the same lens
+    * decontamination applies to benchmark sets, d_decontaminate).
+    *
+    * Scale shape: ONE explode through the fused
+    * [[graft.functions.WordGramHashes]] (gram strings never
+    * materialize), distinct'd to (source, shingle) — so the self-join
+    * on shingle fans out ≤ S rows per shingle (S = #sources, a few
+    * hundred at most), never per-occurrence: the join is bounded by
+    * S² per shingle regardless of how often a boilerplate shingle
+    * repeats inside a source. Output is ≤ S² rows; per-source totals
+    * ride a broadcast. */
+  val ddCrossSourceOverlap: Spec = Spec(
+    "dd_cross_source_overlap",
+    oracle = Some("""
+      WITH tok AS (
+        SELECT source, string_split(text, ' ') AS l FROM documents),
+      g AS (
+        SELECT source, unnest(range(0, greatest(len(l)-7, 0))) AS pos, l
+        FROM tok),
+      sh AS (
+        SELECT DISTINCT source, md5(array_to_string(l[pos+1:pos+8], ' ')) AS sh
+        FROM g),
+      tot AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+      j AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+          COUNT(*) AS shared
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT source_a, source_b, CAST(shared AS BIGINT) AS shared_shingles,
+        ROUND(CAST(shared AS DOUBLE) / (ta.n + tb.n - shared), 6) AS jaccard
+      FROM j
+        JOIN tot ta ON ta.source = j.source_a
+        JOIN tot tb ON tb.source = j.source_b
+      ORDER BY source_a, source_b""")) { (s, dir) =>
+    import s.implicits._
+    val sh = Tables.load(s, dir, "documents")
+      .select($"source",
+        explode(graft.ops.SubstrDedup.gramHashes(Text.tokens($"text"), 8))
+          .as("sh"))
+      .distinct()
+      .localCheckpoint() // one shingle pass feeds totals AND the join
+    val tot = sh.groupBy($"source").agg(count(lit(1)).as("n"))
+    val a = sh.select($"source".as("source_a"), $"sh")
+    val b = sh.select($"source".as("source_b"), $"sh")
+    a.join(b, Seq("sh")).filter($"source_a" < $"source_b")
+      .groupBy($"source_a", $"source_b")
+      .agg(count(lit(1)).as("shared_shingles"))
+      .join(broadcast(tot.select($"source".as("source_a"), $"n".as("na"))), "source_a")
+      .join(broadcast(tot.select($"source".as("source_b"), $"n".as("nb"))), "source_b")
+      .select($"source_a", $"source_b", $"shared_shingles",
+        round($"shared_shingles".cast("double") /
+          ($"na" + $"nb" - $"shared_shingles"), 6).as("jaccard"))
+      .orderBy($"source_a", $"source_b")
+  }
+
   val specs: Seq[Spec] = Seq(
     ddMinhashPairs, ddMinhashBlocked, ddMinhashClusters, ddMinhashIncremental,
     ddJaccardBlockPairs, ddExactHash, ddExactIncremental, ddBloomIncremental,
     ddCappedStarPairs, ddSimhash, ddSimhashPairs,
     ddSimhashMd5, ddSimhashMd5Pairs, ddDecontaminate, ddDupSpans,
-    ddDupSpanRemoval, ddClusterRepresentatives, ddDedupReport)
+    ddDupSpanRemoval, ddClusterRepresentatives, ddDedupReport,
+    ddCrossSourceOverlap)
 }

@@ -724,6 +724,36 @@ object TrainingPrep {
       .orderBy($"sample_rank")
   }
 
+  /** Padding-efficiency report for length-bucketed batching: each doc
+    * pads up to the next multiple of 64 tokens (the bucketed-batching
+    * granularity trainers use to amortize recompilation), and the
+    * report gives per-source token counts, padded counts, and the
+    * waste fraction — the number that decides whether a source needs
+    * sequence packing (d_shard_packing) before training. Pure
+    * scan+agg: one pass, map-side combined, no joins. */
+  val dPaddingEfficiency: Spec = Spec(
+    "d_padding_efficiency",
+    oracle = Some("""
+      WITH t AS (
+        SELECT source, len(string_split(text, ' ')) AS n_tok FROM documents),
+      b AS (SELECT source, n_tok, ((n_tok + 63) // 64) * 64 AS padded FROM t)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+        CAST(SUM(padded) AS BIGINT) AS sum_padded,
+        ROUND(1.0 - CAST(SUM(n_tok) AS DOUBLE) / SUM(padded), 6) AS waste_pct
+      FROM b GROUP BY source ORDER BY source""")) { (s, dir) =>
+    import s.implicits._
+    docs(s, dir)
+      .select($"source", size(Text.tokens($"text")).cast("long").as("n_tok"))
+      .withColumn("padded", expr("((n_tok + 63) div 64) * 64"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("sum_tok"),
+        sum($"padded").as("sum_padded"),
+        round(lit(1.0) - sum($"n_tok").cast("double") / sum($"padded"), 6)
+          .as("waste_pct"))
+      .orderBy($"source")
+  }
+
   /** Corpus snapshot diff — the versioned-corpus management op: two
     * snapshots full-outer-join on doc_id, rows classify as
     * added / removed / changed (content md5 differs) with unchanged
@@ -1079,5 +1109,5 @@ object TrainingPrep {
     dProfileColumns, dZipfSlope, dDriftPsi, dHeavyHitters,
     dSequenceSegments, dKmvDistinct, dSnapshotDiff, dTokenBudget,
     dHashSplit, dReadability, dBigramLm, dScoreDeciles, dSourceInterleave,
-    dCmsCounts, dWeightedSample)
+    dCmsCounts, dWeightedSample, dPaddingEfficiency)
 }
