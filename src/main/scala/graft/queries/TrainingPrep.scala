@@ -754,6 +754,71 @@ object TrainingPrep {
       .orderBy($"source")
   }
 
+  /** Per-document Shannon entropy (bits) of the character and token
+    * distributions — the gibberish/compression-quality signal
+    * complementing d_token_diversity's transcendental-free indexes.
+    * Engine parity for log2 extends the unigram-LM recipe one step:
+    * each distinct symbol's term −p·log₂p is rounded at 6dp and SCALED
+    * TO A LONG, so the per-document sum is integer arithmetic — exact
+    * and aggregation-order-free (Spark's array_distinct and DuckDB's
+    * list_distinct may order symbols differently; a double sum would
+    * drift, a long sum cannot).
+    *
+    * Scale shape: entirely row-local — the symbol loop lives inside one
+    * codegen'd projection (no explode, no shuffle); the whole query is
+    * scan+project+sort, the shape that survives 100 TB untouched. */
+  val dEntropyScores: Spec = Spec(
+    "d_entropy_scores",
+    oracle = Some("""
+      WITH t AS (
+        SELECT doc_id, text, length(text) AS n,
+          string_split(text, ' ') AS toks
+        FROM documents),
+      c AS (
+        SELECT doc_id, n, toks, len(toks) AS m,
+          list_transform(range(1, n + 1), i -> text[i:i]) AS chars
+        FROM t),
+      s AS (
+        SELECT doc_id, n, m,
+          list_sum(list_transform(list_distinct(chars), ch ->
+            CAST(round(-(CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE) / n)
+              * log2(CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE) / n)
+              * 1000000) AS BIGINT))) AS cs,
+          list_sum(list_transform(list_distinct(toks), tk ->
+            CAST(round(-(CAST(len(list_filter(toks, x -> x = tk)) AS DOUBLE) / m)
+              * log2(CAST(len(list_filter(toks, x -> x = tk)) AS DOUBLE) / m)
+              * 1000000) AS BIGINT))) AS ts
+        FROM c)
+      SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+        CAST(cs AS DOUBLE) / 1000000 AS char_entropy,
+        CAST(m AS BIGINT) AS n_tok,
+        CAST(ts AS DOUBLE) / 1000000 AS token_entropy,
+        CAST(cs AS DOUBLE) / 1000000 < 3.0 AS is_low_entropy
+      FROM s ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.Column
+    def entScaled(arr: Column, n: Column): Column =
+      aggregate(
+        transform(array_distinct(arr), sym => {
+          val p = size(filter(arr, x => x === sym)).cast("double") / n
+          round(p * log2(p) * lit(-1000000.0d)).cast("long")
+        }),
+        lit(0L), (acc, v) => acc + v)
+    val n = length($"text")
+    val chars = transform(sequence(lit(1), n), i => $"text".substr(i, lit(1)))
+    val toks = Text.tokens($"text")
+    docs(s, dir)
+      .select($"doc_id",
+        n.cast("long").as("n_chars"),
+        (entScaled(chars, n.cast("double")).cast("double") / 1000000)
+          .as("char_entropy"),
+        size(toks).cast("long").as("n_tok"),
+        (entScaled(toks, size(toks).cast("double")).cast("double") / 1000000)
+          .as("token_entropy"))
+      .withColumn("is_low_entropy", $"char_entropy" < 3.0)
+      .orderBy($"doc_id")
+  }
+
   /** Corpus snapshot diff — the versioned-corpus management op: two
     * snapshots full-outer-join on doc_id, rows classify as
     * added / removed / changed (content md5 differs) with unchanged
@@ -1109,5 +1174,5 @@ object TrainingPrep {
     dProfileColumns, dZipfSlope, dDriftPsi, dHeavyHitters,
     dSequenceSegments, dKmvDistinct, dSnapshotDiff, dTokenBudget,
     dHashSplit, dReadability, dBigramLm, dScoreDeciles, dSourceInterleave,
-    dCmsCounts, dWeightedSample, dPaddingEfficiency)
+    dCmsCounts, dWeightedSample, dPaddingEfficiency, dEntropyScores)
 }
