@@ -812,11 +812,66 @@ object Dedup {
       .orderBy($"source_a", $"source_b")
   }
 
+  /** MOSS-style near-duplicate pairs over winnowing fingerprints: two
+    * documents are reported when the overlap of their selected
+    * fingerprint SETS covers ≥ 50% of the smaller set — the
+    * containment-style similarity that catches partial inclusion
+    * (doc B embeds half of doc A), which whole-set Jaccard dilutes.
+    * Selection shares [[graft.ops.Winnow]]'s k=5/w=4 recipe and the
+    * d_winnow_fingerprints oracle CTE verbatim.
+    *
+    * Scale shape: candidates come from the capped bucket scaffold
+    * ([[graft.ops.Buckets.pairs]]) keyed by fingerprint value — a
+    * boilerplate fingerprint shared by 10⁶ docs star-connects instead
+    * of going quadratic, and the cap is observe-gated in Verify. The
+    * shared-count is then an exact distributed recount (pair ⋈ both
+    * fingerprint sets), never a per-bucket count — so cross-bucket
+    * double-counting is impossible and the similarity is exact for
+    * every emitted pair. Per-doc set sizes ride a (doc-count-scale)
+    * join; nothing reaches the driver. */
+  val ddWinnowPairs: Spec = Spec(
+    "dd_winnow_pairs",
+    oracle = Some(s"""
+      WITH ${TextOps.winnowSelCte},
+      fp AS (SELECT DISTINCT doc_id, h48 FROM sel WHERE rk = 1),
+      sz AS (SELECT doc_id, COUNT(*) AS nfp FROM fp GROUP BY doc_id),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+        FROM fp a JOIN fp b ON a.h48 = b.h48 AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, n_shared,
+        ROUND(CAST(n_shared AS DOUBLE) / least(sa.nfp, sb.nfp), 6) AS winnow_sim
+      FROM p JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+      WHERE CAST(n_shared AS DOUBLE) / least(sa.nfp, sb.nfp) >= 0.5
+      ORDER BY id_a, id_b""")) { (s, dir) =>
+    import s.implicits._
+    val toks = Text.tokens($"text")
+    val fp = Tables.load(s, dir, "documents")
+      .filter(size(toks) >= 8)
+      .select($"doc_id",
+        explode(graft.ops.Winnow.selection(toks, 5, 4)).as("fp"))
+      .select($"doc_id", $"fp.h".as("h48"))
+      .distinct()
+      .localCheckpoint() // one selection pass feeds sizes, buckets, recount
+    val sz = fp.groupBy($"doc_id").agg(count(lit(1)).as("nfp"))
+    val shared = graft.ops.Buckets.pairs(fp, Seq("h48"), "doc_id")
+      .join(fp.select($"doc_id".as("id_a"), $"h48"), Seq("id_a"))
+      .join(fp.select($"doc_id".as("id_b"), $"h48"), Seq("id_b", "h48"))
+      .groupBy($"id_a", $"id_b")
+      .agg(count(lit(1)).as("n_shared"))
+    val sim = $"n_shared".cast("double") / least($"na", $"nb")
+    shared
+      .join(sz.select($"doc_id".as("id_a"), $"nfp".as("na")), Seq("id_a"))
+      .join(sz.select($"doc_id".as("id_b"), $"nfp".as("nb")), Seq("id_b"))
+      .filter(sim >= 0.5)
+      .select($"id_a", $"id_b", $"n_shared", round(sim, 6).as("winnow_sim"))
+      .orderBy($"id_a", $"id_b")
+  }
+
   val specs: Seq[Spec] = Seq(
     ddMinhashPairs, ddMinhashBlocked, ddMinhashClusters, ddMinhashIncremental,
     ddJaccardBlockPairs, ddExactHash, ddExactIncremental, ddBloomIncremental,
     ddCappedStarPairs, ddSimhash, ddSimhashPairs,
     ddSimhashMd5, ddSimhashMd5Pairs, ddDecontaminate, ddDupSpans,
     ddDupSpanRemoval, ddClusterRepresentatives, ddDedupReport,
-    ddCrossSourceOverlap)
+    ddCrossSourceOverlap, ddWinnowPairs)
 }

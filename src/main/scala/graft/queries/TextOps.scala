@@ -546,6 +546,58 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Shared oracle CTE chain for the winnowing family (k=5 token grams,
+    * window w=4), through `sel` — the rk=1 rows are the selected
+    * fingerprints. dd_winnow_pairs (queries/Dedup.scala) extends the
+    * same chain with the fingerprint-set self-join, so the two oracles
+    * cannot drift. */
+  private[queries] val winnowSelCte: String = """
+      tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      ok AS (SELECT doc_id, l FROM tok WHERE len(l) >= 8),
+      g AS (SELECT doc_id, unnest(range(0, len(l) - 4)) AS pos, l FROM ok),
+      h AS (SELECT doc_id, pos,
+          CAST('0x' || substr(md5(array_to_string(l[pos+1:pos+5], ' ')), 1, 12)
+            AS BIGINT) AS h48
+        FROM g),
+      n AS (SELECT doc_id, COUNT(*) AS ng FROM h GROUP BY doc_id),
+      w AS (SELECT doc_id, unnest(range(0, ng - 3)) AS i FROM n),
+      sel AS (SELECT w.doc_id, i, h.pos, h.h48,
+          row_number() OVER (PARTITION BY w.doc_id, i
+            ORDER BY h.h48 ASC, h.pos DESC) AS rk
+        FROM w JOIN h ON h.doc_id = w.doc_id AND h.pos BETWEEN i AND i + 3)"""
+
+  /** Winnowing fingerprints (Schleimer et al. '03, the MOSS selection):
+    * token 5-gram hashes, and from every window of 4 consecutive gram
+    * hashes keep the minimum (ties to the RIGHTMOST position — the
+    * standard rule that makes selection self-synchronizing). Guarantee:
+    * any match of ≥ 8 consecutive tokens (w+k−1) between two documents
+    * shares at least one selected fingerprint, at ~2/(w+1) the density
+    * of the full gram set — the robust copy-detection index that
+    * d_fingerprint's whole-doc hash cannot give.
+    *
+    * Scale shape: gram hashing AND window-min selection are row-local
+    * (one codegen'd projection through the fused
+    * [[graft.functions.WordGramHashes]]; gram strings never
+    * materialize); the only explode is over the SELECTED fingerprints
+    * (~2/(w+1) of grams), and there is no shuffle before the output
+    * sort. The rightmost-tie rule is encoded as array_min over
+    * (hash, −pos) structs — pure integer ordering, engine-mirrorable. */
+  val dWinnowFingerprints: Spec = Spec(
+    "d_winnow_fingerprints",
+    oracle = Some(s"""
+      WITH $winnowSelCte
+      SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, h48
+      FROM sel WHERE rk = 1 ORDER BY doc_id, pos""")) { (s, dir) =>
+    import s.implicits._
+    val toks = Text.tokens($"text")
+    docs(s, dir)
+      .filter(size(toks) >= 8)
+      .select($"doc_id", explode(graft.ops.Winnow.selection(toks, 5, 4)).as("fp"))
+      .select($"doc_id", (-$"fp.nj").cast("long").as("pos"),
+        $"fp.h".as("h48"))
+      .orderBy($"doc_id", $"pos")
+  }
+
   /** Deterministic dedup-by-key (P3 without the arbitrary-row hazard):
     * keep min doc_id per (lang, source). */
   val dDedupByKey: Spec = Spec(
@@ -849,6 +901,7 @@ object TextOps {
     dLines2DocDedent, dRepeatedTokens, dNsfwCounts, dDocFlags, dRemovalSurvivors,
     dNgramRepWord, dNgramRepWordTok, dNgramRepChar, dUniqueTokens,
     dKeywordSpans, dTokenDiversity, dSymbolRatio,
-    dFingerprint, dDedupByKey, dStopwords, dDedupThresholded,
+    dFingerprint, dWinnowFingerprints, dDedupByKey, dStopwords,
+    dDedupThresholded,
     dFlagsPerLang, dIntraDupFraction, dSourceReport, dTokenizerFertility)
 }

@@ -275,4 +275,49 @@ class PropertiesSpec extends AnyFunSuite {
     // function, so distinct (id, split) pairs == id count
     assert(split.distinct().count() == 4000L)
   }
+
+  test("winnowing: detection guarantee, density bound, rightmost ties") {
+    // Schleimer '03 theorem: any shared run of >= w+k-1 tokens yields a
+    // shared selected fingerprint. Build doc pairs with a planted
+    // 8-token common run (k=5, w=4) inside random noise.
+    val noise = sampleDocs(40).map(_.split(" ").filter(_.nonEmpty))
+    val planted = (0 until 20).map { i =>
+      val run = (0 until 8).map(j => s"run${i}x$j")
+      val a = (noise(2 * i).take(10) ++ run ++ Seq(s"enda$i")).mkString(" ")
+      val b = (Seq(s"startb$i") ++ run ++ noise(2 * i + 1).take(10)).mkString(" ")
+      (i.toLong * 2, a, i.toLong * 2 + 1, b)
+    }
+    val docs = planted.flatMap { case (ia, a, ib, b) => Seq((ia, a), (ib, b)) }
+      .toDF("doc_id", "text")
+    val toks = Text.tokens($"text")
+    val fp = docs.filter(size(toks) >= lit(8))
+      .select($"doc_id", explode(graft.ops.Winnow.selection(toks, 5, 4)).as("f"))
+      .select($"doc_id", $"f.h".as("h"), (-$"f.nj").as("pos"))
+    val byDoc = fp.select($"doc_id", $"h").distinct()
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    planted.foreach { case (ia, _, ib, _) =>
+      assert(byDoc(ia).intersect(byDoc(ib)).nonEmpty,
+        s"planted 8-token run between $ia/$ib produced no shared fingerprint")
+    }
+    // density: selected-per-doc <= windows-per-doc, and >= ng/(w?) lower
+    // bound is probabilistic — pin the hard upper bound plus nonempty
+    val counts = fp.groupBy($"doc_id").count().as[(Long, Long)].collect()
+    val lens = docs.select($"doc_id", size(Text.tokens($"text")))
+      .as[(Long, Int)].collect().toMap
+    counts.foreach { case (id, c) =>
+      val windows = lens(id) - 4 - 4 + 1 // ng - w + 1, ng = n_tok - k + 1
+      assert(c >= 1 && c <= windows, s"doc $id: $c selected of $windows windows")
+    }
+    // rightmost tie rule: a constant-token doc has every gram hash equal,
+    // so each window's winner is its rightmost position — selection is
+    // every position from w-1 on, exactly one fingerprint value
+    val const = Seq((0L, Seq.fill(12)("tok").mkString(" "))).toDF("doc_id", "text")
+    val sel = const
+      .select(explode(graft.ops.Winnow.selection(Text.tokens($"text"), 5, 4)).as("f"))
+      .select($"f.h", (-$"f.nj").as("pos")).as[(Long, Long)].collect()
+    assert(sel.map(_._1).distinct.length == 1)
+    // ng = 12-5+1 = 8 grams; windows start 0..4; rightmost of window i is
+    // i+3 -> positions 3..7
+    assert(sel.map(_._2).sorted.toSeq == Seq(3L, 4L, 5L, 6L, 7L))
+  }
 }
