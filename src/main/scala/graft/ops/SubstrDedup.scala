@@ -71,9 +71,16 @@ object SubstrDedup {
           .agg(countDistinct(col(idCol)).as("_nd"))
           .filter(col("_nd") >= minDocs)
           .select(col("_gh"))
+    islands(grams.join(dup, Seq("_gh")), idCol, n)
+  }
+
+  /** Merge gram-hit positions into maximal spans: hits ≤ n apart fuse
+    * (their [pos, pos+n) windows overlap or touch), islands become
+    * [min, max+n) spans. One window per doc — per-doc hit counts are
+    * bounded by doc length, so no reducer hot-spots. */
+  private def islands(hits: DataFrame, idCol: String, n: Int): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    grams
-      .join(dup, Seq("_gh"))
+    hits
       .withColumn("_brk",
         when(col("pos") - lag(col("pos"), 1).over(w) <= n, 0).otherwise(1))
       .withColumn("_isl", sum(col("_brk")).over(w))
@@ -101,8 +108,15 @@ object SubstrDedup {
     *
     * @return (idCol, cleaned_md5, kept_tokens, removed_tokens). */
   def removeDupSpans(df: DataFrame, idCol: String, toksCol: String,
-      n: Int, minDocs: Long): DataFrame = {
-    val spans = dupSpans(df, idCol, toksCol, n, minDocs).as("sp")
+      n: Int, minDocs: Long): DataFrame =
+    removeSpans(df, idCol, toksCol, dupSpans(df, idCol, toksCol, n, minDocs))
+
+  /** Rebuild each document with the given token spans cut out —
+    * [[removeDupSpans]]'s reassembly, reusable for any span source
+    * (duplicate spans, contamination spans). */
+  def removeSpans(df: DataFrame, idCol: String, toksCol: String,
+      spansDf: DataFrame): DataFrame = {
+    val spans = spansDf.as("sp")
     val toks = df
       .select(col(idCol), posexplode(col(toksCol)).as(Seq("tpos", "tk")))
       .as("t")
@@ -129,6 +143,31 @@ object SubstrDedup {
 
   /** md5("") — the cleaned hash of a fully-duplicated document. */
   private val md5Empty = "d41d8cd98f00b204e9800998ecf8427e"
+
+  /** Contamination spans: maximal token spans covered by n-grams
+    * present in `benchGrams` (a one-column `_gh` frame of md5 gram
+    * keys from an eval/benchmark set). Same island merge as
+    * [[dupSpans]], but the hit test is a BROADCAST semi-join — eval
+    * suites are small by construction, so the corpus side never
+    * shuffles to find its hits (contrast dupSpans, whose duplicate
+    * detection inherently needs one gram exchange). */
+  def contaminationSpans(df: DataFrame, idCol: String, toksCol: String,
+      n: Int, benchGrams: DataFrame): DataFrame = {
+    val grams = df
+      .select(col(idCol),
+        posexplode(gramHashes(col(toksCol), n)).as(Seq("pos", "_gh")))
+    islands(grams.join(broadcast(benchGrams), Seq("_gh"), "left_semi"),
+      idCol, n)
+  }
+
+  /** Decontamination-CUT: surgical span removal of benchmark-
+    * overlapping passages (the upgrade of doc-level drop
+    * decontamination — a 10k-token document citing one benchmark
+    * sentence loses the sentence, not the document). */
+  def removeContaminationSpans(df: DataFrame, idCol: String,
+      toksCol: String, n: Int, benchGrams: DataFrame): DataFrame =
+    removeSpans(df, idCol, toksCol,
+      contaminationSpans(df, idCol, toksCol, n, benchGrams))
 
   /** Intra-document repetition fraction (the Gopher dup-ngram-fraction
     * family, Rae et al. 2021 §A1.1): share of a document's tokens

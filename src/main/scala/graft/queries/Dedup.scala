@@ -512,6 +512,65 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Span-level decontamination (the acting upgrade of d_decontaminate's
+    * doc-level flag): passages overlapping the benchmark 5-gram set are
+    * CUT and survivors reassembled — a 10k-token document citing one
+    * benchmark sentence loses the sentence, not the document. Same
+    * planted contamination and doc sampling as d_decontaminate; spans
+    * come from [[graft.ops.SubstrDedup.contaminationSpans]] (broadcast
+    * benchmark gram set, so the corpus side finds its hits without a
+    * shuffle), removal reuses the dd_dup_span_removal reassembly. */
+  val ddDecontaminateSpans: Spec = Spec(
+    "d_decontaminate_spans",
+    oracle = Some("""
+      WITH r AS (
+        SELECT doc_id, text || CASE WHEN doc_id % 97 = 0 OR doc_id % 21 = 0
+          THEN ' alpha beta gamma delta epsilon' ELSE '' END AS text
+        FROM documents),
+      bt AS (SELECT doc_id, string_split(text, ' ') AS l FROM r
+             WHERE doc_id % 97 = 0),
+      bg AS (SELECT DISTINCT md5(array_to_string(l[pos+1:pos+5], ' ')) AS gh
+        FROM (SELECT doc_id, unnest(range(0, greatest(len(l)-4, 0))) AS pos, l
+              FROM bt)),
+      t AS (SELECT doc_id, string_split(text, ' ') AS l FROM r
+            WHERE doc_id % 97 <> 0 AND doc_id % 7 = 0),
+      g2 AS (SELECT doc_id, pos, md5(array_to_string(l[pos+1:pos+5], ' ')) AS gh
+        FROM (SELECT doc_id, unnest(range(0, greatest(len(l)-4, 0))) AS pos, l
+              FROM t)),
+      hit AS (SELECT doc_id, pos FROM g2 WHERE gh IN (SELECT gh FROM bg)),
+      cov AS (SELECT DISTINCT doc_id, pos + u.i AS tpos
+        FROM hit CROSS JOIN (SELECT unnest(range(0, 5)) AS i) u),
+      tok AS (SELECT doc_id, unnest(l) AS tk,
+          CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS tpos
+        FROM t),
+      kept AS (SELECT tok.doc_id, tok.tk, tok.tpos
+        FROM tok LEFT JOIN cov
+          ON tok.doc_id = cov.doc_id AND tok.tpos = cov.tpos
+        WHERE cov.doc_id IS NULL),
+      ka AS (SELECT doc_id, md5(string_agg(tk, ' ' ORDER BY tpos)) AS m,
+          CAST(COUNT(*) AS BIGINT) AS k
+        FROM kept GROUP BY doc_id)
+      SELECT t.doc_id, COALESCE(ka.m, md5('')) AS cleaned_md5,
+        COALESCE(ka.k, 0) AS kept_tokens,
+        CAST(len(t.l) - COALESCE(ka.k, 0) AS BIGINT) AS removed_tokens
+      FROM t LEFT JOIN ka ON t.doc_id = ka.doc_id
+      ORDER BY t.doc_id""")) { (s, dir) =>
+    import s.implicits._
+    val all = Tables.load(s, dir, "documents")
+      .withColumn("text", concat($"text",
+        when($"doc_id" % 97 === 0 || $"doc_id" % 21 === 0,
+          lit(" alpha beta gamma delta epsilon")).otherwise(lit(""))))
+    val bench = all.filter($"doc_id" % 97 === 0)
+      .select(explode(graft.ops.SubstrDedup.gramHashes(
+        Text.tokens($"text"), 5)).as("_gh"))
+      .distinct()
+    val corpus = all.filter($"doc_id" % 97 =!= 0 && $"doc_id" % 7 === 0)
+      .select($"doc_id", Text.tokens($"text").as("l"))
+    graft.ops.SubstrDedup
+      .removeContaminationSpans(corpus, "doc_id", "l", 5, bench)
+      .orderBy($"doc_id")
+  }
+
   /** Exact-substring duplicate spans ([[graft.ops.SubstrDedup]], the
     * Lee et al. 2022 ExactSubstr family): maximal token spans covered
     * by word-8-grams recurring across documents. Two passages are
@@ -871,7 +930,8 @@ object Dedup {
     ddMinhashPairs, ddMinhashBlocked, ddMinhashClusters, ddMinhashIncremental,
     ddJaccardBlockPairs, ddExactHash, ddExactIncremental, ddBloomIncremental,
     ddCappedStarPairs, ddSimhash, ddSimhashPairs,
-    ddSimhashMd5, ddSimhashMd5Pairs, ddDecontaminate, ddDupSpans,
+    ddSimhashMd5, ddSimhashMd5Pairs, ddDecontaminate, ddDecontaminateSpans,
+    ddDupSpans,
     ddDupSpanRemoval, ddClusterRepresentatives, ddDedupReport,
     ddCrossSourceOverlap, ddWinnowPairs)
 }
