@@ -193,6 +193,94 @@ object Lexical {
       .orderBy($"rk")
   }
 
+  /** One round of the BPE oracle: count corpus-weighted adjacent symbol
+    * pairs from w{t-1}, pick the (count desc, pair asc) winner, apply
+    * the merge with one left-to-right replace(). */
+  private def bpeStepCte(t: Int): String = s"""
+      p$t AS (SELECT l, r, SUM(cnt) AS c FROM (
+          SELECT cnt, s[i+1] AS l, s[i+2] AS r FROM (
+            SELECT cnt, s, unnest(range(0, len(s)-1)) AS i FROM (
+              SELECT cnt, string_split(trim(rep, '|'), '||') AS s
+              FROM w${t - 1})))
+        GROUP BY l, r),
+      b$t AS (SELECT l, r, c FROM p$t ORDER BY c DESC, l, r LIMIT 1),
+      w$t AS (SELECT word, cnt,
+          replace(rep,
+            '|' || (SELECT l FROM b$t) || '||' || (SELECT r FROM b$t) || '|',
+            '|' || (SELECT l FROM b$t) || (SELECT r FROM b$t) || '|') AS rep
+        FROM w${t - 1})"""
+
+  /** BPE merge TRAINING (Sennrich '16; the HF-tokenizers loop), 3
+    * deterministic iterations: words become character symbol
+    * sequences, each round counts corpus-weighted adjacent symbol
+    * pairs, merges the (count desc, pair asc) winner everywhere, and
+    * the merges table — the artifact a tokenizer trainer ships — is
+    * the output. d_bpe_pair_counts is round 0's counting; this is the
+    * actual training loop on top of it.
+    *
+    * Symbol sequences are encoded as '|a||b|…' — every symbol carries
+    * its OWN delimiters, so applying a merge is one non-overlapping
+    * left-to-right replace('|l||r|' → '|lr|') with no boundary
+    * sharing between adjacent matches ('a b a b' merges to 'ab ab',
+    * not 'ab a b'), and both engines' single-pass replace agree.
+    *
+    * Scale shape: training runs on the distinct-word frequency table
+    * (vocab-scale — the corpus-scale token explode happens once, in
+    * the initial word count); each round is one map-side-combined
+    * pair-count shuffle plus a ONE-ROW collect (the chosen merge), so
+    * the driver holds exactly k rows after k rounds — the same bounded
+    * artifact argument as the k-means centroids. */
+  val dBpeMerges: Spec = Spec(
+    "d_bpe_merges",
+    oracle = Some(s"""
+      WITH words AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+          SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY word),
+      w0 AS (SELECT word, cnt,
+          array_to_string(list_transform(range(1, length(word)+1),
+            i -> '|' || word[i:i] || '|'), '') AS rep
+        FROM words),
+      ${bpeStepCte(1)},
+      ${bpeStepCte(2)},
+      ${bpeStepCte(3)}
+      SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS step, l AS left_sym, r AS right_sym,
+          CAST(c AS BIGINT) AS pair_count FROM b1
+        UNION ALL SELECT 2, l, r, CAST(c AS BIGINT) FROM b2
+        UNION ALL SELECT 3, l, r, CAST(c AS BIGINT) FROM b3)
+      ORDER BY step""")) { (s, dir) =>
+    import s.implicits._
+    val words = docs(s, dir)
+      .select(explode(Text.tokens($"text")).as("word"))
+      .filter($"word".rlike("^[a-z]+$"))
+      .groupBy($"word").agg(count(lit(1)).as("cnt"))
+    var reps = words.withColumn("rep",
+      array_join(transform(
+        sequence(lit(1), length($"word")),
+        i => concat(lit("|"), $"word".substr(i, lit(1)), lit("|"))), ""))
+      .localCheckpoint() // each round rewrites rep; keep lineage flat
+    val merges = (1 to 3).map { t =>
+      val syms = split(trim($"rep", "|"), "\\|\\|")
+      val best = reps
+        .filter(size(syms) >= 2)
+        .select($"cnt", explode(transform(sequence(lit(0), size(syms) - 2),
+          i => struct(element_at(syms, i + 1).as("l"),
+            element_at(syms, i + 2).as("r")))).as("p"))
+        .groupBy($"p.l".as("l"), $"p.r".as("r"))
+        .agg(sum($"cnt").as("c"))
+        .orderBy($"c".desc, $"l", $"r")
+        .limit(1).collect()(0)
+      val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
+      reps = reps.withColumn("rep",
+          replace($"rep", lit(s"|$l||$r|"), lit(s"|$l$r|")))
+        .localCheckpoint()
+      (t.toLong, l, r, c)
+    }
+    merges.toDF("step", "left_sym", "right_sym", "pair_count")
+      .orderBy($"step")
+  }
+
   /** F27 language-code canonicalization as an ORACLED corpus query:
     * the corpus lang codes map through the shipped
     * [[graft.sources.LangData]] resource to canonical name + preferred
@@ -225,5 +313,5 @@ object Lexical {
   }
 
   val specs: Seq[Spec] = Seq(dNsfwMultilang, dStopwordMultilang,
-    dBpeTokenStats, dBpePairCounts, dLangNormalize)
+    dBpeTokenStats, dBpePairCounts, dBpeMerges, dLangNormalize)
 }
