@@ -144,6 +144,89 @@ object Vectors {
     topK(exact, k)
   }
 
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein '98):
+    * shortlist `pool` candidates per query by exact cosine, then
+    * greedily select `k` maximizing λ·rel(d) − (1−λ)·max_{s∈S}
+    * sim(d, s) — the diversified-retrieval step that keeps a RAG
+    * context window from filling with near-duplicates of one passage.
+    *
+    * Scale shape: the corpus-sized work is [[knnBrute]]'s one scan;
+    * the MMR loop itself is group-local over ≤ `pool` candidates
+    * (pool² sims per query, computed inside one mapGroups partition —
+    * never a corpus shuffle). Determinism: relevance and candidate-
+    * pair cosines round to 9dp before scoring (the fold mirrors
+    * [[graft.functions.FloatDot]] exactly), score arithmetic is fixed
+    * IEEE op order, ties break to the lowest candidate id — so a SQL
+    * oracle replays every selection step.
+    *
+    * @return (qid, rk 1..k, cid, mmr_score rounded 6dp); rank 1's
+    *         score is the plain relevance (no diversity term yet). */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame, k: Int,
+      pool: Int = 20, lambda: Double = 0.7): DataFrame = {
+    val s = queries.sparkSession
+    import s.implicits._
+    val shortlist = knnBrute(queries, corpus, pool).select(col("qid"), col("cid"))
+    val cand = shortlist
+      .join(corpus.select(col("id").as("cid"), col("vec").as("cv")), Seq("cid"))
+      .join(broadcast(queries.select(col("id").as("qid"), col("vec").as("qv"))),
+        Seq("qid"))
+      .select(col("qid"), col("cid"), col("qv"), col("cv"))
+      .as[(Long, Long, Seq[Float], Seq[Float])]
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    cand.groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val rows = it.toArray
+        val qv = rows.head._3.toArray
+        val cid = rows.map(_._2)
+        val cv = rows.map(_._4.toArray)
+        val n = rows.length
+        def dotd(a: Array[Float], b: Array[Float]): Double = {
+          var acc = 0.0; var i = 0
+          while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+          acc
+        }
+        def cos(a: Array[Float], b: Array[Float]): Double =
+          dotd(a, b) / (math.sqrt(dotd(a, a)) * math.sqrt(dotd(b, b)))
+        val rel = Array.tabulate(n)(i => r9(cos(qv, cv(i))))
+        val sim = Array.tabulate(n, n)((i, j) =>
+          if (i == j) 0.0 else r9(cos(cv(i), cv(j))))
+        val selected = Array.fill(n)(false)
+        val out = Seq.newBuilder[(Long, Long, Long, Double)]
+        var step = 1
+        while (step <= math.min(k, n)) {
+          var best = -1; var bs = 0.0
+          var i = 0
+          while (i < n) {
+            if (!selected(i)) {
+              val sc =
+                if (step == 1) rel(i)
+                else {
+                  var ms = Double.NegativeInfinity
+                  var j = 0
+                  while (j < n) {
+                    if (selected(j) && sim(i)(j) > ms) ms = sim(i)(j)
+                    j += 1
+                  }
+                  lambda * rel(i) - (1 - lambda) * ms
+                }
+              if (best < 0 || sc > bs || (sc == bs && cid(i) < cid(best))) {
+                best = i; bs = sc
+              }
+            }
+            i += 1
+          }
+          selected(best) = true
+          out += ((qid, step.toLong, cid(best), r6(bs)))
+          step += 1
+        }
+        out.result()
+      }
+      .toDF("qid", "rk", "cid", "mmr_score")
+  }
+
   /** Nearest-centroid id for a vector against a (small) broadcast
     * centroid matrix: squared-L2 by sequential fold (bit-exact
     * mirrorable), ties to the lowest cell id via struct array_min. */

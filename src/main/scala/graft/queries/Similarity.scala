@@ -879,8 +879,71 @@ object Similarity {
       .orderBy($"qid", $"rk")
   }
 
+  /** One MMR oracle round for step t ≥ 2: max-sim of each unselected
+    * candidate vs the selected set so far (selu), score, argmax. */
+  private def mmrStepCte(t: Int): String = s"""
+      m$t AS (SELECT si.qid, si.ca AS cid, MAX(si.s) AS ms
+        FROM sims si JOIN selu${t - 1} u ON u.qid = si.qid AND u.cid = si.cb
+        GROUP BY si.qid, si.ca),
+      r$t AS (SELECT c.qid, c.cid, 0.7*c.rel - (1 - 0.7)*m.ms AS sc,
+          row_number() OVER (PARTITION BY c.qid
+            ORDER BY 0.7*c.rel - (1 - 0.7)*m.ms DESC, c.cid) AS rk
+        FROM cand c JOIN m$t m ON m.qid = c.qid AND m.cid = c.cid
+        WHERE NOT EXISTS (SELECT 1 FROM selu${t - 1} u
+          WHERE u.qid = c.qid AND u.cid = c.cid)),
+      sel$t AS (SELECT qid, cid, sc FROM r$t WHERE rk = 1),
+      selu$t AS (SELECT qid, cid FROM selu${t - 1}
+        UNION ALL SELECT qid, cid FROM sel$t)"""
+
+  /** Maximal-marginal-relevance diversified top-5
+    * ([[graft.ops.Vectors.mmrRerank]], λ=0.7 over a 20-candidate
+    * shortlist): the greedy relevance-vs-diversity selection is
+    * replayed step by step in the oracle — candidate pool, 9dp-rounded
+    * relevance and pairwise sims, every per-step argmax with its tie
+    * rule, and the final scores to 6dp. */
+  val eMmrRerank: Spec = Spec(
+    "e_mmr_rerank",
+    oracle = Some(s"""
+      WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        WHERE vec_id < 10),
+      sc0 AS (SELECT q.qid, e.vec_id AS cid, ${cosSql("q.qv", "e.embedding")} AS cos
+        FROM q JOIN embeddings e ON e.vec_id <> q.qid),
+      cand AS (SELECT qid, cid, round(cos, 9) AS rel FROM (
+          SELECT qid, cid, cos,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+          FROM sc0) WHERE rk <= 20),
+      sims AS (SELECT a.qid, a.cid AS ca, b.cid AS cb,
+          round(${cosSql("ea.embedding", "eb.embedding")}, 9) AS s
+        FROM cand a JOIN cand b ON a.qid = b.qid AND a.cid <> b.cid
+        JOIN embeddings ea ON ea.vec_id = a.cid
+        JOIN embeddings eb ON eb.vec_id = b.cid),
+      sel1 AS (SELECT qid, cid, rel AS sc FROM (
+          SELECT qid, cid, rel,
+            row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rk
+          FROM cand) WHERE rk = 1),
+      selu1 AS (SELECT qid, cid FROM sel1),
+      ${mmrStepCte(2)},
+      ${mmrStepCte(3)},
+      ${mmrStepCte(4)},
+      ${mmrStepCte(5)}
+      SELECT qid, rk, cid, ROUND(sc, 6) AS mmr_score FROM (
+        SELECT qid, CAST(1 AS BIGINT) AS rk, cid, sc FROM sel1
+        UNION ALL SELECT qid, 2, cid, sc FROM sel2
+        UNION ALL SELECT qid, 3, cid, sc FROM sel3
+        UNION ALL SELECT qid, 4, cid, sc FROM sel4
+        UNION ALL SELECT qid, 5, cid, sc FROM sel5)
+      ORDER BY qid, rk""")) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    Vectors.mmrRerank(emb.filter($"id" < 10), emb, k = 5, pool = 20,
+        lambda = 0.7)
+      .select($"qid", $"rk", $"cid", $"mmr_score")
+      .orderBy($"qid", $"rk")
+  }
+
   val specs: Seq[Spec] = Seq(eCentroids, eKnnBrute, eKnnCell, eNearDup,
     eNearDupLsh, eKnnQuantized, eKmeansCentroids, eKnnIvfLearned,
     eKnnIvfMultiprobe, eKnnPq, eKnnIvfPq, eBitextMine, eEmbeddingOutliers,
-    eKnnIvfPqProbe, eNearDupClusters, eKnnMatryoshka)
+    eKnnIvfPqProbe, eNearDupClusters, eKnnMatryoshka, eMmrRerank)
 }
