@@ -879,6 +879,67 @@ object Similarity {
       .orderBy($"qid", $"rk")
   }
 
+  /** Corpus clustering report (the "what is in this corpus" lens):
+    * every embedding assigned to its learned k-means cell (k=8, one
+    * deterministic Lloyd iteration — the e_kmeans_centroids recipe),
+    * then per cluster: size, dominant label with purity, and mean
+    * squared distance to the centroid (cohesion). Label purity against
+    * the shipped labels doubles as external cluster validation.
+    *
+    * Scale shape: centroids are k×dim driver doubles (bounded);
+    * assignment + distance are one broadcast-argmin projection; the
+    * report is two hash aggs keyed by cell/(cell,label) — cardinality
+    * k and k×labels. Per-row distances round to 6dp and sum as
+    * DECIMAL, so cluster means are aggregation-order-free. */
+  val eClusterSummary: Spec = Spec(
+    "e_cluster_summary",
+    oracle = Some(s"""
+      WITH $kmeansCtes,
+      d AS (SELECT a.vec_id, a.cell, e.label,
+          round(${distSql("a.embedding", "c.cent")}, 6) AS sd
+        FROM a2 a JOIN c1l c ON c.cell = a.cell
+        JOIN embeddings e ON e.vec_id = a.vec_id),
+      lab AS (SELECT cell, label, COUNT(*) AS nl FROM d GROUP BY cell, label),
+      top AS (SELECT cell, label AS top_label, nl FROM (
+          SELECT cell, label, nl,
+            row_number() OVER (PARTITION BY cell ORDER BY nl DESC, label) AS rk
+          FROM lab) WHERE rk = 1),
+      agg AS (SELECT cell, COUNT(*) AS n,
+          CAST(SUM(CAST(sd AS DECIMAL(18,6))) AS DOUBLE) AS ssd
+        FROM d GROUP BY cell)
+      SELECT agg.cell, CAST(agg.n AS BIGINT) AS n,
+        CAST(top.top_label AS BIGINT) AS top_label,
+        ROUND(CAST(top.nl AS DOUBLE) / agg.n, 6) AS label_purity,
+        ROUND(ssd / agg.n, 6) AS avg_sqdist
+      FROM agg JOIN top USING (cell) ORDER BY agg.cell""")) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val cents = Vectors.kmeansCentroids(emb, k = 8, iters = 1)
+    val cent = element_at(typedLit(cents), $"cell".cast("int") + 1)
+    val sd = round(aggregate(zip_with($"embedding", cent,
+        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+      lit(0.0d), (acc, v) => acc + v), 6)
+    val d = emb
+      .withColumn("cell", Vectors.nearestCell($"embedding", cents))
+      .select($"vec_id", $"cell", $"label", sd.as("sd"))
+      .localCheckpoint() // one assignment pass feeds both aggs
+    val lab = d.groupBy($"cell", $"label").agg(count(lit(1)).as("nl"))
+    val top = lab
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"cell")
+          .orderBy($"nl".desc, $"label")))
+      .filter($"rk" === 1)
+    val agg = d.groupBy($"cell").agg(count(lit(1)).as("n"),
+      sum($"sd".cast("decimal(18,6)")).cast("double").as("ssd"))
+    agg
+      .join(top.select($"cell", $"label".cast("long").as("top_label"), $"nl"),
+        Seq("cell"))
+      .select($"cell", $"n", $"top_label",
+        round($"nl".cast("double") / $"n", 6).as("label_purity"),
+        round($"ssd" / $"n", 6).as("avg_sqdist"))
+      .orderBy($"cell")
+  }
+
   /** One MMR oracle round for step t ≥ 2: max-sim of each unselected
     * candidate vs the selected set so far (selu), score, argmax. */
   private def mmrStepCte(t: Int): String = s"""
@@ -945,5 +1006,6 @@ object Similarity {
   val specs: Seq[Spec] = Seq(eCentroids, eKnnBrute, eKnnCell, eNearDup,
     eNearDupLsh, eKnnQuantized, eKmeansCentroids, eKnnIvfLearned,
     eKnnIvfMultiprobe, eKnnPq, eKnnIvfPq, eBitextMine, eEmbeddingOutliers,
-    eKnnIvfPqProbe, eNearDupClusters, eKnnMatryoshka, eMmrRerank)
+    eKnnIvfPqProbe, eNearDupClusters, eKnnMatryoshka, eMmrRerank,
+    eClusterSummary)
 }
