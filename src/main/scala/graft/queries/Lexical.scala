@@ -230,17 +230,59 @@ object Lexical {
     * pair-count shuffle plus a ONE-ROW collect (the chosen merge), so
     * the driver holds exactly k rows after k rounds — the same bounded
     * artifact argument as the k-means centroids. */
-  val dBpeMerges: Spec = Spec(
-    "d_bpe_merges",
-    oracle = Some(s"""
-      WITH words AS (
+  /** The shared word-frequency + initial-representation CTEs of the
+    * BPE oracle family (words → w0). */
+  private val bpeBaseCte: String = """
+      words AS (
         SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
           SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-        WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY word),
+        WHERE regexp_matches(word, '^[a-z]+$') GROUP BY word),
       w0 AS (SELECT word, cnt,
           array_to_string(list_transform(range(1, length(word)+1),
             i -> '|' || word[i:i] || '|'), '') AS rep
-        FROM words),
+        FROM words)"""
+
+  /** Run the 3-round training loop: returns the merged representation
+    * table (word, cnt, rep) and the chosen merges. Each round is one
+    * pair-count shuffle plus a ONE-ROW collect. */
+  private def bpeTrain(words: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, Seq[(Long, String, String, Long)]) = {
+    import org.apache.spark.sql.Column
+    var reps = words.withColumn("rep",
+      array_join(transform(
+        sequence(lit(1), length(col("word"))),
+        i => concat(lit("|"), col("word").substr(i, lit(1)), lit("|"))), ""))
+      .localCheckpoint() // each round rewrites rep; keep lineage flat
+    val merges = (1 to 3).map { t =>
+      val syms = split(trim(col("rep"), "|"), "\\|\\|")
+      val best = reps
+        .filter(size(syms) >= 2)
+        .select(col("cnt"), explode(transform(sequence(lit(0), size(syms) - 2),
+          i => struct(element_at(syms, i + 1).as("l"),
+            element_at(syms, i + 2).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()(0)
+      val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
+      reps = reps.withColumn("rep",
+          replace(col("rep"), lit(s"|$l||$r|"), lit(s"|$l$r|")))
+        .localCheckpoint()
+      (t.toLong, l, r, c)
+    }
+    (reps, merges)
+  }
+
+  private def bpeWords(s: org.apache.spark.sql.SparkSession, dir: String) =
+    docs(s, dir)
+      .select(explode(Text.tokens(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  val dBpeMerges: Spec = Spec(
+    "d_bpe_merges",
+    oracle = Some(s"""
+      WITH $bpeBaseCte,
       ${bpeStepCte(1)},
       ${bpeStepCte(2)},
       ${bpeStepCte(3)}
@@ -251,34 +293,54 @@ object Lexical {
         UNION ALL SELECT 3, l, r, CAST(c AS BIGINT) FROM b3)
       ORDER BY step""")) { (s, dir) =>
     import s.implicits._
-    val words = docs(s, dir)
-      .select(explode(Text.tokens($"text")).as("word"))
-      .filter($"word".rlike("^[a-z]+$"))
-      .groupBy($"word").agg(count(lit(1)).as("cnt"))
-    var reps = words.withColumn("rep",
-      array_join(transform(
-        sequence(lit(1), length($"word")),
-        i => concat(lit("|"), $"word".substr(i, lit(1)), lit("|"))), ""))
-      .localCheckpoint() // each round rewrites rep; keep lineage flat
-    val merges = (1 to 3).map { t =>
-      val syms = split(trim($"rep", "|"), "\\|\\|")
-      val best = reps
-        .filter(size(syms) >= 2)
-        .select($"cnt", explode(transform(sequence(lit(0), size(syms) - 2),
-          i => struct(element_at(syms, i + 1).as("l"),
-            element_at(syms, i + 2).as("r")))).as("p"))
-        .groupBy($"p.l".as("l"), $"p.r".as("r"))
-        .agg(sum($"cnt").as("c"))
-        .orderBy($"c".desc, $"l", $"r")
-        .limit(1).collect()(0)
-      val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
-      reps = reps.withColumn("rep",
-          replace($"rep", lit(s"|$l||$r|"), lit(s"|$l$r|")))
-        .localCheckpoint()
-      (t.toLong, l, r, c)
-    }
-    merges.toDF("step", "left_sym", "right_sym", "pair_count")
+    bpeTrain(bpeWords(s, dir))._2
+      .toDF("step", "left_sym", "right_sym", "pair_count")
       .orderBy($"step")
+  }
+
+  /** BPE ENCODING with the trained merges — the fertility report a
+    * tokenizer owner reads before shipping: every [a-z]+ word encodes
+    * through the 3-merge representation, and each document reports its
+    * encodable word count, total BPE symbols, character mass, and
+    * symbols-per-word. d_tokenizer_fertility measures a FIXED
+    * tokenizer; this measures the one just trained by d_bpe_merges
+    * (shared loop, shared oracle CTEs — they cannot drift).
+    *
+    * Scale shape: encoding joins the corpus token stream against the
+    * vocab-scale representation table (AQE broadcasts it at any
+    * realistic vocab size), then one per-doc hash agg. */
+  val dBpeEncode: Spec = Spec(
+    "d_bpe_encode",
+    oracle = Some(s"""
+      WITH $bpeBaseCte,
+      ${bpeStepCte(1)},
+      ${bpeStepCte(2)},
+      ${bpeStepCte(3)},
+      enc AS (SELECT word,
+          len(string_split(trim(rep, '|'), '||')) AS nsym
+        FROM w3),
+      dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents),
+      m AS (SELECT doc_id, dt.word, e.nsym FROM dt JOIN enc e USING (word))
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+        CAST(SUM(nsym) AS BIGINT) AS n_bpe_symbols,
+        CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+        ROUND(CAST(SUM(nsym) AS DOUBLE) / COUNT(*), 6) AS symbols_per_word
+      FROM m GROUP BY doc_id ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    val (reps, _) = bpeTrain(bpeWords(s, dir))
+    val enc = reps.select($"word",
+      size(split(trim($"rep", "|"), "\\|\\|")).as("nsym"))
+    docs(s, dir)
+      .select($"doc_id", explode(Text.tokens($"text")).as("word"))
+      .join(enc, Seq("word"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum($"nsym").cast("long").as("n_bpe_symbols"),
+        sum(length($"word")).cast("long").as("n_chars"),
+        round(sum($"nsym").cast("double") / count(lit(1)), 6)
+          .as("symbols_per_word"))
+      .orderBy($"doc_id")
   }
 
   /** F27 language-code canonicalization as an ORACLED corpus query:
@@ -313,5 +375,5 @@ object Lexical {
   }
 
   val specs: Seq[Spec] = Seq(dNsfwMultilang, dStopwordMultilang,
-    dBpeTokenStats, dBpePairCounts, dBpeMerges, dLangNormalize)
+    dBpeTokenStats, dBpePairCounts, dBpeMerges, dBpeEncode, dLangNormalize)
 }
