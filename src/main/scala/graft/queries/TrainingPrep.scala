@@ -516,6 +516,70 @@ object TrainingPrep {
       .orderBy($"bin")
   }
 
+  /** Pairwise-source Jensen–Shannon divergence over the length-bin
+    * distribution — the symmetric, bounded ([0, ln 2]) companion of
+    * d_drift_psi's two-slice PSI: one number per SOURCE PAIR saying how
+    * differently two sources are shaped, the matrix read before
+    * weighting a mixture. Zero bins need no floor: the 0·ln0 = 0
+    * convention is exact in both engines via the CASE guard, because
+    * JS compares each side against the mixture m = (p+q)/2, which is
+    * nonzero wherever either side is.
+    *
+    * Scale shape: histograms are one (source, bin)-keyed agg; the pair
+    * join runs on the DENSE source×10-bin grid (sources × 10 rows —
+    * tiny at any corpus size, the corpus scan happens once); per-bin
+    * terms round at 6dp and sum as DECIMAL (order-free). */
+  val dSourceDivergence: Spec = Spec(
+    "d_source_divergence",
+    oracle = Some("""
+      WITH b AS (
+        SELECT source, least(9, greatest(0, (n_chars - 48) // 51)) AS bin
+        FROM documents),
+      c AS (SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS n
+            FROM b GROUP BY source, bin),
+      t AS (SELECT source, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY source),
+      grid AS (SELECT source, unnest(range(0, 10)) AS bin
+        FROM (SELECT DISTINCT source FROM documents)),
+      p AS (SELECT grid.source, grid.bin,
+          COALESCE(round(CAST(c.n AS DOUBLE) / t.tot, 6), 0.0) AS p
+        FROM grid LEFT JOIN c ON c.source = grid.source AND c.bin = grid.bin
+        JOIN t ON t.source = grid.source),
+      pair AS (SELECT a.source AS source_a, b.source AS source_b,
+          a.p AS pa, b.p AS pb, (a.p + b.p) / 2 AS m
+        FROM p a JOIN p b ON a.bin = b.bin AND a.source < b.source),
+      terms AS (SELECT source_a, source_b,
+          CAST(round(0.5 * (CASE WHEN pa > 0 THEN pa * ln(pa / m) ELSE 0 END)
+                   + 0.5 * (CASE WHEN pb > 0 THEN pb * ln(pb / m) ELSE 0 END), 6)
+            AS DECIMAL(18,6)) AS term
+        FROM pair)
+      SELECT source_a, source_b, CAST(SUM(term) AS DOUBLE) AS js_divergence
+      FROM terms GROUP BY source_a, source_b
+      ORDER BY source_a, source_b""")) { (s, dir) =>
+    import s.implicits._
+    val b = docs(s, dir).select($"source",
+      least(lit(9), greatest(lit(0), expr("(n_chars - 48) div 51"))).as("bin"))
+    val c = b.groupBy($"source", $"bin").agg(count(lit(1)).as("n"))
+    val t = c.groupBy($"source").agg(sum($"n").as("tot"))
+    val grid = docs(s, dir).select($"source").distinct()
+      .select($"source", explode(sequence(lit(0L), lit(9L))).as("bin"))
+    val p = grid
+      .join(c, Seq("source", "bin"), "left")
+      .join(broadcast(t), Seq("source"))
+      .select($"source", $"bin",
+        coalesce(round($"n".cast("double") / $"tot", 6), lit(0.0)).as("p"))
+    val a = p.select($"source".as("source_a"), $"bin", $"p".as("pa"))
+    val bb = p.select($"source".as("source_b"), $"bin", $"p".as("pb"))
+    val ta = when($"pa" > 0, $"pa" * log($"pa" / $"m")).otherwise(lit(0.0))
+    val tb = when($"pb" > 0, $"pb" * log($"pb" / $"m")).otherwise(lit(0.0))
+    a.join(bb, Seq("bin")).filter($"source_a" < $"source_b")
+      .withColumn("m", ($"pa" + $"pb") / 2)
+      .withColumn("term",
+        round(lit(0.5) * ta + lit(0.5) * tb, 6).cast("decimal(18,6)"))
+      .groupBy($"source_a", $"source_b")
+      .agg(sum($"term").cast("double").as("js_divergence"))
+      .orderBy($"source_a", $"source_b")
+  }
+
   /** Heavy hitters ([[graft.ops.HeavyHitters]]): tokens above 1/20 of
     * the stream via a mergeable Misra–Gries summary + exact recount —
     * the result is EXACT (the MG invariant guarantees recall of every
@@ -1174,5 +1238,6 @@ object TrainingPrep {
     dProfileColumns, dZipfSlope, dDriftPsi, dHeavyHitters,
     dSequenceSegments, dKmvDistinct, dSnapshotDiff, dTokenBudget,
     dHashSplit, dReadability, dBigramLm, dScoreDeciles, dSourceInterleave,
-    dCmsCounts, dWeightedSample, dPaddingEfficiency, dEntropyScores)
+    dCmsCounts, dWeightedSample, dPaddingEfficiency, dEntropyScores,
+    dSourceDivergence)
 }
