@@ -926,6 +926,50 @@ object Dedup {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Per-document novelty: the fraction of a doc's distinct 8-gram
+    * shingles whose FIRST occurrence (by doc_id — ingestion order in
+    * an append-only corpus) is this document. The curation signal
+    * behind "how much does each new document actually add": boilerplate
+    * re-posts score near 0, fresh content near 1 — the doc-granular
+    * view of what dd_cross_source_overlap reports pairwise.
+    *
+    * Scale shape: ONE gram exchange (min-doc_id per gram — map-side
+    * combined), one gram-keyed join back, one per-doc agg. Gram keys
+    * ride the fused [[graft.functions.WordGramHashes]]; both
+    * high-cardinality sides hash-partition on the gram, no hot keys. */
+  val ddNoveltyScores: Spec = Spec(
+    "d_novelty_scores",
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      g AS (SELECT DISTINCT doc_id,
+          md5(array_to_string(l[pos+1:pos+8], ' ')) AS gh
+        FROM (SELECT doc_id, unnest(range(0, greatest(len(l)-7, 0))) AS pos, l
+              FROM t)),
+      f AS (SELECT gh, MIN(doc_id) AS first_doc FROM g GROUP BY gh),
+      n AS (SELECT g.doc_id, COUNT(*) AS n_grams,
+          SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS n_novel
+        FROM g JOIN f USING (gh) GROUP BY g.doc_id)
+      SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        CAST(n_novel AS BIGINT) AS n_novel,
+        ROUND(CAST(n_novel AS DOUBLE) / n_grams, 6) AS novelty
+      FROM n ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    val g = Tables.load(s, dir, "documents")
+      .select($"doc_id",
+        explode(graft.ops.SubstrDedup.gramHashes(Text.tokens($"text"), 8))
+          .as("gh"))
+      .distinct()
+      .localCheckpoint() // one gram pass feeds first-seen AND the join
+    val f = g.groupBy($"gh").agg(min($"doc_id").as("first_doc"))
+    g.join(f, Seq("gh"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+      .select($"doc_id", $"n_grams", $"n_novel",
+        round($"n_novel".cast("double") / $"n_grams", 6).as("novelty"))
+      .orderBy($"doc_id")
+  }
+
   val specs: Seq[Spec] = Seq(
     ddMinhashPairs, ddMinhashBlocked, ddMinhashClusters, ddMinhashIncremental,
     ddJaccardBlockPairs, ddExactHash, ddExactIncremental, ddBloomIncremental,
@@ -933,5 +977,5 @@ object Dedup {
     ddSimhashMd5, ddSimhashMd5Pairs, ddDecontaminate, ddDecontaminateSpans,
     ddDupSpans,
     ddDupSpanRemoval, ddClusterRepresentatives, ddDedupReport,
-    ddCrossSourceOverlap, ddWinnowPairs)
+    ddCrossSourceOverlap, ddWinnowPairs, ddNoveltyScores)
 }
