@@ -940,6 +940,89 @@ object Similarity {
       .orderBy($"cell")
   }
 
+  /** One PageRank oracle round: 9dp-rounded pr/deg contributions along
+    * every directed edge, DECIMAL-summed per target (order-free), then
+    * the damped update with the teleport term. */
+  private def prStepCte(t: Int): String = s"""
+      ct$t AS (SELECT e.dst, CAST(round(p.pr / d.deg, 9) AS DECIMAL(28,12)) AS c
+        FROM edges e JOIN pr${t - 1} p ON p.vec_id = e.src
+        JOIN deg d ON d.src = e.src),
+      cs$t AS (SELECT dst, SUM(c) AS sc FROM ct$t GROUP BY dst),
+      pr$t AS (SELECT n.vec_id,
+          0.15::DOUBLE / nn.n + 0.85::DOUBLE * CAST(COALESCE(s.sc, 0) AS DOUBLE) AS pr
+        FROM nodes n CROSS JOIN nn LEFT JOIN cs$t s ON s.dst = n.vec_id)"""
+
+  /** PageRank centrality (3 damped iterations, d=0.85) over the
+    * label-blocked near-duplicate graph (e_neardup_cosine's edge
+    * semantics, both directions): ranks the REPRESENTATIVE documents of
+    * each similarity neighborhood — high-centrality rows are the
+    * canonical exemplars, the complement of dd_cluster_representatives'
+    * min-id rule. Isolated nodes hold the teleport mass 0.15/N.
+    *
+    * Engine parity: per-edge contributions pr/deg round to 9dp and sum
+    * as DECIMAL per target (aggregation-order-free); the damped update
+    * is fixed IEEE op order, so the oracle replays all three rounds.
+    * Scale shape: edges localCheckpoint once and each round is one
+    * edge-keyed join + one target-keyed agg — the textbook distributed
+    * PR step; nothing driver-side but the node count. */
+  val ePagerankCentrality: Spec = Spec(
+    "e_pagerank_centrality",
+    oracle = Some(s"""
+      WITH edges AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id <> b.vec_id
+        WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35),
+      deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+      nodes AS (SELECT vec_id FROM embeddings),
+      nn AS (SELECT COUNT(*) AS n FROM embeddings),
+      pr0 AS (SELECT vec_id, 1.0::DOUBLE / nn.n AS pr
+        FROM nodes CROSS JOIN nn),
+      ${prStepCte(1)},
+      ${prStepCte(2)},
+      ${prStepCte(3)}
+      SELECT p.vec_id, CAST(COALESCE(d.deg, 0) AS BIGINT) AS degree,
+        ROUND(p.pr, 9) AS centrality
+      FROM pr3 p LEFT JOIN deg d ON d.src = p.vec_id
+      ORDER BY p.vec_id""")) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+      .withColumn("nrm", Vectors.norm($"embedding"))
+    val a = emb.select($"label", $"vec_id".as("src"),
+      $"embedding".as("va"), $"nrm".as("na"))
+    val b = emb.select($"label", $"vec_id".as("dst"),
+      $"embedding".as("vb"), $"nrm".as("nb"))
+    val edges = a.join(b, Seq("label"))
+      .filter($"src" =!= $"dst")
+      .filter(Vectors.cosine($"va", $"vb", $"na", $"nb") >= 0.35)
+      .select($"src", $"dst")
+      .localCheckpoint() // reused every iteration
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val nodes = emb.select($"vec_id")
+    val nn = broadcast(nodes.agg(count(lit(1)).as("n")))
+    var pr = nodes.crossJoin(nn).select($"vec_id", (lit(1.0) / $"n").as("pr"))
+    for (_ <- 1 to 3) {
+      val contrib = edges
+        .join(pr.withColumnRenamed("vec_id", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select($"dst", round($"pr" / $"deg", 9).cast("decimal(28,12)").as("c"))
+      val sums = contrib.groupBy($"dst").agg(sum($"c").as("sc"))
+      pr = nodes
+        .join(sums, nodes("vec_id") === sums("dst"), "left")
+        .crossJoin(nn)
+        .select($"vec_id",
+          (lit(0.15) / $"n" +
+            lit(0.85) * coalesce($"sc", lit(0).cast("decimal(38,12)"))
+              .cast("double")).as("pr"))
+        .localCheckpoint()
+    }
+    pr
+      .join(deg.withColumnRenamed("src", "vec_id"), Seq("vec_id"), "left")
+      .select($"vec_id", coalesce($"deg", lit(0L)).cast("long").as("degree"),
+        round($"pr", 9).as("centrality"))
+      .orderBy($"vec_id")
+  }
+
   /** One MMR oracle round for step t ≥ 2: max-sim of each unselected
     * candidate vs the selected set so far (selu), score, argmax. */
   private def mmrStepCte(t: Int): String = s"""
@@ -1007,5 +1090,5 @@ object Similarity {
     eNearDupLsh, eKnnQuantized, eKmeansCentroids, eKnnIvfLearned,
     eKnnIvfMultiprobe, eKnnPq, eKnnIvfPq, eBitextMine, eEmbeddingOutliers,
     eKnnIvfPqProbe, eNearDupClusters, eKnnMatryoshka, eMmrRerank,
-    eClusterSummary)
+    eClusterSummary, ePagerankCentrality)
 }
