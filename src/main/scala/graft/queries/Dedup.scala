@@ -937,9 +937,8 @@ object Dedup {
     * combined), one gram-keyed join back, one per-doc agg. Gram keys
     * ride the fused [[graft.functions.WordGramHashes]]; both
     * high-cardinality sides hash-partition on the gram, no hot keys. */
-  val ddNoveltyScores: Spec = Spec(
-    "d_novelty_scores",
-    oracle = Some("""
+  /** Shared by d_novelty_scores and the streaming twin st_novelty. */
+  private[queries] val noveltySql: String = """
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
       g AS (SELECT DISTINCT doc_id,
           md5(array_to_string(l[pos+1:pos+8], ' ')) AS gh
@@ -952,7 +951,11 @@ object Dedup {
       SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
         CAST(n_novel AS BIGINT) AS n_novel,
         ROUND(CAST(n_novel AS DOUBLE) / n_grams, 6) AS novelty
-      FROM n ORDER BY doc_id""")) { (s, dir) =>
+      FROM n ORDER BY doc_id"""
+
+  val ddNoveltyScores: Spec = Spec(
+    "d_novelty_scores",
+    oracle = Some(noveltySql)) { (s, dir) =>
     import s.implicits._
     val g = Tables.load(s, dir, "documents")
       .select($"doc_id",

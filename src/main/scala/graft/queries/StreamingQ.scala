@@ -429,6 +429,25 @@ object StreamingQ {
     * one-shot dd_minhash_pairs set, so this shares its oracle verbatim;
     * the multi-batch state path (pairs split across arrivals) is pinned
     * by the MemoryStream twin in StreamingSpec. */
+  /** STREAMING novelty ([[graft.streaming.StreamOps.noveltyStart]]):
+    * per-batch scoring against the accumulated first-seen gram store.
+    * Over a doc_id-ordered feed the accumulated scores equal the
+    * one-shot d_novelty_scores, so this shares its oracle verbatim;
+    * the multi-batch state path is pinned by the MemoryStream twin in
+    * StreamingSpec. */
+  val stNovelty: Spec = Spec(
+    "st_novelty",
+    oracle = Some(Dedup.noveltySql)) { (s, dir) =>
+    import s.implicits._
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_st_nov").toString
+    val src = s.readStream.schema(StreamOps.documentsSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    StreamOps.noveltyBatches(s, src, "doc_id", "text", outDir)
+      .select($"doc_id", $"n_grams", $"n_novel", $"novelty")
+      .orderBy($"doc_id")
+  }
+
   val stMinhashPairs: Spec = Spec(
     "st_minhash_pairs",
     oracle = Some(Dedup.minhashPairsSql)) { (s, dir) =>
@@ -516,5 +535,5 @@ object StreamingQ {
   val specs: Seq[Spec] = Seq(stTumbling, stSliding, stDedup, stSessions,
     stEnrich, stClickView, dLid, dLidScript, dLidConfusion, pipelineE2e,
     stDocFlags, stHeavyHitters, stDriftWindowed, stLidScript,
-    stMinhashPairs, stFunnelLevels, stBm25Indexed, stCmsCounts)
+    stMinhashPairs, stFunnelLevels, stBm25Indexed, stCmsCounts, stNovelty)
 }

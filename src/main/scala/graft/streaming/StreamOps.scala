@@ -478,6 +478,69 @@ object StreamOps {
     existingParquet(s, s"$outDir/pairs").getOrElse(s.emptyDataFrame)
   }
 
+  /** STREAMING novelty scoring: each micro-batch scores its documents
+    * against the accumulated first-seen gram store, then appends the
+    * grams it INTRODUCED (anti-join vs prior state) to the store — so
+    * every gram lives in exactly one batch dir with its first_doc.
+    * Feed contract (documented like the BM25 indexer's unique-id rule):
+    * batches arrive in doc_id order — then a gram's global first_doc is
+    * min(store, batch) and the accumulated scores equal the one-shot
+    * batch d_novelty_scores exactly (min distributes over the batch
+    * split). Same idempotent batch=<id> overwrite layout and
+    * retry-safe prior-state read as the dedup stores. */
+  def noveltyStart(s: SparkSession, src: DataFrame, idCol: String,
+      textCol: String,
+      outDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val stateDir = s"$outDir/state"
+    val scoreDir = s"$outDir/scores"
+    src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val g = batch
+          .select(col(idCol), explode(graft.ops.SubstrDedup.gramHashes(
+            graft.ops.Text.tokens(col(textCol)), 8)).as("gh"))
+          .distinct()
+          .localCheckpoint() // feeds batch-first, scoring, and the append
+        val batchFirst = g.groupBy(col("gh")).agg(min(col(idCol)).as("bf"))
+          .localCheckpoint()
+        val prior = priorState(s, stateDir, batchId)
+        val first = prior match {
+          case Some(st) => batchFirst
+            .join(st, Seq("gh"), "left")
+            .select(col("gh"),
+              least(col("bf"), coalesce(col("first_doc"), col("bf")))
+                .as("first_doc"))
+          case None => batchFirst.select(col("gh"), col("bf").as("first_doc"))
+        }
+        g.join(first, Seq("gh"))
+          .groupBy(col(idCol))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("first_doc") === col(idCol), 1L).otherwise(0L))
+              .as("n_novel"))
+          .select(col(idCol), col("n_grams"), col("n_novel"),
+            round(col("n_novel").cast("double") / col("n_grams"), 6)
+              .as("novelty"))
+          .write.mode("overwrite").parquet(s"$scoreDir/batch=$batchId")
+        val introduced = prior match {
+          case Some(st) => batchFirst.join(st, Seq("gh"), "left_anti")
+          case None => batchFirst
+        }
+        introduced.select(col("gh"), col("bf").as("first_doc"))
+          .write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /** Drive [[noveltyStart]] to completion over a finite source and
+    * return the accumulated per-document scores. */
+  def noveltyBatches(s: SparkSession, src: DataFrame, idCol: String,
+      textCol: String, outDir: String): DataFrame = {
+    val q = noveltyStart(s, src, idCol, textCol, outDir)
+    try q.processAllAvailable()
+    finally q.stop()
+    existingParquet(s, s"$outDir/scores").getOrElse(s.emptyDataFrame)
+  }
+
   /** STREAMING BM25 index maintenance: each micro-batch appends its
     * (doc, term, tf) and (doc, dl) partials to per-batch parquet dirs —
     * tf/dl are PER-DOCUMENT facts, so new docs are pure partition

@@ -234,6 +234,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exists { case (a, b) => (a % 10 == 0) != (b % 10 == 0) })
   }
 
+  test("streaming novelty: ordered multi-batch accumulation equals one-shot scores") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{count, explode, lit, min, sum, when}
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_st_nov_mem").toString
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    // feed contract: batches in doc_id order
+    val cut = docs.map(_._1).sorted.apply(docs.size / 2)
+    val (batch0, batch1) = docs.partition(_._1 < cut)
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamOps.noveltyStart(
+      spark, ms.toDF().toDF("doc_id", "text"), "doc_id", "text", outDir)
+    try {
+      ms.addData(batch0)
+      q.processAllAvailable()
+      ms.addData(batch1) // re-seen grams must resolve via the STATE store
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(s"$outDir/scores")
+      .select($"doc_id", $"n_grams", $"n_novel")
+      .as[(Long, Long, Long)].collect().map { case (a, b, c) => (a, (b, c)) }.toMap
+    val g = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select($"doc_id", explode(graft.ops.SubstrDedup.gramHashes(
+        graft.ops.Text.tokens($"text"), 8)).as("gh"))
+      .distinct()
+    val f = g.groupBy($"gh").agg(min($"doc_id").as("first_doc"))
+    val oneShot = g.join(f, Seq("gh"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+      .as[(Long, Long, Long)].collect().map { case (a, b, c) => (a, (b, c)) }.toMap
+    assert(got == oneShot)
+    // batch-1 docs repeating batch-0 content score below 1 (state fired)
+    assert(oneShot.exists { case (id, (_, novel)) => id >= cut && novel == 0L } ||
+      got.exists { case (id, (ng, novel)) => id >= cut && novel < ng })
+  }
+
   test("streaming heavy hitters: cross-batch heavy token found even when light per batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
