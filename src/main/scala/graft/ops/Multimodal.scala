@@ -146,6 +146,52 @@ object Multimodal {
     })
   }
 
+  final case class ImageHash(
+      doc_id: Long, width: Long, height: Long, ahash: String)
+
+  /** Perceptual average-hash over REAL decoded pixels (the image-dedup
+    * primitive): nearest-neighbor 8×8 sample of the decoded image,
+    * integer luma (r·299+g·587+b·114)/1000, each cell thresholded
+    * against the integer mean — emitted as a 64-char bit string
+    * (row-major), so equal/near frames compare by plain equality /
+    * Hamming distance downstream. ALL arithmetic is integer →
+    * bit-identical replay from any pixel-level oracle; rows that fail
+    * to decode are dropped (NonFatal), the same contract as
+    * [[extractMeta]]'s stub fallback.
+    *
+    * Scale: per-row executor work inside one mapPartitions; no
+    * shuffle — grouping by hash afterwards is the caller's exact-dedup
+    * groupBy. */
+  def imageAHash(blobs: Dataset[MediaBlob]): Dataset[ImageHash] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.flatMap { b =>
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(b.data))
+        if (img == null) None
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val g = new Array[Int](64)
+          var k = 0; var j = 0
+          while (j < 8) {
+            var i = 0
+            while (i < 8) {
+              val p = img.getRGB(i * w / 8, j * h / 8) & 0xFFFFFF
+              val r = (p >> 16) & 255; val gg = (p >> 8) & 255; val bl = p & 255
+              g(k) = (r * 299 + gg * 587 + bl * 114) / 1000
+              k += 1; i += 1
+            }
+            j += 1
+          }
+          val mean = g.sum / 64
+          val sb = new StringBuilder(64)
+          g.foreach(v => sb.append(if (v > mean) '1' else '0'))
+          Some(ImageHash(b.doc_id, w.toLong, h.toLong, sb.toString))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    })
+  }
+
   final case class AudioMeta(
       doc_id: Long, byte_len: Long, sample_rate: Long, n_channels: Long,
       n_samples: Long, duration_ms: Long, checksum: String, format: String)

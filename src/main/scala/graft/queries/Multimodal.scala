@@ -128,6 +128,50 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** Perceptual average-hash image dedup over REAL decoded pixels
+    * ([[graft.ops.Multimodal.imageAHash]]): deterministic PNGs are
+    * generated and PNG-decoded per row on the executors, 8×8
+    * nearest-neighbor sampled, integer-luma'd and mean-thresholded into
+    * a 64-bit signature; equal signatures group as duplicate images.
+    * PNG is lossless, so the oracle replays the GENERATOR's pixel
+    * arithmetic in pure integer SQL — a decode bug, sampler drift, or
+    * stub fallback cannot hash-match it. */
+  val mmImageAhash: Spec = Spec(
+    "mm_image_ahash",
+    oracle = Some("""
+      WITH d AS (SELECT doc_id, 16 + doc_id % 32 AS w, 16 + (doc_id * 3) % 32 AS h
+        FROM documents WHERE doc_id % 20 = 0),
+      cell AS (SELECT doc_id, w, h, i.i, j.j,
+          ((i.i * w) // 8) AS x, ((j.j * h) // 8) AS y
+        FROM d, (SELECT unnest(range(0, 8)) AS i) i,
+             (SELECT unnest(range(0, 8)) AS j) j),
+      px AS (SELECT doc_id, w, h, i, j,
+          (x * 31 + y * 17 + doc_id) & 16777215 AS v FROM cell),
+      lum AS (SELECT doc_id, w, h, i, j,
+          (((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587
+            + (v & 255) * 114) // 1000 AS g
+        FROM px),
+      m AS (SELECT doc_id, SUM(g) // 64 AS mean FROM lum GROUP BY doc_id),
+      bits AS (SELECT lum.doc_id, w, h,
+          string_agg(CASE WHEN g > mean THEN '1' ELSE '0' END, ''
+            ORDER BY j, i) AS ahash
+        FROM lum JOIN m ON m.doc_id = lum.doc_id GROUP BY lum.doc_id, w, h),
+      n AS (SELECT ahash, COUNT(*) AS n_same FROM bits GROUP BY ahash)
+      SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        bits.ahash, CAST(n_same AS BIGINT) AS n_same
+      FROM bits JOIN n USING (ahash) ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    val ids = Tables.load(s, dir, "documents")
+      .filter($"doc_id" % 20 === 0)
+      .select($"doc_id").as[java.lang.Long]
+    val hashed = MM.imageAHash(MM.syntheticPngBlobs(ids)).toDF()
+      .localCheckpoint() // one decode pass feeds the dup-count and output
+    val n = hashed.groupBy($"ahash").agg(count(lit(1)).as("n_same"))
+    hashed.join(n, Seq("ahash"))
+      .select($"doc_id", $"width", $"height", $"ahash", $"n_same")
+      .orderBy($"doc_id")
+  }
+
   val specs: Seq[Spec] = Seq(mmDecodeMeta, mmImageDecode, mmFrameSample,
-    mmResize, mmAudioMeta)
+    mmResize, mmAudioMeta, mmImageAhash)
 }

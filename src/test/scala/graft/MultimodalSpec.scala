@@ -104,4 +104,28 @@ class MultimodalSpec extends AnyFunSuite {
     bb2.put("LIST".getBytes); bb2.putInt(Int.MaxValue)
     assert(Multimodal.probeWav(bb2.array()).isEmpty)
   }
+
+  test("imageAHash: identical bytes hash equal, corrupt blobs drop, 64 bits") {
+    import spark.implicits._
+    val png = {
+      val img = new java.awt.image.BufferedImage(
+        20, 20, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 20; x <- 0 until 20)
+        img.setRGB(x, y, (x * 7 + y * 13) & 0xFFFFFF)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val blobs = Seq(
+      Multimodal.MediaBlob(1L, png),
+      Multimodal.MediaBlob(2L, png), // same bytes, different id
+      Multimodal.MediaBlob(3L, Array.fill[Byte](100)(0x5A))) // not an image
+    val got = Multimodal.imageAHash(blobs.toDS())
+      .collect().map(h => h.doc_id -> h).toMap
+    assert(got.keySet == Set(1L, 2L), "corrupt blob must be dropped")
+    assert(got(1L).ahash == got(2L).ahash, "same pixels, same hash")
+    assert(got(1L).ahash.length == 64 &&
+      got(1L).ahash.forall(c => c == '0' || c == '1'))
+    assert(got(1L).width == 20 && got(1L).height == 20)
+  }
 }
