@@ -343,6 +343,73 @@ object Lexical {
       .orderBy($"doc_id")
   }
 
+  /** Sparse TF-IDF document-similarity pairs — the embedding-free
+    * "similar documents" path (what you run when no encoder exists for
+    * the language): documents as sparse tf·idf vectors, cosine via a
+    * TERM-KEYED sparse dot product, pairs ≥ 0.2 emitted. Terms with
+    * df > 25 are pruned BEFORE pairing — the scale lever: a stopword-
+    * grade term contributes ~nothing to cosine but df² candidate rows,
+    * so the candidate cost is Σ_{df≤cap} df², never n². Weights are
+    * 6dp DECIMAL and products sum as DECIMAL(38,12), so dots and norms
+    * are exact and aggregation-order-free; norms are defined over the
+    * kept (df ≤ cap) terms, self-consistently on both sides. */
+  val dTfidfDocPairs: Spec = Spec(
+    "d_tfidf_doc_pairs",
+    oracle = Some("""
+      WITH tok AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents)
+        GROUP BY doc_id, term),
+      dfc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tok
+              GROUP BY term),
+      nn AS (SELECT COUNT(*) AS n FROM documents),
+      w AS (SELECT doc_id, tok.term,
+          CAST(tf * CAST(round(log10(nn.n::DOUBLE / df), 6) AS DECIMAL(18,6))
+            AS DECIMAL(18,6)) AS w
+        FROM tok JOIN dfc ON dfc.term = tok.term CROSS JOIN nn
+        WHERE df <= 25),
+      nrm AS (SELECT doc_id,
+          sqrt(CAST(SUM(CAST(w*w AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+        FROM w GROUP BY doc_id),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(SUM(CAST(a.w*b.w AS DECIMAL(38,12))) AS DOUBLE) AS dot
+        FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b,
+        ROUND(dot / (na.nrm * nb.nrm), 6) AS tfidf_cos
+      FROM p JOIN nrm na ON na.doc_id = id_a JOIN nrm nb ON nb.doc_id = id_b
+      WHERE dot / (na.nrm * nb.nrm) >= 0.2
+      ORDER BY id_a, id_b""")) { (s, dir) =>
+    import s.implicits._
+    val tok = docs(s, dir)
+      .select($"doc_id", explode(Text.tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfc = tok.groupBy($"term").agg(count(lit(1)).as("df"))
+    val nn = broadcast(docs(s, dir).agg(count(lit(1)).as("n")))
+    val w = tok
+      .join(dfc.filter($"df" <= 25), Seq("term"))
+      .crossJoin(nn)
+      .select($"doc_id", $"term",
+        ($"tf" * round(log10($"n".cast("double") / $"df"), 6)
+          .cast("decimal(18,6)")).cast("decimal(18,6)").as("w"))
+      .localCheckpoint() // one weighting pass feeds norms AND the join
+    val nrm = w.groupBy($"doc_id")
+      .agg(sqrt(sum(($"w" * $"w").cast("decimal(38,12)")).cast("double"))
+        .as("nrm"))
+    val a = w.select($"doc_id".as("id_a"), $"term", $"w".as("wa"))
+    val b = w.select($"doc_id".as("id_b"), $"term", $"w".as("wb"))
+    val sim = $"dot" / ($"na" * $"nb")
+    a.join(b, Seq("term")).filter($"id_a" < $"id_b")
+      .groupBy($"id_a", $"id_b")
+      .agg(sum(($"wa" * $"wb").cast("decimal(38,12)")).cast("double").as("dot"))
+      .join(nrm.select($"doc_id".as("id_a"), $"nrm".as("na")), Seq("id_a"))
+      .join(nrm.select($"doc_id".as("id_b"), $"nrm".as("nb")), Seq("id_b"))
+      .filter(sim >= 0.2)
+      .select($"id_a", $"id_b", round(sim, 6).as("tfidf_cos"))
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** F27 language-code canonicalization as an ORACLED corpus query:
     * the corpus lang codes map through the shipped
     * [[graft.sources.LangData]] resource to canonical name + preferred
@@ -375,5 +442,6 @@ object Lexical {
   }
 
   val specs: Seq[Spec] = Seq(dNsfwMultilang, dStopwordMultilang,
-    dBpeTokenStats, dBpePairCounts, dBpeMerges, dBpeEncode, dLangNormalize)
+    dBpeTokenStats, dBpePairCounts, dBpeMerges, dBpeEncode, dLangNormalize,
+    dTfidfDocPairs)
 }
