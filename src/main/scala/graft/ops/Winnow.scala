@@ -24,11 +24,22 @@ object Winnow {
 
   /** Selected fingerprints as an array of (h, nj) structs: `h` is the
     * 48-bit gram hash (exact in BIGINT and DOUBLE, oracle-parsable from
-    * md5 hex), `nj` the NEGATED gram position — array_min over the
-    * struct orders (hash asc, position desc), encoding the rightmost
-    * tie rule as pure integer ordering. Callers decode pos = −nj. */
-  def selection(toks: Column, k: Int, w: Int): Column = {
-    require(k >= 1 && w >= 2, s"need k>=1, w>=2; got k=$k w=$w")
+    * md5 hex), `nj` the NEGATED gram position (callers decode
+    * pos = −nj). Fused into one tight-loop expression
+    * ([[graft.functions.WinnowFingerprints]]) — gram strings, hash
+    * arrays, and per-window struct arrays never materialize as column
+    * data; semantics are exactly the HOF composition
+    * `array_distinct(transform(sequence, i → array_min(struct(h, −j))))`
+    * it replaced (equality pinned in PropertiesSpec). */
+  def selection(toks: Column, k: Int, w: Int): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.functions.WinnowFingerprints(
+        org.apache.spark.sql.graft.bridge.expression(toks), k, w))
+
+  /** The pre-fusion HOF composition, kept as the semantic
+    * specification that PropertiesSpec pins the fused expression
+    * against. */
+  private[graft] def selectionHof(toks: Column, k: Int, w: Int): Column = {
     val hashes = transform(SubstrDedup.gramHashes(toks, k),
       g => conv(substring(g, 1, 12), 16, 10).cast("long"))
     val ng = size(hashes)

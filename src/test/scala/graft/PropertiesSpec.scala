@@ -276,6 +276,29 @@ class PropertiesSpec extends AnyFunSuite {
     assert(split.distinct().count() == 4000L)
   }
 
+  test("fused WinnowFingerprints == HOF selection composition") {
+    // rich docs: whitespace runs, multibyte, empty-ish — the fused loop
+    // must agree with the array_distinct/array_min spec everywhere,
+    // including docs with fewer grams than the window (empty result)
+    val df = (richDocs(150) ++ sampleDocs(150)).toDF("text")
+    val toks = Text.tokens($"text")
+    // filter FIRST: the HOF spec itself breaks below w windows (its
+    // sequence() descends) — the fused form handles that (next assert)
+    val got = df.filter(size(toks) >= lit(8)).localCheckpoint()
+      .select(
+        graft.ops.Winnow.selection(toks, 5, 4).as("fused"),
+        graft.ops.Winnow.selectionHof(toks, 5, 4).as("hof"))
+    // compare element-wise: same length, same (h, nj) at every index
+    val bad = got.filter(not($"fused" <=> $"hof")).count()
+    assert(bad == 0, s"$bad rows diverge between fused and HOF winnow")
+    // short docs (< w windows): fused returns empty, HOF's sequence()
+    // would descend — the fused form must simply be empty
+    val short = Seq("a b c").toDF("text")
+      .select(graft.ops.Winnow.selection(Text.tokens($"text"), 5, 4).as("f"))
+      .select(size($"f")).as[Int].head
+    assert(short == 0)
+  }
+
   test("winnowing: detection guarantee, density bound, rightmost ties") {
     // Schleimer '03 theorem: any shared run of >= w+k-1 tokens yields a
     // shared selected fingerprint. Build doc pairs with a planted
