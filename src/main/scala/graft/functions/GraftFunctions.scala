@@ -96,6 +96,9 @@ object GraftFunctions {
     reg("graft_word_gram_hashes") { es =>
       WordGramHashes(es.head, litInt(es(1), "n"))
     }
+    reg("graft_winnow_fingerprints") { es =>
+      WinnowFingerprints(es.head, litInt(es(1), "k"), litInt(es(2), "w"))
+    }
     reg("graft_collapse_ws")(es => CollapseWs(es.head))
     reg("graft_trivial_tokenize") { es =>
       TrivialTokenize(es.head,

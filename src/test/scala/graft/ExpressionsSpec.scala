@@ -191,6 +191,22 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(got == Seq(md5hex("a "), md5hex(" b")))
   }
 
+  test("graft_winnow_fingerprints callable from SQL, matches the Column form") {
+    GraftFunctions.registerSql(spark)
+    import spark.implicits._
+    val text = "a b c d e f g h i j k l"
+    val viaSql = spark.sql(
+      s"SELECT graft_winnow_fingerprints(split('$text', ' '), 5, 4) AS f")
+      .selectExpr("transform(f, x -> struct(x.h, x.nj)) AS f")
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    val viaCol = Seq(text).toDF("t")
+      .select(graft.ops.Winnow.selection(
+        org.apache.spark.sql.functions.split($"t", " "), 5, 4).as("f"))
+      .selectExpr("transform(f, x -> struct(x.h, x.nj)) AS f")
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(viaSql == viaCol && viaSql.nonEmpty)
+  }
+
   test("GraftExtensions injects the full SQL surface (spark.sql.extensions path)") {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
