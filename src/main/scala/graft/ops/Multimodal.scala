@@ -123,10 +123,15 @@ object Multimodal {
     * executors. Exists so the REAL decode path has an oracle — the
     * encoded bytes are engine-specific but the decoded dimensions are
     * exactly the generator's arithmetic. */
-  def syntheticPngBlobs(ids: Dataset[java.lang.Long]): Dataset[MediaBlob] = {
+  def syntheticPngBlobs(ids: Dataset[java.lang.Long],
+      baseOf: Long => Long = identity): Dataset[MediaBlob] = {
     import ids.sparkSession.implicits._
     ids.mapPartitions(_.map { boxed =>
-      val id = boxed.longValue()
+      val docId = boxed.longValue()
+      // image content derives from baseOf(doc_id): callers plant
+      // duplicate uploads (same pixels, new id) by mapping several ids
+      // to one base — the image-dedup fixture
+      val id = baseOf(docId)
       val w = (16 + id % 32).toInt
       val h = (16 + (id * 3) % 32).toInt
       val img = new java.awt.image.BufferedImage(
@@ -142,7 +147,7 @@ object Multimodal {
       }
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", bos)
-      MediaBlob(id, bos.toByteArray)
+      MediaBlob(docId, bos.toByteArray)
     })
   }
 

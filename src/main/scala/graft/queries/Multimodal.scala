@@ -172,6 +172,76 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** Banded-Hamming image near-dup (the SimHash pigeonhole applied to
+    * perceptual hashes): aHash bit strings split into 4×16-bit bands;
+    * equal-band candidates come from the capped bucket scaffold, then
+    * the exact Hamming distance verifies ≤ 8 (any pair within 8 must
+    * agree on at least one full band — 3 bands can absorb at most 3×
+    * the per-band budget... pigeonhole with 8 < 4 bands × ≥1 means
+    * ≥ one clean band, so recall at the threshold is total). The feed
+    * plants duplicate uploads — ids ≡ 10 (mod 20) render id−10's
+    * pixels under a new doc_id, the re-uploaded-image case — so the
+    * match path is provably non-vacuous; organic images sit at
+    * Hamming ≥ 14 and stay excluded. Oracle replays generator pixels,
+    * hashing, banding, and verification in pure integer SQL. */
+  val mmImageNeardup: Spec = Spec(
+    "mm_image_neardup",
+    oracle = Some("""
+      WITH ids AS (SELECT doc_id,
+          CASE WHEN doc_id % 20 = 10 THEN doc_id - 10 ELSE doc_id END AS base
+        FROM documents WHERE doc_id % 10 = 0),
+      d AS (SELECT doc_id, 16 + base % 32 AS w, 16 + (base * 3) % 32 AS h, base
+        FROM ids),
+      cell AS (SELECT doc_id, base, w, h, i.i, j.j,
+          ((i.i * w) // 8) AS x, ((j.j * h) // 8) AS y
+        FROM d, (SELECT unnest(range(0, 8)) AS i) i,
+             (SELECT unnest(range(0, 8)) AS j) j),
+      lum AS (SELECT doc_id, i, j,
+          ((((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587
+            + (v & 255) * 114) // 1000) AS g
+        FROM (SELECT doc_id, i, j,
+                (x * 31 + y * 17 + base) & 16777215 AS v FROM cell)),
+      m AS (SELECT doc_id, SUM(g) // 64 AS mean FROM lum GROUP BY doc_id),
+      bits AS (SELECT lum.doc_id,
+          string_agg(CASE WHEN g > mean THEN '1' ELSE '0' END, ''
+            ORDER BY j, i) AS ahash
+        FROM lum JOIN m ON m.doc_id = lum.doc_id GROUP BY lum.doc_id),
+      band AS (SELECT doc_id, b.b, substr(ahash, 1 + b.b * 16, 16) AS key
+        FROM bits, (SELECT unnest(range(0, 4)) AS b) b),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        FROM band a JOIN band c
+          ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id),
+      ham AS (SELECT id_a, id_b,
+          list_sum(list_transform(range(1, 65),
+            i -> CASE WHEN ba.ahash[i:i] <> bb.ahash[i:i]
+                 THEN 1 ELSE 0 END)) AS hamming
+        FROM cand JOIN bits ba ON ba.doc_id = id_a
+        JOIN bits bb ON bb.doc_id = id_b)
+      SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+      FROM ham WHERE hamming <= 8 ORDER BY id_a, id_b""")) { (s, dir) =>
+    import s.implicits._
+    val ids = Tables.load(s, dir, "documents")
+      .filter($"doc_id" % 10 === 0)
+      .select($"doc_id").as[java.lang.Long]
+    val hashed = MM.imageAHash(MM.syntheticPngBlobs(ids,
+        baseOf = id => if (id % 20 == 10) id - 10 else id))
+      .toDF().select($"doc_id", $"ahash")
+      .localCheckpoint() // one decode pass feeds banding AND verification
+    val band = hashed.select($"doc_id",
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => $"ahash".substr(lit(1) + b * 16, lit(16)))).as(Seq("b", "key")))
+    val ham = aggregate(
+      zip_with(split($"ha", ""), split($"hb", ""),
+        (x, y) => when(x =!= y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    graft.ops.Buckets.pairs(band, Seq("b", "key"), "doc_id")
+      .join(hashed.select($"doc_id".as("id_a"), $"ahash".as("ha")), Seq("id_a"))
+      .join(hashed.select($"doc_id".as("id_b"), $"ahash".as("hb")), Seq("id_b"))
+      .select($"id_a", $"id_b", ham.cast("long").as("hamming"))
+      .filter($"hamming" <= 8)
+      .orderBy($"id_a", $"id_b")
+  }
+
   val specs: Seq[Spec] = Seq(mmDecodeMeta, mmImageDecode, mmFrameSample,
-    mmResize, mmAudioMeta, mmImageAhash)
+    mmResize, mmAudioMeta, mmImageAhash, mmImageNeardup)
 }
