@@ -789,9 +789,49 @@ object CleaningOps {
       .orderBy($"doc_id")
   }
 
+  /** Homoglyph folding (the anti-obfuscation cleaning pass): Cyrillic/
+    * Greek lookalike characters mapped to their Latin targets with one
+    * codegen'd translate() — the spam idiom "frее dоwnlоad" (Cyrillic
+    * е/о) folds to plain ASCII so downstream NSFW/keyword filters
+    * cannot be dodged by script swapping. The confusables map is an
+    * own-compiled 12-entry core (а е о р с у х і ѕ ј ο ν — the
+    * highest-frequency spoof set); planted obfuscation on doc_id % 9
+    * proves the fold path non-vacuous. n_homoglyphs counts mapped
+    * chars via the translate-delete trick (no regex, no explode). */
+  val dHomoglyphFold: Spec = Spec(
+    "d_homoglyph_fold",
+    oracle = Some("""
+      WITH r AS (SELECT doc_id,
+          text || CASE WHEN doc_id % 9 = 0 THEN ' frее dоwnlоad' ELSE '' END
+            AS text
+        FROM documents),
+      f AS (SELECT doc_id,
+          translate(text, 'аеорсухіѕјον', 'aeopcyxisjov') AS folded,
+          length(text) - length(translate(text, 'аеорсухіѕјον', ''))
+            AS n_homoglyphs
+        FROM r)
+      SELECT doc_id, md5(folded) AS folded_md5,
+        CAST(n_homoglyphs AS BIGINT) AS n_homoglyphs,
+        n_homoglyphs > 0 AS is_suspicious
+      FROM f ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    val from = "аеорсухіѕјον"
+    val to = "aeopcyxisjov"
+    val text = concat($"text",
+      when($"doc_id" % 9 === 0, lit(" frее dоwnlоad")).otherwise(lit("")))
+    docs(s, dir)
+      .select($"doc_id",
+        md5(translate(text, from, to)).as("folded_md5"),
+        (length(text) - length(translate(text, from, "")))
+          .cast("long").as("n_homoglyphs"))
+      .withColumn("is_suspicious", $"n_homoglyphs" > 0)
+      .orderBy($"doc_id")
+  }
+
   val specs: Seq[Spec] = Seq(
     dSplitSentences, dNumPuncChunks, dTerminalChunks, dNumberChunks,
     dCodeDetect, dCodeRemove, dNormalizeIndic, dTerminalPuncFilter,
     dNonTermSpanRemove, dSentenceSplitLang, dPiiMask, dBoilerplateLines,
-    dHtmlExtract, dJunkLines, dScriptSegments, dRunCollapse, dMojibake)
+    dHtmlExtract, dJunkLines, dScriptSegments, dRunCollapse, dMojibake,
+    dHomoglyphFold)
 }

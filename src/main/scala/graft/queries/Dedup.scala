@@ -926,6 +926,43 @@ object Dedup {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Duplicate clusters over the WINNOW pair graph — the winnowing
+    * family's completion, symmetric with dd_minhash_clusters:
+    * connected components ([[graft.ops.ConnectedComponents]] via
+    * MinHash.clusters) over dd_winnow_pairs' edges, min-id component
+    * labels, per-cluster size. Oracle: the shared winnow CTE + the
+    * recursive min-label reachability walk. */
+  val ddWinnowClusters: Spec = Spec(
+    "dd_winnow_clusters",
+    oracle = Some(s"""
+      WITH RECURSIVE ${TextOps.winnowSelCte},
+      fp AS (SELECT DISTINCT doc_id, h48 FROM sel WHERE rk = 1),
+      sz AS (SELECT doc_id, COUNT(*) AS nfp FROM fp GROUP BY doc_id),
+      p AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS n_shared
+        FROM fp a JOIN fp b ON a.h48 = b.h48 AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      verified AS (SELECT ida, idb FROM p
+        JOIN sz sa ON sa.doc_id = ida JOIN sz sb ON sb.doc_id = idb
+        WHERE CAST(n_shared AS DOUBLE) / least(sa.nfp, sb.nfp) >= 0.5),
+      edges AS (
+        SELECT ida AS src, idb AS dst FROM verified
+        UNION ALL SELECT idb, ida FROM verified),
+      walk(id, comp) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id),
+      labels AS (SELECT id, MIN(comp) AS component FROM walk GROUP BY id)
+      SELECT component, COUNT(*) AS cluster_size, MAX(id) AS max_id
+      FROM labels GROUP BY component ORDER BY component""")) { (s, dir) =>
+    import s.implicits._
+    val pairs = ddWinnowPairs.fn(s, dir)
+      .select($"id_a", $"id_b")
+    graft.ops.MinHash.clusters(pairs)
+      .groupBy($"component")
+      .agg(count(lit(1)).as("cluster_size"), max($"id").as("max_id"))
+      .orderBy($"component")
+  }
+
   /** Per-document novelty: the fraction of a doc's distinct 8-gram
     * shingles whose FIRST occurrence (by doc_id — ingestion order in
     * an append-only corpus) is this document. The curation signal
@@ -980,5 +1017,5 @@ object Dedup {
     ddSimhashMd5, ddSimhashMd5Pairs, ddDecontaminate, ddDecontaminateSpans,
     ddDupSpans,
     ddDupSpanRemoval, ddClusterRepresentatives, ddDedupReport,
-    ddCrossSourceOverlap, ddWinnowPairs, ddNoveltyScores)
+    ddCrossSourceOverlap, ddWinnowPairs, ddWinnowClusters, ddNoveltyScores)
 }

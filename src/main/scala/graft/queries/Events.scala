@@ -618,8 +618,41 @@ object Events {
       .orderBy($"day")
   }
 
+  /** Exponentially time-decayed activity score per user (half-life
+    * 1 day, evaluated at the corpus max timestamp) — the recency-
+    * weighted engagement feature every ranking/abuse system computes:
+    * recent events count ~1, week-old events ~1/128. Per-event weights
+    * 0.5^(Δt/day) round to 9dp and sum as DECIMAL, so the per-user
+    * score is aggregation-order-free and pow's last-ulp engine
+    * variance is absorbed (the unigram-LM recipe on a new
+    * transcendental). One scan, one broadcast max, one hash agg. */
+  val qDecayScore: Spec = Spec(
+    "ev_decay_score",
+    oracle = Some("""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      mx AS (SELECT MAX(us) AS m FROM e),
+      t AS (SELECT user_id,
+          CAST(round(power(0.5, (m - us) / 86400000000.0), 9)
+            AS DECIMAL(18,9)) AS w
+        FROM e CROSS JOIN mx)
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        ROUND(CAST(SUM(w) AS DOUBLE), 6) AS decay_score
+      FROM t GROUP BY user_id ORDER BY user_id""")) { (s, dir) =>
+    import s.implicits._
+    val e = load(s, dir).withColumn("us", expr("ts div 1000"))
+    val mx = broadcast(e.agg(max($"us").as("m")))
+    e.crossJoin(mx)
+      .withColumn("w",
+        round(pow(lit(0.5), ($"m" - $"us") / lit(86400000000.0d)), 9)
+          .cast("decimal(18,9)"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"w").cast("double"), 6).as("decay_score"))
+      .orderBy($"user_id")
+  }
+
   val specs: Seq[Spec] = Seq(qTumbling, qSessionize, qAsofClick,
     qAsofTolerance, qFunnel, qPropsJson, qSliding, qSessionWindowNative,
     qRate5Min, qValueOutliers, qDriftWindowed, qDriftSliding,
-    qCohortRetention, qFunnelWindowed, qDauNewReturning)
+    qCohortRetention, qFunnelWindowed, qDauNewReturning, qDecayScore)
 }
