@@ -410,6 +410,103 @@ object Lexical {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Hybrid document similarity via reciprocal-rank fusion (RRF,
+    * k=60 — the hybrid-retrieval standard): per query document, the
+    * TF-IDF cosine neighbor ranking and the winnow fingerprint-overlap
+    * ranking fuse as Σ 1/(60+rank), union semantics (a neighbor found
+    * by only one system still scores). Lexical similarity sees shared
+    * vocabulary, winnowing sees shared passages — fusion ranks
+    * near-dups above topically-similar docs without either system's
+    * blind spot. Top-3 fused neighbors per query.
+    *
+    * Oracle restates BOTH pipelines (the shared winnow CTE + the
+    * TF-IDF chain) and the fusion arithmetic; 1/(60+r) is a correctly-
+    * rounded double division on exact integer ranks, and the two-term
+    * sum has fixed operand order, so scores are bit-identical. */
+  val dHybridSimilarity: Spec = Spec(
+    "d_hybrid_similarity",
+    oracle = Some(s"""
+      WITH ${TextOps.winnowSelCte},
+      fp AS (SELECT DISTINCT doc_id, h48 FROM sel WHERE rk = 1),
+      fsz AS (SELECT doc_id, COUNT(*) AS nfp FROM fp GROUP BY doc_id),
+      wp0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ns
+        FROM fp a JOIN fp b ON a.h48 = b.h48 AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      wp AS (SELECT id_a, id_b,
+          CAST(ns AS DOUBLE) / least(sa.nfp, sb.nfp) AS ws
+        FROM wp0 JOIN fsz sa ON sa.doc_id = id_a
+        JOIN fsz sb ON sb.doc_id = id_b
+        WHERE CAST(ns AS DOUBLE) / least(sa.nfp, sb.nfp) >= 0.5),
+      ttok AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents) GROUP BY doc_id, term),
+      tdf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM ttok
+              GROUP BY term),
+      tnn AS (SELECT COUNT(*) AS n FROM documents),
+      tw AS (SELECT doc_id, ttok.term,
+          CAST(tf * CAST(round(log10(tnn.n::DOUBLE / df), 6) AS DECIMAL(18,6))
+            AS DECIMAL(18,6)) AS w
+        FROM ttok JOIN tdf ON tdf.term = ttok.term CROSS JOIN tnn
+        WHERE df <= 25),
+      tnrm AS (SELECT doc_id,
+          sqrt(CAST(SUM(CAST(w*w AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+        FROM tw GROUP BY doc_id),
+      tp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(SUM(CAST(a.w*b.w AS DECIMAL(38,12))) AS DOUBLE) AS dot
+        FROM tw a JOIN tw b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      tpair AS (SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS tc
+        FROM tp JOIN tnrm na ON na.doc_id = id_a
+        JOIN tnrm nb ON nb.doc_id = id_b
+        WHERE dot / (na.nrm * nb.nrm) >= 0.2),
+      tdir AS (SELECT id_a AS q, id_b AS nb, tc FROM tpair
+        UNION ALL SELECT id_b, id_a, tc FROM tpair),
+      trk AS (SELECT q, nb,
+          row_number() OVER (PARTITION BY q ORDER BY tc DESC, nb) AS rt
+        FROM tdir),
+      wdir AS (SELECT id_a AS q, id_b AS nb, ws FROM wp
+        UNION ALL SELECT id_b, id_a, ws FROM wp),
+      wrk AS (SELECT q, nb,
+          row_number() OVER (PARTITION BY q ORDER BY ws DESC, nb) AS rw
+        FROM wdir),
+      fused AS (SELECT COALESCE(t.q, w.q) AS q, COALESCE(t.nb, w.nb) AS nb,
+          COALESCE(1.0::DOUBLE / (60 + t.rt), 0)
+            + COALESCE(1.0::DOUBLE / (60 + w.rw), 0) AS sc
+        FROM trk t FULL JOIN wrk w ON t.q = w.q AND t.nb = w.nb),
+      top AS (SELECT q, nb, sc,
+          row_number() OVER (PARTITION BY q ORDER BY sc DESC, nb) AS fr
+        FROM fused)
+      SELECT q AS query_id, CAST(fr AS BIGINT) AS fused_rank,
+        nb AS neighbor_id, ROUND(sc, 6) AS rrf_score
+      FROM top WHERE fr <= 3 ORDER BY query_id, fused_rank""")) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tfidf = dTfidfDocPairs.fn(s, dir)
+      .select($"id_a", $"id_b", $"tfidf_cos".as("sc"))
+    val winnow = Dedup.ddWinnowPairs.fn(s, dir)
+      .select($"id_a", $"id_b", $"winnow_sim".as("sc"))
+    def ranked(pairs: org.apache.spark.sql.DataFrame, out: String) = {
+      val dir2 = pairs.select($"id_a".as("q"), $"id_b".as("nb"), $"sc")
+        .unionAll(pairs.select($"id_b".as("q"), $"id_a".as("nb"), $"sc"))
+      dir2.withColumn(out,
+        row_number().over(Window.partitionBy($"q").orderBy($"sc".desc, $"nb")))
+        .select($"q", $"nb", col(out))
+    }
+    val t = ranked(tfidf, "rt")
+    val w = ranked(winnow, "rw")
+    val fused = t.join(w, Seq("q", "nb"), "full")
+      .select($"q", $"nb",
+        (coalesce(lit(1.0) / (lit(60) + $"rt"), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + $"rw"), lit(0.0))).as("sc"))
+    fused
+      .withColumn("fr",
+        row_number().over(Window.partitionBy($"q").orderBy($"sc".desc, $"nb")))
+      .filter($"fr" <= 3)
+      .select($"q".as("query_id"), $"fr".cast("long").as("fused_rank"),
+        $"nb".as("neighbor_id"), round($"sc", 6).as("rrf_score"))
+      .orderBy($"query_id", $"fused_rank")
+  }
+
   /** F27 language-code canonicalization as an ORACLED corpus query:
     * the corpus lang codes map through the shipped
     * [[graft.sources.LangData]] resource to canonical name + preferred
@@ -443,5 +540,5 @@ object Lexical {
 
   val specs: Seq[Spec] = Seq(dNsfwMultilang, dStopwordMultilang,
     dBpeTokenStats, dBpePairCounts, dBpeMerges, dBpeEncode, dLangNormalize,
-    dTfidfDocPairs)
+    dTfidfDocPairs, dHybridSimilarity)
 }
