@@ -580,6 +580,61 @@ object TrainingPrep {
       .orderBy($"source_a", $"source_b")
   }
 
+  /** Distribution-matching resampler (the DoReMi-lite shape step):
+    * downsample over-represented length bins toward a UNIFORM target
+    * by deterministic hash acceptance — doc accepted iff
+    * hash48(doc_id) < floor(min(1, target/actual)·2⁴⁸), so the sample
+    * is replayable, per-row decidable (no shuffle beyond the bin
+    * histogram), and the acceptance threshold is an exact integer both
+    * engines derive from the same 6dp-rounded bin probability. The
+    * report gives per-bin doc counts, accepted counts, and the
+    * acceptance rate — the knob table for reshaping a corpus before
+    * mixing. */
+  val dDistributionMatch: Spec = Spec(
+    "d_distribution_match",
+    oracle = Some("""
+      WITH b AS (
+        SELECT doc_id, least(9, greatest(0, (n_chars - 48) // 51)) AS bin
+        FROM documents),
+      c AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY bin),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM documents),
+      a AS (SELECT bin, n,
+          least(1.0::DOUBLE, 0.1::DOUBLE / round(CAST(n AS DOUBLE) / total, 6))
+            AS acc
+        FROM c CROSS JOIN nn),
+      thr AS (SELECT bin, n, acc,
+          CAST(floor(acc * 281474976710656.0) AS BIGINT) AS t FROM a),
+      acc AS (SELECT b.bin, COUNT(*) AS n_accepted
+        FROM b JOIN thr ON thr.bin = b.bin
+        WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+          < thr.t
+        GROUP BY b.bin)
+      SELECT CAST(thr.bin AS BIGINT) AS bin, thr.n AS n_docs,
+        CAST(COALESCE(acc.n_accepted, 0) AS BIGINT) AS n_accepted,
+        ROUND(thr.acc, 6) AS acceptance
+      FROM thr LEFT JOIN acc ON acc.bin = thr.bin
+      ORDER BY bin""")) { (s, dir) =>
+    import s.implicits._
+    val bin = least(lit(9), greatest(lit(0), expr("(n_chars - 48) div 51")))
+    val b = docs(s, dir).select($"doc_id", bin.as("bin"))
+    val c = b.groupBy($"bin").agg(count(lit(1)).as("n"))
+    val nn = broadcast(docs(s, dir).agg(count(lit(1)).as("total")))
+    val thr = c.crossJoin(nn)
+      .select($"bin", $"n",
+        least(lit(1.0), lit(0.1) /
+          round($"n".cast("double") / $"total", 6)).as("acc"))
+      .withColumn("t", floor($"acc" * lit(281474976710656.0d)).cast("long"))
+    val accepted = b
+      .join(broadcast(thr), Seq("bin"))
+      .filter(Sampling.hash48($"doc_id") < $"t")
+      .groupBy($"bin").agg(count(lit(1)).as("n_accepted"))
+    thr.join(accepted, Seq("bin"), "left")
+      .select($"bin".cast("long").as("bin"), $"n".as("n_docs"),
+        coalesce($"n_accepted", lit(0L)).cast("long").as("n_accepted"),
+        round($"acc", 6).as("acceptance"))
+      .orderBy($"bin")
+  }
+
   /** Heavy hitters ([[graft.ops.HeavyHitters]]): tokens above 1/20 of
     * the stream via a mergeable Misra–Gries summary + exact recount —
     * the result is EXACT (the MG invariant guarantees recall of every
@@ -1239,5 +1294,5 @@ object TrainingPrep {
     dSequenceSegments, dKmvDistinct, dSnapshotDiff, dTokenBudget,
     dHashSplit, dReadability, dBigramLm, dScoreDeciles, dSourceInterleave,
     dCmsCounts, dWeightedSample, dPaddingEfficiency, dEntropyScores,
-    dSourceDivergence)
+    dSourceDivergence, dDistributionMatch)
 }
