@@ -507,6 +507,75 @@ object Lexical {
       .orderBy($"query_id", $"fused_rank")
   }
 
+  /** Collocation mining via pointwise mutual information over adjacent
+    * token pairs: PMI = log10(p(ab) / (p(a)·p(b))), the classic
+    * phrase-detection statistic (Church & Hanks '90) — high-PMI pairs
+    * are multiword expressions worth fusing before tokenizer training.
+    * Pairs need ≥ 5 occurrences (the standard noise floor). p's are
+    * 6dp-rounded before the PMI log (which rounds again at 6dp), so
+    * both engines agree bit-for-bit; ranking is (pmi desc, pair asc).
+    *
+    * Scale shape: one token explode each for unigrams and bigrams, two
+    * map-side-combined hash aggs, a vocab-scale join — no corpus-scale
+    * shuffle beyond the counts. */
+  val dCollocations: Spec = Spec(
+    "d_collocations",
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      uni AS (SELECT u AS w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+          SELECT unnest(l) AS u FROM t) GROUP BY u),
+      tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n1,
+          CAST(SUM(c) - (SELECT COUNT(*) FROM t) AS BIGINT) AS n2 FROM uni),
+      bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM (
+          SELECT l[i+1] AS w1, l[i+2] AS w2
+          FROM (SELECT l, unnest(range(0, len(l)-1)) AS i FROM t))
+        GROUP BY w1, w2 HAVING COUNT(*) >= 5),
+      pmi AS (SELECT w1, w2, bi.c,
+          round(log10(
+            round(CAST(bi.c AS DOUBLE) / n2, 6)
+            / (round(CAST(ua.c AS DOUBLE) / n1, 6)
+               * round(CAST(ub.c AS DOUBLE) / n1, 6))), 6) AS pmi
+        FROM bi JOIN uni ua ON ua.w = w1 JOIN uni ub ON ub.w = w2
+        CROSS JOIN tot),
+      r AS (SELECT w1, w2, c, pmi,
+          row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rk FROM pmi)
+      SELECT CAST(rk AS BIGINT) AS rk, w1, w2, c AS n_pair, pmi
+      FROM r WHERE rk <= 20 ORDER BY rk""")) { (s, dir) =>
+    import s.implicits._
+    val t = docs(s, dir).select($"doc_id", Text.tokens($"text").as("l"))
+      .localCheckpoint() // one tokenize feeds unigrams, bigrams, doc count
+    val uni = t.select(explode($"l").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+    val nDocs = t.count()
+    val tot = broadcast(uni.agg(sum($"c").as("n1"),
+      (sum($"c") - lit(nDocs)).as("n2")))
+    val bi = t
+      .filter(size($"l") >= 2) // mirror range(0, len-1): no pairs below 2
+      .select(explode(transform(sequence(lit(0), size($"l") - 2),
+        i => struct(element_at($"l", i + 1).as("w1"),
+          element_at($"l", i + 2).as("w2")))).as("p"))
+      .groupBy($"p.w1".as("w1"), $"p.w2".as("w2"))
+      .agg(count(lit(1)).as("c"))
+      .filter($"c" >= 5)
+    val pmi = bi
+      .join(uni.select($"w".as("w1"), $"c".as("ca")), Seq("w1"))
+      .join(uni.select($"w".as("w2"), $"c".as("cb")), Seq("w2"))
+      .crossJoin(tot)
+      .select($"w1", $"w2", $"c",
+        round(log10(
+          round($"c".cast("double") / $"n2", 6)
+            / (round($"ca".cast("double") / $"n1", 6)
+               * round($"cb".cast("double") / $"n1", 6))), 6).as("pmi"))
+    pmi
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"pmi".desc, $"w1", $"w2")))
+      .filter($"rk" <= 20)
+      .select($"rk".cast("long").as("rk"), $"w1", $"w2",
+        $"c".as("n_pair"), $"pmi")
+      .orderBy($"rk")
+  }
+
   /** F27 language-code canonicalization as an ORACLED corpus query:
     * the corpus lang codes map through the shipped
     * [[graft.sources.LangData]] resource to canonical name + preferred
@@ -540,5 +609,5 @@ object Lexical {
 
   val specs: Seq[Spec] = Seq(dNsfwMultilang, dStopwordMultilang,
     dBpeTokenStats, dBpePairCounts, dBpeMerges, dBpeEncode, dLangNormalize,
-    dTfidfDocPairs, dHybridSimilarity)
+    dTfidfDocPairs, dHybridSimilarity, dCollocations)
 }
