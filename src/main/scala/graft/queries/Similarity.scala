@@ -1023,6 +1023,73 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** Triangle counting on the near-dup similarity graph — the local
+    * clustering signal that separates a TIGHT duplicate cluster (its
+    * members close many triangles) from a hub that merely chains
+    * near-dups together (CC would merge both; triangles tell them
+    * apart before trusting a cluster as "one document"). Standard
+    * ordered-wedge formulation: with edges kept only as a < b, a
+    * triangle a<b<c is counted exactly once by joining wedges (a,b),
+    * (b,c) against the closing edge (a,c) — two equi-joins, no
+    * direction double-counting, the textbook distributed shape. Output
+    * is per-node participation plus each node's degree. Edge threshold
+    * 0.2 (vs the near-dup family's 0.35): triangles need a denser
+    * graph to be informative — at 0.35 the verify-scale graph is
+    * triangle-free, which would leave the join path vacuous. */
+  val eTriangleCount: Spec = Spec(
+    "e_triangle_count",
+    oracle = Some(s"""
+      WITH edges AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.2),
+      tri AS (
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.src = e1.dst
+        JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+      member AS (
+        SELECT a AS id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri),
+      cnt AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM member GROUP BY id),
+      deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+          SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)
+        GROUP BY id)
+      SELECT cnt.id AS vec_id, cnt.n_triangles, deg.degree
+      FROM cnt JOIN deg ON deg.id = cnt.id
+      ORDER BY vec_id""")) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+      .withColumn("nrm", Vectors.norm($"embedding"))
+    val a = emb.select($"label", $"vec_id".as("src"),
+      $"embedding".as("va"), $"nrm".as("na"))
+    val b = emb.select($"label", $"vec_id".as("dst"),
+      $"embedding".as("vb"), $"nrm".as("nb"))
+    val edges = a.join(b, Seq("label"))
+      .filter($"src" < $"dst")
+      .filter(Vectors.cosine($"va", $"vb", $"na", $"nb") >= 0.2)
+      .select($"src", $"dst")
+      .localCheckpoint() // one scoring pass feeds wedges, closes, degrees
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), col("e2.src") === col("e1.dst"))
+      .join(edges.as("e3"),
+        col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+        col("e2.dst").as("c"))
+      .localCheckpoint()
+    val member = tri.select($"a".as("id"))
+      .unionAll(tri.select($"b")).unionAll(tri.select($"c"))
+    val cnt = member.groupBy($"id").agg(count(lit(1)).as("n_triangles"))
+    val deg = edges.select($"src".as("id")).unionAll(edges.select($"dst"))
+      .groupBy($"id").agg(count(lit(1)).as("degree"))
+    cnt.join(deg, Seq("id"))
+      .select($"id".as("vec_id"), $"n_triangles", $"degree")
+      .orderBy($"vec_id")
+  }
+
   /** One MMR oracle round for step t ≥ 2: max-sim of each unselected
     * candidate vs the selected set so far (selu), score, argmax. */
   private def mmrStepCte(t: Int): String = s"""
@@ -1090,5 +1157,5 @@ object Similarity {
     eNearDupLsh, eKnnQuantized, eKmeansCentroids, eKnnIvfLearned,
     eKnnIvfMultiprobe, eKnnPq, eKnnIvfPq, eBitextMine, eEmbeddingOutliers,
     eKnnIvfPqProbe, eNearDupClusters, eKnnMatryoshka, eMmrRerank,
-    eClusterSummary, ePagerankCentrality)
+    eClusterSummary, ePagerankCentrality, eTriangleCount)
 }
