@@ -619,10 +619,67 @@ object Relational {
       .orderBy($"band_id")
   }
 
+  /** Benford leading-digit audit on order totals — the forensic
+    * data-quality check (fabricated or unit-mangled numeric columns
+    * betray themselves by a non-logarithmic first-digit law). Per
+    * digit d: observed share vs Benford's log10(1+1/d), with the
+    * chi-square contribution (o−e)²/e per digit and the total. The
+    * leading digit comes from the DECIMAL string image (no float
+    * log-magnitude games), expected probs round at 6dp, contributions
+    * at 6dp DECIMAL-sum — the engine-parity recipe throughout. One
+    * scan, one 9-row agg. */
+  val qBenford: Spec = Spec(
+    "q_benford_audit",
+    oracle = Some("""
+      WITH o AS (
+        SELECT substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+          AS d
+        FROM orders WHERE o_totalprice > 0),
+      c AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM o GROUP BY d),
+      t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+      b AS (SELECT CAST(dd AS VARCHAR) AS d,
+          round(log10(1 + 1.0::DOUBLE / dd), 6) AS expected
+        FROM (SELECT unnest(range(1, 10)) AS dd)),
+      j AS (SELECT b.d, COALESCE(c.n, 0) AS n, b.expected,
+          round(CAST(COALESCE(c.n, 0) AS DOUBLE) / t.total, 6) AS observed
+        FROM b LEFT JOIN c ON c.d = b.d CROSS JOIN t),
+      x AS (SELECT d, n, observed, expected,
+          CAST(round((observed - expected) * (observed - expected)
+            / expected, 6) AS DECIMAL(18,6)) AS chi
+        FROM j)
+      SELECT d AS digit, n, observed, expected,
+        CAST(chi AS DOUBLE) AS chi_term,
+        CAST(SUM(chi) OVER () AS DOUBLE) AS chi_total
+      FROM x ORDER BY digit""")) { (s, dir) =>
+    import s.implicits._
+    val o = Tables.load(s, dir, "orders")
+      .filter($"o_totalprice" > 0)
+      .select(substring($"o_totalprice".cast("decimal(18,2)").cast("string"),
+        1, 1).as("d"))
+    val c = o.groupBy($"d").agg(count(lit(1)).as("n"))
+    val t = broadcast(c.agg(sum($"n").as("total")))
+    val b = Seq.range(1, 10)
+      .map(dd => (dd.toString, BigDecimal(math.log10(1 + 1.0 / dd))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("d", "expected")
+    val j = broadcast(b).join(c, Seq("d"), "left").crossJoin(t)
+      .select($"d", coalesce($"n", lit(0L)).as("n"), $"expected",
+        round(coalesce($"n", lit(0L)).cast("double") / $"total", 6)
+          .as("observed"))
+    val x = j.withColumn("chi",
+      round(($"observed" - $"expected") * ($"observed" - $"expected")
+        / $"expected", 6).cast("decimal(18,6)"))
+    x.select($"d".as("digit"), $"n", $"observed", $"expected",
+        $"chi".cast("double").as("chi_term"),
+        sum($"chi").over(org.apache.spark.sql.expressions.Window.partitionBy())
+          .cast("double").as("chi_total"))
+      .orderBy($"digit")
+  }
+
   val specs: Seq[Spec] = Seq(
     q1PricingSummary, q3TopOrders, q5RegionRevenue, q4LateShipments,
     qAntiCustomers, qTopPartsPerBrand, qRunningSupplier, qSetOps,
     qRollup, qGroupingSets, qPivot, qPercentiles, qHistogram, qDistinctAgg,
     qMonthly, qCaseWhen, qCube, qSqlSurface, qSketches, qWindowShapes,
-    qOrderLatency, qStringOps, qSaltedAgg, qRangeBandJoin)
+    qOrderLatency, qStringOps, qSaltedAgg, qRangeBandJoin, qBenford)
 }
