@@ -651,8 +651,58 @@ object Events {
       .orderBy($"user_id")
   }
 
+  /** Per-user value TREND: the least-squares slope of event value over
+    * event time (days since the corpus min), for users with ≥ 5
+    * events — grouped regression, the feature behind "is this user's
+    * engagement rising or falling". Same hash-stable least-squares
+    * recipe as the Zipf fit: (x, y) round to 6dp DECIMALs, the four
+    * sums are exact in any aggregation order, and only the closed-form
+    * divisions run in doubles. One scan, one broadcast min, one
+    * per-user agg — no window, no sort. */
+  val qUserTrend: Spec = Spec(
+    "ev_user_trend",
+    oracle = Some("""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+      mn AS (SELECT MIN(us) AS m FROM e),
+      pts AS (SELECT user_id,
+          CAST(round((us - m) / 86400000000.0, 6) AS DECIMAL(18,6)) AS x,
+          CAST(round(value, 6) AS DECIMAL(18,6)) AS y
+        FROM e CROSS JOIN mn),
+      s AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+          SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx
+        FROM pts GROUP BY user_id HAVING COUNT(*) >= 5)
+      SELECT user_id, n,
+        round((n * CAST(sxy AS DOUBLE) -
+               CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+              (n * CAST(sxx AS DOUBLE) -
+               CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS value_slope
+      FROM s ORDER BY user_id""")) { (s, dir) =>
+    import s.implicits._
+    val e = load(s, dir).select($"user_id", expr("ts div 1000").as("us"),
+      $"value")
+    val mn = broadcast(e.agg(min($"us").as("m")))
+    val pts = e.crossJoin(mn)
+      .select($"user_id",
+        round(($"us" - $"m") / lit(86400000000.0d), 6)
+          .cast("decimal(18,6)").as("x"),
+        round($"value", 6).cast("decimal(18,6)").as("y"))
+    pts.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+      .filter($"n" >= 5)
+      .select($"user_id", $"n",
+        round(($"n" * $"sxy".cast("double") -
+            $"sx".cast("double") * $"sy".cast("double")) /
+          ($"n" * $"sxx".cast("double") -
+            $"sx".cast("double") * $"sx".cast("double")), 6)
+          .as("value_slope"))
+      .orderBy($"user_id")
+  }
+
   val specs: Seq[Spec] = Seq(qTumbling, qSessionize, qAsofClick,
     qAsofTolerance, qFunnel, qPropsJson, qSliding, qSessionWindowNative,
     qRate5Min, qValueOutliers, qDriftWindowed, qDriftSliding,
-    qCohortRetention, qFunnelWindowed, qDauNewReturning, qDecayScore)
+    qCohortRetention, qFunnelWindowed, qDauNewReturning, qDecayScore,
+    qUserTrend)
 }
