@@ -890,6 +890,7 @@ object Dedup {
     * join; nothing reaches the driver. */
   val ddWinnowPairs: Spec = Spec(
     "dd_winnow_pairs",
+    bench = true, // round-7 family headline: fused selection + capped buckets
     oracle = Some(s"""
       WITH ${TextOps.winnowSelCte},
       fp AS (SELECT DISTINCT doc_id, h48 FROM sel WHERE rk = 1),

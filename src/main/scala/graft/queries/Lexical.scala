@@ -507,6 +507,108 @@ object Lexical {
       .orderBy($"query_id", $"fused_rank")
   }
 
+  /** Rank-biased overlap (Webber '10, p=0.9, depth 5) between the
+    * TF-IDF and winnow neighbor rankings — the ranking-agreement
+    * metric that tells you whether two similarity systems see the same
+    * corpus structure (RBO ≈ 1) or complement each other (low RBO →
+    * fusion like d_hybrid_similarity actually adds signal). Computed
+    * per query over queries BOTH systems rank; depth weights are exact
+    * decimal powers of 0.9, overlap counts are integers, and the
+    * 5-term sum has fixed operand order, so scores are bit-identical.
+    */
+  val dRankingAgreement: Spec = Spec(
+    "d_ranking_agreement",
+    oracle = Some(s"""
+      WITH ${TextOps.winnowSelCte},
+      fp AS (SELECT DISTINCT doc_id, h48 FROM sel WHERE rk = 1),
+      fsz AS (SELECT doc_id, COUNT(*) AS nfp FROM fp GROUP BY doc_id),
+      wp0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ns
+        FROM fp a JOIN fp b ON a.h48 = b.h48 AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      wp AS (SELECT id_a, id_b,
+          CAST(ns AS DOUBLE) / least(sa.nfp, sb.nfp) AS ws
+        FROM wp0 JOIN fsz sa ON sa.doc_id = id_a
+        JOIN fsz sb ON sb.doc_id = id_b
+        WHERE CAST(ns AS DOUBLE) / least(sa.nfp, sb.nfp) >= 0.5),
+      ttok AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents) GROUP BY doc_id, term),
+      tdf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM ttok
+              GROUP BY term),
+      tnn AS (SELECT COUNT(*) AS n FROM documents),
+      tw AS (SELECT doc_id, ttok.term,
+          CAST(tf * CAST(round(log10(tnn.n::DOUBLE / df), 6) AS DECIMAL(18,6))
+            AS DECIMAL(18,6)) AS w
+        FROM ttok JOIN tdf ON tdf.term = ttok.term CROSS JOIN tnn
+        WHERE df <= 25),
+      tnrm AS (SELECT doc_id,
+          sqrt(CAST(SUM(CAST(w*w AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+        FROM tw GROUP BY doc_id),
+      tp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(SUM(CAST(a.w*b.w AS DECIMAL(38,12))) AS DOUBLE) AS dot
+        FROM tw a JOIN tw b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      tpair AS (SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS tc
+        FROM tp JOIN tnrm na ON na.doc_id = id_a
+        JOIN tnrm nb ON nb.doc_id = id_b
+        WHERE dot / (na.nrm * nb.nrm) >= 0.2),
+      tdir AS (SELECT id_a AS q, id_b AS nb, tc FROM tpair
+        UNION ALL SELECT id_b, id_a, tc FROM tpair),
+      trk AS (SELECT q, nb,
+          row_number() OVER (PARTITION BY q ORDER BY tc DESC, nb) AS rt
+        FROM tdir),
+      wdir AS (SELECT id_a AS q, id_b AS nb, ws FROM wp
+        UNION ALL SELECT id_b, id_a, ws FROM wp),
+      wrk AS (SELECT q, nb,
+          row_number() OVER (PARTITION BY q ORDER BY ws DESC, nb) AS rw
+        FROM wdir),
+      qs AS (SELECT DISTINCT q FROM trk INTERSECT SELECT DISTINCT q FROM wrk),
+      ov AS (SELECT t.q,
+          SUM(CASE WHEN rt <= 1 AND rw <= 1 THEN 1 ELSE 0 END) AS o1,
+          SUM(CASE WHEN rt <= 2 AND rw <= 2 THEN 1 ELSE 0 END) AS o2,
+          SUM(CASE WHEN rt <= 3 AND rw <= 3 THEN 1 ELSE 0 END) AS o3,
+          SUM(CASE WHEN rt <= 4 AND rw <= 4 THEN 1 ELSE 0 END) AS o4,
+          SUM(CASE WHEN rt <= 5 AND rw <= 5 THEN 1 ELSE 0 END) AS o5
+        FROM trk t JOIN wrk w ON t.q = w.q AND t.nb = w.nb GROUP BY t.q)
+      SELECT qs.q AS query_id,
+        ROUND(0.1::DOUBLE * (
+          1.0::DOUBLE * (CAST(COALESCE(o1, 0) AS DOUBLE) / 1)
+          + 0.9::DOUBLE * (CAST(COALESCE(o2, 0) AS DOUBLE) / 2)
+          + 0.81::DOUBLE * (CAST(COALESCE(o3, 0) AS DOUBLE) / 3)
+          + 0.729::DOUBLE * (CAST(COALESCE(o4, 0) AS DOUBLE) / 4)
+          + 0.6561::DOUBLE * (CAST(COALESCE(o5, 0) AS DOUBLE) / 5)), 6)
+          AS rbo5
+      FROM qs LEFT JOIN ov ON ov.q = qs.q
+      ORDER BY query_id""")) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def ranked(pairs: org.apache.spark.sql.DataFrame, out: String) = {
+      val d2 = pairs.select($"id_a".as("q"), $"id_b".as("nb"), $"sc")
+        .unionAll(pairs.select($"id_b".as("q"), $"id_a".as("nb"), $"sc"))
+      d2.withColumn(out,
+        row_number().over(Window.partitionBy($"q").orderBy($"sc".desc, $"nb")))
+        .select($"q", $"nb", col(out))
+    }
+    val t = ranked(dTfidfDocPairs.fn(s, dir)
+      .select($"id_a", $"id_b", $"tfidf_cos".as("sc")), "rt")
+    val w = ranked(Dedup.ddWinnowPairs.fn(s, dir)
+      .select($"id_a", $"id_b", $"winnow_sim".as("sc")), "rw")
+    val qs = t.select($"q").distinct()
+      .intersect(w.select($"q").distinct())
+    def o(d: Int) =
+      sum(when($"rt" <= d && $"rw" <= d, 1).otherwise(0)).as(s"o$d")
+    val ov = t.join(w, Seq("q", "nb"))
+      .groupBy($"q").agg(o(1), o(2), o(3), o(4), o(5))
+    def term(p: Double, c: org.apache.spark.sql.Column, d: Int) =
+      lit(p) * (coalesce(c, lit(0)).cast("double") / lit(d))
+    qs.join(ov, Seq("q"), "left")
+      .select($"q".as("query_id"),
+        round(lit(0.1) * (
+          term(1.0, $"o1", 1) + term(0.9, $"o2", 2) + term(0.81, $"o3", 3)
+            + term(0.729, $"o4", 4) + term(0.6561, $"o5", 5)), 6).as("rbo5"))
+      .orderBy($"query_id")
+  }
+
   /** Collocation mining via pointwise mutual information over adjacent
     * token pairs: PMI = log10(p(ab) / (p(a)·p(b))), the classic
     * phrase-detection statistic (Church & Hanks '90) — high-PMI pairs
@@ -609,5 +711,5 @@ object Lexical {
 
   val specs: Seq[Spec] = Seq(dNsfwMultilang, dStopwordMultilang,
     dBpeTokenStats, dBpePairCounts, dBpeMerges, dBpeEncode, dLangNormalize,
-    dTfidfDocPairs, dHybridSimilarity, dCollocations)
+    dTfidfDocPairs, dHybridSimilarity, dCollocations, dRankingAgreement)
 }
