@@ -598,6 +598,44 @@ object TextOps {
       .orderBy($"doc_id", $"pos")
   }
 
+  /** Corpus card — the single-row dataset summary a corpus release
+    * ships (the HF dataset-card numbers): document/source/language
+    * counts, token and character mass, exact-duplicate rate by content
+    * hash, and mean document length. ONE scan feeds every number (the
+    * distincts ride the same agg via Expand); integer counts are
+    * exact, means round at 6dp. */
+  val dCorpusCard: Spec = Spec(
+    "d_corpus_card",
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, source, lang, n_chars,
+          len(string_split(text, ' ')) AS n_tok, md5(text) AS h
+        FROM documents)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_exact_dups,
+        ROUND(CAST(COUNT(*) - COUNT(DISTINCT h) AS DOUBLE) / COUNT(*), 6)
+          AS dup_rate,
+        ROUND(CAST(SUM(n_tok) AS DOUBLE) / COUNT(*), 6) AS avg_tokens
+      FROM t""")) { (s, dir) =>
+    import s.implicits._
+    docs(s, dir)
+      .select($"doc_id", $"source", $"lang", $"n_chars",
+        size(Text.tokens($"text")).as("n_tok"), md5($"text").as("h"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"source").as("n_sources"),
+        countDistinct($"lang").as("n_langs"),
+        sum($"n_tok").cast("long").as("sum_tokens"),
+        sum($"n_chars").cast("long").as("sum_chars"),
+        (count(lit(1)) - countDistinct($"h")).as("n_exact_dups"),
+        round((count(lit(1)) - countDistinct($"h")).cast("double")
+          / count(lit(1)), 6).as("dup_rate"),
+        round(sum($"n_tok").cast("double") / count(lit(1)), 6)
+          .as("avg_tokens"))
+  }
+
   /** Deterministic dedup-by-key (P3 without the arbitrary-row hazard):
     * keep min doc_id per (lang, source). */
   val dDedupByKey: Spec = Spec(
@@ -901,7 +939,7 @@ object TextOps {
     dLines2DocDedent, dRepeatedTokens, dNsfwCounts, dDocFlags, dRemovalSurvivors,
     dNgramRepWord, dNgramRepWordTok, dNgramRepChar, dUniqueTokens,
     dKeywordSpans, dTokenDiversity, dSymbolRatio,
-    dFingerprint, dWinnowFingerprints, dDedupByKey, dStopwords,
+    dFingerprint, dWinnowFingerprints, dCorpusCard, dDedupByKey, dStopwords,
     dDedupThresholded,
     dFlagsPerLang, dIntraDupFraction, dSourceReport, dTokenizerFertility)
 }
