@@ -1287,6 +1287,83 @@ object TrainingPrep {
       .orderBy($"seq")
   }
 
+  /** Linear quality classifier — the fasttext-style "quality model"
+    * step of GPT-3/LLaMA-era curation (score every doc with a tiny
+    * supervised model, keep above a threshold), re-expressed as a FIXED
+    * deterministic linear model over engineered per-row features so the
+    * whole decision is oracle-replayable. The shipped weights are
+    * own-compiled stand-ins (length, lexical diversity, symbol/digit
+    * load, word-shape); a real deployment drops its trained weights
+    * into the same dot product. Parity recipe: every feature is
+    * 6dp-rounded, then the ENTIRE dot product runs in DECIMAL (exact —
+    * 1dp weights × 6dp features produce exact 7-decimal ties that an
+    * IEEE double sum rounds differently per engine; decimal arithmetic
+    * has no ties to lose), cast to DOUBLE only at the finished logit;
+    * the sigmoid goes through FLOOR(·1e6)/1e6 — floor, not round — to
+    * absorb the one-ulp libm-vs-Math.exp divergence.
+    *
+    * Scale shape: every feature is per-row scalar work on the corpus
+    * scan — NO shuffle anywhere but the output sort (PlanSpec-pinned);
+    * at 100 TB this is a pure map stage inside whole-stage codegen. */
+  val dQualityClassifier: Spec = Spec(
+    "d_quality_classifier",
+    oracle = Some("""
+      WITH f AS (
+        SELECT doc_id, lang,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+          round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+            / len(string_split(text, ' ')), 6) AS mean_word_len,
+          round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' ')), 6) AS unique_frac,
+          round(CASE WHEN length(text) = 0 THEN 0.0
+            ELSE CAST(length(regexp_replace(text, '[\p{L}\s]', '', 'g'))
+              AS DOUBLE) / length(text) END, 6) AS symbol_ratio,
+          round(CASE WHEN length(text) = 0 THEN 0.0
+            ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+              AS DOUBLE) / length(text) END, 6) AS digit_frac
+        FROM documents),
+      l AS (
+        SELECT f.*, CAST(
+          -1.2 + 0.9 * CAST(round(log10(CAST(n_words AS DOUBLE)), 6)
+              AS DECIMAL(18,6))
+            + 3.0 * CAST(unique_frac AS DECIMAL(18,6))
+            - 6.0 * CAST(symbol_ratio AS DECIMAL(18,6))
+            - 4.0 * CAST(digit_frac AS DECIMAL(18,6))
+            - 0.8 * abs(CAST(mean_word_len AS DECIMAL(18,6)) - 5.0)
+          AS DOUBLE) AS logit
+        FROM f)
+      SELECT doc_id, lang, n_words, mean_word_len, unique_frac,
+        symbol_ratio, digit_frac, logit,
+        FLOOR(1e6 / (1.0 + exp(-logit))) / 1e6 AS quality_score,
+        (FLOOR(1e6 / (1.0 + exp(-logit))) / 1e6 >= 0.5) AS keep
+      FROM l ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    val nw = size(Text.tokens($"text"))
+    docs(s, dir)
+      .select($"doc_id", $"lang",
+        nw.cast("long").as("n_words"),
+        round(length(regexp_replace($"text", " ", "")).cast("double") / nw, 6)
+          .as("mean_word_len"),
+        round(org.apache.spark.sql.functions.size(
+            array_distinct(Text.tokens($"text"))).cast("double") / nw, 6)
+          .as("unique_frac"),
+        round(Text.charClassOutRatio($"text", "[\\p{L}\\s]"), 6)
+          .as("symbol_ratio"),
+        round(Text.charClassOutRatio($"text", "[^0-9]"), 6).as("digit_frac"))
+      .withColumn("logit", {
+        def bd(v: String) = lit(new java.math.BigDecimal(v))
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+        (bd("-1.2") + bd("0.9") * dec(round(log10($"n_words".cast("double")), 6))
+          + bd("3.0") * dec($"unique_frac") - bd("6.0") * dec($"symbol_ratio")
+          - bd("4.0") * dec($"digit_frac")
+          - bd("0.8") * abs(dec($"mean_word_len") - bd("5.0"))).cast("double")
+      })
+      .withColumn("quality_score",
+        floor(lit(1e6) / (lit(1.0) + exp(-$"logit"))) / lit(1e6))
+      .withColumn("keep", $"quality_score" >= 0.5)
+      .orderBy($"doc_id")
+  }
+
   val specs: Seq[Spec] = Seq(
     dStratifiedSample, dShardPacking, dChunkWindows, dUnigramLmScore,
     dGopherRules, dTfidfTopTerms, dMixtureSample, dLengthOutliers,
@@ -1294,5 +1371,5 @@ object TrainingPrep {
     dSequenceSegments, dKmvDistinct, dSnapshotDiff, dTokenBudget,
     dHashSplit, dReadability, dBigramLm, dScoreDeciles, dSourceInterleave,
     dCmsCounts, dWeightedSample, dPaddingEfficiency, dEntropyScores,
-    dSourceDivergence, dDistributionMatch)
+    dSourceDivergence, dDistributionMatch, dQualityClassifier)
 }

@@ -209,6 +209,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Expand"), "multi-distinct should plan via Expand:\n" + p)
   }
 
+  test("quality classifier: pure map stage — only the presentation sort exchanges") {
+    val p = plan("d_quality_classifier")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      "feature extraction and the decimal dot product must not shuffle:\n" + p)
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      "all features must come off ONE corpus scan:\n" + p)
+  }
+
   test("chunk windows: shuffle-free generate-and-explode (only the final sort exchanges)") {
     val p = plan("d_chunk_windows")
     val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
