@@ -1364,6 +1364,72 @@ object TrainingPrep {
       .orderBy($"doc_id")
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * via Importance Resampling"): score every raw document by how much
+    * more likely its tokens are under a TARGET distribution than under
+    * the raw-corpus distribution — log weight = Σ_w log(p_target(w) /
+    * p_raw(w)) — then select target-like docs. Target here is the
+    * corpus' own `lang = 'en'` slice (a deterministic stand-in for
+    * "looks like Wikipedia"); both unigram models share one add-1
+    * smoothing over the RAW vocabulary, so every token of every doc
+    * has a finite weight. Selection is the fixed threshold logweight >
+    * 0 ("more target-like than raw") — scale-free; a top-k budget
+    * variant rides the same [[TopK]] aggregator as
+    * [[dStratifiedSample]]. Parity: all counts are exact integers in
+    * doubles (sums are exact below 2^53, any order), per-token log10
+    * is 6dp-rounded and DECIMAL-summed per doc — order-free.
+    *
+    * Scale shape: the model is a token-keyed hash agg JOINED back on
+    * the token (never broadcast — a 100 TB vocabulary outgrows one
+    * executor); the target slice derives from the same exploded frame
+    * (one explode feeds both models); the 3-scalar totals row is the
+    * only broadcast; the doc roll-up re-shuffles on (doc_id, lang).
+    * DSIR's hashed-feature variant is the same plan with w := hash
+    * bucket — nothing about the shape changes. */
+  val dDsirWeights: Spec = Spec(
+    "d_dsir_weights",
+    oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      raw AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS cr FROM toks GROUP BY w),
+      tgt AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS ct FROM toks
+              WHERE lang = 'en' GROUP BY w),
+      model AS (
+        SELECT raw.w, cr, COALESCE(ct, 0.0) AS ct
+        FROM raw LEFT JOIN tgt ON raw.w = tgt.w),
+      tot AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt,
+                CAST(COUNT(*) AS DOUBLE) AS v FROM model),
+      lp AS (
+        SELECT toks.doc_id, toks.lang,
+          CAST(round(log10(((ct + 1.0) / (tt + v)) / ((cr + 1.0) / (tr + v))), 6)
+            AS DECIMAL(18,6)) AS lp
+        FROM toks JOIN model ON toks.w = model.w CROSS JOIN tot)
+      SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_tok,
+        CAST(SUM(lp) AS DOUBLE) AS dsir_logweight,
+        (CAST(SUM(lp) AS DOUBLE) > 0.0) AS selected
+      FROM lp GROUP BY doc_id, lang ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    val d = docs(s, dir)
+      .select($"doc_id", $"lang", explode(Text.tokens($"text")).as("w"))
+    val raw = d.groupBy($"w").agg(count(lit(1)).cast("double").as("cr"))
+    val tgt = d.filter($"lang" === "en")
+      .groupBy($"w").agg(count(lit(1)).cast("double").as("ct"))
+    val model = raw.join(tgt, Seq("w"), "left").na.fill(0.0, Seq("ct"))
+    val tot = model.agg(sum($"cr").as("tr"), sum($"ct").as("tt"),
+      count(lit(1)).cast("double").as("v"))
+    d.join(model, "w")
+      .crossJoin(broadcast(tot))
+      .withColumn("lp",
+        round(log10((($"ct" + 1.0) / ($"tt" + $"v")) /
+          (($"cr" + 1.0) / ($"tr" + $"v"))), 6).cast("decimal(18,6)"))
+      .groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("n_tok"),
+        sum($"lp").cast("double").as("dsir_logweight"))
+      .withColumn("selected", $"dsir_logweight" > 0.0)
+      .orderBy($"doc_id")
+  }
+
   val specs: Seq[Spec] = Seq(
     dStratifiedSample, dShardPacking, dChunkWindows, dUnigramLmScore,
     dGopherRules, dTfidfTopTerms, dMixtureSample, dLengthOutliers,
@@ -1371,5 +1437,5 @@ object TrainingPrep {
     dSequenceSegments, dKmvDistinct, dSnapshotDiff, dTokenBudget,
     dHashSplit, dReadability, dBigramLm, dScoreDeciles, dSourceInterleave,
     dCmsCounts, dWeightedSample, dPaddingEfficiency, dEntropyScores,
-    dSourceDivergence, dDistributionMatch, dQualityClassifier)
+    dSourceDivergence, dDistributionMatch, dQualityClassifier, dDsirWeights)
 }

@@ -218,6 +218,13 @@ class PlanSpec extends AnyFunSuite {
       "all features must come off ONE corpus scan:\n" + p)
   }
 
+  test("dsir: scalar totals broadcast; model join is keyed, no cartesian") {
+    val p = plan("d_dsir_weights")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 3-scalar totals row must broadcast:\n" + p)
+  }
+
   test("chunk windows: shuffle-free generate-and-explode (only the final sort exchanges)") {
     val p = plan("d_chunk_windows")
     val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
