@@ -1011,7 +1011,115 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Dedup-system agreement matrix — the dedup twin of
+    * `d_ranking_agreement`: for each pair of shipped dedup systems
+    * (EXACT content-hash, MINHASH LSH-verified pairs, SIMHASH banded
+    * Hamming), how much do their flagged-document sets overlap? A doc
+    * is "flagged" by a method when that method finds it at least one
+    * duplicate partner (symmetric — no representative election, so the
+    * comparison is about detection, not keep policy). Output: per
+    * method pair, both set sizes, intersection, union, Jaccard — the
+    * table a corpus owner reads to decide whether the cheap exact pass
+    * subsumes the fuzzy ones on their data.
+    *
+    * Scale shape: each flagged set is the method's existing pair
+    * pipeline (all capped-bucket scaffolds — nothing all-pairs) reduced
+    * to a distinct doc set; the agreement join is keyed on doc_id; the
+    * 3-row size table broadcasts. The method grid is STATIC (VALUES /
+    * local Seq), so methods that flag nothing — exact, on a corpus
+    * with no byte-identical dups — still appear with n = 0 instead of
+    * silently vanishing (the dense-grid trick from
+    * `d_source_divergence`, plus a guarded 0-division). */
+  val ddMethodAgreement: Spec = Spec(
+    "dd_method_agreement",
+    oracle = Some(s"""
+      WITH mhp AS ($minhashPairsSql),
+      shs AS (
+        SELECT doc_id, ${simhash60Sql(
+          "list_transform(string_split(text,' '), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)")} AS sh
+        FROM documents),
+      shp AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM shs a JOIN shs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+      ex AS (
+        SELECT doc_id FROM (
+          SELECT doc_id, COUNT(*) OVER (PARTITION BY
+            md5(regexp_replace(trim(lower(text)), '[\\s\\x0B]+', ' ', 'g'))) AS n
+          FROM documents) WHERE n > 1),
+      f AS (
+        SELECT 'exact' AS method, doc_id FROM ex
+        UNION SELECT 'minhash', id_a FROM mhp
+        UNION SELECT 'minhash', id_b FROM mhp
+        UNION SELECT 'simhash', id_a FROM shp
+        UNION SELECT 'simhash', id_b FROM shp),
+      methods AS (
+        SELECT * FROM (VALUES ('exact'), ('minhash'), ('simhash')) AS t(method)),
+      sizes0 AS (SELECT method, CAST(COUNT(*) AS BIGINT) AS n
+                 FROM f GROUP BY method),
+      sizes AS (
+        SELECT m.method, CAST(COALESCE(s.n, 0) AS BIGINT) AS n
+        FROM methods m LEFT JOIN sizes0 s ON m.method = s.method),
+      overlap AS (
+        SELECT a.method AS method_a, b.method AS method_b,
+          CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM f a JOIN f b ON a.doc_id = b.doc_id AND a.method < b.method
+        GROUP BY 1, 2),
+      mp AS (
+        SELECT sa.method AS method_a, sb.method AS method_b,
+          sa.n AS n_a, sb.n AS n_b
+        FROM sizes sa JOIN sizes sb ON sa.method < sb.method)
+      SELECT method_a, method_b, n_a, n_b,
+        CAST(COALESCE(n_both, 0) AS BIGINT) AS n_both,
+        n_a + n_b - CAST(COALESCE(n_both, 0) AS BIGINT) AS n_union,
+        CASE WHEN n_a + n_b - COALESCE(n_both, 0) = 0 THEN 0.0
+          ELSE round(CAST(COALESCE(n_both, 0) AS DOUBLE) /
+            (n_a + n_b - COALESCE(n_both, 0)), 6) END AS jaccard
+      FROM mp LEFT JOIN overlap USING (method_a, method_b)
+      ORDER BY method_a, method_b""")) { (s, dir) =>
+    import s.implicits._
+    val docsDf = Tables.load(s, dir, "documents")
+    val hashes = docsDf.select($"doc_id", md5(Text.normalizeWs($"text")).as("h"))
+    val dupH = hashes.groupBy($"h").agg(count(lit(1)).as("nh")).filter($"nh" > 1)
+    val ex = hashes.join(dupH, "h").select($"doc_id")
+    val mhp = MinHash.candidatePairs(docsDf, "doc_id", "text",
+      shingleSize = 3, numPerm = 32, bands = 8, threshold = 0.5)
+    val mh = mhp.select($"id_a".as("doc_id"))
+      .union(mhp.select($"id_b".as("doc_id"))).distinct
+    val shHashed = docsDf
+      .withColumn("toks", Text.tokens($"text"))
+      .withColumn("hs", SimHash.md5TokenHashes("toks"))
+      .select($"doc_id".as("id"), SimHash.simhashFromHashes("hs", 60).as("sh"))
+    val shp = SimHash.neardupPairsBanded(shHashed, maxHamming = 3,
+      totalBits = 60, maxBucket = 1000)
+    val sh = shp.select($"id_a".as("doc_id"))
+      .union(shp.select($"id_b".as("doc_id"))).distinct
+    val f = ex.select(lit("exact").as("method"), $"doc_id")
+      .union(mh.select(lit("minhash").as("method"), $"doc_id"))
+      .union(sh.select(lit("simhash").as("method"), $"doc_id"))
+    val methods = Seq("exact", "minhash", "simhash").toDF("method")
+    val sizes = methods
+      .join(f.groupBy($"method").agg(count(lit(1)).as("n0")), Seq("method"), "left")
+      .select($"method", coalesce($"n0", lit(0L)).as("n"))
+    val overlap = f.as("a")
+      .join(f.as("b"), $"a.doc_id" === $"b.doc_id" && $"a.method" < $"b.method")
+      .groupBy($"a.method".as("method_a"), $"b.method".as("method_b"))
+      .agg(count(lit(1)).as("n_both"))
+    val mp = broadcast(sizes.select($"method".as("method_a"), $"n".as("n_a")))
+      .join(broadcast(sizes.select($"method".as("method_b"), $"n".as("n_b"))),
+        $"method_a" < $"method_b")
+    mp.join(overlap, Seq("method_a", "method_b"), "left")
+      .select($"method_a", $"method_b", $"n_a", $"n_b",
+        coalesce($"n_both", lit(0L)).as("n_both"),
+        ($"n_a" + $"n_b" - coalesce($"n_both", lit(0L))).as("n_union"),
+        when($"n_a" + $"n_b" - coalesce($"n_both", lit(0L)) === 0, lit(0.0))
+          .otherwise(round(coalesce($"n_both", lit(0L)).cast("double") /
+            ($"n_a" + $"n_b" - coalesce($"n_both", lit(0L))), 6)).as("jaccard"))
+      .orderBy($"method_a", $"method_b")
+  }
+
   val specs: Seq[Spec] = Seq(
+    ddMethodAgreement,
     ddMinhashPairs, ddMinhashBlocked, ddMinhashClusters, ddMinhashIncremental,
     ddJaccardBlockPairs, ddExactHash, ddExactIncremental, ddBloomIncremental,
     ddCappedStarPairs, ddSimhash, ddSimhashPairs,
