@@ -1118,8 +1118,81 @@ object Dedup {
       .orderBy($"method_a", $"method_b")
   }
 
+  /** Jaccard threshold sensitivity sweep — the dedup TUNING table: from
+    * ONE MinHash pair computation (candidates at the loosest threshold,
+    * 0.2), how many verified pairs and how many flagged docs survive
+    * at each tighter cutoff (0.2 … 0.9)? The corpus's own near-dups
+    * are all J ≥ 0.9 (planted exact-ish copies), so two deterministic
+    * weak-twin families are injected to populate the mid-curve —
+    * every-8th-token dropped (shingle J ≈ 0.5) and every-20th-token
+    * dropped (J ≈ 0.77) — the same synthetic-branch trick as
+    * [[ddCappedStarPairs]], stated identically in the oracle. This is the table a corpus owner
+    * reads before picking the production threshold — recomputing the
+    * whole LSH pipeline per candidate threshold is the naive
+    * alternative this query exists to avoid.
+    *
+    * Scale shape: the pair table is already capped-bucket bounded; the
+    * 5-row threshold grid broadcasts against it (nested-loop on a
+    * 5-row side — the grid trick); thresholds compare against the SAME
+    * 6dp-rounded jaccard both engines store, so cutoff membership is
+    * exact. LEFT join + count(non-null) keeps zero-pair thresholds. */
+  val ddThresholdSweep: Spec = Spec(
+    "dd_threshold_sweep",
+    oracle = Some(s"""
+      WITH docs2 AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+          array_to_string(list_filter(string_split(text, ' '),
+            (x, i) -> (i - 1) % 8 <> 0), ' ')
+        FROM documents WHERE doc_id % 20 = 0
+        UNION ALL
+        SELECT doc_id + 2000000,
+          array_to_string(list_filter(string_split(text, ' '),
+            (x, i) -> (i - 1) % 20 <> 0), ' ')
+        FROM documents WHERE doc_id % 20 = 10),
+      mhp AS (${minhashPairsSql
+        .replace("jac >= 0.5", "jac >= 0.2")
+        .replace("FROM documents", "FROM docs2")}),
+      t AS (SELECT * FROM (VALUES (0.2), (0.35), (0.5), (0.75), (0.9)) AS t(thr)),
+      j AS (SELECT thr, id_a, id_b FROM t LEFT JOIN mhp ON jaccard >= thr),
+      np AS (SELECT thr, CAST(COUNT(id_a) AS BIGINT) AS n_pairs
+             FROM j GROUP BY thr),
+      nd AS (
+        SELECT thr, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs
+        FROM (SELECT thr, unnest([id_a, id_b]) AS d FROM j)
+        WHERE d IS NOT NULL GROUP BY thr)
+      SELECT np.thr AS threshold, n_pairs,
+        CAST(COALESCE(n_docs, 0) AS BIGINT) AS n_docs
+      FROM np LEFT JOIN nd ON np.thr = nd.thr
+      ORDER BY threshold""")) { (s, dir) =>
+    import s.implicits._
+    val base = Tables.load(s, dir, "documents")
+    def dropped(mod: Int, res: Int, every: Int, off: Long) =
+      base.filter($"doc_id" % mod === res)
+        .select(($"doc_id" + off).as("doc_id"),
+          array_join(org.apache.spark.sql.functions.filter(
+            Text.tokens($"text"), (x, i) => i % every =!= 0), " ").as("text"))
+    val pairs = MinHash.candidatePairs(
+        base.select($"doc_id", $"text")
+          .unionByName(dropped(20, 0, 8, 1000000L))
+          .unionByName(dropped(20, 10, 20, 2000000L)),
+        "doc_id", "text",
+        shingleSize = 3, numPerm = 32, bands = 8, threshold = 0.2)
+      .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
+    val thr = Seq(0.2, 0.35, 0.5, 0.75, 0.9).toDF("threshold")
+    val j = broadcast(thr).join(pairs, $"jaccard" >= $"threshold", "left")
+    val np = j.groupBy($"threshold").agg(count($"id_a").as("n_pairs"))
+    val nd = j.select($"threshold", explode(array($"id_a", $"id_b")).as("d"))
+      .filter($"d".isNotNull)
+      .groupBy($"threshold").agg(countDistinct($"d").as("n_docs0"))
+    np.join(nd, Seq("threshold"), "left")
+      .select($"threshold", $"n_pairs", coalesce($"n_docs0", lit(0L)).as("n_docs"))
+      .orderBy($"threshold")
+  }
+
   val specs: Seq[Spec] = Seq(
-    ddMethodAgreement,
+    ddMethodAgreement, ddThresholdSweep,
     ddMinhashPairs, ddMinhashBlocked, ddMinhashClusters, ddMinhashIncremental,
     ddJaccardBlockPairs, ddExactHash, ddExactIncremental, ddBloomIncremental,
     ddCappedStarPairs, ddSimhash, ddSimhashPairs,
