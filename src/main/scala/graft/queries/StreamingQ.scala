@@ -532,8 +532,28 @@ object StreamingQ {
     Retrieval.scoreIndex(s, tf, dl, df, stats)
   }
 
+  /** Streaming as-of enrich — the stateful twin of `ev_asof_last_click`
+    * (same oracle SQL verbatim): one long of state per user, in-batch
+    * replay sorted by the batch window's exact sort key, ordered-feed
+    * contract across batches (StreamingSpec pins a two-batch
+    * MemoryStream split). */
+  val stAsofLastClick: Spec = Spec(
+    "st_asof_last_click",
+    oracle = Some("""
+      SELECT p.event_id, p.user_id, MAX(epoch_us(c.ts)) AS last_click_us
+      FROM events p
+      LEFT JOIN events c
+        ON c.user_id = p.user_id AND c.event_type = 'click'
+          AND epoch_us(c.ts) <= epoch_us(p.ts)
+      WHERE p.event_type = 'purchase'
+      GROUP BY p.event_id, p.user_id
+      ORDER BY p.event_id""")) { (s, dir) =>
+    StreamOps.asofLastClick(s, dir)
+  }
+
   val specs: Seq[Spec] = Seq(stTumbling, stSliding, stDedup, stSessions,
     stEnrich, stClickView, dLid, dLidScript, dLidConfusion, pipelineE2e,
     stDocFlags, stHeavyHitters, stDriftWindowed, stLidScript,
-    stMinhashPairs, stFunnelLevels, stBm25Indexed, stCmsCounts, stNovelty)
+    stMinhashPairs, stFunnelLevels, stBm25Indexed, stCmsCounts, stNovelty,
+    stAsofLastClick)
 }

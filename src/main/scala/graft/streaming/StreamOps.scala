@@ -210,6 +210,59 @@ object StreamOps {
     clickViewJoinFrom(s, eventsStream(s, dir), eventsStream(s, dir),
       "st_click_view_mem")
 
+  final case class AsofEvent(event_id: Long, user_id: Long, ts_us: Long,
+      is_purchase: Boolean)
+  final case class AsofOut(event_id: Long, user_id: Long,
+      last_click_us: Option[Long])
+
+  /** Streaming AS-OF enrich (flatMapGroupsWithState, NoTimeout): every
+    * purchase annotated with the user's latest prior-or-simultaneous
+    * click — the streaming twin of the batch `ev_asof_last_click`
+    * window. State per user is ONE long (last click ts) — bounded by
+    * user cardinality, never by stream length. Within a micro-batch the
+    * group's rows are sorted by the batch op's exact key (ts, clicks
+    * before purchases at equal ts, event_id) and replayed against the
+    * carried state, so a single-batch finite source reproduces the
+    * batch answer EXACTLY; across batches the feed contract is per-user
+    * event-time order (any global event-time split qualifies — the
+    * same contract `st_novelty` declares), under which the replay stays
+    * exact because the state is a monotone max. */
+  def asofFrom(s: SparkSession, events: DataFrame, sink: String): DataFrame =
+    runToTable(s, asofStreamFrame(s, events), sink, "append")
+      .orderBy(col("event_id"))
+
+  /** The unstarted streaming as-of frame — exposed so multi-batch tests
+    * can drive the micro-batch boundaries themselves. */
+  def asofStreamFrame(s: SparkSession, events: DataFrame): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val src = events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"),
+        (col("event_type") === "purchase").as("is_purchase"))
+      .as[AsofEvent]
+    val out = src.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, AsofOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (user, it, state) =>
+        var last: Option[Long] = state.getOption
+        val outBuf = Seq.newBuilder[AsofOut]
+        it.toIndexedSeq
+          .sortBy(e => (e.ts_us, e.is_purchase, e.event_id))
+          .foreach { e =>
+            if (!e.is_purchase) {
+              if (last.forall(_ < e.ts_us)) last = Some(e.ts_us)
+            } else outBuf += AsofOut(e.event_id, user, last)
+          }
+        last.foreach(state.update)
+        outBuf.result().iterator
+      }
+    out.toDF
+  }
+
+  /** File-source driver of [[asofFrom]]. */
+  def asofLastClick(s: SparkSession, dir: String): DataFrame =
+    asofFrom(s, eventsStream(s, dir), "st_asof_mem")
+
   /** Streaming INCREMENTAL exact dedup via foreachBatch: each
     * micro-batch is content-hashed, first-win reduced within the batch
     * (min id per hash — same deterministic rule as the batch

@@ -115,6 +115,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch)
   }
 
+  test("streaming as-of: two-batch event-time-ordered feed equals the file-source run") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Events.load(spark, TestSpark.Sf)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[(Long, Long, Long, String, Double, String)].collect().toSeq
+    // feed contract: a global event-time split is per-user ordered too
+    val cut = rows.map(_._2).sorted.apply(rows.size / 2)
+    val (batch0, batch1) = rows.partition(_._2 < cut)
+    val ms = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val src = ms.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = StreamOps.asofStreamFrame(spark, src).writeStream
+      .outputMode("append").format("memory").queryName("st_asof_msrc").start()
+    try {
+      ms.addData(batch0)
+      q.processAllAvailable()
+      ms.addData(batch1) // purchases here must see batch-0 clicks via STATE
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("st_asof_msrc")
+      .as[(Long, Long, Option[Long])].collect().toSet
+    val file = StreamOps.asofLastClick(spark, TestSpark.Sf)
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(got == file)
+    assert(got.nonEmpty)
+    // the state actually carried: some batch-1 purchase's last click is
+    // a batch-0 click (strictly before the cut)
+    assert(got.exists { case (_, _, lc) => lc.exists(_ < cut / 1000) })
+  }
+
   test("foreachBatch incremental dedup: cross-batch state, first-win, idempotent dirs") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
