@@ -1191,8 +1191,67 @@ object Dedup {
       .orderBy($"threshold")
   }
 
+  /** MinHash estimation-error report — "measure, don't guess" for the
+    * sketch itself: for every LSH-verified pair, the SIGNATURE-side
+    * Jaccard estimate (agreeing slots / 32) next to the exact
+    * shingle-set Jaccard, the per-pair absolute error, and the corpus
+    * MAE (theory: σ ≈ √(J(1−J)/k) ≈ 0.09 at k=32, J=0.5 — the table
+    * that justifies the permutation budget). Estimates are k/32 values
+    * (exact binary doubles, no rounding hazard); MAE goes through the
+    * DECIMAL-sum rule; the one-row MAE aggregate broadcasts onto the
+    * pair table.
+    *
+    * Scale shape: identical to [[ddMinhashPairs]] (capped buckets, one
+    * signature computation) plus two keyed joins of the bounded pair
+    * table back to signatures. */
+  val ddMinhashEstimate: Spec = Spec(
+    "dd_minhash_estimate",
+    oracle = Some {
+      val pairsWithSig = minhashPairsSql.replace(
+        """SELECT ida AS id_a, idb AS id_b, ROUND(jac, 6) AS jaccard
+      FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b""",
+        """SELECT j.ida AS id_a, j.idb AS id_b, ROUND(j.jac, 6) AS jaccard,
+        round(len(list_filter(list_transform(range(1, 33),
+          i -> sa.sig[i] = sb.sig[i]), x -> x)) / 32.0, 6) AS estimate
+      FROM j JOIN sig sa ON sa.doc_id = j.ida
+        JOIN sig sb ON sb.doc_id = j.idb
+      WHERE j.jac >= 0.5""")
+      s"""
+      WITH mhe AS ($pairsWithSig),
+      e AS (
+        SELECT id_a, id_b, jaccard, estimate,
+          round(abs(estimate - jaccard), 6) AS abs_err
+        FROM mhe),
+      m AS (
+        SELECT round(CAST(SUM(CAST(abs_err AS DECIMAL(18,6))) AS DOUBLE)
+          / COUNT(*), 6) AS mae FROM e)
+      SELECT e.*, m.mae FROM e, m ORDER BY id_a, id_b"""
+    }) { (s, dir) =>
+    import s.implicits._
+    val base = Tables.load(s, dir, "documents")
+    val sigs = base
+      .select($"doc_id".as("id"), Text.shingleSet($"text", 3).as("sh"))
+      .filter(org.apache.spark.sql.functions.size($"sh") > 0)
+      .withColumn("sig", MinHash.signature($"sh", 32))
+      .select($"id", $"sig")
+    val e = MinHash.candidatePairs(base, "doc_id", "text",
+        shingleSize = 3, numPerm = 32, bands = 8, threshold = 0.5)
+      .join(sigs.select($"id".as("id_a"), $"sig".as("sig_a")), Seq("id_a"))
+      .join(sigs.select($"id".as("id_b"), $"sig".as("sig_b")), Seq("id_b"))
+      .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"),
+        round(org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.filter(
+            zip_with($"sig_a", $"sig_b", (x, y) => x === y),
+            b => b)).cast("double") / 32.0, 6).as("estimate"))
+      .withColumn("abs_err", round(abs($"estimate" - $"jaccard"), 6))
+    val m = e.agg(round(
+      sum($"abs_err".cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
+      .as("mae"))
+    e.crossJoin(broadcast(m)).orderBy($"id_a", $"id_b")
+  }
+
   val specs: Seq[Spec] = Seq(
-    ddMethodAgreement, ddThresholdSweep,
+    ddMethodAgreement, ddThresholdSweep, ddMinhashEstimate,
     ddMinhashPairs, ddMinhashBlocked, ddMinhashClusters, ddMinhashIncremental,
     ddJaccardBlockPairs, ddExactHash, ddExactIncremental, ddBloomIncremental,
     ddCappedStarPairs, ddSimhash, ddSimhashPairs,
