@@ -1153,7 +1153,71 @@ object Similarity {
       .orderBy($"qid", $"rk")
   }
 
-  val specs: Seq[Spec] = Seq(eCentroids, eKnnBrute, eKnnCell, eNearDup,
+  /** ANN recall report — "measure, don't guess" for the index: recall@5
+    * of the IVF (label-cell) path against brute-force ground truth,
+    * per query plus the macro average. The honest evaluation table
+    * every ANN deployment needs before trusting the pruned path: a
+    * query whose true neighbors live outside its cell shows up here as
+    * recall < 1, quantifying the nprobe/cell-size tradeoff the
+    * multiprobe variant exists to fix.
+    *
+    * Scale shape: both rankings are the existing bounded pipelines
+    * (top-5 per query); the hit join is keyed on (qid, cid); the query
+    * grid keeps zero-hit queries; the 1-row macro aggregate broadcasts
+    * (the MAE recipe from `dd_minhash_estimate`). */
+  val eIvfRecall: Spec = Spec(
+    "e_ivf_recall",
+    oracle = Some(s"""
+      WITH q AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 10),
+      bscored AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+          ${cosSql("q.embedding", "c.embedding")} AS cos
+        FROM q JOIN embeddings c ON c.vec_id <> q.vec_id),
+      truth AS (
+        SELECT qid, cid FROM (
+          SELECT qid, cid,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+          FROM bscored) WHERE rk <= 5),
+      iscored AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+          ${cosSql("q.embedding", "c.embedding")} AS cos
+        FROM q JOIN embeddings c ON c.label = q.label AND c.vec_id <> q.vec_id),
+      ivf AS (
+        SELECT qid, cid FROM (
+          SELECT qid, cid,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+          FROM iscored) WHERE rk <= 5),
+      hits AS (
+        SELECT truth.qid, CAST(COUNT(ivf.cid) AS BIGINT) AS n_hits
+        FROM truth LEFT JOIN ivf
+          ON truth.qid = ivf.qid AND truth.cid = ivf.cid
+        GROUP BY truth.qid),
+      e AS (
+        SELECT qid, n_hits, round(n_hits / 5.0, 6) AS recall FROM hits),
+      m AS (
+        SELECT round(CAST(SUM(CAST(recall AS DECIMAL(18,6))) AS DOUBLE)
+          / COUNT(*), 6) AS macro_recall FROM e)
+      SELECT e.*, m.macro_recall FROM e, m ORDER BY qid""")) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+      .select($"vec_id".as("id"), $"embedding".as("vec"), $"label")
+    val queries = emb.filter($"id" < 10)
+    val truth = Vectors.knnBrute(queries, emb.select($"id", $"vec"), 5)
+      .select($"qid", $"cid")
+    val ivf = Vectors.knnCell(queries, emb, "label", 5)
+      .select($"qid".as("iqid"), $"cid".as("icid"))
+    val e = truth
+      .join(ivf, $"qid" === $"iqid" && $"cid" === $"icid", "left")
+      .groupBy($"qid")
+      .agg(count($"icid").as("n_hits"))
+      .select($"qid", $"n_hits", round($"n_hits" / 5.0, 6).as("recall"))
+    val m = e.agg(round(
+      sum($"recall".cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
+      .as("macro_recall"))
+    e.crossJoin(broadcast(m)).orderBy($"qid")
+  }
+
+  val specs: Seq[Spec] = Seq(eCentroids, eKnnBrute, eKnnCell, eNearDup, eIvfRecall,
     eNearDupLsh, eKnnQuantized, eKmeansCentroids, eKnnIvfLearned,
     eKnnIvfMultiprobe, eKnnPq, eKnnIvfPq, eBitextMine, eEmbeddingOutliers,
     eKnnIvfPqProbe, eNearDupClusters, eKnnMatryoshka, eMmrRerank,
