@@ -1430,7 +1430,161 @@ object TrainingPrep {
       .orderBy($"doc_id")
   }
 
+  /** Quality-filter calibration — how well does the linear classifier
+    * ([[dQualityClassifier]]) reproduce the Gopher rule decision
+    * ([[dGopherRules]]) when the rules are treated as pseudo-labels?
+    * Per language: the confusion counts plus precision / recall / F1
+    * of `keep` vs `gopher_keep`. This is the table that says whether a
+    * cheap learned filter can replace the rule cascade per language —
+    * the standard corpus-curation calibration step. Both decisions are
+    * per-row scalar work restated from their proven specs, so the
+    * whole thing is ONE corpus scan + a per-lang agg; every metric is
+    * a single integer division (F1 via the 2tp/(2tp+fp+fn) identity —
+    * no chained rounded-double arithmetic), zero-guarded.
+    */
+  val dQualityCalibration: Spec = Spec(
+    "d_quality_calibration",
+    oracle = Some("""
+      WITH f AS (
+        SELECT doc_id, lang,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+          round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+            / len(string_split(text, ' ')), 6) AS mean_word_len,
+          round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' ')), 6) AS unique_frac,
+          round(CASE WHEN length(text) = 0 THEN 0.0
+            ELSE CAST(length(regexp_replace(text, '[\p{L}\s]', '', 'g'))
+              AS DOUBLE) / length(text) END, 6) AS symbol_ratio,
+          round(CASE WHEN length(text) = 0 THEN 0.0
+            ELSE CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+              AS DOUBLE) / length(text) END, 6) AS digit_frac,
+          text || chr(10) ||
+          CASE WHEN doc_id % 3 = 0 THEN '• ' ELSE '' END ||
+            substr(text, 31, 20) || chr(10) ||
+          substr(text, 51, 15) ||
+            CASE WHEN doc_id % 4 = 0 THEN '...' ELSE '.' END AS rich
+        FROM documents),
+      c AS (
+        SELECT f.*,
+          FLOOR(1e6 / (1.0 + exp(-CAST(
+            -1.2 + 0.9 * CAST(round(log10(CAST(n_words AS DOUBLE)), 6)
+                AS DECIMAL(18,6))
+              + 3.0 * CAST(unique_frac AS DECIMAL(18,6))
+              - 6.0 * CAST(symbol_ratio AS DECIMAL(18,6))
+              - 4.0 * CAST(digit_frac AS DECIMAL(18,6))
+              - 0.8 * abs(CAST(mean_word_len AS DECIMAL(18,6)) - 5.0)
+            AS DOUBLE)))) / 1e6 >= 0.5 AS clf_keep
+        FROM f),
+      g AS (
+        SELECT doc_id,
+          CAST(len(string_split(replace(rich, chr(10), ' '), ' ')) AS BIGINT)
+            AS g_words,
+          length(replace(replace(rich, ' ', ''), chr(10), '')) AS g_ch,
+          CAST(len(list_filter(string_split(rich, chr(10)),
+            x -> x LIKE '•%')) AS BIGINT) AS g_bullet,
+          CAST(len(list_filter(string_split(rich, chr(10)),
+            x -> x LIKE '%...')) AS BIGINT) AS g_ellip,
+          CAST(len(string_split(rich, chr(10))) AS BIGINT) AS g_lines,
+          round(CAST(length(regexp_replace(rich, '[\p{L}\s]', '', 'g'))
+            AS DOUBLE) / length(rich), 6) AS g_sym
+        FROM c),
+      j AS (
+        SELECT c.lang, c.clf_keep,
+          (g_words BETWEEN 50 AND 100000
+           AND round(CAST(g_ch AS DOUBLE) / g_words, 6) BETWEEN 3 AND 10
+           AND round(CAST(g_ellip AS DOUBLE) / g_lines, 6) <= 0.3
+           AND round(CAST(g_bullet AS DOUBLE) / g_lines, 6) <= 0.9
+           AND g_sym < 0.4) AS gopher_keep
+        FROM c JOIN g ON c.doc_id = g.doc_id),
+      m AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CASE WHEN clf_keep AND gopher_keep THEN 1 ELSE 0 END)
+            AS BIGINT) AS tp,
+          CAST(SUM(CASE WHEN clf_keep AND NOT gopher_keep THEN 1 ELSE 0 END)
+            AS BIGINT) AS fp,
+          CAST(SUM(CASE WHEN NOT clf_keep AND gopher_keep THEN 1 ELSE 0 END)
+            AS BIGINT) AS fn,
+          CAST(SUM(CASE WHEN NOT clf_keep AND NOT gopher_keep THEN 1 ELSE 0 END)
+            AS BIGINT) AS tn
+        FROM j GROUP BY lang)
+      SELECT lang, n, tp, fp, fn, tn,
+        CASE WHEN tp + fp = 0 THEN 0.0
+          ELSE round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision,
+        CASE WHEN tp + fn = 0 THEN 0.0
+          ELSE round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall,
+        CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+          ELSE round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
+      FROM m ORDER BY lang""")) { (s, dir) =>
+    import s.implicits._
+    val nw = size(Text.tokens($"text"))
+    val feats = docs(s, dir)
+      .select($"doc_id", $"lang", $"text",
+        nw.cast("long").as("n_words"),
+        round(length(regexp_replace($"text", " ", "")).cast("double") / nw, 6)
+          .as("mean_word_len"),
+        round(org.apache.spark.sql.functions.size(
+            array_distinct(Text.tokens($"text"))).cast("double") / nw, 6)
+          .as("unique_frac"),
+        round(Text.charClassOutRatio($"text", "[\\p{L}\\s]"), 6)
+          .as("symbol_ratio"),
+        round(Text.charClassOutRatio($"text", "[^0-9]"), 6).as("digit_frac"))
+    val logit = {
+      def bd(v: String) = lit(new java.math.BigDecimal(v))
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+      (bd("-1.2") + bd("0.9") * dec(round(log10($"n_words".cast("double")), 6))
+        + bd("3.0") * dec($"unique_frac") - bd("6.0") * dec($"symbol_ratio")
+        - bd("4.0") * dec($"digit_frac")
+        - bd("0.8") * abs(dec($"mean_word_len") - bd("5.0"))).cast("double")
+    }
+    val rich = concat(
+      $"text", lit("\n"),
+      when($"doc_id" % 3 === 0, lit("• ")).otherwise(lit("")),
+      substring($"text", 31, 20), lit("\n"),
+      substring($"text", 51, 15),
+      when($"doc_id" % 4 === 0, lit("...")).otherwise(lit(".")))
+    val lines = split($"rich", "\n", -1)
+    val decided = feats
+      .withColumn("clf_keep",
+        floor(lit(1e6) / (lit(1.0) + exp(-logit))) / lit(1e6) >= 0.5)
+      .withColumn("rich", rich)
+      .withColumn("g_words",
+        Text.wordCount(regexp_replace($"rich", "\n", " ")).cast("long"))
+      .withColumn("g_ch", length(regexp_replace($"rich", "[ \n]", "")))
+      .withColumn("g_bullet", org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.filter(lines, x => x.startsWith("•")))
+        .cast("long"))
+      .withColumn("g_ellip", org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.filter(lines, x => x.endsWith("...")))
+        .cast("long"))
+      .withColumn("g_lines",
+        org.apache.spark.sql.functions.size(lines).cast("long"))
+      .withColumn("gopher_keep",
+        $"g_words".between(50, 100000) &&
+        round($"g_ch".cast("double") / $"g_words", 6).between(3, 10) &&
+        round($"g_ellip".cast("double") / $"g_lines", 6) <= 0.3 &&
+        round($"g_bullet".cast("double") / $"g_lines", 6) <= 0.9 &&
+        round(Text.charClassOutRatio($"rich", "[\\p{L}\\s]"), 6) < 0.4)
+    val m = decided.groupBy($"lang").agg(
+      count(lit(1)).as("n"),
+      sum(when($"clf_keep" && $"gopher_keep", 1L).otherwise(0L)).as("tp"),
+      sum(when($"clf_keep" && !$"gopher_keep", 1L).otherwise(0L)).as("fp"),
+      sum(when(!$"clf_keep" && $"gopher_keep", 1L).otherwise(0L)).as("fn"),
+      sum(when(!$"clf_keep" && !$"gopher_keep", 1L).otherwise(0L)).as("tn"))
+    m.select($"lang", $"n", $"tp", $"fp", $"fn", $"tn",
+        when($"tp" + $"fp" === 0, lit(0.0))
+          .otherwise(round($"tp".cast("double") / ($"tp" + $"fp"), 6))
+          .as("precision"),
+        when($"tp" + $"fn" === 0, lit(0.0))
+          .otherwise(round($"tp".cast("double") / ($"tp" + $"fn"), 6))
+          .as("recall"),
+        when(lit(2) * $"tp" + $"fp" + $"fn" === 0, lit(0.0))
+          .otherwise(round(lit(2.0) * $"tp" / (lit(2) * $"tp" + $"fp" + $"fn"), 6))
+          .as("f1"))
+      .orderBy($"lang")
+  }
+
   val specs: Seq[Spec] = Seq(
+    dQualityCalibration,
     dStratifiedSample, dShardPacking, dChunkWindows, dUnigramLmScore,
     dGopherRules, dTfidfTopTerms, dMixtureSample, dLengthOutliers,
     dProfileColumns, dZipfSlope, dDriftPsi, dHeavyHitters,
