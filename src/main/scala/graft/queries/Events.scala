@@ -9,11 +9,12 @@ import org.apache.spark.sql.expressions.Window
   * sessionization with an inactivity gap, as-of (latest prior event)
   * join, and a per-user funnel pivot.
   *
-  * The parquet column `ts` is TIMESTAMP(NANOS), which Spark's vectorized
-  * reader rejects; we read it as raw nanos-since-epoch (long) via
-  * `spark.sql.legacy.parquet.nanosAsLong` and do exact integer time
-  * arithmetic — cheaper than timestamps (pure long comparisons, fully
-  * codegen'd) and immune to truncation mismatches vs the oracle.
+  * Every operator works on `ts` as raw nanos-since-epoch (long) and does
+  * exact integer time arithmetic — cheaper than timestamps (pure long
+  * comparisons, fully codegen'd) and immune to truncation mismatches vs
+  * the oracle. [[load]] normalizes whatever the parquet carries
+  * (TIMESTAMP(NANOS) via `nanosAsLong`, or plain micros timestamps) to
+  * that contract, so the query bodies are storage-schema-independent.
   *
   * Scale: every operator here is a single window or hash-agg partitioned
   * by `user_id` / calendar bucket — state per key is O(session), nothing
@@ -22,17 +23,29 @@ import org.apache.spark.sql.expressions.Window
   */
 object Events {
 
-  /** Events with `ts` as nanos-since-epoch long. Requires
-    * `spark.sql.legacy.parquet.nanosAsLong=true`, which every session
-    * builder in this repo (Sessions/Verify/Bench) sets at construction —
-    * asserted here rather than mutated, so a query function never
-    * side-effects shared session conf. */
-  def load(s: SparkSession, dir: String): DataFrame = {
-    require(
-      s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events queries need spark.sql.legacy.parquet.nanosAsLong=true at session construction")
-    s.read.parquet(s"$dir/events.parquet")
+  /** Normalize a `ts` column of any supported storage type to
+    * nanos-since-epoch long — the single time contract every events
+    * operator (batch and streaming) computes on. Timestamp-typed input
+    * converts via a tz-independent MICROSECOND diff from the epoch
+    * (NTZ wall-clock and the oracle's naive parquet timestamps agree by
+    * construction); long input (a TIMESTAMP(NANOS) file read with
+    * `spark.sql.legacy.parquet.nanosAsLong=true`) passes through. */
+  def tsToNanos(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => df
+      case TimestampNTZType => df.withColumn("ts",
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts) * 1000"))
+      case TimestampType => df.withColumn("ts", unix_micros(col("ts")) * 1000)
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported type $other (expected long nanos or a timestamp)")
+    }
   }
+
+  /** Events with `ts` normalized to nanos-since-epoch long (see
+    * [[tsToNanos]]). */
+  def load(s: SparkSession, dir: String): DataFrame =
+    tsToNanos(s.read.parquet(s"$dir/events.parquet"))
 
   /** Tumbling 1-hour windows per event type. */
   val qTumbling: Spec = Spec(

@@ -15,23 +15,22 @@ import graft.ops.MinHash
   */
 object StreamOps {
 
-  /** events schema with ts as raw nanos (see queries.Events). */
+  /** events file schema as stored (ts is a naive micros timestamp; the
+    * source normalizes it to the raw-nanos long contract post-read,
+    * see [[graft.queries.Events.tsToNanos]]). */
   val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("event_id", LongType), StructField("ts", TimestampNTZType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Streaming events source with `ts` as raw nanos. Like
-    * [[graft.queries.Events.load]]: the nanosAsLong conf is asserted
-    * (set by every session builder in this repo at construction), not
-    * mutated — a query function never side-effects shared session conf. */
-  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    require(
-      s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "streaming events queries need spark.sql.legacy.parquet.nanosAsLong=true at session construction")
-    s.readStream.schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-  }
+  /** Streaming events source with `ts` normalized to raw nanos — the
+    * same contract as the batch [[graft.queries.Events.load]], so the
+    * file twin and the MemoryStream twin (which feeds long tuples
+    * directly) run identical downstream plans. */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame =
+    graft.queries.Events.tsToNanos(
+      s.readStream.schema(eventsSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
 
   /** Drain a finite streaming aggregate into its memory-sink table.
     * `processAllAvailable` makes any bounded source (file, MemoryStream)
