@@ -95,6 +95,45 @@ object ConnectedComponents {
     labels
   }
 
+  /** Merge a NEW batch of edges into an existing component labelling
+    * without recomputing untouched components — the incremental twin
+    * of [[run]] for daily-increment dedup at corpus scale.
+    *
+    * Correctness: each affected old component re-enters the solve as
+    * star edges (member → label), which encode its reachability
+    * exactly; min-label CC over (stars ∪ new edges) therefore yields
+    * the same labels as a full recompute over (old edges ∪ new edges)
+    * restricted to the affected subgraph, and untouched components
+    * keep labels that a full recompute could not change (no new edge
+    * reaches them).
+    *
+    * Scale: the label state is corpus-sized but is never shuffled —
+    * `touched` and `affected` are batch-proportional and ride
+    * broadcasts into the semi/anti restriction joins, so per-increment
+    * shuffle volume is bounded by the affected-component membership.
+    *
+    * @param baseLabels (id, component) from a prior [[run]]/[[incremental]].
+    * @param newEdges (src, dst) undirected new edges (may reference
+    *        both labelled and brand-new nodes). */
+  def incremental(baseLabels: DataFrame, newEdges: DataFrame,
+      maxIter: Int = 20, smallGraphMax: Long = 2000000L): DataFrame = {
+    // Materialize both inputs once: base is typically an expensive
+    // lineage (a full clustering) consumed by three branches below.
+    val base = baseLabels.select(col("id"), col("component")).localCheckpoint()
+    val edges = newEdges.select(col("src"), col("dst")).localCheckpoint()
+    val touched = edges.select(col("src").as("id"))
+      .unionAll(edges.select(col("dst").as("id"))).distinct()
+    val affected = base.join(touched, Seq("id"), "left_semi")
+      .select(col("component")).distinct().localCheckpoint()
+    val stars = base.join(broadcast(affected), Seq("component"), "left_semi")
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("src"), col("component").as("dst"))
+    val resolved = run(stars.unionAll(edges), maxIter, smallGraphMax)
+    base.join(broadcast(affected), Seq("component"), "left_anti")
+      .select(col("id"), col("component"))
+      .unionAll(resolved.select(col("id"), col("component")))
+  }
+
   /** Driver-side union-find over a bounded symmetrized edge list —
     * union-by-min with full path compression, so every root is its
     * component's minimum id and the result is edge-order-independent. */

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{MinHash, SimHash, Text}
+import graft.ops.{ConnectedComponents, MinHash, SimHash, Text}
 
 /** Deduplication family (SURVEY §2.11 + training-pipeline additions):
   * exact content-hash, MinHash+LSH with verified Jaccard, LSH clusters
@@ -136,13 +136,13 @@ object Dedup {
       .orderBy($"id_a", $"id_b")
   }
 
-  /** Duplicate clusters: connected components over the LSH pair graph,
-    * keep-min-per-component. Oracle: the same pair recipe + a recursive
+  /** Full-corpus cluster oracle: the pair recipe + a recursive
     * reachability walk with min-label (DuckDB recursive CTE) — feasible
-    * because UNION dedups (id, comp) pairs, so the walk terminates. */
-  val ddMinhashClusters: Spec = Spec(
-    "dd_minhash_clusters",
-    oracle = Some("""
+    * because UNION dedups (id, comp) pairs, so the walk terminates.
+    * Shared by the one-shot clustering (dd_minhash_clusters) and the
+    * incremental merge (dd_cc_incremental), whose defining property is
+    * exact equality with this full recompute. */
+  private[queries] val minhashClustersSql = """
       WITH RECURSIVE toks AS (
         SELECT doc_id, string_split(text,' ') AS l FROM documents),
       sh AS (
@@ -178,12 +178,52 @@ object Dedup {
         SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id),
       labels AS (SELECT id, MIN(comp) AS component FROM walk GROUP BY id)
       SELECT component, COUNT(*) AS cluster_size, MAX(id) AS max_id
-      FROM labels GROUP BY component ORDER BY component""")) { (s, dir) =>
+      FROM labels GROUP BY component ORDER BY component"""
+
+  /** Duplicate clusters: connected components over the LSH pair graph,
+    * keep-min-per-component. */
+  val ddMinhashClusters: Spec = Spec(
+    "dd_minhash_clusters",
+    oracle = Some(minhashClustersSql)) { (s, dir) =>
     import s.implicits._
     val pairs = MinHash.candidatePairs(
       Tables.load(s, dir, "documents"), "doc_id", "text",
       shingleSize = 3, numPerm = 32, bands = 8, threshold = 0.5)
     MinHash.clusters(pairs)
+      .groupBy($"component")
+      .agg(count(lit(1)).as("cluster_size"), max($"id").as("max_id"))
+      .orderBy($"component")
+  }
+
+  /** INCREMENTAL connected components: the corpus (doc_id % 10 != 0) is
+    * clustered once — that labelling is the persisted state — and the
+    * daily batch (doc_id % 10 = 0) arrives as a new edge set from the
+    * incremental LSH pair path. [[ConnectedComponents.incremental]]
+    * merges the batch edges into the existing labels touching ONLY the
+    * affected components: old clusters re-enter the solve as star
+    * edges (member → label), which preserve reachability exactly, so
+    * the merged labelling provably equals a full recompute — and the
+    * oracle states precisely that (the full-corpus cluster recipe).
+    *
+    * Scale: per-increment cost is batch + affected-component sized.
+    * The corpus label state is scanned but never shuffled — the
+    * touched-node and affected-component frames are batch-proportional
+    * and ride broadcasts into the semi/anti restriction joins. */
+  val ddCcIncremental: Spec = Spec(
+    "dd_cc_incremental",
+    oracle = Some(minhashClustersSql)) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val batch = docs.filter($"doc_id" % 10 === 0)
+    val base = MinHash.clusters(MinHash.candidatePairs(
+      corpus, "doc_id", "text",
+      shingleSize = 3, numPerm = 32, bands = 8, threshold = 0.5))
+    val newEdges = MinHash.incrementalCandidatePairs(
+        MinHash.lshState(batch, "doc_id", "text"),
+        MinHash.lshState(corpus, "doc_id", "text"), threshold = 0.5)
+      .select($"id_a".as("src"), $"id_b".as("dst"))
+    ConnectedComponents.incremental(base, newEdges)
       .groupBy($"component")
       .agg(count(lit(1)).as("cluster_size"), max($"id").as("max_id"))
       .orderBy($"component")
@@ -1253,6 +1293,7 @@ object Dedup {
   val specs: Seq[Spec] = Seq(
     ddMethodAgreement, ddThresholdSweep, ddMinhashEstimate,
     ddMinhashPairs, ddMinhashBlocked, ddMinhashClusters, ddMinhashIncremental,
+    ddCcIncremental,
     ddJaccardBlockPairs, ddExactHash, ddExactIncremental, ddBloomIncremental,
     ddCappedStarPairs, ddSimhash, ddSimhashPairs,
     ddSimhashMd5, ddSimhashMd5Pairs, ddDecontaminate, ddDecontaminateSpans,

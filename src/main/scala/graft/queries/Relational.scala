@@ -559,6 +559,40 @@ object Relational {
       .orderBy($"p_partkey")
   }
 
+  /** Fuzzy self-join (record linkage): part-name pairs within edit
+    * distance 2, blocked by `p_size` — the declared-block fuzzy-match
+    * policy (like language-blocking in dedup), so candidates never
+    * form across blocks BY DESIGN and the oracle states the same
+    * policy. Candidates come from the capped bucket scaffold
+    * ([[graft.ops.Buckets.pairs]] — star cap + observe gate, never an
+    * unbounded block²), then a LOSSLESS length-band prefilter
+    * (levenshtein ≥ |len(a)-len(b)|, so ≤2 requires the band) cuts the
+    * O(len²) distance computations before they run. Spark and DuckDB
+    * `levenshtein` agree: unit-cost insert/delete/substitute. */
+  val qFuzzyPartNames: Spec = Spec(
+    "q_fuzzy_part_names",
+    oracle = Some("""
+      SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+        a.p_name AS name_a, b.p_name AS name_b,
+        CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+      FROM part a JOIN part b
+        ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+        AND abs(len(a.p_name) - len(b.p_name)) <= 2
+        AND levenshtein(a.p_name, b.p_name) <= 2
+      ORDER BY key_a, key_b""")) { (s, dir) =>
+    import s.implicits._
+    val part = Tables.load(s, dir, "part")
+    val named = part.select($"p_partkey", $"p_name")
+    graft.ops.Buckets.pairs(part, Seq("p_size"), "p_partkey")
+      .join(named.select($"p_partkey".as("id_a"), $"p_name".as("name_a")), "id_a")
+      .join(named.select($"p_partkey".as("id_b"), $"p_name".as("name_b")), "id_b")
+      .filter(abs(length($"name_a") - length($"name_b")) <= 2)
+      .filter(levenshtein($"name_a", $"name_b") <= 2)
+      .select($"id_a".as("key_a"), $"id_b".as("key_b"), $"name_a", $"name_b",
+        levenshtein($"name_a", $"name_b").cast("long").as("edit_dist"))
+      .orderBy($"key_a", $"key_b")
+  }
+
   /** Two-phase SALTED aggregation surfaced as a query: the hot-key
     * shape AQE can't fix (a melting reducer under groupBy) goes through
     * Skew.saltedAgg — partials on (key, salt), merge on key — and must
@@ -681,5 +715,6 @@ object Relational {
     qAntiCustomers, qTopPartsPerBrand, qRunningSupplier, qSetOps,
     qRollup, qGroupingSets, qPivot, qPercentiles, qHistogram, qDistinctAgg,
     qMonthly, qCaseWhen, qCube, qSqlSurface, qSketches, qWindowShapes,
-    qOrderLatency, qStringOps, qSaltedAgg, qRangeBandJoin, qBenford)
+    qOrderLatency, qStringOps, qFuzzyPartNames, qSaltedAgg, qRangeBandJoin,
+    qBenford)
 }

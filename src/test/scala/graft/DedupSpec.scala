@@ -74,6 +74,32 @@ class DedupSpec extends AnyFunSuite {
     assert(ConnectedComponents.run(edges, smallGraphMax = 0).count() == 0)
   }
 
+  test("incremental components: batch merge equals full recompute") {
+    // Base: {1,2,3} labelled 1, {5,4} labelled 4, {10,11} labelled 10.
+    val baseEdges = Seq((1L, 2L), (2L, 3L), (5L, 4L), (10L, 11L))
+      .toDF("src", "dst")
+    val base = ConnectedComponents.run(baseEdges)
+    // Batch: bridges the first two components (3-5), attaches a brand-new
+    // node to the first (2-20), and adds a disjoint new pair (30-31).
+    // {10,11} is untouched and must keep its label without a recompute.
+    val newEdges = Seq((3L, 5L), (2L, 20L), (30L, 31L)).toDF("src", "dst")
+    val got = ConnectedComponents.incremental(base, newEdges)
+      .as[(Long, Long)].collect().toMap
+    val full = ConnectedComponents.run(baseEdges.unionAll(newEdges))
+      .as[(Long, Long)].collect().toMap
+    assert(got == full)
+    assert(got(20L) == 1L && got(4L) == 1L && got(10L) == 10L
+      && got(30L) == 30L)
+  }
+
+  test("incremental components: empty batch is the identity on base labels") {
+    val base = ConnectedComponents.run(Seq((1L, 2L), (7L, 8L)).toDF("src", "dst"))
+    val got = ConnectedComponents.incremental(
+        base, Seq.empty[(Long, Long)].toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
   test("minhash on corpus with no near-dups yields zero pairs and empty clusters") {
     val docs = Seq((0L, distinct1), (1L, distinct2)).toDF("doc_id", "text")
     val pairs = MinHash.candidatePairs(docs, "doc_id", "text", threshold = 0.5)
