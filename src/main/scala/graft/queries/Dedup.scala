@@ -229,6 +229,100 @@ object Dedup {
       .orderBy($"component")
   }
 
+  /** Near-dup pair EXPLANATION: for every verified LSH pair, the
+    * common-prefix / common-suffix decomposition of the two texts —
+    * the "what actually changed" report reviewers want next to a
+    * dedup decision (changed_a/changed_b = the middle spans left after
+    * stripping the shared ends, the single-edit-region diff shape).
+    * Both engines compute the first-mismatch position with the same
+    * higher-order filter-over-positions form (Spark `filter(sequence)`
+    * / DuckDB `list_filter(range)`), and the suffix is clamped so
+    * prefix+suffix never overlap.
+    *
+    * Scale: per-pair cost is O(min doc length) over the VERIFIED pair
+    * set only (LSH-bucketed, star-capped) — never a corpus-wide text
+    * comparison. */
+  val ddPairDiffSpans: Spec = Spec(
+    "dd_pair_diff_spans",
+    oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text,' ') AS l FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(l)-1, 1)),
+          i -> array_to_string(l[i:i+2], ' '))) AS sh
+        FROM toks WHERE len(l) >= 3),
+      sig AS (
+        SELECT doc_id, list_transform(range(0, 32),
+          p -> CAST(list_min(list_transform(sh, s ->
+            (CAST(2*p*2654435761 + 1 AS HUGEINT) *
+               (('0x' || substr(md5(s), 1, 15))::BIGINT) + (p*40503 + 7))
+              % 2305843009213693951)) AS BIGINT)) AS sig
+        FROM sh),
+      bands AS (
+        SELECT doc_id, b,
+          md5(b::VARCHAR || '|' || array_to_string(sig[b*4+1:b*4+4], '')) AS key
+        FROM sig CROSS JOIN unnest(range(0, 8)) AS t(b)),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+        FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key
+          AND a.doc_id < b.doc_id),
+      verified AS (
+        SELECT ida, idb FROM pairs
+        JOIN sh sa ON sa.doc_id = ida JOIN sh sb ON sb.doc_id = idb
+        WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+          (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5),
+      t AS (
+        SELECT ida, idb, da.text AS ta, db.text AS tb,
+          len(da.text) AS la, len(db.text) AS lb,
+          least(len(da.text), len(db.text)) AS n
+        FROM verified
+        JOIN documents da ON da.doc_id = ida
+        JOIN documents db ON db.doc_id = idb),
+      sp AS (
+        SELECT ida, idb, la, lb, n,
+          CASE WHEN n = 0 THEN 0 ELSE COALESCE(list_min(list_filter(
+            range(1, n + 1),
+            i -> substr(ta, i, 1) <> substr(tb, i, 1))) - 1, n) END AS lcp,
+          CASE WHEN n = 0 THEN 0 ELSE COALESCE(list_min(list_filter(
+            range(1, n + 1),
+            i -> substr(reverse(ta), i, 1) <> substr(reverse(tb), i, 1))) - 1, n)
+          END AS raw_suf
+        FROM t)
+      SELECT ida AS id_a, idb AS id_b,
+        CAST(lcp AS BIGINT) AS common_prefix,
+        CAST(least(raw_suf, n - lcp) AS BIGINT) AS common_suffix,
+        CAST(la - lcp - least(raw_suf, n - lcp) AS BIGINT) AS changed_a,
+        CAST(lb - lcp - least(raw_suf, n - lcp) AS BIGINT) AS changed_b
+      FROM sp ORDER BY id_a, id_b""")) { (s, dir) =>
+    import s.implicits._
+    val d = Tables.load(s, dir, "documents")
+    val pairs = MinHash.candidatePairs(
+      d, "doc_id", "text",
+      shingleSize = 3, numPerm = 32, bands = 8, threshold = 0.5)
+    pairs
+      .join(d.select($"doc_id".as("id_a"), $"text".as("ta")), "id_a")
+      .join(d.select($"doc_id".as("id_b"), $"text".as("tb")), "id_b")
+      .withColumn("la", length($"ta")).withColumn("lb", length($"tb"))
+      .withColumn("n", least($"la", $"lb"))
+      .withColumn("lcp",
+        when($"n" === 0, lit(0)).otherwise(coalesce(
+          array_min(expr(
+            "filter(sequence(1, n), i -> substring(ta, i, 1) != substring(tb, i, 1))")) - 1,
+          $"n")))
+      .withColumn("raw_suf",
+        when($"n" === 0, lit(0)).otherwise(coalesce(
+          array_min(expr(
+            "filter(sequence(1, n), i -> substring(reverse(ta), i, 1) != substring(reverse(tb), i, 1))")) - 1,
+          $"n")))
+      .withColumn("suf", least($"raw_suf", $"n" - $"lcp"))
+      .select($"id_a", $"id_b",
+        $"lcp".cast("long").as("common_prefix"),
+        $"suf".cast("long").as("common_suffix"),
+        ($"la" - $"lcp" - $"suf").cast("long").as("changed_a"),
+        ($"lb" - $"lcp" - $"suf").cast("long").as("changed_b"))
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** Exact near-dup within (lang, source) blocks — computed by PREFIX
     * FILTERING (MinHash.jaccardPairsExact), not an all-pairs block
     * join: candidates come from shared prefix shingles, so the cost is
@@ -1293,7 +1387,7 @@ object Dedup {
   val specs: Seq[Spec] = Seq(
     ddMethodAgreement, ddThresholdSweep, ddMinhashEstimate,
     ddMinhashPairs, ddMinhashBlocked, ddMinhashClusters, ddMinhashIncremental,
-    ddCcIncremental,
+    ddCcIncremental, ddPairDiffSpans,
     ddJaccardBlockPairs, ddExactHash, ddExactIncremental, ddBloomIncremental,
     ddCappedStarPairs, ddSimhash, ddSimhashPairs,
     ddSimhashMd5, ddSimhashMd5Pairs, ddDecontaminate, ddDecontaminateSpans,

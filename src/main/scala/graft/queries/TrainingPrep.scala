@@ -1583,7 +1583,120 @@ object TrainingPrep {
       .orderBy($"lang")
   }
 
+  /** Deterministic POISSON BOOTSTRAP error bars for a corpus statistic
+    * (mean doc length per source). The classic n-out-of-n resample
+    * doesn't distribute (it needs global coordination per replicate);
+    * the Poisson bootstrap (Chamandy '12, the industry-standard
+    * map-reduce form) gives each doc an independent multiplicity ~
+    * Poisson(1) per replicate — here DERIVED from an md5 hash of
+    * (doc_id, replicate) quantized to the Poisson(1) CDF, so both
+    * engines materialize the identical resample and the oracle is
+    * exact. Replicate means divide exact integer sums (one double
+    * division, order-independent); the CI is the min/max envelope of
+    * the 20 replicate means, spread as exact decimal subtraction.
+    *
+    * Scale shape: one corpus scan exploded 20× into a map-side
+    * combined hash-agg keyed by (source, replicate) — a bounded
+    * (sources × 20)-row table; no shuffle grows with the corpus. */
+  val dBootstrapCi: Spec = Spec(
+    "d_bootstrap_ci",
+    oracle = Some("""
+      WITH reps AS (
+        SELECT d.source, d.n_chars, t.b,
+          CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+            CAST(t.b AS VARCHAR)), 1, 12) AS BIGINT) % 1000 AS h
+        FROM documents d CROSS JOIN unnest(range(0, 20)) AS t(b)),
+      m AS (
+        SELECT source, b,
+          CASE WHEN h < 368 THEN 0 WHEN h < 736 THEN 1
+               WHEN h < 920 THEN 2 WHEN h < 981 THEN 3 ELSE 4 END AS mult,
+          n_chars
+        FROM reps),
+      bmeans AS (
+        SELECT source, b,
+          CAST(round(CAST(SUM(mult * n_chars) AS DOUBLE) / SUM(mult), 6)
+            AS DECIMAL(18,6)) AS bmean
+        FROM m GROUP BY source, b HAVING SUM(mult) > 0),
+      pt AS (
+        SELECT source, COUNT(*) AS n_docs,
+          round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS mean_chars
+        FROM documents GROUP BY source)
+      SELECT pt.source, CAST(pt.n_docs AS BIGINT) AS n_docs, pt.mean_chars,
+        CAST(MIN(bmean) AS DOUBLE) AS boot_lo,
+        CAST(MAX(bmean) AS DOUBLE) AS boot_hi,
+        CAST(MAX(bmean) - MIN(bmean) AS DOUBLE) AS boot_spread
+      FROM pt JOIN bmeans ON bmeans.source = pt.source
+      GROUP BY pt.source, pt.n_docs, pt.mean_chars
+      ORDER BY pt.source""")) { (s, dir) =>
+    import s.implicits._
+    val d = docs(s, dir)
+    val reps = d
+      .select($"source", $"n_chars", $"doc_id",
+        explode(sequence(lit(0), lit(19))).as("b"))
+      .withColumn("h",
+        conv(substring(md5(concat($"doc_id".cast("string"), lit(":"),
+          $"b".cast("string"))), 1, 12), 16, 10).cast("long") % 1000)
+      .withColumn("mult",
+        when($"h" < 368, 0).when($"h" < 736, 1)
+          .when($"h" < 920, 2).when($"h" < 981, 3).otherwise(4))
+    val bmeans = reps.groupBy($"source", $"b")
+      .agg(sum($"mult" * $"n_chars").as("num"), sum($"mult").as("den"))
+      .filter($"den" > 0)
+      .select($"source",
+        round($"num".cast("double") / $"den", 6).cast("decimal(18,6)")
+          .as("bmean"))
+    val pt = d.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("tot"))
+      .select($"source", $"n_docs",
+        round($"tot".cast("double") / $"n_docs", 6).as("mean_chars"))
+    pt.join(bmeans, "source")
+      .groupBy($"source", $"n_docs", $"mean_chars")
+      .agg(min($"bmean").cast("double").as("boot_lo"),
+        max($"bmean").cast("double").as("boot_hi"),
+        (max($"bmean") - min($"bmean")).cast("double").as("boot_spread"))
+      .orderBy($"source")
+  }
+
+  /** ADAPTIVE quality cutoff: instead of a fixed length threshold, each
+    * language's cutoff is its own exact 10th percentile of doc length
+    * (linear interpolation — Spark `percentile` and DuckDB
+    * `quantile_cont` share the p·(n−1) definition), and the filter
+    * reports how much of the language it would drop. This is the
+    * per-language calibration loop quality pipelines run before fixing
+    * thresholds (a fixed global cutoff over-drops terse scripts).
+    *
+    * Scale shape: exact percentile is one sort-based agg per language
+    * (bounded by language cardinality), joined back as a broadcast of
+    * the languages×1 cutoff table — the corpus is scanned twice but
+    * never shuffled wide. */
+  val dAdaptiveCutoff: Spec = Spec(
+    "d_adaptive_quality_cutoff",
+    oracle = Some("""
+      WITH c AS (
+        SELECT lang, round(quantile_cont(n_chars, 0.1), 6) AS cutoff
+        FROM documents GROUP BY lang)
+      SELECT d.lang, c.cutoff,
+        COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN d.n_chars < c.cutoff THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_below,
+        CAST(SUM(CASE WHEN d.n_chars >= c.cutoff THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_kept
+      FROM documents d JOIN c ON c.lang = d.lang
+      GROUP BY d.lang, c.cutoff ORDER BY d.lang""")) { (s, dir) =>
+    import s.implicits._
+    val d = docs(s, dir)
+    val cutoffs = d.groupBy($"lang")
+      .agg(round(expr("percentile(n_chars, 0.1)"), 6).as("cutoff"))
+    d.join(broadcast(cutoffs), "lang")
+      .groupBy($"lang", $"cutoff")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"n_chars" < $"cutoff", 1L).otherwise(0L)).as("n_below"),
+        sum(when($"n_chars" >= $"cutoff", 1L).otherwise(0L)).as("n_kept"))
+      .orderBy($"lang")
+  }
+
   val specs: Seq[Spec] = Seq(
+    dBootstrapCi, dAdaptiveCutoff,
     dQualityCalibration,
     dStratifiedSample, dShardPacking, dChunkWindows, dUnigramLmScore,
     dGopherRules, dTfidfTopTerms, dMixtureSample, dLengthOutliers,
