@@ -713,9 +713,72 @@ object Events {
       .orderBy($"user_id")
   }
 
+  /** Event-rate ANOMALY detection: each hour's event count per type
+    * z-scored against its own trailing 24-hour baseline (rows frame,
+    * excluding the current hour), reporting hours with |z| ≥ 2 — the
+    * rate-spike monitor every ingestion pipeline runs. The variance is
+    * computed from EXACT integer frame sums (n, Σx, Σx²) with one
+    * closed-form double expression — not a stddev aggregate, whose
+    * streaming accumulation order could differ between engines — so
+    * both sides produce bit-identical z-scores before rounding.
+    *
+    * Scale shape: hash-agg to hourly counts (calendar-bounded), then a
+    * window partitioned by event_type over hours — the windowed frame
+    * is hours-scale, never event-scale. */
+  val qRateAnomaly: Spec = Spec(
+    "ev_rate_anomaly",
+    oracle = Some("""
+      WITH hc AS (
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, COUNT(*) AS n_events
+        FROM events GROUP BY window_start, event_type),
+      fr AS (
+        SELECT window_start, event_type, n_events,
+          COUNT(*) OVER w AS n24,
+          SUM(n_events) OVER w AS s1,
+          SUM(n_events * n_events) OVER w AS s2
+        FROM hc
+        WINDOW w AS (PARTITION BY event_type ORDER BY window_start
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+      z AS (
+        SELECT window_start, event_type, n_events,
+          round(CAST(s1 AS DOUBLE) / n24, 6) AS baseline_mean,
+          round((n_events - CAST(s1 AS DOUBLE) / n24) /
+            sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n24) / (n24 - 1)), 6) AS zscore
+        FROM fr
+        WHERE n24 = 24 AND (s2 - CAST(s1 AS DOUBLE) * s1 / n24) > 0)
+      SELECT window_start, event_type, CAST(n_events AS BIGINT) AS n_events,
+        baseline_mean, zscore
+      FROM z WHERE abs(zscore) >= 2.0
+      ORDER BY window_start, event_type""")) { (s, dir) =>
+    import s.implicits._
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    val hc = load(s, dir)
+      .withColumn("window_start",
+        date_format(timestamp_micros(expr(s"(ts - ts % $hourNs) div 1000")),
+          "yyyy-MM-dd HH:mm:ss"))
+      .groupBy($"window_start", $"event_type")
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy($"event_type").orderBy($"window_start")
+      .rowsBetween(-24, -1)
+    hc
+      .withColumn("n24", count(lit(1)).over(w))
+      .withColumn("s1", sum($"n_events").over(w))
+      .withColumn("s2", sum($"n_events" * $"n_events").over(w))
+      .filter($"n24" === 24 &&
+        ($"s2" - $"s1".cast("double") * $"s1" / $"n24") > 0)
+      .select($"window_start", $"event_type", $"n_events",
+        round($"s1".cast("double") / $"n24", 6).as("baseline_mean"),
+        round(($"n_events" - $"s1".cast("double") / $"n24") /
+          sqrt(($"s2" - $"s1".cast("double") * $"s1" / $"n24") / ($"n24" - 1)), 6)
+          .as("zscore"))
+      .filter(abs($"zscore") >= 2.0)
+      .orderBy($"window_start", $"event_type")
+  }
+
   val specs: Seq[Spec] = Seq(qTumbling, qSessionize, qAsofClick,
     qAsofTolerance, qFunnel, qPropsJson, qSliding, qSessionWindowNative,
     qRate5Min, qValueOutliers, qDriftWindowed, qDriftSliding,
     qCohortRetention, qFunnelWindowed, qDauNewReturning, qDecayScore,
-    qUserTrend)
+    qUserTrend, qRateAnomaly)
 }

@@ -107,6 +107,30 @@ object DocSources {
   def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
 
+  /** Small-file COMPACTION: rewrite a parquet dataset into files of
+    * ~`targetBytes` each. Streaming sinks and fine-grained partitioned
+    * writes leave thousands of KB-scale files per directory; at 100 TB
+    * the resulting listing + open overhead dominates scan time (every
+    * file is a driver listing entry and an executor open/footer read).
+    * The file count is computed from the dataset's actual on-disk size
+    * (a FileSystem metadata walk, no data read), then one
+    * `repartition(n)` round-robin shuffle balances rows across exactly
+    * n writers — unlike `coalesce`, which merges without balancing and
+    * can leave one giant file per original partition chain.
+    *
+    * @return the number of output files written. */
+  def compactParquet(s: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetBytes > 0, s"targetBytes=$targetBytes must be positive")
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    s.read.parquet(inPath).repartition(n)
+      .write.mode("overwrite").parquet(outPath)
+    n
+  }
+
   /** Training-shard JSONL export: the standard LLM training-data
     * delivery format (one JSON object per line, sharded). Spark's json
     * sink IS JSONL per part-file; partitioning by the shard column —

@@ -201,6 +201,29 @@ class PipelineSpec extends AnyFunSuite {
       docs.filter($"doc_id" < 10).count())
   }
 
+  test("compaction: many small files rewritten to the size-derived count") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact")
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+    // simulate a streaming sink's fragmentation: 64 tiny files
+    docs.repartition(64).write.mode("overwrite").parquet(s"$dir/frag")
+    def parts(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts(s"$dir/frag") == 64)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(s"$dir/frag")).getLength
+    // target a quarter of the dataset per file → 4-ish output files
+    val target = math.max(1L, bytes / 4)
+    val n = DocSources.compactParquet(spark, s"$dir/frag", s"$dir/compact", target)
+    assert(parts(s"$dir/compact") == n && n <= 5,
+      s"expected ~4 compacted files, got $n")
+    // content preserved exactly
+    val back = spark.read.parquet(s"$dir/compact")
+    assert(back.count() == docs.count())
+    assert(back.exceptAll(docs).count() == 0 && docs.exceptAll(back).count() == 0)
+  }
+
   test("JSON source round trip with explicit schema (S1)") {
     val dir = tmp("graft-json")
     Files.writeString(java.nio.file.Path.of(s"$dir/a.json"),
