@@ -461,6 +461,26 @@ object StreamingQ {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** STREAMING incremental clustering: the file-stream twin of
+    * dd_cc_incremental — per micro-batch LSH pairs merge into a
+    * persisted labelling with touched-components-only re-solve
+    * ([[StreamOps.clustersIncrementalStart]]); draining the corpus
+    * must land on EXACTLY the one-shot batch clustering, which the
+    * full-corpus recursive-CTE oracle states. */
+  val stCcIncremental: Spec = Spec(
+    "st_cc_incremental",
+    oracle = Some(Dedup.minhashClustersSql)) { (s, dir) =>
+    import s.implicits._
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_st_cc").toString
+    val src = s.readStream.schema(StreamOps.documentsSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    StreamOps.clusterBatches(s, src, "doc_id", "text", outDir)
+      .groupBy($"component")
+      .agg(count(lit(1)).as("cluster_size"), max($"id").as("max_id"))
+      .orderBy($"component")
+  }
+
   /** STREAMING funnel (first-touch-per-step): the stream keeps
     * per-(user, type) min event times — order-independent state, 3
     * longs per user — and the level computation (strict
@@ -555,5 +575,5 @@ object StreamingQ {
     stEnrich, stClickView, dLid, dLidScript, dLidConfusion, pipelineE2e,
     stDocFlags, stHeavyHitters, stDriftWindowed, stLidScript,
     stMinhashPairs, stFunnelLevels, stBm25Indexed, stCmsCounts, stNovelty,
-    stAsofLastClick)
+    stAsofLastClick, stCcIncremental)
 }

@@ -520,6 +520,73 @@ object StreamOps {
       .start()
   }
 
+  /** Latest full labelling from batches STRICTLY BEFORE `batchId`
+    * (labels dirs each hold the complete post-batch labelling, so only
+    * the newest prior dir is read — same retry-safety rule as
+    * [[priorState]]). */
+  private def priorLabels(s: SparkSession, labelsDir: String,
+      batchId: Long): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(labelsDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+      .flatMap(d => d.getName.stripPrefix("batch=").toLongOption
+        .filter(_ < batchId).map(_ -> d))
+      .sortBy(_._1).lastOption
+      .map { case (_, d) => s.read.parquet(d.toString) }
+  }
+
+  /** STREAMING incremental near-dup clustering: each micro-batch's LSH
+    * pairs (batch-internal + batch↔accumulated-signature-state, the
+    * [[minhashIncrementalStart]] recipe) merge into the persisted
+    * component labelling via
+    * [[graft.ops.ConnectedComponents.incremental]] — only components
+    * the batch touches are re-solved, so per-batch cost tracks the
+    * batch, not the corpus. Every union of per-batch pair sets equals
+    * the full pair set (a pair is internal to exactly one batch or
+    * crosses from a later batch to earlier state), and the incremental
+    * merge provably equals a full recompute, so after draining a
+    * finite source the final labelling IS the one-shot batch
+    * clustering — the oracle states it with the full-corpus recursive
+    * CTE. Same idempotent batch=<id> overwrite layout as the other
+    * dedup stores; labels dirs hold the complete post-batch labelling
+    * and only the newest prior dir is read. */
+  def clustersIncrementalStart(s: SparkSession, src: DataFrame,
+      idCol: String, textCol: String,
+      outDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val stateDir = s"$outDir/state"
+    val labelsDir = s"$outDir/labels"
+    src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import s.implicits._
+        val st = MinHash.lshState(batch, idCol, textCol).localCheckpoint()
+        val prior = priorState(s, stateDir, batchId).getOrElse(st.limit(0))
+        val newEdges = MinHash.incrementalCandidatePairs(st, prior)
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+        val base = priorLabels(s, labelsDir, batchId)
+          .getOrElse(Seq.empty[(Long, Long)].toDF("id", "component"))
+        graft.ops.ConnectedComponents.incremental(base, newEdges)
+          .write.mode("overwrite").parquet(s"$labelsDir/batch=$batchId")
+        st.write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /** Drive [[clustersIncrementalStart]] over a finite source; returns
+    * the final labelling (id, component). */
+  def clusterBatches(s: SparkSession, src: DataFrame, idCol: String,
+      textCol: String, outDir: String): DataFrame = {
+    val q = clustersIncrementalStart(s, src, idCol, textCol, outDir)
+    try q.processAllAvailable()
+    finally q.stop()
+    priorLabels(s, s"$outDir/labels", Long.MaxValue)
+      .getOrElse {
+        import s.implicits._
+        Seq.empty[(Long, Long)].toDF("id", "component")
+      }
+  }
+
   /** Drive [[minhashIncrementalStart]] to completion over a finite
     * source and return the accumulated pair set. */
   def minhashPairsBatches(s: SparkSession, src: DataFrame, idCol: String,

@@ -265,6 +265,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exists { case (a, b) => (a % 10 == 0) != (b % 10 == 0) })
   }
 
+  test("streaming incremental clustering: three-batch merge equals one-shot clusters") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_st_cc_mem").toString
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val slices = docs.groupBy(d => (d._1 % 3).toInt)
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamOps.clustersIncrementalStart(
+      spark, ms.toDF().toDF("doc_id", "text"), "doc_id", "text", outDir)
+    try (0 to 2).foreach { i =>
+      ms.addData(slices(i)) // cross-batch merges need BOTH stores
+      q.processAllAvailable()
+    } finally q.stop()
+    val labelDirs = new java.io.File(s"$outDir/labels").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.toString).sorted
+    val got = spark.read.parquet(labelDirs.last)
+      .as[(Long, Long)].collect().toMap
+    val oneShot = graft.ops.MinHash.clusters(graft.ops.MinHash.candidatePairs(
+        spark.read.parquet(s"${TestSpark.Sf}/documents.parquet"),
+        "doc_id", "text", shingleSize = 3, numPerm = 32, bands = 8,
+        threshold = 0.5))
+      .as[(Long, Long)].collect().toMap
+    assert(got == oneShot)
+    // at least one component spans batches (the merge path actually fired)
+    val byComp = got.groupBy(_._2).values
+    assert(byComp.exists(m => m.keys.map(_ % 3).toSet.size > 1))
+  }
+
   test("streaming novelty: ordered multi-batch accumulation equals one-shot scores") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.{count, explode, lit, min, sum, when}
