@@ -593,6 +593,77 @@ object Relational {
       .orderBy($"key_a", $"key_b")
   }
 
+  /** Join-key SKEW REPORT: the diagnostic a 100 TB operator runs
+    * BEFORE picking a join strategy — per-key frequencies of the
+    * prospective join key, the hottest keys, their share of the table
+    * and their multiple of the mean key load (the number that says
+    * whether AQE skew-split or an explicit salt is warranted). All
+    * ratios are single divisions of exact integer sums.
+    *
+    * Scale shape: one map-side-combined hash agg to key counts, the
+    * two global scalars ride a broadcast crossJoin (the repo's
+    * broadcast-scalar idiom), and the top-5 is a TakeOrdered — no
+    * global sort. */
+  val qSkewReport: Spec = Spec(
+    "q_skew_report",
+    oracle = Some("""
+      WITH c AS (
+        SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY l_suppkey),
+      s AS (SELECT COUNT(*) AS n_keys, SUM(n) AS total FROM c)
+      SELECT c.l_suppkey, CAST(c.n AS BIGINT) AS n,
+        round(CAST(c.n AS DOUBLE) / s.total, 6) AS share,
+        round(CAST(c.n AS DOUBLE) * s.n_keys / s.total, 6) AS skew_vs_mean
+      FROM c CROSS JOIN s
+      ORDER BY n DESC, l_suppkey LIMIT 5""")) { (s, dir) =>
+    import s.implicits._
+    val c = Tables.load(s, dir, "lineitem")
+      .groupBy($"l_suppkey").agg(count(lit(1)).as("n"))
+    val stats = c.agg(count(lit(1)).as("n_keys"), sum($"n").as("total"))
+    c.crossJoin(broadcast(stats))
+      .select($"l_suppkey", $"n",
+        round($"n".cast("double") / $"total", 6).as("share"),
+        round($"n".cast("double") * $"n_keys" / $"total", 6).as("skew_vs_mean"))
+      .orderBy($"n".desc, $"l_suppkey")
+      .limit(5)
+  }
+
+  /** REFERENTIALLY CONSISTENT sampling: sample the PARENT table by a
+    * deterministic id hash, then bring every child row of the sampled
+    * parents — the only way to build a small integration corpus whose
+    * joins still work (independent per-table sampling breaks foreign
+    * keys with probability ≈ 1). Same md5 hash48 idiom as the corpus
+    * samplers, so the sample is replayable in both engines.
+    *
+    * Scale shape: the 5% parent sample is filter-pushed at the orders
+    * scan; the child restriction is one keyed join the optimizer
+    * handles (broadcast while the sample fits, shuffle when it
+    * doesn't — no pinned hint on the scale-variant sample). */
+  val qConsistentSample: Spec = Spec(
+    "q_consistent_sample",
+    oracle = Some(s"""
+      WITH so AS (
+        SELECT o_orderkey, o_orderstatus FROM orders
+        WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),1,12)
+          AS BIGINT) % 100 < 5)
+      SELECT so.o_orderstatus,
+        CAST(COUNT(DISTINCT so.o_orderkey) AS BIGINT) AS n_orders,
+        CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+        ${dsumSql("l.l_extendedprice")} AS sampled_revenue
+      FROM so JOIN lineitem l ON l.l_orderkey = so.o_orderkey
+      GROUP BY so.o_orderstatus ORDER BY so.o_orderstatus""")) { (s, dir) =>
+    import s.implicits._
+    val so = Tables.load(s, dir, "orders")
+      .filter(graft.ops.Sampling.hash48($"o_orderkey") % 100 < 5)
+      .select($"o_orderkey", $"o_orderstatus")
+    so.join(Tables.load(s, dir, "lineitem"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderstatus")
+      .agg(countDistinct($"o_orderkey").as("n_orders"),
+        count(lit(1)).as("n_lineitems"),
+        dsum($"l_extendedprice").as("sampled_revenue"))
+      .orderBy($"o_orderstatus")
+  }
+
   /** Two-phase SALTED aggregation surfaced as a query: the hot-key
     * shape AQE can't fix (a melting reducer under groupBy) goes through
     * Skew.saltedAgg — partials on (key, salt), merge on key — and must
@@ -716,5 +787,5 @@ object Relational {
     qRollup, qGroupingSets, qPivot, qPercentiles, qHistogram, qDistinctAgg,
     qMonthly, qCaseWhen, qCube, qSqlSurface, qSketches, qWindowShapes,
     qOrderLatency, qStringOps, qFuzzyPartNames, qSaltedAgg, qRangeBandJoin,
-    qBenford)
+    qBenford, qSkewReport, qConsistentSample)
 }

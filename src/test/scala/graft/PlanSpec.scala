@@ -179,6 +179,27 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental components: label state restricted via broadcasts, never shuffled wide") {
+    import spark.implicits._
+    // corpus-scale base labels; a tiny batch of new edges
+    val base = (1L to 5000L).map(i => (i, i - (i % 5))).toDF("id", "component")
+    val newEdges = Seq((3L, 7L), (4001L, 9001L)).toDF("src", "dst")
+    val merged = graft.ops.ConnectedComponents.incremental(base, newEdges)
+    val p = merged.queryExecution.executedPlan.toString
+    // the semi/anti restriction of the label state must ride broadcasts
+    // of the batch-proportional affected-components frame — a sort-merge
+    // join here would shuffle the whole corpus labelling per increment
+    assert(p.contains("BroadcastHashJoin") &&
+      (p.contains("LeftAnti") || p.contains("left_anti")),
+      "affected-component restriction must be a broadcast anti join:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "label state must never shuffle wide in an increment:\n" + p)
+    // and the merge is still exactly right
+    val got = merged.as[(Long, Long)].collect().toMap
+    assert(got(7L) == 0L && got(3L) == 0L && got(9001L) == 4000L)
+    assert(got(4999L) == 4995L) // untouched component label preserved
+  }
+
   test("incremental dedup: corpus restricted by semi-join before the cap, no cartesian") {
     val p = plan("dd_minhash_incremental")
     // The corpus band table must be cut down to batch-touched buckets
