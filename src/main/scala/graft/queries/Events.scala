@@ -724,10 +724,33 @@ object Events {
     *
     * Scale shape: hash-agg to hourly counts (calendar-bounded), then a
     * window partitioned by event_type over hours — the windowed frame
-    * is hours-scale, never event-scale. */
-  val qRateAnomaly: Spec = Spec(
-    "ev_rate_anomaly",
-    oracle = Some("""
+    * is hours-scale, never event-scale.
+    *
+    * This z-score tail is shared by the batch query (ev_rate_anomaly)
+    * and the streaming twin (st_rate_anomaly): it takes the
+    * (window_start, event_type, n_events) hourly count table, so the
+    * two cannot drift. */
+  def rateAnomalyOverCounts(hc: DataFrame): DataFrame = {
+    val s = hc.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"window_start")
+      .rowsBetween(-24, -1)
+    hc.select($"window_start", $"event_type", $"n_events")
+      .withColumn("n24", count(lit(1)).over(w))
+      .withColumn("s1", sum($"n_events").over(w))
+      .withColumn("s2", sum($"n_events" * $"n_events").over(w))
+      .filter($"n24" === 24 &&
+        ($"s2" - $"s1".cast("double") * $"s1" / $"n24") > 0)
+      .select($"window_start", $"event_type", $"n_events",
+        round($"s1".cast("double") / $"n24", 6).as("baseline_mean"),
+        round(($"n_events" - $"s1".cast("double") / $"n24") /
+          sqrt(($"s2" - $"s1".cast("double") * $"s1" / $"n24") / ($"n24" - 1)), 6)
+          .as("zscore"))
+      .filter(abs($"zscore") >= 2.0)
+      .orderBy($"window_start", $"event_type")
+  }
+
+  val rateAnomalyOracleSql: String = """
       WITH hc AS (
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                event_type, COUNT(*) AS n_events
@@ -750,30 +773,19 @@ object Events {
       SELECT window_start, event_type, CAST(n_events AS BIGINT) AS n_events,
         baseline_mean, zscore
       FROM z WHERE abs(zscore) >= 2.0
-      ORDER BY window_start, event_type""")) { (s, dir) =>
+      ORDER BY window_start, event_type"""
+
+  val qRateAnomaly: Spec = Spec(
+    "ev_rate_anomaly",
+    oracle = Some(rateAnomalyOracleSql)) { (s, dir) =>
     import s.implicits._
     val hourNs = 3600L * 1000 * 1000 * 1000
-    val hc = load(s, dir)
+    rateAnomalyOverCounts(load(s, dir)
       .withColumn("window_start",
         date_format(timestamp_micros(expr(s"(ts - ts % $hourNs) div 1000")),
           "yyyy-MM-dd HH:mm:ss"))
       .groupBy($"window_start", $"event_type")
-      .agg(count(lit(1)).as("n_events"))
-    val w = Window.partitionBy($"event_type").orderBy($"window_start")
-      .rowsBetween(-24, -1)
-    hc
-      .withColumn("n24", count(lit(1)).over(w))
-      .withColumn("s1", sum($"n_events").over(w))
-      .withColumn("s2", sum($"n_events" * $"n_events").over(w))
-      .filter($"n24" === 24 &&
-        ($"s2" - $"s1".cast("double") * $"s1" / $"n24") > 0)
-      .select($"window_start", $"event_type", $"n_events",
-        round($"s1".cast("double") / $"n24", 6).as("baseline_mean"),
-        round(($"n_events" - $"s1".cast("double") / $"n24") /
-          sqrt(($"s2" - $"s1".cast("double") * $"s1" / $"n24") / ($"n24" - 1)), 6)
-          .as("zscore"))
-      .filter(abs($"zscore") >= 2.0)
-      .orderBy($"window_start", $"event_type")
+      .agg(count(lit(1)).as("n_events")))
   }
 
   val specs: Seq[Spec] = Seq(qTumbling, qSessionize, qAsofClick,

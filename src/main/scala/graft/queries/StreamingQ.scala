@@ -461,6 +461,21 @@ object StreamingQ {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** STREAMING rate-anomaly monitor: hourly counts accumulate in the
+    * complete-mode tumbling aggregate ([[StreamOps.tumblingCounts]]),
+    * and the shared z-score tail ([[Events.rateAnomalyOverCounts]])
+    * runs batch-side over that bounded hours-scale table — the same
+    * stream-head/batch-tail split as st_drift_windowed, sharing the
+    * batch oracle verbatim. */
+  val stRateAnomaly: Spec = Spec(
+    "st_rate_anomaly",
+    oracle = Some(Events.rateAnomalyOracleSql)) { (s, dir) =>
+    import s.implicits._
+    Events.rateAnomalyOverCounts(
+      StreamOps.tumblingCounts(s, dir, sink = "st_rate_anom_mem")
+        .select($"window_start", $"event_type", $"n_events"))
+  }
+
   /** STREAMING incremental clustering: the file-stream twin of
     * dd_cc_incremental — per micro-batch LSH pairs merge into a
     * persisted labelling with touched-components-only re-solve
@@ -575,5 +590,5 @@ object StreamingQ {
     stEnrich, stClickView, dLid, dLidScript, dLidConfusion, pipelineE2e,
     stDocFlags, stHeavyHitters, stDriftWindowed, stLidScript,
     stMinhashPairs, stFunnelLevels, stBm25Indexed, stCmsCounts, stNovelty,
-    stAsofLastClick, stCcIncremental)
+    stAsofLastClick, stCcIncremental, stRateAnomaly)
 }
