@@ -242,6 +242,64 @@ object Multimodal {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Caption-to-frame TIMELINE ALIGNMENT: sampled frames (the
+    * mm_frame_sample timeline at 2 fps) joined to their covering
+    * caption segment by time range — the subtitle/transcript alignment
+    * step every audio-visual training pipeline runs before pairing
+    * text with frames. Frames past the last caption stay in the output
+    * with a null caption (left join): unaligned media is a data-quality
+    * signal, not a row to drop.
+    *
+    * Scale shape: the range condition rides a doc_id EQUI-join with a
+    * residual band filter — alignment is partition-local per document
+    * and segments-per-doc is bounded, so there is no interval-join
+    * blowup; both sides are derived from one metadata pass each. */
+  val mmCaptionAlign: Spec = Spec(
+    "mm_caption_align",
+    oracle = Some("""
+      WITH meta AS (
+        SELECT doc_id, 1 + strlen(text) % 100 AS n_frames
+        FROM documents WHERE doc_id % 25 = 0),
+      frames AS (
+        SELECT doc_id, CAST(t.i AS BIGINT) AS frame_id,
+          CAST(t.i * 500 AS BIGINT) AS t_ms
+        FROM meta CROSS JOIN unnest(range(0, 5)) AS t(i)
+        WHERE t.i < n_frames),
+      caps AS (
+        SELECT m.doc_id, CAST(c.i AS BIGINT) AS caption_id,
+          CAST(c.i * (800 + m.doc_id % 400) AS BIGINT) AS cap_start,
+          CAST((c.i + 1) * (800 + m.doc_id % 400) AS BIGINT) AS cap_end
+        FROM meta m CROSS JOIN unnest(range(0, 3)) AS c(i)
+        WHERE c.i < 1 + m.doc_id % 3)
+      SELECT f.doc_id, f.frame_id, f.t_ms,
+        c.caption_id, c.cap_start, c.cap_end
+      FROM frames f LEFT JOIN caps c
+        ON c.doc_id = f.doc_id
+        AND f.t_ms >= c.cap_start AND f.t_ms < c.cap_end
+      ORDER BY f.doc_id, f.frame_id""")) { (s, dir) =>
+    import s.implicits._
+    val meta = Tables.load(s, dir, "documents")
+      .filter($"doc_id" % 25 === 0)
+      .select($"doc_id", (lit(1) + length($"text") % 100).as("n_frames"))
+    val frames = meta
+      .select($"doc_id",
+        explode(sequence(lit(0L), least($"n_frames" - 1, lit(4L))))
+          .as("frame_id"))
+      .withColumn("t_ms", $"frame_id" * 500)
+    val caps = meta
+      .select($"doc_id", (lit(800) + $"doc_id" % 400).as("cap_len"),
+        explode(sequence(lit(0L), $"doc_id" % 3)).as("caption_id"))
+      .select($"doc_id", $"caption_id",
+        ($"caption_id" * $"cap_len").as("cap_start"),
+        (($"caption_id" + 1) * $"cap_len").as("cap_end"))
+    frames.join(caps,
+        frames("doc_id") === caps("doc_id") &&
+          $"t_ms" >= $"cap_start" && $"t_ms" < $"cap_end", "left")
+      .select(frames("doc_id"), $"frame_id", $"t_ms",
+        $"caption_id", $"cap_start", $"cap_end")
+      .orderBy($"doc_id", $"frame_id")
+  }
+
   val specs: Seq[Spec] = Seq(mmDecodeMeta, mmImageDecode, mmFrameSample,
-    mmResize, mmAudioMeta, mmImageAhash, mmImageNeardup)
+    mmResize, mmAudioMeta, mmImageAhash, mmImageNeardup, mmCaptionAlign)
 }
