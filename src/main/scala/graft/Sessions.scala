@@ -17,8 +17,9 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS); set here (not as a side
-      // effect of Events.load) so queries work in any iteration order.
+      // older events.parquet generations carry TIMESTAMP(NANOS); keep the
+      // legacy read conf so those files load as longs (current micros
+      // files normalize via Events.tsToNanos either way).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
