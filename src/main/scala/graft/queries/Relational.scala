@@ -593,6 +593,43 @@ object Relational {
       .orderBy($"key_a", $"key_b")
   }
 
+  /** Rolling EXACT MEDIAN: 7-day trailing median of daily revenue per
+    * order priority — the robust trend line dashboards overlay on
+    * noisy daily totals (median shrugs off single-day spikes that
+    * drag a rolling mean). Exercises an exact percentile as a WINDOW
+    * aggregate: Spark `percentile(…, 0.5)` over a rows frame and
+    * DuckDB `median` share the interpolated definition, and the frame
+    * inputs are exact decimal day sums cast once, so both engines
+    * interpolate the same doubles.
+    *
+    * Scale shape: day totals are a calendar-bounded hash agg; the
+    * window partitions by priority over days — frames are days-scale,
+    * never fact-scale. */
+  val qRollingMedian: Spec = Spec(
+    "q_rolling_median",
+    oracle = Some("""
+      WITH d AS (
+        SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_total
+        FROM orders GROUP BY o_orderpriority, order_day)
+      SELECT o_orderpriority, order_day, day_total,
+        round(median(day_total) OVER (PARTITION BY o_orderpriority
+          ORDER BY order_day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+          AS rolling_median
+      FROM d ORDER BY o_orderpriority, order_day""")) { (s, dir) =>
+    import s.implicits._
+    val d = Tables.load(s, dir, "orders")
+      .groupBy($"o_orderpriority",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("order_day"))
+      .agg(dsum($"o_totalprice").as("day_total"))
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"order_day")
+      .rowsBetween(-6, 0)
+    d.select($"o_orderpriority", $"order_day", $"day_total",
+        round(expr("percentile(day_total, 0.5)").over(w), 6)
+          .as("rolling_median"))
+      .orderBy($"o_orderpriority", $"order_day")
+  }
+
   /** Join-key SKEW REPORT: the diagnostic a 100 TB operator runs
     * BEFORE picking a join strategy — per-key frequencies of the
     * prospective join key, the hottest keys, their share of the table
@@ -787,5 +824,5 @@ object Relational {
     qRollup, qGroupingSets, qPivot, qPercentiles, qHistogram, qDistinctAgg,
     qMonthly, qCaseWhen, qCube, qSqlSurface, qSketches, qWindowShapes,
     qOrderLatency, qStringOps, qFuzzyPartNames, qSaltedAgg, qRangeBandJoin,
-    qBenford, qSkewReport, qConsistentSample)
+    qBenford, qSkewReport, qConsistentSample, qRollingMedian)
 }
