@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -21,6 +22,55 @@ object Similarity {
 
   private def cosSql(qa: String, qb: String): String =
     s"${dotSql(qa, qb)} / (sqrt(${dotSql(qa, qa)}) * sqrt(${dotSql(qb, qb)}))"
+
+  /** Shared oracle CTEs replaying [[graft.ops.Vectors.neardupLsh]]'s
+    * 16-bit / 4-band md5-derived hyperplane signatures in DuckDB:
+    * yields `cand(ida, idb)` — the DISTINCT candidate pairs (ida < idb)
+    * that share at least one band bucket, exactly the set
+    * `Buckets.pairs` emits below the star cap. No star-cap in SQL —
+    * parity holds because no verify-scale band bucket nears
+    * `maxBucket` (max 178 members at sf0.1 vs cap 1000); a tripped cap
+    * surfaces via the graft_buckets_* observe metric. */
+  private def lshCandCtes: String = s"""
+      sig AS (SELECT vec_id,
+        list_transform(range(0, 16), b ->
+          CASE WHEN list_reduce(list_transform(range(1, 65), d ->
+            (CASE WHEN ascii(substr(md5(b::VARCHAR || '_' || d::VARCHAR), 1, 1)) % 2 = 0
+                  THEN 1.0 ELSE -1.0 END) * embedding[d]::DOUBLE),
+            (x, y) -> x + y) > 0 THEN 1 ELSE 0 END) AS sig
+        FROM embeddings),
+      bands AS (SELECT vec_id, b,
+          sig[b*4+1]*8 + sig[b*4+2]*4 + sig[b*4+3]*2 + sig[b*4+4] AS key
+        FROM sig CROSS JOIN unnest(range(0, 4)) AS t(b)),
+      cand AS (SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.key = b.key AND a.vec_id < b.vec_id)"""
+
+  /** LSH-bucketed, label-verified similarity edges (id_a < id_b) — the
+    * graph-analytics family's shared edge build. Candidates come from
+    * [[graft.ops.Vectors.neardupLsh]]'s hyperplane band buckets
+    * (capped + observed via `Buckets.pairs`, NEVER a label-blocked
+    * quadratic join); each candidate is then verified exactly:
+    * same label AND cosine >= threshold. Both verifications are
+    * id-keyed joins / row-local filters, so the only quadratic-capable
+    * step is inside the capped scaffold. Plan shape pinned in PlanSpec
+    * ("graph edge build"). The declared graph semantics ARE the
+    * LSH-candidate graph — band recall vs the exact label-blocked
+    * graph is probabilistic (measured at sf0.1 by tools/GraphLshProbe:
+    * 192/391 edges at thr 0.35, 4131/10981 at 0.2) and the oracle
+    * replays the identical signatures, so Spark and DuckDB agree on
+    * every edge by construction at any scale where the cap is silent. */
+  private[graft] def lshLabelEdges(emb: DataFrame, threshold: Double)
+      : DataFrame = {
+    val lbl = emb.select(col("vec_id"), col("label"))
+    Vectors.neardupLsh(emb, threshold)
+      .join(lbl.select(col("vec_id").as("id_a"), col("label").as("la")),
+        Seq("id_a"))
+      .join(lbl.select(col("vec_id").as("id_b"), col("label").as("lb")),
+        Seq("id_b"))
+      .filter(col("la") === col("lb"))
+      .select(col("id_a"), col("id_b"))
+  }
 
   /** Per-label mean vector via positional explode + exact decimal sums
     * (vector aggregation that scales: one shuffle keyed (label, pos)). */
@@ -133,23 +183,12 @@ object Similarity {
   val eNearDupLsh: Spec = Spec(
     "e_neardup_lsh",
     oracle = Some(s"""
-      WITH e AS (SELECT vec_id, embedding FROM embeddings),
-      sig AS (SELECT vec_id,
-        list_transform(range(0, 16), b ->
-          CASE WHEN list_reduce(list_transform(range(1, 65), d ->
-            (CASE WHEN ascii(substr(md5(b::VARCHAR || '_' || d::VARCHAR), 1, 1)) % 2 = 0
-                  THEN 1.0 ELSE -1.0 END) * embedding[d]::DOUBLE),
-            (x, y) -> x + y) > 0 THEN 1 ELSE 0 END) AS sig
-        FROM e),
-      bands AS (SELECT vec_id, b,
-          sig[b*4+1]*8 + sig[b*4+2]*4 + sig[b*4+3]*2 + sig[b*4+4] AS key
-        FROM sig CROSS JOIN unnest(range(0, 4)) AS t(b)),
-      pairs AS (SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
-        FROM bands a JOIN bands b
-          ON a.b = b.b AND a.key = b.key AND a.vec_id < b.vec_id),
+      WITH ${lshCandCtes},
       scored AS (SELECT ida, idb,
           ${cosSql("ea.embedding", "eb.embedding")} AS cos
-        FROM pairs JOIN e ea ON ea.vec_id = ida JOIN e eb ON eb.vec_id = idb)
+        FROM cand
+          JOIN embeddings ea ON ea.vec_id = ida
+          JOIN embeddings eb ON eb.vec_id = idb)
       SELECT ida AS id_a, idb AS id_b, ROUND(cos, 6) AS cos_sim
       FROM scored WHERE cos >= 0.35 ORDER BY id_a, id_b""")) { (s, dir) =>
     import s.implicits._
@@ -953,11 +992,22 @@ object Similarity {
         FROM nodes n CROSS JOIN nn LEFT JOIN cs$t s ON s.dst = n.vec_id)"""
 
   /** PageRank centrality (3 damped iterations, d=0.85) over the
-    * label-blocked near-duplicate graph (e_neardup_cosine's edge
-    * semantics, both directions): ranks the REPRESENTATIVE documents of
-    * each similarity neighborhood — high-centrality rows are the
-    * canonical exemplars, the complement of dd_cluster_representatives'
-    * min-id rule. Isolated nodes hold the teleport mass 0.15/N.
+    * LSH-candidate near-duplicate graph ([[lshLabelEdges]]: hyperplane
+    * band candidates, capped + observed, then same-label + exact
+    * cosine >= 0.35 verification; both directions): ranks the
+    * REPRESENTATIVE documents of each similarity neighborhood —
+    * high-centrality rows are the canonical exemplars, the complement
+    * of dd_cluster_representatives' min-id rule. Isolated nodes hold
+    * the teleport mass 0.15/N.
+    *
+    * Edge semantics are DELIBERATELY the LSH graph, not the exact
+    * label-blocked one: the exact form is an uncapped quadratic within
+    * each label block (linear block growth -> quadratic pairs at
+    * 100×), and band recall at thr 0.35 is ~49% (GraphLshProbe,
+    * sf0.1), so the two graphs genuinely differ — the declared query
+    * + oracle both compute the one a 100 TB run would build. The
+    * oracle replays the identical md5-derived signatures
+    * ([[lshCandCtes]]), so both engines agree edge-by-edge.
     *
     * Engine parity: per-edge contributions pr/deg round to 9dp and sum
     * as DECIMAL per target (aggregation-order-free); the damped update
@@ -968,11 +1018,14 @@ object Similarity {
   val ePagerankCentrality: Spec = Spec(
     "e_pagerank_centrality",
     oracle = Some(s"""
-      WITH edges AS (
-        SELECT a.vec_id AS src, b.vec_id AS dst
-        FROM embeddings a JOIN embeddings b
-          ON a.label = b.label AND a.vec_id <> b.vec_id
-        WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35),
+      WITH ${lshCandCtes},
+      ver AS (SELECT c.ida, c.idb FROM cand c
+        JOIN embeddings a ON a.vec_id = c.ida
+        JOIN embeddings b ON b.vec_id = c.idb
+        WHERE a.label = b.label
+          AND ${cosSql("a.embedding", "b.embedding")} >= 0.35),
+      edges AS (SELECT ida AS src, idb AS dst FROM ver
+        UNION ALL SELECT idb, ida FROM ver),
       deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
       nodes AS (SELECT vec_id FROM embeddings),
       nn AS (SELECT COUNT(*) AS n FROM embeddings),
@@ -984,18 +1037,13 @@ object Similarity {
       SELECT p.vec_id, CAST(COALESCE(d.deg, 0) AS BIGINT) AS degree,
         ROUND(p.pr, 9) AS centrality
       FROM pr3 p LEFT JOIN deg d ON d.src = p.vec_id
-      ORDER BY p.vec_id""")) { (s, dir) =>
+      ORDER BY p.vec_id"""),
+    bench = true) { (s, dir) =>
     import s.implicits._
     val emb = Tables.load(s, dir, "embeddings")
-      .withColumn("nrm", Vectors.norm($"embedding"))
-    val a = emb.select($"label", $"vec_id".as("src"),
-      $"embedding".as("va"), $"nrm".as("na"))
-    val b = emb.select($"label", $"vec_id".as("dst"),
-      $"embedding".as("vb"), $"nrm".as("nb"))
-    val edges = a.join(b, Seq("label"))
-      .filter($"src" =!= $"dst")
-      .filter(Vectors.cosine($"va", $"vb", $"na", $"nb") >= 0.35)
-      .select($"src", $"dst")
+    val ver = lshLabelEdges(emb, threshold = 0.35)
+    val edges = ver.select($"id_a".as("src"), $"id_b".as("dst"))
+      .unionAll(ver.select($"id_b".as("src"), $"id_a".as("dst")))
       .localCheckpoint() // reused every iteration
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
     val nodes = emb.select($"vec_id")
@@ -1035,15 +1083,23 @@ object Similarity {
     * is per-node participation plus each node's degree. Edge threshold
     * 0.2 (vs the near-dup family's 0.35): triangles need a denser
     * graph to be informative — at 0.35 the verify-scale graph is
-    * triangle-free, which would leave the join path vacuous. */
+    * triangle-free, which would leave the join path vacuous.
+    *
+    * Edges come from [[lshLabelEdges]] (LSH band candidates, capped +
+    * observed, then same-label + exact cosine >= 0.2 verify) — the
+    * same deliberate LSH-graph semantics as [[ePagerankCentrality]];
+    * the oracle replays the identical signatures, and the LSH graph
+    * stays triangle-rich at verify scale (10 wedge-closures at sf0.01,
+    * 431 at sf0.1 — GraphLshProbe). */
   val eTriangleCount: Spec = Spec(
     "e_triangle_count",
     oracle = Some(s"""
-      WITH edges AS (
-        SELECT a.vec_id AS src, b.vec_id AS dst
-        FROM embeddings a JOIN embeddings b
-          ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.2),
+      WITH ${lshCandCtes},
+      edges AS (SELECT c.ida AS src, c.idb AS dst FROM cand c
+        JOIN embeddings a ON a.vec_id = c.ida
+        JOIN embeddings b ON b.vec_id = c.idb
+        WHERE a.label = b.label
+          AND ${cosSql("a.embedding", "b.embedding")} >= 0.2),
       tri AS (
         SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
         FROM edges e1
@@ -1063,15 +1119,8 @@ object Similarity {
       ORDER BY vec_id""")) { (s, dir) =>
     import s.implicits._
     val emb = Tables.load(s, dir, "embeddings")
-      .withColumn("nrm", Vectors.norm($"embedding"))
-    val a = emb.select($"label", $"vec_id".as("src"),
-      $"embedding".as("va"), $"nrm".as("na"))
-    val b = emb.select($"label", $"vec_id".as("dst"),
-      $"embedding".as("vb"), $"nrm".as("nb"))
-    val edges = a.join(b, Seq("label"))
-      .filter($"src" < $"dst")
-      .filter(Vectors.cosine($"va", $"vb", $"na", $"nb") >= 0.2)
-      .select($"src", $"dst")
+    val edges = lshLabelEdges(emb, threshold = 0.2)
+      .select($"id_a".as("src"), $"id_b".as("dst"))
       .localCheckpoint() // one scoring pass feeds wedges, closes, degrees
     val tri = edges.as("e1")
       .join(edges.as("e2"), col("e2.src") === col("e1.dst"))

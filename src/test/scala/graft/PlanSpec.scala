@@ -4,6 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import org.apache.spark.sql.functions.{count, lit}
 
+
 /** Physical-plan assertions: the plans we designed for are the plans we
   * get (pushdown reaches the scans, dims broadcast, no accidental
   * cartesian products, codegen on the hot aggregates). */
@@ -332,5 +333,31 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("e_neardup_clusters")
     assert(!p.contains("CartesianProduct"),
       "pair generation must join on the label block key:\n" + p)
+  }
+
+  test("graph edge build: LSH-bucketed candidates, no label-quadratic join") {
+    // PageRank/triangle checkpoint their edges, which truncates lineage —
+    // assert on the shared builder they both call (lshLabelEdges).
+    val emb = Tables.load(spark, TestSpark.Sf, "embeddings")
+    val df = graft.queries.Similarity.lshLabelEdges(emb, threshold = 0.35)
+    val opt = df.queryExecution.optimizedPlan
+    val joins = opt.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty)
+    joins.foreach { j =>
+      val cond = j.condition.map(_.toString).getOrElse("")
+      // every join must carry an id equi-key; a condition whose only
+      // equality is `label` would be the uncapped block-quadratic
+      assert(cond.contains("id_a") || cond.contains("id_b") ||
+          cond.contains("vec_id") || cond.contains("_id"),
+        s"join must key on ids, label is verify-only:\n$cond")
+    }
+    // candidates flow through the capped+observed Buckets scaffold
+    val s = opt.toString
+    assert(s.contains("graft_buckets"),
+      "edge candidates must ride Buckets.pairs' observed cap:\n" + s)
+    // the un-executed observation is discarded by the registration
+    // queue's own bound (Buckets.MaxPendingObservations)
   }
 }
