@@ -29,7 +29,7 @@ trait Detector extends Serializable {
 
 object ScriptDetector extends Detector {
   val name = "script"
-  private val scriptLang: Map[Character.UnicodeScript, String] = {
+  private[lid] val scriptLang: Map[Character.UnicodeScript, String] = {
     import Character.UnicodeScript._
     Map(HAN -> "zh", HIRAGANA -> "ja", KATAKANA -> "ja", HANGUL -> "ko",
       DEVANAGARI -> "hi", BENGALI -> "bn", TAMIL -> "ta", TELUGU -> "te",
@@ -74,7 +74,7 @@ object StopwordDetector extends Detector {
   // filter_data languages — hindi, bengali, …, manipuri) keyed by the
   // mapping resource's preferred short code. Inline entries win on key
   // collision (en/de appear in both).
-  private val lists: Map[String, Set[String]] = {
+  private[lid] val lists: Map[String, Set[String]] = {
     val shipped = graft.sources.Lexicons.languages.map { l =>
       val code = graft.sources.LangData.byName.get(l)
         .map(graft.sources.LangData.shortCode).getOrElse(l)
@@ -101,10 +101,50 @@ object StopwordDetector extends Detector {
   }
 }
 
+/** Integer-exact trigram scoring shared by the ngram/indic heads AND
+  * the DuckDB oracle ([[LidOracle]]): a document's trigram counts and
+  * each seed profile's counts are integers, so the argmax over
+  * languages compares cos_i > cos_b as dot_i²·n2_b > dot_b²·n2_i —
+  * pure Long arithmetic, no float in any comparison — and the emitted
+  * confidence dot / sqrt(n2doc · n2seed) is a two-op IEEE sequence
+  * (one correctly-rounded multiply under 2^53, one sqrt, one divide)
+  * that DuckDB reproduces bit-for-bit from the same integers. */
+private[lid] object TrigramScore {
+  /** Raw char-trigram counts + squared L2 norm. */
+  def gramCounts(text: String): (Map[String, Int], Long) = {
+    val s = "  " + text.toLowerCase.replaceAll("[^\\p{L} ]", "") + "  "
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+    for (i <- 0 to s.length - 3)
+      counts.updateWith(s.substring(i, i + 3))(c => Some(c.getOrElse(0) + 1))
+    val n2 = counts.values.foldLeft(0L)((a, v) => a + v.toLong * v)
+    (counts.toMap, n2)
+  }
+
+  final case class Scored(lang: String, dot: Long, seedN2: Long)
+
+  /** Best language by cosine (ties → lexicographically first, exactly
+    * the strictly-greater replacement over sorted languages). Returns
+    * Scored("und", 0, 1) when every dot product is zero. */
+  def best(doc: Map[String, Int],
+      profiles: Seq[(String, (Map[String, Int], Long))]): Scored = {
+    var bl = "und"; var bd = 0L; var bn2 = 1L
+    for ((lang, (q, n2s)) <- profiles) {
+      var dot = 0L
+      for ((g, c) <- doc) dot += c.toLong * q.getOrElse(g, 0)
+      if (dot * dot * bn2 > bd * bd * n2s) { bl = lang; bd = dot; bn2 = n2s }
+    }
+    Scored(bl, bd, bn2)
+  }
+
+  def confidence(dot: Long, docN2: Long, seedN2: Long): Double =
+    if (dot == 0L) 0.0
+    else dot.toDouble / math.sqrt(docN2.toDouble * seedN2.toDouble)
+}
+
 object CharNgramDetector extends Detector {
   val name = "ngram"
   // Embedded seed text per language (public sample sentences).
-  private val seeds: Map[String, String] = Map(
+  private[lid] val seeds: Map[String, String] = Map(
     "en" -> "the quick brown fox jumps over the lazy dog and then it runs to the house with the other animals because they are waiting there for food and water",
     "de" -> "der schnelle braune fuchs springt über den faulen hund und dann läuft er zum haus mit den anderen tieren weil sie dort auf futter und wasser warten",
     "fr" -> "le rapide renard brun saute par dessus le chien paresseux et puis il court vers la maison avec les autres animaux parce qu'ils attendent la nourriture",
@@ -112,28 +152,16 @@ object CharNgramDetector extends Detector {
     "it" -> "la rapida volpe marrone salta sopra il cane pigro e poi corre verso la casa con gli altri animali perché stanno aspettando cibo e acqua",
     "pt" -> "a rápida raposa marrom pula sobre o cão preguiçoso e depois corre para a casa com os outros animais porque eles estão esperando comida e água")
 
-  /** L2-normalized char-trigram profile (shared with IndicDetector). */
-  def profileOf(text: String): Map[String, Double] = {
-    val s = "  " + text.toLowerCase.replaceAll("[^\\p{L} ]", "") + "  "
-    val counts = scala.collection.mutable.Map.empty[String, Int]
-    for (i <- 0 to s.length - 3)
-      counts.updateWith(s.substring(i, i + 3))(c => Some(c.getOrElse(0) + 1))
-    val n = math.sqrt(counts.values.map(v => v.toDouble * v).sum)
-    if (n == 0) Map.empty else counts.map { case (k, v) => k -> v / n }.toMap
-  }
-  private val profiles: Map[String, Map[String, Double]] =
-    seeds.map { case (l, t) => l -> profileOf(t) }
+  private val profiles: Seq[(String, (Map[String, Int], Long))] =
+    seeds.toSeq.sortBy(_._1)
+      .map { case (l, t) => l -> TrigramScore.gramCounts(t) }
 
   def detect(text: String): LidResult = {
-    val p = profileOf(text.take(4000))
+    val (p, n2d) = TrigramScore.gramCounts(text.take(4000))
     if (p.isEmpty) return LidResult("und", 0.0)
-    var bestLang = "und"; var bestCos = 0.0
-    for ((lang, q) <- profiles.toSeq.sortBy(_._1)) {
-      var dot = 0.0
-      for ((g, w) <- p) dot += w * q.getOrElse(g, 0.0)
-      if (dot > bestCos) { bestLang = lang; bestCos = dot }
-    }
-    if (bestCos == 0.0) LidResult("und", 0.0) else LidResult(bestLang, bestCos)
+    val b = TrigramScore.best(p, profiles)
+    if (b.dot == 0L) LidResult("und", 0.0)
+    else LidResult(b.lang, TrigramScore.confidence(b.dot, n2d, b.seedN2))
   }
 }
 
@@ -173,49 +201,42 @@ object IndicDetector extends Detector {
   }
 
   // Romanized transliteration seeds (public sample sentences).
-  private val romanSeeds: Map[String, String] = Map(
+  private[lid] val romanSeeds: Map[String, String] = Map(
     "hi" -> "namaste yah ek chhota sa vakya hai jo bhasha pahchan ke liye likha gaya hai aur isme samanya hindi shabd hain jaise aur hai ki se mein yah vah nahi kya karna hota",
     "bn" -> "nomoshkar eti ekti chhoto bakyo ja bhasha chinhito korar jonno lekha hoyeche ebong ete sadharon bangla shobdo ache jemon ebong hoy theke modhye ami tumi korte hobe",
     "ta" -> "vanakkam idhu mozhi adaiyalathirkaga ezhudhappatta oru siriya vakkiyam idhil podhuvana tamizh sorkal ullana nandri romba seiya vendum irukku enna eppadi",
     "te" -> "namaskaram idi bhasha gurtimpu kosam rasina chinna vakyam indulo sadharana telugu padalu unnayi dhanyavadalu chala cheyali undi emi ela avunu kadu",
     "en" -> "the quick brown fox jumps over the lazy dog and then it runs to the house with the other animals because they are waiting there for food and water")
 
-  private val nativeSeeds: Map[String, String] = Map(
+  private[lid] val nativeSeeds: Map[String, String] = Map(
     "hi" -> "नमस्ते यह एक छोटा सा वाक्य है जो भाषा पहचान के लिए लिखा गया है और इसमें सामान्य हिंदी शब्द हैं जैसे और है की से में यह वह नहीं क्या करना होता",
     "bn" -> "নমস্কার এটি একটি ছোট বাক্য যা ভাষা শনাক্তকরণের জন্য লেখা হয়েছে এবং এতে সাধারণ বাংলা শব্দ আছে যেমন এবং হয় থেকে মধ্যে আমি তুমি করতে হবে",
     "ta" -> "வணக்கம் இது மொழி அடையாளத்திற்காக எழுதப்பட்ட ஒரு சிறிய வாக்கியம் இதில் பொதுவான தமிழ் சொற்கள் உள்ளன நன்றி ரொம்ப செய்ய வேண்டும் இருக்கு என்ன எப்படி",
     "te" -> "నమస్కారం ఇది భాషా గుర్తింపు కోసం రాసిన చిన్న వాక్యం ఇందులో సాధారణ తెలుగు పదాలు ఉన్నాయి ధన్యవాదాలు చాలా చేయాలి ఉంది ఏమి ఎలా అవును కాదు")
 
-  private val romanProfiles = romanSeeds.map { case (l, t) =>
-    l -> CharNgramDetector.profileOf(t)
-  }
-  private val nativeProfiles = nativeSeeds.map { case (l, t) =>
-    l -> CharNgramDetector.profileOf(t)
-  }
+  private val romanProfiles = romanSeeds.toSeq.sortBy(_._1)
+    .map { case (l, t) => l -> TrigramScore.gramCounts(t) }
+  private val nativeProfiles = nativeSeeds.toSeq.sortBy(_._1)
+    .map { case (l, t) => l -> TrigramScore.gramCounts(t) }
 
-  private def best(p: Map[String, Double],
-      profiles: Map[String, Map[String, Double]]): (String, Double) = {
-    var bestLang = "und"; var bestCos = 0.0
-    for ((lang, q) <- profiles.toSeq.sortBy(_._1)) {
-      var dot = 0.0
-      for ((g, w) <- p) dot += w * q.getOrElse(g, 0.0)
-      if (dot > bestCos) { bestLang = lang; bestCos = dot }
-    }
-    (bestLang, bestCos)
-  }
+  /** cos >= 0.3 in exact integers: dot ≥ 0 and 100·dot² ≥ 9·n2d·n2s. */
+  private def confident(dot: Long, n2d: Long, n2s: Long): Boolean =
+    100L * dot * dot >= 9L * n2d * n2s
 
   def detect(text: String): LidResult = {
     if (text.isEmpty) return LidResult("und", 0.0)
-    val p = CharNgramDetector.profileOf(text.take(4000))
+    val (p, n2d) = TrigramScore.gramCounts(text.take(4000))
     if (p.isEmpty) return LidResult("und", 0.0)
     if (romanRatio(text) >= InputThreshold) {
-      val (lang, cos) = best(p, romanProfiles)
+      val b = TrigramScore.best(p, romanProfiles)
       // roman path: only assert romanized INDIC with enough signal
-      if (lang == "en" || lang == "und" || cos < 0.3) LidResult("und", 0.0)
-      else LidResult(lang, cos)
+      if (b.lang == "en" || b.lang == "und" || b.dot == 0L ||
+          !confident(b.dot, n2d, b.seedN2)) LidResult("und", 0.0)
+      else LidResult(b.lang, TrigramScore.confidence(b.dot, n2d, b.seedN2))
     } else {
-      val (lang, cos) = best(p, nativeProfiles)
-      if (lang != "und" && cos >= 0.3) LidResult(lang, cos)
+      val b = TrigramScore.best(p, nativeProfiles)
+      if (b.lang != "und" && b.dot > 0L && confident(b.dot, n2d, b.seedN2))
+        LidResult(b.lang, TrigramScore.confidence(b.dot, n2d, b.seedN2))
       else ScriptDetector.detect(text) match {
         // script fallback names the language only off-Latin
         case r if r.lang != "en" => r

@@ -505,36 +505,13 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
-  /** 64-bit SimHash per document (xxhash64 has no DuckDB twin → no SQL
-    * oracle; parity covered by ScalaTest fixtures). */
-  val ddSimhash: Spec = Spec(
-    "dd_simhash",
-    oracle = None) { (s, dir) =>
-    import s.implicits._
-    Tables.load(s, dir, "documents")
-      .filter($"doc_id" % 20 === 0)
-      .select($"doc_id", $"text")
-      .withColumn("toks", Text.tokens($"text"))
-      .select($"doc_id", SimHash.simhash64("toks").as("simhash"))
-      .orderBy($"doc_id")
-  }
-
-  /** SimHash near-dup pairs via pigeonhole banding (hamming ≤ 3 ⇒ one
-    * of 4 16-bit bands agrees — recall 1 by construction, exact
-    * bit_count verify). xxhash64 has no DuckDB twin → no SQL oracle;
-    * exact equality with the all-pairs form is pinned in DedupSpec.
-    * Recall 1 holds up to the star-cap (Buckets.pairs); a tripped cap
-    * surfaces via the graft_buckets_* metric. */
-  val ddSimhashPairs: Spec = Spec(
-    "dd_simhash_pairs",
-    oracle = None) { (s, dir) =>
-    import s.implicits._
-    SimHash.neardupPairs(
-        Tables.load(s, dir, "documents")
-          .withColumn("toks", Text.tokens($"text")),
-        "doc_id", "toks", maxHamming = 3)
-      .orderBy($"id_a", $"id_b")
-  }
+  // The xxhash64 SimHash production path (SimHash.simhash64 /
+  // neardupPairs) stays a library surface but is NOT a declared query:
+  // xxhash64 has no DuckDB twin, so its Spec rows could only ever be
+  // permanent no-oracle entries duplicating the md5 twins below.
+  // DedupSpec pins the xxhash path (Charikar fold fixtures + banded ==
+  // all-pairs equality); the md5 twins carry the hash-proven
+  // CORRECTNESS rows for the same fold/banding semantics.
 
   /** DuckDB twin of [[graft.ops.SimHash.md5TokenHashes]] +
     * [[graft.ops.SimHash.simhashFromHashes]]: 60-bit token hash from the
@@ -750,7 +727,8 @@ object Dedup {
         CAST(MAX(pos)+8 AS BIGINT) AS span_end,
         CAST(COUNT(*) AS BIGINT) AS n_dup_grams
       FROM isl GROUP BY doc_id, i
-      ORDER BY doc_id, span_start""")) { (s, dir) =>
+      ORDER BY doc_id, span_start"""),
+    bench = true) { (s, dir) =>
     import s.implicits._
     val rich = concat(
       when($"doc_id" % 7 === 0,
@@ -1389,7 +1367,7 @@ object Dedup {
     ddMinhashPairs, ddMinhashBlocked, ddMinhashClusters, ddMinhashIncremental,
     ddCcIncremental, ddPairDiffSpans,
     ddJaccardBlockPairs, ddExactHash, ddExactIncremental, ddBloomIncremental,
-    ddCappedStarPairs, ddSimhash, ddSimhashPairs,
+    ddCappedStarPairs,
     ddSimhashMd5, ddSimhashMd5Pairs, ddDecontaminate, ddDecontaminateSpans,
     ddDupSpans,
     ddDupSpanRemoval, ddClusterRepresentatives, ddDedupReport,

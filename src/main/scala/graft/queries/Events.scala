@@ -36,7 +36,14 @@ object Events {
       case LongType => df
       case TimestampNTZType => df.withColumn("ts",
         expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts) * 1000"))
-      case TimestampType => df.withColumn("ts", unix_micros(col("ts")) * 1000)
+      case TimestampType =>
+        // unix_micros on a naive parquet timestamp is only oracle-equal
+        // when the wall clock was interpreted as UTC at read time —
+        // assert the precondition instead of silently shifting
+        require(df.sparkSession.conf.get("spark.sql.session.timeZone") == "UTC",
+          "events.ts read as TIMESTAMP requires spark.sql.session.timeZone=UTC " +
+            "(naive parquet micros must be interpreted as UTC wall clock)")
+        df.withColumn("ts", unix_micros(col("ts")) * 1000)
       case other => throw new IllegalArgumentException(
         s"events.ts has unsupported type $other (expected long nanos or a timestamp)")
     }

@@ -474,10 +474,18 @@ object Relational {
   }
 
   /** Analytic-window shapes: dense_rank, ntile, lag/lead, first/last
-    * value over one supplier-ordered frame. The unpartitioned rank/ntile
-    * windows are deliberate here (supplier is dim-sized); on a fact
-    * table a global rank is a single-partition bottleneck — use the
-    * two-phase pattern (partition-local rank + offset merge) instead. */
+    * value over one supplier-ordered frame. Supplier GROWS with scale
+    * factor (TPC-H: 10k × SF), so the global rank/ntile columns do NOT
+    * ride an unpartitioned window (one reducer sorting the whole
+    * table): the global row number comes from the two-phase
+    * [[graft.ops.Skew.globalRowNumber]] (range-partitioned local ranks
+    * + broadcast offsets, SkewSpec-pinned) — dense_rank equals it
+    * because the order key (s_acctbal, s_suppkey) is unique — and
+    * ntile(4) is derived row-locally from that row number and the
+    * broadcast total via SQL ntile's first-buckets-get-the-remainder
+    * rule. The oracle states the window forms, so the green row IS the
+    * pinned equality proof. The per-nation lag/lead/first/last windows
+    * stay windows: they partition by nation key and scale out. */
   val qWindowShapes: Spec = Spec(
     "q_window_shapes",
     oracle = Some("""
@@ -496,11 +504,17 @@ object Relational {
     import s.implicits._
     val w = Window.partitionBy($"s_nationkey").orderBy($"s_acctbal".desc, $"s_suppkey")
     val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val g = Window.orderBy($"s_acctbal".desc, $"s_suppkey")
-    Tables.load(s, dir, "supplier").select(
+    val ranked = graft.ops.Skew.globalRowNumber(
+      Tables.load(s, dir, "supplier"),
+      Seq($"s_acctbal".desc, $"s_suppkey"))
+    val nTot = broadcast(ranked.agg(count(lit(1)).as("_n")))
+    ranked.crossJoin(nTot).select(
       $"s_suppkey",
-      dense_rank().over(g).cast("long").as("dr"),
-      ntile(4).over(g).cast("long").as("quartile"),
+      $"rn".cast("long").as("dr"), // unique order key: dense_rank == rn
+      expr("""CAST(CASE WHEN rn <= (_n % 4) * (_n div 4 + 1)
+              THEN (rn - 1) div (_n div 4 + 1) + 1
+              ELSE (_n % 4) + (rn - 1 - (_n % 4) * (_n div 4 + 1)) div (_n div 4) + 1
+              END AS BIGINT)""").as("quartile"),
       round(coalesce(lag($"s_acctbal", 1).over(w), lit(0)), 2).as("prev_bal"),
       round(coalesce(lead($"s_acctbal", 1).over(w), lit(0)), 2).as("next_bal"),
       round(first($"s_acctbal").over(w), 2).as("nation_top"),
@@ -562,21 +576,31 @@ object Relational {
   /** Fuzzy self-join (record linkage): part-name pairs within edit
     * distance 2, blocked by `p_size` — the declared-block fuzzy-match
     * policy (like language-blocking in dedup), so candidates never
-    * form across blocks BY DESIGN and the oracle states the same
-    * policy. Candidates come from the capped bucket scaffold
-    * ([[graft.ops.Buckets.pairs]] — star cap + observe gate, never an
-    * unbounded block²), then a LOSSLESS length-band prefilter
-    * (levenshtein ≥ |len(a)-len(b)|, so ≤2 requires the band) cuts the
-    * O(len²) distance computations before they run. Spark and DuckDB
-    * `levenshtein` agree: unit-cost insert/delete/substitute. */
+    * form across blocks BY DESIGN. Candidates come from the capped
+    * bucket scaffold ([[graft.ops.Buckets.pairs]] — star cap +
+    * observe gate, never an unbounded block²), and the oracle encodes
+    * the SAME cap (blocks over 1000 members contribute only their
+    * min-key star candidates), so query and oracle agree BY
+    * CONSTRUCTION at every scale factor — p_size blocks grow linearly
+    * with SF (TPC-H SF1 ≈ 4000 parts/size), so past the cap both
+    * sides degrade identically instead of the oracle silently keeping
+    * pairs the capped side never generates. Then a LOSSLESS
+    * length-band prefilter (levenshtein ≥ |len(a)-len(b)|, so ≤2
+    * requires the band) cuts the O(len²) distance computations before
+    * they run. Spark and DuckDB `levenshtein` agree: unit-cost
+    * insert/delete/substitute. */
   val qFuzzyPartNames: Spec = Spec(
     "q_fuzzy_part_names",
     oracle = Some("""
+      WITH blk AS (SELECT p_size, COUNT(*) AS n, MIN(p_partkey) AS mn
+        FROM part GROUP BY p_size)
       SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
         a.p_name AS name_a, b.p_name AS name_b,
         CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
       FROM part a JOIN part b
         ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+        JOIN blk ON blk.p_size = a.p_size
+      WHERE (blk.n <= 1000 OR a.p_partkey = blk.mn)
         AND abs(len(a.p_name) - len(b.p_name)) <= 2
         AND levenshtein(a.p_name, b.p_name) <= 2
       ORDER BY key_a, key_b""")) { (s, dir) =>
@@ -811,10 +835,13 @@ object Relational {
     val x = j.withColumn("chi",
       round(($"observed" - $"expected") * ($"observed" - $"expected")
         / $"expected", 6).cast("decimal(18,6)"))
-    x.select($"d".as("digit"), $"n", $"observed", $"expected",
+    // chi_total rides the broadcast-scalar idiom (agg + crossJoin), not
+    // an unpartitioned window — keeps WindowExec warnings meaningful
+    val chiTot = broadcast(x.agg(sum($"chi").as("_chi_total")))
+    x.crossJoin(chiTot)
+      .select($"d".as("digit"), $"n", $"observed", $"expected",
         $"chi".cast("double").as("chi_term"),
-        sum($"chi").over(org.apache.spark.sql.expressions.Window.partitionBy())
-          .cast("double").as("chi_total"))
+        $"_chi_total".cast("double").as("chi_total"))
       .orderBy($"digit")
   }
 

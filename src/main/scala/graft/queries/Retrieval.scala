@@ -136,8 +136,11 @@ object Retrieval {
       topN: Int = TopDocs): DataFrame = {
     import s.implicits._
     // TakeOrderedAndProject (distributed top-k), then a 6-row window.
+    // The literal partition key makes the (constant-bounded) frame
+    // explicit and keeps "No Partition Defined" warnings meaningful.
     val top = dfreq.orderBy($"df".desc, $"term").limit(QueryTerms)
-    val qw = org.apache.spark.sql.expressions.Window.orderBy($"df".desc, $"term")
+    val qw = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy($"df".desc, $"term")
     val queries = top.withColumn("rk", row_number().over(qw))
       .select(expr("CAST((rk - 1) div 3 AS LONG)").as("query_id"), $"term", $"df")
     val scored = tf
@@ -192,8 +195,7 @@ object Retrieval {
   val dBm25Indexed: Spec = Spec(
     "d_bm25_indexed",
     oracle = dBm25TopK.oracle) { (s, dir) =>
-    val indexDir = java.nio.file.Files
-      .createTempDirectory("graft_bm25_idx").toString
+    val indexDir = graft.ops.Scratch.dir("graft_bm25_idx")
     buildIndex(s, dir, indexDir)
     scoreIndex(s,
       s.read.parquet(s"$indexDir/tf"),

@@ -82,15 +82,26 @@ object StreamingQ {
     StreamOps.clickViewJoin(s, dir)
   }
 
-  /** Heuristic LID ensemble (no SQL oracle — model-style subsystem;
-    * parity covered by multilingual ScalaTest fixtures). */
+  /** Heuristic LID ensemble, FULLY oracled: every head was made
+    * integer-exact ([[graft.lid.TrigramScore]]) so
+    * [[graft.lid.LidOracle]] can replay all four detectors (trigram
+    * cosine argmaxes, stopword hits, the generated-regex script
+    * histogram, the indic roman-ratio router) plus the majority/
+    * priority vote in DuckDB — per-detector langs and 6dp confidences
+    * hash-match. Multilingual fixtures additionally pinned in
+    * LidSpec. */
   val dLid: Spec = Spec(
     "d_lid_ensemble",
-    oracle = None) { (s, dir) =>
+    oracle = Some(graft.lid.LidOracle.ensembleSql)) { (s, dir) =>
     import s.implicits._
     Ensemble.annotate(
         s, Tables.load(s, dir, "documents").filter($"doc_id" % 20 === 0),
         "doc_id", "text")
+      .select($"doc_id", $"doc_lang",
+        $"indic_lang", round($"indic_conf", 6).as("indic_conf"),
+        $"ngram_lang", round($"ngram_conf", 6).as("ngram_conf"),
+        $"stop_lang", round($"stop_conf", 6).as("stop_conf"),
+        $"script_lang", round($"script_conf", 6).as("script_conf"))
       .orderBy($"doc_id")
   }
 
@@ -132,7 +143,8 @@ object StreamingQ {
       FROM sess s JOIN lastmark l ON s.user_id = l.user_id CROSS JOIN mx
       WHERE s.session_id < l.last_id
          OR (session_end_us // 1000 + 1800000) < (max_us // 1000 - 1800000)
-      ORDER BY s.user_id, session_start_us""")) { (s, dir) =>
+      ORDER BY s.user_id, session_start_us"""),
+    bench = true) { (s, dir) =>
     import s.implicits._
     StreamOps.statefulSessions(s, dir)
       .select($"user_id", $"session_start_us", $"session_end_us", $"n_events")
@@ -378,8 +390,7 @@ object StreamingQ {
       SELECT tok, n, (SELECT total FROM t) AS total
       FROM c WHERE n * 20 > (SELECT total FROM t) ORDER BY tok""")) { (s, dir) =>
     import s.implicits._
-    val outDir = java.nio.file.Files
-      .createTempDirectory("graft_st_hh").toString
+    val outDir = graft.ops.Scratch.dir("graft_st_hh")
     val src = s.readStream.schema(StreamOps.documentsSchema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
     val toks = src.select(explode(concat(
@@ -399,8 +410,7 @@ object StreamingQ {
     "st_cms_counts",
     oracle = Some(TrainingPrep.cmsOracleSql)) { (s, dir) =>
     import s.implicits._
-    val outDir = java.nio.file.Files
-      .createTempDirectory("graft_st_cms").toString
+    val outDir = graft.ops.Scratch.dir("graft_st_cms")
     val src = s.readStream.schema(StreamOps.documentsSchema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
     val toks = src.select(explode(graft.ops.Text.tokens($"text")).as("tok"))
@@ -439,8 +449,7 @@ object StreamingQ {
     "st_novelty",
     oracle = Some(Dedup.noveltySql)) { (s, dir) =>
     import s.implicits._
-    val outDir = java.nio.file.Files
-      .createTempDirectory("graft_st_nov").toString
+    val outDir = graft.ops.Scratch.dir("graft_st_nov")
     val src = s.readStream.schema(StreamOps.documentsSchema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
     StreamOps.noveltyBatches(s, src, "doc_id", "text", outDir)
@@ -452,8 +461,7 @@ object StreamingQ {
     "st_minhash_pairs",
     oracle = Some(Dedup.minhashPairsSql)) { (s, dir) =>
     import s.implicits._
-    val outDir = java.nio.file.Files
-      .createTempDirectory("graft_st_mh").toString
+    val outDir = graft.ops.Scratch.dir("graft_st_mh")
     val src = s.readStream.schema(StreamOps.documentsSchema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
     StreamOps.minhashPairsBatches(s, src, "doc_id", "text", outDir)
@@ -486,8 +494,7 @@ object StreamingQ {
     "st_cc_incremental",
     oracle = Some(Dedup.minhashClustersSql)) { (s, dir) =>
     import s.implicits._
-    val outDir = java.nio.file.Files
-      .createTempDirectory("graft_st_cc").toString
+    val outDir = graft.ops.Scratch.dir("graft_st_cc")
     val src = s.readStream.schema(StreamOps.documentsSchema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
     StreamOps.clusterBatches(s, src, "doc_id", "text", outDir)
@@ -556,8 +563,7 @@ object StreamingQ {
   val stBm25Indexed: Spec = Spec(
     "st_bm25_indexed",
     oracle = Retrieval.dBm25TopK.oracle) { (s, dir) =>
-    val indexDir = java.nio.file.Files
-      .createTempDirectory("graft_st_bm25").toString
+    val indexDir = graft.ops.Scratch.dir("graft_st_bm25")
     val src = s.readStream.schema(StreamOps.documentsSchema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
     val q = StreamOps.bm25IndexStart(s, src, "doc_id", "text", indexDir)

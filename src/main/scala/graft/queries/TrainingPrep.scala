@@ -507,12 +507,15 @@ object TrainingPrep {
           round($"n".cast("double") / $"tot", 6))), lit(0.0001)).as("p0"),
         coalesce(max(when($"slice" === 1,
           round($"n".cast("double") / $"tot", 6))), lit(0.0001)).as("p1"))
-    p.withColumn("term",
-        round(($"p0" - $"p1") * log($"p0" / $"p1"), 6).cast("decimal(18,6)"))
+    val terms = p.withColumn("term",
+      round(($"p0" - $"p1") * log($"p0" / $"p1"), 6).cast("decimal(18,6)"))
+    // psi_total via the broadcast-scalar idiom (10-bin frame, but keep
+    // WindowExec warnings meaningful repo-wide)
+    val tot = broadcast(terms.agg(sum($"term").as("_psi_total")))
+    terms.crossJoin(tot)
       .select($"bin".cast("long").as("bin"), $"p0", $"p1",
         $"term".cast("double").as("psi_term"),
-        sum($"term").over(org.apache.spark.sql.expressions.Window
-          .partitionBy()).cast("double").as("psi_total"))
+        $"_psi_total".cast("double").as("psi_total"))
       .orderBy($"bin")
   }
 

@@ -124,6 +124,13 @@ object DocSources {
     require(targetBytes > 0, s"targetBytes=$targetBytes must be positive")
     val p = new org.apache.hadoop.fs.Path(inPath)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // overwrite-while-reading either fails or destroys the input
+    // depending on committer behavior — refuse same/nested targets
+    val inQ = fs.makeQualified(p)
+    val outQ = fs.makeQualified(new org.apache.hadoop.fs.Path(outPath))
+    require(!(outQ == inQ || outQ.toString.startsWith(inQ.toString + "/") ||
+        inQ.toString.startsWith(outQ.toString + "/")),
+      s"compaction target $outQ must not equal or nest with input $inQ")
     val bytes = fs.getContentSummary(p).getLength
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     s.read.parquet(inPath).repartition(n)

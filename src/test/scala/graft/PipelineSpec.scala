@@ -222,6 +222,11 @@ class PipelineSpec extends AnyFunSuite {
     val back = spark.read.parquet(s"$dir/compact")
     assert(back.count() == docs.count())
     assert(back.exceptAll(docs).count() == 0 && docs.exceptAll(back).count() == 0)
+    // in-place / nested targets are refused, never silently destructive
+    for (bad <- Seq(s"$dir/frag", s"$dir/frag/sub", dir.toString))
+      assertThrows[IllegalArgumentException] {
+        DocSources.compactParquet(spark, s"$dir/frag", bad, target)
+      }
   }
 
   test("JSON source round trip with explicit schema (S1)") {
@@ -300,6 +305,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(cfg.stopwords == Lexicons.stopwords("hindi"))
     val en = PipelineConfig.forLanguage("english")
     assert(en.stopwords.contains("the"))
+    // EVERY shipped config (crawl + ocr family) loads and resolves
+    // non-empty lexicons through LangData — including the documented
+    // script-fallback languages (bodo/maithili/... -> hindi lists)
+    val cfgFiles = new java.io.File("configs").listFiles()
+      .filter(_.getName.matches("graft_.*_config\\.json")).map(_.getName)
+    assert(cfgFiles.length >= 24, s"expected >=24 crawl configs, got ${cfgFiles.length}")
+    for (f <- cfgFiles; dir <- Seq("configs", "configs/ocr")) {
+      val lang = f.stripPrefix("graft_").stripSuffix("_config.json")
+      val c = PipelineConfig.forLanguage(lang, dir)
+      assert(c.keywords.nonEmpty && c.stopwords.nonEmpty, s"$dir/$f")
+      assert(c.flags.minWordCount > 0, s"$dir/$f")
+    }
+    // the ocr family's delta: word-repetition flagging disabled
+    val ocrHi = PipelineConfig.forLanguage("hindi", "configs/ocr")
+    assert(ocrHi.flags.wordRepScore > 1.0, "ocr config must not flag repetition")
+    assert(PipelineConfig.forLanguage("hindi").flags.wordRepScore <= 0.5)
   }
 
   test("language mapping: ISO-coded configs resolve lexicons; F27 column rename") {
