@@ -180,4 +180,27 @@ class TextSemanticsSpec extends AnyFunSuite {
     assert(tokUr("کیا۔ ہاں، ٹھیک") == List("کیا", "۔", "ہاں", "،", "ٹھیک"))
     assert(tokUr("रही। घर") == List("रही।", "घर")) // dandas NOT in the ur class
   }
+
+  test("deepened lexicon tries stay word-boundary matchers, not substring") {
+    import graft.sources.Lexicons
+    // the full multilingual union (hundreds of keys after the depth
+    // pass) compiled into ONE automaton — flashtext boundary semantics
+    // must survive the larger trie
+    val union = Lexicons.nsfwUnion().toIndexedSeq
+    assert(union.size >= 500, s"expected deepened union, got ${union.size}")
+    val ac = new graft.functions.AhoCorasick(union)
+    def hits(t: String): Map[String, Int] =
+      union.zip(ac.countMatches(t)).filter(_._2 > 0).toMap
+    // Latin: keys inside longer words must NOT match
+    assert(hits("the analysis of cocktails and assessment classes") == Map.empty)
+    assert(hits("anal cock") == Map("anal" -> 1, "cock" -> 1))
+    // Brahmic: a vowel sign continues the word — the short key must not
+    // fire inside the longer one; the longer key still counts
+    val h = hits("चूतिया बोला")
+    assert(h.get("चूत").isEmpty, s"substring hit leaked: $h")
+    assert(h.get("चूतिया").contains(1), s"missing whole-word hit: $h")
+    // mixed-script text: each script's keys fire only on their words
+    val m = hits("porn देखना और चुदाई word")
+    assert(m.get("porn").contains(1) && m.get("चुदाई").contains(1), s"$m")
+  }
 }
