@@ -275,4 +275,63 @@ object Multimodal {
       }
     })
   }
+
+  final case class AudioEnergy(doc_id: Long, n_samples: Long, sum_sq: Long,
+      peak: Long, n_silent: Long)
+
+  /** Locate the PCM `data` chunk: the same word-aligned RIFF walk as
+    * [[probeWav]], returning (byteOffset, byteLength) of the payload.
+    * None for malformed containers or a payload that runs off the
+    * buffer (a lying 32-bit size must not read out of bounds). */
+  private def pcmChunk(data: Array[Byte]): Option[(Int, Int)] =
+    try {
+      val bb = java.nio.ByteBuffer.wrap(data)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(off: Int) = new String(data, off, 4, "US-ASCII")
+      if (data.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") None
+      else {
+        var off = 12L
+        var found: Option[(Int, Int)] = None
+        while (off + 8 <= data.length && found.isEmpty) {
+          val o = off.toInt
+          val size = bb.getInt(o + 4).toLong & 0xFFFFFFFFL
+          if (tag(o) == "data" && o + 8 + size <= data.length)
+            found = Some((o + 8, size.toInt))
+          off += 8L + size + (size & 1L)
+        }
+        found
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** REAL PCM signal statistics over the decoded 16-bit sample stream —
+    * the audio-side quality/VAD primitives (energy for loudness
+    * filtering, silence ratio for dead-air detection, peak for clip
+    * detection), computed as exact integers so an oracle can restate
+    * them: sum of squared samples, max |sample|, and the count of
+    * samples under the silence threshold. Per-row bounded work on an
+    * opaque binary column — the multimodal scale contract (no shuffle,
+    * no decode framework; rows stream through a tight JVM loop).
+    * Malformed blobs drop out (flatMap), they do not poison the
+    * partition. */
+  def audioEnergy(blobs: Dataset[MediaBlob], silenceBelow: Int = 1000)
+      : Dataset[AudioEnergy] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.flatMap { blob =>
+      pcmChunk(blob.data).map { case (off, nBytes) =>
+        val bb = java.nio.ByteBuffer.wrap(blob.data)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val n = nBytes / 2
+        var i = 0; var sumSq = 0L; var peak = 0L; var silent = 0L
+        while (i < n) {
+          val v = bb.getShort(off + i * 2).toLong
+          val a = math.abs(v)
+          sumSq += v * v
+          if (a > peak) peak = a
+          if (a < silenceBelow) silent += 1
+          i += 1
+        }
+        AudioEnergy(blob.doc_id, n.toLong, sumSq, peak, silent)
+      }
+    })
+  }
 }

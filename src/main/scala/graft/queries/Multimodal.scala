@@ -102,6 +102,38 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** REAL PCM signal statistics ([[graft.ops.Multimodal.audioEnergy]]):
+    * deterministic WAVs are generated per row, the `data` chunk is
+    * located by the RIFF walk and every 16-bit sample streams through
+    * a tight integer loop — energy (sum of squares), peak amplitude,
+    * and silence count, the audio-quality/VAD primitives. All-integer
+    * outputs, so the oracle replays the GENERATOR's sample formula
+    * ((i*257 + doc_id) mod 32768) over generate_series and must agree
+    * exactly — a chunk-walk bug, an endianness slip, or a truncated
+    * read cannot hash-match. */
+  val mmAudioEnergy: Spec = Spec(
+    "mm_audio_energy",
+    oracle = Some("""
+      WITH t AS (
+        SELECT doc_id, unnest(range(0, 1600 + doc_id % 800)) AS i
+        FROM documents WHERE doc_id % 10 = 5),
+      s AS (SELECT doc_id, (i * 257 + doc_id) % 32768 AS v FROM t)
+      SELECT doc_id,
+        COUNT(*) AS n_samples,
+        CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+        CAST(MAX(v) AS BIGINT) AS peak,
+        CAST(COUNT(*) FILTER (WHERE v < 1000) AS BIGINT) AS n_silent
+      FROM s GROUP BY doc_id ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    val ids = Tables.load(s, dir, "documents")
+      .filter($"doc_id" % 10 === 5)
+      .select($"doc_id").as[java.lang.Long]
+    MM.audioEnergy(MM.syntheticWavBlobs(ids))
+      .toDF()
+      .select($"doc_id", $"n_samples", $"sum_sq", $"peak", $"n_silent")
+      .orderBy($"doc_id")
+  }
+
   /** REAL audio probe: deterministic PCM WAVs generated per row on the
     * executors, parsed back by the pure-JVM RIFF chunk walk. The oracle
     * states the generator's rate/length arithmetic — a parse bug (or
@@ -301,5 +333,6 @@ object Multimodal {
   }
 
   val specs: Seq[Spec] = Seq(mmDecodeMeta, mmImageDecode, mmFrameSample,
-    mmResize, mmAudioMeta, mmImageAhash, mmImageNeardup, mmCaptionAlign)
+    mmResize, mmAudioMeta, mmAudioEnergy, mmImageAhash, mmImageNeardup,
+    mmCaptionAlign)
 }

@@ -845,11 +845,61 @@ object Relational {
       .orderBy($"digit")
   }
 
+  /** Bucketed co-located fact-fact join: orders and lineitem are first
+    * written as 8-bucket tables on the join key (sorted within
+    * buckets), then sort-merge joined — and because both sides share
+    * the bucketing, the join subtree has NO shuffle exchange: each
+    * task zips bucket i of one table with bucket i of the other (a
+    * cheap partition-local sort remains — Spark consumes bucket COUNT
+    * co-location by default but sortBy order only behind a legacy
+    * flag). This is THE layout lever for repeated fact-fact joins at
+    * 100 TB (pay the shuffle once at write time, amortize it across
+    * every later join); PlanSpec pins the exchange-free/sort-free join
+    * subtree. The `merge` hint is not a scale pin — it steers the
+    * planner off the tiny-SF broadcast plan so the query exercises the
+    * bucketed-SMJ path it exists to demonstrate; at real scale SMJ is
+    * what the planner picks unaided. Bucket twins are rebuilt per call
+    * into session-scoped scratch ([[graft.ops.Scratch]]) keyed by the
+    * source dir, so cross-SF runs in one session can never read a
+    * stale layout. */
+  val qBucketedJoin: Spec = Spec(
+    "q_bucketed_join",
+    oracle = Some("""
+      SELECT o_orderpriority,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_items
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")) { (s, dir) =>
+    import s.implicits._
+    Seq(("orders", "o_orderkey"), ("lineitem", "l_orderkey")).foreach {
+      case (t, k) =>
+        // repartition on the bucket key first: hash-partitioning uses the
+        // same murmur3 function as bucketing, so each task writes exactly
+        // one bucket → one file per bucket → the scan reports its sort
+        // order and the SMJ needs neither exchange NOR sort
+        Tables.load(s, dir, t).repartition(8, col(k)).write
+          .bucketBy(8, k).sortBy(k)
+          .option("path", graft.ops.Scratch.dir(s"bucket_$t"))
+          .mode("overwrite")
+          .saveAsTable(s"graft_bucketed_$t")
+    }
+    val ord = s.table("graft_bucketed_orders")
+    val li = s.table("graft_bucketed_lineitem")
+    ord.hint("merge").join(li, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(
+        sum($"l_extendedprice".cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(18,2)")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"o_orderpriority")
+  }
+
   val specs: Seq[Spec] = Seq(
     q1PricingSummary, q3TopOrders, q5RegionRevenue, q4LateShipments,
     qAntiCustomers, qTopPartsPerBrand, qRunningSupplier, qSetOps,
     qRollup, qGroupingSets, qPivot, qPercentiles, qHistogram, qDistinctAgg,
     qMonthly, qCaseWhen, qCube, qSqlSurface, qSketches, qWindowShapes,
     qOrderLatency, qStringOps, qFuzzyPartNames, qSaltedAgg, qRangeBandJoin,
-    qBenford, qSkewReport, qConsistentSample, qRollingMedian)
+    qBenford, qSkewReport, qConsistentSample, qRollingMedian, qBucketedJoin)
 }

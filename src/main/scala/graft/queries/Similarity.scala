@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.Vectors
+import graft.ops.{Buckets, Vectors}
 
 /** Similarity search over `embeddings` (array<float>[64], labels 0-9):
   * centroid aggregation, brute-force and cell-pruned top-k cosine kNN,
@@ -1266,9 +1266,64 @@ object Similarity {
     e.crossJoin(broadcast(m)).orderBy($"qid")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by clustering embeddings with k-means and pruning,
+    * within each cluster, every vector that has an earlier same-cell
+    * neighbor at cosine >= tau. The published method keeps one item
+    * per within-cluster duplicate group; the deterministic keeper rule
+    * here is min-vec-id (the repo's exact-dedup keep-min discipline),
+    * which the oracle states as a plain EXISTS over same-cell pairs.
+    *
+    * Scale shape: the quantizer is the shared deterministic Lloyd
+    * recipe ([[graft.ops.Vectors.kmeansCentroids]] — k x dim doubles
+    * on the driver); assignment is a broadcast argmin projection; and
+    * the within-cell pair enumeration goes through the capped,
+    * observed [[graft.ops.Buckets.pairs]] scaffold with the cell as
+    * the bucket key — NEVER a bare cell self-join. At corpus scale k
+    * grows with N (SemDeDup used 11k clusters for LAION-440M), so
+    * cells stay O(N/k) = bounded; a degenerate cell star-connects at
+    * `maxBucket` instead of going quadratic, and the trip is loud via
+    * the graft_buckets observe metric (the oracle states no-cap
+    * semantics, which holds while cells stay under the cap — max cell
+    * 74 at sf0.01, ~640 at sf0.1 vs cap 1000). */
+  val eSemdedup: Spec = Spec(
+    "e_semdedup",
+    oracle = Some(s"""
+      WITH $kmeansCtes,
+      pr AS (
+        SELECT a.vec_id AS ida, b.vec_id AS idb
+        FROM a2 a JOIN a2 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35),
+      dropped AS (SELECT DISTINCT idb FROM pr)
+      SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+        (d.idb IS NULL) AS kept
+      FROM a2 a LEFT JOIN dropped d ON a.vec_id = d.idb
+      ORDER BY a.vec_id""")) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val cents1 = Vectors.kmeansCentroids(emb, k = 8, iters = 1)
+    val assigned = emb
+      .withColumn("cell", Vectors.nearestCell($"embedding", cents1))
+      .select($"vec_id", $"cell", $"embedding")
+      .localCheckpoint() // feeds the candidate build AND both verify joins
+    val withN = assigned.withColumn("n", Vectors.norm($"embedding"))
+    val dropped = Buckets.pairs(assigned, Seq("cell"), "vec_id")
+      .join(withN.select($"vec_id".as("id_a"), $"embedding".as("va"),
+        $"n".as("na")), Seq("id_a"))
+      .join(withN.select($"vec_id".as("id_b"), $"embedding".as("vb"),
+        $"n".as("nb")), Seq("id_b"))
+      .filter(Vectors.cosine($"va", $"vb", $"na", $"nb") >= 0.35)
+      .select($"id_b".as("vec_id")).distinct()
+    assigned
+      .join(dropped.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
+      .select($"vec_id", $"cell".cast("long").as("cell"),
+        $"is_dup".isNull.as("kept"))
+      .orderBy($"vec_id")
+  }
+
   val specs: Seq[Spec] = Seq(eCentroids, eKnnBrute, eKnnCell, eNearDup, eIvfRecall,
     eNearDupLsh, eKnnQuantized, eKmeansCentroids, eKnnIvfLearned,
     eKnnIvfMultiprobe, eKnnPq, eKnnIvfPq, eBitextMine, eEmbeddingOutliers,
     eKnnIvfPqProbe, eNearDupClusters, eKnnMatryoshka, eMmrRerank,
-    eClusterSummary, ePagerankCentrality, eTriangleCount)
+    eClusterSummary, ePagerankCentrality, eTriangleCount, eSemdedup)
 }

@@ -1188,6 +1188,71 @@ object TrainingPrep {
       .orderBy($"doc_id")
   }
 
+  /** CCNet perplexity bands (Wenzek et al. 2020, arXiv:1911.00359):
+    * rank documents within their language by LM score and cut into
+    * head / middle / tail terciles — THE classic corpus-quality
+    * partition (CCNet trains on the head, drops or downweights the
+    * tail). The LM is the repo's bigram model ([[dBigramLm]], reused
+    * verbatim so the score column is oracle-exact); low avg log-prob
+    * means high perplexity, so the ascending-rank bottom tercile is
+    * the tail.
+    *
+    * Scale shape: scoring inherits [[dBigramLm]]'s one-explode model
+    * build; within-language ranking is [[Skew.prefixSumByKey]]
+    * (range-partitioned partials + broadcast offsets), NOT a
+    * per-language window funneling each language through one reducer;
+    * band cut is integer division on both sides (never ntile). Docs
+    * with <2 tokens have no bigrams and drop out on both sides. */
+  val dPerplexityBand: Spec = Spec(
+    "d_perplexity_band",
+    oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text,' ') AS l FROM documents),
+      bi AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(l)),
+          i -> array_to_string(l[i:i+1], ' '))) AS g
+        FROM toks WHERE len(l) >= 2),
+      cb AS (SELECT g, CAST(COUNT(*) AS DOUBLE) AS cb FROM bi GROUP BY g),
+      c1 AS (SELECT string_split(g,' ')[1] AS w1, SUM(cb) AS c1
+             FROM cb GROUP BY 1),
+      v AS (SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS v
+            FROM (SELECT unnest(l) AS w FROM toks)),
+      lp AS (
+        SELECT bi.doc_id,
+          CAST(round(log10((cb.cb + 1) / (c1.c1 + v.v)), 6)
+            AS DECIMAL(18,6)) AS lp
+        FROM bi JOIN cb ON bi.g = cb.g
+          JOIN c1 ON string_split(bi.g,' ')[1] = c1.w1
+          CROSS JOIN v),
+      doc AS (
+        SELECT doc_id,
+          FLOOR(CAST(SUM(lp) AS DOUBLE) / COUNT(*) * 1e6) / 1e6 AS avg_logprob
+        FROM lp GROUP BY doc_id),
+      ranked AS (
+        SELECT doc.doc_id, d.lang, doc.avg_logprob,
+          row_number() OVER (PARTITION BY d.lang
+            ORDER BY doc.avg_logprob, doc.doc_id) AS rn,
+          COUNT(*) OVER (PARTITION BY d.lang) AS cnt
+        FROM doc JOIN documents d ON doc.doc_id = d.doc_id)
+      SELECT doc_id, lang, avg_logprob,
+        CASE (rn - 1) * 3 // cnt WHEN 0 THEN 'tail' WHEN 1 THEN 'middle'
+          ELSE 'head' END AS band
+      FROM ranked ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    val scored = dBigramLm.fn(s, dir).select($"doc_id", $"avg_logprob")
+    val withLang = scored.join(
+      docs(s, dir).select($"doc_id", $"lang"), "doc_id")
+    val ranked = Skew.prefixSumByKey(withLang, "lang",
+      Seq($"avg_logprob", $"doc_id"), lit(1L), "rn")
+    val counts = ranked.groupBy($"lang").agg(count(lit(1)).as("cnt"))
+    ranked.join(broadcast(counts), "lang")
+      .withColumn("t", expr("(rn - 1) * 3 div cnt"))
+      .select($"doc_id", $"lang", $"avg_logprob",
+        when($"t" === 0, "tail").when($"t" === 1, "middle")
+          .otherwise("head").as("band"))
+      .orderBy($"doc_id")
+  }
+
   /** Per-language quality DECILES of the unigram-LM score — the
     * CCNet head/middle/tail policy generalized to 10 buckets: rank
     * docs within their language by score, bucket by rank decile, and
@@ -1705,7 +1770,8 @@ object TrainingPrep {
     dGopherRules, dTfidfTopTerms, dMixtureSample, dLengthOutliers,
     dProfileColumns, dZipfSlope, dDriftPsi, dHeavyHitters,
     dSequenceSegments, dKmvDistinct, dSnapshotDiff, dTokenBudget,
-    dHashSplit, dReadability, dBigramLm, dScoreDeciles, dSourceInterleave,
+    dHashSplit, dReadability, dBigramLm, dPerplexityBand, dScoreDeciles,
+    dSourceInterleave,
     dCmsCounts, dWeightedSample, dPaddingEfficiency, dEntropyScores,
     dSourceDivergence, dDistributionMatch, dQualityClassifier, dDsirWeights)
 }

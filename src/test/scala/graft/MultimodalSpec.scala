@@ -105,6 +105,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.probeWav(bb2.array()).isEmpty)
   }
 
+  test("audioEnergy: exact PCM stats; malformed and lying-size blobs drop") {
+    import spark.implicits._
+    def wav(n: Int): Array[Byte] = {
+      val dataSize = n * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(36 + dataSize); bb.put("WAVE".getBytes)
+      bb.put("fmt ".getBytes); bb.putInt(16)
+      bb.putShort(1); bb.putShort(1); bb.putInt(16000); bb.putInt(32000)
+      bb.putShort(2); bb.putShort(16)
+      bb.put("data".getBytes); bb.putInt(dataSize)
+      (0 until n).foreach(i => bb.putShort(i.toShort))
+      bb.array()
+    }
+    val n = 1200
+    val lying = wav(8) // declared data size runs past the buffer → drop
+    java.nio.ByteBuffer.wrap(lying)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(40, 9999)
+    val out = Multimodal.audioEnergy(Seq(
+        MediaBlob(1L, wav(n)),
+        MediaBlob(2L, "not audio".getBytes("UTF-8")),
+        MediaBlob(3L, lying)).toDS())
+      .collect().sortBy(_.doc_id)
+    assert(out.map(_.doc_id).toSeq == Seq(1L))
+    val e = out.head
+    assert(e.n_samples == n)
+    assert(e.sum_sq == (0 until n).map(i => i.toLong * i).sum)
+    assert(e.peak == n - 1)
+    assert(e.n_silent == 1000) // samples 0..999 sit under the threshold
+  }
+
   test("imageAHash: identical bytes hash equal, corrupt blobs drop, 64 bits") {
     import spark.implicits._
     val png = {

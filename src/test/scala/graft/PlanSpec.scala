@@ -360,4 +360,41 @@ class PlanSpec extends AnyFunSuite {
     // the un-executed observation is discarded by the registration
     // queue's own bound (Buckets.MaxPendingObservations)
   }
+
+  test("q_bucketed_join: co-located SMJ — no exchange below the join") {
+    val df = SparkEntry.queries("q_bucketed_join")(spark, TestSpark.Sf)
+    df.collect()
+    // AQE wraps finished stages in QueryStageExec nodes whose wrapped
+    // plan is NOT a child — flatten through them or collect sees nothing
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val inner = p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case _ => Nil
+      }
+      p +: (p.children ++ inner).flatMap(flatten)
+    }
+    val all = flatten(df.queryExecution.executedPlan)
+    val smjs = all.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smjs.size == 1,
+      "the bucketed join must plan as one sort-merge join:\n" + all.head)
+    // identical 8-bucket layout on the join key on both sides: the join
+    // reads buckets zip-wise — an exchange here means the layout was not
+    // honored and the per-join shuffle is back. (A partition-LOCAL sort
+    // remains: Spark only consumes bucket sortBy order via the legacy
+    // outputOrdering flag; sorting an already-sorted bucket is a cheap
+    // streaming pass, the shuffle was the scale cost.)
+    val below = flatten(smjs.head).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(below.isEmpty,
+      "bucketed SMJ subtree must be exchange-free:\n" + smjs.head)
+    assert(all.head.toString.contains("Bucketed: true"),
+      "both scans must read the bucketed layout:\n" + all.head)
+  }
 }
