@@ -895,11 +895,80 @@ object Relational {
       .orderBy($"o_orderpriority")
   }
 
+  /** DuckDB twin of the bit-interleave below (positive longs, so >> and
+    * & agree across engines). */
+  private def zvalSql(a: String, b: String): String =
+    (0 until 8).map(i =>
+      s"((($a >> $i) & 1) << ${2 * i}) + ((($b >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+
+  private def zval(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 8).map(i =>
+      shiftleft(shiftright(a, i).bitwiseAND(1), 2 * i) +
+        shiftleft(shiftright(b, i).bitwiseAND(1), 2 * i + 1))
+      .reduce(_ + _)
+
+  /** Z-ORDER clustering for multidimensional data skipping: interleave
+    * the low 8 bits of two filter dimensions (part, supplier) into a
+    * Morton code, range-order rows by it, and cut 16 contiguous layout
+    * buckets — the Delta/Iceberg OPTIMIZE ZORDER recipe, in-plan. The
+    * output is each bucket's min/max envelope on BOTH dimensions: under
+    * a z-order layout both stay narrow (a linear sort narrows only its
+    * leading column), which is exactly what file/row-group min-max
+    * pruning consumes — a predicate on EITHER dimension skips most
+    * buckets. At 100 TB the buckets are files: the same plan with the
+    * bucket id as a write partition IS the table layout job.
+    *
+    * Scale shape: the Morton code is 16 codegen'd bit ops per row (no
+    * UDF); the global order rides [[graft.ops.Skew.globalRowNumber]]
+    * (range partition + in-partition rank + broadcast offsets — the
+    * scale-safe global rank, never one window over everything); bucket
+    * cut is integer division on both sides; the envelope agg is one
+    * hash agg on 16 keys. */
+  val qZorderCluster: Spec = Spec(
+    "q_zorder_cluster",
+    oracle = Some(s"""
+      WITH ab AS (
+        SELECT l_partkey % 256 AS a, l_suppkey % 256 AS b,
+          l_orderkey, l_linenumber
+        FROM lineitem),
+      z AS (
+        SELECT a, b, ${zvalSql("a", "b")} AS zv, l_orderkey, l_linenumber
+        FROM ab),
+      r AS (
+        SELECT a, b,
+          row_number() OVER (ORDER BY zv, l_orderkey, l_linenumber) AS rn,
+          COUNT(*) OVER () AS cnt
+        FROM z)
+      SELECT CAST((rn - 1) * 16 // cnt AS BIGINT) AS bucket,
+        COUNT(*) AS n_rows,
+        CAST(MIN(a) AS BIGINT) AS min_a, CAST(MAX(a) AS BIGINT) AS max_a,
+        CAST(MIN(b) AS BIGINT) AS min_b, CAST(MAX(b) AS BIGINT) AS max_b
+      FROM r GROUP BY 1 ORDER BY bucket""")) { (s, dir) =>
+    import s.implicits._
+    val ab = Tables.load(s, dir, "lineitem")
+      .select(($"l_partkey" % 256).as("a"), ($"l_suppkey" % 256).as("b"),
+        $"l_orderkey", $"l_linenumber")
+      .withColumn("zv", zval($"a", $"b"))
+    val ranked = graft.ops.Skew.globalRowNumber(
+      ab, Seq($"zv", $"l_orderkey", $"l_linenumber"))
+    val total = ranked.agg(count(lit(1)).as("cnt"))
+    ranked.crossJoin(broadcast(total))
+      .withColumn("bucket", expr("(rn - 1) * 16 div cnt"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min($"a").as("min_a"), max($"a").as("max_a"),
+        min($"b").as("min_b"), max($"b").as("max_b"))
+      .orderBy($"bucket")
+  }
+
   val specs: Seq[Spec] = Seq(
     q1PricingSummary, q3TopOrders, q5RegionRevenue, q4LateShipments,
     qAntiCustomers, qTopPartsPerBrand, qRunningSupplier, qSetOps,
     qRollup, qGroupingSets, qPivot, qPercentiles, qHistogram, qDistinctAgg,
     qMonthly, qCaseWhen, qCube, qSqlSurface, qSketches, qWindowShapes,
     qOrderLatency, qStringOps, qFuzzyPartNames, qSaltedAgg, qRangeBandJoin,
-    qBenford, qSkewReport, qConsistentSample, qRollingMedian, qBucketedJoin)
+    qBenford, qSkewReport, qConsistentSample, qRollingMedian, qBucketedJoin,
+    qZorderCluster)
 }

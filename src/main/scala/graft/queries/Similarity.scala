@@ -1321,9 +1321,97 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** INCREMENTAL SemDeDup — the batch-vs-corpus form of [[eSemdedup]],
+    * completing the incremental dedup family (exact/minhash/bloom/CC →
+    * semantic): the quantizer is trained ONCE on the existing corpus
+    * (vec_id % 10 != 9; the production shape — a frozen coarse
+    * quantizer that batches stream through), the new batch (% 10 = 9)
+    * is assigned to corpus cells, and a batch vector is dropped if a
+    * same-cell corpus vector OR an earlier same-cell batch vector sits
+    * at cosine >= tau.
+    *
+    * Scale shape: work is batch-proportional — the corpus is scanned
+    * once for the cell join with the BROADCAST batch side (the batch
+    * is the small delta by definition), never corpus x corpus;
+    * batch-internal pairs ride the capped [[graft.ops.Buckets.pairs]]
+    * scaffold. Corpus-side state is (vec_id, cell) — exactly what an
+    * IVF index already stores, so production replays this against the
+    * index instead of the raw corpus. The oracle replays quantizer
+    * training on the corpus subset and both EXISTS checks. */
+  val eSemdedupIncremental: Spec = Spec(
+    "e_semdedup_incremental",
+    oracle = Some(s"""
+      WITH c0 AS (
+        SELECT vec_id AS cell, list_transform(embedding, x -> x::DOUBLE) AS cent
+        FROM embeddings WHERE vec_id < 8),
+      a1 AS (
+        SELECT vec_id, embedding, cell FROM (
+          SELECT e.vec_id, e.embedding, c.cell,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${distSql("e.embedding", "c.cent")}, c.cell) AS rk
+          FROM embeddings e CROSS JOIN c0 c
+          WHERE e.vec_id % 10 <> 9) WHERE rk = 1),
+      c1 AS (
+        SELECT cell, pos,
+          CAST(SUM(CAST(v AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS cval
+        FROM (SELECT cell, generate_subscripts(embedding, 1) AS pos,
+                unnest(embedding) AS v FROM a1)
+        GROUP BY cell, pos),
+      c1l AS (SELECT cell, list(cval ORDER BY pos) AS cent FROM c1 GROUP BY cell),
+      a2 AS (
+        SELECT vec_id, embedding, cell FROM (
+          SELECT e.vec_id, e.embedding, c.cell,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${distSql("e.embedding", "c.cent")}, c.cell) AS rk
+          FROM embeddings e CROSS JOIN c1l c) WHERE rk = 1),
+      bat AS (SELECT * FROM a2 WHERE vec_id % 10 = 9),
+      cor AS (SELECT * FROM a2 WHERE vec_id % 10 <> 9),
+      hit AS (
+        SELECT DISTINCT b.vec_id FROM bat b JOIN cor c ON b.cell = c.cell
+        WHERE ${cosSql("b.embedding", "c.embedding")} >= 0.35
+        UNION
+        SELECT DISTINCT b.vec_id FROM bat b JOIN bat a
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35)
+      SELECT b.vec_id, CAST(b.cell AS BIGINT) AS cell,
+        (h.vec_id IS NULL) AS kept
+      FROM bat b LEFT JOIN hit h ON b.vec_id = h.vec_id
+      ORDER BY b.vec_id""")) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val corpus = emb.filter($"vec_id" % 10 =!= 9)
+    val cents = Vectors.kmeansCentroids(corpus, k = 8, iters = 1)
+    def assign(df: DataFrame) = df
+      .withColumn("cell", Vectors.nearestCell($"embedding", cents))
+      .select($"vec_id", $"cell", $"embedding",
+        Vectors.norm($"embedding").as("n"))
+    val cor = assign(corpus)
+    val bat = assign(emb.filter($"vec_id" % 10 === 9))
+      .localCheckpoint() // small delta: reused by both checks + broadcast
+    val vsCorpus = cor
+      .join(broadcast(bat.select($"vec_id".as("bid"), $"cell",
+        $"embedding".as("vb"), $"n".as("nb"))), Seq("cell"))
+      .filter(Vectors.cosine($"embedding", $"vb", $"n", $"nb") >= 0.35)
+      .select($"bid".as("vec_id"))
+    val vsBatch = Buckets.pairs(bat, Seq("cell"), "vec_id")
+      .join(bat.select($"vec_id".as("id_a"), $"embedding".as("va"),
+        $"n".as("na")), Seq("id_a"))
+      .join(bat.select($"vec_id".as("id_b"), $"embedding".as("vb"),
+        $"n".as("nb")), Seq("id_b"))
+      .filter(Vectors.cosine($"va", $"vb", $"na", $"nb") >= 0.35)
+      .select($"id_b".as("vec_id"))
+    val dropped = vsCorpus.unionByName(vsBatch).distinct()
+    bat
+      .join(dropped.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
+      .select($"vec_id", $"cell".cast("long").as("cell"),
+        $"is_dup".isNull.as("kept"))
+      .orderBy($"vec_id")
+  }
+
   val specs: Seq[Spec] = Seq(eCentroids, eKnnBrute, eKnnCell, eNearDup, eIvfRecall,
     eNearDupLsh, eKnnQuantized, eKmeansCentroids, eKnnIvfLearned,
     eKnnIvfMultiprobe, eKnnPq, eKnnIvfPq, eBitextMine, eEmbeddingOutliers,
     eKnnIvfPqProbe, eNearDupClusters, eKnnMatryoshka, eMmrRerank,
-    eClusterSummary, ePagerankCentrality, eTriangleCount, eSemdedup)
+    eClusterSummary, ePagerankCentrality, eTriangleCount, eSemdedup,
+    eSemdedupIncremental)
 }

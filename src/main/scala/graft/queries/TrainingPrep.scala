@@ -1188,6 +1188,46 @@ object TrainingPrep {
       .orderBy($"doc_id")
   }
 
+  /** Feature-hashing document embeddings (the hashing trick,
+    * Weinberger et al. 2009): each token hashes to one of 16
+    * dimensions with a md5-derived sign, per-doc sums give a sparse
+    * integer embedding — model-free embedding GENERATION, the
+    * bootstrap for the ANN/SemDeDup family when no trained encoder is
+    * in the loop (and the standard trick for vocabulary-unbounded
+    * features). All-integer outputs, so the oracle restates the exact
+    * hash arithmetic.
+    *
+    * Scale shape: ONE explode + one (doc, dim)-keyed hash agg with
+    * map-side partials; no vocabulary table, no join, no driver state
+    * — the whole point of hashed features at 100 TB. Emitted flat as
+    * (doc_id, dim, val) nonzero entries, the sparse-vector exchange
+    * format. */
+  val dHashEmbedding: Spec = Spec(
+    "d_hash_embedding",
+    oracle = Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      h AS (
+        SELECT doc_id,
+          ('0x' || substr(md5(w), 1, 12))::BIGINT % 16 AS dim,
+          CASE WHEN (('0x' || substr(md5(w), 1, 12))::BIGINT >> 4) % 2 = 0
+            THEN 1 ELSE -1 END AS s
+        FROM tok)
+      SELECT doc_id, CAST(dim AS BIGINT) AS dim,
+        CAST(SUM(s) AS BIGINT) AS val
+      FROM h GROUP BY doc_id, dim ORDER BY doc_id, dim""")) { (s, dir) =>
+    import s.implicits._
+    val tok = docs(s, dir)
+      .select($"doc_id", explode(Text.tokens($"text")).as("w"))
+    val h = conv(substring(md5($"w"), 1, 12), 16, 10).cast("long")
+    tok
+      .select($"doc_id", (h % 16).as("dim"),
+        when(shiftright(h, 4) % 2 === 0, 1L).otherwise(-1L).as("s"))
+      .groupBy($"doc_id", $"dim")
+      .agg(sum($"s").cast("long").as("val"))
+      .orderBy($"doc_id", $"dim")
+  }
+
   /** CCNet perplexity bands (Wenzek et al. 2020, arXiv:1911.00359):
     * rank documents within their language by LM score and cut into
     * head / middle / tail terciles — THE classic corpus-quality
@@ -1770,8 +1810,8 @@ object TrainingPrep {
     dGopherRules, dTfidfTopTerms, dMixtureSample, dLengthOutliers,
     dProfileColumns, dZipfSlope, dDriftPsi, dHeavyHitters,
     dSequenceSegments, dKmvDistinct, dSnapshotDiff, dTokenBudget,
-    dHashSplit, dReadability, dBigramLm, dPerplexityBand, dScoreDeciles,
-    dSourceInterleave,
+    dHashSplit, dReadability, dBigramLm, dPerplexityBand, dHashEmbedding,
+    dScoreDeciles, dSourceInterleave,
     dCmsCounts, dWeightedSample, dPaddingEfficiency, dEntropyScores,
     dSourceDivergence, dDistributionMatch, dQualityClassifier, dDsirWeights)
 }
