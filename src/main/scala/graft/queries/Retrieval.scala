@@ -135,14 +135,18 @@ object Retrieval {
       lens: DataFrame, dfreq: DataFrame, stats: DataFrame,
       topN: Int = TopDocs): DataFrame = {
     import s.implicits._
-    // TakeOrderedAndProject (distributed top-k), then a 6-row window.
-    // The literal partition key makes the (constant-bounded) frame
-    // explicit and keeps "No Partition Defined" warnings meaningful.
+    // TakeOrderedAndProject (distributed top-k), then rank the 6 rows
+    // WITHOUT a window: a literal partition key gets constant-folded to
+    // an empty partition spec, so WindowExec still warned — instead the
+    // bounded frame collapses to one array (collect_list + sort_array on
+    // (-df, term) = the row_number order) and posexplode emits the rank.
     val top = dfreq.orderBy($"df".desc, $"term").limit(QueryTerms)
-    val qw = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(0)).orderBy($"df".desc, $"term")
-    val queries = top.withColumn("rk", row_number().over(qw))
-      .select(expr("CAST((rk - 1) div 3 AS LONG)").as("query_id"), $"term", $"df")
+    val queries = top
+      .agg(sort_array(collect_list(
+        struct((-$"df").as("negdf"), $"term", $"df"))).as("ts"))
+      .select(posexplode($"ts").as(Seq("i", "t")))
+      .select(expr("CAST(i div 3 AS LONG)").as("query_id"),
+        $"t.term".as("term"), $"t.df".as("df"))
     val scored = tf
       .join(broadcast(queries), "term")
       .join(lens, "doc_id")
