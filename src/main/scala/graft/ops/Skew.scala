@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 
 /** Skew-handling utilities. AQE's skew-join splitting covers joins; these
   * cover the aggregation side (a hot groupBy key melting one reducer)
@@ -102,7 +103,24 @@ object Skew {
       key: String,
       orderCols: Seq[Column],
       value: Column,
-      out: String): DataFrame = {
+      out: String): DataFrame =
+    prefixSumsByKey(df, key, orderCols, Seq(value -> out))
+
+  /** [[prefixSumByKey]] over SEVERAL value columns in one pass: one
+    * range shuffle, one checkpoint, one partials collect and one
+    * broadcast join cover every running total (a per-column call would
+    * repeat all four). Needed wherever two cumulative counts advance in
+    * lockstep over the same sorted frame — e.g. the two ECDFs of a
+    * Kolmogorov–Smirnov scan. Semantics per column are exactly
+    * [[prefixSumByKey]] (inclusive running Long total within `key`
+    * ordered by `orderCols`, bit-identical to the single-reducer
+    * window). */
+  def prefixSumsByKey(
+      df: DataFrame,
+      key: String,
+      orderCols: Seq[Column],
+      values: Seq[(Column, String)]): DataFrame = {
+    require(values.nonEmpty, "prefixSumsByKey needs at least one value column")
     val spark = df.sparkSession
     import spark.implicits._
     val sortCols = col(key) +: orderCols
@@ -114,27 +132,45 @@ object Skew {
     // the API works for any key type (int doc ids, dates, …), not just
     // StringType — casting to string is injective per distinct value,
     // and the offsets join keys on the same casted column.
-    val withPart = sorted
-      .withColumn("_v", value.cast("long"))
+    val vCols = values.indices.map(i => s"_v$i")
+    val offCols = values.indices.map(i => s"_off$i")
+    val withPart = values.zip(vCols)
+      .foldLeft(sorted) { case (d, ((c, _), vn)) =>
+        d.withColumn(vn, c.cast("long"))
+      }
       .withColumn("_kstr", col(key).cast("string"))
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint()
     val partials = withPart.groupBy($"_pid", $"_kstr")
-      .agg(sum($"_v").as("_s"))
-      .as[(Int, String, Long)].collect()
-    val offsets = partials
+      .agg(sum(col(vCols.head)).as(vCols.head),
+        vCols.tail.map(n => sum(col(n)).as(n)): _*)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1),
+        vCols.indices.map(i => r.getLong(2 + i)).toArray))
+    val offsetRows = partials
       .groupBy(_._2).toSeq
       .flatMap { case (k, rows) =>
         val byPid = rows.sortBy(_._1)
-        val cums = byPid.scanLeft(0L)(_ + _._3)
-        byPid.map(_._1).zip(cums).toSeq
-          .map { case (pid, off) => (pid, k, off) }
-      }.toDF("_pid", "_kstr", "_off")
+        val cums = byPid.scanLeft(Array.fill(values.size)(0L)) {
+          (acc, r) => acc.zip(r._3).map { case (a, b) => a + b }
+        }
+        byPid.map(_._1).zip(cums).map { case (pid, off) =>
+          Row.fromSeq(pid +: k +: off.toSeq)
+        }
+      }
+    val offSchema = StructType(
+      StructField("_pid", IntegerType, nullable = false) +:
+        StructField("_kstr", StringType, nullable = true) +:
+        offCols.map(n => StructField(n, LongType, nullable = false)))
+    val offsets = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsetRows, 1), offSchema)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"_pid", $"_kstr").orderBy(orderCols: _*)
-    withPart
-      .join(broadcast(offsets), Seq("_pid", "_kstr"))
-      .withColumn(out, sum($"_v").over(w) + $"_off")
-      .drop("_pid", "_v", "_off", "_kstr")
+    val joined = withPart.join(broadcast(offsets), Seq("_pid", "_kstr"))
+    values.zipWithIndex
+      .foldLeft(joined) { case (d, ((_, out), i)) =>
+        d.withColumn(out, sum(col(vCols(i))).over(w) + col(offCols(i)))
+      }
+      .drop("_pid" +: "_kstr" +: (vCols ++ offCols): _*)
   }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{ConnectedComponents, MinHash, SimHash, Text}
+import graft.ops.{ConnectedComponents, MinHash, SimHash, Skew, Text}
 
 /** Deduplication family (SURVEY §2.11 + training-pipeline additions):
   * exact content-hash, MinHash+LSH with verified Jaccard, LSH clusters
@@ -1362,6 +1362,133 @@ object Dedup {
     e.crossJoin(broadcast(m)).orderBy($"id_a", $"id_b")
   }
 
+  /** Sorted-neighborhood dedup candidates (Hernández & Stolfo '95):
+    * sort the corpus by a normalized 24-char prefix key, then pair every
+    * record with its w=3 successors in sort order — the classic
+    * record-linkage alternative to hash blocking ([[ddJaccardBlockPairs]])
+    * and LSH ([[ddMinhashPairs]]): near-identical prefixes land adjacent
+    * regardless of which block a hash would have assigned, and the
+    * candidate count is EXACTLY w·n by construction — no degenerate-block
+    * blowup to cap. Verification is an edit-distance gate on the 64-char
+    * normalized prefix (≤ 20), row-local.
+    *
+    * Scale shape: the global sort rank is the two-phase
+    * [[graft.ops.Skew.globalRowNumber]] (range partitions + broadcast
+    * offsets — no single-reducer window sort), and neighbors meet
+    * through an EQUI-join on the dense rank (3 exploded successors per
+    * row), whose key is unique per row — perfectly uniform, one
+    * shuffle, AQE-splittable. Nothing in the plan is quadratic in a
+    * block size. */
+  val ddSnmPairs: Spec = Spec(
+    "dd_snm_pairs",
+    oracle = Some("""
+      WITH n AS (SELECT doc_id,
+              regexp_replace(trim(lower(text)), '[\s\x0B]+', ' ', 'g') AS norm
+            FROM documents),
+      r AS (SELECT doc_id, norm,
+              row_number() OVER (ORDER BY substr(norm, 1, 24), doc_id) AS rn
+            FROM n),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              a.norm AS na, b.norm AS nb
+            FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3)
+      SELECT id_a, id_b,
+        CAST(levenshtein(substr(na,1,64), substr(nb,1,64)) AS BIGINT) AS prefix_dist
+      FROM p WHERE levenshtein(substr(na,1,64), substr(nb,1,64)) <= 20
+      ORDER BY id_a, id_b""")) { (s, dir) =>
+    import s.implicits._
+    val norm = Tables.load(s, dir, "documents")
+      .select($"doc_id", Text.normalizeWs($"text").as("norm"))
+      .withColumn("sk", substring($"norm", 1, 24))
+    val ranked = Skew.globalRowNumber(norm, Seq($"sk", $"doc_id"))
+      .select($"doc_id", substring($"norm", 1, 64).as("pfx"), $"rn")
+    val left = ranked.select($"doc_id".as("id_a"), $"pfx".as("pa"), $"rn".as("rn_a"))
+    val right = ranked.select($"doc_id".as("id_b"), $"pfx".as("pb"), $"rn".as("rn_b"))
+    left
+      .select($"id_a", $"pa", explode(typedlit(Seq(1L, 2L, 3L))).as("j"), $"rn_a")
+      .withColumn("rn_b", $"rn_a" + $"j")
+      .join(right, "rn_b")
+      .filter(levenshtein($"pa", $"pb") <= 20)
+      .select($"id_a", $"id_b",
+        levenshtein($"pa", $"pb").cast("long").as("prefix_dist"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** Content-defined chunking (the LBFS cut rule — Muthitacharoen et
+    * al., SOSP '01): slide an 8-char window over the normalized text
+    * and cut wherever the window's 48-bit hash ≡ 0 (mod 32) — expected
+    * chunk ≈ 32 chars. Because boundaries depend only on LOCAL content,
+    * an insertion early in a document shifts at most one chunk's
+    * boundaries, so shared passages between documents hash to the SAME
+    * chunks no matter where they sit — the dedup property fixed-size
+    * chunking lacks and whole-doc hashing ([[ddExactHash]]) can't see.
+    * Output: every chunk content-hash occurring more than once, with
+    * its occurrence and document counts. (Plain cut rule: no min/max
+    * chunk-size clamps — those add sequential state; the expected size
+    * is set by the modulus.) Documents shorter than the window are
+    * chunkless by definition.
+    *
+    * Scale shape: the position explode is doc-length-bounded (the same
+    * class as the winnowing gram explode); cuts are ~1/32 of positions;
+    * chunk assembly is a doc-local lag window; and the dedup summary is
+    * a hash agg keyed by the chunk hash. No join anywhere. */
+  val ddCdcChunks: Spec = Spec(
+    "dd_cdc_chunks",
+    oracle = Some("""
+      WITH n AS (SELECT doc_id,
+              regexp_replace(trim(lower(text)), '[\s\x0B]+', ' ', 'g') AS norm
+            FROM documents),
+      g AS (SELECT doc_id, norm, unnest(range(1, len(norm) - 6)) AS i
+            FROM n WHERE len(norm) >= 8),
+      cut AS (SELECT doc_id, norm, i + 7 AS cut
+              FROM g
+              WHERE ('0x' || substr(md5(substr(norm, i, 8)), 1, 12))::BIGINT % 32 = 0),
+      allcut AS (
+        SELECT doc_id, norm, cut FROM cut
+        UNION
+        SELECT doc_id, norm, len(norm) AS cut FROM n WHERE len(norm) >= 8),
+      ch AS (SELECT doc_id,
+              COALESCE(lag(cut) OVER (PARTITION BY doc_id ORDER BY cut), 0) + 1 AS cstart,
+              cut AS cend, norm
+            FROM allcut),
+      chunks AS (SELECT doc_id,
+              md5(substr(norm, cstart, cend - cstart + 1)) AS chunk_md5,
+              cend - cstart + 1 AS clen
+            FROM ch)
+      SELECT chunk_md5,
+        CAST(COUNT(*) AS BIGINT) AS n_occ,
+        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        CAST(MIN(clen) AS BIGINT) AS chunk_len
+      FROM chunks GROUP BY chunk_md5 HAVING COUNT(*) > 1
+      ORDER BY chunk_md5""")) { (s, dir) =>
+    import s.implicits._
+    val n = Tables.load(s, dir, "documents")
+      .select($"doc_id", Text.normalizeWs($"text").as("norm"))
+      .filter(length($"norm") >= 8)
+    val cuts = n
+      .select($"doc_id", $"norm",
+        explode(sequence(lit(1L), length($"norm").cast("long") - 7)).as("i"))
+      .filter(
+        conv(substring(md5($"norm".substr($"i", lit(8))), 1, 12), 16, 10)
+          .cast("long") % 32 === 0)
+      .select($"doc_id", $"norm", ($"i" + 7).as("cut"))
+    val allcut = cuts
+      .union(n.select($"doc_id", $"norm", length($"norm").cast("long").as("cut")))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"cut")
+    allcut
+      .withColumn("cstart", coalesce(lag($"cut", 1).over(w), lit(0L)) + 1)
+      .select($"doc_id",
+        md5(expr("substring(norm, cstart, cut - cstart + 1)")).as("chunk_md5"),
+        ($"cut" - $"cstart" + 1).as("clen"))
+      .groupBy($"chunk_md5")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct($"doc_id").as("n_docs"),
+        min($"clen").as("chunk_len"))
+      .filter($"n_occ" > 1)
+      .orderBy($"chunk_md5")
+  }
+
   val specs: Seq[Spec] = Seq(
     ddMethodAgreement, ddThresholdSweep, ddMinhashEstimate,
     ddMinhashPairs, ddMinhashBlocked, ddMinhashClusters, ddMinhashIncremental,
@@ -1371,5 +1498,6 @@ object Dedup {
     ddSimhashMd5, ddSimhashMd5Pairs, ddDecontaminate, ddDecontaminateSpans,
     ddDupSpans,
     ddDupSpanRemoval, ddClusterRepresentatives, ddDedupReport,
-    ddCrossSourceOverlap, ddWinnowPairs, ddWinnowClusters, ddNoveltyScores)
+    ddCrossSourceOverlap, ddWinnowPairs, ddWinnowClusters, ddNoveltyScores,
+    ddSnmPairs, ddCdcChunks)
 }

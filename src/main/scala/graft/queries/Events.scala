@@ -795,9 +795,77 @@ object Events {
       .agg(count(lit(1)).as("n_events")))
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift test per event type: the
+    * `value` distribution of the EARLY half of the timeline (reference)
+    * vs the LATE half (current), split at the midpoint timestamp.
+    * KS = max over pooled values of |ECDF_ref − ECDF_cur| — the
+    * distribution-shift alarm that, unlike PSI (ev_drift_windowed),
+    * needs no binning choice and is sensitive anywhere on the CDF, not
+    * just where bin mass moves.
+    *
+    * Exactness: both ECDFs advance as INTEGER cumulative counts over
+    * the distinct-value grid, and the sup statistic is maximized in
+    * cross-multiplied integer form — max |cum_ref·n_cur − cum_cur·n_ref|
+    * — so engines compare exact integers and divide exactly once at the
+    * end (exact while n_ref·n_cur < 2^63, i.e. ~3e9 rows per side per
+    * type; beyond that quantize values first, which bounds the grid the
+    * same way PSI's bins do).
+    *
+    * Scale shape: one scan → (type, value) hash-agg with both side
+    * counts taken in the same pass; the two cumulative counts ride ONE
+    * [[graft.ops.Skew.prefixSumsByKey]] pass (range-partitioned, no
+    * single-reducer per-type window, one checkpoint + one broadcast for
+    * both ECDFs); totals are a types-sized broadcast. */
+  val qKsDrift: Spec = Spec(
+    "ev_ks_drift",
+    oracle = Some("""
+      WITH b AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid
+                 FROM events),
+      c AS (SELECT event_type, value,
+              SUM(CASE WHEN epoch_us(ts) <= b.mid THEN 1 ELSE 0 END) AS ca,
+              SUM(CASE WHEN epoch_us(ts) > b.mid THEN 1 ELSE 0 END) AS cb
+            FROM events CROSS JOIN b GROUP BY event_type, value),
+      t AS (SELECT event_type, SUM(ca) AS na, SUM(cb) AS nb
+            FROM c GROUP BY event_type),
+      cum AS (SELECT event_type, value,
+              SUM(ca) OVER (PARTITION BY event_type ORDER BY value) AS cr,
+              SUM(cb) OVER (PARTITION BY event_type ORDER BY value) AS cc
+            FROM c),
+      d AS (SELECT cum.event_type,
+              MAX(abs(cr * t.nb - cc * t.na)) AS dmax,
+              MIN(t.na) AS na, MIN(t.nb) AS nb
+            FROM cum JOIN t ON t.event_type = cum.event_type
+            GROUP BY cum.event_type)
+      SELECT event_type, CAST(na AS BIGINT) AS n_ref, CAST(nb AS BIGINT) AS n_cur,
+        round(CAST(dmax AS DOUBLE) / (na * nb), 6) AS ks_stat
+      FROM d ORDER BY event_type""")) { (s, dir) =>
+    import s.implicits._
+    val e = load(s, dir)
+      .select($"event_type", $"value", expr("ts div 1000").as("us"))
+    val mid = broadcast(e.agg(
+      expr("(min(us) + max(us)) div 2").as("mid")))
+    val counts = e.crossJoin(mid)
+      .groupBy($"event_type", $"value")
+      .agg(
+        sum(when($"us" <= $"mid", 1L).otherwise(0L)).as("ca"),
+        sum(when($"us" > $"mid", 1L).otherwise(0L)).as("cb"))
+    val totals = broadcast(counts.groupBy($"event_type")
+      .agg(sum($"ca").as("na"), sum($"cb").as("nb")))
+    val cum = graft.ops.Skew.prefixSumsByKey(
+      counts, "event_type", Seq($"value"),
+      Seq($"ca" -> "cr", $"cb" -> "cc"))
+    cum.join(totals, "event_type")
+      .groupBy($"event_type")
+      .agg(max(abs($"cr" * $"nb" - $"cc" * $"na")).as("dmax"),
+        min($"na").as("na"), min($"nb").as("nb"))
+      .select($"event_type", $"na".as("n_ref"), $"nb".as("n_cur"),
+        round($"dmax".cast("double") / ($"na" * $"nb"), 6).as("ks_stat"))
+      .orderBy($"event_type")
+  }
+
   val specs: Seq[Spec] = Seq(qTumbling, qSessionize, qAsofClick,
     qAsofTolerance, qFunnel, qPropsJson, qSliding, qSessionWindowNative,
     qRate5Min, qValueOutliers, qDriftWindowed, qDriftSliding,
     qCohortRetention, qFunnelWindowed, qDauNewReturning, qDecayScore,
-    qUserTrend, qRateAnomaly)
+    qUserTrend, qRateAnomaly, qKsDrift)
 }

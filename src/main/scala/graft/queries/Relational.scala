@@ -963,6 +963,68 @@ object Relational {
       .orderBy($"bucket")
   }
 
+  /** MERGE INTO / upsert semantics without a table format: the Delta
+    * `MERGE` contract (WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT)
+    * expressed as one full-outer join + coalesce projection — the plan
+    * every merge-on-read engine lowers to. The source batch is derived
+    * deterministically from the target (keys ≡ 0 mod 13 get a status
+    * flip and a +10.00 price adjustment; keys ≡ 0 mod 97 re-enter
+    * shifted by 1e9 as inserts), and the output is the merged rows with
+    * their merge_action, unchanged rows filtered out. Price arithmetic
+    * runs in DECIMAL(18,2) and casts to double once, so both engines
+    * see the identical IEEE value.
+    *
+    * Scale shape: ONE shuffle on the merge key for the full-outer join
+    * (the unavoidable one — both sides are fact-scale here; a dim-sized
+    * source would broadcast under AQE); the action tag and coalesces
+    * are row-local codegen. At 100 TB with a bucketed/z-ordered target
+    * (q_bucketed_join / q_zorder_cluster) the same plan skips the
+    * target-side exchange entirely. */
+  val qMergeUpsert: Spec = Spec(
+    "q_merge_upsert",
+    oracle = Some("""
+      WITH src AS (
+        SELECT o_orderkey, 'U' AS s_status,
+            CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 10.00 AS DOUBLE) AS s_price
+          FROM orders WHERE o_orderkey % 13 = 0
+        UNION ALL
+        SELECT o_orderkey + 1000000000 AS o_orderkey, 'N' AS s_status,
+            CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS s_price
+          FROM orders WHERE o_orderkey % 97 = 0),
+      m AS (
+        SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+          COALESCE(s.s_status, t.o_orderstatus) AS o_orderstatus,
+          COALESCE(s.s_price, t.o_totalprice) AS o_totalprice,
+          CASE WHEN t.o_orderkey IS NULL THEN 'insert'
+               WHEN s.o_orderkey IS NULL THEN 'unchanged'
+               ELSE 'update' END AS merge_action
+        FROM orders t FULL OUTER JOIN src s ON s.o_orderkey = t.o_orderkey)
+      SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice,
+        merge_action
+      FROM m WHERE merge_action <> 'unchanged'
+      ORDER BY o_orderkey""")) { (s, dir) =>
+    import s.implicits._
+    val t = Tables.load(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    val price2 = $"o_totalprice".cast("decimal(18,2)")
+    val src = t.filter($"o_orderkey" % 13 === 0)
+      .select($"o_orderkey".as("s_key"), lit("U").as("s_status"),
+        (price2 + lit(BigDecimal("10.00"))).cast("double").as("s_price"))
+      .unionByName(t.filter($"o_orderkey" % 97 === 0)
+        .select(($"o_orderkey" + 1000000000L).as("s_key"),
+          lit("N").as("s_status"), price2.cast("double").as("s_price")))
+    t.join(src, $"o_orderkey" === $"s_key", "full_outer")
+      .select(
+        coalesce($"o_orderkey", $"s_key").as("o_orderkey"),
+        coalesce($"s_status", $"o_orderstatus").as("o_orderstatus"),
+        round(coalesce($"s_price", $"o_totalprice"), 2).as("o_totalprice"),
+        when($"o_orderkey".isNull, "insert")
+          .when($"s_key".isNull, "unchanged")
+          .otherwise("update").as("merge_action"))
+      .filter($"merge_action" =!= "unchanged")
+      .orderBy($"o_orderkey")
+  }
+
   val specs: Seq[Spec] = Seq(
     q1PricingSummary, q3TopOrders, q5RegionRevenue, q4LateShipments,
     qAntiCustomers, qTopPartsPerBrand, qRunningSupplier, qSetOps,
@@ -970,5 +1032,5 @@ object Relational {
     qMonthly, qCaseWhen, qCube, qSqlSurface, qSketches, qWindowShapes,
     qOrderLatency, qStringOps, qFuzzyPartNames, qSaltedAgg, qRangeBandJoin,
     qBenford, qSkewReport, qConsistentSample, qRollingMedian, qBucketedJoin,
-    qZorderCluster)
+    qZorderCluster, qMergeUpsert)
 }

@@ -207,4 +207,64 @@ class DedupSpec extends AnyFunSuite {
     val n = docs.select(md5(Text.normalizeWs($"text")).as("h")).distinct().count()
     assert(n == 2)
   }
+
+  /** Write a planted documents table and run a registered Spec on it. */
+  private def withPlantedDocs(docs: Seq[(Long, String)])(
+      run: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_planted").toString
+    try {
+      docs.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+        .withColumn("n_chars", length($"text").cast("long"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      run(dir)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("SNM pairs the planted near-identical neighbors, skips unrelated text") {
+    // same 24-char prefix → adjacent in sort order; one mid-string edit
+    val a = base
+    val b = base.replace("river", "creek")
+    withPlantedDocs(Seq((0L, a), (1L, b), (2L, distinct1), (3L, distinct2))) { dir =>
+      val got = graft.queries.Dedup.ddSnmPairs.fn(spark, dir)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      assert(got.contains((0L, 1L)),
+        "near-identical prefixes must sort adjacent and pair")
+      assert(!got.contains((2L, 3L)) && !got.contains((3L, 2L)),
+        "unrelated docs must fail the edit-distance gate")
+      assert(!got.exists(p => p._1 == p._2), "no self pairs")
+    }
+  }
+
+  test("CDC chunks: a shared passage hashes to the same chunks at any offset") {
+    // the same long passage embedded at different offsets in two docs —
+    // fixed-size chunking would misalign, content-defined cuts must not
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " * 2
+    val docA = "first document header: " + passage
+    val docB = "a completely different and much longer preamble sits here before " +
+      "the shared body arrives " + passage
+    withPlantedDocs(Seq((0L, docA), (1L, docB))) { dir =>
+      val shared = graft.queries.Dedup.ddCdcChunks.fn(spark, dir)
+        .filter($"n_docs" === 2).count()
+      assert(shared >= 2,
+        s"shared passage must yield shared content-defined chunks, got $shared")
+    }
+  }
+
+  test("CDC chunks: a prefix insertion disturbs only the first chunk boundary") {
+    val docA = base + " " + distinct1 + " " + distinct2
+    val docB = "zz inserted. " + docA
+    withPlantedDocs(Seq((0L, docA), (1L, docB))) { dir =>
+      val out = graft.queries.Dedup.ddCdcChunks.fn(spark, dir).collect()
+      // every chunk after the first cut is content-identical between the
+      // two docs → nearly all chunks appear in both
+      val nShared = out.count(_.getAs[Long]("n_docs") == 2)
+      assert(nShared >= 2,
+        s"insertion must not re-cut downstream chunks, shared=$nShared")
+    }
+  }
 }

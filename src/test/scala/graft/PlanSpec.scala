@@ -397,4 +397,28 @@ class PlanSpec extends AnyFunSuite {
     assert(all.head.toString.contains("Bucketed: true"),
       "both scans must read the bucketed layout:\n" + all.head)
   }
+
+  test("KS drift: both ECDFs ride one _pid-keyed window, no per-type reducer") {
+    val p = plan("ev_ks_drift")
+    // the cumulative window must carry the physical partition id —
+    // a bare per-event_type windowspec is the single-reducer shape
+    // prefixSumsByKey exists to avoid
+    assert(p.contains("windowspecdefinition(_pid"),
+      "ECDF window must include the partition id in its keys:\n" + p)
+    val bare = p.linesIterator.exists(l =>
+      l.contains("windowspecdefinition(event_type#") && !l.contains("_pid"))
+    assert(!bare, "no bare per-type window allowed:\n" + p)
+    // one window computes BOTH running counts — not one pass per ECDF
+    assert(p.linesIterator.count(_.trim.startsWith("Window")) <= 1,
+      "both cumulative counts must share one Window operator:\n" + p)
+  }
+
+  test("SNM pairs: neighbor join is equi on the rank, never quadratic") {
+    val p = plan("dd_snm_pairs")
+    assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+      "successor pairing must be an equi-join on rn:\n" + p)
+    assert(p.contains("windowspecdefinition(_pid"),
+      "global rank must be the two-phase _pid-keyed form:\n" + p)
+  }
 }

@@ -40,6 +40,25 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("prefixSumsByKey: two columns in one pass == two window running sums") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select($"doc_id", $"lang",
+        Text.wordCount($"text").cast("long").as("v1"),
+        length($"text").cast("long").as("v2"))
+    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+    val expected = docs
+      .withColumn("c1", sum($"v1").over(w))
+      .withColumn("c2", sum($"v2").over(w))
+      .select($"doc_id", $"c1", $"c2")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    val got = Skew.prefixSumsByKey(docs, "lang", Seq($"doc_id"),
+        Seq($"v1" -> "c1", $"v2" -> "c2"))
+      .select($"doc_id", $"c1", $"c2")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("profileColumns survives SQL-metacharacter column names") {
     val df = Seq((1, "a"), (2, null), (3, "c"))
       .toDF("id num", "va'l`ue")
