@@ -863,9 +863,133 @@ object Events {
       .orderBy($"event_type")
   }
 
+  /** KS tail shared by ev_ks_windowed and st_ks_windowed: takes the
+    * (event_type, window_day, v, cnt) quantized daily count table and
+    * computes each day's KS statistic + asymptotic p-value against the
+    * type's FIRST day. Everything here is BOUNDED by construction —
+    * the 0.1-quantization caps the value grid at range/step points per
+    * type, days are calendar-bounded, and every window partition is
+    * (type[, day])-keyed over that grid — so no frame scales with the
+    * event count. The p-value is the 5-term asymptotic Kolmogorov
+    * series 2·Σ(−1)^{k−1}·exp(−2k²·n_eff·D²), written in identical
+    * literal op order in both engines. */
+  def ksOverDayValueCounts(c: DataFrame): DataFrame = {
+    val s = c.sparkSession
+    import s.implicits._
+    val f = broadcast(c.groupBy($"event_type").agg(min($"window_day").as("d0")))
+    val cf = c.join(f, "event_type")
+    val refc0 = cf.filter($"window_day" === $"d0")
+      .select($"event_type", $"v", $"cnt")
+    val nr = broadcast(refc0.groupBy($"event_type").agg(sum($"cnt").as("n_ref")))
+    val grid = c.select($"event_type", $"v").distinct()
+    val wr = Window.partitionBy($"event_type").orderBy($"v")
+    val refc = grid.join(refc0, Seq("event_type", "v"), "left")
+      .withColumn("cumr", sum(coalesce($"cnt", lit(0L))).over(wr))
+      .select($"event_type", $"v", $"cumr")
+    val winRows = cf.filter($"window_day" =!= $"d0")
+    val wins = winRows.select($"event_type", $"window_day").distinct()
+    val nw = winRows.groupBy($"event_type", $"window_day")
+      .agg(sum($"cnt").as("n_win"))
+    val ww = Window.partitionBy($"event_type", $"window_day").orderBy($"v")
+    val cw = wins.join(grid, "event_type")
+      .join(c, Seq("event_type", "window_day", "v"), "left")
+      .withColumn("cumw", sum(coalesce($"cnt", lit(0L))).over(ww))
+      .select($"event_type", $"window_day", $"v", $"cumw")
+    cw.join(refc, Seq("event_type", "v"))
+      .join(nr, "event_type")
+      .join(nw, Seq("event_type", "window_day"))
+      .groupBy($"event_type", $"window_day")
+      .agg(max(abs($"cumw" * $"n_ref" - $"cumr" * $"n_win")).as("dmax"),
+        min($"n_ref").as("n_ref"), min($"n_win").as("n_win"))
+      .withColumn("d", $"dmax".cast("double") / ($"n_ref" * $"n_win"))
+      .withColumn("lam2",
+        $"n_ref".cast("double") * $"n_win" / ($"n_ref" + $"n_win") * $"d" * $"d")
+      .select($"event_type", $"window_day", $"n_ref", $"n_win",
+        round($"d", 6).as("ks_stat"),
+        round(least(lit(1.0), lit(2.0) *
+          (exp(lit(-2.0) * $"lam2") - exp(lit(-8.0) * $"lam2")
+            + exp(lit(-18.0) * $"lam2") - exp(lit(-32.0) * $"lam2")
+            + exp(lit(-50.0) * $"lam2"))), 6).as("p_value"))
+      .orderBy($"event_type", $"window_day")
+  }
+
+  /** Oracle for the windowed KS monitor, shared with the streaming
+    * twin. Mirrors [[ksOverDayValueCounts]] stage by stage. */
+  val ksWindowedOracleSql: String = """
+      WITH c AS (
+        SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS window_day,
+          round(value, 1) AS v, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2, 3),
+      f AS (SELECT event_type, MIN(window_day) AS d0 FROM c GROUP BY 1),
+      grid AS (SELECT DISTINCT event_type, v FROM c),
+      refc0 AS (SELECT c.event_type, c.v, c.cnt FROM c
+        JOIN f ON f.event_type = c.event_type AND c.window_day = f.d0),
+      nr AS (SELECT event_type, SUM(cnt) AS n_ref FROM refc0 GROUP BY 1),
+      refc AS (
+        SELECT g.event_type, g.v,
+          SUM(COALESCE(r.cnt, 0)) OVER (PARTITION BY g.event_type ORDER BY g.v) AS cumr
+        FROM grid g LEFT JOIN refc0 r ON r.event_type = g.event_type AND r.v = g.v),
+      wins AS (SELECT DISTINCT c.event_type, c.window_day FROM c
+        JOIN f ON f.event_type = c.event_type WHERE c.window_day <> f.d0),
+      nw AS (SELECT c.event_type, c.window_day, SUM(cnt) AS n_win FROM c
+        JOIN f ON f.event_type = c.event_type WHERE c.window_day <> f.d0
+        GROUP BY 1, 2),
+      gw AS (SELECT w.event_type, w.window_day, g.v FROM wins w
+        JOIN grid g ON g.event_type = w.event_type),
+      cw AS (
+        SELECT gw.event_type, gw.window_day, gw.v,
+          SUM(COALESCE(c.cnt, 0)) OVER (PARTITION BY gw.event_type, gw.window_day
+            ORDER BY gw.v) AS cumw
+        FROM gw LEFT JOIN c ON c.event_type = gw.event_type
+          AND c.window_day = gw.window_day AND c.v = gw.v),
+      dm AS (
+        SELECT cw.event_type, cw.window_day,
+          MAX(abs(cw.cumw * nr.n_ref - refc.cumr * nw.n_win)) AS dmax,
+          MIN(nr.n_ref) AS n_ref, MIN(nw.n_win) AS n_win
+        FROM cw
+        JOIN refc ON refc.event_type = cw.event_type AND refc.v = cw.v
+        JOIN nr ON nr.event_type = cw.event_type
+        JOIN nw ON nw.event_type = cw.event_type AND nw.window_day = cw.window_day
+        GROUP BY 1, 2),
+      pv AS (
+        SELECT event_type, window_day, n_ref, n_win,
+          CAST(dmax AS DOUBLE) / (n_ref * n_win) AS d,
+          (CAST(n_ref AS DOUBLE) * n_win / (n_ref + n_win))
+            * (CAST(dmax AS DOUBLE) / (n_ref * n_win))
+            * (CAST(dmax AS DOUBLE) / (n_ref * n_win)) AS lam2
+        FROM dm)
+      SELECT event_type, window_day,
+        CAST(n_ref AS BIGINT) AS n_ref, CAST(n_win AS BIGINT) AS n_win,
+        round(d, 6) AS ks_stat,
+        round(LEAST(1.0, 2 * (exp(-2 * lam2) - exp(-8 * lam2) + exp(-18 * lam2)
+          - exp(-32 * lam2) + exp(-50 * lam2))), 6) AS p_value
+      FROM pv ORDER BY event_type, window_day"""
+
+  /** WINDOWED KS monitor: each day's `value` distribution tested
+    * against the type's FIRST day (the fixed reference), with the
+    * asymptotic p-value — the per-window twin of [[qKsDrift]] and the
+    * binning-free counterpart of the PSI monitor ([[qDriftWindowed]]).
+    * Values quantize to 0.1 FIRST: that is the deliberate monitoring
+    * trade that makes every downstream structure bounded (grid ≤
+    * range/step per type) where full-resolution KS ([[qKsDrift]])
+    * keeps the exact grid. Shares [[ksOverDayValueCounts]] with
+    * st_ks_windowed, so batch and streaming cannot drift. */
+  val qKsWindowed: Spec = Spec(
+    "ev_ks_windowed",
+    oracle = Some(ksWindowedOracleSql)) { (s, dir) =>
+    import s.implicits._
+    ksOverDayValueCounts(load(s, dir)
+      .select($"event_type",
+        date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd")
+          .as("window_day"),
+        round($"value", 1).as("v"))
+      .groupBy($"event_type", $"window_day", $"v")
+      .agg(count(lit(1)).as("cnt")))
+  }
+
   val specs: Seq[Spec] = Seq(qTumbling, qSessionize, qAsofClick,
     qAsofTolerance, qFunnel, qPropsJson, qSliding, qSessionWindowNative,
     qRate5Min, qValueOutliers, qDriftWindowed, qDriftSliding,
     qCohortRetention, qFunnelWindowed, qDauNewReturning, qDecayScore,
-    qUserTrend, qRateAnomaly, qKsDrift)
+    qUserTrend, qRateAnomaly, qKsDrift, qKsWindowed)
 }

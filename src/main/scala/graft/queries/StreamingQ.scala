@@ -432,6 +432,20 @@ object StreamingQ {
         .select($"window_start", $"event_type", $"n_events".as("n")))
   }
 
+  /** STREAMING windowed-KS monitor: the watermarked daily tumbling agg
+    * maintains the (day, type, quantized value) count table — the
+    * bounded sufficient statistic — and the KS + p-value comparison is
+    * a batch view over it, sharing [[Events.ksOverDayValueCounts]] and
+    * the batch oracle with ev_ks_windowed (same split as
+    * st_drift_windowed: the stream keeps cheap bounded state, the
+    * expensive comparison runs over the bounded result). */
+  val stKsWindowed: Spec = Spec(
+    "st_ks_windowed",
+    oracle = Some(Events.ksWindowedOracleSql)) { (s, dir) =>
+    Events.ksOverDayValueCounts(
+      StreamOps.dailyValueCounts(s, dir, sink = "st_ks_mem"))
+  }
+
   /** STREAMING MinHash near-dup: foreachBatch accumulates an LSH state
     * store and emits each batch's verified pairs vs prior state + in
     * batch ([[graft.streaming.StreamOps.minhashIncrementalStart]]).
@@ -596,5 +610,5 @@ object StreamingQ {
     stEnrich, stClickView, dLid, dLidScript, dLidConfusion, pipelineE2e,
     stDocFlags, stHeavyHitters, stDriftWindowed, stLidScript,
     stMinhashPairs, stFunnelLevels, stBm25Indexed, stCmsCounts, stNovelty,
-    stAsofLastClick, stCcIncremental, stRateAnomaly)
+    stAsofLastClick, stCcIncremental, stRateAnomaly, stKsWindowed)
 }

@@ -71,6 +71,39 @@ object StreamOps {
       sink: String = "st_tumbling_mem"): DataFrame =
     tumblingFrom(s, eventsStream(s, dir), sink)
 
+  /** Daily (event_type, 0.1-quantized value) counts as a streaming
+    * query — the bounded sufficient statistic the windowed KS monitor
+    * consumes ([[graft.queries.Events.ksOverDayValueCounts]]). The
+    * stream keeps only calendar-bounded watermarked window state (days
+    * × types × quantized grid), never raw events; the KS + p-value
+    * comparison runs as a batch view over this table. */
+  def dailyValueCounts(s: SparkSession, dir: String,
+      sink: String = "st_ks_mem"): DataFrame =
+    dailyValueCountsFrom(s, eventsStream(s, dir), sink)
+
+  /** [[dailyValueCounts]] over ANY streaming events frame (events
+    * schema, ts as raw nanos) — source-agnostic like [[tumblingFrom]]:
+    * the file twin and the MemoryStream twin (StreamingSpec) run this
+    * same plan. */
+  def dailyValueCountsFrom(s: SparkSession, src: DataFrame,
+      sink: String): DataFrame = {
+    val agg = src
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_utc", "1 day")
+      .groupBy(window(col("ts_utc"), "1 day"), col("event_type"),
+        round(col("value"), 1).as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    runToTable(s, agg, sink, "complete")
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("window_day"),
+        col("event_type"), col("v"), col("cnt"))
+      // The KS tail self-joins this table several times (grid/ref/
+      // window branches). A MemoryPlan leaf cannot be deduplicated
+      // across those references (conflicting-attribute analyzer error);
+      // checkpointing the BOUNDED statistic table turns it into a
+      // re-referenceable RDD-backed plan and freezes the monitor input.
+      .localCheckpoint()
+  }
+
   /** Sliding 1-hour windows every 15 minutes as a streaming query —
     * each event lands in 4 overlapping windows; watermarked state,
     * complete-mode memory sink for the finite-source smoke. */

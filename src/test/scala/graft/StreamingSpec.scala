@@ -421,4 +421,29 @@ class StreamingSpec extends AnyFunSuite {
       .select($"doc_id", $"text").as[(Long, String)].collect().toSet
     assert(got == Set((1L, "alpha"), (2L, "beta"), (11L, "gamma")))
   }
+
+  test("streaming windowed KS: two-batch MemoryStream feed equals the file-source run") {
+    // The daily count agg is linear, so batch boundaries cannot change
+    // the sufficient statistic — and therefore cannot change the KS
+    // view over it. Split the feed mid-stream to prove it.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Events.load(spark, TestSpark.Sf)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[(Long, Long, Long, String, Double, String)].collect().toSeq
+    val (early, late) = rows.sortBy(_._2).splitAt(rows.length / 2)
+    val ms = MemoryStream[(Long, Long, Long, String, Double, String)]
+    ms.addData(early)
+    ms.addData(late)
+    val src = ms.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.ksOverDayValueCounts(
+        StreamOps.dailyValueCountsFrom(spark, src, "st_ks_msrc"))
+      .as[(String, String, Long, Long, Double, Double)].collect().toSet
+    val file = Events.ksOverDayValueCounts(
+        StreamOps.dailyValueCounts(spark, TestSpark.Sf, "st_ks_file_twin"))
+      .as[(String, String, Long, Long, Double, Double)].collect().toSet
+    assert(got == file)
+    assert(got.nonEmpty)
+  }
 }
