@@ -1025,6 +1025,63 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  /** SCD TYPE-2 dimension history built from a change log: each
+    * customer's order stream is the feed of attribute observations
+    * (o_orderpriority as the tracked attribute); consecutive duplicate
+    * observations COLLAPSE (a version opens only when the attribute
+    * actually changes — the defining SCD2 rule), and each surviving
+    * version carries valid_from / valid_to (next version's start, open
+    * sentinel 9999-12-31), a per-key version number, and is_current.
+    * This is the warehouse-side complement of [[qMergeUpsert]]: merge
+    * applies the latest state, SCD2 preserves the full validity
+    * timeline for as-of joins ([[Events]] ev_asof_*).
+    *
+    * Scale shape: two windows, both partitioned by the dimension key —
+    * frames are change-log-depth per key (dimension-scale, not
+    * fact-scale); ties break on the order key so both engines pick the
+    * same version chain deterministically. One shuffle on o_custkey
+    * feeds both windows (same partitioning, no re-exchange). */
+  val qScd2History: Spec = Spec(
+    "q_scd2_history",
+    oracle = Some("""
+      WITH v AS (
+        SELECT o_custkey, o_orderkey,
+          strftime(o_orderdate, '%Y-%m-%d') AS d, o_orderpriority AS attr
+        FROM orders),
+      chg AS (
+        SELECT *, lag(attr) OVER w AS prev
+        FROM v WINDOW w AS (PARTITION BY o_custkey ORDER BY d, o_orderkey)),
+      kept AS (SELECT o_custkey, o_orderkey, d, attr FROM chg
+        WHERE prev IS NULL OR prev <> attr),
+      hist AS (
+        SELECT o_custkey, attr, d AS valid_from,
+          lead(d) OVER w AS valid_to,
+          CAST(row_number() OVER w AS BIGINT) AS version
+        FROM kept WINDOW w AS (PARTITION BY o_custkey ORDER BY d, o_orderkey))
+      SELECT o_custkey, version, attr, valid_from,
+        COALESCE(valid_to, '9999-12-31') AS valid_to,
+        CAST(valid_to IS NULL AS BOOLEAN) AS is_current
+      FROM hist ORDER BY o_custkey, version""")) { (s, dir) =>
+    import s.implicits._
+    val v = Tables.load(s, dir, "orders")
+      .select($"o_custkey", $"o_orderkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("d"),
+        $"o_orderpriority".as("attr"))
+    val w = Window.partitionBy($"o_custkey").orderBy($"d", $"o_orderkey")
+    val kept = v
+      .withColumn("prev", lag($"attr", 1).over(w))
+      .filter($"prev".isNull || $"prev" =!= $"attr")
+      .select($"o_custkey", $"o_orderkey", $"d", $"attr")
+    kept
+      .withColumn("valid_to_raw", lead($"d", 1).over(w))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .select($"o_custkey", $"version", $"attr",
+        $"d".as("valid_from"),
+        coalesce($"valid_to_raw", lit("9999-12-31")).as("valid_to"),
+        $"valid_to_raw".isNull.as("is_current"))
+      .orderBy($"o_custkey", $"version")
+  }
+
   val specs: Seq[Spec] = Seq(
     q1PricingSummary, q3TopOrders, q5RegionRevenue, q4LateShipments,
     qAntiCustomers, qTopPartsPerBrand, qRunningSupplier, qSetOps,
@@ -1032,5 +1089,5 @@ object Relational {
     qMonthly, qCaseWhen, qCube, qSqlSurface, qSketches, qWindowShapes,
     qOrderLatency, qStringOps, qFuzzyPartNames, qSaltedAgg, qRangeBandJoin,
     qBenford, qSkewReport, qConsistentSample, qRollingMedian, qBucketedJoin,
-    qZorderCluster, qMergeUpsert)
+    qZorderCluster, qMergeUpsert, qScd2History)
 }

@@ -413,6 +413,14 @@ class PlanSpec extends AnyFunSuite {
       "both cumulative counts must share one Window operator:\n" + p)
   }
 
+  test("scd2 history: ONE custkey exchange feeds both version windows") {
+    val p = plan("q_scd2_history")
+    val n = p.linesIterator
+      .count(_.contains("Exchange hashpartitioning(o_custkey"))
+    assert(n == 1,
+      s"change-detect and validity windows must share one shuffle, saw $n:\n$p")
+  }
+
   test("SNM pairs: neighbor join is equi on the rank, never quadratic") {
     val p = plan("dd_snm_pairs")
     assert(!p.contains("CartesianProduct") &&
