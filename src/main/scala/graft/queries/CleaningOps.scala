@@ -828,10 +828,97 @@ object CleaningOps {
       .orderBy($"doc_id")
   }
 
+  /** URL hygiene stage (crawl-corpus preprocessing, [[graft.ops.Url]]):
+    * normalization (scheme/host case-fold, default port + www. strip,
+    * trailing-slash strip, utm_* tracking-param removal, fragment
+    * drop), host + naive registered-domain extraction, path depth, a
+    * broadcast host-blocklist flag, and the URL-level duplicate count
+    * over the NORMALIZED form — the cheap pre-content dedup key
+    * (CCNet/RefinedWeb practice; the reference carries a per-doc `url`
+    * field untouched, filters.py:632). Raw URLs derive
+    * deterministically from (source, doc_id) with case/port/www/slash/
+    * utm/fragment variation, identical expression both engines — the
+    * derived-input recipe this module documents at the top.
+    *
+    * Scale shape: every extraction is a row-local regexp (one codegen'd
+    * projection over the scan); the blocklist rides a broadcast; the
+    * only shuffle is the normalized-url dup count — the cheapest
+    * possible dedup exchange (short string keys, no content). */
+  val dUrlOps: Spec = Spec(
+    "d_url_ops",
+    oracle = Some("""
+      WITH u AS (
+        SELECT doc_id,
+          (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+          (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) ||
+          (CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END) ||
+          '.example.org' ||
+          (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+          '/docs/' || CAST(doc_id % 7 AS VARCHAR) ||
+          (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+          '?utm_source=feed&id=' || CAST(doc_id % 5 AS VARCHAR) ||
+          (CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END) AS url
+        FROM documents),
+      p AS (
+        SELECT doc_id, url,
+          lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS hostport,
+          regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+          regexp_extract(url, '\?([^#]*)', 1) AS query
+        FROM u),
+      n AS (
+        SELECT doc_id, url,
+          regexp_replace(regexp_replace(hostport, ':443$', ''), '^www\.', '') AS host,
+          regexp_replace(path, '/$', '') AS cpath,
+          regexp_replace(regexp_replace(query, '(^|&)utm_[^&]*', '', 'g'), '^&', '') AS cq
+        FROM p),
+      f AS (
+        SELECT doc_id, url,
+          'https://' || host || cpath ||
+            (CASE WHEN cq <> '' THEN '?' || cq ELSE '' END) AS url_norm,
+          host,
+          regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+          CAST(length(cpath) - length(replace(cpath, '/', '')) AS BIGINT) AS path_depth
+        FROM n),
+      d AS (SELECT url_norm, COUNT(*) AS n_dup FROM f GROUP BY 1)
+      SELECT f.doc_id, f.url_norm, f.host, f.domain, f.path_depth,
+        CAST(f.host IN ('src3.example.org', 'src7.example.org',
+          'src11.example.org') AS BOOLEAN) AS is_blocked,
+        CAST(d.n_dup AS BIGINT) AS n_dup
+      FROM f JOIN d ON d.url_norm = f.url_norm
+      ORDER BY f.doc_id""")) { (s, dir) =>
+    import s.implicits._
+    import graft.ops.Url
+    val url = concat(
+      when($"doc_id" % 2 === 0, "HTTPS").otherwise("https"), lit("://"),
+      when($"doc_id" % 3 === 0, "www.").otherwise(""),
+      when($"doc_id" % 2 === 0, upper($"source")).otherwise($"source"),
+      lit(".example.org"),
+      when($"doc_id" % 5 === 0, ":443").otherwise(""),
+      lit("/docs/"), ($"doc_id" % 7).cast("string"),
+      when($"doc_id" % 4 === 0, "/").otherwise(""),
+      lit("?utm_source=feed&id="), ($"doc_id" % 5).cast("string"),
+      when($"doc_id" % 4 === 0, "#frag").otherwise(""))
+    val f = Tables.load(s, dir, "documents")
+      .select($"doc_id", url.as("url"))
+      .select($"doc_id",
+        Url.normalize($"url").as("url_norm"),
+        Url.host($"url").as("host"),
+        Url.registeredDomain($"url").as("domain"),
+        Url.pathDepth($"url").as("path_depth"))
+    val blocklist = broadcast(Seq("src3.example.org", "src7.example.org",
+      "src11.example.org").toDF("host").withColumn("blk", lit(true)))
+    val dups = f.groupBy($"url_norm").agg(count(lit(1)).as("n_dup"))
+    f.join(blocklist, Seq("host"), "left")
+      .join(dups, "url_norm")
+      .select($"doc_id", $"url_norm", $"host", $"domain", $"path_depth",
+        coalesce($"blk", lit(false)).as("is_blocked"), $"n_dup")
+      .orderBy($"doc_id")
+  }
+
   val specs: Seq[Spec] = Seq(
     dSplitSentences, dNumPuncChunks, dTerminalChunks, dNumberChunks,
     dCodeDetect, dCodeRemove, dNormalizeIndic, dTerminalPuncFilter,
     dNonTermSpanRemove, dSentenceSplitLang, dPiiMask, dBoilerplateLines,
     dHtmlExtract, dJunkLines, dScriptSegments, dRunCollapse, dMojibake,
-    dHomoglyphFold)
+    dHomoglyphFold, dUrlOps)
 }

@@ -203,4 +203,28 @@ class TextSemanticsSpec extends AnyFunSuite {
     val m = hits("porn देखना और चुदाई word")
     assert(m.get("porn").contains(1) && m.get("चुदाई").contains(1), s"$m")
   }
+
+  test("url normalize: case, www, :443, trailing slash, utm params, fragment") {
+    import graft.ops.Url
+    def norm(u: String): String = one[String](Url.normalize($"t"), u)
+    assert(norm("HTTP://WWW.Example.COM:443/a/b/?utm_campaign=x&q=1&utm_source=y#z")
+      == "https://example.com/a/b?q=1")
+    assert(norm("https://example.org") == "https://example.org")
+    assert(norm("https://example.org/?utm_source=a") == "https://example.org")
+    // utm stripping keeps interior params and re-trims the leading &
+    assert(norm("https://e.io/p?utm_a=1&keep=2&utm_b=3") == "https://e.io/p?keep=2")
+  }
+
+  test("url host/domain/path depth: ports, subdomains, root path") {
+    import graft.ops.Url
+    def host(u: String): String = one[String](Url.host($"t"), u)
+    def dom(u: String): String = one[String](Url.registeredDomain($"t"), u)
+    def depth(u: String): Long = one[Long](Url.pathDepth($"t"), u)
+    assert(host("https://WWW.a.b.example.com/x") == "a.b.example.com")
+    assert(dom("https://a.b.example.com/x") == "example.com")
+    // non-default ports stay in the host (documented naive behavior)
+    assert(host("https://h.io:8080/x") == "h.io:8080")
+    assert(depth("https://e.io/a/b/") == 2L)
+    assert(depth("https://e.io") == 0L)
+  }
 }
