@@ -142,8 +142,12 @@ object Dedup {
     * Shared by the one-shot clustering (dd_minhash_clusters) and the
     * incremental merge (dd_cc_incremental), whose defining property is
     * exact equality with this full recompute. */
-  private[queries] val minhashClustersSql = """
-      WITH RECURSIVE toks AS (
+  /** The shared oracle chain through `labels` (doc → component, min-id
+    * per LSH-verified near-dup cluster); d_cluster_split
+    * (queries/TrainingPrep.scala) extends this same chain, so the two
+    * oracles cannot drift. Must follow `WITH RECURSIVE`. */
+  private[queries] val minhashLabelsCte = """
+      toks AS (
         SELECT doc_id, string_split(text,' ') AS l FROM documents),
       sh AS (
         SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(l)-1, 1)),
@@ -176,7 +180,10 @@ object Dedup {
         SELECT src, src FROM edges
         UNION
         SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id),
-      labels AS (SELECT id, MIN(comp) AS component FROM walk GROUP BY id)
+      labels AS (SELECT id, MIN(comp) AS component FROM walk GROUP BY id)"""
+
+  private[queries] val minhashClustersSql = s"""
+      WITH RECURSIVE $minhashLabelsCte
       SELECT component, COUNT(*) AS cluster_size, MAX(id) AS max_id
       FROM labels GROUP BY component ORDER BY component"""
 

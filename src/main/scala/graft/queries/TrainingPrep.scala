@@ -1803,8 +1803,75 @@ object TrainingPrep {
       .orderBy($"lang")
   }
 
+  /** CLUSTER-AWARE train/val/test split — the dedup-leakage guard
+    * [[dHashSplit]] lacks: near-duplicate documents must land in the
+    * SAME split (a train doc whose near-dup sits in test inflates eval
+    * silently), so the split bucket hashes the near-dup CLUSTER id
+    * (MinHash+CC component; singletons fall back to their own doc_id),
+    * and every cluster member inherits it. `n_moved` counts the docs
+    * whose assignment differs from the row-level hash split — the
+    * leakage exposure the guard just closed.
+    *
+    * Scale shape: on top of the LSH cluster labelling (capped
+    * candidates, pointer-jumping CC — the dd_minhash_clusters
+    * machinery), the split is one keyed label-lookup join (size is the
+    * clustered-doc count — AQE picks broadcast vs shuffle) + a per-row
+    * hash; the summary is a 3-key hash agg. Oracle extends the
+    * shared `labels` CTE chain (Dedup.minhashLabelsCte), so cluster
+    * semantics cannot drift from dd_minhash_clusters. */
+  val dClusterSplit: Spec = Spec(
+    "d_cluster_split",
+    oracle = Some(s"""
+      WITH RECURSIVE ${Dedup.minhashLabelsCte},
+      comp AS (
+        SELECT d.doc_id, COALESCE(l.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN labels l ON l.id = d.doc_id),
+      s AS (
+        SELECT doc_id, component,
+          CAST('0x' || substr(md5(CAST(component AS VARCHAR)),1,12) AS BIGINT)
+            % 100 AS cb,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,12) AS BIGINT)
+            % 100 AS rb
+        FROM comp),
+      t AS (
+        SELECT doc_id, component,
+          CASE WHEN cb < 90 THEN 'train' WHEN cb < 95 THEN 'val'
+               ELSE 'test' END AS split,
+          CASE WHEN rb < 90 THEN 'train' WHEN rb < 95 THEN 'val'
+               ELSE 'test' END AS row_split
+        FROM s)
+      SELECT split, COUNT(*) AS n_docs,
+        CAST(COUNT(DISTINCT component) AS BIGINT) AS n_clusters,
+        CAST(SUM(CASE WHEN split <> row_split THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_moved,
+        MIN(doc_id) AS min_doc_id
+      FROM t GROUP BY split ORDER BY split""")) { (s, dir) =>
+    import s.implicits._
+    import graft.ops.MinHash
+    val d = docs(s, dir)
+    val labels = MinHash.clusters(MinHash.candidatePairs(
+      d, "doc_id", "text", shingleSize = 3, numPerm = 32, bands = 8,
+      threshold = 0.5))
+    // no pinned broadcast: label-table size is the clustered-doc count,
+    // corpus-proportional on dup-heavy crawls — AQE picks the strategy
+    val comp = d.select($"doc_id")
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"component", $"doc_id").as("component"))
+    def splitOf(bucket: org.apache.spark.sql.Column) =
+      when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    comp
+      .withColumn("split", splitOf(Sampling.hash48($"component") % 100))
+      .withColumn("row_split", splitOf(Sampling.hash48($"doc_id") % 100))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"component").as("n_clusters"),
+        sum(when($"split" =!= $"row_split", 1L).otherwise(0L)).as("n_moved"),
+        min($"doc_id").as("min_doc_id"))
+      .orderBy($"split")
+  }
+
   val specs: Seq[Spec] = Seq(
-    dBootstrapCi, dAdaptiveCutoff,
+    dBootstrapCi, dAdaptiveCutoff, dClusterSplit,
     dQualityCalibration,
     dStratifiedSample, dShardPacking, dChunkWindows, dUnigramLmScore,
     dGopherRules, dTfidfTopTerms, dMixtureSample, dLengthOutliers,
