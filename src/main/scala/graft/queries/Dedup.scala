@@ -1405,15 +1405,85 @@ object Dedup {
     import s.implicits._
     val norm = Tables.load(s, dir, "documents")
       .select($"doc_id", Text.normalizeWs($"text").as("norm"))
-      .withColumn("sk", substring($"norm", 1, 24))
-    val ranked = Skew.globalRowNumber(norm, Seq($"sk", $"doc_id"))
-      .select($"doc_id", substring($"norm", 1, 64).as("pfx"), $"rn")
-    val left = ranked.select($"doc_id".as("id_a"), $"pfx".as("pa"), $"rn".as("rn_a"))
-    val right = ranked.select($"doc_id".as("id_b"), $"pfx".as("pb"), $"rn".as("rn_b"))
+    snmPass(norm, substring($"norm", 1, 24))
+      .filter(levenshtein($"pa", $"pb") <= 20)
+      .select($"id_a", $"id_b",
+        levenshtein($"pa", $"pb").cast("long").as("prefix_dist"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** One sorted-neighborhood pass: rank by (sortKey, doc_id) via the
+    * two-phase global rank, pair each row with its w=3 successors
+    * through the rank equi-join, and carry both 64-char normalized
+    * prefixes for the caller's verify gate. */
+  private def snmPass(norm: org.apache.spark.sql.DataFrame,
+      sortKey: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    val ranked = Skew.globalRowNumber(
+        norm.withColumn("sk", sortKey), Seq(col("sk"), col("doc_id")))
+      .select(col("doc_id"), substring(col("norm"), 1, 64).as("pfx"), col("rn"))
+    val left = ranked.select(col("doc_id").as("id_a"), col("pfx").as("pa"),
+      col("rn").as("rn_a"))
+    val right = ranked.select(col("doc_id").as("id_b"), col("pfx").as("pb"),
+      col("rn").as("rn_b"))
     left
-      .select($"id_a", $"pa", explode(typedlit(Seq(1L, 2L, 3L))).as("j"), $"rn_a")
-      .withColumn("rn_b", $"rn_a" + $"j")
+      .select(col("id_a"), col("pa"),
+        explode(typedlit(Seq(1L, 2L, 3L))).as("j"), col("rn_a"))
+      .withColumn("rn_b", col("rn_a") + col("j"))
       .join(right, "rn_b")
+      .select(col("id_a"), col("id_b"), col("pa"), col("pb"))
+  }
+
+  /** MULTI-PASS sorted neighborhood (the standard recall fix for SNM's
+    * one weakness — an edit inside the sort key scatters near-dups
+    * across the sort order): a second pass keyed on the REVERSED text
+    * prefix catches pairs whose heads differ but whose tails agree;
+    * pairs union over passes, canonically oriented (id_a < id_b) and
+    * deduplicated, then the same edit-distance gate verifies. On the
+    * verify corpus both passes find the same pairs (near-dups share
+    * heads); DedupSpec plants a head-divergent/tail-identical pair that
+    * ONLY the reversed pass can catch.
+    *
+    * Scale shape: exactly two [[ddSnmPairs]] pipelines (each w·n
+    * candidates, rank equi-joins) + one distinct — cost is passes ×
+    * single-pass, never quadratic. */
+  val ddSnmMultipass: Spec = Spec(
+    "dd_snm_multipass",
+    oracle = Some("""
+      WITH n AS (SELECT doc_id,
+              regexp_replace(trim(lower(text)), '[\s\x0B]+', ' ', 'g') AS norm
+            FROM documents),
+      r1 AS (SELECT doc_id, norm,
+              row_number() OVER (ORDER BY substr(norm, 1, 24), doc_id) AS rn
+            FROM n),
+      p1 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM r1 a JOIN r1 b ON b.rn - a.rn BETWEEN 1 AND 3),
+      r2 AS (SELECT doc_id, norm,
+              row_number() OVER (ORDER BY substr(reverse(norm), 1, 24), doc_id) AS rn
+            FROM n),
+      p2 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM r2 a JOIN r2 b ON b.rn - a.rn BETWEEN 1 AND 3),
+      u AS (SELECT DISTINCT LEAST(id_a, id_b) AS id_a,
+              GREATEST(id_a, id_b) AS id_b
+            FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)),
+      v AS (SELECT u.id_a, u.id_b,
+              substr(a.norm, 1, 64) AS pa, substr(b.norm, 1, 64) AS pb
+            FROM u JOIN n a ON a.doc_id = u.id_a JOIN n b ON b.doc_id = u.id_b)
+      SELECT id_a, id_b,
+        CAST(levenshtein(pa, pb) AS BIGINT) AS prefix_dist
+      FROM v WHERE levenshtein(pa, pb) <= 20
+      ORDER BY id_a, id_b""")) { (s, dir) =>
+    import s.implicits._
+    val norm = Tables.load(s, dir, "documents")
+      .select($"doc_id", Text.normalizeWs($"text").as("norm"))
+    val p1 = snmPass(norm, substring($"norm", 1, 24))
+    val p2 = snmPass(norm, substring(reverse($"norm"), 1, 24))
+    val u = p1.unionByName(p2)
+      .select(least($"id_a", $"id_b").as("id_a"),
+        greatest($"id_a", $"id_b").as("id_b"))
+      .distinct()
+    val pfx = norm.select($"doc_id", substring($"norm", 1, 64).as("pfx"))
+    u.join(pfx.select($"doc_id".as("id_a"), $"pfx".as("pa")), "id_a")
+      .join(pfx.select($"doc_id".as("id_b"), $"pfx".as("pb")), "id_b")
       .filter(levenshtein($"pa", $"pb") <= 20)
       .select($"id_a", $"id_b",
         levenshtein($"pa", $"pb").cast("long").as("prefix_dist"))
@@ -1506,5 +1576,5 @@ object Dedup {
     ddDupSpans,
     ddDupSpanRemoval, ddClusterRepresentatives, ddDedupReport,
     ddCrossSourceOverlap, ddWinnowPairs, ddWinnowClusters, ddNoveltyScores,
-    ddSnmPairs, ddCdcChunks)
+    ddSnmPairs, ddSnmMultipass, ddCdcChunks)
 }

@@ -239,6 +239,28 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-pass SNM: reversed-key pass catches head-divergent tail-identical pair") {
+    // a and z share a long identical tail but divergent heads: the
+    // forward sort scatters them behind >w fillers, the reversed sort
+    // makes them adjacent. Fillers are mutually distant text.
+    val tail = " shared closing boilerplate that every page of this site appends verbatim"
+    val a = "aaaa unique head one" + tail
+    val z = "zzzz other head two " + tail
+    val fillers = Seq("cccc", "ffff", "hhhh", "mmmm", "qqqq", "tttt").zipWithIndex
+      .map { case (p, i) => (10L + i, s"$p filler document number $i with its own distinct content entirely") }
+    val docs = Seq((0L, a), (1L, z)) ++ fillers
+    withPlantedDocs(docs) { dir =>
+      val multi = graft.queries.Dedup.ddSnmMultipass.fn(spark, dir)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      val single = graft.queries.Dedup.ddSnmPairs.fn(spark, dir)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      assert(multi.contains((0L, 1L)),
+        s"reversed pass must pair the shared-tail docs: $multi")
+      assert(!single.contains((0L, 1L)),
+        s"forward-only pass should miss them (planting assumption): $single")
+    }
+  }
+
   test("CDC chunks: a shared passage hashes to the same chunks at any offset") {
     // the same long passage embedded at different offsets in two docs —
     // fixed-size chunking would misalign, content-defined cuts must not
