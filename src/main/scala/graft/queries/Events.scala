@@ -987,9 +987,61 @@ object Events {
       .agg(count(lit(1)).as("cnt")))
   }
 
+  /** Per-type WINSORIZATION (robust clipping at p01/p99) with the
+    * winsorized mean — the standard tail-taming preprocessor for
+    * value streams whose raw mean one fat-fingered event can drag
+    * ([[qValueOutliers]] flags the outliers; this REPAIRS the
+    * aggregate). Exactness: percentile(0.01/0.99) interpolates
+    * identically in both engines (the [[qValueOutliers]] parity
+    * argument), each clipped value rounds to 6dp and sums as DECIMAL —
+    * aggregation-order-free — with one double division at the end.
+    *
+    * Scale shape: two-phase — a types-sized percentile table computed
+    * in one agg, broadcast back over the stream; the clip + decimal
+    * sum is one map + hash agg. The event scan never shuffles. */
+  val qWinsorizedStats: Spec = Spec(
+    "ev_winsorized_stats",
+    oracle = Some("""
+      WITH p AS (
+        SELECT event_type,
+          quantile_cont(value, 0.01) AS p01,
+          quantile_cont(value, 0.99) AS p99
+        FROM events GROUP BY 1),
+      w AS (
+        SELECT e.event_type,
+          CASE WHEN e.value < p.p01 THEN 1 ELSE 0 END AS lo,
+          CASE WHEN e.value > p.p99 THEN 1 ELSE 0 END AS hi,
+          CAST(round(CASE WHEN e.value < p.p01 THEN p.p01
+               WHEN e.value > p.p99 THEN p.p99
+               ELSE e.value END, 6) AS DECIMAL(18,6)) AS wv
+        FROM events e JOIN p ON p.event_type = e.event_type)
+      SELECT event_type,
+        CAST(SUM(lo) AS BIGINT) AS n_clipped_low,
+        CAST(SUM(hi) AS BIGINT) AS n_clipped_high,
+        round(CAST(SUM(wv) AS DOUBLE) / COUNT(*), 6) AS winsorized_mean
+      FROM w GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+    import s.implicits._
+    val e = load(s, dir).select($"event_type", $"value")
+    val p = broadcast(e.groupBy($"event_type")
+      .agg(expr("percentile(value, 0.01)").as("p01"),
+        expr("percentile(value, 0.99)").as("p99")))
+    e.join(p, "event_type")
+      .select($"event_type",
+        when($"value" < $"p01", 1L).otherwise(0L).as("lo"),
+        when($"value" > $"p99", 1L).otherwise(0L).as("hi"),
+        round(when($"value" < $"p01", $"p01")
+          .when($"value" > $"p99", $"p99")
+          .otherwise($"value"), 6).cast("decimal(18,6)").as("wv"))
+      .groupBy($"event_type")
+      .agg(sum($"lo").as("n_clipped_low"), sum($"hi").as("n_clipped_high"),
+        round(sum($"wv").cast("double") / count(lit(1)), 6)
+          .as("winsorized_mean"))
+      .orderBy($"event_type")
+  }
+
   val specs: Seq[Spec] = Seq(qTumbling, qSessionize, qAsofClick,
     qAsofTolerance, qFunnel, qPropsJson, qSliding, qSessionWindowNative,
     qRate5Min, qValueOutliers, qDriftWindowed, qDriftSliding,
     qCohortRetention, qFunnelWindowed, qDauNewReturning, qDecayScore,
-    qUserTrend, qRateAnomaly, qKsDrift, qKsWindowed)
+    qUserTrend, qRateAnomaly, qKsDrift, qKsWindowed, qWinsorizedStats)
 }
