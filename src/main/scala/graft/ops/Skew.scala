@@ -167,10 +167,14 @@ object Skew {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"_pid", $"_kstr").orderBy(orderCols: _*)
     val joined = withPart.join(broadcast(offsets), Seq("_pid", "_kstr"))
-    values.zipWithIndex
-      .foldLeft(joined) { case (d, ((_, out), i)) =>
-        d.withColumn(out, sum(col(vCols(i))).over(w) + col(offCols(i)))
-      }
+    // ONE select carrying every running sum: same window spec → the
+    // analyzer plans a single WindowExec (a withColumn per value would
+    // stack one Window operator per column)
+    val sums = values.zipWithIndex.map { case ((_, out), i) =>
+      (sum(col(vCols(i))).over(w) + col(offCols(i))).as(out)
+    }
+    joined
+      .select(col("*") +: sums: _*)
       .drop("_pid" +: "_kstr" +: (vCols ++ offCols): _*)
   }
 }

@@ -987,6 +987,74 @@ object Events {
       .agg(count(lit(1)).as("cnt")))
   }
 
+  /** NEAREST-event as-of join: each purchase paired with the click
+    * closest in time in EITHER direction within a ±10-minute
+    * tolerance — the sensor-alignment flavor of as-of (backward-only:
+    * [[qAsofClick]]); ties in |Δt| resolve backward, equal-timestamp
+    * clicks count as backward (Δ=0). -1 sentinel when no click
+    * qualifies, and the chosen direction is reported.
+    *
+    * One sorted pass computes BOTH candidates: the union frame sorts
+    * (ts, clicks-before-purchases), so the backward frame's running
+    * last-click and the forward frame's next-click are two frames of
+    * the SAME window spec — one partition sort, one WindowExec, no
+    * join. The oracle states the semantics independently via grouped
+    * min/max joins. */
+  val qAsofNearest: Spec = Spec(
+    "ev_asof_nearest",
+    oracle = Some("""
+      WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t
+                 FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, epoch_us(ts) AS ct
+            FROM events WHERE event_type = 'click'),
+      b AS (SELECT p.event_id, MAX(ct) AS bt FROM p
+            JOIN c ON c.user_id = p.user_id AND ct <= t GROUP BY 1),
+      f AS (SELECT p.event_id, MIN(ct) AS ft FROM p
+            JOIN c ON c.user_id = p.user_id AND ct > t GROUP BY 1)
+      SELECT p.event_id, p.user_id,
+        CASE
+          WHEN bt IS NOT NULL AND (ft IS NULL OR t - bt <= ft - t)
+               AND t - bt <= 600000000 THEN bt
+          WHEN ft IS NOT NULL AND ft - t <= 600000000 THEN ft
+          ELSE -1 END AS nearest_click_us,
+        CASE
+          WHEN bt IS NOT NULL AND (ft IS NULL OR t - bt <= ft - t)
+               AND t - bt <= 600000000 THEN 'backward'
+          WHEN ft IS NOT NULL AND ft - t <= 600000000 THEN 'forward'
+          ELSE 'none' END AS direction
+      FROM p LEFT JOIN b ON b.event_id = p.event_id
+        LEFT JOIN f ON f.event_id = p.event_id
+      ORDER BY p.event_id""")) { (s, dir) =>
+    import s.implicits._
+    val order = Seq($"ts_us",
+      when($"event_type" === "click", 0).otherwise(1), $"event_id")
+    val wB = Window.partitionBy($"user_id").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy($"user_id").orderBy(order: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val click = when($"event_type" === "click", $"ts_us")
+    load(s, dir)
+      .filter($"event_type".isin("click", "purchase"))
+      .withColumn("ts_us", expr("ts div 1000"))
+      // one select carrying BOTH window expressions: same partition+order,
+      // different frames → the analyzer plans a single WindowExec
+      .select($"event_id", $"user_id", $"event_type", $"ts_us",
+        last(click, ignoreNulls = true).over(wB).as("bt"),
+        first(click, ignoreNulls = true).over(wF).as("ft"))
+      .filter($"event_type" === "purchase")
+      .withColumn("t", $"ts_us")
+      .select($"event_id", $"user_id",
+        when($"bt".isNotNull && ($"ft".isNull || $"t" - $"bt" <= $"ft" - $"t")
+            && $"t" - $"bt" <= 600000000L, $"bt")
+          .when($"ft".isNotNull && $"ft" - $"t" <= 600000000L, $"ft")
+          .otherwise(-1L).as("nearest_click_us"),
+        when($"bt".isNotNull && ($"ft".isNull || $"t" - $"bt" <= $"ft" - $"t")
+            && $"t" - $"bt" <= 600000000L, "backward")
+          .when($"ft".isNotNull && $"ft" - $"t" <= 600000000L, "forward")
+          .otherwise("none").as("direction"))
+      .orderBy($"event_id")
+  }
+
   /** Per-type WINSORIZATION (robust clipping at p01/p99) with the
     * winsorized mean — the standard tail-taming preprocessor for
     * value streams whose raw mean one fat-fingered event can drag
@@ -1043,5 +1111,6 @@ object Events {
     qAsofTolerance, qFunnel, qPropsJson, qSliding, qSessionWindowNative,
     qRate5Min, qValueOutliers, qDriftWindowed, qDriftSliding,
     qCohortRetention, qFunnelWindowed, qDauNewReturning, qDecayScore,
-    qUserTrend, qRateAnomaly, qKsDrift, qKsWindowed, qWinsorizedStats)
+    qUserTrend, qRateAnomaly, qKsDrift, qKsWindowed, qWinsorizedStats,
+    qAsofNearest)
 }

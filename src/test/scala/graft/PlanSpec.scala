@@ -409,7 +409,7 @@ class PlanSpec extends AnyFunSuite {
       l.contains("windowspecdefinition(event_type#") && !l.contains("_pid"))
     assert(!bare, "no bare per-type window allowed:\n" + p)
     // one window computes BOTH running counts — not one pass per ECDF
-    assert(p.linesIterator.count(_.trim.startsWith("Window")) <= 1,
+    assert(p.linesIterator.count(_.contains("Window [")) == 1,
       "both cumulative counts must share one Window operator:\n" + p)
   }
 
@@ -419,6 +419,14 @@ class PlanSpec extends AnyFunSuite {
       .count(_.contains("Exchange hashpartitioning(o_custkey"))
     assert(n == 1,
       s"change-detect and validity windows must share one shuffle, saw $n:\n$p")
+  }
+
+  test("nearest as-of: both direction frames share one WindowExec, no join") {
+    val p = plan("ev_asof_nearest")
+    assert(p.linesIterator.count(_.contains("Window [")) == 1,
+      "backward and forward candidates must ride one window operator:\n" + p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "the single-pass form must not join event kinds:\n" + p)
   }
 
   test("SNM pairs: neighbor join is equi on the rank, never quadratic") {
