@@ -1408,10 +1408,137 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** Oracle for [[ePcaProjection]]: the identical decimal-summed
+    * covariance + 9 normalized matrix squarings, unrolled as
+    * MATERIALIZED CTEs (each step is referenced twice — without
+    * materialization the inlining doubles per step and the plan
+    * explodes 2^9-fold). */
+  private val pcaSteps: String = (1 to 9).map { t =>
+    val prev = if (t == 1) "m0" else s"m${t - 1}"
+    s"""
+      p$t AS MATERIALIZED (SELECT a.i, b.j,
+          CAST(SUM(CAST(round(a.c * b.c, 12) AS DECIMAL(30,14))) AS DOUBLE) AS c
+        FROM $prev a JOIN $prev b ON a.j = b.i GROUP BY a.i, b.j),
+      f$t AS MATERIALIZED (SELECT sqrt(CAST(SUM(CAST(round(c*c, 12)
+          AS DECIMAL(30,14))) AS DOUBLE)) AS fn FROM p$t),
+      m$t AS MATERIALIZED (SELECT i, j, c / fn AS c
+        FROM p$t CROSS JOIN f$t)"""
+  }.mkString(",")
+
+  /** PCA: project every embedding onto the corpus's top principal
+    * component, computed by LOG-DEPTH normalized matrix squaring —
+    * M ← (M·M)/‖M·M‖_F nine times turns the covariance into ~C^512,
+    * whose action on any non-orthogonal start vector IS the top
+    * eigendirection (plain power iteration needs hundreds of rounds on
+    * a near-flat spectrum; squaring gets the same power in 9 steps —
+    * the log-depth trick that matters when each round is a distributed
+    * job). Fully oracled: covariance entries are 9dp-rounded DECIMAL
+    * sums (aggregation-order-free), every squaring rounds products to
+    * 12dp and sums in DECIMAL, normalizations are fixed IEEE op order,
+    * and the sign fixes on the first unnormalized component — so both
+    * engines replay the identical arithmetic end to end (the
+    * dim×dim iterations run driver-side over the COLLECTED 64×64
+    * matrix using the same HALF_UP rounding Spark's `round` applies).
+    *
+    * Scale shape: the corpus touches the plan exactly twice — once for
+    * the (i,j)-keyed covariance agg (map-side combine shrinks the
+    * n·dim² explode to dim² partials per partition before the
+    * exchange) and once for the projection (broadcast component +
+    * means, per-row dot). The 9 squarings are dim³ driver flops on a
+    * dim²-sized matrix — independent of corpus size by construction. */
+  val ePcaProjection: Spec = Spec(
+    "e_pca_projection",
+    oracle = Some(s"""
+      WITH x AS MATERIALIZED (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+              unnest(embedding)::DOUBLE AS v FROM embeddings),
+      nn AS (SELECT COUNT(*) AS n FROM embeddings),
+      mu AS MATERIALIZED (SELECT i, CAST(SUM(CAST(round(v, 9) AS DECIMAL(28,12)))
+              AS DOUBLE) / COUNT(*) AS m FROM x GROUP BY i),
+      xx AS (SELECT a.i AS i, b.i AS j, a.v * b.v AS vv
+             FROM x a JOIN x b ON a.vec_id = b.vec_id),
+      s2 AS (SELECT i, j, CAST(SUM(CAST(round(vv, 9) AS DECIMAL(28,12)))
+               AS DOUBLE) AS s
+             FROM xx GROUP BY i, j),
+      m0 AS MATERIALIZED (SELECT s2.i, s2.j, s2.s / nn.n - mi.m * mj.m AS c
+              FROM s2 CROSS JOIN nn
+              JOIN mu mi ON mi.i = s2.i JOIN mu mj ON mj.i = s2.j),
+      $pcaSteps,
+      u AS MATERIALIZED (SELECT i,
+          CAST(SUM(CAST(round(c * 0.125, 12) AS DECIMAL(30,14))) AS DOUBLE) AS u
+        FROM m9 GROUP BY i),
+      un AS (SELECT sqrt(CAST(SUM(CAST(round(u*u, 12) AS DECIMAL(30,14)))
+          AS DOUBLE)) AS nrm FROM u),
+      sgn AS (SELECT CASE WHEN (SELECT u FROM u WHERE i = 1) < 0
+                THEN -1.0 ELSE 1.0 END AS s),
+      vf AS MATERIALIZED (SELECT i AS j, u / nrm * sgn.s AS v
+        FROM u CROSS JOIN un CROSS JOIN sgn),
+      proj AS (SELECT x.vec_id,
+          CAST(SUM(CAST(round((x.v - mu.m) * vf.v, 9) AS DECIMAL(28,12)))
+            AS DOUBLE) AS p
+        FROM x JOIN mu ON mu.i = x.i JOIN vf ON vf.j = x.i GROUP BY x.vec_id)
+      SELECT vec_id, round(p, 6) AS pc1
+      FROM proj ORDER BY vec_id""")) { (s, dir) =>
+    import s.implicits._
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val emb = Tables.load(s, dir, "embeddings")
+    val x = emb
+      .select($"vec_id", posexplode($"embedding").as(Seq("p", "vfl")))
+      .select($"vec_id", ($"p" + 1).as("i"), $"vfl".cast("double").as("v"))
+      .localCheckpoint() // feeds means, covariance AND projection
+    val n = emb.count()
+    val dim = 64
+    val muRows = x.groupBy($"i")
+      .agg((sum(round($"v", 9).cast("decimal(28,12)")).cast("double") / n)
+        .as("m"))
+      .collect().map(r => r.getAs[Number]("i").intValue -> r.getAs[Double]("m"))
+      .toMap
+    val mu = Array.tabulate(dim)(i => muRows(i + 1))
+    val xa = x.select($"vec_id", $"i".as("ia"), $"v".as("va"))
+    val xb = x.select($"vec_id", $"i".as("jb"), $"v".as("vb"))
+    val s2 = xa.join(xb, "vec_id")
+      .groupBy($"ia", $"jb")
+      .agg(sum(round($"va" * $"vb", 9).cast("decimal(28,12)"))
+        .cast("double").as("s"))
+      .collect()
+      .map(r => (r.getAs[Number]("ia").intValue, r.getAs[Number]("jb").intValue,
+        r.getAs[Double]("s")))
+    val cov = Array.ofDim[Double](dim, dim)
+    s2.foreach { case (i, j, sv) => cov(i - 1)(j - 1) = sv / n - mu(i - 1) * mu(j - 1) }
+    // driver-side log-depth squaring; r12 is Spark Round's own codepath
+    def r12(d: Double): JBD = JBD.valueOf(d).setScale(12, RoundingMode.HALF_UP)
+    var mM = cov
+    for (_ <- 1 to 9) {
+      val p = Array.tabulate(dim, dim) { (i, j) =>
+        (0 until dim).foldLeft(JBD.ZERO)((acc, k) =>
+          acc.add(r12(mM(i)(k) * mM(k)(j)))).doubleValue
+      }
+      val fn = math.sqrt(p.flatten.foldLeft(JBD.ZERO)((acc, c) =>
+        acc.add(r12(c * c))).doubleValue)
+      mM = p.map(_.map(_ / fn))
+    }
+    val u = Array.tabulate(dim)(i =>
+      (0 until dim).foldLeft(JBD.ZERO)((acc, k) =>
+        acc.add(r12(mM(i)(k) * 0.125))).doubleValue)
+    val nrm = math.sqrt(u.foldLeft(JBD.ZERO)((acc, c) =>
+      acc.add(r12(c * c))).doubleValue)
+    val sign = if (u(0) < 0) -1.0 else 1.0
+    val vComp = u.map(_ / nrm * sign)
+    val vDf = broadcast(vComp.zipWithIndex
+      .map { case (vv, j) => (j + 1, vv) }.toSeq.toDF("i", "vc"))
+    val muDf = broadcast(mu.zipWithIndex
+      .map { case (mm, i) => (i + 1, mm) }.toSeq.toDF("i", "m"))
+    x.join(muDf, "i").join(vDf, "i")
+      .groupBy($"vec_id")
+      .agg(round(
+        sum(round(($"v" - $"m") * $"vc", 9).cast("decimal(28,12)"))
+          .cast("double"), 6).as("pc1"))
+      .orderBy($"vec_id")
+  }
+
   val specs: Seq[Spec] = Seq(eCentroids, eKnnBrute, eKnnCell, eNearDup, eIvfRecall,
     eNearDupLsh, eKnnQuantized, eKmeansCentroids, eKnnIvfLearned,
     eKnnIvfMultiprobe, eKnnPq, eKnnIvfPq, eBitextMine, eEmbeddingOutliers,
     eKnnIvfPqProbe, eNearDupClusters, eKnnMatryoshka, eMmrRerank,
     eClusterSummary, ePagerankCentrality, eTriangleCount, eSemdedup,
-    eSemdedupIncremental)
+    eSemdedupIncremental, ePcaProjection)
 }

@@ -154,4 +154,22 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("d") == 32.0)
     assert(math.abs(r.getAs[Double]("n") - math.sqrt(14.0)) < 1e-15)
   }
+
+  test("pca projection: top-PC variance dominates every coordinate direction") {
+    // λ1 = Var(pc1) must be ≥ the variance of the projection onto ANY
+    // axis — i.e. ≥ every per-dimension variance. A non-converged or
+    // wrong direction fails this immediately.
+    val pc = graft.queries.Similarity.ePcaProjection.fn(spark, TestSpark.Sf)
+      .select($"pc1").as[Double].collect()
+    val n = pc.length.toDouble
+    val mean = pc.sum / n
+    val varPc = pc.map(p => (p - mean) * (p - mean)).sum / n
+    val dimVars = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+      .select(org.apache.spark.sql.functions.posexplode($"embedding").as(Seq("i", "v")))
+      .groupBy($"i")
+      .agg(org.apache.spark.sql.functions.var_pop($"v").as("dv"))
+      .select($"dv").as[Double].collect()
+    assert(dimVars.nonEmpty && varPc >= dimVars.max * 0.999,
+      s"pc1 variance $varPc must dominate max coordinate variance ${dimVars.max}")
+  }
 }
