@@ -1107,10 +1107,51 @@ object Events {
       .orderBy($"event_type")
   }
 
+  /** Conversion LATENCY percentiles per acquisition day: each user's
+    * first-view → first-purchase delta, cohorted by the day of the
+    * first view — the time-to-convert distribution growth dashboards
+    * track next to [[qCohortRetention]]'s who-converts counts. Exact
+    * percentile interpolation over integer micros deltas (engine-
+    * identical), one double division to seconds at the end.
+    *
+    * Scale shape: one per-user hash agg (first-view/first-purchase
+    * mins in a single pass), then a days-keyed percentile agg over the
+    * converted-users frame — user-scale, never event-scale, and the
+    * output is calendar-bounded. */
+  val qConversionTime: Spec = Spec(
+    "ev_conversion_time",
+    oracle = Some("""
+      WITH f AS (SELECT user_id,
+          MIN(CASE WHEN event_type='view' THEN epoch_us(ts) END) AS v,
+          MIN(CASE WHEN event_type='purchase' THEN epoch_us(ts) END) AS p
+        FROM events GROUP BY user_id),
+      d AS (SELECT user_id, p - v AS delta,
+          strftime(make_timestamp(v), '%Y-%m-%d') AS view_day
+        FROM f WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v)
+      SELECT view_day, CAST(COUNT(*) AS BIGINT) AS n_converted,
+        round(quantile_cont(delta, 0.5) / 1000000.0, 6) AS p50_sec,
+        round(quantile_cont(delta, 0.9) / 1000000.0, 6) AS p90_sec
+      FROM d GROUP BY view_day ORDER BY view_day""")) { (s, dir) =>
+    import s.implicits._
+    val f = load(s, dir)
+      .withColumn("us", expr("ts div 1000"))
+      .groupBy($"user_id")
+      .agg(min(when($"event_type" === "view", $"us")).as("v"),
+        min(when($"event_type" === "purchase", $"us")).as("p"))
+    f.filter($"v".isNotNull && $"p".isNotNull && $"p" >= $"v")
+      .select(($"p" - $"v").as("delta"),
+        date_format(timestamp_micros($"v"), "yyyy-MM-dd").as("view_day"))
+      .groupBy($"view_day")
+      .agg(count(lit(1)).as("n_converted"),
+        round(expr("percentile(delta, 0.5)") / 1000000.0, 6).as("p50_sec"),
+        round(expr("percentile(delta, 0.9)") / 1000000.0, 6).as("p90_sec"))
+      .orderBy($"view_day")
+  }
+
   val specs: Seq[Spec] = Seq(qTumbling, qSessionize, qAsofClick,
     qAsofTolerance, qFunnel, qPropsJson, qSliding, qSessionWindowNative,
     qRate5Min, qValueOutliers, qDriftWindowed, qDriftSliding,
     qCohortRetention, qFunnelWindowed, qDauNewReturning, qDecayScore,
     qUserTrend, qRateAnomaly, qKsDrift, qKsWindowed, qWinsorizedStats,
-    qAsofNearest)
+    qAsofNearest, qConversionTime)
 }
