@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -131,9 +132,9 @@ object Retrieval {
     * stats) — shared verbatim by [[dBm25TopK]] (index built in-plan)
     * and [[dBm25Indexed]] (index read back from parquet), so the two
     * cannot drift. */
-  private[graft] def scoreIndex(s: SparkSession, tf: DataFrame,
-      lens: DataFrame, dfreq: DataFrame, stats: DataFrame,
-      topN: Int = TopDocs): DataFrame = {
+  /** The 2×3-term corpus-derived query frame (query_id, term, df) —
+    * shared by the direct/indexed scorers and the RM3 expansion. */
+  private def queryFrame(s: SparkSession, dfreq: DataFrame): DataFrame = {
     import s.implicits._
     // TakeOrderedAndProject (distributed top-k), then rank the 6 rows
     // WITHOUT a window: a literal partition key gets constant-folded to
@@ -141,12 +142,19 @@ object Retrieval {
     // bounded frame collapses to one array (collect_list + sort_array on
     // (-df, term) = the row_number order) and posexplode emits the rank.
     val top = dfreq.orderBy($"df".desc, $"term").limit(QueryTerms)
-    val queries = top
+    top
       .agg(sort_array(collect_list(
         struct((-$"df").as("negdf"), $"term", $"df"))).as("ts"))
       .select(posexplode($"ts").as(Seq("i", "t")))
       .select(expr("CAST(i div 3 AS LONG)").as("query_id"),
         $"t.term".as("term"), $"t.df".as("df"))
+  }
+
+  private[graft] def scoreIndex(s: SparkSession, tf: DataFrame,
+      lens: DataFrame, dfreq: DataFrame, stats: DataFrame,
+      topN: Int = TopDocs): DataFrame = {
+    import s.implicits._
+    val queries = queryFrame(s, dfreq)
     val scored = tf
       .join(broadcast(queries), "term")
       .join(lens, "doc_id")
@@ -155,7 +163,15 @@ object Retrieval {
         partialScore($"tf", $"df", $"dl", $"n_docs", $"sum_dl").as("part"))
     val agg = scored.groupBy($"query_id", $"doc_id")
       .agg(sum($"part").cast("double").as("score"))
-    agg.select($"query_id", $"score", $"doc_id")
+    rankTopK(s, agg, topN)
+  }
+
+  /** Distributed per-query top-k ranking of a (query_id, doc_id, score)
+    * frame via the typed [[TopK]] aggregator — map-side partials, never
+    * a per-query window sort. */
+  private def rankTopK(s: SparkSession, agg: DataFrame, topN: Int): DataFrame = {
+    import s.implicits._
+    agg.select(col("query_id"), col("score"), col("doc_id"))
       .as[(Long, Double, Long)]
       .groupByKey(_._1)
       .mapValues(t => (t._2, t._3))
@@ -166,7 +182,7 @@ object Retrieval {
         }
       }
       .toDF("query_id", "rk", "doc_id", "score")
-      .orderBy($"query_id", $"rk")
+      .orderBy(col("query_id"), col("rk"))
   }
 
   /** Build the BM25 index ON DISK: tf / dl / df / corpus-stats parquet
@@ -252,5 +268,110 @@ object Retrieval {
       .orderBy($"query_id", $"neg_rank")
   }
 
-  val specs: Seq[Spec] = Seq(dBm25TopK, dBm25Indexed, dBm25Negatives)
+  /** Weighted per-(doc, term) BM25 partial: `(idf·tfn)·w` rounded once
+    * at 6dp — the expansion-term discount hook for [[dBm25Rm3]]. */
+  private def partialScoreW(tf: Column, df: Column, dl: Column,
+      nDocs: Column, sumDl: Column, w: Column): Column = {
+    val avgdl = sumDl / nDocs
+    val idf = log10((nDocs - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0))
+    val tfn = tf * lit(K1 + 1) / (tf + lit(K1) * (lit(1 - B) + lit(B) * (dl / avgdl)))
+    round(idf * tfn * w, 6).cast("decimal(18,6)")
+  }
+
+  /** RM3-style PSEUDO-RELEVANCE FEEDBACK: run the base BM25 queries,
+    * take each query's top-10 as assumed-relevant, mine the 3 terms
+    * that best characterize them — feedback weight fbw(t) =
+    * Σ_d (tf(d,t)/dl(d))·score(d) over the feedback docs, the RM1
+    * relevance-model estimate — and re-score with the expanded query
+    * (original terms weight 1.0, expansion terms 0.5, the RM3
+    * interpolation as a per-term discount). The classic recall fix for
+    * vocabulary mismatch: documents using the topic's OTHER words now
+    * match. Exactness: fbw sums are 9dp-rounded DECIMAL, weighted
+    * partials 6dp-rounded DECIMAL, rank ties on doc_id.
+    *
+    * Scale shape: the feedback loop touches only the top-10 frame and
+    * its 10-doc vocabularies (per-query bounded by construction — the
+    * fbr window partitions by query over that bounded set); expansion
+    * re-scoring is the SAME broadcast-terms + tf-join plan as the base
+    * query, now with 12 terms instead of 6. Two passes over tf, zero
+    * extra passes over raw text. */
+  val dBm25Rm3: Spec = Spec(
+    "d_bm25_rm3",
+    oracle = Some(s"""$bmCte,
+      r0 AS (
+        SELECT query_id, doc_id, score,
+          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+        FROM agg),
+      fb AS (SELECT query_id, doc_id, score FROM r0 WHERE rk <= $TopDocs),
+      fbw AS (
+        SELECT fb.query_id, tf.term,
+          CAST(SUM(CAST(round(tf.tf / l.dl * fb.score, 9) AS DECIMAL(28,12)))
+            AS DOUBLE) AS w
+        FROM fb JOIN tf ON tf.doc_id = fb.doc_id
+        JOIN lens l ON l.doc_id = fb.doc_id
+        WHERE NOT EXISTS (SELECT 1 FROM q
+          WHERE q.query_id = fb.query_id AND q.term = tf.term)
+        GROUP BY fb.query_id, tf.term),
+      fbr AS (
+        SELECT query_id, term, w,
+          row_number() OVER (PARTITION BY query_id ORDER BY w DESC, term) AS rk
+        FROM fbw),
+      expq AS (
+        SELECT query_id, term, df, 1.0 AS wq FROM q
+        UNION ALL
+        SELECT f.query_id, f.term, d.df, 0.5 AS wq
+        FROM fbr f JOIN dfreq d ON d.term = f.term WHERE f.rk <= 3),
+      scored2 AS (
+        SELECT e.query_id, tf.doc_id,
+          CAST(round(
+            log10((s.n_docs - e.df + 0.5) / (e.df + 0.5) + 1.0)
+              * (tf.tf * ${K1 + 1} / (tf.tf + $K1 * (${1 - B} + $B * (l.dl / (s.sum_dl / s.n_docs)))))
+              * e.wq,
+            6) AS DECIMAL(18,6)) AS part
+        FROM tf JOIN expq e ON tf.term = e.term
+        JOIN lens l ON tf.doc_id = l.doc_id
+        CROSS JOIN stats s),
+      agg2 AS (
+        SELECT query_id, doc_id, CAST(SUM(part) AS DOUBLE) AS score
+        FROM scored2 GROUP BY query_id, doc_id)
+      SELECT query_id,
+        CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rk,
+        doc_id, score
+      FROM agg2
+      QUALIFY rk <= $TopDocs
+      ORDER BY query_id, rk""")) { (s, dir) =>
+    import s.implicits._
+    val (tf, lens, dfreq, stats) = inPlanIndex(s, dir)
+    val queries = queryFrame(s, dfreq)
+    val fb = scoreIndex(s, tf, lens, dfreq, stats)
+      .select($"query_id", $"doc_id", $"score")
+    val fbw = fb
+      .join(tf, "doc_id")
+      .join(lens, "doc_id")
+      .join(queries.select($"query_id", $"term"), Seq("query_id", "term"),
+        "left_anti")
+      .groupBy($"query_id", $"term")
+      .agg(sum(round($"tf" / $"dl" * $"score", 9).cast("decimal(28,12)"))
+        .cast("double").as("w"))
+    val wFb = Window.partitionBy($"query_id").orderBy($"w".desc, $"term")
+    val fbTerms = fbw
+      .withColumn("rk", row_number().over(wFb))
+      .filter($"rk" <= 3)
+      .join(dfreq, "term")
+      .select($"query_id", $"term", $"df", lit(0.5).as("wq"))
+    val expq = queries.select($"query_id", $"term", $"df", lit(1.0).as("wq"))
+      .unionByName(fbTerms)
+    val scored2 = tf
+      .join(broadcast(expq), "term")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select($"query_id", $"doc_id",
+        partialScoreW($"tf", $"df", $"dl", $"n_docs", $"sum_dl", $"wq")
+          .as("part"))
+    val agg2 = scored2.groupBy($"query_id", $"doc_id")
+      .agg(sum($"part").cast("double").as("score"))
+    rankTopK(s, agg2, TopDocs)
+  }
+
+  val specs: Seq[Spec] = Seq(dBm25TopK, dBm25Indexed, dBm25Negatives, dBm25Rm3)
 }
