@@ -1870,8 +1870,81 @@ object TrainingPrep {
       .orderBy($"split")
   }
 
+  /** VOCABULARY-GROWTH curve + Heaps'-law exponent (Heaps '78): the
+    * cumulative distinct-bigram count vs cumulative tokens in doc_id
+    * order, with β from the log-log OLS fit — the corpus-card statistic
+    * that tells you whether more data still buys new vocabulary (β→0 =
+    * saturated/templated corpus — this synthetic one saturates its 31
+    * unigrams instantly, which is WHY the unit is bigrams: 916 of them
+    * keep the growth regime visible; on a real crawl you'd parameterize
+    * n). Every point is an integer prefix sum; the OLS runs on
+    * 6dp-rounded DECIMAL moments (the ev_user_trend recipe) — fully
+    * engine-replayable.
+    *
+    * Scale shape: first-occurrence is one gram-keyed min-agg (the
+    * vocabulary shuffle — the op's inherent cost); both cumulative
+    * counts ride ONE [[Skew.prefixSumsByKey]] pass (constant key:
+    * range-partitioned by doc order, no single-reducer window); the
+    * fit moments are one tiny agg broadcast back; output is a 25-row
+    * sampled curve. */
+  val dVocabGrowth: Spec = Spec(
+    "d_vocab_growth",
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, string_split(text,' ') AS l FROM documents),
+      n AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tok FROM t),
+      g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(l), 1)),
+              i -> array_to_string(l[i:i+1], ' '))) AS gram
+            FROM t WHERE len(l) >= 2),
+      term1 AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram),
+      nv AS (SELECT first_doc AS doc_id, COUNT(*) AS new_grams FROM term1 GROUP BY 1),
+      c AS (SELECT n.doc_id, n.n_tok, COALESCE(nv.new_grams, 0) AS new_grams
+        FROM n LEFT JOIN nv ON nv.doc_id = n.doc_id),
+      cum AS (SELECT doc_id,
+          SUM(n_tok) OVER (ORDER BY doc_id) AS cum_tokens,
+          SUM(new_grams) OVER (ORDER BY doc_id) AS cum_vocab FROM c),
+      pts AS (SELECT doc_id, cum_tokens, cum_vocab,
+          CAST(round(log10(CAST(cum_tokens AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+          CAST(round(log10(CAST(cum_vocab AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+        FROM cum),
+      fit AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+          SUM(x*y) AS sxy, SUM(x*x) AS sxx FROM pts)
+      SELECT p.doc_id, CAST(p.cum_tokens AS BIGINT) AS cum_tokens,
+        CAST(p.cum_vocab AS BIGINT) AS cum_vocab,
+        round((f.n * CAST(f.sxy AS DOUBLE) - CAST(f.sx AS DOUBLE) * CAST(f.sy AS DOUBLE)) /
+              (f.n * CAST(f.sxx AS DOUBLE) - CAST(f.sx AS DOUBLE) * CAST(f.sx AS DOUBLE)), 6)
+          AS heaps_beta
+      FROM pts p CROSS JOIN fit f WHERE p.doc_id % 20 = 0 ORDER BY p.doc_id""")) { (s, dir) =>
+    import s.implicits._
+    val t = docs(s, dir).select($"doc_id", Text.tokens($"text").as("l"))
+    val n = t.select($"doc_id", size($"l").cast("long").as("n_tok"))
+    val grams = t.filter(size($"l") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(l) - 2), i -> concat_ws(' ', slice(l, i + 1, 2)))"))
+        .as("gram"))
+    val nv = grams.groupBy($"gram").agg(min($"doc_id").as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("new_grams"))
+    val c = n.join(nv, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tok", coalesce($"new_grams", lit(0L)).as("new_grams"))
+      .withColumn("_k", lit("all"))
+    val cum = Skew.prefixSumsByKey(c, "_k", Seq($"doc_id"),
+      Seq($"n_tok" -> "cum_tokens", $"new_grams" -> "cum_vocab"))
+    val pts = cum.select($"doc_id", $"cum_tokens", $"cum_vocab",
+      round(log10($"cum_tokens".cast("double")), 6).cast("decimal(18,6)").as("x"),
+      round(log10($"cum_vocab".cast("double")), 6).cast("decimal(18,6)").as("y"))
+    val fit = broadcast(pts.agg(count(lit(1)).as("n"),
+      sum($"x").as("sx"), sum($"y").as("sy"),
+      sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx")))
+    pts.crossJoin(fit)
+      .filter($"doc_id" % 20 === 0)
+      .select($"doc_id", $"cum_tokens", $"cum_vocab",
+        round(($"n" * $"sxy".cast("double") - $"sx".cast("double") * $"sy".cast("double")) /
+          ($"n" * $"sxx".cast("double") - $"sx".cast("double") * $"sx".cast("double")), 6)
+          .as("heaps_beta"))
+      .orderBy($"doc_id")
+  }
+
   val specs: Seq[Spec] = Seq(
-    dBootstrapCi, dAdaptiveCutoff, dClusterSplit,
+    dBootstrapCi, dAdaptiveCutoff, dClusterSplit, dVocabGrowth,
     dQualityCalibration,
     dStratifiedSample, dShardPacking, dChunkWindows, dUnigramLmScore,
     dGopherRules, dTfidfTopTerms, dMixtureSample, dLengthOutliers,
