@@ -373,5 +373,97 @@ object Retrieval {
     rankTopK(s, agg2, TopDocs)
   }
 
-  val specs: Seq[Spec] = Seq(dBm25TopK, dBm25Indexed, dBm25Negatives, dBm25Rm3)
+  /** Retrieval EVALUATION harness: MRR and nDCG@10 of the BM25 ranking
+    * against graded pseudo-qrels derived from the corpus itself —
+    * grade(d) = how many of the query's 3 terms d contains, relevant =
+    * all three. Every retrieval pipeline needs this loop (swap in real
+    * qrels and the metrics are production eval); deriving the labels
+    * keeps the whole thing oracle-replayable. DCG terms round to 9dp
+    * and sum as DECIMAL; log2 / pow are engine-identical on the small
+    * integer inputs; 6dp outputs.
+    *
+    * Scale trick: IDCG@10 needs only the MULTISET of the ten best
+    * grades, which follows arithmetically from the per-grade COUNTS —
+    * rank r's ideal grade is a CASE over (n3, n2, n1) prefix sums — so
+    * no per-query ranking window ever touches the (corpus-scale)
+    * relevant set; grading is one broadcast-terms join + count-distinct
+    * on 3 values. */
+  val dRetrievalEval: Spec = Spec(
+    "d_retrieval_eval",
+    oracle = Some(s"""$bmCte,
+      grades AS (
+        SELECT q.query_id, tf.doc_id,
+          CAST(COUNT(DISTINCT tf.term) AS BIGINT) AS grade
+        FROM tf JOIN q ON q.term = tf.term GROUP BY 1, 2),
+      cnt AS (SELECT query_id,
+          SUM(CASE WHEN grade = 3 THEN 1 ELSE 0 END) AS n3,
+          SUM(CASE WHEN grade = 2 THEN 1 ELSE 0 END) AS n2,
+          SUM(CASE WHEN grade = 1 THEN 1 ELSE 0 END) AS n1
+        FROM grades GROUP BY 1),
+      r0 AS (
+        SELECT query_id, doc_id,
+          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rk
+        FROM agg),
+      hits AS (
+        SELECT t.query_id, t.rk, COALESCE(g.grade, 0) AS grade
+        FROM (SELECT * FROM r0 WHERE rk <= $TopDocs) t
+        LEFT JOIN grades g ON g.query_id = t.query_id AND g.doc_id = t.doc_id),
+      dcg AS (
+        SELECT query_id,
+          CAST(SUM(CAST(round((pow(2, grade) - 1) / log2(rk + 1), 9)
+            AS DECIMAL(28,12))) AS DOUBLE) AS dcg,
+          round(COALESCE(1.0 / MIN(CASE WHEN grade = 3 THEN rk END), 0), 6) AS mrr
+        FROM hits GROUP BY 1),
+      ranksq AS (SELECT query_id, unnest(range(1, ${TopDocs + 1})) AS r,
+          n3, n2, n1 FROM cnt),
+      idcg AS (
+        SELECT query_id,
+          CAST(SUM(CAST(round((pow(2,
+              CASE WHEN r <= n3 THEN 3 WHEN r <= n3 + n2 THEN 2
+                   WHEN r <= n3 + n2 + n1 THEN 1 ELSE 0 END) - 1) / log2(r + 1), 9)
+            AS DECIMAL(28,12))) AS DOUBLE) AS idcg
+        FROM ranksq GROUP BY 1)
+      SELECT d.query_id, CAST(c.n3 AS BIGINT) AS n_relevant, d.mrr,
+        round(d.dcg / i.idcg, 6) AS ndcg10
+      FROM dcg d JOIN idcg i ON i.query_id = d.query_id
+      JOIN cnt c ON c.query_id = d.query_id
+      ORDER BY d.query_id""")) { (s, dir) =>
+    import s.implicits._
+    val (tf, lens, dfreq, stats) = inPlanIndex(s, dir)
+    val queries = queryFrame(s, dfreq)
+    val grades = tf.join(broadcast(queries.select($"query_id", $"term")), "term")
+      .groupBy($"query_id", $"doc_id")
+      .agg(countDistinct($"term").as("grade"))
+    val cnt = grades.groupBy($"query_id")
+      .agg(sum(when($"grade" === 3, 1L).otherwise(0L)).as("n3"),
+        sum(when($"grade" === 2, 1L).otherwise(0L)).as("n2"),
+        sum(when($"grade" === 1, 1L).otherwise(0L)).as("n1"))
+    val top10 = scoreIndex(s, tf, lens, dfreq, stats)
+      .select($"query_id", $"rk", $"doc_id")
+    val hits = top10
+      .join(grades, Seq("query_id", "doc_id"), "left")
+      .select($"query_id", $"rk", coalesce($"grade", lit(0L)).as("grade"))
+    val dcg = hits.groupBy($"query_id")
+      .agg(
+        sum(round((pow(lit(2.0), $"grade") - 1) / log2($"rk" + 1), 9)
+          .cast("decimal(28,12)")).cast("double").as("dcg"),
+        round(coalesce(lit(1.0) / min(when($"grade" === 3, $"rk")), lit(0.0)), 6)
+          .as("mrr"))
+    val idealGrade =
+      when($"r" <= $"n3", 3).when($"r" <= $"n3" + $"n2", 2)
+        .when($"r" <= $"n3" + $"n2" + $"n1", 1).otherwise(0)
+    val idcg = cnt
+      .select($"query_id", $"n3", $"n2", $"n1",
+        explode(sequence(lit(1L), lit(TopDocs.toLong))).as("r"))
+      .groupBy($"query_id")
+      .agg(sum(round((pow(lit(2.0), idealGrade) - 1) / log2($"r" + 1), 9)
+        .cast("decimal(28,12)")).cast("double").as("idcg"))
+    dcg.join(idcg, "query_id").join(cnt, "query_id")
+      .select($"query_id", $"n3".as("n_relevant"), $"mrr",
+        round($"dcg" / $"idcg", 6).as("ndcg10"))
+      .orderBy($"query_id")
+  }
+
+  val specs: Seq[Spec] = Seq(dBm25TopK, dBm25Indexed, dBm25Negatives, dBm25Rm3,
+    dRetrievalEval)
 }
