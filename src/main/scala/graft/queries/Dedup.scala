@@ -1566,8 +1566,40 @@ object Dedup {
       .orderBy($"chunk_md5")
   }
 
+  /** LSH PARAMETER PLANNER: the banding S-curve p(s) = 1−(1−s^r)^b for
+    * every (bands, rows) factorization of the 32-perm signature, plus
+    * each config's threshold estimate (1/b)^(1/r) — the table an
+    * operator reads BEFORE picking dd_minhash_pairs' parameters (the
+    * shipped 8×4 puts the S-curve knee at ≈0.59; the sweep shows what
+    * moving it costs in false positives below / misses above). Pure
+    * arithmetic on a 54-row grid — no data touched; the planning
+    * companion to [[ddThresholdSweep]]'s measured recall. */
+  val ddLshPlanner: Spec = Spec(
+    "dd_lsh_planner",
+    oracle = Some("""
+      WITH cfg AS (SELECT * FROM (VALUES (32,1),(16,2),(8,4),(4,8),(2,16),(1,32))
+        AS t(b, r)),
+      sg AS (SELECT unnest(range(1, 10)) / 10.0 AS s)
+      SELECT CAST(b AS BIGINT) AS bands, CAST(r AS BIGINT) AS rows_per_band,
+        round(pow(1.0 / b, 1.0 / r), 6) AS est_threshold,
+        round(sg.s, 1) AS jaccard_s,
+        round(1 - pow(1 - pow(sg.s, r), b), 6) AS p_collision
+      FROM cfg CROSS JOIN sg ORDER BY bands DESC, jaccard_s""")) { (s, dir) =>
+    import s.implicits._
+    val cfg = Seq((32, 1), (16, 2), (8, 4), (4, 8), (2, 16), (1, 32))
+      .toDF("b", "r")
+    val sg = cfg.sparkSession.range(1, 10)
+      .select(($"id" / 10.0).as("s"))
+    cfg.crossJoin(sg)
+      .select($"b".cast("long").as("bands"), $"r".cast("long").as("rows_per_band"),
+        round(pow(lit(1.0) / $"b", lit(1.0) / $"r"), 6).as("est_threshold"),
+        round($"s", 1).as("jaccard_s"),
+        round(lit(1) - pow(lit(1) - pow($"s", $"r"), $"b"), 6).as("p_collision"))
+      .orderBy($"bands".desc, $"jaccard_s")
+  }
+
   val specs: Seq[Spec] = Seq(
-    ddMethodAgreement, ddThresholdSweep, ddMinhashEstimate,
+    ddMethodAgreement, ddThresholdSweep, ddMinhashEstimate, ddLshPlanner,
     ddMinhashPairs, ddMinhashBlocked, ddMinhashClusters, ddMinhashIncremental,
     ddCcIncremental, ddPairDiffSpans,
     ddJaccardBlockPairs, ddExactHash, ddExactIncremental, ddBloomIncremental,

@@ -1148,10 +1148,53 @@ object Events {
       .orderBy($"view_day")
   }
 
+  /** First-order MARKOV transition matrix over per-user event streams:
+    * counts and probabilities of each event_type → next-event_type
+    * step — the behavioral model behind "what do users do after X"
+    * product analytics and sequence-anomaly baselines
+    * ([[qFunnelWindowed]] checks ONE prescribed path; this measures
+    * ALL observed steps). Exact: integer pair counts, one double
+    * division per cell, 6dp.
+    *
+    * Scale shape: the lead() window partitions by user (per-user
+    * history-bounded frames — the [[qRate5Min]] argument); the matrix
+    * agg is |types|²-keyed — constant-size output no matter the event
+    * count. */
+  val qMarkovTransitions: Spec = Spec(
+    "ev_markov_transitions",
+    oracle = Some("""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+                 FROM events),
+      p AS (SELECT user_id, event_type AS cur,
+          lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nxt
+        FROM e),
+      c AS (SELECT cur, nxt, COUNT(*) AS n FROM p WHERE nxt IS NOT NULL
+            GROUP BY 1, 2),
+      t AS (SELECT cur, SUM(n) AS tot FROM c GROUP BY 1)
+      SELECT c.cur, c.nxt, CAST(c.n AS BIGINT) AS n_transitions,
+        round(CAST(c.n AS DOUBLE) / t.tot, 6) AS p_transition
+      FROM c JOIN t ON t.cur = c.cur
+      ORDER BY c.cur, c.nxt""")) { (s, dir) =>
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val pairs = load(s, dir)
+      .select($"user_id", $"event_type", expr("ts div 1000").as("us"),
+        $"event_id")
+      .withColumn("nxt", lead($"event_type", 1).over(w))
+      .filter($"nxt".isNotNull)
+    val c = pairs.groupBy($"event_type".as("cur"), $"nxt")
+      .agg(count(lit(1)).as("n"))
+    val t = c.groupBy($"cur").agg(sum($"n").as("tot"))
+    c.join(broadcast(t), "cur")
+      .select($"cur", $"nxt", $"n".as("n_transitions"),
+        round($"n".cast("double") / $"tot", 6).as("p_transition"))
+      .orderBy($"cur", $"nxt")
+  }
+
   val specs: Seq[Spec] = Seq(qTumbling, qSessionize, qAsofClick,
     qAsofTolerance, qFunnel, qPropsJson, qSliding, qSessionWindowNative,
     qRate5Min, qValueOutliers, qDriftWindowed, qDriftSliding,
     qCohortRetention, qFunnelWindowed, qDauNewReturning, qDecayScore,
     qUserTrend, qRateAnomaly, qKsDrift, qKsWindowed, qWinsorizedStats,
-    qAsofNearest, qConversionTime)
+    qAsofNearest, qConversionTime, qMarkovTransitions)
 }
