@@ -343,4 +343,45 @@ class PropertiesSpec extends AnyFunSuite {
     // i+3 -> positions 3..7
     assert(sel.map(_._2).sorted.toSeq == Seq(3L, 4L, 5L, 6L, 7L))
   }
+
+  test("windowed KS: identical day == 0 / p 1; disjoint day == 1 / p ~0") {
+    // counts table directly into the shared KS tail: day d0 is the
+    // reference; d1 repeats it exactly, d2 is support-disjoint
+    val c = Seq(
+      ("click", "2024-01-01", 1.0, 5L), ("click", "2024-01-01", 2.0, 5L),
+      ("click", "2024-01-02", 1.0, 5L), ("click", "2024-01-02", 2.0, 5L),
+      ("click", "2024-01-03", 9.0, 4L), ("click", "2024-01-03", 8.0, 6L)
+    ).toDF("event_type", "window_day", "v", "cnt")
+    val rows = graft.queries.Events.ksOverDayValueCounts(c)
+      .select($"window_day", $"ks_stat", $"p_value")
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(rows("2024-01-02") == (0.0, 1.0),
+      s"identical distribution must give KS 0, p 1: $rows")
+    assert(rows("2024-01-03")._1 == 1.0,
+      s"disjoint supports must give KS 1: $rows")
+    assert(rows("2024-01-03")._2 < 0.05,
+      s"disjoint supports must reject at n=10: $rows")
+  }
+
+  test("exact KS drift: a time-shifted copy of the same values scores 0") {
+    // first half and second half carry identical value multisets ->
+    // ECDFs agree at every grid point
+    val base = Seq(1.0, 2.0, 2.0, 3.0, 5.0)
+    val rows = (base.zipWithIndex.map { case (v, i) =>
+      (i.toLong, 1000000L + i * 1000L, 1L, "click", v, "{}")
+    } ++ base.zipWithIndex.map { case (v, i) =>
+      (100L + i, 9000000000L + i * 1000L, 1L, "click", v, "{}")
+    }).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ks_ev").toString
+    try {
+      rows.coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/events.parquet")
+      val ks = graft.queries.Events.qKsDrift.fn(spark, dir)
+        .select($"ks_stat").as[Double].collect()
+      assert(ks.toSeq == Seq(0.0), s"identical halves must give KS 0: ${ks.toSeq}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
