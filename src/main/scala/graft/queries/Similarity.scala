@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1413,17 +1413,34 @@ object Similarity {
     * MATERIALIZED CTEs (each step is referenced twice — without
     * materialization the inlining doubles per step and the plan
     * explodes 2^9-fold). */
-  private val pcaSteps: String = (1 to 9).map { t =>
-    val prev = if (t == 1) "m0" else s"m${t - 1}"
+  /** 9 normalized-squaring CTEs for the matrix CTE `${p}0` →
+    * `${p}9` (≈ its 512th power, Frobenius-normalized each step). */
+  private def pcaSquareCtes(p: String): String = (1 to 9).map { t =>
     s"""
-      p$t AS MATERIALIZED (SELECT a.i, b.j,
+      ${p}sq$t AS MATERIALIZED (SELECT a.i, b.j,
           CAST(SUM(CAST(round(a.c * b.c, 12) AS DECIMAL(30,14))) AS DOUBLE) AS c
-        FROM $prev a JOIN $prev b ON a.j = b.i GROUP BY a.i, b.j),
-      f$t AS MATERIALIZED (SELECT sqrt(CAST(SUM(CAST(round(c*c, 12)
-          AS DECIMAL(30,14))) AS DOUBLE)) AS fn FROM p$t),
-      m$t AS MATERIALIZED (SELECT i, j, c / fn AS c
-        FROM p$t CROSS JOIN f$t)"""
+        FROM ${p}${t - 1} a JOIN ${p}${t - 1} b ON a.j = b.i GROUP BY a.i, b.j),
+      ${p}f$t AS MATERIALIZED (SELECT sqrt(CAST(SUM(CAST(round(c*c, 12)
+          AS DECIMAL(30,14))) AS DOUBLE)) AS fn FROM ${p}sq$t),
+      ${p}$t AS MATERIALIZED (SELECT i, j, c / fn AS c
+        FROM ${p}sq$t CROSS JOIN ${p}f$t)"""
   }.mkString(",")
+
+  /** Direction extraction from a squared-chain terminal `${p}9`:
+    * matvec with the 0.125 start vector, normalize, sign-fix on the
+    * first unnormalized component → `${p}vf(j, v)`. */
+  private def pcaDirCtes(p: String): String = s"""
+      ${p}_u AS MATERIALIZED (SELECT i,
+          CAST(SUM(CAST(round(c * 0.125, 12) AS DECIMAL(30,14))) AS DOUBLE) AS u
+        FROM ${p}9 GROUP BY i),
+      ${p}_un AS (SELECT sqrt(CAST(SUM(CAST(round(u*u, 12) AS DECIMAL(30,14)))
+          AS DOUBLE)) AS nrm FROM ${p}_u),
+      ${p}_sg AS (SELECT CASE WHEN (SELECT u FROM ${p}_u WHERE i = 1) < 0
+                THEN -1.0 ELSE 1.0 END AS s),
+      ${p}_vf AS MATERIALIZED (SELECT i AS j, u / nrm * ${p}_sg.s AS v
+        FROM ${p}_u CROSS JOIN ${p}_un CROSS JOIN ${p}_sg)"""
+
+  private val pcaSteps: String = pcaSquareCtes("m")
 
   /** PCA: project every embedding onto the corpus's top principal
     * component, computed by LOG-DEPTH normalized matrix squaring —
@@ -1446,10 +1463,10 @@ object Similarity {
     * exchange) and once for the projection (broadcast component +
     * means, per-row dot). The 9 squarings are dim³ driver flops on a
     * dim²-sized matrix — independent of corpus size by construction. */
-  val ePcaProjection: Spec = Spec(
-    "e_pca_projection",
-    oracle = Some(s"""
-      WITH x AS MATERIALIZED (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+  /** The shared oracle base: long-form embeddings, decimal-exact
+    * means, and the covariance matrix CTE `m0`. */
+  private val pcaBaseCtes: String = """
+      x AS MATERIALIZED (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
               unnest(embedding)::DOUBLE AS v FROM embeddings),
       nn AS (SELECT COUNT(*) AS n FROM embeddings),
       mu AS MATERIALIZED (SELECT i, CAST(SUM(CAST(round(v, 9) AS DECIMAL(28,12)))
@@ -1461,7 +1478,12 @@ object Similarity {
              FROM xx GROUP BY i, j),
       m0 AS MATERIALIZED (SELECT s2.i, s2.j, s2.s / nn.n - mi.m * mj.m AS c
               FROM s2 CROSS JOIN nn
-              JOIN mu mi ON mi.i = s2.i JOIN mu mj ON mj.i = s2.j),
+              JOIN mu mi ON mi.i = s2.i JOIN mu mj ON mj.i = s2.j)"""
+
+  val ePcaProjection: Spec = Spec(
+    "e_pca_projection",
+    oracle = Some(s"""
+      WITH $pcaBaseCtes,
       $pcaSteps,
       u AS MATERIALIZED (SELECT i,
           CAST(SUM(CAST(round(c * 0.125, 12) AS DECIMAL(30,14))) AS DOUBLE) AS u
@@ -1479,50 +1501,8 @@ object Similarity {
       SELECT vec_id, round(p, 6) AS pc1
       FROM proj ORDER BY vec_id""")) { (s, dir) =>
     import s.implicits._
-    import java.math.{BigDecimal => JBD, RoundingMode}
-    val emb = Tables.load(s, dir, "embeddings")
-    val x = emb
-      .select($"vec_id", posexplode($"embedding").as(Seq("p", "vfl")))
-      .select($"vec_id", ($"p" + 1).as("i"), $"vfl".cast("double").as("v"))
-      .localCheckpoint() // feeds means, covariance AND projection
-    val n = emb.count()
-    val dim = 64
-    val muRows = x.groupBy($"i")
-      .agg((sum(round($"v", 9).cast("decimal(28,12)")).cast("double") / n)
-        .as("m"))
-      .collect().map(r => r.getAs[Number]("i").intValue -> r.getAs[Double]("m"))
-      .toMap
-    val mu = Array.tabulate(dim)(i => muRows(i + 1))
-    val xa = x.select($"vec_id", $"i".as("ia"), $"v".as("va"))
-    val xb = x.select($"vec_id", $"i".as("jb"), $"v".as("vb"))
-    val s2 = xa.join(xb, "vec_id")
-      .groupBy($"ia", $"jb")
-      .agg(sum(round($"va" * $"vb", 9).cast("decimal(28,12)"))
-        .cast("double").as("s"))
-      .collect()
-      .map(r => (r.getAs[Number]("ia").intValue, r.getAs[Number]("jb").intValue,
-        r.getAs[Double]("s")))
-    val cov = Array.ofDim[Double](dim, dim)
-    s2.foreach { case (i, j, sv) => cov(i - 1)(j - 1) = sv / n - mu(i - 1) * mu(j - 1) }
-    // driver-side log-depth squaring; r12 is Spark Round's own codepath
-    def r12(d: Double): JBD = JBD.valueOf(d).setScale(12, RoundingMode.HALF_UP)
-    var mM = cov
-    for (_ <- 1 to 9) {
-      val p = Array.tabulate(dim, dim) { (i, j) =>
-        (0 until dim).foldLeft(JBD.ZERO)((acc, k) =>
-          acc.add(r12(mM(i)(k) * mM(k)(j)))).doubleValue
-      }
-      val fn = math.sqrt(p.flatten.foldLeft(JBD.ZERO)((acc, c) =>
-        acc.add(r12(c * c))).doubleValue)
-      mM = p.map(_.map(_ / fn))
-    }
-    val u = Array.tabulate(dim)(i =>
-      (0 until dim).foldLeft(JBD.ZERO)((acc, k) =>
-        acc.add(r12(mM(i)(k) * 0.125))).doubleValue)
-    val nrm = math.sqrt(u.foldLeft(JBD.ZERO)((acc, c) =>
-      acc.add(r12(c * c))).doubleValue)
-    val sign = if (u(0) < 0) -1.0 else 1.0
-    val vComp = u.map(_ / nrm * sign)
+    val (x, mu, cov) = pcaBase(s, dir)
+    val vComp = pcaDirection(pcaSquare9(cov))
     val vDf = broadcast(vComp.zipWithIndex
       .map { case (vv, j) => (j + 1, vv) }.toSeq.toDF("i", "vc"))
     val muDf = broadcast(mu.zipWithIndex
@@ -1535,10 +1515,147 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  private val PcaDim = 64
+
+  /** Spark's own Round codepath for doubles: BigDecimal.valueOf +
+    * HALF_UP — the driver-side mirror of `round(x, 12)`. */
+  private def pcaR12(d: Double): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(d).setScale(12, java.math.RoundingMode.HALF_UP)
+
+  /** Long-form embeddings (checkpointed), decimal-exact per-dim means
+    * and the collected covariance matrix — the distributed part of the
+    * PCA family (everything after is dim²-sized driver work). */
+  private def pcaBase(spark: SparkSession, dir: String)
+      : (DataFrame, Array[Double], Array[Array[Double]]) = {
+    val s = spark
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val x = emb
+      .select($"vec_id", posexplode($"embedding").as(Seq("p", "vfl")))
+      .select($"vec_id", ($"p" + 1).as("i"), $"vfl".cast("double").as("v"))
+      .localCheckpoint() // feeds means, covariance AND projection
+    val n = emb.count()
+    val muRows = x.groupBy($"i")
+      .agg((sum(round($"v", 9).cast("decimal(28,12)")).cast("double") / n)
+        .as("m"))
+      .collect().map(r => r.getAs[Number]("i").intValue -> r.getAs[Double]("m"))
+      .toMap
+    val mu = Array.tabulate(PcaDim)(i => muRows(i + 1))
+    val xa = x.select($"vec_id", $"i".as("ia"), $"v".as("va"))
+    val xb = x.select($"vec_id", $"i".as("jb"), $"v".as("vb"))
+    val s2 = xa.join(xb, "vec_id")
+      .groupBy($"ia", $"jb")
+      .agg(sum(round($"va" * $"vb", 9).cast("decimal(28,12)"))
+        .cast("double").as("s"))
+      .collect()
+      .map(r => (r.getAs[Number]("ia").intValue, r.getAs[Number]("jb").intValue,
+        r.getAs[Double]("s")))
+    val cov = Array.ofDim[Double](PcaDim, PcaDim)
+    s2.foreach { case (i, j, sv) =>
+      cov(i - 1)(j - 1) = sv / n - mu(i - 1) * mu(j - 1)
+    }
+    (x, mu, cov)
+  }
+
+  /** 9 Frobenius-normalized squarings (≈ the 512th matrix power). */
+  private def pcaSquare9(m0: Array[Array[Double]]): Array[Array[Double]] = {
+    val Z = java.math.BigDecimal.ZERO
+    var mM = m0
+    for (_ <- 1 to 9) {
+      val p = Array.tabulate(PcaDim, PcaDim) { (i, j) =>
+        (0 until PcaDim).foldLeft(Z)((acc, k) =>
+          acc.add(pcaR12(mM(i)(k) * mM(k)(j)))).doubleValue
+      }
+      val fn = math.sqrt(p.flatten.foldLeft(Z)((acc, c) =>
+        acc.add(pcaR12(c * c))).doubleValue)
+      mM = p.map(_.map(_ / fn))
+    }
+    mM
+  }
+
+  /** Direction from a squared chain: matvec with the 0.125 start,
+    * normalize, sign-fix on the first unnormalized component. */
+  private def pcaDirection(m9: Array[Array[Double]]): Array[Double] = {
+    val Z = java.math.BigDecimal.ZERO
+    val u = Array.tabulate(PcaDim)(i =>
+      (0 until PcaDim).foldLeft(Z)((acc, k) =>
+        acc.add(pcaR12(m9(i)(k) * 0.125))).doubleValue)
+    val nrm = math.sqrt(u.foldLeft(Z)((acc, c) =>
+      acc.add(pcaR12(c * c))).doubleValue)
+    val sign = if (u(0) < 0) -1.0 else 1.0
+    u.map(_ / nrm * sign)
+  }
+
+  /** 2-D PCA corpus map: pc1 from [[ePcaProjection]]'s squared-chain
+    * direction, pc2 from the same machinery applied to the DEFLATED
+    * covariance D = C − λ₁·v₁v₁ᵀ (Hotelling deflation; λ₁ is the exact
+    * decimal-summed Rayleigh quotient v₁ᵀCv₁) — the standard top-k
+    * eigenpair recipe, here fully engine-replayable: the second chain
+    * reuses the identical squaring/direction CTE generators with a
+    * `d` prefix. The (pc1, pc2) pair is THE 2-D layout for corpus
+    * maps / near-dup scatter plots; pc1 here equals e_pca_projection's
+    * by construction.
+    *
+    * Scale shape: identical to e_pca_projection — corpus touches the
+    * plan for the covariance agg and one broadcast double-projection;
+    * the deflation and both squared chains are dim²/dim³ driver work. */
+  val ePca2d: Spec = Spec(
+    "e_pca_2d",
+    oracle = Some(s"""
+      WITH $pcaBaseCtes,
+      ${pcaSquareCtes("m")},
+      ${pcaDirCtes("m")},
+      cw AS MATERIALIZED (SELECT m0.i,
+          CAST(SUM(CAST(round(m0.c * m_vf.v, 12) AS DECIMAL(30,14))) AS DOUBLE) AS w
+        FROM m0 JOIN m_vf ON m_vf.j = m0.j GROUP BY m0.i),
+      lam AS (SELECT CAST(SUM(CAST(round(m_vf.v * cw.w, 12) AS DECIMAL(30,14)))
+          AS DOUBLE) AS l
+        FROM m_vf JOIN cw ON cw.i = m_vf.j),
+      d0 AS MATERIALIZED (SELECT a.i, a.j, a.c - lam.l * va.v * vb.v AS c
+        FROM m0 a CROSS JOIN lam
+        JOIN m_vf va ON va.j = a.i JOIN m_vf vb ON vb.j = a.j),
+      ${pcaSquareCtes("d")},
+      ${pcaDirCtes("d")},
+      proj AS (SELECT x.vec_id,
+          CAST(SUM(CAST(round((x.v - mu.m) * v1.v, 9) AS DECIMAL(28,12)))
+            AS DOUBLE) AS p1,
+          CAST(SUM(CAST(round((x.v - mu.m) * v2.v, 9) AS DECIMAL(28,12)))
+            AS DOUBLE) AS p2
+        FROM x JOIN mu ON mu.i = x.i
+        JOIN m_vf v1 ON v1.j = x.i JOIN d_vf v2 ON v2.j = x.i
+        GROUP BY x.vec_id)
+      SELECT vec_id, round(p1, 6) AS pc1, round(p2, 6) AS pc2
+      FROM proj ORDER BY vec_id""")) { (s, dir) =>
+    import s.implicits._
+    val Z = java.math.BigDecimal.ZERO
+    val (x, mu, cov) = pcaBase(s, dir)
+    val v1 = pcaDirection(pcaSquare9(cov))
+    val w = Array.tabulate(PcaDim)(i =>
+      (0 until PcaDim).foldLeft(Z)((acc, k) =>
+        acc.add(pcaR12(cov(i)(k) * v1(k)))).doubleValue)
+    val lam = (0 until PcaDim).foldLeft(Z)((acc, i) =>
+      acc.add(pcaR12(v1(i) * w(i)))).doubleValue
+    val defl = Array.tabulate(PcaDim, PcaDim)((i, j) =>
+      cov(i)(j) - lam * v1(i) * v1(j))
+    val v2 = pcaDirection(pcaSquare9(defl))
+    val vDf = broadcast((0 until PcaDim)
+      .map(j => (j + 1, v1(j), v2(j))).toDF("i", "vc1", "vc2"))
+    val muDf = broadcast(mu.zipWithIndex
+      .map { case (mm, i) => (i + 1, mm) }.toSeq.toDF("i", "m"))
+    x.join(muDf, "i").join(vDf, "i")
+      .groupBy($"vec_id")
+      .agg(
+        round(sum(round(($"v" - $"m") * $"vc1", 9).cast("decimal(28,12)"))
+          .cast("double"), 6).as("pc1"),
+        round(sum(round(($"v" - $"m") * $"vc2", 9).cast("decimal(28,12)"))
+          .cast("double"), 6).as("pc2"))
+      .orderBy($"vec_id")
+  }
+
   val specs: Seq[Spec] = Seq(eCentroids, eKnnBrute, eKnnCell, eNearDup, eIvfRecall,
     eNearDupLsh, eKnnQuantized, eKmeansCentroids, eKnnIvfLearned,
     eKnnIvfMultiprobe, eKnnPq, eKnnIvfPq, eBitextMine, eEmbeddingOutliers,
     eKnnIvfPqProbe, eNearDupClusters, eKnnMatryoshka, eMmrRerank,
     eClusterSummary, ePagerankCentrality, eTriangleCount, eSemdedup,
-    eSemdedupIncremental, ePcaProjection)
+    eSemdedupIncremental, ePcaProjection, ePca2d)
 }

@@ -172,4 +172,17 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(dimVars.nonEmpty && varPc >= dimVars.max * 0.999,
       s"pc1 variance $varPc must dominate max coordinate variance ${dimVars.max}")
   }
+
+  test("pca 2d: components uncorrelated, variances ordered") {
+    val d = graft.queries.Similarity.ePca2d.fn(spark, TestSpark.Sf)
+      .select($"pc1", $"pc2").as[(Double, Double)].collect()
+    val n = d.length.toDouble
+    val (m1, m2) = (d.map(_._1).sum / n, d.map(_._2).sum / n)
+    val v1 = d.map(t => (t._1 - m1) * (t._1 - m1)).sum / n
+    val v2 = d.map(t => (t._2 - m2) * (t._2 - m2)).sum / n
+    val cov = d.map(t => (t._1 - m1) * (t._2 - m2)).sum / n
+    val corr = cov / math.sqrt(v1 * v2)
+    assert(math.abs(corr) < 0.01, s"pc1 and pc2 must be uncorrelated: $corr")
+    assert(v1 >= v2, s"deflated component cannot out-vary the top one: $v1 < $v2")
+  }
 }
