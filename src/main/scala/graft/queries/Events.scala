@@ -1191,10 +1191,73 @@ object Events {
       .orderBy($"cur", $"nxt")
   }
 
+  /** Two-way additive SEASONAL DECOMPOSITION of the hourly rate (one
+    * type, 'error', to keep output focused): each hour's count splits
+    * into the day trend (that day's mean hourly count), the hour-of-day
+    * seasonal (that slot's mean across days) and the residual
+    * n − trend − seasonal + grand-mean — the classic two-way ANOVA
+    * decomposition that [[qRateAnomaly]]'s trailing z-score can't give:
+    * a nightly batch job stops looking anomalous once the 02:00 slot
+    * carries its own baseline. Means are exact integer sums with one
+    * double division (observed hours only — absent slots stay absent);
+    * residual arithmetic is fixed IEEE order.
+    *
+    * Scale shape: three calendar-bounded hash aggs over the hourly
+    * count table (hours × types rows, never events) joined back
+    * broadcast-small. */
+  val qSeasonalDecompose: Spec = Spec(
+    "ev_seasonal_decompose",
+    oracle = Some("""
+      WITH hc AS (SELECT event_type,
+          strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+          strftime(ts, '%Y-%m-%d') AS d, CAST(hour(ts) AS BIGINT) AS h, COUNT(*) AS n
+        FROM events WHERE event_type = 'error' GROUP BY 1, 2, 3, 4),
+      se AS (SELECT event_type, h, SUM(n) AS sn, COUNT(*) AS cn FROM hc GROUP BY 1, 2),
+      tr AS (SELECT event_type, d, SUM(n) AS sn, COUNT(*) AS cn FROM hc GROUP BY 1, 2),
+      g AS (SELECT event_type, SUM(n) AS sn, COUNT(*) AS cn FROM hc GROUP BY 1)
+      SELECT hc.event_type, hc.window_start, CAST(hc.n AS BIGINT) AS n_events,
+        round(CAST(tr.sn AS DOUBLE) / tr.cn, 6) AS trend_day,
+        round(CAST(se.sn AS DOUBLE) / se.cn, 6) AS seasonal_hour,
+        round(hc.n - CAST(tr.sn AS DOUBLE) / tr.cn - CAST(se.sn AS DOUBLE) / se.cn
+          + CAST(g.sn AS DOUBLE) / g.cn, 6) AS residual
+      FROM hc
+      JOIN tr ON tr.event_type = hc.event_type AND tr.d = hc.d
+      JOIN se ON se.event_type = hc.event_type AND se.h = hc.h
+      JOIN g ON g.event_type = hc.event_type
+      ORDER BY hc.event_type, hc.window_start""")) { (s, dir) =>
+    import s.implicits._
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    val ts = timestamp_micros(expr("ts div 1000"))
+    val hc = load(s, dir)
+      .filter($"event_type" === "error")
+      .select($"event_type",
+        date_format(timestamp_micros(expr(s"(ts - ts % $hourNs) div 1000")),
+          "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        date_format(ts, "yyyy-MM-dd").as("d"),
+        hour(ts).cast("long").as("h"))
+      .groupBy($"event_type", $"window_start", $"d", $"h")
+      .agg(count(lit(1)).as("n"))
+    val se = hc.groupBy($"event_type", $"h")
+      .agg(sum($"n").as("ssn"), count(lit(1)).as("scn"))
+    val tr = hc.groupBy($"event_type", $"d")
+      .agg(sum($"n").as("tsn"), count(lit(1)).as("tcn"))
+    val g = hc.groupBy($"event_type")
+      .agg(sum($"n").as("gsn"), count(lit(1)).as("gcn"))
+    hc.join(broadcast(tr), Seq("event_type", "d"))
+      .join(broadcast(se), Seq("event_type", "h"))
+      .join(broadcast(g), "event_type")
+      .select($"event_type", $"window_start", $"n".as("n_events"),
+        round($"tsn".cast("double") / $"tcn", 6).as("trend_day"),
+        round($"ssn".cast("double") / $"scn", 6).as("seasonal_hour"),
+        round($"n" - $"tsn".cast("double") / $"tcn" - $"ssn".cast("double") / $"scn"
+          + $"gsn".cast("double") / $"gcn", 6).as("residual"))
+      .orderBy($"event_type", $"window_start")
+  }
+
   val specs: Seq[Spec] = Seq(qTumbling, qSessionize, qAsofClick,
     qAsofTolerance, qFunnel, qPropsJson, qSliding, qSessionWindowNative,
     qRate5Min, qValueOutliers, qDriftWindowed, qDriftSliding,
     qCohortRetention, qFunnelWindowed, qDauNewReturning, qDecayScore,
     qUserTrend, qRateAnomaly, qKsDrift, qKsWindowed, qWinsorizedStats,
-    qAsofNearest, qConversionTime, qMarkovTransitions)
+    qAsofNearest, qConversionTime, qMarkovTransitions, qSeasonalDecompose)
 }
