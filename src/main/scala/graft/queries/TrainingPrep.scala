@@ -755,6 +755,87 @@ object TrainingPrep {
       .crossJoin(broadcast(hv.agg(count(lit(1)).as("exact_distinct"))))
   }
 
+  /** KMV SET OPERATIONS: size estimates for the union and intersection
+    * of two vocabularies (bigram sets of the doc_id-parity halves) from
+    * their k-minimum-values sketches — the mergeability story that
+    * makes KMV the cross-shard distinct workhorse: union = merge k-min
+    * sets and re-take k; intersection = (matching fraction of the
+    * union sketch) × union estimate. Like [[dKmvDistinct]], every
+    * estimate is a DETERMINISTIC function of md5 hashes, so the oracle
+    * replays sketch AND exact values — the output row carries its own
+    * error report (~10% at k=64 here).
+    *
+    * Scale shape: one explode → distinct (grp, hash) — the only
+    * corpus-scale agg; each k-min is a TakeOrdered; membership checks
+    * are semi-joins over 64-row frames. */
+  val dKmvSetops: Spec = Spec(
+    "d_kmv_setops",
+    oracle = Some("""
+      WITH t AS (SELECT doc_id % 2 AS grp, string_split(text,' ') AS l FROM documents),
+      g AS (SELECT grp, unnest(list_transform(range(1, greatest(len(l), 1)),
+              i -> array_to_string(l[i:i+1], ' '))) AS gram
+            FROM t WHERE len(l) >= 2),
+      h AS (SELECT DISTINCT grp, CAST('0x' || substr(md5(gram), 1, 12) AS BIGINT) AS hv
+            FROM g),
+      ka AS (SELECT hv FROM h WHERE grp = 0 ORDER BY hv LIMIT 64),
+      kb AS (SELECT hv FROM h WHERE grp = 1 ORDER BY hv LIMIT 64),
+      ku AS (SELECT DISTINCT hv FROM (SELECT hv FROM ka UNION ALL SELECT hv FROM kb)
+             ORDER BY hv LIMIT 64),
+      ii AS (SELECT CAST(COUNT(*) AS BIGINT) AS ni FROM ku
+             WHERE hv IN (SELECT hv FROM ka) AND hv IN (SELECT hv FROM kb)),
+      ea AS (SELECT COUNT(*) AS xa FROM h WHERE grp = 0),
+      eb AS (SELECT COUNT(*) AS xb FROM h WHERE grp = 1),
+      eu AS (SELECT COUNT(DISTINCT hv) AS xu FROM h),
+      exi AS (SELECT COUNT(*) AS xi FROM
+        (SELECT hv FROM h WHERE grp = 0) a
+        JOIN (SELECT hv FROM h WHERE grp = 1) b USING (hv)),
+      est AS (SELECT
+        round(63 * 281474976710656.0 / (SELECT MAX(hv) FROM ka), 6) AS est_a,
+        round(63 * 281474976710656.0 / (SELECT MAX(hv) FROM kb), 6) AS est_b,
+        round(63 * 281474976710656.0 / (SELECT MAX(hv) FROM ku), 6) AS est_union)
+      SELECT est_a, est_b, est_union,
+        round(ii.ni / 64.0 * est_union, 6) AS est_intersection,
+        CAST(ea.xa AS BIGINT) AS exact_a, CAST(eb.xb AS BIGINT) AS exact_b,
+        CAST(eu.xu AS BIGINT) AS exact_union,
+        CAST(exi.xi AS BIGINT) AS exact_intersection
+      FROM est CROSS JOIN ii CROSS JOIN ea CROSS JOIN eb
+      CROSS JOIN eu CROSS JOIN exi""")) { (s, dir) =>
+    import s.implicits._
+    val t = docs(s, dir)
+      .select(($"doc_id" % 2).as("grp"), Text.tokens($"text").as("l"))
+    val h = t.filter(size($"l") >= 2)
+      .select($"grp", explode(expr(
+        "transform(sequence(0, size(l) - 2), i -> concat_ws(' ', slice(l, i + 1, 2)))"))
+        .as("gram"))
+      .select($"grp",
+        conv(substring(md5($"gram"), 1, 12), 16, 10).cast("long").as("hv"))
+      .distinct()
+      .localCheckpoint() // sketches + exact counts share one vocab hash
+    val ka = h.filter($"grp" === 0).select($"hv").orderBy($"hv").limit(64)
+      .localCheckpoint()
+    val kb = h.filter($"grp" === 1).select($"hv").orderBy($"hv").limit(64)
+      .localCheckpoint()
+    val ku = ka.union(kb).distinct().orderBy($"hv").limit(64).localCheckpoint()
+    val scale = 281474976710656.0 // 2^48
+    val est = ka.agg(max($"hv").as("ma")).crossJoin(kb.agg(max($"hv").as("mb")))
+      .crossJoin(ku.agg(max($"hv").as("mu")))
+      .select(round(lit(63) * scale / $"ma", 6).as("est_a"),
+        round(lit(63) * scale / $"mb", 6).as("est_b"),
+        round(lit(63) * scale / $"mu", 6).as("est_union"))
+    val ni = ku.join(ka, Seq("hv"), "left_semi").join(kb, Seq("hv"), "left_semi")
+      .agg(count(lit(1)).as("ni"))
+    est.crossJoin(broadcast(ni))
+      .crossJoin(broadcast(h.filter($"grp" === 0).agg(count(lit(1)).as("exact_a"))))
+      .crossJoin(broadcast(h.filter($"grp" === 1).agg(count(lit(1)).as("exact_b"))))
+      .crossJoin(broadcast(h.select($"hv").distinct().agg(count(lit(1)).as("exact_union"))))
+      .crossJoin(broadcast(h.filter($"grp" === 0).select($"hv")
+        .join(h.filter($"grp" === 1).select($"hv"), "hv")
+        .agg(count(lit(1)).as("exact_intersection"))))
+      .select($"est_a", $"est_b", $"est_union",
+        round($"ni" / 64.0 * $"est_union", 6).as("est_intersection"),
+        $"exact_a", $"exact_b", $"exact_union", $"exact_intersection")
+  }
+
   /** Shared by batch d_cms_counts and streaming st_cms_counts — the
     * cell-wise-summed stream sketch equals the one-shot sketch (CMS
     * linearity), so both restate the same SQL. */
@@ -1949,7 +2030,7 @@ object TrainingPrep {
     dStratifiedSample, dShardPacking, dChunkWindows, dUnigramLmScore,
     dGopherRules, dTfidfTopTerms, dMixtureSample, dLengthOutliers,
     dProfileColumns, dZipfSlope, dDriftPsi, dHeavyHitters,
-    dSequenceSegments, dKmvDistinct, dSnapshotDiff, dTokenBudget,
+    dSequenceSegments, dKmvDistinct, dKmvSetops, dSnapshotDiff, dTokenBudget,
     dHashSplit, dReadability, dBigramLm, dPerplexityBand, dHashEmbedding,
     dScoreDeciles, dSourceInterleave,
     dCmsCounts, dWeightedSample, dPaddingEfficiency, dEntropyScores,
