@@ -1254,10 +1254,64 @@ object Events {
       .orderBy($"event_type", $"window_start")
   }
 
+  /** Top 3-step event PATHS: the most common (a → b → c) sequences
+    * across all users with their share of all 3-step windows — the
+    * path-mining complement of [[qMarkovTransitions]] (first-order
+    * steps can't see that view→view→click dominates). Two lead()
+    * columns over the same per-user window, path-keyed count, rank on
+    * the |types|³-bounded path table.
+    *
+    * Scale shape: the lead window is per-user history-bounded; the
+    * path agg has at most |types|³ keys, so the rank window runs on a
+    * constant-size frame. */
+  val qPathAnalysis: Spec = Spec(
+    "ev_path_analysis",
+    oracle = Some("""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+                 FROM events),
+      p AS (SELECT user_id, event_type AS a,
+          lead(event_type, 1) OVER w AS b, lead(event_type, 2) OVER w AS c
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      c3 AS (SELECT a || '>' || b || '>' || c AS path, COUNT(*) AS n
+        FROM p WHERE b IS NOT NULL AND c IS NOT NULL GROUP BY 1),
+      t AS (SELECT SUM(n) AS tot FROM c3),
+      r AS (SELECT path, n, row_number() OVER (ORDER BY n DESC, path) AS rk
+            FROM c3)
+      SELECT CAST(rk AS BIGINT) AS rk, path, CAST(n AS BIGINT) AS n_paths,
+        round(CAST(n AS DOUBLE) / t.tot, 6) AS share
+      FROM r CROSS JOIN t WHERE rk <= 15 ORDER BY rk""")) { (s, dir) =>
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val paths = load(s, dir)
+      .select($"user_id", $"event_type", expr("ts div 1000").as("us"),
+        $"event_id")
+      .select($"event_type".as("a"),
+        lead($"event_type", 1).over(w).as("b"),
+        lead($"event_type", 2).over(w).as("c"))
+      .filter($"b".isNotNull && $"c".isNotNull)
+      .groupBy(concat_ws(">", $"a", $"b", $"c").as("path"))
+      .agg(count(lit(1)).as("n"))
+    val tot = broadcast(paths.agg(sum($"n").as("tot")))
+    // |types|³-bounded frame: collapse to one sorted array + posexplode
+    // (the queryFrame idiom) — never an unpartitioned rank window
+    paths
+      .agg(sort_array(collect_list(
+        struct((-$"n").as("negn"), $"path", $"n"))).as("ps"))
+      .select(posexplode($"ps").as(Seq("i", "p")))
+      .select(($"i" + 1).cast("long").as("rk"), $"p.path".as("path"),
+        $"p.n".as("n_paths"))
+      .filter($"rk" <= 15)
+      .crossJoin(tot)
+      .select($"rk", $"path", $"n_paths",
+        round($"n_paths".cast("double") / $"tot", 6).as("share"))
+      .orderBy($"rk")
+  }
+
   val specs: Seq[Spec] = Seq(qTumbling, qSessionize, qAsofClick,
     qAsofTolerance, qFunnel, qPropsJson, qSliding, qSessionWindowNative,
     qRate5Min, qValueOutliers, qDriftWindowed, qDriftSliding,
     qCohortRetention, qFunnelWindowed, qDauNewReturning, qDecayScore,
     qUserTrend, qRateAnomaly, qKsDrift, qKsWindowed, qWinsorizedStats,
-    qAsofNearest, qConversionTime, qMarkovTransitions, qSeasonalDecompose)
+    qAsofNearest, qConversionTime, qMarkovTransitions, qSeasonalDecompose,
+    qPathAnalysis)
 }
