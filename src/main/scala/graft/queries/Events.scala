@@ -1160,9 +1160,8 @@ object Events {
     * history-bounded frames — the [[qRate5Min]] argument); the matrix
     * agg is |types|²-keyed — constant-size output no matter the event
     * count. */
-  val qMarkovTransitions: Spec = Spec(
-    "ev_markov_transitions",
-    oracle = Some("""
+  /** Shared with the stateful streaming twin st_markov_transitions. */
+  val markovOracleSql: String = """
       WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
                  FROM events),
       p AS (SELECT user_id, event_type AS cur,
@@ -1174,16 +1173,28 @@ object Events {
       SELECT c.cur, c.nxt, CAST(c.n AS BIGINT) AS n_transitions,
         round(CAST(c.n AS DOUBLE) / t.tot, 6) AS p_transition
       FROM c JOIN t ON t.cur = c.cur
-      ORDER BY c.cur, c.nxt""")) { (s, dir) =>
+      ORDER BY c.cur, c.nxt"""
+
+  val qMarkovTransitions: Spec = Spec(
+    "ev_markov_transitions",
+    oracle = Some(markovOracleSql)) { (s, dir) =>
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
-    val pairs = load(s, dir)
+    markovOverPairs(load(s, dir)
       .select($"user_id", $"event_type", expr("ts div 1000").as("us"),
         $"event_id")
       .withColumn("nxt", lead($"event_type", 1).over(w))
       .filter($"nxt".isNotNull)
-    val c = pairs.groupBy($"event_type".as("cur"), $"nxt")
-      .agg(count(lit(1)).as("n"))
+      .select($"event_type".as("cur"), $"nxt"))
+  }
+
+  /** Transition-matrix tail over a (cur, nxt) pair frame — shared by
+    * the batch query and the stateful streaming twin
+    * (st_markov_transitions), so the two cannot drift. */
+  def markovOverPairs(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val c = pairs.groupBy($"cur", $"nxt").agg(count(lit(1)).as("n"))
     val t = c.groupBy($"cur").agg(sum($"n").as("tot"))
     c.join(broadcast(t), "cur")
       .select($"cur", $"nxt", $"n".as("n_transitions"),

@@ -446,6 +446,20 @@ object StreamingQ {
       StreamOps.dailyValueCounts(s, dir, sink = "st_ks_mem"))
   }
 
+  /** STATEFUL streaming Markov transitions: flatMapGroupsWithState
+    * keeps each user's LAST event so a transition split across
+    * micro-batches is still emitted — per-key continuity no per-batch
+    * window has. Shares [[Events.markovOverPairs]] and the batch
+    * oracle with ev_markov_transitions; the cross-batch path is
+    * pinned by the two-batch MemoryStream test in StreamingSpec. */
+  val stMarkov: Spec = Spec(
+    "st_markov_transitions",
+    oracle = Some(Events.markovOracleSql)) { (s, dir) =>
+    import s.implicits._
+    Events.markovOverPairs(
+      StreamOps.markovPairs(s, dir).select($"cur", $"nxt"))
+  }
+
   /** STREAMING MinHash near-dup: foreachBatch accumulates an LSH state
     * store and emits each batch's verified pairs vs prior state + in
     * batch ([[graft.streaming.StreamOps.minhashIncrementalStart]]).
@@ -610,5 +624,5 @@ object StreamingQ {
     stEnrich, stClickView, dLid, dLidScript, dLidConfusion, pipelineE2e,
     stDocFlags, stHeavyHitters, stDriftWindowed, stLidScript,
     stMinhashPairs, stFunnelLevels, stBm25Indexed, stCmsCounts, stNovelty,
-    stAsofLastClick, stCcIncremental, stRateAnomaly, stKsWindowed)
+    stAsofLastClick, stCcIncremental, stRateAnomaly, stKsWindowed, stMarkov)
 }

@@ -180,6 +180,54 @@ object StreamOps {
       .orderBy(col("user_id"), col("session_start_us"))
   }
 
+  final case class MarkovEvent(
+      user_id: Long, ts_us: Long, event_id: Long, event_type: String)
+  final case class MarkovState(lastType: String, lastTs: Long, lastId: Long)
+  final case class Transition(user_id: Long, cur: String, nxt: String)
+
+  /** Per-user event-type TRANSITIONS as a stateful stream
+    * (flatMapGroupsWithState, NoTimeout): the state is each user's
+    * LAST event, so a transition whose two halves arrive in different
+    * micro-batches is still emitted — the per-key continuity a
+    * per-batch window could never give. Same event-time-ordered-feed
+    * contract as the as-of twin; over a finite feed the emitted pair
+    * multiset equals the batch lead() pairs exactly (the cross-batch
+    * path is pinned by the MemoryStream twin in StreamingSpec). */
+  def markovPairsFrom(s: SparkSession, events: DataFrame,
+      sink: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val src = events
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[MarkovEvent]
+    val pairs = src
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[MarkovState, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[MarkovEvent], state: GroupState[MarkovState]) =>
+          val sorted = evs.toArray.sortBy(e => (e.ts_us, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer[Transition]()
+          var prev = state.getOption.orNull
+          for (e <- sorted) {
+            if (prev != null) out += Transition(user, prev.lastType, e.event_type)
+            prev = MarkovState(e.event_type, e.ts_us, e.event_id)
+          }
+          if (prev != null) state.update(prev)
+          out.iterator
+      }
+    runToTable(s, pairs.toDF(), sink, "append")
+      // the transition tail self-joins this table (counts vs per-cur
+      // totals); checkpoint the bounded pair table so the MemoryPlan
+      // leaf becomes re-referenceable (same fix as dailyValueCounts)
+      .localCheckpoint()
+  }
+
+  /** [[markovPairsFrom]] over the file events source. */
+  def markovPairs(s: SparkSession, dir: String,
+      sink: String = "st_markov_mem"): DataFrame =
+    markovPairsFrom(s, eventsStream(s, dir), sink)
+
   /** Stream-static enrichment join: the streaming events feed joined to
     * a BROADCAST static dimension (customer), then watermarked hourly
     * aggregation per market segment. The static side is re-broadcast per
