@@ -1598,6 +1598,63 @@ object Dedup {
       .orderBy($"bands".desc, $"jaccard_s")
   }
 
+  /** DEDUP FUNNEL report: how much each method removes, alone and
+    * together — exact whitespace-normalized hash (keep-min), MinHash+CC
+    * near-dup clusters (keep-min), their overlap, the union, and the
+    * survivor count — the one-row summary a data lead reads before
+    * choosing which dedup passes to pay for at 100 TB. Restates the
+    * shared `labels` CTE chain (minhash semantics cannot drift) plus
+    * the d_fingerprint normalization; set arithmetic is exact integer
+    * counts.
+    *
+    * Scale shape: the exact pass is one hash agg; the near-dup pass is
+    * the capped LSH + CC machinery; the overlap/union are semi-join
+    * counts on removal-id frames (removed docs, not the corpus). */
+  val ddDedupFunnel: Spec = Spec(
+    "dd_dedup_funnel",
+    oracle = Some(s"""
+      WITH RECURSIVE $minhashLabelsCte,
+      n AS (SELECT doc_id,
+              md5(regexp_replace(trim(lower(text)), '[\\s\\x0B]+', ' ', 'g')) AS h
+            FROM documents),
+      exr AS (SELECT doc_id FROM n
+              WHERE doc_id > (SELECT MIN(n2.doc_id) FROM n n2 WHERE n2.h = n.h)),
+      mhr AS (SELECT id AS doc_id FROM labels WHERE id <> component),
+      tot AS (SELECT COUNT(*) AS n_docs FROM documents),
+      ov AS (SELECT COUNT(*) AS n_both FROM exr JOIN mhr ON mhr.doc_id = exr.doc_id),
+      un AS (SELECT COUNT(*) AS n_union FROM
+        (SELECT doc_id FROM exr UNION SELECT doc_id FROM mhr))
+      SELECT CAST(tot.n_docs AS BIGINT) AS n_docs,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM exr) AS removed_exact,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM mhr) AS removed_neardup,
+        CAST(ov.n_both AS BIGINT) AS removed_by_both,
+        CAST(un.n_union AS BIGINT) AS removed_union,
+        CAST(tot.n_docs - un.n_union AS BIGINT) AS survivors
+      FROM tot CROSS JOIN ov CROSS JOIN un""")) { (s, dir) =>
+    import s.implicits._
+    val d = Tables.load(s, dir, "documents")
+    val n = d.select($"doc_id", md5(Text.normalizeWs($"text")).as("h"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"h")
+    val exr = n.withColumn("mn", min($"doc_id").over(w))
+      .filter($"doc_id" > $"mn").select($"doc_id")
+      .localCheckpoint()
+    val mhr = MinHash.clusters(MinHash.candidatePairs(
+        d, "doc_id", "text", shingleSize = 3, numPerm = 32, bands = 8,
+        threshold = 0.5))
+      .filter($"id" =!= $"component").select($"id".as("doc_id"))
+      .localCheckpoint()
+    val tot = d.agg(count(lit(1)).as("n_docs"))
+    val ex = exr.agg(count(lit(1)).as("removed_exact"))
+    val mh = mhr.agg(count(lit(1)).as("removed_neardup"))
+    val ov = exr.join(mhr, "doc_id").agg(count(lit(1)).as("removed_by_both"))
+    val un = exr.union(mhr).distinct().agg(count(lit(1)).as("n_union"))
+    tot.crossJoin(broadcast(ex)).crossJoin(broadcast(mh))
+      .crossJoin(broadcast(ov)).crossJoin(broadcast(un))
+      .select($"n_docs", $"removed_exact", $"removed_neardup",
+        $"removed_by_both", $"n_union".as("removed_union"),
+        ($"n_docs" - $"n_union").as("survivors"))
+  }
+
   val specs: Seq[Spec] = Seq(
     ddMethodAgreement, ddThresholdSweep, ddMinhashEstimate, ddLshPlanner,
     ddMinhashPairs, ddMinhashBlocked, ddMinhashClusters, ddMinhashIncremental,
@@ -1608,5 +1665,5 @@ object Dedup {
     ddDupSpans,
     ddDupSpanRemoval, ddClusterRepresentatives, ddDedupReport,
     ddCrossSourceOverlap, ddWinnowPairs, ddWinnowClusters, ddNoveltyScores,
-    ddSnmPairs, ddSnmMultipass, ddCdcChunks)
+    ddSnmPairs, ddSnmMultipass, ddCdcChunks, ddDedupFunnel)
 }
