@@ -1216,38 +1216,16 @@ object Events {
     * Scale shape: three calendar-bounded hash aggs over the hourly
     * count table (hours × types rows, never events) joined back
     * broadcast-small. */
-  val qSeasonalDecompose: Spec = Spec(
-    "ev_seasonal_decompose",
-    oracle = Some("""
-      WITH hc AS (SELECT event_type,
-          strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-          strftime(ts, '%Y-%m-%d') AS d, CAST(hour(ts) AS BIGINT) AS h, COUNT(*) AS n
-        FROM events WHERE event_type = 'error' GROUP BY 1, 2, 3, 4),
-      se AS (SELECT event_type, h, SUM(n) AS sn, COUNT(*) AS cn FROM hc GROUP BY 1, 2),
-      tr AS (SELECT event_type, d, SUM(n) AS sn, COUNT(*) AS cn FROM hc GROUP BY 1, 2),
-      g AS (SELECT event_type, SUM(n) AS sn, COUNT(*) AS cn FROM hc GROUP BY 1)
-      SELECT hc.event_type, hc.window_start, CAST(hc.n AS BIGINT) AS n_events,
-        round(CAST(tr.sn AS DOUBLE) / tr.cn, 6) AS trend_day,
-        round(CAST(se.sn AS DOUBLE) / se.cn, 6) AS seasonal_hour,
-        round(hc.n - CAST(tr.sn AS DOUBLE) / tr.cn - CAST(se.sn AS DOUBLE) / se.cn
-          + CAST(g.sn AS DOUBLE) / g.cn, 6) AS residual
-      FROM hc
-      JOIN tr ON tr.event_type = hc.event_type AND tr.d = hc.d
-      JOIN se ON se.event_type = hc.event_type AND se.h = hc.h
-      JOIN g ON g.event_type = hc.event_type
-      ORDER BY hc.event_type, hc.window_start""")) { (s, dir) =>
+  /** Decomposition tail over an (event_type, window_start, n) hourly
+    * count table — day and hour-of-day derive from the window_start
+    * STRING so the batch query and the streaming twin
+    * (st_seasonal_decompose) share it verbatim. */
+  def seasonalOverHourCounts(hc0: DataFrame): DataFrame = {
+    val s = hc0.sparkSession
     import s.implicits._
-    val hourNs = 3600L * 1000 * 1000 * 1000
-    val ts = timestamp_micros(expr("ts div 1000"))
-    val hc = load(s, dir)
-      .filter($"event_type" === "error")
-      .select($"event_type",
-        date_format(timestamp_micros(expr(s"(ts - ts % $hourNs) div 1000")),
-          "yyyy-MM-dd HH:mm:ss").as("window_start"),
-        date_format(ts, "yyyy-MM-dd").as("d"),
-        hour(ts).cast("long").as("h"))
-      .groupBy($"event_type", $"window_start", $"d", $"h")
-      .agg(count(lit(1)).as("n"))
+    val hc = hc0.select($"event_type", $"window_start", $"n",
+      substring($"window_start", 1, 10).as("d"),
+      substring($"window_start", 12, 2).cast("long").as("h"))
     val se = hc.groupBy($"event_type", $"h")
       .agg(sum($"n").as("ssn"), count(lit(1)).as("scn"))
     val tr = hc.groupBy($"event_type", $"d")
@@ -1263,6 +1241,44 @@ object Events {
         round($"n" - $"tsn".cast("double") / $"tcn" - $"ssn".cast("double") / $"scn"
           + $"gsn".cast("double") / $"gcn", 6).as("residual"))
       .orderBy($"event_type", $"window_start")
+  }
+
+  /** Oracle shared with st_seasonal_decompose. */
+  val seasonalOracleSql: String = """
+      WITH hc AS (SELECT event_type,
+          strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+          COUNT(*) AS n
+        FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+      hx AS (SELECT event_type, window_start, n,
+          substr(window_start, 1, 10) AS d,
+          CAST(substr(window_start, 12, 2) AS BIGINT) AS h
+        FROM hc),
+      se AS (SELECT event_type, h, SUM(n) AS sn, COUNT(*) AS cn FROM hx GROUP BY 1, 2),
+      tr AS (SELECT event_type, d, SUM(n) AS sn, COUNT(*) AS cn FROM hx GROUP BY 1, 2),
+      g AS (SELECT event_type, SUM(n) AS sn, COUNT(*) AS cn FROM hx GROUP BY 1)
+      SELECT hx.event_type, hx.window_start, CAST(hx.n AS BIGINT) AS n_events,
+        round(CAST(tr.sn AS DOUBLE) / tr.cn, 6) AS trend_day,
+        round(CAST(se.sn AS DOUBLE) / se.cn, 6) AS seasonal_hour,
+        round(hx.n - CAST(tr.sn AS DOUBLE) / tr.cn - CAST(se.sn AS DOUBLE) / se.cn
+          + CAST(g.sn AS DOUBLE) / g.cn, 6) AS residual
+      FROM hx
+      JOIN tr ON tr.event_type = hx.event_type AND tr.d = hx.d
+      JOIN se ON se.event_type = hx.event_type AND se.h = hx.h
+      JOIN g ON g.event_type = hx.event_type
+      ORDER BY hx.event_type, hx.window_start"""
+
+  val qSeasonalDecompose: Spec = Spec(
+    "ev_seasonal_decompose",
+    oracle = Some(seasonalOracleSql)) { (s, dir) =>
+    import s.implicits._
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    seasonalOverHourCounts(load(s, dir)
+      .filter($"event_type" === "error")
+      .select($"event_type",
+        date_format(timestamp_micros(expr(s"(ts - ts % $hourNs) div 1000")),
+          "yyyy-MM-dd HH:mm:ss").as("window_start"))
+      .groupBy($"event_type", $"window_start")
+      .agg(count(lit(1)).as("n")))
   }
 
   /** Top 3-step event PATHS: the most common (a → b → c) sequences

@@ -460,6 +460,22 @@ object StreamingQ {
       StreamOps.markovPairs(s, dir).select($"cur", $"nxt"))
   }
 
+  /** STREAMING seasonal decomposition: the watermarked tumbling count
+    * query maintains the hourly table; trend/seasonal/residual run as
+    * a batch view over that bounded state — the st_drift_windowed
+    * split, sharing [[Events.seasonalOverHourCounts]] + the batch
+    * oracle with ev_seasonal_decompose. */
+  val stSeasonal: Spec = Spec(
+    "st_seasonal_decompose",
+    oracle = Some(Events.seasonalOracleSql)) { (s, dir) =>
+    import s.implicits._
+    Events.seasonalOverHourCounts(
+      StreamOps.tumblingCounts(s, dir, sink = "st_seasonal_mem")
+        .filter($"event_type" === "error")
+        .select($"event_type", $"window_start", $"n_events".as("n"))
+        .localCheckpoint())
+  }
+
   /** STREAMING MinHash near-dup: foreachBatch accumulates an LSH state
     * store and emits each batch's verified pairs vs prior state + in
     * batch ([[graft.streaming.StreamOps.minhashIncrementalStart]]).
@@ -624,5 +640,6 @@ object StreamingQ {
     stEnrich, stClickView, dLid, dLidScript, dLidConfusion, pipelineE2e,
     stDocFlags, stHeavyHitters, stDriftWindowed, stLidScript,
     stMinhashPairs, stFunnelLevels, stBm25Indexed, stCmsCounts, stNovelty,
-    stAsofLastClick, stCcIncremental, stRateAnomaly, stKsWindowed, stMarkov)
+    stAsofLastClick, stCcIncremental, stRateAnomaly, stKsWindowed, stMarkov,
+    stSeasonal)
 }
