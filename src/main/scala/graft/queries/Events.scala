@@ -1334,11 +1334,77 @@ object Events {
       .orderBy($"rk")
   }
 
+  /** SEASONALLY-ADJUSTED anomaly flags: hours whose decomposition
+    * RESIDUAL ([[seasonalOverHourCounts]]) sits ≥3 robust z-scores
+    * (median/MAD, the [[qValueOutliers]] rule) from its type's
+    * residual distribution — the alarm [[qRateAnomaly]]'s trailing
+    * baseline raises falsely on recurring slots: here the 02:00 batch
+    * job is part of the seasonal term and only NOVEL deviations
+    * remain. Median/MAD are exact percentile(0.5); z arithmetic is
+    * per-row fixed IEEE order on identical 6dp residuals.
+    *
+    * Scale shape: residuals ride the shared tail (hours-scale); the
+    * per-type med/MAD pair is a types-sized agg broadcast back. */
+  val qSeasonalAnomaly: Spec = Spec(
+    "ev_seasonal_anomaly",
+    oracle = Some("""
+      WITH hc AS (SELECT event_type,
+          strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+          COUNT(*) AS n
+        FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+      hx AS (SELECT event_type, window_start, n,
+          substr(window_start, 1, 10) AS d,
+          CAST(substr(window_start, 12, 2) AS BIGINT) AS h FROM hc),
+      se AS (SELECT event_type, h, SUM(n) AS sn, COUNT(*) AS cn FROM hx GROUP BY 1, 2),
+      tr AS (SELECT event_type, d, SUM(n) AS sn, COUNT(*) AS cn FROM hx GROUP BY 1, 2),
+      g AS (SELECT event_type, SUM(n) AS sn, COUNT(*) AS cn FROM hx GROUP BY 1),
+      r AS (SELECT hx.event_type, hx.window_start, hx.n,
+          round(hx.n - CAST(tr.sn AS DOUBLE) / tr.cn - CAST(se.sn AS DOUBLE) / se.cn
+            + CAST(g.sn AS DOUBLE) / g.cn, 6) AS residual
+        FROM hx JOIN tr ON tr.event_type = hx.event_type AND tr.d = hx.d
+        JOIN se ON se.event_type = hx.event_type AND se.h = hx.h
+        JOIN g ON g.event_type = hx.event_type),
+      med AS (SELECT event_type, quantile_cont(residual, 0.5) AS md
+              FROM r GROUP BY 1),
+      mad AS (SELECT r.event_type,
+          quantile_cont(abs(r.residual - m.md), 0.5) AS mad, MIN(m.md) AS md
+        FROM r JOIN med m ON m.event_type = r.event_type GROUP BY 1)
+      SELECT r.event_type, r.window_start, CAST(r.n AS BIGINT) AS n_events,
+        r.residual,
+        round((r.residual - mad.md) / (1.4826 * mad.mad), 6) AS seasonal_z
+      FROM r JOIN mad ON mad.event_type = r.event_type
+      WHERE abs((r.residual - mad.md) / (1.4826 * mad.mad)) >= 3
+      ORDER BY r.event_type, r.window_start""")) { (s, dir) =>
+    import s.implicits._
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    val r = seasonalOverHourCounts(load(s, dir)
+      .filter($"event_type" === "error")
+      .select($"event_type",
+        date_format(timestamp_micros(expr(s"(ts - ts % $hourNs) div 1000")),
+          "yyyy-MM-dd HH:mm:ss").as("window_start"))
+      .groupBy($"event_type", $"window_start")
+      .agg(count(lit(1)).as("n")))
+      .select($"event_type", $"window_start", $"n_events", $"residual")
+      .localCheckpoint() // med/MAD and the flag scan share the residuals
+    val med = r.groupBy($"event_type")
+      .agg(expr("percentile(residual, 0.5)").as("md"))
+    val mad = r.join(broadcast(med), "event_type")
+      .groupBy($"event_type")
+      .agg(expr("percentile(abs(residual - md), 0.5)").as("mad"),
+        min($"md").as("md"))
+    val z = ($"residual" - $"md") / (lit(1.4826) * $"mad")
+    r.join(broadcast(mad), "event_type")
+      .filter(abs(z) >= 3)
+      .select($"event_type", $"window_start", $"n_events", $"residual",
+        round(z, 6).as("seasonal_z"))
+      .orderBy($"event_type", $"window_start")
+  }
+
   val specs: Seq[Spec] = Seq(qTumbling, qSessionize, qAsofClick,
     qAsofTolerance, qFunnel, qPropsJson, qSliding, qSessionWindowNative,
     qRate5Min, qValueOutliers, qDriftWindowed, qDriftSliding,
     qCohortRetention, qFunnelWindowed, qDauNewReturning, qDecayScore,
     qUserTrend, qRateAnomaly, qKsDrift, qKsWindowed, qWinsorizedStats,
     qAsofNearest, qConversionTime, qMarkovTransitions, qSeasonalDecompose,
-    qPathAnalysis)
+    qPathAnalysis, qSeasonalAnomaly)
 }
