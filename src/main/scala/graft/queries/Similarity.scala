@@ -1652,10 +1652,70 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** EMBEDDING-distribution drift per label: cosine between each
+    * label's centroid over the two vec_id-parity halves (standing in
+    * for two corpus snapshots) and the 1−cos drift score — the
+    * embedding-space twin of the text-side drift monitors: a label
+    * whose centroid moves between snapshots means its cluster's
+    * content changed even if counts didn't (near-zero cosines here are
+    * the true answer — the synthetic labels aren't coherent clusters).
+    * Centroids are decimal-exact means; dot/norms are 12dp-rounded
+    * DECIMAL sums with one fixed-order division — fully replayed.
+    *
+    * Scale shape: one scan → (half, label, dim)-keyed mean agg (the
+    * dims×labels×2 sufficient statistic); everything after is
+    * label-count-sized. */
+  val eCentroidDrift: Spec = Spec(
+    "e_centroid_drift",
+    oracle = Some("""
+      WITH x AS (SELECT vec_id % 2 AS half, label,
+              generate_subscripts(embedding, 1) AS i,
+              unnest(embedding)::DOUBLE AS v FROM embeddings),
+      c AS (SELECT half, label, i,
+          CAST(SUM(CAST(round(v, 9) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cv
+        FROM x GROUP BY 1, 2, 3),
+      p AS (SELECT a.label, a.i, a.cv AS ca, b.cv AS cb
+        FROM c a JOIN c b ON b.label = a.label AND b.i = a.i
+        WHERE a.half = 0 AND b.half = 1),
+      d AS (SELECT label,
+          CAST(SUM(CAST(round(ca * cb, 12) AS DECIMAL(30,14))) AS DOUBLE) AS dot,
+          sqrt(CAST(SUM(CAST(round(ca * ca, 12) AS DECIMAL(30,14))) AS DOUBLE)) AS na,
+          sqrt(CAST(SUM(CAST(round(cb * cb, 12) AS DECIMAL(30,14))) AS DOUBLE)) AS nb
+        FROM p GROUP BY 1)
+      SELECT CAST(label AS BIGINT) AS label,
+        round(dot / (na * nb), 6) AS centroid_cosine,
+        round(1 - dot / (na * nb), 6) AS drift
+      FROM d ORDER BY label""")) { (s, dir) =>
+    import s.implicits._
+    val x = Tables.load(s, dir, "embeddings")
+      .select(($"vec_id" % 2).as("half"), $"label",
+        posexplode($"embedding").as(Seq("p", "vfl")))
+      .select($"half", $"label", ($"p" + 1).as("i"),
+        $"vfl".cast("double").as("v"))
+    val c = x.groupBy($"half", $"label", $"i")
+      .agg((sum(round($"v", 9).cast("decimal(28,12)")).cast("double")
+        / count(lit(1))).as("cv"))
+    val a = c.filter($"half" === 0).select($"label", $"i", $"cv".as("ca"))
+    val b = c.filter($"half" === 1).select($"label", $"i", $"cv".as("cb"))
+    a.join(b, Seq("label", "i"))
+      .groupBy($"label")
+      .agg(
+        sum(round($"ca" * $"cb", 12).cast("decimal(30,14)"))
+          .cast("double").as("dot"),
+        sqrt(sum(round($"ca" * $"ca", 12).cast("decimal(30,14)"))
+          .cast("double")).as("na"),
+        sqrt(sum(round($"cb" * $"cb", 12).cast("decimal(30,14)"))
+          .cast("double")).as("nb"))
+      .select($"label".cast("long").as("label"),
+        round($"dot" / ($"na" * $"nb"), 6).as("centroid_cosine"),
+        round(lit(1) - $"dot" / ($"na" * $"nb"), 6).as("drift"))
+      .orderBy($"label")
+  }
+
   val specs: Seq[Spec] = Seq(eCentroids, eKnnBrute, eKnnCell, eNearDup, eIvfRecall,
     eNearDupLsh, eKnnQuantized, eKmeansCentroids, eKnnIvfLearned,
     eKnnIvfMultiprobe, eKnnPq, eKnnIvfPq, eBitextMine, eEmbeddingOutliers,
     eKnnIvfPqProbe, eNearDupClusters, eKnnMatryoshka, eMmrRerank,
     eClusterSummary, ePagerankCentrality, eTriangleCount, eSemdedup,
-    eSemdedupIncremental, ePcaProjection, ePca2d)
+    eSemdedupIncremental, ePcaProjection, ePca2d, eCentroidDrift)
 }
