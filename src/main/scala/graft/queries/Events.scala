@@ -1400,11 +1400,57 @@ object Events {
       .orderBy($"event_type", $"window_start")
   }
 
+  /** DAU / MAU30 STICKINESS per day: daily active users over trailing
+    * 30-day distinct actives — THE product-health ratio next to
+    * [[qDauNewReturning]]'s split. Exact (no sketch): the (day, user)
+    * dedup is the sufficient statistic, and the trailing-window
+    * distinct expands each active-day row into the ≤30 calendar days
+    * it supports — a bounded 30× blowup of the USER-DAY table (never
+    * events), then one (day, user)-distinct hash agg. At petabyte
+    * scale the same plan holds because user-days is the small frame;
+    * if it weren't, the KMV path (d_kmv_setops) slots in per day.
+    * DuckDB date arithmetic and Spark date_sub agree on the calendar
+    * window by construction. */
+  val qStickiness: Spec = Spec(
+    "ev_stickiness",
+    oracle = Some("""
+      WITH du AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS d, user_id
+                  FROM events),
+      days AS (SELECT DISTINCT d FROM du),
+      dau AS (SELECT d, COUNT(*) AS dau FROM du GROUP BY 1),
+      mau AS (SELECT days.d, COUNT(DISTINCT du.user_id) AS mau
+        FROM days JOIN du ON du.d <= days.d
+          AND du.d >= strftime(CAST(days.d AS DATE) - INTERVAL '29 days', '%Y-%m-%d')
+        GROUP BY 1)
+      SELECT dau.d AS day, CAST(dau.dau AS BIGINT) AS dau,
+        CAST(mau.mau AS BIGINT) AS mau30,
+        round(CAST(dau.dau AS DOUBLE) / mau.mau, 6) AS stickiness
+      FROM dau JOIN mau ON mau.d = dau.d ORDER BY day""")) { (s, dir) =>
+    import s.implicits._
+    val du = load(s, dir)
+      .select(date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd")
+        .as("d"), $"user_id")
+      .distinct()
+      .localCheckpoint() // dau, the day grid and the window join share it
+    val days = du.select($"d").distinct()
+    val dau = du.groupBy($"d").agg(count(lit(1)).as("dau"))
+    val mau = days.as("x")
+      .join(du.as("u"),
+        $"u.d" <= $"x.d" &&
+          $"u.d" >= date_format(date_sub(to_date($"x.d"), 29), "yyyy-MM-dd"))
+      .groupBy($"x.d".as("d"))
+      .agg(countDistinct($"u.user_id").as("mau"))
+    dau.join(mau, "d")
+      .select($"d".as("day"), $"dau", $"mau".as("mau30"),
+        round($"dau".cast("double") / $"mau", 6).as("stickiness"))
+      .orderBy($"day")
+  }
+
   val specs: Seq[Spec] = Seq(qTumbling, qSessionize, qAsofClick,
     qAsofTolerance, qFunnel, qPropsJson, qSliding, qSessionWindowNative,
     qRate5Min, qValueOutliers, qDriftWindowed, qDriftSliding,
     qCohortRetention, qFunnelWindowed, qDauNewReturning, qDecayScore,
     qUserTrend, qRateAnomaly, qKsDrift, qKsWindowed, qWinsorizedStats,
     qAsofNearest, qConversionTime, qMarkovTransitions, qSeasonalDecompose,
-    qPathAnalysis, qSeasonalAnomaly)
+    qPathAnalysis, qSeasonalAnomaly, qStickiness)
 }
