@@ -1291,9 +1291,8 @@ object Events {
     * Scale shape: the lead window is per-user history-bounded; the
     * path agg has at most |types|³ keys, so the rank window runs on a
     * constant-size frame. */
-  val qPathAnalysis: Spec = Spec(
-    "ev_path_analysis",
-    oracle = Some("""
+  /** Shared with the stateful streaming twin st_path_analysis. */
+  val pathOracleSql: String = """
       WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
                  FROM events),
       p AS (SELECT user_id, event_type AS a,
@@ -1306,16 +1305,28 @@ object Events {
             FROM c3)
       SELECT CAST(rk AS BIGINT) AS rk, path, CAST(n AS BIGINT) AS n_paths,
         round(CAST(n AS DOUBLE) / t.tot, 6) AS share
-      FROM r CROSS JOIN t WHERE rk <= 15 ORDER BY rk""")) { (s, dir) =>
+      FROM r CROSS JOIN t WHERE rk <= 15 ORDER BY rk"""
+
+  val qPathAnalysis: Spec = Spec(
+    "ev_path_analysis",
+    oracle = Some(pathOracleSql)) { (s, dir) =>
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
-    val paths = load(s, dir)
+    pathsOverTriples(load(s, dir)
       .select($"user_id", $"event_type", expr("ts div 1000").as("us"),
         $"event_id")
       .select($"event_type".as("a"),
         lead($"event_type", 1).over(w).as("b"),
         lead($"event_type", 2).over(w).as("c"))
-      .filter($"b".isNotNull && $"c".isNotNull)
+      .filter($"b".isNotNull && $"c".isNotNull))
+  }
+
+  /** Top-path tail over an (a, b, c) triple frame — shared by the
+    * batch query and the stateful streaming twin (st_path_analysis). */
+  def pathsOverTriples(triples: DataFrame): DataFrame = {
+    val s = triples.sparkSession
+    import s.implicits._
+    val paths = triples
       .groupBy(concat_ws(">", $"a", $"b", $"c").as("path"))
       .agg(count(lit(1)).as("n"))
     val tot = broadcast(paths.agg(sum($"n").as("tot")))

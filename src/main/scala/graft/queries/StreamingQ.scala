@@ -476,6 +476,19 @@ object StreamingQ {
         .localCheckpoint())
   }
 
+  /** STATEFUL streaming path mining: last-TWO-events state per user,
+    * so 3-step paths split across micro-batches at either position
+    * still count ([[graft.streaming.StreamOps.pathTriplesFrom]]).
+    * Shares [[Events.pathsOverTriples]] and the batch oracle with
+    * ev_path_analysis. */
+  val stPath: Spec = Spec(
+    "st_path_analysis",
+    oracle = Some(Events.pathOracleSql)) { (s, dir) =>
+    import s.implicits._
+    Events.pathsOverTriples(
+      StreamOps.pathTriples(s, dir).select($"a", $"b", $"c"))
+  }
+
   /** STREAMING MinHash near-dup: foreachBatch accumulates an LSH state
     * store and emits each batch's verified pairs vs prior state + in
     * batch ([[graft.streaming.StreamOps.minhashIncrementalStart]]).
@@ -641,5 +654,5 @@ object StreamingQ {
     stDocFlags, stHeavyHitters, stDriftWindowed, stLidScript,
     stMinhashPairs, stFunnelLevels, stBm25Indexed, stCmsCounts, stNovelty,
     stAsofLastClick, stCcIncremental, stRateAnomaly, stKsWindowed, stMarkov,
-    stSeasonal)
+    stSeasonal, stPath)
 }

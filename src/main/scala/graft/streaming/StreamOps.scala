@@ -228,6 +228,46 @@ object StreamOps {
       sink: String = "st_markov_mem"): DataFrame =
     markovPairsFrom(s, eventsStream(s, dir), sink)
 
+  final case class Path2State(t1: String, t2: String)
+  final case class PathTriple(user_id: Long, a: String, b: String, c: String)
+
+  /** 3-step path triples as a stateful stream: the state is each
+    * user's last TWO events, so triples spanning micro-batch
+    * boundaries (in either of the two possible split positions) are
+    * still emitted — the depth-2 sibling of [[markovPairsFrom]]. */
+  def pathTriplesFrom(s: SparkSession, events: DataFrame,
+      sink: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val src = events
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[MarkovEvent]
+    val triples = src
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Path2State, PathTriple](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[MarkovEvent], state: GroupState[Path2State]) =>
+          val sorted = evs.toArray.sortBy(e => (e.ts_us, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer[PathTriple]()
+          var st = state.getOption.getOrElse(Path2State(null, null))
+          for (e <- sorted) {
+            if (st.t1 != null && st.t2 != null)
+              out += PathTriple(user, st.t1, st.t2, e.event_type)
+            st = Path2State(st.t2, e.event_type)
+          }
+          if (st.t2 != null) state.update(st)
+          out.iterator
+      }
+    runToTable(s, triples.toDF(), sink, "append")
+      .localCheckpoint() // the path tail re-references the bounded table
+  }
+
+  /** [[pathTriplesFrom]] over the file events source. */
+  def pathTriples(s: SparkSession, dir: String,
+      sink: String = "st_path_mem"): DataFrame =
+    pathTriplesFrom(s, eventsStream(s, dir), sink)
+
   /** Stream-static enrichment join: the streaming events feed joined to
     * a BROADCAST static dimension (customer), then watermarked hourly
     * aggregation per market segment. The static side is re-broadcast per

@@ -445,6 +445,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming paths: triples spanning the batch boundary are emitted from state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Events.load(spark, TestSpark.Sf)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[(Long, Long, Long, String, Double, String)].collect().toSeq
+    val (early, late) = rows.sortBy(_._2).splitAt(rows.length / 2)
+    val ms = MemoryStream[(Long, Long, Long, String, Double, String)]
+    ms.addData(early)
+    ms.addData(late)
+    val src = ms.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.pathsOverTriples(
+        StreamOps.pathTriplesFrom(spark, src, "st_path_msrc")
+          .select($"a", $"b", $"c"))
+      .as[(Long, String, Long, Double)].collect().toSet
+    val batch = Events.qPathAnalysis.fn(spark, TestSpark.Sf)
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(got == batch,
+      "last-two-events state must emit boundary-spanning triples")
+    assert(got.nonEmpty)
+  }
+
   test("streaming windowed KS: two-batch MemoryStream feed equals the file-source run") {
     // The daily count agg is linear, so batch boundaries cannot change
     // the sufficient statistic — and therefore cannot change the KS
