@@ -1655,6 +1655,54 @@ object Dedup {
         ($"n_docs" - $"n_union").as("survivors"))
   }
 
+  /** Cluster COHESION report: per near-dup cluster, the exact mean and
+    * minimum pairwise Jaccard over member shingle sets — the quality
+    * check on the LSH+CC labelling itself: a low-min cluster is a
+    * CHAIN (a~b~c where a and c aren't near-dups), the artifact
+    * transitive closure always risks, and exactly what an operator
+    * inspects before trusting keep-min removal. Pair means are
+    * 9dp-rounded DECIMAL sums (order-free); the per-cluster pair count
+    * is bounded by cluster size, which the capped candidate path keeps
+    * small.
+    *
+    * Oracle restates the shared labels CTE + list-ops Jaccard, so the
+    * cluster semantics cannot drift from dd_minhash_clusters. */
+  val ddClusterCohesion: Spec = Spec(
+    "dd_cluster_cohesion",
+    oracle = Some(s"""
+      WITH RECURSIVE $minhashLabelsCte,
+      mem AS (SELECT l.component, l.id, s.sh FROM labels l
+              JOIN sh s ON s.doc_id = l.id),
+      pw AS (SELECT a.component,
+          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+        FROM mem a JOIN mem b ON b.component = a.component AND a.id < b.id)
+      SELECT component, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        round(CAST(SUM(CAST(round(jac, 9) AS DECIMAL(28,12))) AS DOUBLE)
+          / COUNT(*), 6) AS mean_jaccard,
+        round(MIN(jac), 6) AS min_jaccard
+      FROM pw GROUP BY component ORDER BY component""")) { (s, dir) =>
+    import s.implicits._
+    val d = Tables.load(s, dir, "documents")
+    val labels = MinHash.clusters(MinHash.candidatePairs(
+      d, "doc_id", "text", shingleSize = 3, numPerm = 32, bands = 8,
+      threshold = 0.5))
+    val mem = labels
+      .join(d.select($"doc_id".as("id"), Text.shingleSet($"text", 3).as("sh")),
+        "id")
+    val a = mem.select($"component", $"id".as("ida"), $"sh".as("sha"))
+    val b = mem.select($"component", $"id".as("idb"), $"sh".as("shb"))
+    a.join(b, Seq("component"))
+      .filter($"ida" < $"idb")
+      .select($"component", Text.jaccard($"sha", $"shb").as("jac"))
+      .groupBy($"component")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(round($"jac", 9).cast("decimal(28,12)")).cast("double")
+          / count(lit(1)), 6).as("mean_jaccard"),
+        round(min($"jac"), 6).as("min_jaccard"))
+      .orderBy($"component")
+  }
+
   val specs: Seq[Spec] = Seq(
     ddMethodAgreement, ddThresholdSweep, ddMinhashEstimate, ddLshPlanner,
     ddMinhashPairs, ddMinhashBlocked, ddMinhashClusters, ddMinhashIncremental,
@@ -1665,5 +1713,5 @@ object Dedup {
     ddDupSpans,
     ddDupSpanRemoval, ddClusterRepresentatives, ddDedupReport,
     ddCrossSourceOverlap, ddWinnowPairs, ddWinnowClusters, ddNoveltyScores,
-    ddSnmPairs, ddSnmMultipass, ddCdcChunks, ddDedupFunnel)
+    ddSnmPairs, ddSnmMultipass, ddCdcChunks, ddDedupFunnel, ddClusterCohesion)
 }

@@ -1457,11 +1457,38 @@ object Events {
       .orderBy($"day")
   }
 
+  /** Daily BOUNCE RATE: users whose day holds exactly one event over
+    * all active users that day — the shallow-engagement ratio read
+    * next to [[qStickiness]]. One (day, user) hash agg then a
+    * days-keyed summary; integer counts, one division. */
+  val qBounceRate: Spec = Spec(
+    "ev_bounce_rate",
+    oracle = Some("""
+      WITH ue AS (SELECT strftime(ts, '%Y-%m-%d') AS d, user_id, COUNT(*) AS n
+        FROM events GROUP BY 1, 2)
+      SELECT d AS day, CAST(COUNT(*) AS BIGINT) AS active_users,
+        CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bounced,
+        round(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+          AS bounce_rate
+      FROM ue GROUP BY d ORDER BY day""")) { (s, dir) =>
+    import s.implicits._
+    load(s, dir)
+      .select(date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd")
+        .as("d"), $"user_id")
+      .groupBy($"d", $"user_id").agg(count(lit(1)).as("n"))
+      .groupBy($"d")
+      .agg(count(lit(1)).as("active_users"),
+        sum(when($"n" === 1, 1L).otherwise(0L)).as("bounced"))
+      .select($"d".as("day"), $"active_users", $"bounced",
+        round($"bounced".cast("double") / $"active_users", 6).as("bounce_rate"))
+      .orderBy($"day")
+  }
+
   val specs: Seq[Spec] = Seq(qTumbling, qSessionize, qAsofClick,
     qAsofTolerance, qFunnel, qPropsJson, qSliding, qSessionWindowNative,
     qRate5Min, qValueOutliers, qDriftWindowed, qDriftSliding,
     qCohortRetention, qFunnelWindowed, qDauNewReturning, qDecayScore,
     qUserTrend, qRateAnomaly, qKsDrift, qKsWindowed, qWinsorizedStats,
     qAsofNearest, qConversionTime, qMarkovTransitions, qSeasonalDecompose,
-    qPathAnalysis, qSeasonalAnomaly, qStickiness)
+    qPathAnalysis, qSeasonalAnomaly, qStickiness, qBounceRate)
 }
