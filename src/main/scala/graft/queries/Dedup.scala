@@ -22,8 +22,11 @@ object Dedup {
     * because no verify-scale bucket comes near the cap. If corpus growth
     * ever trips it, the engine emits a non-zero `capped_buckets` observe
     * metric (graft_buckets_*) rather than failing silently. */
-  private[queries] val minhashPairsSql = """
-      WITH toks AS (
+  /** Shared tokenize → shingle → signature → band → CANDIDATE-PAIR
+    * chain (through `pairs(ida, idb)`), restated by the pair, cluster
+    * and containment oracles so none can drift. */
+  private[queries] val minhashCandCte = """
+      toks AS (
         SELECT doc_id, string_split(text,' ') AS l FROM documents),
       sh AS (
         SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(l)-1, 1)),
@@ -43,7 +46,10 @@ object Dedup {
       pairs AS (
         SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
         FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key
-          AND a.doc_id < b.doc_id),
+          AND a.doc_id < b.doc_id)"""
+
+  private[queries] val minhashPairsSql = s"""
+      WITH $minhashCandCte,
       j AS (
         SELECT ida, idb,
           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
@@ -146,28 +152,8 @@ object Dedup {
     * per LSH-verified near-dup cluster); d_cluster_split
     * (queries/TrainingPrep.scala) extends this same chain, so the two
     * oracles cannot drift. Must follow `WITH RECURSIVE`. */
-  private[queries] val minhashLabelsCte = """
-      toks AS (
-        SELECT doc_id, string_split(text,' ') AS l FROM documents),
-      sh AS (
-        SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(l)-1, 1)),
-          i -> array_to_string(l[i:i+2], ' '))) AS sh
-        FROM toks WHERE len(l) >= 3),
-      sig AS (
-        SELECT doc_id, list_transform(range(0, 32),
-          p -> CAST(list_min(list_transform(sh, s ->
-            (CAST(2*p*2654435761 + 1 AS HUGEINT) *
-               (('0x' || substr(md5(s), 1, 15))::BIGINT) + (p*40503 + 7))
-              % 2305843009213693951)) AS BIGINT)) AS sig
-        FROM sh),
-      bands AS (
-        SELECT doc_id, b,
-          md5(b::VARCHAR || '|' || array_to_string(sig[b*4+1:b*4+4], '')) AS bk
-        FROM sig CROSS JOIN unnest(range(0, 8)) AS t(b)),
-      pairs AS (
-        SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-        FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk
-          AND a.doc_id < b.doc_id),
+  private[queries] val minhashLabelsCte = s"""
+      $minhashCandCte,
       verified AS (
         SELECT ida, idb FROM pairs
         JOIN sh sa ON sa.doc_id = ida JOIN sh sb ON sb.doc_id = idb
@@ -1703,6 +1689,53 @@ object Dedup {
       .orderBy($"component")
   }
 
+  /** CONTAINMENT pairs (Broder's other coefficient): |A∩B|/|A| and
+    * |A∩B|/|B| over the LSH candidate set — the asymmetric measure
+    * that catches doc-INSIDE-doc inclusion (a quote page containing a
+    * full article scores high containment but low Jaccard, so
+    * resemblance dedup never sees it). Pairs where EITHER direction
+    * ≥ 0.5, with the Jaccard alongside so inclusion-not-resemblance
+    * rows are visible. Restates the shared candidate CTE
+    * ([[minhashCandCte]]) + list-ops arithmetic.
+    *
+    * Scale shape: same capped banded candidate path as
+    * dd_minhash_pairs; the verify joins are candidate-sized. */
+  val ddContainmentPairs: Spec = Spec(
+    "dd_containment_pairs",
+    oracle = Some(s"""
+      WITH $minhashCandCte,
+      c AS (
+        SELECT ida, idb,
+          CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(sa.sh) AS cab,
+          CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(sb.sh) AS cba,
+          CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+            (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jac
+        FROM pairs JOIN sh sa ON sa.doc_id = ida JOIN sh sb ON sb.doc_id = idb)
+      SELECT ida AS id_a, idb AS id_b, round(cab, 6) AS containment_ab,
+        round(cba, 6) AS containment_ba, round(jac, 6) AS jaccard
+      FROM c WHERE cab >= 0.5 OR cba >= 0.5
+      ORDER BY id_a, id_b""")) { (s, dir) =>
+    import s.implicits._
+    val d = Tables.load(s, dir, "documents")
+    // threshold 0: keep every banded candidate, containment decides
+    val cand = MinHash.candidatePairs(d, "doc_id", "text",
+      shingleSize = 3, numPerm = 32, bands = 8, threshold = 0.0)
+    val sets = d.select($"doc_id", Text.shingleSet($"text", 3).as("sh"))
+    val inter = size(array_intersect($"sha", $"shb")).cast("double")
+    cand.select($"id_a", $"id_b", $"jaccard")
+      .join(sets.select($"doc_id".as("id_a"), $"sh".as("sha")), "id_a")
+      .join(sets.select($"doc_id".as("id_b"), $"sh".as("shb")), "id_b")
+      .select($"id_a", $"id_b",
+        (inter / size($"sha")).as("cab"),
+        (inter / size($"shb")).as("cba"),
+        $"jaccard")
+      .filter($"cab" >= 0.5 || $"cba" >= 0.5)
+      .select($"id_a", $"id_b", round($"cab", 6).as("containment_ab"),
+        round($"cba", 6).as("containment_ba"),
+        round($"jaccard", 6).as("jaccard"))
+      .orderBy($"id_a", $"id_b")
+  }
+
   val specs: Seq[Spec] = Seq(
     ddMethodAgreement, ddThresholdSweep, ddMinhashEstimate, ddLshPlanner,
     ddMinhashPairs, ddMinhashBlocked, ddMinhashClusters, ddMinhashIncremental,
@@ -1713,5 +1746,6 @@ object Dedup {
     ddDupSpans,
     ddDupSpanRemoval, ddClusterRepresentatives, ddDedupReport,
     ddCrossSourceOverlap, ddWinnowPairs, ddWinnowClusters, ddNoveltyScores,
-    ddSnmPairs, ddSnmMultipass, ddCdcChunks, ddDedupFunnel, ddClusterCohesion)
+    ddSnmPairs, ddSnmMultipass, ddCdcChunks, ddDedupFunnel, ddClusterCohesion,
+    ddContainmentPairs)
 }
