@@ -1484,11 +1484,53 @@ object Events {
       .orderBy($"day")
   }
 
+  /** User CONCENTRATION (Pareto) report: users ranked by event count,
+    * cut into deciles, each decile's share of all events — the
+    * "top 10% generate X%" skew report for capacity planning and
+    * abuse triage (a heavy decile-0 share also warns the engine: those
+    * keys are the shuffle hot spots [[graft.ops.Skew]] exists for).
+    * Exact integer counts; one division per decile row.
+    *
+    * Scale shape: per-user counts are one hash agg; the global rank
+    * rides the two-phase [[graft.ops.Skew.globalRowNumber]] over the
+    * USER-scale frame (never events, never one reducer); totals are a
+    * 1-row broadcast. */
+  val qUserConcentration: Spec = Spec(
+    "ev_user_concentration",
+    oracle = Some("""
+      WITH u AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+      r AS (SELECT user_id, n,
+          row_number() OVER (ORDER BY n DESC, user_id) AS rk,
+          (SELECT COUNT(*) FROM u) AS nu,
+          (SELECT SUM(n) FROM u) AS tot
+        FROM u),
+      d AS (SELECT ((rk - 1) * 10) // nu AS decile, n, tot FROM r)
+      SELECT CAST(decile AS BIGINT) AS decile,
+        CAST(COUNT(*) AS BIGINT) AS n_users,
+        CAST(SUM(n) AS BIGINT) AS n_events,
+        round(CAST(SUM(n) AS DOUBLE) / MIN(tot), 6) AS share
+      FROM d GROUP BY decile ORDER BY decile""")) { (s, dir) =>
+    import s.implicits._
+    val u = load(s, dir).groupBy($"user_id").agg(count(lit(1)).as("n"))
+    val ranked = graft.ops.Skew.globalRowNumber(
+      u.withColumn("negn", -$"n"), Seq($"negn", $"user_id"))
+    val tots = broadcast(u.agg(count(lit(1)).as("nu"), sum($"n").as("tot")))
+    ranked.crossJoin(tots)
+      .select(expr("((rn - 1) * 10) div nu").as("decile"), $"n", $"tot")
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_users"), sum($"n").as("n_events"),
+        round(sum($"n").cast("double") / min($"tot"), 6).as("share"))
+      .select($"decile".cast("long").as("decile"), $"n_users", $"n_events",
+        $"share")
+      .orderBy($"decile")
+  }
+
   val specs: Seq[Spec] = Seq(qTumbling, qSessionize, qAsofClick,
     qAsofTolerance, qFunnel, qPropsJson, qSliding, qSessionWindowNative,
     qRate5Min, qValueOutliers, qDriftWindowed, qDriftSliding,
     qCohortRetention, qFunnelWindowed, qDauNewReturning, qDecayScore,
     qUserTrend, qRateAnomaly, qKsDrift, qKsWindowed, qWinsorizedStats,
     qAsofNearest, qConversionTime, qMarkovTransitions, qSeasonalDecompose,
-    qPathAnalysis, qSeasonalAnomaly, qStickiness, qBounceRate)
+    qPathAnalysis, qSeasonalAnomaly, qStickiness, qBounceRate,
+    qUserConcentration)
 }
