@@ -1525,6 +1525,44 @@ object Events {
       .orderBy($"decile")
   }
 
+
+  /** INTER-ARRIVAL gap percentiles per event type: the time since the
+    * user's previous event (any type), attributed to the arriving
+    * event's type — the cadence profile behind session-gap and
+    * rate-limit tuning ([[qSessionize]]'s 30-minute gap should sit far
+    * in this distribution's tail, which this query verifies). Exact
+    * integer micros gaps, engine-identical percentile interpolation,
+    * one division to seconds.
+    *
+    * Scale shape: one per-user lag window (history-bounded frames), a
+    * types-keyed percentile agg over the gap frame. */
+  val qInterArrival: Spec = Spec(
+    "ev_interarrival",
+    oracle = Some("""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+                 FROM events),
+      g AS (SELECT event_type,
+          us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap
+        FROM e)
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        round(quantile_cont(gap, 0.5) / 1000000.0, 6) AS p50_sec,
+        round(quantile_cont(gap, 0.95) / 1000000.0, 6) AS p95_sec
+      FROM g WHERE gap IS NOT NULL GROUP BY event_type
+      ORDER BY event_type""")) { (s, dir) =>
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    load(s, dir)
+      .select($"user_id", $"event_type", expr("ts div 1000").as("us"),
+        $"event_id")
+      .withColumn("gap", $"us" - lag($"us", 1).over(w))
+      .filter($"gap".isNotNull)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        round(expr("percentile(gap, 0.5)") / 1000000.0, 6).as("p50_sec"),
+        round(expr("percentile(gap, 0.95)") / 1000000.0, 6).as("p95_sec"))
+      .orderBy($"event_type")
+  }
+
   val specs: Seq[Spec] = Seq(qTumbling, qSessionize, qAsofClick,
     qAsofTolerance, qFunnel, qPropsJson, qSliding, qSessionWindowNative,
     qRate5Min, qValueOutliers, qDriftWindowed, qDriftSliding,
@@ -1532,5 +1570,5 @@ object Events {
     qUserTrend, qRateAnomaly, qKsDrift, qKsWindowed, qWinsorizedStats,
     qAsofNearest, qConversionTime, qMarkovTransitions, qSeasonalDecompose,
     qPathAnalysis, qSeasonalAnomaly, qStickiness, qBounceRate,
-    qUserConcentration)
+    qUserConcentration, qInterArrival)
 }
