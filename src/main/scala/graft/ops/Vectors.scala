@@ -482,6 +482,23 @@ object Vectors {
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
 
+  /** Join-free PCA projection: decimal-exact dot of the mean-centered
+    * embedding with a LITERAL component vector — per-term `round(·, 9)`
+    * then a sequential DECIMAL(28,12) fold, so the sum is
+    * order-independent and byte-replayable by the oracle's
+    * `SUM(CAST(round((v-m)*w, 9) AS DECIMAL(28,12)))`. The mean and
+    * component are dim-sized driver arrays baked in as literals: no
+    * explode, no join, no shuffle — one codegen'd map over the corpus. */
+  def projectOnComponent(vec: Column, mean: Seq[Double], comp: Seq[Double])
+      : Column = {
+    val centered =
+      zip_with(vec.cast("array<double>"), typedLit(mean), (v, m) => v - m)
+    val terms = zip_with(centered, typedLit(comp),
+      (c, w) => round(c * w, 9).cast("decimal(28,12)"))
+    round(aggregate(terms, lit(0).cast("decimal(28,12)"),
+      (acc, t) => (acc + t).cast("decimal(28,12)")).cast("double"), 6)
+  }
+
   /** Cell-pruned (IVF-style) cosine top-k: candidates restricted to the
     * query's cell (here a precomputed partition column — with learned
     * centroids this is the nearest-centroid assignment). */

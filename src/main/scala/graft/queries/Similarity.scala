@@ -1458,11 +1458,12 @@ object Similarity {
     * matrix using the same HALF_UP rounding Spark's `round` applies).
     *
     * Scale shape: the corpus touches the plan exactly twice — once for
-    * the (i,j)-keyed covariance agg (map-side combine shrinks the
-    * n·dim² explode to dim² partials per partition before the
-    * exchange) and once for the projection (broadcast component +
-    * means, per-row dot). The 9 squarings are dim³ driver flops on a
-    * dim²-sized matrix — independent of corpus size by construction. */
+    * the one-pass outer-product moments aggregator (per-row v·vᵀ into
+    * a dim²-integer buffer; each partition ships ONE buffer, nothing
+    * row-scale crosses an exchange — see [[graft.ops.PcaMoments]]) and
+    * once for the join-free literal-array projection. The 9 squarings
+    * are dim³ driver flops on a dim²-sized matrix — independent of
+    * corpus size by construction. */
   /** The shared oracle base: long-form embeddings, decimal-exact
     * means, and the covariance matrix CTE `m0`. */
   private val pcaBaseCtes: String = """
@@ -1501,17 +1502,11 @@ object Similarity {
       SELECT vec_id, round(p, 6) AS pc1
       FROM proj ORDER BY vec_id""")) { (s, dir) =>
     import s.implicits._
-    val (x, mu, cov) = pcaBase(s, dir)
+    val (emb, mu, cov) = pcaBase(s, dir)
     val vComp = pcaDirection(pcaSquare9(cov))
-    val vDf = broadcast(vComp.zipWithIndex
-      .map { case (vv, j) => (j + 1, vv) }.toSeq.toDF("i", "vc"))
-    val muDf = broadcast(mu.zipWithIndex
-      .map { case (mm, i) => (i + 1, mm) }.toSeq.toDF("i", "m"))
-    x.join(muDf, "i").join(vDf, "i")
-      .groupBy($"vec_id")
-      .agg(round(
-        sum(round(($"v" - $"m") * $"vc", 9).cast("decimal(28,12)"))
-          .cast("double"), 6).as("pc1"))
+    emb.select($"vec_id",
+        graft.ops.Vectors.projectOnComponent(
+          $"embedding", mu.toSeq, vComp.toSeq).as("pc1"))
       .orderBy($"vec_id")
   }
 
@@ -1522,39 +1517,28 @@ object Similarity {
   private def pcaR12(d: Double): java.math.BigDecimal =
     java.math.BigDecimal.valueOf(d).setScale(12, java.math.RoundingMode.HALF_UP)
 
-  /** Long-form embeddings (checkpointed), decimal-exact per-dim means
-    * and the collected covariance matrix — the distributed part of the
-    * PCA family (everything after is dim²-sized driver work). */
+  /** Embeddings table, decimal-exact per-dim means and the collected
+    * covariance matrix — the distributed part of the PCA family is now
+    * ONE pass: the [[graft.ops.PcaMoments]] outer-product aggregator
+    * (per-row v·vᵀ into an exact dim²-integer buffer, partial-agg
+    * merged), replacing the former exploded self-join that shuffled an
+    * N·dim² intermediate. Everything after is dim²-sized driver work;
+    * the sums are identical (integer addition is order-free and each
+    * product carries the same `round(·, 9)` the oracle applies). */
   private def pcaBase(spark: SparkSession, dir: String)
       : (DataFrame, Array[Double], Array[Array[Double]]) = {
     val s = spark
     import s.implicits._
     val emb = Tables.load(s, dir, "embeddings")
-    val x = emb
-      .select($"vec_id", posexplode($"embedding").as(Seq("p", "vfl")))
-      .select($"vec_id", ($"p" + 1).as("i"), $"vfl".cast("double").as("v"))
-      .localCheckpoint() // feeds means, covariance AND projection
-    val n = emb.count()
-    val muRows = x.groupBy($"i")
-      .agg((sum(round($"v", 9).cast("decimal(28,12)")).cast("double") / n)
-        .as("m"))
-      .collect().map(r => r.getAs[Number]("i").intValue -> r.getAs[Double]("m"))
-      .toMap
-    val mu = Array.tabulate(PcaDim)(i => muRows(i + 1))
-    val xa = x.select($"vec_id", $"i".as("ia"), $"v".as("va"))
-    val xb = x.select($"vec_id", $"i".as("jb"), $"v".as("vb"))
-    val s2 = xa.join(xb, "vec_id")
-      .groupBy($"ia", $"jb")
-      .agg(sum(round($"va" * $"vb", 9).cast("decimal(28,12)"))
-        .cast("double").as("s"))
-      .collect()
-      .map(r => (r.getAs[Number]("ia").intValue, r.getAs[Number]("jb").intValue,
-        r.getAs[Double]("s")))
-    val cov = Array.ofDim[Double](PcaDim, PcaDim)
-    s2.foreach { case (i, j, sv) =>
-      cov(i - 1)(j - 1) = sv / n - mu(i - 1) * mu(j - 1)
-    }
-    (x, mu, cov)
+    val st = emb.select($"embedding").as[Array[Float]]
+      .select(graft.ops.PcaMoments.aggregator(PcaDim).toColumn)
+      .head()
+    val n = st.n
+    val mu = Array.tabulate(PcaDim)(i => st.sums(i) / n)
+    val s2 = graft.ops.PcaMoments.squareProds(st, PcaDim)
+    val cov = Array.tabulate(PcaDim, PcaDim)((i, j) =>
+      s2(i)(j) / n - mu(i) * mu(j))
+    (emb, mu, cov)
   }
 
   /** 9 Frobenius-normalized squarings (≈ the 512th matrix power). */
@@ -1597,8 +1581,9 @@ object Similarity {
     * by construction.
     *
     * Scale shape: identical to e_pca_projection — corpus touches the
-    * plan for the covariance agg and one broadcast double-projection;
-    * the deflation and both squared chains are dim²/dim³ driver work. */
+    * plan for the one-pass moments aggregator and one join-free
+    * literal-array double-projection; the deflation and both squared
+    * chains are dim²/dim³ driver work. */
   val ePca2d: Spec = Spec(
     "e_pca_2d",
     oracle = Some(s"""
@@ -1628,7 +1613,7 @@ object Similarity {
       FROM proj ORDER BY vec_id""")) { (s, dir) =>
     import s.implicits._
     val Z = java.math.BigDecimal.ZERO
-    val (x, mu, cov) = pcaBase(s, dir)
+    val (emb, mu, cov) = pcaBase(s, dir)
     val v1 = pcaDirection(pcaSquare9(cov))
     val w = Array.tabulate(PcaDim)(i =>
       (0 until PcaDim).foldLeft(Z)((acc, k) =>
@@ -1638,17 +1623,11 @@ object Similarity {
     val defl = Array.tabulate(PcaDim, PcaDim)((i, j) =>
       cov(i)(j) - lam * v1(i) * v1(j))
     val v2 = pcaDirection(pcaSquare9(defl))
-    val vDf = broadcast((0 until PcaDim)
-      .map(j => (j + 1, v1(j), v2(j))).toDF("i", "vc1", "vc2"))
-    val muDf = broadcast(mu.zipWithIndex
-      .map { case (mm, i) => (i + 1, mm) }.toSeq.toDF("i", "m"))
-    x.join(muDf, "i").join(vDf, "i")
-      .groupBy($"vec_id")
-      .agg(
-        round(sum(round(($"v" - $"m") * $"vc1", 9).cast("decimal(28,12)"))
-          .cast("double"), 6).as("pc1"),
-        round(sum(round(($"v" - $"m") * $"vc2", 9).cast("decimal(28,12)"))
-          .cast("double"), 6).as("pc2"))
+    emb.select($"vec_id",
+        graft.ops.Vectors.projectOnComponent(
+          $"embedding", mu.toSeq, v1.toSeq).as("pc1"),
+        graft.ops.Vectors.projectOnComponent(
+          $"embedding", mu.toSeq, v2.toSeq).as("pc2"))
       .orderBy($"vec_id")
   }
 

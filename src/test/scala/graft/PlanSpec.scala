@@ -429,6 +429,19 @@ class PlanSpec extends AnyFunSuite {
       "the single-pass form must not join event kinds:\n" + p)
   }
 
+  test("pca: one-pass moments + literal-array projection, join-free plans") {
+    // pcaBase runs the PcaMoments outer-product aggregator (one scan,
+    // dim²-integer partials) and the returned projection is a per-row
+    // map against literal mean/component arrays — a regression back to
+    // the exploded vec_id self-join would surface as a Join here.
+    for (q <- Seq("e_pca_projection", "e_pca_2d")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q projection must be join-free:\n$p")
+      assert(!p.contains("Generate"),
+        s"$q must not explode the embedding column:\n$p")
+    }
+  }
+
   test("SNM pairs: neighbor join is equi on the rank, never quadratic") {
     val p = plan("dd_snm_pairs")
     assert(!p.contains("CartesianProduct") &&
