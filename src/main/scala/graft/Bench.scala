@@ -32,6 +32,7 @@ object Bench {
       try runFully(sp, "/root/testdata/sf0.001")
       catch { case _: Throwable => }
     }
+    graft.ops.Checkpoints.sweepAll(spark)
     // n samples per query, reported value = min. A single shared-JVM run
     // is exposed to GC/JIT jitter (r2 showed unexplained 30-40% swings on
     // queries whose code hadn't changed); min-of-3 measures the plan.
@@ -43,7 +44,13 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] ${sp.name} failed: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // isolate samples/queries: drop every cached plan and lingering
+        // localCheckpoint OUTSIDE the timed region, so one run's block-
+        // manager state can't pollute the next (r8's recorded bench
+        // showed rising per-sample times from exactly this leakage)
+        graft.ops.Checkpoints.sweepAll(spark)
+        dt
       }
       (sp.name, times.min, times)
     }

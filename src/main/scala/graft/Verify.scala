@@ -72,6 +72,10 @@ object Verify {
         // not be attributed to the NEXT query's drain.
         val _ = graft.ops.Buckets.drainCapCounts(timeoutMs = 100)
       }
+      // Drop cached plans / lingering localCheckpoints between queries:
+      // 250+ queries in one JVM would otherwise accumulate block-manager
+      // state (memory pressure, not correctness).
+      graft.ops.Checkpoints.sweepAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -84,6 +84,10 @@ object ConnectedComponents {
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
+      // next is materialized — the superseded round's checkpoint has no
+      // remaining reader; unpersist so the loop holds ONE labelling in
+      // the block manager, not one per round
+      Checkpoints.unpersist(labels)
       labels = next
       iter += 1
     }

@@ -51,6 +51,9 @@ object Skew {
     // partition contents.
     val withPart = sorted.withColumn("_pid", spark_partition_id())
       .localCheckpoint()
+    // bounded collect: exactly one 12-byte row per partition of the
+    // range shuffle (cluster-config-sized, not data-sized) — no key
+    // cardinality can inflate it, unlike prefixSumsByKey's partials
     val counts = withPart.groupBy($"_pid").count()
       .as[(Int, Long)].collect().sortBy(_._1)
     val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) => (pid + 1, acc + c) }
@@ -115,12 +118,29 @@ object Skew {
     * [[prefixSumByKey]] (inclusive running Long total within `key`
     * ordered by `orderCols`, bit-identical to the single-reducer
     * window). */
+  /** Driver-memory ceiling for the (partition × key) partials collect:
+    * one row per partition per distinct key. Every intended caller has
+    * keys of bounded cardinality (event types, languages, a constant);
+    * a high-cardinality key (user_id, doc_id) would OOM the driver
+    * SILENTLY without this gate — fail loudly instead, naming the key. */
+  private val MaxPrefixPartials = 100000
+
   def prefixSumsByKey(
       df: DataFrame,
       key: String,
       orderCols: Seq[Column],
       values: Seq[(Column, String)]): DataFrame = {
     require(values.nonEmpty, "prefixSumsByKey needs at least one value column")
+    val outNames = values.map(_._2)
+    require(outNames.distinct.size == outNames.size,
+      s"prefixSumsByKey: duplicate output names ${outNames.mkString(", ")}")
+    // col("*") +: sums would silently emit DUPLICATE columns if an
+    // output name already exists on the input (ambiguous downstream) —
+    // reject up front.
+    val collide = outNames.filter(df.columns.contains)
+    require(collide.isEmpty,
+      s"prefixSumsByKey: output name(s) ${collide.mkString(", ")} collide " +
+        "with input columns — rename the output or drop the input column")
     val spark = df.sparkSession
     import spark.implicits._
     val sortCols = col(key) +: orderCols
@@ -141,10 +161,20 @@ object Skew {
       .withColumn("_kstr", col(key).cast("string"))
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint()
-    val partials = withPart.groupBy($"_pid", $"_kstr")
+    // limit(max+1) bounds what can ever reach the driver: if the guard
+    // trips we never held more than max+1 rows, so the failure mode is
+    // an exception, not an OOM after the fact.
+    val partialRows = withPart.groupBy($"_pid", $"_kstr")
       .agg(sum(col(vCols.head)).as(vCols.head),
         vCols.tail.map(n => sum(col(n)).as(n)): _*)
+      .limit(MaxPrefixPartials + 1)
       .collect()
+    require(partialRows.length <= MaxPrefixPartials,
+      s"prefixSumsByKey: partition×key partials for key '$key' exceed " +
+        s"$MaxPrefixPartials rows — '$key' is too high-cardinality for " +
+        "the broadcast-offset prefix sum (use a bounded-cardinality key, " +
+        "or a per-key window if the key is the parallelism unit)")
+    val partials = partialRows
       .map(r => (r.getInt(0), r.getString(1),
         vCols.indices.map(i => r.getLong(2 + i)).toArray))
     val offsetRows = partials

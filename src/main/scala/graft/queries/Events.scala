@@ -818,6 +818,7 @@ object Events {
     * both ECDFs); totals are a types-sized broadcast. */
   val qKsDrift: Spec = Spec(
     "ev_ks_drift",
+    bench = true,
     oracle = Some("""
       WITH b AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid
                  FROM events),

@@ -218,6 +218,7 @@ object Multimodal {
     * hashing, banding, and verification in pure integer SQL. */
   val mmImageNeardup: Spec = Spec(
     "mm_image_neardup",
+    bench = true,
     oracle = Some("""
       WITH ids AS (SELECT doc_id,
           CASE WHEN doc_id % 20 = 10 THEN doc_id - 10 ELSE doc_id END AS base

@@ -1055,6 +1055,7 @@ object Similarity {
         .join(deg, Seq("src"))
         .select($"dst", round($"pr" / $"deg", 9).cast("decimal(28,12)").as("c"))
       val sums = contrib.groupBy($"dst").agg(sum($"c").as("sc"))
+      val prev = pr
       pr = nodes
         .join(sums, nodes("vec_id") === sums("dst"), "left")
         .crossJoin(nn)
@@ -1063,6 +1064,10 @@ object Similarity {
             lit(0.85) * coalesce($"sc", lit(0).cast("decimal(38,12)"))
               .cast("double")).as("pr"))
         .localCheckpoint()
+      // the new checkpoint is materialized; the superseded round's
+      // blocks have no remaining reader — drop them, don't leak a
+      // round's worth of block-manager state per iteration
+      graft.ops.Checkpoints.unpersist(prev)
     }
     pr
       .join(deg.withColumnRenamed("src", "vec_id"), Seq("vec_id"), "left")

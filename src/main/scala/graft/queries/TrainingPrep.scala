@@ -1986,7 +1986,7 @@ object TrainingPrep {
       pts AS (SELECT doc_id, cum_tokens, cum_vocab,
           CAST(round(log10(CAST(cum_tokens AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
           CAST(round(log10(CAST(cum_vocab AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
-        FROM cum),
+        FROM cum WHERE cum_tokens > 0 AND cum_vocab > 0),
       fit AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
           SUM(x*y) AS sxy, SUM(x*x) AS sxx FROM pts)
       SELECT p.doc_id, CAST(p.cum_tokens AS BIGINT) AS cum_tokens,
@@ -2009,9 +2009,13 @@ object TrainingPrep {
       .withColumn("_k", lit("all"))
     val cum = Skew.prefixSumsByKey(c, "_k", Seq($"doc_id"),
       Seq($"n_tok" -> "cum_tokens", $"new_grams" -> "cum_vocab"))
-    val pts = cum.select($"doc_id", $"cum_tokens", $"cum_vocab",
-      round(log10($"cum_tokens".cast("double")), 6).cast("decimal(18,6)").as("x"),
-      round(log10($"cum_vocab".cast("double")), 6).cast("decimal(18,6)").as("y"))
+    // cum_vocab (and, degenerately, cum_tokens) is 0 until the first
+    // bigram appears; log10(0) is NULL in Spark but -inf in DuckDB, so
+    // zero-prefix points must be excluded on BOTH sides before the fit
+    val pts = cum.filter($"cum_tokens" > 0 && $"cum_vocab" > 0)
+      .select($"doc_id", $"cum_tokens", $"cum_vocab",
+        round(log10($"cum_tokens".cast("double")), 6).cast("decimal(18,6)").as("x"),
+        round(log10($"cum_vocab".cast("double")), 6).cast("decimal(18,6)").as("y"))
     val fit = broadcast(pts.agg(count(lit(1)).as("n"),
       sum($"x").as("sx"), sum($"y").as("sy"),
       sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx")))

@@ -73,10 +73,16 @@ object StreamOps {
 
   /** Daily (event_type, 0.1-quantized value) counts as a streaming
     * query — the bounded sufficient statistic the windowed KS monitor
-    * consumes ([[graft.queries.Events.ksOverDayValueCounts]]). The
-    * stream keeps only calendar-bounded watermarked window state (days
-    * × types × quantized grid), never raw events; the KS + p-value
-    * comparison runs as a batch view over this table. */
+    * consumes ([[graft.queries.Events.ksOverDayValueCounts]]). State
+    * bounding note: in COMPLETE output mode Spark retains all window
+    * groups and the watermark evicts nothing — the state bound here
+    * rests on the GRID, not the watermark: days × types × a 0.1-
+    * quantized value axis is calendar-bounded by construction, and no
+    * raw event is ever held. (Append mode would let the watermark
+    * evict closed days, but on a finite feed the final day never
+    * closes — complete mode is what makes the monitor's last-day rows
+    * visible.) The KS + p-value comparison runs as a batch view over
+    * this table. */
   def dailyValueCounts(s: SparkSession, dir: String,
       sink: String = "st_ks_mem"): DataFrame =
     dailyValueCountsFrom(s, eventsStream(s, dir), sink)
@@ -182,6 +188,12 @@ object StreamOps {
 
   final case class MarkovEvent(
       user_id: Long, ts_us: Long, event_id: Long, event_type: String)
+  /** lastType feeds the emitted transition; (lastTs, lastId) exist for
+    * exactly one purpose — the cross-batch ORDERING GUARD below: a
+    * later micro-batch delivering an event before the stored position
+    * violates the event-time-ordered-feed contract and must fail
+    * loudly (silently emitting the pair would diverge from the batch
+    * lead() twin with no signal). */
   final case class MarkovState(lastType: String, lastTs: Long, lastId: Long)
   final case class Transition(user_id: Long, cur: String, nxt: String)
 
@@ -210,7 +222,20 @@ object StreamOps {
           val out = scala.collection.mutable.ArrayBuffer[Transition]()
           var prev = state.getOption.orNull
           for (e <- sorted) {
-            if (prev != null) out += Transition(user, prev.lastType, e.event_type)
+            if (prev != null) {
+              // ordering guard (the reason state carries lastTs/lastId):
+              // within a batch the sort above rules this out, so a trip
+              // here is a cross-batch regression — fail, don't emit a
+              // pair the batch twin would never produce
+              if (e.ts_us < prev.lastTs ||
+                  (e.ts_us == prev.lastTs && e.event_id < prev.lastId))
+                throw new IllegalStateException(
+                  s"markov stream: out-of-order event (user=$user, " +
+                    s"ts_us=${e.ts_us}, id=${e.event_id}) arrived after " +
+                    s"(ts_us=${prev.lastTs}, id=${prev.lastId}) — the " +
+                    "event-time-ordered-feed contract is violated")
+              out += Transition(user, prev.lastType, e.event_type)
+            }
             prev = MarkovState(e.event_type, e.ts_us, e.event_id)
           }
           if (prev != null) state.update(prev)

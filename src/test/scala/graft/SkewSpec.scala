@@ -82,4 +82,25 @@ class SkewSpec extends AnyFunSuite {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("prefixSumsByKey: a high-cardinality key fails loudly, not OOM") {
+    // 150k distinct keys → ≥150k (partition × key) partials, past the
+    // 100k driver-collect gate. The guard must name the key column and
+    // throw BEFORE an unbounded collect, never silently strain the
+    // driver.
+    val df = spark.range(150001).select($"id".as("k"), lit(1L).as("v"))
+    val e = intercept[IllegalArgumentException] {
+      Skew.prefixSumsByKey(df, "k", Seq($"k"), Seq(($"v", "cum")))
+    }
+    assert(e.getMessage.contains("'k'"), e.getMessage)
+    assert(e.getMessage.contains("high-cardinality"), e.getMessage)
+  }
+
+  test("prefixSumsByKey: output name colliding with an input column is rejected") {
+    val df = spark.range(10).select(($"id" % 2).as("k"), $"id".as("v"))
+    val e = intercept[IllegalArgumentException] {
+      Skew.prefixSumsByKey(df, "k", Seq($"v"), Seq(($"v", "v")))
+    }
+    assert(e.getMessage.contains("collide"), e.getMessage)
+  }
 }
