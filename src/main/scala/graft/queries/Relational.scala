@@ -458,18 +458,49 @@ object Relational {
       GROUP BY n_name ORDER BY n_name""")
   }
 
-  /** Approximate sketches (HLL distinct + approx quantiles): no exact
-    * oracle by nature — accuracy pinned against exact values in
-    * SketchesSpec; driver records the rows-only check. */
+  /** Approximate sketches (HLL distinct + approx quantiles), made
+    * ORACLE-VERIFIABLE despite being approximate: the row carries the
+    * exact distinct count plus two bound-check verdicts the engine
+    * computes against its own exact values —
+    *  - `median_ok`: percentile_approx(accuracy=1000) carries a HARD
+    *    rank-error guarantee ε = 1/accuracy (GK sketch); the verdict
+    *    checks the estimate's exact rank window overlaps
+    *    [(0.5−ε)·n, (0.5+ε)·n], so it can only be true if the sketch
+    *    honored its proven bound.
+    *  - `parts_ok`: HLL±'s error is probabilistic (rsd = 0.05 here);
+    *    the verdict gates at 5σ relative error — on a FIXED dataset
+    *    the estimate is deterministic, so this pins the recorded
+    *    accuracy, and a regression to garbage estimates flips it.
+    * The oracle states both verdicts as TRUE and the exact count
+    * exactly — an out-of-bounds sketch hash-mismatches and goes red. */
   val qSketches: Spec = Spec(
     "q_approx_sketches",
-    oracle = None) { (s, dir) =>
+    oracle = Some("""
+      SELECT l_returnflag,
+        CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        TRUE AS parts_ok, TRUE AS median_ok
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")) { (s, dir) =>
     import s.implicits._
-    Tables.load(s, dir, "lineitem")
-      .groupBy($"l_returnflag")
-      .agg(
-        approx_count_distinct($"l_partkey").as("approx_parts"),
-        percentile_approx($"l_quantity", lit(0.5), lit(1000)).as("approx_median"))
+    val li = Tables.load(s, dir, "lineitem")
+    val sk = li.groupBy($"l_returnflag").agg(
+      approx_count_distinct($"l_partkey", 0.05).as("est_parts"),
+      countDistinct($"l_partkey").as("exact_parts"),
+      percentile_approx($"l_quantity", lit(0.5), lit(1000)).as("est_median"))
+    // exact rank window of the estimate, one more scan + broadcast of
+    // the flag-count-sized sketch frame (the check is corpus-scale-safe)
+    val ranks = li
+      .join(broadcast(sk.select($"l_returnflag", $"est_median")),
+        Seq("l_returnflag"))
+      .groupBy($"l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(when($"l_quantity" < $"est_median", 1L).otherwise(0L)).as("c_lt"),
+        sum(when($"l_quantity" <= $"est_median", 1L).otherwise(0L)).as("c_le"))
+    sk.join(ranks, "l_returnflag").select(
+      $"l_returnflag",
+      $"exact_parts".cast("long").as("exact_parts"),
+      ($"est_parts" >= $"exact_parts" * 0.75 &&
+        $"est_parts" <= $"exact_parts" * 1.25).as("parts_ok"),
+      ($"c_le" >= $"n" * 0.499 && $"c_lt" <= $"n" * 0.501).as("median_ok"))
       .orderBy($"l_returnflag")
   }
 
