@@ -36,6 +36,14 @@ object StreamOps {
     * `processAllAvailable` makes any bounded source (file, MemoryStream)
     * drive the query synchronously; the same plan runs unbounded on a
     * real source. */
+  /** State-operator row count of the most recently completed
+    * [[runToTable]] query (sum over operators), for tests that pin the
+    * per-key-bounded state contract — e.g. the Markov/path twins must
+    * hold ONE state row per user, never one per event. None until a
+    * query has run or when the query had no state operator. */
+  @volatile private var lastStateRowsVar: Option[Long] = None
+  def lastStateRows: Option[Long] = lastStateRowsVar
+
   private def runToTable(
       s: SparkSession, agg: DataFrame, sink: String, mode: String): DataFrame = {
     val q = agg.writeStream
@@ -44,7 +52,12 @@ object StreamOps {
       .queryName(sink)
       .start()
     try q.processAllAvailable()
-    finally q.stop()
+    finally {
+      lastStateRowsVar = Option(q.lastProgress)
+        .map(_.stateOperators.map(_.numRowsTotal).sum)
+        .filter(_ => Option(q.lastProgress).exists(_.stateOperators.nonEmpty))
+      q.stop()
+    }
     s.table(sink)
   }
 

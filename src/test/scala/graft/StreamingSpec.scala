@@ -443,6 +443,13 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch,
       "stateful twin must emit boundary-spanning transitions")
     assert(got.nonEmpty)
+    // state-bound pin: the contract is ONE state row per user (the
+    // last event only) — a regression that accumulates per-event state
+    // would show numRowsTotal ~ event count >> distinct users
+    val users = rows.map(_._3).distinct.size
+    val stateRows = StreamOps.lastStateRows
+    assert(stateRows.exists(_ <= users),
+      s"markov state must be <= $users (one row per user), got $stateRows")
   }
 
   test("streaming paths: triples spanning the batch boundary are emitted from state") {
@@ -466,6 +473,12 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch,
       "last-two-events state must emit boundary-spanning triples")
     assert(got.nonEmpty)
+    // state-bound pin: last-TWO events per user is still one state row
+    // per user — per-event accumulation would blow past this
+    val users = rows.map(_._3).distinct.size
+    val stateRows = StreamOps.lastStateRows
+    assert(stateRows.exists(_ <= users),
+      s"path state must be <= $users (one row per user), got $stateRows")
   }
 
   test("streaming windowed KS: two-batch MemoryStream feed equals the file-source run") {
