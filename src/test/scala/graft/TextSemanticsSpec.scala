@@ -187,7 +187,14 @@ class TextSemanticsSpec extends AnyFunSuite {
     // pass) compiled into ONE automaton — flashtext boundary semantics
     // must survive the larger trie
     val union = Lexicons.nsfwUnion().toIndexedSeq
-    assert(union.size >= 500, s"expected deepened union, got ${union.size}")
+    assert(union.size >= 1200, s"expected deepened union, got ${union.size}")
+    // round-9 depth floors: every tail language must ship a
+    // production-scale list, not a token stub
+    for ((l, floor) <- Seq("assamese" -> 70, "kannada" -> 60, "marathi" -> 70,
+        "nepali" -> 70, "punjabi" -> 65, "urdu" -> 70, "tamil" -> 55,
+        "telugu" -> 50, "malayalam" -> 50, "manipuri" -> 45))
+      assert(Lexicons.nsfw(l).size >= floor,
+        s"$l lexicon shrank below $floor: ${Lexicons.nsfw(l).size}")
     val ac = new graft.functions.AhoCorasick(union)
     def hits(t: String): Map[String, Int] =
       union.zip(ac.countMatches(t)).filter(_._2 > 0).toMap
@@ -202,6 +209,19 @@ class TextSemanticsSpec extends AnyFunSuite {
     // mixed-script text: each script's keys fire only on their words
     val m = hits("porn देखना और चुदाई word")
     assert(m.get("porn").contains(1) && m.get("चुदाई").contains(1), s"$m")
+    // round-9 deepened scripts: a lexicon key embedded in an ordinary
+    // longer word must stay silent (বালতি = "bucket" contains বাল;
+    // ਲੰਨਾਂ continues ਲੰਨ with a vowel sign; குண்டியில் inflects
+    // குண்டி) while the standalone token still fires
+    val bn = hits("বালতি ভরা জল")
+    assert(bn.get("বাল").isEmpty, s"বাল leaked inside বালতি: $bn")
+    assert(hits("বাল কথা").get("বাল").contains(1))
+    val pa = hits("ਲੰਨਾਂ ਲੰਨ")
+    assert(pa.get("ਲੰਨ").contains(1), s"vowel-sign continuation broke: $pa")
+    val ta = hits("குண்டியில் குண்டி")
+    assert(ta.get("குண்டி").contains(1), s"Tamil inflection broke: $ta")
+    val te = hits("లంజకొడుకు అన్నాడు")
+    assert(te.get("లంజకొడుకు").contains(1) && te.get("లంజ").isEmpty, s"$te")
   }
 
   test("url normalize: case, www, :443, trailing slash, utm params, fragment") {
