@@ -21,6 +21,10 @@ object GraftFunctions {
   def keywordSpans(c: Column, keywords: Seq[String]): Column =
     column(KeywordSpans(expression(c), keywords))
 
+  def keywordRedact(c: Column, keywords: Seq[String],
+      mask: String = "[*]"): Column =
+    column(KeywordRedact(expression(c), keywords, mask))
+
   def splitKeepDelim(c: Column, pattern: String): Column =
     column(SplitKeepDelimiter(expression(c), pattern))
 
@@ -78,6 +82,10 @@ object GraftFunctions {
     }
     reg("graft_keyword_spans") { es =>
       KeywordSpans(es.head, litString(es(1), "keywords").split(",").toSeq)
+    }
+    reg("graft_keyword_redact") { es =>
+      KeywordRedact(es.head, litString(es(1), "keywords").split(",").toSeq,
+        if (es.size > 2) litString(es(2), "mask") else "[*]")
     }
     reg("graft_split_keep_delim") { es =>
       SplitKeepDelimiter(es.head, litString(es(1), "pattern"))

@@ -71,6 +71,38 @@ case class KeywordSpans(child: Expression, keywords: Seq[String])
   override def prettyName: String = "graft_keyword_spans"
 }
 
+/** Keyword REDACTION over the same shared automaton: every boundary-
+  * valid hit is replaced by `mask` — the removal tail of the
+  * detect→count→locate family (flashtext replace_keywords semantics).
+  * Spans are selected leftmost-greedy; with space-free word-char
+  * keywords boundary-valid spans cannot overlap (an overlapping start
+  * would sit on a word char and fail the left boundary), so the greedy
+  * pass is exhaustive, and on space-tokenized text the result equals
+  * per-token membership replacement — which is what the SQL oracle
+  * replays. One linear pass + rebuild; no regex alternation (a
+  * 1 500-branch regex is quadratic-ish and unreadable). */
+case class KeywordRedact(child: Expression, keywords: Seq[String], mask: String)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  @transient private lazy val trie = new AhoCorasick(keywords.toIndexedSeq)
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val spans = trie.findSpans(text).sortBy(s => (s._1, -(s._2 - s._1)))
+    val sb = new java.lang.StringBuilder(text.length)
+    var pos = 0
+    spans.foreach { case (a, b) =>
+      if (a >= pos) { // skip spans swallowed by an earlier replacement
+        sb.append(text, pos, a).append(mask)
+        pos = b
+      }
+    }
+    sb.append(text, pos, text.length)
+    UTF8String.fromString(sb.toString)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "graft_keyword_redact"
+}
+
 /** Whitespace-collapse normalization, fused: exactly
   * `regexp_replace(trim(x), "\s+", " ")` — trim strips ASCII spaces
   * only, then every Java-`\s` run ([ \t\n\x0B\f\r]) collapses to one

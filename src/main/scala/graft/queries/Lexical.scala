@@ -91,6 +91,41 @@ object Lexical {
       .orderBy($"doc_id")
   }
 
+  /** NSFW REDACTION (the removal tail of F13-F15): every lexicon hit
+    * replaced by the `[*]` mask via the shared Aho-Corasick automaton
+    * (KeywordRedact, one linear pass) — the text-preserving
+    * alternative to dropping a flagged document. On space-tokenized
+    * text boundary-valid hits are exact tokens, so the oracle replays
+    * the redaction as per-token membership replacement, and the
+    * emitted redacted string must match byte-for-byte. */
+  val dNsfwRedact: Spec = Spec(
+    "d_nsfw_redact", {
+      val inj = injected("nsfw")
+      val union = Lexicons.nsfwUnion().filter(!_.contains(" "))
+      Some(s"""
+      WITH r AS (
+        SELECT doc_id, ${richSql(inj)} AS rich
+        FROM documents WHERE doc_id % 4 = 0)
+      SELECT doc_id,
+        array_to_string(list_transform(string_split(rich, ' '),
+          x -> CASE WHEN x IN (${union.map(sqlQuote).mkString(", ")})
+               THEN '[*]' ELSE x END), ' ') AS redacted,
+        CAST(${membershipSql(union)} AS BIGINT) AS n_redacted
+      FROM r ORDER BY doc_id""")
+    }) { (s, dir) =>
+    import s.implicits._
+    val inj = injected("nsfw")
+    val union = Lexicons.nsfwUnion().filter(!_.contains(" "))
+    docs(s, dir)
+      .filter($"doc_id" % 4 === 0)
+      .select($"doc_id", concat($"text", richCol(s, inj)).as("rich"))
+      .select($"doc_id",
+        GraftFunctions.keywordRedact($"rich", union).as("redacted"),
+        GraftFunctions.keywordCount($"rich", union).cast("long")
+          .as("n_redacted"))
+      .orderBy($"doc_id")
+  }
+
   /** F16 with the real multi-language stopword union lexicon. */
   val dStopwordMultilang: Spec = Spec(
     "d_stopword_multilang", {
@@ -709,7 +744,7 @@ object Lexical {
     }
   }
 
-  val specs: Seq[Spec] = Seq(dNsfwMultilang, dStopwordMultilang,
+  val specs: Seq[Spec] = Seq(dNsfwMultilang, dStopwordMultilang, dNsfwRedact,
     dBpeTokenStats, dBpePairCounts, dBpeMerges, dBpeEncode, dLangNormalize,
     dTfidfDocPairs, dHybridSimilarity, dCollocations, dRankingAgreement)
 }

@@ -108,6 +108,20 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(got == Map("hash join" -> 1, "join" -> 1))
   }
 
+  test("keyword redact: boundary-valid hits masked, embedded keys kept") {
+    val kws = Seq("slow", "hash join", "dup")
+    // whole-word hits masked (punctuation-adjacent too); 'slower'
+    // and '_slow' untouched; whitespace and ordering preserved
+    assert(one[String](keywordRedact($"t", kws),
+      "slow, slower hash join _slow dup.") == "[*], slower [*] _slow [*].")
+    // custom mask + nested keys: 'hash join' swallows 'join'
+    assert(one[String](keywordRedact($"t", Seq("hash join", "join"), "X"),
+      "a hash join b join") == "a X b X")
+    // no hits → identity
+    assert(one[String](keywordRedact($"t", kws), "nothing here") ==
+      "nothing here")
+  }
+
   test("normalize NFKC folds compatibility forms") {
     assert(one[String](normalizeUnicode($"t"), "ﬁ①ｱ") == "fi1ア")
     assert(one[String](normalizeUnicode($"t", "NFC"), "ﬁ") == "ﬁ")
