@@ -126,6 +126,59 @@ object Lexical {
       .orderBy($"doc_id")
   }
 
+  /** SOURCE-level NSFW rollup — the crawl-curation report that turns
+    * per-doc lexicon hits into per-SOURCE blocklist candidates: a
+    * source whose flag rate crosses the threshold is dropped wholesale
+    * (the cheap, high-precision first pass before any per-doc model).
+    * Emits docs/flagged/flag-rate/hits-per-1k-tokens and the verdict.
+    *
+    * Scale shape: one projection (automaton count) + ONE hash agg
+    * keyed by source — map-side partials shrink the exchange to
+    * |sources| rows per partition; no join, no window. */
+  val dSourceNsfwRollup: Spec = Spec(
+    "d_source_nsfw_rollup", {
+      val inj = injected("nsfw")
+      val union = Lexicons.nsfwUnion().filter(!_.contains(" "))
+      Some(s"""
+      WITH r AS (
+        SELECT doc_id, source, ${richSql(inj)} AS rich
+        FROM documents WHERE doc_id % 4 = 0),
+      d AS (SELECT source, ${membershipSql(union)} AS n_nsfw,
+              len(string_split(rich, ' ')) AS n_tok
+            FROM r)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN n_nsfw > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_flagged,
+        ROUND(CAST(SUM(CASE WHEN n_nsfw > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+          / COUNT(*), 6) AS flag_rate,
+        ROUND(1000.0 * CAST(SUM(CAST(n_nsfw AS BIGINT)) AS DOUBLE)
+          / CAST(SUM(CAST(n_tok AS BIGINT)) AS DOUBLE), 6) AS nsfw_per_1k,
+        (CAST(SUM(CASE WHEN n_nsfw > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+          / COUNT(*)) > 0.5 AS blocklisted
+      FROM d GROUP BY source ORDER BY source""")
+    }) { (s, dir) =>
+    import s.implicits._
+    val inj = injected("nsfw")
+    val union = Lexicons.nsfwUnion().filter(!_.contains(" "))
+    val n = GraftFunctions.keywordCount($"rich", union).cast("long")
+    docs(s, dir)
+      .filter($"doc_id" % 4 === 0)
+      .select($"doc_id", $"source", concat($"text", richCol(s, inj)).as("rich"))
+      .select($"source", n.as("n_nsfw"),
+        size(Text.tokens($"rich")).cast("long").as("n_tok"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"n_nsfw" > 0, 1L).otherwise(0L)).as("nf"),
+        sum($"n_nsfw").as("hits"), sum($"n_tok").as("toks"))
+      .select($"source", $"n_docs",
+        $"nf".as("n_flagged"),
+        round($"nf".cast("double") / $"n_docs", 6).as("flag_rate"),
+        round(lit(1000.0) * $"hits".cast("double") / $"toks".cast("double"), 6)
+          .as("nsfw_per_1k"),
+        ($"nf".cast("double") / $"n_docs" > 0.5).as("blocklisted"))
+      .orderBy($"source")
+  }
+
   /** F16 with the real multi-language stopword union lexicon. */
   val dStopwordMultilang: Spec = Spec(
     "d_stopword_multilang", {
@@ -745,6 +798,7 @@ object Lexical {
   }
 
   val specs: Seq[Spec] = Seq(dNsfwMultilang, dStopwordMultilang, dNsfwRedact,
+    dSourceNsfwRollup,
     dBpeTokenStats, dBpePairCounts, dBpeMerges, dBpeEncode, dLangNormalize,
     dTfidfDocPairs, dHybridSimilarity, dCollocations, dRankingAgreement)
 }
