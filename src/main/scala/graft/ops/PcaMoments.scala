@@ -94,4 +94,53 @@ object PcaMoments {
       val (a, b) = if (i <= j) (i, j) else (j, i)
       st.prods(ut(dim, a, b))
     }
+
+  /** Mutable plain-double buffer for the fast path. */
+  final class FastBuf(var n: Long,
+                      val sums: Array[Double],
+                      val prods: Array[Double]) extends Serializable
+
+  /** PRODUCTION-SPEED moments: same sufficient statistics in plain
+    * doubles (no per-element rounding, no big-integer churn) — ~10³×
+    * cheaper per row than [[aggregator]], at the cost of
+    * aggregation-order float noise plus the exact path's own 9dp
+    * per-product rounding (combined ≤ n·5e-10 absolute;
+    * VectorOpsSpec pins the parity bound). Use this for
+    * real 100 TB runs; the exact-decimal aggregator exists so the
+    * DuckDB oracle can replay the sums bit-for-bit, not because PCA
+    * needs decimal precision. */
+  def fastAggregator(dim: Int): Aggregator[Array[Float], FastBuf, Stats] =
+    new Aggregator[Array[Float], FastBuf, Stats] {
+      private val utLen = dim * (dim + 1) / 2
+      def zero: FastBuf =
+        new FastBuf(0L, new Array[Double](dim), new Array[Double](utLen))
+      def reduce(b: FastBuf, v: Array[Float]): FastBuf = {
+        b.n += 1
+        if (v != null && v.length == dim) {
+          var i = 0
+          while (i < dim) {
+            val vi = v(i).toDouble
+            b.sums(i) += vi
+            var j = i
+            while (j < dim) {
+              b.prods(ut(dim, i, j)) += vi * v(j).toDouble
+              j += 1
+            }
+            i += 1
+          }
+        }
+        b
+      }
+      def merge(a: FastBuf, b: FastBuf): FastBuf = {
+        a.n += b.n
+        var i = 0
+        while (i < dim) { a.sums(i) += b.sums(i); i += 1 }
+        var k = 0
+        while (k < utLen) { a.prods(k) += b.prods(k); k += 1 }
+        a
+      }
+      def finish(r: FastBuf): Stats = Stats(r.n, r.sums, r.prods)
+      def bufferEncoder: Encoder[FastBuf] = Encoders.kryo[FastBuf]
+      def outputEncoder: Encoder[Stats] = ExpressionEncoder[Stats]()
+    }
 }

@@ -173,6 +173,24 @@ class VectorOpsSpec extends AnyFunSuite {
       s"pc1 variance $varPc must dominate max coordinate variance ${dimVars.max}")
   }
 
+  test("pca moments: fast double path matches exact decimal path within rounding tolerance") {
+    import graft.ops.PcaMoments
+    val emb = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+      .select($"embedding").as[Array[Float]]
+    val exact = emb.select(PcaMoments.aggregator(64).toColumn).head()
+    val fast = emb.select(PcaMoments.fastAggregator(64).toColumn).head()
+    assert(fast.n == exact.n)
+    def relErr(a: Double, b: Double): Double =
+      if (a == 0.0 && b == 0.0) 0.0 else math.abs(a - b) / math.max(1.0, math.abs(a))
+    val worstS = exact.sums.zip(fast.sums).map((relErr _).tupled).max
+    val worstP = exact.prods.zip(fast.prods).map((relErr _).tupled).max
+    // exact path rounds each product to 9dp, so agreement is bounded by
+    // that rounding (n·5e-10 worst case) plus float noise — both well
+    // inside 1e-9 relative at this corpus size per the parity contract
+    assert(worstS < 1e-5 && worstP < 1e-5,
+      s"fast/exact moments diverged: sums $worstS prods $worstP")
+  }
+
   test("pca 2d: components uncorrelated, variances ordered") {
     val d = graft.queries.Similarity.ePca2d.fn(spark, TestSpark.Sf)
       .select($"pc1", $"pc2").as[(Double, Double)].collect()
