@@ -160,13 +160,17 @@ class ExpressionsSpec extends AnyFunSuite {
         |graft_normalize('ﬁ') AS n,
         |graft_word_ngram_rep(array('a','b','a','b','a'), 2) AS w,
         |graft_collapse_ws('  a\t\tb  ') AS ws,
-        |graft_trivial_tokenize('کیا۔', 'ur') AS ut""".stripMargin)
+        |graft_trivial_tokenize('کیا۔', 'ur') AS ut,
+        |graft_keyword_redact('slow dup x', 'slow,dup') AS rd,
+        |graft_keyword_redact('slow dup x', 'slow,dup', '#') AS rd2""".stripMargin)
       .collect()(0)
     assert(r.getAs[Int]("c") == 2)
     assert(r.getAs[String]("n") == "fi")
     assert(r.getAs[Double]("w") == 1.0)
     assert(r.getAs[String]("ws") == "a b")
     assert(r.getSeq[String](4) == Seq("کیا", "۔"))
+    assert(r.getAs[String]("rd") == "[*] [*] x")
+    assert(r.getAs[String]("rd2") == "# # x")
   }
 
   test("graft_mojibake_count/repair callable from SQL, match the Column forms") {
