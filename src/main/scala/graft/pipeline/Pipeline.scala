@@ -25,6 +25,8 @@ final case class PipelineConfig(
     keepBestInCluster: Boolean = false,
     htmlInput: Boolean = false,
     langCol: String = "lang",
+    redact: Boolean = false,
+    redactMask: String = "[*]",
     checkpointRoot: Option[String] = None)
 
 object PipelineConfig {
@@ -71,6 +73,8 @@ object PipelineConfig {
       keepBestInCluster = bool("keep_best_in_cluster", false),
       htmlInput = bool("html_input", false),
       langCol = str("lang_col", "lang"),
+      redact = bool("redact", false),
+      redactMask = str("redact_mask", "[*]"),
       checkpointRoot =
         if (root.has("checkpoint_root")) Some(root.get("checkpoint_root").asText) else None)
   }
@@ -200,10 +204,25 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
     }
   }
 
+  /** Opt-in keyword redaction over SURVIVING docs (reference has no
+    * analog — engine addition): below-threshold documents may still
+    * carry isolated lexicon hits; masking keeps the document while
+    * removing the terms. Runs LAST so flag ratios and both dedup
+    * passes see the original text (redacting earlier would zero the
+    * nsfw signal and perturb content hashes). One automaton pass per
+    * row — same trie as the stats stage. */
+  object RedactStage extends Stage {
+    val name = "redact"
+    def apply(df: DataFrame): DataFrame =
+      df.withColumn("text",
+        GraftFunctions.keywordRedact($"text", cfg.keywords, cfg.redactMask))
+  }
+
   def stages: Seq[Stage] =
     (if (cfg.htmlInput) Seq(ExtractStage) else Nil) ++
       Seq(CleanStage, StatsStage, FlagRemoveStage, ExactDedupStage) ++
-      (if (cfg.fuzzyDedup) Seq(FuzzyDedupStage) else Nil)
+      (if (cfg.fuzzyDedup) Seq(FuzzyDedupStage) else Nil) ++
+      (if (cfg.redact) Seq(RedactStage) else Nil)
 
   private def applyStages(input: DataFrame, sts: Seq[Stage]): DataFrame =
     sts.foldLeft(input) { (df, st) =>
@@ -235,7 +254,9 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
   def runAndWrite(input: DataFrame, outPath: String,
       sideChannel: Boolean = true): Long = {
     val dedupStages =
-      Seq(ExactDedupStage) ++ (if (cfg.fuzzyDedup) Seq(FuzzyDedupStage) else Nil)
+      Seq(ExactDedupStage) ++
+        (if (cfg.fuzzyDedup) Seq(FuzzyDedupStage) else Nil) ++
+        (if (cfg.redact) Seq(RedactStage) else Nil)
     val (deduped, flaggedSrc) = cfg.checkpointRoot match {
       case Some(root) =>
         // reference semantics: every named stage materializes; the side

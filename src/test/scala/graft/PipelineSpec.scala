@@ -35,6 +35,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.nonEmpty && bothSurvive == 0)
   }
 
+  test("redact stage: surviving docs keep text with lexicon hits masked") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+    val cfg = PipelineConfig(redact = true)
+    val out = new Pipeline(spark, cfg).run(docs).localCheckpoint()
+    assert(out.count() > 0)
+    // no configured keyword survives as a standalone token, and every
+    // doc that carried one now carries the mask instead
+    val kwHits = out.filter(
+      graft.functions.GraftFunctions.keywordCount($"text", cfg.keywords) > 0)
+    assert(kwHits.count() == 0, "redacted output must carry zero keyword hits")
+    val masked = out.filter($"text".contains(cfg.redactMask)).count()
+    // the fused-pipeline corpus plants keyword-bearing survivors, so
+    // redaction must be observably non-vacuous
+    assert(masked > 0, "expected at least one masked survivor")
+    // redaction runs LAST: survivor set identical to the unredacted run
+    val base = new Pipeline(spark, PipelineConfig()).run(docs)
+    assert(out.select("doc_id").as[Long].collect().toSet ==
+      base.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("keep_best_in_cluster: fuzzy dedup keeps the highest-quality member, not min id") {
     // near-dup pair {2, 5} where the LONGER doc has the LARGER id, plus
     // an untouched singleton; letter-only words keep every flag green
@@ -247,13 +267,17 @@ class PipelineSpec extends AnyFunSuite {
     val p = tmp("graft-cfg") + "/c.json"
     Files.writeString(java.nio.file.Path.of(p),
       """{"min_word_count": 5, "fuzzy_dedup": false,
-        |"keywords": ["alpha", "beta gamma"], "minhash_threshold": 0.7}""".stripMargin)
+        |"keywords": ["alpha", "beta gamma"], "minhash_threshold": 0.7,
+        |"redact": true, "redact_mask": "###"}""".stripMargin)
     val cfg = PipelineConfig.fromJsonFile(p)
     assert(cfg.flags.minWordCount == 5)
     assert(!cfg.fuzzyDedup)
     assert(cfg.keywords == Seq("alpha", "beta gamma"))
     assert(cfg.minhashThreshold == 0.7)
     assert(cfg.flags.nonLiRatio == 0.05) // default preserved
+    assert(cfg.redact && cfg.redactMask == "###")
+    assert(!PipelineConfig().redact && PipelineConfig().redactMask == "[*]",
+      "redaction must default OFF with the standard mask")
   }
 
   test("runAndWrite: one input scan, observe-counted write, consistent outputs") {
