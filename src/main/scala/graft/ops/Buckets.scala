@@ -77,8 +77,20 @@ object Buckets {
     def harvest(obs: Observation, waitMs: Long): Boolean =
       try {
         val r = Await.result(obs.future, waitMs.millis)
-        // sum() over an empty star branch is SQL NULL — zero trips
-        val v = r.getAs[Any]("capped_buckets")
+        // Three delivery shapes, all meaning "cap state known":
+        //  - named row: the normal CollectMetrics result; sum() over an
+        //    empty star branch is SQL NULL — zero trips.
+        //  - EMPTY row (length 0): AQE empty-relation propagation
+        //    eliminated the CollectMetrics node because the observed
+        //    star branch was adaptively proven empty — no branch rows,
+        //    no trips (first seen on d_ranking_agreement at sf0.1).
+        //  - schemaless positional row: same elimination path on older
+        //    listener deliveries; metrics keep construction order
+        //    (capped_buckets, capped_rows) — read position 0.
+        val v: Any =
+          if (r.length == 0) null
+          else if (r.schema == null) r.get(0)
+          else r.getAs[Any]("capped_buckets")
         out(obs.name) = if (v == null) 0L else v.asInstanceOf[Long]
         true
       } catch {

@@ -283,7 +283,7 @@ object Vectors {
         .withColumn("cell", nearestCell(col("embedding"), cents))
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
-        .agg((sum(col("v").cast("decimal(28,14)")).cast("double") /
+        .agg((sum(round(col("v").cast("double"), 9).cast("decimal(28,12)")).cast("double") /
           count(lit(1))).as("c"))
         .collect()
         .map(r => (r.getLong(0).toInt, r.getInt(1), r.getDouble(2)))

@@ -81,7 +81,7 @@ object Similarity {
                    unnest(embedding) AS v
                  FROM embeddings)
       SELECT label, CAST(pos AS BIGINT) AS pos,
-        ROUND(CAST(SUM(CAST(v AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*), 6) AS centroid,
+        ROUND(CAST(SUM(CAST(round(v::DOUBLE, 9) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS centroid,
         COUNT(*) AS n
       FROM t GROUP BY label, pos ORDER BY label, pos""")) { (s, dir) =>
     import s.implicits._
@@ -89,7 +89,7 @@ object Similarity {
       .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
       .groupBy($"label", ($"pos" + 1).cast("long").as("pos"))
       .agg(
-        round(sum($"v".cast("decimal(28,14)")).cast("double") / count(lit(1)), 6)
+        round(sum(round($"v".cast("double"), 9).cast("decimal(28,12)")).cast("double") / count(lit(1)), 6)
           .as("centroid"),
         count(lit(1)).as("n"))
       .orderBy($"label", $"pos")
@@ -269,7 +269,7 @@ object Similarity {
           FROM embeddings e CROSS JOIN c0 c) WHERE rk = 1),
       c1 AS (
         SELECT cell, pos,
-          CAST(SUM(CAST(v AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS cval
+          CAST(SUM(CAST(round(v::DOUBLE, 9) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cval
         FROM (SELECT cell, generate_subscripts(embedding, 1) AS pos,
                 unnest(embedding) AS v FROM a1)
         GROUP BY cell, pos),
@@ -290,7 +290,7 @@ object Similarity {
     oracle = Some(s"""
       WITH $kmeansCtes
       SELECT cell, CAST(pos AS BIGINT) AS pos,
-        FLOOR(CAST(SUM(CAST(v AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*)
+        FLOOR(CAST(SUM(CAST(round(v::DOUBLE, 9) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
           * 1000000) / 1000000 AS centroid,
         COUNT(*) AS n
       FROM (SELECT cell, generate_subscripts(embedding, 1) AS pos,
@@ -307,7 +307,7 @@ object Similarity {
         // floor-truncate instead of round: rounding has half-way ties
         // where engines disagree at the last digit; floor on the
         // bit-identical mean is tie-free.
-        (floor(sum($"v".cast("decimal(28,14)")).cast("double") /
+        (floor(sum(round($"v".cast("double"), 9).cast("decimal(28,12)")).cast("double") /
           count(lit(1)) * 1000000).cast("double") / 1000000).as("centroid"),
         count(lit(1)).as("n"))
       .orderBy($"cell", $"pos")
@@ -323,7 +323,7 @@ object Similarity {
       WITH $kmeansCtes,
       c2 AS (
         SELECT cell, pos,
-          CAST(SUM(CAST(v AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS cval
+          CAST(SUM(CAST(round(v::DOUBLE, 9) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cval
         FROM (SELECT cell, generate_subscripts(embedding, 1) AS pos,
                 unnest(embedding) AS v FROM a2)
         GROUP BY cell, pos),
@@ -365,7 +365,7 @@ object Similarity {
       WITH $kmeansCtes,
       c2 AS (
         SELECT cell, pos,
-          CAST(SUM(CAST(v AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS cval
+          CAST(SUM(CAST(round(v::DOUBLE, 9) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cval
         FROM (SELECT cell, generate_subscripts(embedding, 1) AS pos,
                 unnest(embedding) AS v FROM a2)
         GROUP BY cell, pos),
@@ -434,7 +434,7 @@ object Similarity {
               ORDER BY ${dist8("s.sv", "c.cent")}, c.cell) AS rk
           FROM sub s JOIN c0 c ON c.m = s.m) WHERE rk = 1),
       c1 AS (SELECT m, cell, pos,
-               CAST(SUM(CAST(v AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS cval
+               CAST(SUM(CAST(round(v::DOUBLE, 9) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cval
              FROM (SELECT m, cell, generate_subscripts(sv, 1) AS pos,
                      unnest(sv) AS v FROM a1)
              GROUP BY m, cell, pos),
@@ -515,7 +515,7 @@ object Similarity {
               ORDER BY ${dist8("s.sv", "c.cent")}, c.pcell) AS rk
           FROM sub s JOIN p0 c ON c.m = s.m) WHERE rk = 1),
       pc1 AS (SELECT m, pcell, pos,
-               CAST(SUM(CAST(v AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS cval
+               CAST(SUM(CAST(round(v::DOUBLE, 9) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cval
              FROM (SELECT m, pcell, generate_subscripts(sv, 1) AS pos,
                      unnest(sv) AS v FROM pa1)
              GROUP BY m, pcell, pos),
@@ -673,7 +673,7 @@ object Similarity {
     oracle = Some(s"""
       WITH cp AS (
         SELECT label, pos,
-          CAST(SUM(CAST(v AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS c
+          CAST(SUM(CAST(round(v::DOUBLE, 9) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
         FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
                 unnest(embedding) AS v FROM embeddings)
         GROUP BY label, pos),
@@ -700,7 +700,7 @@ object Similarity {
     val cent = emb
       .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
       .groupBy($"label", $"pos")
-      .agg((sum($"v".cast("decimal(28,14)")).cast("double") /
+      .agg((sum(round($"v".cast("double"), 9).cast("decimal(28,12)")).cast("double") /
         count(lit(1))).as("c"))
       .groupBy($"label")
       .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
@@ -750,7 +750,7 @@ object Similarity {
               ORDER BY ${dist8("s.sv", "c.cent")}, c.pcell) AS rk
           FROM sub s JOIN p0 c ON c.m = s.m) WHERE rk = 1),
       pc1 AS (SELECT m, pcell, pos,
-               CAST(SUM(CAST(v AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS cval
+               CAST(SUM(CAST(round(v::DOUBLE, 9) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cval
              FROM (SELECT m, pcell, generate_subscripts(sv, 1) AS pos,
                      unnest(sv) AS v FROM pa1)
              GROUP BY m, pcell, pos),
@@ -1358,7 +1358,7 @@ object Similarity {
           WHERE e.vec_id % 10 <> 9) WHERE rk = 1),
       c1 AS (
         SELECT cell, pos,
-          CAST(SUM(CAST(v AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS cval
+          CAST(SUM(CAST(round(v::DOUBLE, 9) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cval
         FROM (SELECT cell, generate_subscripts(embedding, 1) AS pos,
                 unnest(embedding) AS v FROM a1)
         GROUP BY cell, pos),
