@@ -1,6 +1,11 @@
 package graft.tools
 import org.apache.spark.sql.functions._
 import graft.{Sessions, Tables}
+/** Dev probe for cross-engine float->decimal parity (round-9 bug):
+  * dumps the Spark-side embedding-outlier distances and centroid head
+  * in hex for direct comparison against DuckDB's CTE values. Keep —
+  * this is the fastest way to localize a 1-ulp-level oracle
+  * divergence to a specific arithmetic step. */
 object DistProbe {
   def main(args: Array[String]): Unit = {
     val s = Sessions.local(8)
