@@ -71,6 +71,17 @@ object Round9Stress {
         require(d == 0.0, s"s2($i,$j) mismatch by $d")
       }
       println(s"[r9stress] ${m}x cross-check: all ${s2old.length} cells exact-equal")
+
+      // Graph edge build (the round-8 fix): LSH-banded candidates
+      // through the capped Buckets.pairs scaffold + exact cosine
+      // verify. Must grow ~linearly in rows — the label-quadratic
+      // shape it replaced grew with the square of the label sizes.
+      val edges = time(s"lsh label edge build ${m}x ($rows rows)") {
+        graft.queries.Similarity.lshLabelEdges(
+          e.withColumn("label", (col("vec_id") % 7).cast("int")),
+          threshold = 0.35).count()
+      }
+      println(s"[r9stress] ${m}x edges: $edges")
       graft.ops.Checkpoints.unpersist(e)
     }
     s.stop()
