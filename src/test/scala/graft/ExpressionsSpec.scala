@@ -120,6 +120,12 @@ class ExpressionsSpec extends AnyFunSuite {
     // no hits → identity
     assert(one[String](keywordRedact($"t", kws), "nothing here") ==
       "nothing here")
+    // Brahmic boundaries: whole word masked; a key embedded in a
+    // longer word (vowel-sign continuation) stays untouched
+    assert(one[String](keywordRedact($"t", Seq("चूतिया")), "चूतिया बोला") ==
+      "[*] बोला")
+    assert(one[String](keywordRedact($"t", Seq("चूत")), "चूतिया बोला") ==
+      "चूतिया बोला")
   }
 
   test("normalize NFKC folds compatibility forms") {
