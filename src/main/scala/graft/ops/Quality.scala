@@ -25,7 +25,14 @@ object Quality {
     * @param df      input frame
     * @param idCol   document id column name
     * @param toksCol array<string> token column name
-    * @return (idCol, n_tok, avg_logprob) — avg_logprob rounded to 6dp. */
+    * @return (idCol, n_tok, avg_logprob) — avg_logprob FLOOR-truncated
+    *         to 6dp: the per-doc average is an exact rational
+    *         S/(n·10⁶) that lands EXACTLY on a rounding half-boundary
+    *         with probability ~1/n per doc, where engines' round()
+    *         implementations disagree (the round-9 sf0.001 gate hit
+    *         one). floor over the identical IEEE quotient is
+    *         boundary-free and bit-identical across engines — the
+    *         eKmeansCentroids precedent. */
   def unigramLmScores(df: DataFrame, idCol: String, toksCol: String): DataFrame = {
     val tok = df.select(col(idCol), explode(col(toksCol)).as("_w"))
     val vocab = tok.groupBy(col("_w")).agg(count(lit(1)).as("_c"))
@@ -37,7 +44,7 @@ object Quality {
           .cast("decimal(18,6)"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tok"),
-        round(sum(col("_lp")).cast("double") / count(lit(1)), 6)
-          .as("avg_logprob"))
+        (floor(sum(col("_lp")).cast("double") / count(lit(1)) * 1000000)
+          .cast("double") / 1000000).as("avg_logprob"))
   }
 }

@@ -1328,8 +1328,8 @@ object Dedup {
           round(abs(estimate - jaccard), 6) AS abs_err
         FROM mhe),
       m AS (
-        SELECT round(CAST(SUM(CAST(abs_err AS DECIMAL(18,6))) AS DOUBLE)
-          / COUNT(*), 6) AS mae FROM e)
+        SELECT FLOOR(CAST(SUM(CAST(abs_err AS DECIMAL(18,6))) AS DOUBLE)
+          / COUNT(*) * 1000000) / 1000000 AS mae FROM e)
       SELECT e.*, m.mae FROM e, m ORDER BY id_a, id_b"""
     }) { (s, dir) =>
     import s.implicits._
@@ -1349,9 +1349,12 @@ object Dedup {
             zip_with($"sig_a", $"sig_b", (x, y) => x === y),
             b => b)).cast("double") / 32.0, 6).as("estimate"))
       .withColumn("abs_err", round(abs($"estimate" - $"jaccard"), 6))
-    val m = e.agg(round(
-      sum($"abs_err".cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
-      .as("mae"))
+    // floor-truncate, not round: the mean of 6dp decimals is an exact
+    // rational that can land ON a rounding half-boundary, where engine
+    // round() implementations disagree (round-9 gate finding)
+    val m = e.agg(
+      (floor(sum($"abs_err".cast("decimal(18,6)")).cast("double") /
+        count(lit(1)) * 1000000).cast("double") / 1000000).as("mae"))
     e.crossJoin(broadcast(m)).orderBy($"id_a", $"id_b")
   }
 

@@ -1087,7 +1087,8 @@ object Events {
       SELECT event_type,
         CAST(SUM(lo) AS BIGINT) AS n_clipped_low,
         CAST(SUM(hi) AS BIGINT) AS n_clipped_high,
-        round(CAST(SUM(wv) AS DOUBLE) / COUNT(*), 6) AS winsorized_mean
+        FLOOR(CAST(SUM(wv) AS DOUBLE) / COUNT(*) * 1000000) / 1000000
+          AS winsorized_mean
       FROM w GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
     import s.implicits._
     val e = load(s, dir).select($"event_type", $"value")
@@ -1103,8 +1104,11 @@ object Events {
           .otherwise($"value"), 6).cast("decimal(18,6)").as("wv"))
       .groupBy($"event_type")
       .agg(sum($"lo").as("n_clipped_low"), sum($"hi").as("n_clipped_high"),
-        round(sum($"wv").cast("double") / count(lit(1)), 6)
-          .as("winsorized_mean"))
+        // floor-truncate, not round: the mean of 6dp decimals is an
+        // exact rational that can land ON a rounding half-boundary,
+        // where engine round() implementations disagree (round-9 gate)
+        (floor(sum($"wv").cast("double") / count(lit(1)) * 1000000)
+          .cast("double") / 1000000).as("winsorized_mean"))
       .orderBy($"event_type")
   }
 

@@ -152,7 +152,8 @@ object TrainingPrep {
             AS DECIMAL(18,6)) AS lp
         FROM tok JOIN vocab ON tok.w = vocab.w CROSS JOIN tot)
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
-        round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+        FLOOR(CAST(SUM(lp) AS DOUBLE) / COUNT(*) * 1000000) / 1000000
+          AS avg_logprob
       FROM scored GROUP BY doc_id ORDER BY doc_id""")) { (s, dir) =>
     import s.implicits._
     graft.ops.Quality.unigramLmScores(
@@ -1402,7 +1403,9 @@ object TrainingPrep {
             AS DECIMAL(18,6)) AS lp
         FROM tok JOIN vocab ON tok.w = vocab.w CROSS JOIN tot),
       doc AS (
-        SELECT doc_id, round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS score
+        SELECT doc_id,
+          FLOOR(CAST(SUM(lp) AS DOUBLE) / COUNT(*) * 1000000) / 1000000
+            AS score
         FROM scored GROUP BY doc_id),
       ranked AS (
         SELECT d.lang, doc.score,
