@@ -15,24 +15,29 @@ class CheckpointsSpec extends AnyFunSuite {
     spark.sparkContext.getPersistentRDDs.size
 
   test("unpersist releases exactly the checkpointed frame's RDD") {
-    val before = persistedCount
+    // Sweep to a clean baseline first: leftovers from earlier suites in
+    // the shared session can be unpersisted ASYNCHRONOUSLY by the
+    // ContextCleaner mid-test (GC-driven), which made a before/after
+    // delta assertion flaky. Our own strongly-referenced frame can't be
+    // GC-cleaned, so absolute counts from zero are stable.
+    Checkpoints.sweepAll(spark)
     val df = spark.range(1000).toDF("id").localCheckpoint()
     assert(df.count() == 1000)
-    assert(persistedCount == before + 1,
+    assert(persistedCount == 1,
       "localCheckpoint must register one persisted RDD")
     Checkpoints.unpersist(df)
     // unpersist(blocking=false): poll briefly for the async removal
     val deadline = System.nanoTime() + 5.seconds.toNanos
-    while (persistedCount > before && System.nanoTime() < deadline)
+    while (persistedCount > 0 && System.nanoTime() < deadline)
       Thread.sleep(50)
-    assert(persistedCount == before,
+    assert(persistedCount == 0,
       "checkpoint blocks must be released after unpersist")
   }
 
   test("unpersist on a plain plan is a safe no-op") {
-    val before = persistedCount
+    Checkpoints.sweepAll(spark)
     Checkpoints.unpersist(spark.range(10).toDF("id"))
-    assert(persistedCount == before)
+    assert(persistedCount == 0)
   }
 
   test("sweepAll clears checkpoints and cached plans") {
