@@ -135,11 +135,12 @@ object Lexical {
     * Scale shape: one projection (automaton count) + ONE hash agg
     * keyed by source — map-side partials shrink the exchange to
     * |sources| rows per partition; no join, no window. */
-  val dSourceNsfwRollup: Spec = Spec(
-    "d_source_nsfw_rollup", {
-      val inj = injected("nsfw")
-      val union = Lexicons.nsfwUnion().filter(!_.contains(" "))
-      Some(s"""
+  /** The rollup SQL, shared verbatim by the batch query and its
+    * streaming twin (finite feed ⇒ identical final table). */
+  private[queries] val sourceRollupOracle: String = {
+    val inj = injected("nsfw")
+    val union = Lexicons.nsfwUnion().filter(!_.contains(" "))
+    s"""
       WITH r AS (
         SELECT doc_id, source, ${richSql(inj)} AS rich
         FROM documents WHERE doc_id % 4 = 0),
@@ -155,13 +156,20 @@ object Lexical {
           / CAST(SUM(CAST(n_tok AS BIGINT)) AS DOUBLE), 6) AS nsfw_per_1k,
         (CAST(SUM(CASE WHEN n_nsfw > 0 THEN 1 ELSE 0 END) AS DOUBLE)
           / COUNT(*)) > 0.5 AS blocklisted
-      FROM d GROUP BY source ORDER BY source""")
-    }) { (s, dir) =>
+      FROM d GROUP BY source ORDER BY source"""
+  }
+
+  /** The rollup plan over ANY documents frame (batch table or
+    * streaming feed) — same columns, same arithmetic; no orderBy so
+    * the streaming twin can aggregate in complete mode. */
+  private[queries] def sourceRollupFrom(docs0: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val s = docs0.sparkSession
     import s.implicits._
     val inj = injected("nsfw")
     val union = Lexicons.nsfwUnion().filter(!_.contains(" "))
     val n = GraftFunctions.keywordCount($"rich", union).cast("long")
-    docs(s, dir)
+    docs0
       .filter($"doc_id" % 4 === 0)
       .select($"doc_id", $"source", concat($"text", richCol(s, inj)).as("rich"))
       .select($"source", n.as("n_nsfw"),
@@ -176,7 +184,13 @@ object Lexical {
         round(lit(1000.0) * $"hits".cast("double") / $"toks".cast("double"), 6)
           .as("nsfw_per_1k"),
         ($"nf".cast("double") / $"n_docs" > 0.5).as("blocklisted"))
-      .orderBy($"source")
+  }
+
+  val dSourceNsfwRollup: Spec = Spec(
+    "d_source_nsfw_rollup",
+    oracle = Some(sourceRollupOracle)) { (s, dir) =>
+    import s.implicits._
+    sourceRollupFrom(docs(s, dir)).orderBy($"source")
   }
 
   /** F16 with the real multi-language stopword union lexicon. */

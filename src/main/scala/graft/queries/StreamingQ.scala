@@ -649,10 +649,24 @@ object StreamingQ {
     StreamOps.asofLastClick(s, dir)
   }
 
+  /** STREAMING source-NSFW rollup — the crawl-curation blocklist
+    * report maintained live over the document feed: the stream's only
+    * state is the |sources|-bounded aggregate (complete mode), the
+    * plan is shared verbatim with the batch d_source_nsfw_rollup via
+    * [[Lexical.sourceRollupFrom]], and over the finite feed the final
+    * table equals the batch answer — so the oracle IS the batch SQL. */
+  val stNsfwRollup: Spec = Spec(
+    "st_nsfw_rollup",
+    oracle = Some(Lexical.sourceRollupOracle)) { (s, dir) =>
+    StreamOps.docsAggStream(s, dir, Lexical.sourceRollupFrom,
+      "st_nsfw_rollup_mem")
+      .orderBy(org.apache.spark.sql.functions.col("source"))
+  }
+
   val specs: Seq[Spec] = Seq(stTumbling, stSliding, stDedup, stSessions,
     stEnrich, stClickView, dLid, dLidScript, dLidConfusion, pipelineE2e,
     stDocFlags, stHeavyHitters, stDriftWindowed, stLidScript,
     stMinhashPairs, stFunnelLevels, stBm25Indexed, stCmsCounts, stNovelty,
     stAsofLastClick, stCcIncremental, stRateAnomaly, stKsWindowed, stMarkov,
-    stSeasonal, stPath)
+    stSeasonal, stPath, stNsfwRollup)
 }

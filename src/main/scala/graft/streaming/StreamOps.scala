@@ -883,6 +883,17 @@ object StreamOps {
     runToTable(s, flagged(src), sink, "append")
   }
 
+  /** AGGREGATING transform over the streaming document feed, complete
+    * mode (the transform ends in a groupBy agg whose final table is
+    * the answer — state is the group-count-bounded aggregate, never
+    * raw documents). */
+  def docsAggStream(s: SparkSession, dir: String,
+      agg: DataFrame => DataFrame, sink: String): DataFrame = {
+    val src = s.readStream.schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    runToTable(s, agg(src), sink, "complete")
+  }
+
   /** STREAMING funnel statistics: the stream maintains per-(user, type)
     * MIN event times — an order-independent streaming aggregate, so
     * arbitrary cross-batch arrival order cannot change the state (the
