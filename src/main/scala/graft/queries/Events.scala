@@ -1568,6 +1568,266 @@ object Events {
       .orderBy($"event_type")
   }
 
+  /** MULTI-TOUCH revenue ATTRIBUTION: each purchase's value credited to
+    * the user's view/click touches inside a 7-day lookback under three
+    * standard models in one pass — first-touch (all value to the
+    * earliest touch), last-touch (to the latest), and linear (split
+    * evenly). Purchases with no touch in the window credit a synthetic
+    * `(direct)` channel, so every model's column sums to total purchase
+    * revenue — the invariant that makes the three models comparable.
+    *
+    * Exactness: value rides as scale-6 micro-units (BIGINT); the linear
+    * split is integer floor-division with the remainder assigned to the
+    * first touch (largest-remainder style, deterministic via the
+    * (ts, event_id) total order) — no float division anywhere, so the
+    * per-model totals are exact and engine-identical.
+    *
+    * Scale shape: ONE banded join (touches to purchases on user_id +
+    * 7-day band — per-user × lookback-bounded matches, the
+    * [[qAsofTolerance]] argument), then ONE sorted window over p_id:
+    * rf (first), rl derived as n_rows − rf + 1 (the reverse rank needs
+    * no second sort), and both counts on the same spec's unbounded
+    * frame — a single Exchange + WindowExec. The three models unpivot
+    * via `stack` (one Generate, no triple re-scan of the join), and the
+    * final agg is |models|×|channels|-keyed — constant-size output. */
+  val qAttribution: Spec = Spec(
+    "ev_attribution",
+    oracle = Some("""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+          CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vm
+        FROM events),
+      p AS (SELECT event_id AS p_id, user_id, us AS p_us, vm FROM e
+            WHERE event_type = 'purchase'),
+      t AS (SELECT user_id, us AS t_us, event_id AS t_id,
+              event_type AS touch_type
+            FROM e WHERE event_type IN ('view', 'click')),
+      j AS (SELECT p.p_id, p.vm, t.touch_type, t.t_us, t.t_id
+            FROM p LEFT JOIN t ON t.user_id = p.user_id
+              AND t.t_us <= p.p_us AND t.t_us > p.p_us - 604800000000),
+      w AS (SELECT p_id, vm, coalesce(touch_type, '(direct)') AS touch_type,
+          COUNT(t_id) OVER (PARTITION BY p_id) AS n,
+          COUNT(*) OVER (PARTITION BY p_id) AS nr,
+          row_number() OVER (PARTITION BY p_id ORDER BY t_us, t_id) AS rf
+        FROM j),
+      c AS (SELECT touch_type,
+          CASE WHEN rf = 1 THEN vm END AS first_credit,
+          CASE WHEN nr - rf + 1 = 1 THEN vm END AS last_credit,
+          CASE WHEN n = 0 THEN vm
+               ELSE vm // n + CASE WHEN rf = 1 THEN vm % n ELSE 0 END
+          END AS linear_credit
+        FROM w),
+      u AS (
+        SELECT 'first' AS model, touch_type, first_credit AS credit FROM c
+        UNION ALL
+        SELECT 'last', touch_type, last_credit FROM c
+        UNION ALL
+        SELECT 'linear', touch_type, linear_credit FROM c)
+      SELECT model, touch_type,
+        CAST(SUM(credit) AS DOUBLE) / 1000000.0 AS attributed_value,
+        CAST(COUNT(credit) AS BIGINT) AS n_credits
+      FROM u WHERE credit IS NOT NULL
+      GROUP BY model, touch_type ORDER BY model, touch_type""")) { (s, dir) =>
+    import s.implicits._
+    val lookbackUs = 7L * 24 * 3600 * 1000 * 1000
+    val e = load(s, dir).select($"user_id", $"event_type",
+      expr("ts div 1000").as("us"), $"event_id",
+      ($"value".cast("decimal(18,6)") * 1000000).cast("long").as("vm"))
+    val p = e.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id", $"us".as("p_us"), $"vm")
+    val t = e.filter($"event_type".isin("view", "click"))
+      .select($"user_id".as("t_user"), $"us".as("t_us"),
+        $"event_id".as("t_id"), $"event_type".as("touch_type"))
+    val j = p.join(t,
+      $"t_user" === $"user_id" && $"t_us" <= $"p_us" &&
+        $"t_us" > $"p_us" - lookbackUs, "left")
+    // one sorted window spec carries the first-rank AND both counts
+    // (unbounded frame); the reverse rank is nr - rf + 1, not a second
+    // sort — the (t_us, t_id) order is total, so the identity is exact
+    val wf = Window.partitionBy($"p_id").orderBy($"t_us", $"t_id")
+    val full = wf.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val w = j.select($"vm",
+      coalesce($"touch_type", lit("(direct)")).as("touch_type"),
+      count($"t_id").over(full).as("n"),
+      count(lit(1)).over(full).as("nr"),
+      row_number().over(wf).as("rf"))
+    w.select($"touch_type",
+        when($"rf" === 1, $"vm").as("first_credit"),
+        when($"nr" - $"rf" + 1 === 1, $"vm").as("last_credit"),
+        when($"n" === 0, $"vm")
+          .otherwise(expr("vm div n") +
+            when($"rf" === 1, $"vm" % $"n").otherwise(0L))
+          .as("linear_credit"))
+      .select($"touch_type", expr(
+        "stack(3, 'first', first_credit, 'last', last_credit, " +
+          "'linear', linear_credit) AS (model, credit)"))
+      .filter($"credit".isNotNull)
+      .groupBy($"model", $"touch_type")
+      .agg((sum($"credit").cast("double") / 1000000.0).as("attributed_value"),
+        count($"credit").as("n_credits"))
+      .select($"model", $"touch_type", $"attributed_value", $"n_credits")
+      .orderBy($"model", $"touch_type")
+  }
+
+  /** RFM SEGMENTATION: per purchasing user, Recency (days since last
+    * purchase vs the corpus's latest purchase), Frequency (purchase
+    * count) and Monetary (exact micro-unit revenue), each cut into
+    * quintile scores 1–5 by global rank, then mapped to the classic
+    * marketing segments (champion / loyal / big_spender / at_risk /
+    * hibernating / regular) and summarized per segment.
+    *
+    * The quintile is the [[qUserConcentration]] equal-split bucket
+    * formula `((rn−1)·5) div n_users + 1` over a deterministic
+    * (metric, user_id) total order — pure integer math both engines
+    * replay exactly, with none of ntile's remainder-placement
+    * ambiguity.
+    *
+    * Scale shape: purchases collapse to ONE user-keyed hash agg (the
+    * frame every later step works on — users, not events); the three
+    * global ranks ride [[graft.ops.Skew.globalRowNumber]] sequentially
+    * (each a range shuffle of the USER frame + broadcast offsets —
+    * never a single-reducer global window, never a join-back: each
+    * rank column is appended in place); corpus totals are a 1-row
+    * broadcast; the segment rollup is ≤6 rows. */
+  val qRfm: Spec = Spec(
+    "ev_rfm",
+    oracle = Some("""
+      WITH p AS (SELECT user_id, epoch_us(ts) AS us,
+          CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vm
+        FROM events WHERE event_type = 'purchase'),
+      u AS (SELECT user_id, MAX(us) AS mx, CAST(COUNT(*) AS BIGINT) AS f,
+              SUM(vm) AS m
+            FROM p GROUP BY 1),
+      g AS (SELECT MAX(mx) AS mu, COUNT(*) AS nu FROM u),
+      r AS (SELECT u.*, CAST((g.mu - u.mx) // 86400000000 AS BIGINT)
+              AS r_days, g.nu
+            FROM u CROSS JOIN g),
+      k AS (SELECT *,
+          row_number() OVER (ORDER BY r_days DESC, user_id) AS rr,
+          row_number() OVER (ORDER BY f, user_id) AS rf,
+          row_number() OVER (ORDER BY m, user_id) AS rm
+        FROM r),
+      sc AS (SELECT user_id, r_days, f, m,
+          ((rr - 1) * 5) // nu + 1 AS r_score,
+          ((rf - 1) * 5) // nu + 1 AS f_score,
+          ((rm - 1) * 5) // nu + 1 AS m_score
+        FROM k),
+      seg AS (SELECT *, CASE
+          WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+          WHEN r_score >= 4 AND f_score >= 4 THEN 'loyal'
+          WHEN m_score >= 4 AND r_score >= 3 THEN 'big_spender'
+          WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+          WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+          ELSE 'regular' END AS segment
+        FROM sc)
+      SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_users,
+        CAST(SUM(m) AS DOUBLE) / 1000000.0 AS total_value,
+        round(CAST(SUM(r_days) AS DOUBLE) / COUNT(*), 6) AS avg_recency_days,
+        round(CAST(SUM(f) AS DOUBLE) / COUNT(*), 6) AS avg_frequency
+      FROM seg GROUP BY segment ORDER BY segment""")) { (s, dir) =>
+    import s.implicits._
+    val dayUs = 86400000000L
+    val p = load(s, dir).filter($"event_type" === "purchase")
+      .select($"user_id", expr("ts div 1000").as("us"),
+        ($"value".cast("decimal(18,6)") * 1000000).cast("long").as("vm"))
+    val u = p.groupBy($"user_id")
+      .agg(max($"us").as("mx"), count(lit(1)).as("f"), sum($"vm").as("m"))
+    val g = broadcast(u.agg(max($"mx").as("mu"), count(lit(1)).as("nu")))
+    val r = u.crossJoin(g)
+      .select($"user_id", $"f", $"m", $"nu",
+        expr(s"(mu - mx) div $dayUs").as("r_days"))
+    // stalest user ranks 1 → score 1; most recent ranks nu → score 5
+    val withRr = graft.ops.Skew.globalRowNumber(
+        r.withColumn("negr", -$"r_days"), Seq($"negr", $"user_id"))
+      .withColumnRenamed("rn", "rr").drop("negr")
+    val withRf = graft.ops.Skew.globalRowNumber(withRr, Seq($"f", $"user_id"))
+      .withColumnRenamed("rn", "rf")
+    val withRm = graft.ops.Skew.globalRowNumber(withRf, Seq($"m", $"user_id"))
+      .withColumnRenamed("rn", "rm")
+    val sc = withRm.select($"user_id", $"r_days", $"f", $"m",
+      expr("((rr - 1) * 5) div nu + 1").as("r_score"),
+      expr("((rf - 1) * 5) div nu + 1").as("f_score"),
+      expr("((rm - 1) * 5) div nu + 1").as("m_score"))
+    sc.select($"r_days", $"f", $"m",
+        when($"r_score" >= 4 && $"f_score" >= 4 && $"m_score" >= 4, "champion")
+          .when($"r_score" >= 4 && $"f_score" >= 4, "loyal")
+          .when($"m_score" >= 4 && $"r_score" >= 3, "big_spender")
+          .when($"r_score" <= 2 && $"f_score" >= 4, "at_risk")
+          .when($"r_score" <= 2 && $"f_score" <= 2, "hibernating")
+          .otherwise("regular").as("segment"))
+      .groupBy($"segment")
+      .agg(count(lit(1)).as("n_users"),
+        (sum($"m").cast("double") / 1000000.0).as("total_value"),
+        round(sum($"r_days").cast("double") / count(lit(1)), 6)
+          .as("avg_recency_days"),
+        round(sum($"f").cast("double") / count(lit(1)), 6)
+          .as("avg_frequency"))
+      .orderBy($"segment")
+  }
+
+  /** Session ENTRY/EXIT matrix: sessions cut with [[qSessionize]]'s
+    * 30-minute gap, each labeled by its first and last event type, then
+    * counted per (entry, exit) pair with the mean session depth — the
+    * landing/exit-page analysis that tells a funnel owner where
+    * sessions start and where they die ([[qBounceRate]] measures HOW
+    * MANY die shallow; this says WHERE).
+    *
+    * Scale shape: the session cut is the per-user lag+running-sum
+    * window (history-bounded frames); entry/exit come from ONE
+    * (user, session)-keyed hash agg via struct-ordered min_by/max_by —
+    * no second window cascade, partial aggregation map-side; the final
+    * matrix is |types|²-keyed. */
+  val qEntryExit: Spec = Spec(
+    "ev_entry_exit",
+    oracle = Some("""
+      WITH m AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+          CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+               THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      sessed AS (
+        SELECT user_id, event_id, event_type, ts_us,
+          CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS session_id
+        FROM m),
+      fe AS (SELECT user_id, session_id, event_type,
+          row_number() OVER (PARTITION BY user_id, session_id
+            ORDER BY ts_us, event_id) AS rf,
+          COUNT(*) OVER (PARTITION BY user_id, session_id) AS ne
+        FROM sessed),
+      pairs AS (SELECT user_id, session_id,
+          MIN(CASE WHEN rf = 1 THEN event_type END) AS entry_type,
+          MIN(CASE WHEN rf = ne THEN event_type END) AS exit_type,
+          MIN(ne) AS n_events
+        FROM fe GROUP BY 1, 2)
+      SELECT entry_type, exit_type, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        round(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 6) AS avg_events
+      FROM pairs GROUP BY 1, 2 ORDER BY entry_type, exit_type""")) { (s, dir) =>
+    import s.implicits._
+    val gapUs = 1800L * 1000 * 1000
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    load(s, dir)
+      .select($"user_id", $"event_id", $"event_type",
+        expr("ts div 1000").as("ts_us"))
+      .withColumn("brk",
+        when(lag($"ts_us", 1).over(w).isNull ||
+          $"ts_us" - lag($"ts_us", 1).over(w) > gapUs, 1).otherwise(0))
+      .withColumn("session_id", sum($"brk").over(run).cast("long"))
+      .groupBy($"user_id", $"session_id")
+      .agg(
+        min_by($"event_type", struct($"ts_us", $"event_id")).as("entry_type"),
+        max_by($"event_type", struct($"ts_us", $"event_id")).as("exit_type"),
+        count(lit(1)).as("n_events"))
+      .groupBy($"entry_type", $"exit_type")
+      .agg(count(lit(1)).as("n_sessions"),
+        round(sum($"n_events").cast("double") / count(lit(1)), 6)
+          .as("avg_events"))
+      .orderBy($"entry_type", $"exit_type")
+  }
+
   val specs: Seq[Spec] = Seq(qTumbling, qSessionize, qAsofClick,
     qAsofTolerance, qFunnel, qPropsJson, qSliding, qSessionWindowNative,
     qRate5Min, qValueOutliers, qDriftWindowed, qDriftSliding,
@@ -1575,5 +1835,5 @@ object Events {
     qUserTrend, qRateAnomaly, qKsDrift, qKsWindowed, qWinsorizedStats,
     qAsofNearest, qConversionTime, qMarkovTransitions, qSeasonalDecompose,
     qPathAnalysis, qSeasonalAnomaly, qStickiness, qBounceRate,
-    qUserConcentration, qInterArrival)
+    qUserConcentration, qInterArrival, qAttribution, qRfm, qEntryExit)
 }

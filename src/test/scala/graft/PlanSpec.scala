@@ -450,4 +450,47 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("windowspecdefinition(_pid"),
       "global rank must be the two-phase _pid-keyed form:\n" + p)
   }
+
+  test("attribution: one sorted window, equi band join, one stack pass") {
+    val p = plan("ev_attribution")
+    // first-rank, reverse-rank (derived as nr-rf+1) and both counts
+    // must ride ONE WindowExec — a second sort order would double the
+    // per-purchase sort cost for an identity the algebra supplies
+    assert(p.linesIterator.count(_.contains("Window [")) == 1,
+      "rf/nr/n must share one window operator:\n" + p)
+    // touch→purchase banding is an equi-join on user_id with the 7-day
+    // band as a post-condition — never a nested-loop over users
+    assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+      "lookback join must stay keyed on user_id:\n" + p)
+    // the three models unpivot via ONE stack Generate — not a 3-way
+    // union that re-executes the join per model
+    assert(p.linesIterator.count(_.contains("Generate stack")) == 1,
+      "models must fan out through a single stack pass:\n" + p)
+    assert(!p.contains("Union"),
+      "no union re-scan of the joined touches:\n" + p)
+  }
+
+  test("rfm: quintile ranks are two-phase _pid-keyed, never global sorts") {
+    val df = SparkEntry.queries("ev_rfm")(spark, TestSpark.Sf)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "all three metric ranks must ride Skew.globalRowNumber " +
+        "(empty partitionSpec = single-reducer sort of the user frame)")
+  }
+
+  test("entry/exit: one session window then hash aggs — no second window cascade") {
+    val p = plan("ev_entry_exit")
+    // the lag+running-sum session cut shares one user-keyed sort; the
+    // per-session entry/exit must be min_by/max_by aggs, NOT another
+    // (user, session)-partitioned window pass
+    val exchanges = p.linesIterator
+      .count(_.contains("Exchange hashpartitioning(user_id"))
+    assert(exchanges == 1,
+      s"session cut must be the only user-keyed shuffle, saw $exchanges:\n$p")
+    assert(p.contains("min_by") && p.contains("max_by"),
+      "entry/exit must come from the struct-ordered agg:\n" + p)
+  }
 }
