@@ -1113,6 +1113,129 @@ object Relational {
       .orderBy($"o_custkey", $"version")
   }
 
+  /** Data-quality EXPECTATIONS suite (the deequ/Great-Expectations
+    * pattern): a declarative battery of constraint checks — primary-key
+    * uniqueness, referential integrity, value domains, numeric ranges,
+    * format conformity — evaluated in one pass per table and reported
+    * as (check, violations, total, passed) rows. The acctbal check
+    * carries REAL violations (TPC-H account balances go negative), so
+    * the report proves the counting path, not just the happy path.
+    *
+    * Scale shape: each table contributes ONE aggregation (all its
+    * scalar checks fused as conditional sums — adding a check adds a
+    * column, not a scan); referential checks ride the existing join
+    * strategy space (customer/nation keys broadcast under the dims-are-
+    * small rule, lineitem→orders a keyed shuffle join — the same plan a
+    * standalone FK audit would need, here amortized into the table's
+    * single pass). Each per-table row unpivots via `stack`; the final
+    * union is |checks| rows, constant no matter the input scale. */
+  val qExpectations: Spec = Spec(
+    "q_expectations",
+    oracle = Some("""
+      WITH o AS (
+        SELECT COUNT(*) AS total,
+          COUNT(*) - COUNT(DISTINCT o_orderkey) AS pk_dup,
+          SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS fk_miss,
+          SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+            AS bad_status,
+          SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS bad_price
+        FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+          ON c.c_custkey = orders.o_custkey),
+      l AS (
+        SELECT COUNT(*) AS total,
+          SUM(CASE WHEN ok.o_orderkey IS NULL THEN 1 ELSE 0 END) AS fk_miss,
+          SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)
+            AS bad_qty,
+          SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END)
+            AS bad_disc
+        FROM lineitem
+          LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) ok
+          ON ok.o_orderkey = lineitem.l_orderkey),
+      c AS (
+        SELECT COUNT(*) AS total,
+          SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS fk_miss,
+          SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS neg_bal,
+          SUM(CASE WHEN NOT regexp_matches(c_name, '^Customer#[0-9]+$')
+              THEN 1 ELSE 0 END) AS bad_name
+        FROM customer
+          LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+          ON n.n_nationkey = customer.c_nationkey),
+      p AS (
+        SELECT COUNT(*) AS total,
+          SUM(CASE WHEN p_retailprice <= 0 THEN 1 ELSE 0 END) AS bad_price
+        FROM part),
+      u AS (
+        SELECT 'orders_pk_unique' AS check, pk_dup AS violations, total FROM o
+        UNION ALL SELECT 'orders_fk_customer', fk_miss, total FROM o
+        UNION ALL SELECT 'orders_status_domain', bad_status, total FROM o
+        UNION ALL SELECT 'orders_totalprice_positive', bad_price, total FROM o
+        UNION ALL SELECT 'lineitem_fk_orders', fk_miss, total FROM l
+        UNION ALL SELECT 'lineitem_qty_range', bad_qty, total FROM l
+        UNION ALL SELECT 'lineitem_discount_range', bad_disc, total FROM l
+        UNION ALL SELECT 'customer_fk_nation', fk_miss, total FROM c
+        UNION ALL SELECT 'customer_acctbal_nonnegative', neg_bal, total FROM c
+        UNION ALL SELECT 'customer_name_format', bad_name, total FROM c
+        UNION ALL SELECT 'part_retailprice_positive', bad_price, total FROM p)
+      SELECT "check", CAST(violations AS BIGINT) AS violations,
+        CAST(total AS BIGINT) AS total, violations = 0 AS passed
+      FROM u ORDER BY "check" """)) { (s, dir) =>
+    import s.implicits._
+    def viol(c: org.apache.spark.sql.Column) =
+      sum(when(c, 1L).otherwise(0L))
+    val custKeys = Tables.load(s, dir, "customer")
+      .select($"c_custkey").distinct()
+    val orderKeys = Tables.load(s, dir, "orders")
+      .select($"o_orderkey".as("ok_key")).distinct()
+    val nationKeys = Tables.load(s, dir, "nation")
+      .select($"n_nationkey").distinct()
+    val o = Tables.load(s, dir, "orders")
+      .join(broadcast(custKeys), $"c_custkey" === $"o_custkey", "left")
+      .agg(count(lit(1)).as("total"),
+        (count(lit(1)) - countDistinct($"o_orderkey")).as("pk_dup"),
+        viol($"c_custkey".isNull).as("fk_miss"),
+        viol(!$"o_orderstatus".isin("O", "F", "P")).as("bad_status"),
+        viol($"o_totalprice" <= 0).as("bad_price"))
+      .select(expr("stack(4, " +
+        "'orders_pk_unique', pk_dup, total, " +
+        "'orders_fk_customer', fk_miss, total, " +
+        "'orders_status_domain', bad_status, total, " +
+        "'orders_totalprice_positive', bad_price, total) " +
+        "AS (check, violations, total)"))
+    val l = Tables.load(s, dir, "lineitem")
+      .join(orderKeys, $"ok_key" === $"l_orderkey", "left")
+      .agg(count(lit(1)).as("total"),
+        viol($"ok_key".isNull).as("fk_miss"),
+        viol($"l_quantity" < 1 || $"l_quantity" > 50).as("bad_qty"),
+        viol($"l_discount" < 0 || $"l_discount" > 0.1).as("bad_disc"))
+      .select(expr("stack(3, " +
+        "'lineitem_fk_orders', fk_miss, total, " +
+        "'lineitem_qty_range', bad_qty, total, " +
+        "'lineitem_discount_range', bad_disc, total) " +
+        "AS (check, violations, total)"))
+    val c = Tables.load(s, dir, "customer")
+      .join(broadcast(nationKeys), $"n_nationkey" === $"c_nationkey", "left")
+      .agg(count(lit(1)).as("total"),
+        viol($"n_nationkey".isNull).as("fk_miss"),
+        viol($"c_acctbal" < 0).as("neg_bal"),
+        viol(!$"c_name".rlike("^Customer#[0-9]+$")).as("bad_name"))
+      .select(expr("stack(3, " +
+        "'customer_fk_nation', fk_miss, total, " +
+        "'customer_acctbal_nonnegative', neg_bal, total, " +
+        "'customer_name_format', bad_name, total) " +
+        "AS (check, violations, total)"))
+    val p = Tables.load(s, dir, "part")
+      .agg(count(lit(1)).as("total"),
+        viol($"p_retailprice" <= 0).as("bad_price"))
+      .select(expr("stack(1, " +
+        "'part_retailprice_positive', bad_price, total) " +
+        "AS (check, violations, total)"))
+    o.unionAll(l).unionAll(c).unionAll(p)
+      .select($"check", $"violations".cast("long").as("violations"),
+        $"total".cast("long").as("total"),
+        ($"violations" === 0).as("passed"))
+      .orderBy($"check")
+  }
+
   val specs: Seq[Spec] = Seq(
     q1PricingSummary, q3TopOrders, q5RegionRevenue, q4LateShipments,
     qAntiCustomers, qTopPartsPerBrand, qRunningSupplier, qSetOps,
@@ -1120,5 +1243,5 @@ object Relational {
     qMonthly, qCaseWhen, qCube, qSqlSurface, qSketches, qWindowShapes,
     qOrderLatency, qStringOps, qFuzzyPartNames, qSaltedAgg, qRangeBandJoin,
     qBenford, qSkewReport, qConsistentSample, qRollingMedian, qBucketedJoin,
-    qZorderCluster, qMergeUpsert, qScd2History)
+    qZorderCluster, qMergeUpsert, qScd2History, qExpectations)
 }

@@ -481,6 +481,18 @@ class PlanSpec extends AnyFunSuite {
         "(empty partitionSpec = single-reducer sort of the user frame)")
   }
 
+  test("expectations: key-side dims broadcast, fact FK join keyed, no nested loops") {
+    val p = plan("q_expectations")
+    // customer/nation key sets broadcast under the dims-are-small rule;
+    // the lineitem→orders FK audit must stay a keyed join — a nested
+    // loop over either fact table is the shape that dies at 100 TB
+    assert(p.contains("BroadcastHashJoin"),
+      "dim key sets must broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+      "all referential checks must be equi-joins:\n" + p)
+  }
+
   test("entry/exit: one session window then hash aggs — no second window cascade") {
     val p = plan("ev_entry_exit")
     // the lag+running-sum session cut shares one user-keyed sort; the
