@@ -151,6 +151,61 @@ object StreamingQ {
       .orderBy($"user_id", $"session_start_us")
   }
 
+  /** Streaming ENTRY/EXIT matrix: the batch ev_entry_exit report
+    * maintained from the stateful session stream — sessions close by
+    * the same 30-minute gap / EventTimeTimeout rule as st_sessions
+    * (state per user is one fixed-width tuple; the exit label
+    * overwrites in place), and the closed sessions aggregate into the
+    * (entry, exit) matrix. The oracle states the identical closure
+    * rule over the batch sessionization, then rolls up — the matrix
+    * differs from the batch twin's exactly by the final-open-session
+    * rows the stream correctly refuses to close. */
+  val stEntryExit: Spec = Spec(
+    "st_entry_exit",
+    oracle = Some("""
+      WITH m AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+          CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+               THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      sessed AS (
+        SELECT user_id, event_id, event_type, ts_us,
+          SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM m),
+      fe AS (SELECT user_id, session_id, event_type, ts_us,
+          row_number() OVER (PARTITION BY user_id, session_id
+            ORDER BY ts_us, event_id) AS rf,
+          COUNT(*) OVER (PARTITION BY user_id, session_id) AS ne
+        FROM sessed),
+      sess AS (SELECT user_id, session_id,
+          MAX(ts_us) AS session_end_us,
+          MIN(CASE WHEN rf = 1 THEN event_type END) AS entry_type,
+          MIN(CASE WHEN rf = ne THEN event_type END) AS exit_type,
+          COUNT(*) AS n_events
+        FROM fe GROUP BY 1, 2),
+      mx AS (SELECT MAX(epoch_us(ts)) AS max_us FROM events),
+      lastmark AS (
+        SELECT user_id, MAX(session_id) AS last_id FROM sess GROUP BY user_id),
+      closed AS (
+        SELECT s.* FROM sess s JOIN lastmark l ON s.user_id = l.user_id
+        CROSS JOIN mx
+        WHERE s.session_id < l.last_id
+           OR (session_end_us // 1000 + 1800000) < (max_us // 1000 - 1800000))
+      SELECT entry_type, exit_type, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        round(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 6) AS avg_events
+      FROM closed GROUP BY 1, 2 ORDER BY entry_type, exit_type""")) { (s, dir) =>
+    import s.implicits._
+    StreamOps.statefulEntryExit(s, dir)
+      .groupBy($"entry_type", $"exit_type")
+      .agg(count(lit(1)).as("n_sessions"),
+        round(sum($"n_events").cast("double") / count(lit(1)), 6)
+          .as("avg_events"))
+      .orderBy($"entry_type", $"exit_type")
+  }
+
   /** The SCRIPT member of the LID ensemble, oracle-backed: the Unicode-
     * script histogram vote IS SQL-expressible, so this pins the script
     * detector against DuckDB on text carrying Devanagari / Bengali /
@@ -668,5 +723,5 @@ object StreamingQ {
     stDocFlags, stHeavyHitters, stDriftWindowed, stLidScript,
     stMinhashPairs, stFunnelLevels, stBm25Indexed, stCmsCounts, stNovelty,
     stAsofLastClick, stCcIncremental, stRateAnomaly, stKsWindowed, stMarkov,
-    stSeasonal, stPath, stNsfwRollup)
+    stSeasonal, stPath, stNsfwRollup, stEntryExit)
 }

@@ -199,6 +199,71 @@ object StreamOps {
       .orderBy(col("user_id"), col("session_start_us"))
   }
 
+  final case class SessEvent2(user_id: Long, ts_us: Long, event_id: Long,
+      event_type: String, ts_utc: java.sql.Timestamp)
+  final case class SessState2(start: Long, end: Long, n: Long,
+      entry: String, exit: String)
+  final case class SessionOut2(user_id: Long, session_start_us: Long,
+      entry_type: String, exit_type: String, n_events: Long)
+
+  /** [[sessionsFrom]] with entry/exit event types carried in the
+    * session state — the streaming half of the batch entry/exit matrix
+    * ([[graft.queries.Events.qEntryExit]]): state per user is ONE
+    * (start, end, n, entry, exit) tuple regardless of session length
+    * (the exit label overwrites in place; nothing accumulates
+    * per-event), sessions close by the same 30-minute
+    * gap / EventTimeTimeout rule, and the caller aggregates the closed
+    * sessions into the (entry, exit) matrix. In-batch events sort by
+    * (ts_us, event_id) so tie-breaks match the batch twin's window
+    * order exactly. */
+  def statefulEntryExit(s: SparkSession, dir: String): DataFrame =
+    entryExitFrom(s, eventsStream(s, dir), "st_entry_exit_mem")
+
+  def entryExitFrom(s: SparkSession, events: DataFrame,
+      sink: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = 1800L * 1000 * 1000
+    val src = events
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_utc", "30 minutes")
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_id"), col("event_type"), col("ts_utc"))
+      .as[SessEvent2]
+    val sessions = src
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState2, SessionOut2](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evs: Iterator[SessEvent2], state: GroupState[SessState2]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionOut2(user, st.start, st.entry, st.exit, st.n))
+          } else {
+            val sorted = evs.toArray.sortBy(e => (e.ts_us, e.event_id))
+            val closed = scala.collection.mutable.ArrayBuffer[SessionOut2]()
+            var cur = state.getOption.orNull
+            for (e <- sorted) {
+              cur match {
+                case null =>
+                  cur = SessState2(e.ts_us, e.ts_us, 1, e.event_type, e.event_type)
+                case c if e.ts_us - c.end > gapUs =>
+                  closed += SessionOut2(user, c.start, c.entry, c.exit, c.n)
+                  cur = SessState2(e.ts_us, e.ts_us, 1, e.event_type, e.event_type)
+                case c =>
+                  cur = SessState2(c.start, e.ts_us, c.n + 1, c.entry, e.event_type)
+              }
+            }
+            if (cur != null) {
+              state.update(cur)
+              state.setTimeoutTimestamp(cur.end / 1000 + gapUs / 1000)
+            }
+            closed.iterator
+          }
+      }
+    runToTable(s, sessions.toDF(), sink, "append")
+  }
+
   final case class MarkovEvent(
       user_id: Long, ts_us: Long, event_id: Long, event_type: String)
   /** lastType feeds the emitted transition; (lastTs, lastId) exist for

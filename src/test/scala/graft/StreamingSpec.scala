@@ -87,6 +87,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotS.nonEmpty)
   }
 
+  test("streaming entry/exit: two-batch feed equals file run; state stays per-user") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Events.load(spark, TestSpark.Sf)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[(Long, Long, Long, String, Double, String)].collect().toSeq
+    // split mid-stream: sessions spanning the boundary must be stitched
+    // from state (start/entry survive batch 1; end/exit updated in 2)
+    val (early, late) = rows.sortBy(_._2).splitAt(rows.length / 2)
+    val ms = MemoryStream[(Long, Long, Long, String, Double, String)]
+    ms.addData(early)
+    ms.addData(late)
+    val src = ms.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = StreamOps.entryExitFrom(spark, src, "st_ee_msrc")
+      .as[(Long, Long, String, String, Long)].collect().toSet
+    val file = StreamOps.statefulEntryExit(spark, TestSpark.Sf)
+      .as[(Long, Long, String, String, Long)].collect().toSet
+    assert(got == file,
+      "boundary-spanning sessions must close with batch-equal entry/exit")
+    assert(got.nonEmpty)
+    // state-bound pin: one fixed-width session tuple per user — the
+    // exit label overwrites, nothing accumulates per-event
+    val users = rows.map(_._3).distinct.size
+    val stateRows = StreamOps.lastStateRows
+    assert(stateRows.exists(_ <= users),
+      s"entry/exit state must be <= $users (one row per user), got $stateRows")
+  }
+
   test("non-file source: MemoryStream stream-stream interval join matches the file-source run") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
