@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -14,7 +14,7 @@ import org.apache.spark.sql.types._
   * bit-identical; evaluation is one Java loop instead of ~2·dim boxed
   * lambda calls per pair. */
 case class FloatDot(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -26,9 +26,16 @@ case class FloatDot(left: Expression, right: Expression)
           s"graft_float_dot expects two array<float> inputs, got $other")
     }
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  /** Loop body shared by eval and codegen — the generated code calls
+    * this JIT-compiled method through a plan reference, so the hot
+    * projection stays INSIDE whole-stage codegen (a CodegenFallback
+    * here would break the whole kNN scan stage out of codegen) while
+    * the loop itself runs as ordinary JVM code, not Janino-compiled
+    * source. */
+  def compute(x: ArrayData, y: ArrayData): Double = {
     val n = x.numElements()
     require(n == y.numElements(),
       s"vector dims differ: $n vs ${y.numElements()}")
@@ -39,6 +46,11 @@ case class FloatDot(left: Expression, right: Expression)
       i += 1
     }
     acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("floatDot", this, classOf[FloatDot].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
   }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

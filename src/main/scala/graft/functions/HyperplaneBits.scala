@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -14,7 +14,7 @@ import org.apache.spark.sql.types._
   * loop. Signs are the md5-derived ±1 matrix (Vectors.hyperplaneSigns).
   */
 case class HyperplaneBits(child: Expression, signs: Seq[Seq[Double]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
   // getFloat below reads 4-byte slots: a double array child would yield
@@ -31,8 +31,13 @@ case class HyperplaneBits(child: Expression, signs: Seq[Seq[Double]])
   @transient private lazy val matrix: Array[Array[Double]] =
     signs.map(_.toArray).toArray
 
-  override def nullSafeEval(input: Any): Any = {
-    val vec = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  /** Shared by eval and codegen (see [[FloatDot.compute]]: a
+    * plan-reference call keeps the LSH banding scan inside whole-stage
+    * codegen). */
+  def compute(vec: ArrayData): ArrayData = {
     val dim = vec.numElements()
     require(matrix.isEmpty || dim == matrix(0).length,
       s"vector dim $dim != hyperplane dim ${matrix(0).length} — " +
@@ -53,6 +58,12 @@ case class HyperplaneBits(child: Expression, signs: Seq[Seq[Double]])
     }
     new GenericArrayData(out)
   }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hyperplaneBits", this,
+      classOf[HyperplaneBits].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "graft_hyperplane_bits"
 }

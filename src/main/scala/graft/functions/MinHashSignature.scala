@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -19,7 +19,7 @@ import org.apache.spark.sql.types._
   * multiply mod 2^61−1 here).
   */
 case class MinHashSignature(child: Expression, numPerm: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   @transient private lazy val digest =
@@ -36,8 +36,13 @@ case class MinHashSignature(child: Expression, numPerm: Int)
     if (f >= M) f - M else f
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  /** Shared by eval and codegen (see [[FloatDot.compute]] for why:
+    * a plan-reference call keeps the dedup scan inside whole-stage
+    * codegen). Returns null for empty shingle arrays. */
+  def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     // No shingles → no signature (null), mirroring list_min of an
     // empty list; never an array of nulls under containsNull=false.
@@ -74,6 +79,16 @@ case class MinHashSignature(child: Expression, numPerm: Int)
     }
     new GenericArrayData(mins)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSig", this,
+      classOf[MinHashSignature].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.compute($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+
   override def nullable: Boolean = true // null for empty shingle arrays
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "graft_minhash_signature"

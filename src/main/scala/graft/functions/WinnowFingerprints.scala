@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -22,7 +22,7 @@ import org.apache.spark.sql.types._
   * again — equal selections are always adjacent.
   */
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(k >= 1 && w >= 2, s"need k>=1, w>=2; got k=$k w=$w")
 
   override def dataType: DataType = ArrayType(
@@ -31,8 +31,13 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
       StructField("nj", IntegerType, nullable = false))),
     containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  /** Shared by eval and codegen (see [[FloatDot.compute]]: a
+    * plan-reference call keeps the fingerprint scan inside whole-stage
+    * codegen). */
+  def compute(arr: ArrayData): ArrayData = {
     val sz = arr.numElements()
     val ng = sz - k + 1
     if (ng < w) return new GenericArrayData(Array.empty[Any])
@@ -82,6 +87,12 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
       i += 1
     }
     new GenericArrayData(out.toArray)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnowFingerprints", this,
+      classOf[WinnowFingerprints].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override def nullable: Boolean = child.nullable

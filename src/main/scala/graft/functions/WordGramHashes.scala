@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -15,14 +15,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * transient digest input. Used by [[graft.ops.SubstrDedup]].
   */
 case class WordGramHashes(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n >= 1, s"gram width must be >= 1, got $n")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   private val hexDigits = "0123456789abcdef".toCharArray
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  /** Shared by eval and codegen (see [[FloatDot.compute]]: a
+    * plan-reference call keeps the gram scan inside whole-stage
+    * codegen). */
+  def compute(arr: ArrayData): ArrayData = {
     val sz = arr.numElements()
     if (sz < n) return new GenericArrayData(Array.empty[Any])
     val toks = new Array[Array[Byte]](sz)
@@ -60,6 +65,12 @@ case class WordGramHashes(child: Expression, n: Int)
     }
     new GenericArrayData(out)
   }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordGramHashes", this,
+      classOf[WordGramHashes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
   override def nullable: Boolean = child.nullable
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "graft_word_gram_hashes"

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -11,21 +11,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * whose semantics built-ins genuinely can't express — multi-keyword
   * automaton matching, regex split keeping delimiters, Unicode
   * normalization forms, and linear-time n-gram repetition scores.
-  * All are deterministic, null-safe via UnaryExpression, and
-  * CodegenFallback (row-at-a-time eval; the surrounding projection
-  * stays codegen'd).
+  * All are deterministic, null-safe via UnaryExpression, and codegen'd
+  * via a plan-reference call into the JIT-compiled `compute` body (see
+  * [[FloatDot.compute]]): the surrounding projection stays INSIDE
+  * whole-stage codegen (CodegenFallback would break the stage), while
+  * the loop itself runs as ordinary JVM code, not Janino source.
   */
 
 /** F13/F14: keyword hit distribution via a shared Aho-Corasick
   * automaton. Returns map<keyword, count> with only hit keywords, in
   * keyword-list order (deterministic). */
 case class KeywordMatches(child: Expression, keywords: Seq[String])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType =
     MapType(StringType, IntegerType, valueContainsNull = false)
   override def nullable: Boolean = child.nullable
   @transient private lazy val trie = new AhoCorasick(keywords.toIndexedSeq)
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any = compute(input)
+
+  def compute(input: Any): org.apache.spark.sql.catalyst.util.MapData = {
     val counts = trie.countMatches(input.asInstanceOf[UTF8String].toString)
     val keys: Array[Any] = keywords.iterator.zipWithIndex.collect {
       case (k, i) if counts(i) > 0 => UTF8String.fromString(k): Any
@@ -33,17 +37,35 @@ case class KeywordMatches(child: Expression, keywords: Seq[String])
     val vals: Array[Any] = counts.iterator.filter(_ > 0).map(v => v: Any).toArray
     new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("keywordMatches", this,
+      classOf[KeywordMatches].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.compute($c);
+    """)
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "graft_keyword_matches"
 }
 
 /** Total keyword hits (F14 fused over the same automaton). */
 case class KeywordCount(child: Expression, keywords: Seq[String])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = IntegerType
   @transient private lazy val trie = new AhoCorasick(keywords.toIndexedSeq)
-  override def nullSafeEval(input: Any): Any =
+  override def nullSafeEval(input: Any): Any = compute(input)
+
+  def compute(input: Any): Int =
     trie.countMatches(input.asInstanceOf[UTF8String].toString).sum
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("keywordCount", this,
+      classOf[KeywordCount].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.compute($c);
+    """)
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "graft_keyword_count"
 }
@@ -51,11 +73,13 @@ case class KeywordCount(child: Expression, keywords: Seq[String])
 /** F15: keyword match spans as array<array<int>> of [start, end) char
   * offsets (the code_spans / nsfw_words_pos shape). */
 case class KeywordSpans(child: Expression, keywords: Seq[String])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType =
     ArrayType(ArrayType(IntegerType, containsNull = false), containsNull = false)
   @transient private lazy val trie = new AhoCorasick(keywords.toIndexedSeq)
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any = compute(input)
+
+  def compute(input: Any): ArrayData = {
     val text = input.asInstanceOf[UTF8String].toString
     val spans = trie.findSpans(text)
     // Offsets are CODE POINT positions (Python-reference semantics).
@@ -66,6 +90,14 @@ case class KeywordSpans(child: Expression, keywords: Seq[String])
     new GenericArrayData(spans.map { case (a, b) =>
       new GenericArrayData(Array[Any](cp(a), cp(b))): Any
     }.toArray)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("keywordSpans", this,
+      classOf[KeywordSpans].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.compute($c);
+    """)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "graft_keyword_spans"
@@ -82,10 +114,12 @@ case class KeywordSpans(child: Expression, keywords: Seq[String])
   * replays. One linear pass + rebuild; no regex alternation (a
   * 1 500-branch regex is quadratic-ish and unreadable). */
 case class KeywordRedact(child: Expression, keywords: Seq[String], mask: String)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = StringType
   @transient private lazy val trie = new AhoCorasick(keywords.toIndexedSeq)
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any = compute(input)
+
+  def compute(input: Any): UTF8String = {
     val text = input.asInstanceOf[UTF8String].toString
     val spans = trie.findSpans(text).sortBy(s => (s._1, -(s._2 - s._1)))
     val sb = new java.lang.StringBuilder(text.length)
@@ -98,6 +132,14 @@ case class KeywordRedact(child: Expression, keywords: Seq[String], mask: String)
     }
     sb.append(text, pos, text.length)
     UTF8String.fromString(sb.toString)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("keywordRedact", this,
+      classOf[KeywordRedact].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.compute($c);
+    """)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "graft_keyword_redact"
@@ -113,9 +155,11 @@ case class KeywordRedact(child: Expression, keywords: Seq[String], mask: String)
   * measurable pipeline cost. Equivalence to the regex composition is
   * property-pinned in PropertiesSpec. */
 case class CollapseWs(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = StringType
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any = compute(input)
+
+  def compute(input: Any): UTF8String = {
     val b = input.asInstanceOf[UTF8String].getBytes
     @inline def isWs(x: Byte): Boolean =
       x == ' ' || x == '\t' || x == '\n' || x == 0x0b || x == '\f' || x == '\r'
@@ -138,6 +182,14 @@ case class CollapseWs(child: Expression)
     if (inWs) { out(o) = ' '; o += 1 } // a trailing non-space \s run
     UTF8String.fromBytes(out, 0, o)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("collapseWs", this,
+      classOf[CollapseWs].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.compute($c);
+    """)
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "graft_collapse_ws"
 }
@@ -153,14 +205,16 @@ case class CollapseWs(child: Expression)
   * PropertiesSpec; reference quirks (backslash never splits, newline
   * not a separator) are pinned in TextSemanticsSpec. */
 case class TrivialTokenize(child: Expression, marks: String)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   @transient private lazy val isMark: java.util.BitSet = {
     val s = new java.util.BitSet()
     marks.foreach(ch => s.set(ch.toInt))
     s
   }
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any = compute(input)
+
+  def compute(input: Any): ArrayData = {
     val s = input.asInstanceOf[UTF8String].toString
     val out = new scala.collection.mutable.ArrayBuffer[Any]()
     val sb = new java.lang.StringBuilder()
@@ -179,6 +233,14 @@ case class TrivialTokenize(child: Expression, marks: String)
     if (out.isEmpty) out += UTF8String.EMPTY_UTF8
     new GenericArrayData(out.toArray)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("trivialTokenize", this,
+      classOf[TrivialTokenize].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.compute($c);
+    """)
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "graft_trivial_tokenize"
 }
@@ -186,10 +248,12 @@ case class TrivialTokenize(child: Expression, marks: String)
 /** F1 split_with_delimiter (setu/filters.py:309-330): regex split that
   * keeps each delimiter match attached to the preceding piece. */
 case class SplitKeepDelimiter(child: Expression, pattern: String)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   @transient private lazy val regex = java.util.regex.Pattern.compile(pattern)
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any = compute(input)
+
+  def compute(input: Any): ArrayData = {
     val text = input.asInstanceOf[UTF8String].toString
     val m = regex.matcher(text)
     val pieces = scala.collection.mutable.ArrayBuffer[Any]()
@@ -203,6 +267,14 @@ case class SplitKeepDelimiter(child: Expression, pattern: String)
     if (last < text.length) pieces += UTF8String.fromString(text.substring(last))
     new GenericArrayData(pieces.toArray)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("splitKeepDelimiter", this,
+      classOf[SplitKeepDelimiter].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.compute($c);
+    """)
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "graft_split_keep_delim"
 }
@@ -210,12 +282,22 @@ case class SplitKeepDelimiter(child: Expression, pattern: String)
 /** F11-lite: Unicode normalization (NFC/NFD/NFKC/NFKD) — the portable
   * core of the reference's IndicNLP normalize-then-NFKC chain. */
 case class NormalizeUnicode(child: Expression, form: String)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = StringType
   @transient private lazy val nf = java.text.Normalizer.Form.valueOf(form)
-  override def nullSafeEval(input: Any): Any =
+  override def nullSafeEval(input: Any): Any = compute(input)
+
+  def compute(input: Any): UTF8String =
     UTF8String.fromString(
       java.text.Normalizer.normalize(input.asInstanceOf[UTF8String].toString, nf))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("normalizeUnicode", this,
+      classOf[NormalizeUnicode].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.compute($c);
+    """)
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "graft_normalize"
 }
@@ -223,9 +305,11 @@ case class NormalizeUnicode(child: Expression, form: String)
 /** F17 char n-gram repetition: (sum of top-⌊√distinct⌋ frequencies) /
   * total n-grams (setu/filters.py:545-572), linear-time hashmap. */
 case class CharNgramRepScore(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = DoubleType
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any = compute(input)
+
+  def compute(input: Any): Double = {
     val text = input.asInstanceOf[UTF8String].toString
     // n-grams over CODE POINTS, not UTF-16 units — the Python reference
     // and the DuckDB oracle (substr/length) both count codepoints, and
@@ -251,6 +335,14 @@ case class CharNgramRepScore(child: Expression, n: Int)
     while (t >= freqs.length - k) { top += freqs(t); t -= 1 }
     top.toDouble / total
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charNgramRepScore", this,
+      classOf[CharNgramRepScore].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.compute($c);
+    """)
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "graft_char_ngram_rep"
 }
@@ -258,9 +350,11 @@ case class CharNgramRepScore(child: Expression, n: Int)
 /** F18 word n-gram repetition over a token array: (sum of frequencies
   * ≥ 2) / total n-grams (setu/filters.py:574-602), linear-time. */
 case class WordNgramRepScore(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = DoubleType
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any = compute(input)
+
+  def compute(input: Any): Double = {
     val arr = input.asInstanceOf[ArrayData]
     val sz = arr.numElements()
     if (sz < n) return 0.0d
@@ -282,6 +376,14 @@ case class WordNgramRepScore(child: Expression, n: Int)
     while (it.hasNext) { val c = it.next(); if (c >= 2) rep += c }
     rep.toDouble / total
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordNgramRepScore", this,
+      classOf[WordNgramRepScore].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.compute($c);
+    """)
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "graft_word_ngram_rep"
 }
@@ -293,15 +395,26 @@ case class WordNgramRepScore(child: Expression, n: Int)
   * suffixed chunks ("..."/"####") are removed outright. Returns null
   * for removed chunks (the reference's None). */
 case class NonTerminalPuncSpanRemove(child: Expression, chunkLenThreshold: Double)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any = compute(input)
+
+  def compute(input: Any): UTF8String = {
     val chunk = input.asInstanceOf[UTF8String].toString
     NonTerminalPuncSpanRemove.eval(chunk, chunkLenThreshold) match {
       case null => null
       case s    => UTF8String.fromString(s)
     }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nonTerminalPuncSpanRemove", this,
+      classOf[NonTerminalPuncSpanRemove].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.compute($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "graft_remove_non_terminal_punc_span"
@@ -337,11 +450,13 @@ object NonTerminalPuncSpanRemove {
 /** Rolling polynomial fingerprint (base 257 mod 2^61-1) — order-
   * sensitive content hash for document fingerprinting. */
 case class RollingHash(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   private val Mod = (1L << 61) - 1
   private val Base = 257L
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any = compute(input)
+
+  def compute(input: Any): Long = {
     val bytes = input.asInstanceOf[UTF8String].getBytes
     var h = 0L
     var i = 0
@@ -354,6 +469,14 @@ case class RollingHash(child: Expression)
       i += 1
     }
     h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("rollingHash", this,
+      classOf[RollingHash].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.compute($c);
+    """)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "graft_rolling_hash"

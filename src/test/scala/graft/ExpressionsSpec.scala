@@ -39,6 +39,92 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("codegen'd expressions compile under fallback=false and match eval") {
+    // The five hot-path expressions implement doGenCode (plan-reference
+    // call into the JIT-compiled compute body) so their projections
+    // stay inside whole-stage codegen. Spark silently reverts to
+    // interpreted eval on Janino errors — fallback=false turns that
+    // silent revert into a test failure, and comparing against the
+    // interpreted path pins the two implementations to each other.
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val vecs = Seq(
+        (Seq(1.0f, 2.0f, -0.5f), Seq(0.5f, -1.0f, 4.0f)),
+        (Seq(0.0f, 0.0f, 0.0f), Seq(1.0f, 1.0f, 1.0f)))
+      val dot = vecs.toDF("a", "b")
+        .select(graft.ops.Vectors.dot($"a", $"b").as("d"))
+        .collect().map(_.getDouble(0)).toSeq
+      assert(dot == Seq(1.0 * 0.5 - 2.0 + (-0.5) * 4.0, 0.0))
+
+      val sig = Seq(Seq("a b", "b c"), Seq.empty[String]).toDF("sh")
+        .select(graft.ops.MinHash.signature($"sh", 8).as("s"))
+        .collect()
+      assert(sig(0).getSeq[Long](0).length == 8)
+      assert(sig(1).isNullAt(0), "empty shingles must stay null")
+
+      val grams = Seq(Seq("x", "y", "z")).toDF("t")
+        .select(org.apache.spark.sql.graft.bridge.column(
+          graft.functions.WordGramHashes(
+            org.apache.spark.sql.graft.bridge.expression(col("t")), 2)).as("g"))
+        .collect()(0).getSeq[String](0)
+      assert(grams.length == 2 && grams.forall(_.length == 32))
+
+      val signs = Seq(Seq(1.0, -1.0, 1.0), Seq(-1.0, -1.0, 1.0))
+      val bits = Seq(Seq(1.0f, 0.5f, 2.0f)).toDF("v")
+        .select(org.apache.spark.sql.graft.bridge.column(
+          graft.functions.HyperplaneBits(
+            org.apache.spark.sql.graft.bridge.expression(col("v")), signs))
+          .as("b"))
+        .collect()(0).getSeq[Int](0)
+      assert(bits == Seq(1, 1)) // 1-0.5+2>0; -1-0.5+2>0
+
+      val fps = Seq(Seq("a", "b", "c", "d", "e")).toDF("t")
+        .select(graft.ops.Winnow.selection($"t", 2, 2).as("f"))
+        .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      assert(fps.nonEmpty && fps.forall(_.getInt(1) <= 0))
+
+      // the scalar-expression module (keyword automaton, splitters,
+      // normalizers, repetition scores, rolling hash) — every dataType
+      // shape the module emits must survive codegen: map, int, string,
+      // array<string>, double, nullable string, long
+      val kws = Seq("slow", "hash join")
+      assert(one[Map[String, Int]](keywordMatches($"t", kws),
+        "slow hash join") == Map("slow" -> 1, "hash join" -> 1))
+      assert(one[Int](keywordCount($"t", kws), "slow slower") == 1)
+      assert(one[String](keywordRedact($"t", kws, "[*]"), "a slow b")
+        == "a [*] b")
+      val spans = Seq("slow x").toDF("t")
+        .select(keywordSpans($"t", kws).as("r"))
+        .collect()(0).getSeq[scala.collection.Seq[Int]](0)
+      assert(spans.map(s => (s(0), s(1))).toList == List((0, 4)))
+      assert(one[String](graft.ops.Text.normalizeWs($"t"), "  a\t b ")
+        == "a b")
+      assert(oneSeq(graft.functions.GraftFunctions.splitKeepDelim(
+        $"t", SentenceDelimiterPattern), "a. b") == List("a.", " b"))
+      assert(one[String](normalizeUnicode($"t", "NFKC"), "ﬁ") == "fi")
+      assert(one[Double](charNgramRep($"t", 2), "ababab") > 0.0)
+      assert(one[Double](wordNgramRep(split($"t", " "), 2),
+        "a b a b") > 0.0)
+      assert(one[String](GraftFunctions.removeNonTerminalPuncSpan(
+        $"t", 2.0), "one two three. junk") == "one two three.")
+      // removed chunk → null must survive the codegen null path
+      val removed = Seq("abc...").toDF("t")
+        .select(GraftFunctions.removeNonTerminalPuncSpan($"t", 2.0).as("r"))
+        .collect()(0)
+      assert(removed.isNullAt(0))
+      assert(one[Long](rollingHash($"t"), "abc") ==
+        one[Long](rollingHash($"t"), "abc"))
+      val tok = oneSeq(graft.ops.Text.trivialTokenize($"t", "en"), "a b")
+      assert(tok == List("a", "b"))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+
   test("remove_non_terminal_punc_span mirrors the reference flow (F20)") {
     import graft.functions.NonTerminalPuncSpanRemove.eval
     // valid terminal → unchanged
