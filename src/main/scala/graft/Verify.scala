@@ -26,6 +26,8 @@ object Verify {
       f.delete(); ()
     }
     selected.foreach { case (name, fn) =>
+      // stderr marker so driver-log warnings attribute to a query
+      System.err.println(s"[verify] running $name")
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

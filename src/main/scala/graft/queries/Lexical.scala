@@ -287,11 +287,17 @@ object Lexical {
     val pc = wf
       .select(explode(Text.charNgrams($"w", 2)).as("pair"), $"f")
       .groupBy($"pair").agg(sum($"f").as("n"))
-    pc.withColumn("rk",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy($"n".desc, $"pair")))
-      .filter($"rk" <= 20)
-      .select($"rk".cast("long").as("rk"), $"pair", $"n".cast("long").as("n"))
+    // top-20 via orderBy+limit = TakeOrderedAndProject (per-partition
+    // top-k, driver merge — never a single-reducer rank of the full
+    // pair table); the 20-row remainder ranks via the bounded
+    // collect+sort+posexplode form (the queryFrame pattern — a literal
+    // partition key would constant-fold back to the warned shape)
+    pc.orderBy($"n".desc, $"pair").limit(20)
+      .agg(sort_array(collect_list(
+        struct((-$"n").as("negn"), $"pair", $"n"))).as("ts"))
+      .select(posexplode($"ts").as(Seq("i", "t")))
+      .select(($"i" + 1).cast("long").as("rk"), $"t.pair".as("pair"),
+        $"t.n".cast("long").as("n"))
       .orderBy($"rk")
   }
 
@@ -770,13 +776,16 @@ object Lexical {
           round($"c".cast("double") / $"n2", 6)
             / (round($"ca".cast("double") / $"n1", 6)
                * round($"cb".cast("double") / $"n1", 6))), 6).as("pmi"))
-    pmi
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy($"pmi".desc, $"w1", $"w2")))
-      .filter($"rk" <= 20)
-      .select($"rk".cast("long").as("rk"), $"w1", $"w2",
-        $"c".as("n_pair"), $"pmi")
+    // the bigram table is corpus-scale: top-20 must be
+    // orderBy+limit = TakeOrderedAndProject, never a single-reducer
+    // global rank; the 20-row remainder ranks via the bounded
+    // collect+sort+posexplode form (queryFrame pattern)
+    pmi.orderBy($"pmi".desc, $"w1", $"w2").limit(20)
+      .agg(sort_array(collect_list(
+        struct((-$"pmi").as("negpmi"), $"w1", $"w2", $"c", $"pmi"))).as("ts"))
+      .select(posexplode($"ts").as(Seq("i", "t")))
+      .select(($"i" + 1).cast("long").as("rk"), $"t.w1".as("w1"),
+        $"t.w2".as("w2"), $"t.c".as("n_pair"), $"t.pmi".as("pmi"))
       .orderBy($"rk")
   }
 

@@ -920,11 +920,16 @@ object TrainingPrep {
       round(log10((Sampling.hash48($"doc_id") + lit(0.5)) /
           lit(281474976710656.0)) / $"n_chars", 9).as("skey"))
       .orderBy($"skey".desc, $"doc_id").limit(20)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy($"skey".desc, $"doc_id")
-    keyed // 20-row frame: the rank window is driver-bounded
-      .select(row_number().over(w).cast("long").as("sample_rank"),
-        $"doc_id", $"n_chars".as("weight"), $"skey")
+    // 20-row frame: rank via the bounded collect+sort+posexplode form
+    // (queryFrame pattern — a window here would be unpartitioned)
+    keyed
+      .agg(sort_array(collect_list(
+        struct((-$"skey").as("negskey"), $"doc_id", $"n_chars", $"skey")))
+        .as("ts"))
+      .select(posexplode($"ts").as(Seq("i", "t")))
+      .select(($"i" + 1).cast("long").as("sample_rank"),
+        $"t.doc_id".as("doc_id"), $"t.n_chars".as("weight"),
+        $"t.skey".as("skey"))
       .orderBy($"sample_rank")
   }
 
@@ -1111,8 +1116,12 @@ object TrainingPrep {
     val left = q.agg((lit(budget) - sum($"base")).as("leftover"))
     q.crossJoin(broadcast(left))
       .withColumn("rk", row_number().over(
+        // |sources|-bounded frame; partitioning by the cross-joined
+        // leftover attribute (constant-valued but NOT foldable) keeps
+        // the bounded rank out of the unpartitioned-window class — a
+        // literal key would constant-fold back to the warned shape
         org.apache.spark.sql.expressions.Window
-          .orderBy($"rem".desc, $"source")))
+          .partitionBy($"leftover").orderBy($"rem".desc, $"source")))
       .select($"source", $"n_tok".as("available_tokens"),
         ($"base" + when($"rk" <= $"leftover", 1L).otherwise(0L))
           .cast("long").as("allocated_tokens"))

@@ -481,6 +481,23 @@ class PlanSpec extends AnyFunSuite {
         "(empty partitionSpec = single-reducer sort of the user frame)")
   }
 
+  test("top-k reports: distributed TakeOrderedAndProject, zero unpartitioned windows") {
+    // the four former single-reducer global ranks (collocations ranks
+    // the corpus-scale bigram table!) must ride orderBy+limit and the
+    // bounded collect+sort+posexplode rank, never Window.orderBy
+    for (q <- Seq("d_bpe_pair_counts", "d_collocations",
+        "d_weighted_sample", "d_token_budget_allocation")) {
+      val df = SparkEntry.queries(q)(spark, TestSpark.Sf)
+      val windows = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(windows.forall(_.partitionSpec.nonEmpty),
+        s"$q ranks through an unpartitioned window (single-reducer sort)")
+    }
+    assert(plan("d_collocations").contains("TakeOrderedAndProject"),
+      "bigram top-k must be per-partition top-k + driver merge")
+  }
+
   test("expectations: key-side dims broadcast, fact FK join keyed, no nested loops") {
     val p = plan("q_expectations")
     // customer/nation key sets broadcast under the dims-are-small rule;
