@@ -28,4 +28,19 @@ class WindowSweepSpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       s"unpartitioned window(s) in: ${offenders.mkString(", ")}")
   }
+
+  test("no CartesianProduct anywhere in the declared surface") {
+    // BroadcastNestedLoopJoin is sanctioned where one side is a
+    // bounded dim (knn brute's codebook, range-band dims); an actual
+    // CartesianProduct (both sides shuffled, |L|×|R| work) never is
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
+      try {
+        val p = SparkEntry.queries(q)(spark, TestSpark.Sf)
+          .queryExecution.executedPlan.toString
+        if (p.contains("CartesianProduct")) Some(q) else None
+      } catch { case _: Throwable => None }
+    }
+    assert(offenders.isEmpty,
+      s"cartesian product(s) in: ${offenders.mkString(", ")}")
+  }
 }
