@@ -1626,7 +1626,8 @@ object Events {
         CAST(SUM(credit) AS DOUBLE) / 1000000.0 AS attributed_value,
         CAST(COUNT(credit) AS BIGINT) AS n_credits
       FROM u WHERE credit IS NOT NULL
-      GROUP BY model, touch_type ORDER BY model, touch_type""")) { (s, dir) =>
+      GROUP BY model, touch_type ORDER BY model, touch_type"""),
+    bench = true) { (s, dir) =>
     import s.implicits._
     val lookbackUs = 7L * 24 * 3600 * 1000 * 1000
     val e = load(s, dir).select($"user_id", $"event_type",

@@ -1178,7 +1178,8 @@ object Relational {
         UNION ALL SELECT 'part_retailprice_positive', bad_price, total FROM p)
       SELECT "check", CAST(violations AS BIGINT) AS violations,
         CAST(total AS BIGINT) AS total, violations = 0 AS passed
-      FROM u ORDER BY "check" """)) { (s, dir) =>
+      FROM u ORDER BY "check" """),
+    bench = true) { (s, dir) =>
     import s.implicits._
     def viol(c: org.apache.spark.sql.Column) =
       sum(when(c, 1L).otherwise(0L))
