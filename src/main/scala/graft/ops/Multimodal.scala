@@ -303,6 +303,36 @@ object Multimodal {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  final case class AudioFrame(doc_id: Long, frame_id: Long, frame_sq: Long)
+
+  /** Per-FRAME energies over the decoded PCM stream (default 160
+    * samples/frame = 20 ms at 8 kHz; COMPLETE frames only, a ragged
+    * tail frame would bias its energy low) — the front half of
+    * VAD-style segmentation: the relational half (above-mean flag,
+    * gaps-and-islands runs) composes downstream in plain SQL shapes.
+    * Same per-row bounded-work contract as [[audioEnergy]]. */
+  def audioFrameEnergies(blobs: Dataset[MediaBlob], frameLen: Int = 160)
+      : Dataset[AudioFrame] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.flatMap { blob =>
+      pcmChunk(blob.data).iterator.flatMap { case (off, nBytes) =>
+        val bb = java.nio.ByteBuffer.wrap(blob.data)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val nf = (nBytes / 2) / frameLen
+        (0 until nf).iterator.map { f =>
+          var i = 0
+          var sq = 0L
+          while (i < frameLen) {
+            val v = bb.getShort(off + (f * frameLen + i) * 2).toLong
+            sq += v * v
+            i += 1
+          }
+          AudioFrame(blob.doc_id, f.toLong, sq)
+        }
+      }
+    })
+  }
+
   /** REAL PCM signal statistics over the decoded 16-bit sample stream —
     * the audio-side quality/VAD primitives (energy for loudness
     * filtering, silence ratio for dead-air detection, peak for clip

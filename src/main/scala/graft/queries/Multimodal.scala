@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
 import graft.ops.{Multimodal => MM}
@@ -333,7 +334,79 @@ object Multimodal {
       .orderBy($"doc_id", $"frame_id")
   }
 
+  /** VAD-style audio SEGMENTATION: the decoded PCM framed into 20 ms
+    * frames (complete frames only, [[graft.ops.Multimodal
+    * .audioFrameEnergies]]), each frame flagged voiced iff its energy
+    * exceeds the doc's mean frame energy — the comparison is the
+    * integer cross-multiply `frame_sq · n_frames > total_sq`, so no
+    * division ever happens and both engines agree exactly — then
+    * consecutive same-flag frames collapse to segments
+    * (gaps-and-islands). This is the speech-curation primitive that
+    * turns raw audio into utterance-bounded clips; the oracle replays
+    * the WAV generator's sample formula through the identical frame /
+    * flag / island SQL.
+    *
+    * Scale shape: per-row bounded JVM frame walk (no shuffle), then
+    * every window partitions by doc_id (frames per doc bounded by
+    * clip length); segment rollup is one doc-keyed hash agg. */
+  val mmAudioVad: Spec = Spec(
+    "mm_audio_vad",
+    oracle = Some("""
+      WITH t AS (
+        SELECT doc_id, unnest(range(0, 1600 + doc_id % 800)) AS i
+        FROM documents WHERE doc_id % 10 = 5),
+      s AS (SELECT doc_id, i, (i * 257 + doc_id) % 32768 AS v FROM t),
+      f AS (SELECT doc_id, i // 160 AS frame_id, SUM(v * v) AS fsq,
+              COUNT(*) AS c
+            FROM s GROUP BY 1, 2),
+      cf AS (SELECT doc_id, frame_id, fsq FROM f WHERE c = 160),
+      g AS (SELECT doc_id, frame_id, fsq,
+              COUNT(*) OVER (PARTITION BY doc_id) AS nf,
+              SUM(fsq) OVER (PARTITION BY doc_id) AS tot
+            FROM cf),
+      v AS (SELECT doc_id, frame_id, fsq,
+              CASE WHEN fsq * nf > tot THEN 1 ELSE 0 END AS voiced
+            FROM g),
+      b AS (SELECT *, CASE WHEN lag(voiced) OVER w IS NULL
+                OR voiced <> lag(voiced) OVER w THEN 1 ELSE 0 END AS brk
+            FROM v WINDOW w AS (PARTITION BY doc_id ORDER BY frame_id)),
+      seg AS (SELECT *, SUM(brk) OVER (PARTITION BY doc_id ORDER BY frame_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+              FROM b)
+      SELECT doc_id, CAST(seg_id AS BIGINT) AS seg_id,
+        CAST(MAX(voiced) AS BIGINT) AS voiced,
+        CAST(MIN(frame_id) AS BIGINT) AS start_frame,
+        CAST(MAX(frame_id) AS BIGINT) AS end_frame,
+        CAST(COUNT(*) AS BIGINT) AS n_frames,
+        CAST(SUM(fsq) AS BIGINT) AS seg_sq
+      FROM seg GROUP BY doc_id, seg_id ORDER BY doc_id, seg_id""")) { (s, dir) =>
+    import s.implicits._
+    val ids = Tables.load(s, dir, "documents")
+      .filter($"doc_id" % 10 === 5)
+      .select($"doc_id").as[java.lang.Long]
+    val frames = MM.audioFrameEnergies(MM.syntheticWavBlobs(ids)).toDF()
+    val wdoc = Window.partitionBy($"doc_id")
+    val wseq = Window.partitionBy($"doc_id").orderBy($"frame_id")
+    val run = wseq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    frames
+      .withColumn("nf", count(lit(1)).over(wdoc))
+      .withColumn("tot", sum($"frame_sq").over(wdoc))
+      .withColumn("voiced",
+        when($"frame_sq" * $"nf" > $"tot", 1L).otherwise(0L))
+      .withColumn("brk",
+        when(lag($"voiced", 1).over(wseq).isNull ||
+          $"voiced" =!= lag($"voiced", 1).over(wseq), 1).otherwise(0))
+      .withColumn("seg_id", sum($"brk").over(run).cast("long"))
+      .groupBy($"doc_id", $"seg_id")
+      .agg(max($"voiced").as("voiced"),
+        min($"frame_id").as("start_frame"),
+        max($"frame_id").as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        sum($"frame_sq").as("seg_sq"))
+      .orderBy($"doc_id", $"seg_id")
+  }
+
   val specs: Seq[Spec] = Seq(mmDecodeMeta, mmImageDecode, mmFrameSample,
     mmResize, mmAudioMeta, mmAudioEnergy, mmImageAhash, mmImageNeardup,
-    mmCaptionAlign)
+    mmCaptionAlign, mmAudioVad)
 }
