@@ -1590,9 +1590,9 @@ object Events {
     * frame — a single Exchange + WindowExec. The three models unpivot
     * via `stack` (one Generate, no triple re-scan of the join), and the
     * final agg is |models|×|channels|-keyed — constant-size output. */
-  val qAttribution: Spec = Spec(
-    "ev_attribution",
-    oracle = Some("""
+  /** Shared by ev_attribution and its stateful streaming twin
+    * st_attribution (identical credit semantics → identical rollup). */
+  val attributionOracleSql: String = """
       WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
           CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vm
         FROM events),
@@ -1626,7 +1626,11 @@ object Events {
         CAST(SUM(credit) AS DOUBLE) / 1000000.0 AS attributed_value,
         CAST(COUNT(credit) AS BIGINT) AS n_credits
       FROM u WHERE credit IS NOT NULL
-      GROUP BY model, touch_type ORDER BY model, touch_type"""),
+      GROUP BY model, touch_type ORDER BY model, touch_type"""
+
+  val qAttribution: Spec = Spec(
+    "ev_attribution",
+    oracle = Some(attributionOracleSql),
     bench = true) { (s, dir) =>
     import s.implicits._
     val lookbackUs = 7L * 24 * 3600 * 1000 * 1000

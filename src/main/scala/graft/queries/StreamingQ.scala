@@ -151,6 +151,24 @@ object StreamingQ {
       .orderBy($"user_id", $"session_start_us")
   }
 
+  /** Stateful streaming ATTRIBUTION: the batch ev_attribution rollup
+    * maintained from the live event feed — per-user 7-day touch
+    * buffers ([[StreamOps.attributionFrom]]) emit first/last/linear
+    * credits at purchase time with the identical integer remainder
+    * rule, so the oracle IS the batch SQL verbatim
+    * ([[Events.attributionOracleSql]]): every credit the banded join
+    * derives after the fact, the state machine derives on arrival. */
+  val stAttribution: Spec = Spec(
+    "st_attribution",
+    oracle = Some(Events.attributionOracleSql)) { (s, dir) =>
+    import s.implicits._
+    StreamOps.statefulAttribution(s, dir)
+      .groupBy($"model", $"touch_type")
+      .agg((sum($"credit").cast("double") / 1000000.0).as("attributed_value"),
+        count(lit(1)).as("n_credits"))
+      .orderBy($"model", $"touch_type")
+  }
+
   /** Streaming ENTRY/EXIT matrix: the batch ev_entry_exit report
     * maintained from the stateful session stream — sessions close by
     * the same 30-minute gap / EventTimeTimeout rule as st_sessions
@@ -723,5 +741,5 @@ object StreamingQ {
     stDocFlags, stHeavyHitters, stDriftWindowed, stLidScript,
     stMinhashPairs, stFunnelLevels, stBm25Indexed, stCmsCounts, stNovelty,
     stAsofLastClick, stCcIncremental, stRateAnomaly, stKsWindowed, stMarkov,
-    stSeasonal, stPath, stNsfwRollup, stEntryExit)
+    stSeasonal, stPath, stNsfwRollup, stEntryExit, stAttribution)
 }

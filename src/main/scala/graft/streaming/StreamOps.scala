@@ -199,6 +199,81 @@ object StreamOps {
       .orderBy(col("user_id"), col("session_start_us"))
   }
 
+  final case class AttrEvent(user_id: Long, ts_us: Long, event_id: Long,
+      event_type: String, vm: Long)
+  final case class Touch(ts_us: Long, event_id: Long, touch_type: String)
+  final case class AttrState(touches: List[Touch])
+  final case class Credit(model: String, touch_type: String, credit: Long)
+
+  /** Stateful MULTI-TOUCH ATTRIBUTION (flatMapGroupsWithState,
+    * NoTimeout): per user, the state is the touch buffer for the last
+    * 7 days — each arriving purchase sees exactly the touches the
+    * batch banded join would pair it with (the event-time-ordered-feed
+    * contract makes the at-purchase buffer complete), so first/last/
+    * linear credits are emitted immediately and are IDENTICAL to the
+    * batch twin's, integer remainder rule included. Touches older than
+    * (current event − 7 d) evict on every update (a later purchase's
+    * window can only move forward), so state per user is bounded by
+    * the touch rate × lookback — the same frame the batch join holds
+    * per user, never the full history. */
+  def statefulAttribution(s: SparkSession, dir: String): DataFrame =
+    attributionFrom(s, eventsStream(s, dir), "st_attribution_mem")
+
+  def attributionFrom(s: SparkSession, events: DataFrame,
+      sink: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val lookbackUs = 7L * 24 * 3600 * 1000 * 1000
+    val src = events
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_id"), col("event_type"),
+        (col("value").cast("decimal(18,6)") * 1000000).cast("long").as("vm"))
+      .as[AttrEvent]
+    val credits = src
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttrState, Credit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, evs: Iterator[AttrEvent], state: GroupState[AttrState]) =>
+          // touches sort BEFORE purchases at equal ts (the qAsofClick
+          // trick): the batch band is t_us <= p_us, so a same-micro
+          // touch with a larger event_id still attributes
+          val sorted = evs.toArray.sortBy(e =>
+            (e.ts_us, if (e.event_type == "purchase") 1 else 0, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer[Credit]()
+          var buf = state.getOption.map(_.touches).getOrElse(Nil)
+          for (e <- sorted) {
+            buf = buf.filter(_.ts_us > e.ts_us - lookbackUs)
+            e.event_type match {
+              case "view" | "click" =>
+                buf = Touch(e.ts_us, e.event_id, e.event_type) :: buf
+              case "purchase" =>
+                // buffer already holds exactly (p_us - 7d, p_us] touches
+                if (buf.isEmpty) {
+                  out += Credit("first", "(direct)", e.vm)
+                  out += Credit("last", "(direct)", e.vm)
+                  out += Credit("linear", "(direct)", e.vm)
+                } else {
+                  val n = buf.size.toLong
+                  val first = buf.minBy(t => (t.ts_us, t.event_id))
+                  val last = buf.maxBy(t => (t.ts_us, t.event_id))
+                  out += Credit("first", first.touch_type, e.vm)
+                  out += Credit("last", last.touch_type, e.vm)
+                  val share = e.vm / n
+                  val rem = e.vm % n
+                  buf.foreach { t =>
+                    out += Credit("linear", t.touch_type,
+                      share + (if (t eq first) rem else 0L))
+                  }
+                }
+              case _ => () // non-touch, non-purchase events don't attribute
+            }
+          }
+          if (buf.nonEmpty) state.update(AttrState(buf)) else state.remove()
+          out.iterator
+      }
+    runToTable(s, credits.toDF(), sink, "append")
+  }
+
   final case class SessEvent2(user_id: Long, ts_us: Long, event_id: Long,
       event_type: String, ts_utc: java.sql.Timestamp)
   final case class SessState2(start: Long, end: Long, n: Long,

@@ -116,6 +116,41 @@ class StreamingSpec extends AnyFunSuite {
       s"entry/exit state must be <= $users (one row per user), got $stateRows")
   }
 
+  test("streaming attribution: purchases attribute batch-1 touches from state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Events.load(spark, TestSpark.Sf)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[(Long, Long, Long, String, Double, String)].collect().toSeq
+    // split mid-stream: purchases in batch 2 must see batch-1 touches
+    // through the per-user 7-day buffer, not just in-batch ones
+    val (early, late) = rows.sortBy(_._2).splitAt(rows.length / 2)
+    val ms = MemoryStream[(Long, Long, Long, String, Double, String)]
+    ms.addData(early)
+    ms.addData(late)
+    val src = ms.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = StreamOps.attributionFrom(spark, src, "st_attr_msrc")
+      .groupBy($"model", $"touch_type")
+      .agg(org.apache.spark.sql.functions.sum($"credit").as("c"),
+        org.apache.spark.sql.functions.count($"credit").as("n"))
+      .as[(String, String, Long, Long)].collect().toSet
+    val file = StreamOps.statefulAttribution(spark, TestSpark.Sf)
+      .groupBy($"model", $"touch_type")
+      .agg(org.apache.spark.sql.functions.sum($"credit").as("c"),
+        org.apache.spark.sql.functions.count($"credit").as("n"))
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == file,
+      "two-batch credits must equal the single-batch run exactly")
+    assert(got.nonEmpty)
+    // state bound: one touch-buffer row per user (the buffer itself is
+    // rate×lookback bounded inside the row)
+    val users = rows.map(_._3).distinct.size
+    val stateRows = StreamOps.lastStateRows
+    assert(stateRows.exists(_ <= users),
+      s"attribution state must be <= $users rows, got $stateRows")
+  }
+
   test("non-file source: MemoryStream stream-stream interval join matches the file-source run") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
