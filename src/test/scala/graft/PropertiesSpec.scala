@@ -7,6 +7,8 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
 import graft.ops.Text
+import graft.queries.Events
+import graft.streaming.StreamOps
 
 /** Property tests (SURVEY §5.3): round trips and invariants over
   * ScalaCheck-generated token streams, each batch driven through one
@@ -362,6 +364,29 @@ class PropertiesSpec extends AnyFunSuite {
       s"disjoint supports must give KS 1: $rows")
     assert(rows("2024-01-03")._2 < 0.05,
       s"disjoint supports must reject at n=10: $rows")
+  }
+
+  test("attribution: every model's credits sum to total purchase revenue") {
+    // the conservation invariant that makes first/last/linear
+    // comparable — integer micro-units mean EXACT equality, and the
+    // streaming twin must conserve identically (same credit emission)
+    import org.apache.spark.sql.functions._
+    val total = Events.load(spark, TestSpark.Sf)
+      .filter($"event_type" === "purchase")
+      .select(($"value".cast("decimal(18,6)") * 1000000).cast("long").as("vm"))
+      .agg(sum($"vm")).as[Long].head()
+    val perModel = Events.qAttribution.fn(spark, TestSpark.Sf)
+      .groupBy($"model")
+      .agg(sum(($"attributed_value" * 1000000).cast("long")).as("m"))
+      .as[(String, Long)].collect().toMap
+    assert(perModel.keySet == Set("first", "last", "linear"))
+    for ((m, v) <- perModel)
+      assert(v == total, s"model $m leaks revenue: $v != $total")
+    val streamed = StreamOps.statefulAttribution(spark, TestSpark.Sf)
+      .groupBy($"model").agg(sum($"credit").as("m"))
+      .as[(String, Long)].collect().toMap
+    for ((m, v) <- streamed)
+      assert(v == total, s"streaming model $m leaks revenue: $v != $total")
   }
 
   test("exact KS drift: a time-shifted copy of the same values scores 0") {
