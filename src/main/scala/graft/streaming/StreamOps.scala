@@ -359,7 +359,18 @@ object StreamOps {
     * multiset equals the batch lead() pairs exactly (the cross-batch
     * path is pinned by the MemoryStream twin in StreamingSpec). */
   def markovPairsFrom(s: SparkSession, events: DataFrame,
-      sink: String): DataFrame = {
+      sink: String): DataFrame =
+    runToTable(s, markovPairsStream(s, events).toDF(), sink, "append")
+      // the transition tail self-joins this table (counts vs per-cur
+      // totals); checkpoint the bounded pair table so the MemoryPlan
+      // leaf becomes re-referenceable (same fix as dailyValueCounts)
+      .localCheckpoint()
+
+  /** The transformed (pre-sink) transition stream — exposed so tests
+    * can drive it through arbitrary sinks (e.g. a checkpointed parquet
+    * sink for restart-continuity proofs). */
+  def markovPairsStream(s: SparkSession, events: DataFrame)
+      : org.apache.spark.sql.Dataset[Transition] = {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val src = events
@@ -394,11 +405,7 @@ object StreamOps {
           if (prev != null) state.update(prev)
           out.iterator
       }
-    runToTable(s, pairs.toDF(), sink, "append")
-      // the transition tail self-joins this table (counts vs per-cur
-      // totals); checkpoint the bounded pair table so the MemoryPlan
-      // leaf becomes re-referenceable (same fix as dailyValueCounts)
-      .localCheckpoint()
+    pairs
   }
 
   /** [[markovPairsFrom]] over the file events source. */

@@ -151,6 +151,54 @@ class StreamingSpec extends AnyFunSuite {
       s"attribution state must be <= $users rows, got $stateRows")
   }
 
+  test("checkpoint restart: stateful stream resumes exactly-once across a stop") {
+    // The production fault-tolerance contract the memory-sink smoke
+    // tests can't show: a REAL checkpointLocation + a replayable file
+    // sink, the query stopped cold between batches, a NEW query
+    // restarted from the same checkpoint — emitted transitions must
+    // equal the uninterrupted run exactly (no loss from the stop, no
+    // dupes from the replay, per-user state recovered from the store).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_restart").toString
+    val ckpt = s"$base/ckpt"
+    val out = s"$base/out"
+    val rows = Events.load(spark, TestSpark.Sf)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[(Long, Long, Long, String, Double, String)].collect().toSeq
+    val (early, late) = rows.sortBy(_._2).splitAt(rows.length / 2)
+    val ms = MemoryStream[(Long, Long, Long, String, Double, String)]
+    def stream() = StreamOps.markovPairsStream(spark, ms.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    def run(): Unit = {
+      val q = stream().writeStream
+        .outputMode("append").format("parquet")
+        .option("checkpointLocation", ckpt).option("path", out)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    ms.addData(early)
+    run() // batch 1, then the query stops cold
+    ms.addData(late)
+    run() // fresh query instance resumes from the checkpoint
+    val resumed = spark.read.parquet(out)
+      .as[(Long, String, String)].collect()
+    val single = StreamOps.markovPairsFrom(spark, {
+      val ms2 = MemoryStream[(Long, Long, Long, String, Double, String)]
+      ms2.addData(rows)
+      ms2.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    }, "st_restart_ref")
+      .select($"user_id", $"cur", $"nxt")
+      .as[(Long, String, String)].collect()
+    // multiset equality: same transition may legitimately repeat
+    def ms3(x: Seq[(Long, String, String)]) =
+      x.groupBy(identity).view.mapValues(_.size).toMap
+    assert(ms3(resumed.toSeq) == ms3(single.toSeq),
+      "restart run must equal the uninterrupted run exactly once")
+    assert(resumed.nonEmpty)
+  }
+
   test("non-file source: MemoryStream stream-stream interval join matches the file-source run") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
