@@ -1673,6 +1673,85 @@ object Events {
       .orderBy($"model", $"touch_type")
   }
 
+  /** TIME-DECAY attribution: the fourth standard model — credit decays
+    * with touch age. Weights are EXACT integers (w = 7 − whole days of
+    * age ∈ [1,7], so a same-day touch weighs 7× a six-day-old one);
+    * each touch gets ⌊vm·w / W⌋ micro-units and the first touch takes
+    * the remainder, so per-purchase conservation is exact — the same
+    * largest-remainder discipline as [[qAttribution]]'s linear model,
+    * generalized to non-uniform weights. `(direct)` purchases keep
+    * full value.
+    *
+    * Scale shape: the same banded join + ONE sorted window spec
+    * (rank + both weight sums ride one sort; the base-credit sum is a
+    * second frame on the same partitioning, so the exchange is shared);
+    * output is |channels|-keyed. */
+  val qAttributionDecay: Spec = Spec(
+    "ev_attribution_decay",
+    oracle = Some("""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+          CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vm
+        FROM events),
+      p AS (SELECT event_id AS p_id, user_id, us AS p_us, vm FROM e
+            WHERE event_type = 'purchase'),
+      t AS (SELECT user_id, us AS t_us, event_id AS t_id,
+              event_type AS touch_type
+            FROM e WHERE event_type IN ('view', 'click')),
+      j AS (SELECT p.p_id, p.vm, p.p_us, t.touch_type, t.t_us, t.t_id
+            FROM p LEFT JOIN t ON t.user_id = p.user_id
+              AND t.t_us <= p.p_us AND t.t_us > p.p_us - 604800000000),
+      w AS (SELECT p_id, vm, coalesce(touch_type, '(direct)') AS touch_type,
+          CASE WHEN t_id IS NULL THEN 0
+               ELSE 7 - (p_us - t_us) // 86400000000 END AS wt,
+          COUNT(t_id) OVER (PARTITION BY p_id) AS n,
+          row_number() OVER (PARTITION BY p_id ORDER BY t_us, t_id) AS rf
+        FROM j),
+      s AS (SELECT *, SUM(wt) OVER (PARTITION BY p_id) AS tw FROM w),
+      b AS (SELECT *, CASE WHEN n = 0 THEN vm ELSE (vm * wt) // tw END
+              AS base FROM s),
+      c AS (SELECT *, SUM(base) OVER (PARTITION BY p_id) AS bsum FROM b),
+      cr AS (SELECT touch_type,
+          base + CASE WHEN rf = 1 THEN vm - bsum ELSE 0 END AS credit
+        FROM c)
+      SELECT touch_type,
+        CAST(SUM(credit) AS DOUBLE) / 1000000.0 AS attributed_value,
+        CAST(COUNT(*) AS BIGINT) AS n_credits
+      FROM cr GROUP BY touch_type ORDER BY touch_type""")) { (s, dir) =>
+    import s.implicits._
+    val lookbackUs = 7L * 24 * 3600 * 1000 * 1000
+    val dayUs = 86400000000L
+    val e = load(s, dir).select($"user_id", $"event_type",
+      expr("ts div 1000").as("us"), $"event_id",
+      ($"value".cast("decimal(18,6)") * 1000000).cast("long").as("vm"))
+    val p = e.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id", $"us".as("p_us"), $"vm")
+    val t = e.filter($"event_type".isin("view", "click"))
+      .select($"user_id".as("t_user"), $"us".as("t_us"),
+        $"event_id".as("t_id"), $"event_type".as("touch_type"))
+    val j = p.join(t,
+      $"t_user" === $"user_id" && $"t_us" <= $"p_us" &&
+        $"t_us" > $"p_us" - lookbackUs, "left")
+    val wf = Window.partitionBy($"p_id").orderBy($"t_us", $"t_id")
+    val full = wf.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    j.select($"p_id", $"vm",
+        coalesce($"touch_type", lit("(direct)")).as("touch_type"),
+        when($"t_id".isNull, 0L)
+          .otherwise(lit(7L) - expr(s"(p_us - t_us) div $dayUs")).as("wt"),
+        count($"t_id").over(full).as("n"),
+        row_number().over(wf).as("rf"))
+      .withColumn("tw", sum($"wt").over(Window.partitionBy($"p_id")))
+      .withColumn("base",
+        when($"n" === 0, $"vm").otherwise(expr("(vm * wt) div tw")))
+      .withColumn("bsum", sum($"base").over(Window.partitionBy($"p_id")))
+      .select($"touch_type",
+        ($"base" + when($"rf" === 1, $"vm" - $"bsum").otherwise(0L))
+          .as("credit"))
+      .groupBy($"touch_type")
+      .agg((sum($"credit").cast("double") / 1000000.0).as("attributed_value"),
+        count(lit(1)).as("n_credits"))
+      .orderBy($"touch_type")
+  }
+
   /** RFM SEGMENTATION: per purchasing user, Recency (days since last
     * purchase vs the corpus's latest purchase), Frequency (purchase
     * count) and Monetary (exact micro-unit revenue), each cut into
@@ -1840,5 +1919,6 @@ object Events {
     qUserTrend, qRateAnomaly, qKsDrift, qKsWindowed, qWinsorizedStats,
     qAsofNearest, qConversionTime, qMarkovTransitions, qSeasonalDecompose,
     qPathAnalysis, qSeasonalAnomaly, qStickiness, qBounceRate,
-    qUserConcentration, qInterArrival, qAttribution, qRfm, qEntryExit)
+    qUserConcentration, qInterArrival, qAttribution, qAttributionDecay,
+    qRfm, qEntryExit)
 }

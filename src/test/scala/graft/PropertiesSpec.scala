@@ -387,6 +387,12 @@ class PropertiesSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     for ((m, v) <- streamed)
       assert(v == total, s"streaming model $m leaks revenue: $v != $total")
+    // the weighted (time-decay) model conserves under NON-uniform
+    // weights too — the largest-remainder rule generalizes
+    val decay = Events.qAttributionDecay.fn(spark, TestSpark.Sf)
+      .agg(sum(($"attributed_value" * 1000000).cast("long")))
+      .as[Long].head()
+    assert(decay == total, s"decay model leaks revenue: $decay != $total")
   }
 
   test("exact KS drift: a time-shifted copy of the same values scores 0") {
