@@ -151,6 +151,34 @@ object StreamingQ {
       .orderBy($"user_id", $"session_start_us")
   }
 
+  /** Streaming DATA-QUALITY MONITOR: the q_expectations pattern on a
+    * live feed — hourly violation counters for value-range /
+    * referential (vs the broadcast customer dim) / type-domain /
+    * props-parse rules; oracle is the batch hour-grouped audit. The
+    * value-range rule carries a REAL violation in the corpus, so the
+    * counting path is proven, not just zeros. */
+  val stQualityMonitor: Spec = Spec(
+    "st_quality_monitor",
+    oracle = Some("""
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+          AS window_start,
+        COUNT(*) AS n_events,
+        CAST(SUM(CASE WHEN value > 400 THEN 1 ELSE 0 END) AS BIGINT)
+          AS value_over_400,
+        CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS fk_user_miss,
+        CAST(SUM(CASE WHEN event_type NOT IN
+            ('view', 'click', 'signup', 'purchase', 'error')
+          THEN 1 ELSE 0 END) AS BIGINT) AS type_unknown,
+        CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL
+          THEN 1 ELSE 0 END) AS BIGINT) AS props_invalid
+      FROM events
+        LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        ON c.c_custkey = events.user_id
+      GROUP BY window_start ORDER BY window_start""")) { (s, dir) =>
+    StreamOps.qualityMonitor(s, dir)
+  }
+
   /** Stateful streaming ATTRIBUTION: the batch ev_attribution rollup
     * maintained from the live event feed — per-user 7-day touch
     * buffers ([[StreamOps.attributionFrom]]) emit first/last/linear
@@ -741,5 +769,6 @@ object StreamingQ {
     stDocFlags, stHeavyHitters, stDriftWindowed, stLidScript,
     stMinhashPairs, stFunnelLevels, stBm25Indexed, stCmsCounts, stNovelty,
     stAsofLastClick, stCcIncremental, stRateAnomaly, stKsWindowed, stMarkov,
-    stSeasonal, stPath, stNsfwRollup, stEntryExit, stAttribution)
+    stSeasonal, stPath, stNsfwRollup, stEntryExit, stAttribution,
+    stQualityMonitor)
 }

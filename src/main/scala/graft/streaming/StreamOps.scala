@@ -199,6 +199,42 @@ object StreamOps {
       .orderBy(col("user_id"), col("session_start_us"))
   }
 
+  /** Streaming DATA-QUALITY MONITOR: the expectations pattern
+    * (q_expectations) maintained live — hourly windows carry violation
+    * counters for a value-range rule, a referential rule against the
+    * broadcast static customer dim (stream-static join), an
+    * event-type domain rule and a props-parse rule. State is
+    * calendar-bounded (one row per hour × fixed counter columns); the
+    * dim is broadcast once, never shuffled per batch. */
+  def qualityMonitor(s: SparkSession, dir: String): DataFrame =
+    qualityMonitorFrom(s, eventsStream(s, dir),
+      s.read.parquet(s"$dir/customer.parquet").select(col("c_custkey")),
+      "st_quality_mem")
+
+  def qualityMonitorFrom(s: SparkSession, src: DataFrame,
+      custKeys: DataFrame, sink: String): DataFrame = {
+    val knownTypes = Seq("view", "click", "signup", "purchase", "error")
+    val agg = src
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_utc", "1 hour")
+      .join(broadcast(custKeys.distinct()),
+        col("user_id") === col("c_custkey"), "left")
+      .groupBy(window(col("ts_utc"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("value") > 400, 1L).otherwise(0L)).as("value_over_400"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("fk_user_miss"),
+        sum(when(!col("event_type").isin(knownTypes: _*), 1L).otherwise(0L))
+          .as("type_unknown"),
+        sum(when(get_json_object(col("props"), "$.k").isNull, 1L)
+          .otherwise(0L)).as("props_invalid"))
+    runToTable(s, agg, sink, "complete")
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("n_events"), col("value_over_400"), col("fk_user_miss"),
+        col("type_unknown"), col("props_invalid"))
+      .orderBy(col("window_start"))
+  }
+
   final case class AttrEvent(user_id: Long, ts_us: Long, event_id: Long,
       event_type: String, vm: Long)
   final case class Touch(ts_us: Long, event_id: Long, touch_type: String)
