@@ -191,10 +191,27 @@ object StreamingQ {
     oracle = Some(Events.attributionOracleSql)) { (s, dir) =>
     import s.implicits._
     StreamOps.statefulAttribution(s, dir)
+      .filter($"model".isin("first", "last", "linear"))
       .groupBy($"model", $"touch_type")
       .agg((sum($"credit").cast("double") / 1000000.0).as("attributed_value"),
         count(lit(1)).as("n_credits"))
       .orderBy($"model", $"touch_type")
+  }
+
+  /** The TIME-DECAY model's streaming half: the same per-user touch
+    * buffers emit decay credits at purchase time with the batch
+    * day-weight/floor/remainder rules, so the oracle is
+    * ev_attribution_decay's SQL verbatim. */
+  val stAttributionDecay: Spec = Spec(
+    "st_attribution_decay",
+    oracle = Events.qAttributionDecay.oracle) { (s, dir) =>
+    import s.implicits._
+    StreamOps.statefulAttribution(s, dir)
+      .filter($"model" === "decay")
+      .groupBy($"touch_type")
+      .agg((sum($"credit").cast("double") / 1000000.0).as("attributed_value"),
+        count(lit(1)).as("n_credits"))
+      .orderBy($"touch_type")
   }
 
   /** Streaming ENTRY/EXIT matrix: the batch ev_entry_exit report
@@ -770,5 +787,5 @@ object StreamingQ {
     stMinhashPairs, stFunnelLevels, stBm25Indexed, stCmsCounts, stNovelty,
     stAsofLastClick, stCcIncremental, stRateAnomaly, stKsWindowed, stMarkov,
     stSeasonal, stPath, stNsfwRollup, stEntryExit, stAttribution,
-    stQualityMonitor)
+    stQualityMonitor, stAttributionDecay)
 }

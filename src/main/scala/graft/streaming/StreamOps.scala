@@ -288,6 +288,7 @@ object StreamOps {
                   out += Credit("first", "(direct)", e.vm)
                   out += Credit("last", "(direct)", e.vm)
                   out += Credit("linear", "(direct)", e.vm)
+                  out += Credit("decay", "(direct)", e.vm)
                 } else {
                   val n = buf.size.toLong
                   val first = buf.minBy(t => (t.ts_us, t.event_id))
@@ -299,6 +300,18 @@ object StreamOps {
                   buf.foreach { t =>
                     out += Credit("linear", t.touch_type,
                       share + (if (t eq first) rem else 0L))
+                  }
+                  // time-decay model: integer day-weights w = 7 − age
+                  // days, floor shares, remainder to the first touch —
+                  // identical to the batch ev_attribution_decay rules
+                  val dayUs = 86400000000L
+                  def wt(t: Touch): Long = 7L - (e.ts_us - t.ts_us) / dayUs
+                  val tw = buf.map(wt).sum
+                  val bases = buf.map(t => t -> (e.vm * wt(t)) / tw)
+                  val drem = e.vm - bases.map(_._2).sum
+                  bases.foreach { case (t, b) =>
+                    out += Credit("decay", t.touch_type,
+                      b + (if (t eq first) drem else 0L))
                   }
                 }
               case _ => () // non-touch, non-purchase events don't attribute
