@@ -192,7 +192,7 @@ class TextSemanticsSpec extends AnyFunSuite {
     // language must ship a production-scale list, not a token stub
     for ((l, floor) <- Seq("assamese" -> 70, "kannada" -> 80, "marathi" -> 80,
         "nepali" -> 95, "punjabi" -> 70, "urdu" -> 90, "tamil" -> 65,
-        "telugu" -> 60, "malayalam" -> 58, "manipuri" -> 60,
+        "telugu" -> 60, "malayalam" -> 58, "manipuri" -> 70,
         "english" -> 300, "hindi" -> 150))
       assert(Lexicons.nsfw(l).size >= floor,
         s"$l lexicon shrank below $floor: ${Lexicons.nsfw(l).size}")
