@@ -188,12 +188,12 @@ class TextSemanticsSpec extends AnyFunSuite {
     // must survive the larger trie
     val union = Lexicons.nsfwUnion().toIndexedSeq
     assert(union.size >= 1400, s"expected deepened union, got ${union.size}")
-    // round-9 depth floors (raised after the third pass): every tail
+    // round-9 depth floors (raised after the fifth pass): every tail
     // language must ship a production-scale list, not a token stub
-    for ((l, floor) <- Seq("assamese" -> 70, "kannada" -> 80, "marathi" -> 80,
-        "nepali" -> 95, "punjabi" -> 70, "urdu" -> 90, "tamil" -> 65,
-        "telugu" -> 60, "malayalam" -> 58, "manipuri" -> 70,
-        "english" -> 300, "hindi" -> 150))
+    for ((l, floor) <- Seq("assamese" -> 70, "kannada" -> 100, "marathi" -> 95,
+        "nepali" -> 125, "punjabi" -> 70, "urdu" -> 110, "tamil" -> 65,
+        "telugu" -> 60, "malayalam" -> 58, "manipuri" -> 115,
+        "english" -> 400, "hindi" -> 150))
       assert(Lexicons.nsfw(l).size >= floor,
         s"$l lexicon shrank below $floor: ${Lexicons.nsfw(l).size}")
     val ac = new graft.functions.AhoCorasick(union)
