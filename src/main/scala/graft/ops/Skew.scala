@@ -125,6 +125,68 @@ object Skew {
     * SILENTLY without this gate — fail loudly instead, naming the key. */
   private val MaxPrefixPartials = 100000
 
+  /** Scalable EXCLUSIVE global prefix minimum (for each row, the
+    * minimum of `value` over all rows STRICTLY BEFORE it in
+    * `orderCols` order; null on the global first row): the running-min
+    * twin of [[globalRowNumber]], built the same way — range-partition
+    * by the order key, one bounded collect of per-partition minima
+    * (one row per partition, cluster-config-sized), exclusive
+    * cumulative minima broadcast back, and a partition-LOCAL window
+    * (never an unpartitioned sort) for the within-partition prefix.
+    * Min is associative/idempotent so the split-and-shift
+    * recomposition is exact — bit-identical to the single-reducer
+    * `min().over(Window.orderBy(...).rowsBetween(-inf, -1))`.
+    *
+    * The canonical consumer is the skyline/Pareto-front scan: sorted
+    * by one objective, a row survives iff the exclusive prefix min of
+    * the other objective does not dominate it — O(n log n) where the
+    * textbook NOT EXISTS self-join is O(n^2).
+    *
+    * `value` must be integral (compared as Long). Order keys must be
+    * globally distinct (the caller pre-groups to one row per key) so
+    * "strictly before in row order" = "strictly smaller order key". */
+  def exclusivePrefixMin(
+      df: DataFrame,
+      orderCols: Seq[Column],
+      value: Column,
+      out: String): DataFrame = {
+    require(!df.columns.contains(out),
+      s"exclusivePrefixMin: output name '$out' collides with an input column")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sorted = df.repartitionByRange(orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    // materialize once — same range-boundary rationale as globalRowNumber
+    val withPart = sorted.withColumn("_v", value.cast("long"))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val partials = withPart.groupBy($"_pid").agg(min($"_v").as("m"))
+      .as[(Int, Long)].collect().sortBy(_._1)
+    // exclusive scan: offset for partition p = min over partitions < p
+    val offsets = partials.scanLeft((0, Option.empty[Long])) {
+      case ((_, acc), (pid, m)) =>
+        (pid + 1, Some(acc.fold(m)(math.min(_, m))))
+    }.take(partials.length).map(_._2)
+    val offRows = partials.map(_._1).zip(offsets).map { case (pid, off) =>
+      Row(pid, off.map(Long.box).orNull)
+    }
+    val offSchema = StructType(Seq(
+      StructField("_pid", IntegerType, nullable = false),
+      StructField("_off", LongType, nullable = true)))
+    val offsetsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offRows.toSeq, 1), offSchema)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"_pid").orderBy(orderCols: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // least() skips nulls (null local prefix on a partition's first row,
+    // null offset on the first partition) — exactly the semantics the
+    // exclusive-prefix recomposition needs
+    withPart
+      .join(broadcast(offsetsDf), Seq("_pid"))
+      .withColumn(out, least(min($"_v").over(w), $"_off"))
+      .drop("_pid", "_v", "_off")
+  }
+
   def prefixSumsByKey(
       df: DataFrame,
       key: String,

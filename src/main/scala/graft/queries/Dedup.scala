@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1739,7 +1740,114 @@ object Dedup {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Fielded record linkage (Fellegi–Sunter): match a MASTER table
+    * against a dirty feed of the same entities — the entity-resolution
+    * sibling of text dedup, where "duplicate" means the same real-world
+    * customer despite typos and drifted attributes. The dirty twin is
+    * derived deterministically (one name character dropped at a
+    * key-selected position, balance shifted +0.07, every 7th segment
+    * re-coded) so both engines score the identical feed.
+    *
+    * Scale shape: candidate pairs come from TWO blocking passes —
+    * (nation, balance/100 bucket) and the half-width-shifted bucket, so
+    * a perturbation that crosses a bucket boundary is still caught
+    * (the multi-pass trick SNM uses with reversed keys). Each pass is a
+    * hash equi-join on the block key; nothing is ever all-pairs, and
+    * block granularity bounds candidates by construction. Agreement
+    * weights are integer-scaled log-likelihood ratios (agree → +w_m,
+    * disagree → -w_u per field: name-edit-distance<=2, segment exact,
+    * balance within 1.00); classes at the two Fellegi–Sunter
+    * thresholds. Only match/possible pairs are emitted (non-matches
+    * are the uninteresting bulk, exactly what production linkage
+    * discards). */
+  val ddRecordLinkage: Spec = Spec(
+    "dd_record_linkage",
+    oracle = Some("""
+      WITH clean AS (
+        SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+               CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+        FROM customer),
+      dirty AS (
+        SELECT c_custkey AS d_custkey,
+          substr(c_name, 1, CAST(c_custkey % 10 + 2 AS INT))
+            || substr(c_name, CAST(c_custkey % 10 + 4 AS INT)) AS d_name,
+          c_nationkey AS d_nationkey,
+          CASE WHEN c_custkey % 7 = 0 THEN 'MOVED' ELSE c_mktsegment END AS d_seg,
+          CAST(c_acctbal AS DECIMAL(12,2)) + CAST(0.07 AS DECIMAL(12,2)) AS d_bal
+        FROM customer),
+      cand AS (
+        SELECT DISTINCT c.c_custkey, d.d_custkey FROM clean c JOIN dirty d
+          ON c.c_nationkey = d.d_nationkey
+         AND CAST(FLOOR(c.bal / 100) AS BIGINT) = CAST(FLOOR(d.d_bal / 100) AS BIGINT)
+        UNION
+        SELECT DISTINCT c.c_custkey, d.d_custkey FROM clean c JOIN dirty d
+          ON c.c_nationkey = d.d_nationkey
+         AND CAST(FLOOR((c.bal + 50) / 100) AS BIGINT) = CAST(FLOOR((d.d_bal + 50) / 100) AS BIGINT)),
+      scored AS (
+        SELECT c.c_custkey, d.d_custkey,
+          levenshtein(c.c_name, d.d_name) <= 2 AS name_agree,
+          c.c_mktsegment = d.d_seg AS seg_agree,
+          abs(c.bal - d.d_bal) < CAST(1 AS DECIMAL(12,2)) AS bal_agree
+        FROM cand x
+        JOIN clean c ON c.c_custkey = x.c_custkey
+        JOIN dirty d ON d.d_custkey = x.d_custkey)
+      SELECT c_custkey, d_custkey, name_agree, seg_agree, bal_agree,
+        CAST(CASE WHEN name_agree THEN 24 ELSE -8 END
+           + CASE WHEN seg_agree THEN 11 ELSE -3 END
+           + CASE WHEN bal_agree THEN 15 ELSE -12 END AS BIGINT) AS score,
+        CASE WHEN (CASE WHEN name_agree THEN 24 ELSE -8 END
+                 + CASE WHEN seg_agree THEN 11 ELSE -3 END
+                 + CASE WHEN bal_agree THEN 15 ELSE -12 END) >= 35 THEN 'match'
+             ELSE 'possible' END AS link_class
+      FROM scored
+      WHERE (CASE WHEN name_agree THEN 24 ELSE -8 END
+           + CASE WHEN seg_agree THEN 11 ELSE -3 END
+           + CASE WHEN bal_agree THEN 15 ELSE -12 END) >= 10
+      ORDER BY c_custkey, d_custkey""")) { (s, dir) =>
+    val cust = Tables.load(s, dir, "customer")
+    val clean = cust.select(col("c_custkey"), col("c_name"),
+      col("c_nationkey"), col("c_mktsegment"),
+      col("c_acctbal").cast("decimal(12,2)").as("bal"))
+    val dirty = cust.select(
+      col("c_custkey").as("d_custkey"),
+      expr("substring(c_name, 1, CAST(c_custkey % 10 + 2 AS INT)) || " +
+        "substring(c_name, CAST(c_custkey % 10 + 4 AS INT))").as("d_name"),
+      col("c_nationkey").as("d_nationkey"),
+      when(col("c_custkey") % 7 === 0, lit("MOVED"))
+        .otherwise(col("c_mktsegment")).as("d_seg"),
+      (col("c_acctbal").cast("decimal(12,2)") +
+        lit("0.07").cast("decimal(12,2)")).as("d_bal"))
+    def block(shift: Int): DataFrame = {
+      val c = clean.withColumn("bk",
+        floor((col("bal") + lit(shift)) / 100).cast("long"))
+      val d = dirty.withColumn("bk",
+        floor((col("d_bal") + lit(shift)) / 100).cast("long"))
+      c.join(d, col("c_nationkey") === col("d_nationkey") &&
+          c("bk") === d("bk"))
+        .select(col("c_custkey"), col("d_custkey"))
+    }
+    val cand = block(0).unionByName(block(50)).distinct()
+    val scored = cand
+      .join(clean, Seq("c_custkey"))
+      .join(dirty, Seq("d_custkey"))
+      .withColumn("name_agree", levenshtein(col("c_name"), col("d_name")) <= 2)
+      .withColumn("seg_agree", col("c_mktsegment") === col("d_seg"))
+      .withColumn("bal_agree",
+        abs(col("bal") - col("d_bal")) < lit("1").cast("decimal(12,2)"))
+      .withColumn("score",
+        (when(col("name_agree"), 24).otherwise(-8) +
+          when(col("seg_agree"), 11).otherwise(-3) +
+          when(col("bal_agree"), 15).otherwise(-12)).cast("long"))
+    scored.filter(col("score") >= 10)
+      .select(col("c_custkey"), col("d_custkey"), col("name_agree"),
+        col("seg_agree"), col("bal_agree"), col("score"),
+        when(col("score") >= 35, "match").otherwise("possible")
+          .as("link_class"))
+      .orderBy(col("c_custkey"), col("d_custkey"))
+  }
+
   val specs: Seq[Spec] = Seq(
+    ddRecordLinkage,
     ddMethodAgreement, ddThresholdSweep, ddMinhashEstimate, ddLshPlanner,
     ddMinhashPairs, ddMinhashBlocked, ddMinhashClusters, ddMinhashIncremental,
     ddCcIncremental, ddPairDiffSpans,

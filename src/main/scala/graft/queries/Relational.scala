@@ -1237,6 +1237,132 @@ object Relational {
       .orderBy($"check")
   }
 
+  /** Skyline (Pareto front) of parts minimizing (retailprice, size):
+    * the multi-objective "best tradeoffs" query (cheapest part at every
+    * size class). The textbook formulation is a NOT EXISTS dominance
+    * self-join — O(n^2) and a scale-killer. Here: one hash agg to the
+    * per-price min size (distinct prices), then
+    * [[graft.ops.Skew.exclusivePrefixMin]] over price order (range
+    * partition + per-partition minima + partition-local window — never
+    * an unpartitioned sort), and a row is on the front iff no strictly
+    * cheaper price achieved an equal-or-smaller size. O(n log n) total;
+    * the front itself is tiny for any non-adversarial distribution
+    * (O(log n) expected under independence), so the reattach join
+    * broadcasts it. Equal (price, size) duplicates are mutually
+    * non-dominated and all survive — both engines agree by the same
+    * strict-inequality rule. */
+  val qSkylineParts: Spec = Spec(
+    "q_skyline_parts",
+    oracle = Some("""
+      WITH pp AS (
+        SELECT CAST(p_retailprice AS DECIMAL(12,2)) AS price,
+               CAST(MIN(p_size) AS BIGINT) AS msize
+        FROM part GROUP BY 1),
+      pm AS (
+        SELECT price, msize,
+          MIN(msize) OVER (ORDER BY price
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS smin
+        FROM pp),
+      sky AS (SELECT price, msize FROM pm
+              WHERE smin IS NULL OR smin > msize)
+      SELECT p.p_partkey, CAST(s.price AS DOUBLE) AS price,
+        CAST(p.p_size AS BIGINT) AS p_size
+      FROM part p
+      JOIN sky s ON CAST(p.p_retailprice AS DECIMAL(12,2)) = s.price
+                AND CAST(p.p_size AS BIGINT) = s.msize
+      ORDER BY s.price, p.p_partkey""")) { (s, dir) =>
+    val pp = Tables.load(s, dir, "part")
+      .groupBy(col("p_retailprice").cast("decimal(12,2)").as("price"))
+      .agg(min(col("p_size").cast("long")).as("msize"))
+    val sky = graft.ops.Skew
+      .exclusivePrefixMin(pp, Seq(col("price")), col("msize"), "smin")
+      .filter(col("smin").isNull || col("smin") > col("msize"))
+      .select(col("price"), col("msize"))
+    Tables.load(s, dir, "part")
+      .withColumn("price", col("p_retailprice").cast("decimal(12,2)"))
+      .join(broadcast(sky), Seq("price"))
+      .filter(col("p_size").cast("long") === col("msize"))
+      .select(col("p_partkey"), col("price").cast("double").as("price"),
+        col("p_size").cast("long").as("p_size"))
+      .orderBy(col("price"), col("p_partkey"))
+  }
+
+  /** k-anonymity audit over a generalization ladder — the privacy gate
+    * a training corpus with user-derived records needs before release.
+    * Quasi-identifiers (nation, market segment, balance band) define
+    * equivalence classes; a class of size k < 5 re-identifies its
+    * members. One GROUPING SETS pass evaluates THREE generalization
+    * levels at once (full QID → drop segment → nation only): Spark's
+    * Expand feeds a single hash agg, so the whole lattice walk costs
+    * one scan + one shuffle. Per level: class count, worst-case k,
+    * worst-case l-diversity of the sensitive value (exact balance in
+    * cents), and how many records suppression-at-k=5 would drop — the
+    * release decision is "generalize until n_suppressed is
+    * acceptable". */
+  val qKAnonymity: Spec = {
+    // dialect-shared text: Spark and DuckDB agree on every construct
+    val sql = """
+      WITH q AS (
+        SELECT c_nationkey AS nation, c_mktsegment AS segment,
+          CAST(FLOOR(CAST(c_acctbal AS DECIMAL(12,2)) / 1000) AS BIGINT) AS bal_band,
+          CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS sens
+        FROM customer),
+      classes AS (
+        SELECT CAST(GROUPING(segment) + GROUPING(bal_band) AS BIGINT) AS level,
+               COUNT(*) AS k, COUNT(DISTINCT sens) AS l
+        FROM q
+        GROUP BY GROUPING SETS ((nation, segment, bal_band),
+                                (nation, bal_band), (nation)))
+      SELECT level, COUNT(*) AS n_classes,
+        CAST(MIN(k) AS BIGINT) AS min_k,
+        CAST(MIN(l) AS BIGINT) AS min_l,
+        CAST(COUNT(CASE WHEN k < 5 THEN 1 END) AS BIGINT) AS n_violating,
+        CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT) AS n_suppressed
+      FROM classes GROUP BY level ORDER BY level"""
+    Spec("q_kanonymity", oracle = Some(sql)) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(sql)
+    }
+  }
+
+  /** Incremental materialized-view maintenance: the monthly revenue MV
+    * refreshed from a delta batch WITHOUT re-reading the base — the
+    * shape every warehouse rollup at 100 TB depends on. The stored MV
+    * keeps MERGEABLE partials (count, decimal sum — avg is derived at
+    * read time, never stored, because avg doesn't merge); refresh is
+    * partial-agg(delta) unioned with the snapshot and re-merged, so it
+    * touches |mv| + |delta groups| rows while the base is scanned only
+    * when the snapshot was first built. The oracle is the full
+    * recompute over all of orders — the contract IS
+    * incremental-equals-full, which decimal (associative,
+    * order-independent) summation guarantees. */
+  val qIncrMv: Spec = Spec(
+    "q_incr_mv",
+    oracle = Some("""
+      SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS month,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          / COUNT(*), 6) AS avg_price
+      FROM orders GROUP BY 1, 2 ORDER BY 1, 2""")) { (s, dir) =>
+    val orders = Tables.load(s, dir, "orders")
+    val split = lit("1997-01-01").cast("timestamp")
+    def mvPartials(df: DataFrame): DataFrame = df
+      .groupBy(col("o_orderpriority"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val snapshot = mvPartials(orders.filter(col("o_orderdate") < split))
+    val delta = mvPartials(orders.filter(col("o_orderdate") >= split))
+    snapshot.unionByName(delta)
+      .groupBy(col("o_orderpriority"), col("month"))
+      .agg(sum(col("n_orders")).as("n_orders"), sum(col("rev")).as("rev"))
+      .select(col("o_orderpriority"), col("month"), col("n_orders"),
+        col("rev").cast("double").as("revenue"),
+        round(col("rev").cast("double") / col("n_orders"), 6).as("avg_price"))
+      .orderBy(col("o_orderpriority"), col("month"))
+  }
+
   val specs: Seq[Spec] = Seq(
     q1PricingSummary, q3TopOrders, q5RegionRevenue, q4LateShipments,
     qAntiCustomers, qTopPartsPerBrand, qRunningSupplier, qSetOps,
@@ -1244,5 +1370,6 @@ object Relational {
     qMonthly, qCaseWhen, qCube, qSqlSurface, qSketches, qWindowShapes,
     qOrderLatency, qStringOps, qFuzzyPartNames, qSaltedAgg, qRangeBandJoin,
     qBenford, qSkewReport, qConsistentSample, qRollingMedian, qBucketedJoin,
-    qZorderCluster, qMergeUpsert, qScd2History, qExpectations)
+    qZorderCluster, qMergeUpsert, qScd2History, qExpectations,
+    qSkylineParts, qKAnonymity, qIncrMv)
 }

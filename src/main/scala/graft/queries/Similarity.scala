@@ -1144,6 +1144,90 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** One synchronous label-propagation oracle round: per-target counts
+    * of incoming neighbor labels, the modal label (ties → smallest
+    * label, via the rank ORDER BY), isolated nodes keep their own. */
+  private def lpStepCte(t: Int): String = s"""
+      lc$t AS (SELECT e.dst, p.label, COUNT(*) AS c
+        FROM edges e JOIN lp${t - 1} p ON p.vec_id = e.src
+        GROUP BY e.dst, p.label),
+      lt$t AS (SELECT dst, label FROM (
+          SELECT dst, label,
+            row_number() OVER (PARTITION BY dst ORDER BY c DESC, label ASC) AS rn
+          FROM lc$t) WHERE rn = 1),
+      lp$t AS (SELECT n.vec_id, COALESCE(t.label, n.vec_id) AS label
+        FROM nodes n LEFT JOIN lt$t t ON t.dst = n.vec_id)"""
+
+  /** Community detection via synchronous label propagation (3 rounds,
+    * modal neighbor label, ties → min label) over the same LSH-verified
+    * similarity graph as [[eTriangleCount]] (threshold 0.2) — the
+    * cheap community structure that separates THEMATIC groups inside
+    * one connected blob: CC says "these touch", LPA says "these talk
+    * mostly to each other", and at near-dup thresholds that's the
+    * difference between one giant component and usable cluster labels.
+    *
+    * Scale shape per round: one keyed join (edges × labels on src, the
+    * same shuffle as a PageRank step) + one (dst, label) hash count +
+    * a max-of-struct per dst — NO window: the modal-label argmax is
+    * `max(struct(count, -label))`, a partial-aggregatable reduction,
+    * where the oracle's row_number form would funnel each dst through
+    * a window sort. Rounds localCheckpoint + unpersist the superseded
+    * frame exactly like the PageRank loop. Deterministic end-to-end:
+    * synchronous updates + integer tie-breaks, so 3 rounds produce
+    * identical labels in both engines, oscillation or not. */
+  val eLabelPropagation: Spec = Spec(
+    "e_label_propagation",
+    oracle = Some(s"""
+      WITH ${lshCandCtes},
+      ver AS (SELECT c.ida, c.idb FROM cand c
+        JOIN embeddings a ON a.vec_id = c.ida
+        JOIN embeddings b ON b.vec_id = c.idb
+        WHERE a.label = b.label
+          AND ${cosSql("a.embedding", "b.embedding")} >= 0.2),
+      edges AS (SELECT ida AS src, idb AS dst FROM ver
+        UNION ALL SELECT idb, ida FROM ver),
+      nodes AS (SELECT vec_id FROM embeddings),
+      lp0 AS (SELECT vec_id, vec_id AS label FROM nodes),
+      ${lpStepCte(1)},
+      ${lpStepCte(2)},
+      ${lpStepCte(3)},
+      sz AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS community_size
+        FROM lp3 GROUP BY label)
+      SELECT l.vec_id, CAST(l.label AS BIGINT) AS community,
+        s.community_size
+      FROM lp3 l JOIN sz s ON s.label = l.label
+      ORDER BY l.vec_id""")) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val ver = lshLabelEdges(emb, threshold = 0.2)
+    val edges = ver.select($"id_a".as("src"), $"id_b".as("dst"))
+      .unionAll(ver.select($"id_b".as("src"), $"id_a".as("dst")))
+      .localCheckpoint() // reused every round
+    val nodes = emb.select($"vec_id")
+    var lab = nodes.select($"vec_id", $"vec_id".as("label"))
+    for (_ <- 1 to 3) {
+      val counts = edges
+        .join(lab.withColumnRenamed("vec_id", "src"), Seq("src"))
+        .groupBy($"dst", $"label").agg(count(lit(1)).as("c"))
+      // modal label, ties → min: lexicographic max over (count, -label)
+      // — a plain partial-aggregatable reduction, no per-dst window
+      val top = counts
+        .groupBy($"dst")
+        .agg(max(struct($"c", (-$"label").as("neg"))).as("m"))
+        .select($"dst".as("vec_id"), (-$"m.neg").as("label"))
+      val prev = lab
+      lab = nodes
+        .join(top, Seq("vec_id"), "left")
+        .select($"vec_id", coalesce($"label", $"vec_id").as("label"))
+        .localCheckpoint()
+      graft.ops.Checkpoints.unpersist(prev)
+    }
+    val sz = lab.groupBy($"label").agg(count(lit(1)).as("community_size"))
+    lab.join(sz, Seq("label"))
+      .select($"vec_id", $"label".as("community"), $"community_size")
+      .orderBy($"vec_id")
+  }
+
   /** One MMR oracle round for step t ≥ 2: max-sim of each unselected
     * candidate vs the selected set so far (selu), score, argmax. */
   private def mmrStepCte(t: Int): String = s"""
@@ -1700,6 +1784,7 @@ object Similarity {
     eNearDupLsh, eKnnQuantized, eKmeansCentroids, eKnnIvfLearned,
     eKnnIvfMultiprobe, eKnnPq, eKnnIvfPq, eBitextMine, eEmbeddingOutliers,
     eKnnIvfPqProbe, eNearDupClusters, eKnnMatryoshka, eMmrRerank,
-    eClusterSummary, ePagerankCentrality, eTriangleCount, eSemdedup,
+    eClusterSummary, ePagerankCentrality, eTriangleCount, eLabelPropagation,
+    eSemdedup,
     eSemdedupIncremental, ePcaProjection, ePca2d, eCentroidDrift)
 }

@@ -83,6 +83,27 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  test("exclusivePrefixMin == unpartitioned exclusive window min") {
+    val pp = spark.read.parquet(s"${TestSpark.Sf}/part.parquet")
+      .groupBy($"p_retailprice".cast("decimal(12,2)").as("price"))
+      .agg(min($"p_size".cast("long")).as("msize"))
+    val w = Window.orderBy($"price")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val expected = pp.withColumn("smin", min($"msize").over(w))
+      .select($"price".cast("string"), $"smin")
+      .as[(String, Option[Long])].collect().toMap
+    val got = Skew.exclusivePrefixMin(pp, Seq($"price"), $"msize", "smin")
+      .select($"price".cast("string"), $"smin")
+      .as[(String, Option[Long])].collect().toMap
+    assert(got == expected)
+    // global first row carries null (empty exclusive prefix)
+    assert(expected.values.exists(_.isEmpty))
+    // output-name collision fails loudly
+    intercept[IllegalArgumentException] {
+      Skew.exclusivePrefixMin(pp, Seq($"price"), $"msize", "msize")
+    }
+  }
+
   test("prefixSumsByKey: a high-cardinality key fails loudly, not OOM") {
     // 150k distinct keys → ≥150k (partition × key) partials, past the
     // 100k driver-collect gate. The guard must name the key column and
