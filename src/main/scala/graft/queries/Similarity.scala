@@ -1228,6 +1228,253 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** One power-iteration oracle round: 9dp-rounded scores summed per
+    * target as DECIMAL (aggregation-order-free), L1-normalized by the
+    * round's total mass; isolated nodes go to 0. */
+  private def ecStepCte(t: Int): String = s"""
+      ecc$t AS (SELECT e.dst, CAST(round(p.x, 9) AS DECIMAL(28,12)) AS c
+        FROM edges e JOIN ec${t - 1} p ON p.vec_id = e.src),
+      ecs$t AS (SELECT dst, SUM(c) AS sc FROM ecc$t GROUP BY dst),
+      ect$t AS (SELECT SUM(sc) AS tot FROM ecs$t),
+      ec$t AS (SELECT n.vec_id,
+          CASE WHEN t.tot IS NULL OR t.tot = 0 THEN 0.0
+               ELSE round(CAST(COALESCE(s.sc, 0) AS DOUBLE)
+                          / CAST(t.tot AS DOUBLE), 9) END AS x
+        FROM nodes n CROSS JOIN ect$t t LEFT JOIN ecs$t s ON s.dst = n.vec_id)"""
+
+  /** Eigenvector centrality (3 power-iteration rounds, L1-normalized)
+    * over the LSH-verified similarity graph at threshold 0.2 — the
+    * HITS scores of this graph: on an undirected graph hub and
+    * authority vectors coincide with the adjacency eigenvector, so one
+    * iteration ladder yields the whole family. Differs from
+    * [[ePagerankCentrality]] exactly where it should: no teleport and
+    * no per-source degree normalization, so mass concentrates in the
+    * densest near-dup clique instead of spreading by random walk —
+    * the "most central exemplar of the TIGHTEST cluster" signal.
+    *
+    * Engine parity: contributions are the 9dp-rounded scores cast to
+    * DECIMAL(28,12) and summed per target (order-free); the L1
+    * normalizer is the decimal sum of those sums, and the divide +
+    * round-to-9dp is fixed IEEE double math — the oracle replays all
+    * three rounds bit-for-bit. A zero-edge graph short-circuits to
+    * all-zero scores in both engines (CASE tot=0).
+    *
+    * Scale shape per round: one edge-keyed join + one target-keyed
+    * hash agg (the PageRank step shape) + a 1-row total broadcast;
+    * superseded round checkpoints unpersist immediately. */
+  val eEigenCentrality: Spec = Spec(
+    "e_eigen_centrality",
+    oracle = Some(s"""
+      WITH ${lshCandCtes},
+      ver AS (SELECT c.ida, c.idb FROM cand c
+        JOIN embeddings a ON a.vec_id = c.ida
+        JOIN embeddings b ON b.vec_id = c.idb
+        WHERE a.label = b.label
+          AND ${cosSql("a.embedding", "b.embedding")} >= 0.2),
+      edges AS (SELECT ida AS src, idb AS dst FROM ver
+        UNION ALL SELECT idb, ida FROM ver),
+      deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+      nodes AS (SELECT vec_id FROM embeddings),
+      nn AS (SELECT COUNT(*) AS n FROM embeddings),
+      ec0 AS (SELECT vec_id, 1.0::DOUBLE / nn.n AS x
+        FROM nodes CROSS JOIN nn),
+      ${ecStepCte(1)},
+      ${ecStepCte(2)},
+      ${ecStepCte(3)}
+      SELECT p.vec_id, CAST(COALESCE(d.deg, 0) AS BIGINT) AS degree,
+        p.x AS eig_score
+      FROM ec3 p LEFT JOIN deg d ON d.src = p.vec_id
+      ORDER BY p.vec_id""")) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val ver = lshLabelEdges(emb, threshold = 0.2)
+    val edges = ver.select($"id_a".as("src"), $"id_b".as("dst"))
+      .unionAll(ver.select($"id_b".as("src"), $"id_a".as("dst")))
+      .localCheckpoint() // reused every iteration
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val nodes = emb.select($"vec_id")
+    val nn = broadcast(nodes.agg(count(lit(1)).as("n")))
+    var x = nodes.crossJoin(nn).select($"vec_id", (lit(1.0) / $"n").as("x"))
+    for (_ <- 1 to 3) {
+      val contrib = edges
+        .join(x.withColumnRenamed("vec_id", "src"), Seq("src"))
+        .select($"dst", round($"x", 9).cast("decimal(28,12)").as("c"))
+      val sums = contrib.groupBy($"dst").agg(sum($"c").as("sc"))
+      val tot = broadcast(sums.agg(sum($"sc").as("tot")))
+      val prev = x
+      x = nodes
+        .join(sums, nodes("vec_id") === sums("dst"), "left")
+        .crossJoin(tot)
+        .select($"vec_id",
+          when($"tot".isNull || $"tot" === 0, lit(0.0))
+            .otherwise(round(
+              coalesce($"sc", lit(0).cast("decimal(38,12)")).cast("double") /
+                $"tot".cast("double"), 9)).as("x"))
+        .localCheckpoint()
+      graft.ops.Checkpoints.unpersist(prev)
+    }
+    x.join(deg.withColumnRenamed("src", "vec_id"), Seq("vec_id"), "left")
+      .select($"vec_id", coalesce($"deg", lit(0L)).cast("long").as("degree"),
+        $"x".as("eig_score"))
+      .orderBy($"vec_id")
+  }
+
+  /** Link prediction on the similarity graph: for every OPEN wedge
+    * (two nodes sharing a neighbor but not yet adjacent), the
+    * common-neighbor count and the Adamic–Adar score
+    * Σ_u 1/ln(deg(u)) over shared neighbors u — the "these two
+    * documents will probably turn out to be near-dups once more
+    * evidence arrives" ranking that drives active-review queues.
+    *
+    * Scale shape: the wedge enumerate is the SAME two-equi-join shape
+    * as [[eTriangleCount]] (bounded by Σ deg², itself bounded because
+    * edges come only through the capped LSH scaffold); the existing-
+    * edge exclusion is a left-anti join; the final top-20 rides
+    * orderBy+limit (TakeOrderedAndProject — per-partition heaps, no
+    * global sort). Wedge hubs always have deg ≥ 2, so ln(deg) > 0.
+    *
+    * Engine parity: common-neighbor counts are integers; Adamic–Adar
+    * terms are 9dp-rounded doubles (fixed IEEE 1/ln(integer)) summed
+    * as DECIMAL (order-free), surfaced as a 6dp double; ties in the
+    * top-20 break on the unique (id_a, id_b). */
+  val eLinkPrediction: Spec = Spec(
+    "e_link_prediction",
+    oracle = Some(s"""
+      WITH ${lshCandCtes},
+      ver AS (SELECT c.ida, c.idb FROM cand c
+        JOIN embeddings a ON a.vec_id = c.ida
+        JOIN embeddings b ON b.vec_id = c.idb
+        WHERE a.label = b.label
+          AND ${cosSql("a.embedding", "b.embedding")} >= 0.2),
+      sym AS (SELECT ida AS src, idb AS dst FROM ver
+        UNION ALL SELECT idb, ida FROM ver),
+      deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
+      wed AS (SELECT e1.dst AS a, e2.dst AS b, e1.src AS u
+        FROM sym e1 JOIN sym e2
+          ON e1.src = e2.src AND e1.dst < e2.dst),
+      open_w AS (SELECT w.a, w.b, w.u FROM wed w
+        WHERE NOT EXISTS (SELECT 1 FROM ver v
+          WHERE v.ida = w.a AND v.idb = w.b)),
+      sc AS (SELECT o.a, o.b, COUNT(*) AS cn,
+          SUM(CAST(round(1.0 / ln(d.deg), 9) AS DECIMAL(28,12))) AS aa
+        FROM open_w o JOIN deg d ON d.src = o.u GROUP BY o.a, o.b)
+      SELECT a AS id_a, b AS id_b, CAST(cn AS BIGINT) AS common_neighbors,
+        round(CAST(aa AS DOUBLE), 6) AS adamic_adar
+      FROM sc
+      ORDER BY common_neighbors DESC, adamic_adar DESC, id_a, id_b
+      LIMIT 20""")) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val verE = lshLabelEdges(emb, threshold = 0.2)
+      .select($"id_a", $"id_b")
+      .localCheckpoint() // feeds wedges, the anti side, and degrees
+    val sym = verE.select($"id_a".as("src"), $"id_b".as("dst"))
+      .unionAll(verE.select($"id_b".as("src"), $"id_a".as("dst")))
+    val deg = sym.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val wed = sym.as("e1")
+      .join(sym.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.dst").as("a"), col("e2.dst").as("b"),
+        col("e1.src").as("u"))
+    val openW = wed.join(verE,
+      wed("a") === verE("id_a") && wed("b") === verE("id_b"), "left_anti")
+    openW.join(deg, openW("u") === deg("src"))
+      .groupBy($"a", $"b")
+      .agg(count(lit(1)).as("cn"),
+        sum(round(lit(1.0) / log($"deg"), 9).cast("decimal(28,12)")).as("aa"))
+      .select($"a".as("id_a"), $"b".as("id_b"),
+        $"cn".cast("long").as("common_neighbors"),
+        round($"aa".cast("double"), 6).as("adamic_adar"))
+      .orderBy(desc("common_neighbors"), desc("adamic_adar"),
+        $"id_a", $"id_b")
+      .limit(20)
+  }
+
+  /** One synchronous 2-core peel oracle round: recount each surviving
+    * node's degree within the surviving set, keep degree ≥ 2. */
+  private def kcStepCte(t: Int): String = s"""
+      kd$t AS (SELECT e.src, COUNT(*) AS dg FROM edges e
+        JOIN kc${t - 1} x ON x.id = e.src
+        JOIN kc${t - 1} y ON y.id = e.dst
+        GROUP BY e.src),
+      kc$t AS (SELECT src AS id FROM kd$t WHERE dg >= 2)"""
+
+  /** Bounded-round 2-core peel over the similarity graph: 4
+    * synchronous rounds of "drop every node whose degree within the
+    * survivors is < 2". The 2-core is the dedup-cluster TRUST filter —
+    * a node outside it is attached to its cluster by at most one edge
+    * (a chain/bridge artifact of LSH banding), while 2-core members
+    * are corroborated by two independent similarity edges.
+    *
+    * Bounded rounds are the DECLARED semantics (each round is one
+    * semi-join + hash recount — the scale-safe form; a convergence
+    * loop would add a 1-row collect per round like CC's): the
+    * `peel_converged` column carries the fixpoint proof — TRUE iff
+    * round 4 removed nobody, which holds at every test scale, and a
+    * data distribution that needs deeper peeling surfaces as FALSE
+    * rather than silently. Engine parity is trivial: everything is
+    * integer set logic. */
+  val eKcorePeel: Spec = Spec(
+    "e_kcore_peel",
+    oracle = Some(s"""
+      WITH ${lshCandCtes},
+      ver AS (SELECT c.ida, c.idb FROM cand c
+        JOIN embeddings a ON a.vec_id = c.ida
+        JOIN embeddings b ON b.vec_id = c.idb
+        WHERE a.label = b.label
+          AND ${cosSql("a.embedding", "b.embedding")} >= 0.2),
+      edges AS (SELECT ida AS src, idb AS dst FROM ver
+        UNION ALL SELECT idb, ida FROM ver),
+      deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+      kc0 AS (SELECT DISTINCT src AS id FROM edges),
+      ${kcStepCte(1)},
+      ${kcStepCte(2)},
+      ${kcStepCte(3)},
+      ${kcStepCte(4)},
+      conv AS (SELECT (SELECT COUNT(*) FROM kc4) = (SELECT COUNT(*) FROM kc3)
+        AS peel_converged)
+      SELECT n.vec_id, CAST(COALESCE(d.deg, 0) AS BIGINT) AS degree,
+        (k.id IS NOT NULL) AS in_2core, c.peel_converged
+      FROM embeddings n
+      LEFT JOIN deg d ON d.src = n.vec_id
+      LEFT JOIN kc4 k ON k.id = n.vec_id
+      CROSS JOIN conv c
+      ORDER BY n.vec_id""")) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val ver = lshLabelEdges(emb, threshold = 0.2)
+    val edges = ver.select($"id_a".as("src"), $"id_b".as("dst"))
+      .unionAll(ver.select($"id_b".as("src"), $"id_a".as("dst")))
+      .localCheckpoint() // reused every peel round
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    var alive = edges.select($"src".as("id")).distinct().localCheckpoint()
+    var prevCount = alive.count()
+    var lastRemoved = 0L
+    for (_ <- 1 to 4) {
+      val next = edges
+        .join(alive.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .join(alive.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+        .groupBy($"src").agg(count(lit(1)).as("dg"))
+        .filter($"dg" >= 2)
+        .select($"src".as("id"))
+        .localCheckpoint()
+      val nextCount = next.count() // 1-row action, bounds the converged flag
+      lastRemoved = prevCount - nextCount
+      prevCount = nextCount
+      graft.ops.Checkpoints.unpersist(alive)
+      alive = next
+    }
+    val converged = lastRemoved == 0L
+    emb.select($"vec_id")
+      .join(deg.withColumnRenamed("src", "vec_id"), Seq("vec_id"), "left")
+      .join(alive.withColumnRenamed("id", "vec_id").withColumn("_in", lit(true)),
+        Seq("vec_id"), "left")
+      .select($"vec_id", coalesce($"deg", lit(0L)).cast("long").as("degree"),
+        coalesce($"_in", lit(false)).as("in_2core"),
+        lit(converged).as("peel_converged"))
+      .orderBy($"vec_id")
+  }
+
   /** One MMR oracle round for step t ≥ 2: max-sim of each unselected
     * candidate vs the selected set so far (selu), score, argmax. */
   private def mmrStepCte(t: Int): String = s"""
@@ -1785,6 +2032,6 @@ object Similarity {
     eKnnIvfMultiprobe, eKnnPq, eKnnIvfPq, eBitextMine, eEmbeddingOutliers,
     eKnnIvfPqProbe, eNearDupClusters, eKnnMatryoshka, eMmrRerank,
     eClusterSummary, ePagerankCentrality, eTriangleCount, eLabelPropagation,
-    eSemdedup,
+    eEigenCentrality, eLinkPrediction, eKcorePeel, eSemdedup,
     eSemdedupIncremental, ePcaProjection, ePca2d, eCentroidDrift)
 }
