@@ -1912,6 +1912,248 @@ object Events {
       .orderBy($"entry_type", $"exit_type")
   }
 
+  private val dayNs = 86400L * 1000 * 1000 * 1000
+
+  /** Per-type daily event counts on a COMPLETE day spine (missing days
+    * as 0): the shared grid under the ACF and CUSUM diagnostics. Day
+    * index = integer days since epoch — pure long arithmetic on the
+    * raw-nanos ts contract. Spine width is calendar-bounded (days ×
+    * |types|), so the explode and every downstream per-type window are
+    * constant-factor regardless of corpus scale. */
+  private def dailyCountSpine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = load(s, dir)
+      .select($"event_type", ($"ts" / lit(dayNs)).cast("long").as("d"))
+      .groupBy($"event_type", $"d").agg(count(lit(1)).as("cnt"))
+    val spine = counts.groupBy($"event_type")
+      .agg(min($"d").as("mn"), max($"d").as("mx"))
+      .select($"event_type", explode(sequence($"mn", $"mx")).as("d"))
+    spine.join(counts, Seq("event_type", "d"), "left")
+      .select($"event_type", $"d", coalesce($"cnt", lit(0L)).as("x"))
+  }
+
+  /** The oracle's replay of [[dailyCountSpine]]. */
+  private val dailySpineSql = """
+      raw AS (SELECT event_type,
+          CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS d
+        FROM events),
+      cnts AS (SELECT event_type, d, COUNT(*) AS cnt FROM raw GROUP BY 1, 2),
+      bounds AS (SELECT event_type, MIN(d) AS mn, MAX(d) AS mx
+        FROM cnts GROUP BY 1),
+      spine AS (SELECT b.event_type, CAST(u.d AS BIGINT) AS d
+        FROM bounds b CROSS JOIN UNNEST(range(b.mn, b.mx + 1)) AS u(d)),
+      grid AS (SELECT s.event_type, s.d, COALESCE(c.cnt, 0) AS x
+        FROM spine s LEFT JOIN cnts c
+          ON c.event_type = s.event_type AND c.d = s.d)"""
+
+  /** Autocorrelation function of the per-type daily count series at
+    * lags 1–7 — the seasonality detector that tells the drift monitors
+    * whether a weekly cycle explains an apparent shift (lag-7 spike)
+    * before anyone trusts a KS alarm. Pearson correlation over the
+    * lag-aligned pairs of the complete daily grid (gaps count as 0 —
+    * a silent day is a real observation of zero traffic, not missing
+    * data).
+    *
+    * Engine parity: all six sufficient statistics (n, Σx, Σy, Σx²,
+    * Σy², Σxy) are exact integer sums; the discriminants and the final
+    * ratio are fixed-order IEEE double ops both engines replay
+    * bit-for-bit; zero-variance series yield NULL via an explicit
+    * guard, not engine-specific inf. Scale shape: one grid build, ONE
+    * per-type window producing all 7 leads, a stack to (lag, x, y),
+    * one hash agg — the window frames are calendar-bounded. */
+  val qAcfDaily: Spec = Spec(
+    "ev_acf_daily",
+    oracle = Some(s"""
+      WITH $dailySpineSql,
+      led AS (SELECT event_type, d, x,
+          lead(x, 1) OVER w AS y1, lead(x, 2) OVER w AS y2,
+          lead(x, 3) OVER w AS y3, lead(x, 4) OVER w AS y4,
+          lead(x, 5) OVER w AS y5, lead(x, 6) OVER w AS y6,
+          lead(x, 7) OVER w AS y7
+        FROM grid WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+      pairs AS (
+        SELECT event_type, lag, x, y FROM (
+          SELECT event_type, 1 AS lag, x, y1 AS y FROM led UNION ALL
+          SELECT event_type, 2, x, y2 FROM led UNION ALL
+          SELECT event_type, 3, x, y3 FROM led UNION ALL
+          SELECT event_type, 4, x, y4 FROM led UNION ALL
+          SELECT event_type, 5, x, y5 FROM led UNION ALL
+          SELECT event_type, 6, x, y6 FROM led UNION ALL
+          SELECT event_type, 7, x, y7 FROM led)
+        WHERE y IS NOT NULL),
+      st AS (SELECT event_type, lag,
+          CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+          CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy,
+          CAST(SUM(x*y) AS BIGINT) AS sxy
+        FROM pairs GROUP BY 1, 2)
+      SELECT event_type, CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+        round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / NULLIF(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0), 6)
+          AS acf
+      FROM st ORDER BY event_type, lag""")) { (s, dir) =>
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"d")
+    val led = dailyCountSpine(s, dir)
+      .select($"event_type" +: $"x" +:
+        (1 to 7).map(k => lead($"x", k).over(w).as(s"y$k")): _*)
+    val pairs = led.select($"event_type",
+      expr("stack(7, 1, y1, 2, y2, 3, y3, 4, y4, 5, y5, 6, y6, 7, y7)")
+        .as(Seq("lag", "y")), $"x")
+      .filter($"y".isNotNull)
+    val st = pairs.groupBy($"event_type", $"lag").agg(
+      count(lit(1)).as("n"),
+      sum($"x").as("sx"), sum($"y").as("sy"),
+      sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+      sum($"x" * $"y").as("sxy"))
+    def d(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      c.cast("double")
+    val den = sqrt((d($"n") * d($"sxx") - d($"sx") * d($"sx")) *
+      (d($"n") * d($"syy") - d($"sy") * d($"sy")))
+    st.select($"event_type", $"lag".cast("long").as("lag"),
+        $"n".cast("long").as("n_pairs"),
+        round((d($"n") * d($"sxy") - d($"sx") * d($"sy")) /
+          when(den === 0, lit(null)).otherwise(den), 6).as("acf"))
+      .orderBy($"event_type", $"lag")
+  }
+
+  /** CUSUM changepoint detection on the per-type daily count series —
+    * the sustained-shift detector that complements [[qRateAnomaly]]'s
+    * point-outlier z-scores: a level change too small to trip any
+    * single-day gate accumulates linearly in the CUSUM statistic and
+    * alarms within days. One-sided recursions
+    * S⁺_t = max(0, S⁺_{t-1} + (x_t − μ)), S⁻ symmetric, computed
+    * WITHOUT sequential recursion via the prefix identity
+    * S⁺_t = P_t − min(0, min_{j≤t} P_j) (P = running sum of
+    * deviations) — two window functions over one calendar-bounded
+    * per-type frame instead of an inherently serial scan.
+    *
+    * Everything is integer: μ is the floored per-type mean, the
+    * threshold h = 5·⌈σ⌉ derives from integer sufficient statistics
+    * (its one sqrt is fixed IEEE), so both engines agree exactly. */
+  val qCusumChangepoint: Spec = Spec(
+    "ev_cusum_changepoint",
+    oracle = Some(s"""
+      WITH $dailySpineSql,
+      st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x*x) AS BIGINT) AS sxx
+        FROM grid GROUP BY 1),
+      par AS (SELECT event_type, sx // n AS mu,
+          5 * CAST(ceil(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) AS BIGINT) AS h
+        FROM st),
+      pre0 AS (SELECT g.event_type, g.d, g.x, p.mu, p.h,
+          SUM(g.x - p.mu) OVER (PARTITION BY g.event_type ORDER BY g.d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp
+        FROM grid g JOIN par p ON p.event_type = g.event_type),
+      pre AS (SELECT event_type, d, x, mu, h, pp,
+          MIN(pp) OVER w AS mn, MAX(pp) OVER w AS mx
+        FROM pre0 WINDOW w AS (PARTITION BY event_type ORDER BY d
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT event_type,
+        strftime(make_timestamp(d * 86400000000), '%Y-%m-%d') AS day,
+        CAST(x AS BIGINT) AS x, CAST(mu AS BIGINT) AS mu,
+        CAST(h AS BIGINT) AS h,
+        CAST(pp - LEAST(0, mn) AS BIGINT) AS cusum_pos,
+        CAST(GREATEST(0, mx) - pp AS BIGINT) AS cusum_neg,
+        (pp - LEAST(0, mn) > h OR GREATEST(0, mx) - pp > h) AS alarm
+      FROM pre ORDER BY event_type, day""")) { (s, dir) =>
+    import s.implicits._
+    val grid = dailyCountSpine(s, dir)
+    val par = grid.groupBy($"event_type").agg(
+        count(lit(1)).as("n"), sum($"x").as("sx"),
+        sum($"x" * $"x").as("sxx"))
+      .select($"event_type", ($"sx" / $"n").cast("long").as("mu"),
+        (lit(5) * ceil(sqrt(
+          ($"n".cast("double") * $"sxx".cast("double") -
+            $"sx".cast("double") * $"sx".cast("double")) /
+            ($"n".cast("double") * $"n".cast("double")))).cast("long"))
+          .as("h"))
+    val w = Window.partitionBy($"event_type").orderBy($"d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = grid.join(par, Seq("event_type"))
+      .withColumn("pp", sum($"x" - $"mu").over(w))
+      .withColumn("mn", min($"pp").over(w))
+      .withColumn("mx", max($"pp").over(w))
+    pre.select($"event_type",
+        date_format(timestamp_micros($"d" * lit(86400000000L)), "yyyy-MM-dd")
+          .as("day"),
+        $"x".cast("long").as("x"), $"mu", $"h",
+        ($"pp" - least(lit(0L), $"mn")).cast("long").as("cusum_pos"),
+        (greatest(lit(0L), $"mx") - $"pp").cast("long").as("cusum_neg"),
+        ($"pp" - least(lit(0L), $"mn") > $"h" ||
+          greatest(lit(0L), $"mx") - $"pp" > $"h").as("alarm"))
+      .orderBy($"event_type", $"day")
+  }
+
+  /** Gap-fill with last-observation-carried-forward over a sparse
+    * sensor-style feed (a deterministic 1-in-97 event subsample, so
+    * real multi-day gaps exist at every scale): per type, the complete
+    * day spine carries the last observed reading forward plus its age
+    * in days — the standard repair step before any daily-grid model
+    * consumes an irregular feed. Days before the first observation
+    * stay NULL (nothing to carry) with NULL age.
+    *
+    * Scale shape: the sparse agg is a hash agg on (type, day); the
+    * spine bounds come from the FULL table so leading gaps are real;
+    * the carry-forward is one per-type calendar-bounded window
+    * (last(ignoreNulls) + a running max for the age) — no self-join,
+    * no recursion. Parity: the carried value is a stored double MAX
+    * (order-free), ages are integer day arithmetic. */
+  val qGapFill: Spec = Spec(
+    "ev_gap_fill",
+    oracle = Some("""
+      WITH raw AS (SELECT event_type,
+          CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS d,
+          value, event_id
+        FROM events),
+      obs AS (SELECT event_type, d, MAX(value) AS v
+        FROM raw WHERE event_id % 97 = 0 GROUP BY 1, 2),
+      bounds AS (SELECT event_type, MIN(d) AS mn, MAX(d) AS mx
+        FROM raw GROUP BY 1),
+      spine AS (SELECT b.event_type, CAST(u.d AS BIGINT) AS d
+        FROM bounds b CROSS JOIN UNNEST(range(b.mn, b.mx + 1)) AS u(d)),
+      g AS (SELECT s.event_type, s.d, o.v,
+          (o.v IS NOT NULL) AS observed
+        FROM spine s LEFT JOIN obs o
+          ON o.event_type = s.event_type AND o.d = s.d),
+      f AS (SELECT event_type, d, observed,
+          last_value(v IGNORE NULLS) OVER w AS value_filled,
+          d - MAX(CASE WHEN observed THEN d END) OVER w AS gap_age
+        FROM g WINDOW w AS (PARTITION BY event_type ORDER BY d
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT event_type,
+        strftime(make_timestamp(d * 86400000000), '%Y-%m-%d') AS day,
+        observed, value_filled, CAST(gap_age AS BIGINT) AS gap_age
+      FROM f ORDER BY event_type, day""")) { (s, dir) =>
+    import s.implicits._
+    val raw = load(s, dir)
+      .select($"event_type", ($"ts" / lit(dayNs)).cast("long").as("d"),
+        $"value", $"event_id")
+    val obs = raw.filter($"event_id" % 97 === 0)
+      .groupBy($"event_type", $"d").agg(max($"value").as("v"))
+    val spine = raw.groupBy($"event_type")
+      .agg(min($"d").as("mn"), max($"d").as("mx"))
+      .select($"event_type", explode(sequence($"mn", $"mx")).as("d"))
+    val w = Window.partitionBy($"event_type").orderBy($"d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(obs, Seq("event_type", "d"), "left")
+      .withColumn("observed", $"v".isNotNull)
+      .withColumn("value_filled", last($"v", ignoreNulls = true).over(w))
+      .withColumn("gap_age",
+        ($"d" - max(when($"observed", $"d")).over(w)).cast("long"))
+      .select($"event_type",
+        date_format(timestamp_micros($"d" * lit(86400000000L)), "yyyy-MM-dd")
+          .as("day"),
+        $"observed", $"value_filled", $"gap_age")
+      .orderBy($"event_type", $"day")
+  }
+
   val specs: Seq[Spec] = Seq(qTumbling, qSessionize, qAsofClick,
     qAsofTolerance, qFunnel, qPropsJson, qSliding, qSessionWindowNative,
     qRate5Min, qValueOutliers, qDriftWindowed, qDriftSliding,
@@ -1920,5 +2162,5 @@ object Events {
     qAsofNearest, qConversionTime, qMarkovTransitions, qSeasonalDecompose,
     qPathAnalysis, qSeasonalAnomaly, qStickiness, qBounceRate,
     qUserConcentration, qInterArrival, qAttribution, qAttributionDecay,
-    qRfm, qEntryExit)
+    qRfm, qEntryExit, qAcfDaily, qCusumChangepoint, qGapFill)
 }
