@@ -820,8 +820,80 @@ object Lexical {
     }
   }
 
+  /** RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    * are maximal stopword-free token runs (gaps-and-islands on token
+    * position); each word scores deg/freq where deg sums the lengths
+    * of every phrase occurrence containing it; a phrase scores the sum
+    * of its words' scores. The corpus-level top 25 keyphrases — the
+    * lightweight topic inventory of the documents table, complementing
+    * [[dCollocations]] (fixed-width bigrams) with variable-length
+    * phrases. Stopword set = the corpus's English function words
+    * ('the', 'a' — the same pair d_stopword_stats pins).
+    *
+    * Scale shape: one token explode + per-doc island window (doc-
+    * bounded frames), hash aggs for word stats and unique phrases, and
+    * the top-25 via orderBy+limit (TakeOrderedAndProject). Parity:
+    * word scores are 6dp-rounded ratios of exact integers; phrase
+    * scores sum them as DECIMAL (order-free). */
+  val dRakeKeyphrases: Spec = Spec(
+    "d_rake_keyphrases",
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      tok AS (SELECT doc_id, i, l[i+1] AS w
+        FROM (SELECT doc_id, l, unnest(range(0, len(l))) AS i FROM t)),
+      ns AS (SELECT doc_id, i, w,
+          i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        FROM tok WHERE w <> 'the' AND w <> 'a' AND w <> ''),
+      ph AS (SELECT doc_id, grp, string_agg(w, ' ' ORDER BY i) AS phrase,
+          CAST(COUNT(*) AS BIGINT) AS plen
+        FROM ns GROUP BY doc_id, grp),
+      ws AS (SELECT w,
+          round(CAST(SUM(plen) AS DOUBLE) / COUNT(*), 6) AS wscore
+        FROM (SELECT n.w, p.plen FROM ns n
+          JOIN ph p ON p.doc_id = n.doc_id AND p.grp = n.grp)
+        GROUP BY w),
+      up AS (SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occ,
+          CAST(MAX(plen) AS BIGINT) AS n_words
+        FROM ph GROUP BY phrase),
+      ps AS (SELECT u.phrase, u.n_occ, u.n_words,
+          SUM(CAST(ws.wscore AS DECIMAL(18,6))) AS score
+        FROM up u, UNNEST(string_split(u.phrase, ' ')) AS s(w)
+        JOIN ws ON ws.w = s.w
+        GROUP BY u.phrase, u.n_occ, u.n_words)
+      SELECT phrase, n_words, n_occ,
+        round(CAST(score AS DOUBLE), 6) AS rake_score
+      FROM ps ORDER BY rake_score DESC, phrase LIMIT 25""")) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs(s, dir)
+      .select($"doc_id", posexplode(Text.tokens($"text")).as(Seq("i", "w")))
+    val ns = tok
+      .filter($"w" =!= "the" && $"w" =!= "a" && $"w" =!= "")
+      .withColumn("grp", $"i" - row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"i")))
+    val ph = ns.groupBy($"doc_id", $"grp")
+      .agg(array_join(transform(array_sort(collect_list(struct($"i", $"w"))),
+          x => x("w")), " ").as("phrase"),
+        count(lit(1)).as("plen"))
+    val ws = ns.join(ph, Seq("doc_id", "grp"))
+      .groupBy($"w")
+      .agg(round(sum($"plen").cast("double") / count(lit(1)), 6).as("wscore"))
+    val up = ph.groupBy($"phrase")
+      .agg(count(lit(1)).as("n_occ"), max($"plen").cast("long").as("n_words"))
+    up.select($"phrase", $"n_occ", $"n_words",
+        explode(Text.tokens($"phrase")).as("w"))
+      .join(ws, Seq("w"))
+      .groupBy($"phrase", $"n_occ", $"n_words")
+      .agg(sum($"wscore".cast("decimal(18,6)")).as("score"))
+      .select($"phrase", $"n_words", $"n_occ",
+        round($"score".cast("double"), 6).as("rake_score"))
+      .orderBy(desc("rake_score"), $"phrase")
+      .limit(25)
+  }
+
   val specs: Seq[Spec] = Seq(dNsfwMultilang, dStopwordMultilang, dNsfwRedact,
     dSourceNsfwRollup,
     dBpeTokenStats, dBpePairCounts, dBpeMerges, dBpeEncode, dLangNormalize,
-    dTfidfDocPairs, dHybridSimilarity, dCollocations, dRankingAgreement)
+    dTfidfDocPairs, dHybridSimilarity, dCollocations, dRankingAgreement,
+    dRakeKeyphrases)
 }

@@ -1363,6 +1363,49 @@ object Relational {
       .orderBy(col("o_orderpriority"), col("month"))
   }
 
+  /** Incremental maintenance of a JOIN materialized view — the
+    * bilinear-delta rule Δ(A ⋈ B) = ΔA ⋈ B applied to the fact side
+    * (customer is the slowly-changing dim; its deltas are SCD2
+    * territory, [[qScd2History]]). The stored MV keeps per-(nation,
+    * month) MERGEABLE partials of orders ⋈ customer; refresh joins
+    * ONLY the order delta against the dim and re-merges — |delta| join
+    * work + |mv| merge rows, never a base re-scan, which is what keeps
+    * a 100 TB fact's rollup maintainable. The dim side of the delta
+    * join is key-hashed (broadcast-able when the dim fits); the oracle
+    * is the full recompute, so the green row IS the
+    * incremental-equals-full proof (exact by decimal associativity). */
+  val qIncrJoinMv: Spec = Spec(
+    "q_incr_join_mv",
+    oracle = Some("""
+      SELECT n.n_name AS nation, strftime(o.o_orderdate, '%Y-%m') AS month,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2 ORDER BY 1, 2""")) { (s, dir) =>
+    val orders = Tables.load(s, dir, "orders")
+    val dim = Tables.load(s, dir, "customer")
+      .join(Tables.load(s, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("nation"))
+    val split = lit("1997-01-01").cast("timestamp")
+    def mvPartials(facts: DataFrame): DataFrame = facts
+      .join(dim, col("c_custkey") === col("o_custkey"))
+      .groupBy(col("nation"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val snapshot = mvPartials(orders.filter(col("o_orderdate") < split))
+    val delta = mvPartials(orders.filter(col("o_orderdate") >= split))
+    snapshot.unionByName(delta)
+      .groupBy(col("nation"), col("month"))
+      .agg(sum(col("n_orders")).as("n_orders"), sum(col("rev")).as("rev"))
+      .select(col("nation"), col("month"), col("n_orders"),
+        col("rev").cast("double").as("revenue"))
+      .orderBy(col("nation"), col("month"))
+  }
+
   val specs: Seq[Spec] = Seq(
     q1PricingSummary, q3TopOrders, q5RegionRevenue, q4LateShipments,
     qAntiCustomers, qTopPartsPerBrand, qRunningSupplier, qSetOps,
@@ -1371,5 +1414,5 @@ object Relational {
     qOrderLatency, qStringOps, qFuzzyPartNames, qSaltedAgg, qRangeBandJoin,
     qBenford, qSkewReport, qConsistentSample, qRollingMedian, qBucketedJoin,
     qZorderCluster, qMergeUpsert, qScd2History, qExpectations,
-    qSkylineParts, qKAnonymity, qIncrMv)
+    qSkylineParts, qKAnonymity, qIncrMv, qIncrJoinMv)
 }
