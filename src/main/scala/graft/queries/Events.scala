@@ -1925,11 +1925,19 @@ object Events {
     val counts = load(s, dir)
       .select($"event_type", ($"ts" / lit(dayNs)).cast("long").as("d"))
       .groupBy($"event_type", $"d").agg(count(lit(1)).as("cnt"))
-    val spine = counts.groupBy($"event_type")
-      .agg(min($"d").as("mn"), max($"d").as("mx"))
-      .select($"event_type", explode(sequence($"mn", $"mx")).as("d"))
+    spineFill(counts)
+  }
+
+  /** Complete the per-type day grid from observed (event_type, d, cnt)
+    * rows: silent days become x=0. Shared by the batch spine build and
+    * the streaming twin (whose counts arrive from a windowed stream). */
+  def spineFill(counts: DataFrame): DataFrame = {
+    val spine = counts.groupBy(col("event_type"))
+      .agg(min(col("d")).as("mn"), max(col("d")).as("mx"))
+      .select(col("event_type"), explode(sequence(col("mn"), col("mx"))).as("d"))
     spine.join(counts, Seq("event_type", "d"), "left")
-      .select($"event_type", $"d", coalesce($"cnt", lit(0L)).as("x"))
+      .select(col("event_type"), col("d"),
+        coalesce(col("cnt"), lit(0L)).as("x"))
   }
 
   /** The oracle's replay of [[dailyCountSpine]]. */
@@ -2035,9 +2043,8 @@ object Events {
     * Everything is integer: μ is the floored per-type mean, the
     * threshold h = 5·⌈σ⌉ derives from integer sufficient statistics
     * (its one sqrt is fixed IEEE), so both engines agree exactly. */
-  val qCusumChangepoint: Spec = Spec(
-    "ev_cusum_changepoint",
-    oracle = Some(s"""
+  /** Shared with the streaming twin st_cusum_changepoint. */
+  val cusumOracleSql: String = s"""
       WITH $dailySpineSql,
       st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x*x) AS BIGINT) AS sxx
@@ -2062,9 +2069,13 @@ object Events {
         CAST(pp - LEAST(0, mn) AS BIGINT) AS cusum_pos,
         CAST(GREATEST(0, mx) - pp AS BIGINT) AS cusum_neg,
         (pp - LEAST(0, mn) > h OR GREATEST(0, mx) - pp > h) AS alarm
-      FROM pre ORDER BY event_type, day""")) { (s, dir) =>
+      FROM pre ORDER BY event_type, day"""
+
+  /** The CUSUM tail over a complete (event_type, d, x) day grid —
+    * shared by the batch query and the streaming twin. */
+  def cusumOverDayGrid(grid: DataFrame): DataFrame = {
+    val s = grid.sparkSession
     import s.implicits._
-    val grid = dailyCountSpine(s, dir)
     val par = grid.groupBy($"event_type").agg(
         count(lit(1)).as("n"), sum($"x").as("sx"),
         sum($"x" * $"x").as("sxx"))
@@ -2089,6 +2100,12 @@ object Events {
         ($"pp" - least(lit(0L), $"mn") > $"h" ||
           greatest(lit(0L), $"mx") - $"pp" > $"h").as("alarm"))
       .orderBy($"event_type", $"day")
+  }
+
+  val qCusumChangepoint: Spec = Spec(
+    "ev_cusum_changepoint",
+    oracle = Some(cusumOracleSql)) { (s, dir) =>
+    cusumOverDayGrid(dailyCountSpine(s, dir))
   }
 
   /** Gap-fill with last-observation-carried-forward over a sparse

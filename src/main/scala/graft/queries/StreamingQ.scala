@@ -594,6 +594,19 @@ object StreamingQ {
         .localCheckpoint())
   }
 
+  /** STREAMING CUSUM changepoints: the watermarked daily tumbling
+    * count query maintains the days × |types| grid; the CUSUM
+    * statistic (prefix-identity form) runs as a batch view over that
+    * bounded state — the st_seasonal_decompose split, sharing
+    * [[Events.spineFill]] + [[Events.cusumOverDayGrid]] and the batch
+    * oracle with ev_cusum_changepoint. */
+  val stCusum: Spec = Spec(
+    "st_cusum_changepoint",
+    oracle = Some(Events.cusumOracleSql)) { (s, dir) =>
+    Events.cusumOverDayGrid(Events.spineFill(
+      StreamOps.dailyTypeCounts(s, dir, sink = "st_cusum_mem")))
+  }
+
   /** STATEFUL streaming path mining: last-TWO-events state per user,
     * so 3-step paths split across micro-batches at either position
     * still count ([[graft.streaming.StreamOps.pathTriplesFrom]]).
@@ -787,5 +800,5 @@ object StreamingQ {
     stMinhashPairs, stFunnelLevels, stBm25Indexed, stCmsCounts, stNovelty,
     stAsofLastClick, stCcIncremental, stRateAnomaly, stKsWindowed, stMarkov,
     stSeasonal, stPath, stNsfwRollup, stEntryExit, stAttribution,
-    stQualityMonitor, stAttributionDecay)
+    stQualityMonitor, stAttributionDecay, stCusum)
 }

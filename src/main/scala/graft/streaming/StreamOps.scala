@@ -123,6 +123,37 @@ object StreamOps {
       .localCheckpoint()
   }
 
+  /** Daily per-type event counts as a streaming query — the bounded
+    * sufficient statistic the CUSUM changepoint monitor consumes
+    * ([[graft.queries.Events.cusumOverDayGrid]]). Same state-bound
+    * argument as [[dailyValueCountsFrom]]: complete mode retains the
+    * whole grid, but the grid is days × |types| by construction — no
+    * raw event is held. Emits (event_type, d, cnt) with d = integer
+    * days since epoch, the grid contract [[graft.queries.Events
+    * .spineFill]] expects. */
+  def dailyTypeCountsFrom(s: SparkSession, src: DataFrame,
+      sink: String): DataFrame = {
+    val agg = src
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_utc", "1 day")
+      .groupBy(window(col("ts_utc"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    runToTable(s, agg, sink, "complete")
+      .select(col("event_type"),
+        (unix_micros(col("window.start")) / lit(86400000000L))
+          .cast("long").as("d"),
+        col("cnt"))
+      // the CUSUM tail references the grid through several branches
+      // (spine agg + fill join + stats); checkpoint the BOUNDED table
+      // so the MemoryPlan leaf is re-referenceable (same rationale as
+      // dailyValueCountsFrom)
+      .localCheckpoint()
+  }
+
+  def dailyTypeCounts(s: SparkSession, dir: String,
+      sink: String = "st_cusum_mem"): DataFrame =
+    dailyTypeCountsFrom(s, eventsStream(s, dir), sink)
+
   /** Sliding 1-hour windows every 15 minutes as a streaming query —
     * each event lands in 4 overlapping windows; watermarked state,
     * complete-mode memory sink for the finite-source smoke. */
