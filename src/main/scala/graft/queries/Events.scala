@@ -2122,9 +2122,8 @@ object Events {
     * (last(ignoreNulls) + a running max for the age) — no self-join,
     * no recursion. Parity: the carried value is a stored double MAX
     * (order-free), ages are integer day arithmetic. */
-  val qGapFill: Spec = Spec(
-    "ev_gap_fill",
-    oracle = Some("""
+  /** Shared with the streaming twin st_gap_fill. */
+  val gapFillOracleSql: String = """
       WITH raw AS (SELECT event_type,
           CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS d,
           value, event_id
@@ -2147,19 +2146,21 @@ object Events {
       SELECT event_type,
         strftime(make_timestamp(d * 86400000000), '%Y-%m-%d') AS day,
         observed, value_filled, CAST(gap_age AS BIGINT) AS gap_age
-      FROM f ORDER BY event_type, day""")) { (s, dir) =>
+      FROM f ORDER BY event_type, day"""
+
+  /** The LOCF tail over per-(type, day) rows carrying the day's sparse
+    * reading in `v` (null when the day had events but no reading) —
+    * shared by the batch query and the streaming twin. Days with no
+    * rows at all (fully silent) are restored by the spine. */
+  def gapFillOverDayValues(days: DataFrame): DataFrame = {
+    val s = days.sparkSession
     import s.implicits._
-    val raw = load(s, dir)
-      .select($"event_type", ($"ts" / lit(dayNs)).cast("long").as("d"),
-        $"value", $"event_id")
-    val obs = raw.filter($"event_id" % 97 === 0)
-      .groupBy($"event_type", $"d").agg(max($"value").as("v"))
-    val spine = raw.groupBy($"event_type")
+    val spine = days.groupBy($"event_type")
       .agg(min($"d").as("mn"), max($"d").as("mx"))
       .select($"event_type", explode(sequence($"mn", $"mx")).as("d"))
     val w = Window.partitionBy($"event_type").orderBy($"d")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine.join(obs, Seq("event_type", "d"), "left")
+    spine.join(days.filter($"v".isNotNull), Seq("event_type", "d"), "left")
       .withColumn("observed", $"v".isNotNull)
       .withColumn("value_filled", last($"v", ignoreNulls = true).over(w))
       .withColumn("gap_age",
@@ -2169,6 +2170,18 @@ object Events {
           .as("day"),
         $"observed", $"value_filled", $"gap_age")
       .orderBy($"event_type", $"day")
+  }
+
+  val qGapFill: Spec = Spec(
+    "ev_gap_fill",
+    oracle = Some(gapFillOracleSql)) { (s, dir) =>
+    import s.implicits._
+    val raw = load(s, dir)
+      .select($"event_type", ($"ts" / lit(dayNs)).cast("long").as("d"),
+        $"value", $"event_id")
+    gapFillOverDayValues(raw
+      .groupBy($"event_type", $"d")
+      .agg(max(when($"event_id" % 97 === 0, $"value")).as("v")))
   }
 
   val specs: Seq[Spec] = Seq(qTumbling, qSessionize, qAsofClick,

@@ -607,6 +607,18 @@ object StreamingQ {
       StreamOps.dailyTypeCounts(s, dir, sink = "st_cusum_mem")))
   }
 
+  /** STREAMING LOCF gap-fill: the watermarked daily stream maintains
+    * the per-(type, day) sparse-reading grid; the carry-forward tail
+    * runs as a batch view over that bounded state — sharing
+    * [[Events.gapFillOverDayValues]] and the batch oracle with
+    * ev_gap_fill. */
+  val stGapFill: Spec = Spec(
+    "st_gap_fill",
+    oracle = Some(Events.gapFillOracleSql)) { (s, dir) =>
+    Events.gapFillOverDayValues(
+      StreamOps.dailySparseValues(s, dir, sink = "st_gapfill_mem"))
+  }
+
   /** STATEFUL streaming path mining: last-TWO-events state per user,
     * so 3-step paths split across micro-batches at either position
     * still count ([[graft.streaming.StreamOps.pathTriplesFrom]]).
@@ -800,5 +812,5 @@ object StreamingQ {
     stMinhashPairs, stFunnelLevels, stBm25Indexed, stCmsCounts, stNovelty,
     stAsofLastClick, stCcIncremental, stRateAnomaly, stKsWindowed, stMarkov,
     stSeasonal, stPath, stNsfwRollup, stEntryExit, stAttribution,
-    stQualityMonitor, stAttributionDecay, stCusum)
+    stQualityMonitor, stAttributionDecay, stCusum, stGapFill)
 }

@@ -154,6 +154,32 @@ object StreamOps {
       sink: String = "st_cusum_mem"): DataFrame =
     dailyTypeCountsFrom(s, eventsStream(s, dir), sink)
 
+  /** Daily per-type sparse sensor readings as a streaming query — the
+    * bounded statistic the LOCF gap-fill monitor consumes
+    * ([[graft.queries.Events.gapFillOverDayValues]]): per (type, day),
+    * MAX(value) over the deterministic 1-in-97 subsample (NULL when
+    * the day had traffic but no reading — max over an empty set).
+    * Complete-mode grid state, days × |types| bounded, no raw events
+    * held. */
+  def dailySparseValuesFrom(s: SparkSession, src: DataFrame,
+      sink: String): DataFrame = {
+    val agg = src
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_utc", "1 day")
+      .groupBy(window(col("ts_utc"), "1 day"), col("event_type"))
+      .agg(max(when(col("event_id") % 97 === 0, col("value"))).as("v"))
+    runToTable(s, agg, sink, "complete")
+      .select(col("event_type"),
+        (unix_micros(col("window.start")) / lit(86400000000L))
+          .cast("long").as("d"),
+        col("v"))
+      .localCheckpoint() // bounded; re-referenced by spine + fill join
+  }
+
+  def dailySparseValues(s: SparkSession, dir: String,
+      sink: String = "st_gapfill_mem"): DataFrame =
+    dailySparseValuesFrom(s, eventsStream(s, dir), sink)
+
   /** Sliding 1-hour windows every 15 minutes as a streaming query —
     * each event lands in 4 overlapping windows; watermarked state,
     * complete-mode memory sink for the finite-source smoke. */
