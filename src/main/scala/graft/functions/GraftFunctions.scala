@@ -28,6 +28,9 @@ object GraftFunctions {
   def splitKeepDelim(c: Column, pattern: String): Column =
     column(SplitKeepDelimiter(expression(c), pattern))
 
+  def jaroWinkler(a: Column, b: Column): Column =
+    column(JaroWinkler(expression(a), expression(b)))
+
   def normalizeUnicode(c: Column, form: String = "NFKC"): Column =
     column(NormalizeUnicode(expression(c), form))
 
@@ -108,6 +111,7 @@ object GraftFunctions {
       WinnowFingerprints(es.head, litInt(es(1), "k"), litInt(es(2), "w"))
     }
     reg("graft_collapse_ws")(es => CollapseWs(es.head))
+    reg("graft_jaro_winkler")(es => JaroWinkler(es.head, es(1)))
     reg("graft_trivial_tokenize") { es =>
       TrivialTokenize(es.head,
         graft.ops.Text.trivialMarks(

@@ -125,6 +125,34 @@ class ExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("jaro_winkler: strcmp95 vectors, integer-truncated transpositions") {
+    def jw(a: String, b: String): Double =
+      Seq((a, b)).toDF("a", "b")
+        .select(GraftFunctions.jaroWinkler($"a", $"b").as("r"))
+        .collect()(0).getDouble(0)
+    def close(x: Double, y: Double): Unit = assert(math.abs(x - y) < 1e-12,
+      s"$x vs $y")
+    // classic published vectors (agree with DuckDB's independent impl)
+    close(jw("MARTHA", "MARHTA"), 0.9611111111111111)
+    close(jw("DIXON", "DICKSONX"), 0.8133333333333332)
+    close(jw("CRATE", "TRACE"), 0.7333333333333334) // jaro>0.7 but prefix 0
+    close(jw("aaaaaaaaaa", "aaaaaaaaab"), 0.96) // prefix capped at 4
+    close(jw("abcdefgh", "abzzzzzz"), 0.5) // below 0.7: NO winkler boost
+    // odd mismatch count floors (Winkler's strcmp95 integer division):
+    // matched seqs differ in 3 positions -> t=1, not 1.5
+    close(jw("Customer#000000102", "Cutomer#000001230"), 0.9380174291938996)
+    assert(jw("abc", "abc") == 1.0)
+    assert(jw("", "abc") == 0.0)
+    assert(jw("", "") == 0.0) // DuckDB convention: empty scores 0
+    assert(jw("ab", "ba") == 0.0) // window 0: no matches
+    // SQL surface
+    GraftFunctions.registerSql(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_jaro_winkler('MARTHA', 'MARHTA') AS r")
+      .collect()(0).getDouble(0)
+    close(viaSql, 0.9611111111111111)
+  }
+
   test("remove_non_terminal_punc_span mirrors the reference flow (F20)") {
     import graft.functions.NonTerminalPuncSpanRemove.eval
     // valid terminal → unchanged
