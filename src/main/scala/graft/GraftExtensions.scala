@@ -19,7 +19,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * for both paths (pinned equal in ExpressionsSpec).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     graft.functions.GraftFunctions.sqlFunctions.foreach {
       case (name, builder) =>
         ext.injectFunction((
@@ -27,4 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           new ExpressionInfo(classOf[GraftExtensions].getName, name),
           builder))
     }
+    // window-dedup → hash-aggregate rewrite (graft.plans.WindowDedupToAgg):
+    // joins the operator-optimization fixed point of every session built
+    // with this extension
+    ext.injectOptimizerRule(_ => graft.plans.WindowDedupToAgg)
+  }
 }

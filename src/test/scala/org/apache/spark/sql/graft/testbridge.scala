@@ -10,4 +10,10 @@ object testbridge {
   def registerFunctions(
       ext: SparkSessionExtensions, base: FunctionRegistry): FunctionRegistry =
     ext.registerFunctions(base)
+
+  def optimizerRules(ext: SparkSessionExtensions,
+      s: org.apache.spark.sql.SparkSession): Seq[
+        org.apache.spark.sql.catalyst.rules.Rule[
+          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
+    ext.buildOptimizerRules(s)
 }
