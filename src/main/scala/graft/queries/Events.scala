@@ -2184,6 +2184,80 @@ object Events {
       .agg(max(when($"event_id" % 97 === 0, $"value")).as("v")))
   }
 
+  /** DBSCAN user segmentation: density clusters over the per-user
+    * behavioural plane (x = integer mean event value, y = purchase
+    * rate in percent) under the L∞ metric, eps=1, minPts=4 — the
+    * density-based complement to the centroid clustering in the
+    * similarity family (finds arbitrarily-shaped segments, calls the
+    * sparse fringe NOISE instead of forcing it into a cluster).
+    * Features are integer ratios (decimal sum, integer division), so
+    * they are scale-stable (the plane doesn't stretch as event volume
+    * grows) and bit-equal across engines.
+    *
+    * Spark plan: [[graft.ops.Density.dbscanGrid]] — one hash-agg for
+    * features, exact eps-neighbor join via grid cells with the
+    * dense-cell shortcut (same-cell pairs never enumerate; hot cells
+    * cost O(n)), star-edge core graph into the shared CC solver. The
+    * oracle is the definitional brute-force quadratic + recursive
+    * min-label walk — feasible at oracle scale, and precisely what
+    * the blocked plan must (and does) reproduce. */
+  val qDbscanUsers: Spec = Spec(
+    "ev_dbscan_users",
+    oracle = Some("""
+      WITH RECURSIVE feats AS (
+        SELECT user_id,
+          (floor(SUM(CAST(value AS DECIMAL(18,6))))::BIGINT // COUNT(*))
+            AS x,
+          (100 * SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+            END)::BIGINT // COUNT(*)) AS y
+        FROM events GROUP BY user_id),
+      nbrs AS (
+        SELECT a.user_id AS ua, b.user_id AS ub
+        FROM feats a JOIN feats b ON a.user_id <> b.user_id
+          AND abs(a.x - b.x) <= 1 AND abs(a.y - b.y) <= 1),
+      deg AS (
+        SELECT f.user_id, COUNT(n.ub) AS nn
+        FROM feats f LEFT JOIN nbrs n ON n.ua = f.user_id
+        GROUP BY f.user_id),
+      core AS (SELECT user_id FROM deg WHERE nn + 1 >= 4),
+      cedges AS (
+        SELECT n.ua AS src, n.ub AS dst FROM nbrs n
+        JOIN core ca ON ca.user_id = n.ua
+        JOIN core cb ON cb.user_id = n.ub),
+      walk(id, comp) AS (
+        SELECT user_id, user_id FROM core
+        UNION
+        SELECT e.dst, w.comp FROM walk w JOIN cedges e ON e.src = w.id),
+      labels AS (SELECT id AS user_id, MIN(comp) AS cluster
+        FROM walk GROUP BY id),
+      assigned AS (
+        SELECT f.user_id,
+          COALESCE(l.cluster,
+            (SELECT MIN(l2.cluster) FROM nbrs n
+             JOIN labels l2 ON l2.user_id = n.ub WHERE n.ua = f.user_id),
+            -1) AS cluster,
+          (l.cluster IS NOT NULL) AS is_core
+        FROM feats f LEFT JOIN labels l ON l.user_id = f.user_id)
+      SELECT cluster, COUNT(*)::BIGINT AS size,
+        SUM(CASE WHEN is_core THEN 1 ELSE 0 END)::BIGINT AS n_core,
+        MIN(user_id) AS min_user, MAX(user_id) AS max_user
+      FROM assigned GROUP BY cluster ORDER BY cluster""")) { (s, dir) =>
+    import s.implicits._
+    val feats = load(s, dir)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        floor(sum($"value".cast("decimal(18,6)"))).cast("long").as("fs"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("np"))
+      .select($"user_id".as("id"), expr("fs div n").as("x"),
+        expr("(100 * np) div n").as("y"))
+    graft.ops.Density.dbscanGrid(feats, eps = 1L, minPts = 4L)
+      .groupBy($"cluster")
+      .agg(count(lit(1)).as("size"),
+        sum(when($"is_core", 1L).otherwise(0L)).as("n_core"),
+        min($"id").as("min_user"), max($"id").as("max_user"))
+      .orderBy($"cluster")
+  }
+
   val specs: Seq[Spec] = Seq(qTumbling, qSessionize, qAsofClick,
     qAsofTolerance, qFunnel, qPropsJson, qSliding, qSessionWindowNative,
     qRate5Min, qValueOutliers, qDriftWindowed, qDriftSliding,
@@ -2192,5 +2266,5 @@ object Events {
     qAsofNearest, qConversionTime, qMarkovTransitions, qSeasonalDecompose,
     qPathAnalysis, qSeasonalAnomaly, qStickiness, qBounceRate,
     qUserConcentration, qInterArrival, qAttribution, qAttributionDecay,
-    qRfm, qEntryExit, qAcfDaily, qCusumChangepoint, qGapFill)
+    qRfm, qEntryExit, qAcfDaily, qCusumChangepoint, qGapFill, qDbscanUsers)
 }
