@@ -2258,6 +2258,109 @@ object Events {
       .orderBy($"cluster")
   }
 
+  /** Hourly session CONCURRENCY via a sweep line: sessions (the
+    * [[qSessionize]] 30-minute-gap cut) become +1/-1 boundary events,
+    * the running sum of deltas is the number of simultaneously-active
+    * sessions at every instant, and each (day, hour) reports its peak
+    * plus the number of segment starts. Sessions are clipped to day
+    * boundaries (a spanning session re-enters as a +1 at midnight), so
+    * instantaneous counts are preserved while the sweep stays
+    * day-local; an hourly zero-delta spine row carries the count into
+    * hours with no boundary of their own. Closed-interval semantics:
+    * +1 sorts before -1 at an equal instant.
+    *
+    * Scale shape: the interval-overlap problem WITHOUT the interval
+    * join — boundaries ride [[Skew.prefixSumsByKey]] (range-partitioned
+    * partials + broadcast offsets, day-keyed), so a day with a billion
+    * sessions never funnels into a single reducer, and no pair of
+    * sessions is ever compared. Determinism: equal (t, delta) rows
+    * permute only within same-delta runs, where every prefix-sum
+    * multiset (hence the hourly MAX) is identical. */
+  val qConcurrencyHourly: Spec = Spec(
+    "ev_concurrency_hourly",
+    oracle = Some("""
+      WITH m AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+          CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+               THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      sessed AS (
+        SELECT user_id, ts_us,
+          SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM m),
+      sess AS (
+        SELECT user_id, session_id, MIN(ts_us) AS sb, MAX(ts_us) AS se
+        FROM sessed GROUP BY 1, 2),
+      seg AS (
+        SELECT CAST(u.d AS BIGINT) AS d,
+          GREATEST(sb, u.d * 86400000000) AS cs,
+          LEAST(se, (u.d + 1) * 86400000000 - 1) AS ce
+        FROM sess CROSS JOIN
+          UNNEST(range(sb // 86400000000, se // 86400000000 + 1)) AS u(d)),
+      bounds AS (
+        SELECT d, cs AS t, 1 AS delta FROM seg
+        UNION ALL SELECT d, ce, -1 FROM seg),
+      db AS (SELECT MIN(d) AS mnd, MAX(d) AS mxd FROM bounds),
+      spine AS (
+        SELECT CAST(a.dd AS BIGINT) AS d,
+          a.dd * 86400000000 + b.h * 3600000000 AS t, 0 AS delta
+        FROM db CROSS JOIN UNNEST(range(mnd, mxd + 1)) AS a(dd)
+        CROSS JOIN UNNEST(range(0, 24)) AS b(h)),
+      ev AS (
+        SELECT d, t, delta FROM bounds
+        UNION ALL SELECT d, t, delta FROM spine),
+      run AS (
+        SELECT d, t, delta,
+          SUM(delta) OVER (PARTITION BY d ORDER BY t, delta DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        FROM ev)
+      SELECT strftime(make_timestamp(d * 86400000000), '%Y-%m-%d') AS day,
+        (t % 86400000000) // 3600000000 AS hour,
+        CAST(MAX(c) AS BIGINT) AS max_concurrent,
+        CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_starts
+      FROM run GROUP BY 1, 2 ORDER BY day, hour""")) { (s, dir) =>
+    import s.implicits._
+    val dayUs = 86400L * 1000 * 1000
+    val hourUs = 3600L * 1000 * 1000
+    val gapUs = 1800L * 1000 * 1000
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = load(s, dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("brk",
+        when(lag($"ts_us", 1).over(w).isNull ||
+          $"ts_us" - lag($"ts_us", 1).over(w) > gapUs, 1).otherwise(0))
+      .withColumn("session_id", sum($"brk").over(run).cast("long"))
+      .groupBy($"user_id", $"session_id")
+      .agg(min($"ts_us").as("sb"), max($"ts_us").as("se"))
+    val seg = sess
+      .select($"sb", $"se",
+        explode(sequence(expr(s"sb div $dayUs"), expr(s"se div $dayUs")))
+          .as("d"))
+      .select($"d", greatest($"sb", $"d" * dayUs).as("cs"),
+        least($"se", ($"d" + 1) * dayUs - 1).as("ce"))
+    val bounds = seg.select($"d", $"cs".as("t"), lit(1L).as("delta"))
+      .unionAll(seg.select($"d", $"ce".as("t"), lit(-1L).as("delta")))
+    val spine = bounds.agg(min($"d").as("mnd"), max($"d").as("mxd"))
+      .select(explode(sequence($"mnd", $"mxd")).as("d"))
+      .select($"d", explode(sequence(lit(0L), lit(23L))).as("h"))
+      .select($"d", ($"d" * dayUs + $"h" * hourUs).as("t"),
+        lit(0L).as("delta"))
+    graft.ops.Skew.prefixSumsByKey(bounds.unionAll(spine), "d",
+        Seq($"t", $"delta".desc), Seq(col("delta") -> "c"))
+      .groupBy($"d", expr(s"(t % $dayUs) div $hourUs").as("hour"))
+      .agg(max($"c").as("max_concurrent"),
+        sum(when($"delta" === 1L, 1L).otherwise(0L)).as("n_starts"))
+      .select(
+        date_format(timestamp_micros($"d" * dayUs), "yyyy-MM-dd").as("day"),
+        $"hour", $"max_concurrent", $"n_starts")
+      .orderBy($"day", $"hour")
+  }
+
   val specs: Seq[Spec] = Seq(qTumbling, qSessionize, qAsofClick,
     qAsofTolerance, qFunnel, qPropsJson, qSliding, qSessionWindowNative,
     qRate5Min, qValueOutliers, qDriftWindowed, qDriftSliding,
@@ -2266,5 +2369,6 @@ object Events {
     qAsofNearest, qConversionTime, qMarkovTransitions, qSeasonalDecompose,
     qPathAnalysis, qSeasonalAnomaly, qStickiness, qBounceRate,
     qUserConcentration, qInterArrival, qAttribution, qAttributionDecay,
-    qRfm, qEntryExit, qAcfDaily, qCusumChangepoint, qGapFill, qDbscanUsers)
+    qRfm, qEntryExit, qAcfDaily, qCusumChangepoint, qGapFill, qDbscanUsers,
+    qConcurrencyHourly)
 }
