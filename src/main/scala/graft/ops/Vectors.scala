@@ -514,4 +514,23 @@ object Vectors {
       .withColumn("cos_sim", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
     topK(scored, k)
   }
+
+  /** Cell-restricted kNN where EVERY corpus vector is a query — the
+    * all-to-all form behind kNN-graph builds (mutual-kNN filtering,
+    * graph clustering). Unlike [[knnCell]] there is no broadcast (both
+    * sides are corpus-scale): one shuffle join on the cell key, scoring
+    * bounded by Σ|cell|², and the per-query top-k collapses map-side
+    * through the bounded [[TopK]] aggregator — the pair set never
+    * materializes beyond each cell partition. */
+  def knnAllCell(corpus: DataFrame, cellCol: String, k: Int): DataFrame = {
+    val q = corpus
+      .select(col("id").as("qid"), col("vec").as("qv"), col(cellCol).as("cell"))
+      .withColumn("qn", norm(col("qv")))
+    val c = corpus
+      .select(col("id").as("cid"), col("vec").as("cv"), col(cellCol).as("cell"))
+      .withColumn("cn", norm(col("cv")))
+    val scored = c.join(q, Seq("cell")).filter(col("qid") =!= col("cid"))
+      .withColumn("cos_sim", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+    topK(scored, k)
+  }
 }

@@ -2027,11 +2027,54 @@ object Similarity {
       .orderBy($"label")
   }
 
+  /** MUTUAL kNN graph: edges where each endpoint is in the OTHER's
+    * cosine top-5 within its label cell — the reciprocal filter that
+    * turns a noisy kNN graph into the high-precision edge set used by
+    * kNN-graph clustering and hubness-robust near-dup review (a hub
+    * vector appears in many top-k lists, but keeps only the neighbors
+    * it reciprocates).
+    *
+    * Scale shape: [[graft.ops.Vectors.knnAllCell]] (cell-keyed shuffle
+    * join, map-side bounded TopK — the k·n directed edge set is the
+    * ONLY materialized pair frame) followed by one self-join of that
+    * k·n frame on the reversed key — never a second scoring pass. */
+  val eMutualKnn: Spec = Spec(
+    "e_mutual_knn",
+    oracle = Some(s"""
+      WITH scored AS (
+        SELECT a.vec_id AS qid, b.vec_id AS cid,
+          ${cosSql("a.embedding", "b.embedding")} AS cos
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id <> b.vec_id),
+      r AS (SELECT qid, cid, cos,
+        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid)
+          AS BIGINT) AS rk
+        FROM scored),
+      k AS (SELECT qid, cid, cos, rk FROM r WHERE rk <= 5)
+      SELECT x.qid AS id_a, x.cid AS id_b, x.rk AS rank_ab,
+        y.rk AS rank_ba, ROUND(x.cos, 6) AS cos_sim
+      FROM k x JOIN k y ON y.qid = x.cid AND y.cid = x.qid
+      WHERE x.qid < x.cid ORDER BY id_a, id_b""")) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+      .select($"vec_id".as("id"), $"embedding".as("vec"), $"label")
+    val knn = Vectors.knnAllCell(emb, "label", 5).localCheckpoint()
+    knn.select($"qid".as("id_a"), $"cid".as("id_b"),
+        $"rk".as("rank_ab"), $"cos_sim")
+      .join(knn.select($"cid".as("id_a"), $"qid".as("id_b"),
+        $"rk".as("rank_ba")), Seq("id_a", "id_b"))
+      .filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b", $"rank_ab", $"rank_ba",
+        round($"cos_sim", 6).as("cos_sim"))
+      .orderBy($"id_a", $"id_b")
+  }
+
   val specs: Seq[Spec] = Seq(eCentroids, eKnnBrute, eKnnCell, eNearDup, eIvfRecall,
     eNearDupLsh, eKnnQuantized, eKmeansCentroids, eKnnIvfLearned,
     eKnnIvfMultiprobe, eKnnPq, eKnnIvfPq, eBitextMine, eEmbeddingOutliers,
     eKnnIvfPqProbe, eNearDupClusters, eKnnMatryoshka, eMmrRerank,
     eClusterSummary, ePagerankCentrality, eTriangleCount, eLabelPropagation,
     eEigenCentrality, eLinkPrediction, eKcorePeel, eSemdedup,
-    eSemdedupIncremental, ePcaProjection, ePca2d, eCentroidDrift)
+    eSemdedupIncremental, ePcaProjection, ePca2d, eCentroidDrift,
+    eMutualKnn)
 }
