@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -32,11 +32,59 @@ import org.apache.spark.sql.functions._
   */
 object Density {
 
-  /** @param points (id: long, x: long, y: long) integer feature points,
-    *               ids unique, coordinates non-negative.
-    * @return (id, x, y, is_core, cluster) one row per input point;
-    *         cluster = min reachable core id, or -1 for noise. */
-  def dbscanGrid(points: DataFrame, eps: Long, minPts: Long): DataFrame = {
+  /** Everything the batch solve knows, kept for incremental updates:
+    * per-point census + core flags, the core labelling, and each
+    * non-core point's core-neighbor components (the "anchor" pairs
+    * that let borders re-label under cluster merges without a new
+    * neighborhood search). */
+  private[graft] final case class DbscanState(
+      scored: DataFrame,      // (id, x, y, cx, cy, cell_n, is_core)
+      coreLabels: DataFrame,  // (id, cluster) — core points only
+      anchorPairs: DataFrame, // (id, comp) — per non-core point, the
+                              //   components of its core neighbors
+      labels: DataFrame)      // (id, x, y, is_core, cluster)
+
+  private def cellCols(eps: Long)(df: DataFrame): DataFrame =
+    df.select(col("id"), col("x"), col("y"),
+      expr(s"x div $eps").as("cx"), expr(s"y div $eps").as("cy"))
+
+  /** The 8 neighbor-cell offsets (no center — same-cell candidates are
+    * handled by the cell census, never enumerated). */
+  private val crossOffsets =
+    for { dx <- -1 to 1; dy <- -1 to 1 if !(dx == 0 && dy == 0) }
+      yield (dx, dy)
+
+  private def offsetArray(offs: Seq[(Int, Int)]): Column =
+    array(offs.map { case (dx, dy) =>
+      struct(lit(dx).as("dx"), lit(dy).as("dy"))
+    }: _*)
+
+  /** Directed cross-cell eps-pairs: each `probes` point against all
+    * `targets` points in its 8 adjacent cells (never the same cell).
+    * Each unordered pair surfaces once per direction present in the
+    * probe set — the cell delta is unique, so no dedup is needed for
+    * degree counting. */
+  private def crossPairs(probes: DataFrame, targets: DataFrame,
+      eps: Long): DataFrame = {
+    val p = probes
+      .select(col("id").as("ua"), col("x").as("xa"), col("y").as("ya"),
+        col("cx"), col("cy"))
+      .withColumn("o", explode(offsetArray(crossOffsets)))
+      .select(col("ua"), col("xa"), col("ya"),
+        (col("cx") + col("o.dx")).as("tcx"),
+        (col("cy") + col("o.dy")).as("tcy"))
+    val t = targets.select(col("id").as("ub"), col("x").as("xb"),
+      col("y").as("yb"), col("cx").as("tcx"), col("cy").as("tcy"))
+    p.join(t, Seq("tcx", "tcy"))
+      .filter(abs(col("xa") - col("xb")) <= eps &&
+        abs(col("ya") - col("yb")) <= eps)
+      .select(col("ua"), col("ub"))
+  }
+
+  /** Full solve retaining internals — see [[dbscanGrid]] for the
+    * public contract. */
+  private[graft] def solve(points: DataFrame, eps: Long,
+      minPts: Long): DbscanState = {
     val s = points.sparkSession
     import s.implicits._
     require(eps >= 1, s"eps must be a positive integer, got $eps")
@@ -45,30 +93,11 @@ object Density {
     // cell coords + same-cell population in ONE shuffle (window count,
     // no count-join); materialized once — probes, targets, scoring and
     // the final assembly all reuse it.
-    val cells = points
-      .select($"id", $"x", $"y",
-        expr(s"x div $eps").as("cx"), expr(s"y div $eps").as("cy"))
+    val cells = cellCols(eps)(points)
       .withColumn("cell_n", count(lit(1)).over(wCell))
       .localCheckpoint()
 
-    // Cross-cell candidates: explode each point to its 8 neighbor
-    // cells and equi-join back on the target cell. Each unordered
-    // cross-cell pair surfaces exactly twice (once per direction, the
-    // cell delta is unique) — so directed degree counts need no
-    // distinct, and the undirected edge list is the ua<ub half.
-    val offsets =
-      for { dx <- -1 to 1; dy <- -1 to 1 if !(dx == 0 && dy == 0) }
-        yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
-    val probes = cells
-      .select($"id".as("ua"), $"x".as("xa"), $"y".as("ya"), $"cx", $"cy")
-      .withColumn("o", explode(array(offsets: _*)))
-      .select($"ua", $"xa", $"ya",
-        ($"cx" + $"o.dx").as("tcx"), ($"cy" + $"o.dy").as("tcy"))
-    val targets = cells.select($"id".as("ub"), $"x".as("xb"), $"y".as("yb"),
-      $"cx".as("tcx"), $"cy".as("tcy"))
-    val cross = probes.join(targets, Seq("tcx", "tcy"))
-      .filter(abs($"xa" - $"xb") <= eps && abs($"ya" - $"yb") <= eps)
-      .select($"ua", $"ub")
+    val cross = crossPairs(cells, cells, eps)
 
     // |neighborhood incl. self| = same-cell population + cross-cell
     // matches; the former never materializes pair rows.
@@ -98,29 +127,217 @@ object Density {
     // isolated cores (no core neighbor anywhere) label themselves
     val coreLab = coreIds
       .join(cc, coreIds("id") === cc("id"), "left")
-      .select(coreIds("id"), coalesce($"component", coreIds("id")).as("cluster"))
+      .select(coreIds("id"),
+        coalesce($"component", coreIds("id")).as("cluster"))
 
-    // Border attachment: min core-neighbor label. Same-cell cores are
-    // neighbors by the cell identity and all share one label (clique),
-    // so the cell contributes its min-core's label; cross-cell core
-    // neighbors contribute theirs via the pair list. least() skips
-    // nulls; both absent -> noise.
+    // Anchor pairs: for every NON-core point, the component of each
+    // core neighbor. Same-cell cores are neighbors by the cell
+    // identity and all share one label (clique), so the cell
+    // contributes its min-core's label; cross-cell core neighbors
+    // contribute theirs via the pair list.
     val cellLab = coreCells.groupBy($"cx", $"cy")
       .agg(min($"id").as("ccm"))
       .join(coreLab.withColumnRenamed("id", "ccm"), Seq("ccm"))
-      .select($"cx", $"cy", $"cluster".as("cell_cluster"))
-    val crossLab = cross
+      .select($"cx", $"cy", $"cluster".as("comp"))
+    val nonCore = scored.filter(!$"is_core")
+    val cellAnchor = nonCore.join(cellLab, Seq("cx", "cy"))
+      .select($"id", $"comp")
+    val crossAnchor = cross
+      .join(nonCore.select($"id".as("ua")), Seq("ua"), "leftsemi")
       .join(coreLab.withColumnRenamed("id", "ub"), Seq("ub"))
-      .groupBy($"ua").agg(min($"cluster").as("cross_cluster"))
+      .select($"ua".as("id"), $"cluster".as("comp"))
+    val anchorPairs = cellAnchor.unionAll(crossAnchor)
 
-    scored
+    // Assembly: cores from the CC labelling; borders take the min
+    // anchor component; anchor-less non-cores are noise.
+    val borderLab = anchorPairs.groupBy($"id")
+      .agg(min($"comp").as("border_cluster"))
+    val labels = scored
       .join(coreLab.withColumnRenamed("cluster", "core_cluster"),
         Seq("id"), "left")
-      .join(cellLab, Seq("cx", "cy"), "left")
-      .join(crossLab, scored("id") === crossLab("ua"), "left")
+      .join(borderLab, Seq("id"), "left")
       .select(scored("id"), $"x", $"y", $"is_core",
         when($"is_core", $"core_cluster")
-          .otherwise(coalesce(least($"cell_cluster", $"cross_cluster"),
-            lit(-1L))).as("cluster"))
+          .otherwise(coalesce($"border_cluster", lit(-1L))).as("cluster"))
+    DbscanState(scored, coreLab, anchorPairs, labels)
+  }
+
+  /** @param points (id: long, x: long, y: long) integer feature points,
+    *               ids unique, coordinates non-negative.
+    * @return (id, x, y, is_core, cluster) one row per input point;
+    *         cluster = min reachable core id, or -1 for noise. */
+  def dbscanGrid(points: DataFrame, eps: Long, minPts: Long): DataFrame =
+    solve(points, eps, minPts).labels
+
+  /** INCREMENTAL DBSCAN: merge a batch of new points into an existing
+    * clustering, touching only the batch's neighborhood — provably
+    * equal to a full recompute over base ∪ batch (points never leave a
+    * cluster when the corpus only grows: degrees are monotone, so
+    * cores stay core and components only merge; every change is
+    * therefore reachable from the batch).
+    *
+    * Locality argument, in cell units (cells of side eps): batch
+    * points can only touch degrees in HALO-1 (cells adjacent to a
+    * batch cell — beyond it nothing is within eps of the batch);
+    * newly-core points live in halo-1, so new core-core edges have an
+    * endpoint in halo-1 and the other within halo-2; and a border
+    * outside halo-1 keeps its exact neighbor COUNT but may gain a
+    * newly-core NEIGHBOR (halo-2) or see its cluster renamed by a
+    * merge (anywhere). The per-batch work is then:
+    *   1. degrees recomputed for halo-1 ∪ batch only (cell census +
+    *      cross pairs against halo-2 ∪ batch) — batch-proportional;
+    *   2. the new-edge set (halo-1 star cells + verified cross pairs)
+    *      into [[ConnectedComponents.incremental]] — batch-proportional
+    *      plus affected components;
+    *   3. borders in halo-1 ∪ batch re-anchor locally; borders outside
+    *      re-label by JOINING their stored anchor components through
+    *      the label-rename map (old label → new component of that
+    *      label node) and min-ing in any newly-core neighbor — one
+    *      broadcast-sized rename join over the stored anchor pairs,
+    *      never a new neighborhood search.
+    * The base corpus is scanned (linear) but never re-paired.
+    *
+    * @param basePoints (id, x, y) the already-clustered corpus.
+    * @param batch (id, x, y) new points (ids disjoint from base).
+    * @return (id, x, y, is_core, cluster) over base ∪ batch, equal to
+    *         `dbscanGrid(base ∪ batch, eps, minPts)`. */
+  def dbscanGridIncremental(basePoints: DataFrame, batch: DataFrame,
+      eps: Long, minPts: Long): DataFrame = {
+    val s = basePoints.sparkSession
+    import s.implicits._
+    val base = solve(basePoints, eps, minPts)
+    val scored = base.scored // checkpointed by solve
+
+    val bat = cellCols(eps)(batch).localCheckpoint()
+    val batCellCnt = bat.groupBy($"cx", $"cy")
+      .agg(count(lit(1)).as("bn"))
+
+    // halo cell frames: batch cells grown by 1 and 2 rings — batch-
+    // proportional, broadcast into every restriction join.
+    val growOffsets = for { dx <- -1 to 1; dy <- -1 to 1 } yield (dx, dy)
+    def grow(cells: DataFrame): DataFrame = cells
+      .withColumn("o", explode(offsetArray(growOffsets)))
+      .select(($"cx" + $"o.dx").as("cx"), ($"cy" + $"o.dy").as("cy"))
+      .distinct()
+    val halo1 = grow(bat.select($"cx", $"cy").distinct()).localCheckpoint()
+    val halo2 = grow(halo1).localCheckpoint()
+
+    val oldH1 = scored.join(broadcast(halo1), Seq("cx", "cy"), "leftsemi")
+    val oldH2 = scored.join(broadcast(halo2), Seq("cx", "cy"), "leftsemi")
+    val oldOut = scored.join(broadcast(halo1), Seq("cx", "cy"), "leftanti")
+
+    // Recomputed census for the probe region: post-batch cell totals
+    // (old cell_n + batch arrivals; batch cells may have no old rows).
+    val oldCellCnt = oldH1.select($"cx", $"cy", $"cell_n").distinct()
+    val probePts = oldH1
+      .select($"id", $"x", $"y", $"cx", $"cy", $"cell_n",
+        $"is_core".as("was_core"))
+      .join(broadcast(batCellCnt), Seq("cx", "cy"), "left")
+      .select($"id", $"x", $"y", $"cx", $"cy",
+        ($"cell_n" + coalesce($"bn", lit(0L))).as("tot_n"), $"was_core",
+        lit(true).as("is_old"))
+      .unionAll(bat
+        .join(broadcast(oldCellCnt), Seq("cx", "cy"), "left")
+        .join(broadcast(batCellCnt), Seq("cx", "cy"))
+        .select($"id", $"x", $"y", $"cx", $"cy",
+          (coalesce($"cell_n", lit(0L)) + $"bn").as("tot_n"),
+          lit(false).as("was_core"), lit(false).as("is_old")))
+
+    val targetPts = oldH2.select($"id", $"x", $"y", $"cx", $"cy")
+      .unionAll(bat.select($"id", $"x", $"y", $"cx", $"cy"))
+    val cross = crossPairs(probePts, targetPts, eps)
+    val crossDeg = cross.groupBy($"ua").agg(count(lit(1)).as("cdeg"))
+    val probes = probePts
+      .join(crossDeg, probePts("id") === crossDeg("ua"), "left")
+      .select($"id", $"x", $"y", $"cx", $"cy", $"was_core", $"is_old",
+        ($"tot_n" + coalesce($"cdeg", lit(0L)) >= minPts).as("is_core"))
+      .localCheckpoint()
+
+    // Post-batch core flags for the target region (halo-2 beyond
+    // halo-1 keeps its stored flag — its degree cannot have changed).
+    val coreAfter = probes.select($"id", $"is_core")
+      .unionAll(oldH2.join(broadcast(halo1), Seq("cx", "cy"), "leftanti")
+        .select($"id", $"is_core"))
+
+    // New core edges: star edges over halo-1 cells' post-batch cores +
+    // verified cross-cell core-core pairs. Cross pairs may appear in
+    // one or both directions (targets beyond halo-1 are never probes),
+    // so normalize + distinct.
+    val wCell = Window.partitionBy($"cx", $"cy")
+    val starEdges = probes.filter($"is_core")
+      .withColumn("center", min($"id").over(wCell))
+      .filter($"id" =!= $"center")
+      .select($"id".as("src"), $"center".as("dst"))
+    val coreSet = coreAfter.filter($"is_core").select($"id")
+    val crossCoreEdges = cross
+      .join(coreSet.select($"id".as("ua")), Seq("ua"), "leftsemi")
+      .join(coreSet.select($"id".as("ub")), Seq("ub"), "leftsemi")
+      .select(least($"ua", $"ub").as("src"),
+        greatest($"ua", $"ub").as("dst"))
+      .distinct()
+    val newLabels = ConnectedComponents.incremental(
+      base.coreLabels.select($"id", $"cluster".as("component")),
+      starEdges.unionAll(crossCoreEdges)).localCheckpoint()
+
+    // All post-batch cores with coordinates; isolated new cores (no
+    // edge, not in base) label themselves.
+    val coresOut = probes.filter($"is_core").select($"id", $"x", $"y")
+      .unionAll(oldOut.filter($"is_core").select($"id", $"x", $"y"))
+      .join(newLabels, Seq("id"), "left")
+      .select($"id", $"x", $"y", lit(true).as("is_core"),
+        coalesce($"component", $"id").as("cluster"))
+
+    // Border labels, recomputed region (halo-1 ∪ batch): same-cell
+    // post-batch core label + cross-pair core labels, min.
+    val coreLabAll = coreSet.join(newLabels, Seq("id"), "left")
+      .select($"id", coalesce($"component", $"id").as("cluster"))
+    val cellLab = probes.filter($"is_core")
+      .groupBy($"cx", $"cy").agg(min($"id").as("ccm"))
+      .join(coreLabAll.withColumnRenamed("id", "ccm"), Seq("ccm"))
+      .select($"cx", $"cy", $"cluster".as("cell_cluster"))
+    val crossLab = cross
+      .join(coreLabAll.withColumnRenamed("id", "ub"), Seq("ub"))
+      .groupBy($"ua").agg(min($"cluster").as("cross_cluster"))
+    val bordersRecomputed = probes.filter(!$"is_core")
+      .join(cellLab, Seq("cx", "cy"), "left")
+      .join(crossLab, probes("id") === crossLab("ua"), "left")
+      .select(probes("id"), $"x", $"y", lit(false).as("is_core"),
+        coalesce(least($"cell_cluster", $"cross_cluster"), lit(-1L))
+          .as("cluster"))
+
+    // Border labels outside halo-1: stored anchors re-labelled through
+    // the rename map (old component L -> new component of node L),
+    // plus any newly-core neighbor (only reachable in halo-2).
+    val rename = base.coreLabels.select($"cluster".as("comp")).distinct()
+      .join(newLabels.withColumnRenamed("id", "comp"), Seq("comp"), "left")
+      .select($"comp", coalesce($"component", $"comp").as("new_comp"))
+    val anchorMin = base.anchorPairs
+      .join(broadcast(rename), Seq("comp"))
+      .groupBy($"id").agg(min($"new_comp").as("anchor_cluster"))
+    val newlyCore = probes
+      .filter($"is_core" && $"is_old" && !$"was_core")
+      .join(coreLabAll.withColumnRenamed("cluster", "nc_cluster"),
+        Seq("id"))
+    val outH2Borders = oldOut.filter(!$"is_core")
+      .join(broadcast(halo2), Seq("cx", "cy"), "leftsemi")
+      .select($"id", $"x", $"y", $"cx", $"cy")
+    val ncPairs = outH2Borders
+      .withColumn("o", explode(offsetArray(growOffsets)))
+      .select($"id".as("bid"), $"x".as("xb"), $"y".as("yb"),
+        ($"cx" + $"o.dx").as("ncx"), ($"cy" + $"o.dy").as("ncy"))
+      .join(newlyCore.select($"x".as("xn"), $"y".as("yn"),
+        $"cx".as("ncx"), $"cy".as("ncy"), $"nc_cluster"),
+        Seq("ncx", "ncy"))
+      .filter(abs($"xb" - $"xn") <= eps && abs($"yb" - $"yn") <= eps)
+      .groupBy($"bid").agg(min($"nc_cluster").as("nc_cluster"))
+    val bordersAnchored = oldOut.filter(!$"is_core")
+      .select($"id", $"x", $"y")
+      .join(anchorMin, Seq("id"), "left")
+      .join(ncPairs.withColumnRenamed("bid", "id"), Seq("id"), "left")
+      .select($"id", $"x", $"y", lit(false).as("is_core"),
+        coalesce(least($"anchor_cluster", $"nc_cluster"), lit(-1L))
+          .as("cluster"))
+
+    coresOut.unionAll(bordersRecomputed).unionAll(bordersAnchored)
   }
 }

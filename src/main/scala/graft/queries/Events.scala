@@ -2258,6 +2258,40 @@ object Events {
       .orderBy($"cluster")
   }
 
+  /** INCREMENTAL DBSCAN: the corpus (user_id % 10 != 0) is clustered
+    * once — that [[graft.ops.Density.DbscanState]] is the persisted
+    * state — and the daily batch (user_id % 10 = 0) merges in touching
+    * only the batch's cell neighborhood:
+    * [[graft.ops.Density.dbscanGridIncremental]] recomputes degrees in
+    * halo-1 only, feeds the new core edges through the shared
+    * incremental CC solve, and re-labels out-of-halo borders by
+    * joining their stored anchor components through the label-rename
+    * map (corpus scanned, never re-paired). Growth is monotone
+    * (degrees only rise, cores stay core, components only merge), so
+    * the merged result provably equals a full recompute — and the
+    * oracle states precisely that: it is the [[qDbscanUsers]] SQL over
+    * ALL users, byte-identical. */
+  val qDbscanIncremental: Spec = Spec(
+    "ev_dbscan_incremental",
+    oracle = qDbscanUsers.oracle) { (s, dir) =>
+    import s.implicits._
+    val feats = load(s, dir)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        floor(sum($"value".cast("decimal(18,6)"))).cast("long").as("fs"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("np"))
+      .select($"user_id".as("id"), expr("fs div n").as("x"),
+        expr("(100 * np) div n").as("y"))
+    graft.ops.Density.dbscanGridIncremental(
+        feats.filter($"id" % 10 =!= 0), feats.filter($"id" % 10 === 0),
+        eps = 1L, minPts = 4L)
+      .groupBy($"cluster")
+      .agg(count(lit(1)).as("size"),
+        sum(when($"is_core", 1L).otherwise(0L)).as("n_core"),
+        min($"id").as("min_user"), max($"id").as("max_user"))
+      .orderBy($"cluster")
+  }
+
   /** Hourly session CONCURRENCY via a sweep line: sessions (the
     * [[qSessionize]] 30-minute-gap cut) become +1/-1 boundary events,
     * the running sum of deltas is the number of simultaneously-active
@@ -2370,5 +2404,5 @@ object Events {
     qPathAnalysis, qSeasonalAnomaly, qStickiness, qBounceRate,
     qUserConcentration, qInterArrival, qAttribution, qAttributionDecay,
     qRfm, qEntryExit, qAcfDaily, qCusumChangepoint, qGapFill, qDbscanUsers,
-    qConcurrencyHourly)
+    qConcurrencyHourly, qDbscanIncremental)
 }

@@ -55,6 +55,38 @@ class DensitySpec extends AnyFunSuite {
       (3L, false, -1L)))
   }
 
+  test("dbscanGridIncremental equals full recompute across a merge") {
+    import spark.implicits._
+    // Base = the main vector set. The batch drops two points into the
+    // bridge cell: old border 9 becomes core, clusters A (label 2) and
+    // B (label 5) merge, and B's out-of-halo borders (6, 8) must be
+    // re-labelled through the rename map without a new search.
+    val basePts = Seq(
+      (1L, 9L, 11L), (2L, 9L, 12L), (3L, 9L, 13L), (4L, 10L, 12L),
+      (5L, 12L, 12L), (6L, 13L, 11L), (7L, 13L, 12L), (8L, 13L, 13L),
+      (9L, 11L, 12L), (10L, 50L, 50L),
+      (11L, 30L, 30L), (12L, 30L, 30L), (13L, 30L, 30L), (14L, 30L, 30L)
+    ).toDF("id", "x", "y")
+    val batch = Seq((15L, 11L, 12L), (16L, 11L, 13L)).toDF("id", "x", "y")
+
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select($"id", $"is_core", $"cluster").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).sortBy(_._1)
+
+    val incr = canon(
+      Density.dbscanGridIncremental(basePts, batch, eps = 1L, minPts = 4L))
+    val full = canon(
+      Density.dbscanGrid(basePts.unionAll(batch), eps = 1L, minPts = 4L))
+    assert(incr.toSeq == full.toSeq)
+    // and the merge actually happened the way the vector intends
+    assert(incr.toSeq == Seq(
+      (1L, false, 2L), (2L, true, 2L), (3L, false, 2L), (4L, true, 2L),
+      (5L, true, 2L), (6L, false, 2L), (7L, true, 2L), (8L, false, 2L),
+      (9L, true, 2L), (10L, false, -1L),
+      (11L, true, 11L), (12L, true, 11L), (13L, true, 11L),
+      (14L, true, 11L), (15L, true, 2L), (16L, true, 2L)))
+  }
+
   test("dbscanGrid eps>1 groups by coarser cells exactly") {
     import spark.implicits._
     // eps=3: points at x=0 and x=3 are within L-inf 3 (adjacent cells);
