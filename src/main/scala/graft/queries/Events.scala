@@ -2203,6 +2203,7 @@ object Events {
     * the blocked plan must (and does) reproduce. */
   val qDbscanUsers: Spec = Spec(
     "ev_dbscan_users",
+    bench = true,
     oracle = Some("""
       WITH RECURSIVE feats AS (
         SELECT user_id,
