@@ -2259,6 +2259,67 @@ object Events {
       .orderBy($"cluster")
   }
 
+  /** THEIL–SEN robust trend per event type: slope = median of all
+    * pairwise day-count slopes, intercept = median residual at that
+    * slope — the estimator that shrugs off up to 29% outlier days
+    * where [[qUserTrend]]'s OLS line chases them. Median parity rides
+    * the [[qRollingMedian]] argument (Spark `percentile(0.5)` and
+    * DuckDB `quantile_cont` share the interpolated definition over
+    * identical doubles; slopes are exact-integer differences divided
+    * once).
+    *
+    * Scale shape: the pairwise build is over the DAILY aggregate —
+    * |days|² per type with days calendar-bounded, the same bounded-
+    * frame argument as the ACF/seasonal family; the event scan itself
+    * is one hash agg. Day indices via exact integer division of the
+    * nanos timestamp (never a double quotient). */
+  val qTheilSen: Spec = Spec(
+    "ev_theilsen_trend",
+    oracle = Some("""
+      WITH d AS (
+        SELECT event_type,
+          CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+          CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+      p AS (
+        SELECT a.event_type, (b.c - a.c)::DOUBLE / (b.d - a.d) AS sl
+        FROM d a JOIN d b ON a.event_type = b.event_type AND a.d < b.d),
+      s AS (SELECT event_type, quantile_cont(sl, 0.5) AS slope
+        FROM p GROUP BY 1),
+      r AS (SELECT d.event_type, d.c - s.slope * d.d AS resid
+        FROM d JOIN s ON s.event_type = d.event_type),
+      i AS (SELECT event_type, quantile_cont(resid, 0.5) AS icpt
+        FROM r GROUP BY 1),
+      n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM d GROUP BY 1)
+      SELECT s.event_type, round(s.slope, 6) AS slope,
+        round(i.icpt, 6) AS intercept, n.n_days
+      FROM s JOIN i USING (event_type) JOIN n USING (event_type)
+      ORDER BY event_type""")) { (s, dir) =>
+    import s.implicits._
+    val dayNs = 86400L * 1000 * 1000 * 1000
+    val daily = load(s, dir)
+      .groupBy($"event_type", expr(s"ts div $dayNs").as("d"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // days×types rows, consumed by three branches
+    val a = daily.select($"event_type", $"d".as("d1"), $"c".as("c1"))
+    val b = daily.select($"event_type", $"d".as("d2"), $"c".as("c2"))
+    val sl = a.join(b, Seq("event_type")).filter($"d1" < $"d2")
+      .select($"event_type",
+        (($"c2" - $"c1").cast("double") / ($"d2" - $"d1")).as("sl"))
+      .groupBy($"event_type").agg(expr("percentile(sl, 0.5)").as("slope"))
+    val icpt = daily.join(broadcast(sl), Seq("event_type"))
+      .select($"event_type",
+        ($"c".cast("double") - $"slope" * $"d").as("resid"))
+      .groupBy($"event_type")
+      .agg(expr("percentile(resid, 0.5)").as("icpt"))
+    val nd = daily.groupBy($"event_type").agg(count(lit(1)).as("n_days"))
+    sl.join(icpt, "event_type").join(nd, "event_type")
+      .select($"event_type", round($"slope", 6).as("slope"),
+        round($"icpt", 6).as("intercept"), $"n_days")
+      .orderBy($"event_type")
+  }
+
   /** INCREMENTAL DBSCAN: the corpus (user_id % 10 != 0) is clustered
     * once — that [[graft.ops.Density.DbscanState]] is the persisted
     * state — and the daily batch (user_id % 10 = 0) merges in touching
@@ -2405,5 +2466,5 @@ object Events {
     qPathAnalysis, qSeasonalAnomaly, qStickiness, qBounceRate,
     qUserConcentration, qInterArrival, qAttribution, qAttributionDecay,
     qRfm, qEntryExit, qAcfDaily, qCusumChangepoint, qGapFill, qDbscanUsers,
-    qConcurrencyHourly, qDbscanIncremental)
+    qConcurrencyHourly, qDbscanIncremental, qTheilSen)
 }
