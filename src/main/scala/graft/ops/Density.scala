@@ -202,11 +202,23 @@ object Density {
     * @return (id, x, y, is_core, cluster) over base ∪ batch, equal to
     *         `dbscanGrid(base ∪ batch, eps, minPts)`. */
   def dbscanGridIncremental(basePoints: DataFrame, batch: DataFrame,
-      eps: Long, minPts: Long): DataFrame = {
-    val s = basePoints.sparkSession
+      eps: Long, minPts: Long): DataFrame =
+    incrementalState(solve(basePoints, eps, minPts), batch, eps,
+      minPts).labels
+
+  /** State-in/state-out form of [[dbscanGridIncremental]], so a stream
+    * can FOLD batches: each call returns the complete post-batch
+    * [[DbscanState]] (census, core labelling, border anchors, labels),
+    * ready to be the base of the next batch. Chaining invariant: the
+    * state after any prefix of batches equals `solve` over the union
+    * of those batches — each component (cell census, core flags,
+    * labels, anchor pairs) is rebuilt where touched and carried (or
+    * renamed) where provably unchanged. */
+  private[graft] def incrementalState(base: DbscanState, batch: DataFrame,
+      eps: Long, minPts: Long): DbscanState = {
+    val s = batch.sparkSession
     import s.implicits._
-    val base = solve(basePoints, eps, minPts)
-    val scored = base.scored // checkpointed by solve
+    val scored = base.scored // checkpointed by solve / prior fold
 
     val bat = cellCols(eps)(batch).localCheckpoint()
     val batCellCnt = bat.groupBy($"cx", $"cy")
@@ -250,6 +262,7 @@ object Density {
     val probes = probePts
       .join(crossDeg, probePts("id") === crossDeg("ua"), "left")
       .select($"id", $"x", $"y", $"cx", $"cy", $"was_core", $"is_old",
+        $"tot_n".as("cell_n"), // the post-batch census for this cell
         ($"tot_n" + coalesce($"cdeg", lit(0L)) >= minPts).as("is_core"))
       .localCheckpoint()
 
@@ -287,33 +300,36 @@ object Density {
       .select($"id", $"x", $"y", lit(true).as("is_core"),
         coalesce($"component", $"id").as("cluster"))
 
-    // Border labels, recomputed region (halo-1 ∪ batch): same-cell
-    // post-batch core label + cross-pair core labels, min.
+    // Anchor pairs, recomputed region (halo-1 ∪ batch): same-cell
+    // post-batch core label + cross-pair core labels, kept PRE-min so
+    // the next fold can rename them like the base solve's anchors.
     val coreLabAll = coreSet.join(newLabels, Seq("id"), "left")
       .select($"id", coalesce($"component", $"id").as("cluster"))
+    val nonCoreProbes = probes.filter(!$"is_core")
     val cellLab = probes.filter($"is_core")
       .groupBy($"cx", $"cy").agg(min($"id").as("ccm"))
       .join(coreLabAll.withColumnRenamed("id", "ccm"), Seq("ccm"))
-      .select($"cx", $"cy", $"cluster".as("cell_cluster"))
-    val crossLab = cross
+      .select($"cx", $"cy", $"cluster".as("comp"))
+    val probeCellAnchor = nonCoreProbes.join(cellLab, Seq("cx", "cy"))
+      .select($"id", $"comp")
+    val probeCrossAnchor = cross
+      .join(nonCoreProbes.select($"id".as("ua")), Seq("ua"), "leftsemi")
       .join(coreLabAll.withColumnRenamed("id", "ub"), Seq("ub"))
-      .groupBy($"ua").agg(min($"cluster").as("cross_cluster"))
-    val bordersRecomputed = probes.filter(!$"is_core")
-      .join(cellLab, Seq("cx", "cy"), "left")
-      .join(crossLab, probes("id") === crossLab("ua"), "left")
-      .select(probes("id"), $"x", $"y", lit(false).as("is_core"),
-        coalesce(least($"cell_cluster", $"cross_cluster"), lit(-1L))
-          .as("cluster"))
+      .select($"ua".as("id"), $"cluster".as("comp"))
 
-    // Border labels outside halo-1: stored anchors re-labelled through
+    // Anchor pairs outside halo-1: stored anchors re-labelled through
     // the rename map (old component L -> new component of node L),
     // plus any newly-core neighbor (only reachable in halo-2).
+    val anchoredIds = oldOut.filter(!$"is_core").select($"id")
     val rename = base.coreLabels.select($"cluster".as("comp")).distinct()
       .join(newLabels.withColumnRenamed("id", "comp"), Seq("comp"), "left")
-      .select($"comp", coalesce($"component", $"comp").as("new_comp"))
-    val anchorMin = base.anchorPairs
-      .join(broadcast(rename), Seq("comp"))
-      .groupBy($"id").agg(min($"new_comp").as("anchor_cluster"))
+      .select($"comp".as("old_comp"),
+        coalesce($"component", $"comp").as("comp"))
+    val outAnchorRenamed = base.anchorPairs
+      .join(anchoredIds, Seq("id"), "leftsemi")
+      .withColumnRenamed("comp", "old_comp")
+      .join(broadcast(rename), Seq("old_comp"))
+      .select($"id", $"comp")
     val newlyCore = probes
       .filter($"is_core" && $"is_old" && !$"was_core")
       .join(coreLabAll.withColumnRenamed("cluster", "nc_cluster"),
@@ -321,23 +337,36 @@ object Density {
     val outH2Borders = oldOut.filter(!$"is_core")
       .join(broadcast(halo2), Seq("cx", "cy"), "leftsemi")
       .select($"id", $"x", $"y", $"cx", $"cy")
-    val ncPairs = outH2Borders
+    val ncAnchor = outH2Borders
       .withColumn("o", explode(offsetArray(growOffsets)))
-      .select($"id".as("bid"), $"x".as("xb"), $"y".as("yb"),
+      .select($"id", $"x".as("xb"), $"y".as("yb"),
         ($"cx" + $"o.dx").as("ncx"), ($"cy" + $"o.dy").as("ncy"))
       .join(newlyCore.select($"x".as("xn"), $"y".as("yn"),
         $"cx".as("ncx"), $"cy".as("ncy"), $"nc_cluster"),
         Seq("ncx", "ncy"))
       .filter(abs($"xb" - $"xn") <= eps && abs($"yb" - $"yn") <= eps)
-      .groupBy($"bid").agg(min($"nc_cluster").as("nc_cluster"))
-    val bordersAnchored = oldOut.filter(!$"is_core")
-      .select($"id", $"x", $"y")
-      .join(anchorMin, Seq("id"), "left")
-      .join(ncPairs.withColumnRenamed("bid", "id"), Seq("id"), "left")
-      .select($"id", $"x", $"y", lit(false).as("is_core"),
-        coalesce(least($"anchor_cluster", $"nc_cluster"), lit(-1L))
-          .as("cluster"))
+      .select($"id", $"nc_cluster".as("comp"))
 
-    coresOut.unionAll(bordersRecomputed).unionAll(bordersAnchored)
+    val anchorPairs = probeCellAnchor.unionAll(probeCrossAnchor)
+      .unionAll(outAnchorRenamed).unionAll(ncAnchor)
+
+    // Assembly from the anchor pairs, exactly like the base solve.
+    val borderLab = anchorPairs.groupBy($"id")
+      .agg(min($"comp").as("border_cluster"))
+    val nonCoreAll = nonCoreProbes.select($"id", $"x", $"y")
+      .unionAll(oldOut.filter(!$"is_core").select($"id", $"x", $"y"))
+    val bordersOut = nonCoreAll
+      .join(borderLab, Seq("id"), "left")
+      .select($"id", $"x", $"y", lit(false).as("is_core"),
+        coalesce($"border_cluster", lit(-1L)).as("cluster"))
+    val labels = coresOut.unionAll(bordersOut)
+
+    val scoredOut = probes
+      .select($"id", $"x", $"y", $"cx", $"cy", $"cell_n", $"is_core")
+      .unionAll(
+        oldOut.select($"id", $"x", $"y", $"cx", $"cy", $"cell_n",
+          $"is_core"))
+      .localCheckpoint()
+    DbscanState(scoredOut, coreLabAll, anchorPairs, labels)
   }
 }

@@ -806,11 +806,74 @@ object StreamingQ {
       .orderBy(org.apache.spark.sql.functions.col("source"))
   }
 
+  /** STREAMING incremental DBSCAN over the embedding feed: points are
+    * integer grid projections of the first two embedding coordinates
+    * (exact float→double widening then one multiply-add and a floor —
+    * bit-identical in both engines), each micro-batch folds into the
+    * persisted clustering halo-locally
+    * ([[graft.streaming.StreamOps.dbscanStart]]), and monotone growth
+    * makes the drained result equal the one-shot solve — so the batch
+    * brute-force oracle states the streamed answer exactly. */
+  val stDbscan: Spec = Spec(
+    "st_dbscan",
+    oracle = Some("""
+      WITH RECURSIVE feats AS (
+        SELECT vec_id AS id,
+          CAST(floor(CAST(embedding[1] AS DOUBLE) * 60 + 100) AS BIGINT)
+            AS x,
+          CAST(floor(CAST(embedding[2] AS DOUBLE) * 60 + 100) AS BIGINT)
+            AS y
+        FROM embeddings),
+      nbrs AS (
+        SELECT a.id AS ua, b.id AS ub
+        FROM feats a JOIN feats b ON a.id <> b.id
+          AND abs(a.x - b.x) <= 1 AND abs(a.y - b.y) <= 1),
+      deg AS (
+        SELECT f.id, COUNT(n.ub) AS nn
+        FROM feats f LEFT JOIN nbrs n ON n.ua = f.id GROUP BY f.id),
+      core AS (SELECT id FROM deg WHERE nn + 1 >= 5),
+      cedges AS (
+        SELECT n.ua AS src, n.ub AS dst FROM nbrs n
+        JOIN core ca ON ca.id = n.ua JOIN core cb ON cb.id = n.ub),
+      walk(id, comp) AS (
+        SELECT id, id FROM core
+        UNION
+        SELECT e.dst, w.comp FROM walk w JOIN cedges e ON e.src = w.id),
+      labels AS (SELECT id, MIN(comp) AS cluster FROM walk GROUP BY id),
+      assigned AS (
+        SELECT f.id,
+          COALESCE(l.cluster,
+            (SELECT MIN(l2.cluster) FROM nbrs n
+             JOIN labels l2 ON l2.id = n.ub WHERE n.ua = f.id),
+            -1) AS cluster,
+          (l.cluster IS NOT NULL) AS is_core
+        FROM feats f LEFT JOIN labels l ON l.id = f.id)
+      SELECT cluster, COUNT(*)::BIGINT AS size,
+        SUM(CASE WHEN is_core THEN 1 ELSE 0 END)::BIGINT AS n_core,
+        MIN(id) AS min_vec, MAX(id) AS max_vec
+      FROM assigned GROUP BY cluster ORDER BY cluster""")) { (s, dir) =>
+    import s.implicits._
+    val outDir = graft.ops.Scratch.dir("graft_st_dbscan")
+    val src = s.readStream.schema(StreamOps.embeddingsSchema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+    val pts = src.select($"vec_id".as("id"),
+      floor(element_at($"embedding", 1).cast("double") * 60 + 100)
+        .cast("long").as("x"),
+      floor(element_at($"embedding", 2).cast("double") * 60 + 100)
+        .cast("long").as("y"))
+    StreamOps.dbscanBatches(s, pts, eps = 1L, minPts = 5L, outDir)
+      .groupBy($"cluster")
+      .agg(count(lit(1)).as("size"),
+        sum(when($"is_core", 1L).otherwise(0L)).as("n_core"),
+        min($"id").as("min_vec"), max($"id").as("max_vec"))
+      .orderBy($"cluster")
+  }
+
   val specs: Seq[Spec] = Seq(stTumbling, stSliding, stDedup, stSessions,
     stEnrich, stClickView, dLid, dLidScript, dLidConfusion, pipelineE2e,
     stDocFlags, stHeavyHitters, stDriftWindowed, stLidScript,
     stMinhashPairs, stFunnelLevels, stBm25Indexed, stCmsCounts, stNovelty,
     stAsofLastClick, stCcIncremental, stRateAnomaly, stKsWindowed, stMarkov,
     stSeasonal, stPath, stNsfwRollup, stEntryExit, stAttribution,
-    stQualityMonitor, stAttributionDecay, stCusum, stGapFill)
+    stQualityMonitor, stAttributionDecay, stCusum, stGapFill, stDbscan)
 }

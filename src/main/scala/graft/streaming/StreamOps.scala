@@ -1173,6 +1173,63 @@ object StreamOps {
         .agg(min(col("tus")).as("min_tus")),
       sink, "complete")
 
+  val embeddingsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** STREAMING incremental DBSCAN: each micro-batch of (id, x, y)
+    * points folds into the persisted clustering via
+    * [[graft.ops.Density.incrementalState]] — per-batch work is
+    * halo-local (degrees and edges only near the batch's cells, the
+    * ev_dbscan_incremental argument), so a steady point feed costs
+    * per-batch, not per-corpus. Growth is monotone, so after draining
+    * a finite source the labelling equals the one-shot solve — which
+    * is exactly what the batch oracle states. State (census, core
+    * labels, border anchors, labels) uses the same idempotent
+    * batch=<id> overwrite layout as the dedup stores; each dir holds
+    * the complete post-batch frame, so a retried batch re-derives from
+    * strictly-prior dirs and overwrites its own. */
+  def dbscanStart(s: SparkSession, src: DataFrame, eps: Long,
+      minPts: Long,
+      outDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val prior = for {
+          sc <- priorLabels(s, s"$outDir/scored", batchId)
+          co <- priorLabels(s, s"$outDir/core", batchId)
+          an <- priorLabels(s, s"$outDir/anchors", batchId)
+          la <- priorLabels(s, s"$outDir/labels", batchId)
+        } yield graft.ops.Density.DbscanState(sc, co, an, la)
+        val st = prior match {
+          case Some(base) =>
+            graft.ops.Density.incrementalState(base, batch, eps, minPts)
+          case None => graft.ops.Density.solve(batch, eps, minPts)
+        }
+        st.scored.write.mode("overwrite")
+          .parquet(s"$outDir/scored/batch=$batchId")
+        st.coreLabels.write.mode("overwrite")
+          .parquet(s"$outDir/core/batch=$batchId")
+        st.anchorPairs.write.mode("overwrite")
+          .parquet(s"$outDir/anchors/batch=$batchId")
+        st.labels.write.mode("overwrite")
+          .parquet(s"$outDir/labels/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /** Drive [[dbscanStart]] over a finite source; returns the final
+    * labelling (id, x, y, is_core, cluster). */
+  def dbscanBatches(s: SparkSession, src: DataFrame, eps: Long,
+      minPts: Long, outDir: String): DataFrame = {
+    val q = dbscanStart(s, src, eps, minPts, outDir)
+    try q.processAllAvailable()
+    finally q.stop()
+    priorLabels(s, s"$outDir/labels", Long.MaxValue)
+      .getOrElse(s.emptyDataFrame)
+  }
+
   /** Streaming exact-dedup: dropDuplicatesWithinWatermark on event_id.
     * Returns the deduped count table (memory sink, append). */
   def streamingDedupCount(s: SparkSession, dir: String): DataFrame = {

@@ -87,6 +87,32 @@ class DensitySpec extends AnyFunSuite {
       (14L, true, 11L), (15L, true, 2L), (16L, true, 2L)))
   }
 
+  test("incrementalState folds batches: three-way split equals one-shot") {
+    import spark.implicits._
+    val b1 = Seq( // the two arms, cores not yet connected to anything new
+      (1L, 9L, 11L), (2L, 9L, 12L), (3L, 9L, 13L), (4L, 10L, 12L),
+      (5L, 12L, 12L), (6L, 13L, 11L), (7L, 13L, 12L), (8L, 13L, 13L)
+    ).toDF("id", "x", "y")
+    val b2 = Seq( // bridge border, noise, dense far cell
+      (9L, 11L, 12L), (10L, 50L, 50L),
+      (11L, 30L, 30L), (12L, 30L, 30L), (13L, 30L, 30L), (14L, 30L, 30L)
+    ).toDF("id", "x", "y")
+    val b3 = Seq((15L, 11L, 12L), (16L, 11L, 13L)).toDF("id", "x", "y")
+
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select($"id", $"is_core", $"cluster").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).sortBy(_._1)
+
+    val s1 = Density.solve(b1, eps = 1L, minPts = 4L)
+    val s2 = Density.incrementalState(s1, b2, eps = 1L, minPts = 4L)
+    // the intermediate fold must itself equal a one-shot solve
+    assert(canon(s2.labels).toSeq ==
+      canon(Density.dbscanGrid(b1.unionAll(b2), 1L, 4L)).toSeq)
+    val s3 = Density.incrementalState(s2, b3, eps = 1L, minPts = 4L)
+    assert(canon(s3.labels).toSeq ==
+      canon(Density.dbscanGrid(b1.unionAll(b2).unionAll(b3), 1L, 4L)).toSeq)
+  }
+
   test("dbscanGrid eps>1 groups by coarser cells exactly") {
     import spark.implicits._
     // eps=3: points at x=0 and x=3 are within L-inf 3 (adjacent cells);

@@ -617,4 +617,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == file)
     assert(got.nonEmpty)
   }
+
+  test("streaming DBSCAN: three-batch fold through the parquet state " +
+      "equals the one-shot solve") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_st_dbscan_mem").toString
+    // DensitySpec's merge vector, sliced so the later batches promote a
+    // border to core and merge two clusters ACROSS the state store.
+    val pts = Seq(
+      (1L, 9L, 11L), (2L, 9L, 12L), (3L, 9L, 13L), (4L, 10L, 12L),
+      (5L, 12L, 12L), (6L, 13L, 11L), (7L, 13L, 12L), (8L, 13L, 13L),
+      (9L, 11L, 12L), (10L, 50L, 50L),
+      (11L, 30L, 30L), (12L, 30L, 30L), (13L, 30L, 30L), (14L, 30L, 30L),
+      (15L, 11L, 12L), (16L, 11L, 13L))
+    val slices = Seq(pts.take(8), pts.slice(8, 14), pts.drop(14))
+    val ms = MemoryStream[(Long, Long, Long)]
+    val q = graft.streaming.StreamOps.dbscanStart(
+      spark, ms.toDF().toDF("id", "x", "y"), eps = 1L, minPts = 4L, outDir)
+    try slices.foreach { sl =>
+      ms.addData(sl)
+      q.processAllAvailable()
+    } finally q.stop()
+    val labelDirs = new java.io.File(s"$outDir/labels").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.toString).sorted
+    assert(labelDirs.length == 3) // three folds actually ran
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select($"id", $"is_core", $"cluster").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).sortBy(_._1)
+    val got = canon(spark.read.parquet(labelDirs.last))
+    val oneShot = canon(graft.ops.Density.dbscanGrid(
+      pts.toDF("id", "x", "y"), eps = 1L, minPts = 4L))
+    assert(got.toSeq == oneShot.toSeq)
+    // the final batch merged the two arm clusters (labels 2 and 5 -> 2)
+    assert(got.count(_._3 == 2L) == 11)
+  }
 }
