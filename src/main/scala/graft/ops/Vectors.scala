@@ -242,6 +242,34 @@ object Vectors {
       .getField("cell")
   }
 
+  /** Per-point SIMPLIFIED-silhouette inputs against a (small) broadcast
+    * centroid matrix: the assigned cell (same squared-L2 fold + tie
+    * rule as [[nearestCell]]), a = L2 distance to the OWN centroid and
+    * b = L2 distance to the nearest OTHER centroid — everything the
+    * centroid-variant silhouette s = (b-a)/max(a,b) needs, from ONE
+    * projection pass (no joins; cost identical to the IVF assignment).
+    * Expects columns (vec_id, embedding); returns (vec_id, cell, a, b).
+    * sqrt is IEEE-exact so a/b are engine-mirrorable wherever the
+    * squared fold is. */
+  def silhouettePoints(emb: DataFrame, cents: Seq[Seq[Double]]): DataFrame = {
+    val c = typedLit(cents)
+    val arr = transform(sequence(lit(0), lit(cents.size - 1)), j =>
+      struct(
+        aggregate(
+          zip_with(col("embedding"), element_at(c, j + 1),
+            (x, h) => (x.cast("double") - h) * (x.cast("double") - h)),
+          lit(0.0d), (acc, v) => acc + v).as("d"),
+        j.cast("long").as("cell")))
+    emb.select(col("vec_id"), col("embedding"))
+      .withColumn("arr", arr)
+      .withColumn("own", array_min(col("arr")))
+      .withColumn("oth", array_min(filter(col("arr"),
+        x => x.getField("cell") =!= col("own").getField("cell"))))
+      .select(col("vec_id"), col("own").getField("cell").as("cell"),
+        sqrt(col("own").getField("d")).as("a"),
+        sqrt(col("oth").getField("d")).as("b"))
+  }
+
   /** The `nprobe` nearest centroid ids, by (distance, cell) order —
     * IVF multiprobe: querying neighbors of the best cell recovers the
     * recall lost to hard cell boundaries. */

@@ -2457,6 +2457,104 @@ object Events {
       .orderBy($"day", $"hour")
   }
 
+  /** Kaplan–Meier survival curve for view→purchase conversion: the
+    * censoring-aware upgrade of [[qConversionTime]] — that query drops
+    * every user who never purchased, biasing latency low; KM keeps
+    * them as RIGHT-CENSORED observations (followed from first view to
+    * the corpus's observation cutoff) so S(t) = P(still unconverted
+    * after t) is estimated on the full cohort. Classic product
+    * estimator over duration minutes: at each duration t with d
+    * conversions out of n at risk, S multiplies by (1 - d/n); censored
+    * users leave the risk set without contributing a factor.
+    *
+    * Engine parity: the survival product runs in LOG space as an
+    * EXACT INTEGER prefix sum — each factor's ln rounds to 9dp and
+    * scales to a BIGINT, the cumulative sum is Long arithmetic
+    * (order-free), and only the final exp/floor touches floating
+    * point (floor-truncate to 6dp, the half-boundary-free discipline
+    * the winsorized/centroid queries use). A d = n row (everyone
+    * remaining converts) would be ln(0): flagged instead, forcing
+    * S = 0 from that row on — the definitional value.
+    *
+    * Scale shape: one per-user hash agg (first view/purchase mins),
+    * one duration-keyed agg (minutes-bounded table), then TWO
+    * [[graft.ops.Skew.prefixSumsByKey]] passes (risk set, then the
+    * log-product — the term needs n_at_risk, so the sums cannot
+    * fuse); never an unpartitioned window, never event-scale state. */
+  val qSurvivalKm: Spec = Spec(
+    "ev_survival_km",
+    oracle = Some("""
+      WITH f AS (SELECT user_id,
+          MIN(CASE WHEN event_type='view' THEN epoch_us(ts) END) AS v,
+          MIN(CASE WHEN event_type='purchase' THEN epoch_us(ts) END) AS p
+        FROM events GROUP BY user_id),
+      mx AS (SELECT MAX(epoch_us(ts)) AS tmax FROM events),
+      u AS (SELECT
+          CASE WHEN p IS NOT NULL AND p >= v THEN (p - v) // 60000000
+               ELSE (tmax - v) // 60000000 END AS t_min,
+          CASE WHEN p IS NOT NULL AND p >= v THEN 1 ELSE 0 END AS ev
+        FROM f CROSS JOIN mx WHERE v IS NOT NULL),
+      g AS (SELECT t_min, CAST(SUM(ev) AS BIGINT) AS d,
+          CAST(COUNT(*) - SUM(ev) AS BIGINT) AS c
+        FROM u GROUP BY t_min),
+      n AS (SELECT COUNT(*) AS nu FROM u),
+      r AS (SELECT t_min, d, c,
+          CAST(nu - COALESCE(SUM(d + c) OVER (ORDER BY t_min
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS n_at_risk
+        FROM g CROSS JOIN n),
+      s AS (SELECT t_min, d, c, n_at_risk,
+          SUM(CASE WHEN d < n_at_risk THEN CAST(round(
+              ln(CAST(n_at_risk - d AS DOUBLE) / n_at_risk) * 1000000000, 0)
+              AS BIGINT) ELSE 0 END)
+            OVER (ORDER BY t_min ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS cum,
+          SUM(CASE WHEN d >= n_at_risk AND d > 0 THEN 1 ELSE 0 END)
+            OVER (ORDER BY t_min ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS z
+        FROM r)
+      SELECT t_min, n_at_risk, d AS n_conv, c AS n_cens,
+        CASE WHEN z > 0 THEN 0.0::DOUBLE
+             ELSE FLOOR(exp(cum / 1000000000.0) * 1000000) / 1000000
+        END AS survival
+      FROM s WHERE d > 0 ORDER BY t_min""")) { (s, dir) =>
+    import s.implicits._
+    val e = load(s, dir)
+      .select($"user_id", $"event_type", expr("ts div 1000").as("us"))
+    val f = e.groupBy($"user_id").agg(
+      min(when($"event_type" === "view", $"us")).as("v"),
+      min(when($"event_type" === "purchase", $"us")).as("p"))
+    val mx = broadcast(e.agg(max($"us").as("tmax")))
+    val u = f.crossJoin(mx).filter($"v".isNotNull)
+      .select(
+        when($"p".isNotNull && $"p" >= $"v", expr("(p - v) div 60000000"))
+          .otherwise(expr("(tmax - v) div 60000000")).as("t_min"),
+        when($"p".isNotNull && $"p" >= $"v", 1L).otherwise(0L).as("ev"))
+    val g = u.groupBy($"t_min").agg(sum($"ev").as("d"),
+      (count(lit(1)) - sum($"ev")).as("c"))
+    val nu = broadcast(u.agg(count(lit(1)).as("nu")))
+    val r = graft.ops.Skew.prefixSumsByKey(
+        g.withColumn("k", lit(0)), "k", Seq($"t_min"),
+        Seq(($"d" + $"c") -> "cum_all"))
+      .crossJoin(nu)
+      .withColumn("n_at_risk", $"nu" - $"cum_all" + $"d" + $"c")
+      .withColumn("term",
+        when($"d" < $"n_at_risk",
+          round(log(($"n_at_risk" - $"d").cast("double") / $"n_at_risk")
+            * 1e9, 0).cast("long"))
+          .otherwise(0L))
+      .withColumn("zflag",
+        when($"d" >= $"n_at_risk" && $"d" > 0, 1L).otherwise(0L))
+    graft.ops.Skew.prefixSumsByKey(r, "k", Seq($"t_min"),
+        Seq(col("term") -> "cum", col("zflag") -> "z"))
+      .filter($"d" > 0)
+      .select($"t_min", $"n_at_risk", $"d".as("n_conv"), $"c".as("n_cens"),
+        when($"z" > 0, lit(0.0d))
+          .otherwise(floor(exp($"cum" / 1e9) * 1e6).cast("double") / 1e6)
+          .as("survival"))
+      .orderBy($"t_min")
+  }
+
   val specs: Seq[Spec] = Seq(qTumbling, qSessionize, qAsofClick,
     qAsofTolerance, qFunnel, qPropsJson, qSliding, qSessionWindowNative,
     qRate5Min, qValueOutliers, qDriftWindowed, qDriftSliding,
@@ -2466,5 +2564,5 @@ object Events {
     qPathAnalysis, qSeasonalAnomaly, qStickiness, qBounceRate,
     qUserConcentration, qInterArrival, qAttribution, qAttributionDecay,
     qRfm, qEntryExit, qAcfDaily, qCusumChangepoint, qGapFill, qDbscanUsers,
-    qConcurrencyHourly, qDbscanIncremental, qTheilSen)
+    qConcurrencyHourly, qDbscanIncremental, qTheilSen, qSurvivalKm)
 }

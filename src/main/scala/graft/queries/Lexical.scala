@@ -891,9 +891,125 @@ object Lexical {
       .limit(25)
   }
 
+  /** One weighted-PageRank oracle round over the co-occurrence graph:
+    * per-edge contribution pr·w/strength rounded to 9dp, DECIMAL-summed
+    * per target (order-free), then the damped update. */
+  private def trStepCte(t: Int): String = s"""
+      ct$t AS (SELECT e.dst,
+          CAST(round(p.pr * e.wt / s.strength, 9) AS DECIMAL(28,12)) AS c
+        FROM edges e JOIN pr${t - 1} p ON p.w = e.src
+        JOIN str s ON s.src = e.src),
+      cs$t AS (SELECT dst, SUM(c) AS sc FROM ct$t GROUP BY dst),
+      pr$t AS (SELECT v.w,
+          0.15::DOUBLE / nn.n + 0.85::DOUBLE * CAST(COALESCE(s.sc, 0) AS DOUBLE) AS pr
+        FROM vocab v CROSS JOIN nn LEFT JOIN cs$t s ON s.dst = v.w)"""
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): weighted
+    * PageRank over the word co-occurrence graph. Nodes are the corpus's
+    * top-150 non-stopword tokens by frequency; an undirected edge
+    * connects two vocabulary words wherever they are ADJACENT in a
+    * document's original token sequence, weighted by the corpus-wide
+    * adjacency count. Three damped rounds (d=0.85, teleport over the
+    * vocabulary) rank words by how central they sit in the
+    * co-occurrence topology — the graph-centrality complement of
+    * [[dRakeKeyphrases]] (degree/frequency islands) and
+    * [[dCollocations]] (pairwise lift). Top 25 keywords.
+    *
+    * Scale shape: the vocabulary is CAPPED at 150 (TakeOrdered, never
+    * an unpartitioned rank window), so the graph and every PR round
+    * are corpus-size-independent; the only corpus-scale passes are the
+    * token explode + a doc-local lead() window for adjacency and one
+    * hash-agg for edge weights. Vocabulary joins broadcast. Engine
+    * parity: same contribution rounding/DECIMAL-sum discipline as
+    * e_pagerank_centrality, so the oracle replays all three rounds. */
+  val dTextrankKeywords: Spec = Spec(
+    "d_textrank_keywords",
+    oracle = Some(s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      tok AS (SELECT doc_id, i, l[i+1] AS w
+        FROM (SELECT doc_id, l, unnest(range(0, len(l))) AS i FROM t)),
+      vocab AS (SELECT w FROM tok
+        WHERE w <> 'the' AND w <> 'a' AND w <> ''
+        GROUP BY w
+        QUALIFY row_number() OVER (ORDER BY COUNT(*) DESC, w) <= 150),
+      adj AS (SELECT LEAST(a.w, b.w) AS wa, GREATEST(a.w, b.w) AS wb,
+          CAST(COUNT(*) AS BIGINT) AS wt
+        FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        JOIN vocab va ON va.w = a.w JOIN vocab vb ON vb.w = b.w
+        WHERE a.w <> b.w GROUP BY 1, 2),
+      edges AS (SELECT wa AS src, wb AS dst, wt FROM adj
+        UNION ALL SELECT wb, wa, wt FROM adj),
+      str AS (SELECT src, CAST(SUM(wt) AS DOUBLE) AS strength,
+          COUNT(*) AS deg FROM edges GROUP BY src),
+      nn AS (SELECT COUNT(*) AS n FROM vocab),
+      pr0 AS (SELECT w, 1.0::DOUBLE / nn.n AS pr FROM vocab CROSS JOIN nn),
+      ${trStepCte(1)},
+      ${trStepCte(2)},
+      ${trStepCte(3)}
+      SELECT p.w AS tok, CAST(COALESCE(s.deg, 0) AS BIGINT) AS degree,
+        ROUND(p.pr, 9) AS textrank
+      FROM pr3 p LEFT JOIN str s ON s.src = p.w
+      ORDER BY textrank DESC, tok LIMIT 25""")) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs(s, dir)
+      .select($"doc_id", posexplode(Text.tokens($"text")).as(Seq("i", "w")))
+    val vocab = tok
+      .filter($"w" =!= "the" && $"w" =!= "a" && $"w" =!= "")
+      .groupBy($"w").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"w").limit(150)
+      .select($"w")
+      .localCheckpoint() // 150 rows, reused by every round
+    // adjacency in the ORIGINAL sequence via a doc-local lead window —
+    // no positional self-join, no corpus-scale shuffle beyond the agg
+    val seqW = Window.partitionBy($"doc_id").orderBy($"i")
+    val adj = tok
+      .withColumn("w2", lead($"w", 1).over(seqW))
+      .filter($"w2".isNotNull && $"w" =!= $"w2")
+      .join(broadcast(vocab.withColumnRenamed("w", "wv")), $"w" === $"wv")
+      .join(broadcast(vocab.withColumnRenamed("w", "wv2")), $"w2" === $"wv2")
+      .select(least($"w", $"w2").as("wa"), greatest($"w", $"w2").as("wb"))
+      .groupBy($"wa", $"wb").agg(count(lit(1)).as("wt"))
+    val edges = adj.select($"wa".as("src"), $"wb".as("dst"), $"wt")
+      .unionAll(adj.select($"wb", $"wa", $"wt").toDF("src", "dst", "wt"))
+      .localCheckpoint() // reused every iteration
+    val str = edges.groupBy($"src")
+      .agg(sum($"wt").cast("double").as("strength"), count(lit(1)).as("deg"))
+    val nn = broadcast(vocab.agg(count(lit(1)).as("n")))
+    // checkpoint pr0 so the loop's unpersist(prev) sees a truncated
+    // lineage — otherwise round 1 would walk pr0's plan and drop the
+    // vocab checkpoint that every later round still reads
+    var pr = vocab.crossJoin(nn).select($"w", (lit(1.0) / $"n").as("pr"))
+      .localCheckpoint()
+    for (_ <- 1 to 3) {
+      val contrib = edges
+        .join(pr.withColumnRenamed("w", "src"), Seq("src"))
+        .join(str.select($"src", $"strength"), Seq("src"))
+        .select($"dst",
+          round($"pr" * $"wt" / $"strength", 9).cast("decimal(28,12)").as("c"))
+      val sums = contrib.groupBy($"dst").agg(sum($"c").as("sc"))
+      val prev = pr
+      pr = vocab
+        .join(sums, vocab("w") === sums("dst"), "left")
+        .crossJoin(nn)
+        .select($"w",
+          (lit(0.15) / $"n" +
+            lit(0.85) * coalesce($"sc", lit(0).cast("decimal(38,12)"))
+              .cast("double")).as("pr"))
+        .localCheckpoint()
+      graft.ops.Checkpoints.unpersist(prev)
+    }
+    pr
+      .join(str.select($"src".as("w"), $"deg"), Seq("w"), "left")
+      .select($"w".as("tok"), coalesce($"deg", lit(0L)).cast("long").as("degree"),
+        round($"pr", 9).as("textrank"))
+      .orderBy(desc("textrank"), $"tok")
+      .limit(25)
+  }
+
   val specs: Seq[Spec] = Seq(dNsfwMultilang, dStopwordMultilang, dNsfwRedact,
     dSourceNsfwRollup,
     dBpeTokenStats, dBpePairCounts, dBpeMerges, dBpeEncode, dLangNormalize,
     dTfidfDocPairs, dHybridSimilarity, dCollocations, dRankingAgreement,
-    dRakeKeyphrases)
+    dRakeKeyphrases, dTextrankKeywords)
 }

@@ -2069,6 +2069,176 @@ object Similarity {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** SIMPLIFIED silhouette score per learned cluster (Hruschka et al.'s
+    * centroid variant): for every vector, a = distance to its OWN
+    * learned centroid, b = distance to the nearest OTHER centroid,
+    * s = (b-a)/max(a,b) — the clustering-quality report card for the
+    * IVF quantizer that [[eKmeansCentroids]] trains (cells that score
+    * near 0 sit on a boundary and are the multiprobe candidates;
+    * negative means points landed closer to a foreign centroid, i.e.
+    * the quantizer under-fits). The FULL silhouette is a pairwise
+    * O(n²)-per-cluster quantity; the centroid form is the one a 100 TB
+    * run can afford — one broadcast-literal projection pass, NO joins,
+    * cost identical to the IVF assignment itself.
+    *
+    * Engine parity: distances replay nearestCell's sequential
+    * squared-L2 fold, sqrt is IEEE-exact, per-point s rounds to 9dp
+    * and per-cell means DECIMAL-sum (order-free). The oracle re-trains
+    * both Lloyd iterations (kmeansCtes) and recomputes every point's
+    * a/b from scratch. */
+  val eSilhouette: Spec = Spec(
+    "e_silhouette",
+    oracle = Some(s"""
+      WITH $kmeansCtes,
+      c2 AS (
+        SELECT cell, pos,
+          CAST(SUM(CAST(round(v::DOUBLE, 9) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cval
+        FROM (SELECT cell, generate_subscripts(embedding, 1) AS pos,
+                unnest(embedding) AS v FROM a2)
+        GROUP BY cell, pos),
+      c2l AS (SELECT cell, list(cval ORDER BY pos) AS cent FROM c2 GROUP BY cell),
+      asg AS (
+        SELECT vec_id, embedding, cell FROM (
+          SELECT e.vec_id, e.embedding, c.cell,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${distSql("e.embedding", "c.cent")}, c.cell) AS rk
+          FROM embeddings e CROSS JOIN c2l c) WHERE rk = 1),
+      dists AS (SELECT p.vec_id, p.cell AS own, c.cell,
+          sqrt(${distSql("p.embedding", "c.cent")}) AS d
+        FROM asg p CROSS JOIN c2l c),
+      ab AS (SELECT vec_id, own,
+          MIN(CASE WHEN cell = own THEN d END) AS a,
+          MIN(CASE WHEN cell <> own THEN d END) AS b
+        FROM dists GROUP BY vec_id, own),
+      sil AS (SELECT vec_id, own AS cell,
+          CASE WHEN GREATEST(a, b) = 0 THEN 0.0::DOUBLE
+               ELSE round((b - a) / GREATEST(a, b), 9) END AS s
+        FROM ab)
+      SELECT cell, COUNT(*) AS n,
+        round(CAST(SUM(CAST(s AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS mean_sil,
+        MIN(s) AS min_sil, MAX(s) AS max_sil
+      FROM sil GROUP BY cell ORDER BY cell""")) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val cents = Vectors.kmeansCentroids(emb, k = 8, iters = 2)
+    val cLit = typedLit(cents)
+    // one struct array of (squared-dist, cell) per point — assignment
+    // AND both silhouette distances fall out of a single projection
+    val arr = transform(sequence(lit(0), lit(cents.size - 1)), j =>
+      struct(
+        aggregate(
+          zip_with($"embedding", element_at(cLit, j + 1),
+            (x, h) => (x.cast("double") - h) * (x.cast("double") - h)),
+          lit(0.0d), (acc, v) => acc + v).as("d"),
+        j.cast("long").as("cell")))
+    val pts = emb.select($"vec_id", $"embedding")
+      .withColumn("arr", arr)
+      .withColumn("own", array_min($"arr"))
+      .withColumn("oth", array_min(filter($"arr",
+        x => x.getField("cell") =!= $"own".getField("cell"))))
+      .select($"vec_id", $"own".getField("cell").as("cell"),
+        sqrt($"own".getField("d")).as("a"), sqrt($"oth".getField("d")).as("b"))
+    pts
+      .withColumn("s",
+        when(greatest($"a", $"b") === 0, lit(0.0d))
+          .otherwise(round(($"b" - $"a") / greatest($"a", $"b"), 9)))
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"s".cast("decimal(18,9)")).cast("double") / count(lit(1)), 6)
+          .as("mean_sil"),
+        min($"s").as("min_sil"), max($"s").as("max_sil"))
+      .orderBy($"cell")
+  }
+
+  /** BFS hop distance from the mutual-kNN graph's lowest-id endpoint —
+    * "how far does trust propagate from the canonical exemplar":
+    * level-synchronous breadth-first search over the reciprocal edge
+    * set of [[eMutualKnn]], emitting every vector reachable within 4
+    * hops and its hop count. The graph-traversal primitive missing
+    * between the repo's fixed-point solvers (CC's pointer jumping,
+    * PageRank's damped rounds): BFS needs the MINIMUM hop, so each
+    * frontier round is one edge join + one anti-join against the
+    * reached set.
+    *
+    * Fixed depth 4 (not to convergence): round count = graph diameter
+    * is data-dependent, and a declared/oracled query needs a fixed
+    * plan — the unreached tail is exactly the ">4 hops or disconnected"
+    * set. Scale shape: the only corpus-scale frame is the k·n mutual
+    * edge list (knnAllCell: cell-keyed shuffle + map-side TopK); each
+    * round joins the CURRENT FRONTIER only (never the cumulative
+    * reached set) against edges, with superseded checkpoints dropped
+    * round-by-round as in PageRank. */
+  val eBfsHops: Spec = Spec(
+    "e_bfs_hops",
+    oracle = Some(s"""
+      WITH scored AS (
+        SELECT a.vec_id AS qid, b.vec_id AS cid,
+          ${cosSql("a.embedding", "b.embedding")} AS cos
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id <> b.vec_id),
+      r AS (SELECT qid, cid, cos,
+        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid)
+          AS BIGINT) AS rk
+        FROM scored),
+      k AS (SELECT qid, cid FROM r WHERE rk <= 5),
+      mut AS (SELECT x.qid AS id_a, x.cid AS id_b
+        FROM k x JOIN k y ON y.qid = x.cid AND y.cid = x.qid
+        WHERE x.qid < x.cid),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM mut
+        UNION ALL SELECT id_b, id_a FROM mut),
+      reach0 AS (SELECT MIN(id_a) AS vid, CAST(0 AS BIGINT) AS hop FROM mut),
+      f1 AS (SELECT DISTINCT e.dst AS vid FROM edges e
+        JOIN reach0 r ON r.vid = e.src),
+      reach1 AS (SELECT vid, hop FROM reach0 UNION ALL
+        SELECT n.vid, CAST(1 AS BIGINT) FROM f1 n
+        WHERE NOT EXISTS (SELECT 1 FROM reach0 r WHERE r.vid = n.vid)),
+      f2 AS (SELECT DISTINCT e.dst AS vid FROM edges e
+        JOIN reach1 r ON r.vid = e.src AND r.hop = 1),
+      reach2 AS (SELECT vid, hop FROM reach1 UNION ALL
+        SELECT n.vid, CAST(2 AS BIGINT) FROM f2 n
+        WHERE NOT EXISTS (SELECT 1 FROM reach1 r WHERE r.vid = n.vid)),
+      f3 AS (SELECT DISTINCT e.dst AS vid FROM edges e
+        JOIN reach2 r ON r.vid = e.src AND r.hop = 2),
+      reach3 AS (SELECT vid, hop FROM reach2 UNION ALL
+        SELECT n.vid, CAST(3 AS BIGINT) FROM f3 n
+        WHERE NOT EXISTS (SELECT 1 FROM reach2 r WHERE r.vid = n.vid)),
+      f4 AS (SELECT DISTINCT e.dst AS vid FROM edges e
+        JOIN reach3 r ON r.vid = e.src AND r.hop = 3),
+      reach4 AS (SELECT vid, hop FROM reach3 UNION ALL
+        SELECT n.vid, CAST(4 AS BIGINT) FROM f4 n
+        WHERE NOT EXISTS (SELECT 1 FROM reach3 r WHERE r.vid = n.vid))
+      SELECT vid AS vec_id, hop FROM reach4 ORDER BY vec_id""")) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+      .select($"vec_id".as("id"), $"embedding".as("vec"), $"label")
+    val knn = Vectors.knnAllCell(emb, "label", 5).localCheckpoint()
+    val mut = knn.select($"qid".as("id_a"), $"cid".as("id_b"))
+      .join(knn.select($"cid".as("id_a"), $"qid".as("id_b")), Seq("id_a", "id_b"))
+      .filter($"id_a" < $"id_b")
+    val edges = mut.select($"id_a".as("src"), $"id_b".as("dst"))
+      .unionAll(mut.select($"id_b", $"id_a").toDF("src", "dst"))
+      .localCheckpoint() // reused every frontier round
+    var frontier = mut.agg(min($"id_a").as("vid")).localCheckpoint()
+    var reached = frontier.select($"vid", lit(0L).as("hop")).localCheckpoint()
+    graft.ops.Checkpoints.unpersist(knn)
+    for (h <- 1 to 4) {
+      val next = edges
+        .join(frontier.withColumnRenamed("vid", "src"), Seq("src"))
+        .select($"dst".as("vid")).distinct()
+        .join(reached.select($"vid"), Seq("vid"), "left_anti")
+        .localCheckpoint()
+      graft.ops.Checkpoints.unpersist(frontier)
+      val prevReached = reached
+      reached = reached
+        .unionAll(next.select($"vid", lit(h.toLong).as("hop")))
+        .localCheckpoint()
+      graft.ops.Checkpoints.unpersist(prevReached)
+      frontier = next
+    }
+    graft.ops.Checkpoints.unpersist(frontier)
+    reached.select($"vid".as("vec_id"), $"hop").orderBy($"vec_id")
+  }
+
   val specs: Seq[Spec] = Seq(eCentroids, eKnnBrute, eKnnCell, eNearDup, eIvfRecall,
     eNearDupLsh, eKnnQuantized, eKmeansCentroids, eKnnIvfLearned,
     eKnnIvfMultiprobe, eKnnPq, eKnnIvfPq, eBitextMine, eEmbeddingOutliers,
@@ -2076,5 +2246,5 @@ object Similarity {
     eClusterSummary, ePagerankCentrality, eTriangleCount, eLabelPropagation,
     eEigenCentrality, eLinkPrediction, eKcorePeel, eSemdedup,
     eSemdedupIncremental, ePcaProjection, ePca2d, eCentroidDrift,
-    eMutualKnn)
+    eMutualKnn, eSilhouette, eBfsHops)
 }
