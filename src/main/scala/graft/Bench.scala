@@ -21,7 +21,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Optional comma-separated name filter for isolating one query's
+    // timing behavior (diagnostics only; the driver never sets it).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val specs = SparkEntry.benchQueries
+      .filter(sp => only.forall(_.contains(sp.name)))
     // Materialize EVERY column via a noop write — a bare count() would
     // let Catalyst prune the aggregate/projection expressions and
     // eliminate final sorts, timing a plan that skips the real work.

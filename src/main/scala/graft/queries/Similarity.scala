@@ -1049,13 +1049,22 @@ object Similarity {
     val nodes = emb.select($"vec_id")
     val nn = broadcast(nodes.agg(count(lit(1)).as("n")))
     var pr = nodes.crossJoin(nn).select($"vec_id", (lit(1.0) / $"n").as("pr"))
+    // Three rounds stay DECLARATIVE: only `edges` is checkpointed (it
+    // is the expensive LSH build and every round scans it), while the
+    // per-round pr frames chain as one logical plan. At 3 rounds the
+    // nesting is shallow, AQE's exchange reuse dedupes the repeated
+    // edges/deg scans, and skipping the per-round eager localCheckpoint
+    // removes 3 block-manager materializations per run — the churn that
+    // made whole-suite timings of this query swing >4x (r9 bench:
+    // 7.3/33.0/20.5 s) while the isolated run was stable. Loops with
+    // UNBOUNDED rounds (connected components, BFS) still checkpoint
+    // per round via Graphs.iterate — this shape is 3-round-specific.
     for (_ <- 1 to 3) {
       val contrib = edges
         .join(pr.withColumnRenamed("vec_id", "src"), Seq("src"))
         .join(deg, Seq("src"))
         .select($"dst", round($"pr" / $"deg", 9).cast("decimal(28,12)").as("c"))
       val sums = contrib.groupBy($"dst").agg(sum($"c").as("sc"))
-      val prev = pr
       pr = nodes
         .join(sums, nodes("vec_id") === sums("dst"), "left")
         .crossJoin(nn)
@@ -1063,11 +1072,6 @@ object Similarity {
           (lit(0.15) / $"n" +
             lit(0.85) * coalesce($"sc", lit(0).cast("decimal(38,12)"))
               .cast("double")).as("pr"))
-        .localCheckpoint()
-      // the new checkpoint is materialized; the superseded round's
-      // blocks have no remaining reader — drop them, don't leak a
-      // round's worth of block-manager state per iteration
-      graft.ops.Checkpoints.unpersist(prev)
     }
     pr
       .join(deg.withColumnRenamed("src", "vec_id"), Seq("vec_id"), "left")
