@@ -2119,37 +2119,25 @@ object Similarity {
                ELSE round((b - a) / GREATEST(a, b), 9) END AS s
         FROM ab)
       SELECT cell, COUNT(*) AS n,
-        round(CAST(SUM(CAST(s AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS mean_sil,
+        FLOOR(CAST(SUM(CAST(s AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) * 1000000) / 1000000 AS mean_sil,
         MIN(s) AS min_sil, MAX(s) AS max_sil
       FROM sil GROUP BY cell ORDER BY cell""")) { (s, dir) =>
     import s.implicits._
     val emb = Tables.load(s, dir, "embeddings")
     val cents = Vectors.kmeansCentroids(emb, k = 8, iters = 2)
-    val cLit = typedLit(cents)
-    // one struct array of (squared-dist, cell) per point — assignment
-    // AND both silhouette distances fall out of a single projection
-    val arr = transform(sequence(lit(0), lit(cents.size - 1)), j =>
-      struct(
-        aggregate(
-          zip_with($"embedding", element_at(cLit, j + 1),
-            (x, h) => (x.cast("double") - h) * (x.cast("double") - h)),
-          lit(0.0d), (acc, v) => acc + v).as("d"),
-        j.cast("long").as("cell")))
-    val pts = emb.select($"vec_id", $"embedding")
-      .withColumn("arr", arr)
-      .withColumn("own", array_min($"arr"))
-      .withColumn("oth", array_min(filter($"arr",
-        x => x.getField("cell") =!= $"own".getField("cell"))))
-      .select($"vec_id", $"own".getField("cell").as("cell"),
-        sqrt($"own".getField("d")).as("a"), sqrt($"oth".getField("d")).as("b"))
+    // assignment AND both silhouette distances from one projection pass
+    val pts = Vectors.silhouettePoints(emb, cents)
     pts
       .withColumn("s",
         when(greatest($"a", $"b") === 0, lit(0.0d))
           .otherwise(round(($"b" - $"a") / greatest($"a", $"b"), 9)))
       .groupBy($"cell")
       .agg(count(lit(1)).as("n"),
-        round(sum($"s".cast("decimal(18,9)")).cast("double") / count(lit(1)), 6)
-          .as("mean_sil"),
+        // floor-truncate, not round: the decimal-sum/count quotient can
+        // land on a half-boundary where Spark and the oracle disagree
+        // on the last digit (same discipline as e_kmeans_centroids)
+        (floor(sum($"s".cast("decimal(18,9)")).cast("double") / count(lit(1))
+          * 1000000).cast("double") / 1000000).as("mean_sil"),
         min($"s").as("min_sil"), max($"s").as("max_sil"))
       .orderBy($"cell")
   }
@@ -2222,25 +2210,13 @@ object Similarity {
     val edges = mut.select($"id_a".as("src"), $"id_b".as("dst"))
       .unionAll(mut.select($"id_b", $"id_a").toDF("src", "dst"))
       .localCheckpoint() // reused every frontier round
-    var frontier = mut.agg(min($"id_a").as("vid")).localCheckpoint()
-    var reached = frontier.select($"vid", lit(0L).as("hop")).localCheckpoint()
+    val seed = mut.agg(min($"id_a").as("vid"))
+    // bfsHops materializes each round eagerly, so by return the seed
+    // (which reads knn through mut) has been evaluated — only then is
+    // the knn checkpoint safe to drop (truncated lineage can't recompute)
+    val hops = graft.ops.Graphs.bfsHops(edges, seed, maxHops = 4)
     graft.ops.Checkpoints.unpersist(knn)
-    for (h <- 1 to 4) {
-      val next = edges
-        .join(frontier.withColumnRenamed("vid", "src"), Seq("src"))
-        .select($"dst".as("vid")).distinct()
-        .join(reached.select($"vid"), Seq("vid"), "left_anti")
-        .localCheckpoint()
-      graft.ops.Checkpoints.unpersist(frontier)
-      val prevReached = reached
-      reached = reached
-        .unionAll(next.select($"vid", lit(h.toLong).as("hop")))
-        .localCheckpoint()
-      graft.ops.Checkpoints.unpersist(prevReached)
-      frontier = next
-    }
-    graft.ops.Checkpoints.unpersist(frontier)
-    reached.select($"vid".as("vec_id"), $"hop").orderBy($"vec_id")
+    hops.select($"vid".as("vec_id"), $"hop").orderBy($"vec_id")
   }
 
   val specs: Seq[Spec] = Seq(eCentroids, eKnnBrute, eKnnCell, eNearDup, eIvfRecall,
