@@ -613,6 +613,121 @@ object CleaningOps {
       .orderBy($"doc_id")
   }
 
+  /** jusText-style density-based main-content extraction
+    * ([[graft.ops.Boilerplate.densityExtract]]; the reference's stage-1
+    * trafilatura role, setu/text_extraction.py:556, via the PUBLIC
+    * boilerplate algorithm trafilatura builds on): per-block link
+    * density + stopword density classification with a context pass
+    * over a per-doc window. The synthetic page exercises every path:
+    * a link-heavy nav and footer (bad), a short headline stranded
+    * between bad and good (dropped), two long stopword-rich body
+    * paragraphs (good), a short "see also" between goods (kept by
+    * context), and a length-threshold-straddling trailer whose class
+    * varies with each doc's text length (both branches deterministic
+    * and mirrored in the oracle). */
+  val dHtmlExtractDense: Spec = {
+    val stops = graft.sources.Lexicons.stopwords("english")
+    val stopsSql = stops.map(w => "'" + w.replace("'", "''") + "'").mkString(", ")
+    val glue = "and it was the most of all that there had been for this " +
+      "to be done so that they were with what it is about when more of " +
+      "it can be had by them and for all of us as it must have been"
+    val cleanSql = (x: String) =>
+      s"""trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+             regexp_replace($x, '<[^>]+>', ' ', 'g'),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+             '&nbsp;', ' '), '&amp;', '&'),
+           '\\s+', ' ', 'g'))"""
+    Spec(
+      "d_html_extract_dense",
+      oracle = Some(s"""
+      WITH r AS (
+        SELECT doc_id,
+          '<div id="nav"><a href="/">home page</a> <a href="/p">all products</a> <a href="/a">about the team</a> <a href="/c">contact us now</a></div>' ||
+          '<h1>doc ' || doc_id || ' overview</h1>' ||
+          '<p>' || substr(text,1,150) || ' $glue</p>' ||
+          '<p>see also</p>' ||
+          '<p>' || substr(text,151,150) || ' $glue</p>' ||
+          '<p>' || substr(text,1,60) || ' for the most part</p>' ||
+          '<div id="footer"><a href="/pr">privacy policy</a> | <a href="/t">terms of use</a> all rights reserved 2026</div>'
+          AS html
+        FROM documents WHERE doc_id % 7 = 0),
+      blk AS (
+        SELECT doc_id, CAST(generate_subscripts(l,1) AS BIGINT) AS pos,
+          unnest(l) AS raw
+        FROM (SELECT doc_id, string_split_regex(
+            regexp_replace(regexp_replace(regexp_replace(html,
+              '(?is)<script[^>]*>.*?</script>', '', 'g'),
+              '(?is)<style[^>]*>.*?</style>', '', 'g'),
+              '(?s)<!--.*?-->', '', 'g'),
+            '(?i)</?(p|br|div|h[1-6]|li|ul|ol|tr|table|section|article)[^>]*>') AS l
+          FROM r)),
+      b2 AS (
+        SELECT doc_id, pos, raw, ${cleanSql("raw")} AS btext FROM blk),
+      b3 AS (SELECT * FROM b2 WHERE len(btext) > 0),
+      m AS (
+        SELECT doc_id, pos, btext,
+          CAST(len(btext) AS BIGINT) AS blen,
+          CAST(COALESCE(list_sum(list_transform(
+            regexp_extract_all(raw, '(?is)<a[^>]*>(.*?)</a>', 1),
+            x -> len(${cleanSql("x")}))), 0) AS BIGINT) AS link_len,
+          CAST(len(string_split(lower(btext), ' ')) AS BIGINT) AS n_tok,
+          CAST(len(list_filter(string_split(lower(btext), ' '),
+            t -> list_contains([$stopsSql], t))) AS BIGINT) AS n_stop
+        FROM b3),
+      cf AS (
+        SELECT doc_id, pos, btext,
+          CASE
+            WHEN CAST(link_len AS DOUBLE) / blen > 0.2 THEN 'bad'
+            WHEN blen < 70 THEN
+              CASE WHEN link_len > 0 THEN 'bad' ELSE 'short' END
+            WHEN CAST(n_stop AS DOUBLE) / n_tok >= 0.32 THEN
+              CASE WHEN blen > 200 THEN 'good' ELSE 'neargood' END
+            WHEN CAST(n_stop AS DOUBLE) / n_tok >= 0.30 THEN 'neargood'
+            ELSE 'bad' END AS cf
+        FROM m),
+      ctx AS (
+        SELECT doc_id, pos, btext, cf,
+          COALESCE(last_value(CASE WHEN cf IN ('good','bad')
+              THEN cf = 'good' END IGNORE NULLS)
+            OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            false) AS prev_good,
+          COALESCE(first_value(CASE WHEN cf IN ('good','bad')
+              THEN cf = 'good' END IGNORE NULLS)
+            OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+            false) AS next_good
+        FROM cf),
+      k AS (
+        SELECT doc_id, pos, btext,
+          CASE cf WHEN 'good' THEN true WHEN 'bad' THEN false
+            WHEN 'neargood' THEN prev_good OR next_good
+            ELSE prev_good AND next_good END AS keep
+        FROM ctx)
+      SELECT doc_id,
+        COALESCE(string_agg(CASE WHEN keep THEN btext END, chr(10)
+          ORDER BY pos), '') AS extracted,
+        CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        CAST(COUNT(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_kept
+      FROM k GROUP BY doc_id ORDER BY doc_id""")) { (s, dir) =>
+      import s.implicits._
+      val html = concat(
+        lit("<div id=\"nav\"><a href=\"/\">home page</a> <a href=\"/p\">all products</a> <a href=\"/a\">about the team</a> <a href=\"/c\">contact us now</a></div>"),
+        lit("<h1>doc "), $"doc_id".cast("string"), lit(" overview</h1>"),
+        lit("<p>"), substring($"text", 1, 150), lit(s" $glue</p>"),
+        lit("<p>see also</p>"),
+        lit("<p>"), substring($"text", 151, 150), lit(s" $glue</p>"),
+        lit("<p>"), substring($"text", 1, 60), lit(" for the most part</p>"),
+        lit("<div id=\"footer\"><a href=\"/pr\">privacy policy</a> | <a href=\"/t\">terms of use</a> all rights reserved 2026</div>"))
+      graft.ops.Boilerplate.densityExtract(
+          docs(s, dir).filter($"doc_id" % 7 === 0).withColumn("html", html),
+          "doc_id", "html", stops)
+        .select($"doc_id", $"extracted", $"n_blocks", $"n_kept")
+        .orderBy($"doc_id")
+    }
+  }
+
   /** Junk-line filtering from the SHIPPED junk lexicons (the
     * reference's filter_data/junk surface): `complete` entries remove
     * a line by whole-line match (case-insensitive, trimmed), `partial`
@@ -919,6 +1034,7 @@ object CleaningOps {
     dSplitSentences, dNumPuncChunks, dTerminalChunks, dNumberChunks,
     dCodeDetect, dCodeRemove, dNormalizeIndic, dTerminalPuncFilter,
     dNonTermSpanRemove, dSentenceSplitLang, dPiiMask, dBoilerplateLines,
-    dHtmlExtract, dJunkLines, dScriptSegments, dRunCollapse, dMojibake,
+    dHtmlExtract, dHtmlExtractDense, dJunkLines, dScriptSegments,
+    dRunCollapse, dMojibake,
     dHomoglyphFold, dUrlOps)
 }

@@ -246,6 +246,61 @@ class TextSemanticsSpec extends AnyFunSuite {
     assert(norm("https://e.io/p?utm_a=1&keep=2&utm_b=3") == "https://e.io/p?keep=2")
   }
 
+  test("densityExtract: jusText edge vectors — nav/footer dropped, " +
+      "short kept only between goods, neargood promoted by one good side") {
+    import graft.ops.Boilerplate
+    val stops = graft.sources.Lexicons.stopwords("english")
+    // 44 stopword tokens, 180 chars — alone it is neargood (len<=200);
+    // with any prefix past 20 chars it crosses lengthHigh into good
+    val glue = "and it was the most of all that there had been for this " +
+      "to be done so that they were with what it is about when more of " +
+      "it can be had by them and for all of us as it must have been"
+    def run(html: String): (String, Long, Long) = {
+      val r = Boilerplate.densityExtract(
+        Seq((1L, html)).toDF("id", "html"), "id", "html", stops)
+        .collect()(0)
+      (r.getAs[String]("extracted"), r.getAs[Long]("n_blocks"),
+        r.getAs[Long]("n_kept"))
+    }
+    // 1. nav (all links) and footer (half links) are bad; body survives
+    val (ex1, nb1, nk1) = run(
+      "<div><a href='/'>home page</a> <a href='/p'>all products</a></div>" +
+        s"<p>mapreduce shards in the cluster $glue</p>" +
+        "<div><a href='/t'>terms of use</a> all rights reserved</div>")
+    assert(nb1 == 3 && nk1 == 1, s"($ex1, $nb1, $nk1)")
+    assert(ex1.startsWith("mapreduce shards") && ex1.contains("must have been"))
+    assert(!ex1.contains("home page") && !ex1.contains("rights reserved"))
+    // 2. short between two goods is kept; short next to a bad is not
+    val (ex2, _, nk2) = run(
+      "<div><a href='/'>all of the links</a></div>" +
+        "<h1>stranded headline</h1>" + // short: prev bad → dropped
+        s"<p>alpha body paragraph with many details $glue</p>" +
+        "<p>see also</p>" + // short: both neighbors good → kept
+        s"<p>beta body paragraph with many details $glue</p>")
+    assert(nk2 == 3, s"($ex2, $nk2)")
+    assert(ex2.contains("see also") && !ex2.contains("stranded headline"))
+    // 3. neargood (stopword-rich but <=200 chars) promoted by ONE good
+    //    neighbor; the same block alone (edges = bad) is dropped
+    val near = "<p>it was all of the most that there had been for this " +
+      "and what it is about when more can be had by them</p>" // 105 chars: neargood band
+    assert(run(near) == (("", 1L, 0L)), "lone neargood must drop (edges bad)")
+    val (ex3, _, nk3) = run(s"<p>gamma body paragraph with many details $glue</p>" + near)
+    assert(nk3 == 2 && ex3.contains("it was all of the most"), s"($ex3, $nk3)")
+    // 4. short with any link text is bad even between goods
+    val (ex4, _, nk4) = run(
+      s"<p>alpha body paragraph with many details $glue</p>" +
+        "<p><a href='/x'>tiny link</a></p>" +
+        s"<p>beta body paragraph with many details $glue</p>")
+    assert(nk4 == 2 && !ex4.contains("tiny link"), s"($ex4, $nk4)")
+    // 5. script/style/comment chrome never reaches classification
+    val (ex5, nb5, _) = run(
+      "<script>var the = of && and;</script><style>p{}</style>" +
+        s"<!-- the of and --><p>delta body paragraph with many details $glue</p>")
+    assert(nb5 == 1 && ex5.startsWith("delta body"), s"($ex5, $nb5)")
+    // 6. all-bad page extracts to empty string, not null
+    assert(run("<div><a href='/'>only a nav</a></div>") == (("", 1L, 0L)))
+  }
+
   test("url host/domain/path depth: ports, subdomains, root path") {
     import graft.ops.Url
     def host(u: String): String = one[String](Url.host($"t"), u)
