@@ -192,7 +192,7 @@ class TextSemanticsSpec extends AnyFunSuite {
     // language must ship a production-scale list, not a token stub
     for ((l, floor) <- Seq("assamese" -> 70, "kannada" -> 100, "marathi" -> 95,
         "nepali" -> 125, "punjabi" -> 70, "urdu" -> 110, "tamil" -> 65,
-        "telugu" -> 60, "malayalam" -> 58, "manipuri" -> 115,
+        "telugu" -> 60, "malayalam" -> 58, "manipuri" -> 150,
         "english" -> 400, "hindi" -> 150))
       assert(Lexicons.nsfw(l).size >= floor,
         s"$l lexicon shrank below $floor: ${Lexicons.nsfw(l).size}")
@@ -233,6 +233,13 @@ class TextSemanticsSpec extends AnyFunSuite {
     val mmEmbedded = hits("ꯁꯦꯛꯁꯅꯥ")
     assert(mmEmbedded.get("ꯁꯦꯛꯁ").isEmpty,
       s"Meetei Mayek substring leaked: $mmEmbedded")
+    // round-10 depth entries: the new Mayek twin fires standalone but
+    // stays silent when a case suffix continues the word; the new
+    // romanized loan respects Latin boundaries
+    val mm10 = hits("ꯃꯥꯒꯤ ꯃꯥꯒꯤꯗꯥ")
+    assert(mm10.get("ꯃꯥꯒꯤ").contains(1), s"round-10 Mayek twin: $mm10")
+    val lat10 = hits("saala said saalaam")
+    assert(lat10.get("saala").contains(1), s"round-10 Latin loan: $lat10")
   }
 
   test("url normalize: case, www, :443, trailing slash, utm params, fragment") {
