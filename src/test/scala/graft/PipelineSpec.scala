@@ -393,4 +393,74 @@ class PipelineSpec extends AnyFunSuite {
     val n = DocSources.readManifest(spark, m).count()
     assert(n == 2 * spark.read.parquet(s"${TestSpark.Sf}/documents.parquet").count())
   }
+
+  test("external LID bridge: deterministic fake scorer drives the ensemble " +
+      "with first-priority votes and per-partition lifecycle") {
+    import graft.lid._
+    import spark.implicits._
+    // deterministic fake "model": keyword table + open/close bookkeeping
+    // via an accumulator pair (executor-side counters must cross back)
+    val opens = spark.sparkContext.longAccumulator("opens")
+    val closes = spark.sparkContext.longAccumulator("closes")
+    val fake = new ExternalScorerFactory {
+      def open(): ExternalScorer = {
+        opens.add(1)
+        new ExternalScorer {
+          def scoreBatch(texts: Seq[String]): Seq[LidResult] = texts.map {
+            case t if t.contains("bonjour") => LidResult("fr", 0.99)
+            case t if t.contains("नमस्ते")  => LidResult("hi", 0.98)
+            case _ => LidResult("und", 0.0)
+          }
+          def close(): Unit = closes.add(1)
+        }
+      }
+    }
+    val df = Seq(
+      (1L, "bonjour le monde est grand"),              // fr: ext + ngram/stop agree
+      (2L, "नमस्ते यह एक वाक्य है और है की से में"),   // hi: ext + indic/script
+      // ext abstains; heuristics own it (the bridge must not mask them)
+      (3L, "the quick brown fox jumps over the lazy dog and it was the")
+    ).toDF("doc_id", "text").repartition(2)
+    val out = ExternalLid.annotate(spark, df, "doc_id", "text", fake)
+    val rows = out.collect().map(r =>
+      r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("doc_lang"), r.getAs[String]("ext_lang")))).toMap
+    assert(rows(1L) == (("fr", "fr")))
+    assert(rows(2L) == (("hi", "hi")))
+    assert(rows(3L)._1 == "en" && rows(3L)._2 == "und")
+    // lifecycle: one scorer per NONEMPTY partition, every open closed
+    assert(opens.value > 0 && opens.value <= 2, s"opens=${opens.value}")
+    assert(closes.value == opens.value,
+      s"leaked scorers: opens=${opens.value} closes=${closes.value}")
+    // schema is the Ensemble.annotate contract + the ext head
+    assert(out.columns.toSeq == Seq("doc_id", "doc_lang", "ext_lang",
+      "ext_conf", "indic_lang", "indic_conf", "ngram_lang", "ngram_conf",
+      "stop_lang", "stop_conf", "script_lang", "script_conf"))
+  }
+
+  test("external LID bridge: real subprocess speaks the fasttext line protocol") {
+    import graft.lid._
+    import spark.implicits._
+    // a real out-of-process scorer: echoes one fasttext-style line per
+    // input line — exercises launch, batch flush, in-order reads, close
+    val cmd = SubprocessScorer.factory("/bin/sh", "-c",
+      """while IFS= read -r l; do echo "__label__mni 0.9"; done""")
+    val df = (0L until 600L).map(i => (i, s"doc $i body")).toDF("doc_id", "text")
+      .repartition(3) // 200 rows per partition; batching path still one flush
+    val out = ExternalLid.annotate(spark, df, "doc_id", "text", cmd)
+      .select($"ext_lang", $"ext_conf").distinct().collect()
+    assert(out.length == 1 && out(0).getString(0) == "mni"
+      && out(0).getDouble(1) == 0.9)
+  }
+
+  test("external LID bridge: protocol parser vectors") {
+    import graft.lid.{LidResult, SubprocessScorer => S}
+    assert(S.parse("__label__hi 0.97") == LidResult("hi", 0.97))
+    assert(S.parse("ta\t0.5") == LidResult("ta", 0.5))
+    assert(S.parse("bn 1") == LidResult("bn", 1.0))
+    assert(S.parse("en") == LidResult("en", 1.0))
+    assert(S.parse("  ") == LidResult("und", 0.0))
+    assert(S.parse("__label__ 0.4") == LidResult("und", 0.0))
+    assert(S.parse("fr notanumber") == LidResult("fr", 0.0))
+  }
 }
