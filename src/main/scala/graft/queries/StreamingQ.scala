@@ -564,6 +564,28 @@ object StreamingQ {
       StreamOps.dailyValueCounts(s, dir, sink = "st_ks_mem"))
   }
 
+  /** APPEND-mode twin of the KS sufficient statistic
+    * ([[StreamOps.dailyValueCountsAppendFrom]]): closed days are
+    * emitted exactly once as the watermark passes them and their state
+    * is evicted — the unbounded-runtime deployment shape. The oracle
+    * states the closed-day prefix directly: every (day, type,
+    * quantized value) count whose day END precedes the final watermark
+    * max(ts) − 1 day (Spark emission predicate window.end ≤ watermark;
+    * the trailing open day is exactly what never appears). */
+  val stKsCountsAppend: Spec = Spec(
+    "st_ks_counts_append",
+    oracle = Some("""
+      WITH mx AS (SELECT max(ts) AS m FROM events)
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS window_day,
+        event_type, round(value, 1) AS v, COUNT(*) AS cnt
+      FROM events, mx
+      WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= m - INTERVAL 1 DAY
+      GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")) { (s, dir) =>
+    import s.implicits._
+    StreamOps.dailyValueCountsAppend(s, dir)
+      .orderBy($"window_day", $"event_type", $"v")
+  }
+
   /** STATEFUL streaming Markov transitions: flatMapGroupsWithState
     * keeps each user's LAST event so a transition split across
     * micro-batches is still emitted — per-key continuity no per-batch
@@ -873,7 +895,8 @@ object StreamingQ {
     stEnrich, stClickView, dLid, dLidScript, dLidConfusion, pipelineE2e,
     stDocFlags, stHeavyHitters, stDriftWindowed, stLidScript,
     stMinhashPairs, stFunnelLevels, stBm25Indexed, stCmsCounts, stNovelty,
-    stAsofLastClick, stCcIncremental, stRateAnomaly, stKsWindowed, stMarkov,
+    stAsofLastClick, stCcIncremental, stRateAnomaly, stKsWindowed,
+    stKsCountsAppend, stMarkov,
     stSeasonal, stPath, stNsfwRollup, stEntryExit, stAttribution,
     stQualityMonitor, stAttributionDecay, stCusum, stGapFill, stDbscan)
 }

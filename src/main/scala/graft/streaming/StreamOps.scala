@@ -123,6 +123,35 @@ object StreamOps {
       .localCheckpoint()
   }
 
+  /** APPEND-mode twin of [[dailyValueCountsFrom]] — the unbounded-
+    * runtime shape a real deployment needs: each closed day is emitted
+    * EXACTLY ONCE when the watermark (max event time − 1 day) passes
+    * its window end, and its state rows are evicted at that moment, so
+    * state never holds more than the open days regardless of how long
+    * the stream runs. On a finite feed the trailing day(s) never close
+    * — the result is the closed-day PREFIX of the complete-mode grid
+    * (Spark's emission predicate is window.end ≤ watermark, watermark
+    * in whole milliseconds), which is what the oracle states. The
+    * complete-mode form above remains the finite-feed oracle of the
+    * FULL grid; this twin is the production shape, and the eviction
+    * behavior is pinned by the two-batch MemoryStream test. */
+  def dailyValueCountsAppendFrom(s: SparkSession, src: DataFrame,
+      sink: String): DataFrame = {
+    val agg = src
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_utc", "1 day")
+      .groupBy(window(col("ts_utc"), "1 day"), col("event_type"),
+        round(col("value"), 1).as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    runToTable(s, agg, sink, "append")
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("window_day"),
+        col("event_type"), col("v"), col("cnt"))
+  }
+
+  def dailyValueCountsAppend(s: SparkSession, dir: String,
+      sink: String = "st_ks_append_mem"): DataFrame =
+    dailyValueCountsAppendFrom(s, eventsStream(s, dir), sink)
+
   /** Daily per-type event counts as a streaming query — the bounded
     * sufficient statistic the CUSUM changepoint monitor consumes
     * ([[graft.queries.Events.cusumOverDayGrid]]). Same state-bound

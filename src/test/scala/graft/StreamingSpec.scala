@@ -20,6 +20,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("append-mode KS counts: closed days emitted once, state evicted " +
+      "to the open suffix (two-batch MemoryStream)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Events.load(spark, TestSpark.Sf)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[(Long, Long, Long, String, Double, String)].collect().toSeq
+      .sortBy(_._2)
+    // two micro-batches so eviction happens MID-STREAM, not just at end
+    val (early, late) = rows.splitAt(rows.length / 2)
+    val ms = MemoryStream[(Long, Long, Long, String, Double, String)]
+    ms.addData(early)
+    ms.addData(late)
+    val src = ms.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = StreamOps.dailyValueCountsAppendFrom(spark, src, "st_ks_append_msrc")
+      .as[(String, String, Double, Long)].collect()
+    // exactly-once emission of closed days: no (day,type,v) key twice
+    // (a re-emission after batch-2 updates would double-count the key)
+    assert(got.length == got.map(r => (r._1, r._2, r._3)).distinct.length,
+      "append mode re-emitted a closed window")
+    // the emitted set is the closed-day prefix: day end <= max_ts - 1d
+    val dayUs = 86400L * 1000 * 1000
+    val maxUs = rows.map(_._2 / 1000).max
+    val wmUs = (maxUs / 1000 - 86400000L) * 1000 // watermark is whole ms
+    val expect = rows
+      .map(r => ((r._2 / 1000) / dayUs, r._4,
+        BigDecimal(r._5).setScale(1, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case ((day, _, _), _) => (day + 1) * dayUs <= wmUs }
+      .map { case ((day, t, v), n) =>
+        (java.time.LocalDate.ofEpochDay(day).toString, t, v, n) }
+      .toSet
+    assert(got.toSet == expect, s"closed-day prefix mismatch: " +
+      s"got ${got.length} rows, expected ${expect.size}")
+    // EVICTION pin: final state holds only the OPEN days' groups — the
+    // whole point of the append twin; complete mode would retain every
+    // (day,type,v) group ever seen
+    val openGroups = rows
+      .map(r => ((r._2 / 1000) / dayUs, r._4,
+        BigDecimal(r._5).setScale(1, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .distinct.count { case (day, _, _) => (day + 1) * dayUs > wmUs }
+    val allGroups = rows
+      .map(r => ((r._2 / 1000) / dayUs, r._4,
+        BigDecimal(r._5).setScale(1, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .distinct.size
+    val state = StreamOps.lastStateRows
+    assert(state.exists(_ == openGroups.toLong),
+      s"state must hold exactly the open-day groups ($openGroups of " +
+        s"$allGroups total), got $state")
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) matches batch sessions") {
     val emitted = StreamOps.statefulSessions(spark, TestSpark.Sf)
       .as[(Long, Long, Long, Long)].collect().toSet
