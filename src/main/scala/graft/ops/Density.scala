@@ -198,7 +198,11 @@ object Density {
     * The base corpus is scanned (linear) but never re-paired.
     *
     * @param basePoints (id, x, y) the already-clustered corpus.
-    * @param batch (id, x, y) new points (ids disjoint from base).
+    * @param batch (id, x, y) new points. Ids MUST be disjoint from the
+    *              base — ENFORCED with a loud failure: growth is the
+    *              contract, and updates/deletions (the non-monotone
+    *              cases that can demote cores and split components)
+    *              require a full re-solve.
     * @return (id, x, y, is_core, cluster) over base ∪ batch, equal to
     *         `dbscanGrid(base ∪ batch, eps, minPts)`. */
   def dbscanGridIncremental(basePoints: DataFrame, batch: DataFrame,
@@ -221,6 +225,22 @@ object Density {
     val scored = base.scored // checkpointed by solve / prior fold
 
     val bat = cellCols(eps)(batch).localCheckpoint()
+    // DELETION (and point replacement) is OUT OF CONTRACT — the one
+    // non-monotone case: removing mass can demote cores and SPLIT
+    // components, which no halo-local repair can prove equal to a full
+    // recompute (the equality invariant this op's tests pin). A batch
+    // id that already exists in the base would silently act as "move/
+    // re-send", violating that invariant — reject it loudly. The probe
+    // broadcasts the (batch-sized) id set into one linear scan of the
+    // stored census: no shuffle, batch-proportional like every other
+    // per-fold frame here. Deletions require a full re-solve by design.
+    val collision = scored.select($"id")
+      .join(broadcast(bat.select($"id")), Seq("id"), "leftsemi")
+    require(collision.isEmpty,
+      "dbscanGridIncremental: batch re-sends id(s) already in the base " +
+        s"(e.g. ${collision.limit(3).as[Long].collect().mkString(", ")}); " +
+        "updates/deletions are out of contract — re-solve from scratch " +
+        "or assign fresh ids")
     val batCellCnt = bat.groupBy($"cx", $"cy")
       .agg(count(lit(1)).as("bn"))
 

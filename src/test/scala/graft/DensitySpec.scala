@@ -113,6 +113,24 @@ class DensitySpec extends AnyFunSuite {
       canon(Density.dbscanGrid(b1.unionAll(b2).unionAll(b3), 1L, 4L)).toSeq)
   }
 
+  test("incremental rejects id collisions loudly (deletion/update out of contract)") {
+    import spark.implicits._
+    val base = Seq((1L, 0L, 0L), (2L, 1L, 0L), (3L, 0L, 1L))
+      .toDF("id", "x", "y")
+    // re-sending id 2 (a "move") must fail fast, not silently double it
+    val resend = Seq((2L, 5L, 5L), (9L, 6L, 6L)).toDF("id", "x", "y")
+    val e = intercept[IllegalArgumentException] {
+      Density.dbscanGridIncremental(base, resend, eps = 1L, minPts = 3L)
+        .collect()
+    }
+    assert(e.getMessage.contains("out of contract")
+      && e.getMessage.contains("2"), e.getMessage)
+    // disjoint ids still fold fine (the guard must not reject growth)
+    val fresh = Seq((10L, 5L, 5L), (11L, 6L, 6L)).toDF("id", "x", "y")
+    assert(Density.dbscanGridIncremental(base, fresh, eps = 1L, minPts = 3L)
+      .count() == 5)
+  }
+
   test("dbscanGrid eps>1 groups by coarser cells exactly") {
     import spark.implicits._
     // eps=3: points at x=0 and x=3 are within L-inf 3 (adjacent cells);
