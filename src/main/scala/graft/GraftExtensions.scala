@@ -31,5 +31,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // joins the operator-optimization fixed point of every session built
     // with this extension
     ext.injectOptimizerRule(_ => graft.plans.WindowDedupToAgg)
+    // singleton-key filter (count over partition = 1) → hash aggregate
+    // + HAVING: the J3 repeated-chunk idiom, same safety analysis
+    ext.injectOptimizerRule(_ => graft.plans.WindowCountOneToAgg)
   }
 }

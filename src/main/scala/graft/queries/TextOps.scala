@@ -702,6 +702,47 @@ object TextOps {
       .orderBy($"source", $"doc_id", $"tok")
   }
 
+  /** [[dUniqueTokens]] RIDING the [[graft.plans.WindowCountOneToAgg]]
+    * optimizer rule: the query body writes the exact window idiom (the
+    * shape users migrating from other engines write), installs the
+    * graft rules into the session — the programmatic twin of the
+    * `spark.sql.extensions=graft.GraftExtensions` deployment — and
+    * REQUIREs in-plan that the Window node was rewritten to the
+    * aggregate+HAVING form before returning, so the green driver row
+    * is proof the rule both fired and preserved semantics against the
+    * window-form oracle. Installation is idempotent and session-wide
+    * (the deployment state); both rules are shape-guarded and
+    * semantics-preserving, so other queries are unaffected except for
+    * picking up the same beneficial rewrite. */
+  val dUniqueTokensRewritten: Spec = Spec(
+    "d_unique_tokens_rewritten",
+    oracle = Some("""
+      WITH t AS (SELECT source, doc_id, unnest(string_split(text,' ')) AS tok
+                 FROM documents WHERE doc_id % 3 = 0),
+      w AS (SELECT source, doc_id, tok,
+              COUNT(*) OVER (PARTITION BY source, tok) AS n FROM t)
+      SELECT source, doc_id, tok FROM w WHERE n = 1
+      ORDER BY source, doc_id, tok""")) { (s, dir) =>
+    import s.implicits._
+    val em = s.sessionState.experimentalMethods
+    if (!em.extraOptimizations.exists(_ eq graft.plans.WindowCountOneToAgg))
+      em.extraOptimizations = em.extraOptimizations ++
+        Seq(graft.plans.WindowDedupToAgg, graft.plans.WindowCountOneToAgg)
+    val w = Window.partitionBy($"source", $"tok")
+    val df = docs(s, dir)
+      .filter($"doc_id" % 3 === 0)
+      .select($"source", $"doc_id", explode(Text.tokens($"text")).as("tok"))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter($"n" === 1)
+      .select($"source", $"doc_id", $"tok")
+      .orderBy($"source", $"doc_id", $"tok")
+    require(df.queryExecution.optimizedPlan.collect {
+        case wn: org.apache.spark.sql.catalyst.plans.logical.Window => wn
+      }.isEmpty,
+      "WindowCountOneToAgg did not fire on the singleton-key idiom")
+    df
+  }
+
   /** Stopword distribution (F16 — same automaton, different lexicon):
     * per-doc stopword hits and ratio. */
   val dStopwords: Spec = Spec(
@@ -938,6 +979,7 @@ object TextOps {
     dTokenStats, dDocStatsAgg, dWordFreq, dLineExplode, dLines2Doc,
     dLines2DocDedent, dRepeatedTokens, dNsfwCounts, dDocFlags, dRemovalSurvivors,
     dNgramRepWord, dNgramRepWordTok, dNgramRepChar, dUniqueTokens,
+    dUniqueTokensRewritten,
     dKeywordSpans, dTokenDiversity, dSymbolRatio,
     dFingerprint, dWinnowFingerprints, dCorpusCard, dDedupByKey, dStopwords,
     dDedupThresholded,

@@ -97,10 +97,79 @@ class PlanRewriteSpec extends AnyFunSuite {
     }
   }
 
-  test("GraftExtensions injects the rule (config-driven deployment path)") {
+  // ---- WindowCountOneToAgg (the J3 singleton-key filter sibling) ----
+
+  private def withCountRule[T](body: => T): T = {
+    val em = spark.sessionState.experimentalMethods
+    val prev = em.extraOptimizations
+    em.extraOptimizations = prev :+ graft.plans.WindowCountOneToAgg
+    try body finally em.extraOptimizations = prev
+  }
+
+  private def naiveSingletons(): DataFrame = {
+    // the d_unique_tokens shape: tokens whose (source, tok) key is unique
+    val w = Window.partitionBy($"source", $"tok")
+    spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .filter($"doc_id" % 5 === 0)
+      .select($"source", $"doc_id",
+        explode(graft.ops.Text.tokens($"text")).as("tok"))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter($"n" === 1)
+  }
+
+  test("count-over-partition = 1 rewrites to aggregate + HAVING, results identical") {
+    val baseline = naiveSingletons().collect().toSet
+    assert(hasWindow(naiveSingletons()))
+    withCountRule {
+      val rewritten = naiveSingletons()
+      assert(!hasWindow(rewritten), "rule must eliminate the Window node")
+      assert(hasAggregate(rewritten), "rule must introduce the aggregate")
+      assert(rewritten.collect().toSet == baseline)
+      assert(baseline.nonEmpty)
+      // n survives as literal 1 under the original reference
+      assert(rewritten.select($"n").distinct().collect()
+        .map(_.getLong(0)).toSeq == Seq(1L))
+      // downstream operations over the restored attributes still resolve
+      val downstream = naiveSingletons()
+        .groupBy($"source").agg(count(lit(1)).as("n_unique"))
+        .orderBy($"source").collect()
+      assert(downstream.nonEmpty)
+      // reversed literal shape too
+      val rev = spark.read.parquet(s"${TestSpark.Sf}/lineitem.parquet")
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy($"l_orderkey")))
+        .filter(lit(1) === $"n")
+      assert(!hasWindow(rev))
+    }
+  }
+
+  test("count-one guards: running count, n=2, count(col), no partition stay windows") {
+    withCountRule {
+      val base = spark.read.parquet(s"${TestSpark.Sf}/lineitem.parquet")
+      val running = base.withColumn("n", count(lit(1)).over(
+        Window.partitionBy($"l_orderkey").orderBy($"l_linenumber")))
+        .filter($"n" === 1)
+      assert(hasWindow(running),
+        "ORDER BY makes it a running count — must not rewrite")
+      val two = base.withColumn("n", count(lit(1)).over(
+        Window.partitionBy($"l_orderkey"))).filter($"n" === 2)
+      assert(hasWindow(two),
+        "n=2 groups keep two rows — one-pass aggregate can't restore them")
+      val nullSkip = base.withColumn("n", count($"l_returnflag").over(
+        Window.partitionBy($"l_orderkey"))).filter($"n" === 1)
+      assert(hasWindow(nullSkip),
+        "count(col) skips nulls (not the group size) — must not rewrite")
+      val global = base.withColumn("n", count(lit(1)).over(
+        Window.partitionBy())).filter($"n" === 1)
+      assert(hasWindow(global), "empty partition spec must not rewrite")
+    }
+  }
+
+  test("GraftExtensions injects the rules (config-driven deployment path)") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(ext)
     val rules = org.apache.spark.sql.graft.testbridge.optimizerRules(ext, spark)
     assert(rules.exists(_ eq WindowDedupToAgg))
+    assert(rules.exists(_ eq graft.plans.WindowCountOneToAgg))
   }
 }
