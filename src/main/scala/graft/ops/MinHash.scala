@@ -247,4 +247,38 @@ object MinHash {
   def clusters(pairs: DataFrame): DataFrame =
     ConnectedComponents.run(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+
+  /** LSH band planner (Broder/LSH S-curve, MMDS ch.3): for each target
+    * similarity threshold, pick the (bands, rows_per_band) split of a
+    * `sigLen`-permutation signature whose curve midpoint
+    * s₅₀ = (1/b)^(1/r) sits closest to the target — the knob every
+    * 100 TB dedup run has to set, answered declaratively. Also emits
+    * the candidate probability AT the target, 1 − (1 − tʳ)ᵇ, so the
+    * chosen split's recall at its own operating point is visible.
+    * Doubles floor-truncate to 1e-6 on output (the repo's parity
+    * discipline); the argmin compares |s₅₀ − t| whose candidate values
+    * are far apart relative to pow's 1-ulp wobble, tie-broken by
+    * fewer bands. */
+  def bandPlan(s: org.apache.spark.sql.SparkSession, sigLen: Int,
+      thresholds: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val divisors = (1 to sigLen).filter(sigLen % _ == 0)
+    import s.implicits._
+    val cand = divisors.toDF("bands")
+      .select(col("bands").cast("long").as("bands"),
+        (lit(sigLen) / col("bands")).cast("long").as("rows_per_band"))
+      .withColumn("s50_raw",
+        pow(lit(1.0) / col("bands"), lit(1.0) / col("rows_per_band")))
+    val w = Window.partitionBy(col("threshold"))
+      .orderBy(abs(col("s50_raw") - col("threshold")), col("bands"))
+    thresholds.toDF("threshold").crossJoin(cand)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("threshold"), col("bands"), col("rows_per_band"),
+        (floor(col("s50_raw") * 1000000).cast("double") / 1000000).as("s50"),
+        (floor((lit(1.0) -
+            pow(lit(1.0) - pow(col("threshold"), col("rows_per_band")),
+              col("bands"))) * 1000000).cast("double") / 1000000)
+          .as("p_at_threshold"))
+  }
 }

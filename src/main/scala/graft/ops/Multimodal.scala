@@ -197,6 +197,47 @@ object Multimodal {
     })
   }
 
+  final case class ImageDHash(doc_id: Long, dhash: String)
+
+  /** Perceptual difference-hash over REAL decoded pixels — the
+    * gradient complement of [[imageAHash]]: a 9×8 nearest-neighbor
+    * luma grid, bit k = luma(i+1, j) > luma(i, j) (horizontal
+    * gradient), 64-bit row-major string. dHash has no global mean, so
+    * it is invariant to uniform brightness/contrast shifts that flip
+    * aHash bits wholesale — the standard pairing is "aHash for exact
+    * frames, dHash for re-encodes". Same integer-only arithmetic and
+    * decode-failure contract as imageAHash; same no-shuffle per-row
+    * executor shape. */
+  def imageDHash(blobs: Dataset[MediaBlob]): Dataset[ImageDHash] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.flatMap { b =>
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(b.data))
+        if (img == null) None
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          def lum(i: Int, j: Int): Int = {
+            val p = img.getRGB(i * w / 9, j * h / 8) & 0xFFFFFF
+            val r = (p >> 16) & 255; val g = (p >> 8) & 255; val bl = p & 255
+            (r * 299 + g * 587 + bl * 114) / 1000
+          }
+          val sb = new StringBuilder(64)
+          var j = 0
+          while (j < 8) {
+            var i = 0
+            while (i < 8) {
+              sb.append(if (lum(i + 1, j) > lum(i, j)) '1' else '0')
+              i += 1
+            }
+            j += 1
+          }
+          Some(ImageDHash(b.doc_id, sb.toString))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    })
+  }
+
   final case class AudioMeta(
       doc_id: Long, byte_len: Long, sample_rate: Long, n_channels: Long,
       n_samples: Long, duration_ms: Long, checksum: String, format: String)

@@ -60,4 +60,39 @@ object Sampling {
         Seq(col("h48"), col(idCol)), col(tokCol), "cum_tokens")
       .filter(col("cum_tokens") - col(tokCol) < budget)
   }
+
+  /** TEMPERATURE (τ = 0.5) mixture sampling, the XLM-R/mT5 rebalance:
+    * stratum i gets quota ∝ nᵢ^τ — low-resource strata upsampled
+    * relative to their share, heads flattened. τ is FIXED at 1/2
+    * because √n is IEEE-exact (pow(n, τ) for general τ is libm-
+    * dependent and would put a last-ulp wobble inside an integer
+    * quota); the rates are computed entirely in integers:
+    * mᵢ = round(√nᵢ · 10⁶), quotaᵢ = min(nᵢ, (budget · mᵢ) div Σm).
+    *
+    * The sample itself is the quotaᵢ smallest-hash48 ids per stratum,
+    * via the bounded [[TopK]] aggregator with k = budget (every quota
+    * ≤ budget by construction) — map-side partial top-k, never a
+    * per-stratum window sort; the quota frame is strata-sized and
+    * broadcast.
+    *
+    * @return (strataCol, sample_rank, idCol, h48, n_docs,
+    *         weight_micro, quota) — one row per sampled id,
+    *         sample_rank 1..quota in (h48, id) order. */
+  def temperatureQuotas(df: DataFrame, strataCol: String, idCol: String,
+      budget: Long): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("m", round(sqrt(col("n_docs")) * 1000000).cast("long"))
+    // global Σm via broadcast cross join, not an unpartitioned window
+    val quotas = counts
+      .crossJoin(broadcast(counts.agg(sum(col("m")).as("m_sum"))))
+      .select(col(strataCol), col("n_docs"),
+        expr("(1000000 * m) div m_sum").as("weight_micro"),
+        least(col("n_docs"), expr(s"($budget * m) div m_sum")).as("quota"))
+    val ranked = stratifiedByHash(df, strataCol, idCol, budget.toInt)
+    ranked.join(broadcast(quotas), Seq(strataCol))
+      .filter(col("sample_rank") <= col("quota"))
+  }
 }

@@ -1588,6 +1588,35 @@ object Dedup {
       .orderBy($"bands".desc, $"jaccard_s")
   }
 
+  /** Band PLANNER on top of [[ddLshPlanner]]'s curve table
+    * ([[MinHash.bandPlan]]): for each target similarity threshold,
+    * SELECT the (bands, rows_per_band) split of a 128-perm signature
+    * whose S-curve midpoint (1/b)^(1/r) is closest — the decided
+    * answer (vs the planner's characterization) a 100 TB dedup run
+    * configures from, plus the candidate probability at the target so
+    * the chosen split's recall at its own operating point is visible. */
+  val ddBandPlan: Spec = Spec(
+    "dd_band_plan",
+    oracle = Some("""
+      WITH b AS (SELECT unnest([1,2,4,8,16,32,64,128]) AS bands),
+      c AS (SELECT bands, 128 // bands AS rows_per_band,
+              pow(1.0 / bands, 1.0 / (128 // bands)) AS s50_raw FROM b),
+      t AS (SELECT unnest([0.5,0.6,0.7,0.8,0.9]) AS threshold),
+      r AS (SELECT t.threshold, c.bands, c.rows_per_band, c.s50_raw,
+              row_number() OVER (PARTITION BY t.threshold
+                ORDER BY abs(c.s50_raw - t.threshold), c.bands) AS rk
+            FROM t CROSS JOIN c)
+      SELECT threshold, CAST(bands AS BIGINT) AS bands,
+        CAST(rows_per_band AS BIGINT) AS rows_per_band,
+        floor(s50_raw * 1000000) / 1000000 AS s50,
+        floor((1 - pow(1 - pow(threshold, rows_per_band), bands)) * 1000000)
+          / 1000000 AS p_at_threshold
+      FROM r WHERE rk = 1 ORDER BY threshold""")) { (s, dir) =>
+    import s.implicits._
+    MinHash.bandPlan(s, 128, Seq(0.5, 0.6, 0.7, 0.8, 0.9))
+      .orderBy($"threshold")
+  }
+
   /** DEDUP FUNNEL report: how much each method removes, alone and
     * together — exact whitespace-normalized hash (keep-min), MinHash+CC
     * near-dup clusters (keep-min), their overlap, the union, and the
@@ -1925,6 +1954,7 @@ object Dedup {
   val specs: Seq[Spec] = Seq(
     ddRecordLinkage, ddJaroLinkage,
     ddMethodAgreement, ddThresholdSweep, ddMinhashEstimate, ddLshPlanner,
+    ddBandPlan,
     ddMinhashPairs, ddMinhashBlocked, ddMinhashClusters, ddMinhashIncremental,
     ddCcIncremental, ddPairDiffSpans,
     ddJaccardBlockPairs, ddExactHash, ddExactIncremental, ddBloomIncremental,

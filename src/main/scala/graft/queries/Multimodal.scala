@@ -205,6 +205,48 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** Difference-hash image fingerprinting
+    * ([[graft.ops.Multimodal.imageDHash]]) — the gradient complement
+    * of mm_image_ahash: 9×8 luma grid, bit = right neighbor brighter,
+    * so uniform brightness shifts don't move a single bit. Same
+    * real-decode / integer-oracle discipline: the oracle replays the
+    * generator's pixel arithmetic, the 9-wide sampler and the gradient
+    * compare in pure integer SQL. */
+  val mmImageDhash: Spec = Spec(
+    "mm_image_dhash",
+    oracle = Some("""
+      WITH d AS (SELECT doc_id, 16 + doc_id % 32 AS w, 16 + (doc_id * 3) % 32 AS h
+        FROM documents WHERE doc_id % 20 = 0),
+      cell AS (SELECT doc_id, w, h, i.i, j.j,
+          ((i.i * w) // 9) AS x, ((j.j * h) // 8) AS y
+        FROM d, (SELECT unnest(range(0, 9)) AS i) i,
+             (SELECT unnest(range(0, 8)) AS j) j),
+      lum AS (SELECT doc_id, i, j,
+          ((((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587
+            + (v & 255) * 114) // 1000) AS g
+        FROM (SELECT doc_id, i, j,
+                (x * 31 + y * 17 + doc_id) & 16777215 AS v FROM cell)),
+      bits AS (SELECT a.doc_id,
+          string_agg(CASE WHEN b.g > a.g THEN '1' ELSE '0' END, ''
+            ORDER BY a.j, a.i) AS dhash
+        FROM lum a JOIN lum b ON b.doc_id = a.doc_id AND b.j = a.j
+          AND b.i = a.i + 1
+        WHERE a.i < 8 GROUP BY a.doc_id),
+      n AS (SELECT dhash, COUNT(*) AS n_same FROM bits GROUP BY dhash)
+      SELECT doc_id, bits.dhash, CAST(n_same AS BIGINT) AS n_same
+      FROM bits JOIN n USING (dhash) ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    val ids = Tables.load(s, dir, "documents")
+      .filter($"doc_id" % 20 === 0)
+      .select($"doc_id").as[java.lang.Long]
+    val hashed = MM.imageDHash(MM.syntheticPngBlobs(ids)).toDF()
+      .localCheckpoint() // one decode pass feeds the dup-count and output
+    val n = hashed.groupBy($"dhash").agg(count(lit(1)).as("n_same"))
+    hashed.join(n, Seq("dhash"))
+      .select($"doc_id", $"dhash", $"n_same")
+      .orderBy($"doc_id")
+  }
+
   /** Banded-Hamming image near-dup (the SimHash pigeonhole applied to
     * perceptual hashes): aHash bit strings split into 4×16-bit bands;
     * equal-band candidates come from the capped bucket scaffold, then
@@ -407,6 +449,6 @@ object Multimodal {
   }
 
   val specs: Seq[Spec] = Seq(mmDecodeMeta, mmImageDecode, mmFrameSample,
-    mmResize, mmAudioMeta, mmAudioEnergy, mmImageAhash, mmImageNeardup,
-    mmCaptionAlign, mmAudioVad)
+    mmResize, mmAudioMeta, mmAudioEnergy, mmImageAhash, mmImageDhash,
+    mmImageNeardup, mmCaptionAlign, mmAudioVad)
 }

@@ -1148,6 +1148,77 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** LOCAL CLUSTERING COEFFICIENT per node on the same LSH similarity
+    * graph as [[eTriangleCount]]: c(v) = 2·T(v) / (deg(v)·(deg(v)−1)),
+    * the "how clique-like is this vector's neighborhood" score that
+    * separates tight duplicate pockets (c → 1) from hub-and-spoke
+    * similarity (c → 0) — the standard next question after a triangle
+    * count. Exact-integer parity: the coefficient is emitted in
+    * micro-units as (2_000_000·T) div (deg·(deg−1)) — pure integer
+    * arithmetic, no float in any compared value. Nodes of degree 1
+    * (coefficient undefined) emit 0, matching the convention in
+    * networkx/GraphX.
+    *
+    * Scale shape: reuses the one checkpointed edge frame for wedges,
+    * closures and degrees (the eTriangleCount discipline); the
+    * triangle join is the standard ordered-adjacency enumeration and
+    * every aggregate is a partial-aggregatable hash count. */
+  val eClusteringCoeff: Spec = Spec(
+    "e_clustering_coeff",
+    oracle = Some(s"""
+      WITH ${lshCandCtes},
+      edges AS (SELECT c.ida AS src, c.idb AS dst FROM cand c
+        JOIN embeddings a ON a.vec_id = c.ida
+        JOIN embeddings b ON b.vec_id = c.idb
+        WHERE a.label = b.label
+          AND ${cosSql("a.embedding", "b.embedding")} >= 0.2),
+      tri AS (
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.src = e1.dst
+        JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+      member AS (
+        SELECT a AS id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri),
+      cnt AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM member GROUP BY id),
+      deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+          SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)
+        GROUP BY id)
+      SELECT deg.id AS vec_id, deg.degree,
+        CAST(COALESCE(cnt.n_triangles, 0) AS BIGINT) AS n_triangles,
+        CAST(CASE WHEN deg.degree < 2 THEN 0
+          ELSE (2000000 * COALESCE(cnt.n_triangles, 0))
+            // (deg.degree * (deg.degree - 1)) END AS BIGINT) AS coeff_micro
+      FROM deg LEFT JOIN cnt ON cnt.id = deg.id
+      ORDER BY vec_id""")) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val edges = lshLabelEdges(emb, threshold = 0.2)
+      .select($"id_a".as("src"), $"id_b".as("dst"))
+      .localCheckpoint() // one scoring pass feeds wedges, closes, degrees
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), col("e2.src") === col("e1.dst"))
+      .join(edges.as("e3"),
+        col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+        col("e2.dst").as("c"))
+    val member = tri.select($"a".as("id"))
+      .unionAll(tri.select($"b")).unionAll(tri.select($"c"))
+    val cnt = member.groupBy($"id").agg(count(lit(1)).as("n_triangles"))
+    val deg = edges.select($"src".as("id")).unionAll(edges.select($"dst"))
+      .groupBy($"id").agg(count(lit(1)).as("degree"))
+    deg.join(cnt, Seq("id"), "left")
+      .select($"id".as("vec_id"), $"degree",
+        coalesce($"n_triangles", lit(0L)).as("n_triangles"),
+        when($"degree" < 2, 0L)
+          .otherwise(expr(
+            "(2000000 * coalesce(n_triangles, 0)) div (degree * (degree - 1))"))
+          .as("coeff_micro"))
+      .orderBy($"vec_id")
+  }
+
   /** One synchronous label-propagation oracle round: per-target counts
     * of incoming neighbor labels, the modal label (ties → smallest
     * label, via the rank ORDER BY), isolated nodes keep their own. */
@@ -2223,7 +2294,8 @@ object Similarity {
     eNearDupLsh, eKnnQuantized, eKmeansCentroids, eKnnIvfLearned,
     eKnnIvfMultiprobe, eKnnPq, eKnnIvfPq, eBitextMine, eEmbeddingOutliers,
     eKnnIvfPqProbe, eNearDupClusters, eKnnMatryoshka, eMmrRerank,
-    eClusterSummary, ePagerankCentrality, eTriangleCount, eLabelPropagation,
+    eClusterSummary, ePagerankCentrality, eTriangleCount, eClusteringCoeff,
+    eLabelPropagation,
     eEigenCentrality, eLinkPrediction, eKcorePeel, eSemdedup,
     eSemdedupIncremental, ePcaProjection, ePca2d, eCentroidDrift,
     eMutualKnn, eSilhouette, eBfsHops)

@@ -22,6 +22,27 @@ object StreamingQ {
     StreamOps.tumblingCounts(s, dir)
   }
 
+  /** APPEND-mode hourly counts ([[StreamOps.tumblingAppendFrom]]) —
+    * closed hours only, emitted once, state evicted: the
+    * unbounded-runtime twin of st_tumbling_hourly (which keeps the
+    * full-grid complete-mode form). The oracle states the closed-hour
+    * prefix: hours whose END precedes the final watermark
+    * max(ts) − 1 hour. */
+  val stTumblingAppend: Spec = Spec(
+    "st_tumbling_append",
+    oracle = Some("""
+      WITH mx AS (SELECT max(ts) AS m FROM events)
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+             event_type, COUNT(*) AS n_events
+      FROM events, mx
+      WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= m - INTERVAL 1 HOUR
+      GROUP BY window_start, event_type
+      ORDER BY window_start, event_type""")) { (s, dir) =>
+    import s.implicits._
+    StreamOps.tumblingAppend(s, dir)
+      .orderBy($"window_start", $"event_type")
+  }
+
   /** Streaming sliding windows (1h every 15min) — oracle is the batch
     * shift-and-replicate SQL; streaming/batch parity is the point. */
   val stSliding: Spec = Spec(
@@ -891,7 +912,8 @@ object StreamingQ {
       .orderBy($"cluster")
   }
 
-  val specs: Seq[Spec] = Seq(stTumbling, stSliding, stDedup, stSessions,
+  val specs: Seq[Spec] = Seq(stTumbling, stTumblingAppend, stSliding,
+    stDedup, stSessions,
     stEnrich, stClickView, dLid, dLidScript, dLidConfusion, pipelineE2e,
     stDocFlags, stHeavyHitters, stDriftWindowed, stLidScript,
     stMinhashPairs, stFunnelLevels, stBm25Indexed, stCmsCounts, stNovelty,

@@ -330,6 +330,64 @@ object TrainingPrep {
       .orderBy($"lang", $"cum_tokens")
   }
 
+  /** TEMPERATURE (τ = 1/2) mixture rates + sample
+    * ([[graft.ops.Sampling.temperatureQuotas]]) — the XLM-R/mT5
+    * rebalance that [[dMixtureSample]]'s budget capping approximates:
+    * quotas ∝ √nᵢ computed in pure integers (√ is IEEE-exact, the one
+    * temperature that keeps the whole rate computation float-free),
+    * sample = the quota smallest-hash48 ids per source via the bounded
+    * TopK aggregator. Source sizes are made non-uniform
+    * deterministically (per-source doc_id modulus) so the upsampling
+    * is observable; the per-source sample md5 pins membership, not
+    * just counts. */
+  val dTemperatureMix: Spec = Spec(
+    "d_temperature_mix",
+    oracle = Some("""
+      WITH e2 AS (
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+            CAST(substr(source, 4) AS INT) % 4 AS g
+          FROM documents)
+        WHERE doc_id % (1 + g) = 0),
+      c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(round(sqrt(COUNT(*)) * 1000000) AS BIGINT) AS m
+            FROM e2 GROUP BY source),
+      s AS (SELECT SUM(m) AS m_sum FROM c),
+      q AS (SELECT source, n_docs,
+              CAST((1000000 * m) // m_sum AS BIGINT) AS weight_micro,
+              CAST(LEAST(n_docs, (60 * m) // m_sum) AS BIGINT) AS quota
+            FROM c, s),
+      h AS (SELECT doc_id, source,
+              CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,12) AS BIGINT)
+                AS h48
+            FROM e2),
+      r AS (SELECT source, doc_id, h48,
+              row_number() OVER (PARTITION BY source ORDER BY h48, doc_id)
+                AS rk
+            FROM h),
+      k AS (SELECT r.source, r.doc_id, q.n_docs, q.weight_micro, q.quota
+            FROM r JOIN q ON q.source = r.source WHERE r.rk <= q.quota)
+      SELECT source, n_docs, weight_micro, quota,
+        CAST(COUNT(*) AS BIGINT) AS n_sampled,
+        md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+          AS sample_md5
+      FROM k GROUP BY source, n_docs, weight_micro, quota
+      ORDER BY source""")) { (s, dir) =>
+    import s.implicits._
+    val eligible = docs(s, dir)
+      .select($"doc_id", $"source",
+        (substring($"source", 4, 10).cast("int") % 4).as("g"))
+      .filter($"doc_id" % (lit(1) + $"g") === 0)
+      .select($"doc_id", $"source")
+    graft.ops.Sampling.temperatureQuotas(eligible, "source", "doc_id",
+        budget = 60L)
+      .groupBy($"source", $"n_docs", $"weight_micro", $"quota")
+      .agg(count(lit(1)).as("n_sampled"),
+        md5(array_join(transform(array_sort(collect_list($"doc_id")),
+          _.cast("string")), ",")).as("sample_md5"))
+      .orderBy($"source")
+  }
+
   /** Adaptive length-outlier trim: flag documents outside the corpus'
     * own [1/16, 15/16] token-length quantiles (data-driven thresholds,
     * the robust alternative to Gopher's fixed word-count band — the
@@ -2044,7 +2102,8 @@ object TrainingPrep {
     dBootstrapCi, dAdaptiveCutoff, dClusterSplit, dVocabGrowth,
     dQualityCalibration,
     dStratifiedSample, dShardPacking, dChunkWindows, dUnigramLmScore,
-    dGopherRules, dTfidfTopTerms, dMixtureSample, dLengthOutliers,
+    dGopherRules, dTfidfTopTerms, dMixtureSample, dTemperatureMix,
+    dLengthOutliers,
     dProfileColumns, dZipfSlope, dDriftPsi, dHeavyHitters,
     dSequenceSegments, dKmvDistinct, dKmvSetops, dSnapshotDiff, dTokenBudget,
     dHashSplit, dReadability, dBigramLm, dPerplexityBand, dHashEmbedding,

@@ -84,6 +84,30 @@ object StreamOps {
       sink: String = "st_tumbling_mem"): DataFrame =
     tumblingFrom(s, eventsStream(s, dir), sink)
 
+  /** APPEND-mode twin of [[tumblingFrom]] — the same
+    * closed-window-prefix contract as
+    * [[dailyValueCountsAppendFrom]]: each hour is emitted exactly once
+    * when the watermark (max event time − 1 hour) passes its end and
+    * its state is evicted, so a forever-running deployment holds at
+    * most the open hours; the trailing hour(s) never appear on a
+    * finite feed (emission predicate window.end ≤ watermark). */
+  def tumblingAppendFrom(s: SparkSession, src: DataFrame,
+      sink: String): DataFrame = {
+    val agg = src
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_utc", "1 hour")
+      .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    runToTable(s, agg, sink, "append")
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"))
+  }
+
+  def tumblingAppend(s: SparkSession, dir: String,
+      sink: String = "st_tumbling_append_mem"): DataFrame =
+    tumblingAppendFrom(s, eventsStream(s, dir), sink)
+
   /** Daily (event_type, 0.1-quantized value) counts as a streaming
     * query — the bounded sufficient statistic the windowed KS monitor
     * consumes ([[graft.queries.Events.ksOverDayValueCounts]]). State
