@@ -2555,6 +2555,44 @@ object Events {
       .orderBy($"t_min")
   }
 
+  /** Z-ORDER layout key ([[graft.ops.Layout.zOrder2]]) over the two
+    * dimensions events are actually queried by — user and hour: bit
+    * interleave keeps BOTH ranges narrow inside every fixed-width key
+    * bucket, which is what makes per-file min/max statistics prune
+    * scans on either predicate after a layout rewrite. This query
+    * oracles the exact interleave arithmetic and the narrowness it
+    * buys: per-bucket min/max of both dimensions (each bucket of the
+    * 2²⁰ key space covers a ≤ 2⁷-wide slab in x AND y — against a
+    * one-column sort where the second dimension spans its full range
+    * in every bucket). The physical write path (range repartition by
+    * the key, executor-sampled bounds) is [[graft.ops.Layout
+    * .zorderBy]], plan-pinned in PlanSpec. */
+  val qZorderLayout: Spec = Spec(
+    "ev_zorder_layout",
+    oracle = Some(s"""
+      WITH p AS (
+        SELECT user_id % 1024 AS x,
+          (epoch_us(ts) // 3600000000) % 1024 AS y
+        FROM events),
+      z AS (SELECT x, y,
+        ${graft.ops.Layout.zOrder2Sql("x", "y", bits = 10)} AS zkey
+        FROM p)
+      SELECT zkey // 16384 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(MIN(x) AS BIGINT) AS min_x, CAST(MAX(x) AS BIGINT) AS max_x,
+        CAST(MIN(y) AS BIGINT) AS min_y, CAST(MAX(y) AS BIGINT) AS max_y
+      FROM z GROUP BY bucket ORDER BY bucket""")) { (s, dir) =>
+    import s.implicits._
+    val p = load(s, dir).select(
+      ($"user_id" % 1024).as("x"),
+      (expr("(ts div 3600000000000) % 1024")).as("y"))
+    p.withColumn("zkey", graft.ops.Layout.zOrder2($"x", $"y", bits = 10))
+      .groupBy(expr("zkey div 16384").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min($"x").as("min_x"), max($"x").as("max_x"),
+        min($"y").as("min_y"), max($"y").as("max_y"))
+      .orderBy($"bucket")
+  }
+
   val specs: Seq[Spec] = Seq(qTumbling, qSessionize, qAsofClick,
     qAsofTolerance, qFunnel, qPropsJson, qSliding, qSessionWindowNative,
     qRate5Min, qValueOutliers, qDriftWindowed, qDriftSliding,
@@ -2564,5 +2602,6 @@ object Events {
     qPathAnalysis, qSeasonalAnomaly, qStickiness, qBounceRate,
     qUserConcentration, qInterArrival, qAttribution, qAttributionDecay,
     qRfm, qEntryExit, qAcfDaily, qCusumChangepoint, qGapFill, qDbscanUsers,
-    qConcurrencyHourly, qDbscanIncremental, qTheilSen, qSurvivalKm)
+    qConcurrencyHourly, qDbscanIncremental, qTheilSen, qSurvivalKm,
+    qZorderLayout)
 }

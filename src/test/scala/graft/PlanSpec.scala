@@ -522,4 +522,37 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("min_by") && p.contains("max_by"),
       "entry/exit must come from the struct-ordered agg:\n" + p)
   }
+
+  test("zorderBy: bit interleave exact, layout rides a range exchange") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // interleave vectors: x=3 (011), y=5 (101) at 3 bits →
+    // pos0=x0=1, pos1=y0=1, pos2=x1=1, pos3=y1=0, pos4=x2=0, pos5=y2=1
+    // = 1+2+4+32 = 39; zero stays zero; max 3-bit pair = 63
+    val v = Seq((3L, 5L), (0L, 0L), (7L, 7L)).toDF("x", "y")
+      .select(graft.ops.Layout.zOrder2($"x", $"y", bits = 3).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(v == Seq(39L, 0L, 63L), s"interleave vectors: $v")
+    // the write-side layout step is a RANGE exchange over the z key —
+    // executor-sampled bounds, no driver histogram, no hash collision
+    // of the near-unique keys into one partition
+    val df = graft.queries.Events.load(spark, TestSpark.Sf)
+      .select(($"user_id" % 1024).as("x"),
+        expr("(ts div 3600000000000) % 1024").as("y"))
+    val z = graft.ops.Layout.zorderBy(df, $"x", $"y", partitions = 8,
+      bits = 10)
+    val p = z.queryExecution.executedPlan.toString
+    assert(p.contains("rangepartitioning(_graft_zkey"),
+      "layout must be a range exchange over the z key:\n" + p)
+    // locality the layout buys: within every output partition the
+    // z-sorted rows keep BOTH dimensions narrow — check via the
+    // bucketed min/max (each 16k-key bucket spans <= 128 in x and y)
+    val stats = z.withColumn("bucket", expr("_graft_zkey div 16384"))
+      .groupBy($"bucket")
+      .agg((max($"x") - min($"x")).as("sx"), (max($"y") - min($"y")).as("sy"))
+      .agg(max($"sx").as("mx"), max($"sy").as("my"))
+      .collect()(0)
+    assert(stats.getLong(0) <= 127 && stats.getLong(1) <= 127,
+      s"z buckets must bound both dims: $stats")
+  }
 }
