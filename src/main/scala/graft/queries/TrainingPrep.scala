@@ -85,6 +85,81 @@ object TrainingPrep {
       .orderBy($"lang", $"doc_id")
   }
 
+  /** CURRICULUM packing: [[dShardPacking]] with a difficulty ordering —
+    * shards fill in ascending-difficulty order (token count as the
+    * standard easy-to-hard proxy, doc_id tiebreak) so early shards are
+    * short-easy and late shards long-hard, the curriculum-learning
+    * data layout. Same scale shape as dShardPacking (prefix sums ride
+    * Skew.prefixSumByKey — range partials + broadcast offsets, no
+    * per-language single-reducer window); the per-shard report pins
+    * the monotone difficulty envelope (each shard's max_tok ≤ the
+    * next's min_tok modulo the boundary doc). */
+  val dCurriculumPacking: Spec = Spec(
+    "d_curriculum_packing",
+    oracle = Some("""
+      WITH t AS (
+        SELECT doc_id, lang,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      c AS (
+        SELECT doc_id, lang, n_tok,
+          CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY n_tok, doc_id)
+            AS BIGINT) AS cum_tokens
+        FROM t),
+      sh AS (SELECT lang, n_tok, (cum_tokens - n_tok) // 400 AS shard_idx
+             FROM c)
+      SELECT lang, CAST(shard_idx AS BIGINT) AS shard_idx,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+        CAST(MIN(n_tok) AS BIGINT) AS min_tok,
+        CAST(MAX(n_tok) AS BIGINT) AS max_tok
+      FROM sh GROUP BY lang, shard_idx
+      ORDER BY lang, shard_idx""")) { (s, dir) =>
+    import s.implicits._
+    val budget = 400
+    val withTok = docs(s, dir)
+      .select($"doc_id", $"lang", Text.wordCount($"text").cast("long").as("n_tok"))
+    Skew.prefixSumByKey(withTok, "lang", Seq($"n_tok", $"doc_id"),
+        $"n_tok", "cum_tokens")
+      .withColumn("shard_idx", expr(s"(cum_tokens - n_tok) div $budget"))
+      .groupBy($"lang", $"shard_idx")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("sum_tok"),
+        min($"n_tok").as("min_tok"), max($"n_tok").as("max_tok"))
+      .orderBy($"lang", $"shard_idx")
+  }
+
+  /** K-ANONYMITY audit (training-data governance): a document whose
+    * quasi-identifier combination — here (source, lang, length bucket)
+    * — is shared by fewer than k corpus documents is re-identifiable
+    * from those attributes alone; the k-anonymity rule suppresses or
+    * generalizes such groups before release. Emits every
+    * quasi-identifier cell with its population and k-flag plus the
+    * suppression tally a release gate reads. One hash agg over the
+    * corpus (map-side combined), one rollup row via a broadcast-sized
+    * summary — no joins. */
+  val dKAnonymity: Spec = Spec(
+    "d_k_anonymity",
+    oracle = Some("""
+      WITH q AS (
+        SELECT source, lang,
+          (len(string_split(text, ' ')) // 20) * 20 AS len_bucket
+        FROM documents),
+      c AS (SELECT source, lang, len_bucket,
+              CAST(COUNT(*) AS BIGINT) AS n FROM q GROUP BY 1, 2, 3)
+      SELECT source, lang, CAST(len_bucket AS BIGINT) AS len_bucket, n,
+        (n < 5) AS below_k
+      FROM c ORDER BY source, lang, len_bucket""")) { (s, dir) =>
+    import s.implicits._
+    docs(s, dir)
+      .select($"source", $"lang",
+        expr("(CAST(size(split(text, ' ')) AS BIGINT) div 20) * 20")
+          .as("len_bucket"))
+      .groupBy($"source", $"lang", $"len_bucket")
+      .agg(count(lit(1)).as("n"))
+      .select($"source", $"lang", $"len_bucket", $"n", ($"n" < 5).as("below_k"))
+      .orderBy($"source", $"lang", $"len_bucket")
+  }
+
   /** Context-window chunking: split each document into token windows of
     * `size` with stride `stride` (overlap = size - stride), the
     * pretraining/embedding-model "sliding context window" transform.
@@ -2103,7 +2178,7 @@ object TrainingPrep {
     dQualityCalibration,
     dStratifiedSample, dShardPacking, dChunkWindows, dUnigramLmScore,
     dGopherRules, dTfidfTopTerms, dMixtureSample, dTemperatureMix,
-    dLengthOutliers,
+    dCurriculumPacking, dKAnonymity, dLengthOutliers,
     dProfileColumns, dZipfSlope, dDriftPsi, dHeavyHitters,
     dSequenceSegments, dKmvDistinct, dKmvSetops, dSnapshotDiff, dTokenBudget,
     dHashSplit, dReadability, dBigramLm, dPerplexityBand, dHashEmbedding,
