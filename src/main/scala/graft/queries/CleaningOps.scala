@@ -728,6 +728,55 @@ object CleaningOps {
     }
   }
 
+  /** MIXED-SCRIPT token detector (spoofing/spam signal, the
+    * script-level complement of d_homoglyph_fold's confusable
+    * folding): a single token mixing Latin and Cyrillic letters is the
+    * classic homograph-attack / SEO-spam shape ("pаypal" with a
+    * Cyrillic а) that no single-script validator sees. Pure codegen'd
+    * regexp over exploded tokens — Java `\\p{IsLatin}`/`\\p{IsCyrillic}`
+    * classes on the Spark side, RE2 `\\p{Latin}`/`\\p{Cyrillic}` in the
+    * oracle, same Unicode script property. Fixtures plant a spoofed
+    * token, a pure-Cyrillic word (NOT flagged — foreign ≠ spoofed) and
+    * clean text. */
+  val dMixedScript: Spec = Spec(
+    "d_mixed_script",
+    oracle = Some("""
+      WITH r AS (
+        SELECT doc_id, substr(text, 1, 30) || CASE doc_id % 3
+          WHEN 0 THEN ' verify pаypal account'
+          WHEN 1 THEN ' обычный текст здесь'
+          ELSE ' plain latin words' END AS rich
+        FROM documents WHERE doc_id % 4 = 2),
+      t AS (SELECT doc_id, unnest(string_split(rich, ' ')) AS tok FROM r),
+      f AS (SELECT doc_id, tok,
+              regexp_matches(tok, '\p{Latin}')
+                AND regexp_matches(tok, '\p{Cyrillic}') AS mixed
+            FROM t WHERE tok <> '')
+      SELECT doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        CAST(COUNT(CASE WHEN mixed THEN 1 END) AS BIGINT) AS n_mixed,
+        COALESCE(string_agg(CASE WHEN mixed THEN tok END, ',' ORDER BY tok),
+          '') AS mixed_tokens
+      FROM f GROUP BY doc_id ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    val rich = concat(substring($"text", 1, 30),
+      when($"doc_id" % 3 === 0, lit(" verify pаypal account"))
+        .when($"doc_id" % 3 === 1, lit(" обычный текст здесь"))
+        .otherwise(lit(" plain latin words")))
+    docs(s, dir)
+      .filter($"doc_id" % 4 === 2)
+      .select($"doc_id", explode(split(rich, " ", -1)).as("tok"))
+      .filter($"tok" =!= "")
+      .withColumn("mixed",
+        $"tok".rlike("\\p{IsLatin}") && $"tok".rlike("\\p{IsCyrillic}"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"mixed", 1L).otherwise(0L)).as("n_mixed"),
+        array_join(array_sort(collect_list(when($"mixed", $"tok"))), ",")
+          .as("mixed_tokens"))
+      .orderBy($"doc_id")
+  }
+
   /** Junk-line filtering from the SHIPPED junk lexicons (the
     * reference's filter_data/junk surface): `complete` entries remove
     * a line by whole-line match (case-insensitive, trimmed), `partial`
@@ -1035,6 +1084,6 @@ object CleaningOps {
     dCodeDetect, dCodeRemove, dNormalizeIndic, dTerminalPuncFilter,
     dNonTermSpanRemove, dSentenceSplitLang, dPiiMask, dBoilerplateLines,
     dHtmlExtract, dHtmlExtractDense, dJunkLines, dScriptSegments,
-    dRunCollapse, dMojibake,
+    dRunCollapse, dMojibake, dMixedScript,
     dHomoglyphFold, dUrlOps)
 }

@@ -44,6 +44,15 @@ object StreamOps {
   @volatile private var lastStateRowsVar: Option[Long] = None
   def lastStateRows: Option[Long] = lastStateRowsVar
 
+  /** Rows silently dropped by the watermark across the most recent
+    * [[runToTable]] query (sum of numRowsDroppedByWatermark over every
+    * progress event, not just the last — drops happen in the batch
+    * that carries the late data). The observability counter the
+    * append-mode family's "late data is DROPPED, not misfiled"
+    * contract is pinned against. */
+  @volatile private var lastDroppedVar: Option[Long] = None
+  def lastDroppedByWatermark: Option[Long] = lastDroppedVar
+
   private def runToTable(
       s: SparkSession, agg: DataFrame, sink: String, mode: String): DataFrame = {
     val q = agg.writeStream
@@ -56,6 +65,12 @@ object StreamOps {
       lastStateRowsVar = Option(q.lastProgress)
         .map(_.stateOperators.map(_.numRowsTotal).sum)
         .filter(_ => Option(q.lastProgress).exists(_.stateOperators.nonEmpty))
+      lastDroppedVar = {
+        val all = q.recentProgress.toSeq
+        if (all.exists(_.stateOperators.nonEmpty))
+          Some(all.flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum)
+        else None
+      }
       q.stop()
     }
     s.table(sink)
@@ -159,18 +174,24 @@ object StreamOps {
     * complete-mode form above remains the finite-feed oracle of the
     * FULL grid; this twin is the production shape, and the eviction
     * behavior is pinned by the two-batch MemoryStream test. */
+  /** The watermarked streaming aggregation behind both daily-count
+    * twins, exposed so tests can drive it with EXPLICIT micro-batch
+    * boundaries (addData → processAllAvailable per batch) — the only
+    * way to exercise mid-stream watermark behavior: a single
+    * processAllAvailable over pre-queued data folds every add into one
+    * batch, where no row is ever late. */
+  def dailyValueCountsAgg(src: DataFrame): DataFrame = src
+    .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+    .withWatermark("ts_utc", "1 day")
+    .groupBy(window(col("ts_utc"), "1 day"), col("event_type"),
+      round(col("value"), 1).as("v"))
+    .agg(count(lit(1)).as("cnt"))
+
   def dailyValueCountsAppendFrom(s: SparkSession, src: DataFrame,
-      sink: String): DataFrame = {
-    val agg = src
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("ts_utc", "1 day")
-      .groupBy(window(col("ts_utc"), "1 day"), col("event_type"),
-        round(col("value"), 1).as("v"))
-      .agg(count(lit(1)).as("cnt"))
-    runToTable(s, agg, sink, "append")
+      sink: String): DataFrame =
+    runToTable(s, dailyValueCountsAgg(src), sink, "append")
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("window_day"),
         col("event_type"), col("v"), col("cnt"))
-  }
 
   def dailyValueCountsAppend(s: SparkSession, dir: String,
       sink: String = "st_ks_append_mem"): DataFrame =

@@ -24,6 +24,19 @@ class PlanRewriteSpec extends AnyFunSuite {
     try body finally em.extraOptimizations = prev
   }
 
+  /** Baselines assert the UN-rewritten window form — but the shared
+    * test session may already carry the graft rules (the
+    * d_unique_tokens_rewritten query installs them permanently, by
+    * design, and suite order is arbitrary). Strip them for the
+    * baseline, restore after. */
+  private def withoutRules[T](body: => T): T = {
+    val em = spark.sessionState.experimentalMethods
+    val prev = em.extraOptimizations
+    em.extraOptimizations = prev.filterNot(r =>
+      (r eq WindowDedupToAgg) || (r eq graft.plans.WindowCountOneToAgg))
+    try body finally em.extraOptimizations = prev
+  }
+
   private def naiveDedup(): DataFrame = {
     val w = Window.partitionBy($"l_orderkey").orderBy($"l_linenumber")
     spark.read.parquet(s"${TestSpark.Sf}/lineitem.parquet")
@@ -37,8 +50,10 @@ class PlanRewriteSpec extends AnyFunSuite {
     df.queryExecution.optimizedPlan.collect { case a: Aggregate => a }.nonEmpty
 
   test("rn=1 window dedup rewrites to min_by aggregate, results identical") {
-    val baseline = naiveDedup().collect().toSet
-    assert(hasWindow(naiveDedup()) && !hasAggregate(naiveDedup()))
+    val baseline = withoutRules { naiveDedup().collect().toSet }
+    withoutRules {
+      assert(hasWindow(naiveDedup()) && !hasAggregate(naiveDedup()))
+    }
     withRule {
       val rewritten = naiveDedup()
       assert(!hasWindow(rewritten), "rule must eliminate the Window node")
@@ -118,8 +133,8 @@ class PlanRewriteSpec extends AnyFunSuite {
   }
 
   test("count-over-partition = 1 rewrites to aggregate + HAVING, results identical") {
-    val baseline = naiveSingletons().collect().toSet
-    assert(hasWindow(naiveSingletons()))
+    val baseline = withoutRules { naiveSingletons().collect().toSet }
+    withoutRules { assert(hasWindow(naiveSingletons())) }
     withCountRule {
       val rewritten = naiveSingletons()
       assert(!hasWindow(rewritten), "rule must eliminate the Window node")

@@ -72,6 +72,42 @@ class StreamingSpec extends AnyFunSuite {
         s"$allGroups total), got $state")
   }
 
+  test("append mode DROPS late rows (never misfiles them) and reports the count") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dayUs = 86400L * 1000 * 1000
+    def ev(id: Long, dayOffUs: Long, typ: String): (Long, Long, Long, String, Double, String) =
+      (id, dayOffUs * 1000, id, typ, 1.0, "{}") // ts raw nanos
+    // batch 1 establishes the watermark at day 9 (max day10 − 1d);
+    // batch 2 sends one row 7 days LATE (day 2) + one fresh (day 10).
+    // Explicit processAllAvailable per add: one call over pre-queued
+    // data would fold both adds into a single batch where nothing is
+    // late yet.
+    val ms = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val src = ms.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = StreamOps.dailyValueCountsAgg(src).writeStream
+      .outputMode("append").format("memory").queryName("st_late_msrc").start()
+    try {
+      ms.addData(Seq(ev(1, 2 * dayUs, "click"), ev(2, 10 * dayUs, "click")))
+      q.processAllAvailable()
+      ms.addData(Seq(ev(3, 2 * dayUs + 1, "click"), ev(4, 10 * dayUs + 1, "click")))
+      q.processAllAvailable()
+      val got = spark.table("st_late_msrc")
+        .select(org.apache.spark.sql.functions.date_format(
+            $"window.start", "yyyy-MM-dd"), $"event_type", $"v", $"cnt")
+        .as[(String, String, Double, Long)].collect().toSet
+      // day 2's count must be 1 (batch-1 row only): the late twin was
+      // dropped at the gate, NOT added to an already-emitted window and
+      // NOT emitted as a duplicate row
+      assert(got == Set(("1970-01-03", "click", 1.0, 1L)),
+        s"late row must not re-open or duplicate the closed day: $got")
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      assert(dropped >= 1L, s"watermark drop must be observable: $dropped")
+    } finally q.stop()
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) matches batch sessions") {
     val emitted = StreamOps.statefulSessions(spark, TestSpark.Sf)
       .as[(Long, Long, Long, Long)].collect().toSet
