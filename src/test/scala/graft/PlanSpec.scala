@@ -555,4 +555,45 @@ class PlanSpec extends AnyFunSuite {
     assert(stats.getLong(0) <= 127 && stats.getLong(1) <= 127,
       s"z buckets must bound both dims: $stats")
   }
+
+  test("zorder WRITE: per-file spread tight on both dims vs one-column sort") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // end-to-end: actually write parquet and measure what the file
+    // boundaries (= what min/max footer stats describe) look like
+    val df = graft.queries.Events.load(spark, TestSpark.Sf)
+      .select(($"user_id" % 1024).as("x"),
+        expr("(ts div 3600000000000) % 1024").as("y"))
+    def spreads(dir: String): Seq[(Long, Long)] = {
+      val parts = new java.io.File(dir).listFiles
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+      parts.toSeq.map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg((max($"x") - min($"x")).as("sx"),
+            (max($"y") - min($"y")).as("sy")).collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+    }
+    val zDir = java.nio.file.Files
+      .createTempDirectory("graft-zorder").toString
+    graft.ops.Layout.zorderBy(df, $"x", $"y", partitions = 8, bits = 10)
+      .drop("_graft_zkey").write.mode("overwrite").parquet(zDir)
+    val sDir = java.nio.file.Files
+      .createTempDirectory("graft-xsort").toString
+    df.repartitionByRange(8, $"x").write.mode("overwrite").parquet(sDir)
+    val zs = spreads(zDir)
+    val ss = spreads(sDir)
+    assert(zs.size >= 4 && ss.size >= 4)
+    // a contiguous range of the 2^20 z space 1/8 wide can span at most
+    // two 512-aligned curve blocks per dimension
+    assert(zs.forall { case (sx, sy) => sx <= 640 && sy <= 640 },
+      s"z files must bound BOTH dims: $zs")
+    // the x-sorted layout's y stats are useless: files span (nearly)
+    // the full y range, so a y predicate prunes nothing
+    assert(ss.map(_._2).max >= 700, s"x-sort control lost y: $ss")
+    assert(zs.map(s => math.max(s._1, s._2)).max.toDouble <
+      ss.map(_._2).max.toDouble,
+      "z layout must beat the single-column sort on the worst dimension")
+  }
 }
