@@ -245,10 +245,15 @@ object Multimodal {
   /** Deterministic 16-bit mono PCM WAV payloads (fixture generator for
     * the REAL audio probe): canonical RIFF/fmt/data layout, per-row on
     * the executors, doc_id-derived rate and length. */
-  def syntheticWavBlobs(ids: Dataset[java.lang.Long]): Dataset[MediaBlob] = {
+  def syntheticWavBlobs(ids: Dataset[java.lang.Long],
+      baseOf: Long => Long = identity): Dataset[MediaBlob] = {
     import ids.sparkSession.implicits._
     ids.mapPartitions(_.map { boxed =>
-      val id = boxed.longValue()
+      val docId = boxed.longValue()
+      // audio content derives from baseOf(doc_id): callers plant
+      // duplicate uploads (same samples, new id) by mapping several
+      // ids to one base — the audio-dedup fixture (the PNG twin)
+      val id = baseOf(docId)
       val rate = (8000 + (id % 4) * 4000).toInt
       val n = (1600 + id % 800).toInt
       val dataSize = n * 2
@@ -263,7 +268,7 @@ object Multimodal {
       bb.put("data".getBytes("US-ASCII")); bb.putInt(dataSize)
       var i = 0
       while (i < n) { bb.putShort(((i * 257 + id) % 32768).toShort); i += 1 }
-      MediaBlob(id, bb.array())
+      MediaBlob(docId, bb.array())
     })
   }
 

@@ -247,6 +247,62 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** AUDIO fingerprint dedup over REAL decoded PCM — the energy-delta
+    * fingerprint (the public Shazam/chromaprint idea reduced to its
+    * time axis): per-20ms-frame energies from the RIFF walk
+    * ([[graft.ops.Multimodal.audioFrameEnergies]]), one bit per
+    * adjacent frame pair (energy rising?), equal fingerprints group as
+    * duplicate uploads. The feed plants re-uploads (ids ≡ 15 (mod 20)
+    * render id−10's samples under a new doc_id); the oracle replays
+    * the generator's sample arithmetic, framing, energies and gradient
+    * bits in pure integer SQL — a decode or framing bug cannot
+    * hash-match. */
+  val mmAudioFingerprint: Spec = Spec(
+    "mm_audio_fingerprint",
+    oracle = Some("""
+      WITH ids AS (SELECT doc_id,
+          CASE WHEN doc_id % 20 = 15 THEN doc_id - 10 ELSE doc_id END AS base
+        FROM documents WHERE doc_id % 10 = 5),
+      t AS (SELECT doc_id, base,
+          unnest(range(0, ((1600 + base % 800) // 160) * 160)) AS i
+        FROM ids),
+      e AS (SELECT doc_id, i // 160 AS fr,
+          SUM(((i * 257 + base) % 32768) * ((i * 257 + base) % 32768)) AS sq
+        FROM t GROUP BY doc_id, fr),
+      bits AS (SELECT a.doc_id,
+          string_agg(CASE WHEN b.sq > a.sq THEN '1' ELSE '0' END, ''
+            ORDER BY a.fr) AS fp
+        FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.fr = a.fr + 1
+        GROUP BY a.doc_id),
+      n AS (SELECT fp, COUNT(*) AS n_same FROM bits GROUP BY fp)
+      SELECT doc_id, CAST(len(fp) + 1 AS BIGINT) AS n_frames, fp,
+        CAST(n_same AS BIGINT) AS n_same
+      FROM bits JOIN n USING (fp) ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    val ids = Tables.load(s, dir, "documents")
+      .filter($"doc_id" % 10 === 5)
+      .select($"doc_id").as[java.lang.Long]
+    val frames = MM.audioFrameEnergies(MM.syntheticWavBlobs(ids,
+        id => if (id % 20 == 15) id - 10 else id))
+      .toDF().localCheckpoint() // one decode feeds both join sides
+    val bits = frames.as("a")
+      .join(frames.as("b"),
+        col("b.doc_id") === col("a.doc_id") &&
+          col("b.frame_id") === col("a.frame_id") + 1)
+      .groupBy(col("a.doc_id").as("doc_id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("a.frame_id"),
+            when(col("b.frame_sq") > col("a.frame_sq"), "1")
+              .otherwise("0").as("bit")))),
+          x => x.getField("bit")), "").as("fp"))
+    val n = bits.groupBy($"fp").agg(count(lit(1)).as("n_same"))
+    bits.join(n, Seq("fp"))
+      .select($"doc_id", (length($"fp") + 1).cast("long").as("n_frames"),
+        $"fp", $"n_same")
+      .orderBy($"doc_id")
+  }
+
   /** Banded-Hamming image near-dup (the SimHash pigeonhole applied to
     * perceptual hashes): aHash bit strings split into 4×16-bit bands;
     * equal-band candidates come from the capped bucket scaffold, then
@@ -449,6 +505,6 @@ object Multimodal {
   }
 
   val specs: Seq[Spec] = Seq(mmDecodeMeta, mmImageDecode, mmFrameSample,
-    mmResize, mmAudioMeta, mmAudioEnergy, mmImageAhash, mmImageDhash,
-    mmImageNeardup, mmCaptionAlign, mmAudioVad)
+    mmResize, mmAudioMeta, mmAudioEnergy, mmAudioFingerprint, mmImageAhash,
+    mmImageDhash, mmImageNeardup, mmCaptionAlign, mmAudioVad)
 }
