@@ -926,19 +926,14 @@ object Relational {
       .orderBy($"o_orderpriority")
   }
 
-  /** DuckDB twin of the bit-interleave below (positive longs, so >> and
-    * & agree across engines). */
+  // Morton interleave: the shared op (graft.ops.Layout) — one source
+  // for the Spark expression and the DuckDB twin.
   private def zvalSql(a: String, b: String): String =
-    (0 until 8).map(i =>
-      s"((($a >> $i) & 1) << ${2 * i}) + ((($b >> $i) & 1) << ${2 * i + 1})")
-      .mkString(" + ")
+    graft.ops.Layout.zOrder2Sql(a, b, bits = 8)
 
   private def zval(a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    (0 until 8).map(i =>
-      shiftleft(shiftright(a, i).bitwiseAND(1), 2 * i) +
-        shiftleft(shiftright(b, i).bitwiseAND(1), 2 * i + 1))
-      .reduce(_ + _)
+    graft.ops.Layout.zOrder2(a, b, bits = 8)
 
   /** Z-ORDER clustering for multidimensional data skipping: interleave
     * the low 8 bits of two filter dimensions (part, supplier) into a

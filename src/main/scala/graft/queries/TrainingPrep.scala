@@ -128,15 +128,15 @@ object TrainingPrep {
       .orderBy($"lang", $"shard_idx")
   }
 
-  /** K-ANONYMITY audit (training-data governance): a document whose
-    * quasi-identifier combination — here (source, lang, length bucket)
-    * — is shared by fewer than k corpus documents is re-identifiable
-    * from those attributes alone; the k-anonymity rule suppresses or
-    * generalizes such groups before release. Emits every
-    * quasi-identifier cell with its population and k-flag plus the
-    * suppression tally a release gate reads. One hash agg over the
-    * corpus (map-side combined), one rollup row via a broadcast-sized
-    * summary — no joins. */
+  /** K-ANONYMITY audit at CELL granularity (training-data governance):
+    * a document whose quasi-identifier combination — here (source,
+    * lang, length bucket) — is shared by fewer than k corpus documents
+    * is re-identifiable from those attributes alone. This is the
+    * per-cell WORK LIST (which exact cells to suppress or generalize)
+    * on the documents corpus, complementing q_kanonymity's
+    * class-level summary with generalization levels and l-diversity on
+    * the relational side. One hash agg over the corpus (map-side
+    * combined), no joins. */
   val dKAnonymity: Spec = Spec(
     "d_k_anonymity",
     oracle = Some("""
