@@ -423,7 +423,7 @@ object TrainingPrep {
           SELECT doc_id, source,
             CAST(substr(source, 4) AS INT) % 4 AS g
           FROM documents)
-        WHERE doc_id % (1 + g) = 0),
+        WHERE (doc_id // 20) % (1 + g) = 0),
       c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
               CAST(round(sqrt(COUNT(*)) * 1000000) AS BIGINT) AS m
             FROM e2 GROUP BY source),
@@ -452,7 +452,10 @@ object TrainingPrep {
     val eligible = docs(s, dir)
       .select($"doc_id", $"source",
         (substring($"source", 4, 10).cast("int") % 4).as("g"))
-      .filter($"doc_id" % (lit(1) + $"g") === 0)
+      // within-source index (source = doc_id % 20, so div 20 counts a
+      // source's docs 0,1,2,…): every source stays populated, sizes
+      // differ by g — non-uniform but never empty
+      .filter(expr("(doc_id div 20)") % (lit(1) + $"g") === 0)
       .select($"doc_id", $"source")
     graft.ops.Sampling.temperatureQuotas(eligible, "source", "doc_id",
         budget = 60L)
