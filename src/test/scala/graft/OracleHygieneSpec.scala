@@ -25,6 +25,15 @@ class OracleHygieneSpec extends AnyFunSuite {
     }
   }
 
+  test("query names are unique across all spec families") {
+    // SparkEntry.queries is a Map: a duplicate name silently drops one
+    // implementation and the driver verifies whichever survived — a
+    // round-10 near-miss (two d_snapshot_diff specs) proved the hazard
+    val dups = SparkEntry.specs.groupBy(_.name).filter(_._2.size > 1).keys
+    assert(dups.isEmpty,
+      s"duplicate query names: ${dups.toSeq.sorted.mkString(", ")}")
+  }
+
   test("every declared query carries an oracle") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty,
