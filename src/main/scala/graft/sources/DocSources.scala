@@ -107,6 +107,33 @@ object DocSources {
   def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
 
+  /** Strip the `col=` prefix from hive-partitioned directories
+    * (reference: setu/utilities.py:59-72 rename_partitioned_directories
+    * — their downstream consumers expect bare `<value>/` dirs, e.g.
+    * `hi/` not `lang=hi/`). Hadoop-FS rename, so unlike the
+    * reference's os.listdir walk it works on any configured filesystem
+    * (HDFS/object stores with a rename-capable committer, not just
+    * local). Refuses to clobber: an existing bare-name target fails
+    * loudly rather than merging two partitions silently.
+    *
+    * @return the renamed directory count. */
+  def renamePartitionedDirs(s: SparkSession, baseDir: String,
+      partitionCol: String): Int = {
+    val base = new org.apache.hadoop.fs.Path(baseDir)
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val prefix = partitionCol + "="
+    val parts = fs.listStatus(base)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+    parts.foreach { st =>
+      val bare = new org.apache.hadoop.fs.Path(base,
+        st.getPath.getName.substring(prefix.length))
+      require(!fs.exists(bare),
+        s"rename target $bare already exists — refusing to merge partitions")
+      require(fs.rename(st.getPath, bare), s"rename failed: ${st.getPath}")
+    }
+    parts.length
+  }
+
   /** Small-file COMPACTION: rewrite a parquet dataset into files of
     * ~`targetBytes` each. Streaming sinks and fine-grained partitioned
     * writes leave thousands of KB-scale files per directory; at 100 TB

@@ -166,6 +166,15 @@ class PipelineSpec extends AnyFunSuite {
     val removed = spark.read.parquet(outDir + "_removed")
     assert(removed.count() > 0)
     assert(removed.columns.contains("has_less_words"))
+    // reference utilities.py:59-72: strip the lang= prefix for
+    // consumers that expect bare <value>/ dirs; refuses to clobber
+    val nRenamed = DocSources.renamePartitionedDirs(spark, outDir, "lang")
+    assert(nRenamed == langs.length, s"$nRenamed of ${langs.length}")
+    val bare = new java.io.File(outDir).list()
+    assert(!bare.exists(_.startsWith("lang=")) && bare.contains("en"),
+      bare.mkString(","))
+    // second run is a no-op (nothing left to rename)
+    assert(DocSources.renamePartitionedDirs(spark, outDir, "lang") == 0)
   }
 
   test("CSV source: explicit schema, header, malformed row tolerated") {
