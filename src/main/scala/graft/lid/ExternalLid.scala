@@ -42,26 +42,44 @@ trait ExternalScorerFactory extends Serializable {
   * (fasttext's own stdin contract: one document per line); one output
   * line is read back per input line, in order. */
 final class SubprocessScorer(cmd: Seq[String]) extends ExternalScorer {
-  private val proc = new ProcessBuilder(cmd: _*).start()
+  // stderr INHERITs the executor's stderr (→ executor logs): a scorer
+  // that logs per-line warnings must never fill an unread pipe and
+  // wedge the task
+  private val proc = new ProcessBuilder(cmd: _*)
+    .redirectError(ProcessBuilder.Redirect.INHERIT).start()
   private val in = new java.io.BufferedWriter(
     new java.io.OutputStreamWriter(proc.getOutputStream, "UTF-8"))
   private val out = new java.io.BufferedReader(
     new java.io.InputStreamReader(proc.getInputStream, "UTF-8"))
 
   def scoreBatch(texts: Seq[String]): Seq[LidResult] = {
+    val results = scala.collection.mutable.ArrayBuffer.empty[LidResult]
+    def drainReady(): Unit =
+      while (results.size < texts.size && out.ready()) {
+        val line = out.readLine()
+        if (line == null)
+          throw new IllegalStateException(
+            s"external scorer exited mid-batch: ${cmd.mkString(" ")}")
+        results += SubprocessScorer.parse(line)
+      }
     texts.foreach { t =>
+      // opportunistic drain between writes: a verbose scorer whose
+      // batch output exceeds the OS pipe buffer would otherwise stop
+      // consuming stdin while we keep writing — mutual deadlock
+      drainReady()
       in.write(if (t == null) ""
         else t.replace('\n', ' ').replace('\r', ' '))
       in.write('\n')
     }
-    in.flush() // one round-trip per batch
-    texts.map { _ =>
+    in.flush() // at most one pipe-buffer round-trip left after drains
+    while (results.size < texts.size) {
       val line = out.readLine()
       if (line == null)
         throw new IllegalStateException(
           s"external scorer exited mid-batch: ${cmd.mkString(" ")}")
-      SubprocessScorer.parse(line)
+      results += SubprocessScorer.parse(line)
     }
+    results.toSeq
   }
 
   def close(): Unit = {
@@ -130,7 +148,14 @@ object ExternalLid {
             }
           }
           if (inTask.isDefined) rows
-          else rows ++ { scorer.close(); Iterator.empty }
+          else {
+            // driver-side (unit-test) path: a partially consumed lazy
+            // iterator (.take/.show) would orphan the process — these
+            // partitions are test-sized, so materialize, close, return
+            val all = rows.toVector
+            scorer.close()
+            all.iterator
+          }
         }
       }
       .toDF(idCol, "doc_lang", "ext_lang", "ext_conf",

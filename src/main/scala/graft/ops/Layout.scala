@@ -24,25 +24,33 @@ object Layout {
     * integer columns: bit i of x lands at position 2i, bit i of y at
     * 2i+1. Built as a fixed sum of `bits` shift/mask terms per column
     * — pure codegen'd integer ops, no UDF, no HOF allocation. Inputs
-    * beyond `bits` bits fold into the top bucket (callers quantize
-    * first; 16 bits per dimension = 4G cells, plenty for layout). */
+    * are CLAMPED to 2^bits − 1 first, so an under-quantized column
+    * folds into the top cell of its dimension instead of aliasing
+    * far-apart values onto the same key (a silent mask would put value
+    * v and v + 2^bits in one file and destroy the min/max pruning the
+    * layout exists for). 16 bits per dimension = 4G cells. */
   def zOrder2(x: Column, y: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val top = lit((1L << bits) - 1)
+    val (xc, yc) = (least(x, top), least(y, top))
     val terms = (0 until bits).flatMap { i =>
       Seq(
-        shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i),
-        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        shiftleft(shiftright(xc, i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftright(yc, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }
     terms.reduce(_ + _)
   }
 
   /** The same construction as a DuckDB SQL snippet (single source for
-    * oracles — the term list is generated from the same loop). */
-  def zOrder2Sql(x: String, y: String, bits: Int = 16): String =
+    * oracles — clamp and term list generated from the same loop). */
+  def zOrder2Sql(x: String, y: String, bits: Int = 16): String = {
+    val top = (1L << bits) - 1
+    val (xc, yc) = (s"LEAST($x, $top)", s"LEAST($y, $top)")
     (0 until bits).flatMap { i =>
-      Seq(s"((($x >> $i) & 1) << ${2 * i})",
-        s"((($y >> $i) & 1) << ${2 * i + 1})")
+      Seq(s"((($xc >> $i) & 1) << ${2 * i})",
+        s"((($yc >> $i) & 1) << ${2 * i + 1})")
     }.mkString(" + ")
+  }
 
   /** Range-repartition `df` by the Z-order key of two quantized
     * columns and tag each row with its key — the write-side layout

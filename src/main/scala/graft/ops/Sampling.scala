@@ -80,17 +80,28 @@ object Sampling {
     *         sample_rank 1..quota in (h48, id) order. */
   def temperatureQuotas(df: DataFrame, strataCol: String, idCol: String,
       budget: Long): DataFrame = {
+    // per-stratum quota ≤ budget rows flow through the TopK aggregator,
+    // whose k is an Int by construction; beyond that a quota sample is
+    // the wrong tool anyway (take the whole stratum)
+    require(budget > 0 && budget <= Int.MaxValue,
+      s"budget=$budget must be in (0, 2^31)")
     val s = df.sparkSession
     import s.implicits._
     val counts = df.groupBy(col(strataCol))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("m", round(sqrt(col("n_docs")) * 1000000).cast("long"))
-    // global Σm via broadcast cross join, not an unpartitioned window
+    // global Σm via broadcast cross join, not an unpartitioned window.
+    // budget·m and 10⁶·m ride DECIMAL(38,0): at n=10¹⁰ docs m≈10¹¹ and
+    // a 10⁹ budget puts the product at 10²⁰ — past Long, well inside
+    // decimal38 (IntegralDivide on decimals is exact and returns long).
     val quotas = counts
       .crossJoin(broadcast(counts.agg(sum(col("m")).as("m_sum"))))
       .select(col(strataCol), col("n_docs"),
-        expr("(1000000 * m) div m_sum").as("weight_micro"),
-        least(col("n_docs"), expr(s"($budget * m) div m_sum")).as("quota"))
+        expr("(CAST(1000000 AS DECIMAL(38,0)) * m) div m_sum")
+          .as("weight_micro"),
+        least(col("n_docs"),
+          expr(s"(CAST($budget AS DECIMAL(38,0)) * m) div m_sum"))
+          .as("quota"))
     val ranked = stratifiedByHash(df, strataCol, idCol, budget.toInt)
     ranked.join(broadcast(quotas), Seq(strataCol))
       .filter(col("sample_rank") <= col("quota"))

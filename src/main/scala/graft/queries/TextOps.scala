@@ -713,7 +713,13 @@ object TextOps {
     * window-form oracle. Installation is idempotent and session-wide
     * (the deployment state); both rules are shape-guarded and
     * semantics-preserving, so other queries are unaffected except for
-    * picking up the same beneficial rewrite. */
+    * picking up the same beneficial rewrite. Blast-radius note: Bench
+    * runs in its own JVM and never executes this query, so no bench
+    * timing can silently flip from the window form to the aggregate
+    * form mid-suite; within a Verify session the only effect on other
+    * queries is the (results-identical) plan improvement, and tests
+    * that pin the UN-rewritten form strip the rules first
+    * (PlanRewriteSpec.withoutRules). */
   val dUniqueTokensRewritten: Spec = Spec(
     "d_unique_tokens_rewritten",
     oracle = Some("""

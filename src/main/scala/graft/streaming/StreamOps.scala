@@ -44,15 +44,6 @@ object StreamOps {
   @volatile private var lastStateRowsVar: Option[Long] = None
   def lastStateRows: Option[Long] = lastStateRowsVar
 
-  /** Rows silently dropped by the watermark across the most recent
-    * [[runToTable]] query (sum of numRowsDroppedByWatermark over every
-    * progress event, not just the last — drops happen in the batch
-    * that carries the late data). The observability counter the
-    * append-mode family's "late data is DROPPED, not misfiled"
-    * contract is pinned against. */
-  @volatile private var lastDroppedVar: Option[Long] = None
-  def lastDroppedByWatermark: Option[Long] = lastDroppedVar
-
   private def runToTable(
       s: SparkSession, agg: DataFrame, sink: String, mode: String): DataFrame = {
     val q = agg.writeStream
@@ -65,12 +56,6 @@ object StreamOps {
       lastStateRowsVar = Option(q.lastProgress)
         .map(_.stateOperators.map(_.numRowsTotal).sum)
         .filter(_ => Option(q.lastProgress).exists(_.stateOperators.nonEmpty))
-      lastDroppedVar = {
-        val all = q.recentProgress.toSeq
-        if (all.exists(_.stateOperators.nonEmpty))
-          Some(all.flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum)
-        else None
-      }
       q.stop()
     }
     s.table(sink)
