@@ -103,6 +103,42 @@ object StreamingQ {
     StreamOps.clickViewJoin(s, dir)
   }
 
+  /** LEFT-OUTER stream-stream interval join
+    * ([[StreamOps.clickViewOuterFrom]]): matched pairs are the inner
+    * join's (watermark-independent); an unmatched click's null-extended
+    * row emits only once the watermark seals its window — the oracle
+    * states matched ∪ (unmatched with click_ts < max(ts) − 1 h), the
+    * closed-prefix contract of the append-mode family applied to a
+    * join. NULLS FIRST stated explicitly (Spark's ASC default;
+    * DuckDB's is NULLS LAST). */
+  val stClickViewOuter: Spec = Spec(
+    "st_click_view_outer",
+    oracle = Some("""
+      WITH mx AS (SELECT max(ts) AS m FROM events),
+      a AS (SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'click'),
+      b AS (SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'view'),
+      matched AS (
+        SELECT a.event_id AS click_id, b.event_id AS view_id,
+               a.user_id AS user_id,
+               epoch_us(a.ts) - epoch_us(b.ts) AS lag_us
+        FROM a JOIN b
+          ON a.user_id = b.user_id
+          AND epoch_us(b.ts) >= epoch_us(a.ts) - 600000000
+          AND epoch_us(b.ts) <= epoch_us(a.ts)),
+      sealed AS (
+        SELECT a.event_id AS click_id, CAST(NULL AS BIGINT) AS view_id,
+               a.user_id AS user_id, CAST(NULL AS BIGINT) AS lag_us
+        FROM a, mx
+        WHERE a.ts < m - INTERVAL 1 HOUR
+          AND NOT EXISTS (SELECT 1 FROM matched WHERE click_id = a.event_id))
+      SELECT * FROM matched
+      UNION ALL SELECT * FROM sealed
+      ORDER BY click_id, view_id NULLS FIRST""")) { (s, dir) =>
+    StreamOps.clickViewOuter(s, dir)
+  }
+
   /** Heuristic LID ensemble, FULLY oracled: every head was made
     * integer-exact ([[graft.lid.TrigramScore]]) so
     * [[graft.lid.LidOracle]] can replay all four detectors (trigram
@@ -914,7 +950,8 @@ object StreamingQ {
 
   val specs: Seq[Spec] = Seq(stTumbling, stTumblingAppend, stSliding,
     stDedup, stSessions,
-    stEnrich, stClickView, dLid, dLidScript, dLidConfusion, pipelineE2e,
+    stEnrich, stClickView, stClickViewOuter, dLid, dLidScript,
+    dLidConfusion, pipelineE2e,
     stDocFlags, stHeavyHitters, stDriftWindowed, stLidScript,
     stMinhashPairs, stFunnelLevels, stBm25Indexed, stCmsCounts, stNovelty,
     stAsofLastClick, stCcIncremental, stRateAnomaly, stKsWindowed,

@@ -680,6 +680,40 @@ object StreamOps {
     clickViewJoinFrom(s, eventsStream(s, dir), eventsStream(s, dir),
       "st_click_view_mem")
 
+  /** LEFT-OUTER stream-stream interval join — the abandonment shape
+    * ("which clicks never saw a view in their window"): matched pairs
+    * emit eagerly exactly as the inner join does, while an UNMATCHED
+    * click emits its null-extended row only once the watermark proves
+    * no future view can land in its window (view_ts ≤ click_ts, so a
+    * click is sealed when the watermark passes its own timestamp —
+    * emission predicate click_ts < watermark = max event time − 1 h).
+    * On a finite feed the trailing hour's unmatched clicks never seal;
+    * the oracle states exactly that closed-prefix contract. State
+    * stays watermark-bounded on both sides like the inner twin. */
+  def clickViewOuterFrom(s: SparkSession, clicksSrc: DataFrame,
+      viewsSrc: DataFrame, sink: String): DataFrame = {
+    def side(df: DataFrame, typ: String, pfx: String): DataFrame = df
+      .filter(col("event_type") === typ)
+      .withColumn(s"${pfx}_ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark(s"${pfx}_ts", "1 hour")
+      .select(col("event_id").as(s"${pfx}_id"), col("user_id").as(s"${pfx}_user"),
+        col(s"${pfx}_ts"), expr("ts div 1000").as(s"${pfx}_us"))
+    val clicks = side(clicksSrc, "click", "click")
+    val views = side(viewsSrc, "view", "view")
+    val joined = clicks.join(views, expr(
+      """click_user = view_user AND
+        |view_ts >= click_ts - INTERVAL 10 MINUTES AND
+        |view_ts <= click_ts""".stripMargin), "left_outer")
+      .select(col("click_id"), col("view_id"), col("click_user").as("user_id"),
+        (col("click_us") - col("view_us")).as("lag_us"))
+    runToTable(s, joined, sink, "append")
+      .orderBy(col("click_id"), col("view_id").asc_nulls_first)
+  }
+
+  def clickViewOuter(s: SparkSession, dir: String): DataFrame =
+    clickViewOuterFrom(s, eventsStream(s, dir), eventsStream(s, dir),
+      "st_click_view_outer_mem")
+
   final case class AsofEvent(event_id: Long, user_id: Long, ts_us: Long,
       is_purchase: Boolean)
   final case class AsofOut(event_id: Long, user_id: Long,
