@@ -108,6 +108,68 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("outer stream-stream join: cross-batch match suppresses the null row; " +
+      "only sealed unmatched clicks emit null") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val minUs = 60L * 1000 * 1000
+    def ev(id: Long, tMinUs: Long, typ: String, user: Long) =
+      (id, tMinUs * 1000, user, typ, 1.0, "{}")
+    val mc = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val mv = MemoryStream[(Long, Long, Long, String, Double, String)]
+    def src(ms: MemoryStream[(Long, Long, Long, String, Double, String)]) =
+      ms.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val table = "st_cv_outer_msrc"
+    // drive the op's join shape with explicit micro-batch boundaries
+    // (clickViewOuterFrom runs its own processAllAvailable, which would
+    // fold the staged adds into one batch — restate the same plan and
+    // start the sink manually, as the append-KS eviction test does).
+    // batch 1: click u1 @ t=100min (its view comes LATER); click u2
+    // @ t=10min (never matched; sealed once wm passes it)
+    mc.addData(Seq(ev(1, 100 * minUs, "click", 1), ev(2, 10 * minUs, "click", 2)))
+    mv.addData(Seq(ev(90, 95 * minUs, "view", 9))) // unrelated user
+    val sq = {
+      val clicks = src(mc); val views = src(mv)
+      def side(df: org.apache.spark.sql.DataFrame, typ: String, pfx: String) = {
+        import org.apache.spark.sql.functions._
+        df.filter(col("event_type") === typ)
+          .withColumn(s"${pfx}_ts",
+            timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
+          .withWatermark(s"${pfx}_ts", "1 hour")
+          .select(col("event_id").as(s"${pfx}_id"),
+            col("user_id").as(s"${pfx}_user"), col(s"${pfx}_ts"))
+      }
+      import org.apache.spark.sql.functions._
+      side(clicks, "click", "click")
+        .join(side(views, "view", "view"), expr(
+          """click_user = view_user AND
+            |view_ts >= click_ts - INTERVAL 10 MINUTES AND
+            |view_ts <= click_ts""".stripMargin), "left_outer")
+        .select(col("click_id"), col("view_id"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName(table).start()
+    }
+    try {
+      sq.processAllAvailable()
+      // batch 2: the matching view for click 1 (same batch-time window),
+      // plus a far-future view that pushes the watermark past click 2
+      mv.addData(Seq(ev(91, 96 * minUs, "view", 1),
+        ev(92, 300 * minUs, "view", 9))) // user 9: advances wm, matches nothing
+      mc.addData(Seq(ev(3, 300 * minUs, "click", 3)))
+      sq.processAllAvailable()
+      val got = spark.table(table)
+        .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+      // click 1 matched across batches: pair emitted, NO null row
+      assert(got.contains((1L, Some(91L))), s"cross-batch match lost: $got")
+      assert(!got.contains((1L, None)),
+        s"matched click must not also emit null-extended: $got")
+      // click 2 sealed (wm = 300min - 60min >> 10min): null row emitted
+      assert(got.contains((2L, None)), s"sealed unmatched click missing: $got")
+      // click 3 is in the open tail: nothing emitted for it yet
+      assert(!got.exists(_._1 == 3L), s"open-tail click leaked: $got")
+    } finally sq.stop()
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) matches batch sessions") {
     val emitted = StreamOps.statefulSessions(spark, TestSpark.Sf)
       .as[(Long, Long, Long, Long)].collect().toSet
