@@ -504,6 +504,64 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** Association rules over order baskets at the brand level (classic
+    * market-basket support/confidence/lift, Agrawal et al. '93).
+    * Baskets are the DISTINCT (order, brand) pairs — bounded at
+    * ≤|brands| (25, fixed at every SF) rows per order, so the
+    * within-order pair expansion is ≤C(25,2) rows per order and the
+    * self-join shuffles the basket frame on orderkey exactly once;
+    * pair counts then reduce with map-side partials. All three metrics
+    * are emitted in exact integer micros (floor division) — no float
+    * division for the engines to disagree on. lift > 1e6 means the
+    * brands co-occur MORE than independence predicts. */
+  val qMarketBasket: Spec = Spec(
+    "q_market_basket",
+    oracle = Some("""
+      WITH b AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS br
+        FROM lineitem JOIN part ON l_partkey = p_partkey),
+      n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM b),
+      bc AS (SELECT br, CAST(COUNT(*) AS BIGINT) AS n_br FROM b GROUP BY br),
+      pr AS (SELECT a.br AS brand_a, c.br AS brand_b,
+          CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM b a JOIN b c ON a.ok = c.ok AND a.br < c.br
+        GROUP BY a.br, c.br)
+      SELECT brand_a, brand_b, n_ab,
+        (n_ab * 1000000) // n.n_orders AS support_micros,
+        (n_ab * 1000000) // ba.n_br AS confidence_micros,
+        (n_ab * n.n_orders * 1000000) // (ba.n_br * bb.n_br) AS lift_micros
+      FROM pr CROSS JOIN n
+        JOIN bc ba ON ba.br = pr.brand_a
+        JOIN bc bb ON bb.br = pr.brand_b
+      ORDER BY brand_a, brand_b""")) { (s, dir) =>
+    import s.implicits._
+    val baskets = Tables.load(s, dir, "lineitem")
+      .join(Tables.load(s, dir, "part"),
+        $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey".as("ok"), $"p_brand".as("br"))
+      .distinct()
+      .localCheckpoint() // one basket build: pairs, brand counts, total
+    val nOrders = broadcast(
+      baskets.agg(countDistinct($"ok").as("n_orders")))
+    val brandCounts = baskets.groupBy($"br")
+      .agg(count(lit(1)).as("n_br"))
+    val pairs = baskets.as("a")
+      .join(baskets.as("c"), $"a.ok" === $"c.ok" && $"a.br" < $"c.br")
+      .groupBy($"a.br".as("brand_a"), $"c.br".as("brand_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .crossJoin(nOrders)
+      .join(broadcast(brandCounts.select($"br".as("brand_a"),
+        $"n_br".as("n_a"))), Seq("brand_a"))
+      .join(broadcast(brandCounts.select($"br".as("brand_b"),
+        $"n_br".as("n_b"))), Seq("brand_b"))
+      .select($"brand_a", $"brand_b", $"n_ab",
+        expr("(n_ab * 1000000L) div n_orders").as("support_micros"),
+        expr("(n_ab * 1000000L) div n_a").as("confidence_micros"),
+        expr("(n_ab * n_orders * 1000000L) div (n_a * n_b)")
+          .as("lift_micros"))
+      .orderBy($"brand_a", $"brand_b")
+  }
+
   /** Analytic-window shapes: dense_rank, ntile, lag/lead, first/last
     * value over one supplier-ordered frame. Supplier GROWS with scale
     * factor (TPC-H: 10k × SF), so the global rank/ntile columns do NOT
@@ -1409,5 +1467,5 @@ object Relational {
     qOrderLatency, qStringOps, qFuzzyPartNames, qSaltedAgg, qRangeBandJoin,
     qBenford, qSkewReport, qConsistentSample, qRollingMedian, qBucketedJoin,
     qZorderCluster, qMergeUpsert, qScd2History, qExpectations,
-    qSkylineParts, qKAnonymity, qIncrMv, qIncrJoinMv)
+    qSkylineParts, qKAnonymity, qIncrMv, qIncrJoinMv, qMarketBasket)
 }

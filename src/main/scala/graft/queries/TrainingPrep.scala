@@ -1415,6 +1415,59 @@ object TrainingPrep {
       .orderBy($"doc_id")
   }
 
+  /** Interpolated Kneser-Ney bigram probabilities (Kneser & Ney '95,
+    * Chen & Goodman '98) — the smoothing a real corpus LM (the quality-
+    * filter perplexity model) uses instead of [[dBigramLm]]'s add-one:
+    * P(w2|w1) = max(c12−D,0)/c1 + D·N1+(w1·)/c1 · N1+(·w2)/T with
+    * D = 0.75 and T = distinct bigram types. With D = 3/4 the whole
+    * formula clears to INTEGER arithmetic — multiply through by 4·c1·T:
+    * p_micros = (max(4·c12−3,0)·T + 3·N1+(w1·)·N1+(·w2))·1e6 //
+    * (4·c1·T) — so both engines compute the exact same BIGINT, no
+    * float smoothing constants to disagree on. Scale shape: every
+    * count is a map-side-combined group-by on the bigram/unigram key;
+    * scoring is two keyed joins (w1, w2) against count frames that are
+    * vocabulary-sized (not corpus-sized), and the top-k emission is a
+    * TakeOrdered, never a global sort. */
+  val dKneserNey: Spec = Spec(
+    "d_kneser_ney",
+    oracle = Some("""
+      WITH toks AS (SELECT string_split(text, ' ') AS l FROM documents),
+      bi AS (SELECT unnest(list_transform(range(1, len(l)),
+          i -> array_to_string(l[i:i+1], ' '))) AS g
+        FROM toks WHERE len(l) >= 2),
+      cb AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c12 FROM bi GROUP BY g),
+      sp AS (SELECT g, c12, string_split(g, ' ')[1] AS w1,
+          string_split(g, ' ')[2] AS w2 FROM cb),
+      c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+          CAST(COUNT(*) AS BIGINT) AS n1f FROM sp GROUP BY w1),
+      nb AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS nb FROM sp GROUP BY w2),
+      tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM cb)
+      SELECT g, c12 AS n,
+        CAST(((GREATEST(4 * c12 - 3, 0) * tt.t + 3 * c1.n1f * nb.nb)
+          * 1000000) // (4 * c1.c1 * tt.t) AS BIGINT) AS p_kn_micros
+      FROM sp JOIN c1 USING (w1) JOIN nb USING (w2) CROSS JOIN tt
+      ORDER BY n DESC, g LIMIT 300""")) { (s, dir) =>
+    import s.implicits._
+    val toks = docs(s, dir).select(Text.tokens($"text").as("l"))
+    val bi = toks.filter(size($"l") >= 2)
+      .select(explode(Text.wordNgrams($"l", 2)).as("g"))
+    val cb = bi.groupBy($"g").agg(count(lit(1)).as("c12"))
+      .localCheckpoint() // the model table: feeds c1, nb, T and scoring
+    val sp = cb
+      .withColumn("w1", split($"g", " ", 2).getItem(0))
+      .withColumn("w2", split($"g", " ", 2).getItem(1))
+    val c1 = sp.groupBy($"w1")
+      .agg(sum($"c12").as("c1"), count(lit(1)).as("n1f"))
+    val nb = sp.groupBy($"w2").agg(count(lit(1)).as("nb"))
+    val tt = broadcast(cb.agg(count(lit(1)).as("t")))
+    sp.join(c1, "w1").join(nb, "w2").crossJoin(tt)
+      .select($"g", $"c12".as("n"),
+        expr("((GREATEST(4 * c12 - 3, 0L) * t + 3 * n1f * nb) * 1000000L)" +
+          " div (4 * c1 * t)").as("p_kn_micros"))
+      .orderBy($"n".desc, $"g")
+      .limit(300)
+  }
+
   /** Feature-hashing document embeddings (the hashing trick,
     * Weinberger et al. 2009): each token hashes to one of 16
     * dimensions with a md5-derived sign, per-doc sums give a sparse
@@ -2187,5 +2240,6 @@ object TrainingPrep {
     dHashSplit, dReadability, dBigramLm, dPerplexityBand, dHashEmbedding,
     dScoreDeciles, dSourceInterleave,
     dCmsCounts, dWeightedSample, dPaddingEfficiency, dEntropyScores,
-    dSourceDivergence, dDistributionMatch, dQualityClassifier, dDsirWeights)
+    dSourceDivergence, dDistributionMatch, dQualityClassifier, dDsirWeights,
+    dKneserNey)
 }
