@@ -2029,6 +2029,75 @@ object Events {
       .orderBy($"event_type", $"lag")
   }
 
+  /** Holt linear-trend exponential smoothing (Holt '57) over the
+    * per-type daily count grid, forecasting the next 7 days — the
+    * capacity-planning forecast that pairs with [[qAcfDaily]]'s
+    * seasonality check and [[qCusum]]'s changepoint alarm. Level/trend
+    * recurrence with α = β = 1/2: l_t = y_t/2 + (l+b)/2, b_t =
+    * (l_t − l)/2 + b/2, initialized l_0 = y_0, b_0 = y_1 − y_0;
+    * forecast ŷ(h) = l_T + h·b_T.
+    *
+    * Engine parity: a smoothing recurrence is inherently ordered, so
+    * instead of decimal-sum tricks the parity rests on IEEE
+    * determinism — both engines evaluate the IDENTICAL op sequence
+    * (halving is exact scaling, adds round the same way), so l/b are
+    * bit-identical and the floored-micros emission matches. Scale
+    * shape: the grid is calendar-bounded (days × |types|), each type's
+    * series folds row-locally over a collected array (never a driver
+    * loop), and the recurrence parallelizes BY KEY — the classic way
+    * a sequential model scales out on Spark. */
+  val qHoltForecast: Spec = Spec(
+    "ev_holt_forecast",
+    oracle = Some(s"""
+      WITH RECURSIVE $dailySpineSql,
+      mn AS (SELECT event_type, MIN(d) AS mn FROM grid GROUP BY 1),
+      idx AS (SELECT g.event_type, g.d - m.mn AS t, CAST(g.x AS DOUBLE) AS y
+        FROM grid g JOIN mn m ON m.event_type = g.event_type),
+      tmax AS (SELECT event_type, MAX(t) AS tm FROM idx GROUP BY 1),
+      hw AS (
+        SELECT i0.event_type, CAST(0 AS BIGINT) AS t, i0.y AS l,
+          i1.y - i0.y AS b
+        FROM idx i0 JOIN idx i1
+          ON i1.event_type = i0.event_type AND i1.t = 1
+        WHERE i0.t = 0
+        UNION ALL
+        SELECT h.event_type, h.t + 1,
+          0.5 * i.y + 0.5 * (h.l + h.b),
+          0.5 * ((0.5 * i.y + 0.5 * (h.l + h.b)) - h.l) + 0.5 * h.b
+        FROM hw h JOIN idx i
+          ON i.event_type = h.event_type AND i.t = h.t + 1),
+      fin AS (SELECT h.event_type, h.l, h.b FROM hw h
+        JOIN tmax m ON m.event_type = h.event_type AND h.t = m.tm)
+      SELECT event_type, CAST(u.hh AS BIGINT) AS h,
+        CAST(FLOOR((l + u.hh * b) * 1000000) AS BIGINT) AS forecast_micros
+      FROM fin CROSS JOIN UNNEST(range(1, 8)) AS u(hh)
+      ORDER BY event_type, h""")) { (s, dir) =>
+    import s.implicits._
+    val series = dailyCountSpine(s, dir)
+      .groupBy($"event_type")
+      .agg(sort_array(collect_list(struct($"d", $"x"))).as("sv"))
+      .select($"event_type",
+        transform($"sv", e => e.getField("x").cast("double")).as("ys"))
+      .filter(size($"ys") >= 2)
+    val fitted = series.withColumn("st",
+      aggregate(
+        slice($"ys", lit(2), size($"ys") - 1),
+        struct(element_at($"ys", 1).as("l"),
+          (element_at($"ys", 2) - element_at($"ys", 1)).as("b")),
+        (acc, y) => struct(
+          (lit(0.5) * y + lit(0.5) * (acc.getField("l") + acc.getField("b")))
+            .as("l"),
+          (lit(0.5) * ((lit(0.5) * y +
+              lit(0.5) * (acc.getField("l") + acc.getField("b"))) -
+              acc.getField("l")) + lit(0.5) * acc.getField("b")).as("b"))))
+    fitted
+      .select($"event_type", $"st.l".as("l"), $"st.b".as("b"),
+        explode(sequence(lit(1L), lit(7L))).as("h"))
+      .select($"event_type", $"h",
+        floor(($"l" + $"h" * $"b") * 1e6).cast("long").as("forecast_micros"))
+      .orderBy($"event_type", $"h")
+  }
+
   /** CUSUM changepoint detection on the per-type daily count series —
     * the sustained-shift detector that complements [[qRateAnomaly]]'s
     * point-outlier z-scores: a level change too small to trip any
@@ -2603,5 +2672,5 @@ object Events {
     qUserConcentration, qInterArrival, qAttribution, qAttributionDecay,
     qRfm, qEntryExit, qAcfDaily, qCusumChangepoint, qGapFill, qDbscanUsers,
     qConcurrencyHourly, qDbscanIncremental, qTheilSen, qSurvivalKm,
-    qZorderLayout)
+    qZorderLayout, qHoltForecast)
 }
