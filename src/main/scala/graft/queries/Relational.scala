@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
+import graft.ops.TDigest
 
 /** Star-schema relational operators (SURVEY §2.2-§2.7): aggregation,
   * equi-joins (broadcast + shuffle), semi/anti joins, windows, top-k,
@@ -560,6 +561,41 @@ object Relational {
         expr("(n_ab * n_orders * 1000000L) div (n_a * n_b)")
           .as("lift_micros"))
       .orderBy($"brand_a", $"brand_b")
+  }
+
+  /** Mergeable t-digest quantile sketch ([[graft.ops.TDigest]], Dunning
+    * & Ertl) over per-flag prices — the custom-Aggregator counterpart of
+    * [[qSketches]]' native percentile_approx: map-side partials fold
+    * rows into O(δ) centroids, partials merge associatively, no global
+    * sort. Like every parallel sketch the estimate depends on partition
+    * merge order, so the gate is a rank-tolerance bound (same discipline
+    * as q_approx_sketches): the p50/p95 estimates must sit within ±3
+    * rank points of their targets, checked by one exact counting pass. */
+  val qTdigest: Spec = Spec(
+    "q_tdigest_quantiles",
+    oracle = Some("""
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        TRUE AS p50_ok, TRUE AS p95_ok
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")) { (s, dir) =>
+    import s.implicits._
+    val tdq = udaf(
+      TDigest.aggregator(Seq(0.5, 0.95)),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    val li = Tables.load(s, dir, "lineitem")
+    val sk = li.groupBy($"l_returnflag")
+      .agg(tdq($"l_extendedprice").as("est"))
+      .select($"l_returnflag", $"est".getItem(0).as("e50"),
+        $"est".getItem(1).as("e95"))
+    val ranks = li
+      .join(broadcast(sk), Seq("l_returnflag"))
+      .groupBy($"l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(when($"l_extendedprice" < $"e50", 1L).otherwise(0L)).as("c50"),
+        sum(when($"l_extendedprice" < $"e95", 1L).otherwise(0L)).as("c95"))
+    ranks.select($"l_returnflag", $"n",
+        ($"c50" >= $"n" * 0.47 && $"c50" <= $"n" * 0.53).as("p50_ok"),
+        ($"c95" >= $"n" * 0.92 && $"c95" <= $"n" * 0.98).as("p95_ok"))
+      .orderBy($"l_returnflag")
   }
 
   /** Analytic-window shapes: dense_rank, ntile, lag/lead, first/last
@@ -1467,5 +1503,6 @@ object Relational {
     qOrderLatency, qStringOps, qFuzzyPartNames, qSaltedAgg, qRangeBandJoin,
     qBenford, qSkewReport, qConsistentSample, qRollingMedian, qBucketedJoin,
     qZorderCluster, qMergeUpsert, qScd2History, qExpectations,
-    qSkylineParts, qKAnonymity, qIncrMv, qIncrJoinMv, qMarketBasket)
+    qSkylineParts, qKAnonymity, qIncrMv, qIncrJoinMv, qMarketBasket,
+    qTdigest)
 }

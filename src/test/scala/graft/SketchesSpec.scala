@@ -72,4 +72,53 @@ class SketchesSpec extends AnyFunSuite {
       .as[(String, Long)].collect().head._2
     assert(unseen >= 0L)
   }
+
+  test("t-digest: rank error < 1% on 100k points, mergeable, bounded size") {
+    import graft.ops.TDigest
+    val rnd = new scala.util.Random(7)
+    // skewed data (squared uniform) — tails are where t-digest must hold
+    val xs = Vector.fill(100000) { val u = rnd.nextDouble(); u * u * 1000.0 }
+    val sorted = xs.sorted
+    def rankOf(v: Double): Double = {
+      val below = sorted.count(_ < v)
+      below.toDouble / sorted.size
+    }
+    val one = xs.foldLeft(TDigest.empty)(TDigest.add)
+    for (q <- Seq(0.05, 0.5, 0.95, 0.99)) {
+      val est = TDigest.quantile(one, q)
+      assert(math.abs(rankOf(est) - q) < 0.01,
+        s"one-pass q=$q est=$est rank=${rankOf(est)}")
+    }
+    // mergeability: 8 shard sketches merged == same rank guarantees
+    val merged = xs.grouped(12500)
+      .map(_.foldLeft(TDigest.empty)(TDigest.add))
+      .reduce(TDigest.merge)
+    for (q <- Seq(0.05, 0.5, 0.95, 0.99)) {
+      val est = TDigest.quantile(merged, q)
+      assert(math.abs(rankOf(est) - q) < 0.01,
+        s"merged q=$q est=$est rank=${rankOf(est)}")
+    }
+    // state stays bounded: the k1 scale caps clusters at δ (they sit
+    // between δ/2 when every cluster fills its quota and δ worst-case)
+    assert(merged.cs.length <= TDigest.Compression && merged.buf.isEmpty,
+      s"centroids=${merged.cs.length}")
+    // weight conservation across compress/merge
+    assert(merged.cs.map(_._2).sum == xs.size.toLong)
+  }
+
+  test("t-digest udaf: distributed rank error bounded on lineitem prices") {
+    import graft.ops.TDigest
+    val tdq = udaf(TDigest.aggregator(Seq(0.5, 0.95)),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    val li = spark.read.parquet(s"${TestSpark.Sf}/lineitem.parquet")
+      .repartition(8) // force multi-partition partials + merges
+    val est = li.agg(tdq($"l_extendedprice").as("e")).select(
+      $"e".getItem(0).as("e50"), $"e".getItem(1).as("e95"))
+      .as[(Double, Double)].collect().head
+    val n = li.count().toDouble
+    val r50 = li.filter($"l_extendedprice" < est._1).count() / n
+    val r95 = li.filter($"l_extendedprice" < est._2).count() / n
+    assert(math.abs(r50 - 0.5) < 0.02, s"p50 rank $r50")
+    assert(math.abs(r95 - 0.95) < 0.02, s"p95 rank $r95")
+  }
 }
