@@ -43,6 +43,50 @@ object StreamingQ {
       .orderBy($"window_start", $"event_type")
   }
 
+  /** NATIVE session windows in APPEND mode ([[StreamOps
+    * .sessionAppendAgg]]): Spark's session state store merges per-user
+    * windows across batches and the watermark evicts each session the
+    * moment it closes. The oracle states the closed-session PREFIX of
+    * the batch sessionization: sessions whose end (last event + the
+    * 30-minute gap) is ≤ the final watermark (max event time truncated
+    * to whole ms, − 30 min) — the same emission predicate the tumbling
+    * append twin pins, applied to data-dependent window bounds. */
+  val stSessionAppend: Spec = Spec(
+    "st_session_append",
+    oracle = Some("""
+      WITH wm AS (SELECT (epoch_us(MAX(ts)) // 1000 - 1800000) * 1000
+          AS wm_us FROM events),
+      m AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+          CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+               THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      sessed AS (
+        SELECT user_id, ts_us,
+          SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM m),
+      sess AS (
+        SELECT user_id,
+          MIN(ts_us) AS start_us, MAX(ts_us) + 1800000000 AS end_us,
+          COUNT(*) AS n_events
+        FROM sessed GROUP BY user_id, sid)
+      SELECT user_id,
+        strftime(make_timestamp(start_us), '%Y-%m-%d %H:%M:%S.%f')
+          AS session_start,
+        strftime(make_timestamp(end_us), '%Y-%m-%d %H:%M:%S.%f')
+          AS session_end,
+        n_events
+      FROM sess CROSS JOIN wm
+      WHERE end_us <= wm_us
+      ORDER BY user_id, session_start""")) { (s, dir) =>
+    import s.implicits._
+    StreamOps.sessionAppend(s, dir)
+      .orderBy($"user_id", $"session_start")
+  }
+
   /** Streaming sliding windows (1h every 15min) — oracle is the batch
     * shift-and-replicate SQL; streaming/batch parity is the point. */
   val stSliding: Spec = Spec(
@@ -949,7 +993,7 @@ object StreamingQ {
   }
 
   val specs: Seq[Spec] = Seq(stTumbling, stTumblingAppend, stSliding,
-    stDedup, stSessions,
+    stDedup, stSessions, stSessionAppend,
     stEnrich, stClickView, stClickViewOuter, dLid, dLidScript,
     dLidConfusion, pipelineE2e,
     stDocFlags, stHeavyHitters, stDriftWindowed, stLidScript,

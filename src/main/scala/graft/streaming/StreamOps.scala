@@ -268,6 +268,37 @@ object StreamOps {
   def statefulSessions(s: SparkSession, dir: String): DataFrame =
     sessionsFrom(s, eventsStream(s, dir), "st_sessions_mem")
 
+  /** NATIVE session windows (session_window built-in) in APPEND mode —
+    * the declarative twin of [[statefulSessions]]' hand-rolled state
+    * machine, and the unbounded-runtime shape: Spark's session state
+    * store merges overlapping per-user windows across batches, and a
+    * session is emitted EXACTLY ONCE when the watermark (max event time
+    * − 30 min, whole ms) passes its end (last event + the 30-minute
+    * gap), evicting its state rows at that moment. On a finite feed the
+    * result is the closed-session prefix; sessions still open at the
+    * final watermark remain in state (they'd close on later data on a
+    * real source). Exposed separately so tests can drive explicit
+    * micro-batch boundaries. */
+  def sessionAppendAgg(src: DataFrame): DataFrame = src
+    .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+    .withWatermark("ts_utc", "30 minutes")
+    .groupBy(session_window(col("ts_utc"), "30 minutes"), col("user_id"))
+    .agg(count(lit(1)).as("n_events"))
+
+  def sessionAppendFrom(s: SparkSession, src: DataFrame,
+      sink: String): DataFrame =
+    runToTable(s, sessionAppendAgg(src), sink, "append")
+      .select(col("user_id"),
+        date_format(col("session_window.start"),
+          graft.queries.Spec.SparkTsFmt).as("session_start"),
+        date_format(col("session_window.end"),
+          graft.queries.Spec.SparkTsFmt).as("session_end"),
+        col("n_events"))
+
+  def sessionAppend(s: SparkSession, dir: String,
+      sink: String = "st_session_append_mem"): DataFrame =
+    sessionAppendFrom(s, eventsStream(s, dir), sink)
+
   /** Source-agnostic core of [[statefulSessions]] (same contract as
     * [[tumblingFrom]]). */
   def sessionsFrom(s: SparkSession, events: DataFrame, sink: String): DataFrame = {

@@ -72,6 +72,46 @@ class StreamingSpec extends AnyFunSuite {
         s"$allGroups total), got $state")
   }
 
+  test("append-mode session windows: cross-batch sessions MERGE, closed " +
+      "sessions emit once, state evicted to the open set") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val minNs = 60L * 1000 * 1000 * 1000
+    def ev(id: Long, tMin: Long, user: Long) =
+      (id, tMin * minNs, user, "click", 1.0, "{}")
+    val ms = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val src = ms.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = StreamOps.sessionAppendAgg(src).writeStream
+      .outputMode("append").format("memory").queryName("st_sess_msrc").start()
+    try {
+      // batch 1: u1 opens a session (0,10min); u2 a singleton at 5min
+      ms.addData(Seq(ev(1, 0, 1), ev(2, 10, 1), ev(3, 5, 2)))
+      q.processAllAvailable()
+      // batch 2: u1 extends the SAME session (20min < 10+30 gap) — the
+      // state store must merge, not open a second window; u3 opens near
+      // the new max (290min) and stays open; u99 at 300min drives the
+      // watermark to 270min, closing u1/u2 but not u3/u99
+      ms.addData(Seq(ev(4, 20, 1), ev(5, 290, 3), ev(6, 300, 99)))
+      q.processAllAvailable()
+      val got = spark.table("st_sess_msrc")
+        .select($"user_id",
+          org.apache.spark.sql.functions.unix_micros($"session_window.start"),
+          org.apache.spark.sql.functions.unix_micros($"session_window.end"),
+          $"n_events")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val minUs = 60L * 1000 * 1000
+      assert(got == Set(
+        (1L, 0L, 50 * minUs, 3L), // merged across batches: 0,10 + 20
+        (2L, 5 * minUs, 35 * minUs, 1L)),
+        s"closed-session set wrong: $got")
+      // state holds exactly the two OPEN sessions (u3, u99)
+      val state = Option(q.lastProgress)
+        .map(_.stateOperators.map(_.numRowsTotal).sum)
+      assert(state.contains(2L), s"open-session state rows: $state")
+    } finally q.stop()
+  }
+
   test("append mode DROPS late rows (never misfiles them) and reports the count") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
