@@ -1080,6 +1080,93 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  private def pprStepCte(t: Int): String = s"""
+      pct$t AS (SELECT e.dst, CAST(round(p.pr / d.deg, 9) AS DECIMAL(28,12)) AS c
+        FROM edges e JOIN ppr${t - 1} p ON p.vec_id = e.src
+        JOIN deg d ON d.src = e.src),
+      pcs$t AS (SELECT dst, SUM(c) AS sc FROM pct$t GROUP BY dst),
+      ppr$t AS (SELECT n.vec_id, n.seed,
+          0.15::DOUBLE * n.seed / ns.ns
+            + 0.85::DOUBLE * CAST(COALESCE(s.sc, 0) AS DOUBLE) AS pr
+        FROM nodes n CROSS JOIN ns LEFT JOIN pcs$t s ON s.dst = n.vec_id)"""
+
+  /** PERSONALIZED PageRank (3 damped iterations, restart mass on a seed
+    * set instead of uniform teleport — Page et al. '99 §6, the
+    * query-expansion / recommendation form): ranks every document by
+    * proximity to the label-0 seed topic through the near-dup
+    * similarity graph, the standard "expand a trusted seed corpus"
+    * primitive for targeted training-data curation. Same LSH-candidate
+    * edge build, contribution rounding and decimal-sum discipline as
+    * [[ePagerankCentrality]]; only the teleport vector differs (1/|S|
+    * on seeds, 0 elsewhere), so mass concentrates in the seed
+    * neighborhood instead of spreading uniformly. Scale shape
+    * identical: one checkpointed edge frame, per-round edge-keyed join
+    * + target agg. */
+  val ePprSeeded: Spec = Spec(
+    "e_ppr_seeded",
+    oracle = Some(s"""
+      WITH ${lshCandCtes},
+      ver AS (SELECT c.ida, c.idb FROM cand c
+        JOIN embeddings a ON a.vec_id = c.ida
+        JOIN embeddings b ON b.vec_id = c.idb
+        WHERE a.label = b.label
+          AND ${cosSql("a.embedding", "b.embedding")} >= 0.35),
+      edges AS (SELECT ida AS src, idb AS dst FROM ver
+        UNION ALL SELECT idb, ida FROM ver),
+      deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+      nodes AS (SELECT vec_id,
+          CASE WHEN label = 0 THEN 1 ELSE 0 END AS seed FROM embeddings),
+      ns AS (SELECT CAST(SUM(seed) AS DOUBLE) AS ns FROM nodes),
+      ppr0 AS (SELECT vec_id, seed,
+          0.15::DOUBLE * seed / ns.ns + 0.85::DOUBLE * 0.0 AS pr
+        FROM nodes CROSS JOIN ns),
+      ${pprStepCte(1)},
+      ${pprStepCte(2)},
+      ${pprStepCte(3)}
+      SELECT p.vec_id, CAST(p.seed AS BIGINT) AS is_seed,
+        CAST(COALESCE(d.deg, 0) AS BIGINT) AS degree,
+        ROUND(p.pr, 9) AS ppr
+      FROM ppr3 p LEFT JOIN deg d ON d.src = p.vec_id
+      ORDER BY p.vec_id"""))  { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val ver = lshLabelEdges(emb, threshold = 0.35)
+    val edges = ver.select($"id_a".as("src"), $"id_b".as("dst"))
+      .unionAll(ver.select($"id_b".as("src"), $"id_a".as("dst")))
+      .localCheckpoint() // reused every iteration
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val nodes = emb.select($"vec_id",
+      when($"label" === 0, 1).otherwise(0).as("seed"))
+    val ns = broadcast(nodes.agg(sum($"seed").cast("double").as("ns")))
+    // teleport-only start: mirrors the oracle's ppr0 so round 1's
+    // contributions agree term-by-term (0.15·seed/|S|, not 1/|S| —
+    // the damped fixpoint iteration, same as ePagerankCentrality's
+    // uniform form)
+    var pr = nodes.crossJoin(ns)
+      .select($"vec_id", $"seed",
+        (lit(0.15) * $"seed" / $"ns" + lit(0.85) * lit(0.0)).as("pr"))
+    for (_ <- 1 to 3) {
+      val contrib = edges
+        .join(pr.select($"vec_id".as("src"), $"pr"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select($"dst", round($"pr" / $"deg", 9).cast("decimal(28,12)").as("c"))
+      val sums = contrib.groupBy($"dst").agg(sum($"c").as("sc"))
+      pr = nodes
+        .join(sums, nodes("vec_id") === sums("dst"), "left")
+        .crossJoin(ns)
+        .select($"vec_id", $"seed",
+          (lit(0.15) * $"seed" / $"ns" +
+            lit(0.85) * coalesce($"sc", lit(0).cast("decimal(38,12)"))
+              .cast("double")).as("pr"))
+    }
+    pr
+      .join(deg.withColumnRenamed("src", "vec_id"), Seq("vec_id"), "left")
+      .select($"vec_id", $"seed".cast("long").as("is_seed"),
+        coalesce($"deg", lit(0L)).cast("long").as("degree"),
+        round($"pr", 9).as("ppr"))
+      .orderBy($"vec_id")
+  }
+
   /** Triangle counting on the near-dup similarity graph — the local
     * clustering signal that separates a TIGHT duplicate cluster (its
     * members close many triangles) from a hub that merely chains
@@ -2298,5 +2385,5 @@ object Similarity {
     eLabelPropagation,
     eEigenCentrality, eLinkPrediction, eKcorePeel, eSemdedup,
     eSemdedupIncremental, ePcaProjection, ePca2d, eCentroidDrift,
-    eMutualKnn, eSilhouette, eBfsHops)
+    eMutualKnn, eSilhouette, eBfsHops, ePprSeeded)
 }
