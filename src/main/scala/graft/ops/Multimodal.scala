@@ -197,6 +197,48 @@ object Multimodal {
     })
   }
 
+  final case class ImageBlockHash(doc_id: Long, bhash: String)
+
+  /** Block-MEDIAN perceptual hash over real decoded pixels (the public
+    * blockhash algorithm's thresholding rule: compare each cell to the
+    * median, not the mean): same 8×8 luma grid as [[imageAHash]], bit =
+    * luma > lower-median (the 32nd smallest of the 64 samples). A
+    * median threshold is invariant to ANY monotone brightness remap
+    * (gamma, contrast stretch) that preserves pixel order — strictly
+    * stronger than dHash's uniform-shift invariance — and it fixes the
+    * population at ≤32 ones, so Hamming distances are comparable
+    * across images. Integer-only arithmetic, same decode-failure and
+    * no-shuffle contract as the other two hashes. */
+  def imageBlockHash(blobs: Dataset[MediaBlob]): Dataset[ImageBlockHash] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.flatMap { b =>
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(b.data))
+        if (img == null) None
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val g = new Array[Int](64)
+          var k = 0; var j = 0
+          while (j < 8) {
+            var i = 0
+            while (i < 8) {
+              val p = img.getRGB(i * w / 8, j * h / 8) & 0xFFFFFF
+              val r = (p >> 16) & 255; val gg = (p >> 8) & 255; val bl = p & 255
+              g(k) = (r * 299 + gg * 587 + bl * 114) / 1000
+              k += 1; i += 1
+            }
+            j += 1
+          }
+          val med = g.sorted.apply(31) // lower median of 64
+          val sb = new StringBuilder(64)
+          g.foreach(v => sb.append(if (v > med) '1' else '0'))
+          Some(ImageBlockHash(b.doc_id, sb.toString))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    })
+  }
+
   final case class ImageDHash(doc_id: Long, dhash: String)
 
   /** Perceptual difference-hash over REAL decoded pixels — the

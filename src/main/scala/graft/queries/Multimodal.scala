@@ -247,6 +247,53 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** Block-MEDIAN perceptual hash over REAL decoded pixels — the
+    * public blockhash thresholding rule next to the mean (aHash) and
+    * gradient (dHash) forms: bit = 8×8-grid luma > lower-median of the
+    * 64 samples, so the hash survives any monotone brightness remap
+    * and every image carries the same ≤32-ones population (Hamming
+    * distances comparable corpus-wide). Oracle replays the generator's
+    * pixel arithmetic, the grid sampler and the rank-32 median in pure
+    * integer SQL — the median is the 32nd smallest VALUE, tie-break
+    * independent. */
+  val mmImageBlockhash: Spec = Spec(
+    "mm_image_blockhash",
+    oracle = Some("""
+      WITH d AS (SELECT doc_id, 16 + doc_id % 32 AS w, 16 + (doc_id * 3) % 32 AS h
+        FROM documents WHERE doc_id % 20 = 0),
+      cell AS (SELECT doc_id, w, h, i.i, j.j,
+          ((i.i * w) // 8) AS x, ((j.j * h) // 8) AS y
+        FROM d, (SELECT unnest(range(0, 8)) AS i) i,
+             (SELECT unnest(range(0, 8)) AS j) j),
+      lum AS (SELECT doc_id, i, j,
+          ((((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587
+            + (v & 255) * 114) // 1000) AS g
+        FROM (SELECT doc_id, i, j,
+                (x * 31 + y * 17 + doc_id) & 16777215 AS v FROM cell)),
+      med AS (SELECT doc_id, g AS med FROM (
+          SELECT doc_id, g,
+            row_number() OVER (PARTITION BY doc_id ORDER BY g) AS rn
+          FROM lum) WHERE rn = 32),
+      bits AS (SELECT lum.doc_id,
+          string_agg(CASE WHEN g > med THEN '1' ELSE '0' END, ''
+            ORDER BY j, i) AS bhash
+        FROM lum JOIN med ON med.doc_id = lum.doc_id
+        GROUP BY lum.doc_id),
+      n AS (SELECT bhash, COUNT(*) AS n_same FROM bits GROUP BY bhash)
+      SELECT doc_id, bits.bhash, CAST(n_same AS BIGINT) AS n_same
+      FROM bits JOIN n USING (bhash) ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    val ids = Tables.load(s, dir, "documents")
+      .filter($"doc_id" % 20 === 0)
+      .select($"doc_id").as[java.lang.Long]
+    val hashed = MM.imageBlockHash(MM.syntheticPngBlobs(ids)).toDF()
+      .localCheckpoint() // one decode pass feeds the dup-count and output
+    val n = hashed.groupBy($"bhash").agg(count(lit(1)).as("n_same"))
+    hashed.join(n, Seq("bhash"))
+      .select($"doc_id", $"bhash", $"n_same")
+      .orderBy($"doc_id")
+  }
+
   /** AUDIO fingerprint dedup over REAL decoded PCM — the energy-delta
     * fingerprint (the public Shazam/chromaprint idea reduced to its
     * time axis): per-20ms-frame energies from the RIFF walk
@@ -506,5 +553,6 @@ object Multimodal {
 
   val specs: Seq[Spec] = Seq(mmDecodeMeta, mmImageDecode, mmFrameSample,
     mmResize, mmAudioMeta, mmAudioEnergy, mmAudioFingerprint, mmImageAhash,
-    mmImageDhash, mmImageNeardup, mmCaptionAlign, mmAudioVad)
+    mmImageDhash, mmImageBlockhash, mmImageNeardup, mmCaptionAlign,
+    mmAudioVad)
 }

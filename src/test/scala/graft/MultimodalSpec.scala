@@ -159,4 +159,45 @@ class MultimodalSpec extends AnyFunSuite {
       got(1L).ahash.forall(c => c == '0' || c == '1'))
     assert(got(1L).width == 20 && got(1L).height == 20)
   }
+
+  test("imageBlockHash: median threshold fixes the ones-population; " +
+      "monotone luma remap leaves the hash unchanged") {
+    import spark.implicits._
+    val ids = spark.range(20, 100, 20).select($"id".as("doc_id"))
+      .as[java.lang.Long]
+    val blobs = Multimodal.syntheticPngBlobs(ids)
+    val hashed = Multimodal.imageBlockHash(blobs).collect()
+      .map(h => h.doc_id -> h.bhash).toMap
+    assert(hashed.keySet == Set(20L, 40L, 60L, 80L))
+    // lower-median threshold: 32 samples are <= med, so ones <= 32;
+    // and on these non-degenerate images the hash is never all-zero
+    hashed.values.foreach { bh =>
+      assert(bh.length == 64)
+      val ones = bh.count(_ == '1')
+      assert(ones <= 32 && ones > 0, s"population $ones")
+    }
+    // exact semantics + brightness invariance on a hand-computed ramp:
+    // 8×8 gray image, pixel (i,j) = i+8j → luma = i+8j (r=g=b makes the
+    // 299/587/114 average exact). Lower median of 0..63 is 31, so the
+    // hash is exactly 32 zeros then 32 ones; a +100 shift (no clipping,
+    // channels stay ≤163) moves every luma by exactly +100 — strictly
+    // order-preserving, so the hash must not move a single bit (the
+    // property that separates blockhash from the mean threshold)
+    def gray(shift: Int): Multimodal.MediaBlob = {
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (j <- 0 until 8; i <- 0 until 8) {
+        val v = i + 8 * j + shift
+        img.setRGB(i, j, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      Multimodal.MediaBlob(shift.toLong, bos.toByteArray)
+    }
+    val ramp = Multimodal.imageBlockHash(
+      Seq(gray(0), gray(100)).toDS()).collect()
+      .map(h => h.doc_id -> h.bhash).toMap
+    assert(ramp(0L) == "0" * 32 + "1" * 32, s"ramp hash ${ramp(0L)}")
+    assert(ramp(100L) == ramp(0L), "brightness shift moved the hash")
+  }
 }
