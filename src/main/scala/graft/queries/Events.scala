@@ -2045,10 +2045,41 @@ object Events {
     * shape: the grid is calendar-bounded (days × |types|), each type's
     * series folds row-locally over a collected array (never a driver
     * loop), and the recurrence parallelizes BY KEY — the classic way
-    * a sequential model scales out on Spark. */
-  val qHoltForecast: Spec = Spec(
-    "ev_holt_forecast",
-    oracle = Some(s"""
+    * a sequential model scales out on Spark.
+    *
+    * The fold is exposed over any (event_type, d, x) day grid — shared
+    * by the batch query and the streaming twin (st_holt_forecast),
+    * which maintains the same grid from a watermarked stream and runs
+    * this as a batch view over that bounded state. */
+  def holtOverDayGrid(grid: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val series = grid
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("sv"))
+      .select(col("event_type"),
+        transform(col("sv"), e => e.getField("x").cast("double")).as("ys"))
+      .filter(size(col("ys")) >= 2)
+    val fitted = series.withColumn("st",
+      aggregate(
+        slice(col("ys"), lit(2), size(col("ys")) - 1),
+        struct(element_at(col("ys"), 1).as("l"),
+          (element_at(col("ys"), 2) - element_at(col("ys"), 1)).as("b")),
+        (acc, y) => struct(
+          (lit(0.5) * y + lit(0.5) * (acc.getField("l") + acc.getField("b")))
+            .as("l"),
+          (lit(0.5) * ((lit(0.5) * y +
+              lit(0.5) * (acc.getField("l") + acc.getField("b"))) -
+              acc.getField("l")) + lit(0.5) * acc.getField("b")).as("b"))))
+    fitted
+      .select(col("event_type"), col("st.l").as("l"), col("st.b").as("b"),
+        explode(sequence(lit(1L), lit(7L))).as("h"))
+      .select(col("event_type"), col("h"),
+        floor((col("l") + col("h") * col("b")) * 1e6).cast("long")
+          .as("forecast_micros"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
+  val holtOracleSql: String = s"""
       WITH RECURSIVE $dailySpineSql,
       mn AS (SELECT event_type, MIN(d) AS mn FROM grid GROUP BY 1),
       idx AS (SELECT g.event_type, g.d - m.mn AS t, CAST(g.x AS DOUBLE) AS y
@@ -2071,31 +2102,12 @@ object Events {
       SELECT event_type, CAST(u.hh AS BIGINT) AS h,
         CAST(FLOOR((l + u.hh * b) * 1000000) AS BIGINT) AS forecast_micros
       FROM fin CROSS JOIN UNNEST(range(1, 8)) AS u(hh)
-      ORDER BY event_type, h""")) { (s, dir) =>
-    import s.implicits._
-    val series = dailyCountSpine(s, dir)
-      .groupBy($"event_type")
-      .agg(sort_array(collect_list(struct($"d", $"x"))).as("sv"))
-      .select($"event_type",
-        transform($"sv", e => e.getField("x").cast("double")).as("ys"))
-      .filter(size($"ys") >= 2)
-    val fitted = series.withColumn("st",
-      aggregate(
-        slice($"ys", lit(2), size($"ys") - 1),
-        struct(element_at($"ys", 1).as("l"),
-          (element_at($"ys", 2) - element_at($"ys", 1)).as("b")),
-        (acc, y) => struct(
-          (lit(0.5) * y + lit(0.5) * (acc.getField("l") + acc.getField("b")))
-            .as("l"),
-          (lit(0.5) * ((lit(0.5) * y +
-              lit(0.5) * (acc.getField("l") + acc.getField("b"))) -
-              acc.getField("l")) + lit(0.5) * acc.getField("b")).as("b"))))
-    fitted
-      .select($"event_type", $"st.l".as("l"), $"st.b".as("b"),
-        explode(sequence(lit(1L), lit(7L))).as("h"))
-      .select($"event_type", $"h",
-        floor(($"l" + $"h" * $"b") * 1e6).cast("long").as("forecast_micros"))
-      .orderBy($"event_type", $"h")
+      ORDER BY event_type, h"""
+
+  val qHoltForecast: Spec = Spec(
+    "ev_holt_forecast",
+    oracle = Some(holtOracleSql)) { (s, dir) =>
+    holtOverDayGrid(dailyCountSpine(s, dir))
   }
 
   /** CUSUM changepoint detection on the per-type daily count series —

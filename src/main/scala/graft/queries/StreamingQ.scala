@@ -730,6 +730,19 @@ object StreamingQ {
       StreamOps.dailyTypeCounts(s, dir, sink = "st_cusum_mem")))
   }
 
+  /** STREAMING Holt forecast: the watermarked stream maintains the
+    * bounded per-(type, day) count grid (the same sufficient statistic
+    * the CUSUM monitor consumes); the level/trend fold and the 7-day
+    * forecast run as a batch view over that state — sharing
+    * [[Events.spineFill]] + [[Events.holtOverDayGrid]] and the batch
+    * oracle with ev_holt_forecast. */
+  val stHoltForecast: Spec = Spec(
+    "st_holt_forecast",
+    oracle = Some(Events.holtOracleSql)) { (s, dir) =>
+    Events.holtOverDayGrid(Events.spineFill(
+      StreamOps.dailyTypeCounts(s, dir, sink = "st_holt_mem")))
+  }
+
   /** STREAMING LOCF gap-fill: the watermarked daily stream maintains
     * the per-(type, day) sparse-reading grid; the carry-forward tail
     * runs as a batch view over that bounded state — sharing
@@ -1001,5 +1014,6 @@ object StreamingQ {
     stAsofLastClick, stCcIncremental, stRateAnomaly, stKsWindowed,
     stKsCountsAppend, stMarkov,
     stSeasonal, stPath, stNsfwRollup, stEntryExit, stAttribution,
-    stQualityMonitor, stAttributionDecay, stCusum, stGapFill, stDbscan)
+    stQualityMonitor, stAttributionDecay, stCusum, stGapFill, stDbscan,
+    stHoltForecast)
 }
