@@ -259,6 +259,34 @@ object Events {
       .orderBy($"window_start", $"event_type")
   }
 
+  /** DISTINCT users per sliding window (1h length, 15min slide) — the
+    * harder sibling of [[qSliding]]'s counts: COUNT(DISTINCT) cannot
+    * map-side-combine as a plain sum, so Spark expands it to the
+    * two-phase (window, user) partial-dedup then per-window count —
+    * state per window stays |distinct users|, never |events|, and the
+    * 4× window replication is a constant factor. The audience metric
+    * (concurrent reach) every rate monitor wants next to raw counts. */
+  val qSlidingDistinct: Spec = Spec(
+    "ev_sliding_distinct",
+    oracle = Some("""
+      SELECT strftime(time_bucket(INTERVAL '15 minutes', ts)
+               - i * INTERVAL '15 minutes', '%Y-%m-%d %H:%M:%S') AS window_start,
+             COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+      FROM events CROSS JOIN unnest(range(0, 4)) AS t(i)
+      GROUP BY window_start
+      ORDER BY window_start""")) { (s, dir) =>
+    import s.implicits._
+    load(s, dir)
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window($"ts_utc", "1 hour", "15 minutes"))
+      .agg(countDistinct($"user_id").as("n_users"),
+        count(lit(1)).as("n_events"))
+      .select(
+        date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        $"n_users", $"n_events")
+      .orderBy($"window_start")
+  }
+
   /** Native session windows (session_window built-in) — must equal the
     * manual lag/cumsum sessionization: start = min ts, end = max ts +
     * the 30-minute gap. */
@@ -2110,6 +2138,85 @@ object Events {
     holtOverDayGrid(dailyCountSpine(s, dir))
   }
 
+  /** Unnormalized Haar wavelet decomposition (Haar 1910; the classic
+    * time-series compression/denoising basis) of each type's first 32
+    * grid days (zero-padded): level-ℓ smooth s[k] = s'[2k] + s'[2k+1],
+    * detail d[k] = s'[2k] − s'[2k+1], five levels down to one approx
+    * coefficient — a big |detail| at level ℓ, offset k localizes a
+    * burst of duration ~2^ℓ days at day k·2^ℓ, the multi-resolution
+    * complement of [[qCusum]]'s single-shift detector. Unnormalized
+    * Haar is pure INTEGER arithmetic, so both engines agree exactly.
+    * Scale shape: five calendar-bounded hash aggregates (32 → 16 → …
+    * → 1 rows per type), each with map-side partials; nothing is
+    * per-event after the first grid build. */
+  val qHaarDaily: Spec = Spec(
+    "ev_haar_daily",
+    oracle = Some(s"""
+      WITH $dailySpineSql,
+      mn AS (SELECT event_type, MIN(d) AS mn FROM grid GROUP BY 1),
+      t0 AS (SELECT g.event_type, g.d - m.mn AS t, g.x
+        FROM grid g JOIN mn m USING (event_type) WHERE g.d - m.mn < 32),
+      sp AS (SELECT m.event_type, u.t
+        FROM mn m CROSS JOIN UNNEST(range(0, 32)) AS u(t)),
+      g32 AS (SELECT sp.event_type, sp.t AS k,
+          CAST(COALESCE(t0.x, 0) AS BIGINT) AS s
+        FROM sp LEFT JOIN t0
+          ON t0.event_type = sp.event_type AND t0.t = sp.t),
+      l1 AS (SELECT event_type, k // 2 AS k, CAST(SUM(s) AS BIGINT) AS s,
+          CAST(SUM(CASE WHEN k % 2 = 0 THEN s ELSE -s END) AS BIGINT) AS d
+        FROM g32 GROUP BY 1, 2),
+      l2 AS (SELECT event_type, k // 2 AS k, CAST(SUM(s) AS BIGINT) AS s,
+          CAST(SUM(CASE WHEN k % 2 = 0 THEN s ELSE -s END) AS BIGINT) AS d
+        FROM l1 GROUP BY 1, 2),
+      l3 AS (SELECT event_type, k // 2 AS k, CAST(SUM(s) AS BIGINT) AS s,
+          CAST(SUM(CASE WHEN k % 2 = 0 THEN s ELSE -s END) AS BIGINT) AS d
+        FROM l2 GROUP BY 1, 2),
+      l4 AS (SELECT event_type, k // 2 AS k, CAST(SUM(s) AS BIGINT) AS s,
+          CAST(SUM(CASE WHEN k % 2 = 0 THEN s ELSE -s END) AS BIGINT) AS d
+        FROM l3 GROUP BY 1, 2),
+      l5 AS (SELECT event_type, k // 2 AS k, CAST(SUM(s) AS BIGINT) AS s,
+          CAST(SUM(CASE WHEN k % 2 = 0 THEN s ELSE -s END) AS BIGINT) AS d
+        FROM l4 GROUP BY 1, 2)
+      SELECT event_type, CAST(level AS BIGINT) AS level,
+        CAST(k AS BIGINT) AS k, CAST(coeff AS BIGINT) AS coeff
+      FROM (
+        SELECT event_type, 0 AS level, k, s AS coeff FROM l5
+        UNION ALL SELECT event_type, 5, k, d FROM l5
+        UNION ALL SELECT event_type, 4, k, d FROM l4
+        UNION ALL SELECT event_type, 3, k, d FROM l3
+        UNION ALL SELECT event_type, 2, k, d FROM l2
+        UNION ALL SELECT event_type, 1, k, d FROM l1)
+      ORDER BY event_type, level, k""")) { (s, dir) =>
+    import s.implicits._
+    val g = dailyCountSpine(s, dir)
+    val mins = g.groupBy($"event_type").agg(min($"d").as("mn"))
+    val t0 = g.join(mins, "event_type")
+      .select($"event_type", ($"d" - $"mn").as("t"), $"x")
+      .filter($"t" < 32)
+    val spine32 = mins
+      .select($"event_type", explode(sequence(lit(0L), lit(31L))).as("t"))
+    var smooth = spine32.join(t0, Seq("event_type", "t"), "left")
+      .select($"event_type", $"t".as("k"), coalesce($"x", lit(0L)).as("s"))
+    var out: DataFrame = null
+    for (lvl <- 1 to 5) {
+      val paired = smooth.select($"event_type",
+        expr("k div 2").as("k2"),
+        when($"k" % 2 === 0, $"s").otherwise(-$"s").as("sd"), $"s")
+      val nxt = paired.groupBy($"event_type", $"k2")
+        .agg(sum($"s").as("s"), sum($"sd").as("d"))
+      val det = nxt.select($"event_type", lit(lvl.toLong).as("level"),
+        $"k2".as("k"), $"d".as("coeff"))
+      out = if (out == null) det else out.unionAll(det)
+      smooth = nxt.select($"event_type", $"k2".as("k"), $"s")
+    }
+    out
+      .unionAll(smooth.select($"event_type", lit(0L).as("level"),
+        $"k", $"s".as("coeff")))
+      .select($"event_type", $"level", $"k".cast("long").as("k"),
+        $"coeff".cast("long").as("coeff"))
+      .orderBy($"event_type", $"level", $"k")
+  }
+
   /** CUSUM changepoint detection on the per-type daily count series —
     * the sustained-shift detector that complements [[qRateAnomaly]]'s
     * point-outlier z-scores: a level change too small to trip any
@@ -2684,5 +2791,5 @@ object Events {
     qUserConcentration, qInterArrival, qAttribution, qAttributionDecay,
     qRfm, qEntryExit, qAcfDaily, qCusumChangepoint, qGapFill, qDbscanUsers,
     qConcurrencyHourly, qDbscanIncremental, qTheilSen, qSurvivalKm,
-    qZorderLayout, qHoltForecast)
+    qZorderLayout, qHoltForecast, qSlidingDistinct, qHaarDaily)
 }
