@@ -259,6 +259,64 @@ object Events {
       .orderBy($"window_start", $"event_type")
   }
 
+  /** AMS "tug-of-war" second-moment sketch (Alon, Matias & Szegedy '96)
+    * of the user-frequency vector, MEDIAN-OF-MEANS form (the paper's
+    * high-probability construction — the median of raw Z² would sit at
+    * the χ²₁ median, ~0.455·F2): 60 estimators Z_i = Σ_events
+    * sign_i(user), signs = 60 BITS of one md5 per event (the
+    * replayable-hash discipline the LSH family uses; one hash yields
+    * all estimators), est = median over 5 groups of mean(Z², 12 per
+    * group), beside the exact F2 = Σ_u f(u)² for comparison. F2 is the
+    * self-join size — THE statistic a planner wants before joining a
+    * stream on a skewed key — and the sketch computes it in ONE pass
+    * with 60 counters, no per-user grouping, mergeable across
+    * partitions by plain addition (map-side partial sums).
+    * Deterministic signs ⇒ exact oracle, not a bounds gate. */
+  val qAmsF2: Spec = Spec(
+    "ev_ams_f2",
+    oracle = Some {
+      // bit i of the md5 hex: hex char i/4 (1-based substr), bit 3-i%4
+      def bitSql(i: Int) =
+        s"""((CAST('0x' || substr(h, ${i / 4 + 1}, 1) AS INT) >> ${3 - i % 4}) & 1)"""
+      val bitSums = (0 until 60).map(i =>
+        s"CAST(SUM(${bitSql(i)}) AS BIGINT) AS b$i").mkString(", ")
+      val zs = (0 until 60).map(i => s"(2*b$i - n)*(2*b$i - n)")
+      val groups = zs.grouped(12).zipWithIndex.map { case (g, j) =>
+        s"(${g.mkString(" + ")}) // 12 AS g$j" }.mkString(", ")
+      s"""
+      WITH e AS (SELECT md5('ams_' || user_id::VARCHAR) AS h FROM events),
+      bs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, $bitSums FROM e),
+      gm AS (SELECT $groups FROM bs),
+      med AS (SELECT gv AS est FROM (
+          SELECT gv, row_number() OVER (ORDER BY gv) AS rn
+          FROM (SELECT unnest([g0, g1, g2, g3, g4]) AS gv FROM gm))
+        WHERE rn = 3),
+      ex AS (SELECT CAST(SUM(c * c) AS BIGINT) AS exact_f2,
+          CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM (SELECT COUNT(*) AS c FROM events GROUP BY user_id))
+      SELECT CAST(med.est AS BIGINT) AS est_f2, ex.exact_f2, ex.n_users
+      FROM med CROSS JOIN ex"""
+    }) { (s, dir) =>
+    import s.implicits._
+    val ev = load(s, dir)
+      .select(md5(concat(lit("ams_"), $"user_id".cast("string"))).as("h"))
+    def bit(i: Int) =
+      shiftright(conv(substring($"h", i / 4 + 1, 1), 16, 10).cast("int"),
+        3 - i % 4).bitwiseAND(1)
+    val bitSums = count(lit(1)).as("n") +:
+      (0 until 60).map(i => sum(bit(i)).cast("long").as(s"b$i"))
+    val bs = ev.agg(bitSums.head, bitSums.tail: _*)
+    val groupMeans = (0 until 5).map(j =>
+      expr(s"(${(0 until 12).map(i => s"((2*b${j * 12 + i} - n)*(2*b${j * 12 + i} - n))").mkString(" + ")}) div 12").as(s"g$j"))
+    val est = bs.select(groupMeans: _*)
+      .select(element_at(sort_array(array((0 until 5).map(j =>
+        col(s"g$j")): _*)), 3).as("est_f2"))
+    val ex = load(s, dir).groupBy($"user_id").agg(count(lit(1)).as("c"))
+      .agg(sum($"c" * $"c").cast("long").as("exact_f2"),
+        count(lit(1)).as("n_users"))
+    est.crossJoin(broadcast(ex))
+  }
+
   /** DISTINCT users per sliding window (1h length, 15min slide) — the
     * harder sibling of [[qSliding]]'s counts: COUNT(DISTINCT) cannot
     * map-side-combine as a plain sum, so Spark expands it to the
@@ -2791,5 +2849,5 @@ object Events {
     qUserConcentration, qInterArrival, qAttribution, qAttributionDecay,
     qRfm, qEntryExit, qAcfDaily, qCusumChangepoint, qGapFill, qDbscanUsers,
     qConcurrencyHourly, qDbscanIncremental, qTheilSen, qSurvivalKm,
-    qZorderLayout, qHoltForecast, qSlidingDistinct, qHaarDaily)
+    qZorderLayout, qHoltForecast, qSlidingDistinct, qHaarDaily, qAmsF2)
 }
