@@ -2196,6 +2196,99 @@ object Events {
     holtOverDayGrid(dailyCountSpine(s, dir))
   }
 
+  /** Burst detection as a 2-state Viterbi decode (Kleinberg '02,
+    * "Bursty and hierarchical structure in streams", the 2-state
+    * automaton): state 0 emits at the series' mean rate r, state 1 at
+    * 1.15r (tuned to the feed's ±13% daily variation); per-day costs are the Poisson negative log-likelihoods
+    * (constant y! dropped), entering the burst state costs γ = 5e5
+    * micros, leaving is free — the decoded state sequence marks
+    * sustained elevated-rate runs, robust to the single-day spikes
+    * that fool a threshold.
+    *
+    * Engine parity: float work (one ln per state) is rounded to
+    * integer MICROS once per (day, state); the entire DP then runs in
+    * BIGINT compares/adds with an explicit ≤ tie-break, and the argmin
+    * path rides along as a '0'/'1' string — both engines decode the
+    * identical path. Scale shape: the DP folds row-locally over each
+    * type's calendar-bounded array (the [[qHoltForecast]] discipline:
+    * sequential models parallelize BY KEY), costs are one keyed join,
+    * and nothing is per-event after the grid build. */
+  val qBurstViterbi: Spec = Spec(
+    "ev_burst_viterbi",
+    oracle = Some(s"""
+      WITH RECURSIVE $dailySpineSql,
+      r AS (SELECT event_type, CAST(SUM(x) AS DOUBLE) / COUNT(*) AS r0
+        FROM grid GROUP BY 1),
+      mn AS (SELECT event_type, MIN(d) AS mn FROM grid GROUP BY 1),
+      c AS (SELECT g.event_type, g.d - m.mn AS t, g.d, g.x,
+          CAST(round((r.r0 - g.x * ln(r.r0)) * 1000000) AS BIGINT) AS c0,
+          CAST(round((1.15 * r.r0 - g.x * ln(1.15 * r.r0)) * 1000000) AS BIGINT) AS c1
+        FROM grid g JOIN r USING (event_type) JOIN mn m USING (event_type)),
+      tm AS (SELECT event_type, MAX(t) AS tm FROM c GROUP BY 1),
+      dp AS (
+        SELECT event_type, CAST(0 AS BIGINT) AS t, c0 AS v0,
+          c1 + 500000 AS v1, '0' AS p0, '1' AS p1
+        FROM c WHERE t = 0
+        UNION ALL
+        SELECT d.event_type, d.t + 1,
+          c.c0 + CASE WHEN d.v0 <= d.v1 THEN d.v0 ELSE d.v1 END,
+          c.c1 + CASE WHEN d.v0 + 500000 <= d.v1
+                      THEN d.v0 + 500000 ELSE d.v1 END,
+          CASE WHEN d.v0 <= d.v1 THEN d.p0 ELSE d.p1 END || '0',
+          CASE WHEN d.v0 + 500000 <= d.v1 THEN d.p0 ELSE d.p1 END || '1'
+        FROM dp d JOIN c ON c.event_type = d.event_type AND c.t = d.t + 1),
+      fin AS (SELECT dp.event_type,
+          CASE WHEN v0 <= v1 THEN p0 ELSE p1 END AS path
+        FROM dp JOIN tm ON tm.event_type = dp.event_type AND dp.t = tm.tm)
+      SELECT c.event_type, c.d, c.x AS y,
+        CAST(substr(f.path, CAST(c.t AS INT) + 1, 1) AS BIGINT) AS burst
+      FROM c JOIN fin f USING (event_type)
+      ORDER BY event_type, d""")) { (s, dir) =>
+    import s.implicits._
+    val gamma = 500000L
+    val g = dailyCountSpine(s, dir)
+    val r = g.groupBy($"event_type")
+      .agg((sum($"x").cast("double") / count(lit(1))).as("r0"))
+    val mins = g.groupBy($"event_type").agg(min($"d").as("mn"))
+    val c = g.join(r, "event_type").join(mins, "event_type")
+      .select($"event_type", $"d", ($"d" - $"mn").as("t"), $"x",
+        round(($"r0" - $"x" * log($"r0")) * 1e6).cast("long").as("c0"),
+        round((lit(1.15) * $"r0" - $"x" * log(lit(1.15) * $"r0")) * 1e6)
+          .cast("long").as("c1"))
+    val arr = c.groupBy($"event_type")
+      .agg(sort_array(collect_list(struct($"t", $"d", $"x", $"c0", $"c1")))
+        .as("a"))
+    val folded = arr.withColumn("st",
+      aggregate(
+        slice($"a", lit(2), size($"a") - 1),
+        struct(
+          element_at($"a", 1).getField("c0").as("v0"),
+          (element_at($"a", 1).getField("c1") + lit(gamma)).as("v1"),
+          lit("0").as("p0"), lit("1").as("p1")),
+        (acc, e) => struct(
+          (e.getField("c0") +
+            least(acc.getField("v0"), acc.getField("v1"))).as("v0"),
+          (e.getField("c1") +
+            least(acc.getField("v0") + lit(gamma), acc.getField("v1")))
+            .as("v1"),
+          concat(when(acc.getField("v0") <= acc.getField("v1"),
+            acc.getField("p0")).otherwise(acc.getField("p1")), lit("0"))
+            .as("p0"),
+          concat(when(acc.getField("v0") + lit(gamma) <= acc.getField("v1"),
+            acc.getField("p0")).otherwise(acc.getField("p1")), lit("1"))
+            .as("p1"))))
+      .withColumn("path",
+        when($"st.v0" <= $"st.v1", $"st.p0").otherwise($"st.p1"))
+    folded
+      .select($"event_type", explode(transform($"a", (e, i) =>
+        struct(e.getField("d").as("d"), e.getField("x").as("y"),
+          element_at(split($"path", ""), (i + 1).cast("int")).as("b"))))
+        .as("z"))
+      .select($"event_type", $"z.d".as("d"), $"z.y".as("y"),
+        $"z.b".cast("long").as("burst"))
+      .orderBy($"event_type", $"d")
+  }
+
   /** Unnormalized Haar wavelet decomposition (Haar 1910; the classic
     * time-series compression/denoising basis) of each type's first 32
     * grid days (zero-padded): level-ℓ smooth s[k] = s'[2k] + s'[2k+1],
@@ -2849,5 +2942,6 @@ object Events {
     qUserConcentration, qInterArrival, qAttribution, qAttributionDecay,
     qRfm, qEntryExit, qAcfDaily, qCusumChangepoint, qGapFill, qDbscanUsers,
     qConcurrencyHourly, qDbscanIncremental, qTheilSen, qSurvivalKm,
-    qZorderLayout, qHoltForecast, qSlidingDistinct, qHaarDaily, qAmsF2)
+    qZorderLayout, qHoltForecast, qSlidingDistinct, qHaarDaily, qAmsF2,
+    qBurstViterbi)
 }
