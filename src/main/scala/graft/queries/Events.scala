@@ -271,19 +271,48 @@ object Events {
     * stream on a skewed key — and the sketch computes it in ONE pass
     * with 60 counters, no per-user grouping, mergeable across
     * partitions by plain addition (map-side partial sums).
-    * Deterministic signs ⇒ exact oracle, not a bounds gate. */
-  val qAmsF2: Spec = Spec(
-    "ev_ams_f2",
-    oracle = Some {
-      // bit i of the md5 hex: hex char i/4 (1-based substr), bit 3-i%4
-      def bitSql(i: Int) =
-        s"""((CAST('0x' || substr(h, ${i / 4 + 1}, 1) AS INT) >> ${3 - i % 4}) & 1)"""
-      val bitSums = (0 until 60).map(i =>
-        s"CAST(SUM(${bitSql(i)}) AS BIGINT) AS b$i").mkString(", ")
-      val zs = (0 until 60).map(i => s"(2*b$i - n)*(2*b$i - n)")
-      val groups = zs.grouped(12).zipWithIndex.map { case (g, j) =>
-        s"(${g.mkString(" + ")}) // 12 AS g$j" }.mkString(", ")
-      s"""
+    * Deterministic signs ⇒ exact oracle, not a bounds gate.
+    *
+    * The counter aggregation is exposed as [[amsBitSumsAgg]] /
+    * [[amsOverBitSums]] so the streaming twin (st_ams_f2) can maintain
+    * the same 61 counters as a complete-mode streaming aggregate (ONE
+    * state row — the sketch IS the state bound) and run the estimate
+    * as a batch view over it. */
+  def amsBitSumsAgg(ev: DataFrame): DataFrame = {
+    val hashed = ev.select(
+      md5(concat(lit("ams_"), col("user_id").cast("string"))).as("h"))
+    // bit i of the md5 hex: hex char i/4 (1-based substr), bit 3-i%4
+    def bit(i: Int) =
+      shiftright(conv(substring(col("h"), i / 4 + 1, 1), 16, 10).cast("int"),
+        3 - i % 4).bitwiseAND(1)
+    val bitSums = count(lit(1)).as("n") +:
+      (0 until 60).map(i => sum(bit(i)).cast("long").as(s"b$i"))
+    hashed.agg(bitSums.head, bitSums.tail: _*)
+  }
+
+  def amsOverBitSums(bs: DataFrame, ev: DataFrame): DataFrame = {
+    val groupMeans = (0 until 5).map(j =>
+      expr(s"(${(0 until 12).map(i =>
+        s"((2*b${j * 12 + i} - n)*(2*b${j * 12 + i} - n))").mkString(" + ")
+      }) div 12").as(s"g$j"))
+    val est = bs.select(groupMeans: _*)
+      .select(element_at(sort_array(array((0 until 5).map(j =>
+        col(s"g$j")): _*)), 3).as("est_f2"))
+    val ex = ev.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).cast("long").as("exact_f2"),
+        count(lit(1)).as("n_users"))
+    est.crossJoin(broadcast(ex))
+  }
+
+  val amsOracleSql: String = {
+    def bitSql(i: Int) =
+      s"""((CAST('0x' || substr(h, ${i / 4 + 1}, 1) AS INT) >> ${3 - i % 4}) & 1)"""
+    val bitSums = (0 until 60).map(i =>
+      s"CAST(SUM(${bitSql(i)}) AS BIGINT) AS b$i").mkString(", ")
+    val zs = (0 until 60).map(i => s"(2*b$i - n)*(2*b$i - n)")
+    val groups = zs.grouped(12).zipWithIndex.map { case (g, j) =>
+      s"(${g.mkString(" + ")}) // 12 AS g$j" }.mkString(", ")
+    s"""
       WITH e AS (SELECT md5('ams_' || user_id::VARCHAR) AS h FROM events),
       bs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, $bitSums FROM e),
       gm AS (SELECT $groups FROM bs),
@@ -296,25 +325,12 @@ object Events {
         FROM (SELECT COUNT(*) AS c FROM events GROUP BY user_id))
       SELECT CAST(med.est AS BIGINT) AS est_f2, ex.exact_f2, ex.n_users
       FROM med CROSS JOIN ex"""
-    }) { (s, dir) =>
-    import s.implicits._
-    val ev = load(s, dir)
-      .select(md5(concat(lit("ams_"), $"user_id".cast("string"))).as("h"))
-    def bit(i: Int) =
-      shiftright(conv(substring($"h", i / 4 + 1, 1), 16, 10).cast("int"),
-        3 - i % 4).bitwiseAND(1)
-    val bitSums = count(lit(1)).as("n") +:
-      (0 until 60).map(i => sum(bit(i)).cast("long").as(s"b$i"))
-    val bs = ev.agg(bitSums.head, bitSums.tail: _*)
-    val groupMeans = (0 until 5).map(j =>
-      expr(s"(${(0 until 12).map(i => s"((2*b${j * 12 + i} - n)*(2*b${j * 12 + i} - n))").mkString(" + ")}) div 12").as(s"g$j"))
-    val est = bs.select(groupMeans: _*)
-      .select(element_at(sort_array(array((0 until 5).map(j =>
-        col(s"g$j")): _*)), 3).as("est_f2"))
-    val ex = load(s, dir).groupBy($"user_id").agg(count(lit(1)).as("c"))
-      .agg(sum($"c" * $"c").cast("long").as("exact_f2"),
-        count(lit(1)).as("n_users"))
-    est.crossJoin(broadcast(ex))
+  }
+
+  val qAmsF2: Spec = Spec(
+    "ev_ams_f2",
+    oracle = Some(amsOracleSql)) { (s, dir) =>
+    amsOverBitSums(amsBitSumsAgg(load(s, dir)), load(s, dir))
   }
 
   /** DISTINCT users per sliding window (1h length, 15min slide) — the

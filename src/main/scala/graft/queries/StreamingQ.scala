@@ -743,6 +743,20 @@ object StreamingQ {
       StreamOps.dailyTypeCounts(s, dir, sink = "st_holt_mem")))
   }
 
+  /** STREAMING AMS F2: the 61 tug-of-war counters run as ONE
+    * complete-mode global aggregate (state = one row, mergeable by
+    * addition across batches); the median-of-means estimate is a
+    * batch view — sharing [[Events.amsOverBitSums]] and the exact
+    * oracle with ev_ams_f2. The canonical "sketch as streaming state"
+    * shape: constant state for an unbounded stream. */
+  val stAmsF2: Spec = Spec(
+    "st_ams_f2",
+    oracle = Some(Events.amsOracleSql)) { (s, dir) =>
+    Events.amsOverBitSums(
+      StreamOps.amsBitSums(s, dir),
+      Events.load(s, dir))
+  }
+
   /** STREAMING LOCF gap-fill: the watermarked daily stream maintains
     * the per-(type, day) sparse-reading grid; the carry-forward tail
     * runs as a batch view over that bounded state — sharing
@@ -1015,5 +1029,5 @@ object StreamingQ {
     stKsCountsAppend, stMarkov,
     stSeasonal, stPath, stNsfwRollup, stEntryExit, stAttribution,
     stQualityMonitor, stAttributionDecay, stCusum, stGapFill, stDbscan,
-    stHoltForecast)
+    stHoltForecast, stAmsF2)
 }

@@ -268,6 +268,18 @@ object StreamOps {
   def statefulSessions(s: SparkSession, dir: String): DataFrame =
     sessionsFrom(s, eventsStream(s, dir), "st_sessions_mem")
 
+  /** AMS F2 sketch as a STREAMING aggregate: the 61 tug-of-war
+    * counters ([[graft.queries.Events.amsBitSumsAgg]]) run as one
+    * complete-mode global aggregation — state is exactly ONE row of 61
+    * BIGINTs no matter how long the stream runs (the sketch IS the
+    * state bound; counters merge across batches by plain addition).
+    * The median-of-means estimate runs as a batch view over that row
+    * (st_ams_f2). */
+  def amsBitSums(s: SparkSession, dir: String,
+      sink: String = "st_ams_mem"): DataFrame =
+    runToTable(s, graft.queries.Events.amsBitSumsAgg(eventsStream(s, dir)),
+      sink, "complete")
+
   /** NATIVE session windows (session_window built-in) in APPEND mode —
     * the declarative twin of [[statefulSessions]]' hand-rolled state
     * machine, and the unbounded-runtime shape: Spark's session state
