@@ -568,6 +568,52 @@ object Dedup {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Edit-distance VERIFICATION of the simhash candidates — the
+    * record-linkage "block, then verify" discipline applied to full
+    * text: banded-simhash candidates (pigeonhole recall 1 at hamming
+    * ≤ 3, star-capped) re-checked with BOUNDED Levenshtein via Spark's
+    * 3-arg levenshtein(l, r, k), which abandons a pair the moment the
+    * distance provably exceeds k — O(k·n) band DP per pair instead of
+    * the O(n·m) full matrix, the difference between feasible and not
+    * when texts are documents rather than names. Only candidate pairs
+    * ever reach the verifier (never a quadratic text comparison), so
+    * the expensive step rides the capped bucket scaffold. Oracle
+    * replays the signatures and states the equivalent full-distance
+    * filter. */
+  val ddEditVerified: Spec = Spec(
+    "dd_edit_verified",
+    oracle = Some(s"""
+      WITH hs AS (
+        SELECT doc_id, list_transform(string_split(text,' '),
+          t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+        FROM documents),
+      sh AS (SELECT doc_id, ${simhash60Sql("hs")} AS sh FROM hs),
+      cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 3)
+      SELECT c.id_a, c.id_b, c.hamming,
+        CAST(levenshtein(da.text, db.text) AS INT) AS lev
+      FROM cand c JOIN documents da ON da.doc_id = c.id_a
+        JOIN documents db ON db.doc_id = c.id_b
+      WHERE levenshtein(da.text, db.text) <= 6
+      ORDER BY id_a, id_b""")) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val hashed = docs
+      .withColumn("toks", Text.tokens($"text"))
+      .withColumn("hs", SimHash.md5TokenHashes("toks"))
+      .select($"doc_id".as("id"), SimHash.simhashFromHashes("hs", 60).as("sh"))
+    SimHash.neardupPairsBanded(hashed, maxHamming = 3, totalBits = 60,
+        maxBucket = 1000)
+      .join(docs.select($"doc_id".as("id_a"), $"text".as("ta")), Seq("id_a"))
+      .join(docs.select($"doc_id".as("id_b"), $"text".as("tb")), Seq("id_b"))
+      .withColumn("lev", levenshtein($"ta", $"tb", 6))
+      .filter($"lev" >= 0) // 3-arg levenshtein returns -1 past the bound
+      .select($"id_a", $"id_b", $"hamming", $"lev".cast("int").as("lev"))
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** Benchmark decontamination (standard LLM-training hygiene): flag
     * training docs sharing any 5-gram with a benchmark/eval set. The
     * benchmark here is a deterministic slice of the corpus (doc_id %
@@ -1959,7 +2005,8 @@ object Dedup {
     ddCcIncremental, ddPairDiffSpans,
     ddJaccardBlockPairs, ddExactHash, ddExactIncremental, ddBloomIncremental,
     ddCappedStarPairs,
-    ddSimhashMd5, ddSimhashMd5Pairs, ddDecontaminate, ddDecontaminateSpans,
+    ddSimhashMd5, ddSimhashMd5Pairs, ddEditVerified,
+    ddDecontaminate, ddDecontaminateSpans,
     ddDupSpans,
     ddDupSpanRemoval, ddClusterRepresentatives, ddDedupReport,
     ddCrossSourceOverlap, ddWinnowPairs, ddWinnowClusters, ddNoveltyScores,
