@@ -2260,9 +2260,15 @@ object Events {
         CAST(substr(f.path, CAST(c.t AS INT) + 1, 1) AS BIGINT) AS burst
       FROM c JOIN fin f USING (event_type)
       ORDER BY event_type, d""")) { (s, dir) =>
-    import s.implicits._
+    burstDecodeOverGrid(dailyCountSpine(s, dir))
+  }
+
+  /** The Viterbi decode behind [[qBurstViterbi]], over any
+    * (event_type, d, x) grid — exposed so tests can pin the decode on
+    * hand-built series independent of the oracle. */
+  def burstDecodeOverGrid(g: DataFrame): DataFrame = {
+    import g.sparkSession.implicits._
     val gamma = 500000L
-    val g = dailyCountSpine(s, dir)
     val r = g.groupBy($"event_type")
       .agg((sum($"x").cast("double") / count(lit(1))).as("r0"))
     val mins = g.groupBy($"event_type").agg(min($"d").as("mn"))

@@ -517,6 +517,7 @@ object Relational {
     * brands co-occur MORE than independence predicts. */
   val qMarketBasket: Spec = Spec(
     "q_market_basket",
+    bench = true,
     oracle = Some("""
       WITH b AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS br
         FROM lineitem JOIN part ON l_partkey = p_partkey),

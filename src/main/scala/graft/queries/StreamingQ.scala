@@ -743,6 +743,35 @@ object StreamingQ {
       StreamOps.dailyTypeCounts(s, dir, sink = "st_holt_mem")))
   }
 
+  /** STREAMING t-digest quantiles: one mergeable digest per event type
+    * as complete-mode state (≤ δ centroids each, forever), partial
+    * digests merging across batches exactly as across partitions; the
+    * rank-tolerance gate is a batch counting pass against the streamed
+    * estimates (the q_tdigest_quantiles discipline — parallel-sketch
+    * estimates depend on merge order, so the gate bounds RANK, not
+    * value). */
+  val stTdigest: Spec = Spec(
+    "st_tdigest",
+    oracle = Some("""
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        TRUE AS p50_ok, TRUE AS p95_ok
+      FROM events GROUP BY event_type ORDER BY event_type""")) { (s, dir) =>
+    import s.implicits._
+    val sk = StreamOps.tdigestValueQuantiles(s, dir)
+      .select($"event_type", $"est".getItem(0).as("e50"),
+        $"est".getItem(1).as("e95"))
+    val ev = Events.load(s, dir)
+    ev.join(broadcast(sk), Seq("event_type"))
+      .groupBy($"event_type").agg(
+        count(lit(1)).as("n"),
+        sum(when($"value" < $"e50", 1L).otherwise(0L)).as("c50"),
+        sum(when($"value" < $"e95", 1L).otherwise(0L)).as("c95"))
+      .select($"event_type", $"n",
+        ($"c50" >= $"n" * 0.47 && $"c50" <= $"n" * 0.53).as("p50_ok"),
+        ($"c95" >= $"n" * 0.92 && $"c95" <= $"n" * 0.98).as("p95_ok"))
+      .orderBy($"event_type")
+  }
+
   /** STREAMING AMS F2: the 61 tug-of-war counters run as ONE
     * complete-mode global aggregate (state = one row, mergeable by
     * addition across batches); the median-of-means estimate is a
@@ -1029,5 +1058,5 @@ object StreamingQ {
     stKsCountsAppend, stMarkov,
     stSeasonal, stPath, stNsfwRollup, stEntryExit, stAttribution,
     stQualityMonitor, stAttributionDecay, stCusum, stGapFill, stDbscan,
-    stHoltForecast, stAmsF2)
+    stHoltForecast, stAmsF2, stTdigest)
 }

@@ -280,6 +280,24 @@ object StreamOps {
     runToTable(s, graft.queries.Events.amsBitSumsAgg(eventsStream(s, dir)),
       sink, "complete")
 
+  /** t-digest quantiles as STREAMING state: the mergeable sketch
+    * ([[graft.ops.TDigest]]) runs inside a complete-mode per-type
+    * aggregation — state per group is one digest (≤ δ centroids no
+    * matter how long the stream runs), partial digests merge across
+    * batches exactly like across partitions. Emits (event_type, est
+    * p50, est p95); the rank-tolerance check is the caller's batch
+    * view (st_tdigest). */
+  def tdigestValueQuantiles(s: SparkSession, dir: String,
+      sink: String = "st_td_mem"): DataFrame = {
+    val tdq = org.apache.spark.sql.functions.udaf(
+      graft.ops.TDigest.aggregator(Seq(0.5, 0.95)),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    val agg = eventsStream(s, dir)
+      .groupBy(col("event_type"))
+      .agg(tdq(col("value")).as("est"))
+    runToTable(s, agg, sink, "complete")
+  }
+
   /** NATIVE session windows (session_window built-in) in APPEND mode —
     * the declarative twin of [[statefulSessions]]' hand-rolled state
     * machine, and the unbounded-runtime shape: Spark's session state
