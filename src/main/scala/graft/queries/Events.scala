@@ -2212,6 +2212,112 @@ object Events {
     holtOverDayGrid(dailyCountSpine(s, dir))
   }
 
+  /** Holt-Winters ADDITIVE-SEASONAL smoothing (Winters '60, period 7 —
+    * the weekly cycle [[qAcfDaily]] detects) over the same grid,
+    * forecasting the next 7 days with level + trend + day-of-week
+    * seasonal terms, α = β = γ = 1/2:
+    * l_t = (y_t − s_{t−7})/2 + (l+b)/2, b_t = (l_t − l)/2 + b/2,
+    * s_t = (y_t − l_t)/2 + s_{t−7}/2; init l = mean(week 1),
+    * b = (mean(week 2) − mean(week 1))/7, s_i = y_i − l.
+    *
+    * Same IEEE-determinism parity as [[holtOverDayGrid]]: the week
+    * means are exact-integer sums divided once, every recurrence step
+    * is identical fixed-order double ops in both engines, and the
+    * seasonal state travels as a ROTATING 7-slot buffer (head = the
+    * s_{t−7} the next step consumes, so forecasts read slot h
+    * directly). The oracle's recursive CTE carries the same buffer as
+    * seven rotating columns. Scale shape: per-key row-local fold, like
+    * every sequential model here. */
+  val qHoltWinters: Spec = Spec(
+    "ev_holt_winters",
+    oracle = Some(s"""
+      WITH RECURSIVE $dailySpineSql,
+      mn AS (SELECT event_type, MIN(d) AS mn FROM grid GROUP BY 1),
+      idx AS (SELECT g.event_type, g.d - m.mn AS t, CAST(g.x AS DOUBLE) AS y,
+          g.x AS xi
+        FROM grid g JOIN mn m ON m.event_type = g.event_type),
+      tmax AS (SELECT event_type, MAX(t) AS tm FROM idx GROUP BY 1),
+      ini AS (SELECT event_type,
+          CAST(SUM(xi) FILTER (WHERE t < 7) AS DOUBLE) / 7 AS l0,
+          (CAST(SUM(xi) FILTER (WHERE t >= 7 AND t < 14) AS DOUBLE)
+            - CAST(SUM(xi) FILTER (WHERE t < 7) AS DOUBLE)) / 49 AS b0
+        FROM idx GROUP BY 1),
+      hw AS (
+        SELECT i.event_type, CAST(6 AS BIGINT) AS t, ini.l0 AS l, ini.b0 AS b,
+          MAX(CASE WHEN i.t = 0 THEN i.y END) - ini.l0 AS s0,
+          MAX(CASE WHEN i.t = 1 THEN i.y END) - ini.l0 AS s1,
+          MAX(CASE WHEN i.t = 2 THEN i.y END) - ini.l0 AS s2,
+          MAX(CASE WHEN i.t = 3 THEN i.y END) - ini.l0 AS s3,
+          MAX(CASE WHEN i.t = 4 THEN i.y END) - ini.l0 AS s4,
+          MAX(CASE WHEN i.t = 5 THEN i.y END) - ini.l0 AS s5,
+          MAX(CASE WHEN i.t = 6 THEN i.y END) - ini.l0 AS s6
+        FROM idx i JOIN ini ON ini.event_type = i.event_type
+        WHERE i.t < 7
+        GROUP BY i.event_type, ini.l0, ini.b0
+        UNION ALL
+        SELECT h.event_type, h.t + 1,
+          0.5 * (i.y - h.s0) + 0.5 * (h.l + h.b),
+          0.5 * ((0.5 * (i.y - h.s0) + 0.5 * (h.l + h.b)) - h.l) + 0.5 * h.b,
+          h.s1, h.s2, h.s3, h.s4, h.s5, h.s6,
+          0.5 * (i.y - (0.5 * (i.y - h.s0) + 0.5 * (h.l + h.b))) + 0.5 * h.s0
+        FROM hw h JOIN idx i
+          ON i.event_type = h.event_type AND i.t = h.t + 1),
+      fin AS (SELECT h.* FROM hw h
+        JOIN tmax m ON m.event_type = h.event_type AND h.t = m.tm)
+      SELECT event_type, CAST(u.hh AS BIGINT) AS h,
+        CAST(FLOOR((l + u.hh * b +
+          CASE u.hh WHEN 1 THEN s0 WHEN 2 THEN s1 WHEN 3 THEN s2
+            WHEN 4 THEN s3 WHEN 5 THEN s4 WHEN 6 THEN s5 ELSE s6 END)
+          * 1000000) AS BIGINT) AS forecast_micros
+      FROM fin CROSS JOIN UNNEST(range(1, 8)) AS u(hh)
+      ORDER BY event_type, h""")) { (s, dir) =>
+    holtWintersOverGrid(dailyCountSpine(s, dir))
+  }
+
+  /** The Holt-Winters fold behind [[qHoltWinters]], over any
+    * (event_type, d, x) grid — exposed for hand-vector tests. */
+  def holtWintersOverGrid(grid: DataFrame): DataFrame = {
+    import grid.sparkSession.implicits._
+    val series = grid
+      .groupBy($"event_type")
+      .agg(sort_array(collect_list(struct($"d", $"x"))).as("sv"))
+      .select($"event_type",
+        transform($"sv", e => e.getField("x")).as("xs"))
+      .filter(size($"xs") >= 14)
+    def weekSum(c: org.apache.spark.sql.Column, from: Int) =
+      aggregate(slice(c, lit(from), lit(7)), lit(0L), (a, e) => a + e)
+        .cast("double")
+    val init = series
+      .withColumn("l0", weekSum($"xs", 1) / 7)
+      .withColumn("b0", (weekSum($"xs", 8) - weekSum($"xs", 1)) / 49)
+      .withColumn("sinit", transform(slice($"xs", lit(1), lit(7)),
+        e => e.cast("double") - $"l0"))
+    val folded = init.withColumn("st",
+      aggregate(
+        slice($"xs", lit(8), size($"xs") - 7),
+        struct($"l0".as("l"), $"b0".as("b"), $"sinit".as("s")),
+        (acc, xi) => {
+          val y = xi.cast("double")
+          val l = acc.getField("l"); val b = acc.getField("b")
+          val sArr = acc.getField("s")
+          val head = element_at(sArr, 1)
+          def nl = lit(0.5) * (y - head) + lit(0.5) * (l + b)
+          struct(
+            nl.as("l"),
+            (lit(0.5) * (nl - l) + lit(0.5) * b).as("b"),
+            concat(slice(sArr, 2, 6),
+              array(lit(0.5) * (y - nl) + lit(0.5) * head)).as("s"))
+        }))
+    folded
+      .select($"event_type", $"st.l".as("l"), $"st.b".as("b"),
+        $"st.s".as("sa"), explode(sequence(lit(1L), lit(7L))).as("h"))
+      .select($"event_type", $"h",
+        floor(($"l" + $"h" * $"b" +
+          element_at($"sa", $"h".cast("int"))) * 1e6)
+          .cast("long").as("forecast_micros"))
+      .orderBy($"event_type", $"h")
+  }
+
   /** Burst detection as a 2-state Viterbi decode (Kleinberg '02,
     * "Bursty and hierarchical structure in streams", the 2-state
     * automaton): state 0 emits at the series' mean rate r, state 1 at
@@ -2965,5 +3071,5 @@ object Events {
     qRfm, qEntryExit, qAcfDaily, qCusumChangepoint, qGapFill, qDbscanUsers,
     qConcurrencyHourly, qDbscanIncremental, qTheilSen, qSurvivalKm,
     qZorderLayout, qHoltForecast, qSlidingDistinct, qHaarDaily, qAmsF2,
-    qBurstViterbi)
+    qBurstViterbi, qHoltWinters)
 }

@@ -37,6 +37,21 @@ class SignalSpec extends AnyFunSuite {
     assert(got == "0000000000", s"decoded $got")
   }
 
+  test("Holt-Winters: a pure weekly pattern is reproduced exactly") {
+    // y_t = 100 + p[t%7] with a zero-sum pattern: the init lands
+    // exactly on-model (l=100, b=0, s=p), every recurrence step is
+    // then invariant, so forecasts equal 100 + p[(T+h)%7] to the bit
+    val p = Seq(3L, -1L, 4L, -1L, -5L, 9L, -9L)
+    val xs = (0 until 21).map(t => ("a", t.toLong, 100L + p(t % 7)))
+    val grid = xs.toDF("event_type", "d", "x")
+    val fc = Events.holtWintersOverGrid(grid)
+      .orderBy($"h").as[(String, Long, Long)].collect()
+    fc.foreach { case (_, h, v) =>
+      assert(v == (100L + p(((20 + h) % 7).toInt)) * 1000000L,
+        s"h=$h forecast=$v")
+    }
+  }
+
   test("Holt fold: a perfectly linear series forecasts the exact line") {
     // y_t = 5 + 3t: with l0=y0, b0=y1-y0 the recurrence is exact at
     // every step (l_t = y_t, b_t = 3), so forecasts are 5+3(T+h)
