@@ -2228,9 +2228,7 @@ object Events {
     * directly). The oracle's recursive CTE carries the same buffer as
     * seven rotating columns. Scale shape: per-key row-local fold, like
     * every sequential model here. */
-  val qHoltWinters: Spec = Spec(
-    "ev_holt_winters",
-    oracle = Some(s"""
+  val holtWintersOracleSql: String = s"""
       WITH RECURSIVE $dailySpineSql,
       mn AS (SELECT event_type, MIN(d) AS mn FROM grid GROUP BY 1),
       idx AS (SELECT g.event_type, g.d - m.mn AS t, CAST(g.x AS DOUBLE) AS y,
@@ -2270,7 +2268,11 @@ object Events {
             WHEN 4 THEN s3 WHEN 5 THEN s4 WHEN 6 THEN s5 ELSE s6 END)
           * 1000000) AS BIGINT) AS forecast_micros
       FROM fin CROSS JOIN UNNEST(range(1, 8)) AS u(hh)
-      ORDER BY event_type, h""")) { (s, dir) =>
+      ORDER BY event_type, h"""
+
+  val qHoltWinters: Spec = Spec(
+    "ev_holt_winters",
+    oracle = Some(holtWintersOracleSql)) { (s, dir) =>
     holtWintersOverGrid(dailyCountSpine(s, dir))
   }
 
@@ -2335,9 +2337,7 @@ object Events {
     * type's calendar-bounded array (the [[qHoltForecast]] discipline:
     * sequential models parallelize BY KEY), costs are one keyed join,
     * and nothing is per-event after the grid build. */
-  val qBurstViterbi: Spec = Spec(
-    "ev_burst_viterbi",
-    oracle = Some(s"""
+  val burstOracleSql: String = s"""
       WITH RECURSIVE $dailySpineSql,
       r AS (SELECT event_type, CAST(SUM(x) AS DOUBLE) / COUNT(*) AS r0
         FROM grid GROUP BY 1),
@@ -2365,7 +2365,11 @@ object Events {
       SELECT c.event_type, c.d, c.x AS y,
         CAST(substr(f.path, CAST(c.t AS INT) + 1, 1) AS BIGINT) AS burst
       FROM c JOIN fin f USING (event_type)
-      ORDER BY event_type, d""")) { (s, dir) =>
+      ORDER BY event_type, d"""
+
+  val qBurstViterbi: Spec = Spec(
+    "ev_burst_viterbi",
+    oracle = Some(burstOracleSql)) { (s, dir) =>
     burstDecodeOverGrid(dailyCountSpine(s, dir))
   }
 

@@ -786,6 +786,27 @@ object StreamingQ {
       Events.load(s, dir))
   }
 
+  /** STREAMING burst detection: the same watermarked per-(type, day)
+    * count grid, with the Viterbi decode ([[Events
+    * .burstDecodeOverGrid]]) as a batch view over the bounded state —
+    * sharing the exact oracle with ev_burst_viterbi. */
+  val stBurstViterbi: Spec = Spec(
+    "st_burst_viterbi",
+    oracle = Some(Events.burstOracleSql)) { (s, dir) =>
+    Events.burstDecodeOverGrid(Events.spineFill(
+      StreamOps.dailyTypeCounts(s, dir, sink = "st_burst_mem")))
+  }
+
+  /** STREAMING Holt-Winters: seasonal forecast as a batch view over
+    * the streamed day grid — sharing [[Events.holtWintersOverGrid]]
+    * and the oracle with ev_holt_winters. */
+  val stHoltWinters: Spec = Spec(
+    "st_holt_winters",
+    oracle = Some(Events.holtWintersOracleSql)) { (s, dir) =>
+    Events.holtWintersOverGrid(Events.spineFill(
+      StreamOps.dailyTypeCounts(s, dir, sink = "st_hw_mem")))
+  }
+
   /** STREAMING LOCF gap-fill: the watermarked daily stream maintains
     * the per-(type, day) sparse-reading grid; the carry-forward tail
     * runs as a batch view over that bounded state — sharing
@@ -1058,5 +1079,5 @@ object StreamingQ {
     stKsCountsAppend, stMarkov,
     stSeasonal, stPath, stNsfwRollup, stEntryExit, stAttribution,
     stQualityMonitor, stAttributionDecay, stCusum, stGapFill, stDbscan,
-    stHoltForecast, stAmsF2, stTdigest)
+    stHoltForecast, stAmsF2, stTdigest, stBurstViterbi, stHoltWinters)
 }
