@@ -261,6 +261,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("market basket: brand counts broadcast onto pairs; no cartesian; " +
+      "basket frame built once (checkpoint) for the self-join") {
+    val p = plan("q_market_basket")
+    // the brand-count and n_orders frames are |brands|- and 1-row sized:
+    // they must ride broadcasts, never shuffle the 300-row pair frame wide
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "bounded count frames must broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the self-join input is the checkpointed basket build — the plan
+    // scans the RDD twice, it never recomputes the lineitem⋈part join
+    assert(!p.contains("p_partkey"),
+      "basket build must be materialized once, not re-derived per side:\n" + p)
+  }
+
   test("shard packing: offsets broadcast, no sort-merge join, no global window") {
     val p = plan("d_shard_packing")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
