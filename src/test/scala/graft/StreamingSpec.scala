@@ -10,6 +10,20 @@ class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("streaming sketch state is the SKETCH, not the data: one row for " +
+      "AMS, one digest per type for t-digest") {
+    StreamOps.amsBitSums(spark, TestSpark.Sf, sink = "st_ams_state_probe")
+      .collect()
+    assert(StreamOps.lastStateRows.contains(1L),
+      s"AMS global agg must hold exactly one state row: ${StreamOps.lastStateRows}")
+    val types = Events.load(spark, TestSpark.Sf)
+      .select("event_type").distinct().count()
+    StreamOps.tdigestValueQuantiles(spark, TestSpark.Sf,
+      sink = "st_td_state_probe").collect()
+    assert(StreamOps.lastStateRows.contains(types),
+      s"t-digest agg must hold one digest per type ($types): ${StreamOps.lastStateRows}")
+  }
+
   test("streaming tumbling counts == batch tumbling counts") {
     val streamed = StreamOps.tumblingCounts(spark, TestSpark.Sf)
       .as[(String, String, Long)].collect().toSet
