@@ -599,6 +599,69 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** EXACT distributed quantiles WITHOUT a global sort — the classic
+    * two-pass selection (histogram, then bin-local rank): pass 1 bins
+    * every price into 1024 buckets per flag (one hash agg), the
+    * cumulative bin counts locate the bucket holding each target rank,
+    * pass 2 ranks ONLY that bucket's rows (a window over ~n/1024 rows
+    * per flag, never the whole table). The exact complement of
+    * [[qTdigest]]: same answer a full sort would give, at two scans +
+    * one tiny window. The oracle computes the rank-r values directly
+    * (row_number over each flag) — equality proves the selection
+    * algorithm, not a shared code path. Ranks: lower median
+    * r = (n+1)÷2 and p99 r = ceil(99n/100) = (99n+99)÷100. */
+  val qExactQuantile2Pass: Spec = Spec(
+    "q_exact_quantile_2pass",
+    oracle = Some("""
+      WITH r AS (SELECT l_returnflag AS flag, l_extendedprice AS v,
+          row_number() OVER (PARTITION BY l_returnflag
+            ORDER BY l_extendedprice) AS rn,
+          COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem)
+      SELECT flag, CAST(MAX(n) AS BIGINT) AS n,
+        MAX(CASE WHEN rn = (n + 1) // 2 THEN v END) AS median,
+        MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN v END) AS p99
+      FROM r GROUP BY flag ORDER BY flag""")) { (s, dir) =>
+    import s.implicits._
+    val li = Tables.load(s, dir, "lineitem")
+      .select($"l_returnflag".as("flag"), $"l_extendedprice".as("v"))
+      .localCheckpoint() // two passes over one materialization
+    val stats = li.groupBy($"flag")
+      .agg(count(lit(1)).as("n"), min($"v").as("mn"), max($"v").as("mx"))
+    def binOf(v: org.apache.spark.sql.Column, mn: org.apache.spark.sql.Column,
+        mx: org.apache.spark.sql.Column) =
+      when(mx === mn, lit(0L)).otherwise(
+        least(floor((v - mn) / (mx - mn) * 1024), lit(1023L)).cast("long"))
+    val binned = li.join(broadcast(stats), "flag")
+      .select($"flag", $"v", binOf($"v", $"mn", $"mx").as("bin"))
+    val counts = binned.groupBy($"flag", $"bin")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum($"cnt").over(
+        Window.partitionBy($"flag").orderBy($"bin")))
+      .withColumn("prev", $"cum" - $"cnt")
+      .join(broadcast(stats.select($"flag", $"n")), "flag")
+      .localCheckpoint() // 1024 rows/flag: locates both target buckets
+    // one row per (flag, target): which bucket holds the rank, and the
+    // residual rank inside it
+    val targets = counts
+      .select($"flag", $"bin", $"cum", $"prev", $"n",
+        explode(array(
+          struct(lit("median").as("q"), expr("(n + 1) div 2").as("r")),
+          struct(lit("p99").as("q"), expr("(99 * n + 99) div 100").as("r"))))
+          .as("t"))
+      .filter($"t.r" > $"prev" && $"t.r" <= $"cum")
+      .select($"flag", $"t.q".as("q"), $"bin", ($"t.r" - $"prev").as("k"))
+    // pass 2: rank only the located buckets' rows
+    val picked = binned.join(broadcast(targets), Seq("flag", "bin"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"flag", $"q").orderBy($"v")))
+      .filter($"rn" === $"k")
+      .groupBy($"flag").pivot("q", Seq("median", "p99")).agg(first($"v"))
+    stats.select($"flag", $"n").join(picked, "flag")
+      .select($"flag", $"n", $"median", $"p99")
+      .orderBy($"flag")
+  }
+
   /** Analytic-window shapes: dense_rank, ntile, lag/lead, first/last
     * value over one supplier-ordered frame. Supplier GROWS with scale
     * factor (TPC-H: 10k × SF), so the global rank/ntile columns do NOT
@@ -1505,5 +1568,5 @@ object Relational {
     qBenford, qSkewReport, qConsistentSample, qRollingMedian, qBucketedJoin,
     qZorderCluster, qMergeUpsert, qScd2History, qExpectations,
     qSkylineParts, qKAnonymity, qIncrMv, qIncrJoinMv, qMarketBasket,
-    qTdigest)
+    qTdigest, qExactQuantile2Pass)
 }
