@@ -239,6 +239,68 @@ object Multimodal {
     })
   }
 
+  final case class ImagePHash(doc_id: Long, phash: String)
+
+  /** pHash — the DCT perceptual hash (the public pHash.org algorithm)
+    * in FIXED-POINT integer arithmetic so any pixel-level oracle can
+    * replay it exactly: 32×32 luma grid → 2-D DCT-II via the integer
+    * coefficient matrix C[u][x] = round(cos((2x+1)uπ/64)·1024) → keep
+    * the 8×8 low-frequency block → bit = coefficient > lower-median of
+    * the 64. DCT bits capture the image's coarse STRUCTURE, so pHash
+    * survives blur/rescale/recompression that move every raw pixel —
+    * the re-encode robustness tier above [[imageBlockHash]]'s
+    * monotone-remap invariance. All-integer (max |coef| < 2^39, well
+    * inside Long), same decode contract, no shuffle. */
+  private val DctC: Array[Array[Long]] = Array.tabulate(8, 32) { (u, x) =>
+    math.round(math.cos((2 * x + 1) * u * math.Pi / 64) * 1024)
+  }
+
+  def imagePHash(blobs: Dataset[MediaBlob]): Dataset[ImagePHash] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.flatMap { b =>
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(b.data))
+        if (img == null) None
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val g = Array.ofDim[Long](32, 32) // g(i)(j): column i, row j
+          var j = 0
+          while (j < 32) {
+            var i = 0
+            while (i < 32) {
+              val p = img.getRGB(i * w / 32, j * h / 32) & 0xFFFFFF
+              val r = (p >> 16) & 255; val gg = (p >> 8) & 255; val bl = p & 255
+              g(i)(j) = (r * 299 + gg * 587 + bl * 114) / 1000
+              i += 1
+            }
+            j += 1
+          }
+          // t1(u)(j) = Σ_x C(u)(x)·g(x)(j); t2(u)(v) = Σ_j C(v)(j)·t1(u)(j)
+          val t1 = Array.tabulate(8, 32) { (u, jj) =>
+            var s = 0L; var x = 0
+            while (x < 32) { s += DctC(u)(x) * g(x)(jj); x += 1 }; s
+          }
+          val t2 = Array.tabulate(8, 8) { (u, v) =>
+            var s = 0L; var jj = 0
+            while (jj < 32) { s += DctC(v)(jj) * t1(u)(jj); jj += 1 }; s
+          }
+          val flat = t2.flatten
+          val med = flat.sorted.apply(31) // lower median of 64
+          val sb = new StringBuilder(64)
+          flat.foreach(c => sb.append(if (c > med) '1' else '0'))
+          Some(ImagePHash(b.doc_id, sb.toString))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    })
+  }
+
+  /** The DCT coefficient table as SQL VALUES rows `(u, x, c)` — for
+    * oracles that replay [[imagePHash]] in pure integer SQL. */
+  def dctCoeffSql: String =
+    (for (u <- 0 until 8; x <- 0 until 32)
+      yield s"($u, $x, ${DctC(u)(x)})").mkString(", ")
+
   final case class ImageDHash(doc_id: Long, dhash: String)
 
   /** Perceptual difference-hash over REAL decoded pixels — the

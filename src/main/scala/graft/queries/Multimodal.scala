@@ -294,6 +294,61 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** pHash — DCT perceptual hash over REAL decoded pixels in
+    * FIXED-POINT integers ([[graft.ops.Multimodal.imagePHash]]): 32×32
+    * luma grid, integer DCT-II (coefficients round(cos·1024) shipped to
+    * the oracle as a VALUES table), 8×8 low-frequency block, bit =
+    * coefficient > lower-median. The oracle replays the generator's
+    * pixels, the grid sampler, BOTH DCT matrix multiplies and the
+    * rank-32 median in pure integer SQL — the full transform is
+    * hash-proven, not just the thresholding. */
+  val mmImagePhash: Spec = Spec(
+    "mm_image_phash",
+    oracle = Some(s"""
+      WITH coef(u, x, c) AS (SELECT * FROM (VALUES ${MM.dctCoeffSql})),
+      d AS (SELECT doc_id, 16 + doc_id % 32 AS w, 16 + (doc_id * 3) % 32 AS h
+        FROM documents WHERE doc_id % 20 = 0),
+      cell AS (SELECT doc_id, w, h, i.i, j.j,
+          ((i.i * w) // 32) AS x, ((j.j * h) // 32) AS y
+        FROM d, (SELECT unnest(range(0, 32)) AS i) i,
+             (SELECT unnest(range(0, 32)) AS j) j),
+      lum AS (SELECT doc_id, i, j,
+          ((((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587
+            + (v & 255) * 114) // 1000) AS g
+        FROM (SELECT doc_id, i, j,
+                (x * 31 + y * 17 + doc_id) & 16777215 AS v FROM cell)),
+      t1 AS (SELECT lum.doc_id, coef.u, lum.j,
+          CAST(SUM(coef.c * lum.g) AS BIGINT) AS s
+        FROM lum JOIN coef ON coef.x = lum.i
+        GROUP BY lum.doc_id, coef.u, lum.j),
+      t2 AS (SELECT t1.doc_id, t1.u, c2.u AS v,
+          CAST(SUM(c2.c * t1.s) AS BIGINT) AS s
+        FROM t1 JOIN coef c2 ON c2.x = t1.j
+        GROUP BY t1.doc_id, t1.u, c2.u),
+      med AS (SELECT doc_id, s AS med FROM (
+          SELECT doc_id, s,
+            row_number() OVER (PARTITION BY doc_id ORDER BY s) AS rn
+          FROM t2) WHERE rn = 32),
+      bits AS (SELECT t2.doc_id,
+          string_agg(CASE WHEN s > med THEN '1' ELSE '0' END, ''
+            ORDER BY u, v) AS phash
+        FROM t2 JOIN med ON med.doc_id = t2.doc_id
+        GROUP BY t2.doc_id),
+      n AS (SELECT phash, COUNT(*) AS n_same FROM bits GROUP BY phash)
+      SELECT doc_id, bits.phash, CAST(n_same AS BIGINT) AS n_same
+      FROM bits JOIN n USING (phash) ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    val ids = Tables.load(s, dir, "documents")
+      .filter($"doc_id" % 20 === 0)
+      .select($"doc_id").as[java.lang.Long]
+    val hashed = MM.imagePHash(MM.syntheticPngBlobs(ids)).toDF()
+      .localCheckpoint() // one decode pass feeds the dup-count and output
+    val n = hashed.groupBy($"phash").agg(count(lit(1)).as("n_same"))
+    hashed.join(n, Seq("phash"))
+      .select($"doc_id", $"phash", $"n_same")
+      .orderBy($"doc_id")
+  }
+
   /** AUDIO fingerprint dedup over REAL decoded PCM — the energy-delta
     * fingerprint (the public Shazam/chromaprint idea reduced to its
     * time axis): per-20ms-frame energies from the RIFF walk
@@ -553,6 +608,6 @@ object Multimodal {
 
   val specs: Seq[Spec] = Seq(mmDecodeMeta, mmImageDecode, mmFrameSample,
     mmResize, mmAudioMeta, mmAudioEnergy, mmAudioFingerprint, mmImageAhash,
-    mmImageDhash, mmImageBlockhash, mmImageNeardup, mmCaptionAlign,
-    mmAudioVad)
+    mmImageDhash, mmImageBlockhash, mmImagePhash, mmImageNeardup,
+    mmCaptionAlign, mmAudioVad)
 }

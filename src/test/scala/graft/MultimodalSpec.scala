@@ -200,4 +200,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ramp(0L) == "0" * 32 + "1" * 32, s"ramp hash ${ramp(0L)}")
     assert(ramp(100L) == ramp(0L), "brightness shift moved the hash")
   }
+
+  test("imagePHash: constant image has energy ONLY in the DC coefficient") {
+    // flat gray: every AC coefficient of the DCT is exactly 0 (the
+    // cosine rows sum to 0 in the integer table too), the DC term is
+    // positive, and the lower-median of {DC, 0×63} is 0 — so the hash
+    // is exactly '1' followed by 63 zeros. A single wrong coefficient
+    // anywhere in either matrix multiply breaks this.
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(
+      32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (j <- 0 until 32; i <- 0 until 32)
+      img.setRGB(i, j, (120 << 16) | (120 << 8) | 120)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val got = Multimodal.imagePHash(
+      Seq(Multimodal.MediaBlob(1L, bos.toByteArray)).toDS()).collect()
+    assert(got.length == 1)
+    assert(got.head.phash == "1" + "0" * 63, s"phash ${got.head.phash}")
+  }
 }
