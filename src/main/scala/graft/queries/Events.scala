@@ -333,6 +333,67 @@ object Events {
     amsOverBitSums(amsBitSumsAgg(load(s, dir)), load(s, dir))
   }
 
+  /** Pearson χ² test of independence between event type and weekday —
+    * the categorical drift test beside the numeric ones (KS, PSI,
+    * Mann-Whitney): does the type mix move with the day of week? All
+    * observed/expected products stay in BIGINT ((O·T − R·C)² computed
+    * in double after one exact integer subtraction), each cell's
+    * contribution is rounded to 6dp DECIMAL so the cell sum is
+    * aggregation-order-free, and the full R×C grid (including any
+    * zero-observed cell) is materialized from the margins — χ² is
+    * wrong without the empty cells. One hash agg + two margin aggs +
+    * a broadcast grid join; nothing per-event after the first count. */
+  val qChi2Weekday: Spec = Spec(
+    "ev_chi2_weekday",
+    oracle = Some("""
+      WITH o AS (SELECT event_type,
+          (CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) + 4) % 7 AS dow,
+          CAST(COUNT(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2),
+      r AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM o GROUP BY 1),
+      c AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS c FROM o GROUP BY 1),
+      t AS (SELECT CAST(SUM(o) AS BIGINT) AS t FROM o),
+      grid AS (SELECT r.event_type, c.dow, r.r, c.c,
+          COALESCE(o.o, 0) AS o
+        FROM r CROSS JOIN c LEFT JOIN o
+          ON o.event_type = r.event_type AND o.dow = c.dow),
+      cells AS (SELECT
+          CAST(round(CAST(g.o * t.t - g.r * g.c AS DOUBLE)
+              * CAST(g.o * t.t - g.r * g.c AS DOUBLE)
+            / (CAST(t.t AS DOUBLE) * g.r * g.c), 6) AS DECIMAL(18,6))
+            AS contrib
+        FROM grid g CROSS JOIN t),
+      dims AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM r) AS nr,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS nc)
+      SELECT CAST(SUM(contrib) AS DOUBLE) AS chi2,
+        (nr - 1) * (nc - 1) AS dof,
+        (SELECT t FROM t) AS n
+      FROM cells CROSS JOIN dims GROUP BY nr, nc""")) { (s, dir) =>
+    import s.implicits._
+    val o = load(s, dir)
+      .select($"event_type",
+        ((($"ts" / lit(dayNs)).cast("long") + 4) % 7).as("dow"))
+      .groupBy($"event_type", $"dow").agg(count(lit(1)).as("o"))
+      .localCheckpoint() // margins + grid share one count pass
+    val r = o.groupBy($"event_type").agg(sum($"o").cast("long").as("r"))
+    val c = o.groupBy($"dow").agg(sum($"o").cast("long").as("c"))
+    val t = broadcast(o.agg(sum($"o").cast("long").as("t")))
+    val grid = r.crossJoin(broadcast(c))
+      .join(o, Seq("event_type", "dow"), "left")
+      .withColumn("o", coalesce($"o", lit(0L)))
+      .crossJoin(t)
+    val diff = ($"o" * $"t" - $"r" * $"c").cast("double")
+    val cells = grid.select(
+      round(diff * diff / ($"t".cast("double") * $"r" * $"c"), 6)
+        .cast("decimal(18,6)").as("contrib"))
+    val dims = broadcast(r.agg(count(lit(1)).as("nr")))
+      .crossJoin(broadcast(c.agg(count(lit(1)).as("nc"))))
+    cells.agg(sum($"contrib").cast("double").as("chi2"))
+      .crossJoin(dims).crossJoin(t)
+      .select($"chi2", (($"nr" - 1) * ($"nc" - 1)).as("dof"),
+        $"t".as("n"))
+  }
+
   /** DISTINCT users per sliding window (1h length, 15min slide) — the
     * harder sibling of [[qSliding]]'s counts: COUNT(DISTINCT) cannot
     * map-side-combine as a plain sum, so Spark expands it to the
@@ -3075,5 +3136,5 @@ object Events {
     qRfm, qEntryExit, qAcfDaily, qCusumChangepoint, qGapFill, qDbscanUsers,
     qConcurrencyHourly, qDbscanIncremental, qTheilSen, qSurvivalKm,
     qZorderLayout, qHoltForecast, qSlidingDistinct, qHaarDaily, qAmsF2,
-    qBurstViterbi, qHoltWinters)
+    qBurstViterbi, qHoltWinters, qChi2Weekday)
 }

@@ -1468,6 +1468,69 @@ object TrainingPrep {
       .limit(300)
   }
 
+  /** Mann-Whitney U rank-sum test (Mann & Whitney '47) of each
+    * source's length distribution against the rest of the corpus —
+    * the nonparametric drift test that works where KS is awkward
+    * (heavy ties, ordinal data): does source s produce systematically
+    * longer documents? DOUBLED ranks keep tie handling exact-integer:
+    * a row of value v has 2·rank = 2·|{x < v}| + |{x = v}| + 1 (twice
+    * the average rank of its tie run), so rank sums and 2U = 2R −
+    * n(n+1) are BIGINT on both engines; only the final z-score is a
+    * fixed-order float, emitted floor-microed. Scale shape: ranks come
+    * from VALUE-keyed counts (one group-by on n_chars + one cumulative
+    * window over the BOUNDED distinct-length domain), never a global
+    * row sort; per-source sums are one keyed agg. */
+  val dMannWhitney: Spec = Spec(
+    "d_mann_whitney",
+    oracle = Some("""
+      WITH vc AS (SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS ce
+          FROM documents GROUP BY 1),
+      cum AS (SELECT v, ce,
+          CAST(COALESCE(SUM(ce) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS cl
+        FROM vc),
+      r2 AS (SELECT d.source, 2 * c.cl + c.ce + 1 AS r2
+        FROM documents d JOIN cum c ON c.v = d.n_chars),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents),
+      su AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(r2) AS BIGINT) AS rank_sum_x2
+        FROM r2 GROUP BY source)
+      SELECT source, n, rank_sum_x2,
+        rank_sum_x2 - n * (n + 1) AS u_x2,
+        CAST(FLOOR(((CAST(rank_sum_x2 - n * (n + 1) AS DOUBLE) / 2
+            - CAST(n AS DOUBLE) * (nn - n) / 2)
+          / sqrt(CAST(n AS DOUBLE) * (nn - n) * (nn + 1) / 12)) * 1000000)
+          AS BIGINT) AS z_micros
+      FROM su CROSS JOIN tot ORDER BY source""")) { (s, dir) =>
+    import s.implicits._
+    val d = docs(s, dir)
+    // cumulative counts live on the DISTINCT-length domain (|lengths|
+    // rows, not |documents|): the frame is value-bounded, so it takes
+    // the sanctioned constant-attribute partition key (WindowSweep's
+    // bounded-frame shape), never a corpus-scale window
+    val vc = d.groupBy($"n_chars".as("v")).agg(count(lit(1)).as("ce"))
+      .withColumn("pk", lit(0))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"pk")
+      .orderBy($"v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val cum = vc.withColumn("cl", coalesce(sum($"ce").over(w), lit(0L)))
+    val r2 = d.join(cum, d("n_chars") === cum("v"))
+      .select($"source", (lit(2) * $"cl" + $"ce" + 1).as("r2"))
+    val tot = broadcast(d.agg(count(lit(1)).as("nn")))
+    r2.groupBy($"source")
+      .agg(count(lit(1)).as("n"), sum($"r2").as("rank_sum_x2"))
+      .crossJoin(tot)
+      .select($"source", $"n", $"rank_sum_x2",
+        ($"rank_sum_x2" - $"n" * ($"n" + 1)).as("u_x2"),
+        floor((($"rank_sum_x2" - $"n" * ($"n" + 1)).cast("double") / 2
+            - $"n".cast("double") * ($"nn" - $"n") / 2)
+          / sqrt($"n".cast("double") * ($"nn" - $"n") * ($"nn" + 1) / 12)
+          * 1e6).cast("long").as("z_micros"))
+      .orderBy($"source")
+  }
+
   /** Feature-hashing document embeddings (the hashing trick,
     * Weinberger et al. 2009): each token hashes to one of 16
     * dimensions with a md5-derived sign, per-doc sums give a sparse
@@ -2241,5 +2304,5 @@ object TrainingPrep {
     dScoreDeciles, dSourceInterleave,
     dCmsCounts, dWeightedSample, dPaddingEfficiency, dEntropyScores,
     dSourceDivergence, dDistributionMatch, dQualityClassifier, dDsirWeights,
-    dKneserNey)
+    dKneserNey, dMannWhitney)
 }
