@@ -1506,16 +1506,14 @@ object TrainingPrep {
     import s.implicits._
     val d = docs(s, dir)
     // cumulative counts live on the DISTINCT-length domain (|lengths|
-    // rows, not |documents|): the frame is value-bounded, so it takes
-    // the sanctioned constant-attribute partition key (WindowSweep's
-    // bounded-frame shape), never a corpus-scale window
+    // rows, not |documents|), through the range-partitioned prefix-sum
+    // scaffold (Skew.prefixSumsByKey) — the same shape the vocab-growth
+    // cumulative uses; never a single-reducer window over the corpus
     val vc = d.groupBy($"n_chars".as("v")).agg(count(lit(1)).as("ce"))
-      .withColumn("pk", lit(0))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy($"pk")
-      .orderBy($"v")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        -1)
-    val cum = vc.withColumn("cl", coalesce(sum($"ce").over(w), lit(0L)))
+      .withColumn("_k", lit("all"))
+    val cum = Skew.prefixSumsByKey(vc, "_k", Seq($"v"),
+        Seq($"ce" -> "cum_ce"))
+      .withColumn("cl", $"cum_ce" - $"ce")
     val r2 = d.join(cum, d("n_chars") === cum("v"))
       .select($"source", (lit(2) * $"cl" + $"ce" + 1).as("r2"))
     val tot = broadcast(d.agg(count(lit(1)).as("nn")))
