@@ -27,13 +27,16 @@ import org.apache.spark.sql.expressions.Aggregator
 object TDigest {
 
   /** Sketch state: compressed centroids + an uncompressed point buffer
-    * (buffering amortizes the sort in [[compress]] across BufMax adds). */
-  final case class TD(cs: List[(Double, Long)], buf: List[Double])
+    * (buffering amortizes the sort in [[compress]] across BufMax adds).
+    * `n` carries the buffer length so the per-row flush check in [[add]]
+    * is O(1) — List.length is an O(buf) traversal, which on the per-row
+    * aggregation hot path compounds to O(BufMax²) per flush cycle. */
+  final case class TD(cs: List[(Double, Long)], buf: List[Double], n: Int)
 
   val Compression = 200
   val BufMax = 512
 
-  def empty: TD = TD(Nil, Nil)
+  def empty: TD = TD(Nil, Nil, 0)
 
   private def kScale(q: Double): Double =
     Compression / (2.0 * math.Pi) * math.asin(2.0 * q - 1.0)
@@ -68,12 +71,12 @@ object TDigest {
 
   def add(td: TD, x: Double): TD = {
     val nb = x :: td.buf
-    if (nb.length >= BufMax) TD(compress(td.cs ::: nb.map((_, 1L))), Nil)
-    else TD(td.cs, nb)
+    if (td.n + 1 >= BufMax) TD(compress(td.cs ::: nb.map((_, 1L))), Nil, 0)
+    else TD(td.cs, nb, td.n + 1)
   }
 
   def merge(a: TD, b: TD): TD =
-    TD(compress(a.cs ::: b.cs ::: (a.buf ::: b.buf).map((_, 1L))), Nil)
+    TD(compress(a.cs ::: b.cs ::: (a.buf ::: b.buf).map((_, 1L))), Nil, 0)
 
   /** Quantile by midpoint interpolation between adjacent centroids —
     * the standard t-digest readout. */

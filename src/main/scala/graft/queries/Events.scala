@@ -2287,7 +2287,11 @@ object Events {
     * seasonal state travels as a ROTATING 7-slot buffer (head = the
     * s_{t−7} the next step consumes, so forecasts read slot h
     * directly). The oracle's recursive CTE carries the same buffer as
-    * seven rotating columns. Scale shape: per-key row-local fold, like
+    * seven rotating columns, and its fin join gates on tm >= 13 —
+    * mirroring the Spark side's size >= 14 filter, so series too short
+    * for the two-week init drop out of BOTH engines (a 7–13-day series
+    * would otherwise anchor at t=6 with a partial week-2 sum and emit
+    * oracle-only rows). Scale shape: per-key row-local fold, like
     * every sequential model here. */
   val holtWintersOracleSql: String = s"""
       WITH RECURSIVE $dailySpineSql,
@@ -2322,7 +2326,8 @@ object Events {
         FROM hw h JOIN idx i
           ON i.event_type = h.event_type AND i.t = h.t + 1),
       fin AS (SELECT h.* FROM hw h
-        JOIN tmax m ON m.event_type = h.event_type AND h.t = m.tm)
+        JOIN tmax m ON m.event_type = h.event_type AND h.t = m.tm
+          AND m.tm >= 13)
       SELECT event_type, CAST(u.hh AS BIGINT) AS h,
         CAST(FLOOR((l + u.hh * b +
           CASE u.hh WHEN 1 THEN s0 WHEN 2 THEN s1 WHEN 3 THEN s2

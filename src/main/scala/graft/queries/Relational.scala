@@ -530,7 +530,8 @@ object Relational {
       SELECT brand_a, brand_b, n_ab,
         (n_ab * 1000000) // n.n_orders AS support_micros,
         (n_ab * 1000000) // ba.n_br AS confidence_micros,
-        (n_ab * n.n_orders * 1000000) // (ba.n_br * bb.n_br) AS lift_micros
+        CAST((CAST(n_ab AS HUGEINT) * n.n_orders * 1000000)
+          // (CAST(ba.n_br AS HUGEINT) * bb.n_br) AS BIGINT) AS lift_micros
       FROM pr CROSS JOIN n
         JOIN bc ba ON ba.br = pr.brand_a
         JOIN bc bb ON bb.br = pr.brand_b
@@ -559,7 +560,12 @@ object Relational {
       .select($"brand_a", $"brand_b", $"n_ab",
         expr("(n_ab * 1000000L) div n_orders").as("support_micros"),
         expr("(n_ab * 1000000L) div n_a").as("confidence_micros"),
-        expr("(n_ab * n_orders * 1000000L) div (n_a * n_b)")
+        // lift rides DECIMAL(38,0): n_ab·n_orders·1e6 overflows BIGINT
+        // once |orders| passes ~3M (TPC-H SF≥2) — Spark would wrap
+        // silently while the oracle errors. div on decimals yields the
+        // same BIGINT floor both engines compute in 128-bit.
+        expr("(cast(n_ab as decimal(38,0)) * n_orders * 1000000)" +
+          " div (cast(n_a as decimal(38,0)) * n_b)")
           .as("lift_micros"))
       .orderBy($"brand_a", $"brand_b")
   }

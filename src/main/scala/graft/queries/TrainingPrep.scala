@@ -1443,8 +1443,8 @@ object TrainingPrep {
       nb AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS nb FROM sp GROUP BY w2),
       tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM cb)
       SELECT g, c12 AS n,
-        CAST(((GREATEST(4 * c12 - 3, 0) * tt.t + 3 * c1.n1f * nb.nb)
-          * 1000000) // (4 * c1.c1 * tt.t) AS BIGINT) AS p_kn_micros
+        CAST(((GREATEST(4 * c12 - 3, 0)::HUGEINT * tt.t + 3::HUGEINT * c1.n1f * nb.nb)
+          * 1000000) // (4::HUGEINT * c1.c1 * tt.t) AS BIGINT) AS p_kn_micros
       FROM sp JOIN c1 USING (w1) JOIN nb USING (w2) CROSS JOIN tt
       ORDER BY n DESC, g LIMIT 300""")) { (s, dir) =>
     import s.implicits._
@@ -1462,8 +1462,13 @@ object TrainingPrep {
     val tt = broadcast(cb.agg(count(lit(1)).as("t")))
     sp.join(c1, "w1").join(nb, "w2").crossJoin(tt)
       .select($"g", $"c12".as("n"),
-        expr("((GREATEST(4 * c12 - 3, 0L) * t + 3 * n1f * nb) * 1000000L)" +
-          " div (4 * c1 * t)").as("p_kn_micros"))
+        // DECIMAL(38,0) end to end: the numerator multiplies a bigram
+        // count by T (distinct bigram TYPES, corpus-growing), which
+        // overflows BIGINT on a large corpus — Spark would wrap
+        // silently while the oracle errors. 128-bit on both engines.
+        expr("((cast(GREATEST(4 * c12 - 3, 0L) as decimal(38,0)) * t" +
+          " + cast(3 * n1f as decimal(38,0)) * nb) * 1000000)" +
+          " div (cast(4 * c1 as decimal(38,0)) * t)").as("p_kn_micros"))
       .orderBy($"n".desc, $"g")
       .limit(300)
   }
@@ -1475,8 +1480,11 @@ object TrainingPrep {
     * longer documents? DOUBLED ranks keep tie handling exact-integer:
     * a row of value v has 2·rank = 2·|{x < v}| + |{x = v}| + 1 (twice
     * the average rank of its tie run), so rank sums and 2U = 2R −
-    * n(n+1) are BIGINT on both engines; only the final z-score is a
-    * fixed-order float, emitted floor-microed. Scale shape: ranks come
+    * n(n+1) are BIGINT on both engines; the z denominator applies the
+    * standard TIE-CORRECTED variance (the tie-free form overstates σ
+    * under the heavy ties this test exists for), and only the final
+    * z-score is a fixed-order float, emitted floor-microed. Scale
+    * shape: ranks come
     * from VALUE-keyed counts (one group-by on n_chars + one cumulative
     * window over the BOUNDED distinct-length domain), never a global
     * row sort; per-source sums are one keyed agg. */
@@ -1493,6 +1501,8 @@ object TrainingPrep {
       r2 AS (SELECT d.source, 2 * c.cl + c.ce + 1 AS r2
         FROM documents d JOIN cum c ON c.v = d.n_chars),
       tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents),
+      ties AS (SELECT CAST(SUM(ce::HUGEINT * ce * ce - ce) AS DOUBLE) AS ts
+        FROM vc),
       su AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
           CAST(SUM(r2) AS BIGINT) AS rank_sum_x2
         FROM r2 GROUP BY source)
@@ -1500,9 +1510,10 @@ object TrainingPrep {
         rank_sum_x2 - n * (n + 1) AS u_x2,
         CAST(FLOOR(((CAST(rank_sum_x2 - n * (n + 1) AS DOUBLE) / 2
             - CAST(n AS DOUBLE) * (nn - n) / 2)
-          / sqrt(CAST(n AS DOUBLE) * (nn - n) * (nn + 1) / 12)) * 1000000)
+          / sqrt(CAST(n AS DOUBLE) * (nn - n) / 12
+            * ((nn + 1) - ts / (CAST(nn AS DOUBLE) * (nn - 1))))) * 1000000)
           AS BIGINT) AS z_micros
-      FROM su CROSS JOIN tot ORDER BY source""")) { (s, dir) =>
+      FROM su CROSS JOIN tot CROSS JOIN ties ORDER BY source""")) { (s, dir) =>
     import s.implicits._
     val d = docs(s, dir)
     // cumulative counts live on the DISTINCT-length domain (|lengths|
@@ -1517,14 +1528,24 @@ object TrainingPrep {
     val r2 = d.join(cum, d("n_chars") === cum("v"))
       .select($"source", (lit(2) * $"cl" + $"ce" + 1).as("r2"))
     val tot = broadcast(d.agg(count(lit(1)).as("nn")))
+    // Tie correction (Lehmann): σ² = n·(N−n)/12 · [(N+1) − Σ(tᵢ³−tᵢ)/
+    // (N(N−1))] — the doubled-rank scheme makes the MEAN exact under
+    // ties, but the tie-free variance overstates σ and attenuates |z|.
+    // The per-value counts vc already hold the tie runs; the cubic sum
+    // rides DECIMAL(38,0)/HUGEINT so a heavy tie run can't wrap BIGINT.
+    val ties = broadcast(vc.agg(
+      sum($"ce".cast("decimal(38,0)") * $"ce" * $"ce" - $"ce")
+        .cast("double").as("ts")))
     r2.groupBy($"source")
       .agg(count(lit(1)).as("n"), sum($"r2").as("rank_sum_x2"))
       .crossJoin(tot)
+      .crossJoin(ties)
       .select($"source", $"n", $"rank_sum_x2",
         ($"rank_sum_x2" - $"n" * ($"n" + 1)).as("u_x2"),
         floor((($"rank_sum_x2" - $"n" * ($"n" + 1)).cast("double") / 2
             - $"n".cast("double") * ($"nn" - $"n") / 2)
-          / sqrt($"n".cast("double") * ($"nn" - $"n") * ($"nn" + 1) / 12)
+          / sqrt($"n".cast("double") * ($"nn" - $"n") / 12
+            * (($"nn" + 1) - $"ts" / ($"nn".cast("double") * ($"nn" - 1))))
           * 1e6).cast("long").as("z_micros"))
       .orderBy($"source")
   }
