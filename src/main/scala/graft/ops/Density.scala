@@ -91,13 +91,23 @@ object Density {
 
     val wCell = Window.partitionBy($"cx", $"cy")
     // cell coords + same-cell population in ONE shuffle (window count,
-    // no count-join); materialized once — probes, targets, scoring and
-    // the final assembly all reuse it.
+    // no count-join); CACHED once — probes, targets, scoring and the
+    // final assembly all reuse it. persist(), NOT localCheckpoint: the
+    // purpose here is plan reuse, not lineage truncation, and lazy
+    // evictable cache blocks cost no eager materialization job, can be
+    // recomputed if dropped (no "cannot be recomputed" WARN storms on
+    // harness sweeps), and shrink the block-manager churn that made
+    // this query's whole-suite bench samples swing (r10: 1.8/5.8/5.7 s
+    // — the pagerank-shaped irreproducibility one round later).
     val cells = cellCols(eps)(points)
       .withColumn("cell_n", count(lit(1)).over(wCell))
       .localCheckpoint()
 
-    val cross = crossPairs(cells, cells, eps)
+    // The eps-join is the expensive frame and THREE consumers scan it
+    // (degree count, core-core edges, border anchors) — cache it once
+    // instead of re-running the explode+join per consumer. Output-
+    // bounded (the exact eps-pair list), recomputable, evictable.
+    val cross = crossPairs(cells, cells, eps).localCheckpoint()
 
     // |neighborhood incl. self| = same-cell population + cross-cell
     // matches; the former never materializes pair rows.
@@ -107,10 +117,6 @@ object Density {
       .select($"id", $"x", $"y", $"cx", $"cy", $"cell_n",
         ($"cell_n" + coalesce($"cdeg", lit(0L)) >= minPts).as("is_core"))
       .localCheckpoint()
-    // NOTE: `cells` stays persisted until the caller's sweep — `cross`
-    // is a lazy plan over it, re-executed by the core-edge and border
-    // joins below, so an eager unpersist here would drop blocks that
-    // are still upstream of unexecuted plans.
 
     // Core graph = per-cell star edges (intra-cell core cliques) +
     // verified cross-cell core-core pairs.
@@ -222,9 +228,13 @@ object Density {
       eps: Long, minPts: Long): DbscanState = {
     val s = batch.sparkSession
     import s.implicits._
-    val scored = base.scored // checkpointed by solve / prior fold
+    val scored = base.scored // cached by solve / checkpointed by prior fold
 
-    val bat = cellCols(eps)(batch).localCheckpoint()
+    // persist(), not localCheckpoint: per-fold frames derived from the
+    // batch input have shallow lineage (no fold-chain growth), so this
+    // is reuse-caching — the state carriers that DO chain across folds
+    // (probes → scoredOut, newLabels) keep their eager checkpoints.
+    val bat = cellCols(eps)(batch).persist()
     // DELETION (and point replacement) is OUT OF CONTRACT — the one
     // non-monotone case: removing mass can demote cores and SPLIT
     // components, which no halo-local repair can prove equal to a full
@@ -251,8 +261,8 @@ object Density {
       .withColumn("o", explode(offsetArray(growOffsets)))
       .select(($"cx" + $"o.dx").as("cx"), ($"cy" + $"o.dy").as("cy"))
       .distinct()
-    val halo1 = grow(bat.select($"cx", $"cy").distinct()).localCheckpoint()
-    val halo2 = grow(halo1).localCheckpoint()
+    val halo1 = grow(bat.select($"cx", $"cy").distinct()).persist()
+    val halo2 = grow(halo1).persist()
 
     val oldH1 = scored.join(broadcast(halo1), Seq("cx", "cy"), "leftsemi")
     val oldH2 = scored.join(broadcast(halo2), Seq("cx", "cy"), "leftsemi")
