@@ -51,6 +51,29 @@ object GraftFunctions {
   def rollingHash(c: Column): Column =
     column(RollingHash(expression(c)))
 
+  /** Native Bloom-filter build: Spark's internal BloomFilterAggregate
+    * (the expression behind runtime-filter joins — not exposed in the
+    * public FunctionRegistry, so it's bridged here). `value` must be a
+    * LONG (hash the key with xxhash64 first); the result is one binary
+    * per group, mergeable map-side like any TypedImperativeAggregate. */
+  def bloomFilterAgg(value: Column, estimatedItems: Long,
+      numBits: Long): Column =
+    column(new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(expression(value),
+        Literal(estimatedItems), Literal(numBits))
+      .toAggregateExpression())
+
+  /** Native Bloom membership probe over a DRIVER-HELD filter binary
+    * (from [[bloomFilterAgg]]): the bytes ride the plan as a literal —
+    * bounded, same footprint as an explicit broadcast value — and the
+    * probe codegens; no per-row Scala closure. `value` must be the
+    * same xxhash64 hashing used at build. Bloom guarantee: never a
+    * false negative, so prefilter-then-exact-join stays exact. */
+  def bloomMightContain(filter: Array[Byte], value: Column): Column =
+    column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      Literal(filter, org.apache.spark.sql.types.BinaryType),
+      expression(value)))
+
   /** The reference's sentence-delimiter class (setu/filters.py:312):
     * split after `.?!।|॥؟۔` plus any trailing newlines. */
   val SentenceDelimiterPattern = "[.?!।|॥؟۔](\\n+)?"

@@ -459,11 +459,13 @@ object Dedup {
     * EXACTLY the un-prefiltered anti join — blooms have no false
     * negatives, so every corpus hash equal to some batch hash survives
     * the prefilter — which is why this query shares [[ddExactIncremental]]'s
-    * oracle verbatim. The membership probe is a driver-broadcast
-    * `BloomFilter.mightContainString` inside a Scala UDF: the filter is
-    * opaque bytes, so there is no Catalyst-expression form to prefer,
-    * and the UDF sits behind a hash-store scan that was going to
-    * deserialize strings anyway. */
+    * oracle verbatim. The membership probe is NATIVE Catalyst:
+    * `bloom_filter_agg(xxhash64(h))` builds the filter as one bounded
+    * binary, and `might_contain(<literal filter>, xxhash64(h))` probes
+    * it with codegen — no per-row Scala closure, no serialization
+    * boundary in the corpus scan. The filter bytes ride the plan as a
+    * literal (≈1.2 MB per million batch rows at 1% fpp), exactly the
+    * footprint the old driver-broadcast sketch had. */
   val ddBloomIncremental: Spec = Spec(
     "dd_bloom_incremental",
     oracle = Some("""
@@ -487,13 +489,14 @@ object Dedup {
       .withColumn("_rn", row_number().over(w)).filter($"_rn" === 1)
       .select($"doc_id", $"h")
     // Size the bloom from the batch itself (one count over the small
-    // side). 1% fpp ⇒ ~1.2 MB per million batch rows broadcast.
+    // side). ~10 bits/item ⇒ ~1% fpp, ~1.2 MB per million batch rows.
     val nBatch = math.max(keep.count(), 1000L)
-    val bloom = keep.stat.bloomFilter("h", nBatch, 0.01)
-    val bloomBc = s.sparkContext.broadcast(bloom)
-    val mightContain =
-      udf((x: String) => x != null && bloomBc.value.mightContainString(x))
-    val candidates = corpusH.filter(mightContain($"h"))
+    val bf = keep.agg(graft.functions.GraftFunctions.bloomFilterAgg(
+      xxhash64($"h"), nBatch, nBatch * 10)).head
+    val candidates =
+      if (bf.isNullAt(0)) corpusH.limit(0) // empty batch: nothing collides
+      else corpusH.filter(graft.functions.GraftFunctions.bloomMightContain(
+        bf.getAs[Array[Byte]](0), xxhash64($"h")))
     keep.join(candidates, Seq("h"), "left_anti")
       .select($"doc_id")
       .orderBy($"doc_id")

@@ -895,19 +895,25 @@ object StreamOps {
           case Some(st) =>
             // Bloom prefilter (the dd_bloom_incremental design, stream
             // side): a filter over the BATCH hashes — the small, bounded
-            // side — rides a broadcast and prunes the accumulated state
-            // store to possible collisions before the anti join, so the
-            // per-batch shuffle is candidate-sized, not store-sized.
-            // No false negatives ⇒ survivors are EXACTLY the
-            // un-prefiltered anti join (StreamingSpec pins the results,
-            // and st_dedup_count's oracle re-proves it every verify).
+            // side — prunes the accumulated state store to possible
+            // collisions before the anti join, so the per-batch shuffle
+            // is candidate-sized, not store-sized. Native Catalyst form:
+            // bloom_filter_agg builds the filter binary, might_contain
+            // probes it in codegen (no per-row Scala closure); the
+            // filter bytes ride the plan as a literal, the same bounded
+            // footprint the old driver broadcast had. No false
+            // negatives ⇒ survivors are EXACTLY the un-prefiltered anti
+            // join (StreamingSpec pins the results, and st_dedup_count's
+            // oracle re-proves it every verify).
             val nBatch = math.max(firstInBatch.count(), 1000L)
-            val bloom = firstInBatch.stat.bloomFilter("_h", nBatch, 0.01)
-            val bloomBc = s.sparkContext.broadcast(bloom)
-            val mightContain = udf((x: String) =>
-              x != null && bloomBc.value.mightContainString(x))
-            firstInBatch.join(
-              st.filter(mightContain(col("_h"))), Seq("_h"), "left_anti")
+            val bf = firstInBatch.agg(
+              graft.functions.GraftFunctions.bloomFilterAgg(
+                xxhash64(col("_h")), nBatch, nBatch * 10)).head
+            val pruned =
+              if (bf.isNullAt(0)) st.limit(0)
+              else st.filter(graft.functions.GraftFunctions.bloomMightContain(
+                bf.getAs[Array[Byte]](0), xxhash64(col("_h"))))
+            firstInBatch.join(pruned, Seq("_h"), "left_anti")
           case None => firstInBatch
         }
         // overwrite THIS batch's directories: a micro-batch retry

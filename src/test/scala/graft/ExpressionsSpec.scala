@@ -367,4 +367,30 @@ class ExpressionsSpec extends AnyFunSuite {
       FunctionIdentifier("graft_collapse_ws"), Seq(Literal.create("  a\t\tb  ")))
     assert(collapse.eval(null).toString == "a b")
   }
+
+  test("native bloom probe: bloom_filter_agg/might_contain, no false negatives, no ScalaUDF") {
+    // The two incremental-dedup bloom prefilters (queries/Dedup.scala,
+    // streaming/StreamOps.scala) build the filter with bloom_filter_agg
+    // and probe with might_contain — the codegen'd Catalyst pair that
+    // replaced the last per-row Scala closures in src/main. Pins:
+    // (a) ZERO false negatives — every member hash must pass the probe
+    //     (the property the anti-join equality proofs rest on);
+    // (b) the probe plan carries no ScalaUDF node.
+    val members = (0 until 2000).map(i => s"doc-$i")
+    val bf = members.toDF("h")
+      .agg(GraftFunctions.bloomFilterAgg(xxhash64($"h"), 2000L, 20000L))
+      .head
+    assert(!bf.isNullAt(0))
+    val probe = members.toDF("h")
+      .filter(GraftFunctions.bloomMightContain(
+        bf.getAs[Array[Byte]](0), xxhash64($"h")))
+    assert(probe.count() == members.size) // no false negatives, ever
+    assert(!probe.queryExecution.executedPlan.toString.contains("UDF"),
+      "bloom probe must stay native (no ScalaUDF in the plan)")
+    // and the ~1% fpp sizing really prunes: non-members mostly rejected
+    val fps = (0 until 2000).map(i => s"other-$i").toDF("h")
+      .filter(GraftFunctions.bloomMightContain(
+        bf.getAs[Array[Byte]](0), xxhash64($"h"))).count()
+    assert(fps < 200, s"false-positive count $fps out of 2000")
+  }
 }
