@@ -1171,11 +1171,13 @@ object Similarity {
     * clustering signal that separates a TIGHT duplicate cluster (its
     * members close many triangles) from a hub that merely chains
     * near-dups together (CC would merge both; triangles tell them
-    * apart before trusting a cluster as "one document"). Standard
-    * ordered-wedge formulation: with edges kept only as a < b, a
-    * triangle a<b<c is counted exactly once by joining wedges (a,b),
-    * (b,c) against the closing edge (a,c) — two equi-joins, no
-    * direction double-counting, the textbook distributed shape. Output
+    * apart before trusting a cluster as "one document"). DEGREE-ORDERED
+    * wedge formulation ([[graft.ops.Graphs.trianglesOrdered]]): edges
+    * orient from their lower-(degree, id) endpoint, wedges are pairs of
+    * out-neighbors closed by one equi-join — each triangle found
+    * exactly once, and out-degrees are O(√m) under this order, so the
+    * wedge count is bounded O(m^1.5) even on a hub (a star's center
+    * has out-degree ZERO), where id-ordering can go quadratic. Output
     * is per-node participation plus each node's degree. Edge threshold
     * 0.2 (vs the near-dup family's 0.35): triangles need a denser
     * graph to be informative — at 0.35 the verify-scale graph is
@@ -1218,13 +1220,10 @@ object Similarity {
     val edges = lshLabelEdges(emb, threshold = 0.2)
       .select($"id_a".as("src"), $"id_b".as("dst"))
       .localCheckpoint() // one scoring pass feeds wedges, closes, degrees
-    val tri = edges.as("e1")
-      .join(edges.as("e2"), col("e2.src") === col("e1.dst"))
-      .join(edges.as("e3"),
-        col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
-      .select(col("e1.src").as("a"), col("e1.dst").as("b"),
-        col("e2.dst").as("c"))
-      .localCheckpoint()
+    // Degree-ordered enumeration (Graphs.trianglesOrdered): same
+    // triangle SET as the oracle's id-ordered walk, but wedge work is
+    // bounded O(m^1.5) even if the edge source ever grows a hub.
+    val tri = graft.ops.Graphs.trianglesOrdered(edges).localCheckpoint()
     val member = tri.select($"a".as("id"))
       .unionAll(tri.select($"b")).unionAll(tri.select($"c"))
     val cnt = member.groupBy($"id").agg(count(lit(1)).as("n_triangles"))
@@ -1285,12 +1284,9 @@ object Similarity {
     val edges = lshLabelEdges(emb, threshold = 0.2)
       .select($"id_a".as("src"), $"id_b".as("dst"))
       .localCheckpoint() // one scoring pass feeds wedges, closes, degrees
-    val tri = edges.as("e1")
-      .join(edges.as("e2"), col("e2.src") === col("e1.dst"))
-      .join(edges.as("e3"),
-        col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
-      .select(col("e1.src").as("a"), col("e1.dst").as("b"),
-        col("e2.dst").as("c"))
+    // Degree-ordered wedges — same triangle set, hub-proof (see
+    // eTriangleCount / Graphs.trianglesOrdered).
+    val tri = graft.ops.Graphs.trianglesOrdered(edges)
     val member = tri.select($"a".as("id"))
       .unionAll(tri.select($"b")).unionAll(tri.select($"c"))
     val cnt = member.groupBy($"id").agg(count(lit(1)).as("n_triangles"))
