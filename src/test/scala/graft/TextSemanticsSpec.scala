@@ -192,7 +192,7 @@ class TextSemanticsSpec extends AnyFunSuite {
     // language must ship a production-scale list, not a token stub
     for ((l, floor) <- Seq("assamese" -> 70, "kannada" -> 100, "marathi" -> 95,
         "nepali" -> 125, "punjabi" -> 70, "urdu" -> 110, "tamil" -> 65,
-        "telugu" -> 60, "malayalam" -> 58, "manipuri" -> 150,
+        "telugu" -> 60, "malayalam" -> 58, "manipuri" -> 182,
         "english" -> 400, "hindi" -> 150))
       assert(Lexicons.nsfw(l).size >= floor,
         s"$l lexicon shrank below $floor: ${Lexicons.nsfw(l).size}")
