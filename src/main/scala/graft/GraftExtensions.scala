@@ -34,5 +34,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // singleton-key filter (count over partition = 1) → hash aggregate
     // + HAVING: the J3 repeated-chunk idiom, same safety analysis
     ext.injectOptimizerRule(_ => graft.plans.WindowCountOneToAgg)
+    // row_number <= n filter → bounded map-side top-n aggregate +
+    // explode: the per-group top-k idiom, general-n sibling
+    ext.injectOptimizerRule(_ => graft.plans.WindowTopKToAgg)
   }
 }

@@ -26,6 +26,37 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `xx` lines so any scripting-language scorer can serve. An ONNX or
   * JNI runtime plugs in by implementing [[ExternalScorer]] — the
   * partition lifecycle and batching don't change.
+  *
+  * ON AN IN-PROCESS ONNX SCORER (documented decision, r11): this build
+  * intentionally ships the interface + subprocess implementation and
+  * NOT an `ai.onnxruntime`-backed module. The build environment has no
+  * dependency egress, so an onnxruntime jar can neither resolve nor be
+  * exercised by a real test — and a reflection-compiled shell that no
+  * test can run is exactly the kind of dead surface this repo refuses
+  * to carry. The recipe for a deployment that wants one is mechanical,
+  * because every hard problem (per-partition lifecycle, lazy open,
+  * close-on-task-completion, batching) already lives in
+  * [[ExternalLid.annotate]]:
+  * {{{
+  * final class OnnxScorer(modelPath: String, vocabPath: String)
+  *     extends ExternalScorer {
+  *   private val env = OrtEnvironment.getEnvironment
+  *   private val sess = env.createSession(modelPath) // once per PARTITION
+  *   def scoreBatch(texts: Seq[String]): Seq[LidResult] = {
+  *     val input = OnnxTensor.createTensor(env, tokenize(texts))
+  *     val probs = sess.run(Map("input" -> input)) // one run per BATCH
+  *     argmaxToLidResults(probs)                   // (lang, confidence)
+  *   }
+  *   def close(): Unit = { sess.close(); env.close() }
+  * }
+  * // ExternalLid.annotate(spark, docs, "doc_id", "text",
+  * //   new ExternalScorerFactory {
+  * //     def open() = new OnnxScorer("/models/lid.onnx", "/models/vocab") })
+  * }}}
+  * The scorer never touches Spark APIs, so it needs no test double:
+  * PipelineSpec's deterministic fake + subprocess tests already pin
+  * everything the bridge itself does (lifecycle, batching, vote
+  * priority), which is the part that can break.
   */
 trait ExternalScorer extends AutoCloseable {
   /** Score a batch; MUST return exactly one result per input. */

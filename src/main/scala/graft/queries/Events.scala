@@ -920,11 +920,12 @@ object Events {
       .orderBy($"window_start", $"event_type")
   }
 
-  val rateAnomalyOracleSql: String = """
-      WITH hc AS (
-        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-               event_type, COUNT(*) AS n_events
-        FROM events GROUP BY window_start, event_type),
+  /** The z-score oracle tail over ANY `hc` CTE producing
+    * (window_start, event_type, n_events) — shared by the batch query,
+    * the complete-mode stream twin, and the append-mode twin (whose hc
+    * is the closed-hour prefix). */
+  def rateAnomalyOracleOver(hcCte: String): String = s"""
+      WITH $hcCte,
       fr AS (
         SELECT window_start, event_type, n_events,
           COUNT(*) OVER w AS n24,
@@ -944,6 +945,11 @@ object Events {
         baseline_mean, zscore
       FROM z WHERE abs(zscore) >= 2.0
       ORDER BY window_start, event_type"""
+
+  val rateAnomalyOracleSql: String = rateAnomalyOracleOver("""hc AS (
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, COUNT(*) AS n_events
+        FROM events GROUP BY window_start, event_type)""")
 
   val qRateAnomaly: Spec = Spec(
     "ev_rate_anomaly",
@@ -1411,12 +1417,12 @@ object Events {
       .orderBy($"event_type", $"window_start")
   }
 
-  /** Oracle shared with st_seasonal_decompose. */
-  val seasonalOracleSql: String = """
-      WITH hc AS (SELECT event_type,
-          strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-          COUNT(*) AS n
-        FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+  /** The decomposition oracle tail over ANY `hc` CTE producing
+    * (event_type, window_start, n) — shared by the batch query, the
+    * complete-mode stream twin, and the append-mode twin (whose hc is
+    * the closed-hour prefix). */
+  def seasonalOracleOver(hcCte: String): String = s"""
+      WITH $hcCte,
       hx AS (SELECT event_type, window_start, n,
           substr(window_start, 1, 10) AS d,
           CAST(substr(window_start, 12, 2) AS BIGINT) AS h
@@ -1434,6 +1440,13 @@ object Events {
       JOIN se ON se.event_type = hx.event_type AND se.h = hx.h
       JOIN g ON g.event_type = hx.event_type
       ORDER BY hx.event_type, hx.window_start"""
+
+  /** Oracle shared with st_seasonal_decompose. */
+  val seasonalOracleSql: String = seasonalOracleOver(
+    """hc AS (SELECT event_type,
+          strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+          COUNT(*) AS n
+        FROM events WHERE event_type = 'error' GROUP BY 1, 2)""")
 
   val qSeasonalDecompose: Spec = Spec(
     "ev_seasonal_decompose",

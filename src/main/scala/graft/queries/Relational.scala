@@ -208,6 +208,47 @@ object Relational {
       .orderBy($"p_brand", $"rk")
   }
 
+  /** [[qTopPartsPerBrand]]'s idiom RIDING the
+    * [[graft.plans.WindowTopKToAgg]] optimizer rule: the body writes
+    * the plain `row_number <= 3` window form (the shape users
+    * migrating from other engines write), installs the graft rules —
+    * the programmatic twin of `spark.sql.extensions=GraftExtensions` —
+    * and REQUIREs in-plan that the Window node became the bounded
+    * top-n aggregate + explode before returning, so the green driver
+    * row proves the rule fired AND preserved semantics against the
+    * window-form oracle (p_partkey makes the order total, so the
+    * result is deterministic on both engines). Same install
+    * idempotence/blast-radius reasoning as d_unique_tokens_rewritten. */
+  val qTopKRewritten: Spec = Spec(
+    "q_topk_per_group_rewritten",
+    oracle = Some("""
+      SELECT p_brand, p_partkey, p_retailprice, CAST(rk AS INTEGER) AS rk
+      FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+          row_number() OVER (PARTITION BY p_brand
+            ORDER BY p_retailprice DESC, p_partkey) AS rk
+        FROM part)
+      WHERE rk <= 3
+      ORDER BY p_brand, rk""")) { (s, dir) =>
+    import s.implicits._
+    val em = s.sessionState.experimentalMethods
+    if (!em.extraOptimizations.exists(_ eq graft.plans.WindowTopKToAgg))
+      em.extraOptimizations = em.extraOptimizations ++
+        Seq(graft.plans.WindowTopKToAgg)
+    val w = Window.partitionBy($"p_brand")
+      .orderBy($"p_retailprice".desc, $"p_partkey")
+    val df = Tables.load(s, dir, "part")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"p_brand", $"p_partkey", $"p_retailprice", $"rk")
+      .orderBy($"p_brand", $"rk")
+    require(df.queryExecution.optimizedPlan.collect {
+        case wn: org.apache.spark.sql.catalyst.plans.logical.Window => wn
+      }.isEmpty,
+      "WindowTopKToAgg did not fire on the top-k idiom")
+    df
+  }
+
   /** Running total window (frame = unbounded preceding → current row),
     * exact via decimal accumulation. Restricted to a supplier slice to
     * keep the verify output bounded. */
@@ -1574,5 +1615,5 @@ object Relational {
     qBenford, qSkewReport, qConsistentSample, qRollingMedian, qBucketedJoin,
     qZorderCluster, qMergeUpsert, qScd2History, qExpectations,
     qSkylineParts, qKAnonymity, qIncrMv, qIncrJoinMv, qMarketBasket,
-    qTdigest, qExactQuantile2Pass)
+    qTdigest, qExactQuantile2Pass, qTopKRewritten)
 }

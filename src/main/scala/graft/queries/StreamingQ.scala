@@ -884,6 +884,69 @@ object StreamingQ {
         .select($"window_start", $"event_type", $"n_events"))
   }
 
+  /** The closed-hour count CTE every append-mode monitor oracle shares:
+    * hours whose END precedes the final watermark max(ts) − 1 h — the
+    * st_tumbling_append emission predicate. */
+  private val closedHourCountsCte = """mx AS (SELECT max(ts) AS m FROM events),
+      hc AS (
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, COUNT(*) AS n_events
+        FROM events, mx
+        WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= m - INTERVAL 1 HOUR
+        GROUP BY window_start, event_type)"""
+
+  /** APPEND-mode rate-anomaly monitor — the unbounded-runtime twin of
+    * [[stRateAnomaly]]: hourly counts come from the watermark-evicting
+    * append aggregate ([[StreamOps.tumblingAppendFrom]] — each closed
+    * hour emitted exactly once, state never holds more than the open
+    * hours), and the shared z-score tail runs over that closed-hour
+    * table. The monitor therefore never alerts on a PARTIAL hour (the
+    * complete-mode twin's last rows can), at the cost of one hour of
+    * watermark lag. Oracle: the batch z-score SQL over the closed-hour
+    * prefix. Eviction + the anomaly emission are pinned on a
+    * MemoryStream feed in StreamingSpec. */
+  val stRateAnomalyAppend: Spec = Spec(
+    "st_rate_anomaly_append",
+    oracle = Some(Events.rateAnomalyOracleOver(closedHourCountsCte))) { (s, dir) =>
+    import s.implicits._
+    Events.rateAnomalyOverCounts(
+      StreamOps.tumblingAppend(s, dir, sink = "st_rate_anom_app_mem")
+        .select($"window_start", $"event_type", $"n_events"))
+  }
+
+  /** APPEND-mode seasonal decomposition — the unbounded-runtime twin of
+    * [[stSeasonal]]: the same watermark-evicting append head (closed
+    * hours only; state ≤ open hours) feeds the trend/seasonal/residual
+    * batch tail. The decomposition means shift slightly vs the
+    * complete-mode twin because open hours drop out — which is the
+    * POINT: a residual computed against a partial last hour is exactly
+    * the false alarm the append form exists to prevent. The oracle
+    * replays the closed-hour prefix through the shared decomposition
+    * SQL. NOTE the watermark rides max(ts) over ALL event types (the
+    * stream aggregates every type; the error filter is downstream), so
+    * the oracle's mx scans events unfiltered. */
+  val stSeasonalAppend: Spec = Spec(
+    "st_seasonal_append",
+    oracle = Some(Events.seasonalOracleOver(
+      """mx AS (SELECT max(ts) AS m FROM events),
+      hc AS (SELECT event_type,
+          strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+          COUNT(*) AS n
+        FROM events, mx
+        WHERE event_type = 'error'
+          AND date_trunc('hour', ts) + INTERVAL 1 HOUR <= m - INTERVAL 1 HOUR
+        GROUP BY 1, 2)"""))) { (s, dir) =>
+    import s.implicits._
+    Events.seasonalOverHourCounts(
+      StreamOps.tumblingAppend(s, dir, sink = "st_seasonal_app_mem")
+        .filter($"event_type" === "error")
+        .select($"event_type", $"window_start", $"n_events".as("n"))
+        // the decomposition tail self-joins this table (trend/seasonal/
+        // grand-mean branches) — checkpoint the bounded statistic so the
+        // MemoryPlan leaf becomes re-referenceable (the stSeasonal note)
+        .localCheckpoint())
+  }
+
   /** STREAMING incremental clustering: the file-stream twin of
     * dd_cc_incremental — per micro-batch LSH pairs merge into a
     * persisted labelling with touched-components-only re-solve
@@ -1076,7 +1139,7 @@ object StreamingQ {
     stDocFlags, stHeavyHitters, stDriftWindowed, stLidScript,
     stMinhashPairs, stFunnelLevels, stBm25Indexed, stCmsCounts, stNovelty,
     stAsofLastClick, stCcIncremental, stRateAnomaly, stKsWindowed,
-    stKsCountsAppend, stMarkov,
+    stKsCountsAppend, stMarkov, stRateAnomalyAppend, stSeasonalAppend,
     stSeasonal, stPath, stNsfwRollup, stEntryExit, stAttribution,
     stQualityMonitor, stAttributionDecay, stCusum, stGapFill, stDbscan,
     stHoltForecast, stAmsF2, stTdigest, stBurstViterbi, stHoltWinters)

@@ -33,7 +33,8 @@ class PlanRewriteSpec extends AnyFunSuite {
     val em = spark.sessionState.experimentalMethods
     val prev = em.extraOptimizations
     em.extraOptimizations = prev.filterNot(r =>
-      (r eq WindowDedupToAgg) || (r eq graft.plans.WindowCountOneToAgg))
+      (r eq WindowDedupToAgg) || (r eq graft.plans.WindowCountOneToAgg) ||
+        (r eq graft.plans.WindowTopKToAgg))
     try body finally em.extraOptimizations = prev
   }
 
@@ -186,5 +187,71 @@ class PlanRewriteSpec extends AnyFunSuite {
     val rules = org.apache.spark.sql.graft.testbridge.optimizerRules(ext, spark)
     assert(rules.exists(_ eq WindowDedupToAgg))
     assert(rules.exists(_ eq graft.plans.WindowCountOneToAgg))
+    assert(rules.exists(_ eq graft.plans.WindowTopKToAgg))
+  }
+
+  // ---- WindowTopKToAgg (the general-n top-k sibling) ----
+
+  private def withTopKRule[T](body: => T): T = {
+    val em = spark.sessionState.experimentalMethods
+    val prev = em.extraOptimizations
+    em.extraOptimizations = prev :+ graft.plans.WindowTopKToAgg
+    try body finally em.extraOptimizations = prev
+  }
+
+  private def naiveTopK(n: Int): DataFrame = {
+    // top-n lineitems per order by price DESC; l_linenumber breaks
+    // ties totally, so both forms are deterministic and comparable
+    val w = Window.partitionBy($"l_orderkey")
+      .orderBy($"l_extendedprice".desc, $"l_linenumber")
+    spark.read.parquet(s"${TestSpark.Sf}/lineitem.parquet")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= n)
+  }
+
+  test("rk<=n rewrites to bounded top-n aggregate + explode, results identical") {
+    val baseline = withoutRules { naiveTopK(3).collect().toSet }
+    withoutRules { assert(hasWindow(naiveTopK(3))) }
+    withTopKRule {
+      val rewritten = naiveTopK(3)
+      assert(!hasWindow(rewritten), "rule must eliminate the Window node")
+      assert(hasAggregate(rewritten), "rule must introduce the aggregate")
+      assert(rewritten.queryExecution.optimizedPlan.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+      }.nonEmpty, "rule must introduce the explode")
+      assert(rewritten.collect().toSet == baseline)
+      // the rank column is pos+1 under the original reference: 1..3 only
+      assert(rewritten.select($"rk").distinct().collect()
+        .map(_.getInt(0)).toSet == Set(1, 2, 3))
+      // downstream operations over the rewritten attributes still resolve
+      val downstream = naiveTopK(3)
+        .groupBy($"l_returnflag").agg(sum($"l_extendedprice").as("s"))
+        .orderBy($"l_returnflag").collect()
+      assert(downstream.nonEmpty)
+      // rk < 4 and 3 >= rk shapes rewrite to the same result
+      val w = Window.partitionBy($"l_orderkey")
+        .orderBy($"l_extendedprice".desc, $"l_linenumber")
+      val lt = spark.read.parquet(s"${TestSpark.Sf}/lineitem.parquet")
+        .withColumn("rk", row_number().over(w)).filter($"rk" < 4)
+      assert(!hasWindow(lt) && lt.collect().toSet == baseline)
+    }
+  }
+
+  test("top-k guards: rank(), no partition, n>MaxN stay windows") {
+    withTopKRule {
+      val base = spark.read.parquet(s"${TestSpark.Sf}/lineitem.parquet")
+      val w = Window.partitionBy($"l_orderkey")
+        .orderBy($"l_extendedprice".desc, $"l_linenumber")
+      val rk = base.withColumn("rk", rank().over(w)).filter($"rk" <= 3)
+      assert(hasWindow(rk),
+        "rank() (boundary ties exceed n rows) must not rewrite")
+      val global = base.withColumn("rk", row_number().over(
+        Window.orderBy($"l_extendedprice".desc, $"l_linenumber")))
+        .filter($"rk" <= 3)
+      assert(hasWindow(global), "empty partition spec must not rewrite")
+      val huge = base.withColumn("rk", row_number().over(w))
+        .filter($"rk" <= graft.plans.WindowTopKToAgg.MaxN + 1)
+      assert(hasWindow(huge), "n above the buffer cap must not rewrite")
+    }
   }
 }

@@ -86,6 +86,44 @@ class StreamingSpec extends AnyFunSuite {
         s"$allGroups total), got $state")
   }
 
+  test("append-mode rate-anomaly monitor: alerts only on CLOSED hours, " +
+      "state evicted to the open set") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    // type "a": 24 baseline hours alternating 10/11 events (variance > 0
+    // so the z-denominator is live), then a 100-event spike in hour 24;
+    // a single type-"b" sentinel in hour 26 drives the watermark to
+    // hour 25, closing hours 0..24 and leaving hour 26 open.
+    val rows = (0 until 25).flatMap { h =>
+      val n = if (h == 24) 100 else if (h % 2 == 0) 10 else 11
+      (0 until n).map(i =>
+        (h * 100L + i, h * hourNs + i * 1000L, 1L, "a", 1.0, "{}"))
+    } :+ (9999L, 26 * hourNs, 2L, "b", 1.0, "{}")
+    val ms = MemoryStream[(Long, Long, Long, String, Double, String)]
+    ms.addData(rows)
+    val src = ms.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val closed = StreamOps.tumblingAppendFrom(spark, src,
+      sink = "st_rate_anom_msrc")
+    // head: exactly the closed hours 0..24 of type a, hour 26 withheld
+    assert(closed.count() == 25L,
+      s"closed-hour rows: ${closed.count()} (hour 26 must stay open)")
+    // EVICTION pin: state holds only the open groups — the hour-26 "b"
+    // window; complete mode would retain all 26 (hour, type) groups
+    assert(StreamOps.lastStateRows.contains(1L),
+      s"state must hold exactly the open hour-26 group: ${StreamOps.lastStateRows}")
+    // tail: the monitor alerts exactly once, on the spike hour, with the
+    // baseline mean of the 24 closed predecessors
+    val alerts = Events.rateAnomalyOverCounts(
+        closed.select($"window_start", $"event_type", $"n_events"))
+      .as[(String, String, Long, Double, Double)].collect().toList
+    assert(alerts.map(a => (a._1, a._2, a._3, a._4)) ==
+      List(("1970-01-02 00:00:00", "a", 100L, 10.5)),
+      s"exactly the hour-24 spike must alert: $alerts")
+    assert(alerts.head._5 > 100.0, s"spike z-score: ${alerts.head._5}")
+  }
+
   test("append-mode session windows: cross-batch sessions MERGE, closed " +
       "sessions emit once, state evicted to the open set") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
