@@ -2351,6 +2351,7 @@ object Events {
 
   val qHoltWinters: Spec = Spec(
     "ev_holt_winters",
+    bench = true, // r10-family headline row: forecast fold regression guard
     oracle = Some(holtWintersOracleSql)) { (s, dir) =>
     holtWintersOverGrid(dailyCountSpine(s, dir))
   }

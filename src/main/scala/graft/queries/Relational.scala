@@ -621,6 +621,7 @@ object Relational {
     * rank points of their targets, checked by one exact counting pass. */
   val qTdigest: Spec = Spec(
     "q_tdigest_quantiles",
+    bench = true, // r10-family headline row: sketch-aggregator regression guard
     oracle = Some("""
       SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
         TRUE AS p50_ok, TRUE AS p95_ok

@@ -1490,6 +1490,7 @@ object TrainingPrep {
     * row sort; per-source sums are one keyed agg. */
   val dMannWhitney: Spec = Spec(
     "d_mann_whitney",
+    bench = true, // r10-family headline row: prefix-sum scaffold regression guard
     oracle = Some("""
       WITH vc AS (SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS ce
           FROM documents GROUP BY 1),
