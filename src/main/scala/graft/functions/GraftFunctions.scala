@@ -51,6 +51,11 @@ object GraftFunctions {
   def rollingHash(c: Column): Column =
     column(RollingHash(expression(c)))
 
+  /** Nesting-aware HTML block tree ([[graft.ops.HtmlDom]]): array of
+    * (pos, depth, path, text, link_chars, chrome) structs. */
+  def domBlocks(html: Column): Column =
+    column(DomBlocks(expression(html)))
+
   /** Native Bloom-filter build: Spark's internal BloomFilterAggregate
     * (the expression behind runtime-filter joins — not exposed in the
     * public FunctionRegistry, so it's bridged here). `value` must be a
@@ -116,6 +121,7 @@ object GraftFunctions {
     reg("graft_split_keep_delim") { es =>
       SplitKeepDelimiter(es.head, litString(es(1), "pattern"))
     }
+    reg("graft_dom_blocks") { es => DomBlocks(es.head) }
     reg("graft_normalize") { es =>
       NormalizeUnicode(es.head,
         if (es.size > 1) litString(es(1), "form") else "NFKC")

@@ -728,6 +728,158 @@ object CleaningOps {
     }
   }
 
+  /** Nesting-aware DOM block tree ([[graft.ops.HtmlDom]], surfaced as
+    * [[graft.functions.DomBlocks]]) — the real-parse complement of the
+    * regex splitters above, closing the last documented divergence
+    * from the reference's trafilatura stage (a nesting-aware block
+    * tree; setu/text_extraction.py:556). The synthetic page plants
+    * exactly the structures regex splitting CANNOT recover: a `>`
+    * inside a quoted attribute, a `</div><p>` INSIDE a script string
+    * (raw-text element — a regex block-split would cut the document
+    * there), `<li>` implied closes, a paragraph closed implicitly by
+    * `</article>`, inline `<b>` word-joining, entity decode, and
+    * chrome ancestry (nav/footer). The oracle does NOT re-parse: it
+    * states the expected block rows LITERALLY from the same text
+    * pieces, so a green row proves the parser recovered the known
+    * tree exactly (pos, depth, path, text, link chars, chrome — all
+    * hashed). Pathological tag soup (mis-nesting, CDATA, unclosed
+    * everything) is pinned in HtmlDomSpec. */
+  val dDomBlocks: Spec = Spec(
+    "d_dom_blocks",
+    oracle = Some("""
+      WITH r AS (
+        SELECT doc_id,
+          substr(text, 1, 16) AS t1, substr(text, 17, 40) AS t2,
+          substr(text, 57, 40) AS t3, substr(text, 97, 20) AS t4,
+          substr(text, 117, 20) AS t5, substr(text, 137, 30) AS t6
+        FROM documents WHERE doc_id % 9 = 0),
+      e AS (
+        SELECT doc_id, unnest([
+          {pos: 1, depth: 3, path: 'html>body>nav',
+           text: 'home about', link_chars: 9, chrome: true},
+          {pos: 2, depth: 4, path: 'html>body>article>h1',
+           text: trim(regexp_replace('heading ' || t1, '\s+', ' ', 'g')),
+           link_chars: 0, chrome: false},
+          {pos: 3, depth: 4, path: 'html>body>article>p',
+           text: trim(regexp_replace('intro ' || t2 || ' bolded', '\s+', ' ', 'g')),
+           link_chars: 0, chrome: false},
+          {pos: 4, depth: 5, path: 'html>body>article>div>p',
+           text: trim(regexp_replace('nested ' || t3, '\s+', ' ', 'g')),
+           link_chars: 0, chrome: false},
+          {pos: 5, depth: 6, path: 'html>body>article>div>ul>li',
+           text: trim(regexp_replace('item one ' || t4, '\s+', ' ', 'g')),
+           link_chars: 0, chrome: false},
+          {pos: 6, depth: 6, path: 'html>body>article>div>ul>li',
+           text: trim(regexp_replace('item two ' || t5, '\s+', ' ', 'g')),
+           link_chars: 0, chrome: false},
+          {pos: 7, depth: 4, path: 'html>body>article>p',
+           text: trim(regexp_replace('tail ' || t6, '\s+', ' ', 'g')),
+           link_chars: 0, chrome: false},
+          {pos: 8, depth: 3, path: 'html>body>footer',
+           text: 'terms & conditions legal', link_chars: 5, chrome: true}
+        ]) AS b
+        FROM r)
+      SELECT doc_id, CAST(b.pos AS INTEGER) AS pos,
+        CAST(b.depth AS INTEGER) AS depth, b.path, b.text,
+        CAST(b.link_chars AS BIGINT) AS link_chars, b.chrome
+      FROM e ORDER BY doc_id, pos""")) { (s, dir) =>
+    import s.implicits._
+    docs(s, dir)
+      .filter($"doc_id" % 9 === 0)
+      .select($"doc_id", GraftFunctions.domBlocks(domTemplate($"text", $"doc_id")).as("bs"))
+      .select($"doc_id", explode($"bs").as("b"))
+      .select($"doc_id", $"b.pos".as("pos"), $"b.depth".as("depth"),
+        $"b.path".as("path"), $"b.text".as("text"),
+        $"b.link_chars".as("link_chars"), $"b.chrome".as("chrome"))
+      .orderBy($"doc_id", $"pos")
+  }
+
+  /** The nested synthetic page shared by [[dDomBlocks]] and
+    * [[dDomExtract]]. */
+  private def domTemplate(text: org.apache.spark.sql.Column,
+      docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      lit("<html><body><nav><a href=\"/\">home</a> <a href=\"/x\">about</a></nav>"),
+      lit("<article><h1>heading "), substring(text, 1, 16), lit("</h1>"),
+      lit("<p>intro "), substring(text, 17, 40), lit(" <b>bolded</b></p>"),
+      lit("<div title=\"a > b\"><p>nested "), substring(text, 57, 40), lit("</p>"),
+      lit("<ul><li>item one "), substring(text, 97, 20),
+      lit("<li>item two "), substring(text, 117, 20), lit("</ul></div>"),
+      lit("<script>var s = \"</div><p>fake\";</script>"),
+      lit("<p>tail "), substring(text, 137, 30), lit("</article>"),
+      lit("<footer>terms &amp; conditions <a href=\"/t\">legal</a></footer></body></html>"))
+
+  /** STRUCTURAL main-content extraction over the DOM tree: drop chrome
+    * blocks by ANCESTRY (nav/footer/aside/header — the pruning flat
+    * density scoring can only approximate), drop link-dense blocks
+    * (link_chars/len > 0.2) and headline-bare short blocks (< 25
+    * chars), reassemble the rest in document order. Complements
+    * [[dHtmlExtractDense]]: density decides by CONTENT, this decides by
+    * STRUCTURE; a production chain runs both. Oracle: the same literal
+    * expected-block rows as d_dom_blocks, pushed through the identical
+    * keep predicate — so the green row proves prune + reassembly, not
+    * just the parse. */
+  val dDomExtract: Spec = Spec(
+    "d_dom_extract",
+    oracle = Some("""
+      WITH r AS (
+        SELECT doc_id,
+          substr(text, 17, 40) AS t2, substr(text, 57, 40) AS t3,
+          substr(text, 97, 20) AS t4, substr(text, 117, 20) AS t5,
+          substr(text, 137, 30) AS t6, substr(text, 1, 16) AS t1
+        FROM documents WHERE doc_id % 9 = 0),
+      e AS (
+        SELECT doc_id, unnest([
+          {pos: 1, text: 'home about', link_chars: 9, chrome: true},
+          {pos: 2, text: trim(regexp_replace('heading ' || t1, '\s+', ' ', 'g')),
+           link_chars: 0, chrome: false},
+          {pos: 3, text: trim(regexp_replace('intro ' || t2 || ' bolded', '\s+', ' ', 'g')),
+           link_chars: 0, chrome: false},
+          {pos: 4, text: trim(regexp_replace('nested ' || t3, '\s+', ' ', 'g')),
+           link_chars: 0, chrome: false},
+          {pos: 5, text: trim(regexp_replace('item one ' || t4, '\s+', ' ', 'g')),
+           link_chars: 0, chrome: false},
+          {pos: 6, text: trim(regexp_replace('item two ' || t5, '\s+', ' ', 'g')),
+           link_chars: 0, chrome: false},
+          {pos: 7, text: trim(regexp_replace('tail ' || t6, '\s+', ' ', 'g')),
+           link_chars: 0, chrome: false},
+          {pos: 8, text: 'terms & conditions legal', link_chars: 5, chrome: true}
+        ]) AS b
+        FROM r),
+      k AS (
+        SELECT doc_id, b.pos AS pos, b.text AS btext,
+          NOT b.chrome AND len(b.text) >= 25
+            AND CAST(b.link_chars AS DOUBLE) / len(b.text) <= 0.2 AS keep
+        FROM e)
+      SELECT doc_id,
+        COALESCE(string_agg(CASE WHEN keep THEN btext END, chr(10)
+          ORDER BY pos), '') AS extracted,
+        CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        CAST(COUNT(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_kept
+      FROM k GROUP BY doc_id ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    val b = docs(s, dir)
+      .filter($"doc_id" % 9 === 0)
+      .select($"doc_id", GraftFunctions.domBlocks(domTemplate($"text", $"doc_id")).as("bs"))
+      .select($"doc_id", explode($"bs").as("b"))
+      .withColumn("keep",
+        !$"b.chrome" && length($"b.text") >= 25 &&
+          $"b.link_chars".cast("double") / length($"b.text") <= 0.2)
+    b.groupBy($"doc_id")
+      .agg(
+        coalesce(
+          array_join(
+            transform(
+              array_sort(collect_list(
+                when($"keep", struct($"b.pos".as("pos"), $"b.text".as("text"))))),
+              x => x.getField("text")),
+            "\n"),
+          lit("")).as("extracted"),
+        count(lit(1)).as("n_blocks"),
+        sum(when($"keep", 1L).otherwise(0L)).as("n_kept"))
+      .orderBy($"doc_id")
+  }
+
   /** MIXED-SCRIPT token detector (spoofing/spam signal, the
     * script-level complement of d_homoglyph_fold's confusable
     * folding): a single token mixing Latin and Cyrillic letters is the
@@ -1083,7 +1235,8 @@ object CleaningOps {
     dSplitSentences, dNumPuncChunks, dTerminalChunks, dNumberChunks,
     dCodeDetect, dCodeRemove, dNormalizeIndic, dTerminalPuncFilter,
     dNonTermSpanRemove, dSentenceSplitLang, dPiiMask, dBoilerplateLines,
-    dHtmlExtract, dHtmlExtractDense, dJunkLines, dScriptSegments,
+    dHtmlExtract, dHtmlExtractDense, dDomBlocks, dDomExtract,
+    dJunkLines, dScriptSegments,
     dRunCollapse, dMojibake, dMixedScript,
     dHomoglyphFold, dUrlOps)
 }
