@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1565,6 +1566,206 @@ object TrainingPrep {
     * — the whole point of hashed features at 100 TB. Emitted flat as
     * (doc_id, dim, val) nonzero entries, the sparse-vector exchange
     * format. */
+  /** Kruskal–Wallis H test (Kruskal & Wallis '52) — does ANY source's
+    * length distribution differ? The k-sample generalization of
+    * [[dMannWhitney]], sharing its doubled-rank machinery: global
+    * ranks come from the value-keyed prefix-sum scaffold (never a row
+    * sort), per-source rank sums stay exact integers, and the one
+    * float expression assembles H with the standard tie correction.
+    * Σ Rᵢ²/nᵢ is carried as EXACT integer micros via the split floor
+    * identity floor(1e6·a/n) = 1e6·(a div n) + (1e6·(a mod n)) div n
+    * — so both engines feed bit-identical integers into the same
+    * fixed-order double formula (128-bit intermediates; exact to
+    * corpus sizes where N⁴ fits DECIMAL(38), ~3e9 rows — far past any
+    * single statistic's usefulness). H = 12/(N(N+1))·ΣRᵢ²/nᵢ − 3(N+1),
+    * tie-corrected by 1 − Σ(t³−t)/(N³−N); with doubled ranks
+    * ΣRᵢ²/nᵢ = ΣR2ᵢ²/nᵢ / 4, folded into the 3/(N(N+1)) coefficient. */
+  val dKruskalWallis: Spec = Spec(
+    "d_kruskal_wallis",
+    oracle = Some("""
+      WITH vc AS (SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS ce
+          FROM documents GROUP BY 1),
+      cum AS (SELECT v, ce,
+          CAST(COALESCE(SUM(ce) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS cl
+        FROM vc),
+      r2 AS (SELECT d.source, 2 * c.cl + c.ce + 1 AS r2
+        FROM documents d JOIN cum c ON c.v = d.n_chars),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents),
+      ties AS (SELECT CAST(SUM(ce::HUGEINT * ce * ce - ce) AS DOUBLE) AS ts
+        FROM vc),
+      su AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+          SUM(r2::HUGEINT) AS r2s
+        FROM r2 GROUP BY source),
+      sm AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+          SUM((r2s * r2s // n) * 1000000
+            + ((r2s * r2s % n) * 1000000) // n) AS sm
+        FROM su)
+      SELECT nn, k AS n_groups,
+        CAST(FLOOR((3.0 * CAST(sm AS DOUBLE) / 1000000.0 / (nn * (nn + 1.0))
+            - 3.0 * (nn + 1))
+          / (1.0 - ts / (nn * (nn - 1.0) * (nn + 1))) * 1000000)
+          AS BIGINT) AS h_micros
+      FROM tot CROSS JOIN ties CROSS JOIN sm""")) { (s, dir) =>
+    import s.implicits._
+    val d = docs(s, dir)
+    val vc = d.groupBy($"n_chars".as("v")).agg(count(lit(1)).as("ce"))
+      .withColumn("_k", lit("all"))
+    val cum = Skew.prefixSumsByKey(vc, "_k", Seq($"v"),
+        Seq($"ce" -> "cum_ce"))
+      .withColumn("cl", $"cum_ce" - $"ce")
+    val r2 = d.join(cum, d("n_chars") === cum("v"))
+      .select($"source", (lit(2) * $"cl" + $"ce" + 1).as("r2"))
+    val tot = broadcast(d.agg(count(lit(1)).as("nn")))
+    val ties = broadcast(vc.agg(
+      sum($"ce".cast("decimal(38,0)") * $"ce" * $"ce" - $"ce")
+        .cast("double").as("ts")))
+    val su = r2.groupBy($"source")
+      .agg(count(lit(1)).as("n"), sum($"r2".cast("decimal(38,0)")).as("r2s"))
+    su.agg(count(lit(1)).as("k"),
+        sum(expr("cast(r2s * r2s div n as decimal(38,0)) * 1000000" +
+          " + ((r2s * r2s) % n) * 1000000 div n")).as("sm"))
+      .crossJoin(tot).crossJoin(ties)
+      .select($"nn", $"k".as("n_groups"),
+        floor((lit(3.0) * $"sm".cast("double") / 1000000.0
+            / ($"nn" * ($"nn" + lit(1.0)))
+            - lit(3.0) * ($"nn" + 1))
+          / (lit(1.0) - $"ts" / ($"nn" * ($"nn" - lit(1.0)) * ($"nn" + 1)))
+          * 1e6).cast("long").as("h_micros"))
+  }
+
+  /** Spearman rank correlation per source between document length in
+    * CHARS and length in TOKENS — the monotone-association statistic a
+    * corpus profile wants where Pearson is distorted by heavy tails
+    * (length distributions are exactly that). ρ = Pearson over ranks;
+    * ranks are the doubled average ranks of the [[dMannWhitney]]
+    * scaffold computed WITHIN each source (the prefix-sum runs keyed
+    * by source — bounded cardinality, never a row sort), the five
+    * moment sums stay exact 128-bit integers (the doubling cancels),
+    * and the final ρ is one fixed-order double, floor-microed.
+    * Sources where either variable is constant (zero rank variance)
+    * drop out on both engines. */
+  val dSpearmanLengths: Spec = Spec(
+    "d_spearman_lengths",
+    oracle = Some("""
+      WITH d AS (SELECT source, n_chars AS x,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+        FROM documents),
+      vcx AS (SELECT source, x AS v, CAST(COUNT(*) AS BIGINT) AS ce
+        FROM d GROUP BY 1, 2),
+      cumx AS (SELECT source, v, ce,
+          CAST(COALESCE(SUM(ce) OVER (PARTITION BY source ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS cl
+        FROM vcx),
+      vcy AS (SELECT source, y AS v, CAST(COUNT(*) AS BIGINT) AS ce
+        FROM d GROUP BY 1, 2),
+      cumy AS (SELECT source, v, ce,
+          CAST(COALESCE(SUM(ce) OVER (PARTITION BY source ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS cl
+        FROM vcy),
+      r AS (SELECT d.source,
+          2 * cx.cl + cx.ce + 1 AS r2x, 2 * cy.cl + cy.ce + 1 AS r2y
+        FROM d
+        JOIN cumx cx ON cx.source = d.source AND cx.v = d.x
+        JOIN cumy cy ON cy.source = d.source AND cy.v = d.y),
+      m AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+          SUM(r2x::HUGEINT) AS sx, SUM(r2y::HUGEINT) AS sy,
+          SUM(r2x::HUGEINT * r2x) AS sxx, SUM(r2y::HUGEINT * r2y) AS syy,
+          SUM(r2x::HUGEINT * r2y) AS sxy
+        FROM r GROUP BY source)
+      SELECT source, n,
+        CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+          / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+            * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000)
+          AS BIGINT) AS rho_micros
+      FROM m
+      WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+      ORDER BY source""")) { (s, dir) =>
+    import s.implicits._
+    val d = docs(s, dir).select($"source", $"n_chars".as("x"),
+      size(split($"text", " ", -1)).cast("long").as("y"))
+    def ranks(vcol: String, out: String): DataFrame = {
+      val vc = d.groupBy($"source", col(vcol).as("v"))
+        .agg(count(lit(1)).as("ce"))
+      Skew.prefixSumsByKey(vc, "source", Seq($"v"), Seq($"ce" -> "cum_ce"))
+        .select($"source", $"v",
+          (lit(2) * ($"cum_ce" - $"ce") + $"ce" + 1).as(out))
+    }
+    val rx = ranks("x", "r2x")
+    val ry = ranks("y", "r2y")
+    val joined = d
+      .join(rx.withColumnRenamed("source", "sx_").withColumnRenamed("v", "vx_"),
+        d("source") === col("sx_") && d("x") === col("vx_"))
+      .join(ry.withColumnRenamed("source", "sy_").withColumnRenamed("v", "vy_"),
+        d("source") === col("sy_") && d("y") === col("vy_"))
+      .select(d("source"), $"r2x", $"r2y")
+    joined.groupBy($"source")
+      .agg(count(lit(1)).as("n"),
+        sum($"r2x".cast("decimal(38,0)")).as("sx"),
+        sum($"r2y".cast("decimal(38,0)")).as("sy"),
+        sum($"r2x".cast("decimal(38,0)") * $"r2x").as("sxx"),
+        sum($"r2y".cast("decimal(38,0)") * $"r2y").as("syy"),
+        sum($"r2x".cast("decimal(38,0)") * $"r2y").as("sxy"))
+      .filter($"n" * $"sxx" - $"sx" * $"sx" > 0 &&
+        $"n" * $"syy" - $"sy" * $"sy" > 0)
+      .select($"source", $"n",
+        floor(($"n" * $"sxy" - $"sx" * $"sy").cast("double")
+          / sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double")
+            * ($"n" * $"syy" - $"sy" * $"sy").cast("double"))
+          * 1e6).cast("long").as("rho_micros"))
+      .orderBy($"source")
+  }
+
+  /** One-way ANOVA F of document length across sources — the
+    * parametric complement of [[dKruskalWallis]] (mean shifts vs rank
+    * shifts; a profile reports both). Everything up to the final
+    * ratio is EXACT integer arithmetic: per-group (n, Σx, Σx²) and the
+    * between-group term Σ sᵢ²/nᵢ carried as exact micros via the split
+    * floor identity, so SSB·1e6 and SSW·1e6 are exact 128-bit
+    * integers; with the shared 1e6 scale cancelling in
+    * F = (SSB/(k−1))/(SSW/(N−k)), the statistic needs exactly ONE
+    * float division: F = ((B−T)·(N−k)) / ((Q·1e6−B)·(k−1)) with both
+    * products still exact. */
+  val dAnovaLengths: Spec = Spec(
+    "d_anova_lengths",
+    oracle = Some("""
+      WITH g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+          SUM(n_chars::HUGEINT) AS s, SUM(n_chars::HUGEINT * n_chars) AS q
+        FROM documents GROUP BY source),
+      b AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+          SUM((s * s // n) * 1000000 + ((s * s % n) * 1000000) // n) AS bm,
+          SUM(n) AS nn, SUM(s) AS st, SUM(q) AS qt
+        FROM g),
+      t AS (SELECT k, bm, nn, qt,
+          (st * st // nn) * 1000000 + ((st * st % nn) * 1000000) // nn AS tm
+        FROM b)
+      SELECT CAST(nn AS BIGINT) AS nn, k AS n_groups,
+        CAST(FLOOR(CAST((bm - tm) * (nn - k) AS DOUBLE)
+          / CAST((qt * 1000000 - bm) * (k - 1) AS DOUBLE) * 1000000)
+          AS BIGINT) AS f_micros
+      FROM t WHERE qt * 1000000 - bm > 0 AND k > 1""")) { (s, dir) =>
+    import s.implicits._
+    val g = docs(s, dir).groupBy($"source")
+      .agg(count(lit(1)).as("n"),
+        sum($"n_chars".cast("decimal(38,0)")).as("s"),
+        sum($"n_chars".cast("decimal(38,0)") * $"n_chars").as("q"))
+    g.agg(count(lit(1)).as("k"),
+        sum(expr("cast(s * s div n as decimal(38,0)) * 1000000" +
+          " + ((s * s) % n) * 1000000 div n")).as("bm"),
+        sum($"n").as("nn"), sum($"s").as("st"), sum($"q").as("qt"))
+      .select($"k", $"bm", $"nn", $"qt",
+        expr("cast(st * st div nn as decimal(38,0)) * 1000000" +
+          " + ((st * st) % nn) * 1000000 div nn").as("tm"))
+      .filter($"qt" * 1000000 - $"bm" > 0 && $"k" > 1)
+      .select($"nn".cast("long").as("nn"), $"k".as("n_groups"),
+        floor((($"bm" - $"tm") * ($"nn" - $"k")).cast("double")
+          / (($"qt" * 1000000 - $"bm") * ($"k" - 1)).cast("double")
+          * 1e6).cast("long").as("f_micros"))
+  }
+
   val dHashEmbedding: Spec = Spec(
     "d_hash_embedding",
     oracle = Some("""
@@ -2324,5 +2525,6 @@ object TrainingPrep {
     dScoreDeciles, dSourceInterleave,
     dCmsCounts, dWeightedSample, dPaddingEfficiency, dEntropyScores,
     dSourceDivergence, dDistributionMatch, dQualityClassifier, dDsirWeights,
-    dKneserNey, dMannWhitney)
+    dKneserNey, dMannWhitney, dKruskalWallis, dSpearmanLengths,
+    dAnovaLengths)
 }
