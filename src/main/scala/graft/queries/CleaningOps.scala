@@ -880,6 +880,70 @@ object CleaningOps {
       .orderBy($"doc_id")
   }
 
+  /** DOM → MARKDOWN rendering — the training-data serialization the
+    * block tree makes possible (flat splitters lose the element kinds;
+    * here each block's path tail picks its markdown form): h1..h6 →
+    * '#'-runs, li → '- ', blockquote → '> ', paragraphs bare, chrome
+    * ancestry dropped. LLM corpora overwhelmingly prefer markdown over
+    * stripped text because structure survives tokenization; this is
+    * the structured complement of d_dom_extract's plain reassembly.
+    * The oracle states the expected markdown LITERALLY from the
+    * template pieces (the d_dom_blocks discipline — no SQL re-parse). */
+  val dDomMarkdown: Spec = Spec(
+    "d_dom_markdown",
+    oracle = Some("""
+      WITH r AS (
+        SELECT doc_id,
+          trim(regexp_replace(substr(text, 1, 24), '\s+', ' ', 'g')) AS t1,
+          trim(regexp_replace(substr(text, 25, 60), '\s+', ' ', 'g')) AS t2,
+          trim(regexp_replace(substr(text, 85, 24), '\s+', ' ', 'g')) AS t3,
+          trim(regexp_replace(substr(text, 109, 40), '\s+', ' ', 'g')) AS t4,
+          trim(regexp_replace(substr(text, 149, 20), '\s+', ' ', 'g')) AS t5,
+          trim(regexp_replace(substr(text, 169, 20), '\s+', ' ', 'g')) AS t6,
+          trim(regexp_replace(substr(text, 189, 40), '\s+', ' ', 'g')) AS t7
+        FROM documents WHERE doc_id % 11 = 3)
+      SELECT doc_id,
+        trim('# title ' || t1) || chr(10) ||
+        trim('para ' || t2) || chr(10) ||
+        trim('## section ' || t3) || chr(10) ||
+        trim('> quote ' || t4) || chr(10) ||
+        trim('- first ' || t5) || chr(10) ||
+        trim('- second ' || t6) || chr(10) ||
+        trim('closing ' || t7) AS markdown,
+        CAST(7 AS BIGINT) AS n_blocks
+      FROM r ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    val html = concat(
+      lit("<html><body><nav><a href=\"/\">skip this chrome</a></nav><article>"),
+      lit("<h1>title "), substring($"text", 1, 24), lit("</h1>"),
+      lit("<p>para "), substring($"text", 25, 60), lit("</p>"),
+      lit("<h2>section "), substring($"text", 85, 24), lit("</h2>"),
+      lit("<blockquote>quote "), substring($"text", 109, 40), lit("</blockquote>"),
+      lit("<ul><li>first "), substring($"text", 149, 20),
+      lit("<li>second "), substring($"text", 169, 20), lit("</ul>"),
+      lit("<p>closing "), substring($"text", 189, 40),
+      lit("</article></body></html>"))
+    val tag = element_at(split($"b.path", ">"), -1)
+    val prefix = when(tag.startsWith("h") && tag.rlike("^h[1-6]$"),
+        concat(expr("repeat('#', cast(substr(element_at(split(b.path, '>'), -1), 2) as int))"), lit(" ")))
+      .when(tag === "li", lit("- "))
+      .when(tag === "blockquote", lit("> "))
+      .otherwise(lit(""))
+    docs(s, dir)
+      .filter($"doc_id" % 11 === 3)
+      .select($"doc_id", explode(GraftFunctions.domBlocks(html)).as("b"))
+      .filter(!$"b.chrome")
+      .select($"doc_id", $"b.pos".as("pos"),
+        concat(prefix, $"b.text").as("line"))
+      .groupBy($"doc_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct($"pos", $"line"))),
+          x => x.getField("line")), "\n").as("markdown"),
+        count(lit(1)).as("n_blocks"))
+      .orderBy($"doc_id")
+  }
+
   /** MIXED-SCRIPT token detector (spoofing/spam signal, the
     * script-level complement of d_homoglyph_fold's confusable
     * folding): a single token mixing Latin and Cyrillic letters is the
@@ -1236,7 +1300,7 @@ object CleaningOps {
     dCodeDetect, dCodeRemove, dNormalizeIndic, dTerminalPuncFilter,
     dNonTermSpanRemove, dSentenceSplitLang, dPiiMask, dBoilerplateLines,
     dHtmlExtract, dHtmlExtractDense, dDomBlocks, dDomExtract,
-    dJunkLines, dScriptSegments,
+    dDomMarkdown, dJunkLines, dScriptSegments,
     dRunCollapse, dMojibake, dMixedScript,
     dHomoglyphFold, dUrlOps)
 }

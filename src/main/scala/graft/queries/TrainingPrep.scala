@@ -1766,6 +1766,65 @@ object TrainingPrep {
           * 1e6).cast("long").as("f_micros"))
   }
 
+  /** Median absolute deviation of document length per source — THE
+    * robust scale estimate (50% breakdown vs stddev's 0%) a corpus
+    * profile wants for length outliers. Exact and sort-free twice
+    * over: the per-source lower median is selected from the
+    * value-keyed rank scaffold (value v is the median iff its
+    * cumulative run covers rank (n+1)÷2 — one bounded-key prefix sum,
+    * never a row sort), absolute deviations from it re-enter the SAME
+    * selection, and every compared value is an exact BIGINT. */
+  val dMadLengths: Spec = Spec(
+    "d_mad_lengths",
+    oracle = Some("""
+      WITH vc AS (SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS ce
+          FROM documents GROUP BY 1, 2),
+      cum AS (SELECT source, v, ce,
+          CAST(COALESCE(SUM(ce) OVER (PARTITION BY source ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS cl
+        FROM vc),
+      n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY source),
+      med AS (SELECT c.source, n.n, c.v AS median
+        FROM cum c JOIN n ON n.source = c.source
+        WHERE c.cl < (n.n + 1) // 2 AND (n.n + 1) // 2 <= c.cl + c.ce),
+      dev AS (SELECT d.source, abs(d.n_chars - m.median) AS v
+        FROM documents d JOIN med m ON m.source = d.source),
+      dvc AS (SELECT source, v, CAST(COUNT(*) AS BIGINT) AS ce
+        FROM dev GROUP BY 1, 2),
+      dcum AS (SELECT source, v, ce,
+          CAST(COALESCE(SUM(ce) OVER (PARTITION BY source ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS cl
+        FROM dvc)
+      SELECT m.source, m.n, m.median, c.v AS mad
+      FROM dcum c JOIN med m ON m.source = c.source
+      WHERE c.cl < (m.n + 1) // 2 AND (m.n + 1) // 2 <= c.cl + c.ce
+      ORDER BY m.source""")) { (s, dir) =>
+    import s.implicits._
+    val d = docs(s, dir)
+    // value v is the group's lower median iff its cumulative count run
+    // covers rank (n+1)÷2 — one scaffold pass, reused for both rounds
+    def lowerMedian(vals: DataFrame, out: String): DataFrame = {
+      val vc = vals.groupBy($"source", $"v").agg(count(lit(1)).as("ce"))
+      val cum = Skew.prefixSumsByKey(vc, "source", Seq($"v"),
+          Seq($"ce" -> "cum_ce"))
+        .withColumn("cl", $"cum_ce" - $"ce")
+      val n = vals.groupBy($"source").agg(count(lit(1)).as("n"))
+      cum.join(n, "source")
+        .filter($"cl" < expr("(n + 1) div 2") &&
+          expr("(n + 1) div 2") <= $"cl" + $"ce")
+        .select($"source", $"n", $"v".as(out))
+    }
+    val med = lowerMedian(d.select($"source", $"n_chars".as("v")), "median")
+    val dev = d.join(med.select($"source", $"median"), "source")
+      .select($"source", abs($"n_chars" - $"median").as("v"))
+    med.join(lowerMedian(dev, "mad").select($"source", $"mad"), "source")
+      .select($"source", $"n", $"median", $"mad")
+      .orderBy($"source")
+  }
+
   val dHashEmbedding: Spec = Spec(
     "d_hash_embedding",
     oracle = Some("""
@@ -2526,5 +2585,5 @@ object TrainingPrep {
     dCmsCounts, dWeightedSample, dPaddingEfficiency, dEntropyScores,
     dSourceDivergence, dDistributionMatch, dQualityClassifier, dDsirWeights,
     dKneserNey, dMannWhitney, dKruskalWallis, dSpearmanLengths,
-    dAnovaLengths)
+    dAnovaLengths, dMadLengths)
 }
