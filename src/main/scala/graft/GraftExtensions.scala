@@ -37,5 +37,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // row_number <= n filter → bounded map-side top-n aggregate +
     // explode: the per-group top-k idiom, general-n sibling
     ext.injectOptimizerRule(_ => graft.plans.WindowTopKToAgg)
+    // x = max(x) over (partition k) filter → agg + null-safe join:
+    // the argmax idiom — exact under ties, sort-free, fires only on
+    // scan-shaped children (re-scan is cheap, re-join is not)
+    ext.injectOptimizerRule(_ => graft.plans.WindowMaxFilterToJoin)
   }
 }

@@ -249,6 +249,43 @@ object Relational {
     df
   }
 
+  /** The ARGMAX idiom riding [[graft.plans.WindowMaxFilterToJoin]]:
+    * every lineitem achieving its order's maximum quantity — quantities
+    * are coarse integers, so TIES ARE REAL and the oracle's window form
+    * must keep every tied row, which is exactly what makes this rewrite
+    * caveat-free (no pick nondeterminism to refine). The body writes
+    * the window form, installs the graft rules, and REQUIREs the
+    * Window node became the agg + null-safe join before returning.
+    * Restricted to a supplier slice to keep the verify output bounded. */
+  val qArgmaxRewritten: Spec = Spec(
+    "q_argmax_rewritten",
+    oracle = Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity, mx
+      FROM (
+        SELECT l_orderkey, l_linenumber, l_quantity,
+          MAX(l_quantity) OVER (PARTITION BY l_orderkey) AS mx
+        FROM lineitem WHERE l_suppkey <= 40)
+      WHERE l_quantity = mx
+      ORDER BY l_orderkey, l_linenumber""")) { (s, dir) =>
+    import s.implicits._
+    val em = s.sessionState.experimentalMethods
+    if (!em.extraOptimizations.exists(_ eq graft.plans.WindowMaxFilterToJoin))
+      em.extraOptimizations = em.extraOptimizations ++
+        Seq(graft.plans.WindowMaxFilterToJoin)
+    val w = Window.partitionBy($"l_orderkey")
+    val df = Tables.load(s, dir, "lineitem")
+      .filter($"l_suppkey" <= 40)
+      .withColumn("mx", max($"l_quantity").over(w))
+      .filter($"l_quantity" === $"mx")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"mx")
+      .orderBy($"l_orderkey", $"l_linenumber")
+    require(df.queryExecution.optimizedPlan.collect {
+        case wn: org.apache.spark.sql.catalyst.plans.logical.Window => wn
+      }.isEmpty,
+      "WindowMaxFilterToJoin did not fire on the argmax idiom")
+    df
+  }
+
   /** Running total window (frame = unbounded preceding → current row),
     * exact via decimal accumulation. Restricted to a supplier slice to
     * keep the verify output bounded. */
@@ -1616,5 +1653,5 @@ object Relational {
     qBenford, qSkewReport, qConsistentSample, qRollingMedian, qBucketedJoin,
     qZorderCluster, qMergeUpsert, qScd2History, qExpectations,
     qSkylineParts, qKAnonymity, qIncrMv, qIncrJoinMv, qMarketBasket,
-    qTdigest, qExactQuantile2Pass, qTopKRewritten)
+    qTdigest, qExactQuantile2Pass, qTopKRewritten, qArgmaxRewritten)
 }

@@ -34,7 +34,8 @@ class PlanRewriteSpec extends AnyFunSuite {
     val prev = em.extraOptimizations
     em.extraOptimizations = prev.filterNot(r =>
       (r eq WindowDedupToAgg) || (r eq graft.plans.WindowCountOneToAgg) ||
-        (r eq graft.plans.WindowTopKToAgg))
+        (r eq graft.plans.WindowTopKToAgg) ||
+        (r eq graft.plans.WindowMaxFilterToJoin))
     try body finally em.extraOptimizations = prev
   }
 
@@ -234,6 +235,62 @@ class PlanRewriteSpec extends AnyFunSuite {
       val lt = spark.read.parquet(s"${TestSpark.Sf}/lineitem.parquet")
         .withColumn("rk", row_number().over(w)).filter($"rk" < 4)
       assert(!hasWindow(lt) && lt.collect().toSet == baseline)
+    }
+  }
+
+  // ---- WindowMaxFilterToJoin (the argmax idiom) ----
+
+  private def withArgmaxRule[T](body: => T): T = {
+    val em = spark.sessionState.experimentalMethods
+    val prev = em.extraOptimizations
+    em.extraOptimizations = prev :+ graft.plans.WindowMaxFilterToJoin
+    try body finally em.extraOptimizations = prev
+  }
+
+  private def naiveArgmax(): DataFrame = {
+    val w = Window.partitionBy($"l_orderkey")
+    spark.read.parquet(s"${TestSpark.Sf}/lineitem.parquet")
+      .withColumn("mx", max($"l_quantity").over(w))
+      .filter($"l_quantity" === $"mx")
+  }
+
+  test("x = max(x) over k rewrites to agg + null-safe join; ties exact") {
+    val baseline = withoutRules { naiveArgmax().collect().toSet }
+    withoutRules { assert(hasWindow(naiveArgmax())) }
+    withArgmaxRule {
+      val rewritten = naiveArgmax()
+      assert(!hasWindow(rewritten), "rule must eliminate the Window node")
+      assert(hasAggregate(rewritten), "rule must introduce the aggregate")
+      // EXACT under ties: every row achieving the group max survives in
+      // both forms — set equality is the whole contract
+      assert(rewritten.collect().toSet == baseline)
+      // the mx column survives under the original reference
+      val viaMx = naiveArgmax().filter($"mx" >= 0).count()
+      assert(viaMx == baseline.size)
+      // downstream aggregation over rewritten attributes still resolves
+      val downstream = naiveArgmax()
+        .groupBy($"l_returnflag").agg(count(lit(1))).collect()
+      assert(downstream.nonEmpty)
+    }
+  }
+
+  test("argmax guards: ordered window, non-scan child, rank filter stay windows") {
+    withArgmaxRule {
+      val base = spark.read.parquet(s"${TestSpark.Sf}/lineitem.parquet")
+      val ordered = base.withColumn("mx", max($"l_quantity").over(
+        Window.partitionBy($"l_orderkey").orderBy($"l_linenumber")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .filter($"l_quantity" === $"mx")
+      assert(hasWindow(ordered), "ordered window spec must not rewrite")
+      // a joined child is NOT scan-shaped: re-executing it twice could
+      // dwarf the saved sort, so the rule must stay silent
+      val joined = base.join(
+          spark.read.parquet(s"${TestSpark.Sf}/orders.parquet"),
+          $"l_orderkey" === $"o_orderkey")
+        .withColumn("mx", max($"l_quantity").over(
+          Window.partitionBy($"l_orderkey")))
+        .filter($"l_quantity" === $"mx")
+      assert(hasWindow(joined), "non-scan child must not rewrite")
     }
   }
 
