@@ -2205,6 +2205,114 @@ object Events {
       .orderBy($"event_type", $"lag")
   }
 
+  /** Ljung–Box portmanteau test (Ljung & Box '78) of the per-type
+    * daily series against white noise, lags 1–7:
+    * Q = N(N+2)·Σₖ ρ̂ₖ²/(N−k) with the STANDARD acf estimator
+    * ρ̂ₖ = Σ(xₜ−x̄)(xₜ₊ₖ−x̄)/Σ(xₜ−x̄)² (one global mean — unlike
+    * [[qAcfDaily]]'s per-lag Pearson, this is the estimator the test's
+    * χ² null distribution assumes). The closing statistic of the
+    * time-series kit: ACF locates the cycle, CUSUM the break — Q says
+    * whether there is ANY autocorrelation to chase at all.
+    *
+    * Engine parity: multiplying the acf numerator and denominator by
+    * N² clears the rational mean, so ρ̂ₖ = [N²Cₖ − NS(Aₖ+Bₖ) +
+    * (N−k)S²] / [N²Q₀ − NS²] is a ratio of EXACT 128-bit integers
+    * (Cₖ = Σxₜxₜ₊ₖ, Aₖ/Bₖ the lag-aligned sums, S/Q₀ the global
+    * sums); the seven ρ̂ₖ²/(N−k) terms then add in one EXPLICIT
+    * fixed-order expression (t1+t2+…+t7 — never a float aggregate
+    * whose order the engine picks). Scale shape: identical to
+    * [[qAcfDaily]] — one calendar-bounded window for all leads, hash
+    * aggs, a 7-way conditional pivot per type. */
+  val qLjungBox: Spec = Spec(
+    "ev_ljung_box",
+    oracle = Some(s"""
+      WITH $dailySpineSql,
+      tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+          SUM(x::HUGEINT) AS s, SUM(x::HUGEINT * x) AS q0
+        FROM grid GROUP BY 1),
+      led AS (SELECT event_type, x,
+          lead(x, 1) OVER w AS y1, lead(x, 2) OVER w AS y2,
+          lead(x, 3) OVER w AS y3, lead(x, 4) OVER w AS y4,
+          lead(x, 5) OVER w AS y5, lead(x, 6) OVER w AS y6,
+          lead(x, 7) OVER w AS y7
+        FROM grid WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+      pairs AS (
+        SELECT event_type, lag, x, y FROM (
+          SELECT event_type, 1 AS lag, x, y1 AS y FROM led UNION ALL
+          SELECT event_type, 2, x, y2 FROM led UNION ALL
+          SELECT event_type, 3, x, y3 FROM led UNION ALL
+          SELECT event_type, 4, x, y4 FROM led UNION ALL
+          SELECT event_type, 5, x, y5 FROM led UNION ALL
+          SELECT event_type, 6, x, y6 FROM led UNION ALL
+          SELECT event_type, 7, x, y7 FROM led)
+        WHERE y IS NOT NULL),
+      lg AS (SELECT event_type, lag, SUM(x::HUGEINT * y) AS ck,
+          SUM(x::HUGEINT) AS ak, SUM(y::HUGEINT) AS bk
+        FROM pairs GROUP BY 1, 2),
+      rho AS (SELECT l.event_type, l.lag,
+          CAST(t.n::HUGEINT * t.n * l.ck - t.n::HUGEINT * t.s * (l.ak + l.bk)
+            + (t.n - l.lag)::HUGEINT * t.s * t.s AS DOUBLE)
+          / CAST(t.n::HUGEINT * t.n * t.q0 - t.n::HUGEINT * t.s * t.s
+            AS DOUBLE) AS r,
+          t.n AS n
+        FROM lg l JOIN tot t ON t.event_type = l.event_type
+        WHERE t.n::HUGEINT * t.n * t.q0 - t.n::HUGEINT * t.s * t.s > 0),
+      tm AS (SELECT event_type, MAX(n) AS n,
+          MAX(CASE WHEN lag = 1 THEN r * r / (n - 1) END) AS t1,
+          MAX(CASE WHEN lag = 2 THEN r * r / (n - 2) END) AS t2,
+          MAX(CASE WHEN lag = 3 THEN r * r / (n - 3) END) AS t3,
+          MAX(CASE WHEN lag = 4 THEN r * r / (n - 4) END) AS t4,
+          MAX(CASE WHEN lag = 5 THEN r * r / (n - 5) END) AS t5,
+          MAX(CASE WHEN lag = 6 THEN r * r / (n - 6) END) AS t6,
+          MAX(CASE WHEN lag = 7 THEN r * r / (n - 7) END) AS t7
+        FROM rho GROUP BY 1)
+      SELECT event_type, n AS n_days,
+        CAST(FLOOR(n * (n + 2.0) * (t1 + t2 + t3 + t4 + t5 + t6 + t7)
+          * 1000000) AS BIGINT) AS q_lb_micros,
+        n * (n + 2.0) * (t1 + t2 + t3 + t4 + t5 + t6 + t7) > 14.067
+          AS white_noise_rejected
+      FROM tm WHERE n >= 8 ORDER BY event_type""")) { (s, dir) =>
+    import s.implicits._
+    val grid = dailyCountSpine(s, dir)
+    val tot = grid.groupBy($"event_type").agg(
+      count(lit(1)).as("n"),
+      sum($"x".cast("decimal(38,0)")).as("s"),
+      sum($"x".cast("decimal(38,0)") * $"x").as("q0"))
+    val w = Window.partitionBy($"event_type").orderBy($"d")
+    val led = grid
+      .select($"event_type" +: $"x" +:
+        (1 to 7).map(k => lead($"x", k).over(w).as(s"y$k")): _*)
+    val pairs = led.select($"event_type",
+      expr("stack(7, 1, y1, 2, y2, 3, y3, 4, y4, 5, y5, 6, y6, 7, y7)")
+        .as(Seq("lag", "y")), $"x")
+      .filter($"y".isNotNull)
+    val lg = pairs.groupBy($"event_type", $"lag").agg(
+      sum($"x".cast("decimal(38,0)") * $"y").as("ck"),
+      sum($"x".cast("decimal(38,0)")).as("ak"),
+      sum($"y".cast("decimal(38,0)")).as("bk"))
+    val rho = lg.join(tot, "event_type")
+      .filter(expr("cast(n as decimal(38,0)) * n * q0" +
+        " - cast(n as decimal(38,0)) * s * s > 0"))
+      .select($"event_type", $"lag", $"n",
+        (expr("cast(n as decimal(38,0)) * n * ck" +
+          " - cast(n as decimal(38,0)) * s * (ak + bk)" +
+          " + cast(n - lag as decimal(38,0)) * s * s").cast("double")
+          / expr("cast(n as decimal(38,0)) * n * q0" +
+            " - cast(n as decimal(38,0)) * s * s").cast("double")).as("r"))
+    val aggCols = max($"n").as("n") +:
+      (1 to 7).map(k =>
+        max(when($"lag" === k, $"r" * $"r" / ($"n" - k))).as(s"t$k"))
+    val tm = rho.groupBy($"event_type").agg(aggCols.head, aggCols.tail: _*)
+    val qsum = $"t1" + $"t2" + $"t3" + $"t4" + $"t5" + $"t6" + $"t7"
+    tm.filter($"n" >= 8)
+      .select($"event_type", $"n".as("n_days"),
+        floor($"n" * ($"n" + lit(2.0)) * qsum * 1e6).cast("long")
+          .as("q_lb_micros"),
+        ($"n" * ($"n" + lit(2.0)) * qsum > 14.067)
+          .as("white_noise_rejected"))
+      .orderBy($"event_type")
+  }
+
   /** Holt linear-trend exponential smoothing (Holt '57) over the
     * per-type daily count grid, forecasting the next 7 days — the
     * capacity-planning forecast that pairs with [[qAcfDaily]]'s
@@ -3152,7 +3260,7 @@ object Events {
     qAsofNearest, qConversionTime, qMarkovTransitions, qSeasonalDecompose,
     qPathAnalysis, qSeasonalAnomaly, qStickiness, qBounceRate,
     qUserConcentration, qInterArrival, qAttribution, qAttributionDecay,
-    qRfm, qEntryExit, qAcfDaily, qCusumChangepoint, qGapFill, qDbscanUsers,
+    qRfm, qEntryExit, qAcfDaily, qLjungBox, qCusumChangepoint, qGapFill, qDbscanUsers,
     qConcurrencyHourly, qDbscanIncremental, qTheilSen, qSurvivalKm,
     qZorderLayout, qHoltForecast, qSlidingDistinct, qHaarDaily, qAmsF2,
     qBurstViterbi, qHoltWinters, qChi2Weekday)
