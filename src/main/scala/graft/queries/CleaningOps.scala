@@ -507,6 +507,69 @@ object CleaningOps {
       .orderBy($"doc_id")
   }
 
+  /** Luhn checksum validation of card-number candidates — the
+    * verification step that turns the PII regex family
+    * ([[dPiiMask]]'s 4-4-4 ids) into a low-false-positive detector: a
+    * random 16-digit string passes the REGEX 100% of the time but the
+    * CHECKSUM only 10%. Construction: a 15-digit base derives from
+    * doc_id, both engines compute its Luhn sum with an explicit
+    * digit fold (position-odd digits doubled with the >9 fold — exact
+    * integers), and the appended check digit is correct for
+    * doc_id % 3 ≠ 1 docs, off-by-one otherwise. VALIDATION is then
+    * independent per engine: Spark uses its NATIVE `luhn_check`
+    * expression, the oracle re-folds the full 16 digits — so the
+    * green hash cross-proves Spark's builtin against the from-scratch
+    * SQL implementation on both valid and invalid cards. */
+  val dLuhnCards: Spec = Spec(
+    "d_luhn_cards",
+    oracle = Some("""
+      WITH b AS (
+        SELECT doc_id,
+          '4' || lpad(CAST(doc_id * 37 % 99999999999999 AS VARCHAR), 14, '0')
+            AS b15
+        FROM documents WHERE doc_id % 6 = 2),
+      s AS (
+        SELECT doc_id, b15,
+          CAST(list_sum(list_transform(range(1, 16), p ->
+            CASE WHEN p % 2 = 1
+              THEN CASE WHEN 2 * CAST(substr(b15, CAST(p AS INT), 1) AS INT) > 9
+                   THEN 2 * CAST(substr(b15, CAST(p AS INT), 1) AS INT) - 9
+                   ELSE 2 * CAST(substr(b15, CAST(p AS INT), 1) AS INT) END
+              ELSE CAST(substr(b15, CAST(p AS INT), 1) AS INT) END))
+            AS BIGINT) AS sb
+        FROM b),
+      c AS (
+        SELECT doc_id, b15, sb, (10 - sb % 10) % 10 AS dok,
+          b15 || CAST(CASE WHEN doc_id % 3 <> 1 THEN (10 - sb % 10) % 10
+            ELSE ((10 - sb % 10) % 10 + 1) % 10 END AS VARCHAR) AS cc
+        FROM s)
+      SELECT doc_id, cc,
+        (sb + CAST(substr(cc, 16, 1) AS INT)) % 10 = 0 AS luhn_ok
+      FROM c ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    val b15 = concat(lit("4"),
+      lpad(($"doc_id" * 37 % 99999999999999L).cast("string"), 14, "0"))
+    val sb = expr("aggregate(sequence(1, 15), 0, (acc, p) -> acc + " +
+      "CASE WHEN p % 2 = 1 " +
+      "THEN CASE WHEN 2 * CAST(substr(b15, p, 1) AS INT) > 9 " +
+      "THEN 2 * CAST(substr(b15, p, 1) AS INT) - 9 " +
+      "ELSE 2 * CAST(substr(b15, p, 1) AS INT) END " +
+      "ELSE CAST(substr(b15, p, 1) AS INT) END)").cast("long")
+    docs(s, dir)
+      .filter($"doc_id" % 6 === 2)
+      .select($"doc_id", b15.as("b15"))
+      .withColumn("sb", sb)
+      .withColumn("dok", (lit(10) - $"sb" % 10) % 10)
+      .select($"doc_id",
+        concat($"b15",
+          when($"doc_id" % 3 =!= 1, $"dok")
+            .otherwise(($"dok" + 1) % 10).cast("string")).as("cc"))
+      // validation is the engine's NATIVE Luhn — independent of the
+      // generation fold above, so the oracle compare cross-proves it
+      .withColumn("luhn_ok", expr("luhn_check(cc)"))
+      .orderBy($"doc_id")
+  }
+
   /** Corpus-level boilerplate removal (C4/RefinedWeb rule): lines
     * occurring in ≥3 distinct docs are template chrome, dropped from
     * every doc. Injection plants a shared newsletter line (docs %3) and
@@ -1300,7 +1363,7 @@ object CleaningOps {
     dCodeDetect, dCodeRemove, dNormalizeIndic, dTerminalPuncFilter,
     dNonTermSpanRemove, dSentenceSplitLang, dPiiMask, dBoilerplateLines,
     dHtmlExtract, dHtmlExtractDense, dDomBlocks, dDomExtract,
-    dDomMarkdown, dJunkLines, dScriptSegments,
+    dDomMarkdown, dLuhnCards, dJunkLines, dScriptSegments,
     dRunCollapse, dMojibake, dMixedScript,
     dHomoglyphFold, dUrlOps)
 }
