@@ -527,7 +527,7 @@ object CleaningOps {
         SELECT doc_id,
           '4' || lpad(CAST(doc_id * 37 % 99999999999999 AS VARCHAR), 14, '0')
             AS b15
-        FROM documents WHERE doc_id % 6 = 2),
+        FROM documents WHERE doc_id % 5 = 2),
       s AS (
         SELECT doc_id, b15,
           CAST(list_sum(list_transform(range(1, 16), p ->
@@ -556,7 +556,7 @@ object CleaningOps {
       "ELSE 2 * CAST(substr(b15, p, 1) AS INT) END " +
       "ELSE CAST(substr(b15, p, 1) AS INT) END)").cast("long")
     docs(s, dir)
-      .filter($"doc_id" % 6 === 2)
+      .filter($"doc_id" % 5 === 2)
       .select($"doc_id", b15.as("b15"))
       .withColumn("sb", sb)
       .withColumn("dok", (lit(10) - $"sb" % 10) % 10)
