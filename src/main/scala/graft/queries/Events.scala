@@ -2223,9 +2223,7 @@ object Events {
     * whose order the engine picks). Scale shape: identical to
     * [[qAcfDaily]] — one calendar-bounded window for all leads, hash
     * aggs, a 7-way conditional pivot per type. */
-  val qLjungBox: Spec = Spec(
-    "ev_ljung_box",
-    oracle = Some(s"""
+  val ljungBoxOracleSql: String = s"""
       WITH $dailySpineSql,
       tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
           SUM(x::HUGEINT) AS s, SUM(x::HUGEINT * x) AS q0
@@ -2271,9 +2269,20 @@ object Events {
           * 1000000) AS BIGINT) AS q_lb_micros,
         n * (n + 2.0) * (t1 + t2 + t3 + t4 + t5 + t6 + t7) > 14.067
           AS white_noise_rejected
-      FROM tm WHERE n >= 8 ORDER BY event_type""")) { (s, dir) =>
+      FROM tm WHERE n >= 8 ORDER BY event_type"""
+
+  val qLjungBox: Spec = Spec(
+    "ev_ljung_box",
+    oracle = Some(ljungBoxOracleSql)) { (s, dir) =>
+    ljungBoxOverGrid(dailyCountSpine(s, dir))
+  }
+
+  /** The Ljung–Box tail behind [[qLjungBox]], over any (event_type, d,
+    * x) grid — shared by the batch query and the streaming twin (whose
+    * grid arrives from the watermarked daily count stream). */
+  def ljungBoxOverGrid(grid: DataFrame): DataFrame = {
+    val s = grid.sparkSession
     import s.implicits._
-    val grid = dailyCountSpine(s, dir)
     val tot = grid.groupBy($"event_type").agg(
       count(lit(1)).as("n"),
       sum($"x".cast("decimal(38,0)")).as("s"),

@@ -730,6 +730,18 @@ object StreamingQ {
       StreamOps.dailyTypeCounts(s, dir, sink = "st_cusum_mem")))
   }
 
+  /** STREAMING Ljung–Box: the same watermarked daily count grid, the
+    * white-noise portmanteau statistic as a batch view over it —
+    * sharing [[Events.spineFill]] + [[Events.ljungBoxOverGrid]] and
+    * the batch oracle with ev_ljung_box (the st_cusum_changepoint
+    * split). */
+  val stLjungBox: Spec = Spec(
+    "st_ljung_box",
+    oracle = Some(Events.ljungBoxOracleSql)) { (s, dir) =>
+    Events.ljungBoxOverGrid(Events.spineFill(
+      StreamOps.dailyTypeCounts(s, dir, sink = "st_ljung_mem")))
+  }
+
   /** STREAMING Holt forecast: the watermarked stream maintains the
     * bounded per-(type, day) count grid (the same sufficient statistic
     * the CUSUM monitor consumes); the level/trend fold and the 7-day
@@ -1141,6 +1153,6 @@ object StreamingQ {
     stAsofLastClick, stCcIncremental, stRateAnomaly, stKsWindowed,
     stKsCountsAppend, stMarkov, stRateAnomalyAppend, stSeasonalAppend,
     stSeasonal, stPath, stNsfwRollup, stEntryExit, stAttribution,
-    stQualityMonitor, stAttributionDecay, stCusum, stGapFill, stDbscan,
+    stQualityMonitor, stAttributionDecay, stCusum, stLjungBox, stGapFill, stDbscan,
     stHoltForecast, stAmsF2, stTdigest, stBurstViterbi, stHoltWinters)
 }
