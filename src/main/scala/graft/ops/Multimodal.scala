@@ -197,6 +197,45 @@ object Multimodal {
     })
   }
 
+  final case class ImageHistogram(doc_id: Long, n_px: Long, bins: Seq[Long])
+
+  /** 8-bin luma histogram over EVERY decoded pixel (bin = luma div 32)
+    * — the exposure/contrast profile of an image corpus: a training-set
+    * audit wants "how many near-black scans, how many blown-out
+    * whites" before any perceptual hash, and histogram shape is the
+    * cheap content signature the hashes don't give (they threshold
+    * away absolute level). Same real-decode / integer-arithmetic
+    * contract as [[imageAHash]] (undecodable rows drop), full-grid
+    * rather than 8×8-sampled — the histogram is a census, not a
+    * sketch. Per-row executor work, no shuffle. */
+  def imageLumaHistogram(blobs: Dataset[MediaBlob]): Dataset[ImageHistogram] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.flatMap { b =>
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(b.data))
+        if (img == null) None
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val bins = new Array[Long](8)
+          var j = 0
+          while (j < h) {
+            var i = 0
+            while (i < w) {
+              val p = img.getRGB(i, j) & 0xFFFFFF
+              val r = (p >> 16) & 255; val g = (p >> 8) & 255; val bl = p & 255
+              val lum = (r * 299 + g * 587 + bl * 114) / 1000
+              bins(lum / 32) += 1
+              i += 1
+            }
+            j += 1
+          }
+          Some(ImageHistogram(b.doc_id, w.toLong * h, bins.toSeq))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    })
+  }
+
   final case class ImageBlockHash(doc_id: Long, bhash: String)
 
   /** Block-MEDIAN perceptual hash over real decoded pixels (the public

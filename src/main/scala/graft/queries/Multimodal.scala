@@ -205,6 +205,79 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** Full-pixel luma histogram per image
+    * ([[graft.ops.Multimodal.imageLumaHistogram]]) — the
+    * exposure/contrast census of the image corpus (near-black scans,
+    * blown-out whites, flat synthetic fills) that perceptual hashes
+    * can't see because they threshold away absolute level. Real PNG
+    * decode on the executors; the oracle replays the generator's pixel
+    * arithmetic over the FULL w×h grid in integer SQL, so a decode
+    * bug, a sampler shortcut, or a stub fallback cannot hash-match.
+    * dominant_bin ties break toward the darker bin on both engines. */
+  val mmImageHistogram: Spec = Spec(
+    "mm_image_histogram",
+    oracle = Some("""
+      WITH d AS (SELECT doc_id, 16 + doc_id % 32 AS w, 16 + (doc_id * 3) % 32 AS h
+        FROM documents WHERE doc_id % 20 = 0),
+      px AS (SELECT doc_id, w, h,
+          (x.x * 31 + y.y * 17 + doc_id) & 16777215 AS v
+        FROM d, (SELECT unnest(range(0, 48)) AS x) x,
+             (SELECT unnest(range(0, 48)) AS y) y
+        WHERE x.x < w AND y.y < h),
+      lum AS (SELECT doc_id, w, h,
+          ((((v >> 16) & 255) * 299 + ((v >> 8) & 255) * 587
+            + (v & 255) * 114) // 1000) // 32 AS bin
+        FROM px),
+      hg AS (SELECT doc_id, MAX(w * h) AS n_px,
+          COUNT(CASE WHEN bin = 0 THEN 1 END) AS b0,
+          COUNT(CASE WHEN bin = 1 THEN 1 END) AS b1,
+          COUNT(CASE WHEN bin = 2 THEN 1 END) AS b2,
+          COUNT(CASE WHEN bin = 3 THEN 1 END) AS b3,
+          COUNT(CASE WHEN bin = 4 THEN 1 END) AS b4,
+          COUNT(CASE WHEN bin = 5 THEN 1 END) AS b5,
+          COUNT(CASE WHEN bin = 6 THEN 1 END) AS b6,
+          COUNT(CASE WHEN bin = 7 THEN 1 END) AS b7
+        FROM lum GROUP BY doc_id)
+      SELECT doc_id, CAST(n_px AS BIGINT) AS n_px,
+        CAST(b0 AS BIGINT) AS b0, CAST(b1 AS BIGINT) AS b1,
+        CAST(b2 AS BIGINT) AS b2, CAST(b3 AS BIGINT) AS b3,
+        CAST(b4 AS BIGINT) AS b4, CAST(b5 AS BIGINT) AS b5,
+        CAST(b6 AS BIGINT) AS b6, CAST(b7 AS BIGINT) AS b7,
+        CAST(CASE
+          WHEN b0 >= b1 AND b0 >= b2 AND b0 >= b3 AND b0 >= b4
+            AND b0 >= b5 AND b0 >= b6 AND b0 >= b7 THEN 0
+          WHEN b1 >= b2 AND b1 >= b3 AND b1 >= b4 AND b1 >= b5
+            AND b1 >= b6 AND b1 >= b7 THEN 1
+          WHEN b2 >= b3 AND b2 >= b4 AND b2 >= b5 AND b2 >= b6
+            AND b2 >= b7 THEN 2
+          WHEN b3 >= b4 AND b3 >= b5 AND b3 >= b6 AND b3 >= b7 THEN 3
+          WHEN b4 >= b5 AND b4 >= b6 AND b4 >= b7 THEN 4
+          WHEN b5 >= b6 AND b5 >= b7 THEN 5
+          WHEN b6 >= b7 THEN 6 ELSE 7 END AS BIGINT) AS dominant_bin,
+        10 * GREATEST(b0, b1, b2, b3, b4, b5, b6, b7) > 8 * n_px
+          AS low_contrast
+      FROM hg ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    val ids = Tables.load(s, dir, "documents")
+      .filter($"doc_id" % 20 === 0)
+      .select($"doc_id").as[java.lang.Long]
+    val hg = MM.imageLumaHistogram(MM.syntheticPngBlobs(ids)).toDF()
+    val b = (0 to 7).map(k => $"bins".getItem(k).as(s"b$k"))
+    val withBins = hg.select(($"doc_id" +: $"n_px" +: b): _*)
+    val domin = (0 to 6).foldRight(lit(7)) { (k, rest) =>
+      val geAll = ((k + 1) to 7)
+        .map(j => col(s"b$k") >= col(s"b$j"))
+        .reduce(_ && _)
+      when(geAll, lit(k)).otherwise(rest)
+    }
+    withBins
+      .withColumn("dominant_bin", domin.cast("long"))
+      .withColumn("low_contrast",
+        lit(10) * greatest((0 to 7).map(k => col(s"b$k")): _*)
+          > lit(8) * $"n_px")
+      .orderBy($"doc_id")
+  }
+
   /** Difference-hash image fingerprinting
     * ([[graft.ops.Multimodal.imageDHash]]) — the gradient complement
     * of mm_image_ahash: 9×8 luma grid, bit = right neighbor brighter,
@@ -609,5 +682,5 @@ object Multimodal {
   val specs: Seq[Spec] = Seq(mmDecodeMeta, mmImageDecode, mmFrameSample,
     mmResize, mmAudioMeta, mmAudioEnergy, mmAudioFingerprint, mmImageAhash,
     mmImageDhash, mmImageBlockhash, mmImagePhash, mmImageNeardup,
-    mmCaptionAlign, mmAudioVad)
+    mmImageHistogram, mmCaptionAlign, mmAudioVad)
 }
