@@ -2322,6 +2322,113 @@ object Events {
       .orderBy($"event_type")
   }
 
+  /** Granger-causality screening (Granger '69) between every ordered
+    * pair of event-type daily series: does A's yesterday help predict
+    * B's today beyond B's own yesterday? F-test of the lag-1
+    * unrestricted model y=B_t ~ (B_{t−1}, A_{t−1}) against the
+    * restricted y ~ B_{t−1}, on the intersection of the two spines —
+    * the causal-screening pass a metric system runs before anyone
+    * trusts a dashboard arrow.
+    *
+    * Exactness discipline: every centered moment C_ab = n·Σab − Σa·Σb
+    * is an EXACT 128-bit integer; the OLS closed forms (2×2 normal
+    * equations by determinant) then evaluate in doubles cast from
+    * those exact integers with IDENTICAL op order on both engines —
+    * RSS_r·n·C11 = Cyy·C11 − C1y² and RSS_u·n·det = Cyy·det − (C1y²C22
+    * − 2·C1y·C2y·C12 + C2y²·C11), det = C11C22 − C12², so
+    * F = (RSS_r−RSS_u)(n−3)/RSS_u needs no intermediate that depends
+    * on engine-chosen accumulation order. Degenerate pairs (det ≤ 0 or
+    * RSS_u ≤ 0 — constant series) drop on both sides. Scale shape: the
+    * pair table is |types|²·days (calendar-bounded); one window for
+    * the two lags, one hash agg for the ten moments. */
+  val qGrangerPairs: Spec = Spec(
+    "ev_granger_pairs",
+    oracle = Some(s"""
+      WITH $dailySpineSql,
+      pg AS (SELECT a.event_type AS cause, b.event_type AS effect,
+          b.d, CAST(b.x AS BIGINT) AS y, CAST(a.x AS BIGINT) AS xa
+        FROM grid a JOIN grid b ON a.d = b.d
+          AND a.event_type <> b.event_type),
+      lagd AS (SELECT cause, effect, d, y,
+          lag(y) OVER w AS x1, lag(xa) OVER w AS x2
+        FROM pg WINDOW w AS (PARTITION BY cause, effect ORDER BY d)),
+      rows_ AS (SELECT * FROM lagd WHERE x1 IS NOT NULL),
+      m AS (SELECT cause, effect, CAST(COUNT(*) AS BIGINT) AS n,
+          SUM(y::HUGEINT) AS sy, SUM(x1::HUGEINT) AS s1,
+          SUM(x2::HUGEINT) AS s2,
+          SUM(y::HUGEINT * y) AS syy, SUM(x1::HUGEINT * x1) AS s11,
+          SUM(x2::HUGEINT * x2) AS s22, SUM(x1::HUGEINT * x2) AS s12,
+          SUM(x1::HUGEINT * y) AS s1y, SUM(x2::HUGEINT * y) AS s2y
+        FROM rows_ GROUP BY 1, 2),
+      c AS (SELECT cause, effect, n,
+          CAST(n * syy - sy * sy AS DOUBLE) AS cyy,
+          CAST(n * s11 - s1 * s1 AS DOUBLE) AS c11,
+          CAST(n * s22 - s2 * s2 AS DOUBLE) AS c22,
+          CAST(n * s12 - s1 * s2 AS DOUBLE) AS c12,
+          CAST(n * s1y - s1 * sy AS DOUBLE) AS c1y,
+          CAST(n * s2y - s2 * sy AS DOUBLE) AS c2y
+        FROM m WHERE n > 3),
+      f AS (SELECT cause, effect, n,
+          (cyy * c11 - c1y * c1y) * (c11 * c22 - c12 * c12)
+            - (cyy * (c11 * c22 - c12 * c12)
+               - (c1y * c1y * c22 - 2 * c1y * c2y * c12
+                  + c2y * c2y * c11)) * c11 AS num,
+          (cyy * (c11 * c22 - c12 * c12)
+            - (c1y * c1y * c22 - 2 * c1y * c2y * c12
+               + c2y * c2y * c11)) * c11 AS den
+        FROM c WHERE c11 * c22 - c12 * c12 > 0 AND c11 > 0)
+      SELECT cause, effect, n AS n_days,
+        CAST(FLOOR(num * (n - 3) / den * 1000000) AS BIGINT) AS f_micros,
+        num * (n - 3) / den > 4.0 AS granger_signal
+      FROM f WHERE den > 0
+      ORDER BY cause, effect""")) { (s, dir) =>
+    import s.implicits._
+    val grid = dailyCountSpine(s, dir)
+    val pg = grid.as("a").join(grid.as("b"),
+        col("a.d") === col("b.d") &&
+          col("a.event_type") =!= col("b.event_type"))
+      .select(col("a.event_type").as("cause"),
+        col("b.event_type").as("effect"), col("b.d").as("d"),
+        col("b.x").as("y"), col("a.x").as("xa"))
+    val w = Window.partitionBy($"cause", $"effect").orderBy($"d")
+    val lagd = pg
+      .withColumn("x1", lag($"y", 1).over(w))
+      .withColumn("x2", lag($"xa", 1).over(w))
+      .filter($"x1".isNotNull)
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(38,0)"))
+    val m = lagd.groupBy($"cause", $"effect").agg(
+      count(lit(1)).as("n"),
+      dsum($"y").as("sy"), dsum($"x1").as("s1"), dsum($"x2").as("s2"),
+      sum($"y".cast("decimal(38,0)") * $"y").as("syy"),
+      sum($"x1".cast("decimal(38,0)") * $"x1").as("s11"),
+      sum($"x2".cast("decimal(38,0)") * $"x2").as("s22"),
+      sum($"x1".cast("decimal(38,0)") * $"x2").as("s12"),
+      sum($"x1".cast("decimal(38,0)") * $"y").as("s1y"),
+      sum($"x2".cast("decimal(38,0)") * $"y").as("s2y"))
+    val c = m.filter($"n" > 3).select($"cause", $"effect", $"n",
+      ($"n" * $"syy" - $"sy" * $"sy").cast("double").as("cyy"),
+      ($"n" * $"s11" - $"s1" * $"s1").cast("double").as("c11"),
+      ($"n" * $"s22" - $"s2" * $"s2").cast("double").as("c22"),
+      ($"n" * $"s12" - $"s1" * $"s2").cast("double").as("c12"),
+      ($"n" * $"s1y" - $"s1" * $"sy").cast("double").as("c1y"),
+      ($"n" * $"s2y" - $"s2" * $"sy").cast("double").as("c2y"))
+    val det = $"c11" * $"c22" - $"c12" * $"c12"
+    val p = $"c1y" * $"c1y" * $"c22" - lit(2) * $"c1y" * $"c2y" * $"c12" +
+      $"c2y" * $"c2y" * $"c11"
+    val f = c.filter(det > 0 && $"c11" > 0)
+      .select($"cause", $"effect", $"n",
+        (($"cyy" * $"c11" - $"c1y" * $"c1y") * det -
+          ($"cyy" * det - p) * $"c11").as("num"),
+        (($"cyy" * det - p) * $"c11").as("den"))
+    f.filter($"den" > 0)
+      .select($"cause", $"effect", $"n".as("n_days"),
+        floor($"num" * ($"n" - 3) / $"den" * 1e6).cast("long")
+          .as("f_micros"),
+        ($"num" * ($"n" - 3) / $"den" > 4.0).as("granger_signal"))
+      .orderBy($"cause", $"effect")
+  }
+
   /** Holt linear-trend exponential smoothing (Holt '57) over the
     * per-type daily count grid, forecasting the next 7 days — the
     * capacity-planning forecast that pairs with [[qAcfDaily]]'s
@@ -3269,7 +3376,7 @@ object Events {
     qAsofNearest, qConversionTime, qMarkovTransitions, qSeasonalDecompose,
     qPathAnalysis, qSeasonalAnomaly, qStickiness, qBounceRate,
     qUserConcentration, qInterArrival, qAttribution, qAttributionDecay,
-    qRfm, qEntryExit, qAcfDaily, qLjungBox, qCusumChangepoint, qGapFill, qDbscanUsers,
+    qRfm, qEntryExit, qAcfDaily, qLjungBox, qGrangerPairs, qCusumChangepoint, qGapFill, qDbscanUsers,
     qConcurrencyHourly, qDbscanIncremental, qTheilSen, qSurvivalKm,
     qZorderLayout, qHoltForecast, qSlidingDistinct, qHaarDaily, qAmsF2,
     qBurstViterbi, qHoltWinters, qChi2Weekday)
