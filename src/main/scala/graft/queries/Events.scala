@@ -2341,9 +2341,7 @@ object Events {
     * RSS_u ≤ 0 — constant series) drop on both sides. Scale shape: the
     * pair table is |types|²·days (calendar-bounded); one window for
     * the two lags, one hash agg for the ten moments. */
-  val qGrangerPairs: Spec = Spec(
-    "ev_granger_pairs",
-    oracle = Some(s"""
+  val grangerOracleSql: String = s"""
       WITH $dailySpineSql,
       pg AS (SELECT a.event_type AS cause, b.event_type AS effect,
           b.d, CAST(b.x AS BIGINT) AS y, CAST(a.x AS BIGINT) AS xa
@@ -2381,9 +2379,19 @@ object Events {
         CAST(FLOOR(num * (n - 3) / den * 1000000) AS BIGINT) AS f_micros,
         num * (n - 3) / den > 4.0 AS granger_signal
       FROM f WHERE den > 0
-      ORDER BY cause, effect""")) { (s, dir) =>
+      ORDER BY cause, effect"""
+
+  val qGrangerPairs: Spec = Spec(
+    "ev_granger_pairs",
+    oracle = Some(grangerOracleSql)) { (s, dir) =>
+    grangerOverGrid(dailyCountSpine(s, dir))
+  }
+
+  /** The Granger tail behind [[qGrangerPairs]], over any (event_type,
+    * d, x) grid — shared with the streaming twin. */
+  def grangerOverGrid(grid: DataFrame): DataFrame = {
+    val s = grid.sparkSession
     import s.implicits._
-    val grid = dailyCountSpine(s, dir)
     val pg = grid.as("a").join(grid.as("b"),
         col("a.d") === col("b.d") &&
           col("a.event_type") =!= col("b.event_type"))

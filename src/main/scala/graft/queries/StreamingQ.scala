@@ -730,6 +730,17 @@ object StreamingQ {
       StreamOps.dailyTypeCounts(s, dir, sink = "st_cusum_mem")))
   }
 
+  /** STREAMING Granger screening: the same watermarked daily count
+    * grid, the pairwise lag-1 F-test as a batch view over it — sharing
+    * [[Events.spineFill]] + [[Events.grangerOverGrid]] and the batch
+    * oracle with ev_granger_pairs. */
+  val stGrangerPairs: Spec = Spec(
+    "st_granger_pairs",
+    oracle = Some(Events.grangerOracleSql)) { (s, dir) =>
+    Events.grangerOverGrid(Events.spineFill(
+      StreamOps.dailyTypeCounts(s, dir, sink = "st_granger_mem")))
+  }
+
   /** STREAMING Ljung–Box: the same watermarked daily count grid, the
     * white-noise portmanteau statistic as a batch view over it —
     * sharing [[Events.spineFill]] + [[Events.ljungBoxOverGrid]] and
@@ -1153,6 +1164,7 @@ object StreamingQ {
     stAsofLastClick, stCcIncremental, stRateAnomaly, stKsWindowed,
     stKsCountsAppend, stMarkov, stRateAnomalyAppend, stSeasonalAppend,
     stSeasonal, stPath, stNsfwRollup, stEntryExit, stAttribution,
-    stQualityMonitor, stAttributionDecay, stCusum, stLjungBox, stGapFill, stDbscan,
+    stQualityMonitor, stAttributionDecay, stCusum, stLjungBox,
+    stGrangerPairs, stGapFill, stDbscan,
     stHoltForecast, stAmsF2, stTdigest, stBurstViterbi, stHoltWinters)
 }
