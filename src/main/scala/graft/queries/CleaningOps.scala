@@ -507,6 +507,157 @@ object CleaningOps {
       .orderBy($"doc_id")
   }
 
+  /** The FULL production extraction chain: DOM block tree → structural
+    * chrome pruning → jusText density classification → context pass →
+    * reassembly. [[dHtmlExtractDense]] classifies by CONTENT on flat
+    * regex blocks; [[dDomExtract]] prunes by STRUCTURE alone; this
+    * composes both the way a real crawl pipeline runs them — chrome
+    * ancestry is a hard 'bad' (a stopword-rich paragraph inside
+    * <footer> is still boilerplate), link density uses the parser's
+    * per-anchor tallies (not a regex re-scan), and the density rules /
+    * context pass are the shared jusText thresholds. The oracle
+    * replays the classifier over the LITERAL expected block rows (the
+    * d_dom_blocks discipline), so the green hash proves the parse, the
+    * structural override, the density classes, and the context
+    * propagation together. */
+  val dDomJustext: Spec = {
+    val stops = graft.sources.Lexicons.stopwords("english")
+    val stopsSql = stops.map(w => "'" + w.replace("'", "''") + "'").mkString(", ")
+    val glue = "and it was the most of all that there had been for this " +
+      "to be done so that they were with what it is about when more of " +
+      "it can be had by them and for all of us as it must have been"
+    Spec(
+      "d_dom_justext",
+      oracle = Some(s"""
+      WITH r AS (
+        SELECT doc_id,
+          trim(regexp_replace('intro ' || substr(text, 1, 150) || ' $glue',
+            '\\s+', ' ', 'g')) AS p1,
+          trim(regexp_replace('more ' || substr(text, 151, 150) || ' $glue',
+            '\\s+', ' ', 'g')) AS p2,
+          trim(regexp_replace(substr(text, 1, 60) || ' for the most part',
+            '\\s+', ' ', 'g')) AS p3
+        FROM documents WHERE doc_id % 13 = 4),
+      b AS (
+        SELECT doc_id, unnest([
+          {pos: 1, btext: 'home page all products about the team contact us now',
+           link_len: 49, chrome: true},
+          {pos: 2, btext: 'doc ' || doc_id || ' overview',
+           link_len: 0, chrome: false},
+          {pos: 3, btext: p1, link_len: 0, chrome: false},
+          {pos: 4, btext: 'see also', link_len: 0, chrome: false},
+          {pos: 5, btext: p2, link_len: 0, chrome: false},
+          {pos: 6, btext: p3, link_len: 0, chrome: false},
+          {pos: 7, btext: 'privacy policy | terms of use all rights reserved 2026',
+           link_len: 26, chrome: true}
+        ]) AS e
+        FROM r),
+      m AS (
+        SELECT doc_id, e.pos AS pos, e.btext AS btext, e.chrome AS chrome,
+          CAST(len(e.btext) AS BIGINT) AS blen,
+          CAST(e.link_len AS BIGINT) AS link_len,
+          CAST(len(string_split(lower(e.btext), ' ')) AS BIGINT) AS n_tok,
+          CAST(len(list_filter(string_split(lower(e.btext), ' '),
+            t -> list_contains([$stopsSql], t))) AS BIGINT) AS n_stop
+        FROM b),
+      cf AS (
+        SELECT doc_id, pos, btext,
+          CASE
+            WHEN chrome THEN 'bad'
+            WHEN CAST(link_len AS DOUBLE) / blen > 0.2 THEN 'bad'
+            WHEN blen < 70 THEN
+              CASE WHEN link_len > 0 THEN 'bad' ELSE 'short' END
+            WHEN CAST(n_stop AS DOUBLE) / n_tok >= 0.32 THEN
+              CASE WHEN blen > 200 THEN 'good' ELSE 'neargood' END
+            WHEN CAST(n_stop AS DOUBLE) / n_tok >= 0.30 THEN 'neargood'
+            ELSE 'bad' END AS cf
+        FROM m),
+      ctx AS (
+        SELECT doc_id, pos, btext, cf,
+          COALESCE(last_value(CASE WHEN cf IN ('good','bad')
+              THEN cf = 'good' END IGNORE NULLS)
+            OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            false) AS prev_good,
+          COALESCE(first_value(CASE WHEN cf IN ('good','bad')
+              THEN cf = 'good' END IGNORE NULLS)
+            OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+            false) AS next_good
+        FROM cf),
+      k AS (
+        SELECT doc_id, pos, btext,
+          CASE cf WHEN 'good' THEN true WHEN 'bad' THEN false
+            WHEN 'neargood' THEN prev_good OR next_good
+            ELSE prev_good AND next_good END AS keep
+        FROM ctx)
+      SELECT doc_id,
+        COALESCE(string_agg(CASE WHEN keep THEN btext END, chr(10)
+          ORDER BY pos), '') AS extracted,
+        CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        CAST(COUNT(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_kept
+      FROM k GROUP BY doc_id ORDER BY doc_id""")) { (s, dir) =>
+      import s.implicits._
+      val html = concat(
+        lit("<html><body><nav><a href=\"/\">home page</a> <a href=\"/p\">all products</a> <a href=\"/a\">about the team</a> <a href=\"/c\">contact us now</a></nav>"),
+        lit("<article><h1>doc "), $"doc_id".cast("string"), lit(" overview</h1>"),
+        lit("<p>intro "), substring($"text", 1, 150), lit(s" $glue</p>"),
+        lit("<p>see also</p>"),
+        lit("<p>more "), substring($"text", 151, 150), lit(s" $glue</p>"),
+        lit("<div><p>"), substring($"text", 1, 60), lit(" for the most part</p></div>"),
+        lit("</article><footer><a href=\"/pr\">privacy policy</a> | <a href=\"/t\">terms of use</a> all rights reserved 2026</footer></body></html>"))
+      val stopLit = typedLit(stops.map(_.toLowerCase))
+      val blocks = docs(s, dir)
+        .filter($"doc_id" % 13 === 4)
+        .select($"doc_id", explode(GraftFunctions.domBlocks(html)).as("b"))
+        .select($"doc_id", $"b.pos".as("pos"), $"b.text".as("btext"),
+          $"b.link_chars".as("link_len"), $"b.chrome".as("chrome"))
+      val toks = split(lower($"btext"), " ", -1)
+      val scored = blocks
+        .withColumn("blen", length($"btext").cast("long"))
+        .withColumn("n_tok", size(toks).cast("long"))
+        .withColumn("n_stop",
+          size(filter(toks, t => array_contains(stopLit, t))).cast("long"))
+        .withColumn("cf",
+          when($"chrome", "bad")
+            .when($"link_len".cast("double") / $"blen" > 0.2, "bad")
+            .when($"blen" < 70,
+              when($"link_len" > 0, "bad").otherwise("short"))
+            .when($"n_stop".cast("double") / $"n_tok" >= 0.32,
+              when($"blen" > 200, "good").otherwise("neargood"))
+            .when($"n_stop".cast("double") / $"n_tok" >= 0.30, "neargood")
+            .otherwise("bad"))
+      import org.apache.spark.sql.expressions.Window
+      val wPrev = Window.partitionBy($"doc_id").orderBy($"pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wNext = Window.partitionBy($"doc_id").orderBy($"pos")
+        .rowsBetween(1, Window.unboundedFollowing)
+      val decided = when($"cf" === "good" || $"cf" === "bad", $"cf" === "good")
+      val ctx = scored
+        .withColumn("prev_good",
+          coalesce(last(decided, ignoreNulls = true).over(wPrev), lit(false)))
+        .withColumn("next_good",
+          coalesce(first(decided, ignoreNulls = true).over(wNext), lit(false)))
+        .withColumn("keep",
+          when($"cf" === "good", true).when($"cf" === "bad", false)
+            .when($"cf" === "neargood", $"prev_good" || $"next_good")
+            .otherwise($"prev_good" && $"next_good"))
+      ctx.groupBy($"doc_id")
+        .agg(
+          coalesce(
+            array_join(
+              transform(
+                array_sort(collect_list(
+                  when($"keep", struct($"pos", $"btext")))),
+                x => x.getField("btext")),
+              "\n"),
+            lit("")).as("extracted"),
+          count(lit(1)).as("n_blocks"),
+          sum(when($"keep", 1L).otherwise(0L)).as("n_kept"))
+        .orderBy($"doc_id")
+    }
+  }
+
   /** Luhn checksum validation of card-number candidates — the
     * verification step that turns the PII regex family
     * ([[dPiiMask]]'s 4-4-4 ids) into a low-false-positive detector: a
@@ -1363,7 +1514,7 @@ object CleaningOps {
     dCodeDetect, dCodeRemove, dNormalizeIndic, dTerminalPuncFilter,
     dNonTermSpanRemove, dSentenceSplitLang, dPiiMask, dBoilerplateLines,
     dHtmlExtract, dHtmlExtractDense, dDomBlocks, dDomExtract,
-    dDomMarkdown, dLuhnCards, dJunkLines, dScriptSegments,
+    dDomMarkdown, dDomJustext, dLuhnCards, dJunkLines, dScriptSegments,
     dRunCollapse, dMojibake, dMixedScript,
     dHomoglyphFold, dUrlOps)
 }
