@@ -1825,6 +1825,62 @@ object TrainingPrep {
       .orderBy($"source")
   }
 
+  /** Isotonic calibration ([[graft.ops.Isotonic.pavFit]]): per
+    * language, the best NON-DECREASING map from a length-bucket score
+    * to the rate of 'q'-bearing docs (a label whose raw rate is
+    * genuinely non-monotone in the score, so pooling fires) — the
+    * standard way any ranking
+    * score becomes a probability without a parametric link (Platt's
+    * logistic alternative assumes a shape; PAV doesn't). The Spark
+    * side runs the exact-integer Pool-Adjacent-Violators stack per key
+    * (cross-multiplied mean compares, no float in the fit); the oracle
+    * needs no stack because PAV's fitted value equals the minimax
+    * max_{j≤i} min_{k≥i} mean(y[j..k]) and floor commutes with min and
+    * max — so min/max over FLOORED integer-micros range means (O(n³)
+    * pairs over the BUCKETED score domain, fine at oracle scale) lands
+    * on the identical integer. A green hash therefore proves the
+    * sequential PAV fold against the definitional characterization,
+    * not a shared code path. */
+  val dIsotonicCalibration: Spec = Spec(
+    "d_isotonic_calibration",
+    oracle = Some("""
+      WITH pts AS (
+        SELECT lang AS key, n_chars // 100 AS x,
+          CAST(COUNT(*) AS BIGINT) AS w,
+          CAST(COUNT(CASE WHEN regexp_matches(text, 'q') THEN 1 END)
+            AS BIGINT) AS sy
+        FROM documents GROUP BY 1, 2),
+      o AS (SELECT key, x, w, sy,
+          CAST(row_number() OVER (PARTITION BY key ORDER BY x) AS BIGINT) AS rn,
+          CAST(SUM(w) OVER (PARTITION BY key ORDER BY x) AS BIGINT) AS cw,
+          CAST(SUM(sy) OVER (PARTITION BY key ORDER BY x) AS BIGINT) AS cy
+        FROM pts),
+      pairs AS (
+        SELECT j.key, j.rn AS j, k.rn AS k,
+          (1000000 * (k.cy - (j.cy - j.sy))) // (k.cw - (j.cw - j.w)) AS m
+        FROM o j JOIN o k ON k.key = j.key AND k.rn >= j.rn),
+      inner_ AS (
+        SELECT p.key, p.j, i.rn AS i, MIN(p.m) AS minm
+        FROM pairs p JOIN o i ON i.key = p.key AND p.k >= i.rn
+        WHERE p.j <= i.rn
+        GROUP BY 1, 2, 3),
+      fit AS (
+        SELECT key, i, MAX(minm) AS fitted_micros
+        FROM inner_ GROUP BY key, i)
+      SELECT o.key AS lang, o.x, o.w, o.sy AS n_pos, f.fitted_micros
+      FROM o JOIN fit f ON f.key = o.key AND f.i = o.rn
+      ORDER BY lang, x""")) { (s, dir) =>
+    import s.implicits._
+    val pts = docs(s, dir)
+      .groupBy($"lang".as("key"), expr("n_chars div 100").as("x"))
+      .agg(count(lit(1)).as("w"),
+        sum(when($"text".rlike("q"), 1L).otherwise(0L)).as("sy"))
+    graft.ops.Isotonic.pavFit(pts)
+      .select($"key".as("lang"), $"x", $"w", $"sy".as("n_pos"),
+        $"fitted_micros")
+      .orderBy($"lang", $"x")
+  }
+
   val dHashEmbedding: Spec = Spec(
     "d_hash_embedding",
     oracle = Some("""
@@ -2585,5 +2641,5 @@ object TrainingPrep {
     dCmsCounts, dWeightedSample, dPaddingEfficiency, dEntropyScores,
     dSourceDivergence, dDistributionMatch, dQualityClassifier, dDsirWeights,
     dKneserNey, dMannWhitney, dKruskalWallis, dSpearmanLengths,
-    dAnovaLengths, dMadLengths)
+    dAnovaLengths, dMadLengths, dIsotonicCalibration)
 }
