@@ -3338,6 +3338,129 @@ object Events {
       .orderBy($"t_min")
   }
 
+  /** Log-rank test (Mantel '66) between two user cohorts' conversion
+    * survival curves — the inferential companion of [[qSurvivalKm]]:
+    * KM draws the curves, log-rank says whether they DIFFER (does
+    * cohort A convert faster?), correctly using right-censored users
+    * that a naive latency comparison throws away. Cohorts split by
+    * user_id parity; at each conversion time t the observed cohort-1
+    * conversions compare against the hypergeometric expectation
+    * d·n₁/n with variance d·n₁(n−n₁)(n−d)/(n²(n−1)).
+    *
+    * Engine parity: per-time expectation/variance terms are EXACT
+    * integer micros via the split floor identity (128-bit
+    * intermediates), their sums are exact integers, and Z/χ² evaluate
+    * in one fixed-order float expression from those integers — the
+    * documented trade: each term floors at 1e-6, so the statistic is
+    * exact-to-micros-per-term, deterministic on both engines (a float
+    * SUM over per-time terms would be accumulation-order-dependent).
+    * Scale shape: one per-user agg, one duration-keyed agg (bounded
+    * by distinct minutes), one prefix scaffold for both cohorts' risk
+    * sets, one total agg. */
+  val qLogrank: Spec = Spec(
+    "ev_logrank",
+    oracle = Some("""
+      WITH f AS (SELECT user_id,
+          MIN(CASE WHEN event_type='view' THEN epoch_us(ts) END) AS v,
+          MIN(CASE WHEN event_type='purchase' THEN epoch_us(ts) END) AS p
+        FROM events GROUP BY user_id),
+      mx AS (SELECT MAX(epoch_us(ts)) AS tmax FROM events),
+      u AS (SELECT user_id % 2 AS grp,
+          CASE WHEN p IS NOT NULL AND p >= v THEN (p - v) // 60000000
+               ELSE (tmax - v) // 60000000 END AS t_min,
+          CASE WHEN p IS NOT NULL AND p >= v THEN 1 ELSE 0 END AS ev
+        FROM f CROSS JOIN mx WHERE v IS NOT NULL),
+      g AS (SELECT t_min,
+          CAST(SUM(CASE WHEN grp = 1 THEN ev ELSE 0 END) AS BIGINT) AS d1,
+          CAST(SUM(CASE WHEN grp = 1 THEN 1 - ev ELSE 0 END) AS BIGINT) AS c1,
+          CAST(SUM(CASE WHEN grp = 0 THEN ev ELSE 0 END) AS BIGINT) AS d0,
+          CAST(SUM(CASE WHEN grp = 0 THEN 1 - ev ELSE 0 END) AS BIGINT) AS c0
+        FROM u GROUP BY t_min),
+      nn AS (SELECT
+          CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nu1,
+          CAST(COUNT(*) AS BIGINT) AS nu
+        FROM u),
+      r AS (SELECT t_min, d1, d0,
+          nu1 - COALESCE(SUM(d1 + c1) OVER (ORDER BY t_min
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1,
+          nu - COALESCE(SUM(d1 + c1 + d0 + c0) OVER (ORDER BY t_min
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n,
+          nu1, nu
+        FROM g CROSS JOIN nn),
+      t AS (SELECT t_min, d1, d0, n1, n, nu1, nu, d1 + d0 AS d,
+          ((d1 + d0)::HUGEINT * n1 // n) * 1000000
+            + (((d1 + d0)::HUGEINT * n1 % n) * 1000000) // n AS e1m,
+          CASE WHEN n > 1 THEN
+            ((d1 + d0)::HUGEINT * n1 * (n - n1) * (n - d1 - d0)
+              // (n::HUGEINT * n * (n - 1))) * 1000000
+            + (((d1 + d0)::HUGEINT * n1 * (n - n1) * (n - d1 - d0)
+                % (n::HUGEINT * n * (n - 1))) * 1000000)
+              // (n::HUGEINT * n * (n - 1))
+          ELSE 0 END AS vm
+        FROM r WHERE d1 + d0 > 0),
+      s AS (SELECT MAX(nu) AS n_users, MAX(nu1) AS n1_users,
+          CAST(SUM(d1) AS BIGINT) AS o1,
+          CAST(SUM(e1m) AS HUGEINT) AS se, CAST(SUM(vm) AS HUGEINT) AS sv
+        FROM t)
+      SELECT n_users, n1_users, o1,
+        CAST(se AS BIGINT) AS e1_micros,
+        CAST(FLOOR(CAST(o1 * 1000000 - se AS DOUBLE) / 1000000.0
+          / sqrt(CAST(sv AS DOUBLE) / 1000000.0) * 1000000) AS BIGINT)
+          AS z_micros
+      FROM s WHERE sv > 0""")) { (s, dir) =>
+    import s.implicits._
+    val e = load(s, dir)
+      .select($"user_id", $"event_type", expr("ts div 1000").as("us"))
+    val f = e.groupBy($"user_id").agg(
+      min(when($"event_type" === "view", $"us")).as("v"),
+      min(when($"event_type" === "purchase", $"us")).as("p"))
+    val mx = broadcast(e.agg(max($"us").as("tmax")))
+    val u = f.crossJoin(mx).filter($"v".isNotNull)
+      .select(($"user_id" % 2).as("grp"),
+        when($"p".isNotNull && $"p" >= $"v", expr("(p - v) div 60000000"))
+          .otherwise(expr("(tmax - v) div 60000000")).as("t_min"),
+        when($"p".isNotNull && $"p" >= $"v", 1L).otherwise(0L).as("ev"))
+    val g = u.groupBy($"t_min").agg(
+      sum(when($"grp" === 1, $"ev").otherwise(0L)).as("d1"),
+      sum(when($"grp" === 1, lit(1L) - $"ev").otherwise(0L)).as("c1"),
+      sum(when($"grp" === 0, $"ev").otherwise(0L)).as("d0"),
+      sum(when($"grp" === 0, lit(1L) - $"ev").otherwise(0L)).as("c0"))
+    val nn = broadcast(u.agg(
+      sum(when($"grp" === 1, 1L).otherwise(0L)).as("nu1"),
+      count(lit(1)).as("nu")))
+    val r = graft.ops.Skew.prefixSumsByKey(
+        g.withColumn("k", lit(0)), "k", Seq($"t_min"),
+        Seq(($"d1" + $"c1") -> "cum1",
+          ($"d1" + $"c1" + $"d0" + $"c0") -> "cumall"))
+      .crossJoin(nn)
+      .select($"t_min", $"d1", $"d0",
+        ($"nu1" - $"cum1" + $"d1" + $"c1").as("n1"),
+        ($"nu" - $"cumall" + $"d1" + $"c1" + $"d0" + $"c0").as("n"),
+        $"nu1", $"nu")
+      .filter($"d1" + $"d0" > 0)
+    val t = r.select($"t_min", $"d1", $"nu1", $"nu",
+      expr("(cast(d1 + d0 as decimal(38,0)) * n1 div n) * 1000000" +
+        " + ((cast(d1 + d0 as decimal(38,0)) * n1 % n) * 1000000) div n")
+        .as("e1m"),
+      when($"n" > 1,
+        expr("(cast(d1 + d0 as decimal(38,0)) * n1 * (n - n1) * (n - d1 - d0)" +
+          " div (cast(n as decimal(38,0)) * n * (n - 1))) * 1000000" +
+          " + ((cast(d1 + d0 as decimal(38,0)) * n1 * (n - n1) * (n - d1 - d0)" +
+          " % (cast(n as decimal(38,0)) * n * (n - 1))) * 1000000)" +
+          " div (cast(n as decimal(38,0)) * n * (n - 1))"))
+        .otherwise(0L).as("vm"))
+    t.agg(max($"nu").as("n_users"), max($"nu1").as("n1_users"),
+        sum($"d1").as("o1"),
+        sum($"e1m".cast("decimal(38,0)")).as("se"),
+        sum($"vm".cast("decimal(38,0)")).as("sv"))
+      .filter($"sv" > 0)
+      .select($"n_users", $"n1_users", $"o1",
+        $"se".cast("long").as("e1_micros"),
+        floor(($"o1" * 1000000 - $"se").cast("double") / 1000000.0
+          / sqrt($"sv".cast("double") / 1000000.0) * 1e6).cast("long")
+          .as("z_micros"))
+  }
+
   /** Z-ORDER layout key ([[graft.ops.Layout.zOrder2]]) over the two
     * dimensions events are actually queried by — user and hour: bit
     * interleave keeps BOTH ranges narrow inside every fixed-width key
@@ -3385,7 +3508,7 @@ object Events {
     qPathAnalysis, qSeasonalAnomaly, qStickiness, qBounceRate,
     qUserConcentration, qInterArrival, qAttribution, qAttributionDecay,
     qRfm, qEntryExit, qAcfDaily, qLjungBox, qGrangerPairs, qCusumChangepoint, qGapFill, qDbscanUsers,
-    qConcurrencyHourly, qDbscanIncremental, qTheilSen, qSurvivalKm,
+    qConcurrencyHourly, qDbscanIncremental, qTheilSen, qSurvivalKm, qLogrank,
     qZorderLayout, qHoltForecast, qSlidingDistinct, qHaarDaily, qAmsF2,
     qBurstViterbi, qHoltWinters, qChi2Weekday)
 }
