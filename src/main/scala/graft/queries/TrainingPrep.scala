@@ -1552,6 +1552,89 @@ object TrainingPrep {
       .orderBy($"source")
   }
 
+  /** Effect sizes per source vs the rest of the corpus — the
+    * magnitude companion of the significance tests ([[dMannWhitney]]
+    * says a shift EXISTS; at corpus scale everything is "significant",
+    * so the decision-relevant number is HOW BIG): Cliff's δ =
+    * 2U/(n₁n₂) − 1, EXACT to the micro from the doubled-rank U
+    * (U_x2 = 2U is already integer; the signed floor uses the
+    * pmod identity so negative deltas floor identically on both
+    * engines), and Cohen's d from exact integer moments with the
+    * pooled-variance float assembled once in fixed order. */
+  val dEffectSizes: Spec = Spec(
+    "d_effect_sizes",
+    oracle = Some("""
+      WITH vc AS (SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS ce
+          FROM documents GROUP BY 1),
+      cum AS (SELECT v, ce,
+          CAST(COALESCE(SUM(ce) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS cl
+        FROM vc),
+      r2 AS (SELECT d.source, d.n_chars, 2 * c.cl + c.ce + 1 AS r2
+        FROM documents d JOIN cum c ON c.v = d.n_chars),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+          SUM(n_chars::HUGEINT) AS st, SUM(n_chars::HUGEINT * n_chars) AS qt
+        FROM documents),
+      su AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(r2) AS BIGINT) AS rank_sum_x2,
+          SUM(n_chars::HUGEINT) AS s1, SUM(n_chars::HUGEINT * n_chars) AS q1
+        FROM r2 GROUP BY source),
+      m AS (SELECT source, n, nn - n AS n2,
+          rank_sum_x2 - n * (n + 1) AS u_x2,
+          s1, q1, st - s1 AS s2, qt - q1 AS q2
+        FROM su CROSS JOIN tot),
+      e AS (SELECT source, n, n2, u_x2,
+          (u_x2 - n * n2)::HUGEINT * 1000000 AS dnum, n * n2 AS dden,
+          CAST(q1 * n - s1 * s1 AS DOUBLE) AS a1,
+          CAST(q2 * n2 - s2 * s2 AS DOUBLE) AS a2,
+          CAST(s1 * n2 - s2 * n AS DOUBLE) AS md
+        FROM m WHERE n2 > 0 AND n + n2 > 2)
+      SELECT source, n,
+        CAST((dnum - ((dnum % dden + dden) % dden)) // dden AS BIGINT)
+          AS cliffs_delta_micros,
+        CAST(FLOOR(md / (n * n2)
+          / sqrt((a1 / n + a2 / n2) / (n + n2 - 2)) * 1000000) AS BIGINT)
+          AS cohens_d_micros
+      FROM e WHERE a1 / n + a2 / n2 > 0
+      ORDER BY source""")) { (s, dir) =>
+    import s.implicits._
+    val d = docs(s, dir)
+    val vc = d.groupBy($"n_chars".as("v")).agg(count(lit(1)).as("ce"))
+      .withColumn("_k", lit("all"))
+    val cum = Skew.prefixSumsByKey(vc, "_k", Seq($"v"),
+        Seq($"ce" -> "cum_ce"))
+      .withColumn("cl", $"cum_ce" - $"ce")
+    val r2 = d.join(cum, d("n_chars") === cum("v"))
+      .select($"source", d("n_chars").as("x"),
+        (lit(2) * $"cl" + $"ce" + 1).as("r2"))
+    val tot = broadcast(d.agg(count(lit(1)).as("nn"),
+      sum($"n_chars".cast("decimal(38,0)")).as("st"),
+      sum($"n_chars".cast("decimal(38,0)") * $"n_chars").as("qt")))
+    val su = r2.groupBy($"source").agg(
+      count(lit(1)).as("n"), sum($"r2").as("rank_sum_x2"),
+      sum($"x".cast("decimal(38,0)")).as("s1"),
+      sum($"x".cast("decimal(38,0)") * $"x").as("q1"))
+    val m = su.crossJoin(tot)
+      .select($"source", $"n", ($"nn" - $"n").as("n2"),
+        ($"rank_sum_x2" - $"n" * ($"n" + 1)).as("u_x2"),
+        $"s1", $"q1", ($"st" - $"s1").as("s2"), ($"qt" - $"q1").as("q2"))
+      .filter($"n2" > 0 && $"n" + $"n2" > 2)
+    val e = m.select($"source", $"n", $"n2",
+      (($"u_x2" - $"n" * $"n2").cast("decimal(38,0)") * 1000000).as("dnum"),
+      ($"n" * $"n2").as("dden"),
+      ($"q1" * $"n" - $"s1" * $"s1").cast("double").as("a1"),
+      ($"q2" * $"n2" - $"s2" * $"s2").cast("double").as("a2"),
+      ($"s1" * $"n2" - $"s2" * $"n").cast("double").as("md"))
+    e.filter($"a1" / $"n" + $"a2" / $"n2" > 0)
+      .select($"source", $"n",
+        expr("(dnum - pmod(dnum, dden)) div dden").as("cliffs_delta_micros"),
+        floor($"md" / ($"n" * $"n2")
+          / sqrt(($"a1" / $"n" + $"a2" / $"n2") / ($"n" + $"n2" - 2)) * 1e6)
+          .cast("long").as("cohens_d_micros"))
+      .orderBy($"source")
+  }
+
   /** Feature-hashing document embeddings (the hashing trick,
     * Weinberger et al. 2009): each token hashes to one of 16
     * dimensions with a md5-derived sign, per-doc sums give a sparse
@@ -2641,5 +2724,5 @@ object TrainingPrep {
     dCmsCounts, dWeightedSample, dPaddingEfficiency, dEntropyScores,
     dSourceDivergence, dDistributionMatch, dQualityClassifier, dDsirWeights,
     dKneserNey, dMannWhitney, dKruskalWallis, dSpearmanLengths,
-    dAnovaLengths, dMadLengths, dIsotonicCalibration)
+    dAnovaLengths, dMadLengths, dIsotonicCalibration, dEffectSizes)
 }
