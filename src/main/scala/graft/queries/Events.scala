@@ -2437,6 +2437,138 @@ object Events {
       .orderBy($"cause", $"effect")
   }
 
+  /** Durbin–Levinson recursion unrolled to maxLag levels as NAMED SQL
+    * expressions — φ_kk = (ρ_k − Σ_{j<k} φ_{k−1,j}·ρ_{k−j}) /
+    * (1 − Σ_{j<k} φ_{k−1,j}·ρ_j), φ_kj = φ_{k−1,j} − φ_kk·φ_{k−1,k−j}.
+    * ONE generator feeds BOTH engines (Spark parses the same strings
+    * via expr(), the oracle splices them into a CTE chain), so the
+    * two sides cannot drift by transcription — and the fixed textual
+    * op order is the float-parity guarantee. Returns (name, expr)
+    * pairs in dependency order over input columns r1..r{maxLag}. */
+  private[graft] def durbinLevinsonCols(maxLag: Int): Seq[(String, String)] = {
+    val out = Seq.newBuilder[(String, String)]
+    out += ("f1_1" -> "r1")
+    for (k <- 2 to maxLag) {
+      val num = (1 until k)
+        .map(j => s"f${k - 1}_$j * r${k - j}").mkString(" + ")
+      val den = (1 until k)
+        .map(j => s"f${k - 1}_$j * r$j").mkString(" + ")
+      out += (s"f${k}_$k" -> s"(r$k - ($num)) / (1.0 - ($den))")
+      for (j <- 1 until k)
+        out += (s"f${k}_$j" -> s"f${k - 1}_$j - f${k}_$k * f${k - 1}_${k - j}")
+    }
+    out.result()
+  }
+
+  /** Partial autocorrelation of the per-type daily series, lags 1–7 —
+    * the other half of the Box–Jenkins identification pair: ACF tails
+    * off / PACF cuts off ⇒ AR order, and vice versa for MA. ACF inputs
+    * are the standard estimator with exact 128-bit moments (the
+    * [[qLjungBox]] machinery, pivoted to one row per type); the
+    * Durbin–Levinson recursion then runs as [[durbinLevinsonCols]]'
+    * generated expressions — the SAME strings on both engines (parsed
+    * by expr() here, spliced into the oracle CTE chain there), so the
+    * float pipeline is fixed-order by construction. EventsStatSpec
+    * pins the generated unrolling against an independent loop
+    * implementation of the recursion. */
+  val qPacfDaily: Spec = Spec(
+    "ev_pacf_daily",
+    oracle = Some {
+      // build the CTE chain textually: dl0 over rp, dl1 over dl0, …
+      val ctes = durbinLevinsonCols(7).zipWithIndex.map {
+        case ((n, e), i) =>
+          val src = if (i == 0) "rp" else s"dl${i - 1}"
+          s"dl$i AS (SELECT *, $e AS $n FROM $src)"
+      }.mkString(",\n      ")
+      val last = s"dl${durbinLevinsonCols(7).size - 1}"
+      s"""
+      WITH $dailySpineSql,
+      tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+          SUM(x::HUGEINT) AS s, SUM(x::HUGEINT * x) AS q0
+        FROM grid GROUP BY 1),
+      led AS (SELECT event_type, x,
+          lead(x, 1) OVER w AS y1, lead(x, 2) OVER w AS y2,
+          lead(x, 3) OVER w AS y3, lead(x, 4) OVER w AS y4,
+          lead(x, 5) OVER w AS y5, lead(x, 6) OVER w AS y6,
+          lead(x, 7) OVER w AS y7
+        FROM grid WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+      pairs AS (
+        SELECT event_type, lag, x, y FROM (
+          SELECT event_type, 1 AS lag, x, y1 AS y FROM led UNION ALL
+          SELECT event_type, 2, x, y2 FROM led UNION ALL
+          SELECT event_type, 3, x, y3 FROM led UNION ALL
+          SELECT event_type, 4, x, y4 FROM led UNION ALL
+          SELECT event_type, 5, x, y5 FROM led UNION ALL
+          SELECT event_type, 6, x, y6 FROM led UNION ALL
+          SELECT event_type, 7, x, y7 FROM led)
+        WHERE y IS NOT NULL),
+      lg AS (SELECT event_type, lag, SUM(x::HUGEINT * y) AS ck,
+          SUM(x::HUGEINT) AS ak, SUM(y::HUGEINT) AS bk
+        FROM pairs GROUP BY 1, 2),
+      rho AS (SELECT l.event_type, l.lag,
+          CAST(t.n::HUGEINT * t.n * l.ck - t.n::HUGEINT * t.s * (l.ak + l.bk)
+            + (t.n - l.lag)::HUGEINT * t.s * t.s AS DOUBLE)
+          / CAST(t.n::HUGEINT * t.n * t.q0 - t.n::HUGEINT * t.s * t.s
+            AS DOUBLE) AS r,
+          t.n AS n
+        FROM lg l JOIN tot t ON t.event_type = l.event_type
+        WHERE t.n::HUGEINT * t.n * t.q0 - t.n::HUGEINT * t.s * t.s > 0),
+      rp AS (SELECT event_type, MAX(n) AS n,
+          MAX(CASE WHEN lag = 1 THEN r END) AS r1,
+          MAX(CASE WHEN lag = 2 THEN r END) AS r2,
+          MAX(CASE WHEN lag = 3 THEN r END) AS r3,
+          MAX(CASE WHEN lag = 4 THEN r END) AS r4,
+          MAX(CASE WHEN lag = 5 THEN r END) AS r5,
+          MAX(CASE WHEN lag = 6 THEN r END) AS r6,
+          MAX(CASE WHEN lag = 7 THEN r END) AS r7
+        FROM rho GROUP BY 1),
+      $ctes
+      SELECT event_type, n AS n_days,
+        round(f1_1, 6) AS pacf1, round(f2_2, 6) AS pacf2,
+        round(f3_3, 6) AS pacf3, round(f4_4, 6) AS pacf4,
+        round(f5_5, 6) AS pacf5, round(f6_6, 6) AS pacf6,
+        round(f7_7, 6) AS pacf7
+      FROM $last WHERE n >= 9 ORDER BY event_type"""
+    }) { (s, dir) =>
+    import s.implicits._
+    val grid = dailyCountSpine(s, dir)
+    val tot = grid.groupBy($"event_type").agg(
+      count(lit(1)).as("n"),
+      sum($"x".cast("decimal(38,0)")).as("s"),
+      sum($"x".cast("decimal(38,0)") * $"x").as("q0"))
+    val w = Window.partitionBy($"event_type").orderBy($"d")
+    val led = grid
+      .select($"event_type" +: $"x" +:
+        (1 to 7).map(k => lead($"x", k).over(w).as(s"y$k")): _*)
+    val pairs = led.select($"event_type",
+      expr("stack(7, 1, y1, 2, y2, 3, y3, 4, y4, 5, y5, 6, y6, 7, y7)")
+        .as(Seq("lag", "y")), $"x")
+      .filter($"y".isNotNull)
+    val lg = pairs.groupBy($"event_type", $"lag").agg(
+      sum($"x".cast("decimal(38,0)") * $"y").as("ck"),
+      sum($"x".cast("decimal(38,0)")).as("ak"),
+      sum($"y".cast("decimal(38,0)")).as("bk"))
+    val rho = lg.join(tot, "event_type")
+      .filter(expr("cast(n as decimal(38,0)) * n * q0" +
+        " - cast(n as decimal(38,0)) * s * s > 0"))
+      .select($"event_type", $"lag", $"n",
+        (expr("cast(n as decimal(38,0)) * n * ck" +
+          " - cast(n as decimal(38,0)) * s * (ak + bk)" +
+          " + cast(n - lag as decimal(38,0)) * s * s").cast("double")
+          / expr("cast(n as decimal(38,0)) * n * q0" +
+            " - cast(n as decimal(38,0)) * s * s").cast("double")).as("r"))
+    val rpCols = max($"n").as("n") +:
+      (1 to 7).map(k => max(when($"lag" === k, $"r")).as(s"r$k"))
+    val rp = rho.groupBy($"event_type").agg(rpCols.head, rpCols.tail: _*)
+    val dl = durbinLevinsonCols(7).foldLeft(rp) {
+      case (df, (name, e)) => df.withColumn(name, expr(e))
+    }
+    dl.filter($"n" >= 9)
+      .select($"event_type" +: $"n".as("n_days") +:
+        (1 to 7).map(k => round(col(s"f${k}_$k"), 6).as(s"pacf$k")): _*)
+      .orderBy($"event_type")
+  }
+
   /** Holt linear-trend exponential smoothing (Holt '57) over the
     * per-type daily count grid, forecasting the next 7 days — the
     * capacity-planning forecast that pairs with [[qAcfDaily]]'s
@@ -3507,7 +3639,7 @@ object Events {
     qAsofNearest, qConversionTime, qMarkovTransitions, qSeasonalDecompose,
     qPathAnalysis, qSeasonalAnomaly, qStickiness, qBounceRate,
     qUserConcentration, qInterArrival, qAttribution, qAttributionDecay,
-    qRfm, qEntryExit, qAcfDaily, qLjungBox, qGrangerPairs, qCusumChangepoint, qGapFill, qDbscanUsers,
+    qRfm, qEntryExit, qAcfDaily, qLjungBox, qPacfDaily, qGrangerPairs, qCusumChangepoint, qGapFill, qDbscanUsers,
     qConcurrencyHourly, qDbscanIncremental, qTheilSen, qSurvivalKm, qLogrank,
     qZorderLayout, qHoltForecast, qSlidingDistinct, qHaarDaily, qAmsF2,
     qBurstViterbi, qHoltWinters, qChi2Weekday)

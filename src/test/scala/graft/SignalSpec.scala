@@ -63,4 +63,49 @@ class SignalSpec extends AnyFunSuite {
       assert(fc == (5L + 3L * (9 + h)) * 1000000L, s"h=$h fc=$fc")
     }
   }
+
+  test("Durbin-Levinson unrolling matches an independent loop implementation") {
+    // The generated SQL (ev_pacf_daily's engine-shared expressions) and
+    // a plain Scala loop are INDEPENDENT implementations of the same
+    // recursion — agreement pins the generator against index slips that
+    // engine parity alone cannot catch (both engines share the strings).
+    def dlLoop(rho: Array[Double]): Array[Double] = {
+      val m = rho.length
+      val phi = Array.ofDim[Double](m + 1, m + 1)
+      phi(1)(1) = rho(0)
+      for (k <- 2 to m) {
+        val num = rho(k - 1) -
+          (1 until k).map(j => phi(k - 1)(j) * rho(k - j - 1)).sum
+        val den = 1.0 - (1 until k).map(j => phi(k - 1)(j) * rho(j - 1)).sum
+        phi(k)(k) = num / den
+        for (j <- 1 until k)
+          phi(k)(j) = phi(k - 1)(j) - phi(k)(k) * phi(k - 1)(k - j)
+      }
+      (1 to m).map(k => phi(k)(k)).toArray
+    }
+    // two rho vectors: AR(1)-like geometric decay (PACF must cut off:
+    // pacf1 = a, pacf(k>1) ~ 0) and an arbitrary mixed vector
+    val vectors = Seq(
+      Array.tabulate(7)(i => math.pow(0.6, i + 1)),
+      Array(0.5, -0.2, 0.1, 0.3, -0.15, 0.05, 0.2))
+    vectors.foreach { rho =>
+      val row = spark.range(1).toDF()
+        .select((1 to 7).map(k => lit(rho(k - 1)).as(s"r$k")): _*)
+      val unrolled = Events.durbinLevinsonCols(7).foldLeft(row) {
+        case (df, (name, e)) =>
+          df.withColumn(name, org.apache.spark.sql.functions.expr(e))
+      }
+      val got = unrolled
+        .select((1 to 7).map(k => col(s"f${k}_$k")): _*)
+        .collect()(0).toSeq.map(_.asInstanceOf[Double])
+      val want = dlLoop(rho)
+      got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+        assert(math.abs(g - w) < 1e-12, s"pacf${i + 1}: $g vs $w")
+      }
+    }
+    // AR(1) cutoff property on the geometric vector
+    val ar1 = dlLoop(Array.tabulate(7)(i => math.pow(0.6, i + 1)))
+    assert(math.abs(ar1(0) - 0.6) < 1e-12)
+    (1 until 7).foreach(k => assert(math.abs(ar1(k)) < 1e-9, s"lag ${k + 1}"))
+  }
 }
