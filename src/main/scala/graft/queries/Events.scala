@@ -2471,9 +2471,7 @@ object Events {
     * float pipeline is fixed-order by construction. EventsStatSpec
     * pins the generated unrolling against an independent loop
     * implementation of the recursion. */
-  val qPacfDaily: Spec = Spec(
-    "ev_pacf_daily",
-    oracle = Some {
+  val pacfOracleSql: String = {
       // build the CTE chain textually: dl0 over rp, dl1 over dl0, …
       val ctes = durbinLevinsonCols(7).zipWithIndex.map {
         case ((n, e), i) =>
@@ -2529,9 +2527,19 @@ object Events {
         round(f5_5, 6) AS pacf5, round(f6_6, 6) AS pacf6,
         round(f7_7, 6) AS pacf7
       FROM $last WHERE n >= 9 ORDER BY event_type"""
-    }) { (s, dir) =>
+    }
+
+  val qPacfDaily: Spec = Spec(
+    "ev_pacf_daily",
+    oracle = Some(pacfOracleSql)) { (s, dir) =>
+    pacfOverGrid(dailyCountSpine(s, dir))
+  }
+
+  /** The PACF tail behind [[qPacfDaily]], over any (event_type, d, x)
+    * grid — shared with the streaming twin. */
+  def pacfOverGrid(grid: DataFrame): DataFrame = {
+    val s = grid.sparkSession
     import s.implicits._
-    val grid = dailyCountSpine(s, dir)
     val tot = grid.groupBy($"event_type").agg(
       count(lit(1)).as("n"),
       sum($"x".cast("decimal(38,0)")).as("s"),

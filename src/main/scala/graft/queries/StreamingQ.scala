@@ -741,6 +741,17 @@ object StreamingQ {
       StreamOps.dailyTypeCounts(s, dir, sink = "st_granger_mem")))
   }
 
+  /** STREAMING PACF: the same watermarked daily count grid, the
+    * Durbin–Levinson identification pass as a batch view over it —
+    * sharing [[Events.spineFill]] + [[Events.pacfOverGrid]] and the
+    * batch oracle with ev_pacf_daily. */
+  val stPacfDaily: Spec = Spec(
+    "st_pacf_daily",
+    oracle = Some(Events.pacfOracleSql)) { (s, dir) =>
+    Events.pacfOverGrid(Events.spineFill(
+      StreamOps.dailyTypeCounts(s, dir, sink = "st_pacf_mem")))
+  }
+
   /** STREAMING Ljung–Box: the same watermarked daily count grid, the
     * white-noise portmanteau statistic as a batch view over it —
     * sharing [[Events.spineFill]] + [[Events.ljungBoxOverGrid]] and
@@ -1165,6 +1176,6 @@ object StreamingQ {
     stKsCountsAppend, stMarkov, stRateAnomalyAppend, stSeasonalAppend,
     stSeasonal, stPath, stNsfwRollup, stEntryExit, stAttribution,
     stQualityMonitor, stAttributionDecay, stCusum, stLjungBox,
-    stGrangerPairs, stGapFill, stDbscan,
+    stGrangerPairs, stPacfDaily, stGapFill, stDbscan,
     stHoltForecast, stAmsF2, stTdigest, stBurstViterbi, stHoltWinters)
 }
