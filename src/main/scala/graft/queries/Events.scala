@@ -3601,6 +3601,71 @@ object Events {
           .as("z_micros"))
   }
 
+  /** Two-proportion z-test of view→purchase CONVERSION RATE between
+    * the user-parity cohorts — the instantaneous-rate companion of
+    * [[qLogrank]] (which compares the full time-to-convert curves):
+    * z = (p₁−p₂)/√(p̂(1−p̂)(1/n₁+1/n₂)) under the pooled null;
+    * conversion = first purchase within 24 h of first view (the
+    * qFunnelWindowed gate — over an unbounded feed EVERY user
+    * eventually purchases, so the raw rate is degenerate 100%). Counts
+    * are exact integers; z is assembled once in fixed-order floats
+    * written identically on both engines — the numerator clears
+    * denominators as the exact integer c₁n₂ − c₂n₁ first, so only the
+    * final normalized ratio is float at all. */
+  val qTwoProportionAb: Spec = Spec(
+    "ev_two_proportion_ab",
+    oracle = Some("""
+      WITH f AS (SELECT user_id,
+          MIN(CASE WHEN event_type='view' THEN epoch_us(ts) END) AS v,
+          MIN(CASE WHEN event_type='purchase' THEN epoch_us(ts) END) AS p
+        FROM events GROUP BY user_id),
+      u AS (SELECT user_id % 2 AS grp,
+          CASE WHEN p IS NOT NULL AND p >= v AND p - v <= 86400000000
+            THEN 1 ELSE 0 END AS conv
+        FROM f WHERE v IS NOT NULL),
+      g AS (SELECT
+          CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          CAST(SUM(CASE WHEN grp = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1,
+          CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+          CAST(SUM(CASE WHEN grp = 0 THEN conv ELSE 0 END) AS BIGINT) AS c2
+        FROM u)
+      SELECT n1, c1, n2, c2,
+        (c1 * 1000000) // n1 AS p1_micros,
+        (c2 * 1000000) // n2 AS p2_micros,
+        CAST(FLOOR(CAST(c1 * n2 - c2 * n1 AS DOUBLE) / (n1 * n2)
+          / sqrt((CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+            * (1.0 - CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+            * (1.0 / n1 + 1.0 / n2)) * 1000000) AS BIGINT) AS z_micros
+      FROM g
+      WHERE n1 > 0 AND n2 > 0 AND c1 + c2 > 0 AND c1 + c2 < n1 + n2""")) { (s, dir) =>
+    import s.implicits._
+    val f = load(s, dir)
+      .select($"user_id", $"event_type", expr("ts div 1000").as("us"))
+      .groupBy($"user_id").agg(
+        min(when($"event_type" === "view", $"us")).as("v"),
+        min(when($"event_type" === "purchase", $"us")).as("p"))
+    val u = f.filter($"v".isNotNull)
+      .select(($"user_id" % 2).as("grp"),
+        when($"p".isNotNull && $"p" >= $"v" &&
+          $"p" - $"v" <= 86400000000L, 1L).otherwise(0L).as("conv"))
+    u.agg(
+        sum(when($"grp" === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when($"grp" === 1, $"conv").otherwise(0L)).as("c1"),
+        sum(when($"grp" === 0, 1L).otherwise(0L)).as("n2"),
+        sum(when($"grp" === 0, $"conv").otherwise(0L)).as("c2"))
+      .filter($"n1" > 0 && $"n2" > 0 &&
+        $"c1" + $"c2" > 0 && $"c1" + $"c2" < $"n1" + $"n2")
+      .select($"n1", $"c1", $"n2", $"c2",
+        expr("(c1 * 1000000) div n1").as("p1_micros"),
+        expr("(c2 * 1000000) div n2").as("p2_micros"),
+        floor(($"c1" * $"n2" - $"c2" * $"n1").cast("double")
+            / ($"n1" * $"n2")
+          / sqrt((($"c1" + $"c2").cast("double") / ($"n1" + $"n2"))
+            * (lit(1.0) - ($"c1" + $"c2").cast("double") / ($"n1" + $"n2"))
+            * (lit(1.0) / $"n1" + lit(1.0) / $"n2")) * 1e6)
+          .cast("long").as("z_micros"))
+  }
+
   /** Z-ORDER layout key ([[graft.ops.Layout.zOrder2]]) over the two
     * dimensions events are actually queried by — user and hour: bit
     * interleave keeps BOTH ranges narrow inside every fixed-width key
@@ -3649,6 +3714,7 @@ object Events {
     qUserConcentration, qInterArrival, qAttribution, qAttributionDecay,
     qRfm, qEntryExit, qAcfDaily, qLjungBox, qPacfDaily, qGrangerPairs, qCusumChangepoint, qGapFill, qDbscanUsers,
     qConcurrencyHourly, qDbscanIncremental, qTheilSen, qSurvivalKm, qLogrank,
+    qTwoProportionAb,
     qZorderLayout, qHoltForecast, qSlidingDistinct, qHaarDaily, qAmsF2,
     qBurstViterbi, qHoltWinters, qChi2Weekday)
 }

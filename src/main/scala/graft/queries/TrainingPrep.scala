@@ -1635,6 +1635,58 @@ object TrainingPrep {
       .orderBy($"source")
   }
 
+  /** Gini coefficient of document length per source — the corpus-
+    * concentration number ("does 1% of documents carry half the
+    * characters?") that decides whether token budgets need length caps.
+    * Tie-exact via the doubled AVERAGE ranks of the [[dMannWhitney]]
+    * scaffold: G = Σ(2rᵢ−n−1)xᵢ / (nΣx) with average ranks is the
+    * standard tie correction, and with r2 = 2r the numerator
+    * Σ(r2−n−1)x is an exact integer — G emits as exact floored micros
+    * through one 128-bit integer division, no float anywhere. */
+  val dGiniLengths: Spec = Spec(
+    "d_gini_lengths",
+    oracle = Some("""
+      WITH vc AS (SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS ce
+          FROM documents GROUP BY 1, 2),
+      cum AS (SELECT source, v, ce,
+          CAST(COALESCE(SUM(ce) OVER (PARTITION BY source ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS cl
+        FROM vc),
+      r2 AS (SELECT d.source, d.n_chars AS x, 2 * c.cl + c.ce + 1 AS r2
+        FROM documents d
+        JOIN cum c ON c.source = d.source AND c.v = d.n_chars),
+      g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+          SUM(x::HUGEINT) AS sx, SUM(r2::HUGEINT * x) AS srx
+        FROM r2 GROUP BY source)
+      SELECT source, n,
+        CAST(((srx - (n + 1) * sx) * 1000000) // (n * sx) AS BIGINT)
+          AS gini_micros
+      FROM g WHERE sx > 0 ORDER BY source""")) { (s, dir) =>
+    import s.implicits._
+    val d = docs(s, dir)
+    val vc = d.groupBy($"source", $"n_chars".as("v"))
+      .agg(count(lit(1)).as("ce"))
+    val cum = Skew.prefixSumsByKey(vc, "source", Seq($"v"),
+        Seq($"ce" -> "cum_ce"))
+      .withColumn("cl", $"cum_ce" - $"ce")
+    val r2 = d
+      .join(cum.withColumnRenamed("source", "src_")
+        .withColumnRenamed("v", "v_"),
+        d("source") === col("src_") && d("n_chars") === col("v_"))
+      .select($"source", $"n_chars".as("x"),
+        (lit(2) * $"cl" + $"ce" + 1).as("r2"))
+    r2.groupBy($"source").agg(
+        count(lit(1)).as("n"),
+        sum($"x".cast("decimal(38,0)")).as("sx"),
+        sum($"r2".cast("decimal(38,0)") * $"x").as("srx"))
+      .filter($"sx" > 0)
+      .select($"source", $"n",
+        expr("(((srx - (n + 1) * sx) * 1000000) div (n * sx))")
+          .as("gini_micros"))
+      .orderBy($"source")
+  }
+
   /** Feature-hashing document embeddings (the hashing trick,
     * Weinberger et al. 2009): each token hashes to one of 16
     * dimensions with a md5-derived sign, per-doc sums give a sparse
@@ -2724,5 +2776,6 @@ object TrainingPrep {
     dCmsCounts, dWeightedSample, dPaddingEfficiency, dEntropyScores,
     dSourceDivergence, dDistributionMatch, dQualityClassifier, dDsirWeights,
     dKneserNey, dMannWhitney, dKruskalWallis, dSpearmanLengths,
-    dAnovaLengths, dMadLengths, dIsotonicCalibration, dEffectSizes)
+    dAnovaLengths, dMadLengths, dIsotonicCalibration, dEffectSizes,
+    dGiniLengths)
 }
