@@ -41,5 +41,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the argmax idiom — exact under ties, sort-free, fires only on
     // scan-shaped children (re-scan is cheap, re-join is not)
     ext.injectOptimizerRule(_ => graft.plans.WindowMaxFilterToJoin)
+    // count-threshold filter (count over partition >= / <= n) → agg +
+    // HAVING + null-safe join: the frequent/rare-key idiom — exact
+    // (all rows of qualifying keys), same scan-shaped guard
+    ext.injectOptimizerRule(_ => graft.plans.WindowCountFilterToJoin)
   }
 }

@@ -749,6 +749,41 @@ object TextOps {
     df
   }
 
+  /** The frequent-key idiom RIDING [[graft.plans.WindowCountFilterToJoin]]:
+    * all occurrences of tokens appearing ≥ 3 times within their source —
+    * the window form users write, rewritten to agg + HAVING + null-safe
+    * join (exact: every row of every qualifying key). Same install/
+    * REQUIRE discipline as d_unique_tokens_rewritten; the oracle is the
+    * window form in DuckDB. */
+  val dFrequentKeysRewritten: Spec = Spec(
+    "d_frequent_keys_rewritten",
+    oracle = Some("""
+      WITH t AS (SELECT source, doc_id, unnest(string_split(text,' ')) AS tok
+                 FROM documents WHERE doc_id % 17 = 6),
+      w AS (SELECT source, doc_id, tok,
+              COUNT(*) OVER (PARTITION BY source, tok) AS n FROM t)
+      SELECT source, doc_id, tok, CAST(n AS BIGINT) AS n
+      FROM w WHERE n >= 3
+      ORDER BY source, doc_id, tok""")) { (s, dir) =>
+    import s.implicits._
+    val em = s.sessionState.experimentalMethods
+    if (!em.extraOptimizations.exists(_ eq graft.plans.WindowCountFilterToJoin))
+      em.extraOptimizations = em.extraOptimizations ++
+        Seq(graft.plans.WindowCountFilterToJoin)
+    val w = Window.partitionBy($"source", $"tok")
+    val df = docs(s, dir)
+      .filter($"doc_id" % 17 === 6)
+      .select($"source", $"doc_id", explode(Text.tokens($"text")).as("tok"))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter($"n" >= 3)
+      .orderBy($"source", $"doc_id", $"tok")
+    require(df.queryExecution.optimizedPlan.collect {
+        case wn: org.apache.spark.sql.catalyst.plans.logical.Window => wn
+      }.isEmpty,
+      "WindowCountFilterToJoin did not fire on the frequent-key idiom")
+    df
+  }
+
   /** Stopword distribution (F16 — same automaton, different lexicon):
     * per-doc stopword hits and ratio. */
   val dStopwords: Spec = Spec(
@@ -985,7 +1020,7 @@ object TextOps {
     dTokenStats, dDocStatsAgg, dWordFreq, dLineExplode, dLines2Doc,
     dLines2DocDedent, dRepeatedTokens, dNsfwCounts, dDocFlags, dRemovalSurvivors,
     dNgramRepWord, dNgramRepWordTok, dNgramRepChar, dUniqueTokens,
-    dUniqueTokensRewritten,
+    dUniqueTokensRewritten, dFrequentKeysRewritten,
     dKeywordSpans, dTokenDiversity, dSymbolRatio,
     dFingerprint, dWinnowFingerprints, dCorpusCard, dDedupByKey, dStopwords,
     dDedupThresholded,

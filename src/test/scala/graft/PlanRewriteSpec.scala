@@ -35,7 +35,8 @@ class PlanRewriteSpec extends AnyFunSuite {
     em.extraOptimizations = prev.filterNot(r =>
       (r eq WindowDedupToAgg) || (r eq graft.plans.WindowCountOneToAgg) ||
         (r eq graft.plans.WindowTopKToAgg) ||
-        (r eq graft.plans.WindowMaxFilterToJoin))
+        (r eq graft.plans.WindowMaxFilterToJoin) ||
+        (r eq graft.plans.WindowCountFilterToJoin))
     try body finally em.extraOptimizations = prev
   }
 
@@ -290,6 +291,64 @@ class PlanRewriteSpec extends AnyFunSuite {
         .withColumn("mx", max($"l_quantity").over(
           Window.partitionBy($"l_orderkey")))
         .filter($"l_quantity" === $"mx")
+      assert(hasWindow(joined), "non-scan child must not rewrite")
+    }
+  }
+
+  // ---- WindowCountFilterToJoin (the frequent/rare-key idiom) ----
+
+  private def withCountJoinRule[T](body: => T): T = {
+    val em = spark.sessionState.experimentalMethods
+    val prev = em.extraOptimizations
+    em.extraOptimizations = prev :+ graft.plans.WindowCountFilterToJoin
+    try body finally em.extraOptimizations = prev
+  }
+
+  private def naiveFrequent(n: Int): DataFrame = {
+    val w = Window.partitionBy($"l_partkey")
+    spark.read.parquet(s"${TestSpark.Sf}/lineitem.parquet")
+      .withColumn("n", count(lit(1)).over(w))
+      .filter($"n" >= n)
+  }
+
+  test("count >= n filter rewrites to agg + HAVING + join; all key rows kept") {
+    val baseline = withoutRules { naiveFrequent(3).collect().toSet }
+    withoutRules { assert(hasWindow(naiveFrequent(3))) }
+    withCountJoinRule {
+      val rewritten = naiveFrequent(3)
+      assert(!hasWindow(rewritten), "rule must eliminate the Window node")
+      assert(hasAggregate(rewritten), "rule must introduce the aggregate")
+      assert(rewritten.collect().toSet == baseline)
+      // the count column survives under the original reference
+      assert(naiveFrequent(3).select(min($"n")).collect()(0).getLong(0) >= 3)
+      // rare-key direction (<=) rewrites too, exact
+      val w = Window.partitionBy($"l_partkey")
+      val rare = spark.read.parquet(s"${TestSpark.Sf}/lineitem.parquet")
+        .withColumn("n", count(lit(1)).over(w)).filter($"n" <= 2)
+      val rareBase = withoutRules {
+        spark.read.parquet(s"${TestSpark.Sf}/lineitem.parquet")
+          .withColumn("n", count(lit(1)).over(
+            Window.partitionBy($"l_partkey")))
+          .filter($"n" <= 2).collect().toSet
+      }
+      assert(!hasWindow(rare) && rare.collect().toSet == rareBase)
+    }
+  }
+
+  test("count-join guards: n=1 equality, count(col), non-scan child stay put") {
+    withCountJoinRule {
+      val base = spark.read.parquet(s"${TestSpark.Sf}/lineitem.parquet")
+      val w = Window.partitionBy($"l_partkey")
+      // n = 1 equality belongs to WindowCountOneToAgg's one-scan form
+      val one = base.withColumn("n", count(lit(1)).over(w)).filter($"n" === 1)
+      assert(hasWindow(one), "n=1 must stay for the one-scan sibling")
+      val colCnt = base.withColumn("n", count($"l_returnflag").over(w))
+        .filter($"n" >= 3)
+      assert(hasWindow(colCnt), "count(col) skips nulls; must not rewrite")
+      val joined = base.join(
+          spark.read.parquet(s"${TestSpark.Sf}/orders.parquet"),
+          $"l_orderkey" === $"o_orderkey")
+        .withColumn("n", count(lit(1)).over(w)).filter($"n" >= 3)
       assert(hasWindow(joined), "non-scan child must not rewrite")
     }
   }
