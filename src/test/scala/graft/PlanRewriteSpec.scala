@@ -17,12 +17,26 @@ class PlanRewriteSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private def withRule[T](body: => T): T = {
+  private def allGraftRules(r: AnyRef): Boolean =
+    (r eq WindowDedupToAgg) || (r eq graft.plans.WindowCountOneToAgg) ||
+      (r eq graft.plans.WindowTopKToAgg) ||
+      (r eq graft.plans.WindowMaxFilterToJoin) ||
+      (r eq graft.plans.WindowCountFilterToJoin)
+
+  /** Run with EXACTLY one graft rule installed — the riders install
+    * rules session-wide (by design), and sibling rules legitimately
+    * claim shapes a guard test wants declined by ITS rule alone
+    * (n = 2 belongs to WindowCountFilterToJoin, n = 1 to
+    * WindowCountOneToAgg), so guards must isolate. */
+  private def withOnly[T](rule: org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan])(body: => T): T = {
     val em = spark.sessionState.experimentalMethods
     val prev = em.extraOptimizations
-    em.extraOptimizations = prev :+ WindowDedupToAgg
+    em.extraOptimizations = prev.filterNot(allGraftRules) :+ rule
     try body finally em.extraOptimizations = prev
   }
+
+  private def withRule[T](body: => T): T = withOnly(WindowDedupToAgg)(body)
 
   /** Baselines assert the UN-rewritten window form — but the shared
     * test session may already carry the graft rules (the
@@ -32,11 +46,7 @@ class PlanRewriteSpec extends AnyFunSuite {
   private def withoutRules[T](body: => T): T = {
     val em = spark.sessionState.experimentalMethods
     val prev = em.extraOptimizations
-    em.extraOptimizations = prev.filterNot(r =>
-      (r eq WindowDedupToAgg) || (r eq graft.plans.WindowCountOneToAgg) ||
-        (r eq graft.plans.WindowTopKToAgg) ||
-        (r eq graft.plans.WindowMaxFilterToJoin) ||
-        (r eq graft.plans.WindowCountFilterToJoin))
+    em.extraOptimizations = prev.filterNot(allGraftRules)
     try body finally em.extraOptimizations = prev
   }
 
@@ -117,12 +127,8 @@ class PlanRewriteSpec extends AnyFunSuite {
 
   // ---- WindowCountOneToAgg (the J3 singleton-key filter sibling) ----
 
-  private def withCountRule[T](body: => T): T = {
-    val em = spark.sessionState.experimentalMethods
-    val prev = em.extraOptimizations
-    em.extraOptimizations = prev :+ graft.plans.WindowCountOneToAgg
-    try body finally em.extraOptimizations = prev
-  }
+  private def withCountRule[T](body: => T): T =
+    withOnly(graft.plans.WindowCountOneToAgg)(body)
 
   private def naiveSingletons(): DataFrame = {
     // the d_unique_tokens shape: tokens whose (source, tok) key is unique
@@ -194,12 +200,8 @@ class PlanRewriteSpec extends AnyFunSuite {
 
   // ---- WindowTopKToAgg (the general-n top-k sibling) ----
 
-  private def withTopKRule[T](body: => T): T = {
-    val em = spark.sessionState.experimentalMethods
-    val prev = em.extraOptimizations
-    em.extraOptimizations = prev :+ graft.plans.WindowTopKToAgg
-    try body finally em.extraOptimizations = prev
-  }
+  private def withTopKRule[T](body: => T): T =
+    withOnly(graft.plans.WindowTopKToAgg)(body)
 
   private def naiveTopK(n: Int): DataFrame = {
     // top-n lineitems per order by price DESC; l_linenumber breaks
@@ -241,12 +243,8 @@ class PlanRewriteSpec extends AnyFunSuite {
 
   // ---- WindowMaxFilterToJoin (the argmax idiom) ----
 
-  private def withArgmaxRule[T](body: => T): T = {
-    val em = spark.sessionState.experimentalMethods
-    val prev = em.extraOptimizations
-    em.extraOptimizations = prev :+ graft.plans.WindowMaxFilterToJoin
-    try body finally em.extraOptimizations = prev
-  }
+  private def withArgmaxRule[T](body: => T): T =
+    withOnly(graft.plans.WindowMaxFilterToJoin)(body)
 
   private def naiveArgmax(): DataFrame = {
     val w = Window.partitionBy($"l_orderkey")
@@ -297,12 +295,8 @@ class PlanRewriteSpec extends AnyFunSuite {
 
   // ---- WindowCountFilterToJoin (the frequent/rare-key idiom) ----
 
-  private def withCountJoinRule[T](body: => T): T = {
-    val em = spark.sessionState.experimentalMethods
-    val prev = em.extraOptimizations
-    em.extraOptimizations = prev :+ graft.plans.WindowCountFilterToJoin
-    try body finally em.extraOptimizations = prev
-  }
+  private def withCountJoinRule[T](body: => T): T =
+    withOnly(graft.plans.WindowCountFilterToJoin)(body)
 
   private def naiveFrequent(n: Int): DataFrame = {
     val w = Window.partitionBy($"l_partkey")
