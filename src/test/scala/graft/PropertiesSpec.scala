@@ -415,4 +415,72 @@ class PropertiesSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("TopNRows buffer: serialize ∘ deserialize = identity; merge == bulk update") {
+    // The shuffle-spill path (serialize/deserialize) and the partial-
+    // merge path are exactly the branches a local[n] happy path can
+    // skip — exercise them directly on randomized buffers.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, BoundReference, CreateStruct, NullsFirst, SortOrder}
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val row = CreateStruct(Seq(
+      BoundReference(0, LongType, nullable = false),
+      BoundReference(1, IntegerType, nullable = false)))
+    val order = Seq(SortOrder(
+      BoundReference(1, IntegerType, nullable = false),
+      Ascending, NullsFirst, Seq.empty))
+    val agg = graft.functions.TopNRows(row, order, n = 5)
+    val rnd = new scala.util.Random(7)
+    (0 until 20).foreach { trial =>
+      val rows = (0 until 40).map(i =>
+        InternalRow(i.toLong, rnd.nextInt(8))) // heavy ties on the key
+      // bulk update into one buffer
+      val one = rows.foldLeft(agg.createAggregationBuffer())(agg.update)
+      // split across two partials, serialize both, merge
+      val (l, r) = rows.splitAt(17)
+      val bufL = agg.deserialize(agg.serialize(
+        l.foldLeft(agg.createAggregationBuffer())(agg.update)))
+      val bufR = agg.deserialize(agg.serialize(
+        r.foldLeft(agg.createAggregationBuffer())(agg.update)))
+      val merged = agg.merge(bufL, bufR)
+      def keys(b: graft.functions.TopNRowsBuffer): Seq[Int] = {
+        val arr = agg.eval(b)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        (0 until arr.numElements()).map(i => arr.getStruct(i, 2).getInt(1))
+      }
+      // the kept SORT-KEY multiset must match exactly (row identity may
+      // differ under ties — the documented refinement), and both must
+      // equal the true bottom-5 keys
+      val want = rows.map(_.getInt(1)).sorted.take(5)
+      assert(keys(one) == want, s"trial $trial bulk: ${keys(one)} vs $want")
+      assert(keys(merged) == want, s"trial $trial merged: ${keys(merged)} vs $want")
+    }
+  }
+
+  test("TopNRows via the rule == window row_number form on randomized ties") {
+    val rnd = new scala.util.Random(11)
+    val data = (0 until 500).map(i =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(5), i.toLong)) // ties galore
+    val df = data.toDF("k", "s", "id")
+    val em = spark.sessionState.experimentalMethods
+    val prev = em.extraOptimizations
+    def topk() = df
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"k").orderBy($"s", $"id"))) // total order: exact
+      .filter($"rk" <= 3)
+    val baseline =
+      try { em.extraOptimizations = Seq.empty; topk().collect().toSet }
+      finally em.extraOptimizations = prev
+    val rewritten =
+      try {
+        em.extraOptimizations = Seq(graft.plans.WindowTopKToAgg)
+        val r = topk()
+        assert(r.queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+        }.isEmpty)
+        r.collect().toSet
+      } finally em.extraOptimizations = prev
+    assert(rewritten == baseline)
+  }
 }
