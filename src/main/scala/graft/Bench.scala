@@ -8,6 +8,21 @@ import org.apache.spark.sql.SparkSession
   * numbers measure the plans, not classloading.
   */
 object Bench {
+
+  /** A query whose max sample exceeds this multiple of its min was not
+    * measured under steady conditions (per-query spread on a quiet
+    * local[32] machine stays well under 2×; r10/r11 contended
+    * recordings hit 3–7×). */
+  val SpreadMax = 2.0
+
+  /** max/min over the positive samples; 1.0 for degenerate input (no
+    * samples, or all ≤ 0 — a failed query times near-zero and must not
+    * divide by zero or flag as contamination on its own). */
+  def spreadRatio(ts: Seq[Double]): Double = {
+    val pos = ts.filter(_ > 0)
+    if (pos.size < 2) 1.0 else pos.max / pos.min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -69,8 +84,32 @@ object Bench {
       .map { case (k, _, ts) => "\"" + k + "\":[" + ts.map(num).mkString(",") + "]" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Contamination sentinel (r11 judge directive #2): a recording made
+    // on a contended machine masquerades as a code regression — r10 and
+    // r11 each burned a judge adjudication on exactly that. Flag it in
+    // the JSON itself: a query whose max sample exceeds SpreadMax × its
+    // min was not measured under steady conditions, so `spread_ok:false`
+    // tells the reader to re-run quiet rather than diff plans.
+    val spreads = results.map { case (k, _, ts) =>
+      (k, Bench.spreadRatio(ts))
+    }
+    val contaminated = spreads.filter(_._2 > SpreadMax)
+    val spreadOk = contaminated.isEmpty
+    if (!spreadOk) {
+      System.err.println(
+        s"[bench] CONTAMINATED RECORDING: ${contaminated.size} quer" +
+          s"${if (contaminated.size == 1) "y" else "ies"} with sample " +
+          s"spread > ${SpreadMax}x (max/min): " +
+          contaminated.map { case (k, r) => s"$k=${num(r)}" }
+            .mkString(", ") +
+          " — machine was likely under concurrent load; re-run quiet " +
+          "before reading these numbers as regressions.")
+    }
+    val spreadJson = spreads
+      .map { case (k, r) => "\"" + k + "\":" + num(r) }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"samples":$all,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"samples":$all,"spread_ok":$spreadOk,"max_spread":${num(spreads.map(_._2).max)},"spreads":$spreadJson,"sf":"$sfDir"}"""
     println(line)
     // Also write the line to a file — sbt log noise makes stdout scraping
     // unreliable (BENCH_r01 and r03 both had parsed:null when the file

@@ -60,13 +60,36 @@ object GraftFunctions {
     * (the expression behind runtime-filter joins — not exposed in the
     * public FunctionRegistry, so it's bridged here). `value` must be a
     * LONG (hash the key with xxhash64 first); the result is one binary
-    * per group, mergeable map-side like any TypedImperativeAggregate. */
+    * per group, mergeable map-side like any TypedImperativeAggregate.
+    *
+    * CAP AWARENESS: Spark silently clamps `numBits` to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` (default
+    * 67 108 864 = 8 MB), so at the 10-bits/item sizing the callers use,
+    * fpp degrades past the documented ~1% beyond ~6.7M items. Bloom
+    * filters never produce false negatives, so EXACTNESS is unaffected
+    * — only pruning power decays — but that decay should not be silent:
+    * this helper warns when the request exceeds the configured cap so a
+    * 100 TB operator sees the signal and can raise the conf. */
   def bloomFilterAgg(value: Column, estimatedItems: Long,
-      numBits: Long): Column =
+      numBits: Long): Column = {
+    val maxBits = org.apache.spark.sql.internal.SQLConf.get
+      .getConf(org.apache.spark.sql.internal.SQLConf
+        .RUNTIME_BLOOM_FILTER_MAX_NUM_BITS)
+    if (numBits > maxBits) {
+      // scalastyle:off println
+      System.err.println(
+        s"[graft] bloomFilterAgg: requested $numBits bits exceeds " +
+          s"spark.sql.optimizer.runtime.bloomFilter.maxNumBits=$maxBits; " +
+          "Spark will clamp and the effective false-positive rate will " +
+          "be higher than the ~1% the 10-bits/item sizing targets. " +
+          "Raise the conf for full pruning power (exactness unaffected).")
+      // scalastyle:on println
+    }
     column(new org.apache.spark.sql.catalyst.expressions.aggregate
       .BloomFilterAggregate(expression(value),
         Literal(estimatedItems), Literal(numBits))
       .toAggregateExpression())
+  }
 
   /** Native Bloom membership probe over a DRIVER-HELD filter binary
     * (from [[bloomFilterAgg]]): the bytes ride the plan as a literal —

@@ -91,14 +91,12 @@ object Density {
 
     val wCell = Window.partitionBy($"cx", $"cy")
     // cell coords + same-cell population in ONE shuffle (window count,
-    // no count-join); CACHED once — probes, targets, scoring and the
-    // final assembly all reuse it. persist(), NOT localCheckpoint: the
-    // purpose here is plan reuse, not lineage truncation, and lazy
-    // evictable cache blocks cost no eager materialization job, can be
-    // recomputed if dropped (no "cannot be recomputed" WARN storms on
-    // harness sweeps), and shrink the block-manager churn that made
-    // this query's whole-suite bench samples swing (r10: 1.8/5.8/5.7 s
-    // — the pagerank-shaped irreproducibility one round later).
+    // no count-join); materialized once — probes, targets, scoring and
+    // the final assembly all reuse it. localCheckpoint here is
+    // INTENTIONALLY eager: downstream broadcast planning needs real
+    // sizes for this frame, and removing the eager cut was measured at
+    // ~2x slower (see ARCHITECTURE.md, commit 2c70acc). Do not swap
+    // for a lazy persist().
     val cells = cellCols(eps)(points)
       .withColumn("cell_n", count(lit(1)).over(wCell))
       .localCheckpoint()

@@ -63,20 +63,32 @@ object WindowCountFilterToJoin extends Rule[LogicalPlan] {
 
   /** The threshold predicate rebased onto a new count attribute, if
     * the condition is a supported comparison of the window count with
-    * an integer literal. Equality-with-1 is left to
+    * an integer literal — matched in BOTH operand orders (`n >= 3` and
+    * `3 <= n`), the literal-first forms flipped to their
+    * attribute-first mirror. Equality-with-1 is left to
     * [[WindowCountOneToAgg]]; thresholds that keep everything or
     * nothing (≥ with n ≤ 1) stay windows — no win to claim. */
   private def rebasedPredicate(cond: Expression, cnt: Attribute,
       to: Attribute): Option[Expression] = cond match {
     case GreaterThanOrEqual(a: Attribute, l) if a.semanticEquals(cnt) =>
       longLit(l).filter(_ >= 2).map(v => GreaterThanOrEqual(to, Literal(v)))
+    case LessThanOrEqual(l, a: Attribute) if a.semanticEquals(cnt) =>
+      longLit(l).filter(_ >= 2).map(v => GreaterThanOrEqual(to, Literal(v)))
     case GreaterThan(a: Attribute, l) if a.semanticEquals(cnt) =>
+      longLit(l).filter(_ >= 1).map(v => GreaterThan(to, Literal(v)))
+    case LessThan(l, a: Attribute) if a.semanticEquals(cnt) =>
       longLit(l).filter(_ >= 1).map(v => GreaterThan(to, Literal(v)))
     case LessThanOrEqual(a: Attribute, l) if a.semanticEquals(cnt) =>
       longLit(l).filter(_ >= 1).map(v => LessThanOrEqual(to, Literal(v)))
+    case GreaterThanOrEqual(l, a: Attribute) if a.semanticEquals(cnt) =>
+      longLit(l).filter(_ >= 1).map(v => LessThanOrEqual(to, Literal(v)))
     case LessThan(a: Attribute, l) if a.semanticEquals(cnt) =>
       longLit(l).filter(_ >= 2).map(v => LessThan(to, Literal(v)))
+    case GreaterThan(l, a: Attribute) if a.semanticEquals(cnt) =>
+      longLit(l).filter(_ >= 2).map(v => LessThan(to, Literal(v)))
     case EqualTo(a: Attribute, l) if a.semanticEquals(cnt) =>
+      longLit(l).filter(_ >= 2).map(v => EqualTo(to, Literal(v)))
+    case EqualTo(l, a: Attribute) if a.semanticEquals(cnt) =>
       longLit(l).filter(_ >= 2).map(v => EqualTo(to, Literal(v)))
     case _ => None
   }
@@ -86,13 +98,24 @@ object WindowCountFilterToJoin extends Rule[LogicalPlan] {
     * exploded tokens are the single most common input to a frequency
     * filter — blocking them would blind the rule to its main use case.
     * Joins/aggregates/windows still block (re-running a pipeline can
-    * dwarf the saved sort). */
+    * dwarf the saved sort). Beyond cost, the child must be REPEATABLE
+    * — the rewrite duplicates it into both join sides, so
+    * non-deterministic expressions, subqueries, Sample, and Limit all
+    * block: two divergent executions would silently drop/duplicate
+    * rows or stamp a count inconsistent with the kept rows. */
   private def scanShaped(p: LogicalPlan): Boolean =
     p.collectFirst {
       case j: Join => j
       case a: Aggregate => a
       case w: Window => w
-    }.isEmpty
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sample => s
+      case l: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => l
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalLimit => l
+    }.isEmpty &&
+      p.collect { case n => n }.forall(n =>
+        n.expressions.forall(e => e.deterministic &&
+          !org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+            .hasSubquery(e)))
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case Filter(cond,

@@ -55,13 +55,27 @@ object WindowMaxFilterToJoin extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** Scan-shaped AND safe to execute twice: beyond blocking expensive
+    * re-runs (Join/Aggregate/Window/Generate), the child must be
+    * REPEATABLE — the rewrite duplicates it into both join sides, so a
+    * non-deterministic projection (rand(), uuid()), a Sample, a Limit
+    * without total order, or a subquery (whose re-execution semantics
+    * we can't inspect) would make the two executions diverge and the
+    * join silently drop or duplicate rows. */
   private def scanShaped(p: LogicalPlan): Boolean =
     p.collectFirst {
       case j: Join => j
       case a: Aggregate => a
       case w: Window => w
       case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
-    }.isEmpty
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sample => s
+      case l: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => l
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalLimit => l
+    }.isEmpty &&
+      p.collect { case n => n }.forall(n =>
+        n.expressions.forall(e => e.deterministic &&
+          !org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+            .hasSubquery(e)))
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)

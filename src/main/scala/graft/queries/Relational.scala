@@ -218,7 +218,8 @@ object Relational {
     * row proves the rule fired AND preserved semantics against the
     * window-form oracle (p_partkey makes the order total, so the
     * result is deterministic on both engines). Same install
-    * idempotence/blast-radius reasoning as d_unique_tokens_rewritten. */
+    * scoped-install discipline (RuleScope.withRules, restored in
+    * finally) as d_unique_tokens_rewritten. */
   val qTopKRewritten: Spec = Spec(
     "q_topk_per_group_rewritten",
     oracle = Some("""
@@ -231,22 +232,20 @@ object Relational {
       WHERE rk <= 3
       ORDER BY p_brand, rk""")) { (s, dir) =>
     import s.implicits._
-    val em = s.sessionState.experimentalMethods
-    if (!em.extraOptimizations.exists(_ eq graft.plans.WindowTopKToAgg))
-      em.extraOptimizations = em.extraOptimizations ++
-        Seq(graft.plans.WindowTopKToAgg)
-    val w = Window.partitionBy($"p_brand")
-      .orderBy($"p_retailprice".desc, $"p_partkey")
-    val df = Tables.load(s, dir, "part")
-      .withColumn("rk", row_number().over(w))
-      .filter($"rk" <= 3)
-      .select($"p_brand", $"p_partkey", $"p_retailprice", $"rk")
-      .orderBy($"p_brand", $"rk")
-    require(df.queryExecution.optimizedPlan.collect {
-        case wn: org.apache.spark.sql.catalyst.plans.logical.Window => wn
-      }.isEmpty,
-      "WindowTopKToAgg did not fire on the top-k idiom")
-    df
+    graft.plans.RuleScope.withRules(s, Seq(graft.plans.WindowTopKToAgg)) {
+      val w = Window.partitionBy($"p_brand")
+        .orderBy($"p_retailprice".desc, $"p_partkey")
+      val df = Tables.load(s, dir, "part")
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+        .select($"p_brand", $"p_partkey", $"p_retailprice", $"rk")
+        .orderBy($"p_brand", $"rk")
+      require(df.queryExecution.optimizedPlan.collect {
+          case wn: org.apache.spark.sql.catalyst.plans.logical.Window => wn
+        }.isEmpty,
+        "WindowTopKToAgg did not fire on the top-k idiom")
+      df
+    }
   }
 
   /** The ARGMAX idiom riding [[graft.plans.WindowMaxFilterToJoin]]:
@@ -268,22 +267,21 @@ object Relational {
       WHERE l_quantity = mx
       ORDER BY l_orderkey, l_linenumber""")) { (s, dir) =>
     import s.implicits._
-    val em = s.sessionState.experimentalMethods
-    if (!em.extraOptimizations.exists(_ eq graft.plans.WindowMaxFilterToJoin))
-      em.extraOptimizations = em.extraOptimizations ++
-        Seq(graft.plans.WindowMaxFilterToJoin)
-    val w = Window.partitionBy($"l_orderkey")
-    val df = Tables.load(s, dir, "lineitem")
-      .filter($"l_suppkey" <= 40)
-      .withColumn("mx", max($"l_quantity").over(w))
-      .filter($"l_quantity" === $"mx")
-      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"mx")
-      .orderBy($"l_orderkey", $"l_linenumber")
-    require(df.queryExecution.optimizedPlan.collect {
-        case wn: org.apache.spark.sql.catalyst.plans.logical.Window => wn
-      }.isEmpty,
-      "WindowMaxFilterToJoin did not fire on the argmax idiom")
-    df
+    graft.plans.RuleScope.withRules(s,
+        Seq(graft.plans.WindowMaxFilterToJoin)) {
+      val w = Window.partitionBy($"l_orderkey")
+      val df = Tables.load(s, dir, "lineitem")
+        .filter($"l_suppkey" <= 40)
+        .withColumn("mx", max($"l_quantity").over(w))
+        .filter($"l_quantity" === $"mx")
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"mx")
+        .orderBy($"l_orderkey", $"l_linenumber")
+      require(df.queryExecution.optimizedPlan.collect {
+          case wn: org.apache.spark.sql.catalyst.plans.logical.Window => wn
+        }.isEmpty,
+        "WindowMaxFilterToJoin did not fire on the argmax idiom")
+      df
+    }
   }
 
   /** Running total window (frame = unbounded preceding → current row),

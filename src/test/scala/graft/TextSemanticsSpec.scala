@@ -193,7 +193,7 @@ class TextSemanticsSpec extends AnyFunSuite {
     for ((l, floor) <- Seq("assamese" -> 70, "kannada" -> 100, "marathi" -> 95,
         "nepali" -> 125, "punjabi" -> 70, "urdu" -> 110, "tamil" -> 65,
         "telugu" -> 60, "malayalam" -> 58, "manipuri" -> 182,
-        "english" -> 400, "hindi" -> 150))
+        "english" -> 400, "hindi" -> 172))
       assert(Lexicons.nsfw(l).size >= floor,
         s"$l lexicon shrank below $floor: ${Lexicons.nsfw(l).size}")
     val ac = new graft.functions.AhoCorasick(union)
