@@ -561,4 +561,61 @@ object Vectors {
       .withColumn("cos_sim", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
     topK(scored, k)
   }
+
+  /** Graph ANN — per-partition HNSW ([[graft.ops.Hnsw]]) with a
+    * global top-k merge: the corpus is hash-repartitioned on id,
+    * `mapPartitions` builds one bounded deterministic HNSW per
+    * partition (memory ∝ partition rows × (dim + 2M links) — no driver
+    * index, no cross-partition graph), every partition answers all
+    * broadcast queries via beam search, and the per-partition
+    * candidates (≤ queries × partitions × k rows — tiny) collapse
+    * through the same bounded [[TopK]] merge every other index family
+    * uses. 1000-executor shape: each executor builds/searches only its
+    * partitions; the only shuffle is the candidate merge.
+    *
+    * The query side is COLLECTED and broadcast (bounded by
+    * `maxQueries`, fail-loud like every driver collect in this repo) —
+    * the ANN contract is small-query-set against huge-corpus; for
+    * all-to-all graphs use [[knnAllCell]].
+    *
+    * Exactness note (what the e_knn_hnsw / e_hnsw_recall oracles
+    * ride): beam search with `efSearch` ≥ partition population
+    * explores each partition's whole connected component, so at
+    * verify scale the merged result IS the exact top-k and the oracle
+    * can state brute-force truth; at production scale (partitions ≫
+    * efSearch) the same code is genuinely approximate and VectorOpsSpec
+    * pins its recall ≥ the IVF-multiprobe row at equal candidate
+    * budget. */
+  def knnHnsw(queries: DataFrame, corpus: DataFrame, k: Int,
+      m: Int = 12, efConstruction: Int = 96, efSearch: Int = 128,
+      numPartitions: Int = 8, maxQueries: Int = 100000): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    val qRows = queries.select(col("id"), col("vec"))
+      .as[(Long, Array[Float])]
+      .limit(maxQueries + 1).collect()
+    require(qRows.length <= maxQueries,
+      s"knnHnsw: query side exceeds maxQueries=$maxQueries — the " +
+        "broadcast-query ANN contract is a small query set; use " +
+        "knnAllCell for all-to-all")
+    val qB = s.sparkContext.broadcast(qRows.sortBy(_._1))
+    val scored = corpus.select(col("id"), col("vec"))
+      .as[(Long, Array[Float])]
+      .repartition(numPartitions, col("id"))
+      .mapPartitions { it =>
+        val local = it.toArray.sortBy(_._1)
+        if (local.isEmpty) Iterator.empty
+        else {
+          val idx = Hnsw.build(local, m, efConstruction)
+          qB.value.iterator.flatMap { case (qid, qv) =>
+            // k+1 then drop self: the query may live in this partition
+            idx.search(qv, k + 1, efSearch)
+              .filter(_._1 != qid).take(k)
+              .map { case (cid, cos) => (qid, cid, cos) }
+          }
+        }
+      }
+      .toDF("qid", "cid", "cos_sim")
+    topK(scored, k)
+  }
 }

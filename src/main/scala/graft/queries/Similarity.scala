@@ -1760,6 +1760,76 @@ object Similarity {
     e.crossJoin(broadcast(m)).orderBy($"qid")
   }
 
+  /** Graph ANN — per-partition HNSW (Malkov & Yashunin 2018;
+    * [[graft.ops.Hnsw]] / [[graft.ops.Vectors.knnHnsw]]) with a global
+    * bounded top-k merge: the modern high-recall ANN default,
+    * completing the index family (brute/IVF/learned/multiprobe/PQ/
+    * Matryoshka). The oracle states brute-force truth: with the
+    * default efSearch ≥ every verify-scale partition's population, the
+    * beam search provably explores each partition's whole connected
+    * component (searchLayer never terminates early while results < ef),
+    * so the merged answer IS the exact top-k — deterministically, on
+    * every run (hash-derived node levels, id-ordered insertion, no
+    * RNG). The genuinely-approximate regime (partitions ≫ ef) is
+    * pinned in VectorOpsSpec with recall ≥ the IVF-multiprobe row at
+    * equal candidate budget. */
+  val eKnnHnsw: Spec = Spec(
+    "e_knn_hnsw",
+    oracle = Some(s"""
+      WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 40 = 1),
+      scored AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+          ${cosSql("q.embedding", "c.embedding")} AS cos
+        FROM q JOIN embeddings c ON c.vec_id <> q.vec_id),
+      r AS (SELECT qid, cid, cos,
+        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rk
+        FROM scored)
+      SELECT qid, rk, cid, ROUND(cos, 6) AS cos_sim
+      FROM r WHERE rk <= 5 ORDER BY qid, rk""")) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    Vectors.knnHnsw(emb.filter($"id" % 40 === 1), emb, 5)
+      .select($"qid", $"rk", $"cid", round($"cos_sim", 6).as("cos_sim"))
+      .orderBy($"qid", $"rk")
+  }
+
+  /** HNSW recall report — [[eIvfRecall]]'s honest-evaluation twin for
+    * the graph index: recall@5 of [[graft.ops.Vectors.knnHnsw]]
+    * against brute-force ground truth, per query plus the macro
+    * average, both sides computed in Spark and joined on (qid, cid).
+    * The oracle states the EXACT-recall truth (n_hits = 5, recall =
+    * 1.0 for every query): at verify scale efSearch ≥ partition
+    * population makes the graph search exhaustive per partition (see
+    * [[eKnnHnsw]]), and that exactness is a deterministic property of
+    * the data + hash-leveled graph, not sampling luck. The
+    * recall-tradeoff regime that CAN dip below 1.0 is measured in
+    * VectorOpsSpec (small efSearch, few partitions) where it is pinned
+    * ≥ the IVF-multiprobe recall at equal candidate budget. */
+  val eHnswRecall: Spec = Spec(
+    "e_hnsw_recall",
+    oracle = Some("""
+      SELECT vec_id AS qid, CAST(5 AS BIGINT) AS n_hits,
+        1.0 AS recall, 1.0 AS macro_recall
+      FROM embeddings WHERE vec_id % 40 = 3 ORDER BY qid""")) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val queries = emb.filter($"id" % 40 === 3)
+    val truth = Vectors.knnBrute(queries, emb, 5).select($"qid", $"cid")
+    val hnsw = Vectors.knnHnsw(queries, emb, 5)
+      .select($"qid".as("hqid"), $"cid".as("hcid"))
+    val e = truth
+      .join(hnsw, $"qid" === $"hqid" && $"cid" === $"hcid", "left")
+      .groupBy($"qid")
+      .agg(count($"hcid").as("n_hits"))
+      .select($"qid", $"n_hits", round($"n_hits" / 5.0, 6).as("recall"))
+    val m = e.agg(round(
+      sum($"recall".cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
+      .as("macro_recall"))
+    e.crossJoin(broadcast(m)).orderBy($"qid")
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication by clustering embeddings with k-means and pruning,
     * within each cluster, every vector that has an earlier same-cell
@@ -2374,6 +2444,7 @@ object Similarity {
   }
 
   val specs: Seq[Spec] = Seq(eCentroids, eKnnBrute, eKnnCell, eNearDup, eIvfRecall,
+    eKnnHnsw, eHnswRecall,
     eNearDupLsh, eKnnQuantized, eKmeansCentroids, eKnnIvfLearned,
     eKnnIvfMultiprobe, eKnnPq, eKnnIvfPq, eBitextMine, eEmbeddingOutliers,
     eKnnIvfPqProbe, eNearDupClusters, eKnnMatryoshka, eMmrRerank,

@@ -2,6 +2,8 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import org.apache.spark.sql.functions.explode
+
 import graft.ops.Vectors
 
 class VectorOpsSpec extends AnyFunSuite {
@@ -64,6 +66,80 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(r50 >= 0.3, s"recall@50 $r50")
     assert(r200 >= r50, s"recall must not degrade with depth: $r50 -> $r200")
     assert(r200 >= 0.7, s"recall@200 $r200")
+  }
+
+  test("HNSW: exact and deterministic at verify scale for EVERY query") {
+    // the e_knn_hnsw / e_hnsw_recall oracles state brute-force truth;
+    // this pin proves the premise for ALL 500 vectors as queries, not
+    // just the driver slices: efSearch >= partition population =>
+    // the beam explores each partition's whole connected component
+    val emb = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val exact = Vectors.knnBrute(emb, emb, 5)
+      .select($"qid", $"rk", $"cid").as[(Long, Long, Long)].collect().toSet
+    val h1 = Vectors.knnHnsw(emb, emb, 5)
+      .select($"qid", $"rk", $"cid").as[(Long, Long, Long)].collect().toSet
+    assert(h1 == exact, "HNSW must equal brute force at verify scale")
+    val h2 = Vectors.knnHnsw(emb, emb, 5)
+      .select($"qid", $"rk", $"cid").as[(Long, Long, Long)].collect().toSet
+    assert(h2 == h1, "two builds must produce identical results (no RNG)")
+  }
+
+  test("HNSW graph properties: hash levels reproducible, degree bounded") {
+    val rows = (0L until 300L).map { i =>
+      (i, Array.tabulate(8)(d => (graft.ops.Hnsw.levelOf(i * 8 + d, 7) % 13
+        - 6).toFloat / 7f))
+    }.toArray
+    val idx = graft.ops.Hnsw.build(rows, m = 6, efConstruction = 32)
+    assert(idx.size == 300)
+    // levelOf is a pure function of (id, m)
+    assert((0L until 100L).forall(i =>
+      graft.ops.Hnsw.levelOf(i, 12) == graft.ops.Hnsw.levelOf(i, 12)))
+    // geometric-ish: level 0 dominates, tall levels rare
+    val levels = (0L until 10000L).map(i => graft.ops.Hnsw.levelOf(i, 12))
+    assert(levels.count(_ == 0) > 8500 && levels.forall(_ < 8))
+    // search returns k results sorted by cosine desc
+    val got = idx.search(rows(17)._2, 10, 64)
+    assert(got.size == 10 && got == got.sortBy { case (id, c) => (-c, id) })
+  }
+
+  test("HNSW approximate regime: recall >= IVF-multiprobe at equal candidate budget") {
+    // sf0.1: 2000 vectors — partitions genuinely exceed efSearch, so
+    // the graph search is a real approximation here, not exhaustive.
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val corpusV = emb.select($"vec_id".as("id"), $"embedding".as("vec"))
+    val queries = corpusV.filter($"id" % 40 === 1) // 50 queries
+    val exact = Vectors.knnBrute(queries, corpusV, 5)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    // IVF-multiprobe, nprobe 2 of 8 cells: candidate budget ~ 2/8 of
+    // the corpus = ~500 scored vectors per query
+    val cents = Vectors.kmeansCentroids(emb, k = 8, iters = 2)
+    val corpusC = corpusV.withColumn("cell", Vectors.nearestCell($"vec", cents))
+    val probes = queries.select($"id", $"vec",
+      explode(Vectors.nearestCells($"vec", cents, nprobe = 2)).as("cell"))
+    val ivf = Vectors.knnCell(probes, corpusC, "cell", 5)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    val ivfRecall = (exact intersect ivf).size.toDouble / exact.size
+    // HNSW at the same budget: 8 partitions x efSearch 62 = ~496
+    // beam-explored vectors per query (<= 250 per partition, so the
+    // per-partition search cannot be exhaustive-by-ef)
+    val hnsw = Vectors.knnHnsw(queries, corpusV, 5,
+        m = 8, efConstruction = 48, efSearch = 62, numPartitions = 8)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    val hnswRecall = (exact intersect hnsw).size.toDouble / exact.size
+    info(s"recall@5: hnsw=$hnswRecall ivf-multiprobe=$ivfRecall")
+    assert(hnswRecall >= ivfRecall,
+      s"hnsw $hnswRecall must be >= multiprobe $ivfRecall at equal budget")
+    assert(hnswRecall >= 0.9, s"hnsw recall $hnswRecall")
+  }
+
+  test("knnHnsw guards: query side over maxQueries fails loud") {
+    val emb = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val e = intercept[IllegalArgumentException] {
+      Vectors.knnHnsw(emb, emb, 3, maxQueries = 10)
+    }
+    assert(e.getMessage.contains("maxQueries"))
   }
 
   test("PQ ANN (8x16 learned codebooks) recall vs brute force on real embeddings") {
