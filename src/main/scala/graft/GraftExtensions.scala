@@ -45,5 +45,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // HAVING + null-safe join: the frequent/rare-key idiom — exact
     // (all rows of qualifying keys), same scan-shaped guard
     ext.injectOptimizerRule(_ => graft.plans.WindowCountFilterToJoin)
+    // lag-gap-flag → running-sum → groupBy sessionization → native
+    // session-window aggregation (MergingSessions): drops both
+    // event-wide window passes and the event-wide hash aggregate;
+    // ordinal session ids restored by a row_number over SESSIONS
+    ext.injectOptimizerRule(_ => graft.plans.SessionizeToSessionWindow)
   }
 }

@@ -1,0 +1,306 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, Window}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, Metadata, MetadataBuilder, ShortType}
+
+/** Catalyst optimizer rule — the SESSIONIZE idiom, sixth of the
+  * window-rewrite family:
+  *
+  * {{{ df.withColumn("brk", when(lag(o,1).over(w).isNull ||
+  *                               o - lag(o,1).over(w) > gap, 1).otherwise(0))
+  *       .withColumn("session_id", sum("brk").over(w.rowsBetween(unbounded, current)))
+  *       .groupBy(user, "session_id").agg(...) }}}
+  *
+  * — the gap-sessionization every user hand-writes (two full-width
+  * window passes over every event, then an event-count hash aggregate)
+  * — rewritten to Spark's native session-window aggregation: one
+  * Project stamping `named_struct(start = o, end = o + gap)` with the
+  * `SessionWindow.marker` metadata, one Aggregate grouping on
+  * (keys…, session struct) that physical planning turns into
+  * `MergingSessions` (sessions merge inline during the sorted scan —
+  * the same exchange + sort the window form needs, but no per-event
+  * lag pass, no per-event running-sum pass, and no event-wide hash
+  * aggregate afterwards), then a row_number window over the SESSIONS
+  * (output cardinality, not event cardinality) to restore the idiom's
+  * ordinal session_id, cast back under its original exprId.
+  *
+  * Semantics equivalence, exactly:
+  *   - The idiom breaks a session when `o - prev(o) > gap` ⇔ merges
+  *     consecutive sorted events when `diff <= gap`. MergingSessions
+  *     merges when `next.start <= current.end`; with `end = o + gap`
+  *     that is `next_o - o <= gap` — identical, including at
+  *     diff == gap (pinned empirically in PlanRewriteSpec). A `>=`
+  *     comparison maps to `end = o + gap - 1`.
+  *   - Ordinals: sessions are numbered 1..k per key in event-time
+  *     order by the running sum; row_number over (keys ORDER BY
+  *     session start) reproduces them exactly (distinct sessions of a
+  *     key have distinct starts: each next session's start exceeds the
+  *     previous session's end).
+  *   - Ties in `o`: all rows of an equal-`o` group always land in one
+  *     session in both forms (diff 0 <= gap), so order tie-breaks
+  *     beyond `o` are semantics-neutral; the rule still requires the
+  *     lag and sum windows to share the identical full ordering, which
+  *     is what makes the per-row brk/sum pairing well-defined.
+  *
+  * Guards (fire only when provably equal):
+  *   - `o` is an integral base column (the micros/long contract) that
+  *     is non-nullable or constraint-guaranteed non-null — the idiom
+  *     gives NULL-`o` rows a session of their own under NULLS FIRST,
+  *     while session aggregation drops them; the rule stays silent
+  *     rather than diverge.
+  *   - lag is previous-row (frame [-1,-1]), default null, no
+  *     ignoreNulls; sum frame is running (unbounded→current); both
+  *     windows share partition and full ordering, with `o` the
+  *     ordering head ascending.
+  *   - brk is exactly the CASE/If `lag IS NULL OR o - lag >/>= g
+  *     THEN 1 ELSE 0` shape (either OR operand order; literal-first
+  *     comparisons accepted).
+  *   - the groupBy is exactly (window keys…, session_id), the
+  *     intermediate Projects are pass-through apart from brk /
+  *     session_id, and every aggregate function references only base
+  *     columns (no DISTINCT, no FILTER).
+  *
+  * Injected via [[graft.GraftExtensions]]; shape/equality/guards
+  * pinned in PlanRewriteSpec; ev_sessionize_rewritten rides it
+  * in-driver against the window-form oracle.
+  */
+object SessionizeToSessionWindow extends Rule[LogicalPlan] {
+
+  private val integral: Set[org.apache.spark.sql.types.DataType] =
+    Set(ByteType, ShortType, IntegerType, LongType)
+
+  private def longLit(e: Expression): Option[Long] = e match {
+    case Literal(v: Byte, _) => Some(v.toLong)
+    case Literal(v: Short, _) => Some(v.toLong)
+    case Literal(v: Int, _) => Some(v.toLong)
+    case Literal(v: Long, _) => Some(v)
+    case _ => None
+  }
+
+  private def isRunning(f: Expression): Boolean = f match {
+    case SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow) => true
+    case SpecifiedWindowFrame(RangeFrame, UnboundedPreceding, CurrentRow) => true
+    case _ => false
+  }
+
+  private def isPrevRow(f: Expression): Boolean = f match {
+    case SpecifiedWindowFrame(RowFrame, Literal(-1, IntegerType),
+        Literal(-1, IntegerType)) => true
+    case _ => false
+  }
+
+  /** attr → the window attr's defining lag input, if `attr` is one of
+    * the Window node's lag-of-`o` expressions with the required spec. */
+  private def lagInput(attr: Attribute, w1Exprs: Seq[NamedExpression],
+      part: Seq[Expression], order: Seq[SortOrder]): Option[Expression] =
+    w1Exprs.collectFirst {
+      case a @ Alias(WindowExpression(
+          Lag(in, _, Literal(null, _), false),
+          WindowSpecDefinition(p, o, frame)), _)
+          if a.exprId == attr.exprId && isPrevRow(frame) &&
+            p.length == part.length &&
+            p.zip(part).forall { case (x, y) => x.semanticEquals(y) } &&
+            o.length == order.length &&
+            o.zip(order).forall { case (x, y) => x.semanticEquals(y) } =>
+        in
+    }
+
+  /** The break condition: (IsNull(lagAttr) OR (o - lagAttr) cmp gap) in
+    * either operand order → (o attribute, lag attrs used, merge gap). */
+  private def breakCond(cond: Expression): Option[(Attribute, Seq[Attribute], Long)] = {
+    def cmp(e: Expression): Option[(Attribute, Attribute, Long)] = e match {
+      case GreaterThan(Subtract(o: Attribute, l: Attribute, _), g) =>
+        longLit(g).map(v => (o, l, v))
+      case LessThan(g, Subtract(o: Attribute, l: Attribute, _)) =>
+        longLit(g).map(v => (o, l, v))
+      case GreaterThanOrEqual(Subtract(o: Attribute, l: Attribute, _), g) =>
+        longLit(g).map(v => (o, l, v - 1))
+      case LessThanOrEqual(g, Subtract(o: Attribute, l: Attribute, _)) =>
+        longLit(g).map(v => (o, l, v - 1))
+      case _ => None
+    }
+    cond match {
+      case Or(IsNull(a: Attribute), c) => cmp(c).map {
+        case (o, l, g) => (o, Seq(a, l), g)
+      }
+      case Or(c, IsNull(a: Attribute)) => cmp(c).map {
+        case (o, l, g) => (o, Seq(a, l), g)
+      }
+      case _ => None
+    }
+  }
+
+  /** brk definition: CASE WHEN cond THEN 1 ELSE 0 (or If). */
+  private def brkDef(e: Expression): Option[Expression] = e match {
+    case CaseWhen(Seq((cond, one)), Some(zero))
+        if longLit(one).contains(1L) && longLit(zero).contains(0L) =>
+      Some(cond)
+    case If(cond, one, zero)
+        if longLit(one).contains(1L) && longLit(zero).contains(0L) =>
+      Some(cond)
+    case _ => None
+  }
+
+  /** Pass-through check: every projection item other than the named
+    * exceptions is a bare Attribute. */
+  private def passThrough(p: Seq[NamedExpression],
+      except: Set[ExprId]): Boolean =
+    p.forall {
+      case _: Attribute => true
+      case a: Alias => except.contains(a.exprId)
+      case _ => false
+    }
+
+  private def nonNull(o: Attribute, base: LogicalPlan): Boolean =
+    !o.nullable || base.constraints.exists(_.semanticEquals(IsNotNull(o)))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case agg @ Aggregate(groupExprs, aggExprs,
+        Project(p2,
+          Window(Seq(al2 @ Alias(WindowExpression(
+              AggregateExpression(Sum(brkRef: Attribute, _), Complete, false, None, _),
+              WindowSpecDefinition(_, _, frame2)), _)), wpart2, worder2,
+            Project(p1,
+              Window(w1Exprs, wpart1, worder1, base, _)), _)), _)
+        if isRunning(frame2) &&
+          // both windows: identical partition + full ordering
+          wpart1.length == wpart2.length &&
+          wpart1.zip(wpart2).forall { case (x, y) => x.semanticEquals(y) } &&
+          worder1.length == worder2.length &&
+          worder1.zip(worder2).forall { case (x, y) => x.semanticEquals(y) } &&
+          // partition keys: base attributes (needed above the rewrite)
+          wpart2.forall(e => e.isInstanceOf[Attribute] &&
+            base.outputSet.contains(e.asInstanceOf[Attribute])) &&
+          // groupBy = keys + exactly one extra attr (the session id)
+          groupExprs.length == wpart2.length + 1 &&
+          groupExprs.forall(_.isInstanceOf[Attribute]) &&
+          // intermediate projects: deterministic, subquery-free
+          (p1 ++ p2).forall(e => e.deterministic &&
+            !SubqueryExpression.hasSubquery(e)) => {
+
+      val keyAttrs = wpart2.map(_.asInstanceOf[Attribute])
+      val keyIds = keyAttrs.map(_.exprId).toSet
+      val groupAttrs = groupExprs.map(_.asInstanceOf[Attribute])
+      val sidCandidates = groupAttrs.filterNot(a => keyIds.contains(a.exprId))
+      // every window key appears exactly once in the groupBy (a repeat
+      // or omission means the grouping is NOT the window partitioning)
+      val keysCovered = keyIds.forall(id =>
+        groupAttrs.count(_.exprId == id) == 1)
+
+      val rewritten: Option[LogicalPlan] = for {
+        sidAttr <- sidCandidates match {
+          case Seq(one) if keysCovered => Some(one)
+          case _ => None
+        }
+        // sid resolves through p2 to the sum-window attribute
+        _ <- p2.collectFirst {
+          case a @ Alias(ref: Attribute, _)
+              if a.exprId == sidAttr.exprId && ref.exprId == al2.exprId => ()
+        }
+        // brk resolves through p1 to the break CASE
+        brkCase <- p1.collectFirst {
+          case a @ Alias(e, _) if a.exprId == brkRef.exprId => e
+        }
+        cond <- brkDef(brkCase)
+        (o, lagAttrs, gapMerge) <- breakCond(cond)
+        if gapMerge >= 1 && integral.contains(o.dataType) &&
+          base.outputSet.contains(o) && nonNull(o, base)
+        // every lag attr in the condition is lag(o) over the same spec
+        if lagAttrs.forall(la =>
+          lagInput(la, w1Exprs, wpart1, worder1).exists {
+            case in: Attribute => in.exprId == o.exprId
+            case _ => false
+          })
+        // ordering head: o ascending (nulls irrelevant — o is non-null)
+        _ <- worder1.headOption.filter(so =>
+          so.direction == Ascending && (so.child match {
+            case a: Attribute => a.exprId == o.exprId
+            case _ => false
+          }))
+        // projects are pure pass-through apart from brk / session_id
+        if passThrough(p1, Set(brkRef.exprId)) &&
+          passThrough(p2, Set(sidAttr.exprId))
+        // aggregate output: every embedded aggregate function is plain
+        // (Complete, non-distinct, unfiltered) over base columns; every
+        // non-aggregate reference is a grouping attribute
+        aggFnsOk = aggExprs.forall { ne =>
+          val fns = ne.collect { case ae: AggregateExpression => ae }
+          fns.forall(ae => ae.mode == Complete && !ae.isDistinct &&
+            ae.filter.isEmpty &&
+            ae.references.subsetOf(base.outputSet)) && {
+            // references outside aggregate functions: grouping attrs only
+            val inFns = AttributeSet(fns.flatMap(_.references))
+            ne.references.forall(r => inFns.contains(r) ||
+              keyIds.contains(r.exprId) || r.exprId == sidAttr.exprId)
+          }
+        }
+        if aggFnsOk
+      } yield {
+        // --- construction ---
+        val marker = new MetadataBuilder()
+          .putBoolean(org.apache.spark.sql.catalyst.expressions
+            .SessionWindow.marker, true)
+          .build()
+        val oLong: Expression =
+          if (o.dataType == LongType) o else Cast(o, LongType)
+        val sessStruct = CreateNamedStruct(Seq(
+          Literal("start"), MicrosToTimestamp(oLong),
+          Literal("end"), MicrosToTimestamp(Add(oLong, Literal(gapMerge)))))
+        val sessAlias = Alias(sessStruct, "session_window")(
+          explicitMetadata = Some(marker))
+        val sessAttr = sessAlias.toAttribute
+
+        // one fresh alias per distinct aggregate function
+        val fnAliases = mutable.LinkedHashMap.empty[Expression, Alias]
+        aggExprs.foreach(_.foreach {
+          case ae: AggregateExpression =>
+            if (!fnAliases.contains(ae.canonicalized))
+              fnAliases(ae.canonicalized) =
+                Alias(ae, s"_graft_f${fnAliases.size}")()
+          case _ =>
+        })
+
+        val needed = AttributeSet(keyAttrs) ++ AttributeSet(o) ++
+          AttributeSet(fnAliases.valuesIterator.flatMap(_.references).toSeq)
+        val proj = Project(
+          base.output.filter(needed.contains) :+ sessAlias, base)
+
+        val sessionAgg = Aggregate(
+          (keyAttrs :+ sessAttr).asInstanceOf[Seq[Expression]],
+          (keyAttrs :+ sessAttr) ++ fnAliases.values.toSeq,
+          proj)
+
+        val rnAlias = Alias(WindowExpression(RowNumber(),
+          WindowSpecDefinition(keyAttrs,
+            Seq(SortOrder(sessAttr, Ascending)),
+            SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))),
+          "_graft_sid")()
+        val win = Window(Seq(rnAlias), keyAttrs,
+          Seq(SortOrder(sessAttr, Ascending)), sessionAgg)
+
+        val outProjList = aggExprs.map { ne =>
+          val substituted = ne.transformUp {
+            case ae: AggregateExpression =>
+              fnAliases(ae.canonicalized).toAttribute
+            case a: Attribute if a.exprId == sidAttr.exprId =>
+              Cast(rnAlias.toAttribute, sidAttr.dataType)
+          }
+          substituted match {
+            case a: Attribute => a
+            case al: Alias => al
+            case other =>
+              Alias(other, ne.name)(exprId = ne.exprId)
+          }
+        }
+        Project(outProjList, win)
+      }
+
+      rewritten.getOrElse(agg)
+    }
+  }
+}

@@ -121,6 +121,77 @@ object Events {
       .orderBy($"user_id", $"session_id")
   }
 
+  /** [[qSessionize]]'s idiom RIDING
+    * [[graft.plans.SessionizeToSessionWindow]]: the body writes the
+    * exact lag → gap-flag → running-sum → groupBy shape users
+    * hand-write (plus the non-null ts guard the rule requires to keep
+    * null-row semantics provably equal), installs the rule via the
+    * scoped [[graft.plans.RuleScope]], and REQUIREs the plan became a
+    * native session-window aggregate (grouping attribute carrying
+    * `SessionWindow.marker`, physical `MergingSessions`) before
+    * returning — so the green driver row proves the rewrite fired AND
+    * preserved semantics against the window-form oracle. The rewrite
+    * drops both event-wide window passes and the event-wide hash
+    * aggregate; sessions merge inline in the sorted scan and the
+    * ordinal ids come from a row_number over SESSIONS (output
+    * cardinality). */
+  val qSessionizeRewritten: Spec = Spec(
+    "ev_sessionize_rewritten",
+    oracle = Some("""
+      WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        WHERE ts IS NOT NULL),
+      m AS (
+        SELECT user_id, event_id, ts_us,
+          CASE WHEN lag(ts_us) OVER w IS NULL
+                 OR ts_us - lag(ts_us) OVER w > 1800000000
+               THEN 1 ELSE 0 END AS brk
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      sessed AS (
+        SELECT user_id, event_id, ts_us,
+          CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM m)
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+        strftime(make_timestamp(MIN(ts_us)), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        strftime(make_timestamp(MAX(ts_us)), '%Y-%m-%d %H:%M:%S.%f') AS session_end
+      FROM sessed GROUP BY user_id, session_id
+      ORDER BY user_id, session_id""")) { (s, dir) =>
+    import s.implicits._
+    graft.plans.RuleScope.withRules(s,
+        Seq(graft.plans.SessionizeToSessionWindow)) {
+      val gapUs = 1800L * 1000 * 1000
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val df = load(s, dir)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .filter($"ts_us".isNotNull)
+        .withColumn("brk",
+          when(lag($"ts_us", 1).over(w).isNull ||
+            $"ts_us" - lag($"ts_us", 1).over(w) > gapUs, 1).otherwise(0))
+        .withColumn("session_id", sum($"brk").over(run).cast("long"))
+        .groupBy($"user_id", $"session_id")
+        .agg(count(lit(1)).as("n_events"),
+          date_format(timestamp_micros(min($"ts_us")), Spec.SparkTsFmt)
+            .as("session_start"),
+          date_format(timestamp_micros(max($"ts_us")), Spec.SparkTsFmt)
+            .as("session_end"))
+        .orderBy($"user_id", $"session_id")
+      require(df.queryExecution.optimizedPlan.collect {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+              if a.groupingExpressions.exists {
+                case att: org.apache.spark.sql.catalyst.expressions.Attribute =>
+                  att.metadata.contains(org.apache.spark.sql.catalyst
+                    .expressions.SessionWindow.marker)
+                case _ => false
+              } => a
+        }.nonEmpty,
+        "SessionizeToSessionWindow did not fire on the sessionize idiom")
+      df
+    }
+  }
+
   /** As-of join: each purchase paired with the user's latest prior (or
     * simultaneous) click. Implemented as one sorted window over the
     * unioned event kinds — sort key puts clicks before purchases at
@@ -3704,7 +3775,8 @@ object Events {
       .orderBy($"bucket")
   }
 
-  val specs: Seq[Spec] = Seq(qTumbling, qSessionize, qAsofClick,
+  val specs: Seq[Spec] = Seq(qTumbling, qSessionize, qSessionizeRewritten,
+    qAsofClick,
     qAsofTolerance, qFunnel, qPropsJson, qSliding, qSessionWindowNative,
     qRate5Min, qValueOutliers, qDriftWindowed, qDriftSliding,
     qCohortRetention, qFunnelWindowed, qDauNewReturning, qDecayScore,

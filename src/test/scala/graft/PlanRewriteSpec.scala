@@ -21,7 +21,8 @@ class PlanRewriteSpec extends AnyFunSuite {
     (r eq WindowDedupToAgg) || (r eq graft.plans.WindowCountOneToAgg) ||
       (r eq graft.plans.WindowTopKToAgg) ||
       (r eq graft.plans.WindowMaxFilterToJoin) ||
-      (r eq graft.plans.WindowCountFilterToJoin)
+      (r eq graft.plans.WindowCountFilterToJoin) ||
+      (r eq graft.plans.SessionizeToSessionWindow)
 
   /** Run with EXACTLY one graft rule installed — the riders install
     * rules session-wide (by design), and sibling rules legitimately
@@ -411,11 +412,146 @@ class PlanRewriteSpec extends AnyFunSuite {
     val em = spark.sessionState.experimentalMethods
     val before = em.extraOptimizations
     for (q <- Seq("q_topk_per_group_rewritten", "q_argmax_rewritten",
-        "d_unique_tokens_rewritten", "d_frequent_keys_rewritten")) {
+        "d_unique_tokens_rewritten", "d_frequent_keys_rewritten",
+        "ev_sessionize_rewritten")) {
       val df = SparkEntry.queries(q)(spark, TestSpark.Sf)
       assert(df.limit(1).collect().nonEmpty, s"$q returned no rows")
       assert(em.extraOptimizations eq before,
         s"$q mutated sessionState.experimentalMethods.extraOptimizations")
+    }
+  }
+
+  // ---- SessionizeToSessionWindow (the lag-gap-sum-groupBy idiom) ----
+
+  private def withSessionRule[T](body: => T): T =
+    withOnly(graft.plans.SessionizeToSessionWindow)(body)
+
+  private def sessionized(gapUs: Long, cmpGe: Boolean = false): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lagTs = lag($"ts_us", 1).over(w)
+    val gapCmp =
+      if (cmpGe) $"ts_us" - lagTs >= gapUs else $"ts_us" - lagTs > gapUs
+    spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
+      .withColumn("ts_us", expr("xxhash64(event_id) % 100000000"))
+      .filter($"ts_us".isNotNull && $"ts_us" >= 0)
+      .withColumn("brk", when(lagTs.isNull || gapCmp, 1).otherwise(0))
+      .withColumn("session_id", sum($"brk").over(run).cast("long"))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"), min($"ts_us").as("mn"),
+        max($"ts_us").as("mx"))
+  }
+
+  private def hasSessionAgg(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collect {
+      case a: Aggregate if a.groupingExpressions.exists {
+          case att: org.apache.spark.sql.catalyst.expressions.Attribute =>
+            att.metadata.contains(org.apache.spark.sql.catalyst.expressions
+              .SessionWindow.marker)
+          case _ => false
+        } => a
+    }.nonEmpty
+
+  test("sessionize idiom rewrites to native session window, results identical") {
+    val baseline = withoutRules { sessionized(10000000L).collect().toSet }
+    withoutRules { assert(hasWindow(sessionized(10000000L))) }
+    withSessionRule {
+      val rewritten = sessionized(10000000L)
+      assert(hasSessionAgg(rewritten),
+        "rule must introduce the session-window aggregate")
+      assert(rewritten.queryExecution.executedPlan.toString
+        .contains("MergingSessions"),
+        "physical planning must pick MergingSessions")
+      assert(rewritten.collect().toSet == baseline)
+      // the >= comparison maps to gap-1 and stays equal too
+      val geBase = withoutRules { sessionized(10000000L, cmpGe = true)
+        .collect().toSet }
+      val ge = sessionized(10000000L, cmpGe = true)
+      assert(hasSessionAgg(ge) && ge.collect().toSet == geBase)
+    }
+  }
+
+  test("sessionize boundary: events exactly gap apart merge in both forms") {
+    // MergingSessions merges at next.start <= current.end; the idiom
+    // keeps diff == gap in-session (break only when diff > gap). Pin
+    // the boundary with planted timestamps: 0, gap, 2*gap+1.
+    val g = 1000000L
+    val rows = Seq((1L, 1L, 0L), (1L, 2L, g), (1L, 3L, 2 * g + 1))
+      .toDF("user_id", "event_id", "ts_us")
+    def sess(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val lagTs = lag($"ts_us", 1).over(w)
+      df.filter($"ts_us".isNotNull)
+        .withColumn("brk",
+          when(lagTs.isNull || $"ts_us" - lagTs > g, 1).otherwise(0))
+        .withColumn("session_id", sum($"brk").over(run).cast("long"))
+        .groupBy($"user_id", $"session_id")
+        .agg(count(lit(1)).as("n"), min($"ts_us").as("mn"))
+    }
+    val expect = withoutRules { sess(rows).collect().toSet }
+    withSessionRule {
+      val got = sess(rows)
+      assert(hasSessionAgg(got))
+      assert(got.collect().toSet == expect)
+      // sanity: sessions are {0, g} and {2g+1}
+      assert(expect.map(r => (r.getLong(1), r.getLong(2))) ==
+        Set((1L, 2L), (2L, 1L)).map { case (s, n) => (s, n) } ||
+        expect.size == 2)
+    }
+  }
+
+  test("sessionize guards: nullable ts, order mismatch, distinct agg, extra key stay windows") {
+    withSessionRule {
+      val base = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
+        .withColumn("ts_us", expr("xxhash64(event_id) % 100000000"))
+      val g = 10000000L
+      def idiom(df: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec,
+          runW: org.apache.spark.sql.expressions.WindowSpec,
+          groupCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
+        val lagTs = lag($"ts_us", 1).over(w)
+        df.withColumn("brk",
+            when(lagTs.isNull || $"ts_us" - lagTs > g, 1).otherwise(0))
+          .withColumn("session_id", sum($"brk").over(runW).cast("long"))
+          .groupBy(groupCols: _*)
+          .agg(count(lit(1)).as("n"))
+      }
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // nullable ts with no non-null guarantee: nulls form their own
+      // sessions under the idiom but session aggregation drops them
+      val nullable = idiom(base, w, run, Seq($"user_id", $"session_id"))
+      assert(hasWindow(nullable) && !hasSessionAgg(nullable),
+        "nullable order column must not rewrite")
+      val nn = base.filter($"ts_us".isNotNull && $"ts_us" >= 0)
+      // lag and sum over DIFFERENT orderings
+      val w2 = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id".desc)
+      val run2 = w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val mixed = {
+        val lagTs = lag($"ts_us", 1).over(w)
+        nn.withColumn("brk",
+            when(lagTs.isNull || $"ts_us" - lagTs > g, 1).otherwise(0))
+          .withColumn("session_id", sum($"brk").over(run2).cast("long"))
+          .groupBy($"user_id", $"session_id")
+          .agg(count(lit(1)).as("n"))
+      }
+      assert(hasWindow(mixed) && !hasSessionAgg(mixed),
+        "order mismatch between lag and sum must not rewrite")
+      // distinct aggregate
+      val distinctAgg = {
+        val lagTs = lag($"ts_us", 1).over(w)
+        nn.withColumn("brk",
+            when(lagTs.isNull || $"ts_us" - lagTs > g, 1).otherwise(0))
+          .withColumn("session_id", sum($"brk").over(run).cast("long"))
+          .groupBy($"user_id", $"session_id")
+          .agg(countDistinct($"event_type").as("n"))
+      }
+      assert(!hasSessionAgg(distinctAgg), "distinct agg must not rewrite")
+      // grouping by MORE than (keys, session_id)
+      val extraKey = idiom(nn, w, run,
+        Seq($"user_id", $"session_id", $"event_type"))
+      assert(hasWindow(extraKey) && !hasSessionAgg(extraKey),
+        "extra grouping key must not rewrite")
     }
   }
 
