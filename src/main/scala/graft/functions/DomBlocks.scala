@@ -49,3 +49,30 @@ case class DomBlocks(child: Expression) extends UnaryExpression {
     copy(child = c)
   override def prettyName: String = "graft_dom_blocks"
 }
+
+/** Column surface of [[graft.ops.HtmlDom.markdown]]: html string →
+  * structure-preserving markdown (headings, nested list markers, pipe
+  * tables with th-header separators, blockquote runs, chrome dropped).
+  * Same single forward scan as [[DomBlocks]] — the open/close event
+  * stream is what carries table-row boundaries that flat block
+  * post-processing cannot recover. */
+case class DomMarkdown(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  def compute(html: UTF8String): UTF8String =
+    UTF8String.fromString(graft.ops.HtmlDom.markdown(html.toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("domMarkdown", this, classOf[DomMarkdown].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override def nullable: Boolean = child.nullable
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "graft_dom_markdown"
+}

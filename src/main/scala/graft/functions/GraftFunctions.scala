@@ -56,6 +56,12 @@ object GraftFunctions {
   def domBlocks(html: Column): Column =
     column(DomBlocks(expression(html)))
 
+  /** Structure-preserving markdown rendering ([[graft.ops.HtmlDom
+    * .markdown]]): headings, nested list markers, pipe tables,
+    * blockquotes; chrome subtrees dropped. */
+  def domMarkdown(html: Column): Column =
+    column(DomMarkdown(expression(html)))
+
   /** Native Bloom-filter build: Spark's internal BloomFilterAggregate
     * (the expression behind runtime-filter joins — not exposed in the
     * public FunctionRegistry, so it's bridged here). `value` must be a
@@ -145,6 +151,7 @@ object GraftFunctions {
       SplitKeepDelimiter(es.head, litString(es(1), "pattern"))
     }
     reg("graft_dom_blocks") { es => DomBlocks(es.head) }
+    reg("graft_dom_markdown") { es => DomMarkdown(es.head) }
     reg("graft_normalize") { es =>
       NormalizeUnicode(es.head,
         if (es.size > 1) litString(es(1), "form") else "NFKC")

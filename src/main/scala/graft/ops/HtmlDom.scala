@@ -119,14 +119,35 @@ object HtmlDom {
     * text character lands in exactly one block (or is dropped with its
     * raw-text/comment container); never throws on tag soup. */
   def blocks(html: String): IndexedSeq[Block] = {
-    val n = html.length
     val out = ArrayBuffer.empty[Block]
+    var pos = 0
+    scan(html)(
+      onFlush = (t, stack, linkChars) => {
+        pos += 1
+        out += Block(pos, stack.size, stack.mkString(">"), t, linkChars,
+          stack.exists(ChromeTags))
+      },
+      onOpen = (_, _) => (),
+      onClose = _ => ())
+    out.toIndexedSeq
+  }
+
+  /** The single forward scan behind [[blocks]] and [[markdown]]: one
+    * pass over the tag soup, reporting cleaned text runs (with the
+    * block-ancestry stack and anchor-char tally) plus every structural
+    * open/close — INCLUDING implied closes and mis-nesting pops, which
+    * is what lets a serializer track table rows and list nesting
+    * without re-parsing. */
+  private def scan(html: String)(
+      onFlush: (String, scala.collection.Seq[String], Int) => Unit,
+      onOpen: (String, scala.collection.Seq[String]) => Unit,
+      onClose: String => Unit): Unit = {
+    val n = html.length
     val stack = ArrayBuffer.empty[String]
     val text = new java.lang.StringBuilder
     val anchorBuf = new java.lang.StringBuilder
     var linkChars = 0
     var anchorDepth = 0
-    var pos = 0
 
     def appendText(raw: String, decode: Boolean): Unit = {
       if (raw.isEmpty) return
@@ -148,13 +169,15 @@ object HtmlDom {
       // far to THIS block's link tally and keeps accumulating
       if (anchorDepth > 0) closeAnchorRun()
       val t = clean(text)
-      if (t.nonEmpty) {
-        pos += 1
-        out += Block(pos, stack.size, stack.mkString(">"), t, linkChars,
-          stack.exists(ChromeTags))
-      }
+      if (t.nonEmpty) onFlush(t, stack, linkChars)
       text.setLength(0)
       linkChars = 0
+    }
+
+    def pop(): Unit = {
+      onClose(stack.last)
+      stack.remove(stack.size - 1)
+      ()
     }
 
     var i = 0
@@ -191,9 +214,8 @@ object HtmlDom {
           if (stack.contains(name)) {
             flush()
             // pop abandoned children (mis-nesting), then the match
-            while (stack.nonEmpty && stack.last != name)
-              stack.remove(stack.size - 1)
-            if (stack.nonEmpty) stack.remove(stack.size - 1)
+            while (stack.nonEmpty && stack.last != name) pop()
+            if (stack.nonEmpty) pop()
           } // stray close with no open match: ignore
         } // inline closes (b/i/span/…): no structural effect
       } else if (Character.isLetter(html.charAt(i + 1))) {
@@ -228,9 +250,9 @@ object HtmlDom {
             () // no content, no structure
           } else if (BlockTags(name) && !selfClose) {
             flush()
-            while (stack.nonEmpty && impliedClose(stack.last, name))
-              stack.remove(stack.size - 1)
+            while (stack.nonEmpty && impliedClose(stack.last, name)) pop()
             stack += name
+            onOpen(name, stack)
           }
           // inline opens (b/i/span/…) join words like a browser: no-op
         }
@@ -240,6 +262,118 @@ object HtmlDom {
       }
     }
     flush()
-    out.toIndexedSeq
+  }
+
+  /** Serialize `html` to markdown — the structure-preserving rendering
+    * training corpora prefer over stripped text: h1..h6 → '#'-runs,
+    * blockquote ancestry → '> '-runs, ul/ol items → indented
+    * '- '/'N. ' markers with real nesting (ol items numbered per
+    * level), tables → pipe rows with a '---' separator after a
+    * th-header row, chrome subtrees (nav/footer/aside/header) dropped
+    * entirely. Rides the same single forward [[scan]] as [[blocks]];
+    * the open/close events (including implied closes) are what give
+    * row boundaries — consecutive `td` blocks alone cannot say where
+    * one `tr` ends and the next begins, which is exactly what flat
+    * block post-processing gets wrong.
+    *
+    * Cell text escapes '|' as '\|'; multiple text runs inside one cell
+    * join with a space; empty cells keep their column. A table whose
+    * first row has no `th` gets no separator row (serialized data, not
+    * a styled header the source never declared). */
+  def markdown(html: String): String = {
+    val lines = ArrayBuffer.empty[String]
+
+    final class TableCtx(val suppressed: Boolean) {
+      val row = ArrayBuffer.empty[String]
+      var rowOpen = false
+      var rowHasTh = false
+      var rowsEmitted = 0
+      val cell = new java.lang.StringBuilder
+      var cellOpen = false
+    }
+    final class ListCtx(val ordered: Boolean) { var items = 0 }
+    val tables = ArrayBuffer.empty[TableCtx]
+    val lists = ArrayBuffer.empty[ListCtx]
+
+    def commitCell(t: TableCtx): Unit = if (t.cellOpen) {
+      t.row += t.cell.toString.trim
+      t.cell.setLength(0)
+      t.cellOpen = false
+    }
+    def commitRow(t: TableCtx): Unit = if (t.rowOpen) {
+      commitCell(t)
+      if (t.row.nonEmpty && !t.suppressed) {
+        lines += t.row.mkString("| ", " | ", " |")
+        t.rowsEmitted += 1
+        if (t.rowsEmitted == 1 && t.rowHasTh)
+          lines += Seq.fill(t.row.size)("---").mkString("| ", " | ", " |")
+      }
+      t.row.clear()
+      t.rowOpen = false
+      t.rowHasTh = false
+    }
+
+    val Heading = "^h([1-6])$".r
+    scan(html)(
+      onFlush = (t, stack, _) => {
+        if (!stack.exists(ChromeTags)) {
+          if (tables.nonEmpty &&
+              stack.exists(s => s == "td" || s == "th")) {
+            val tc = tables.last
+            if (tc.cell.length() > 0) tc.cell.append(' ')
+            tc.cell.append(t.replace("|", "\\|"))
+            tc.cellOpen = true
+          } else {
+            val tag = stack.lastOption.getOrElse("")
+            val listLevel = lists.size
+            val prefix = tag match {
+              case Heading(l) => "#" * l.toInt + " "
+              case "li" if listLevel > 0 =>
+                val marker =
+                  if (lists.last.ordered) s"${lists.last.items}. " else "- "
+                "  " * (listLevel - 1) + marker
+              case _ if listLevel > 0 => "  " * listLevel // li continuation
+              case _ => ""
+            }
+            val quote = "> " * stack.count(_ == "blockquote")
+            lines += quote + prefix + t
+          }
+        }
+      },
+      onOpen = (name, stack) => name match {
+        case "table" =>
+          tables += new TableCtx(stack.exists(ChromeTags))
+        case "tr" if tables.nonEmpty =>
+          commitRow(tables.last)
+          tables.last.rowOpen = true
+        case "td" | "th" if tables.nonEmpty =>
+          val tc = tables.last
+          commitCell(tc)
+          tc.rowOpen = true // a stray cell without <tr> still forms a row
+          tc.cellOpen = true
+          if (name == "th") tc.rowHasTh = true
+        case "ul" => lists += new ListCtx(ordered = false)
+        case "ol" => lists += new ListCtx(ordered = true)
+        case "li" => if (lists.nonEmpty) lists.last.items += 1
+        case _ => ()
+      },
+      onClose = {
+        case "table" if tables.nonEmpty =>
+          commitRow(tables.last)
+          tables.remove(tables.size - 1)
+          ()
+        case "tr" if tables.nonEmpty => commitRow(tables.last)
+        case "td" | "th" if tables.nonEmpty => commitCell(tables.last)
+        case ("ul" | "ol") if lists.nonEmpty =>
+          lists.remove(lists.size - 1)
+          ()
+        case _ => ()
+      })
+    // EOF with unclosed table elements: commit what accumulated
+    while (tables.nonEmpty) {
+      commitRow(tables.last)
+      tables.remove(tables.size - 1)
+    }
+    lines.mkString("\n")
   }
 }

@@ -24,6 +24,7 @@ final case class PipelineConfig(
     fuzzyDedup: Boolean = true,
     keepBestInCluster: Boolean = false,
     htmlInput: Boolean = false,
+    domExtract: Boolean = false,
     langCol: String = "lang",
     redact: Boolean = false,
     redactMask: String = "[*]",
@@ -72,6 +73,7 @@ object PipelineConfig {
       fuzzyDedup = bool("fuzzy_dedup", true),
       keepBestInCluster = bool("keep_best_in_cluster", false),
       htmlInput = bool("html_input", false),
+      domExtract = bool("dom_extract", false),
       langCol = str("lang_col", "lang"),
       redact = bool("redact", false),
       redactMask = str("redact_mask", "[*]"),
@@ -100,11 +102,27 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
 
   /** Extract (reference TextExtractionStage): HTML chrome stripped to
     * text lines before cleaning. Opt-in — parquet corpora arrive
-    * already extracted. */
+    * already extracted. Two engines: the flat regex chain (the
+    * reference-parity default) and, with `cfg.domExtract`, the
+    * nesting-aware block-tree extractor ([[graft.ops.HtmlDom]]) —
+    * chrome subtrees dropped by STRUCTURE, then the d_dom_extract keep
+    * rule (block length ≥ 25, link density ≤ 0.2) and newline
+    * reassembly in document order. Same single projection either way
+    * (the parser is a per-row expression; no joins, no shuffle). */
   object ExtractStage extends Stage {
     val name = "extract"
     def apply(df: DataFrame): DataFrame =
-      df.withColumn("text", graft.ops.Text.extractHtmlText($"text"))
+      if (cfg.domExtract) {
+        val bs = GraftFunctions.domBlocks($"text")
+        val kept = filter(bs, b =>
+          !b.getField("chrome") &&
+            length(b.getField("text")) >= 25 &&
+            b.getField("link_chars").cast("double") /
+              length(b.getField("text")) <= 0.2)
+        // blocks are emitted in document order — no re-sort needed
+        df.withColumn("text",
+          array_join(transform(kept, b => b.getField("text")), "\n"))
+      } else df.withColumn("text", graft.ops.Text.extractHtmlText($"text"))
   }
 
   /** Clean: per-language Indic normalization (F11 full — script rules +

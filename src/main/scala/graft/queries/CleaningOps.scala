@@ -1070,7 +1070,8 @@ object CleaningOps {
           ORDER BY pos), '') AS extracted,
         CAST(COUNT(*) AS BIGINT) AS n_blocks,
         CAST(COUNT(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_kept
-      FROM k GROUP BY doc_id ORDER BY doc_id""")) { (s, dir) =>
+      FROM k GROUP BY doc_id ORDER BY doc_id"""),
+    bench = true) { (s, dir) =>
     import s.implicits._
     val b = docs(s, dir)
       .filter($"doc_id" % 9 === 0)
@@ -1155,6 +1156,63 @@ object CleaningOps {
           array_sort(collect_list(struct($"pos", $"line"))),
           x => x.getField("line")), "\n").as("markdown"),
         count(lit(1)).as("n_blocks"))
+      .orderBy($"doc_id")
+  }
+
+  /** DOM → markdown with TABLES and NESTED LISTS
+    * ([[graft.ops.HtmlDom.markdown]] via the graft_dom_markdown
+    * expression) — the structures where stripped-text training data
+    * loses the most: pipe rows with a '---' separator after the
+    * th-header row (row boundaries come from the parser's open/close
+    * event stream — consecutive td blocks alone cannot say where one
+    * tr ends), '- '/'N. ' markers indented by real list depth, chrome
+    * subtrees dropped whole. The oracle states the expected markdown
+    * LITERALLY from the planted template pieces (the d_dom_blocks
+    * discipline — no SQL re-parse); HtmlDomSpec pins the soup cases
+    * (implied closes, pipe escaping, unclosed EOF). */
+  val dDomMarkdownTables: Spec = Spec(
+    "d_dom_markdown_tables",
+    oracle = Some("""
+      WITH r AS (
+        SELECT doc_id,
+          trim(regexp_replace(substr(text, 1, 16), '\s+', ' ', 'g')) AS t1,
+          trim(regexp_replace(substr(text, 17, 18), '\s+', ' ', 'g')) AS t2,
+          trim(regexp_replace(substr(text, 35, 18), '\s+', ' ', 'g')) AS t3,
+          trim(regexp_replace(substr(text, 53, 16), '\s+', ' ', 'g')) AS t4,
+          trim(regexp_replace(substr(text, 69, 16), '\s+', ' ', 'g')) AS t5,
+          trim(regexp_replace(substr(text, 85, 16), '\s+', ' ', 'g')) AS t6
+        FROM documents WHERE doc_id % 13 = 5)
+      SELECT doc_id,
+        trim('## report ' || t1) || chr(10) ||
+        '| metric | value |' || chr(10) ||
+        '| --- | --- |' || chr(10) ||
+        '| ' || trim('alpha ' || t2) || ' | one |' || chr(10) ||
+        '| beta | ' || trim('two ' || t3) || ' |' || chr(10) ||
+        trim('- point ' || t4) || chr(10) ||
+        '  - ' || trim('detail ' || t5) || chr(10) ||
+        '  - detail2' || chr(10) ||
+        '- point two' || chr(10) ||
+        trim('1. first ' || t6) || chr(10) ||
+        '2. second' AS markdown
+      FROM r ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    val html = concat(
+      lit("<html><body><nav><table><tr><td>navjunk</td></tr></table></nav>"),
+      lit("<article><h2>report "), substring($"text", 1, 16), lit("</h2>"),
+      lit("<table><tr><th>metric</th><th>value</th></tr>"),
+      lit("<tr><td>alpha "), substring($"text", 17, 18),
+      lit("</td><td>one</td></tr>"),
+      lit("<tr><td>beta</td><td>two "), substring($"text", 35, 18),
+      lit("</td></tr></table>"),
+      lit("<ul><li>point "), substring($"text", 53, 16),
+      lit("<ul><li>detail "), substring($"text", 69, 16),
+      lit("<li>detail2</ul></li><li>point two</li></ul>"),
+      lit("<ol><li>first "), substring($"text", 85, 16),
+      lit("<li>second</ol></article></body></html>"))
+    docs(s, dir)
+      .filter($"doc_id" % 13 === 5)
+      .select($"doc_id",
+        GraftFunctions.domMarkdown(html).as("markdown"))
       .orderBy($"doc_id")
   }
 
@@ -1514,7 +1572,8 @@ object CleaningOps {
     dCodeDetect, dCodeRemove, dNormalizeIndic, dTerminalPuncFilter,
     dNonTermSpanRemove, dSentenceSplitLang, dPiiMask, dBoilerplateLines,
     dHtmlExtract, dHtmlExtractDense, dDomBlocks, dDomExtract,
-    dDomMarkdown, dDomJustext, dLuhnCards, dJunkLines, dScriptSegments,
+    dDomMarkdown, dDomMarkdownTables, dDomJustext, dLuhnCards, dJunkLines,
+    dScriptSegments,
     dRunCollapse, dMojibake, dMixedScript,
     dHomoglyphFold, dUrlOps)
 }

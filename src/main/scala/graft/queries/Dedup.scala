@@ -133,7 +133,8 @@ object Dedup {
     "dd_minhash_incremental",
     oracle = Some(minhashPairsSql.replace(
       "FROM j WHERE jac >= 0.5",
-      "FROM j WHERE jac >= 0.5 AND (ida % 10 = 0 OR idb % 10 = 0)"))) { (s, dir) =>
+      "FROM j WHERE jac >= 0.5 AND (ida % 10 = 0 OR idb % 10 = 0)")),
+    bench = true) { (s, dir) =>
     import s.implicits._
     val docs = Tables.load(s, dir, "documents")
     val corpusState = MinHash.lshState(docs.filter($"doc_id" % 10 =!= 0), "doc_id", "text")

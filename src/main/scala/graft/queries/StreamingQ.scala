@@ -465,23 +465,16 @@ object StreamingQ {
       "st_lid_mem").orderBy($"doc_id")
   }
 
-  /** Whole fused pipeline (clean → stats → flag/remove → exact dedup →
-    * MinHash-LSH fuzzy dedup with connected-component clustering),
-    * replayed END TO END by the oracle: cleaning + stats + flags as
-    * list ops, exact dedup as a QUALIFY window, the LSH pair recipe
-    * hash-for-hash, clusters as a recursive reachability CTE, and the
-    * final anti-join — every output column (including the unrounded
-    * double stats) must hash-match. */
-  val pipelineE2e: Spec = Spec(
-    "pipeline_e2e",
-    oracle = Some {
-      val ng5 =
-        "list_transform(range(1, greatest(len(lt)-3, 1)), i -> array_to_string(lt[i:i+4], ' '))"
-      s"""
-      WITH RECURSIVE base AS (
-        SELECT doc_id, regexp_replace(trim(lower(text)), '[\\s\\x0B]+', ' ', 'g') AS text,
-               lang, source, n_chars
-        FROM documents),
+  /** The full-funnel oracle SQL (clean -> stats -> flag/remove -> exact
+    * dedup -> MinHash-LSH fuzzy dedup with CC clustering), parameterized
+    * by the `base` CTE so [[pipelineE2e]] (pre-extracted text) and
+    * [[pipelineE2eDom]] (DOM block extraction first) replay the
+    * IDENTICAL funnel behind different front doors. */
+  private def pipelineOracleOver(baseSelect: String): String = {
+    val ng5 =
+      "list_transform(range(1, greatest(len(lt)-3, 1)), i -> array_to_string(lt[i:i+4], ' '))"
+    s"""
+      WITH RECURSIVE base AS ($baseSelect),
       tok AS (SELECT *, string_split(text, ' ') AS l,
               ${TextOps.trivSqlRouted("text", "lang")} AS lt FROM base),
       st AS (
@@ -555,12 +548,69 @@ object StreamingQ {
         is_non_li_heavy, has_word_repetition
       FROM ex WHERE doc_id NOT IN (SELECT id FROM dropids)
       ORDER BY doc_id"""
-    },
+  }
+
+  /** Whole fused pipeline (clean → stats → flag/remove → exact dedup →
+    * MinHash-LSH fuzzy dedup with connected-component clustering),
+    * replayed END TO END by the oracle: cleaning + stats + flags as
+    * list ops, exact dedup as a QUALIFY window, the LSH pair recipe
+    * hash-for-hash, clusters as a recursive reachability CTE, and the
+    * final anti-join — every output column (including the unrounded
+    * double stats) must hash-match. The funnel tail is shared with
+    * [[pipelineE2eDom]] via [[pipelineOracleOver]] — same funnel,
+    * different front door. */
+  val pipelineE2e: Spec = Spec(
+    "pipeline_e2e",
+    oracle = Some(pipelineOracleOver("""
+        SELECT doc_id, regexp_replace(trim(lower(text)), '[\s\x0B]+', ' ', 'g') AS text,
+               lang, source, n_chars
+        FROM documents""")),
     bench = true) { (s, dir) =>
     import graft.pipeline.{Pipeline, PipelineConfig}
     new Pipeline(s, PipelineConfig())
       .run(Tables.load(s, dir, "documents"))
       .orderBy(org.apache.spark.sql.functions.col("doc_id"))
+  }
+
+  /** [[pipelineE2e]] with the DOM front door (r11 judge directive #8):
+    * the same fused funnel, but the input is raw HTML and
+    * `PipelineConfig(htmlInput, domExtract)` routes ExtractStage
+    * through the block-tree extractor — chrome subtrees dropped by
+    * structure, the d_dom_extract keep rule (length ≥ 25, link density
+    * ≤ 0.2), newline reassembly — before clean/stats/flags/dedup. The
+    * planted template exercises every keep-rule branch (nav chrome, a
+    * link-dense teaser, a sub-25-char block, three content paragraphs
+    * carrying the document text); the oracle reconstructs the
+    * extraction literally and replays the IDENTICAL funnel tail via
+    * [[pipelineOracleOver]]. */
+  val pipelineE2eDom: Spec = Spec(
+    "pipeline_e2e_dom",
+    oracle = Some(pipelineOracleOver("""
+        SELECT doc_id, regexp_replace(trim(lower(
+          trim(regexp_replace('first section of the article body ' || substr(text, 1, 200), '\s+', ' ', 'g')) || chr(10) ||
+          trim(regexp_replace('second section with further detail ' || substr(text, 201, 200), '\s+', ' ', 'g')) || chr(10) ||
+          trim(regexp_replace('closing remarks with a long tail ' || substr(text, 401, 160), '\s+', ' ', 'g'))
+        )), '[\s\x0B]+', ' ', 'g') AS text,
+               lang, source, n_chars
+        FROM documents""")),
+    bench = true) { (s, dir) =>
+    import s.implicits._
+    import graft.pipeline.{Pipeline, PipelineConfig}
+    val html = concat(
+      lit("<html><body><nav><a href=\"/\">home</a> <a href=\"/x\">about</a></nav><article>"),
+      lit("<p>first section of the article body "),
+      substring($"text", 1, 200), lit("</p>"),
+      lit("<p><a href=\"/more\">read more related links here</a></p>"),
+      lit("<p>tiny</p>"),
+      lit("<p>second section with further detail "),
+      substring($"text", 201, 200), lit("</p>"),
+      lit("<p>closing remarks with a long tail "),
+      substring($"text", 401, 160), lit("</p>"),
+      lit("</article></body></html>"))
+    val input = Tables.load(s, dir, "documents").withColumn("text", html)
+    new Pipeline(s, PipelineConfig(htmlInput = true, domExtract = true))
+      .run(input)
+      .orderBy($"doc_id")
   }
 
   /** STREAMING doc flagging — the cleaning pipeline's stats+flags run
@@ -1169,7 +1219,7 @@ object StreamingQ {
   val specs: Seq[Spec] = Seq(stTumbling, stTumblingAppend, stSliding,
     stDedup, stSessions, stSessionAppend,
     stEnrich, stClickView, stClickViewOuter, dLid, dLidScript,
-    dLidConfusion, pipelineE2e,
+    dLidConfusion, pipelineE2e, pipelineE2eDom,
     stDocFlags, stHeavyHitters, stDriftWindowed, stLidScript,
     stMinhashPairs, stFunnelLevels, stBm25Indexed, stCmsCounts, stNovelty,
     stAsofLastClick, stCcIncremental, stRateAnomaly, stKsWindowed,

@@ -108,4 +108,56 @@ class HtmlDomSpec extends AnyFunSuite {
     assert(bs == IndexedSeq(
       Block(1, 6, "html>body>article>div>ul>li", "deep", 0, chrome = false)))
   }
+
+  // ---- markdown serialization (tables + nested lists) ----
+
+  test("markdown: pipe table with th header separator, row boundaries from events") {
+    val md = HtmlDom.markdown(
+      "<table><tr><th>name</th><th>value</th></tr>" +
+        "<tr><td>alpha</td><td>one</td></tr>" +
+        "<tr><td>beta</td><td>two</td></tr></table>")
+    assert(md ==
+      "| name | value |\n| --- | --- |\n| alpha | one |\n| beta | two |")
+    // implied closes: <tr>/<td> without explicit closers — the soup
+    // every real page writes; rows still split correctly
+    val soup = HtmlDom.markdown(
+      "<table><tr><td>a<td>b<tr><td>c<td>d</table>")
+    assert(soup == "| a | b |\n| c | d |")
+    // no th first row => no separator (don't invent a header)
+    val noHeader = HtmlDom.markdown(
+      "<table><tr><td>a</td></tr><tr><td>b</td></tr></table>")
+    assert(noHeader == "| a |\n| b |")
+  }
+
+  test("markdown: table cells escape pipes, join multi-runs, keep empty columns") {
+    val md = HtmlDom.markdown(
+      "<table><tr><td>a|b</td><td>x<br>y</td><td></td><td>z</td></tr></table>")
+    assert(md == "| a\\|b | x y |  | z |")
+    // unclosed table at EOF still commits the accumulated row
+    assert(HtmlDom.markdown("<table><tr><td>tail") == "| tail |")
+  }
+
+  test("markdown: nested lists indent; ol numbers per level; li continuation") {
+    val md = HtmlDom.markdown(
+      "<ul><li>outer one<ul><li>inner a</li><li>inner b</li></ul></li>" +
+        "<li>outer two</li></ul>" +
+        "<ol><li>first</li><li>second<ol><li>sub</li></ol></li></ol>")
+    assert(md == List(
+      "- outer one",
+      "  - inner a",
+      "  - inner b",
+      "- outer two",
+      "1. first",
+      "2. second",
+      "  1. sub").mkString("\n"))
+  }
+
+  test("markdown: headings, blockquote runs, chrome subtrees dropped") {
+    val md = HtmlDom.markdown(
+      "<nav><a href='/'>menu</a><table><tr><td>navcell</td></tr></table></nav>" +
+        "<h2>title</h2><p>para</p>" +
+        "<blockquote>outer<blockquote>inner</blockquote></blockquote>" +
+        "<footer>fine print</footer>")
+    assert(md == "## title\npara\n> outer\n> > inner")
+  }
 }

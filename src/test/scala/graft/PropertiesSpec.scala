@@ -483,4 +483,43 @@ class PropertiesSpec extends AnyFunSuite {
       } finally em.extraOptimizations = prev
     assert(rewritten == baseline)
   }
+
+  test("HNSW on random vectors: ef >= n is exhaustive-exact; results sorted; degrees bounded") {
+    val dims = 6
+    def randVec(seed: Long): Array[Float] = {
+      var s = seed
+      Array.fill(dims) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        ((s >>> 33).toInt % 1000).toFloat / 500f - 1f
+      }
+    }
+    for (trial <- 0 until 5) {
+      val n = 40 + trial * 37
+      val rows = (0 until n).map(i =>
+        (i.toLong, randVec(trial * 100000L + i))).toArray
+      val idx = graft.ops.Hnsw.build(rows, m = 5, efConstruction = 24)
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var d = 0.0; var sa = 0.0; var sb = 0.0
+        var i = 0
+        while (i < dims) {
+          d += a(i).toDouble * b(i).toDouble
+          sa += a(i).toDouble * a(i)
+          sb += b(i).toDouble * b(i)
+          i += 1
+        }
+        val nn = math.sqrt(sa) * math.sqrt(sb)
+        if (nn == 0) 0.0 else d / nn
+      }
+      for (qi <- Seq(0, n / 2, n - 1)) {
+        val q = rows(qi)._2
+        val brute = rows.map { case (id, v) => (id, cos(q, v)) }
+          .sortBy { case (id, c) => (-c, id) }.take(7).map(_._1).toSeq
+        // ef >= n: the beam expands the whole connected component
+        val got = idx.search(q, 7, ef = n + 10)
+        assert(got.map(_._1) == brute,
+          s"trial $trial q $qi: ${got.map(_._1)} != $brute")
+        assert(got == got.sortBy { case (id, c) => (-c, id) })
+      }
+    }
+  }
 }
