@@ -137,7 +137,15 @@ object Dedup {
     bench = true) { (s, dir) =>
     import s.implicits._
     val docs = Tables.load(s, dir, "documents")
-    val corpusState = MinHash.lshState(docs.filter($"doc_id" % 10 =!= 0), "doc_id", "text")
+    // Materialize the corpus state ONCE (production reads it from a
+    // stored state table — that's what makes incremental incremental).
+    // Without this, the op's two corpus branches (bands for the
+    // touched-bucket semi, sh for the verify lookup) each recompute
+    // the shingle expressions from raw text: measured 3.8 s vs the
+    // one-shot dd_minhash_pairs' 1.1 s at sf0.1. State-in, not
+    // recompute-in, is the op's real contract.
+    val corpusState = MinHash.lshState(docs.filter($"doc_id" % 10 =!= 0),
+      "doc_id", "text").localCheckpoint()
     val batchState = MinHash.lshState(docs.filter($"doc_id" % 10 === 0), "doc_id", "text")
     MinHash.incrementalCandidatePairs(batchState, corpusState, threshold = 0.5)
       .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))

@@ -20,7 +20,7 @@ object Similarity {
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
 
-  private def cosSql(qa: String, qb: String): String =
+  private[queries] def cosSql(qa: String, qb: String): String =
     s"${dotSql(qa, qb)} / (sqrt(${dotSql(qa, qa)}) * sqrt(${dotSql(qb, qb)}))"
 
   /** Shared oracle CTEs replaying [[graft.ops.Vectors.neardupLsh]]'s

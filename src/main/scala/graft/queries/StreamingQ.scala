@@ -1216,7 +1216,44 @@ object StreamingQ {
       .orderBy($"cluster")
   }
 
+  /** STREAMING ANN serving — the similarity family's streaming twin
+    * (every other heavy family has one; vectors didn't): an unbounded
+    * stream of query embeddings answered per micro-batch against a
+    * STATIC corpus via the per-partition HNSW index
+    * ([[graft.streaming.StreamOps.knnServeBatches]]). No streaming
+    * state at all — the corpus is the state, fixed outside the stream;
+    * per-batch answers land in idempotent overwrite dirs. The oracle
+    * is brute-force truth: at verify scale the HNSW beam is
+    * exhaustive-exact per partition (see e_knn_hnsw), so the served
+    * answers must hash-match the exact top-5. */
+  val stKnnHnsw: Spec = Spec(
+    "st_knn_hnsw",
+    oracle = Some(s"""
+      WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 40 = 21),
+      scored AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+          ${Similarity.cosSql("q.embedding", "c.embedding")} AS cos
+        FROM q JOIN embeddings c ON c.vec_id <> q.vec_id),
+      r AS (SELECT qid, cid, cos,
+        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rk
+        FROM scored)
+      SELECT qid, rk, cid, ROUND(cos, 6) AS cos_sim
+      FROM r WHERE rk <= 5 ORDER BY qid, rk""")) { (s, dir) =>
+    import s.implicits._
+    val outDir = graft.ops.Scratch.dir("graft_st_knn")
+    val src = s.readStream.schema(StreamOps.embeddingsSchema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      .filter($"vec_id" % 40 === 21)
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val corpus = Tables.load(s, dir, "embeddings")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    StreamOps.knnServeBatches(s, src, corpus, 5, outDir)
+      .select($"qid", $"rk", $"cid", round($"cos_sim", 6).as("cos_sim"))
+      .orderBy($"qid", $"rk")
+  }
+
   val specs: Seq[Spec] = Seq(stTumbling, stTumblingAppend, stSliding,
+    stKnnHnsw,
     stDedup, stSessions, stSessionAppend,
     stEnrich, stClickView, stClickViewOuter, dLid, dLidScript,
     dLidConfusion, pipelineE2e, pipelineE2eDom,

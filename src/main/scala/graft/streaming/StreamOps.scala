@@ -1390,6 +1390,33 @@ object StreamOps {
       .getOrElse(s.emptyDataFrame)
   }
 
+  /** Streaming ANN SERVING: micro-batches of query vectors answered
+    * against a STATIC corpus by the per-partition HNSW index
+    * ([[graft.ops.Vectors.knnHnsw]]: index built per corpus partition
+    * inside the batch job, queries broadcast, candidates merged through
+    * the bounded TopK aggregator) — the dual of
+    * [[minhashIncrementalStart]], where the corpus grows and the
+    * queries are the state; here the corpus is fixed and the query
+    * stream is unbounded, so there is NO streaming state at all.
+    * Per-batch results land in idempotent overwrite dirs (a micro-batch
+    * retry rewrites its own dir — the [[incrementalDedupStart]]
+    * discipline); the return value reads the accumulated answers back.
+    * A long-lived server would persist `corpus` so the index inputs
+    * are not re-scanned per batch — callers own that choice. */
+  def knnServeBatches(s: SparkSession, queries: DataFrame,
+      corpus: DataFrame, k: Int, outDir: String): DataFrame = {
+    val q = queries.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Vectors.knnHnsw(batch, corpus, k)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.read.parquet(outDir).drop("batch")
+  }
+
   /** Streaming exact-dedup: dropDuplicatesWithinWatermark on event_id.
     * Returns the deduped count table (memory sink, append). */
   def streamingDedupCount(s: SparkSession, dir: String): DataFrame = {

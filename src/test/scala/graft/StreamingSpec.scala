@@ -619,6 +619,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exists { case (a, b) => (a % 10 == 0) != (b % 10 == 0) })
   }
 
+  test("streaming ANN serving: two-batch query feed equals one-shot exact top-k") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_st_knn_mem").toString
+    val emb = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val queries = emb.filter($"id" % 25 === 3)
+      .as[(Long, Array[Float])].collect().toSeq
+    val (b0, b1) = queries.partition(_._1 < 250)
+    val ms = MemoryStream[(Long, Array[Float])]
+    ms.addData(b0)
+    ms.addData(b1) // two micro-batches; answers accumulate per-batch
+    val got = graft.streaming.StreamOps.knnServeBatches(
+        spark, ms.toDF().toDF("id", "vec"), emb, 5, outDir)
+      .select($"qid", $"rk", $"cid").as[(Long, Long, Long)].collect().toSet
+    val exact = graft.ops.Vectors.knnBrute(
+        emb.filter($"id" % 25 === 3), emb, 5)
+      .select($"qid", $"rk", $"cid").as[(Long, Long, Long)].collect().toSet
+    assert(got == exact,
+      "served answers must equal exact top-5 (HNSW exhaustive at this scale)")
+    assert(got.map(_._1) == queries.map(_._1).toSet,
+      "every streamed query answered exactly once across batches")
+  }
+
   test("streaming incremental clustering: three-batch merge equals one-shot clusters") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
