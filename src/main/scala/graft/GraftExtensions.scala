@@ -45,10 +45,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // HAVING + null-safe join: the frequent/rare-key idiom — exact
     // (all rows of qualifying keys), same scan-shaped guard
     ext.injectOptimizerRule(_ => graft.plans.WindowCountFilterToJoin)
-    // lag-gap-flag → running-sum → groupBy sessionization → native
-    // session-window aggregation (MergingSessions): drops both
-    // event-wide window passes and the event-wide hash aggregate;
-    // ordinal session ids restored by a row_number over SESSIONS
-    ext.injectOptimizerRule(_ => graft.plans.SessionizeToSessionWindow)
+    // NOT injected by default: graft.plans.SessionizeToSessionWindow
+    // (lag-gap-flag → running-sum → groupBy → native session-window
+    // aggregate). It is semantics-exact and REQUIRE/oracle-proven, but
+    // MEASURED not-faster (a wash at sf0.1, ~1.6× slower at 5M
+    // unique-timestamp events: the session form pays a degenerate
+    // partial aggregate over near-unique (key, struct) groups — see
+    // the rule's Scaladoc cost analysis). The five rules above are
+    // measured wins; a default-on deployment path must not carry a
+    // measured regression. Opt in per session via
+    // `extraOptimizations :+ SessionizeToSessionWindow` or
+    // RuleScope.withRules when the native form is wanted for its
+    // semantics (e.g. migrating a query toward streaming session
+    // state).
   }
 }

@@ -16,18 +16,34 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, Metadata, Me
   *       .withColumn("session_id", sum("brk").over(w.rowsBetween(unbounded, current)))
   *       .groupBy(user, "session_id").agg(...) }}}
   *
-  * — the gap-sessionization every user hand-writes (two full-width
-  * window passes over every event, then an event-count hash aggregate)
-  * — rewritten to Spark's native session-window aggregation: one
-  * Project stamping `named_struct(start = o, end = o + gap)` with the
+  * — the gap-sessionization every user hand-writes — rewritten to
+  * Spark's native session-window aggregation: one Project stamping
+  * `named_struct(start = o, end = o + gap)` with the
   * `SessionWindow.marker` metadata, one Aggregate grouping on
   * (keys…, session struct) that physical planning turns into
-  * `MergingSessions` (sessions merge inline during the sorted scan —
-  * the same exchange + sort the window form needs, but no per-event
-  * lag pass, no per-event running-sum pass, and no event-wide hash
-  * aggregate afterwards), then a row_number window over the SESSIONS
-  * (output cardinality, not event cardinality) to restore the idiom's
-  * ordinal session_id, cast back under its original exprId.
+  * `MergingSessions` (sessions merge inline during the sorted scan),
+  * then a row_number window over the SESSIONS (output cardinality,
+  * not event cardinality) to restore the idiom's ordinal session_id,
+  * cast back under its original exprId.
+  *
+  * Cost analysis, honestly MEASURED (SessionizeScaleProbe, 5M events
+  * / 50k users, local[32]): this is NOT a wall-clock win today. Both
+  * forms pay one exchange + one sort on the keys; the window form
+  * then runs two cheap streaming window passes + a map-side-combined
+  * hash aggregate, while the session form pays a partial
+  * HashAggregate over near-unique (key, struct) groups (combines
+  * almost nothing, hashes everything) before MergingSessions — a wash
+  * at sf0.1 (0.9 s vs 0.8 s) and ~1.6× SLOWER at 5M unique
+  * timestamps. The rule's value is semantic, not temporal: it proves
+  * the idiom ≡ the native operator (the REQUIRE + hash-matched oracle
+  * in ev_sessionize_rewritten), lets sessions that WANT the
+  * native form (e.g. on the path to streaming session state) opt in
+  * via RuleScope/extraOptimizations, and documents the equivalence
+  * contract precisely. Deliberately NOT default-injected by
+  * GraftExtensions: a default-on deployment path must not carry a
+  * measured regression (PlanRewriteSpec pins the exclusion). If a future Spark
+  * skips the degenerate partial aggregate under session grouping, the
+  * measured balance flips — re-probe before citing this paragraph.
   *
   * Semantics equivalence, exactly:
   *   - The idiom breaks a session when `o - prev(o) > gap` ⇔ merges
@@ -65,9 +81,10 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, Metadata, Me
   *     session_id, and every aggregate function references only base
   *     columns (no DISTINCT, no FILTER).
   *
-  * Injected via [[graft.GraftExtensions]]; shape/equality/guards
-  * pinned in PlanRewriteSpec; ev_sessionize_rewritten rides it
-  * in-driver against the window-form oracle.
+  * Opt-in only (NOT injected by [[graft.GraftExtensions]] — see the
+  * cost analysis above); shape/equality/guards pinned in
+  * PlanRewriteSpec; ev_sessionize_rewritten rides it in-driver against
+  * the window-form oracle.
   */
 object SessionizeToSessionWindow extends Rule[LogicalPlan] {
 

@@ -157,8 +157,7 @@ object Events {
         strftime(make_timestamp(MIN(ts_us)), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
         strftime(make_timestamp(MAX(ts_us)), '%Y-%m-%d %H:%M:%S.%f') AS session_end
       FROM sessed GROUP BY user_id, session_id
-      ORDER BY user_id, session_id"""),
-    bench = true) { (s, dir) =>
+      ORDER BY user_id, session_id""")) { (s, dir) =>
     import s.implicits._
     graft.plans.RuleScope.withRules(s,
         Seq(graft.plans.SessionizeToSessionWindow)) {

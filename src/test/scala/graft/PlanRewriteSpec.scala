@@ -197,6 +197,10 @@ class PlanRewriteSpec extends AnyFunSuite {
     assert(rules.exists(_ eq WindowDedupToAgg))
     assert(rules.exists(_ eq graft.plans.WindowCountOneToAgg))
     assert(rules.exists(_ eq graft.plans.WindowTopKToAgg))
+    // SessionizeToSessionWindow is deliberately NOT default-injected:
+    // semantics-exact but measured not-faster (see its cost analysis);
+    // the config-driven deployment path only carries measured wins
+    assert(!rules.exists(_ eq graft.plans.SessionizeToSessionWindow))
   }
 
   // ---- WindowTopKToAgg (the general-n top-k sibling) ----
