@@ -174,6 +174,54 @@ object Hnsw {
     }
   }
 
+  /** Serialized node row: position `seq` in the partition's id-sorted
+    * order, the vector, and the per-level neighbor positions. Levels
+    * are NOT stored — levelOf(id, m) re-derives them (hash levels are
+    * a pure function of the id), and the entry point / max level
+    * follow from the levels, so the stored index is exactly the data
+    * plus the adjacency. */
+  final case class NodeRow(seq: Int, id: Long, vec: Array[Float],
+      links: Seq[Seq[Int]])
+
+  /** Dump an index for persistence (parquet rows via the caller). */
+  def toRows(idx: Index): Iterator[NodeRow] =
+    (0 until idx.size).iterator.map { i =>
+      val ls = idx.links.indices.map(l => idx.links(l)(i).toSeq)
+      NodeRow(i, idx.ids(i), idx.vecs(i), ls)
+    }
+
+  /** Reconstruct an index from stored rows (any order — sorted by seq
+    * here). Rebuilds norms, re-derives levels/entry from the id hash:
+    * the entry point is the first node (in insertion = id order) that
+    * achieved the running-max level, which for the full set is the
+    * first node carrying the global max level. Search results are
+    * IDENTICAL to the freshly built index (VectorOpsSpec pins it). */
+  def fromRows(rows: Seq[NodeRow], m: Int): Index = {
+    val sorted = rows.sortBy(_.seq).toArray
+    val n = sorted.length
+    val ids = sorted.map(_.id)
+    val vecs = sorted.map(_.vec)
+    val norms = vecs.map { v =>
+      var s = 0.0
+      var j = 0
+      while (j < v.length) { s += v(j).toDouble * v(j); j += 1 }
+      math.sqrt(s)
+    }
+    val nLevels = if (sorted.isEmpty) 0 else sorted.map(_.links.size).max
+    val links = mutable.ArrayBuffer.tabulate(nLevels) { l =>
+      Array.tabulate(n) { i =>
+        val node = sorted(i)
+        if (l < node.links.size)
+          mutable.ArrayBuffer.from(node.links(l))
+        else mutable.ArrayBuffer.empty[Int]
+      }
+    }
+    val levels = ids.map(levelOf(_, m))
+    val maxLevel = if (n == 0) -1 else levels.max
+    val entry = if (n == 0) -1 else levels.indexOf(maxLevel)
+    new Index(ids, vecs, norms, m, links, entry, maxLevel)
+  }
+
   /** Build an index over (id, vec) rows. `rows` should be sorted by id
     * by the caller (determinism); duplicate ids are rejected. */
   def build(rows: Array[(Long, Array[Float])], m: Int,

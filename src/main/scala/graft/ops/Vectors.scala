@@ -586,6 +586,71 @@ object Vectors {
     * efSearch) the same code is genuinely approximate and VectorOpsSpec
     * pins its recall ≥ the IVF-multiprobe row at equal candidate
     * budget. */
+  /** Persist per-partition HNSW indexes: one parquet row per node —
+    * (part, seq, id, vec, links). Build once, serve many: the
+    * construction (beam insertions) is the expensive step; the stored
+    * adjacency is linear in corpus size (≤ 2M ints per node at level
+    * 0, M above). Node LEVELS are not stored — they re-derive from
+    * the id hash on load, so stored state cannot drift from the code's
+    * level function. `m` must match at load (it parameterizes both the
+    * level distribution and Mmax); the caller owns that contract, the
+    * file carries it in a sidecar column for the require check. */
+  def hnswWriteIndex(corpus: DataFrame, path: String, m: Int = 12,
+      efConstruction: Int = 96, numPartitions: Int = 8): Unit = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    corpus.select(col("id"), col("vec"))
+      .as[(Long, Array[Float])]
+      .repartition(numPartitions, col("id"))
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val local = it.toArray.sortBy(_._1)
+        if (local.isEmpty) Iterator.empty
+        else Hnsw.toRows(Hnsw.build(local, m, efConstruction))
+          .map(r => (pid, m, r.seq, r.id, r.vec, r.links))
+      }
+      .toDF("part", "m", "seq", "id", "vec", "links")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Serve top-k from a STORED index ([[hnswWriteIndex]]): partitions
+    * reconstruct their graphs directly from the adjacency rows — no
+    * re-insertion, no beam construction — and answer the broadcast
+    * queries; same bounded TopK merge as [[knnHnsw]]. Results are
+    * IDENTICAL to a fresh build over the same corpus (the graph is a
+    * pure function of the data; VectorOpsSpec pins equality). */
+  def knnHnswStored(s: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, m: Int = 12, efSearch: Int = 128,
+      maxQueries: Int = 100000): DataFrame = {
+    import s.implicits._
+    val qRows = queries.select(col("id"), col("vec"))
+      .as[(Long, Array[Float])]
+      .limit(maxQueries + 1).collect()
+    require(qRows.length <= maxQueries,
+      s"knnHnswStored: query side exceeds maxQueries=$maxQueries")
+    val qB = s.sparkContext.broadcast(qRows.sortBy(_._1))
+    val stored = s.read.parquet(path)
+    val scored = stored
+      .select(col("part"), col("m"), col("seq"), col("id"), col("vec"),
+        col("links"))
+      .as[(Int, Int, Int, Long, Array[Float], Seq[Seq[Int]])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray
+        require(rows.forall(_._2 == m),
+          s"stored index built with m=${rows.head._2}, caller passed $m")
+        val idx = Hnsw.fromRows(
+          rows.toSeq.map(r => Hnsw.NodeRow(r._3, r._4, r._5, r._6)), m)
+        qB.value.iterator.flatMap { case (qid, qv) =>
+          idx.search(qv, k + 1, efSearch)
+            .filter(_._1 != qid).take(k)
+            .map { case (cid, cos) => (qid, cid, cos) }
+        }
+      }
+      .toDF("qid", "cid", "cos_sim")
+    topK(scored, k)
+  }
+
   def knnHnsw(queries: DataFrame, corpus: DataFrame, k: Int,
       m: Int = 12, efConstruction: Int = 96, efSearch: Int = 128,
       numPartitions: Int = 8, maxQueries: Int = 100000): DataFrame = {

@@ -1794,6 +1794,38 @@ object Similarity {
       .orderBy($"qid", $"rk")
   }
 
+  /** Serving from a STORED HNSW index ([[graft.ops.Vectors
+    * .hnswWriteIndex]] / [[graft.ops.Vectors.knnHnswStored]]) — the
+    * production pattern: construction (beam insertions) happens once
+    * and the persisted adjacency is reloaded per partition with no
+    * re-insertion; node levels re-derive from the id hash so stored
+    * state cannot drift from the code. Results are identical to the
+    * fresh build (the graph is a pure function of the data —
+    * VectorOpsSpec pins bit-equality), so the oracle is the same
+    * brute-force truth as [[eKnnHnsw]], on its own query slice. */
+  val eKnnHnswStored: Spec = Spec(
+    "e_knn_hnsw_stored",
+    oracle = Some(s"""
+      WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 40 = 27),
+      scored AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+          ${cosSql("q.embedding", "c.embedding")} AS cos
+        FROM q JOIN embeddings c ON c.vec_id <> q.vec_id),
+      r AS (SELECT qid, cid, cos,
+        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rk
+        FROM scored)
+      SELECT qid, rk, cid, ROUND(cos, 6) AS cos_sim
+      FROM r WHERE rk <= 5 ORDER BY qid, rk""")) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val path = graft.ops.Scratch.dir("graft_hnsw_stored")
+    Vectors.hnswWriteIndex(emb, path)
+    Vectors.knnHnswStored(s, path, emb.filter($"id" % 40 === 27), 5)
+      .select($"qid", $"rk", $"cid", round($"cos_sim", 6).as("cos_sim"))
+      .orderBy($"qid", $"rk")
+  }
+
   /** HNSW recall report — [[eIvfRecall]]'s honest-evaluation twin for
     * the graph index: recall@5 of [[graft.ops.Vectors.knnHnsw]]
     * against brute-force ground truth, per query plus the macro
@@ -2444,7 +2476,7 @@ object Similarity {
   }
 
   val specs: Seq[Spec] = Seq(eCentroids, eKnnBrute, eKnnCell, eNearDup, eIvfRecall,
-    eKnnHnsw, eHnswRecall,
+    eKnnHnsw, eHnswRecall, eKnnHnswStored,
     eNearDupLsh, eKnnQuantized, eKmeansCentroids, eKnnIvfLearned,
     eKnnIvfMultiprobe, eKnnPq, eKnnIvfPq, eBitextMine, eEmbeddingOutliers,
     eKnnIvfPqProbe, eNearDupClusters, eKnnMatryoshka, eMmrRerank,

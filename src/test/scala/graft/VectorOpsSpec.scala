@@ -133,6 +133,28 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(hnswRecall >= 0.9, s"hnsw recall $hnswRecall")
   }
 
+  test("HNSW persistence: stored-and-loaded index answers identically to fresh build") {
+    val emb = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_hnsw_idx").toString
+    Vectors.hnswWriteIndex(emb, path)
+    val fresh = Vectors.knnHnsw(emb, emb, 5)
+      .select($"qid", $"rk", $"cid", $"cos_sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val served = Vectors.knnHnswStored(spark, path, emb, 5)
+      .select($"qid", $"rk", $"cid", $"cos_sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(served == fresh,
+      "stored index must reproduce the fresh build bit-for-bit")
+    // level re-derivation contract: m mismatch at load fails loud
+    val e = intercept[org.apache.spark.SparkException] {
+      Vectors.knnHnswStored(spark, path, emb.limit(1), 3, m = 7).collect()
+    }
+    assert(e.getMessage.contains("m=") ||
+      Option(e.getCause).exists(_.getMessage.contains("m=")))
+  }
+
   test("knnHnsw guards: query side over maxQueries fails loud") {
     val emb = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
       .select($"vec_id".as("id"), $"embedding".as("vec"))
