@@ -225,26 +225,57 @@ object Hnsw {
   /** Build an index over (id, vec) rows. `rows` should be sorted by id
     * by the caller (determinism); duplicate ids are rejected. */
   def build(rows: Array[(Long, Array[Float])], m: Int,
-      efConstruction: Int): Index = {
+      efConstruction: Int): Index =
+    extend(None, rows, m, efConstruction)
+
+  /** Insert `rows` into a COPY of `base` (base untouched), running the
+    * identical insertion loop [[build]] uses — incremental index
+    * maintenance: a batch of new vectors joins a stored graph without
+    * re-inserting the corpus. The extended index equals what a fresh
+    * build over base-order ++ batch-order rows would produce (same
+    * deterministic insertion), and with ef >= the grown partition
+    * population the search over it stays exhaustive-exact. Duplicate
+    * ids (within the batch or against the base) are rejected. */
+  def extend(baseOpt: Option[Index], rows: Array[(Long, Array[Float])],
+      m: Int, efConstruction: Int): Index = {
     require(m >= 2, s"m must be >= 2, got $m")
-    val n = rows.length
-    val ids = new Array[Long](n)
-    val vecs = new Array[Array[Float]](n)
-    val norms = new Array[Double](n)
-    var i = 0
+    require(baseOpt.forall(_.m == m), "extend: m must match the base index")
+    val base = baseOpt.getOrElse(
+      new Index(Array.empty, Array.empty, Array.empty, m,
+        mutable.ArrayBuffer.empty, entry = -1, maxLevel = -1))
+    val nOld = base.size
+    val n = nOld + rows.length
+    val ids = java.util.Arrays.copyOf(base.ids, n)
+    val vecs = java.util.Arrays.copyOf(
+      base.vecs.asInstanceOf[Array[AnyRef]], n)
+      .asInstanceOf[Array[Array[Float]]]
+    val norms = java.util.Arrays.copyOf(base.norms, n)
+    val seen = mutable.HashSet.empty[Long]
+    base.ids.foreach(seen += _)
+    var i = nOld
     while (i < n) {
-      ids(i) = rows(i)._1
-      vecs(i) = rows(i)._2
+      val (rid, rvec) = rows(i - nOld)
+      require(seen.add(rid), s"duplicate vector id $rid in one partition")
+      ids(i) = rid
+      vecs(i) = rvec
       var s = 0.0
       var j = 0
-      while (j < vecs(i).length) {
-        s += vecs(i)(j).toDouble * vecs(i)(j).toDouble; j += 1
+      while (j < rvec.length) {
+        s += rvec(j).toDouble * rvec(j).toDouble; j += 1
       }
       norms(i) = math.sqrt(s)
       i += 1
     }
+    // clone the base adjacency into n-wide per-level arrays
     val links = mutable.ArrayBuffer.empty[Array[mutable.ArrayBuffer[Int]]]
-    val idx = new Index(ids, vecs, norms, m, links, entry = -1, maxLevel = -1)
+    base.links.foreach { lvl =>
+      val arr = Array.fill(n)(mutable.ArrayBuffer.empty[Int])
+      var k = 0
+      while (k < nOld) { arr(k) = lvl(k).clone(); k += 1 }
+      links += arr
+    }
+    val idx = new Index(ids, vecs, norms, m, links,
+      entry = base.entry, maxLevel = base.maxLevel)
 
     def ensureLevel(l: Int): Unit =
       while (links.size <= l)
@@ -274,10 +305,8 @@ object Hnsw {
       }
     }
 
-    i = 0
+    i = nOld
     while (i < n) {
-      require(i == 0 || ids(i) != ids(i - 1),
-        s"duplicate vector id ${ids(i)} in one partition")
       val lvl = levelOf(ids(i), m)
       ensureLevel(lvl)
       if (idx.entry < 0) {

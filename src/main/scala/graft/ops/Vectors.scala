@@ -607,10 +607,61 @@ object Vectors {
         val local = it.toArray.sortBy(_._1)
         if (local.isEmpty) Iterator.empty
         else Hnsw.toRows(Hnsw.build(local, m, efConstruction))
-          .map(r => (pid, m, r.seq, r.id, r.vec, r.links))
+          .map(r => (pid, m, numPartitions, r.seq, r.id, r.vec, r.links))
       }
-      .toDF("part", "m", "seq", "id", "vec", "links")
+      .toDF("part", "m", "nparts", "seq", "id", "vec", "links")
       .write.mode("overwrite").parquet(path)
+  }
+
+  /** INCREMENTAL index maintenance: insert a batch of new vectors into
+    * a STORED index ([[hnswWriteIndex]]) without re-inserting the
+    * corpus — the same state-in/batch-in discipline as the dedup
+    * family's incremental twins. Batch rows route to their partition
+    * by the SAME hash `repartition(n, col("id"))` used at build
+    * (`pmod(hash(id), nparts)`), each touched partition reconstructs
+    * its graph from the stored adjacency and runs the build-time
+    * insertion loop for the new nodes only ([[graft.ops.Hnsw.extend]]),
+    * and the extended rows are written back atomically to `outPath`
+    * (pass the same path to overwrite in place only if the store
+    * supports it; parquet overwrite-to-self is NOT safe — write to a
+    * fresh generation dir like the streaming state stores do).
+    * Untouched partitions are copied through unchanged. */
+  def hnswAppendIndex(s: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, outPath: String, efConstruction: Int = 96): Unit = {
+    import s.implicits._
+    require(path != outPath,
+      "hnswAppendIndex: parquet overwrite-to-self is unsafe; write a " +
+        "fresh generation directory")
+    val stored = s.read.parquet(path)
+    val meta = stored.select(col("m"), col("nparts")).limit(1)
+      .as[(Int, Int)].collect()
+    require(meta.nonEmpty, s"hnswAppendIndex: no stored index at $path")
+    val (m, nparts) = meta.head
+    val storedK = stored
+      .select(col("part"), col("seq"), col("id"), col("vec"), col("links"))
+      .as[(Int, Int, Long, Array[Float], Seq[Seq[Int]])]
+      .groupByKey(_._1)
+    val batchK = batch.select(col("id"), col("vec"))
+      .withColumn("part", pmod(hash(col("id")), lit(nparts)))
+      .select(col("part"), col("id"), col("vec"))
+      .as[(Int, Long, Array[Float])]
+      .groupByKey(_._1)
+    storedK.cogroup(batchK) { (pid, oldIt, newIt) =>
+      val oldRows = oldIt.map(r => Hnsw.NodeRow(r._2, r._3, r._4, r._5)).toSeq
+      val newRows = newIt.map(r => (r._2, r._3)).toArray.sortBy(_._1)
+      if (oldRows.isEmpty && newRows.isEmpty) Iterator.empty
+      else {
+        val base =
+          if (oldRows.isEmpty) None else Some(Hnsw.fromRows(oldRows, m))
+        val idx =
+          if (newRows.isEmpty) base.get
+          else Hnsw.extend(base, newRows, m, efConstruction)
+        Hnsw.toRows(idx).map(r =>
+          (pid, m, nparts, r.seq, r.id, r.vec, r.links))
+      }
+    }
+      .toDF("part", "m", "nparts", "seq", "id", "vec", "links")
+      .write.mode("overwrite").parquet(outPath)
   }
 
   /** Serve top-k from a STORED index ([[hnswWriteIndex]]): partitions

@@ -1826,6 +1826,41 @@ object Similarity {
       .orderBy($"qid", $"rk")
   }
 
+  /** INCREMENTAL HNSW maintenance ([[graft.ops.Vectors
+    * .hnswAppendIndex]]) — the ANN family's incremental twin, same
+    * state-in/batch-in discipline as the dedup families: the stored
+    * index is built WITHOUT the batch ids (vec_id % 10 == 0), the
+    * batch is inserted per touched partition via the build-time
+    * insertion loop (no corpus re-insertion; batch rows route by the
+    * same pmod(hash(id), nparts) the build's repartition used), the
+    * extended generation is written fresh (overwrite-to-self refused),
+    * and serving from it must answer EXACTLY over the union — which is
+    * what the brute-force oracle over the full table states. */
+  val eKnnHnswIncremental: Spec = Spec(
+    "e_knn_hnsw_incremental",
+    oracle = Some(s"""
+      WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 40 = 33),
+      scored AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+          ${cosSql("q.embedding", "c.embedding")} AS cos
+        FROM q JOIN embeddings c ON c.vec_id <> q.vec_id),
+      r AS (SELECT qid, cid, cos,
+        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS BIGINT) AS rk
+        FROM scored)
+      SELECT qid, rk, cid, ROUND(cos, 6) AS cos_sim
+      FROM r WHERE rk <= 5 ORDER BY qid, rk""")) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val gen1 = graft.ops.Scratch.dir("graft_hnsw_gen1")
+    val gen2 = graft.ops.Scratch.dir("graft_hnsw_gen2") + "/idx"
+    Vectors.hnswWriteIndex(emb.filter($"id" % 10 =!= 0), gen1)
+    Vectors.hnswAppendIndex(s, gen1, emb.filter($"id" % 10 === 0), gen2)
+    Vectors.knnHnswStored(s, gen2, emb.filter($"id" % 40 === 33), 5)
+      .select($"qid", $"rk", $"cid", round($"cos_sim", 6).as("cos_sim"))
+      .orderBy($"qid", $"rk")
+  }
+
   /** HNSW recall report — [[eIvfRecall]]'s honest-evaluation twin for
     * the graph index: recall@5 of [[graft.ops.Vectors.knnHnsw]]
     * against brute-force ground truth, per query plus the macro
@@ -2476,7 +2511,7 @@ object Similarity {
   }
 
   val specs: Seq[Spec] = Seq(eCentroids, eKnnBrute, eKnnCell, eNearDup, eIvfRecall,
-    eKnnHnsw, eHnswRecall, eKnnHnswStored,
+    eKnnHnsw, eHnswRecall, eKnnHnswStored, eKnnHnswIncremental,
     eNearDupLsh, eKnnQuantized, eKmeansCentroids, eKnnIvfLearned,
     eKnnIvfMultiprobe, eKnnPq, eKnnIvfPq, eBitextMine, eEmbeddingOutliers,
     eKnnIvfPqProbe, eNearDupClusters, eKnnMatryoshka, eMmrRerank,

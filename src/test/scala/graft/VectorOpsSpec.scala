@@ -155,6 +155,43 @@ class VectorOpsSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("m=")))
   }
 
+  test("HNSW incremental append: extended stored index answers exactly over the union") {
+    val emb = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val corpus = emb.filter($"id" % 10 =!= 0)
+    val batch = emb.filter($"id" % 10 === 0)
+    val gen1 = java.nio.file.Files
+      .createTempDirectory("graft_hnsw_g1").toString
+    val gen2 = java.nio.file.Files
+      .createTempDirectory("graft_hnsw_g2").toString + "/idx"
+    Vectors.hnswWriteIndex(corpus, gen1)
+    Vectors.hnswAppendIndex(spark, gen1, batch, gen2)
+    // exact over the UNION at verify scale (ef >= partition population)
+    val served = Vectors.knnHnswStored(spark, gen2, emb.filter($"id" < 12), 5)
+      .select($"qid", $"rk", $"cid").as[(Long, Long, Long)].collect().toSet
+    val exact = Vectors.knnBrute(emb.filter($"id" < 12), emb, 5)
+      .select($"qid", $"rk", $"cid").as[(Long, Long, Long)].collect().toSet
+    assert(served == exact,
+      "appended index must answer exactly over corpus + batch")
+    // every id present exactly once in the extended store
+    val storedIds = spark.read.parquet(gen2).select($"id")
+      .as[Long].collect().sorted.toSeq
+    val allIds = emb.select($"id").as[Long].collect().sorted.toSeq
+    assert(storedIds == allIds)
+    // overwrite-to-self refused
+    val e = intercept[IllegalArgumentException] {
+      Vectors.hnswAppendIndex(spark, gen2, batch.limit(1), gen2)
+    }
+    assert(e.getMessage.contains("generation"))
+    // duplicate id against the base fails loud inside the insert
+    val dup = intercept[org.apache.spark.SparkException] {
+      Vectors.hnswAppendIndex(spark, gen2, emb.limit(1),
+        gen2 + "_dup")
+    }
+    assert(dup.getMessage.contains("duplicate") ||
+      Option(dup.getCause).exists(_.getMessage.contains("duplicate")))
+  }
+
   test("knnHnsw guards: query side over maxQueries fails loud") {
     val emb = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
       .select($"vec_id".as("id"), $"embedding".as("vec"))
