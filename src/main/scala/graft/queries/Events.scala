@@ -3314,6 +3314,106 @@ object Events {
       .orderBy($"event_type")
   }
 
+  /** Mann-Kendall trend test per event type over the daily count grid —
+    * the SIGNIFICANCE companion of [[qTheilSen]] (Theil-Sen answers "how
+    * steep", Mann-Kendall answers "is there a monotone trend at all",
+    * Mann '45 / Kendall '75; the pair every monitoring stack reports
+    * together). S = Σ_{i<j} sign(c_j − c_i) over day pairs, the
+    * tie-corrected variance carried as the EXACT integer
+    * 18·Var = n(n−1)(2n+5) − Σ t(t−1)(2t+5), and the continuity-
+    * corrected z = (S∓1)/√(Var) needs exactly one float division —
+    * floor-microed; the significance flag is an INTEGER compare on
+    * z_micros (|z| ≥ 1.96 ⟺ |z_micros| ≥ 1960000), so no float
+    * boundary exposure. Same bounded-frame scale argument as Theil-Sen:
+    * the pair join is |days|² per type with days calendar-bounded; the
+    * corpus scan is one hash agg.
+    *
+    * Shared by batch ev_mann_kendall and streaming st_mann_kendall —
+    * the streamed complete-mode day grid equals the batch grid, so both
+    * restate the same SQL. */
+  private[graft] val mannKendallOracleSql: String = """
+      WITH d AS (
+        SELECT event_type,
+          CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+          CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+      s AS (
+        SELECT a.event_type,
+          SUM(CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END)
+            AS s_stat
+        FROM d a JOIN d b ON a.event_type = b.event_type AND a.d < b.d
+        GROUP BY a.event_type),
+      t AS (
+        SELECT event_type,
+          SUM(tv * (tv - 1) * (2 * tv + 5)) AS tie_sum
+        FROM (SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS tv
+              FROM d GROUP BY event_type, c)
+        GROUP BY event_type),
+      n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM d GROUP BY event_type),
+      v AS (SELECT n.event_type, n.n_days,
+          n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - t.tie_sum AS var18
+        FROM n JOIN t USING (event_type))
+      SELECT v.event_type, v.n_days,
+        CAST(s.s_stat AS BIGINT) AS s_stat,
+        CAST(v.var18 AS BIGINT) AS var18,
+        CAST(FLOOR(
+          CAST(CASE WHEN s.s_stat > 0 THEN s.s_stat - 1
+                    WHEN s.s_stat < 0 THEN s.s_stat + 1
+                    ELSE 0 END AS DOUBLE)
+          / sqrt(CAST(v.var18 AS DOUBLE) / 18.0e0)
+          * 1000000) AS BIGINT) AS z_micros,
+        (ABS(CAST(FLOOR(
+          CAST(CASE WHEN s.s_stat > 0 THEN s.s_stat - 1
+                    WHEN s.s_stat < 0 THEN s.s_stat + 1
+                    ELSE 0 END AS DOUBLE)
+          / sqrt(CAST(v.var18 AS DOUBLE) / 18.0e0)
+          * 1000000) AS BIGINT)) >= 1960000) AS significant
+      FROM v JOIN s USING (event_type)
+      WHERE v.var18 > 0
+      ORDER BY v.event_type"""
+
+  /** The Mann-Kendall fold over any (event_type, d, c) day grid. */
+  private[graft] def mannKendallOverGrid(dailyIn: DataFrame): DataFrame = {
+    import dailyIn.sparkSession.implicits._
+    val daily = dailyIn.localCheckpoint() // days×types, three branches
+    val a = daily.select($"event_type", $"d".as("d1"), $"c".as("c1"))
+    val b = daily.select($"event_type", $"d".as("d2"), $"c".as("c2"))
+    val sStat = a.join(b, Seq("event_type")).filter($"d1" < $"d2")
+      .groupBy($"event_type").agg(
+        sum(when($"c2" > $"c1", 1L).when($"c2" < $"c1", -1L).otherwise(0L))
+          .as("s_stat"))
+    val ties = daily.groupBy($"event_type", $"c")
+      .agg(count(lit(1)).as("tv"))
+      .groupBy($"event_type")
+      .agg(sum($"tv" * ($"tv" - 1) * (lit(2) * $"tv" + 5)).as("tie_sum"))
+    val nd = daily.groupBy($"event_type").agg(count(lit(1)).as("n_days"))
+    val zRaw = when($"s_stat" > 0, $"s_stat" - 1)
+      .when($"s_stat" < 0, $"s_stat" + 1).otherwise(lit(0L))
+      .cast("double") / sqrt($"var18".cast("double") / lit(18.0)) * 1000000
+    nd.join(ties, "event_type")
+      .select($"event_type", $"n_days",
+        ($"n_days" * ($"n_days" - 1) * (lit(2) * $"n_days" + 5) - $"tie_sum")
+          .as("var18"))
+      .join(sStat, "event_type")
+      .filter($"var18" > 0)
+      .select($"event_type", $"n_days", $"s_stat".cast("long").as("s_stat"),
+        $"var18".cast("long").as("var18"),
+        floor(zRaw).cast("long").as("z_micros"),
+        (abs(floor(zRaw).cast("long")) >= 1960000L).as("significant"))
+      .orderBy($"event_type")
+  }
+
+  val qMannKendall: Spec = Spec(
+    "ev_mann_kendall",
+    oracle = Some(mannKendallOracleSql)) { (s, dir) =>
+    import s.implicits._
+    val dayNs = 86400L * 1000 * 1000 * 1000
+    mannKendallOverGrid(load(s, dir)
+      .groupBy($"event_type", expr(s"ts div $dayNs").as("d"))
+      .agg(count(lit(1)).as("c")))
+  }
+
   /** INCREMENTAL DBSCAN: the corpus (user_id % 10 != 0) is clustered
     * once — that [[graft.ops.Density.DbscanState]] is the persisted
     * state — and the daily batch (user_id % 10 = 0) merges in touching
@@ -3785,7 +3885,8 @@ object Events {
     qPathAnalysis, qSeasonalAnomaly, qStickiness, qBounceRate,
     qUserConcentration, qInterArrival, qAttribution, qAttributionDecay,
     qRfm, qEntryExit, qAcfDaily, qLjungBox, qPacfDaily, qGrangerPairs, qCusumChangepoint, qGapFill, qDbscanUsers,
-    qConcurrencyHourly, qDbscanIncremental, qTheilSen, qSurvivalKm, qLogrank,
+    qConcurrencyHourly, qDbscanIncremental, qTheilSen, qMannKendall,
+    qSurvivalKm, qLogrank,
     qTwoProportionAb,
     qZorderLayout, qHoltForecast, qSlidingDistinct, qHaarDaily, qAmsF2,
     qBurstViterbi, qHoltWinters, qChi2Weekday)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
-import graft.ops.TDigest
+import graft.ops.{Hll, TDigest}
 
 /** Star-schema relational operators (SURVEY §2.2-§2.7): aggregation,
   * equi-joins (broadcast + shuffle), semi/anti joins, windows, top-k,
@@ -1642,6 +1642,98 @@ object Relational {
       .orderBy(col("nation"), col("month"))
   }
 
+  /** HLL distinct-order estimate per returnflag from 256 explicit
+    * registers ([[graft.ops.Hll]]) — one hash-aggregate over (flag, reg)
+    * whose shuffle carries at most m rows per group regardless of input
+    * scale, then a 256-row-per-group fold: the constant-state
+    * mergeable-distinct workhorse for 100 TB shard counting. The oracle
+    * replays the ESTIMATE exactly (md5-derived registers; see Hll's
+    * float-exactness argument). Exact distinct shipped alongside so the
+    * row documents the observed error (~2-6% at m=256). */
+  val qHllDistinct: Spec = Spec(
+    "q_hll_distinct",
+    bench = true, // r12 sketch-family row: register build is one fact scan
+    oracle = Some(s"""
+      WITH regs AS ${Hll.regSql("l_returnflag", "l_orderkey", "lineitem", "l_returnflag")},
+      est AS (${Hll.estSql("l_returnflag")})
+      SELECT e.l_returnflag, e.nonzero_regs, e.zeros, e.used_linear,
+        e.est_distinct, x.exact_distinct
+      FROM est e JOIN (SELECT l_returnflag,
+          CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct
+        FROM lineitem GROUP BY l_returnflag) x USING (l_returnflag)
+      ORDER BY e.l_returnflag""")) { (s, dir) =>
+    import s.implicits._
+    val li = Tables.load(s, dir, "lineitem")
+    val regs = Hll.registers(li, Seq("l_returnflag"), $"l_orderkey")
+    val est = Hll.estimate(regs, Seq("l_returnflag"))
+    val exact = li.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_orderkey").as("exact_distinct"))
+    est.join(exact, "l_returnflag")
+      .select($"l_returnflag", $"nonzero_regs", $"zeros", $"used_linear",
+        $"est_distinct", $"exact_distinct")
+      .orderBy($"l_returnflag")
+  }
+
+  /** HLL MERGEABILITY: registers from two overlapping shards
+    * (l_linenumber parity) union by ELEMENTWISE MAX — the property that
+    * makes HLL the cross-shard distinct sketch (ship 256 bytes per
+    * shard, never re-scan); intersection via inclusion-exclusion.
+    * Exact counts shipped alongside: the union estimate and the
+    * from-merged-registers estimate are THE SAME NUMBER by construction
+    * (max is associative), which the oracle replays. */
+  val qHllUnion: Spec = Spec(
+    "q_hll_union",
+    oracle = Some(s"""
+      WITH regs AS ${Hll.regSql(
+        "l_linenumber % 2 AS shard", "l_orderkey", "lineitem", "shard")},
+      merged AS (SELECT 'u' AS shard_key, reg, MAX(mr) AS mr FROM regs GROUP BY reg
+        UNION ALL SELECT CAST(shard AS VARCHAR), reg, mr FROM regs),
+      est AS (${Hll.estSql("shard_key", "merged")}),
+      p AS (SELECT
+          MAX(CASE WHEN shard_key = '0' THEN est_distinct END) AS est_a,
+          MAX(CASE WHEN shard_key = '1' THEN est_distinct END) AS est_b,
+          MAX(CASE WHEN shard_key = 'u' THEN est_distinct END) AS est_union
+        FROM est),
+      x AS (SELECT
+          CAST(COUNT(DISTINCT CASE WHEN l_linenumber % 2 = 0 THEN l_orderkey END) AS BIGINT) AS exact_a,
+          CAST(COUNT(DISTINCT CASE WHEN l_linenumber % 2 = 1 THEN l_orderkey END) AS BIGINT) AS exact_b,
+          CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_union
+        FROM lineitem)
+      SELECT p.est_a, p.est_b, p.est_union,
+        ROUND(p.est_a + p.est_b - p.est_union, 4) AS est_intersection,
+        x.exact_a, x.exact_b, x.exact_union,
+        CAST(x.exact_a + x.exact_b - x.exact_union AS BIGINT) AS exact_intersection
+      FROM p CROSS JOIN x""")) { (s, dir) =>
+    import s.implicits._
+    val li = Tables.load(s, dir, "lineitem")
+    val regs = li
+      .select(($"l_linenumber" % 2).cast("string").as("shard_key"),
+        Hll.regRho($"l_orderkey").as("rr"))
+      .groupBy($"shard_key", $"rr.reg".as("reg"))
+      .agg(max($"rr.rho").as("mr"))
+      .localCheckpoint() // per-shard registers feed both shard + union ests
+    val merged = regs.groupBy($"reg").agg(max($"mr").as("mr"))
+      .select(lit("u").as("shard_key"), $"reg", $"mr")
+    val est = Hll.estimate(regs.unionByName(merged), Seq("shard_key"))
+      .select($"shard_key", $"est_distinct")
+    val p = est.groupBy().agg(
+      max(when($"shard_key" === "0", $"est_distinct")).as("est_a"),
+      max(when($"shard_key" === "1", $"est_distinct")).as("est_b"),
+      max(when($"shard_key" === "u", $"est_distinct")).as("est_union"))
+    val x = li.agg(
+      countDistinct(when($"l_linenumber" % 2 === 0, $"l_orderkey"))
+        .as("exact_a"),
+      countDistinct(when($"l_linenumber" % 2 === 1, $"l_orderkey"))
+        .as("exact_b"),
+      countDistinct($"l_orderkey").as("exact_union"))
+    p.crossJoin(broadcast(x))
+      .select($"est_a", $"est_b", $"est_union",
+        round($"est_a" + $"est_b" - $"est_union", 4).as("est_intersection"),
+        $"exact_a", $"exact_b", $"exact_union",
+        ($"exact_a" + $"exact_b" - $"exact_union").cast("long")
+          .as("exact_intersection"))
+  }
+
   val specs: Seq[Spec] = Seq(
     q1PricingSummary, q3TopOrders, q5RegionRevenue, q4LateShipments,
     qAntiCustomers, qTopPartsPerBrand, qRunningSupplier, qSetOps,
@@ -1651,5 +1743,6 @@ object Relational {
     qBenford, qSkewReport, qConsistentSample, qRollingMedian, qBucketedJoin,
     qZorderCluster, qMergeUpsert, qScd2History, qExpectations,
     qSkylineParts, qKAnonymity, qIncrMv, qIncrJoinMv, qMarketBasket,
-    qTdigest, qExactQuantile2Pass, qTopKRewritten, qArgmaxRewritten)
+    qTdigest, qExactQuantile2Pass, qTopKRewritten, qArgmaxRewritten,
+    qHllDistinct, qHllUnion)
 }

@@ -1333,6 +1333,32 @@ object Similarity {
     * frame exactly like the PageRank loop. Deterministic end-to-end:
     * synchronous updates + integer tie-breaks, so 3 rounds produce
     * identical labels in both engines, oscillation or not. */
+  /** The 3 synchronous LP rounds shared by [[eLabelPropagation]] and
+    * [[eModularity]]: returns (vec_id, label) with the input `edges`
+    * frame already checkpointed by the caller. Modal incoming label per
+    * round via max(struct(count, -label)) — a partial-aggregatable
+    * reduction, no per-dst window sort. */
+  private[graft] def lpLabels(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    import nodes.sparkSession.implicits._
+    var lab = nodes.select($"vec_id", $"vec_id".as("label"))
+    for (_ <- 1 to 3) {
+      val counts = edges
+        .join(lab.withColumnRenamed("vec_id", "src"), Seq("src"))
+        .groupBy($"dst", $"label").agg(count(lit(1)).as("c"))
+      val top = counts
+        .groupBy($"dst")
+        .agg(max(struct($"c", (-$"label").as("neg"))).as("m"))
+        .select($"dst".as("vec_id"), (-$"m.neg").as("label"))
+      val prev = lab
+      lab = nodes
+        .join(top, Seq("vec_id"), "left")
+        .select($"vec_id", coalesce($"label", $"vec_id").as("label"))
+        .localCheckpoint()
+      graft.ops.Checkpoints.unpersist(prev)
+    }
+    lab
+  }
+
   val eLabelPropagation: Spec = Spec(
     "e_label_propagation",
     oracle = Some(s"""
@@ -1362,28 +1388,119 @@ object Similarity {
       .unionAll(ver.select($"id_b".as("src"), $"id_a".as("dst")))
       .localCheckpoint() // reused every round
     val nodes = emb.select($"vec_id")
-    var lab = nodes.select($"vec_id", $"vec_id".as("label"))
-    for (_ <- 1 to 3) {
-      val counts = edges
-        .join(lab.withColumnRenamed("vec_id", "src"), Seq("src"))
-        .groupBy($"dst", $"label").agg(count(lit(1)).as("c"))
-      // modal label, ties → min: lexicographic max over (count, -label)
-      // — a plain partial-aggregatable reduction, no per-dst window
-      val top = counts
-        .groupBy($"dst")
-        .agg(max(struct($"c", (-$"label").as("neg"))).as("m"))
-        .select($"dst".as("vec_id"), (-$"m.neg").as("label"))
-      val prev = lab
-      lab = nodes
-        .join(top, Seq("vec_id"), "left")
-        .select($"vec_id", coalesce($"label", $"vec_id").as("label"))
-        .localCheckpoint()
-      graft.ops.Checkpoints.unpersist(prev)
-    }
+    val lab = lpLabels(nodes, edges)
     val sz = lab.groupBy($"label").agg(count(lit(1)).as("community_size"))
     lab.join(sz, Seq("label"))
       .select($"vec_id", $"label".as("community"), $"community_size")
       .orderBy($"vec_id")
+  }
+
+  /** Newman-Girvan MODULARITY of the label-propagation partition over
+    * the same LSH-verified similarity graph — the partition-QUALITY
+    * number that tells a curation pipeline whether LPA's communities
+    * are structure or noise (Q ≈ 0: no better than random given the
+    * degree sequence; Q ≳ 0.3: real structure). Per community c:
+    * Q_c = L_c/m − (D_c/2m)², reported in exact floor-micros via the
+    * all-integer identity Q_c·m₂² = intra₂_c·m₂ − D_c² (m₂ = 2m
+    * directed edges, intra₂_c = 2L_c): products stay exact 128-bit
+    * integers (safe to m₂ ≈ 10¹⁹), and the two double casts happen on
+    * each factor SEPARATELY before the one float division. Q_total is
+    * the same identity over the summed numerator — exactly Σ Q_c, not
+    * a float sum of rounded terms.
+    *
+    * Scale shape: three hash-aggregates over the edge frame (total
+    * count, per-src degree, same-label count after two label joins) +
+    * one over labels — every join is keyed on vec_id/label, nothing
+    * quadratic, no driver state. Reuses [[lpLabels]] so the partition
+    * is bit-identical to e_label_propagation's. */
+  val eModularity: Spec = Spec(
+    "e_modularity",
+    oracle = Some(s"""
+      WITH ${lshCandCtes},
+      ver AS (SELECT c.ida, c.idb FROM cand c
+        JOIN embeddings a ON a.vec_id = c.ida
+        JOIN embeddings b ON b.vec_id = c.idb
+        WHERE a.label = b.label
+          AND ${cosSql("a.embedding", "b.embedding")} >= 0.2),
+      edges AS (SELECT ida AS src, idb AS dst FROM ver
+        UNION ALL SELECT idb, ida FROM ver),
+      nodes AS (SELECT vec_id FROM embeddings),
+      lp0 AS (SELECT vec_id, vec_id AS label FROM nodes),
+      ${lpStepCte(1)},
+      ${lpStepCte(2)},
+      ${lpStepCte(3)},
+      m2 AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m2 FROM edges),
+      el AS (SELECT ls.label AS la, ld.label AS lb
+        FROM edges e JOIN lp3 ls ON ls.vec_id = e.src
+        JOIN lp3 ld ON ld.vec_id = e.dst),
+      intra AS (SELECT la AS label, CAST(COUNT(*) AS HUGEINT) AS intra2
+        FROM el WHERE la = lb GROUP BY la),
+      degl AS (SELECT l.label, CAST(COUNT(*) AS HUGEINT) AS dsum
+        FROM edges e JOIN lp3 l ON l.vec_id = e.src GROUP BY l.label),
+      sz AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS size FROM lp3
+        GROUP BY label),
+      per AS (SELECT s.label, s.size,
+          COALESCE(i.intra2, 0) AS intra2, COALESCE(g.dsum, 0) AS dsum,
+          COALESCE(i.intra2, 0) * m.m2 - COALESCE(g.dsum, 0) * COALESCE(g.dsum, 0) AS qnum,
+          m.m2
+        FROM sz s LEFT JOIN intra i ON i.label = s.label
+        LEFT JOIN degl g ON g.label = s.label CROSS JOIN m2 m),
+      tot AS (SELECT SUM(qnum) AS tnum FROM per)
+      SELECT CAST(p.label AS BIGINT) AS community, p.size,
+        CAST(p.intra2 // 2 AS BIGINT) AS intra_edges,
+        CAST(p.dsum AS BIGINT) AS degree_sum,
+        CAST(FLOOR(CAST(p.qnum AS DOUBLE)
+          / (CAST(p.m2 AS DOUBLE) * CAST(p.m2 AS DOUBLE))
+          * 1000000) AS BIGINT) AS q_micros,
+        CAST(FLOOR(CAST(t.tnum AS DOUBLE)
+          / (CAST(p.m2 AS DOUBLE) * CAST(p.m2 AS DOUBLE))
+          * 1000000) AS BIGINT) AS q_total_micros
+      FROM per p CROSS JOIN tot t
+      WHERE p.m2 > 0
+      ORDER BY community""")) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val ver = lshLabelEdges(emb, threshold = 0.2)
+    val edges = ver.select($"id_a".as("src"), $"id_b".as("dst"))
+      .unionAll(ver.select($"id_b".as("src"), $"id_a".as("dst")))
+      .localCheckpoint() // LP rounds + three modularity aggregates share it
+    val lab = lpLabels(emb.select($"vec_id"), edges).localCheckpoint()
+    val m2 = edges.agg(count(lit(1)).cast("decimal(38,0)").as("m2"))
+    val el = edges
+      .join(lab.select($"vec_id".as("src"), $"label".as("la")), Seq("src"))
+      .join(lab.select($"vec_id".as("dst"), $"label".as("lb")), Seq("dst"))
+    val intra = el.filter($"la" === $"lb")
+      .groupBy($"la".as("label"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("intra2"))
+    val degl = edges
+      .join(lab.select($"vec_id".as("src"), $"label"), Seq("src"))
+      .groupBy($"label").agg(count(lit(1)).cast("decimal(38,0)").as("dsum"))
+    val sz = lab.groupBy($"label").agg(count(lit(1)).as("size"))
+    val zeroD = lit(0).cast("decimal(38,0)")
+    val per = sz
+      .join(intra, Seq("label"), "left")
+      .join(degl, Seq("label"), "left")
+      .crossJoin(broadcast(m2))
+      .select($"label", $"size",
+        coalesce($"intra2", zeroD).as("intra2"),
+        coalesce($"dsum", zeroD).as("dsum"),
+        (coalesce($"intra2", zeroD) * $"m2" -
+          coalesce($"dsum", zeroD) * coalesce($"dsum", zeroD)).as("qnum"),
+        $"m2")
+      .localCheckpoint() // per-community rows feed both Q_c and Q_total
+    val tot = per.agg(sum($"qnum").as("tnum"))
+    per.crossJoin(broadcast(tot))
+      .filter($"m2" > 0)
+      .select($"label".cast("long").as("community"), $"size",
+        expr("cast(intra2 div 2 as long)").as("intra_edges"),
+        $"dsum".cast("long").as("degree_sum"),
+        floor($"qnum".cast("double")
+          / ($"m2".cast("double") * $"m2".cast("double"))
+          * 1000000).cast("long").as("q_micros"),
+        floor($"tnum".cast("double")
+          / ($"m2".cast("double") * $"m2".cast("double"))
+          * 1000000).cast("long").as("q_total_micros"))
+      .orderBy($"community")
   }
 
   /** One power-iteration oracle round: 9dp-rounded scores summed per
@@ -1775,6 +1892,7 @@ object Similarity {
     * equal candidate budget. */
   val eKnnHnsw: Spec = Spec(
     "e_knn_hnsw",
+    bench = true, // r12 headline row: graph-ANN build+serve regression guard
     oracle = Some(s"""
       WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 40 = 1),
       scored AS (
@@ -2516,7 +2634,7 @@ object Similarity {
     eKnnIvfMultiprobe, eKnnPq, eKnnIvfPq, eBitextMine, eEmbeddingOutliers,
     eKnnIvfPqProbe, eNearDupClusters, eKnnMatryoshka, eMmrRerank,
     eClusterSummary, ePagerankCentrality, eTriangleCount, eClusteringCoeff,
-    eLabelPropagation,
+    eLabelPropagation, eModularity,
     eEigenCentrality, eLinkPrediction, eKcorePeel, eSemdedup,
     eSemdedupIncremental, ePcaProjection, ePca2d, eCentroidDrift,
     eMutualKnn, eSilhouette, eBfsHops, ePprSeeded)

@@ -814,6 +814,20 @@ object StreamingQ {
       StreamOps.dailyTypeCounts(s, dir, sink = "st_ljung_mem")))
   }
 
+  /** STREAMING Mann-Kendall: the watermarked per-(type, day) count grid
+    * (the same bounded sufficient statistic the CUSUM/Holt/Ljung-Box
+    * monitors consume) with the trend-significance fold
+    * ([[Events.mannKendallOverGrid]]) as a batch view over that state —
+    * sharing the exact oracle with ev_mann_kendall. No spine fill: MK
+    * pairs observed days only, matching the batch form. */
+  val stMannKendall: Spec = Spec(
+    "st_mann_kendall",
+    oracle = Some(Events.mannKendallOracleSql)) { (s, dir) =>
+    Events.mannKendallOverGrid(
+      StreamOps.dailyTypeCounts(s, dir, sink = "st_mk_mem")
+        .withColumnRenamed("cnt", "c"))
+  }
+
   /** STREAMING Holt forecast: the watermarked stream maintains the
     * bounded per-(type, day) count grid (the same sufficient statistic
     * the CUSUM monitor consumes); the level/trend fold and the 7-day
@@ -868,6 +882,44 @@ object StreamingQ {
     Events.amsOverBitSums(
       StreamOps.amsBitSums(s, dir),
       Events.load(s, dir))
+  }
+
+  /** STREAMING HLL: the per-(event_type) distinct user-day sketch (the
+    * DAU primitive every serving layer keeps) as a complete-mode
+    * register aggregation — 256 state rows per type for an unbounded
+    * stream, merged across batches by elementwise max; the estimate
+    * fold ([[graft.ops.Hll.estimate]]) is a batch view over that
+    * bounded state. The oracle replays the md5-derived registers over
+    * the batch table, so the ESTIMATE hash-matches (the stream/batch
+    * equality is HLL mergeability itself); exact distinct shipped
+    * alongside. */
+  val stHllUsers: Spec = Spec(
+    "st_hll_users",
+    oracle = Some(s"""
+      WITH regs AS ${graft.ops.Hll.regSql(
+        "event_type",
+        "user_id || '|' || strftime(ts, '%Y-%m-%d')", "events", "event_type")},
+      est AS (${graft.ops.Hll.estSql("event_type")})
+      SELECT e.event_type, e.nonzero_regs, e.zeros, e.used_linear,
+        e.est_distinct, x.exact_distinct
+      FROM est e JOIN (SELECT event_type,
+          CAST(COUNT(DISTINCT user_id || '|' || strftime(ts, '%Y-%m-%d')) AS BIGINT)
+            AS exact_distinct
+        FROM events GROUP BY event_type) x USING (event_type)
+      ORDER BY e.event_type""")) { (s, dir) =>
+    import s.implicits._
+    val regs = StreamOps.hllUserDayRegisters(s, dir)
+    val exact = Events.load(s, dir).select($"event_type",
+        concat($"user_id".cast("string"), lit("|"),
+          date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd"))
+          .as("user_day"))
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_day").as("exact_distinct"))
+    graft.ops.Hll.estimate(regs, Seq("event_type"))
+      .join(exact, "event_type")
+      .select($"event_type", $"nonzero_regs", $"zeros", $"used_linear",
+        $"est_distinct", $"exact_distinct")
+      .orderBy($"event_type")
   }
 
   /** STREAMING burst detection: the same watermarked per-(type, day)
@@ -1264,5 +1316,6 @@ object StreamingQ {
     stSeasonal, stPath, stNsfwRollup, stEntryExit, stAttribution,
     stQualityMonitor, stAttributionDecay, stCusum, stLjungBox,
     stGrangerPairs, stPacfDaily, stGapFill, stDbscan,
-    stHoltForecast, stAmsF2, stTdigest, stBurstViterbi, stHoltWinters)
+    stHoltForecast, stAmsF2, stTdigest, stBurstViterbi, stHoltWinters,
+    stHllUsers, stMannKendall)
 }

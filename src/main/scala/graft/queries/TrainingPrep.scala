@@ -1854,6 +1854,157 @@ object TrainingPrep {
       .orderBy($"source")
   }
 
+  /** Kendall's τ-b (tie-corrected) between document char length and
+    * token count, per source — the third rank-correlation lens next to
+    * [[dSpearmanLengths]] (ρ weights by rank distance; τ counts pair
+    * inversions, the more robust effect size under heavy ties, Kendall
+    * '45 form). Computed via the CONTINGENCY-TABLE identity, never a
+    * pair scan over rows: one hash-aggregate collapses the corpus to
+    * (source, x, y, count) cells, and concordant/discordant mass is a
+    * cell-pair join — O(c²) where c is bounded by the VALUE-DOMAIN
+    * product (metric cardinality), not corpus size, which is what makes
+    * exact τ feasible at 100 TB where the textbook O(n²) pair count
+    * (or even the O(n log n) sort-based inversion count, which needs a
+    * global sort per group) is not. All pair masses are exact 128-bit
+    * integers; doubled tie identities (n₀₂ = n(n−1), T₂ = Σ nₓ(nₓ−1))
+    * avoid halving until the one float division:
+    * τ = 2(P−Q)/√((n₀₂−Tx₂)(n₀₂−Ty₂)), floor-microed. The two √ inputs
+    * are cast to double SEPARATELY before multiplying (their product
+    * overflows 128-bit at n ≈ 10¹²; each factor alone is safe to
+    * n ≈ 10¹⁹). Zero-variance sources drop out on both engines. */
+  val dKendallTau: Spec = Spec(
+    "d_kendall_tau",
+    oracle = Some("""
+      WITH d AS (SELECT source, n_chars AS x,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+        FROM documents),
+      cells AS (SELECT source, x, y, CAST(COUNT(*) AS HUGEINT) AS c
+        FROM d GROUP BY 1, 2, 3),
+      pq AS (SELECT a.source,
+          SUM(CASE WHEN a.y < b.y THEN a.c * b.c ELSE 0 END) AS conc,
+          SUM(CASE WHEN a.y > b.y THEN a.c * b.c ELSE 0 END) AS disc
+        FROM cells a JOIN cells b
+          ON a.source = b.source AND a.x < b.x AND a.y <> b.y
+        GROUP BY a.source),
+      nn AS (SELECT source, CAST(COUNT(*) AS HUGEINT) AS n FROM d
+        GROUP BY source),
+      tx AS (SELECT source, SUM(nv * (nv - 1)) AS t2 FROM
+          (SELECT source, CAST(COUNT(*) AS HUGEINT) AS nv FROM d
+           GROUP BY source, x) GROUP BY source),
+      ty AS (SELECT source, SUM(nv * (nv - 1)) AS t2 FROM
+          (SELECT source, CAST(COUNT(*) AS HUGEINT) AS nv FROM d
+           GROUP BY source, y) GROUP BY source),
+      cc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_cells FROM cells
+        GROUP BY source)
+      SELECT n.source, CAST(n.n AS BIGINT) AS n, cc.n_cells,
+        CAST(COALESCE(p.conc, 0) AS BIGINT) AS concordant,
+        CAST(COALESCE(p.disc, 0) AS BIGINT) AS discordant,
+        CAST(FLOOR(
+          CAST(2 * (COALESCE(p.conc, 0) - COALESCE(p.disc, 0)) AS DOUBLE)
+          / sqrt(CAST(n.n * (n.n - 1) - t1.t2 AS DOUBLE)
+               * CAST(n.n * (n.n - 1) - t2.t2 AS DOUBLE))
+          * 1000000) AS BIGINT) AS tau_micros
+      FROM nn n JOIN tx t1 USING (source) JOIN ty t2 USING (source)
+      JOIN cc USING (source) LEFT JOIN pq p USING (source)
+      WHERE n.n * (n.n - 1) - t1.t2 > 0 AND n.n * (n.n - 1) - t2.t2 > 0
+      ORDER BY n.source""")) { (s, dir) =>
+    import s.implicits._
+    val d = docs(s, dir).select($"source", $"n_chars".as("x"),
+      size(split($"text", " ", -1)).cast("long").as("y"))
+    val cells = d.groupBy($"source", $"x", $"y")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("c"))
+      .localCheckpoint() // pair join + cell count share one tiny frame
+    val pq = cells.select($"source", $"x".as("x1"), $"y".as("y1"), $"c".as("c1"))
+      .join(cells.select($"source", $"x".as("x2"), $"y".as("y2"), $"c".as("c2")),
+        Seq("source"))
+      .filter($"x1" < $"x2" && $"y1" =!= $"y2")
+      .groupBy($"source").agg(
+        sum(when($"y1" < $"y2", $"c1" * $"c2")
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("conc"),
+        sum(when($"y1" > $"y2", $"c1" * $"c2")
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("disc"))
+    val nn = d.groupBy($"source")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"))
+    def ties(vcol: String): DataFrame = d
+      .groupBy($"source", col(vcol))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("nv"))
+      .groupBy($"source").agg(sum($"nv" * ($"nv" - 1)).as("t2"))
+    val ncells = cells.groupBy($"source").agg(count(lit(1)).as("n_cells"))
+    val zeroD = lit(0).cast("decimal(38,0)")
+    val joined = nn
+      .join(ties("x").withColumnRenamed("t2", "tx2"), "source")
+      .join(ties("y").withColumnRenamed("t2", "ty2"), "source")
+      .join(ncells, "source")
+      .join(pq, Seq("source"), "left")
+      .select($"source", $"n", $"n_cells",
+        coalesce($"conc", zeroD).as("conc"),
+        coalesce($"disc", zeroD).as("disc"), $"tx2", $"ty2")
+    joined
+      .filter($"n" * ($"n" - 1) - $"tx2" > 0 && $"n" * ($"n" - 1) - $"ty2" > 0)
+      .select($"source", $"n".cast("long").as("n"), $"n_cells",
+        $"conc".cast("long").as("concordant"),
+        $"disc".cast("long").as("discordant"),
+        floor((lit(2) * ($"conc" - $"disc")).cast("double")
+          / sqrt(($"n" * ($"n" - 1) - $"tx2").cast("double")
+               * ($"n" * ($"n" - 1) - $"ty2").cast("double"))
+          * 1000000).cast("long").as("tau_micros"))
+      .orderBy($"source")
+  }
+
+  /** Mutual information between language and source (nats) — the
+    * corpus-profile DEPENDENCE number: how much knowing a document's
+    * source tells you about its language (0 ⟺ independent mixture;
+    * high MI ⟺ sources are language silos, which changes how a
+    * per-source sampling budget interacts with language balance). The
+    * G-test statistic is 2n·MI, so this row doubles as the
+    * log-likelihood-ratio independence test next to the chi-squared
+    * family (ev_chi2_weekday). Float discipline: one ln + one multiply
+    * per CELL with every factor cast to double SEPARATELY (nᵢ·nⱼ would
+    * overflow 64-bit at n ≈ 10¹²), each term rounded to 9dp and summed
+    * as DECIMAL — aggregation-order-free, the PageRank-contribution
+    * discipline. Scale shape: the corpus collapses to a contingency
+    * table bounded by |langs|×|sources|, never re-scanned. */
+  val dLangSourceMi: Spec = Spec(
+    "d_lang_source_mi",
+    oracle = Some("""
+      WITH d AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS nij
+        FROM documents GROUP BY 1, 2),
+      nl AS (SELECT lang, CAST(SUM(nij) AS BIGINT) AS ni FROM d GROUP BY 1),
+      ns AS (SELECT source, CAST(SUM(nij) AS BIGINT) AS nj FROM d GROUP BY 1),
+      nn AS (SELECT CAST(SUM(nij) AS BIGINT) AS n FROM d),
+      t AS (SELECT d.lang, d.source, d.nij,
+          CAST(ROUND((CAST(d.nij AS DOUBLE) / CAST(nn.n AS DOUBLE)) *
+            ln((CAST(d.nij AS DOUBLE) * CAST(nn.n AS DOUBLE))
+              / (CAST(nl.ni AS DOUBLE) * CAST(ns.nj AS DOUBLE))), 9)
+            AS DECIMAL(18,9)) AS t
+        FROM d JOIN nl USING (lang) JOIN ns USING (source) CROSS JOIN nn),
+      tot AS (SELECT SUM(t) AS mi FROM t)
+      SELECT t.lang, t.source, t.nij, CAST(t.t AS DOUBLE) AS mi_term,
+        CAST(tot.mi AS DOUBLE) AS mi_nats
+      FROM t CROSS JOIN tot
+      ORDER BY t.lang, t.source""")) { (s, dir) =>
+    import s.implicits._
+    val d = docs(s, dir).groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("nij"))
+      .localCheckpoint() // contingency table: marginals + terms share it
+    val nl = d.groupBy($"lang").agg(sum($"nij").as("ni"))
+    val ns = d.groupBy($"source").agg(sum($"nij").as("nj"))
+    val nn = d.agg(sum($"nij").as("n"))
+    val terms = d.join(nl, "lang").join(ns, "source")
+      .crossJoin(broadcast(nn))
+      .select($"lang", $"source", $"nij",
+        round(($"nij".cast("double") / $"n".cast("double")) *
+          log(($"nij".cast("double") * $"n".cast("double"))
+            / ($"ni".cast("double") * $"nj".cast("double"))), 9)
+          .cast("decimal(18,9)").as("t"))
+      .localCheckpoint() // cell terms feed both the rows and the total
+    val tot = terms.agg(sum($"t").as("mi"))
+    terms.crossJoin(broadcast(tot))
+      .select($"lang", $"source", $"nij", $"t".cast("double").as("mi_term"),
+        $"mi".cast("double").as("mi_nats"))
+      .orderBy($"lang", $"source")
+  }
+
   /** One-way ANOVA F of document length across sources — the
     * parametric complement of [[dKruskalWallis]] (mean shifts vs rank
     * shifts; a profile reports both). Everything up to the final
@@ -2777,5 +2928,5 @@ object TrainingPrep {
     dSourceDivergence, dDistributionMatch, dQualityClassifier, dDsirWeights,
     dKneserNey, dMannWhitney, dKruskalWallis, dSpearmanLengths,
     dAnovaLengths, dMadLengths, dIsotonicCalibration, dEffectSizes,
-    dGiniLengths)
+    dGiniLengths, dKendallTau, dLangSourceMi)
 }

@@ -280,6 +280,25 @@ object StreamOps {
     runToTable(s, graft.queries.Events.amsBitSumsAgg(eventsStream(s, dir)),
       sink, "complete")
 
+  /** HLL registers as STREAMING state: the per-(event_type) distinct
+    * user-day sketch ([[graft.ops.Hll]]) maintained as a complete-mode
+    * (type, reg) max-rho aggregation — at most 256 state rows per type
+    * no matter how long the stream runs (the registers ARE the state
+    * bound; they merge across batches by elementwise max exactly as
+    * across shards). The estimate fold runs as a batch view over that
+    * bounded state (st_hll_users). */
+  def hllUserDayRegisters(s: SparkSession, dir: String,
+      sink: String = "st_hll_mem"): DataFrame = {
+    val keyed = eventsStream(s, dir).select(
+      col("event_type"),
+      concat(col("user_id").cast("string"), lit("|"),
+        date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd"))
+        .as("user_day"))
+    runToTable(s,
+      graft.ops.Hll.registers(keyed, Seq("event_type"), col("user_day")),
+      sink, "complete")
+  }
+
   /** t-digest quantiles as STREAMING state: the mergeable sketch
     * ([[graft.ops.TDigest]]) runs inside a complete-mode per-type
     * aggregation — state per group is one digest (≤ δ centroids no

@@ -62,4 +62,39 @@ class GraphsSpec extends AnyFunSuite {
     }
     info(s"hub wedge curve (k -> wedges): ${curve.mkString(", ")}")
   }
+
+  test("e_modularity == brute Newman-Girvan Q over the same LP partition") {
+    // independent recomputation: collect the LSH graph + LP labels the
+    // query builds, compute Q per community driver-side with the same
+    // float discipline, compare floor-micros exactly
+    val emb = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+    val ver = graft.queries.Similarity.lshLabelEdges(emb, threshold = 0.2)
+    val edges = ver.select($"id_a".as("src"), $"id_b".as("dst"))
+      .unionAll(ver.select($"id_b".as("src"), $"id_a".as("dst")))
+      .localCheckpoint()
+    val lab = graft.queries.Similarity
+      .lpLabels(emb.select($"vec_id"), edges)
+      .as[(Long, Long)].collect().toMap
+    val es = edges.as[(Long, Long)].collect()
+    val m2 = es.length.toDouble
+    val intra2 = es.filter { case (s, d) => lab(s) == lab(d) }
+      .groupBy { case (s, _) => lab(s) }.view.mapValues(_.length.toLong).toMap
+    val dsum = es.groupBy { case (s, _) => lab(s) }
+      .view.mapValues(_.length.toLong).toMap
+    val expected = lab.values.toSeq.distinct.map { c =>
+      val num = intra2.getOrElse(c, 0L).toDouble * m2 -
+        dsum.getOrElse(c, 0L).toDouble * dsum.getOrElse(c, 0L).toDouble
+      c -> math.floor(num / (m2 * m2) * 1000000).toLong
+    }.toMap
+    val got = graft.queries.Similarity.eModularity
+      .fn(spark, TestSpark.Sf)
+      .select($"community", $"q_micros", $"q_total_micros")
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(_._1).toSet == expected.keySet)
+    for ((c, q, _) <- got) assert(q == expected(c), s"community $c")
+    // Q_total is the exact-integer sum, identical on every row, in range
+    val totals = got.map(_._3).distinct
+    assert(totals.length == 1 && totals.head >= -1000000 && totals.head <= 1000000)
+    info(s"modularity of LP partition at sf0.001: Q_total_micros=${totals.head}")
+  }
 }

@@ -108,4 +108,54 @@ class SignalSpec extends AnyFunSuite {
     assert(math.abs(ar1(0) - 0.6) < 1e-12)
     (1 until 7).foreach(k => assert(math.abs(ar1(k)) < 1e-9, s"lag ${k + 1}"))
   }
+
+  test("Mann-Kendall: ev_mann_kendall == brute S/Var18/z over the same day grid") {
+    // independent recomputation of the pair statistic, tie correction
+    // and continuity-corrected z, down to the exact floor-micro
+    val dayNs = 86400L * 1000 * 1000 * 1000
+    val daily = Events.load(spark, TestSpark.Sf)
+      .groupBy($"event_type", expr(s"ts div $dayNs").as("d"))
+      .agg(count(lit(1)).as("c"))
+      .as[(String, Long, Long)].collect().toSeq.groupBy(_._1)
+    val expected = daily.flatMap { case (et, rs) =>
+      val cs = rs.sortBy(_._2).map(_._3)
+      val n = cs.size.toLong
+      var s = 0L
+      for (i <- cs.indices; j <- (i + 1) until cs.size)
+        s += cs(j).compare(cs(i)).sign
+      val tieSum = cs.groupBy(identity).values
+        .map(g => { val t = g.size.toLong; t * (t - 1) * (2 * t + 5) }).sum
+      val var18 = n * (n - 1) * (2 * n + 5) - tieSum
+      if (var18 <= 0) None
+      else {
+        val num = if (s > 0) s - 1 else if (s < 0) s + 1 else 0L
+        val z = num.toDouble / math.sqrt(var18.toDouble / 18.0) * 1000000
+        Some(et -> (n, s, var18, math.floor(z).toLong))
+      }
+    }
+    val got = Events.qMannKendall.fn(spark, TestSpark.Sf)
+      .select($"event_type", $"n_days", $"s_stat", $"var18", $"z_micros")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(got.keySet == expected.keySet && got.nonEmpty)
+    for ((et, exp) <- expected) assert(got(et) == exp, s"type $et")
+  }
+
+  test("Mann-Kendall: planted monotone series is significant, constant series drops out") {
+    // strictly increasing counts: S = n(n-1)/2, z >> 1.96 at n = 40
+    val n = 40
+    val inc = (0 until n).map(i => ("inc", i.toLong, (100 + 3 * i).toLong))
+    val flat = (0 until n).map(i => ("flat", i.toLong, 100L)) // var18 = 0
+    val daily = (inc ++ flat).toDF("event_type", "d", "c")
+    // replay the query's math over a hand-built grid
+    val s = daily.filter($"event_type" === "inc").as[(String, Long, Long)]
+      .collect().sortBy(_._2).map(_._3)
+    var stat = 0L
+    for (i <- s.indices; j <- (i + 1) until s.length)
+      stat += s(j).compare(s(i)).sign
+    assert(stat == n.toLong * (n - 1) / 2)
+    val var18 = n.toLong * (n - 1) * (2 * n + 5)
+    val z = (stat - 1).toDouble / math.sqrt(var18.toDouble / 18.0)
+    assert(z > 1.96, s"monotone series must be significant, z=$z")
+  }
 }

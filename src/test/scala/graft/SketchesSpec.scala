@@ -106,6 +106,39 @@ class SketchesSpec extends AnyFunSuite {
     assert(merged.cs.map(_._2).sum == xs.size.toLong)
   }
 
+  test("explicit-register HLL: mergeability is exact, estimate within 10% at m=256") {
+    import graft.ops.Hll
+    // shard registers merged by elementwise max == whole-corpus registers,
+    // bit for bit (the property q_hll_union and st_hll_users rest on)
+    val vals = (1L to 20000L).toDF("v").withColumn("g", lit("all"))
+    val whole = Hll.registers(vals, Seq("g"), $"v")
+    val shards = vals.withColumn("g", (($"v" % 3)).cast("string"))
+    val merged = Hll.registers(shards, Seq("g"), $"v")
+      .groupBy($"reg").agg(max($"mr").as("mr"))
+      .withColumn("g", lit("all")).select($"g", $"reg", $"mr")
+    assert(whole.except(merged).isEmpty && merged.except(whole).isEmpty,
+      "max-merged shard registers != whole-corpus registers")
+    // estimator sanity well above the linear-counting range
+    val est = Hll.estimate(whole, Seq("g"))
+      .select($"est_distinct", $"used_linear").as[(Double, Boolean)]
+      .collect().head
+    assert(!est._2, "20k distinct must not use linear counting")
+    assert(math.abs(est._1 - 20000) / 20000 < 0.10, s"hll est ${est._1}")
+    // register count can never exceed m (the constant-state bound)
+    assert(whole.count() <= Hll.m)
+  }
+
+  test("explicit-register HLL: linear-counting branch fires and is accurate when sparse") {
+    import graft.ops.Hll
+    val tiny = (1L to 40L).toDF("v").withColumn("g", lit("t"))
+    val est = Hll.estimate(Hll.registers(tiny, Seq("g"), $"v"), Seq("g"))
+      .select($"est_distinct", $"used_linear", $"zeros")
+      .as[(Double, Boolean, Long)].collect().head
+    assert(est._2, "40 distinct at m=256 must take the linear-counting branch")
+    assert(est._3 >= 256 - 40)
+    assert(math.abs(est._1 - 40) / 40 < 0.20, s"linear-counting est ${est._1}")
+  }
+
   test("t-digest udaf: distributed rank error bounded on lineitem prices") {
     import graft.ops.TDigest
     val tdq = udaf(TDigest.aggregator(Seq(0.5, 0.95)),

@@ -2,6 +2,8 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import org.apache.spark.sql.functions._
+
 import graft.queries.Events
 import graft.streaming.StreamOps
 
@@ -22,6 +24,26 @@ class StreamingSpec extends AnyFunSuite {
       sink = "st_td_state_probe").collect()
     assert(StreamOps.lastStateRows.contains(types),
       s"t-digest agg must hold one digest per type ($types): ${StreamOps.lastStateRows}")
+  }
+
+  test("streaming HLL registers: state bounded by m x types, equals batch registers") {
+    import graft.ops.Hll
+    val streamed = StreamOps.hllUserDayRegisters(spark, TestSpark.Sf,
+      sink = "st_hll_state_probe")
+    val types = Events.load(spark, TestSpark.Sf)
+      .select("event_type").distinct().count()
+    val state = StreamOps.lastStateRows
+    assert(state.exists(n => n > 0 && n <= Hll.m * types),
+      s"HLL state must be <= m*types (${Hll.m * types}): $state")
+    // cross-batch max-merge == one-shot batch registers, bit for bit
+    val batch = Hll.registers(
+      Events.load(spark, TestSpark.Sf).select($"event_type",
+        concat($"user_id".cast("string"), lit("|"),
+          date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd"))
+          .as("user_day")),
+      Seq("event_type"), $"user_day")
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "streamed registers != batch registers")
   }
 
   test("streaming tumbling counts == batch tumbling counts") {

@@ -26,6 +26,41 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("kendall tau-b: contingency-cell identity == brute-force pair count") {
+    // the O(c^2) cell form d_kendall_tau rides must equal the textbook
+    // O(n^2) pair scan, ties and all, to the exact floor-micro
+    val rows = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select($"source", $"n_chars".cast("long").as("x"),
+        size(split($"text", " ", -1)).cast("long").as("y"))
+      .as[(String, Long, Long)].collect().toSeq
+    val bySrc = rows.groupBy(_._1)
+    val brute = bySrc.flatMap { case (src, rs) =>
+      val xs = rs.map(_._2); val ys = rs.map(_._3); val n = rs.size
+      var conc = 0L; var disc = 0L; var tx = 0L; var ty = 0L
+      for (i <- 0 until n; j <- (i + 1) until n) {
+        val (dx, dy) = (xs(i).compare(xs(j)), ys(i).compare(ys(j)))
+        if (dx == 0) tx += 1
+        if (dy == 0) ty += 1
+        if (dx * dy > 0) conc += 1
+        if (dx * dy < 0) disc += 1
+      }
+      val n0 = n.toLong * (n - 1) / 2
+      if (n0 - tx <= 0 || n0 - ty <= 0) None
+      else {
+        val tau = 2.0 * (conc - disc) / math.sqrt(
+          (2.0 * (n0 - tx)) * (2.0 * (n0 - ty)))
+        Some(src -> (conc, disc, math.floor(tau * 1000000).toLong))
+      }
+    }
+    val got = graft.queries.TrainingPrep.dKendallTau
+      .fn(spark, TestSpark.Sf)
+      .select($"source", $"concordant", $"discordant", $"tau_micros")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got.keySet == brute.keySet)
+    for ((src, exp) <- brute) assert(got(src) == exp, s"source $src")
+  }
+
   test("prefixSumByKey works with a non-string key column") {
     val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
       .select($"doc_id", ($"doc_id" % 7).as("k"),
