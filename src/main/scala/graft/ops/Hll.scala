@@ -48,6 +48,25 @@ object Hll {
       .groupBy((groupCols.map(col) :+ col("rr.reg").as("reg")): _*)
       .agg(max(col("rr.rho")).as("mr"))
 
+  /** PRODUCTION-PATH registers: same sketch, xxhash64 instead of md5.
+    * The md5 form exists so a DuckDB oracle can replay the estimate;
+    * xxhash64 is Spark-native codegen (no string round-trip, ~10× the
+    * hash throughput — HllStress) and is what a real 100 TB run should
+    * use when cross-engine replay isn't needed. Register/rho layout is
+    * identical (low 8 bits index, next 40 bits leading-zero window), so
+    * [[estimate]] and max-merge work unchanged; the two hash families
+    * just produce different (equally valid) sketches. */
+  def registersFast(df: DataFrame, groupCols: Seq[String], value: Column): DataFrame = {
+    val hv = xxhash64(value).bitwiseAND(lit((1L << 48) - 1))
+    val rr = struct(
+      hv.bitwiseAND(lit(255L)).as("reg"),
+      when(shiftright(hv, 8) === 0, lit(41L))
+        .otherwise(lit(41L) - length(bin(shiftright(hv, 8)))).as("rho"))
+    df.select(groupCols.map(col) :+ rr.as("rr"): _*)
+      .groupBy((groupCols.map(col) :+ col("rr.reg").as("reg")): _*)
+      .agg(max(col("rr.rho")).as("mr"))
+  }
+
   /** est = alpha*m^2 / Z from a (groupCols..., reg, mr) register frame;
     * registers never observed count 2^0 = 1 each in Z. The small-range
     * linear-counting branch (est <= 2.5m with empty registers,

@@ -128,6 +128,21 @@ class SketchesSpec extends AnyFunSuite {
     assert(whole.count() <= Hll.m)
   }
 
+  test("HLL fast path (xxhash64): same merge law, estimate within envelope") {
+    import graft.ops.Hll
+    val vals = (1L to 20000L).toDF("v")
+      .select(concat(lit("k"), $"v".cast("string")).as("v"))
+    val whole = Hll.registersFast(vals.withColumn("g", lit("all")), Seq("g"), $"v")
+    val merged = Hll.registersFast(
+        vals.withColumn("g", (crc32($"v") % 4).cast("string")), Seq("g"), $"v")
+      .groupBy($"reg").agg(max($"mr").as("mr"))
+      .withColumn("g", lit("all")).select($"g", $"reg", $"mr")
+    assert(whole.except(merged).isEmpty && merged.except(whole).isEmpty)
+    val est = Hll.estimate(whole, Seq("g"))
+      .select($"est_distinct").as[Double].collect().head
+    assert(math.abs(est - 20000) / 20000 < 0.13, s"fast-path est $est")
+  }
+
   test("explicit-register HLL: linear-counting branch fires and is accurate when sparse") {
     import graft.ops.Hll
     val tiny = (1L to 40L).toDF("v").withColumn("g", lit("t"))
