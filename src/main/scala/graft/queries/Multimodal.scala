@@ -80,6 +80,74 @@ object Multimodal {
       .orderBy($"doc_id", $"frame_id")
   }
 
+  /** Video SHOT DETECTION over the full frame timeline — the temporal
+    * segmentation every video curation pipeline runs before sampling
+    * training frames (PySceneDetect-style content detector: a shot
+    * boundary wherever the frame-to-frame signature distance jumps).
+    * Decode is stubbed per the multimodal contract: each frame's "mean
+    * luma" derives deterministically from the frame hash (first md5
+    * byte), so both engines replay the identical timeline; the Spark
+    * plumbing — full explode to the per-frame timeline, a per-video
+    * lag window, the gap-flag → running-sum segmentation (the
+    * sessionize idiom on CONTENT distance instead of time), per-shot
+    * aggregation with the opening frame as keyframe — is the real
+    * production shape. Scale: windows partition by doc_id
+    * (high-cardinality), frames per video are format-bounded; nothing
+    * quadratic. */
+  val mmShotDetect: Spec = Spec(
+    "mm_shot_detect",
+    oracle = Some("""
+      WITH meta AS (
+        SELECT doc_id, 1 + strlen(text) % 100 AS n_frames, md5(text) AS checksum
+        FROM documents WHERE doc_id % 25 = 0),
+      frames AS (
+        SELECT doc_id, CAST(t.i AS BIGINT) AS frame_id,
+          CAST(('0x' || substr(md5(checksum || '|' || t.i::VARCHAR), 1, 2))
+            AS BIGINT) AS luma
+        FROM meta CROSS JOIN unnest(range(0, 100)) AS t(i)
+        WHERE t.i < n_frames),
+      flagged AS (
+        SELECT doc_id, frame_id, luma,
+          CASE WHEN lag(luma) OVER w IS NULL THEN 1
+               WHEN abs(luma - lag(luma) OVER w) > 64 THEN 1
+               ELSE 0 END AS boundary
+        FROM frames WINDOW w AS (PARTITION BY doc_id ORDER BY frame_id)),
+      shots AS (
+        SELECT doc_id, frame_id, luma,
+          SUM(boundary) OVER (PARTITION BY doc_id ORDER BY frame_id) AS shot_id
+        FROM flagged)
+      SELECT doc_id, CAST(shot_id AS BIGINT) AS shot_id,
+        MIN(frame_id) AS start_frame, MAX(frame_id) AS end_frame,
+        CAST(COUNT(*) AS BIGINT) AS n_frames,
+        CAST(MIN(luma + 256 * frame_id) % 256 AS BIGINT) AS keyframe_luma
+      FROM shots GROUP BY doc_id, shot_id
+      ORDER BY doc_id, shot_id""")) { (s, dir) =>
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"frame_id")
+    val frames = MM.extractMeta(
+        MM.asBlobs(s, Tables.load(s, dir, "documents").filter($"doc_id" % 25 === 0)))
+      .toDF()
+      .select($"doc_id", $"checksum",
+        explode(sequence(lit(0L), $"n_frames" - 1)).as("frame_id"))
+      .select($"doc_id", $"frame_id",
+        conv(substring(md5(concat($"checksum", lit("|"),
+          $"frame_id".cast("string"))), 1, 2), 16, 10)
+          .cast("long").as("luma"))
+    val flagged = frames
+      .withColumn("prev", lag($"luma", 1).over(w))
+      .withColumn("boundary",
+        when($"prev".isNull || abs($"luma" - $"prev") > 64, 1L).otherwise(0L))
+    flagged
+      .withColumn("shot_id", sum($"boundary").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy($"doc_id", $"shot_id")
+      .agg(min($"frame_id").as("start_frame"), max($"frame_id").as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        (min($"luma" + lit(256) * $"frame_id") % 256).as("keyframe_luma"))
+      .orderBy($"doc_id", $"shot_id")
+  }
+
   /** REAL resize: generated PNGs scaled to 8×8 on the executors, then
     * re-decoded through the probe — the oracle pins the post-resize
     * dimensions and format, so a resize or re-encode bug cannot match.
@@ -682,5 +750,5 @@ object Multimodal {
   val specs: Seq[Spec] = Seq(mmDecodeMeta, mmImageDecode, mmFrameSample,
     mmResize, mmAudioMeta, mmAudioEnergy, mmAudioFingerprint, mmImageAhash,
     mmImageDhash, mmImageBlockhash, mmImagePhash, mmImageNeardup,
-    mmImageHistogram, mmCaptionAlign, mmAudioVad)
+    mmImageHistogram, mmCaptionAlign, mmAudioVad, mmShotDetect)
 }

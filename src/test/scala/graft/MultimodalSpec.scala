@@ -219,4 +219,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.length == 1)
     assert(got.head.phash == "1" + "0" * 63, s"phash ${got.head.phash}")
   }
+
+  test("shot detection: shots PARTITION each timeline exactly; keyframe is the opener") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val shots = graft.queries.Multimodal.mmShotDetect
+      .fn(spark, TestSpark.Sf)
+      .select($"doc_id", $"shot_id", $"start_frame", $"end_frame",
+        $"n_frames", $"keyframe_luma")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1)
+    assert(shots.nonEmpty)
+    val metas = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .filter($"doc_id" % 25 === 0)
+      .select($"doc_id", (lit(1) + length($"text") % 100).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    for ((doc, rs) <- shots) {
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.head._2 == 1L && sorted.head._3 == 0L,
+        s"doc $doc: first shot must open at frame 0")
+      // contiguous, non-overlapping, covering [0, n_frames)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._2 == a._2 + 1 && b._3 == a._4 + 1,
+            s"doc $doc: shots must tile the timeline")
+        case _ =>
+      }
+      assert(sorted.map(_._5).sum == metas(doc),
+        s"doc $doc: shot frames must sum to n_frames")
+      sorted.foreach(r => assert(r._5 == r._4 - r._3 + 1 &&
+        r._6 >= 0 && r._6 <= 255))
+    }
+  }
 }
