@@ -522,4 +522,48 @@ class PropertiesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("kendall cell identity: randomized tied (x,y) batches == brute pair scan") {
+    // the d_kendall_tau contingency-cell P/Q against the O(n^2)
+    // definition, on small randomized heavily-tied batches
+    val pair = for {
+      x <- Gen.choose(0L, 5L); y <- Gen.choose(0L, 5L)
+    } yield (x, y)
+    for (trial <- 0 until 20) {
+      val n = 3 + trial
+      val rows = (0 until n).map(i => pair.pureApply(
+        Gen.Parameters.default, Seed(trial * 1000L + i)))
+      var (bc, bd) = (0L, 0L)
+      for (i <- 0 until n; j <- (i + 1) until n) {
+        val dx = rows(i)._1.compare(rows(j)._1)
+        val dy = rows(i)._2.compare(rows(j)._2)
+        if (dx * dy > 0) bc += 1
+        if (dx * dy < 0) bd += 1
+      }
+      val cells = rows.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      var (cc, cd) = (0L, 0L)
+      for (((x1, y1), c1) <- cells; ((x2, y2), c2) <- cells
+           if x1 < x2 && y1 != y2) {
+        if (y1 < y2) cc += c1 * c2 else cd += c1 * c2
+      }
+      assert((cc, cd) == (bc, bd), s"trial $trial: cells ($cc,$cd) != brute ($bc,$bd)")
+    }
+  }
+
+  test("HLL merge law: random shard assignments always max-merge to the one-shot registers") {
+    import graft.ops.Hll
+    for (trial <- 0 until 3) {
+      val nShards = 2 + trial * 3
+      val vals = (1L to 3000L).toDF("v")
+        .select(concat(lit(s"t$trial-"), $"v".cast("string")).as("v"))
+        .withColumn("g",
+          pmod(xxhash64($"v", lit(trial)), lit(nShards)).cast("string"))
+      val whole = Hll.registers(vals.withColumn("g", lit("all")), Seq("g"), $"v")
+      val merged = Hll.registers(vals, Seq("g"), $"v")
+        .groupBy($"reg").agg(max($"mr").as("mr"))
+        .withColumn("g", lit("all")).select($"g", $"reg", $"mr")
+      assert(whole.except(merged).isEmpty && merged.except(whole).isEmpty,
+        s"trial $trial ($nShards shards)")
+    }
+  }
 }
