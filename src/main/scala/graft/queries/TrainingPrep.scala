@@ -1173,6 +1173,44 @@ object TrainingPrep {
     * content read. Snapshots here are deterministic slices of the same
     * table (prev: doc_id % 7 ≠ 0; curr: doc_id % 5 ≠ 0, with every
     * doc_id % 3 = 0 text revised) so the oracle can rebuild both. */
+  /** Order-independent corpus CHECKSUM per source (+ rollup total) —
+    * the O(1)-state screen a 100 TB snapshot comparison runs BEFORE any
+    * row-level work ([[dSnapshotDiff]] is the expensive follow-up on
+    * mismatch): xor and modular sum of a per-row content hash. Both
+    * folds are commutative/associative, so the checksum is independent
+    * of row order, partitioning and merge shape — shard checksums
+    * combine to the corpus checksum with 16 bytes per shard moved,
+    * never a re-scan; carrying BOTH folds closes each one's blind spot
+    * (xor misses double-flips, the wrap-sum misses swaps that preserve
+    * the sum). The ROLLUP total row IS the merge proof: total xor =
+    * xor of per-source xors. */
+  val dCorpusChecksum: Spec = Spec(
+    "d_corpus_checksum",
+    oracle = Some("""
+      WITH h AS (SELECT source,
+          CAST('0x' || substr(md5(doc_id::VARCHAR || '|' || text), 1, 12)
+            AS BIGINT) AS hv
+        FROM documents)
+      SELECT COALESCE(source, '__total__') AS source,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(bit_xor(hv) AS BIGINT) AS xor_sig,
+        CAST(SUM(hv::HUGEINT) % 2305843009213693952 AS BIGINT) AS sum_sig
+      FROM h GROUP BY ROLLUP(source) ORDER BY 1""")) { (s, dir) =>
+    import s.implicits._
+    docs(s, dir)
+      .select($"source",
+        conv(substring(md5(concat($"doc_id".cast("string"), lit("|"), $"text")),
+          1, 12), 16, 10).cast("long").as("hv"))
+      .rollup($"source")
+      .agg(count(lit(1)).as("n"),
+        expr("bit_xor(hv)").as("xor_sig"),
+        (sum($"hv".cast("decimal(38,0)")) % lit(2305843009213693952L))
+          .cast("long").as("sum_sig"))
+      .select(coalesce($"source", lit("__total__")).as("source"),
+        $"n", $"xor_sig", $"sum_sig")
+      .orderBy($"source")
+  }
+
   val dSnapshotDiff: Spec = Spec(
     "d_snapshot_diff",
     oracle = Some("""
@@ -2928,5 +2966,5 @@ object TrainingPrep {
     dSourceDivergence, dDistributionMatch, dQualityClassifier, dDsirWeights,
     dKneserNey, dMannWhitney, dKruskalWallis, dSpearmanLengths,
     dAnovaLengths, dMadLengths, dIsotonicCalibration, dEffectSizes,
-    dGiniLengths, dKendallTau, dLangSourceMi)
+    dGiniLengths, dKendallTau, dLangSourceMi, dCorpusChecksum)
 }
