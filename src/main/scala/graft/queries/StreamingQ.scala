@@ -613,6 +613,37 @@ object StreamingQ {
       .orderBy($"doc_id")
   }
 
+  /** STREAMING corpus checksum: the order-independent xor/sum snapshot
+    * fingerprint (d_corpus_checksum) maintained as a complete-mode
+    * per-source aggregation over the document feed — state is ONE row
+    * of three numbers per source no matter how long the stream runs
+    * (the folds are commutative, which is also why arrival order
+    * cannot change the answer). The '__total__' row is derived
+    * batch-side by MERGING the per-source partials — the same
+    * 16-bytes-per-shard fold the scale rehearsal pins — and the oracle
+    * is the batch ROLLUP SQL, shared. */
+  val stCorpusChecksum: Spec = Spec(
+    "st_corpus_checksum",
+    oracle = Some(TrainingPrep.corpusChecksumOracleSql)) { (s, dir) =>
+    import s.implicits._
+    val m = lit(2305843009213693952L)
+    val parts = StreamOps.docsAggStream(s, dir, src =>
+      src.select($"source",
+          conv(substring(md5(concat($"doc_id".cast("string"), lit("|"), $"text")),
+            1, 12), 16, 10).cast("long").as("hv"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n"), expr("bit_xor(hv)").as("x"),
+          sum($"hv".cast("decimal(38,0)")).as("sm")),
+      "st_checksum_mem")
+    val total = parts
+      .agg(sum($"n").as("n"), expr("bit_xor(x)").as("x"), sum($"sm").as("sm"))
+      .select(lit("__total__").as("source"), $"n", $"x", $"sm")
+    parts.select($"source", $"n", $"x", $"sm").unionByName(total)
+      .select($"source", $"n", $"x".as("xor_sig"),
+        ($"sm" % m).cast("long").as("sum_sig"))
+      .orderBy($"source")
+  }
+
   /** STREAMING doc flagging — the cleaning pipeline's stats+flags run
     * unchanged on an unbounded document feed (stateless projections:
     * no state store, no watermark, append mode). Column logic is
@@ -1317,5 +1348,5 @@ object StreamingQ {
     stQualityMonitor, stAttributionDecay, stCusum, stLjungBox,
     stGrangerPairs, stPacfDaily, stGapFill, stDbscan,
     stHoltForecast, stAmsF2, stTdigest, stBurstViterbi, stHoltWinters,
-    stHllUsers, stMannKendall)
+    stHllUsers, stMannKendall, stCorpusChecksum)
 }

@@ -1184,9 +1184,10 @@ object TrainingPrep {
     * (xor misses double-flips, the wrap-sum misses swaps that preserve
     * the sum). The ROLLUP total row IS the merge proof: total xor =
     * xor of per-source xors. */
-  val dCorpusChecksum: Spec = Spec(
-    "d_corpus_checksum",
-    oracle = Some("""
+  /** Shared by batch d_corpus_checksum and streaming st_corpus_checksum
+    * (fold commutativity means the streamed per-source partials merge to
+    * the same numbers). */
+  private[queries] val corpusChecksumOracleSql: String = """
       WITH h AS (SELECT source,
           CAST('0x' || substr(md5(doc_id::VARCHAR || '|' || text), 1, 12)
             AS BIGINT) AS hv
@@ -1195,7 +1196,11 @@ object TrainingPrep {
         CAST(COUNT(*) AS BIGINT) AS n,
         CAST(bit_xor(hv) AS BIGINT) AS xor_sig,
         CAST(SUM(hv::HUGEINT) % 2305843009213693952 AS BIGINT) AS sum_sig
-      FROM h GROUP BY ROLLUP(source) ORDER BY 1""")) { (s, dir) =>
+      FROM h GROUP BY ROLLUP(source) ORDER BY 1"""
+
+  val dCorpusChecksum: Spec = Spec(
+    "d_corpus_checksum",
+    oracle = Some(corpusChecksumOracleSql)) { (s, dir) =>
     import s.implicits._
     docs(s, dir)
       .select($"source",
