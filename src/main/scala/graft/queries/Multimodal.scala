@@ -96,6 +96,7 @@ object Multimodal {
     * quadratic. */
   val mmShotDetect: Spec = Spec(
     "mm_shot_detect",
+    bench = true, // r12 multimodal row: frame explode + per-video window
     oracle = Some("""
       WITH meta AS (
         SELECT doc_id, 1 + strlen(text) % 100 AS n_frames, md5(text) AS checksum

@@ -1966,11 +1966,13 @@ object TrainingPrep {
           .otherwise(lit(0).cast("decimal(38,0)"))).as("conc"),
         sum(when($"y1" > $"y2", $"c1" * $"c2")
           .otherwise(lit(0).cast("decimal(38,0)"))).as("disc"))
-    val nn = d.groupBy($"source")
-      .agg(count(lit(1)).cast("decimal(38,0)").as("n"))
-    def ties(vcol: String): DataFrame = d
+    // every marginal derives from the checkpointed CELL frame — the
+    // corpus is scanned exactly once (the cell build); nn/ties/ncells
+    // are aggregates over |cells| rows, not |corpus| rows
+    val nn = cells.groupBy($"source").agg(sum($"c").as("n"))
+    def ties(vcol: String): DataFrame = cells
       .groupBy($"source", col(vcol))
-      .agg(count(lit(1)).cast("decimal(38,0)").as("nv"))
+      .agg(sum($"c").as("nv"))
       .groupBy($"source").agg(sum($"nv" * ($"nv" - 1)).as("t2"))
     val ncells = cells.groupBy($"source").agg(count(lit(1)).as("n_cells"))
     val zeroD = lit(0).cast("decimal(38,0)")
