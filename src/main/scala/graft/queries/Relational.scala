@@ -1734,6 +1734,89 @@ object Relational {
           .as("exact_intersection"))
   }
 
+  /** JOIN-SIZE ESTIMATION from AMS sketch products — the tug-of-war
+    * sketch applied to its ORIGINAL purpose (Alon-Matias-Szegedy '96
+    * §3: |R ⋈ S| = Σ_k c_R(k)·c_S(k) is estimated by the product of
+    * the two relations' sign-sums under a SHARED hash), i.e. the
+    * optimizer statistic a CBO needs before picking a join strategy,
+    * computed in one streaming-friendly pass per side with 61 counters
+    * of state each — no key histogram, no shuffle of keys. R = all
+    * lineitem partkeys, S = the returned subset (a genuinely
+    * many-to-many overlap); 5×24 sign functions from md5 bits — all
+    * 120 usable bits of the ev_ams_f2 family's exact construction, so
+    * both engines replay bit-for-bit (join-size products have higher
+    * variance than F2, Var ∝ F2(R)·F2(S)/width, so this sketch uses
+    * double the F2 row's width) — estimate = median of 5 means of 24
+    * products; 121 counters of state per side.
+    * Integer discipline: every Z_R·Z_S product is exact in BIGINT up
+    * to n ≈ 3·10⁹ per side — past that the same query rides
+    * DECIMAL(38,0) unchanged. Exact join size shipped alongside from
+    * the per-key count join, so the row reports its own error. */
+  val qJoinSizeAms: Spec = Spec(
+    "q_join_size_ams",
+    oracle = Some {
+      def bitSql(i: Int) =
+        s"""((CAST('0x' || substr(h, ${i / 4 + 1}, 1) AS INT) >> ${3 - i % 4}) & 1)"""
+      def bitSums(pfx: String) = (0 until 120).map(i =>
+        s"CAST(SUM(${bitSql(i)}) AS BIGINT) AS ${pfx}$i").mkString(", ")
+      val prods = (0 until 120).map(i =>
+        s"(2*r.br$i - r.nr)*(2*s.bs$i - s.ns)")
+      val groups = prods.grouped(24).zipWithIndex.map { case (g, j) =>
+        s"(${g.mkString(" + ")}) // 24 AS g$j" }.mkString(", ")
+      s"""
+      WITH hr AS (SELECT md5('ams_' || l_partkey::VARCHAR) AS h FROM lineitem),
+      hs AS (SELECT md5('ams_' || l_partkey::VARCHAR) AS h FROM lineitem
+             WHERE l_returnflag = 'R'),
+      r AS (SELECT CAST(COUNT(*) AS BIGINT) AS nr, ${bitSums("br")} FROM hr),
+      s AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns, ${bitSums("bs")} FROM hs),
+      gm AS (SELECT $groups FROM r CROSS JOIN s),
+      med AS (SELECT gv AS est_join_size FROM (
+          SELECT gv, row_number() OVER (ORDER BY gv) AS rn
+          FROM (SELECT unnest([g0, g1, g2, g3, g4]) AS gv FROM gm))
+        WHERE rn = 3),
+      cr AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM lineitem
+             GROUP BY 1),
+      cs AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM lineitem
+             WHERE l_returnflag = 'R' GROUP BY 1),
+      ex AS (SELECT CAST(SUM(cr.c * cs.c) AS BIGINT) AS exact_join_size
+             FROM cr JOIN cs USING (l_partkey))
+      SELECT m.est_join_size, x.exact_join_size,
+        (SELECT nr FROM r) AS n_r, (SELECT ns FROM s) AS n_s
+      FROM med m CROSS JOIN ex x"""
+    }) { (s, dir) =>
+    import s.implicits._
+    val li = Tables.load(s, dir, "lineitem")
+    def bit(i: Int) =
+      shiftright(conv(substring(col("h"), i / 4 + 1, 1), 16, 10).cast("int"),
+        3 - i % 4).bitwiseAND(1)
+    def bitSums(df: DataFrame, pfx: String, nName: String): DataFrame = {
+      val hashed = df.select(
+        md5(concat(lit("ams_"), $"l_partkey".cast("string"))).as("h"))
+      val aggs = count(lit(1)).as(nName) +:
+        (0 until 120).map(i => sum(bit(i)).cast("long").as(s"$pfx$i"))
+      hashed.agg(aggs.head, aggs.tail: _*)
+    }
+    val r = bitSums(li, "br", "nr")
+    val sS = bitSums(li.filter($"l_returnflag" === "R"), "bs", "ns")
+    val groupMeans = (0 until 5).map(j =>
+      expr(s"(${(0 until 24).map(i =>
+        s"((2*br${j * 24 + i} - nr)*(2*bs${j * 24 + i} - ns))").mkString(" + ")
+      }) div 24").as(s"g$j"))
+    // one scan per side: counts ride along with the sign-sums so the
+    // 1-row sketch frames are never recomputed for the n_r/n_s columns
+    val est = r.crossJoin(broadcast(sS))
+      .select((groupMeans :+ $"nr".as("n_r") :+ $"ns".as("n_s")): _*)
+      .select(element_at(sort_array(array((0 until 5).map(j =>
+        col(s"g$j")): _*)), 3).as("est_join_size"), $"n_r", $"n_s")
+    val cr = li.groupBy($"l_partkey").agg(count(lit(1)).as("c"))
+    val cs = li.filter($"l_returnflag" === "R")
+      .groupBy($"l_partkey").agg(count(lit(1)).as("c2"))
+    val ex = cr.join(cs, "l_partkey")
+      .agg(sum($"c" * $"c2").cast("long").as("exact_join_size"))
+    est.crossJoin(broadcast(ex))
+      .select($"est_join_size", $"exact_join_size", $"n_r", $"n_s")
+  }
+
   val specs: Seq[Spec] = Seq(
     q1PricingSummary, q3TopOrders, q5RegionRevenue, q4LateShipments,
     qAntiCustomers, qTopPartsPerBrand, qRunningSupplier, qSetOps,
@@ -1744,5 +1827,5 @@ object Relational {
     qZorderCluster, qMergeUpsert, qScd2History, qExpectations,
     qSkylineParts, qKAnonymity, qIncrMv, qIncrJoinMv, qMarketBasket,
     qTdigest, qExactQuantile2Pass, qTopKRewritten, qArgmaxRewritten,
-    qHllDistinct, qHllUnion)
+    qHllDistinct, qHllUnion, qJoinSizeAms)
 }

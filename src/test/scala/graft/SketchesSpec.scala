@@ -154,6 +154,19 @@ class SketchesSpec extends AnyFunSuite {
     assert(math.abs(est._1 - 40) / 40 < 0.20, s"linear-counting est ${est._1}")
   }
 
+  test("AMS join-size estimate lands within 2x of exact on the declared query") {
+    // the tug-of-war product estimator is unbiased with relative
+    // std ~ sqrt(F2(R)F2(S))/(|R ⋈ S| sqrt(24)); on this data that is
+    // ~20%, so 2x is a conservative never-pathological band
+    val row = graft.queries.Relational.qJoinSizeAms
+      .fn(spark, TestSpark.Sf)
+      .select($"est_join_size", $"exact_join_size")
+      .as[(Long, Long)].collect().head
+    assert(row._2 > 0)
+    val ratio = row._1.toDouble / row._2
+    assert(ratio > 0.5 && ratio < 2.0, s"join-size est off: $row")
+  }
+
   test("t-digest udaf: distributed rank error bounded on lineitem prices") {
     import graft.ops.TDigest
     val tdq = udaf(TDigest.aggregator(Seq(0.5, 0.95)),
