@@ -1817,6 +1817,62 @@ object Relational {
       .select($"est_join_size", $"exact_join_size", $"n_r", $"n_s")
   }
 
+  /** Sample-based NDV estimation (Chao '84: d̂ = d_seen + f₁²/(2f₂),
+    * from the singleton/doubleton abundance counts of a sample) — the
+    * OTHER way a CBO gets a distinct count, complementing the
+    * full-scan sketch path ([[qHllDistinct]]): when even one pass over
+    * the corpus is too expensive, scan a block sample and extrapolate
+    * from how many values were seen exactly once vs twice. The sample
+    * is the deterministic md5 1-in-16 rule (q_consistent_sample's
+    * discipline), so both engines draw THE SAME sample and the
+    * estimate hash-matches. All integer until one division;
+    * exact NDV alongside so the row reports its own error. f₂ = 0
+    * degenerates to the Chao1 bias-corrected form f₁(f₁−1)/2 — same
+    * branch on both engines. */
+  val qNdvChao: Spec = Spec(
+    "q_ndv_chao",
+    oracle = Some("""
+      WITH smp AS (SELECT l_partkey FROM lineitem
+        WHERE CAST('0x' || substr(md5('ndv_' || l_orderkey::VARCHAR
+            || '_' || l_linenumber::VARCHAR), 1, 12) AS BIGINT) % 16 = 0),
+      ab AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM smp
+        GROUP BY 1),
+      f AS (SELECT CAST(COUNT(*) AS BIGINT) AS d_seen,
+          CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+          CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+          CAST(SUM(c) AS BIGINT) AS n_sample
+        FROM ab),
+      x AS (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_ndv,
+          CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem)
+      SELECT f.n_sample, f.d_seen, f.f1, f.f2,
+        ROUND(f.d_seen + CASE WHEN f.f2 > 0
+          THEN CAST(f.f1 AS DOUBLE) * f.f1 / (2.0e0 * f.f2)
+          ELSE CAST(f.f1 AS DOUBLE) * (f.f1 - 1) / 2.0e0 END, 4)
+          AS est_ndv,
+        x.exact_ndv, x.n_rows
+      FROM f CROSS JOIN x""")) { (s, dir) =>
+    import s.implicits._
+    val li = Tables.load(s, dir, "lineitem")
+    val smp = li.filter(
+      conv(substring(md5(concat(lit("ndv_"), $"l_orderkey".cast("string"),
+        lit("_"), $"l_linenumber".cast("string"))), 1, 12), 16, 10)
+        .cast("long") % 16 === 0)
+    val f = smp.groupBy($"l_partkey").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("d_seen"),
+        sum(when($"c" === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when($"c" === 2, 1L).otherwise(0L)).as("f2"),
+        sum($"c").as("n_sample"))
+    val x = li.agg(countDistinct($"l_partkey").as("exact_ndv"),
+      count(lit(1)).as("n_rows"))
+    f.crossJoin(broadcast(x))
+      .select($"n_sample", $"d_seen", $"f1", $"f2",
+        round($"d_seen" + when($"f2" > 0,
+          $"f1".cast("double") * $"f1" / (lit(2.0) * $"f2"))
+          .otherwise($"f1".cast("double") * ($"f1" - 1) / lit(2.0)), 4)
+          .as("est_ndv"),
+        $"exact_ndv", $"n_rows")
+  }
+
   val specs: Seq[Spec] = Seq(
     q1PricingSummary, q3TopOrders, q5RegionRevenue, q4LateShipments,
     qAntiCustomers, qTopPartsPerBrand, qRunningSupplier, qSetOps,
@@ -1827,5 +1883,5 @@ object Relational {
     qZorderCluster, qMergeUpsert, qScd2History, qExpectations,
     qSkylineParts, qKAnonymity, qIncrMv, qIncrJoinMv, qMarketBasket,
     qTdigest, qExactQuantile2Pass, qTopKRewritten, qArgmaxRewritten,
-    qHllDistinct, qHllUnion, qJoinSizeAms)
+    qHllDistinct, qHllUnion, qJoinSizeAms, qNdvChao)
 }
