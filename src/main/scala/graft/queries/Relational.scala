@@ -1873,6 +1873,62 @@ object Relational {
         $"exact_ndv", $"n_rows")
   }
 
+  /** Range-predicate SELECTIVITY from a 16-bucket equi-depth histogram
+    * — the third CBO statistic next to NDV ([[qNdvChao]],
+    * [[qHllDistinct]]) and join size ([[qJoinSizeAms]]): boundaries are
+    * exact interpolated quantiles (the Spark `percentile` /
+    * DuckDB `quantile_cont` pair the Theil-Sen family already proved
+    * engine-equal), and sel(lo ≤ x ≤ hi) = mean over buckets of the
+    * clamped linear overlap fraction — THE SAME generated expression
+    * text runs on both engines over boundary columns b0..b16, so the
+    * float op order is identical by construction. Exact selectivity
+    * alongside; the observed error at sf0.01 is the honest histogram
+    * resolution story (uniform-within-bucket assumption). Scale note:
+    * `percentile` buffers per-distinct-value counts in the aggregation
+    * buffer — fine while the value domain is bounded (prices here); for
+    * an unbounded domain at 100 TB the SAME estimate expression takes
+    * its b0..b16 from [[qExactQuantile2Pass]]'s histogram-then-rank
+    * selector or [[qTdigest]]'s sketch instead — the estimator is
+    * boundary-source-agnostic by construction. */
+  val qSelectivityHistogram: Spec = {
+    val (lo, hi) = ("20000.0e0", "60000.0e0")
+    def term(k: Int) =
+      s"""(CASE WHEN b$k <= b${k - 1}
+           THEN (CASE WHEN b$k >= $lo AND b$k <= $hi THEN 1.0e0 ELSE 0.0e0 END)
+           ELSE least(1.0e0, greatest(0.0e0,
+             (least($hi, b$k) - greatest($lo, b${k - 1})) / (b$k - b${k - 1})))
+           END)"""
+    val estExpr =
+      s"ROUND((${(1 to 16).map(term).mkString(" + ")}) / 16.0e0, 6)"
+    Spec(
+      "q_selectivity_histogram",
+      oracle = Some(s"""
+        WITH b AS (SELECT MIN(l_extendedprice) AS b0,
+            ${(1 to 15).map(k =>
+              s"quantile_cont(l_extendedprice, ${k / 16.0}) AS b$k").mkString(", ")},
+            MAX(l_extendedprice) AS b16,
+            CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CASE WHEN l_extendedprice >= $lo AND l_extendedprice <= $hi
+              THEN 1 ELSE 0 END) AS BIGINT) AS exact_rows
+          FROM lineitem)
+        SELECT $estExpr AS est_sel,
+          ROUND(CAST(exact_rows AS DOUBLE) / CAST(n AS DOUBLE), 6) AS exact_sel,
+          exact_rows, n
+        FROM b""")) { (s, dir) =>
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem").select($"l_extendedprice".as("v"))
+      val aggs = Seq(min($"v").as("b0")) ++
+        (1 to 15).map(k => expr(s"percentile(v, ${k / 16.0})").as(s"b$k")) ++
+        Seq(max($"v").as("b16"), count(lit(1)).as("n"),
+          sum(when($"v" >= 20000.0 && $"v" <= 60000.0, 1L).otherwise(0L))
+            .as("exact_rows"))
+      li.agg(aggs.head, aggs.tail: _*)
+        .selectExpr(s"$estExpr AS est_sel",
+          "ROUND(CAST(exact_rows AS DOUBLE) / CAST(n AS DOUBLE), 6) AS exact_sel",
+          "exact_rows", "n")
+    }
+  }
+
   val specs: Seq[Spec] = Seq(
     q1PricingSummary, q3TopOrders, q5RegionRevenue, q4LateShipments,
     qAntiCustomers, qTopPartsPerBrand, qRunningSupplier, qSetOps,
@@ -1883,5 +1939,6 @@ object Relational {
     qZorderCluster, qMergeUpsert, qScd2History, qExpectations,
     qSkylineParts, qKAnonymity, qIncrMv, qIncrJoinMv, qMarketBasket,
     qTdigest, qExactQuantile2Pass, qTopKRewritten, qArgmaxRewritten,
-    qHllDistinct, qHllUnion, qJoinSizeAms, qNdvChao)
+    qHllDistinct, qHllUnion, qJoinSizeAms, qNdvChao,
+    qSelectivityHistogram)
 }
