@@ -553,4 +553,26 @@ object Multimodal {
       }
     })
   }
+
+  /** Merge voiced VAD segments into utterance TURNS: segments on the
+    * same doc separated by a silence SHORTER than `gap` frames fuse;
+    * gaps >= `gap` split. Input: (doc_id, s0, s1, nf) voiced frame
+    * spans; output per turn: frame span, voiced-frame total, and how
+    * many segments were merged. One lag window per doc over the
+    * (bounded) segment list — the sessionize fold on silence length. */
+  def mergeTurns(segs: DataFrame, gap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import segs.sparkSession.implicits._
+    val w = Window.partitionBy($"doc_id").orderBy($"s0")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    segs
+      .withColumn("nt",
+        when(lag($"s1", 1).over(w).isNull ||
+          $"s0" - lag($"s1", 1).over(w) - 1 >= gap, 1).otherwise(0))
+      .withColumn("turn_id", sum($"nt").over(run).cast("long"))
+      .groupBy($"doc_id", $"turn_id")
+      .agg(min($"s0").as("start_frame"), max($"s1").as("end_frame"),
+        sum($"nf").as("voiced_frames"),
+        count(lit(1)).as("merged_segments"))
+  }
 }

@@ -748,8 +748,91 @@ object Multimodal {
       .orderBy($"doc_id", $"seg_id")
   }
 
+  /** Utterance/TURN segmentation over the VAD output — the pre-ASR
+    * chunking step every speech pipeline runs after voice activity
+    * detection: voiced segments separated by a silence SHORTER than
+    * the merge gap (2 frames = 20 ms at the 10 ms frame rate) belong
+    * to one turn; longer silences split turns. The synthetic PCM's
+    * interior silences are all exactly 2 frames, so the driver row
+    * exercises the SPLIT branch corpus-wide; the merge branch is
+    * pinned on planted segments in MultimodalSpec ([[graft.ops
+    * .Multimodal.mergeTurns]] is the shared fold). Derived entirely
+    * from
+    * the [[mmAudioVad]] scaffold (same synthetic PCM, same energy
+    * threshold), then one more lag-window pass over the VOICED
+    * segments only (per-doc, segment counts bounded by clip length):
+    * new_turn ⟺ first voiced segment or gap ≥ 2. Emits per turn the
+    * frame span, voiced-frame count and how many voiced segments were
+    * merged — the merged_segments > 1 rows are exactly the short
+    * pauses the merge rule absorbed. */
+  val mmAudioTurns: Spec = Spec(
+    "mm_audio_turns",
+    oracle = Some("""
+      WITH t AS (
+        SELECT doc_id, unnest(range(0, 1600 + doc_id % 800)) AS i
+        FROM documents WHERE doc_id % 10 = 5),
+      s AS (SELECT doc_id, i, (i * 257 + doc_id) % 32768 AS v FROM t),
+      f AS (SELECT doc_id, i // 160 AS frame_id, SUM(v * v) AS fsq,
+              COUNT(*) AS c
+            FROM s GROUP BY 1, 2),
+      cf AS (SELECT doc_id, frame_id, fsq FROM f WHERE c = 160),
+      g AS (SELECT doc_id, frame_id, fsq,
+              COUNT(*) OVER (PARTITION BY doc_id) AS nf,
+              SUM(fsq) OVER (PARTITION BY doc_id) AS tot
+            FROM cf),
+      v AS (SELECT doc_id, frame_id, fsq,
+              CASE WHEN fsq * nf > tot THEN 1 ELSE 0 END AS voiced
+            FROM g),
+      b AS (SELECT *, CASE WHEN lag(voiced) OVER w IS NULL
+                OR voiced <> lag(voiced) OVER w THEN 1 ELSE 0 END AS brk
+            FROM v WINDOW w AS (PARTITION BY doc_id ORDER BY frame_id)),
+      seg AS (SELECT *, SUM(brk) OVER (PARTITION BY doc_id ORDER BY frame_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+              FROM b),
+      vs AS (SELECT doc_id, seg_id,
+               MIN(frame_id) AS s0, MAX(frame_id) AS s1,
+               CAST(COUNT(*) AS BIGINT) AS nf
+             FROM seg WHERE voiced = 1 GROUP BY doc_id, seg_id),
+      gap AS (SELECT *, CASE WHEN lag(s1) OVER w IS NULL
+                  OR s0 - lag(s1) OVER w - 1 >= 2 THEN 1 ELSE 0 END AS nt
+              FROM vs WINDOW w AS (PARTITION BY doc_id ORDER BY s0)),
+      turn AS (SELECT *, SUM(nt) OVER (PARTITION BY doc_id ORDER BY s0
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS turn_id
+               FROM gap)
+      SELECT doc_id, CAST(turn_id AS BIGINT) AS turn_id,
+        CAST(MIN(s0) AS BIGINT) AS start_frame,
+        CAST(MAX(s1) AS BIGINT) AS end_frame,
+        CAST(SUM(nf) AS BIGINT) AS voiced_frames,
+        CAST(COUNT(*) AS BIGINT) AS merged_segments
+      FROM turn GROUP BY doc_id, turn_id
+      ORDER BY doc_id, turn_id""")) { (s, dir) =>
+    import s.implicits._
+    val ids = Tables.load(s, dir, "documents")
+      .filter($"doc_id" % 10 === 5)
+      .select($"doc_id").as[java.lang.Long]
+    val frames = MM.audioFrameEnergies(MM.syntheticWavBlobs(ids)).toDF()
+    val wdoc = Window.partitionBy($"doc_id")
+    val wseq = Window.partitionBy($"doc_id").orderBy($"frame_id")
+    val run = wseq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val segs = frames
+      .withColumn("nf", count(lit(1)).over(wdoc))
+      .withColumn("tot", sum($"frame_sq").over(wdoc))
+      .withColumn("voiced",
+        when($"frame_sq" * $"nf" > $"tot", 1L).otherwise(0L))
+      .withColumn("brk",
+        when(lag($"voiced", 1).over(wseq).isNull ||
+          $"voiced" =!= lag($"voiced", 1).over(wseq), 1).otherwise(0))
+      .withColumn("seg_id", sum($"brk").over(run).cast("long"))
+      .filter($"voiced" === 1)
+      .groupBy($"doc_id", $"seg_id")
+      .agg(min($"frame_id").as("s0"), max($"frame_id").as("s1"),
+        count(lit(1)).as("nf"))
+    MM.mergeTurns(segs, gap = 2)
+      .orderBy($"doc_id", $"turn_id")
+  }
+
   val specs: Seq[Spec] = Seq(mmDecodeMeta, mmImageDecode, mmFrameSample,
     mmResize, mmAudioMeta, mmAudioEnergy, mmAudioFingerprint, mmImageAhash,
     mmImageDhash, mmImageBlockhash, mmImagePhash, mmImageNeardup,
-    mmImageHistogram, mmCaptionAlign, mmAudioVad, mmShotDetect)
+    mmImageHistogram, mmCaptionAlign, mmAudioVad, mmShotDetect, mmAudioTurns)
 }

@@ -220,6 +220,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.head.phash == "1" + "0" * 63, s"phash ${got.head.phash}")
   }
 
+  test("mergeTurns: short silences fuse, long silences split, edges never merge") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // doc 1: segs [0,4] [6,9] [15,20] — gaps 1 (merge) and 5 (split)
+    // doc 2: one segment — one turn, merged_segments = 1
+    val segs = Seq(
+      (1L, 0L, 4L, 5L), (1L, 6L, 9L, 4L), (1L, 15L, 20L, 6L),
+      (2L, 3L, 7L, 5L)).toDF("doc_id", "s0", "s1", "nf")
+    val got = Multimodal.mergeTurns(segs, gap = 3)
+      .orderBy($"doc_id", $"turn_id")
+      .select($"doc_id", $"start_frame", $"end_frame", $"voiced_frames",
+        $"merged_segments")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 9L, 9L, 2L),   // gap 1 < 3: fused, voiced 5+4
+      (1L, 15L, 20L, 6L, 1L), // gap 5 >= 3: split
+      (2L, 3L, 7L, 5L, 1L)))
+    // threshold boundary: gap exactly = `gap` splits (>= rule)
+    val boundary = Multimodal.mergeTurns(
+      Seq((9L, 0L, 2L, 3L), (9L, 6L, 8L, 3L)).toDF("doc_id", "s0", "s1", "nf"),
+      gap = 3)
+    assert(boundary.count() == 2, "gap == threshold must split")
+    assert(Multimodal.mergeTurns(
+      Seq((9L, 0L, 2L, 3L), (9L, 5L, 8L, 3L)).toDF("doc_id", "s0", "s1", "nf"),
+      gap = 3).count() == 1, "gap == threshold - 1 must merge")
+  }
+
   test("shot detection: shots PARTITION each timeline exactly; keyframe is the opener") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
