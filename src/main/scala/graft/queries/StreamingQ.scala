@@ -644,6 +644,27 @@ object StreamingQ {
       .orderBy($"source")
   }
 
+  /** STREAMING Neyman allocation: the per-source (n, Σx, Σx²) moment
+    * row maintained as a complete-mode aggregation over the document
+    * feed — 3 numbers per source of state — with the variance-optimal
+    * sample-budget fold ([[TrainingPrep.neymanOverMoments]]) as a
+    * batch view over that state: the live "how should today's sample
+    * budget split across sources" monitor an ingestion pipeline keeps.
+    * Shares the batch oracle — moment sums are order-free. */
+  val stNeymanAllocation: Spec = Spec(
+    "st_neyman_allocation",
+    oracle = Some(TrainingPrep.neymanOracleSql)) { (s, dir) =>
+    import s.implicits._
+    val moments = StreamOps.docsAggStream(s, dir, src =>
+      src.select($"source",
+          size(split($"text", " ", -1)).cast("decimal(38,0)").as("x"))
+        .groupBy($"source")
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum($"x").as("sx"), sum($"x" * $"x").as("sxx")),
+      "st_neyman_mem")
+    TrainingPrep.neymanOverMoments(moments)
+  }
+
   /** STREAMING doc flagging — the cleaning pipeline's stats+flags run
     * unchanged on an unbounded document feed (stateless projections:
     * no state store, no watermark, append mode). Column logic is
@@ -1348,5 +1369,5 @@ object StreamingQ {
     stQualityMonitor, stAttributionDecay, stCusum, stLjungBox,
     stGrangerPairs, stPacfDaily, stGapFill, stDbscan,
     stHoltForecast, stAmsF2, stTdigest, stBurstViterbi, stHoltWinters,
-    stHllUsers, stMannKendall, stCorpusChecksum)
+    stHllUsers, stMannKendall, stCorpusChecksum, stNeymanAllocation)
 }

@@ -1216,6 +1216,76 @@ object TrainingPrep {
       .orderBy($"source")
   }
 
+  /** NEYMAN-OPTIMAL sample allocation across sources (Neyman '34:
+    * n_h ∝ N_h·S_h — strata that are BIG or INTERNALLY VARIED get more
+    * of the sample budget) — the variance-optimal answer to "how many
+    * documents from each source", next to the proportional and
+    * hash-quota allocators ([[dStratifiedSample]],
+    * [[dTokenBudget]]). Per-stratum variance rides the exact
+    * 128-bit integer moments (A_h = n_h·Σx² − (Σx)², d_h = n_h(n_h−1));
+    * each stratum needs exactly ONE √ and the weights are rounded to
+    * 6dp and totalled as DECIMAL (aggregation-order-free, the
+    * PageRank-contribution discipline) before the one float division
+    * per output row. Scale shape: one hash-agg over the corpus to the
+    * per-source moment row — strata-bounded from there.
+    *
+    * The oracle is shared by batch d_neyman_allocation and streaming
+    * st_neyman_allocation: the moment folds are plain sums, so the
+    * streamed per-source partials equal the batch moments. */
+  private[queries] val neymanOracleSql: String = """
+      WITH m AS (SELECT source, CAST(COUNT(*) AS HUGEINT) AS n,
+          SUM(CAST(len(string_split(text, ' ')) AS HUGEINT)) AS sx,
+          SUM(CAST(len(string_split(text, ' ')) AS HUGEINT)
+            * len(string_split(text, ' '))) AS sxx
+        FROM documents GROUP BY source),
+      w AS (SELECT source, n,
+          CAST(ROUND(CAST(n AS DOUBLE) *
+            sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+               / CAST(n * (n - 1) AS DOUBLE)), 6) AS DECIMAL(28,6)) AS wh
+        FROM m WHERE n > 1),
+      t AS (SELECT SUM(wh) AS tot FROM w)
+      SELECT w.source, CAST(w.n AS BIGINT) AS n_docs,
+        CAST(FLOOR(CAST(w.wh AS DOUBLE) / CAST(t.tot AS DOUBLE) * 1000000)
+          AS BIGINT) AS share_micros,
+        CAST(FLOOR(CAST(w.wh AS DOUBLE) / CAST(t.tot AS DOUBLE) * 1000)
+          AS BIGINT) AS quota_of_1000
+      FROM w CROSS JOIN t
+      ORDER BY w.source"""
+
+  /** The allocation fold over a (source, n, sx, sxx) moment frame —
+    * shared by the batch and streaming forms. */
+  private[queries] def neymanOverMoments(m: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import m.sparkSession.implicits._
+    val w = m.filter($"n" > 1)
+      .select($"source", $"n",
+        round($"n".cast("double") *
+          sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double")
+             / ($"n" * ($"n" - 1)).cast("double")), 6)
+          .cast("decimal(28,6)").as("wh"))
+      .localCheckpoint() // strata-bounded rows feed both total and shares
+    val t = w.agg(sum($"wh").as("tot"))
+    w.crossJoin(broadcast(t))
+      .select($"source", $"n".cast("long").as("n_docs"),
+        floor($"wh".cast("double") / $"tot".cast("double") * 1000000)
+          .cast("long").as("share_micros"),
+        floor($"wh".cast("double") / $"tot".cast("double") * 1000)
+          .cast("long").as("quota_of_1000"))
+      .orderBy($"source")
+  }
+
+  val dNeymanAllocation: Spec = Spec(
+    "d_neyman_allocation",
+    oracle = Some(neymanOracleSql)) { (s, dir) =>
+    import s.implicits._
+    neymanOverMoments(docs(s, dir)
+      .select($"source",
+        size(split($"text", " ", -1)).cast("decimal(38,0)").as("x"))
+      .groupBy($"source")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum($"x").as("sx"), sum($"x" * $"x").as("sxx")))
+  }
+
   val dSnapshotDiff: Spec = Spec(
     "d_snapshot_diff",
     oracle = Some("""
@@ -2973,5 +3043,6 @@ object TrainingPrep {
     dSourceDivergence, dDistributionMatch, dQualityClassifier, dDsirWeights,
     dKneserNey, dMannWhitney, dKruskalWallis, dSpearmanLengths,
     dAnovaLengths, dMadLengths, dIsotonicCalibration, dEffectSizes,
-    dGiniLengths, dKendallTau, dLangSourceMi, dCorpusChecksum)
+    dGiniLengths, dKendallTau, dLangSourceMi, dCorpusChecksum,
+    dNeymanAllocation)
 }
