@@ -1254,7 +1254,7 @@ object TrainingPrep {
 
   /** The allocation fold over a (source, n, sx, sxx) moment frame —
     * shared by the batch and streaming forms. */
-  private[queries] def neymanOverMoments(m: org.apache.spark.sql.DataFrame)
+  private[graft] def neymanOverMoments(m: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import m.sparkSession.implicits._
     val w = m.filter($"n" > 1)

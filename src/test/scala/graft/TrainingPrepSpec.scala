@@ -61,6 +61,25 @@ class TrainingPrepSpec extends AnyFunSuite {
     for ((src, exp) <- brute) assert(got(src) == exp, s"source $src")
   }
 
+  test("neyman allocation: high-variance stratum out-allocates an equal-size uniform one") {
+    // two strata of 100 docs each: constant lengths vs spread lengths —
+    // Neyman must give (strictly) more budget to the varied stratum,
+    // and a constant stratum (S_h = 0) gets weight 0, not a div-by-zero
+    val m = Seq(
+      ("flat", 100L, 100L * 50, 100L * 50 * 50),          // all x = 50
+      ("wild", 100L, 100L * 50, 100L * 50 * 50 + 90000L)) // same mean, var > 0
+      .toDF("source", "n", "sx", "sxx")
+      .select($"source", $"n".cast("decimal(38,0)").as("n"),
+        $"sx".cast("decimal(38,0)").as("sx"),
+        $"sxx".cast("decimal(38,0)").as("sxx"))
+    val got = graft.queries.TrainingPrep.neymanOverMoments(m)
+      .select($"source", $"quota_of_1000").as[(String, Long)]
+      .collect().toMap
+    assert(got("wild") > got("flat"), s"allocation $got")
+    assert(got("flat") == 0L, "zero-variance stratum must get zero weight")
+    assert(got("wild") == 1000L)
+  }
+
   test("prefixSumByKey works with a non-string key column") {
     val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
       .select($"doc_id", ($"doc_id" % 7).as("k"),
