@@ -561,6 +561,7 @@ object Multimodal {
     * many segments were merged. One lag window per doc over the
     * (bounded) segment list — the sessionize fold on silence length. */
   def mergeTurns(segs: DataFrame, gap: Int): DataFrame = {
+    require(gap >= 1, s"merge gap must be >= 1 frame, got $gap")
     import org.apache.spark.sql.expressions.Window
     import segs.sparkSession.implicits._
     val w = Window.partitionBy($"doc_id").orderBy($"s0")

@@ -637,7 +637,11 @@ object StreamingQ {
       "st_checksum_mem")
     val total = parts
       .agg(sum($"n").as("n"), expr("bit_xor(x)").as("x"), sum($"sm").as("sm"))
-      .select(lit("__total__").as("source"), $"n", $"x", $"sm")
+      // empty-feed edge: the batch ROLLUP grand-total row carries n = 0
+      // (COUNT over nothing), while SUM over no partials is null —
+      // coalesce so the twins agree even on an empty corpus
+      .select(lit("__total__").as("source"),
+        coalesce($"n", lit(0L)).as("n"), $"x", $"sm")
     parts.select($"source", $"n", $"x", $"sm").unionByName(total)
       .select($"source", $"n", $"x".as("xor_sig"),
         ($"sm" % m).cast("long").as("sum_sig"))
