@@ -1447,6 +1447,105 @@ object Events {
       .orderBy($"cur", $"nxt")
   }
 
+  /** One stationary-distribution power-iteration oracle round:
+    * 9dp-rounded x·p contributions summed per target as DECIMAL
+    * (aggregation-order-free), then L1-renormalized — the
+    * eigencentrality discipline on the transition matrix. */
+  private def msStepCte(t: Int): String = s"""
+      ct$t AS (SELECT pm.nxt AS state,
+          CAST(round(x.x * pm.p, 9) AS DECIMAL(28,12)) AS cc
+        FROM pm JOIN x${t - 1} x ON x.state = pm.cur),
+      cs$t AS (SELECT state, SUM(cc) AS sc FROM ct$t GROUP BY state),
+      tt$t AS (SELECT SUM(sc) AS tt FROM cs$t),
+      x$t AS (SELECT s.state,
+          CAST(COALESCE(c.sc, 0) AS DOUBLE) / CAST(t.tt AS DOUBLE) AS x
+        FROM states s LEFT JOIN cs$t c ON c.state = s.state
+        CROSS JOIN tt$t t)"""
+
+  /** STATIONARY DISTRIBUTION of the event Markov chain — where
+    * [[qMarkovTransitions]] says "what happens after X", this says
+    * where the chain SETTLES: the long-run share of each event type if
+    * users kept behaving per the observed transition matrix, reported
+    * next to the empirical marginal (they agree iff the chain is
+    * already mixed — the gap is the behavioral-drift signal). Eight
+    * synchronous power-iteration rounds from the uniform vector, each
+    * round the PageRank/eigencentrality float discipline (9dp-rounded
+    * cell products, DECIMAL sums, one L1 renormalization), so both
+    * engines land on identical floor-micros.
+    *
+    * Scale shape: the pair scan is the transitions query's (per-user
+    * lead window); everything after lives on the |types|² matrix —
+    * constant work regardless of event count. */
+  val qMarkovStationary: Spec = Spec(
+    "ev_markov_stationary",
+    oracle = Some(s"""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+                 FROM events),
+      pr AS (SELECT user_id, event_type AS cur,
+          lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nxt
+        FROM e),
+      c AS (SELECT cur, nxt, COUNT(*) AS n FROM pr WHERE nxt IS NOT NULL
+            GROUP BY 1, 2),
+      t AS (SELECT cur, SUM(n) AS tot FROM c GROUP BY 1),
+      pm AS (SELECT c.cur, c.nxt, round(CAST(c.n AS DOUBLE) / t.tot, 6) AS p
+        FROM c JOIN t ON t.cur = c.cur),
+      states AS (SELECT DISTINCT cur AS state FROM pm),
+      k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM states),
+      x0 AS (SELECT state, 1.0e0 / k.k AS x FROM states CROSS JOIN k),
+      ${(1 to 8).map(msStepCte).mkString(",")},
+      emp AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events
+              GROUP BY 1),
+      te AS (SELECT SUM(n) AS tot FROM emp)
+      SELECT x.state AS event_type,
+        CAST(FLOOR(x.x * 1000000) AS BIGINT) AS stationary_micros,
+        CAST(FLOOR(CAST(emp.n AS DOUBLE) / te.tot * 1000000) AS BIGINT)
+          AS empirical_micros
+      FROM x8 x JOIN emp ON emp.event_type = x.state CROSS JOIN te
+      ORDER BY event_type""")) { (s, dir) =>
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val ev = load(s, dir)
+    val pairs = ev
+      .select($"user_id", $"event_type", expr("ts div 1000").as("us"),
+        $"event_id")
+      .withColumn("nxt", lead($"event_type", 1).over(w))
+      .filter($"nxt".isNotNull)
+      .select($"event_type".as("cur"), $"nxt")
+    val c = pairs.groupBy($"cur", $"nxt").agg(count(lit(1)).as("n"))
+    val t = c.groupBy($"cur").agg(sum($"n").as("tot"))
+    val pm = c.join(broadcast(t), "cur")
+      .select($"cur", $"nxt",
+        round($"n".cast("double") / $"tot", 6).as("p"))
+      .localCheckpoint() // |types|^2 matrix, scanned every round
+    val states = pm.select($"cur".as("state")).distinct().localCheckpoint()
+    val k = states.agg(count(lit(1)).as("k"))
+    var x = states.crossJoin(broadcast(k))
+      .select($"state", (lit(1.0) / $"k").as("x"))
+    val zeroD = lit(0).cast("decimal(28,12)")
+    for (_ <- 1 to 8) {
+      val contrib = pm
+        .join(x.withColumnRenamed("state", "cur"), Seq("cur"))
+        .select($"nxt".as("state"),
+          round($"x" * $"p", 9).cast("decimal(28,12)").as("cc"))
+      val sums = contrib.groupBy($"state").agg(sum($"cc").as("sc"))
+      val tt = sums.agg(sum($"sc").as("tt"))
+      x = states.join(sums, Seq("state"), "left")
+        .crossJoin(broadcast(tt))
+        .select($"state",
+          (coalesce($"sc", zeroD).cast("double") / $"tt".cast("double"))
+            .as("x"))
+    }
+    val emp = ev.groupBy($"event_type").agg(count(lit(1)).as("n"))
+    val te = emp.agg(sum($"n").as("tot"))
+    x.join(emp, x("state") === emp("event_type"))
+      .crossJoin(broadcast(te))
+      .select($"state".as("event_type"),
+        floor($"x" * 1000000).cast("long").as("stationary_micros"),
+        floor($"n".cast("double") / $"tot" * 1000000).cast("long")
+          .as("empirical_micros"))
+      .orderBy($"event_type")
+  }
+
   /** Two-way additive SEASONAL DECOMPOSITION of the hourly rate (one
     * type, 'error', to keep output focused): each hour's count splits
     * into the day trend (that day's mean hourly count), the hour-of-day
@@ -3886,6 +3985,7 @@ object Events {
     qUserConcentration, qInterArrival, qAttribution, qAttributionDecay,
     qRfm, qEntryExit, qAcfDaily, qLjungBox, qPacfDaily, qGrangerPairs, qCusumChangepoint, qGapFill, qDbscanUsers,
     qConcurrencyHourly, qDbscanIncremental, qTheilSen, qMannKendall,
+    qMarkovStationary,
     qSurvivalKm, qLogrank,
     qTwoProportionAb,
     qZorderLayout, qHoltForecast, qSlidingDistinct, qHaarDaily, qAmsF2,
