@@ -1503,8 +1503,37 @@ object Events {
       FROM x8 x JOIN emp ON emp.event_type = x.state CROSS JOIN te
       ORDER BY event_type""")) { (s, dir) =>
     import s.implicits._
-    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
     val ev = load(s, dir)
+    val cells = collectMatrix(transitionMatrix(ev))
+    val states = cells.map(_._1).distinct.sorted
+    var x: Map[String, Double] = states.map(_ -> 1.0 / states.size).toMap
+    for (_ <- 1 to 8) {
+      val sums = matVec(cells, x, byCur = false)
+      // the oracle's tt sums over ALL contribution targets, including
+      // ones that never appear as a source state
+      val tt = sums.values.foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+      x = states.map(st => st ->
+        sums.getOrElse(st, java.math.BigDecimal.ZERO).doubleValue()
+          / tt.doubleValue()).toMap
+    }
+    val local = states.map(st =>
+      (st, math.floor(x(st) * 1000000).toLong))
+    val emp = ev.groupBy($"event_type").agg(count(lit(1)).as("n"))
+    val te = emp.agg(sum($"n").as("tot"))
+    local.toDF("event_type", "stationary_micros")
+      .join(emp, "event_type")
+      .crossJoin(broadcast(te))
+      .select($"event_type", $"stationary_micros",
+        floor($"n".cast("double") / $"tot" * 1000000).cast("long")
+          .as("empirical_micros"))
+      .orderBy($"event_type")
+  }
+
+  /** The (cur, nxt, p) transition matrix: distributed pair scan + the
+    * 6dp cell probabilities of [[markovOverPairs]]. */
+  private def transitionMatrix(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
     val pairs = ev
       .select($"user_id", $"event_type", expr("ts div 1000").as("us"),
         $"event_id")
@@ -1513,36 +1542,127 @@ object Events {
       .select($"event_type".as("cur"), $"nxt")
     val c = pairs.groupBy($"cur", $"nxt").agg(count(lit(1)).as("n"))
     val t = c.groupBy($"cur").agg(sum($"n").as("tot"))
-    val pm = c.join(broadcast(t), "cur")
-      .select($"cur", $"nxt",
-        round($"n".cast("double") / $"tot", 6).as("p"))
-      .localCheckpoint() // |types|^2 matrix, scanned every round
-    val states = pm.select($"cur".as("state")).distinct().localCheckpoint()
-    val k = states.agg(count(lit(1)).as("k"))
-    var x = states.crossJoin(broadcast(k))
-      .select($"state", (lit(1.0) / $"k").as("x"))
-    val zeroD = lit(0).cast("decimal(28,12)")
-    for (_ <- 1 to 8) {
-      val contrib = pm
-        .join(x.withColumnRenamed("state", "cur"), Seq("cur"))
-        .select($"nxt".as("state"),
-          round($"x" * $"p", 9).cast("decimal(28,12)").as("cc"))
-      val sums = contrib.groupBy($"state").agg(sum($"cc").as("sc"))
-      val tt = sums.agg(sum($"sc").as("tt"))
-      x = states.join(sums, Seq("state"), "left")
-        .crossJoin(broadcast(tt))
-        .select($"state",
-          (coalesce($"sc", zeroD).cast("double") / $"tt".cast("double"))
-            .as("x"))
+    c.join(broadcast(t), "cur")
+      .select($"cur", $"nxt", round($"n".cast("double") / $"tot", 6).as("p"))
+  }
+
+  /** The bounded matrix collected for a DRIVER-SIDE exact fold — the
+    * k-means-centroids discipline: the corpus scan stays distributed,
+    * only the |types|² cell matrix (guarded) crosses to the driver,
+    * where 8-24 tiny mat-vec rounds cost microseconds instead of a
+    * shuffle round-trip each (the distributed loop form measured 270 s
+    * at sf0.01 — all scheduler overhead, zero data). */
+  private def collectMatrix(pm: DataFrame): Seq[(String, String, Double)] = {
+    val rows = pm.collect()
+    require(rows.length <= 65536,
+      s"transition matrix too large for a driver fold: ${rows.length} cells")
+    rows.toSeq.map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+  }
+
+  /** One exact mat-vec round replicating the oracle's float discipline:
+    * per cell round(p·v, 9) as HALF_UP decimal (BigDecimal.valueOf =
+    * the engines' shortest-repr double→decimal path), summed exactly.
+    * byCur: group contributions by source row (Neumann step v' = Q·v);
+    * otherwise by target (power iteration x' = x·P). */
+  private def matVec(cells: Seq[(String, String, Double)],
+      v: Map[String, Double], byCur: Boolean)
+      : Map[String, java.math.BigDecimal] = {
+    val sums = scala.collection.mutable.HashMap
+      .empty[String, java.math.BigDecimal]
+    for ((cur, nxt, p) <- cells) {
+      val src = if (byCur) nxt else cur
+      val dst = if (byCur) cur else nxt
+      v.get(src).foreach { vv =>
+        val cc = java.math.BigDecimal.valueOf(
+            (if (byCur) p * vv else vv * p))
+          .setScale(9, java.math.RoundingMode.HALF_UP)
+        sums(dst) = sums.getOrElse(dst, java.math.BigDecimal.ZERO).add(cc)
+      }
     }
-    val emp = ev.groupBy($"event_type").agg(count(lit(1)).as("n"))
-    val te = emp.agg(sum($"n").as("tot"))
-    x.join(emp, x("state") === emp("event_type"))
-      .crossJoin(broadcast(te))
-      .select($"state".as("event_type"),
-        floor($"x" * 1000000).cast("long").as("stationary_micros"),
-        floor($"n".cast("double") / $"tot" * 1000000).cast("long")
-          .as("empirical_micros"))
+    sums.toMap
+  }
+
+  /** One truncated-Neumann oracle round: v_{k+1}(i) = Σ_j Q_ij·v_k(j)
+    * with 9dp-rounded products DECIMAL-summed per state; the
+    * accumulator rides along exactly (decimal + decimal). va is
+    * MATERIALIZED: each round references its predecessor through two
+    * paths (mc and the acc carry), and DuckDB's CTE inlining would
+    * otherwise double the expanded plan per round — 2²⁴ scans
+    * surfaced as "too many open files" before any rows flowed. */
+  private def nsStepCte(t: Int): String = s"""
+      mc$t AS (SELECT q.cur AS state,
+          CAST(round(q.p * v.v, 9) AS DECIMAL(28,12)) AS cc
+        FROM q JOIN va${t - 1} v ON v.state = q.nxt),
+      ms$t AS (SELECT state, SUM(cc) AS sc FROM mc$t GROUP BY state),
+      va$t AS MATERIALIZED (SELECT s.state,
+          CAST(COALESCE(m.sc, 0) AS DOUBLE) AS v,
+          a.acc + COALESCE(m.sc, 0) AS acc
+        FROM states s LEFT JOIN ms$t m ON m.state = s.state
+        JOIN va${t - 1} a ON a.state = s.state)"""
+
+  /** EXPECTED STEPS TO CONVERSION from each state — the absorption-time
+    * view that completes the Markov trio ([[qMarkovTransitions]]: one
+    * step; [[qMarkovStationary]]: the limit; this: how LONG the walk to
+    * 'purchase' is from each starting behavior). t = Σ_k Q^k·1 over the
+    * purchase-deleted substochastic matrix Q, TRUNCATED at K = 24
+    * rounds — the tail is bounded by ρ^K/(1−ρ) with ρ = per-step
+    * non-conversion mass (~0.8 here ⇒ ≲ 2.5% underestimate), and both
+    * engines replay the identical 24 rounds (9dp-rounded products,
+    * DECIMAL sums — the stationary query's discipline, plus an exact
+    * decimal ACCUMULATOR so the partial sums never re-round). The
+    * one-step conversion probability rides alongside for context.
+    *
+    * Scale shape: one pair scan (the transitions window), then 24
+    * rounds over the |types|² matrix — constant work per round. */
+  val qConversionSteps: Spec = Spec(
+    "ev_conversion_steps",
+    oracle = Some(s"""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+                 FROM events),
+      pr AS (SELECT user_id, event_type AS cur,
+          lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nxt
+        FROM e),
+      c AS (SELECT cur, nxt, COUNT(*) AS n FROM pr WHERE nxt IS NOT NULL
+            GROUP BY 1, 2),
+      t AS (SELECT cur, SUM(n) AS tot FROM c GROUP BY 1),
+      pm AS (SELECT c.cur, c.nxt, round(CAST(c.n AS DOUBLE) / t.tot, 6) AS p
+        FROM c JOIN t ON t.cur = c.cur),
+      q AS MATERIALIZED (SELECT cur, nxt, p FROM pm
+            WHERE cur <> 'purchase' AND nxt <> 'purchase'),
+      states AS MATERIALIZED (SELECT DISTINCT cur AS state FROM pm
+                 WHERE cur <> 'purchase'),
+      va0 AS (SELECT state, 1.0e0 AS v,
+          CAST(1.0 AS DECIMAL(28,12)) AS acc FROM states),
+      ${(1 to 24).map(nsStepCte).mkString(",")},
+      direct AS (SELECT cur AS state, p AS p_convert FROM pm
+                 WHERE nxt = 'purchase')
+      SELECT a.state AS event_type,
+        CAST(FLOOR(CAST(a.acc AS DOUBLE) * 1000000) AS BIGINT)
+          AS exp_steps_micros,
+        COALESCE(d.p_convert, 0.0e0) AS p_convert_1step
+      FROM va24 a LEFT JOIN direct d ON d.state = a.state
+      ORDER BY event_type""")) { (s, dir) =>
+    import s.implicits._
+    val cells = collectMatrix(transitionMatrix(load(s, dir)))
+    val q = cells.filter(c => c._1 != "purchase" && c._2 != "purchase")
+    val states = cells.collect {
+      case (cur, _, _) if cur != "purchase" => cur }.distinct.sorted
+    var v: Map[String, Double] = states.map(_ -> 1.0).toMap
+    var acc: Map[String, java.math.BigDecimal] = states.map(_ ->
+      java.math.BigDecimal.ONE.setScale(12)).toMap
+    for (_ <- 1 to 24) {
+      val sums = matVec(q, v, byCur = true)
+      v = states.map(st => st ->
+        sums.getOrElse(st, java.math.BigDecimal.ZERO).doubleValue()).toMap
+      acc = states.map(st => st ->
+        acc(st).add(sums.getOrElse(st, java.math.BigDecimal.ZERO))).toMap
+    }
+    val direct = cells.collect {
+      case (cur, "purchase", p) => cur -> p }.toMap
+    states.map(st =>
+        (st, math.floor(acc(st).doubleValue() * 1000000).toLong,
+          direct.getOrElse(st, 0.0)))
+      .toDF("event_type", "exp_steps_micros", "p_convert_1step")
       .orderBy($"event_type")
   }
 
@@ -3985,7 +4105,7 @@ object Events {
     qUserConcentration, qInterArrival, qAttribution, qAttributionDecay,
     qRfm, qEntryExit, qAcfDaily, qLjungBox, qPacfDaily, qGrangerPairs, qCusumChangepoint, qGapFill, qDbscanUsers,
     qConcurrencyHourly, qDbscanIncremental, qTheilSen, qMannKendall,
-    qMarkovStationary,
+    qMarkovStationary, qConversionSteps,
     qSurvivalKm, qLogrank,
     qTwoProportionAb,
     qZorderLayout, qHoltForecast, qSlidingDistinct, qHaarDaily, qAmsF2,
