@@ -1929,6 +1929,76 @@ object Relational {
     }
   }
 
+  /** LEAVE-ONE-OUT TARGET ENCODING of `p_brand` against the line-item
+    * price — the categorical-feature transform every tabular training
+    * pipeline ships (Micci-Barreca '01): each row's category is encoded
+    * by the mean target of the OTHER rows in its category, blended
+    * toward the global prior by a smoothing pseudo-count m=10, so rare
+    * categories shrink to the prior instead of memorizing their own
+    * labels (the leakage the LOO form exists to prevent).
+    *
+    *   enc_i = (S_g − x_i + m·μ) / (n_g − 1 + m)
+    *
+    * Per brand the query reports the encoding's min/max/spread — the
+    * audit view a feature store materializes (a wide spread means the
+    * encoding leaks row identity; a zero spread means it collapsed to
+    * the category mean).
+    *
+    * Scale shape: brand moments are ONE hash agg (map-side partials —
+    * the shuffle carries |brands| rows); the 25-row stats frame
+    * broadcasts back onto a second pruned scan for the per-row
+    * encoding, and the min/max audit re-aggregates with map-side
+    * combine. No window over the skewed brand key, no row-level
+    * shuffle at any point — at 100 TB the only full-data pass is the
+    * two pruned column scans.
+    *
+    * Engine parity: S_g and S_g − x_i are exact DECIMAL(18,2) cents;
+    * μ and the encode are fixed-order IEEE double ops on those exact
+    * values, so min/max pick identical bits on both engines;
+    * floor-micros makes the surfaced values integer-stable. */
+  val qTargetEncoding: Spec = Spec(
+    "q_target_encoding",
+    oracle = Some("""
+      WITH base AS (SELECT p_brand,
+          CAST(l_extendedprice AS DECIMAL(18,2)) AS x
+        FROM lineitem JOIN part ON p_partkey = l_partkey),
+      bs AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS s
+        FROM base GROUP BY p_brand),
+      g AS (SELECT CAST(SUM(s) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS mu
+        FROM bs),
+      enc AS (SELECT b.p_brand, bs.n,
+          (CAST(bs.s - b.x AS DOUBLE) + 10.0e0 * g.mu)
+            / CAST(bs.n - 1 + 10 AS DOUBLE) AS e
+        FROM base b JOIN bs ON bs.p_brand = b.p_brand CROSS JOIN g)
+      SELECT p_brand, n AS n_rows,
+        CAST(FLOOR(MIN(e) * 1000000) AS BIGINT) AS enc_min_micros,
+        CAST(FLOOR(MAX(e) * 1000000) AS BIGINT) AS enc_max_micros,
+        CAST(FLOOR(MAX(e) * 1000000) - FLOOR(MIN(e) * 1000000) AS BIGINT)
+          AS spread_micros
+      FROM enc GROUP BY p_brand, n ORDER BY p_brand""")) { (s, dir) =>
+    import s.implicits._
+    def base = Tables.load(s, dir, "lineitem")
+      .join(broadcast(Tables.load(s, dir, "part")),
+        $"p_partkey" === $"l_partkey")
+      .select($"p_brand", $"l_extendedprice".cast("decimal(18,2)").as("x"))
+    val bs = base.groupBy($"p_brand")
+      .agg(count(lit(1)).as("n"), sum($"x").as("s"))
+    val g = broadcast(bs.agg(
+      (sum($"s").cast("double") / sum($"n").cast("double")).as("mu")))
+    val e = (($"s" - $"x").cast("double") + lit(10.0) * $"mu") /
+      ($"n" - 1 + 10).cast("double")
+    base.join(broadcast(bs), Seq("p_brand")).crossJoin(g)
+      .select($"p_brand", $"n", e.as("e"))
+      .groupBy($"p_brand", $"n")
+      .agg(floor(min($"e") * 1e6).cast("long").as("enc_min_micros"),
+        floor(max($"e") * 1e6).cast("long").as("enc_max_micros"),
+        (floor(max($"e") * 1e6) - floor(min($"e") * 1e6)).cast("long")
+          .as("spread_micros"))
+      .select($"p_brand", $"n".as("n_rows"), $"enc_min_micros",
+        $"enc_max_micros", $"spread_micros")
+      .orderBy($"p_brand")
+  }
+
   val specs: Seq[Spec] = Seq(
     q1PricingSummary, q3TopOrders, q5RegionRevenue, q4LateShipments,
     qAntiCustomers, qTopPartsPerBrand, qRunningSupplier, qSetOps,
@@ -1940,5 +2010,5 @@ object Relational {
     qSkylineParts, qKAnonymity, qIncrMv, qIncrJoinMv, qMarketBasket,
     qTdigest, qExactQuantile2Pass, qTopKRewritten, qArgmaxRewritten,
     qHllDistinct, qHllUnion, qJoinSizeAms, qNdvChao,
-    qSelectivityHistogram)
+    qSelectivityHistogram, qTargetEncoding)
 }

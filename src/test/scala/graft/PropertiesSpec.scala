@@ -566,4 +566,35 @@ class PropertiesSpec extends AnyFunSuite {
         s"trial $trial ($nShards shards)")
     }
   }
+
+  test("target encoding: distributed min/max == brute per-row LOO fold") {
+    // q_target_encoding's broadcast-agg plan must equal the textbook
+    // per-row recomputation, bits and all (same DECIMAL-exact moments,
+    // same fixed-order double ops).
+    val base = spark.read.parquet(s"${TestSpark.Sf}/lineitem.parquet")
+      .join(spark.read.parquet(s"${TestSpark.Sf}/part.parquet"),
+        $"p_partkey" === $"l_partkey")
+      .select($"p_brand",
+        $"l_extendedprice".cast("decimal(18,2)").as("x"))
+      .as[(String, java.math.BigDecimal)].collect().toSeq
+    val byBrand = base.groupBy(_._1)
+    val sums = byBrand.view.mapValues(rs =>
+      (rs.size.toLong, rs.map(_._2).reduce(_.add(_)))).toMap
+    val mu = sums.values.map(_._2).reduce(_.add(_)).doubleValue() /
+      sums.values.map(_._1).sum.toDouble
+    val brute = byBrand.map { case (b, rs) =>
+      val (n, s) = sums(b)
+      val encs = rs.map { case (_, x) =>
+        (s.subtract(x).doubleValue() + 10.0 * mu) / (n - 1 + 10).toDouble
+      }
+      b -> (math.floor(encs.min * 1e6).toLong,
+        math.floor(encs.max * 1e6).toLong)
+    }
+    val got = graft.queries.Relational.qTargetEncoding
+      .fn(spark, TestSpark.Sf)
+      .select($"p_brand", $"enc_min_micros", $"enc_max_micros")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == brute)
+  }
 }
