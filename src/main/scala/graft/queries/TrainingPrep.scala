@@ -2167,6 +2167,85 @@ object TrainingPrep {
           * 1e6).cast("long").as("f_micros"))
   }
 
+  /** WELCH'S UNEQUAL-VARIANCE t-TEST of mean document length between
+    * every source pair — the pairwise drill-down behind
+    * [[dAnovaLengths]]'s single omnibus F (ANOVA says "some source
+    * differs"; Welch says WHICH pairs, without assuming the pooled
+    * variance classic t requires — the right default when sources have
+    * different length regimes). Reports t, the Welch–Satterthwaite
+    * effective df, and a z-approximation significance flag at 95%
+    * (df is in the thousands here, where t and z are
+    * indistinguishable; the flag's criterion is documented, not
+    * hidden).
+    *
+    * Engine parity: per-source moments (n, Σx, Σx²) are exact
+    * DECIMAL(38,0); the variance-over-n ratio collapses to ONE float
+    * division of exact integers, rᵢ = (nᵢΣx² − (Σx)²) / (nᵢ²(nᵢ−1)),
+    * and every later op (se² = r_a + r_b with the fixed a-then-b
+    * operand order, the subtraction, sqrt, the df ratio) is a
+    * correctly-rounded IEEE double op — identical bits on both
+    * engines, surfaced as floor-micros.
+    *
+    * Scale shape: one hash agg to |sources| moment rows; the pair
+    * frame is the tiny self-join of that agg (|sources|² rows, never
+    * row-level data). */
+  val dWelchTtest: Spec = Spec(
+    "d_welch_ttest",
+    oracle = Some("""
+      WITH g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+          SUM(n_chars::HUGEINT) AS s, SUM(n_chars::HUGEINT * n_chars) AS q
+        FROM documents GROUP BY source),
+      p AS (SELECT a.source AS source_a, b.source AS source_b,
+          a.n AS na, b.n AS nb,
+          CAST(a.n * a.q - a.s * a.s AS DOUBLE)
+            / CAST(a.n * a.n * (a.n - 1) AS DOUBLE) AS ra,
+          CAST(b.n * b.q - b.s * b.s AS DOUBLE)
+            / CAST(b.n * b.n * (b.n - 1) AS DOUBLE) AS rb,
+          CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+            - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) AS dm
+        FROM g a JOIN g b ON a.source < b.source
+        WHERE a.n > 1 AND b.n > 1),
+      w AS (SELECT source_a, source_b, na, nb,
+          dm / sqrt(ra + rb) AS t,
+          (ra + rb) * (ra + rb)
+            / (ra * ra / CAST(na - 1 AS DOUBLE)
+               + rb * rb / CAST(nb - 1 AS DOUBLE)) AS df
+        FROM p)
+      SELECT source_a, source_b, na AS n_a, nb AS n_b,
+        CAST(FLOOR(t * 1000000) AS BIGINT) AS t_micros,
+        CAST(FLOOR(df * 1000000) AS BIGINT) AS df_micros,
+        abs(t) > 1.96e0 AS significant_95
+      FROM w ORDER BY source_a, source_b""")) { (s, dir) =>
+    import s.implicits._
+    val g = docs(s, dir).groupBy($"source")
+      .agg(count(lit(1)).as("n"),
+        sum($"n_chars".cast("decimal(38,0)")).as("s"),
+        sum($"n_chars".cast("decimal(38,0)") * $"n_chars").as("q"))
+      .filter($"n" > 1)
+      .localCheckpoint() // tiny moment frame, both sides of the pair join
+    def side(tag: String) = g.select(
+      $"source".as(s"source_$tag"), $"n".as(s"n$tag"),
+      $"s".as(s"s$tag"), $"q".as(s"q$tag"))
+    def ratio(tag: String) =
+      (col(s"n$tag") * col(s"q$tag") - col(s"s$tag") * col(s"s$tag"))
+        .cast("double") /
+        (col(s"n$tag") * col(s"n$tag") * (col(s"n$tag") - 1)).cast("double")
+    val p = side("a").join(side("b"), $"source_a" < $"source_b")
+      .select($"source_a", $"source_b", $"na", $"nb",
+        ratio("a").as("ra"), ratio("b").as("rb"),
+        ($"sa".cast("double") / $"na".cast("double")
+          - $"sb".cast("double") / $"nb".cast("double")).as("dm"))
+    val t = $"dm" / sqrt($"ra" + $"rb")
+    val df = ($"ra" + $"rb") * ($"ra" + $"rb") /
+      ($"ra" * $"ra" / ($"na" - 1).cast("double")
+        + $"rb" * $"rb" / ($"nb" - 1).cast("double"))
+    p.select($"source_a", $"source_b", $"na".as("n_a"), $"nb".as("n_b"),
+        floor(t * 1e6).cast("long").as("t_micros"),
+        floor(df * 1e6).cast("long").as("df_micros"),
+        (abs(t) > 1.96).as("significant_95"))
+      .orderBy($"source_a", $"source_b")
+  }
+
   /** Median absolute deviation of document length per source — THE
     * robust scale estimate (50% breakdown vs stddev's 0%) a corpus
     * profile wants for length outliers. Exact and sort-free twice
@@ -3044,5 +3123,5 @@ object TrainingPrep {
     dKneserNey, dMannWhitney, dKruskalWallis, dSpearmanLengths,
     dAnovaLengths, dMadLengths, dIsotonicCalibration, dEffectSizes,
     dGiniLengths, dKendallTau, dLangSourceMi, dCorpusChecksum,
-    dNeymanAllocation)
+    dNeymanAllocation, dWelchTtest)
 }

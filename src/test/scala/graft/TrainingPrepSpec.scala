@@ -61,6 +61,48 @@ class TrainingPrepSpec extends AnyFunSuite {
     for ((src, exp) <- brute) assert(got(src) == exp, s"source $src")
   }
 
+  test("welch t-test: moment-frame pairs == brute per-pair fold; sign tracks means") {
+    val rows = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select($"source", $"n_chars".cast("long"))
+      .as[(String, Long)].collect().toSeq
+    val bySrc = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def moments(xs: Seq[Long]) = {
+      val n = xs.size.toLong
+      val s = xs.map(BigInt(_)).sum
+      val q = xs.map(x => BigInt(x) * x).sum
+      (n, s, q)
+    }
+    val srcs = bySrc.keys.toSeq.sorted
+    val brute = (for {
+      i <- srcs.indices; j <- (i + 1) until srcs.size
+      (na, sa, qa) = moments(bySrc(srcs(i)))
+      (nb, sb, qb) = moments(bySrc(srcs(j)))
+      if na > 1 && nb > 1
+    } yield {
+      val ra = (BigInt(na) * qa - sa * sa).toDouble /
+        (BigInt(na) * na * (na - 1)).toDouble
+      val rb = (BigInt(nb) * qb - sb * sb).toDouble /
+        (BigInt(nb) * nb * (nb - 1)).toDouble
+      val dm = sa.toDouble / na.toDouble - sb.toDouble / nb.toDouble
+      val t = dm / math.sqrt(ra + rb)
+      val df = (ra + rb) * (ra + rb) /
+        (ra * ra / (na - 1).toDouble + rb * rb / (nb - 1).toDouble)
+      (srcs(i), srcs(j)) ->
+        (math.floor(t * 1e6).toLong, math.floor(df * 1e6).toLong)
+    }).toMap
+    val got = graft.queries.TrainingPrep.dWelchTtest.fn(spark, TestSpark.Sf)
+      .select($"source_a", $"source_b", $"t_micros", $"df_micros")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got == brute)
+    // sign sanity: t > 0 iff source_a's mean length exceeds source_b's
+    for (((a, b), (tm, _)) <- got if tm != 0 && tm != -1) {
+      val ma = bySrc(a).sum.toDouble / bySrc(a).size
+      val mb = bySrc(b).sum.toDouble / bySrc(b).size
+      assert((tm > 0) == (ma > mb), s"pair ($a,$b)")
+    }
+  }
+
   test("neyman allocation: high-variance stratum out-allocates an equal-size uniform one") {
     // two strata of 100 docs each: constant lengths vs spread lengths —
     // Neyman must give (strictly) more budget to the varied stratum,
