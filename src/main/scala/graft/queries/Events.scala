@@ -3321,6 +3321,143 @@ object Events {
     cusumOverDayGrid(dailyCountSpine(s, dir))
   }
 
+  /** Dyadic EWMA weights w(k) = 2^-k for k = 0..128: every value is an
+    * exact power of two (exponent shift, no rounding), so λ = 1/2
+    * makes the whole smoothing ladder exactly representable — the
+    * trick that lets an "approximate" EWMA hash-match across engines.
+    * The oracle receives the SAME values as exact decimal literals
+    * (2^-k has a finite k-digit expansion; correctly-rounded parse
+    * recovers the identical double). Terms older than 128 steps drop
+    * on BOTH engines via the inner weight join — w(129) < 1.5e-39 is
+    * far below the 9dp contribution rounding for any feasible count. */
+  private val EwmaMaxLag = 128
+  private def ewmaWeights(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (0 to EwmaMaxLag).map(k => (k.toLong, math.scalb(1.0, -k)))
+      .toDF("k", "w")
+  }
+  private val ewmaWeightsSql: String = {
+    val rows = (0 to EwmaMaxLag).map { k =>
+      val w = java.math.BigDecimal.ONE
+        .divide(new java.math.BigDecimal(2).pow(k)).toPlainString
+      s"(CAST($k AS BIGINT), CAST('$w' AS DOUBLE))"
+    }
+    s"wt(k, w) AS (SELECT * FROM (VALUES ${rows.mkString(", ")}))"
+  }
+
+  /** Shared with the streaming twin st_ewma_control. */
+  val ewmaControlOracleSql: String = s"""
+      WITH $dailySpineSql,
+      $ewmaWeightsSql,
+      idx AS (SELECT event_type, d, x,
+          row_number() OVER (PARTITION BY event_type ORDER BY d) - 1 AS t
+        FROM grid),
+      par AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd,
+          SUM(x::HUGEINT) AS s, SUM(x::HUGEINT * x) AS q
+        FROM idx GROUP BY event_type HAVING COUNT(*) > 1),
+      st AS (SELECT event_type, CAST(s AS DOUBLE) / CAST(nd AS DOUBLE) AS mu,
+          sqrt(CAST(nd * q - s * s AS DOUBLE)
+            / CAST(nd * (nd - 1) AS DOUBLE)) AS sig
+        FROM par),
+      z AS (SELECT a.event_type, a.d, a.x, a.t,
+          CAST(SUM(CAST(round(b.x * wt.w, 9) AS DECIMAL(28,12)))
+            AS DOUBLE) AS ewma
+        FROM idx a JOIN idx b
+          ON b.event_type = a.event_type AND b.t <= a.t
+        JOIN wt ON wt.k = CASE WHEN b.t = 0 THEN a.t ELSE a.t - b.t + 1 END
+        GROUP BY a.event_type, a.d, a.x, a.t),
+      lim AS (SELECT z.event_type, z.d, z.x, z.ewma,
+          st.mu + 3.0e0 * st.sig
+            * sqrt((1.0e0 + 2.0e0 * COALESCE(w2.w, 0.0e0)) / 3.0e0) AS ucl,
+          st.mu - 3.0e0 * st.sig
+            * sqrt((1.0e0 + 2.0e0 * COALESCE(w2.w, 0.0e0)) / 3.0e0) AS lcl
+        FROM z JOIN st ON st.event_type = z.event_type
+        LEFT JOIN wt w2 ON w2.k = 2 * z.t)
+      SELECT event_type,
+        strftime(make_timestamp(d * 86400000000), '%Y-%m-%d') AS day,
+        CAST(x AS BIGINT) AS x,
+        CAST(FLOOR(ewma * 1000000) AS BIGINT) AS ewma_micros,
+        CAST(FLOOR(lcl * 1000000) AS BIGINT) AS lcl_micros,
+        CAST(FLOOR(ucl * 1000000) AS BIGINT) AS ucl_micros,
+        ewma > ucl OR ewma < lcl AS out_of_control
+      FROM lim ORDER BY event_type, day"""
+
+  /** The EWMA-chart tail over a complete (event_type, d, x) day grid —
+    * shared by the batch query and the streaming twin. */
+  def ewmaControlOverDayGrid(grid: DataFrame): DataFrame = {
+    val s = grid.sparkSession
+    import s.implicits._
+    val idx = grid
+      .withColumn("t", row_number().over(
+        Window.partitionBy($"event_type").orderBy($"d")).cast("long") - 1)
+      .localCheckpoint() // both sides of the triangular join + moments
+    val par = idx.groupBy($"event_type")
+      .agg(count(lit(1)).as("nd"),
+        sum($"x".cast("decimal(38,0)")).as("s"),
+        sum($"x".cast("decimal(38,0)") * $"x").as("q"))
+      .filter($"nd" > 1)
+    val st = par.select($"event_type",
+      ($"s".cast("double") / $"nd".cast("double")).as("mu"),
+      sqrt(($"nd" * $"q" - $"s" * $"s").cast("double") /
+        ($"nd" * ($"nd" - 1)).cast("double")).as("sig"))
+    val wt = broadcast(ewmaWeights(s))
+    val a = idx.select($"event_type", $"d", $"x", $"t")
+    val b = idx.select($"event_type".as("et_b"), $"x".as("xb"), $"t".as("tb"))
+    val z = a.join(b, $"et_b" === $"event_type" && $"tb" <= $"t")
+      .join(wt,
+        $"k" === when($"tb" === 0, $"t").otherwise($"t" - $"tb" + 1))
+      .groupBy($"event_type", $"d", $"x", $"t")
+      .agg(sum(round($"xb" * $"w", 9).cast("decimal(28,12)"))
+        .cast("double").as("ewma"))
+    val fac = sqrt((lit(1.0) + lit(2.0) * coalesce($"w2", lit(0.0))) / lit(3.0))
+    z.join(broadcast(st), Seq("event_type"))
+      .join(broadcast(ewmaWeights(s).select($"k".as("k2"), $"w".as("w2"))),
+        $"k2" === lit(2) * $"t", "left")
+      .select($"event_type",
+        date_format(timestamp_micros($"d" * lit(86400000000L)), "yyyy-MM-dd")
+          .as("day"),
+        $"x".cast("long").as("x"),
+        floor($"ewma" * 1e6).cast("long").as("ewma_micros"),
+        floor(($"mu" - lit(3.0) * $"sig" * fac) * 1e6).cast("long")
+          .as("lcl_micros"),
+        floor(($"mu" + lit(3.0) * $"sig" * fac) * 1e6).cast("long")
+          .as("ucl_micros"),
+        ($"ewma" > $"mu" + lit(3.0) * $"sig" * fac ||
+          $"ewma" < $"mu" - lit(3.0) * $"sig" * fac).as("out_of_control"))
+      .orderBy($"event_type", $"day")
+  }
+
+  /** EWMA CONTROL CHART (Roberts '59; the SPC standard for detecting
+    * SMALL persistent shifts that a Shewhart/3σ rule misses) over the
+    * per-type daily count series: λ = 1/2 smoothing started at
+    * z₀ = x₀, with the time-dependent limits μ ± 3σ·√((1+2·4⁻ᵗ)/3) —
+    * the EXACT variance of the estimator under the x₀ start (wide at
+    * t=0 where z is one raw observation, shrinking to the textbook
+    * asymptote σ²·λ/(2−λ) = σ²/3).
+    * Complements [[qCusumChangepoint]] (CUSUM localizes a single level
+    * shift; the EWMA chart flags every excursion against a smoothed
+    * memory) and [[qRateAnomaly]] (whose z-score has no memory at
+    * all).
+    *
+    * Exactness: λ = 1/2 makes every smoothing weight 2^-k an EXACT
+    * double (see [[ewmaWeights]]); contributions are 9dp-rounded
+    * products summed as DECIMAL (order-free), μ/σ come from exact
+    * integer moments with one float division each, and the limit
+    * arithmetic is fixed-order IEEE — both engines land on identical
+    * bits, surfaced as floor-micros.
+    *
+    * Scale shape: the corpus-size-dependent work is ONE hash agg to
+    * the day grid; the closed-form expansion is a triangular self-join
+    * of the grid (|types|·T²/2 rows — grows with the SQUARE OF TIME,
+    * not with data; a decade of days is ~53M pairs) joined to a
+    * 129-row broadcast weight table. The recursive streaming form
+    * (st_ewma_control) carries O(1) state per type instead. */
+  val qEwmaControl: Spec = Spec(
+    "ev_ewma_control",
+    oracle = Some(ewmaControlOracleSql)) { (s, dir) =>
+    ewmaControlOverDayGrid(dailyCountSpine(s, dir))
+  }
+
   /** Gap-fill with last-observation-carried-forward over a sparse
     * sensor-style feed (a deterministic 1-in-97 event subsample, so
     * real multi-day gaps exist at every scale): per type, the complete
@@ -4100,6 +4237,7 @@ object Events {
     qRate5Min, qValueOutliers, qDriftWindowed, qDriftSliding,
     qCohortRetention, qFunnelWindowed, qDauNewReturning, qDecayScore,
     qUserTrend, qRateAnomaly, qKsDrift, qKsWindowed, qWinsorizedStats,
+    qEwmaControl,
     qAsofNearest, qConversionTime, qMarkovTransitions, qSeasonalDecompose,
     qPathAnalysis, qSeasonalAnomaly, qStickiness, qBounceRate,
     qUserConcentration, qInterArrival, qAttribution, qAttributionDecay,

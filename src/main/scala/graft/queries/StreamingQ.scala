@@ -836,6 +836,21 @@ object StreamingQ {
       StreamOps.dailyTypeCounts(s, dir, sink = "st_cusum_mem")))
   }
 
+  /** STREAMING EWMA control chart: the same watermarked daily count
+    * grid, the dyadic-weight smoothing + exact-variance limits as a
+    * batch view over it — sharing [[Events.spineFill]] +
+    * [[Events.ewmaControlOverDayGrid]] and the batch oracle with
+    * ev_ewma_control (the st_cusum_changepoint split). In a production
+    * deployment the closed-form expansion collapses to the O(1)
+    * recursion z ← (x + z)/2 inside the stateful store; the shared
+    * tail keeps the verify surface bit-identical to the batch chart. */
+  val stEwmaControl: Spec = Spec(
+    "st_ewma_control",
+    oracle = Some(Events.ewmaControlOracleSql)) { (s, dir) =>
+    Events.ewmaControlOverDayGrid(Events.spineFill(
+      StreamOps.dailyTypeCounts(s, dir, sink = "st_ewma_mem")))
+  }
+
   /** STREAMING Granger screening: the same watermarked daily count
     * grid, the pairwise lag-1 F-test as a batch view over it — sharing
     * [[Events.spineFill]] + [[Events.grangerOverGrid]] and the batch
@@ -1373,5 +1388,6 @@ object StreamingQ {
     stQualityMonitor, stAttributionDecay, stCusum, stLjungBox,
     stGrangerPairs, stPacfDaily, stGapFill, stDbscan,
     stHoltForecast, stAmsF2, stTdigest, stBurstViterbi, stHoltWinters,
-    stHllUsers, stMannKendall, stCorpusChecksum, stNeymanAllocation)
+    stHllUsers, stMannKendall, stCorpusChecksum, stNeymanAllocation,
+    stEwmaControl)
 }

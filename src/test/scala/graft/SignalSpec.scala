@@ -158,4 +158,29 @@ class SignalSpec extends AnyFunSuite {
     val z = (stat - 1).toDouble / math.sqrt(var18.toDouble / 18.0)
     assert(z > 1.96, s"monotone series must be significant, z=$z")
   }
+
+  test("EWMA chart: closed-form expansion tracks the textbook recursion; planted shift flags") {
+    // flat 10s, then a 3-day 200-spike: self-referenced sigma (~58)
+    // puts the asymptotic band at ~±100, so the smoothed spike must
+    // cross it on its 2nd/3rd day while the baseline never does
+    val xs = Seq.fill(27)(10L) ++ Seq.fill(3)(200L)
+    val grid = xs.zipWithIndex
+      .map { case (x, d) => ("a", d.toLong, x) }
+      .toDF("event_type", "d", "x")
+    val got = Events.ewmaControlOverDayGrid(grid)
+      .orderBy($"day")
+      .select($"ewma_micros", $"out_of_control")
+      .as[(Long, Boolean)].collect()
+    // textbook recursion z_t = (x_t + z_{t-1}) / 2, z_0 = x_0
+    val rec = xs.tail.scanLeft(xs.head.toDouble)((z, x) => (x + z) / 2.0)
+    for (((em, _), (r, t)) <- got.zip(rec.zipWithIndex)) {
+      // closed form rounds each of <= t+1 contributions to 9dp
+      val tol = math.max(1L, ((t + 1) * 5e-10 * 1e6).ceil.toLong + 1)
+      assert(math.abs(em - math.floor(r * 1e6).toLong) <= tol,
+        s"day $t: ewma_micros $em vs recursion ${math.floor(r * 1e6).toLong}")
+    }
+    // baseline stays in control, the smoothed spike alarms
+    assert(!got.take(27).exists(_._2), "pre-spike days must stay in control")
+    assert(got.takeRight(2).forall(_._2), "smoothed spike must alarm")
+  }
 }
