@@ -1582,6 +1582,143 @@ object Events {
     sums.toMap
   }
 
+  /** One HITS oracle round over the integer-weighted transition graph:
+    * authority a(j) = L1-normalized Σ_i h(i)·n(i,j), then hub
+    * h(i) = L1-normalized Σ_j a(j)·n(i,j) — each half-step the
+    * eigencentrality float discipline (9dp-rounded contributions,
+    * DECIMAL sums, one double division). */
+  private def hitsStepCte(r: Int): String = s"""
+      ac$r AS (SELECT pm.nxt AS state,
+          CAST(round(h.x * pm.n, 9) AS DECIMAL(28,12)) AS c
+        FROM pm JOIN h${r - 1} h ON h.state = pm.cur),
+      acs$r AS (SELECT state, SUM(c) AS sc FROM ac$r GROUP BY state),
+      act$r AS (SELECT SUM(sc) AS tt FROM acs$r),
+      a$r AS (SELECT s.state,
+          CASE WHEN t.tt IS NULL OR t.tt = 0 THEN 0.0e0
+               ELSE CAST(COALESCE(c.sc, 0) AS DOUBLE) / CAST(t.tt AS DOUBLE)
+          END AS x
+        FROM states s CROSS JOIN act$r t LEFT JOIN acs$r c ON c.state = s.state),
+      hc$r AS (SELECT pm.cur AS state,
+          CAST(round(a.x * pm.n, 9) AS DECIMAL(28,12)) AS c
+        FROM pm JOIN a$r a ON a.state = pm.nxt),
+      hcs$r AS (SELECT state, SUM(c) AS sc FROM hc$r GROUP BY state),
+      hct$r AS (SELECT SUM(sc) AS tt FROM hcs$r),
+      h$r AS (SELECT s.state,
+          CASE WHEN t.tt IS NULL OR t.tt = 0 THEN 0.0e0
+               ELSE CAST(COALESCE(c.sc, 0) AS DOUBLE) / CAST(t.tt AS DOUBLE)
+          END AS x
+        FROM states s CROSS JOIN hct$r t LEFT JOIN hcs$r c ON c.state = s.state)"""
+
+  /** HITS HUBS & AUTHORITIES (Kleinberg '99) of the DIRECTED event
+    * transition graph: authorities are the event types user journeys
+    * FUNNEL INTO, hubs are the types that FEED the authorities — the
+    * asymmetric "what leads where" ranking a directed graph supports
+    * and the undirected similarity graph cannot (there HITS collapses
+    * to [[graft.queries.Similarity.eEigenCentrality]]'s eigenvector;
+    * see its Scaladoc). Four synchronous a/h rounds over the
+    * integer-count adjacency, each half-step L1-normalized under the
+    * eigencentrality float discipline, reported next to the exact
+    * in/out transition masses.
+    *
+    * Scale shape: the corpus-sized work is the ONE per-user lead
+    * window of [[qMarkovTransitions]]; everything after lives on the
+    * guarded |types|² cell matrix, driver-folded exactly like
+    * [[qMarkovStationary]] (the distributed loop form is pure
+    * scheduler overhead at any scale — the matrix does not grow with
+    * data). */
+  val qHitsTransitions: Spec = Spec(
+    "ev_hits_transitions",
+    oracle = Some(s"""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+                 FROM events),
+      pr AS (SELECT user_id, event_type AS cur,
+          lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nxt
+        FROM e),
+      pm AS (SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n FROM pr
+             WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      states AS (SELECT DISTINCT event_type AS state FROM events),
+      k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM states),
+      h0 AS (SELECT state, 1.0e0 / k.k AS x FROM states CROSS JOIN k),
+      ${(1 to 4).map(hitsStepCte).mkString(",")},
+      outs AS (SELECT cur AS state, CAST(SUM(n) AS BIGINT) AS o FROM pm
+               GROUP BY 1),
+      ins AS (SELECT nxt AS state, CAST(SUM(n) AS BIGINT) AS i FROM pm
+              GROUP BY 1)
+      SELECT s.state AS event_type,
+        CAST(FLOOR(h.x * 1000000) AS BIGINT) AS hub_micros,
+        CAST(FLOOR(a.x * 1000000) AS BIGINT) AS auth_micros,
+        COALESCE(o.o, 0) AS out_transitions,
+        COALESCE(i.i, 0) AS in_transitions
+      FROM states s
+      JOIN h4 h ON h.state = s.state
+      JOIN a4 a ON a.state = s.state
+      LEFT JOIN outs o ON o.state = s.state
+      LEFT JOIN ins i ON i.state = s.state
+      ORDER BY event_type""")) { (s, dir) =>
+    import s.implicits._
+    val ev = load(s, dir)
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val pm = ev
+      .select($"user_id", $"event_type", expr("ts div 1000").as("us"),
+        $"event_id")
+      .withColumn("nxt", lead($"event_type", 1).over(w))
+      .filter($"nxt".isNotNull)
+      .groupBy($"event_type".as("cur"), $"nxt")
+      .agg(count(lit(1)).as("n"))
+    val rows = pm.collect()
+    require(rows.length <= 65536,
+      s"transition matrix too large for a driver fold: ${rows.length} cells")
+    val cells = rows.toSeq.map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2)))
+    val states = ev.select($"event_type").distinct()
+      .as[String].collect().toSeq.sorted
+    val (h, a) = hitsFold(cells, states, rounds = 4)
+    val outs = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val ins = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    states.map(st => (st,
+        math.floor(h(st) * 1000000).toLong,
+        math.floor(a(st) * 1000000).toLong,
+        outs.getOrElse(st, 0L), ins.getOrElse(st, 0L)))
+      .toDF("event_type", "hub_micros", "auth_micros",
+        "out_transitions", "in_transitions")
+      .orderBy($"event_type")
+  }
+
+  /** The HITS driver fold over bounded (src, dst, weight) cells,
+    * replicating [[hitsStepCte]]'s float discipline half-step for
+    * half-step (9dp HALF_UP contribution rounding, exact decimal sums,
+    * one double division per normalization). Returns (hub, authority)
+    * score maps after `rounds` synchronous a-then-h updates from the
+    * uniform hub vector. */
+  private[graft] def hitsFold(cells: Seq[(String, String, Long)],
+      states: Seq[String], rounds: Int)
+      : (Map[String, Double], Map[String, Double]) = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def half(v: Map[String, Double], bySrc: Boolean)
+        : Map[String, Double] = {
+      val sums = scala.collection.mutable.HashMap.empty[String, JBD]
+      for ((cur, nxt, n) <- cells) {
+        val (src, dst) = if (bySrc) (cur, nxt) else (nxt, cur)
+        v.get(src).foreach { x =>
+          val c = JBD.valueOf(x * n).setScale(9, RoundingMode.HALF_UP)
+          sums(dst) = sums.getOrElse(dst, JBD.ZERO).add(c)
+        }
+      }
+      val tt = sums.values.foldLeft(JBD.ZERO)(_.add(_))
+      states.map(st => st ->
+        (if (tt.signum == 0) 0.0
+         else sums.getOrElse(st, JBD.ZERO).doubleValue() / tt.doubleValue()))
+        .toMap
+    }
+    var h: Map[String, Double] = states.map(_ -> 1.0 / states.size).toMap
+    var a: Map[String, Double] = states.map(_ -> 0.0).toMap
+    for (_ <- 1 to rounds) {
+      a = half(h, bySrc = true) // authorities gather over in-edges
+      h = half(a, bySrc = false) // hubs gather over out-edges
+    }
+    (h, a)
+  }
+
   /** One truncated-Neumann oracle round: v_{k+1}(i) = Σ_j Q_ij·v_k(j)
     * with 9dp-rounded products DECIMAL-summed per state; the
     * accumulator rides along exactly (decimal + decimal). va is
@@ -4243,7 +4380,7 @@ object Events {
     qUserConcentration, qInterArrival, qAttribution, qAttributionDecay,
     qRfm, qEntryExit, qAcfDaily, qLjungBox, qPacfDaily, qGrangerPairs, qCusumChangepoint, qGapFill, qDbscanUsers,
     qConcurrencyHourly, qDbscanIncremental, qTheilSen, qMannKendall,
-    qMarkovStationary, qConversionSteps,
+    qMarkovStationary, qConversionSteps, qHitsTransitions,
     qSurvivalKm, qLogrank,
     qTwoProportionAb,
     qZorderLayout, qHoltForecast, qSlidingDistinct, qHaarDaily, qAmsF2,

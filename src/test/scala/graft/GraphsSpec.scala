@@ -97,4 +97,24 @@ class GraphsSpec extends AnyFunSuite {
     assert(totals.length == 1 && totals.head >= -1000000 && totals.head <= 1000000)
     info(s"modularity of LP partition at sf0.001: Q_total_micros=${totals.head}")
   }
+
+  test("HITS fold: planted funnel separates hubs from authorities; cycle is uniform") {
+    // S and T only point, A and B are only pointed at: authority mass
+    // must live entirely on {A, B} (A first — heavier in-weight) and
+    // hub mass entirely on {S, T} (S first)
+    val cells = Seq(("S", "A", 2L), ("S", "B", 1L), ("T", "A", 1L))
+    val states = Seq("A", "B", "S", "T")
+    val (h, a) = graft.queries.Events.hitsFold(cells, states, rounds = 4)
+    assert(a("A") > a("B") && a("B") > 0.0, s"authorities $a")
+    assert(a("S") == 0.0 && a("T") == 0.0, s"pure hubs must have 0 authority: $a")
+    assert(h("S") > h("T") && h("T") > 0.0, s"hubs $h")
+    assert(h("A") == 0.0 && h("B") == 0.0, s"pure authorities must have 0 hub: $h")
+    assert(math.abs(a.values.sum - 1.0) < 1e-6 &&
+      math.abs(h.values.sum - 1.0) < 1e-6, "each half-step is L1-normalized")
+    // a symmetric cycle has no structure to rank: every score equal
+    val cyc = Seq(("x", "y", 1L), ("y", "z", 1L), ("z", "x", 1L))
+    val (hc, ac) = graft.queries.Events.hitsFold(cyc, Seq("x", "y", "z"), 4)
+    assert(hc.values.toSet.size == 1 && ac.values.toSet.size == 1,
+      s"cycle must be uniform: $hc / $ac")
+  }
 }
