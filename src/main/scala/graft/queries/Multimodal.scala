@@ -149,6 +149,95 @@ object Multimodal {
       .orderBy($"doc_id", $"shot_id")
   }
 
+  /** KEYFRAME SELECTION per detected shot — the medoid frame (closest
+    * to the shot's mean luma, ties to the earliest frame), the
+    * representative-frame choice thumbnailers and training-frame
+    * samplers actually want ([[mmShotDetect]] surfaces the OPENING
+    * frame; openings are often transition frames mid-fade, the medoid
+    * is not). Entirely integer arithmetic: the distance is
+    * |K·luma − S| (cross-multiplied mean, no division), the argmin
+    * rides one packed BIGINT min ((diff, frame, luma) lexicographic),
+    * and the reported mean distance is an exact integer floor-milli —
+    * no float appears anywhere.
+    *
+    * Scale shape: the same frame explode + per-video windows as shot
+    * detection, one window pass per (video, shot) for (K, S), one
+    * hash agg for the packed argmin. Packing bounds: frames/video
+    * ≤ 128, luma < 256, diff ≤ K·255 < 2^15·... every packed value
+    * < 2^40 — exact in BIGINT with headroom for 100× longer videos. */
+  val mmKeyframes: Spec = Spec(
+    "mm_keyframes",
+    oracle = Some("""
+      WITH meta AS (
+        SELECT doc_id, 1 + strlen(text) % 100 AS n_frames, md5(text) AS checksum
+        FROM documents WHERE doc_id % 25 = 0),
+      frames AS (
+        SELECT doc_id, CAST(t.i AS BIGINT) AS frame_id,
+          CAST(('0x' || substr(md5(checksum || '|' || t.i::VARCHAR), 1, 2))
+            AS BIGINT) AS luma
+        FROM meta CROSS JOIN unnest(range(0, 100)) AS t(i)
+        WHERE t.i < n_frames),
+      flagged AS (
+        SELECT doc_id, frame_id, luma,
+          CASE WHEN lag(luma) OVER w IS NULL THEN 1
+               WHEN abs(luma - lag(luma) OVER w) > 64 THEN 1
+               ELSE 0 END AS boundary
+        FROM frames WINDOW w AS (PARTITION BY doc_id ORDER BY frame_id)),
+      shots AS (
+        SELECT doc_id, frame_id, luma,
+          SUM(boundary) OVER (PARTITION BY doc_id ORDER BY frame_id) AS shot_id
+        FROM flagged),
+      stats AS (
+        SELECT doc_id, frame_id, luma, shot_id,
+          COUNT(*) OVER s AS k, SUM(luma) OVER s AS sl
+        FROM shots WINDOW s AS (PARTITION BY doc_id, shot_id)),
+      packed AS (
+        SELECT doc_id, CAST(shot_id AS BIGINT) AS shot_id,
+          CAST(MIN((abs(k * luma - sl) * 128 + frame_id) * 256 + luma)
+            AS BIGINT) AS sel,
+          CAST(COUNT(*) AS BIGINT) AS n_frames,
+          MAX(k) AS k
+        FROM stats GROUP BY doc_id, shot_id)
+      SELECT doc_id, shot_id, n_frames,
+        CAST((sel // 256) % 128 AS BIGINT) AS keyframe_id,
+        CAST(sel % 256 AS BIGINT) AS keyframe_luma,
+        CAST((sel // 32768) * 1000 // k AS BIGINT) AS dist_milli
+      FROM packed ORDER BY doc_id, shot_id""")) { (s, dir) =>
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy($"doc_id").orderBy($"frame_id")
+    val frames = MM.extractMeta(
+        MM.asBlobs(s, Tables.load(s, dir, "documents").filter($"doc_id" % 25 === 0)))
+      .toDF()
+      .select($"doc_id", $"checksum",
+        explode(sequence(lit(0L), $"n_frames" - 1)).as("frame_id"))
+      .select($"doc_id", $"frame_id",
+        conv(substring(md5(concat($"checksum", lit("|"),
+          $"frame_id".cast("string"))), 1, 2), 16, 10)
+          .cast("long").as("luma"))
+    val shots = frames
+      .withColumn("prev", lag($"luma", 1).over(w))
+      .withColumn("boundary",
+        when($"prev".isNull || abs($"luma" - $"prev") > 64, 1L).otherwise(0L))
+      .withColumn("shot_id",
+        sum($"boundary").over(w.rowsBetween(W.unboundedPreceding, 0)))
+    val ws = W.partitionBy($"doc_id", $"shot_id")
+    shots
+      .withColumn("k", count(lit(1)).over(ws))
+      .withColumn("sl", sum($"luma").over(ws))
+      .groupBy($"doc_id", $"shot_id")
+      .agg(
+        min((abs($"k" * $"luma" - $"sl") * 128 + $"frame_id") * 256 + $"luma")
+          .as("sel"),
+        count(lit(1)).as("n_frames"),
+        max($"k").as("k"))
+      .select($"doc_id", $"shot_id", $"n_frames",
+        expr("(sel div 256) % 128").as("keyframe_id"),
+        ($"sel" % 256).as("keyframe_luma"),
+        expr("(sel div 32768) * 1000 div k").as("dist_milli"))
+      .orderBy($"doc_id", $"shot_id")
+  }
+
   /** REAL resize: generated PNGs scaled to 8×8 on the executors, then
     * re-decoded through the probe — the oracle pins the post-resize
     * dimensions and format, so a resize or re-encode bug cannot match.
@@ -834,5 +923,6 @@ object Multimodal {
   val specs: Seq[Spec] = Seq(mmDecodeMeta, mmImageDecode, mmFrameSample,
     mmResize, mmAudioMeta, mmAudioEnergy, mmAudioFingerprint, mmImageAhash,
     mmImageDhash, mmImageBlockhash, mmImagePhash, mmImageNeardup,
-    mmImageHistogram, mmCaptionAlign, mmAudioVad, mmShotDetect, mmAudioTurns)
+    mmImageHistogram, mmCaptionAlign, mmAudioVad, mmShotDetect, mmAudioTurns,
+    mmKeyframes)
 }

@@ -278,4 +278,52 @@ class MultimodalSpec extends AnyFunSuite {
         r._6 >= 0 && r._6 <= 255))
     }
   }
+
+  test("keyframes: selected frame is the true medoid (brute recompute), ties earliest") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // reconstruct the deterministic frame timeline independently
+    val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .filter($"doc_id" % 25 === 0)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val lumas: Map[Long, Array[Int]] = docs.map { case (id, text) =>
+      val ck = md5hex(text)
+      val n = 1 + text.getBytes("UTF-8").length % 100
+      id -> Array.tabulate(n)(i =>
+        Integer.parseInt(md5hex(s"$ck|$i").substring(0, 2), 16))
+    }.toMap
+    // re-derive shot boundaries the way the detector defines them
+    def shotsOf(xs: Array[Int]): Seq[Seq[(Int, Int)]] = {
+      val idx = xs.zipWithIndex
+      idx.tail.foldLeft(Vector(Vector(idx.head))) { case (acc, (l, i)) =>
+        if (math.abs(l - xs(i - 1)) > 64) acc :+ Vector((l, i))
+        else acc.init :+ (acc.last :+ ((l, i)))
+      }.map(_.map { case (l, i) => (i, l) })
+    }
+    val got = graft.queries.Multimodal.mmKeyframes.fn(spark, TestSpark.Sf)
+      .select($"doc_id", $"shot_id", $"keyframe_id", $"keyframe_luma",
+        $"dist_milli")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(got.keySet == lumas.keySet)
+    var checked = 0
+    for ((doc, rows) <- got) {
+      val shots = shotsOf(lumas(doc))
+      assert(rows.length == shots.length, s"doc $doc shot count")
+      for ((row, shot) <- rows.zip(shots)) {
+        val k = shot.length.toLong
+        val s = shot.map(_._2.toLong).sum
+        val best = shot.minBy { case (i, l) => (math.abs(k * l - s), i) }
+        assert(row._3 == best._1 && row._4 == best._2,
+          s"doc $doc shot ${row._2}: got frame ${row._3}, want ${best._1}")
+        assert(row._5 == math.abs(k * best._2 - s) * 1000 / k,
+          s"doc $doc shot ${row._2} dist")
+        checked += 1
+      }
+    }
+    assert(checked > 50, s"too few shots checked: $checked")
+  }
 }
