@@ -3595,6 +3595,158 @@ object Events {
     ewmaControlOverDayGrid(dailyCountSpine(s, dir))
   }
 
+  /** One binary-segmentation oracle round: for each open segment
+    * [a, b], every admissible split k (≥ 2 days each side) scores
+    * gain = SSE(a,b) − SSE(a,k) − SSE(k+1,b) from the shared prefix
+    * frame, and the row_number tie-break (max gain, then smallest k)
+    * keeps only strictly-improving winners. */
+  private def binsegSplitSql(seg: String): String = s"""
+      SELECT event_type, a, b, k, gain FROM (
+        SELECT c.*, row_number() OVER (PARTITION BY event_type, a
+            ORDER BY gain DESC, k) AS rn
+        FROM (
+          SELECT s.event_type, s.a, s.b, p.t AS k,
+            (CAST(pb.p2 - COALESCE(pa.p2, 0) AS DOUBLE)
+              - CAST((pb.p1 - COALESCE(pa.p1, 0))
+                     * (pb.p1 - COALESCE(pa.p1, 0)) AS DOUBLE)
+                / CAST(s.b - s.a + 1 AS DOUBLE))
+            - (CAST(p.p2 - COALESCE(pa.p2, 0) AS DOUBLE)
+              - CAST((p.p1 - COALESCE(pa.p1, 0))
+                     * (p.p1 - COALESCE(pa.p1, 0)) AS DOUBLE)
+                / CAST(p.t - s.a + 1 AS DOUBLE))
+            - (CAST(pb.p2 - p.p2 AS DOUBLE)
+              - CAST((pb.p1 - p.p1) * (pb.p1 - p.p1) AS DOUBLE)
+                / CAST(s.b - p.t AS DOUBLE)) AS gain
+          FROM $seg s
+          JOIN pre p ON p.event_type = s.event_type
+            AND p.t BETWEEN s.a + 1 AND s.b - 2
+          JOIN pre pb ON pb.event_type = s.event_type AND pb.t = s.b
+          LEFT JOIN pre pa ON pa.event_type = s.event_type
+            AND pa.t = s.a - 1) c) r
+      WHERE rn = 1 AND gain > 0"""
+
+  /** BINARY SEGMENTATION changepoint detection (Scott & Knott '74 —
+    * the greedy multi-changepoint standard) over the per-type daily
+    * count series: two recursion rounds over the squared-error cost,
+    * so up to 3 changepoints per type. Complements
+    * [[qCusumChangepoint]] (CUSUM detects ONE sustained shift against
+    * a fixed reference mean; binseg localizes MULTIPLE mean segments
+    * with no reference) — a profile reports both.
+    *
+    * Engine parity: segment SSEs collapse to prefix sums — per split,
+    * cost(a,b) = S2 − S1²/n where S1/S2 are EXACT integer differences
+    * of the prefix frame and the division is one IEEE op, so every
+    * gain is bit-identical across engines and the argmax tie-break
+    * (gain DESC, k ASC) is total. Guards: segments must leave ≥ 2
+    * days each side; only strictly-positive gains split.
+    *
+    * Scale shape: the corpus-sized work is the ONE day-grid hash agg;
+    * prefix sums are a calendar-bounded window; each round's candidate
+    * frame is |types| × T rows (time-bounded, data-independent) joined
+    * against two point-lookups of the prefix frame. Rounds are FIXED
+    * at 2 — the depth a monitoring surface wants — so the plan is
+    * static, no iteration-to-convergence. */
+  val qBinsegChangepoint: Spec = Spec(
+    "ev_binseg_changepoint",
+    oracle = Some(s"""
+      WITH $dailySpineSql,
+      idx AS (SELECT event_type, d, x,
+          row_number() OVER (PARTITION BY event_type ORDER BY d) - 1 AS t
+        FROM grid),
+      pre AS (SELECT event_type, d, t,
+          SUM(x::HUGEINT) OVER w AS p1, SUM(x::HUGEINT * x) OVER w AS p2
+        FROM idx WINDOW w AS (PARTITION BY event_type ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      meta AS (SELECT event_type, MIN(d) AS d0,
+          CAST(COUNT(*) - 1 AS BIGINT) AS tmax FROM idx GROUP BY 1),
+      segs1 AS (SELECT event_type, CAST(0 AS BIGINT) AS a, tmax AS b
+        FROM meta WHERE tmax >= 3),
+      best1 AS (${binsegSplitSql("segs1")}),
+      segs2 AS (SELECT event_type, a, k AS b FROM best1
+        UNION ALL SELECT event_type, k + 1 AS a, b FROM best1),
+      best2 AS (${binsegSplitSql("segs2")}),
+      alls AS (SELECT 1 AS split_round, * FROM best1
+        UNION ALL SELECT 2, * FROM best2)
+      SELECT f.event_type, CAST(f.split_round AS BIGINT) AS split_round,
+        strftime(make_timestamp((m.d0 + f.k + 1) * 86400000000),
+          '%Y-%m-%d') AS cp_day,
+        strftime(make_timestamp((m.d0 + f.a) * 86400000000),
+          '%Y-%m-%d') AS seg_start,
+        strftime(make_timestamp((m.d0 + f.b) * 86400000000),
+          '%Y-%m-%d') AS seg_end,
+        CAST(f.k - f.a + 1 AS BIGINT) AS n_left,
+        CAST(f.b - f.k AS BIGINT) AS n_right,
+        CAST(FLOOR(f.gain * 1000000) AS BIGINT) AS gain_micros
+      FROM alls f JOIN meta m USING (event_type)
+      ORDER BY event_type, split_round, cp_day""")) { (s, dir) =>
+    binsegOverDayGrid(dailyCountSpine(s, dir))
+  }
+
+  /** The binseg tail over a complete (event_type, d, x) day grid —
+    * exposed for the hand-vector pins. */
+  def binsegOverDayGrid(grid: DataFrame): DataFrame = {
+    val s = grid.sparkSession
+    import s.implicits._
+    val idx = grid.withColumn("t", row_number().over(
+      Window.partitionBy($"event_type").orderBy($"d")).cast("long") - 1)
+    val wcum = Window.partitionBy($"event_type").orderBy($"t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = idx.select($"event_type", $"d", $"t",
+        sum($"x".cast("decimal(38,0)")).over(wcum).as("p1"),
+        sum(($"x".cast("decimal(38,0)") * $"x")).over(wcum).as("p2"))
+      .localCheckpoint() // one prefix frame feeds both rounds' lookups
+    val meta = idx.groupBy($"event_type")
+      .agg(min($"d").as("d0"), (count(lit(1)) - 1).as("tmax"))
+      .localCheckpoint() // segs1 + the final day mapping
+    def bestSplit(segs: DataFrame): DataFrame = {
+      val zero = "CAST(0 AS DECIMAL(38,0))"
+      val gainSql = s"""
+        (CAST(pb.p2 - COALESCE(pa.p2, $zero) AS DOUBLE)
+          - CAST((pb.p1 - COALESCE(pa.p1, $zero))
+                 * (pb.p1 - COALESCE(pa.p1, $zero)) AS DOUBLE)
+            / CAST(s.b - s.a + 1 AS DOUBLE))
+        - (CAST(p.p2 - COALESCE(pa.p2, $zero) AS DOUBLE)
+          - CAST((p.p1 - COALESCE(pa.p1, $zero))
+                 * (p.p1 - COALESCE(pa.p1, $zero)) AS DOUBLE)
+            / CAST(p.t - s.a + 1 AS DOUBLE))
+        - (CAST(pb.p2 - p.p2 AS DOUBLE)
+          - CAST((pb.p1 - p.p1) * (pb.p1 - p.p1) AS DOUBLE)
+            / CAST(s.b - p.t AS DOUBLE))"""
+      segs.alias("s")
+        .join(pre.alias("p"), expr("p.event_type = s.event_type" +
+          " AND p.t BETWEEN s.a + 1 AND s.b - 2"))
+        .join(pre.alias("pb"),
+          expr("pb.event_type = s.event_type AND pb.t = s.b"))
+        .join(pre.alias("pa"),
+          expr("pa.event_type = s.event_type AND pa.t = s.a - 1"), "left")
+        .selectExpr("s.event_type", "s.a", "s.b", "p.t AS k",
+          s"($gainSql) AS gain")
+        .withColumn("rn", row_number().over(Window
+          .partitionBy($"event_type", $"a").orderBy($"gain".desc, $"k")))
+        .filter($"rn" === 1 && $"gain" > 0)
+        .drop("rn")
+    }
+    val segs1 = meta.filter($"tmax" >= 3)
+      .select($"event_type", lit(0L).as("a"), $"tmax".as("b"))
+    val best1 = bestSplit(segs1).localCheckpoint() // feeds segs2 AND output
+    val segs2 = best1.select($"event_type", $"a", $"k".as("b"))
+      .unionAll(best1.select($"event_type", ($"k" + 1).as("a"), $"b"))
+    val best2 = bestSplit(segs2)
+    val alls = best1.withColumn("split_round", lit(1L))
+      .unionAll(best2.withColumn("split_round", lit(2L)))
+    def dayStr(c: org.apache.spark.sql.Column) =
+      date_format(timestamp_micros(c * lit(86400000000L)), "yyyy-MM-dd")
+    alls.join(meta.select($"event_type", $"d0"), Seq("event_type"))
+      .select($"event_type", $"split_round",
+        dayStr($"d0" + $"k" + 1).as("cp_day"),
+        dayStr($"d0" + $"a").as("seg_start"),
+        dayStr($"d0" + $"b").as("seg_end"),
+        ($"k" - $"a" + 1).cast("long").as("n_left"),
+        ($"b" - $"k").cast("long").as("n_right"),
+        floor($"gain" * 1e6).cast("long").as("gain_micros"))
+      .orderBy($"event_type", $"split_round", $"cp_day")
+  }
+
   /** Gap-fill with last-observation-carried-forward over a sparse
     * sensor-style feed (a deterministic 1-in-97 event subsample, so
     * real multi-day gaps exist at every scale): per type, the complete
@@ -4374,7 +4526,7 @@ object Events {
     qRate5Min, qValueOutliers, qDriftWindowed, qDriftSliding,
     qCohortRetention, qFunnelWindowed, qDauNewReturning, qDecayScore,
     qUserTrend, qRateAnomaly, qKsDrift, qKsWindowed, qWinsorizedStats,
-    qEwmaControl,
+    qEwmaControl, qBinsegChangepoint,
     qAsofNearest, qConversionTime, qMarkovTransitions, qSeasonalDecompose,
     qPathAnalysis, qSeasonalAnomaly, qStickiness, qBounceRate,
     qUserConcentration, qInterArrival, qAttribution, qAttributionDecay,

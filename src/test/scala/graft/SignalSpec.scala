@@ -183,4 +183,27 @@ class SignalSpec extends AnyFunSuite {
     assert(!got.take(27).exists(_._2), "pre-spike days must stay in control")
     assert(got.takeRight(2).forall(_._2), "smoothed spike must alarm")
   }
+
+  test("binseg: 3-level series recovers both boundaries; constant never splits") {
+    // 10 days at 5, 10 at 50, 10 at 5 — round 1 ties between the two
+    // boundaries (symmetric gain 3375) and must take the SMALLER k;
+    // round 2 splits the remaining [10,29] at the second boundary with
+    // the full gain 10125, while the constant [0,9] stays whole
+    val xs = Seq.fill(10)(5L) ++ Seq.fill(10)(50L) ++ Seq.fill(10)(5L)
+    val grid = xs.zipWithIndex
+      .map { case (x, d) => ("a", d.toLong, x) }
+      .toDF("event_type", "d", "x")
+    val got = Events.binsegOverDayGrid(grid)
+      .select($"split_round", $"cp_day", $"n_left", $"n_right",
+        $"gain_micros")
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == 2, s"expected 2 splits, got ${got.toSeq}")
+    val Array(r1, r2) = got
+    assert(r1 == ((1L, "1970-01-11", 10L, 20L, 3375000000L)), s"round1 $r1")
+    assert(r2 == ((2L, "1970-01-21", 10L, 10L, 10125000000L)), s"round2 $r2")
+    // pure-constant series: no positive gain anywhere, no output rows
+    val const = (0 until 20).map(d => ("c", d.toLong, 7L))
+      .toDF("event_type", "d", "x")
+    assert(Events.binsegOverDayGrid(const).count() == 0)
+  }
 }
