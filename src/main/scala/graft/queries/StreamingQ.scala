@@ -851,6 +851,18 @@ object StreamingQ {
       StreamOps.dailyTypeCounts(s, dir, sink = "st_ewma_mem")))
   }
 
+  /** STREAMING binary segmentation: the same watermarked daily count
+    * grid, the two-round prefix-sum changepoint search as a batch view
+    * over it — sharing [[Events.spineFill]] +
+    * [[Events.binsegOverDayGrid]] and the batch oracle with
+    * ev_binseg_changepoint (the st_cusum_changepoint split). */
+  val stBinseg: Spec = Spec(
+    "st_binseg_changepoint",
+    oracle = Some(Events.qBinsegChangepoint.oracle.get)) { (s, dir) =>
+    Events.binsegOverDayGrid(Events.spineFill(
+      StreamOps.dailyTypeCounts(s, dir, sink = "st_binseg_mem")))
+  }
+
   /** STREAMING Granger screening: the same watermarked daily count
     * grid, the pairwise lag-1 F-test as a batch view over it — sharing
     * [[Events.spineFill]] + [[Events.grangerOverGrid]] and the batch
@@ -1389,5 +1401,5 @@ object StreamingQ {
     stGrangerPairs, stPacfDaily, stGapFill, stDbscan,
     stHoltForecast, stAmsF2, stTdigest, stBurstViterbi, stHoltWinters,
     stHllUsers, stMannKendall, stCorpusChecksum, stNeymanAllocation,
-    stEwmaControl)
+    stEwmaControl, stBinseg)
 }

@@ -2167,6 +2167,98 @@ object TrainingPrep {
           * 1e6).cast("long").as("f_micros"))
   }
 
+  /** CHI-SQUARE FEATURE SELECTION: the top-5 terms most associated
+    * with each language by the χ² statistic over the doc-level
+    * term×lang presence contingency — the classic supervised
+    * feature-selection / per-class keyword surface (Yang & Pedersen
+    * '97) a corpus card prints next to the unsupervised
+    * [[dTfidfTopTerms]]. Per (term, lang) cell: a = lang docs with the
+    * term, b = other-lang docs with it, c = lang docs without, d = the
+    * rest; χ² = N(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)).
+    *
+    * Engine parity: every contingency cell is an exact integer;
+    * numerator and denominator are exact 128-bit products
+    * (HUGEINT / DECIMAL(38,0) — bounded by N⁴·N < 10^34 at any
+    * realistic verify scale) and the statistic is ONE float division,
+    * surfaced as floor-micros; the top-5 tie-break (χ² desc, term asc)
+    * is total.
+    *
+    * Scale shape: per-doc term dedup happens MAP-SIDE
+    * (array_distinct before the explode — no doc-level distinct
+    * shuffle); (term, lang) counts are one hash agg, df folds from
+    * them (a doc has exactly one lang, so df = Σ_lang a — no second
+    * corpus pass); lang totals broadcast. The ranking window runs on
+    * the df≥5-filtered (term, lang) AGGREGATE frame (vocab-bounded,
+    * not corpus-bounded); with the WindowTopKToAgg rule installed it
+    * collapses further to the bounded map-side TopNRows aggregate. */
+  val dChi2Terms: Spec = Spec(
+    "d_chi2_terms",
+    oracle = Some("""
+      WITH tok AS (SELECT doc_id, lang,
+          unnest(list_distinct(string_split(text, ' '))) AS term
+        FROM documents),
+      tc AS (SELECT term, lang, CAST(COUNT(*) AS BIGINT) AS a
+        FROM tok WHERE term <> '' GROUP BY 1, 2),
+      tdf AS (SELECT term, CAST(SUM(a) AS BIGINT) AS df FROM tc GROUP BY 1),
+      nl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang
+        FROM documents GROUP BY 1),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+      cells AS (SELECT tc.term, tc.lang, tc.a,
+          tdf.df - tc.a AS b, nl.n_lang - tc.a AS c,
+          nn.n - tdf.df - (nl.n_lang - tc.a) AS d, nn.n AS n
+        FROM tc JOIN tdf USING (term) JOIN nl USING (lang) CROSS JOIN nn
+        WHERE tdf.df >= 5),
+      chi AS (SELECT term, lang, a,
+          CAST(n::HUGEINT
+               * (a::HUGEINT * d - b::HUGEINT * c)
+               * (a::HUGEINT * d - b::HUGEINT * c) AS DOUBLE)
+            / CAST((a::HUGEINT + b) * (c::HUGEINT + d)
+                   * (a::HUGEINT + c) * (b::HUGEINT + d) AS DOUBLE) AS chi2
+        FROM cells
+        WHERE (a::HUGEINT + b) * (c::HUGEINT + d)
+              * (a::HUGEINT + c) * (b::HUGEINT + d) > 0),
+      rk AS (SELECT lang, term, a, chi2,
+          row_number() OVER (PARTITION BY lang ORDER BY chi2 DESC, term)
+            AS rank
+        FROM chi)
+      SELECT lang, CAST(rank AS BIGINT) AS rank, term,
+        a AS n_docs_lang_term,
+        CAST(FLOOR(chi2 * 1000000) AS BIGINT) AS chi2_micros
+      FROM rk WHERE rank <= 5 ORDER BY lang, rank""")) { (s, dir) =>
+    import s.implicits._
+    val d = docs(s, dir)
+    val tok = d.select($"doc_id", $"lang",
+        explode(array_distinct(split($"text", " ", -1))).as("term"))
+      .filter($"term" =!= "")
+    val tc = tok.groupBy($"term", $"lang").agg(count(lit(1)).as("a"))
+      .localCheckpoint() // (term, lang) cells feed df AND the chi frame
+    val tdf = tc.groupBy($"term").agg(sum($"a").as("df"))
+    val nl = broadcast(d.groupBy($"lang").agg(count(lit(1)).as("n_lang")))
+    val nn = broadcast(d.agg(count(lit(1)).as("n")))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val cells = tc.join(tdf, "term").filter($"df" >= 5)
+      .join(nl, "lang").crossJoin(nn)
+      .select($"term", $"lang", $"a", ($"df" - $"a").as("b"),
+        ($"n_lang" - $"a").as("c"),
+        ($"n" - $"df" - ($"n_lang" - $"a")).as("d"), $"n")
+    val diff = dec($"a") * dec($"d") - dec($"b") * dec($"c")
+    val den = (dec($"a") + dec($"b")) * (dec($"c") + dec($"d")) *
+      (dec($"a") + dec($"c")) * (dec($"b") + dec($"d"))
+    val chi = cells
+      .select($"term", $"lang", $"a",
+        ((dec($"n") * diff * diff).cast("double") / den.cast("double"))
+          .as("chi2"), den.as("den"))
+      .filter($"den" > 0)
+    chi.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"lang").orderBy($"chi2".desc, $"term")))
+      .filter($"rank" <= 5)
+      .select($"lang", $"rank".cast("long").as("rank"), $"term",
+        $"a".as("n_docs_lang_term"),
+        floor($"chi2" * 1e6).cast("long").as("chi2_micros"))
+      .orderBy($"lang", $"rank")
+  }
+
   /** WELCH'S UNEQUAL-VARIANCE t-TEST of mean document length between
     * every source pair — the pairwise drill-down behind
     * [[dAnovaLengths]]'s single omnibus F (ANOVA says "some source
@@ -3123,5 +3215,5 @@ object TrainingPrep {
     dKneserNey, dMannWhitney, dKruskalWallis, dSpearmanLengths,
     dAnovaLengths, dMadLengths, dIsotonicCalibration, dEffectSizes,
     dGiniLengths, dKendallTau, dLangSourceMi, dCorpusChecksum,
-    dNeymanAllocation, dWelchTtest)
+    dNeymanAllocation, dWelchTtest, dChi2Terms)
 }

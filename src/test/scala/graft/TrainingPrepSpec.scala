@@ -103,6 +103,46 @@ class TrainingPrepSpec extends AnyFunSuite {
     }
   }
 
+  test("chi2 terms: distributed contingency == brute doc-presence fold") {
+    val rows = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select($"lang", $"text").as[(String, String)].collect().toSeq
+    val n = rows.size.toLong
+    val nLang = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val presence = rows.flatMap { case (lang, text) =>
+      text.split(" ", -1).filter(_.nonEmpty).distinct.map(t => (t, lang))
+    }
+    val aMap = presence.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val dfMap = presence.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val brute = aMap.collect {
+      case ((term, lang), a) if dfMap(term) >= 5 =>
+        val b = dfMap(term) - a
+        val c = nLang(lang) - a
+        val d = n - dfMap(term) - c
+        val diff = BigInt(a) * d - BigInt(b) * c
+        val den = BigInt(a + b) * (c + d) * (a + c) * (b + d)
+        val chi2 = (BigInt(n) * diff * diff).toDouble / den.toDouble
+        (lang, term) -> math.floor(chi2 * 1e6).toLong
+    }
+    val expectedTop = brute.toSeq.groupBy(_._1._1).map { case (lang, xs) =>
+      lang -> xs.map { case ((_, t), c) => (t, c) }
+        .sortBy { case (t, c) => (-c, t) }.take(5)
+    }
+    val got = graft.queries.TrainingPrep.dChi2Terms.fn(spark, TestSpark.Sf)
+      .select($"lang", $"rank", $"term", $"chi2_micros")
+      .as[(String, Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(
+        _.sortBy(_._2).map(r => (r._3, r._4)).toSeq).toMap
+    assert(got.keySet == expectedTop.keySet)
+    // floor-micro brute vs engine can differ only via double-vs-BigInt
+    // numerator paths — require exact agreement on term ranking and
+    // near-exact (1 micro) agreement on the statistic
+    for ((lang, exp) <- expectedTop) {
+      assert(got(lang).map(_._1) == exp.map(_._1), s"lang $lang ranking")
+      for (((_, gc), (_, ec)) <- got(lang).zip(exp))
+        assert(math.abs(gc - ec) <= 1, s"lang $lang chi2 $gc vs $ec")
+    }
+  }
+
   test("neyman allocation: high-variance stratum out-allocates an equal-size uniform one") {
     // two strata of 100 docs each: constant lengths vs spread lengths —
     // Neyman must give (strictly) more budget to the varied stratum,
