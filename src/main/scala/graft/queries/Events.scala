@@ -3595,6 +3595,129 @@ object Events {
     ewmaControlOverDayGrid(dailyCountSpine(s, dir))
   }
 
+  /** CUPED variance-reduced A/B readout (Deng, Xu, Kohavi & Walker
+    * '13 — the experimentation-platform standard): users split into
+    * two deterministic variants (user_id parity); each user's metric
+    * is their SECOND-half-of-window value total (y), the covariate
+    * their FIRST-half total (x); the pooled θ = cov(x,y)/var(x) gives
+    * the adjusted metric y − θ(x − x̄), whose per-variant mean is
+    * unchanged in expectation but whose variance drops by the squared
+    * x-y correlation — the sensitivity win that lets experiments
+    * conclude earlier. Reports per variant both raw and adjusted
+    * means/variances and the realized variance reduction in basis
+    * points.
+    *
+    * Engine parity: per-event values become exact integer micros at
+    * the scan (round half-away-from-zero, identical in both engines);
+    * every per-user and per-variant moment (n, Σx, Σy, Σx², Σy², Σxy)
+    * is then an exact DECIMAL(38,0) integer, the pre/post split
+    * compares 2·us ≤ min+max in integers (no division), and θ, means,
+    * variances are fixed-order IEEE ops on those exact integers —
+    * identical bits, surfaced as floor-micros.
+    *
+    * Scale shape: one bounds agg (broadcast 1-row), ONE conditional
+    * hash agg to per-user (x, y) — users are high-cardinality, no
+    * skew — and one 2-row variant agg; θ folds from the 2-row frame.
+    * Nothing beyond the user agg touches corpus-sized data. */
+  val qCupedAdjustment: Spec = Spec(
+    "ev_cuped_adjustment",
+    oracle = Some("""
+      WITH ev AS (SELECT user_id, epoch_us(ts) AS us,
+          CAST(round(value * 1000000) AS BIGINT) AS vm
+        FROM events),
+      bounds AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM ev),
+      u AS (SELECT user_id,
+          SUM(CASE WHEN 2 * us <= bounds.mn + bounds.mx THEN vm
+              ELSE 0 END)::HUGEINT AS x,
+          SUM(CASE WHEN 2 * us > bounds.mn + bounds.mx THEN vm
+              ELSE 0 END)::HUGEINT AS y
+        FROM ev CROSS JOIN bounds GROUP BY user_id),
+      v AS (SELECT user_id % 2 AS variant, CAST(COUNT(*) AS BIGINT) AS n,
+          SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx,
+          SUM(y * y) AS syy, SUM(x * y) AS sxy
+        FROM u GROUP BY 1),
+      g AS (SELECT SUM(n) AS n, SUM(sx) AS sx, SUM(sy) AS sy,
+          SUM(sxx) AS sxx, SUM(sxy) AS sxy
+        FROM v),
+      th AS (SELECT
+          CAST(g.n * g.sxy - g.sx * g.sy AS DOUBLE)
+            / CAST(g.n * g.sxx - g.sx * g.sx AS DOUBLE) AS theta,
+          CAST(g.sx AS DOUBLE) / CAST(g.n AS DOUBLE) AS gx
+        FROM g WHERE g.n * g.sxx - g.sx * g.sx > 0),
+      r AS (SELECT v.variant, v.n,
+          CAST(v.sy AS DOUBLE) / CAST(v.n AS DOUBLE) AS mean_y,
+          CAST(v.sy AS DOUBLE) / CAST(v.n AS DOUBLE)
+            - th.theta * (CAST(v.sx AS DOUBLE) / CAST(v.n AS DOUBLE)
+                          - th.gx) AS mean_yadj,
+          CAST(v.n * v.syy - v.sy * v.sy AS DOUBLE)
+            / CAST(v.n * (v.n - 1) AS DOUBLE) AS var_y,
+          CAST(v.n * v.sxy - v.sx * v.sy AS DOUBLE)
+            / CAST(v.n * (v.n - 1) AS DOUBLE) AS cov_v,
+          CAST(v.n * v.sxx - v.sx * v.sx AS DOUBLE)
+            / CAST(v.n * (v.n - 1) AS DOUBLE) AS var_x,
+          th.theta
+        FROM v CROSS JOIN th WHERE v.n > 1)
+      SELECT CAST(variant AS BIGINT) AS variant, n AS n_users,
+        CAST(FLOOR(theta * 1000000) AS BIGINT) AS theta_micros,
+        CAST(FLOOR(mean_y) AS BIGINT) AS mean_y_micros,
+        CAST(FLOOR(mean_yadj) AS BIGINT) AS mean_yadj_micros,
+        CAST(FLOOR(var_y / 1000000) AS BIGINT) AS var_y_micros,
+        CAST(FLOOR((var_y - 2.0e0 * theta * cov_v
+                    + theta * theta * var_x) / 1000000) AS BIGINT)
+          AS var_yadj_micros,
+        CAST(FLOOR((1.0e0 - (var_y - 2.0e0 * theta * cov_v
+                             + theta * theta * var_x) / var_y) * 10000)
+          AS BIGINT) AS var_reduction_bp
+      FROM r WHERE var_y > 0 ORDER BY variant""")) { (s, dir) =>
+    import s.implicits._
+    val ev = load(s, dir)
+      .select($"user_id", expr("ts div 1000").as("us"),
+        round($"value" * 1e6).cast("long").as("vm"))
+    val bounds = broadcast(ev.agg(min($"us").as("mn"), max($"us").as("mx")))
+    val u = ev.crossJoin(bounds)
+      .groupBy($"user_id")
+      .agg(
+        sum(when(lit(2) * $"us" <= $"mn" + $"mx", $"vm").otherwise(0L)
+          .cast("decimal(38,0)")).as("x"),
+        sum(when(lit(2) * $"us" > $"mn" + $"mx", $"vm").otherwise(0L)
+          .cast("decimal(38,0)")).as("y"))
+    val v = u.groupBy(($"user_id" % 2).as("variant"))
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+        sum($"x" * $"y").as("sxy"))
+      .localCheckpoint() // 2-row frame: feeds theta AND the readout
+    val g = v.agg(sum($"n").as("gn"), sum($"sx").as("gsx"),
+      sum($"sy").as("gsy"), sum($"sxx").as("gsxx"), sum($"sxy").as("gsxy"))
+    val th = broadcast(g
+      .filter($"gn" * $"gsxx" - $"gsx" * $"gsx" > 0)
+      .select(
+        (($"gn" * $"gsxy" - $"gsx" * $"gsy").cast("double") /
+          ($"gn" * $"gsxx" - $"gsx" * $"gsx").cast("double")).as("theta"),
+        ($"gsx".cast("double") / $"gn".cast("double")).as("gx")))
+    val meanY = $"sy".cast("double") / $"n".cast("double")
+    val meanYadj = meanY - $"theta" *
+      ($"sx".cast("double") / $"n".cast("double") - $"gx")
+    val varY = ($"n" * $"syy" - $"sy" * $"sy").cast("double") /
+      ($"n" * ($"n" - 1)).cast("double")
+    val covV = ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+      ($"n" * ($"n" - 1)).cast("double")
+    val varX = ($"n" * $"sxx" - $"sx" * $"sx").cast("double") /
+      ($"n" * ($"n" - 1)).cast("double")
+    val varYadj = varY - lit(2.0) * $"theta" * covV +
+      $"theta" * $"theta" * varX
+    v.filter($"n" > 1).crossJoin(th)
+      .filter(varY > 0)
+      .select($"variant".cast("long").as("variant"), $"n".as("n_users"),
+        floor($"theta" * 1e6).cast("long").as("theta_micros"),
+        floor(meanY).cast("long").as("mean_y_micros"),
+        floor(meanYadj).cast("long").as("mean_yadj_micros"),
+        floor(varY / 1e6).cast("long").as("var_y_micros"),
+        floor(varYadj / 1e6).cast("long").as("var_yadj_micros"),
+        floor((lit(1.0) - varYadj / varY) * 1e4).cast("long")
+          .as("var_reduction_bp"))
+      .orderBy($"variant")
+  }
+
   /** One binary-segmentation oracle round: for each open segment
     * [a, b], every admissible split k (≥ 2 days each side) scores
     * gain = SSE(a,b) − SSE(a,k) − SSE(k+1,b) from the shared prefix
@@ -4526,7 +4649,7 @@ object Events {
     qRate5Min, qValueOutliers, qDriftWindowed, qDriftSliding,
     qCohortRetention, qFunnelWindowed, qDauNewReturning, qDecayScore,
     qUserTrend, qRateAnomaly, qKsDrift, qKsWindowed, qWinsorizedStats,
-    qEwmaControl, qBinsegChangepoint,
+    qEwmaControl, qBinsegChangepoint, qCupedAdjustment,
     qAsofNearest, qConversionTime, qMarkovTransitions, qSeasonalDecompose,
     qPathAnalysis, qSeasonalAnomaly, qStickiness, qBounceRate,
     qUserConcentration, qInterArrival, qAttribution, qAttributionDecay,

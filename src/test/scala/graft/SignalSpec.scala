@@ -184,6 +184,59 @@ class SignalSpec extends AnyFunSuite {
     assert(got.takeRight(2).forall(_._2), "smoothed spike must alarm")
   }
 
+  test("CUPED: distributed moments == brute per-user fold, pooled mean preserved") {
+    // independent recompute of every output field from the raw events
+    // (per-variant variance may legitimately rise under the POOLED
+    // theta — the guarantee is pooled, so we pin arithmetic, not signs)
+    val ev = Events.load(spark, TestSpark.Sf)
+      .select($"user_id", expr("ts div 1000").as("us"), $"value")
+      .as[(Long, Long, Double)].collect()
+    def micros(v: Double): Long = java.math.BigDecimal.valueOf(v * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    val mn = ev.map(_._2).min; val mx = ev.map(_._2).max
+    val perUser = ev.groupBy(_._1).view.mapValues { rs =>
+      (rs.filter(r => 2 * r._2 <= mn + mx).map(r => micros(r._3)).sum,
+        rs.filter(r => 2 * r._2 > mn + mx).map(r => micros(r._3)).sum)
+    }.toMap
+    case class M(n: Long, sx: BigInt, sy: BigInt, sxx: BigInt,
+      syy: BigInt, sxy: BigInt)
+    def mom(us: Iterable[(Long, Long)]): M = M(us.size.toLong,
+      us.map(u => BigInt(u._1)).sum, us.map(u => BigInt(u._2)).sum,
+      us.map(u => BigInt(u._1) * u._1).sum, us.map(u => BigInt(u._2) * u._2).sum,
+      us.map(u => BigInt(u._1) * u._2).sum)
+    val byVar = perUser.groupBy(_._1 % 2).view.mapValues(m => mom(m.values))
+    val g = mom(perUser.values)
+    val theta = (BigInt(g.n) * g.sxy - g.sx * g.sy).toDouble /
+      (BigInt(g.n) * g.sxx - g.sx * g.sx).toDouble
+    val gx = g.sx.toDouble / g.n.toDouble
+    val brute = byVar.map { case (variant, m) =>
+      val meanY = m.sy.toDouble / m.n.toDouble
+      val meanYadj = meanY - theta * (m.sx.toDouble / m.n.toDouble - gx)
+      def vv(num: BigInt) = num.toDouble / (BigInt(m.n) * (m.n - 1)).toDouble
+      val varY = vv(BigInt(m.n) * m.syy - m.sy * m.sy)
+      val covV = vv(BigInt(m.n) * m.sxy - m.sx * m.sy)
+      val varX = vv(BigInt(m.n) * m.sxx - m.sx * m.sx)
+      val varYadj = varY - 2.0 * theta * covV + theta * theta * varX
+      variant -> (m.n, math.floor(theta * 1e6).toLong,
+        math.floor(meanY).toLong, math.floor(meanYadj).toLong,
+        math.floor(varY / 1e6).toLong, math.floor(varYadj / 1e6).toLong,
+        math.floor((1.0 - varYadj / varY) * 1e4).toLong)
+    }.toMap
+    val got = Events.qCupedAdjustment.fn(spark, TestSpark.Sf)
+      .select($"variant", $"n_users", $"theta_micros", $"mean_y_micros",
+        $"mean_yadj_micros", $"var_y_micros", $"var_yadj_micros",
+        $"var_reduction_bp")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5, r._6, r._7, r._8)).toMap
+    assert(got == brute)
+    // pooled-mean preservation: sum n_v * (mean_adj - mean_y) == 0
+    // exactly in real arithmetic; floor-micros leaves < 1 micro/user
+    val drift = got.values.map(r => r._1 * (r._4 - r._3)).sum
+    val total = got.values.map(_._1).sum
+    assert(math.abs(drift) <= total + 2,
+      s"pooled mean must be preserved: drift $drift micros over $total users")
+  }
+
   test("binseg: 3-level series recovers both boundaries; constant never splits") {
     // 10 days at 5, 10 at 50, 10 at 5 — round 1 ties between the two
     // boundaries (symmetric gain 3375) and must take the SMALLER k;
