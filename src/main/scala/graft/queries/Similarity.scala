@@ -2628,6 +2628,96 @@ object Similarity {
     hops.select($"vid".as("vec_id"), $"hop").orderBy($"vec_id")
   }
 
+  /** NEIGHBORHOOD FUNCTION + EFFECTIVE DIAMETER of the similarity
+    * graph via multi-source bitmask BFS — the ANF/HyperANF shape
+    * (Palmer '02; Boldi '11): 63 deterministic seed nodes (smallest
+    * vec_ids) each own one bit of a BIGINT mask; per round every node
+    * ORs its neighbors' masks, so popcount sums give the EXACT number
+    * of (seed, node) pairs within distance r, and the 90% effective
+    * diameter falls out of one integer comparison (10·N(r) ≥ 9·N(4) —
+    * no float anywhere in the query). 63 bits, not 64: engines with
+    * checked shifts (DuckDB) overflow on 1<<63.
+    *
+    * Scale shape: per round ONE edge-keyed join + ONE bit_or hash agg
+    * (8 bytes of state per node — the PageRank step shape with a
+    * cheaper combiner); rounds fixed at 4. This is exactly HyperANF
+    * with exact 63-seed registers in place of HLL counters — at
+    * 100 TB you widen coverage by swapping the mask for the
+    * [[graft.ops.Hll]] register frame, the round structure unchanged.
+    * Superseded round checkpoints unpersist immediately. */
+  val eNeighborhoodFunction: Spec = {
+    def mStep(r: Int): String = s"""
+      m$r AS (SELECT vec_id, bit_or(m) AS m FROM (
+          SELECT vec_id, m FROM m${r - 1}
+          UNION ALL
+          SELECT e.dst AS vec_id, p.m FROM edges e
+          JOIN m${r - 1} p ON p.vec_id = e.src) u
+        GROUP BY vec_id)"""
+    def nRow(r: Int): String = s"""
+      SELECT CAST($r AS BIGINT) AS r,
+        CAST(SUM(bit_count(m)) AS BIGINT) AS reached_pairs FROM m$r"""
+    Spec(
+      "e_neighborhood_function",
+      oracle = Some(s"""
+        WITH ${lshCandCtes},
+        ver AS (SELECT c.ida, c.idb FROM cand c
+          JOIN embeddings a ON a.vec_id = c.ida
+          JOIN embeddings b ON b.vec_id = c.idb
+          WHERE a.label = b.label
+            AND ${cosSql("a.embedding", "b.embedding")} >= 0.2),
+        edges AS (SELECT ida AS src, idb AS dst FROM ver
+          UNION ALL SELECT idb, ida FROM ver),
+        seeds AS (SELECT vec_id,
+            CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS rk
+          FROM embeddings ORDER BY vec_id LIMIT 63),
+        m0 AS (SELECT vec_id, (CAST(1 AS BIGINT) << rk) AS m FROM seeds),
+        ${(1 to 4).map(mStep).mkString(",")},
+        ns AS (${(0 to 4).map(nRow).mkString(" UNION ALL ")}),
+        p4 AS (SELECT reached_pairs AS p FROM ns WHERE r = 4),
+        eff AS (SELECT MIN(r) AS d FROM ns CROSS JOIN p4
+          WHERE 10 * reached_pairs >= 9 * p4.p)
+        SELECT ns.r, ns.reached_pairs, eff.d AS effective_diameter
+        FROM ns CROSS JOIN eff ORDER BY ns.r""")) { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val ver = lshLabelEdges(emb, threshold = 0.2)
+      val edges = ver.select($"id_a".as("src"), $"id_b".as("dst"))
+        .unionAll(ver.select($"id_b".as("src"), $"id_a".as("dst")))
+        .localCheckpoint() // reused every round
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"vec_id")
+      var m = emb.select($"vec_id").orderBy($"vec_id").limit(63)
+        .withColumn("rk", (row_number().over(w) - 1).cast("long"))
+        .select($"vec_id",
+          expr("shiftleft(cast(1 as bigint), cast(rk as int))").as("m"))
+        .localCheckpoint()
+      def nRowDf(r: Int, mf: DataFrame) = mf.agg(
+        lit(r.toLong).as("r"),
+        sum(bit_count($"m")).cast("long").as("reached_pairs"))
+      var ns = nRowDf(0, m)
+      for (r <- 1 to 4) {
+        val contrib = edges
+          .join(m.withColumnRenamed("vec_id", "src"), Seq("src"))
+          .select($"dst".as("vec_id"), $"m")
+        // every round's frame stays persisted: the ns count rows
+        // reference ALL of them until the final union materializes
+        // (8 bytes of mask per node per round — bounded state)
+        m = m.unionByName(contrib).groupBy($"vec_id")
+          .agg(expr("bit_or(m)").as("m"))
+          .localCheckpoint()
+        ns = ns.unionByName(nRowDf(r, m))
+      }
+      val nsc = ns.localCheckpoint() // 5-row frame: p4, eff AND output
+      val p4 = nsc.filter($"r" === 4)
+        .select($"reached_pairs".as("p"))
+      val eff = broadcast(nsc.crossJoin(broadcast(p4))
+        .filter(lit(10) * $"reached_pairs" >= lit(9) * $"p")
+        .agg(min($"r").as("effective_diameter")))
+      nsc.crossJoin(eff)
+        .select($"r", $"reached_pairs", $"effective_diameter")
+        .orderBy($"r")
+    }
+  }
+
   val specs: Seq[Spec] = Seq(eCentroids, eKnnBrute, eKnnCell, eNearDup, eIvfRecall,
     eKnnHnsw, eHnswRecall, eKnnHnswStored, eKnnHnswIncremental,
     eNearDupLsh, eKnnQuantized, eKmeansCentroids, eKnnIvfLearned,
@@ -2637,5 +2727,5 @@ object Similarity {
     eLabelPropagation, eModularity,
     eEigenCentrality, eLinkPrediction, eKcorePeel, eSemdedup,
     eSemdedupIncremental, ePcaProjection, ePca2d, eCentroidDrift,
-    eMutualKnn, eSilhouette, eBfsHops, ePprSeeded)
+    eMutualKnn, eSilhouette, eBfsHops, ePprSeeded, eNeighborhoodFunction)
 }

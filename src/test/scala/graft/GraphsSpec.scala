@@ -98,6 +98,36 @@ class GraphsSpec extends AnyFunSuite {
     info(s"modularity of LP partition at sf0.001: Q_total_micros=${totals.head}")
   }
 
+  test("neighborhood function == brute multi-source BFS on the same edge set") {
+    import graft.queries.Similarity
+    val emb = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+    val edges = Similarity.lshLabelEdges(emb, threshold = 0.2)
+      .as[(Long, Long)].collect()
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = emb.select(col("vec_id")).as[Long].collect().sorted
+    val seeds = nodes.take(63)
+    // brute BFS per seed, counting nodes within distance r
+    val perSeedReach: Seq[Array[Set[Long]]] = seeds.map { s0 =>
+      val reach = Array.fill(5)(Set.empty[Long])
+      reach(0) = Set(s0)
+      for (r <- 1 to 4)
+        reach(r) = reach(r - 1) ++
+          reach(r - 1).flatMap(v => adj.getOrElse(v, Set.empty))
+      reach
+    }.toSeq
+    val expected = (0 to 4).map(r => perSeedReach.map(_(r).size.toLong).sum)
+    val got = Similarity.eNeighborhoodFunction.fn(spark, TestSpark.Sf)
+      .select(col("r"), col("reached_pairs"), col("effective_diameter"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq == expected,
+      s"reached pairs ${got.map(_._2).toSeq} vs brute $expected")
+    val effExpected = (0 to 4).find(r => 10 * expected(r) >= 9 * expected(4)).get
+    assert(got.forall(_._3 == effExpected))
+    assert(got.map(_._2).toSeq == got.map(_._2).toSeq.sorted,
+      "neighborhood function must be monotone")
+  }
+
   test("HITS fold: planted funnel separates hubs from authorities; cycle is uniform") {
     // S and T only point, A and B are only pointed at: authority mass
     // must live entirely on {A, B} (A first — heavier in-weight) and
