@@ -361,6 +361,95 @@ object Dedup {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** WEIGHTED Jaccard + containment over the verified block-pair set —
+    * the multiplicity-aware refinement of [[ddJaccardBlockPairs]]:
+    * J_w = Σ_t min(tf_a, tf_b) / Σ_t max(tf_a, tf_b) over shingle
+    * MULTISETS. Set Jaccard saturates when two docs share vocabulary
+    * but repeat it differently (boilerplate-heavy crawl pages); the
+    * weighted form is what near-dup triage actually wants there, and
+    * the containments (Σmin/|A|, Σmin/|B|) expose subset relations
+    * (quote inclusion, page-of-a-larger-doc) that symmetric scores
+    * hide.
+    *
+    * Engine parity: tf's are exact integers, Σmax = |A| + |B| − Σmin
+    * needs only the intersection scan + per-doc totals, and each
+    * reported score is ONE float division rounded to 6dp.
+    *
+    * Scale shape: candidates come from the same prefix-filtered
+    * (lang, source)-blocked scaffold (never all-pairs); the per-pair
+    * cost is one O(len) tf join exactly like [[ddPairDiffSpans]];
+    * tf and total frames are one hash agg each off the shingle
+    * explode. */
+  val ddWeightedJaccard: Spec = Spec(
+    "dd_weighted_jaccard",
+    oracle = Some("""
+      WITH s AS (
+        SELECT doc_id, lang, source,
+          list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-1, 1)),
+            i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS sh
+        FROM documents WHERE len(string_split(text,' ')) >= 3),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM s a JOIN s b ON a.lang = b.lang AND a.source = b.source
+          AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+      tf AS (
+        SELECT doc_id, sh, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+          SELECT doc_id,
+            unnest(list_transform(range(1, greatest(len(string_split(text,' '))-1, 1)),
+              i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS sh
+          FROM documents WHERE len(string_split(text,' ')) >= 3)
+        GROUP BY doc_id, sh),
+      tot AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS nt FROM tf
+              GROUP BY doc_id),
+      inter AS (
+        SELECT p.id_a, p.id_b,
+          CAST(SUM(LEAST(ta.tf, tb.tf)) AS BIGINT) AS smin
+        FROM pairs p
+        JOIN tf ta ON ta.doc_id = p.id_a
+        JOIN tf tb ON tb.doc_id = p.id_b AND tb.sh = ta.sh
+        GROUP BY p.id_a, p.id_b)
+      SELECT i.id_a, i.id_b,
+        ROUND(CAST(i.smin AS DOUBLE)
+          / CAST(na.nt + nb.nt - i.smin AS DOUBLE), 6) AS w_jaccard,
+        ROUND(CAST(i.smin AS DOUBLE) / CAST(na.nt AS DOUBLE), 6) AS cont_a,
+        ROUND(CAST(i.smin AS DOUBLE) / CAST(nb.nt AS DOUBLE), 6) AS cont_b
+      FROM inter i
+      JOIN tot na ON na.doc_id = i.id_a
+      JOIN tot nb ON nb.doc_id = i.id_b
+      ORDER BY id_a, id_b""")) { (s, dir) =>
+    import s.implicits._
+    val d = Tables.load(s, dir, "documents")
+      .filter(size(Text.tokens($"text")) >= 3)
+    val sets = d.select($"doc_id", $"lang", $"source",
+      Text.shingleSet($"text", 3).as("sh"))
+    val pairs = MinHash.jaccardPairsExact(sets, "doc_id", "sh",
+        Seq("lang", "source"), threshold = 0.5)
+      .select($"id_a", $"id_b")
+    val tf = d.select($"doc_id",
+        explode(Text.wordNgrams(Text.tokens($"text"), 3)).as("sh"))
+      .groupBy($"doc_id", $"sh").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // both pair sides + the totals share it
+    val tot = tf.groupBy($"doc_id").agg(sum($"tf").cast("long").as("nt"))
+    val inter = pairs
+      .join(tf.select($"doc_id".as("id_a"), $"sh", $"tf".as("tfa")),
+        Seq("id_a"))
+      .join(tf.select($"doc_id".as("id_b"), $"sh", $"tf".as("tfb")),
+        Seq("id_b", "sh"))
+      .groupBy($"id_a", $"id_b")
+      .agg(sum(least($"tfa", $"tfb")).cast("long").as("smin"))
+    inter
+      .join(tot.select($"doc_id".as("id_a"), $"nt".as("na")), Seq("id_a"))
+      .join(tot.select($"doc_id".as("id_b"), $"nt".as("nb")), Seq("id_b"))
+      .select($"id_a", $"id_b",
+        round($"smin".cast("double") /
+          ($"na" + $"nb" - $"smin").cast("double"), 6).as("w_jaccard"),
+        round($"smin".cast("double") / $"na".cast("double"), 6).as("cont_a"),
+        round($"smin".cast("double") / $"nb".cast("double"), 6).as("cont_b"))
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** Exact dedup by normalized content hash (P3/2.11 exact family). */
   val ddExactHash: Spec = Spec(
     "dd_exact_hash",
@@ -2015,7 +2104,8 @@ object Dedup {
     ddBandPlan,
     ddMinhashPairs, ddMinhashBlocked, ddMinhashClusters, ddMinhashIncremental,
     ddCcIncremental, ddPairDiffSpans,
-    ddJaccardBlockPairs, ddExactHash, ddExactIncremental, ddBloomIncremental,
+    ddJaccardBlockPairs, ddWeightedJaccard, ddExactHash, ddExactIncremental,
+    ddBloomIncremental,
     ddCappedStarPairs,
     ddSimhashMd5, ddSimhashMd5Pairs, ddEditVerified,
     ddDecontaminate, ddDecontaminateSpans,

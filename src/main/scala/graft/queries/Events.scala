@@ -3771,6 +3771,7 @@ object Events {
     * static, no iteration-to-convergence. */
   val qBinsegChangepoint: Spec = Spec(
     "ev_binseg_changepoint",
+    bench = true, // r12 wave-3 row: day-grid windows + two split rounds
     oracle = Some(s"""
       WITH $dailySpineSql,
       idx AS (SELECT event_type, d, x,

@@ -1958,6 +1958,7 @@ object Relational {
     * floor-micros makes the surfaced values integer-stable. */
   val qTargetEncoding: Spec = Spec(
     "q_target_encoding",
+    bench = true, // r12 wave-3 row: double fact scan + broadcast rejoin
     oracle = Some("""
       WITH base AS (SELECT p_brand,
           CAST(l_extendedprice AS DECIMAL(18,2)) AS x

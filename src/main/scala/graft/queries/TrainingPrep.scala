@@ -2193,6 +2193,7 @@ object TrainingPrep {
     * collapses further to the bounded map-side TopNRows aggregate. */
   val dChi2Terms: Spec = Spec(
     "d_chi2_terms",
+    bench = true, // r12 wave-3 row: corpus explode + contingency ranking
     oracle = Some("""
       WITH tok AS (SELECT doc_id, lang,
           unnest(list_distinct(string_split(text, ' '))) AS term
@@ -2336,6 +2337,83 @@ object TrainingPrep {
         floor(df * 1e6).cast("long").as("df_micros"),
         (abs(t) > 1.96).as("significant_95"))
       .orderBy($"source_a", $"source_b")
+  }
+
+  /** DISTRIBUTION-FREE 95% CONFIDENCE INTERVAL for the per-source
+    * median length, from exact order statistics (the binomial-rank
+    * interval, normal-approximated ranks l = ⌊(n − 1.96√n)/2⌋,
+    * u = ⌈1 + (n + 1.96√n)/2⌉ — the textbook nonparametric CI that
+    * needs NO distributional assumption, only order statistics): the
+    * interval [x₍l₎, x₍u₎] covers the true median with ≥ 95%
+    * probability. The point estimate is the same lower median
+    * [[dMadLengths]] reports; the CI width is the profile's "how
+    * settled is this median" signal.
+    *
+    * Exact and sort-free: all three ranks are selected from ONE
+    * value-keyed rank scaffold (value v holds rank r iff its
+    * cumulative run covers r — a bounded-key prefix sum, never a row
+    * sort); the only float is the 1.96√n rank arithmetic, identical
+    * IEEE on both engines before an integer floor/ceil. */
+  val dMedianCi: Spec = Spec(
+    "d_median_ci",
+    oracle = Some("""
+      WITH vc AS (SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS ce
+          FROM documents GROUP BY 1, 2),
+      cum AS (SELECT source, v, ce,
+          CAST(COALESCE(SUM(ce) OVER (PARTITION BY source ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS cl
+        FROM vc),
+      n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY source),
+      r AS (SELECT source, n,
+          GREATEST(CAST(1 AS BIGINT),
+            CAST(FLOOR((n - 1.96e0 * sqrt(n::DOUBLE)) / 2) AS BIGINT)) AS lo,
+          (n + 1) // 2 AS md,
+          LEAST(n,
+            CAST(CEIL(1.0e0 + (n + 1.96e0 * sqrt(n::DOUBLE)) / 2) AS BIGINT))
+            AS hi
+        FROM n),
+      t AS (SELECT source, n, 'lo' AS tag, lo AS rk FROM r
+        UNION ALL SELECT source, n, 'md', md FROM r
+        UNION ALL SELECT source, n, 'hi', hi FROM r),
+      p AS (SELECT t.source, t.n, t.tag, t.rk, c.v
+        FROM t JOIN cum c ON c.source = t.source
+        WHERE c.cl < t.rk AND t.rk <= c.cl + c.ce)
+      SELECT source, n,
+        MAX(CASE WHEN tag = 'md' THEN v END) AS median,
+        MAX(CASE WHEN tag = 'lo' THEN v END) AS ci_lo,
+        MAX(CASE WHEN tag = 'hi' THEN v END) AS ci_hi,
+        MAX(CASE WHEN tag = 'lo' THEN rk END) AS lo_rank,
+        MAX(CASE WHEN tag = 'hi' THEN rk END) AS hi_rank
+      FROM p GROUP BY source, n ORDER BY source""")) { (s, dir) =>
+    import s.implicits._
+    val d = docs(s, dir).select($"source", $"n_chars".as("v"))
+    val vc = d.groupBy($"source", $"v").agg(count(lit(1)).as("ce"))
+    val cum = Skew.prefixSumsByKey(vc, "source", Seq($"v"),
+        Seq($"ce" -> "cum_ce"))
+      .withColumn("cl", $"cum_ce" - $"ce")
+    val n = d.groupBy($"source").agg(count(lit(1)).as("n"))
+    val half = lit(1.96) * sqrt($"n".cast("double"))
+    val r = n.select($"source", $"n",
+      greatest(lit(1L),
+        floor(($"n".cast("double") - half) / lit(2.0)).cast("long")).as("lo"),
+      expr("(n + 1) div 2").as("md"),
+      least($"n",
+        ceil(lit(1.0) + ($"n".cast("double") + half) / lit(2.0)).cast("long"))
+        .as("hi"))
+    val t = r.select($"source", $"n", lit("lo").as("tag"), $"lo".as("rk"))
+      .unionAll(r.select($"source", $"n", lit("md"), $"md"))
+      .unionAll(r.select($"source", $"n", lit("hi"), $"hi"))
+    t.join(cum, Seq("source"))
+      .filter($"cl" < $"rk" && $"rk" <= $"cl" + $"ce")
+      .groupBy($"source", $"n")
+      .agg(max(when($"tag" === "md", $"v")).as("median"),
+        max(when($"tag" === "lo", $"v")).as("ci_lo"),
+        max(when($"tag" === "hi", $"v")).as("ci_hi"),
+        max(when($"tag" === "lo", $"rk")).as("lo_rank"),
+        max(when($"tag" === "hi", $"rk")).as("hi_rank"))
+      .orderBy($"source")
   }
 
   /** Median absolute deviation of document length per source — THE
@@ -3215,5 +3293,5 @@ object TrainingPrep {
     dKneserNey, dMannWhitney, dKruskalWallis, dSpearmanLengths,
     dAnovaLengths, dMadLengths, dIsotonicCalibration, dEffectSizes,
     dGiniLengths, dKendallTau, dLangSourceMi, dCorpusChecksum,
-    dNeymanAllocation, dWelchTtest, dChi2Terms)
+    dNeymanAllocation, dWelchTtest, dChi2Terms, dMedianCi)
 }

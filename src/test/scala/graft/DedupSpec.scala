@@ -289,4 +289,68 @@ class DedupSpec extends AnyFunSuite {
         s"insertion must not re-cut downstream chunks, shared=$nShared")
     }
   }
+
+  test("weighted jaccard: query == brute multiset fold over in-block pairs") {
+    val rows = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select($"doc_id", $"lang", $"source", $"text")
+      .as[(Long, String, String, String)].collect().toSeq
+    def shingles(t: String): Seq[String] = {
+      val toks = t.split(" ", -1)
+      if (toks.length < 3) Seq.empty
+      else (0 to toks.length - 3).map(i => toks.slice(i, i + 3).mkString(" "))
+    }
+    val withSh = rows.map { case (id, lang, src, text) =>
+      (id, (lang, src), shingles(text))
+    }.filter(_._3.nonEmpty)
+    val brute = (for {
+      Seq(a, b) <- withSh.groupBy(_._2).values.flatMap(_.sortBy(_._1)
+        .combinations(2)).toSeq
+      sa = a._3.toSet; sb = b._3.toSet
+      inter = (sa & sb).size.toDouble
+      if inter / (sa.size + sb.size - inter) >= 0.5
+    } yield {
+      val tfa = a._3.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val tfb = b._3.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val smin = (tfa.keySet & tfb.keySet).toSeq
+        .map(t => math.min(tfa(t), tfb(t))).sum
+      val (na, nb) = (a._3.size.toLong, b._3.size.toLong)
+      def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+      (a._1, b._1) -> (r6(smin.toDouble / (na + nb - smin)),
+        r6(smin.toDouble / na), r6(smin.toDouble / nb))
+    }).toMap
+    assert(brute.nonEmpty, "test corpus must contain at least one pair")
+    val got = graft.queries.Dedup.ddWeightedJaccard.fn(spark, TestSpark.Sf)
+      .select($"id_a", $"id_b", $"w_jaccard", $"cont_a", $"cont_b")
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(got == brute)
+    // weighted <= set bound never violated: J_w in (0, 1], cont in (0, 1]
+    for ((_, (jw, ca, cb)) <- got)
+      assert(jw > 0 && jw <= 1 && ca <= 1 && cb <= 1 && jw <= math.min(ca, cb))
+  }
+
+  test("median CI: rank selection == brute order statistics per source") {
+    val bySrc = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select($"source", $"n_chars".cast("long"))
+      .as[(String, Long)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    val brute = bySrc.map { case (src, xs) =>
+      val n = xs.size.toLong
+      val half = 1.96 * math.sqrt(n.toDouble)
+      val lo = math.max(1L, math.floor((n.toDouble - half) / 2.0).toLong)
+      val md = (n + 1) / 2
+      val hi = math.min(n, math.ceil(1.0 + (n.toDouble + half) / 2.0).toLong)
+      src -> (n, xs((md - 1).toInt), xs((lo - 1).toInt), xs((hi - 1).toInt),
+        lo, hi)
+    }
+    val got = graft.queries.TrainingPrep.dMedianCi.fn(spark, TestSpark.Sf)
+      .select($"source", $"n", $"median", $"ci_lo", $"ci_hi", $"lo_rank",
+        $"hi_rank")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5, r._6, r._7)).toMap
+    assert(got == brute)
+    for ((src, (_, med, lo, hi, _, _)) <- got)
+      assert(lo <= med && med <= hi, s"source $src CI must bracket the median")
+  }
 }
