@@ -2628,6 +2628,78 @@ object Similarity {
     hops.select($"vid".as("vec_id"), $"hop").orderBy($"vec_id")
   }
 
+  /** DEGREE ASSORTATIVITY (Newman '02) of the similarity graph — the
+    * Pearson correlation of endpoint degrees over all directed edges:
+    * positive means hubs attach to hubs (a core-periphery near-dup
+    * mass, cluster-level dedup pays off), negative means hubs attach
+    * to leaves (star-shaped duplication, representative-picking pays
+    * off) — the one-number diagnostic that says WHICH dedup strategy
+    * fits the corpus before anyone runs it.
+    *
+    * Engine parity: degrees are exact integers; all five moments over
+    * the directed-edge endpoint pairs are exact DECIMAL sums; the
+    * statistic is fixed-order IEEE (two sqrts, one division) on those
+    * exact integers, surfaced as floor-micros. Degenerate graphs
+    * (regular — zero variance) drop via the integer guard.
+    *
+    * Scale shape: one degree hash-agg, two broadcast-sized joins of
+    * degree onto the edge list keyed by endpoint, one moment agg —
+    * the triangle-count join shape without the wedge blowup. */
+  val eAssortativity: Spec = Spec(
+    "e_assortativity",
+    oracle = Some(s"""
+      WITH ${lshCandCtes},
+      ver AS (SELECT c.ida, c.idb FROM cand c
+        JOIN embeddings a ON a.vec_id = c.ida
+        JOIN embeddings b ON b.vec_id = c.idb
+        WHERE a.label = b.label
+          AND ${cosSql("a.embedding", "b.embedding")} >= 0.2),
+      edges AS (SELECT ida AS src, idb AS dst FROM ver
+        UNION ALL SELECT idb, ida FROM ver),
+      deg AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d FROM edges
+              GROUP BY 1),
+      pairs AS (SELECT da.d AS x, db.d AS y
+        FROM edges e JOIN deg da ON da.v = e.src JOIN deg db ON db.v = e.dst),
+      m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          SUM(x::HUGEINT) AS sx, SUM(y::HUGEINT) AS sy,
+          SUM(x::HUGEINT * x) AS sxx, SUM(y::HUGEINT * y) AS syy,
+          SUM(x::HUGEINT * y) AS sxy
+        FROM pairs)
+      SELECT n AS n_directed_edges,
+        CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+          / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+             * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 1000000)
+          AS BIGINT) AS assortativity_micros,
+        CAST(FLOOR(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) * 1000000)
+          AS BIGINT) AS mean_edge_degree_micros
+      FROM m
+      WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0""")) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val ver = lshLabelEdges(emb, threshold = 0.2)
+    val edges = ver.select($"id_a".as("src"), $"id_b".as("dst"))
+      .unionAll(ver.select($"id_b".as("src"), $"id_a".as("dst")))
+      .localCheckpoint() // degree agg + both endpoint joins share it
+    val deg = edges.groupBy($"src".as("v")).agg(count(lit(1)).as("d"))
+    val dd = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val m = edges
+      .join(deg.select($"v".as("src"), $"d".as("x")), Seq("src"))
+      .join(deg.select($"v".as("dst"), $"d".as("y")), Seq("dst"))
+      .agg(count(lit(1)).as("n"),
+        sum(dd($"x")).as("sx"), sum(dd($"y")).as("sy"),
+        sum(dd($"x") * $"x").as("sxx"), sum(dd($"y") * $"y").as("syy"),
+        sum(dd($"x") * $"y").as("sxy"))
+    m.filter($"n" * $"sxx" - $"sx" * $"sx" > 0 &&
+        $"n" * $"syy" - $"sy" * $"sy" > 0)
+      .select($"n".as("n_directed_edges"),
+        floor(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          (sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double")) *
+            sqrt(($"n" * $"syy" - $"sy" * $"sy").cast("double"))) * 1e6)
+          .cast("long").as("assortativity_micros"),
+        floor($"sx".cast("double") / $"n".cast("double") * 1e6)
+          .cast("long").as("mean_edge_degree_micros"))
+  }
+
   /** NEIGHBORHOOD FUNCTION + EFFECTIVE DIAMETER of the similarity
     * graph via multi-source bitmask BFS — the ANF/HyperANF shape
     * (Palmer '02; Boldi '11): 63 deterministic seed nodes (smallest
@@ -2727,5 +2799,6 @@ object Similarity {
     eLabelPropagation, eModularity,
     eEigenCentrality, eLinkPrediction, eKcorePeel, eSemdedup,
     eSemdedupIncremental, ePcaProjection, ePca2d, eCentroidDrift,
-    eMutualKnn, eSilhouette, eBfsHops, ePprSeeded, eNeighborhoodFunction)
+    eMutualKnn, eSilhouette, eBfsHops, ePprSeeded, eNeighborhoodFunction,
+    eAssortativity)
 }

@@ -128,6 +128,35 @@ class GraphsSpec extends AnyFunSuite {
       "neighborhood function must be monotone")
   }
 
+  test("assortativity == brute degree-pair Pearson on the same edge set") {
+    import graft.queries.Similarity
+    val emb = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+    val edges0 = Similarity.lshLabelEdges(emb, threshold = 0.2)
+      .as[(Long, Long)].collect()
+    val edges = edges0 ++ edges0.map(_.swap)
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val xs = edges.map(e => deg(e._1)); val ys = edges.map(e => deg(e._2))
+    val n = edges.length.toLong
+    def s(v: Seq[Long]) = v.map(BigInt(_)).sum
+    def s2(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).map { case (x, y) => BigInt(x) * y }.sum
+    val (sx, sy) = (s(xs.toSeq), s(ys.toSeq))
+    val num = (BigInt(n) * s2(xs.toSeq, ys.toSeq) - sx * sy).toDouble
+    val dx = (BigInt(n) * s2(xs.toSeq, xs.toSeq) - sx * sx).toDouble
+    val dy = (BigInt(n) * s2(ys.toSeq, ys.toSeq) - sy * sy).toDouble
+    val expected = math.floor(num / (math.sqrt(dx) * math.sqrt(dy)) * 1e6)
+      .toLong
+    val got = Similarity.eAssortativity.fn(spark, TestSpark.Sf)
+      .select(col("n_directed_edges"), col("assortativity_micros"))
+      .as[(Long, Long)].collect()
+    assert(got.length == 1 && got.head._1 == n)
+    assert(got.head._2 == expected,
+      s"assortativity ${got.head._2} vs brute $expected")
+    // undirected symmetry: the directed-pair correlation is symmetric
+    // by construction, so it must be a genuine correlation in [-1, 1]
+    assert(got.head._2 >= -1000000 && got.head._2 <= 1000000)
+  }
+
   test("HITS fold: planted funnel separates hubs from authorities; cycle is uniform") {
     // S and T only point, A and B are only pointed at: authority mass
     // must live entirely on {A, B} (A first — heavier in-weight) and
