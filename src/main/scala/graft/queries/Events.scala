@@ -1658,20 +1658,30 @@ object Events {
     import s.implicits._
     val ev = load(s, dir)
     val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
-    val pm = ev
+    val pairs = ev
       .select($"user_id", $"event_type", expr("ts div 1000").as("us"),
         $"event_id")
       .withColumn("nxt", lead($"event_type", 1).over(w))
       .filter($"nxt".isNotNull)
-      .groupBy($"event_type".as("cur"), $"nxt")
-      .agg(count(lit(1)).as("n"))
+      .select($"event_type".as("cur"), $"nxt")
+    val states = ev.select($"event_type").distinct()
+      .as[String].collect().toSeq.sorted
+    hitsOverPairs(pairs, states)
+  }
+
+  /** The HITS tail over a (cur, nxt) pair frame: one hash agg to the
+    * guarded |types|² cell matrix, the exact driver fold, the readout
+    * — shared by the batch query and the streaming twin
+    * (st_hits_transitions). */
+  def hitsOverPairs(pairs: DataFrame, states: Seq[String]): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val pm = pairs.groupBy($"cur", $"nxt").agg(count(lit(1)).as("n"))
     val rows = pm.collect()
     require(rows.length <= 65536,
       s"transition matrix too large for a driver fold: ${rows.length} cells")
     val cells = rows.toSeq.map(r =>
       (r.getString(0), r.getString(1), r.getLong(2)))
-    val states = ev.select($"event_type").distinct()
-      .as[String].collect().toSeq.sorted
     val (h, a) = hitsFold(cells, states, rounds = 4)
     val outs = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
     val ins = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap

@@ -807,6 +807,25 @@ object StreamingQ {
       StreamOps.markovPairs(s, dir).select($"cur", $"nxt"))
   }
 
+  /** STREAMING HITS: the same watermarked per-user transition-pair
+    * state the Markov twin maintains; the guarded driver fold
+    * ([[Events.hitsOverPairs]]) runs as a batch view over it — sharing
+    * the batch oracle with ev_hits_transitions. The state universe
+    * (distinct event types, needed so types with no transitions still
+    * report zero scores) is a bounded dimension read alongside the
+    * stream, exactly like the lexicon frames the quality monitors
+    * join. */
+  val stHits: Spec = Spec(
+    "st_hits_transitions",
+    oracle = Events.qHitsTransitions.oracle) { (s, dir) =>
+    import s.implicits._
+    val states = Events.load(s, dir).select($"event_type").distinct()
+      .as[String].collect().toSeq.sorted
+    Events.hitsOverPairs(
+      StreamOps.markovPairs(s, dir, sink = "st_hits_mem")
+        .select($"cur", $"nxt"), states)
+  }
+
   /** STREAMING seasonal decomposition: the watermarked tumbling count
     * query maintains the hourly table; trend/seasonal/residual run as
     * a batch view over that bounded state — the st_drift_windowed
@@ -1401,5 +1420,5 @@ object StreamingQ {
     stGrangerPairs, stPacfDaily, stGapFill, stDbscan,
     stHoltForecast, stAmsF2, stTdigest, stBurstViterbi, stHoltWinters,
     stHllUsers, stMannKendall, stCorpusChecksum, stNeymanAllocation,
-    stEwmaControl, stBinseg)
+    stEwmaControl, stBinseg, stHits)
 }

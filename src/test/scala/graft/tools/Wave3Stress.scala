@@ -76,7 +76,7 @@ object Wave3Stress {
     val ev0 = graft.queries.Events.load(s, "/root/testdata/sf0.1")
     val ev = (0 until mult).map(i =>
       ev0.select(($"user_id" + lit(i * 100000L)).as("user_id"), $"ts",
-        $"value")).reduce(_ unionAll _)
+        $"value", $"event_type")).reduce(_ unionAll _)
     time(s"cuped per-user moments over ${mult}x events/users") {
       val e = ev.select($"user_id", expr("ts div 1000").as("us"),
         round($"value" * 1e6).cast("long").as("vm"))
