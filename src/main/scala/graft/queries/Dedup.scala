@@ -450,6 +450,100 @@ object Dedup {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** B-BIT MINHASH compression report (Li & König '10): keep only the
+    * LOWEST 2 BITS of each of the 32 minhash slots (16× less sketch
+    * memory — the difference between a corpus index that fits in RAM
+    * and one that doesn't at 100 TB) and estimate Jaccard through the
+    * collision correction Ĵ = (C − 2⁻ᵇ)/(1 − 2⁻ᵇ). For every verified
+    * pair: the exact Jaccard, the full-signature estimate, and the
+    * 2-bit estimate, plus corpus MAEs for both — the
+    * measure-don't-guess table that says whether the 16× compression
+    * is worth its accuracy cost HERE (theory: variance inflates by
+    * ≈ 1/(1−2⁻ᵇ)² ≈ 1.78× at b=2).
+    *
+    * Engine parity: both estimators are EXACT INTEGER arithmetic —
+    * match counts m over 32 slots give est_full = m·1000 ÷ 32 and
+    * est_2bit = max(m−8, 0)·1000 ÷ 24 (the clamp precedes the divide,
+    * so floor-vs-truncate division semantics never diverge); MAEs are
+    * integer sums with one integer division. No float beyond the
+    * 6dp exact-Jaccard reference column.
+    *
+    * Scale shape: identical to [[ddMinhashEstimate]] — capped-bucket
+    * candidates, one signature computation, two keyed joins of the
+    * bounded pair table back to signatures, a 1-row MAE broadcast. */
+  val ddBbitMinhash: Spec = Spec(
+    "dd_bbit_minhash",
+    oracle = Some(s"""
+      WITH $minhashCandCte,
+      j AS (
+        SELECT ida, idb,
+          CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+            (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jac
+        FROM pairs JOIN sh sa ON sa.doc_id = ida JOIN sh sb ON sb.doc_id = idb),
+      m AS (
+        SELECT j.ida AS id_a, j.idb AS id_b, ROUND(j.jac, 6) AS jaccard,
+          CAST(len(list_filter(list_transform(range(1, 33),
+            i -> sa.sig[i] = sb.sig[i]), x -> x)) AS BIGINT) AS mf,
+          CAST(len(list_filter(list_transform(range(1, 33),
+            i -> sa.sig[i] % 4 = sb.sig[i] % 4), x -> x)) AS BIGINT) AS mb,
+          CAST(FLOOR(j.jac * 1000) AS BIGINT) AS jm
+        FROM j JOIN sig sa ON sa.doc_id = j.ida
+        JOIN sig sb ON sb.doc_id = j.idb
+        WHERE j.jac >= 0.5),
+      e AS (
+        SELECT id_a, id_b, jaccard,
+          mf * 1000 // 32 AS est_full_milli,
+          GREATEST(mb - 8, 0) * 1000 // 24 AS est_2bit_milli, jm
+        FROM m),
+      mae AS (
+        SELECT CAST(SUM(abs(est_full_milli - jm)) // COUNT(*) AS BIGINT)
+            AS mae_full_milli,
+          CAST(SUM(abs(est_2bit_milli - jm)) // COUNT(*) AS BIGINT)
+            AS mae_2bit_milli
+        FROM e)
+      SELECT e.id_a, e.id_b, e.jaccard,
+        CAST(e.est_full_milli AS BIGINT) AS est_full_milli,
+        CAST(e.est_2bit_milli AS BIGINT) AS est_2bit_milli,
+        mae.mae_full_milli, mae.mae_2bit_milli
+      FROM e CROSS JOIN mae ORDER BY id_a, id_b""")) { (s, dir) =>
+    import s.implicits._
+    val withSets = Tables.load(s, dir, "documents")
+      .filter(size(Text.tokens($"text")) >= 3)
+      .select($"doc_id", Text.shingleSet($"text", 3).as("sh"))
+      .filter(size($"sh") > 0)
+    val sig = withSets
+      .select($"doc_id", MinHash.signature($"sh", 32).as("sig"))
+      .localCheckpoint() // both pair sides reuse one signature pass
+    val pairs = MinHash.candidatePairs(
+        Tables.load(s, dir, "documents").select($"doc_id", $"text"),
+        "doc_id", "text",
+        shingleSize = 3, numPerm = 32, bands = 8, threshold = 0.5)
+      .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"),
+        floor($"jaccard" * 1000).cast("long").as("jm"))
+    def matches(cond: String) = expr(
+      s"cast(size(filter(zip_with(sig_a, sig_b, (x, y) -> $cond), " +
+        "b -> b)) as bigint)")
+    val e = pairs
+      .join(sig.select($"doc_id".as("id_a"), $"sig".as("sig_a")), Seq("id_a"))
+      .join(sig.select($"doc_id".as("id_b"), $"sig".as("sig_b")), Seq("id_b"))
+      .select($"id_a", $"id_b", $"jaccard", $"jm",
+        expr("(cast(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y)," +
+          " b -> b)) as bigint) * 1000) div 32").as("est_full_milli"),
+        expr("(greatest(cast(size(filter(zip_with(sig_a, sig_b, " +
+          "(x, y) -> x % 4 = y % 4), b -> b)) as bigint) - 8, 0) * 1000)" +
+          " div 24").as("est_2bit_milli"))
+      .localCheckpoint() // pair rows feed the MAE and the output
+    val mae = broadcast(e.agg(
+      expr("sum(abs(est_full_milli - jm)) div count(*)")
+        .cast("long").as("mae_full_milli"),
+      expr("sum(abs(est_2bit_milli - jm)) div count(*)")
+        .cast("long").as("mae_2bit_milli")))
+    e.crossJoin(mae)
+      .select($"id_a", $"id_b", $"jaccard", $"est_full_milli",
+        $"est_2bit_milli", $"mae_full_milli", $"mae_2bit_milli")
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** Exact dedup by normalized content hash (P3/2.11 exact family). */
   val ddExactHash: Spec = Spec(
     "dd_exact_hash",
@@ -2104,8 +2198,8 @@ object Dedup {
     ddBandPlan,
     ddMinhashPairs, ddMinhashBlocked, ddMinhashClusters, ddMinhashIncremental,
     ddCcIncremental, ddPairDiffSpans,
-    ddJaccardBlockPairs, ddWeightedJaccard, ddExactHash, ddExactIncremental,
-    ddBloomIncremental,
+    ddJaccardBlockPairs, ddWeightedJaccard, ddBbitMinhash, ddExactHash,
+    ddExactIncremental, ddBloomIncremental,
     ddCappedStarPairs,
     ddSimhashMd5, ddSimhashMd5Pairs, ddEditVerified,
     ddDecontaminate, ddDecontaminateSpans,

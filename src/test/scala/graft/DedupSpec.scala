@@ -330,6 +330,28 @@ class DedupSpec extends AnyFunSuite {
       assert(jw > 0 && jw <= 1 && ca <= 1 && cb <= 1 && jw <= math.min(ca, cb))
   }
 
+  test("b-bit minhash: estimates == slot-match recompute; 2-bit never loses full matches") {
+    val sig = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .filter(size(Text.tokens($"text")) >= 3)
+      .select($"doc_id", Text.shingleSet($"text", 3).as("sh"))
+      .filter(size($"sh") > 0)
+      .select($"doc_id", MinHash.signature($"sh", 32).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val got = graft.queries.Dedup.ddBbitMinhash.fn(spark, TestSpark.Sf)
+      .select($"id_a", $"id_b", $"est_full_milli", $"est_2bit_milli")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty, "test corpus must contain verified pairs")
+    for ((a, b, ef, e2) <- got) {
+      val (sa, sb) = (sig(a), sig(b))
+      val mf = sa.zip(sb).count { case (x, y) => x == y }.toLong
+      val mb = sa.zip(sb).count { case (x, y) => x % 4 == y % 4 }.toLong
+      assert(mb >= mf, s"pair ($a,$b): low-bit matches can only be added")
+      assert(ef == mf * 1000 / 32, s"pair ($a,$b) full estimate")
+      assert(e2 == math.max(mb - 8, 0L) * 1000 / 24,
+        s"pair ($a,$b) 2-bit estimate")
+    }
+  }
+
   test("median CI: rank selection == brute order statistics per source") {
     val bySrc = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
       .select($"source", $"n_chars".cast("long"))
