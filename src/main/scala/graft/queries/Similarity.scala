@@ -2700,6 +2700,67 @@ object Similarity {
           .cast("long").as("mean_edge_degree_micros"))
   }
 
+  /** DEGREE DISTRIBUTION + POWER-LAW MLE of the similarity graph —
+    * the degree histogram with the Clauset–Shalizi–Newman continuous
+    * approximation α̂ = 1 + n / Σ ln(dᵢ/(d_min − ½)) over the tail
+    * d ≥ d_min = 2 ("is duplication heavy-tailed here?" — α near 2
+    * means a few documents near-duplicate against huge families and
+    * cluster-representative picking dominates the dedup win; α > 3
+    * means duplication is diffuse). Histogram rows carry the shared
+    * α̂ and tail size alongside.
+    *
+    * Engine parity: degrees and histogram counts are exact integers;
+    * each ln term is a fixed IEEE op on an exact integer-ratio double,
+    * 9dp-rounded and DECIMAL-summed (order-free — the
+    * d_lang_source_mi ln discipline); α̂ is one division plus one
+    * addition. Scale shape: one degree agg, one |degrees|-bounded
+    * histogram agg, a 1-row tail-moment broadcast. */
+  val eDegreePowerlaw: Spec = Spec(
+    "e_degree_powerlaw",
+    oracle = Some(s"""
+      WITH ${lshCandCtes},
+      ver AS (SELECT c.ida, c.idb FROM cand c
+        JOIN embeddings a ON a.vec_id = c.ida
+        JOIN embeddings b ON b.vec_id = c.idb
+        WHERE a.label = b.label
+          AND ${cosSql("a.embedding", "b.embedding")} >= 0.2),
+      edges AS (SELECT ida AS src, idb AS dst FROM ver
+        UNION ALL SELECT idb, ida FROM ver),
+      deg AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d FROM edges
+              GROUP BY 1),
+      tail AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt,
+          SUM(CAST(round(ln(CAST(d AS DOUBLE) / 1.5e0), 9)
+              AS DECIMAL(28,12))) AS sl
+        FROM deg WHERE d >= 2),
+      a AS (SELECT nt,
+          CAST(FLOOR((1.0e0 + CAST(nt AS DOUBLE) / CAST(sl AS DOUBLE))
+            * 1000000) AS BIGINT) AS alpha_micros
+        FROM tail WHERE sl > 0),
+      h AS (SELECT d AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM deg GROUP BY d)
+      SELECT h.degree, h.n_nodes, a.alpha_micros, a.nt AS n_tail
+      FROM h CROSS JOIN a ORDER BY h.degree""")) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val ver = lshLabelEdges(emb, threshold = 0.2)
+    val deg = ver.select($"id_a".as("src"), $"id_b".as("dst"))
+      .unionAll(ver.select($"id_b".as("src"), $"id_a".as("dst")))
+      .groupBy($"src").agg(count(lit(1)).as("d"))
+      .localCheckpoint() // tail moments + histogram share one agg
+    val tail = deg.filter($"d" >= 2)
+      .agg(count(lit(1)).as("nt"),
+        sum(round(log($"d".cast("double") / lit(1.5)), 9)
+          .cast("decimal(28,12)")).as("sl"))
+    val a = broadcast(tail.filter($"sl" > 0)
+      .select($"nt",
+        floor((lit(1.0) + $"nt".cast("double") / $"sl".cast("double")) * 1e6)
+          .cast("long").as("alpha_micros")))
+    deg.groupBy($"d".as("degree")).agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(a)
+      .select($"degree", $"n_nodes", $"alpha_micros", $"nt".as("n_tail"))
+      .orderBy($"degree")
+  }
+
   /** NEIGHBORHOOD FUNCTION + EFFECTIVE DIAMETER of the similarity
     * graph via multi-source bitmask BFS — the ANF/HyperANF shape
     * (Palmer '02; Boldi '11): 63 deterministic seed nodes (smallest
@@ -2800,5 +2861,5 @@ object Similarity {
     eEigenCentrality, eLinkPrediction, eKcorePeel, eSemdedup,
     eSemdedupIncremental, ePcaProjection, ePca2d, eCentroidDrift,
     eMutualKnn, eSilhouette, eBfsHops, ePprSeeded, eNeighborhoodFunction,
-    eAssortativity)
+    eAssortativity, eDegreePowerlaw)
 }

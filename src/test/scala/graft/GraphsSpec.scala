@@ -157,6 +157,31 @@ class GraphsSpec extends AnyFunSuite {
     assert(got.head._2 >= -1000000 && got.head._2 <= 1000000)
   }
 
+  test("degree powerlaw: histogram and MLE alpha == brute fold over the edge set") {
+    import graft.queries.Similarity
+    val emb = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+    val edges = Similarity.lshLabelEdges(emb, threshold = 0.2)
+      .as[(Long, Long)].collect()
+    val deg = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.size.toLong).toMap
+    val hist = deg.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tail = deg.values.filter(_ >= 2).toSeq
+    val sl = tail.map(d => java.math.BigDecimal
+        .valueOf(math.log(d.toDouble / 1.5))
+        .setScale(9, java.math.RoundingMode.HALF_UP))
+      .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+    val alpha = math.floor(
+      (1.0 + tail.size.toDouble / sl.doubleValue) * 1e6).toLong
+    val got = Similarity.eDegreePowerlaw.fn(spark, TestSpark.Sf)
+      .select(col("degree"), col("n_nodes"), col("alpha_micros"),
+        col("n_tail"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.map(r => r._1 -> r._2).toMap == hist, "histogram")
+    assert(got.forall(r => r._3 == alpha && r._4 == tail.size.toLong),
+      s"alpha ${got.head._3} vs brute $alpha")
+    assert(alpha > 1000000, "MLE alpha must exceed 1 by construction")
+  }
+
   test("HITS fold: planted funnel separates hubs from authorities; cycle is uniform") {
     // S and T only point, A and B are only pointed at: authority mass
     // must live entirely on {A, B} (A first — heavier in-weight) and
