@@ -3728,6 +3728,88 @@ object Events {
       .orderBy($"variant")
   }
 
+  /** ANOMALY-DETECTOR ENSEMBLE over the per-type daily count series:
+    * the three charts that watch the same grid — Shewhart (|x − μ| >
+    * 3σ, memoryless), CUSUM ([[qCusumChangepoint]], cumulative level
+    * shift) and the EWMA chart ([[qEwmaControl]], smoothed memory) —
+    * joined into one per-day vote table with a ≥2-of-3 consensus
+    * column. Detectors disagree BY DESIGN (Shewhart catches single
+    * spikes CUSUM absorbs; CUSUM catches slow drifts Shewhart never
+    * sees); the consensus view is what an on-call surface pages on,
+    * and the disagreement pattern is itself the diagnosis.
+    *
+    * Engine parity: pure composition — each member tail is already
+    * bit-identical across engines (their own oracles prove it), the
+    * Shewhart flag is the EWMA-chart moment discipline, and the
+    * ensemble adds only integer votes and boolean logic. Scale shape:
+    * three calendar-bounded tails over ONE shared day grid, joined on
+    * (type, day) — grid-sized, data-independent. */
+  val qAnomalyEnsemble: Spec = Spec(
+    "ev_anomaly_ensemble",
+    oracle = Some(s"""
+      WITH cus AS ($cusumOracleSql),
+      ew AS ($ewmaControlOracleSql),
+      $dailySpineSql,
+      par AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd,
+          SUM(x::HUGEINT) AS s, SUM(x::HUGEINT * x) AS q
+        FROM grid GROUP BY event_type HAVING COUNT(*) > 1),
+      st AS (SELECT event_type, CAST(s AS DOUBLE) / CAST(nd AS DOUBLE) AS mu,
+          sqrt(CAST(nd * q - s * s AS DOUBLE)
+            / CAST(nd * (nd - 1) AS DOUBLE)) AS sig
+        FROM par),
+      sh AS (SELECT g.event_type,
+          strftime(make_timestamp(g.d * 86400000000), '%Y-%m-%d') AS day,
+          CAST(g.x AS BIGINT) AS x,
+          CAST(g.x AS DOUBLE) > st.mu + 3.0e0 * st.sig
+            OR CAST(g.x AS DOUBLE) < st.mu - 3.0e0 * st.sig AS shewhart_flag
+        FROM grid g JOIN st ON st.event_type = g.event_type),
+      j AS (SELECT sh.event_type, sh.day, sh.x, sh.shewhart_flag,
+          cus.alarm AS cusum_alarm, ew.out_of_control AS ewma_flag
+        FROM sh
+        JOIN cus ON cus.event_type = sh.event_type AND cus.day = sh.day
+        JOIN ew ON ew.event_type = sh.event_type AND ew.day = sh.day),
+      v AS (SELECT *,
+          CAST(CASE WHEN shewhart_flag THEN 1 ELSE 0 END
+            + CASE WHEN cusum_alarm THEN 1 ELSE 0 END
+            + CASE WHEN ewma_flag THEN 1 ELSE 0 END AS BIGINT) AS votes
+        FROM j)
+      SELECT event_type, day, x, shewhart_flag, cusum_alarm, ewma_flag,
+        votes, votes >= 2 AS consensus
+      FROM v WHERE votes >= 1 ORDER BY event_type, day""")) { (s, dir) =>
+    import s.implicits._
+    val grid = dailyCountSpine(s, dir).localCheckpoint() // 3 tails share it
+    val cus = cusumOverDayGrid(grid)
+      .select($"event_type", $"day", $"alarm".as("cusum_alarm"))
+    val ew = ewmaControlOverDayGrid(grid)
+      .select($"event_type", $"day", $"out_of_control".as("ewma_flag"))
+    val par = grid.groupBy($"event_type")
+      .agg(count(lit(1)).as("nd"),
+        sum($"x".cast("decimal(38,0)")).as("s"),
+        sum($"x".cast("decimal(38,0)") * $"x").as("q"))
+      .filter($"nd" > 1)
+    val st = par.select($"event_type",
+      ($"s".cast("double") / $"nd".cast("double")).as("mu"),
+      sqrt(($"nd" * $"q" - $"s" * $"s").cast("double") /
+        ($"nd" * ($"nd" - 1)).cast("double")).as("sig"))
+    val sh = grid.join(broadcast(st), Seq("event_type"))
+      .select($"event_type",
+        date_format(timestamp_micros($"d" * lit(86400000000L)), "yyyy-MM-dd")
+          .as("day"),
+        $"x".cast("long").as("x"),
+        ($"x".cast("double") > $"mu" + lit(3.0) * $"sig" ||
+          $"x".cast("double") < $"mu" - lit(3.0) * $"sig")
+          .as("shewhart_flag"))
+    val votes = ($"shewhart_flag".cast("int") + $"cusum_alarm".cast("int")
+      + $"ewma_flag".cast("int")).cast("long")
+    sh.join(cus, Seq("event_type", "day"))
+      .join(ew, Seq("event_type", "day"))
+      .withColumn("votes", votes)
+      .filter($"votes" >= 1)
+      .select($"event_type", $"day", $"x", $"shewhart_flag", $"cusum_alarm",
+        $"ewma_flag", $"votes", ($"votes" >= 2).as("consensus"))
+      .orderBy($"event_type", $"day")
+  }
+
   /** One binary-segmentation oracle round: for each open segment
     * [a, b], every admissible split k (≥ 2 days each side) scores
     * gain = SSE(a,b) − SSE(a,k) − SSE(k+1,b) from the shared prefix
@@ -4660,7 +4742,7 @@ object Events {
     qRate5Min, qValueOutliers, qDriftWindowed, qDriftSliding,
     qCohortRetention, qFunnelWindowed, qDauNewReturning, qDecayScore,
     qUserTrend, qRateAnomaly, qKsDrift, qKsWindowed, qWinsorizedStats,
-    qEwmaControl, qBinsegChangepoint, qCupedAdjustment,
+    qEwmaControl, qBinsegChangepoint, qCupedAdjustment, qAnomalyEnsemble,
     qAsofNearest, qConversionTime, qMarkovTransitions, qSeasonalDecompose,
     qPathAnalysis, qSeasonalAnomaly, qStickiness, qBounceRate,
     qUserConcentration, qInterArrival, qAttribution, qAttributionDecay,

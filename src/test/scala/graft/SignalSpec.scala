@@ -237,6 +237,28 @@ class SignalSpec extends AnyFunSuite {
       s"pooled mean must be preserved: drift $drift micros over $total users")
   }
 
+  test("anomaly ensemble: votes == member tails, consensus == 2-of-3") {
+    val got = Events.qAnomalyEnsemble.fn(spark, TestSpark.Sf)
+      .select($"event_type", $"day", $"shewhart_flag", $"cusum_alarm",
+        $"ewma_flag", $"votes", $"consensus")
+      .as[(String, String, Boolean, Boolean, Boolean, Long, Boolean)]
+      .collect()
+    assert(got.nonEmpty, "the sf0.001 grid must trip at least one detector")
+    for ((et, day, sh, cu, ew, v, c) <- got) {
+      assert(v == Seq(sh, cu, ew).count(identity).toLong,
+        s"($et,$day) vote arithmetic")
+      assert(c == (v >= 2), s"($et,$day) consensus rule")
+      assert(v >= 1, "rows below one vote must be filtered")
+    }
+    // member flags must agree with the tails run standalone
+    val grid = Events.qCusumChangepoint.fn(spark, TestSpark.Sf)
+      .select($"event_type", $"day", $"alarm")
+      .as[(String, String, Boolean)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    for ((et, day, _, cu, _, _, _) <- got)
+      assert(grid((et, day)) == cu, s"($et,$day) cusum flag must match tail")
+  }
+
   test("binseg: 3-level series recovers both boundaries; constant never splits") {
     // 10 days at 5, 10 at 50, 10 at 5 — round 1 ties between the two
     // boundaries (symmetric gain 3375) and must take the SMALLER k;
