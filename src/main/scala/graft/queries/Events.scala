@@ -3095,6 +3095,137 @@ object Events {
     holtOverDayGrid(dailyCountSpine(s, dir))
   }
 
+  /** ROLLING-ORIGIN FORECAST BACKTEST (Tashman '00 — the evaluation
+    * harness every forecaster needs before anyone trusts it): for each
+    * of the last 5 cutoff days, fit Holt on the prefix, forecast ONE
+    * step ahead, score against the realized count, and report the
+    * per-type MAE next to the naive last-value baseline's — the same
+    * measure-don't-guess pattern as e_ivf_recall/e_hnsw_recall, aimed
+    * at [[qHoltForecast]]. `holt_wins` is the honest headline: a
+    * smoother that cannot beat persistence has no business
+    * forecasting.
+    *
+    * Engine parity: the oracle's recursive CTE materializes the Holt
+    * state at EVERY prefix t, so each cutoff's one-step forecast is
+    * the same arithmetic as the Spark side's per-cutoff prefix fold
+    * (identical IEEE update expressions, proven by ev_holt_forecast);
+    * fold errors are bit-identical doubles, MAEs are 9dp-rounded
+    * DECIMAL sums (order-free) with one division.
+    *
+    * Scale shape: the grid agg is the corpus-sized work; each type's
+    * series collects once (calendar-bounded array) and the 5 prefix
+    * folds are O(T) array scans — at 100 TB the cost stays where it
+    * already was, in the day-grid hash agg. */
+  val qForecastBacktest: Spec = Spec(
+    "ev_forecast_backtest",
+    oracle = Some(s"""
+      WITH RECURSIVE $dailySpineSql,
+      mn AS (SELECT event_type, MIN(d) AS mn FROM grid GROUP BY 1),
+      idx AS (SELECT g.event_type, g.d - m.mn AS t, CAST(g.x AS DOUBLE) AS y
+        FROM grid g JOIN mn m ON m.event_type = g.event_type),
+      tmax AS (SELECT event_type, MAX(t) AS tm FROM idx GROUP BY 1),
+      hw AS (
+        SELECT i0.event_type, CAST(0 AS BIGINT) AS t, i0.y AS l,
+          i1.y - i0.y AS b
+        FROM idx i0 JOIN idx i1
+          ON i1.event_type = i0.event_type AND i1.t = 1
+        WHERE i0.t = 0
+        UNION ALL
+        SELECT h.event_type, h.t + 1,
+          0.5 * i.y + 0.5 * (h.l + h.b),
+          0.5 * ((0.5 * i.y + 0.5 * (h.l + h.b)) - h.l) + 0.5 * h.b
+        FROM hw h JOIN idx i
+          ON i.event_type = h.event_type AND i.t = h.t + 1),
+      folds AS (
+        SELECT h.event_type, h.t, m.mn,
+          h.l + h.b AS f, i.y AS actual, ip.y AS prev
+        FROM hw h
+        JOIN tmax x ON x.event_type = h.event_type
+        JOIN mn m ON m.event_type = h.event_type
+        JOIN idx i ON i.event_type = h.event_type AND i.t = h.t + 1
+        JOIN idx ip ON ip.event_type = h.event_type AND ip.t = h.t
+        WHERE h.t >= GREATEST(1, x.tm - 5) AND h.t <= x.tm - 1),
+      e AS (
+        SELECT event_type, t, mn, f, actual,
+          abs(f - actual) AS eh, abs(actual - prev) AS en
+        FROM folds),
+      mae AS (
+        SELECT event_type,
+          CAST(FLOOR(CAST(SUM(CAST(round(eh, 9) AS DECIMAL(28,12)))
+            AS DOUBLE) / COUNT(*) * 1000000) AS BIGINT) AS mae_holt_micros,
+          CAST(FLOOR(CAST(SUM(CAST(round(en, 9) AS DECIMAL(28,12)))
+            AS DOUBLE) / COUNT(*) * 1000000) AS BIGINT) AS mae_naive_micros
+        FROM e GROUP BY event_type)
+      SELECT e.event_type,
+        strftime(make_timestamp((e.mn + e.t) * 86400000000),
+          '%Y-%m-%d') AS cutoff_day,
+        CAST(FLOOR(e.f * 1000000) AS BIGINT) AS forecast_micros,
+        CAST(e.actual AS BIGINT) AS actual,
+        CAST(FLOOR(e.eh * 1000000) AS BIGINT) AS err_holt_micros,
+        CAST(FLOOR(e.en * 1000000) AS BIGINT) AS err_naive_micros,
+        m.mae_holt_micros, m.mae_naive_micros,
+        m.mae_holt_micros < m.mae_naive_micros AS holt_wins
+      FROM e JOIN mae m ON m.event_type = e.event_type
+      ORDER BY e.event_type, cutoff_day""")) { (s, dir) =>
+    forecastBacktestOverGrid(dailyCountSpine(s, dir))
+  }
+
+  /** The backtest tail over a complete (event_type, d, x) day grid —
+    * exposed for the hand-vector pins. */
+  def forecastBacktestOverGrid(grid: DataFrame): DataFrame = {
+    val s = grid.sparkSession
+    import s.implicits._
+    val series = grid
+      .groupBy($"event_type")
+      .agg(sort_array(collect_list(struct($"d", $"x"))).as("sv"),
+        min($"d").as("mn"))
+      .select($"event_type", $"mn",
+        transform($"sv", e => e.getField("x").cast("double")).as("ys"))
+      .filter(size($"ys") >= 3)
+      .localCheckpoint() // 5 prefix folds share one collected series
+    val step = (acc: org.apache.spark.sql.Column,
+        y: org.apache.spark.sql.Column) => struct(
+      (lit(0.5) * y + lit(0.5) * (acc.getField("l") + acc.getField("b")))
+        .as("l"),
+      (lit(0.5) * ((lit(0.5) * y +
+          lit(0.5) * (acc.getField("l") + acc.getField("b"))) -
+          acc.getField("l")) + lit(0.5) * acc.getField("b")).as("b"))
+    val folds = series
+      .select($"event_type", $"mn", $"ys",
+        explode(sequence(lit(1L), lit(5L))).as("k"))
+      .withColumn("p", size($"ys") - $"k")
+      .filter($"p" >= 2)
+      .withColumn("st", aggregate(
+        slice($"ys", lit(2), $"p" - 1),
+        struct(element_at($"ys", 1).as("l"),
+          (element_at($"ys", 2) - element_at($"ys", 1)).as("b")),
+        step))
+      .select($"event_type", $"mn", ($"p" - 1).cast("long").as("t"),
+        ($"st.l" + $"st.b").as("f"),
+        element_at($"ys", ($"p" + 1).cast("int")).as("actual"),
+        element_at($"ys", $"p".cast("int")).as("prev"))
+      .withColumn("eh", abs($"f" - $"actual"))
+      .withColumn("en", abs($"actual" - $"prev"))
+      .localCheckpoint() // fold rows feed the MAE AND the output
+    val mae = folds.groupBy($"event_type")
+      .agg(
+        floor(sum(round($"eh", 9).cast("decimal(28,12)")).cast("double")
+          / count(lit(1)) * 1e6).cast("long").as("mae_holt_micros"),
+        floor(sum(round($"en", 9).cast("decimal(28,12)")).cast("double")
+          / count(lit(1)) * 1e6).cast("long").as("mae_naive_micros"))
+    folds.join(broadcast(mae), Seq("event_type"))
+      .select($"event_type",
+        date_format(timestamp_micros(($"mn" + $"t") * lit(86400000000L)),
+          "yyyy-MM-dd").as("cutoff_day"),
+        floor($"f" * 1e6).cast("long").as("forecast_micros"),
+        $"actual".cast("long").as("actual"),
+        floor($"eh" * 1e6).cast("long").as("err_holt_micros"),
+        floor($"en" * 1e6).cast("long").as("err_naive_micros"),
+        $"mae_holt_micros", $"mae_naive_micros",
+        ($"mae_holt_micros" < $"mae_naive_micros").as("holt_wins"))
+      .orderBy($"event_type", $"cutoff_day")
+  }
+
   /** Holt-Winters ADDITIVE-SEASONAL smoothing (Winters '60, period 7 —
     * the weekly cycle [[qAcfDaily]] detects) over the same grid,
     * forecasting the next 7 days with level + trend + day-of-week
@@ -4751,6 +4882,7 @@ object Events {
     qMarkovStationary, qConversionSteps, qHitsTransitions,
     qSurvivalKm, qLogrank,
     qTwoProportionAb,
-    qZorderLayout, qHoltForecast, qSlidingDistinct, qHaarDaily, qAmsF2,
+    qZorderLayout, qHoltForecast, qForecastBacktest, qSlidingDistinct,
+    qHaarDaily, qAmsF2,
     qBurstViterbi, qHoltWinters, qChi2Weekday)
 }

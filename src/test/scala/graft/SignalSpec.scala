@@ -237,6 +237,23 @@ class SignalSpec extends AnyFunSuite {
       s"pooled mean must be preserved: drift $drift micros over $total users")
   }
 
+  test("forecast backtest: linear series gives Holt zero error, naive errs by the slope") {
+    // y = 10 + 2t: Holt's init (l=y0, b=2) tracks the line exactly, so
+    // every one-step forecast is exact; persistence always misses by 2
+    val grid = (0 until 20).map(t => ("a", t.toLong, 10L + 2 * t))
+      .toDF("event_type", "d", "x")
+    val got = Events.forecastBacktestOverGrid(grid)
+      .select($"cutoff_day", $"err_holt_micros", $"err_naive_micros",
+        $"mae_holt_micros", $"mae_naive_micros", $"holt_wins")
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+    assert(got.length == 5, s"5 folds expected, got ${got.length}")
+    for ((day, eh, en, mh, mn, wins) <- got) {
+      assert(eh == 0, s"$day: Holt must be exact on a line, err $eh")
+      assert(en == 2000000, s"$day: naive must miss by the slope, err $en")
+      assert(mh == 0 && mn == 2000000 && wins)
+    }
+  }
+
   test("anomaly ensemble: votes == member tails, consensus == 2-of-3") {
     val got = Events.qAnomalyEnsemble.fn(spark, TestSpark.Sf)
       .select($"event_type", $"day", $"shewhart_flag", $"cusum_alarm",
