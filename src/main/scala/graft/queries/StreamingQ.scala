@@ -882,6 +882,20 @@ object StreamingQ {
       StreamOps.dailyTypeCounts(s, dir, sink = "st_binseg_mem")))
   }
 
+  /** STREAMING forecast backtest: the same watermarked daily count
+    * grid, the rolling-origin Holt-vs-naive evaluation as a batch view
+    * over it — sharing [[Events.spineFill]] +
+    * [[Events.forecastBacktestOverGrid]] and the batch oracle with
+    * ev_forecast_backtest (the st_holt_forecast split: the stream
+    * maintains the bounded day-grid state, the evaluation harness
+    * reads it). */
+  val stForecastBacktest: Spec = Spec(
+    "st_forecast_backtest",
+    oracle = Events.qForecastBacktest.oracle) { (s, dir) =>
+    Events.forecastBacktestOverGrid(Events.spineFill(
+      StreamOps.dailyTypeCounts(s, dir, sink = "st_backtest_mem")))
+  }
+
   /** STREAMING Granger screening: the same watermarked daily count
     * grid, the pairwise lag-1 F-test as a batch view over it — sharing
     * [[Events.spineFill]] + [[Events.grangerOverGrid]] and the batch
@@ -1420,5 +1434,5 @@ object StreamingQ {
     stGrangerPairs, stPacfDaily, stGapFill, stDbscan,
     stHoltForecast, stAmsF2, stTdigest, stBurstViterbi, stHoltWinters,
     stHllUsers, stMannKendall, stCorpusChecksum, stNeymanAllocation,
-    stEwmaControl, stBinseg, stHits)
+    stEwmaControl, stBinseg, stHits, stForecastBacktest)
 }
