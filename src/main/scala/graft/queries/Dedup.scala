@@ -544,6 +544,174 @@ object Dedup {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** ICWS WEIGHTED MINHASH (Ioffe '10 — the consistent-weighted-
+    * sampling scheme behind every production weighted-Jaccard sketch):
+    * k = 16 samples per document over the tf-weighted shingle
+    * multiset; P(sample match) = J_w exactly, so the match fraction
+    * estimates the SAME weighted Jaccard [[ddWeightedJaccard]]
+    * computes exactly — this row reports both plus the corpus MAE,
+    * completing the weighted family (exact + sketch + error report)
+    * the way dd_minhash_estimate does for the unweighted one.
+    *
+    * Determinism across engines, the part that usually makes weighted
+    * sketches unverifiable: every Gamma/Uniform draw derives from
+    * md5 — u = (v + 0.5)·2⁻⁴⁸ over the 48-bit hash prefix is EXACTLY
+    * representable (both the add and the power-of-two divide are
+    * exact, u strictly inside (0,1) so no ln(0)/NaN path exists), and
+    * the whole per-term score collapses to
+    * ln a = (ln c − r·(t − β)) − r with r = −(ln u₁ + ln u₂),
+    * c-likewise, t = ⌊ln S/r + β⌋ — fixed-order IEEE ops the engines
+    * replay bit-for-bit (the established cross-engine ln discipline).
+    * The argmin tie-break is total: terms are distinct per doc, so
+    * (ln a, term) lexicographic minimum — Spark's array_min over
+    * (lna, term, t) structs picks the identical element.
+    *
+    * Scale shape: sketches are per-doc array arithmetic (k·|terms| ln
+    * ops, embarrassingly parallel — production materializes them
+    * corpus-wide next to the unweighted signatures); here both engines
+    * compute them only for pair-involved docs, keeping the oracle
+    * replay exact and cheap. Candidates ride the same capped band
+    * scaffold as every minhash row. */
+  val ddIcwsMinhash: Spec = {
+    def uSql(j: Int): String =
+      s"""((CAST(('0x' || substr(md5(term || '|' || p.p::VARCHAR || '|$j'), 1, 12))
+           AS BIGINT) + 0.5e0) / 281474976710656.0e0)"""
+    Spec(
+      "dd_icws_minhash",
+      oracle = Some(s"""
+      WITH $minhashCandCte,
+      jv AS (
+        SELECT ida, idb FROM pairs
+        JOIN sh sa ON sa.doc_id = ida JOIN sh sb ON sb.doc_id = idb
+        WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+          (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+          >= 0.5),
+      pd AS (SELECT DISTINCT d FROM (
+        SELECT ida AS d FROM jv UNION ALL SELECT idb FROM jv)),
+      tf0 AS (
+        SELECT doc_id, sh2 AS term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+          SELECT doc_id,
+            unnest(list_transform(range(1, greatest(len(l)-1, 1)),
+              i -> array_to_string(l[i:i+2], ' '))) AS sh2
+          FROM toks WHERE len(l) >= 3) GROUP BY doc_id, sh2),
+      tot AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS nt FROM tf0
+              GROUP BY doc_id),
+      samp0 AS (
+        SELECT t0.doc_id, p.p, t0.term, t0.tf,
+          -(ln(${uSql(1)}) + ln(${uSql(2)})) AS r,
+          -(ln(${uSql(3)}) + ln(${uSql(4)})) AS c,
+          ${uSql(5)} AS beta
+        FROM tf0 t0 JOIN pd ON pd.d = t0.doc_id
+        CROSS JOIN unnest(range(0, 16)) AS p(p)),
+      samp1 AS (
+        SELECT doc_id, p, term,
+          CAST(floor(ln(CAST(tf AS DOUBLE)) / r + beta) AS BIGINT) AS t,
+          (ln(c) - r * (floor(ln(CAST(tf AS DOUBLE)) / r + beta) - beta)) - r
+            AS lna
+        FROM samp0),
+      samp AS (
+        SELECT doc_id, p, term, t FROM (
+          SELECT doc_id, p, term, t,
+            row_number() OVER (PARTITION BY doc_id, p ORDER BY lna, term)
+              AS rn
+          FROM samp1) q WHERE rn = 1),
+      est AS (
+        SELECT j.ida AS id_a, j.idb AS id_b,
+          CAST(SUM(CASE WHEN a.term = b.term AND a.t = b.t
+                   THEN 1 ELSE 0 END) AS BIGINT) AS m
+        FROM jv j JOIN samp a ON a.doc_id = j.ida
+        JOIN samp b ON b.doc_id = j.idb AND b.p = a.p
+        GROUP BY 1, 2),
+      ex AS (
+        SELECT j.ida AS id_a, j.idb AS id_b,
+          CAST(SUM(LEAST(ta.tf, tb.tf)) AS BIGINT) AS smin
+        FROM jv j JOIN tf0 ta ON ta.doc_id = j.ida
+        JOIN tf0 tb ON tb.doc_id = j.idb AND tb.term = ta.term
+        GROUP BY 1, 2),
+      r AS (
+        SELECT e.id_a, e.id_b,
+          CAST(FLOOR(CAST(x.smin AS DOUBLE)
+            / CAST(na.nt + nb.nt - x.smin AS DOUBLE) * 1000) AS BIGINT)
+            AS w_jaccard_milli,
+          e.m * 1000 // 16 AS est_icws_milli
+        FROM est e JOIN ex x ON x.id_a = e.id_a AND x.id_b = e.id_b
+        JOIN tot na ON na.doc_id = e.id_a
+        JOIN tot nb ON nb.doc_id = e.id_b),
+      mae AS (
+        SELECT CAST(SUM(abs(est_icws_milli - w_jaccard_milli)) // COUNT(*)
+          AS BIGINT) AS mae_icws_milli FROM r)
+      SELECT r.id_a, r.id_b, r.w_jaccard_milli,
+        CAST(r.est_icws_milli AS BIGINT) AS est_icws_milli,
+        mae.mae_icws_milli
+      FROM r CROSS JOIN mae ORDER BY id_a, id_b""")) { (s, dir) =>
+      import s.implicits._
+      val d = Tables.load(s, dir, "documents")
+        .filter(size(Text.tokens($"text")) >= 3)
+      val pairs = MinHash.candidatePairs(
+          Tables.load(s, dir, "documents").select($"doc_id", $"text"),
+          "doc_id", "text",
+          shingleSize = 3, numPerm = 32, bands = 8, threshold = 0.5)
+        .select($"id_a", $"id_b")
+        .localCheckpoint() // pair set feeds pd, est, ex
+      val pd = pairs.select($"id_a".as("d"))
+        .unionAll(pairs.select($"id_b".as("d"))).distinct()
+      val tf0 = d.select($"doc_id",
+          explode(Text.wordNgrams(Text.tokens($"text"), 3)).as("term"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint() // sampling + exact min-sums + totals share it
+      val tot = tf0.groupBy($"doc_id").agg(sum($"tf").cast("long").as("nt"))
+      def u(j: Int) = expr(
+        s"(cast(conv(substring(md5(concat(term, '|', cast(p as string), " +
+          s"'|$j')), 1, 12), 16, 10) as bigint) + 0.5d) / 281474976710656.0d")
+      val r = -(log(u(1)) + log(u(2)))
+      val c = -(log(u(3)) + log(u(4)))
+      val beta = u(5)
+      val tExpr = floor(log($"tf".cast("double")) / r + beta)
+      val lna = (log(c) - r * (tExpr - beta)) - r
+      val samp = tf0.join(pd, $"d" === $"doc_id").drop("d")
+        .select($"doc_id", $"term", $"tf",
+          explode(sequence(lit(0L), lit(15L))).as("p"))
+        .select($"doc_id", $"p",
+          struct(lna.as("lna"), $"term", tExpr.cast("long").as("t"))
+            .as("cand"))
+        .groupBy($"doc_id", $"p")
+        .agg(min($"cand").as("sel"))
+        .select($"doc_id", $"p", $"sel.term".as("term"), $"sel.t".as("t"))
+        .localCheckpoint() // both pair sides read the samples
+      val est = pairs
+        .join(samp.select($"doc_id".as("id_a"), $"p", $"term".as("ta"),
+          $"t".as("tta")), Seq("id_a"))
+        .join(samp.select($"doc_id".as("id_b"), $"p", $"term".as("tb"),
+          $"t".as("ttb")), Seq("id_b", "p"))
+        .groupBy($"id_a", $"id_b")
+        .agg(sum(when($"ta" === $"tb" && $"tta" === $"ttb", 1L)
+          .otherwise(0L)).as("m"))
+      val ex = pairs
+        .join(tf0.select($"doc_id".as("id_a"), $"term", $"tf".as("tfa")),
+          Seq("id_a"))
+        .join(tf0.select($"doc_id".as("id_b"), $"term", $"tf".as("tfb")),
+          Seq("id_b", "term"))
+        .groupBy($"id_a", $"id_b")
+        .agg(sum(least($"tfa", $"tfb")).cast("long").as("smin"))
+      val rr = est.join(ex, Seq("id_a", "id_b"))
+        .join(tot.select($"doc_id".as("id_a"), $"nt".as("na")), Seq("id_a"))
+        .join(tot.select($"doc_id".as("id_b"), $"nt".as("nb")), Seq("id_b"))
+        .select($"id_a", $"id_b",
+          floor($"smin".cast("double") /
+            ($"na" + $"nb" - $"smin").cast("double") * 1000)
+            .cast("long").as("w_jaccard_milli"),
+          expr("(m * 1000) div 16").as("est_icws_milli"))
+        .localCheckpoint() // rows feed the MAE and the output
+      val mae = broadcast(rr.agg(
+        expr("sum(abs(est_icws_milli - w_jaccard_milli)) div count(*)")
+          .cast("long").as("mae_icws_milli")))
+      rr.crossJoin(mae)
+        .select($"id_a", $"id_b", $"w_jaccard_milli", $"est_icws_milli",
+          $"mae_icws_milli")
+        .orderBy($"id_a", $"id_b")
+    }
+  }
+
   /** Exact dedup by normalized content hash (P3/2.11 exact family). */
   val ddExactHash: Spec = Spec(
     "dd_exact_hash",
@@ -2198,7 +2366,8 @@ object Dedup {
     ddBandPlan,
     ddMinhashPairs, ddMinhashBlocked, ddMinhashClusters, ddMinhashIncremental,
     ddCcIncremental, ddPairDiffSpans,
-    ddJaccardBlockPairs, ddWeightedJaccard, ddBbitMinhash, ddExactHash,
+    ddJaccardBlockPairs, ddWeightedJaccard, ddBbitMinhash, ddIcwsMinhash,
+    ddExactHash,
     ddExactIncremental, ddBloomIncremental,
     ddCappedStarPairs,
     ddSimhashMd5, ddSimhashMd5Pairs, ddEditVerified,

@@ -352,6 +352,30 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("icws weighted minhash: estimate structure, MAE identity, accuracy envelope") {
+    val got = graft.queries.Dedup.ddIcwsMinhash.fn(spark, TestSpark.Sf)
+      .select($"id_a", $"id_b", $"w_jaccard_milli", $"est_icws_milli",
+        $"mae_icws_milli")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty, "test corpus must contain verified pairs")
+    val maeCols = got.map(_._5).distinct
+    assert(maeCols.length == 1, "corpus MAE must be one shared value")
+    // estimates are m/16 fractions: floor(m*1000/16) for m in 0..16
+    val legal = (0 to 16).map(m => m * 1000L / 16).toSet
+    for ((a, b, jw, est, _) <- got) {
+      assert(legal.contains(est), s"pair ($a,$b): est $est not an m/16 grid point")
+      assert(jw >= 500 && jw <= 1000, s"pair ($a,$b): verified pairs only")
+    }
+    // the reported MAE is exactly the mean |est - exact| of the rows
+    val recomputed = got.map(r => math.abs(r._4 - r._3)).sum / got.length
+    assert(maeCols.head == recomputed,
+      s"MAE ${maeCols.head} != recomputed $recomputed")
+    // k=16 accuracy envelope: sigma <= sqrt(0.25/16) = 0.125 -> a mean
+    // error beyond 250 milli would mean the sampler is NOT consistent
+    assert(maeCols.head <= 250,
+      s"ICWS estimator off the theoretical envelope: MAE ${maeCols.head}")
+  }
+
   test("median CI: rank selection == brute order statistics per source") {
     val bySrc = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
       .select($"source", $"n_chars".cast("long"))
