@@ -1929,6 +1929,44 @@ object Relational {
     }
   }
 
+  /** UNPIVOT (melt) — the inverse of [[qPivot]], completing the
+    * reshaping pair: the q1-style wide aggregate turns into tidy
+    * (group, metric, value) rows via ONE `stack` generator (no
+    * per-metric re-scan, no union of N aggregates — the reshape is a
+    * projection over a single hash-agg pass). Counts ride as exact
+    * doubles (integers < 2^53); sums are the DECIMAL-exact q1
+    * discipline. */
+  val qUnpivotMetrics: Spec = Spec(
+    "q_unpivot_metrics",
+    oracle = Some(s"""
+      WITH a AS (
+        SELECT l_returnflag, l_linestatus,
+          ${dsumSql("l_quantity")} AS sum_qty,
+          ${dsumSql("l_extendedprice")} AS sum_base_price,
+          CAST(COUNT(*) AS DOUBLE) AS count_order
+        FROM lineitem GROUP BY 1, 2)
+      SELECT l_returnflag, l_linestatus, metric, value FROM (
+        SELECT l_returnflag, l_linestatus, 'sum_qty' AS metric,
+          sum_qty AS value FROM a
+        UNION ALL
+        SELECT l_returnflag, l_linestatus, 'sum_base_price', sum_base_price
+        FROM a
+        UNION ALL
+        SELECT l_returnflag, l_linestatus, 'count_order', count_order
+        FROM a) u
+      ORDER BY l_returnflag, l_linestatus, metric""")) { (s, dir) =>
+    import s.implicits._
+    Tables.load(s, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_base_price"),
+        count(lit(1)).cast("double").as("count_order"))
+      .selectExpr("l_returnflag", "l_linestatus",
+        "stack(3, 'sum_qty', sum_qty, 'sum_base_price', sum_base_price," +
+          " 'count_order', count_order) AS (metric, value)")
+      .orderBy($"l_returnflag", $"l_linestatus", $"metric")
+  }
+
   /** LEAVE-ONE-OUT TARGET ENCODING of `p_brand` against the line-item
     * price — the categorical-feature transform every tabular training
     * pipeline ships (Micci-Barreca '01): each row's category is encoded
@@ -2011,5 +2049,5 @@ object Relational {
     qSkylineParts, qKAnonymity, qIncrMv, qIncrJoinMv, qMarketBasket,
     qTdigest, qExactQuantile2Pass, qTopKRewritten, qArgmaxRewritten,
     qHllDistinct, qHllUnion, qJoinSizeAms, qNdvChao,
-    qSelectivityHistogram, qTargetEncoding)
+    qSelectivityHistogram, qTargetEncoding, qUnpivotMetrics)
 }
