@@ -554,6 +554,40 @@ object Multimodal {
     })
   }
 
+  final case class AudioQuality(doc_id: Long, n_samples: Long,
+    sum_sq: Long, sum_sq_silent: Long, n_silent: Long, n_clip: Long,
+    peak: Long)
+
+  /** Per-blob PCM quality moments in ONE pass: total and silent-class
+    * energies, silent and clipped sample counts, peak — the sufficient
+    * statistics for SNR / clipping-ratio / RMS quality gates. Same
+    * chunk walk and exactness contract as [[audioEnergy]] (malformed
+    * blobs drop via pcmChunk). */
+  def audioQuality(blobs: Dataset[MediaBlob], silenceBelow: Int = 1000,
+      clipAt: Int = 32000): Dataset[AudioQuality] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.flatMap { blob =>
+      pcmChunk(blob.data).map { case (off, nBytes) =>
+        val bb = java.nio.ByteBuffer.wrap(blob.data)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val n = nBytes / 2
+        var i = 0; var sumSq = 0L; var sumSqSil = 0L
+        var silent = 0L; var clip = 0L; var peak = 0L
+        while (i < n) {
+          val v = bb.getShort(off + i * 2).toLong
+          val a = math.abs(v)
+          sumSq += v * v
+          if (a > peak) peak = a
+          if (a < silenceBelow) { silent += 1; sumSqSil += v * v }
+          if (a >= clipAt) clip += 1
+          i += 1
+        }
+        AudioQuality(blob.doc_id, n.toLong, sumSq, sumSqSil, silent, clip,
+          peak)
+      }
+    })
+  }
+
   /** Merge voiced VAD segments into utterance TURNS: segments on the
     * same doc separated by a silence SHORTER than `gap` frames fuse;
     * gaps >= `gap` split. Input: (doc_id, s0, s1, nf) voiced frame

@@ -293,6 +293,63 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** AUDIO QUALITY GATE: per-clip SNR, clipping ratio and RMS — the
+    * three signals an audio curation pipeline thresholds on before a
+    * clip enters training (clipped or low-SNR audio poisons ASR
+    * targets). One [[MM.audioQuality]] PCM pass yields the sufficient
+    * statistics; SNR is the voiced-vs-silent per-sample power ratio in
+    * dB over the same silence threshold the VAD uses.
+    *
+    * Engine parity: energies and counts are exact integers from the
+    * REAL decoded WAV bytes; the oracle replays the generator's sample
+    * formula, so a decode bug cannot hash-match; SNR is fixed-order
+    * IEEE (two divisions, one log10) floor-milli'd; the clipping
+    * ratio is pure integer per-mille. */
+  val mmAudioQuality: Spec = Spec(
+    "mm_audio_quality",
+    oracle = Some("""
+      WITH t AS (
+        SELECT doc_id, unnest(range(0, 1600 + doc_id % 800)) AS i
+        FROM documents WHERE doc_id % 10 = 5),
+      s AS (SELECT doc_id, (i * 257 + doc_id) % 32768 AS v FROM t),
+      m AS (SELECT doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(v * v) AS BIGINT) AS sq,
+          CAST(SUM(CASE WHEN v < 1000 THEN v * v ELSE 0 END) AS BIGINT)
+            AS sqs,
+          CAST(COUNT(*) FILTER (WHERE v < 1000) AS BIGINT) AS ns,
+          CAST(COUNT(*) FILTER (WHERE v >= 32000) AS BIGINT) AS nclip
+        FROM s GROUP BY doc_id)
+      SELECT doc_id, n AS n_samples,
+        CAST(FLOOR(10.0e0 * log10(
+          (CAST(sq - sqs AS DOUBLE) / CAST(n - ns AS DOUBLE))
+          / (CAST(sqs AS DOUBLE) / CAST(ns AS DOUBLE))) * 1000) AS BIGINT)
+          AS snr_milli_db,
+        nclip * 1000 // n AS clip_permille,
+        CAST(FLOOR(sqrt(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) * 1000)
+          AS BIGINT) AS rms_milli
+      FROM m WHERE ns > 0 AND n > ns AND sqs > 0
+      ORDER BY doc_id""")) { (s, dir) =>
+    import s.implicits._
+    val ids = Tables.load(s, dir, "documents")
+      .filter($"doc_id" % 10 === 5)
+      .select($"doc_id").as[java.lang.Long]
+    MM.audioQuality(MM.syntheticWavBlobs(ids))
+      .toDF()
+      .filter($"n_silent" > 0 && $"n_samples" > $"n_silent" &&
+        $"sum_sq_silent" > 0)
+      .select($"doc_id", $"n_samples",
+        floor(lit(10.0) * log10(
+          (($"sum_sq" - $"sum_sq_silent").cast("double") /
+            ($"n_samples" - $"n_silent").cast("double")) /
+          ($"sum_sq_silent".cast("double") / $"n_silent".cast("double")))
+          * 1000).cast("long").as("snr_milli_db"),
+        expr("(n_clip * 1000) div n_samples").as("clip_permille"),
+        floor(sqrt($"sum_sq".cast("double") / $"n_samples".cast("double"))
+          * 1000).cast("long").as("rms_milli"))
+      .orderBy($"doc_id")
+  }
+
   /** REAL audio probe: deterministic PCM WAVs generated per row on the
     * executors, parsed back by the pure-JVM RIFF chunk walk. The oracle
     * states the generator's rate/length arithmetic — a parse bug (or
@@ -924,5 +981,5 @@ object Multimodal {
     mmResize, mmAudioMeta, mmAudioEnergy, mmAudioFingerprint, mmImageAhash,
     mmImageDhash, mmImageBlockhash, mmImagePhash, mmImageNeardup,
     mmImageHistogram, mmCaptionAlign, mmAudioVad, mmShotDetect, mmAudioTurns,
-    mmKeyframes)
+    mmKeyframes, mmAudioQuality)
 }

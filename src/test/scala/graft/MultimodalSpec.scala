@@ -136,6 +136,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e.n_silent == 1000) // samples 0..999 sit under the threshold
   }
 
+  test("audioQuality: one-pass moments exact on hand-built PCM, extremes clip") {
+    import spark.implicits._
+    val samples = Seq[Short](0, 500, 32767, -32768, 1000, -999)
+    val dataSize = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + dataSize); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1); bb.putInt(16000); bb.putInt(32000)
+    bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes); bb.putInt(dataSize)
+    samples.foreach(bb.putShort)
+    val out = Multimodal.audioQuality(
+      Seq(MediaBlob(7L, bb.array())).toDS()).collect()
+    assert(out.length == 1)
+    val q = out.head
+    assert(q.n_samples == 6)
+    assert(q.sum_sq == samples.map(v => v.toLong * v).sum)
+    // |v| < 1000: {0, 500, -999}; |v| >= 32000: {32767, -32768}
+    assert(q.n_silent == 3 && q.sum_sq_silent == 0L + 500L * 500 + 999L * 999)
+    assert(q.n_clip == 2)
+    assert(q.peak == 32768)
+  }
+
   test("imageAHash: identical bytes hash equal, corrupt blobs drop, 64 bits") {
     import spark.implicits._
     val png = {
