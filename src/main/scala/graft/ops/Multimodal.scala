@@ -236,6 +236,56 @@ object Multimodal {
     })
   }
 
+  final case class ImageSharpness(doc_id: Long, n_px: Long, sum_lum: Long,
+    sum_sq_lum: Long, n_interior: Long, lap_energy: Long)
+
+  /** Per-image luma moments + LAPLACIAN ENERGY in one decoded pass —
+    * the sufficient statistics for contrast (luma variance) and blur
+    * (variance-of-Laplacian, the standard focus measure): for every
+    * interior pixel, lap = 4·l − l_left − l_right − l_up − l_down,
+    * energy = Σ lap². All integers; malformed blobs drop. */
+  def imageSharpness(blobs: Dataset[MediaBlob]): Dataset[ImageSharpness] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.flatMap { b =>
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(b.data))
+        if (img == null) None
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val lum = Array.ofDim[Int](h, w)
+          var sl = 0L; var sql2 = 0L
+          var j = 0
+          while (j < h) {
+            var i = 0
+            while (i < w) {
+              val p = img.getRGB(i, j) & 0xFFFFFF
+              val r = (p >> 16) & 255; val g = (p >> 8) & 255
+              val bl = p & 255
+              val l = (r * 299 + g * 587 + bl * 114) / 1000
+              lum(j)(i) = l; sl += l; sql2 += l.toLong * l
+              i += 1
+            }
+            j += 1
+          }
+          var le = 0L; var ni = 0L
+          j = 1
+          while (j < h - 1) {
+            var i = 1
+            while (i < w - 1) {
+              val lap = 4L * lum(j)(i) - lum(j)(i - 1) - lum(j)(i + 1) -
+                lum(j - 1)(i) - lum(j + 1)(i)
+              le += lap * lap; ni += 1
+              i += 1
+            }
+            j += 1
+          }
+          Some(ImageSharpness(b.doc_id, w.toLong * h, sl, sql2, ni, le))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    })
+  }
+
   final case class ImageBlockHash(doc_id: Long, bhash: String)
 
   /** Block-MEDIAN perceptual hash over real decoded pixels (the public

@@ -350,6 +350,80 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** IMAGE QUALITY GATE: contrast (exact luma variance) and blur (the
+    * variance-of-Laplacian focus measure every curation pipeline
+    * thresholds — a low Laplacian energy means no edges, i.e. blurred
+    * or flat content) over REAL decoded pixels. Entirely integer: the
+    * variance numerator n·Σl² − (Σl)², the 4-neighbor Laplacian and
+    * its energy are exact, and both surfaced metrics are integer
+    * per-mille divisions. The oracle replays the generator's pixel
+    * arithmetic including the convolution (neighbor lumas recomputed
+    * from the formula, no self-join), so a decode or stencil bug
+    * cannot hash-match. */
+  val mmImageQuality: Spec = {
+    def lumSql(dx: Int, dy: Int): String = {
+      val v = s"(((x.x + ($dx)) * 31 + (y.y + ($dy)) * 17 + doc_id)" +
+        " & 16777215)"
+      s"""(((($v >> 16) & 255) * 299
+        + (($v >> 8) & 255) * 587
+        + ($v & 255) * 114) // 1000)"""
+    }
+    Spec(
+      "mm_image_quality",
+      oracle = Some(s"""
+      WITH d AS (SELECT doc_id, 16 + doc_id % 32 AS w,
+          16 + (doc_id * 3) % 32 AS h
+        FROM documents WHERE doc_id % 20 = 0),
+      px AS (SELECT doc_id, w, h, x.x AS x, y.y AS y,
+          ${lumSql(0, 0)} AS l
+        FROM d, (SELECT unnest(range(0, 48)) AS x) x,
+             (SELECT unnest(range(0, 48)) AS y) y
+        WHERE x.x < w AND y.y < h),
+      lap AS (SELECT doc_id,
+          4 * ${lumSql(0, 0)} - ${lumSql(-1, 0)} - ${lumSql(1, 0)}
+            - ${lumSql(0, -1)} - ${lumSql(0, 1)} AS lp
+        FROM d, (SELECT unnest(range(0, 48)) AS x) x,
+             (SELECT unnest(range(0, 48)) AS y) y
+        WHERE x.x >= 1 AND x.x < w - 1 AND y.y >= 1 AND y.y < h - 1),
+      m AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(l) AS BIGINT) AS sl,
+          SUM(l::HUGEINT * l) AS sq
+        FROM px GROUP BY doc_id),
+      e AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ni,
+          SUM(lp::HUGEINT * lp) AS le
+        FROM lap GROUP BY doc_id)
+      SELECT m.doc_id, m.n AS n_px,
+        (m.sl * 1000) // m.n AS mean_luma_milli,
+        CAST((m.n * m.sq - m.sl::HUGEINT * m.sl) * 1000
+          // (m.n::HUGEINT * m.n) AS BIGINT) AS var_luma_milli,
+        CAST((e.le * 1000) // e.ni AS BIGINT) AS lap_energy_milli,
+        (m.n * m.sq - m.sl::HUGEINT * m.sl) * 10
+          < m.n::HUGEINT * m.n * 100 AS low_contrast,
+        e.le * 10 < e.ni::HUGEINT * 1000 AS blurry
+      FROM m JOIN e ON e.doc_id = m.doc_id
+      ORDER BY m.doc_id""")) { (s, dir) =>
+      import s.implicits._
+      val ids = Tables.load(s, dir, "documents")
+        .filter($"doc_id" % 20 === 0)
+        .select($"doc_id").as[java.lang.Long]
+      val vnum = "(cast(n_px as decimal(38,0)) * sum_sq_lum" +
+        " - cast(sum_lum as decimal(38,0)) * sum_lum)"
+      MM.imageSharpness(MM.syntheticPngBlobs(ids))
+        .toDF()
+        .select($"doc_id", $"n_px",
+          expr("(sum_lum * 1000) div n_px").as("mean_luma_milli"),
+          expr(s"cast($vnum * 1000 div " +
+            "(cast(n_px as decimal(38,0)) * n_px) as long)")
+            .as("var_luma_milli"),
+          expr("(lap_energy * 1000) div n_interior").as("lap_energy_milli"),
+          expr(s"$vnum * 10 < cast(n_px as decimal(38,0)) * n_px * 100")
+            .as("low_contrast"),
+          expr("cast(lap_energy as decimal(38,0)) * 10" +
+            " < cast(n_interior as decimal(38,0)) * 1000").as("blurry"))
+        .orderBy($"doc_id")
+    }
+  }
+
   /** REAL audio probe: deterministic PCM WAVs generated per row on the
     * executors, parsed back by the pure-JVM RIFF chunk walk. The oracle
     * states the generator's rate/length arithmetic — a parse bug (or
@@ -981,5 +1055,5 @@ object Multimodal {
     mmResize, mmAudioMeta, mmAudioEnergy, mmAudioFingerprint, mmImageAhash,
     mmImageDhash, mmImageBlockhash, mmImagePhash, mmImageNeardup,
     mmImageHistogram, mmCaptionAlign, mmAudioVad, mmShotDetect, mmAudioTurns,
-    mmKeyframes, mmAudioQuality)
+    mmKeyframes, mmAudioQuality, mmImageQuality)
 }

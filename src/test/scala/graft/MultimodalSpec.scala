@@ -160,6 +160,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(q.peak == 32768)
   }
 
+  test("imageSharpness: flat image has zero variance and zero Laplacian; edge has both") {
+    import spark.implicits._
+    def img(fill: (Int, Int) => Int, w: Int = 8, h: Int = 8): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, fill(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    val flat = img((_, _) => 0x808080)
+    val edge = img((x, _) => if (x < 4) 0x000000 else 0xFFFFFF)
+    val out = Multimodal.imageSharpness(Seq(
+        MediaBlob(1L, flat), MediaBlob(2L, edge),
+        MediaBlob(3L, "junk".getBytes("UTF-8"))).toDS())
+      .collect().sortBy(_.doc_id)
+    assert(out.map(_.doc_id).toSeq == Seq(1L, 2L), "junk must drop")
+    val Array(f, e) = out
+    // flat 0x808080: luma = 128 everywhere, no variance, no edges
+    assert(f.n_px == 64 && f.sum_lum == 64L * 128 &&
+      f.sum_sq_lum == 64L * 128 * 128 && f.lap_energy == 0)
+    // vertical step: interior Laplacian is nonzero ONLY along the edge
+    // columns (x = 3 and 4); luma 0 | 255 halves give variance
+    assert(e.sum_lum == 32L * 255 && e.n_interior == 36)
+    // lap at x=3: 4*0 - 0 - 255 - 0 - 0 = -255; at x=4: 255
+    assert(e.lap_energy == 12L * 255 * 255,
+      s"edge Laplacian energy ${e.lap_energy}")
+  }
+
   test("imageAHash: identical bytes hash equal, corrupt blobs drop, 64 bits") {
     import spark.implicits._
     val png = {
