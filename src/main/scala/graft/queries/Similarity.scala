@@ -2628,6 +2628,127 @@ object Similarity {
     hops.select($"vid".as("vec_id"), $"hop").orderBy($"vec_id")
   }
 
+  /** CLUSTERING AGREEMENT — Adjusted Rand Index + Normalized Mutual
+    * Information between the label-propagation communities and the
+    * ground-truth labels: the two standard external evaluation metrics
+    * ([[eSilhouette]] is the internal one), answering "did the graph
+    * clustering recover the real structure?" with chance correction
+    * (ARI) and an information-theoretic view (NMI).
+    *
+    * Engine parity: the contingency and all pair counts are exact
+    * integers; ARI is computed from the cross-multiplied identity
+    *   ARI = 2·(T·Σij − Σa·Σb) / (T·(Σa + Σb) − 2·Σa·Σb)
+    * (T = C(n,2), Σ's are C(·,2) sums — exact DECIMAL products, ONE
+    * float division); NMI terms ride the d_lang_source_mi ln
+    * discipline (9dp-rounded, DECIMAL-summed) with one sqrt+division.
+    *
+    * Scale shape: LP is the existing 3-round frame; the contingency is
+    * one hash agg bounded by |classes|·|communities|; everything after
+    * is marginal-sized. */
+  val eClusterAgreement: Spec = Spec(
+    "e_cluster_agreement",
+    oracle = Some(s"""
+      WITH ${lshCandCtes},
+      ver AS (SELECT c.ida, c.idb FROM cand c
+        JOIN embeddings a ON a.vec_id = c.ida
+        JOIN embeddings b ON b.vec_id = c.idb
+        WHERE a.label = b.label
+          AND ${cosSql("a.embedding", "b.embedding")} >= 0.2),
+      edges AS (SELECT ida AS src, idb AS dst FROM ver
+        UNION ALL SELECT idb, ida FROM ver),
+      nodes AS (SELECT vec_id FROM embeddings),
+      lp0 AS (SELECT vec_id, vec_id AS label FROM nodes),
+      ${lpStepCte(1)},
+      ${lpStepCte(2)},
+      ${lpStepCte(3)},
+      asg AS (SELECT e.label AS cls, l.label AS com
+        FROM embeddings e JOIN lp3 l ON l.vec_id = e.vec_id),
+      ct AS (SELECT cls, com, CAST(COUNT(*) AS BIGINT) AS nij
+        FROM asg GROUP BY 1, 2),
+      ma AS (SELECT cls, CAST(SUM(nij) AS BIGINT) AS ai FROM ct GROUP BY 1),
+      mb AS (SELECT com, CAST(SUM(nij) AS BIGINT) AS bj FROM ct GROUP BY 1),
+      nn AS (SELECT CAST(SUM(nij) AS BIGINT) AS n FROM ct),
+      s AS (SELECT
+          (SELECT SUM(nij::HUGEINT * (nij - 1) // 2) FROM ct) AS sij,
+          (SELECT SUM(ai::HUGEINT * (ai - 1) // 2) FROM ma) AS sa,
+          (SELECT SUM(bj::HUGEINT * (bj - 1) // 2) FROM mb) AS sb,
+          (SELECT n::HUGEINT * (n - 1) // 2 FROM nn) AS tt,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM ma) AS n_classes,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM mb) AS n_communities),
+      mi AS (SELECT SUM(CAST(ROUND(
+            (CAST(ct.nij AS DOUBLE) / CAST(nn.n AS DOUBLE)) *
+            ln((CAST(ct.nij AS DOUBLE) * CAST(nn.n AS DOUBLE))
+               / (CAST(ma.ai AS DOUBLE) * CAST(mb.bj AS DOUBLE))), 9)
+          AS DECIMAL(18,9))) AS i
+        FROM ct JOIN ma USING (cls) JOIN mb USING (com) CROSS JOIN nn),
+      ha AS (SELECT SUM(CAST(ROUND(
+            -(CAST(ai AS DOUBLE) / CAST(nn.n AS DOUBLE)) *
+            ln(CAST(ai AS DOUBLE) / CAST(nn.n AS DOUBLE)), 9)
+          AS DECIMAL(18,9))) AS h
+        FROM ma CROSS JOIN nn),
+      hb AS (SELECT SUM(CAST(ROUND(
+            -(CAST(bj AS DOUBLE) / CAST(nn.n AS DOUBLE)) *
+            ln(CAST(bj AS DOUBLE) / CAST(nn.n AS DOUBLE)), 9)
+          AS DECIMAL(18,9))) AS h
+        FROM mb CROSS JOIN nn)
+      SELECT nn.n, s.n_classes, s.n_communities,
+        CAST(FLOOR(CAST(2 * (s.tt * s.sij - s.sa * s.sb) AS DOUBLE)
+          / CAST(s.tt * (s.sa + s.sb) - 2 * s.sa * s.sb AS DOUBLE)
+          * 1000000) AS BIGINT) AS ari_micros,
+        CAST(FLOOR(CAST(mi.i AS DOUBLE)
+          / sqrt(CAST(ha.h AS DOUBLE) * CAST(hb.h AS DOUBLE))
+          * 1000000) AS BIGINT) AS nmi_micros
+      FROM nn, s, mi, ha, hb
+      WHERE s.tt * (s.sa + s.sb) - 2 * s.sa * s.sb <> 0
+        AND ha.h > 0 AND hb.h > 0""")) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    val ver = lshLabelEdges(emb, threshold = 0.2)
+    val edges = ver.select($"id_a".as("src"), $"id_b".as("dst"))
+      .unionAll(ver.select($"id_b".as("src"), $"id_a".as("dst")))
+      .localCheckpoint() // reused every LP round
+    val lab = lpLabels(emb.select($"vec_id"), edges)
+    val ct = emb.select($"vec_id", $"label".as("cls"))
+      .join(lab.select($"vec_id", $"label".as("com")), Seq("vec_id"))
+      .groupBy($"cls", $"com").agg(count(lit(1)).as("nij"))
+      .localCheckpoint() // marginals, pair sums and MI terms share it
+    val ma = ct.groupBy($"cls").agg(sum($"nij").cast("long").as("ai"))
+    val mb = ct.groupBy($"com").agg(sum($"nij").cast("long").as("bj"))
+    val nn = ct.agg(sum($"nij").cast("long").as("n"))
+    def c2(name: String) = expr(
+      s"cast((cast($name as decimal(38,0)) * ($name - 1)) div 2" +
+        " as decimal(38,0))")
+    val sFrame = ct.agg(sum(c2("nij")).as("sij"))
+      .crossJoin(ma.agg(sum(c2("ai")).as("sa"),
+        count(lit(1)).as("n_classes")))
+      .crossJoin(mb.agg(sum(c2("bj")).as("sb"),
+        count(lit(1)).as("n_communities")))
+      .crossJoin(nn.select(c2("n").as("tt"), $"n"))
+    val mi = ct.join(ma, "cls").join(mb, "com").crossJoin(broadcast(nn))
+      .agg(sum(round(($"nij".cast("double") / $"n".cast("double")) *
+        log(($"nij".cast("double") * $"n".cast("double")) /
+          ($"ai".cast("double") * $"bj".cast("double"))), 9)
+        .cast("decimal(18,9)")).as("i"))
+    def ent(m: DataFrame, c: String) = m.crossJoin(broadcast(nn))
+      .agg(sum(round(-(col(c).cast("double") / $"n".cast("double")) *
+        log(col(c).cast("double") / $"n".cast("double")), 9)
+        .cast("decimal(18,9)")).as("h"))
+    val ha = ent(ma, "ai")
+    val hb = ent(mb, "bj")
+    sFrame.crossJoin(broadcast(mi))
+      .crossJoin(broadcast(ha.select($"h".as("hha"))))
+      .crossJoin(broadcast(hb.select($"h".as("hhb"))))
+      .filter($"tt" * ($"sa" + $"sb") - lit(2) * $"sa" * $"sb" =!= 0 &&
+        $"hha" > 0 && $"hhb" > 0)
+      .select($"n", $"n_classes", $"n_communities",
+        floor((lit(2) * ($"tt" * $"sij" - $"sa" * $"sb")).cast("double") /
+          ($"tt" * ($"sa" + $"sb") - lit(2) * $"sa" * $"sb").cast("double")
+          * 1e6).cast("long").as("ari_micros"),
+        floor($"i".cast("double") /
+          sqrt($"hha".cast("double") * $"hhb".cast("double")) * 1e6)
+          .cast("long").as("nmi_micros"))
+  }
+
   /** DEGREE ASSORTATIVITY (Newman '02) of the similarity graph — the
     * Pearson correlation of endpoint degrees over all directed edges:
     * positive means hubs attach to hubs (a core-periphery near-dup
@@ -2861,5 +2982,5 @@ object Similarity {
     eEigenCentrality, eLinkPrediction, eKcorePeel, eSemdedup,
     eSemdedupIncremental, ePcaProjection, ePca2d, eCentroidDrift,
     eMutualKnn, eSilhouette, eBfsHops, ePprSeeded, eNeighborhoodFunction,
-    eAssortativity, eDegreePowerlaw)
+    eAssortativity, eDegreePowerlaw, eClusterAgreement)
 }

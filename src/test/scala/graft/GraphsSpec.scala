@@ -182,6 +182,50 @@ class GraphsSpec extends AnyFunSuite {
     assert(alpha > 1000000, "MLE alpha must exceed 1 by construction")
   }
 
+  test("cluster agreement: ARI/NMI == brute contingency fold; identity partition scores 1") {
+    import graft.queries.Similarity
+    val got = Similarity.eClusterAgreement.fn(spark, TestSpark.Sf)
+      .select(col("n"), col("ari_micros"), col("nmi_micros"))
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == 1)
+    val (n, ari, nmi) = got.head
+    // brute recompute from the same LP assignment (via the query's own
+    // building blocks is circular; recompute the METRICS from raw
+    // (class, community) pairs instead)
+    val emb = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
+    val edges0 = Similarity.lshLabelEdges(emb, threshold = 0.2)
+    val lab = graft.queries.Similarity.eLabelPropagation
+      .fn(spark, TestSpark.Sf)
+      .select(col("vec_id"), col("community")).as[(Long, Long)].collect()
+      .toMap
+    val cls = emb.select(col("vec_id"), col("label").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val pairsCt = cls.keys.toSeq.map(v => (cls(v), lab(v)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def c2(x: Long) = BigInt(x) * (x - 1) / 2
+    val ai = pairsCt.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val bj = pairsCt.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val sij = pairsCt.values.map(c2).sum
+    val sa = ai.values.map(c2).sum
+    val sb = bj.values.map(c2).sum
+    val tt = c2(n)
+    val bruteAri = math.floor(
+      (BigInt(2) * (tt * sij - sa * sb)).toDouble /
+        (tt * (sa + sb) - BigInt(2) * sa * sb).toDouble * 1e6).toLong
+    assert(ari == bruteAri, s"ARI $ari vs brute $bruteAri")
+    assert(nmi > 0 && nmi <= 1000000)
+    assert(edges0.count() > 0)
+    // sanity on the metric itself: a partition identical to the truth
+    // has ARI = NMI = 1 (brute formula, planted)
+    val ident = Map((1L, 1L) -> 3L, (2L, 2L) -> 4L)
+    val ia = ident.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val isij = ident.values.map(c2).sum
+    val isa = ia.values.map(c2).sum
+    val itt = c2(7)
+    assert((BigInt(2) * (itt * isij - isa * isa)) ==
+      (itt * (isa + isa) - BigInt(2) * isa * isa))
+  }
+
   test("HITS fold: planted funnel separates hubs from authorities; cycle is uniform") {
     // S and T only point, A and B are only pointed at: authority mass
     // must live entirely on {A, B} (A first — heavier in-weight) and
