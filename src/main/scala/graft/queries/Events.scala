@@ -3907,8 +3907,15 @@ object Events {
       SELECT event_type, day, x, shewhart_flag, cusum_alarm, ewma_flag,
         votes, votes >= 2 AS consensus
       FROM v WHERE votes >= 1 ORDER BY event_type, day""")) { (s, dir) =>
+    anomalyEnsembleOverDayGrid(dailyCountSpine(s, dir))
+  }
+
+  /** The ensemble tail over a complete (event_type, d, x) day grid —
+    * shared by the batch query and the streaming twin. */
+  def anomalyEnsembleOverDayGrid(grid0: DataFrame): DataFrame = {
+    val s = grid0.sparkSession
     import s.implicits._
-    val grid = dailyCountSpine(s, dir).localCheckpoint() // 3 tails share it
+    val grid = grid0.localCheckpoint() // 3 member tails share it
     val cus = cusumOverDayGrid(grid)
       .select($"event_type", $"day", $"alarm".as("cusum_alarm"))
     val ew = ewmaControlOverDayGrid(grid)

@@ -882,6 +882,17 @@ object StreamingQ {
       StreamOps.dailyTypeCounts(s, dir, sink = "st_binseg_mem")))
   }
 
+  /** STREAMING anomaly ensemble: Shewhart + CUSUM + EWMA consensus as
+    * a batch view over the same watermarked daily count grid — the
+    * three member tails are exactly the batch ones, so this shares the
+    * ev_anomaly_ensemble oracle (st_cusum_changepoint split). */
+  val stAnomalyEnsemble: Spec = Spec(
+    "st_anomaly_ensemble",
+    oracle = Events.qAnomalyEnsemble.oracle) { (s, dir) =>
+    Events.anomalyEnsembleOverDayGrid(Events.spineFill(
+      StreamOps.dailyTypeCounts(s, dir, sink = "st_ensemble_mem")))
+  }
+
   /** STREAMING forecast backtest: the same watermarked daily count
     * grid, the rolling-origin Holt-vs-naive evaluation as a batch view
     * over it — sharing [[Events.spineFill]] +
@@ -1434,5 +1445,5 @@ object StreamingQ {
     stGrangerPairs, stPacfDaily, stGapFill, stDbscan,
     stHoltForecast, stAmsF2, stTdigest, stBurstViterbi, stHoltWinters,
     stHllUsers, stMannKendall, stCorpusChecksum, stNeymanAllocation,
-    stEwmaControl, stBinseg, stHits, stForecastBacktest)
+    stEwmaControl, stBinseg, stHits, stForecastBacktest, stAnomalyEnsemble)
 }
