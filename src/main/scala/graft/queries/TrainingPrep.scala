@@ -2167,6 +2167,59 @@ object TrainingPrep {
           * 1e6).cast("long").as("f_micros"))
   }
 
+  /** TERM BURSTINESS (Church & Gale '95): the dispersion index
+    * D = var(tf)/mean(tf) over ALL corpus documents (zeros included)
+    * for the 20 highest-df terms — D ≈ 1 is Poisson (function words,
+    * safe to model with unigram stats), D ≫ 1 is bursty content
+    * vocabulary (a doc that uses the term uses it repeatedly; the
+    * signal behind two-Poisson/DFR retrieval models and a boilerplate
+    * tell when a "content" word shows D ≈ 1). NO float anywhere: with
+    * N docs and per-term (Σtf, Σtf²),
+    * D·1000 = (N·Σtf² − (Σtf)²)·1000 ÷ ((N−1)·Σtf) exactly, and the
+    * bursty flag is the cross-multiplied D > 1 comparison.
+    *
+    * Scale shape: one (doc, term) tf hash agg, one per-term moment
+    * agg (map-side combined — zeros enter via N, never as rows), a
+    * 20-row TakeOrderedAndProject. */
+  val dTermBurstiness: Spec = Spec(
+    "d_term_burstiness",
+    oracle = Some("""
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok WHERE term <> '' GROUP BY 1, 2),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+      m AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+          CAST(SUM(tf) AS BIGINT) AS s1, SUM(tf::HUGEINT * tf) AS s2
+        FROM tf GROUP BY term),
+      d AS (SELECT m.term, m.df, m.s1, nn.n,
+          (nn.n::HUGEINT * m.s2 - m.s1::HUGEINT * m.s1) AS vnum
+        FROM m CROSS JOIN nn WHERE m.s1 > 0)
+      SELECT term, df, s1 AS total_tf,
+        CAST(vnum * 1000 // ((n - 1)::HUGEINT * s1) AS BIGINT)
+          AS dispersion_milli,
+        vnum > (n - 1)::HUGEINT * s1 AS bursty
+      FROM d ORDER BY df DESC, term LIMIT 20""")) { (s, dir) =>
+    import s.implicits._
+    val tf = docs(s, dir)
+      .select($"doc_id", explode(split($"text", " ", -1)).as("term"))
+      .filter($"term" =!= "")
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val nn = broadcast(docs(s, dir).agg(count(lit(1)).as("n")))
+    val m = tf.groupBy($"term")
+      .agg(count(lit(1)).as("df"), sum($"tf").cast("long").as("s1"),
+        sum($"tf".cast("decimal(38,0)") * $"tf").as("s2"))
+    m.crossJoin(nn).filter($"s1" > 0)
+      .withColumn("vnum",
+        $"n".cast("decimal(38,0)") * $"s2" -
+          $"s1".cast("decimal(38,0)") * $"s1")
+      .select($"term", $"df", $"s1".as("total_tf"),
+        expr("cast(vnum * 1000 div (cast(n - 1 as decimal(38,0)) * s1)" +
+          " as bigint)").as("dispersion_milli"),
+        ($"vnum" > ($"n" - 1).cast("decimal(38,0)") * $"s1").as("bursty"))
+      .orderBy($"df".desc, $"term").limit(20)
+  }
+
   /** CHI-SQUARE FEATURE SELECTION: the top-5 terms most associated
     * with each language by the χ² statistic over the doc-level
     * term×lang presence contingency — the classic supervised
@@ -3293,5 +3346,5 @@ object TrainingPrep {
     dKneserNey, dMannWhitney, dKruskalWallis, dSpearmanLengths,
     dAnovaLengths, dMadLengths, dIsotonicCalibration, dEffectSizes,
     dGiniLengths, dKendallTau, dLangSourceMi, dCorpusChecksum,
-    dNeymanAllocation, dWelchTtest, dChi2Terms, dMedianCi)
+    dNeymanAllocation, dWelchTtest, dChi2Terms, dMedianCi, dTermBurstiness)
 }

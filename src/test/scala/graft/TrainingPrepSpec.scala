@@ -61,6 +61,36 @@ class TrainingPrepSpec extends AnyFunSuite {
     for ((src, exp) <- brute) assert(got(src) == exp, s"source $src")
   }
 
+  test("term burstiness: integer dispersion == brute fold with zeros; Poisson ~ 1000") {
+    val rows = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .select($"text").as[String].collect().toSeq
+    val n = rows.size.toLong
+    val tfs = rows.map(_.split(" ", -1).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap)
+    val got = graft.queries.TrainingPrep.dTermBurstiness
+      .fn(spark, TestSpark.Sf)
+      .select($"term", $"df", $"total_tf", $"dispersion_milli", $"bursty")
+      .as[(String, Long, Long, Long, Boolean)].collect()
+    assert(got.length == 20)
+    for ((term, df, tot, disp, bursty) <- got) {
+      val xs = tfs.map(_.getOrElse(term, 0L))
+      assert(xs.count(_ > 0).toLong == df && xs.sum == tot, s"term $term")
+      val s1 = BigInt(xs.sum)
+      val s2 = xs.map(x => BigInt(x) * x).sum
+      val vnum = BigInt(n) * s2 - s1 * s1
+      assert(BigInt(disp) == vnum * 1000 / (BigInt(n - 1) * s1),
+        s"term $term dispersion")
+      assert(bursty == (vnum > BigInt(n - 1) * s1), s"term $term flag")
+    }
+    // planted Poisson-like control: a term appearing exactly once in
+    // every doc has variance n(n-1)... no — tf==1 everywhere gives
+    // var = (n*n - n*n)... vnum = n*n - n*n = 0 -> D = 0, NOT bursty
+    val ones = Seq.fill(10)(1L)
+    val v1 = BigInt(10) * ones.map(x => BigInt(x) * x).sum -
+      BigInt(ones.sum) * ones.sum
+    assert(v1 == 0, "uniform tf must have zero dispersion")
+  }
+
   test("welch t-test: moment-frame pairs == brute per-pair fold; sign tracks means") {
     val rows = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
       .select($"source", $"n_chars".cast("long"))
