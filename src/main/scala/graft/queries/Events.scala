@@ -3760,10 +3760,12 @@ object Events {
     * hash agg to per-user (x, y) — users are high-cardinality, no
     * skew — and one 2-row variant agg; θ folds from the 2-row frame.
     * Nothing beyond the user agg touches corpus-sized data. */
-  val qCupedAdjustment: Spec = Spec(
-    "ev_cuped_adjustment",
-    oracle = Some("""
-      WITH ev AS (SELECT user_id, epoch_us(ts) AS us,
+  /** The A/B per-user / per-variant moment scaffold shared by the
+    * experimentation oracles (CUPED, diff-in-diff, covariate balance):
+    * integer-micro values, the no-division pre/post split, per-user
+    * (x, y) totals, per-variant exact moments. */
+  private val abMomentsCte: String = """
+      ev AS (SELECT user_id, epoch_us(ts) AS us,
           CAST(round(value * 1000000) AS BIGINT) AS vm
         FROM events),
       bounds AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM ev),
@@ -3776,7 +3778,33 @@ object Events {
       v AS (SELECT user_id % 2 AS variant, CAST(COUNT(*) AS BIGINT) AS n,
           SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx,
           SUM(y * y) AS syy, SUM(x * y) AS sxy
-        FROM u GROUP BY 1),
+        FROM u GROUP BY 1)"""
+
+  /** The Spark twin of [[abMomentsCte]]: the 2-row per-variant moment
+    * frame over per-user pre/post integer-micro totals. */
+  private def abMoments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = load(s, dir)
+      .select($"user_id", expr("ts div 1000").as("us"),
+        round($"value" * 1e6).cast("long").as("vm"))
+    val bounds = broadcast(ev.agg(min($"us").as("mn"), max($"us").as("mx")))
+    val u = ev.crossJoin(bounds)
+      .groupBy($"user_id")
+      .agg(
+        sum(when(lit(2) * $"us" <= $"mn" + $"mx", $"vm").otherwise(0L)
+          .cast("decimal(38,0)")).as("x"),
+        sum(when(lit(2) * $"us" > $"mn" + $"mx", $"vm").otherwise(0L)
+          .cast("decimal(38,0)")).as("y"))
+    u.groupBy(($"user_id" % 2).as("variant"))
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+        sum($"x" * $"y").as("sxy"))
+  }
+
+  val qCupedAdjustment: Spec = Spec(
+    "ev_cuped_adjustment",
+    oracle = Some(s"""
+      WITH $abMomentsCte,
       g AS (SELECT SUM(n) AS n, SUM(sx) AS sx, SUM(sy) AS sy,
           SUM(sxx) AS sxx, SUM(sxy) AS sxy
         FROM v),
@@ -3811,21 +3839,7 @@ object Events {
           AS BIGINT) AS var_reduction_bp
       FROM r WHERE var_y > 0 ORDER BY variant""")) { (s, dir) =>
     import s.implicits._
-    val ev = load(s, dir)
-      .select($"user_id", expr("ts div 1000").as("us"),
-        round($"value" * 1e6).cast("long").as("vm"))
-    val bounds = broadcast(ev.agg(min($"us").as("mn"), max($"us").as("mx")))
-    val u = ev.crossJoin(bounds)
-      .groupBy($"user_id")
-      .agg(
-        sum(when(lit(2) * $"us" <= $"mn" + $"mx", $"vm").otherwise(0L)
-          .cast("decimal(38,0)")).as("x"),
-        sum(when(lit(2) * $"us" > $"mn" + $"mx", $"vm").otherwise(0L)
-          .cast("decimal(38,0)")).as("y"))
-    val v = u.groupBy(($"user_id" % 2).as("variant"))
-      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
-        sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
-        sum($"x" * $"y").as("sxy"))
+    val v = abMoments(s, dir)
       .localCheckpoint() // 2-row frame: feeds theta AND the readout
     val g = v.agg(sum($"n").as("gn"), sum($"sx").as("gsx"),
       sum($"sy").as("gsy"), sum($"sxx").as("gsxx"), sum($"sxy").as("gsxy"))
@@ -3857,6 +3871,150 @@ object Events {
         floor((lit(1.0) - varYadj / varY) * 1e4).cast("long")
           .as("var_reduction_bp"))
       .orderBy($"variant")
+  }
+
+  /** DIFFERENCE-IN-DIFFERENCES readout (Card & Krueger '94 — the
+    * causal-inference workhorse when randomization is imperfect): per
+    * variant, each user's post-minus-pre change d = y − x; the DiD
+    * estimate is the treated-vs-control gap of mean changes,
+    * d̄₁ − d̄₀, which cancels both persistent user-level differences
+    * AND the common time trend — complementing [[qCupedAdjustment]]
+    * (same scaffold; CUPED reduces variance under clean randomization,
+    * DiD de-biases when baselines differ). SE via the two-sample
+    * Welch form on the per-user change variances; z-flagged at 95%.
+    *
+    * Engine parity: rides the shared [[abMomentsCte]] exact moments —
+    * Σd = Σy − Σx and Σd² = Σy² − 2Σxy + Σx² are exact integer
+    * identities (no second pass over users), and everything after is
+    * fixed-order IEEE surfaced as floor-micros. */
+  val qDiffInDiff: Spec = Spec(
+    "ev_diff_in_diff",
+    oracle = Some(s"""
+      WITH $abMomentsCte,
+      c AS (SELECT variant, n,
+          CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_pre,
+          CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_post,
+          CAST(sy - sx AS DOUBLE) / CAST(n AS DOUBLE) AS dmean,
+          CAST(n * (syy - 2 * sxy + sxx) - (sy - sx) * (sy - sx) AS DOUBLE)
+            / CAST(n * (n - 1) AS DOUBLE) AS vard
+        FROM v WHERE n > 1),
+      d AS (SELECT t.dmean - c0.dmean AS did,
+          sqrt(t.vard / CAST(t.n AS DOUBLE)
+               + c0.vard / CAST(c0.n AS DOUBLE)) AS se
+        FROM c t, c c0 WHERE t.variant = 1 AND c0.variant = 0)
+      SELECT CAST(c.variant AS BIGINT) AS variant, c.n AS n_users,
+        CAST(FLOOR(c.mean_pre) AS BIGINT) AS mean_pre_micros,
+        CAST(FLOOR(c.mean_post) AS BIGINT) AS mean_post_micros,
+        CAST(FLOOR(c.dmean) AS BIGINT) AS delta_micros,
+        CAST(FLOOR(d.did) AS BIGINT) AS did_micros,
+        CAST(FLOOR(d.se) AS BIGINT) AS se_micros,
+        abs(d.did) > 1.96e0 * d.se AS significant_95
+      FROM c CROSS JOIN d ORDER BY variant""")) { (s, dir) =>
+    import s.implicits._
+    val c = abMoments(s, dir).filter($"n" > 1)
+      .select($"variant", $"n",
+        ($"sx".cast("double") / $"n".cast("double")).as("mean_pre"),
+        ($"sy".cast("double") / $"n".cast("double")).as("mean_post"),
+        (($"sy" - $"sx").cast("double") / $"n".cast("double")).as("dmean"),
+        (($"n" * ($"syy" - lit(2) * $"sxy" + $"sxx") -
+          ($"sy" - $"sx") * ($"sy" - $"sx")).cast("double") /
+          ($"n" * ($"n" - 1)).cast("double")).as("vard"))
+      .localCheckpoint() // 2-row frame: DiD scalar AND the readout
+    val d = broadcast(c.filter($"variant" === 1)
+      .select($"dmean".as("dm1"), $"vard".as("v1"), $"n".as("n1"))
+      .crossJoin(c.filter($"variant" === 0)
+        .select($"dmean".as("dm0"), $"vard".as("v0"), $"n".as("n0")))
+      .select(($"dm1" - $"dm0").as("did"),
+        sqrt($"v1" / $"n1".cast("double")
+          + $"v0" / $"n0".cast("double")).as("se")))
+    c.crossJoin(d)
+      .select($"variant".cast("long").as("variant"), $"n".as("n_users"),
+        floor($"mean_pre").cast("long").as("mean_pre_micros"),
+        floor($"mean_post").cast("long").as("mean_post_micros"),
+        floor($"dmean").cast("long").as("delta_micros"),
+        floor($"did").cast("long").as("did_micros"),
+        floor($"se").cast("long").as("se_micros"),
+        (abs($"did") > lit(1.96) * $"se").as("significant_95"))
+      .orderBy($"variant")
+  }
+
+  /** COVARIATE BALANCE CHECK — the standardized mean difference (SMD)
+    * table every experiment report opens with: per covariate (here
+    * the PRE-period per-user totals and the pre event activity), the
+    * variant-1-vs-variant-0 gap in pooled-SD units,
+    * SMD = (m₁ − m₀)/√((v₁ + v₀)/2). |SMD| < 0.1 is the accepted
+    * "balanced" bar; a failing row means randomization is suspect and
+    * [[qDiffInDiff]] (not the raw contrast) is the right readout.
+    *
+    * Engine parity: the value covariate rides [[abMomentsCte]]'s exact
+    * moments; the activity covariate gets its own exact per-user count
+    * moments via the same split; all divisions/sqrt fixed IEEE,
+    * floor-micros. */
+  val qCovariateBalance: Spec = Spec(
+    "ev_covariate_balance",
+    oracle = Some(s"""
+      WITH $abMomentsCte,
+      ua AS (SELECT user_id,
+          SUM(CASE WHEN 2 * us <= bounds.mn + bounds.mx THEN 1
+              ELSE 0 END)::HUGEINT AS a
+        FROM ev CROSS JOIN bounds GROUP BY user_id),
+      va AS (SELECT user_id % 2 AS variant, CAST(COUNT(*) AS BIGINT) AS n,
+          SUM(a) AS sx, SUM(a * a) AS sxx
+        FROM ua GROUP BY 1),
+      mset AS (
+        SELECT 'pre_value' AS covariate, variant, n, sx, sxx FROM v
+        UNION ALL
+        SELECT 'pre_events', variant, n, sx, sxx FROM va),
+      m AS (SELECT covariate, variant, n,
+          CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+          CAST(n * sxx - sx * sx AS DOUBLE)
+            / CAST(n * (n - 1) AS DOUBLE) AS var
+        FROM mset WHERE n > 1),
+      smd AS (SELECT t.covariate,
+          t.n AS n_treat, c.n AS n_control,
+          (t.mean - c.mean) / sqrt((t.var + c.var) / 2.0e0) AS smd
+        FROM m t JOIN m c ON c.covariate = t.covariate
+        WHERE t.variant = 1 AND c.variant = 0
+          AND t.var + c.var > 0)
+      SELECT covariate, n_treat, n_control,
+        CAST(FLOOR(smd * 1000000) AS BIGINT) AS smd_micros,
+        abs(smd) < 0.1e0 AS balanced
+      FROM smd ORDER BY covariate""")) { (s, dir) =>
+    import s.implicits._
+    val ev = load(s, dir)
+      .select($"user_id", expr("ts div 1000").as("us"))
+    val bounds = broadcast(ev.agg(min($"us").as("mn"), max($"us").as("mx")))
+    val va = ev.crossJoin(bounds)
+      .groupBy($"user_id")
+      .agg(sum(when(lit(2) * $"us" <= $"mn" + $"mx", 1L).otherwise(0L)
+        .cast("decimal(38,0)")).as("a"))
+      .groupBy(($"user_id" % 2).as("variant"))
+      .agg(count(lit(1)).as("n"), sum($"a").as("sx"),
+        sum($"a" * $"a").as("sxx"))
+    val mset = abMoments(s, dir)
+      .select(lit("pre_value").as("covariate"), $"variant", $"n", $"sx",
+        $"sxx")
+      .unionByName(va.select(lit("pre_events").as("covariate"), $"variant",
+        $"n", $"sx", $"sxx"))
+    val m = mset.filter($"n" > 1)
+      .select($"covariate", $"variant", $"n",
+        ($"sx".cast("double") / $"n".cast("double")).as("mean"),
+        (($"n" * $"sxx" - $"sx" * $"sx").cast("double") /
+          ($"n" * ($"n" - 1)).cast("double")).as("var"))
+      .localCheckpoint() // tiny per-(covariate, variant) frame, joined
+    val smd = m.filter($"variant" === 1)
+      .select($"covariate", $"n".as("n_treat"), $"mean".as("m1"),
+        $"var".as("v1"))
+      .join(m.filter($"variant" === 0)
+        .select($"covariate", $"n".as("n_control"), $"mean".as("m0"),
+          $"var".as("v0")), Seq("covariate"))
+      .filter($"v1" + $"v0" > 0)
+      .select($"covariate", $"n_treat", $"n_control",
+        (($"m1" - $"m0") / sqrt(($"v1" + $"v0") / lit(2.0))).as("smd"))
+    smd.select($"covariate", $"n_treat", $"n_control",
+        floor($"smd" * 1e6).cast("long").as("smd_micros"),
+        (abs($"smd") < 0.1).as("balanced"))
+      .orderBy($"covariate")
   }
 
   /** ANOMALY-DETECTOR ENSEMBLE over the per-type daily count series:
@@ -4881,6 +5039,7 @@ object Events {
     qCohortRetention, qFunnelWindowed, qDauNewReturning, qDecayScore,
     qUserTrend, qRateAnomaly, qKsDrift, qKsWindowed, qWinsorizedStats,
     qEwmaControl, qBinsegChangepoint, qCupedAdjustment, qAnomalyEnsemble,
+    qDiffInDiff, qCovariateBalance,
     qAsofNearest, qConversionTime, qMarkovTransitions, qSeasonalDecompose,
     qPathAnalysis, qSeasonalAnomaly, qStickiness, qBounceRate,
     qUserConcentration, qInterArrival, qAttribution, qAttributionDecay,

@@ -254,6 +254,61 @@ class SignalSpec extends AnyFunSuite {
     }
   }
 
+  test("diff-in-diff and covariate balance == brute per-user folds") {
+    val ev = Events.load(spark, TestSpark.Sf)
+      .select($"user_id", expr("ts div 1000").as("us"), $"value")
+      .as[(Long, Long, Double)].collect()
+    def micros(v: Double): Long = java.math.BigDecimal.valueOf(v * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    val mn = ev.map(_._2).min; val mx = ev.map(_._2).max
+    val perUser = ev.groupBy(_._1).view.mapValues { rs =>
+      (rs.filter(r => 2 * r._2 <= mn + mx).map(r => micros(r._3)).sum,
+        rs.filter(r => 2 * r._2 > mn + mx).map(r => micros(r._3)).sum,
+        rs.count(r => 2 * r._2 <= mn + mx).toLong)
+    }.toMap
+    def mom(xs: Seq[Long]) =
+      (xs.size.toLong, xs.map(BigInt(_)).sum, xs.map(x => BigInt(x) * x).sum)
+    // --- DiD brute ---
+    val byVar = perUser.groupBy(_._1 % 2)
+    val dStats = byVar.view.mapValues { us =>
+      val ds = us.values.map(u => u._2 - u._1).toSeq
+      val (n, s1, s2) = mom(ds)
+      val dmean = s1.toDouble / n.toDouble
+      val vard = (BigInt(n) * s2 - s1 * s1).toDouble /
+        (BigInt(n) * (n - 1)).toDouble
+      (n, dmean, vard)
+    }.toMap
+    val did = dStats(1)._2 - dStats(0)._2
+    val se = math.sqrt(dStats(1)._3 / dStats(1)._1.toDouble
+      + dStats(0)._3 / dStats(0)._1.toDouble)
+    val gotDid = Events.qDiffInDiff.fn(spark, TestSpark.Sf)
+      .select($"variant", $"delta_micros", $"did_micros", $"se_micros",
+        $"significant_95")
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    for ((v, dm, dd, ss, sig) <- gotDid) {
+      assert(dm == math.floor(dStats(v)._2).toLong, s"variant $v delta")
+      assert(dd == math.floor(did).toLong && ss == math.floor(se).toLong)
+      assert(sig == (math.abs(did) > 1.96 * se))
+    }
+    // --- balance brute (pre_events covariate) ---
+    val aStats = byVar.view.mapValues { us =>
+      val as = us.values.map(_._3).toSeq
+      val (n, s1, s2) = mom(as)
+      (n, s1.toDouble / n.toDouble,
+        (BigInt(n) * s2 - s1 * s1).toDouble / (BigInt(n) * (n - 1)).toDouble)
+    }.toMap
+    val smd = (aStats(1)._2 - aStats(0)._2) /
+      math.sqrt((aStats(1)._3 + aStats(0)._3) / 2.0)
+    val gotBal = Events.qCovariateBalance.fn(spark, TestSpark.Sf)
+      .select($"covariate", $"smd_micros", $"balanced")
+      .as[(String, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(gotBal.keySet == Set("pre_value", "pre_events"))
+    assert(gotBal("pre_events")._1 == math.floor(smd * 1e6).toLong,
+      s"SMD ${gotBal("pre_events")._1} vs brute ${math.floor(smd * 1e6).toLong}")
+    assert(gotBal("pre_events")._2 == (math.abs(smd) < 0.1))
+  }
+
   test("anomaly ensemble: votes == member tails, consensus == 2-of-3") {
     val got = Events.qAnomalyEnsemble.fn(spark, TestSpark.Sf)
       .select($"event_type", $"day", $"shewhart_flag", $"cusum_alarm",
