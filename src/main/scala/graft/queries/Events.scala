@@ -3873,6 +3873,85 @@ object Events {
       .orderBy($"variant")
   }
 
+  /** POWER ANALYSIS for the conversion A/B test: for a grid of target
+    * lifts, the required per-arm sample size at 80% power / two-sided
+    * α = 0.05 on the observed base conversion rate (unit = USER-DAY —
+    * every user in this corpus eventually purchases, so the user-level
+    * rate saturates at 1; the daily-conversion unit is what a
+    * continuously-running experiment randomizes anyway),
+    * n = (z_{α/2} + z_β)²·(p₁q₁ + p₂q₂)/(p₂ − p₁)², next to the
+    * users actually available per arm — the "can this experiment even
+    * conclude?" pre-flight every platform runs before assigning
+    * traffic (z constants 1.96 / 0.8416 are the standard normal
+    * quantiles, stated as shared literals).
+    *
+    * Engine parity: the base rate is one exact-integer ratio; the
+    * sizing formula is fixed-order IEEE with one ceil; availability
+    * is integer division. Scale shape: one conversion hash-agg, a
+    * 4-row literal grid broadcast. */
+  val qPowerAnalysis: Spec = Spec(
+    "ev_power_analysis",
+    oracle = Some("""
+      WITH ud AS (SELECT user_id,
+          CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS d,
+          event_type
+        FROM events),
+      b AS (SELECT
+          CAST(COUNT(DISTINCT (user_id, d)) AS BIGINT) AS n_users,
+          CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+            THEN (user_id, d) END) AS BIGINT) AS n_conv
+        FROM ud),
+      g AS (SELECT CAST(lift_bp AS BIGINT) AS lift_bp FROM (VALUES
+        (100), (200), (500), (1000)) t(lift_bp)),
+      c AS (SELECT g.lift_bp, b.n_users,
+          CAST(b.n_conv AS DOUBLE) / CAST(b.n_users AS DOUBLE) AS p1
+        FROM g CROSS JOIN b WHERE b.n_conv > 0 AND b.n_conv < b.n_users),
+      s AS (SELECT lift_bp, n_users, p1,
+          p1 * (1.0e0 + CAST(lift_bp AS DOUBLE) / 10000.0e0) AS p2
+        FROM c),
+      r AS (SELECT lift_bp, n_users, p1, p2,
+          CAST(CEIL((1.96e0 + 0.8416e0) * (1.96e0 + 0.8416e0)
+            * (p1 * (1.0e0 - p1) + p2 * (1.0e0 - p2))
+            / ((p2 - p1) * (p2 - p1))) AS BIGINT) AS n_required
+        FROM s WHERE p2 < 1.0e0)
+      SELECT lift_bp,
+        CAST(FLOOR(p1 * 1000000) AS BIGINT) AS p_base_micros,
+        CAST(FLOOR(p2 * 1000000) AS BIGINT) AS p_target_micros,
+        n_required, n_users // 2 AS n_available_per_arm,
+        n_users // 2 >= n_required AS powered
+      FROM r ORDER BY lift_bp""")) { (s, dir) =>
+    import s.implicits._
+    val b = broadcast(load(s, dir)
+      .select($"user_id", ($"ts" / lit(86400L * 1000 * 1000 * 1000))
+        .cast("long").as("d"), $"event_type")
+      .agg(
+        countDistinct($"user_id", $"d").as("n_users"),
+        countDistinct(when($"event_type" === "purchase", $"user_id"),
+          when($"event_type" === "purchase", $"d")).as("n_conv")))
+    val g = Seq(100L, 200L, 500L, 1000L).toDF("lift_bp")
+    val p1 = $"n_conv".cast("double") / $"n_users".cast("double")
+    val zsum = lit(1.96) + lit(0.8416)
+    g.crossJoin(b)
+      .filter($"n_conv" > 0 && $"n_conv" < $"n_users")
+      .withColumn("p1", p1)
+      .withColumn("p2",
+        $"p1" * (lit(1.0) + $"lift_bp".cast("double") / lit(10000.0)))
+      .filter($"p2" < 1.0)
+      .select($"lift_bp",
+        floor($"p1" * 1e6).cast("long").as("p_base_micros"),
+        floor($"p2" * 1e6).cast("long").as("p_target_micros"),
+        ceil(zsum * zsum *
+          ($"p1" * (lit(1.0) - $"p1") + $"p2" * (lit(1.0) - $"p2")) /
+          (($"p2" - $"p1") * ($"p2" - $"p1"))).cast("long")
+          .as("n_required"),
+        expr("n_users div 2").as("n_available_per_arm"),
+        (expr("n_users div 2") >=
+          ceil(zsum * zsum *
+            ($"p1" * (lit(1.0) - $"p1") + $"p2" * (lit(1.0) - $"p2")) /
+            (($"p2" - $"p1") * ($"p2" - $"p1"))).cast("long")).as("powered"))
+      .orderBy($"lift_bp")
+  }
+
   /** DIFFERENCE-IN-DIFFERENCES readout (Card & Krueger '94 — the
     * causal-inference workhorse when randomization is imperfect): per
     * variant, each user's post-minus-pre change d = y − x; the DiD
@@ -5039,7 +5118,7 @@ object Events {
     qCohortRetention, qFunnelWindowed, qDauNewReturning, qDecayScore,
     qUserTrend, qRateAnomaly, qKsDrift, qKsWindowed, qWinsorizedStats,
     qEwmaControl, qBinsegChangepoint, qCupedAdjustment, qAnomalyEnsemble,
-    qDiffInDiff, qCovariateBalance,
+    qDiffInDiff, qCovariateBalance, qPowerAnalysis,
     qAsofNearest, qConversionTime, qMarkovTransitions, qSeasonalDecompose,
     qPathAnalysis, qSeasonalAnomaly, qStickiness, qBounceRate,
     qUserConcentration, qInterArrival, qAttribution, qAttributionDecay,

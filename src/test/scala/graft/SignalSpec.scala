@@ -309,6 +309,34 @@ class SignalSpec extends AnyFunSuite {
     assert(gotBal("pre_events")._2 == (math.abs(smd) < 0.1))
   }
 
+  test("power analysis: sizing formula brute-checked, monotone in lift") {
+    val got = Events.qPowerAnalysis.fn(spark, TestSpark.Sf)
+      .select($"lift_bp", $"p_base_micros", $"n_required",
+        $"n_available_per_arm", $"powered")
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got.length == 4)
+    // brute recompute on the exact same rate
+    val ev = Events.load(spark, TestSpark.Sf)
+      .select($"user_id", expr("ts div 86400000000000").as("d"),
+        $"event_type")
+      .as[(Long, Long, String)].collect()
+    val nUd = ev.map(r => (r._1, r._2)).distinct.length.toLong
+    val nCv = ev.filter(_._3 == "purchase").map(r => (r._1, r._2))
+      .distinct.length.toLong
+    val p1 = nCv.toDouble / nUd.toDouble
+    for ((lift, pb, nr, na, pw) <- got) {
+      assert(pb == math.floor(p1 * 1e6).toLong)
+      val p2 = p1 * (1.0 + lift.toDouble / 10000.0)
+      val req = math.ceil((1.96 + 0.8416) * (1.96 + 0.8416) *
+        (p1 * (1 - p1) + p2 * (1 - p2)) / ((p2 - p1) * (p2 - p1))).toLong
+      assert(nr == req, s"lift $lift: $nr vs brute $req")
+      assert(na == nUd / 2 && pw == (na >= req))
+    }
+    // a bigger detectable lift always needs FEWER samples
+    assert(got.map(_._3).toSeq == got.map(_._3).toSeq.sorted.reverse,
+      "n_required must be monotone decreasing in lift")
+  }
+
   test("anomaly ensemble: votes == member tails, consensus == 2-of-3") {
     val got = Events.qAnomalyEnsemble.fn(spark, TestSpark.Sf)
       .select($"event_type", $"day", $"shewhart_flag", $"cusum_alarm",
