@@ -452,6 +452,64 @@ object StreamingQ {
       .orderBy($"true_lang", $"pred_lang")
   }
 
+  /** COHEN'S KAPPA of the script detector against the labeled corpus —
+    * the chance-corrected agreement summary over the confusion matrix
+    * [[dLidConfusion]] prints raw (accuracy alone flatters a detector
+    * on a skewed language mix; κ subtracts what marginal guessing
+    * would score). Entirely exact until one division:
+    * κ = (N·Σnᵢᵢ − Σ rowᵢ·colᵢ) / (N² − Σ rowᵢ·colᵢ) — integer
+    * cross-multiplied form, DECIMAL products, floor-micros. One hash
+    * agg to the languages² cell frame; everything after is
+    * marginal-sized. */
+  val dLidKappa: Spec = Spec(
+    "d_lid_kappa",
+    oracle = Some(s"""
+      WITH det AS ($lidScriptOracleSql),
+      ct AS (SELECT d.lang AS t, det.script_lang AS p,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM det JOIN documents d ON det.doc_id = d.doc_id GROUP BY 1, 2),
+      nn AS (SELECT CAST(SUM(n) AS BIGINT) AS n FROM ct),
+      ag AS (SELECT CAST(COALESCE(SUM(CASE WHEN t = p THEN n END), 0)
+          AS BIGINT) AS agree FROM ct),
+      mt AS (SELECT t AS l, CAST(SUM(n) AS BIGINT) AS rt FROM ct GROUP BY 1),
+      mp AS (SELECT p AS l, CAST(SUM(n) AS BIGINT) AS ct FROM ct GROUP BY 1),
+      pe AS (SELECT CAST(COALESCE(SUM(mt.rt::HUGEINT * mp.ct), 0)
+          AS HUGEINT) AS e
+        FROM mt JOIN mp ON mp.l = mt.l)
+      SELECT nn.n AS n_docs, ag.agree AS n_agree,
+        CAST(FLOOR(CAST(ag.agree AS DOUBLE) / CAST(nn.n AS DOUBLE)
+          * 1000000) AS BIGINT) AS accuracy_micros,
+        CAST(FLOOR(CAST(nn.n::HUGEINT * ag.agree - pe.e AS DOUBLE)
+          / CAST(nn.n::HUGEINT * nn.n - pe.e AS DOUBLE) * 1000000)
+          AS BIGINT) AS kappa_micros
+      FROM nn, ag, pe
+      WHERE nn.n::HUGEINT * nn.n - pe.e > 0""")) { (s, dir) =>
+    import s.implicits._
+    val det = lidScriptCols(s, Tables.load(s, dir, "documents"))
+    val ct = det
+      .join(Tables.load(s, dir, "documents").select($"doc_id", $"lang"),
+        "doc_id")
+      .groupBy($"lang".as("t"), $"script_lang".as("p"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // marginals + diagonal + total share the cells
+    val nn = ct.agg(sum($"n").cast("long").as("n"))
+    val ag = ct.agg(coalesce(sum(when($"t" === $"p", $"n")), lit(0L))
+      .cast("long").as("agree"))
+    val mt = ct.groupBy($"t".as("l")).agg(sum($"n").cast("long").as("rt"))
+    val mp = ct.groupBy($"p".as("l")).agg(sum($"n").cast("long").as("cc"))
+    val pe = mt.join(mp, Seq("l"))
+      .agg(coalesce(sum($"rt".cast("decimal(38,0)") * $"cc"),
+        lit(0).cast("decimal(38,0)")).as("e"))
+    nn.crossJoin(ag).crossJoin(pe)
+      .filter($"n".cast("decimal(38,0)") * $"n" - $"e" > 0)
+      .select($"n".as("n_docs"), $"agree".as("n_agree"),
+        floor($"agree".cast("double") / $"n".cast("double") * 1e6)
+          .cast("long").as("accuracy_micros"),
+        floor(($"n".cast("decimal(38,0)") * $"agree" - $"e").cast("double")
+          / ($"n".cast("decimal(38,0)") * $"n" - $"e").cast("double")
+          * 1e6).cast("long").as("kappa_micros"))
+  }
+
   /** STREAMING LID: the ensemble's mapPartitions annotation is
     * stateless, so the identical column logic runs on an unbounded
     * document feed (append mode, no state store) — "tag language as
@@ -1435,7 +1493,7 @@ object StreamingQ {
     stKnnHnsw,
     stDedup, stSessions, stSessionAppend,
     stEnrich, stClickView, stClickViewOuter, dLid, dLidScript,
-    dLidConfusion, pipelineE2e, pipelineE2eDom,
+    dLidConfusion, dLidKappa, pipelineE2e, pipelineE2eDom,
     stDocFlags, stHeavyHitters, stDriftWindowed, stLidScript,
     stMinhashPairs, stFunnelLevels, stBm25Indexed, stCmsCounts, stNovelty,
     stAsofLastClick, stCcIncremental, stRateAnomaly, stKsWindowed,

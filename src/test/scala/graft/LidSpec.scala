@@ -104,4 +104,29 @@ class LidSpec extends AnyFunSuite {
       .map { case ((l, _), i) => i.toLong -> l }.toMap
     assert(got == expected)
   }
+
+  test("lid kappa == brute chance-corrected fold over the confusion cells") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val cells = graft.queries.StreamingQ.dLidConfusion
+      .fn(spark, TestSpark.Sf)
+      .select(col("true_lang"), col("pred_lang"), col("n_docs"))
+      .as[(String, String, Long)].collect()
+    val n = cells.map(_._3).sum
+    val agree = cells.filter(c => c._1 == c._2).map(_._3).sum
+    val rows = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val colsM = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val pe = rows.keySet.intersect(colsM.keySet).toSeq
+      .map(l => BigInt(rows(l)) * colsM(l)).sum
+    val kappa = math.floor((BigInt(n) * agree - pe).toDouble /
+      (BigInt(n) * n - pe).toDouble * 1e6).toLong
+    val gotK = graft.queries.StreamingQ.dLidKappa.fn(spark, TestSpark.Sf)
+      .select(col("n_docs"), col("n_agree"), col("kappa_micros"))
+      .as[(Long, Long, Long)].collect()
+    assert(gotK.length == 1)
+    assert(gotK.head == ((n, agree, kappa)),
+      s"${gotK.head} vs brute ($n, $agree, $kappa)")
+    // kappa never exceeds raw accuracy (chance correction only hurts)
+    assert(kappa <= math.floor(agree.toDouble / n * 1e6).toLong)
+  }
 }
