@@ -361,6 +361,94 @@ object Dedup {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** LSH RECALL EVALUATION: what fraction of the EXACT near-dup pairs
+    * (the block-quadratic ground truth [[ddJaccardBlockPairs]]
+    * computes) do the minhash band candidates actually surface, per
+    * similarity threshold — the e_ivf_recall/e_hnsw_recall
+    * measure-don't-guess pattern pointed at the dedup sketch itself
+    * (band-collision theory promises P(caught) = 1 − (1 − J^r)^b;
+    * this row reports what the corpus actually got). Recall is an
+    * exact integer per-mille; the candidate set is the UNVERIFIED band
+    * output, so a banding bug (not just a verify bug) goes red.
+    *
+    * Scale shape: ground truth rides the prefix-filtered blocked join
+    * (never corpus-quadratic), candidates the capped band scaffold;
+    * the intersection is one pair-keyed join of two bounded pair
+    * tables. */
+  val ddLshRecall: Spec = Spec(
+    "dd_lsh_recall",
+    oracle = Some(s"""
+      WITH docs2 AS (
+        SELECT doc_id, text, lang, source FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+          array_to_string(list_filter(string_split(text, ' '),
+            (x, i) -> (i - 1) % 8 <> 0), ' '), lang, source
+        FROM documents WHERE doc_id % 20 = 0
+        UNION ALL
+        SELECT doc_id + 2000000,
+          array_to_string(list_filter(string_split(text, ' '),
+            (x, i) -> (i - 1) % 20 <> 0), ' '), lang, source
+        FROM documents WHERE doc_id % 20 = 10),
+      ${minhashCandCte.replace("FROM documents", "FROM docs2")},
+      sblk AS (
+        SELECT doc_id, lang, source,
+          list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-1, 1)),
+            i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS sh
+        FROM docs2 WHERE len(string_split(text,' ')) >= 3),
+      exact AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+        FROM sblk a JOIN sblk b ON a.lang = b.lang AND a.source = b.source
+          AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+      t AS (SELECT * FROM (VALUES (0.5), (0.75), (0.9)) AS t(thr)),
+      j AS (SELECT t.thr, e.id_a, e.id_b,
+          (p.ida IS NOT NULL) AS caught
+        FROM t JOIN exact e ON e.jac >= t.thr
+        LEFT JOIN pairs p ON p.ida = e.id_a AND p.idb = e.id_b)
+      SELECT thr AS threshold,
+        CAST(COUNT(*) AS BIGINT) AS n_exact,
+        CAST(SUM(CASE WHEN caught THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+        CAST(SUM(CASE WHEN caught THEN 1 ELSE 0 END) * 1000 // COUNT(*)
+          AS BIGINT) AS recall_milli
+      FROM j GROUP BY thr ORDER BY threshold""")) { (s, dir) =>
+    import s.implicits._
+    val base = Tables.load(s, dir, "documents")
+      .select($"doc_id", $"text", $"lang", $"source")
+    def dropped(res: Int, every: Int, off: Long) =
+      Tables.load(s, dir, "documents").filter($"doc_id" % 20 === res)
+        .select(($"doc_id" + off).as("doc_id"),
+          array_join(org.apache.spark.sql.functions.filter(
+            Text.tokens($"text"), (x, i) => i % every =!= 0), " ")
+            .as("text"),
+          $"lang", $"source")
+    val docs2 = base.unionByName(dropped(0, 8, 1000000L))
+      .unionByName(dropped(10, 20, 2000000L))
+      .localCheckpoint() // ground truth AND candidates share the corpus
+    val sets = docs2.filter(size(Text.tokens($"text")) >= 3)
+      .select($"doc_id", $"lang", $"source",
+        Text.shingleSet($"text", 3).as("sh"))
+    val exact = MinHash.jaccardPairsExact(sets, "doc_id", "sh",
+        Seq("lang", "source"), threshold = 0.5)
+      .select($"id_a", $"id_b", $"jaccard")
+    val cand = MinHash.candidatePairs(
+        docs2.select($"doc_id", $"text"), "doc_id", "text",
+        shingleSize = 3, numPerm = 32, bands = 8, threshold = 0.0)
+      .select($"id_a", $"id_b", lit(true).as("caught"))
+    val thr = Seq(0.5, 0.75, 0.9).toDF("threshold")
+    broadcast(thr).join(exact, $"jaccard" >= $"threshold")
+      .join(cand, Seq("id_a", "id_b"), "left")
+      .groupBy($"threshold")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when($"caught", 1L).otherwise(0L)).as("n_caught"),
+        expr("sum(case when caught then 1 else 0 end) * 1000" +
+          " div count(*)").as("recall_milli"))
+      .orderBy($"threshold")
+  }
+
   /** WEIGHTED Jaccard + containment over the verified block-pair set —
     * the multiplicity-aware refinement of [[ddJaccardBlockPairs]]:
     * J_w = Σ_t min(tf_a, tf_b) / Σ_t max(tf_a, tf_b) over shingle
@@ -2367,7 +2455,7 @@ object Dedup {
     ddMinhashPairs, ddMinhashBlocked, ddMinhashClusters, ddMinhashIncremental,
     ddCcIncremental, ddPairDiffSpans,
     ddJaccardBlockPairs, ddWeightedJaccard, ddBbitMinhash, ddIcwsMinhash,
-    ddExactHash,
+    ddLshRecall, ddExactHash,
     ddExactIncremental, ddBloomIncremental,
     ddCappedStarPairs,
     ddSimhashMd5, ddSimhashMd5Pairs, ddEditVerified,

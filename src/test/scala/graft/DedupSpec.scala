@@ -376,6 +376,21 @@ class DedupSpec extends AnyFunSuite {
       s"ICWS estimator off the theoretical envelope: MAE ${maeCols.head}")
   }
 
+  test("lsh recall: threshold nesting, ratio arithmetic, caught bounded") {
+    val got = graft.queries.Dedup.ddLshRecall.fn(spark, TestSpark.Sf)
+      .select($"threshold", $"n_exact", $"n_caught", $"recall_milli")
+      .as[(Double, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == 3)
+    assert(got.exists(_._2 > 0), "planted corpus must yield exact pairs")
+    for ((thr, ne, nc, rm) <- got) {
+      assert(nc <= ne, s"thr $thr: caught $nc exceeds exact $ne")
+      if (ne > 0) assert(rm == nc * 1000 / ne, s"thr $thr ratio")
+    }
+    // higher thresholds select SUBSETS of the exact pair set
+    assert(got.map(_._2).toSeq == got.map(_._2).toSeq.sorted.reverse,
+      "n_exact must be monotone decreasing in threshold")
+  }
+
   test("median CI: rank selection == brute order statistics per source") {
     val bySrc = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
       .select($"source", $"n_chars".cast("long"))
