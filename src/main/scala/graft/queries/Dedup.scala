@@ -449,6 +449,76 @@ object Dedup {
       .orderBy($"threshold")
   }
 
+  /** LSH PRECISION EVALUATION — [[ddLshRecall]]'s sibling: of the
+    * band-candidate pairs the sketch surfaces, what fraction actually
+    * clears each similarity threshold (1 − precision is the exact-
+    * verify work the pipeline pays per candidate — the number that
+    * decides whether to spend more bands on recall or tighter bands
+    * on precision). Candidates and exact Jaccards come from the same
+    * planted-near-dup corpus as the recall row, so the two print as
+    * one table. Precision is an exact integer per-mille.
+    *
+    * Scale shape: one capped band-candidate build + the per-candidate
+    * exact verify [[ddMinhashPairs]] already pays; one 3-row grid
+    * broadcast. */
+  val ddLshPrecision: Spec = Spec(
+    "dd_lsh_precision",
+    oracle = Some(s"""
+      WITH docs2 AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+          array_to_string(list_filter(string_split(text, ' '),
+            (x, i) -> (i - 1) % 8 <> 0), ' ')
+        FROM documents WHERE doc_id % 20 = 0
+        UNION ALL
+        SELECT doc_id + 2000000,
+          array_to_string(list_filter(string_split(text, ' '),
+            (x, i) -> (i - 1) % 20 <> 0), ' ')
+        FROM documents WHERE doc_id % 20 = 10),
+      ${minhashCandCte.replace("FROM documents", "FROM docs2")},
+      j AS (
+        SELECT ida, idb,
+          CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+            (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+            AS jac
+        FROM pairs JOIN sh sa ON sa.doc_id = ida
+        JOIN sh sb ON sb.doc_id = idb),
+      t AS (SELECT * FROM (VALUES (0.5), (0.75), (0.9)) AS t(thr)),
+      g AS (SELECT t.thr,
+          CAST(COUNT(*) AS BIGINT) AS n_candidates,
+          CAST(SUM(CASE WHEN j.jac >= t.thr THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_good
+        FROM t CROSS JOIN j GROUP BY t.thr)
+      SELECT thr AS threshold, n_candidates, n_good,
+        CAST(n_good * 1000 // n_candidates AS BIGINT) AS precision_milli
+      FROM g WHERE n_candidates > 0 ORDER BY threshold""")) { (s, dir) =>
+    import s.implicits._
+    val base = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+    def dropped(res: Int, every: Int, off: Long) =
+      Tables.load(s, dir, "documents").filter($"doc_id" % 20 === res)
+        .select(($"doc_id" + off).as("doc_id"),
+          array_join(org.apache.spark.sql.functions.filter(
+            Text.tokens($"text"), (x, i) => i % every =!= 0), " ")
+            .as("text"))
+    val docs2 = base.unionByName(dropped(0, 8, 1000000L))
+      .unionByName(dropped(10, 20, 2000000L))
+    val cand = MinHash.candidatePairs(docs2, "doc_id", "text",
+        shingleSize = 3, numPerm = 32, bands = 8, threshold = 0.0)
+      .select($"id_a", $"id_b", $"jaccard")
+      .localCheckpoint() // all three grid rows scan the same candidates
+    val thr = Seq(0.5, 0.75, 0.9).toDF("threshold")
+    broadcast(thr).crossJoin(cand)
+      .groupBy($"threshold")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when($"jaccard" >= $"threshold", 1L).otherwise(0L))
+          .as("n_good"))
+      .filter($"n_candidates" > 0)
+      .select($"threshold", $"n_candidates", $"n_good",
+        expr("(n_good * 1000) div n_candidates").as("precision_milli"))
+      .orderBy($"threshold")
+  }
+
   /** WEIGHTED Jaccard + containment over the verified block-pair set —
     * the multiplicity-aware refinement of [[ddJaccardBlockPairs]]:
     * J_w = Σ_t min(tf_a, tf_b) / Σ_t max(tf_a, tf_b) over shingle
@@ -2455,7 +2525,7 @@ object Dedup {
     ddMinhashPairs, ddMinhashBlocked, ddMinhashClusters, ddMinhashIncremental,
     ddCcIncremental, ddPairDiffSpans,
     ddJaccardBlockPairs, ddWeightedJaccard, ddBbitMinhash, ddIcwsMinhash,
-    ddLshRecall, ddExactHash,
+    ddLshRecall, ddLshPrecision, ddExactHash,
     ddExactIncremental, ddBloomIncremental,
     ddCappedStarPairs,
     ddSimhashMd5, ddSimhashMd5Pairs, ddEditVerified,

@@ -3873,6 +3873,48 @@ object Events {
       .orderBy($"variant")
   }
 
+  /** SAMPLE RATIO MISMATCH check (Fabijan '19 — the #1 experiment
+    * validity guardrail): is the observed variant split consistent
+    * with the designed 50/50? A skewed split means assignment or
+    * logging is broken and EVERY downstream readout (CUPED, DiD,
+    * two-proportion) is invalid — platforms gate results on this
+    * before showing them. χ² against equal expected counts collapses
+    * to (n₀ − n₁)²/(n₀ + n₁), compared to the 1-df 95%/99% critical
+    * values (3.841 / 6.635, shared literals).
+    *
+    * Engine parity: one COUNT DISTINCT split by parity, the statistic
+    * is an exact-integer cross ratio with one float division,
+    * floor-micros; the verdict is a comparison of identical doubles.
+    * Units: USERS (assignment granularity), not events. */
+  val qSrmCheck: Spec = Spec(
+    "ev_srm_check",
+    oracle = Some("""
+      WITH u AS (SELECT DISTINCT user_id FROM events),
+      c AS (SELECT
+          CAST(COUNT(CASE WHEN user_id % 2 = 0 THEN 1 END) AS BIGINT) AS n0,
+          CAST(COUNT(CASE WHEN user_id % 2 = 1 THEN 1 END) AS BIGINT) AS n1
+        FROM u)
+      SELECT n0 AS n_control, n1 AS n_treat,
+        CAST(FLOOR(CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+          / CAST(n0 + n1 AS DOUBLE) * 1000000) AS BIGINT) AS chi2_micros,
+        CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)
+          > 3.841e0 AS srm_at_95,
+        CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)
+          > 6.635e0 AS srm_at_99
+      FROM c WHERE n0 + n1 > 0""")) { (s, dir) =>
+    import s.implicits._
+    val chi2 = (($"n0" - $"n1") * ($"n0" - $"n1")).cast("double") /
+      ($"n0" + $"n1").cast("double")
+    load(s, dir).select($"user_id").distinct()
+      .agg(count(when($"user_id" % 2 === 0, 1)).as("n0"),
+        count(when($"user_id" % 2 === 1, 1)).as("n1"))
+      .filter($"n0" + $"n1" > 0)
+      .select($"n0".as("n_control"), $"n1".as("n_treat"),
+        floor(chi2 * 1e6).cast("long").as("chi2_micros"),
+        (chi2 > 3.841).as("srm_at_95"),
+        (chi2 > 6.635).as("srm_at_99"))
+  }
+
   /** POWER ANALYSIS for the conversion A/B test: for a grid of target
     * lifts, the required per-arm sample size at 80% power / two-sided
     * α = 0.05 on the observed base conversion rate (unit = USER-DAY —
@@ -5118,7 +5160,7 @@ object Events {
     qCohortRetention, qFunnelWindowed, qDauNewReturning, qDecayScore,
     qUserTrend, qRateAnomaly, qKsDrift, qKsWindowed, qWinsorizedStats,
     qEwmaControl, qBinsegChangepoint, qCupedAdjustment, qAnomalyEnsemble,
-    qDiffInDiff, qCovariateBalance, qPowerAnalysis,
+    qDiffInDiff, qCovariateBalance, qPowerAnalysis, qSrmCheck,
     qAsofNearest, qConversionTime, qMarkovTransitions, qSeasonalDecompose,
     qPathAnalysis, qSeasonalAnomaly, qStickiness, qBounceRate,
     qUserConcentration, qInterArrival, qAttribution, qAttributionDecay,

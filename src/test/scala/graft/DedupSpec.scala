@@ -391,6 +391,21 @@ class DedupSpec extends AnyFunSuite {
       "n_exact must be monotone decreasing in threshold")
   }
 
+  test("lsh precision: fixed candidate set, monotone decreasing good fraction") {
+    val got = graft.queries.Dedup.ddLshPrecision.fn(spark, TestSpark.Sf)
+      .select($"threshold", $"n_candidates", $"n_good", $"precision_milli")
+      .as[(Double, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == 3)
+    val cands = got.map(_._2).distinct
+    assert(cands.length == 1 && cands.head > 0,
+      "one shared candidate set across thresholds")
+    for ((thr, nc, ng, pm) <- got) {
+      assert(ng <= nc && pm == ng * 1000 / nc, s"thr $thr arithmetic")
+    }
+    assert(got.map(_._3).toSeq == got.map(_._3).toSeq.sorted.reverse,
+      "n_good must be monotone decreasing in threshold")
+  }
+
   test("median CI: rank selection == brute order statistics per source") {
     val bySrc = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
       .select($"source", $"n_chars".cast("long"))

@@ -337,6 +337,26 @@ class SignalSpec extends AnyFunSuite {
       "n_required must be monotone decreasing in lift")
   }
 
+  test("srm check: chi2 == brute distinct-user fold; skewed split flags") {
+    val users = Events.load(spark, TestSpark.Sf)
+      .select($"user_id").distinct().as[Long].collect()
+    val n0 = users.count(_ % 2 == 0).toLong
+    val n1 = users.count(_ % 2 == 1).toLong
+    val chi2 = ((n0 - n1) * (n0 - n1)).toDouble / (n0 + n1).toDouble
+    val got = Events.qSrmCheck.fn(spark, TestSpark.Sf)
+      .select($"n_control", $"n_treat", $"chi2_micros", $"srm_at_95")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(got.length == 1)
+    assert(got.head == ((n0, n1, math.floor(chi2 * 1e6).toLong,
+      chi2 > 3.841)))
+    // the formula itself: a 60/40 split of 1000 users is a clear SRM
+    val skew = (600L - 400L) * (600L - 400L) / 1000.0
+    assert(skew > 6.635, "60/40 of 1000 must flag even at 99%")
+    // ... and 510/490 is within noise
+    val ok = (510L - 490L) * (510L - 490L) / 1000.0
+    assert(ok < 3.841, "510/490 of 1000 must not flag")
+  }
+
   test("anomaly ensemble: votes == member tails, consensus == 2-of-3") {
     val got = Events.qAnomalyEnsemble.fn(spark, TestSpark.Sf)
       .select($"event_type", $"day", $"shewhart_flag", $"cusum_alarm",
