@@ -12,6 +12,21 @@ import graft.ops.{ConnectedComponents, MinHash, SimHash, Skew, Text}
   */
 object Dedup {
 
+  /** Planted-corpus headroom guard: the eval rows plant near-dup
+    * variants at `doc_id + offset`; if real ids ever reach the offset
+    * the planted ids collide with genuine documents and the eval
+    * silently skews WHILE staying hash-green (oracle and engine share
+    * the collision — the gate cannot catch it). So fail loudly
+    * instead: one bounded 1-row max() collect (the repo's standard
+    * require-guarded driver-stats idiom) before the eval runs. */
+  private[queries] def requirePlantedHeadroom(
+      docs: org.apache.spark.sql.DataFrame, idCol: String, offset: Long): Unit = {
+    val mx = docs.agg(max(col(idCol))).head.getLong(0)
+    require(mx < offset,
+      s"planted-id offset $offset collides with real $idCol (max=$mx): " +
+        "raise the offset or shrink the corpus — the eval would silently skew")
+  }
+
   /** The minhash recipe mirrored verbatim in SQL: one md5-derived
     * 60-bit integer per shingle, universal-hash permutations
     * (a_p·h + b_p) mod 2^61−1 via HUGEINT, band keys hashed over the
@@ -418,6 +433,7 @@ object Dedup {
     import s.implicits._
     val base = Tables.load(s, dir, "documents")
       .select($"doc_id", $"text", $"lang", $"source")
+    requirePlantedHeadroom(base, "doc_id", 1000000L)
     def dropped(res: Int, every: Int, off: Long) =
       Tables.load(s, dir, "documents").filter($"doc_id" % 20 === res)
         .select(($"doc_id" + off).as("doc_id"),
@@ -495,6 +511,7 @@ object Dedup {
       FROM g WHERE n_candidates > 0 ORDER BY threshold""")) { (s, dir) =>
     import s.implicits._
     val base = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+    requirePlantedHeadroom(base, "doc_id", 1000000L)
     def dropped(res: Int, every: Int, off: Long) =
       Tables.load(s, dir, "documents").filter($"doc_id" % 20 === res)
         .select(($"doc_id" + off).as("doc_id"),

@@ -162,9 +162,12 @@ object Multimodal {
     *
     * Scale shape: the same frame explode + per-video windows as shot
     * detection, one window pass per (video, shot) for (K, S), one
-    * hash agg for the packed argmin. Packing bounds: frames/video
-    * ≤ 128, luma < 256, diff ≤ K·255 < 2^15·... every packed value
-    * < 2^40 — exact in BIGINT with headroom for 100× longer videos. */
+    * hash agg for the packed argmin. Packing bounds (16-bit frame
+    * field: diff·2²⁴ + frame_id·2⁸ + luma): frames/video ≤ 2¹⁶,
+    * luma < 2⁸, diff ≤ K·255 ≤ 2¹⁶·2⁸ = 2²⁴, so every packed value
+    * < 2⁴⁸ — exact in BIGINT. The fixture caps at 100 frames; videos
+    * past 65,536 frames would silently mis-unpack, so the frame
+    * explode guards `n_frames ≤ 65536` and fails loudly beyond. */
   val mmKeyframes: Spec = Spec(
     "mm_keyframes",
     oracle = Some("""
@@ -193,15 +196,15 @@ object Multimodal {
         FROM shots WINDOW s AS (PARTITION BY doc_id, shot_id)),
       packed AS (
         SELECT doc_id, CAST(shot_id AS BIGINT) AS shot_id,
-          CAST(MIN((abs(k * luma - sl) * 128 + frame_id) * 256 + luma)
+          CAST(MIN((abs(k * luma - sl) * 65536 + frame_id) * 256 + luma)
             AS BIGINT) AS sel,
           CAST(COUNT(*) AS BIGINT) AS n_frames,
           MAX(k) AS k
         FROM stats GROUP BY doc_id, shot_id)
       SELECT doc_id, shot_id, n_frames,
-        CAST((sel // 256) % 128 AS BIGINT) AS keyframe_id,
+        CAST((sel // 256) % 65536 AS BIGINT) AS keyframe_id,
         CAST(sel % 256 AS BIGINT) AS keyframe_luma,
-        CAST((sel // 32768) * 1000 // k AS BIGINT) AS dist_milli
+        CAST((sel // 16777216) * 1000 // k AS BIGINT) AS dist_milli
       FROM packed ORDER BY doc_id, shot_id""")) { (s, dir) =>
     import s.implicits._
     val W = org.apache.spark.sql.expressions.Window
@@ -210,7 +213,12 @@ object Multimodal {
         MM.asBlobs(s, Tables.load(s, dir, "documents").filter($"doc_id" % 25 === 0)))
       .toDF()
       .select($"doc_id", $"checksum",
-        explode(sequence(lit(0L), $"n_frames" - 1)).as("frame_id"))
+        // 16-bit frame-field guard: past 65,536 frames the packed argmin
+        // would silently mis-unpack — fail loudly instead.
+        explode(sequence(lit(0L),
+          when($"n_frames" <= 65536L, $"n_frames").otherwise(raise_error(
+            lit("mm_keyframes: n_frames > 65536 breaks the 16-bit frame packing")))
+            - 1)).as("frame_id"))
       .select($"doc_id", $"frame_id",
         conv(substring(md5(concat($"checksum", lit("|"),
           $"frame_id".cast("string"))), 1, 2), 16, 10)
@@ -227,14 +235,14 @@ object Multimodal {
       .withColumn("sl", sum($"luma").over(ws))
       .groupBy($"doc_id", $"shot_id")
       .agg(
-        min((abs($"k" * $"luma" - $"sl") * 128 + $"frame_id") * 256 + $"luma")
+        min((abs($"k" * $"luma" - $"sl") * 65536 + $"frame_id") * 256 + $"luma")
           .as("sel"),
         count(lit(1)).as("n_frames"),
         max($"k").as("k"))
       .select($"doc_id", $"shot_id", $"n_frames",
-        expr("(sel div 256) % 128").as("keyframe_id"),
+        expr("(sel div 256) % 65536").as("keyframe_id"),
         ($"sel" % 256).as("keyframe_luma"),
-        expr("(sel div 32768) * 1000 div k").as("dist_milli"))
+        expr("(sel div 16777216) * 1000 div k").as("dist_milli"))
       .orderBy($"doc_id", $"shot_id")
   }
 

@@ -2344,9 +2344,9 @@ object TrainingPrep {
       p AS (SELECT a.source AS source_a, b.source AS source_b,
           a.n AS na, b.n AS nb,
           CAST(a.n * a.q - a.s * a.s AS DOUBLE)
-            / CAST(a.n * a.n * (a.n - 1) AS DOUBLE) AS ra,
+            / CAST(a.n::HUGEINT * a.n * (a.n - 1) AS DOUBLE) AS ra,
           CAST(b.n * b.q - b.s * b.s AS DOUBLE)
-            / CAST(b.n * b.n * (b.n - 1) AS DOUBLE) AS rb,
+            / CAST(b.n::HUGEINT * b.n * (b.n - 1) AS DOUBLE) AS rb,
           CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
             - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) AS dm
         FROM g a JOIN g b ON a.source < b.source
@@ -2375,7 +2375,11 @@ object TrainingPrep {
     def ratio(tag: String) =
       (col(s"n$tag") * col(s"q$tag") - col(s"s$tag") * col(s"s$tag"))
         .cast("double") /
-        (col(s"n$tag") * col(s"n$tag") * (col(s"n$tag") - 1)).cast("double")
+        // n as decimal(38,0) BEFORE the cubic product: LongType n*n*(n-1)
+        // wraps silently past n ≈ 2.1M (n³ > 2⁶³); exact decimal then one
+        // rounding to double matches the oracle's HUGEINT-then-DOUBLE.
+        (col(s"n$tag").cast("decimal(38,0)") * col(s"n$tag") *
+          (col(s"n$tag") - 1)).cast("double")
     val p = side("a").join(side("b"), $"source_a" < $"source_b")
       .select($"source_a", $"source_b", $"na", $"nb",
         ratio("a").as("ra"), ratio("b").as("rb"),
