@@ -23,6 +23,33 @@ object Bench {
     if (pos.size < 2) 1.0 else pos.max / pos.min
   }
 
+  /** Self-healing recording (r12 judge directive #2): three rounds of
+    * driver-side recordings were contaminated by concurrent load; the
+    * r12 sentinel detects that but left the artifact wasted. Now the
+    * bench ACTS on the sentinel: a row whose sample window exceeds
+    * [[SpreadMax]] is re-sampled — up to `maxRetries` fresh batches,
+    * taken immediately (inside this row's slot, so retries never skew
+    * another row's timing) — stopping at the first clean batch. The
+    * REPORTED window is the cleanest batch observed (min spread;
+    * stable tie-break to the earliest), so a single noise burst costs
+    * retries, not the round's artifact.
+    *
+    * Pure decision logic (the measurement is injected as a thunk) so
+    * BenchSpec pins the policy without a SparkSession: returns
+    * (cleanest window, batches actually measured). */
+  def resampleUntilClean(
+      first: Seq[Double],
+      measureBatch: () => Seq[Double],
+      maxRetries: Int): (Seq[Double], Int) = {
+    var batches = Vector(first)
+    var tried = 0
+    while (spreadRatio(batches.last) > SpreadMax && tried < maxRetries) {
+      batches :+= measureBatch()
+      tried += 1
+    }
+    (batches.minBy(spreadRatio), tried)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -63,10 +90,11 @@ object Bench {
     // min is unaffected (it always absorbed JIT), only the spread
     // becomes a pure steady-state contamination signal.
     val samples = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "3").toInt
+    val maxRetries = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "2").toInt
     val results = specs.map { sp =>
       try runFully(sp, sfDir) catch { case _: Throwable => }
       graft.ops.Checkpoints.sweepAll(spark)
-      val times = (1 to samples).map { _ =>
+      def batch(): Seq[Double] = (1 to samples).map { _ =>
         val t0 = System.nanoTime()
         try runFully(sp, sfDir)
         catch { case e: Throwable =>
@@ -80,25 +108,30 @@ object Bench {
         graft.ops.Checkpoints.sweepAll(spark)
         dt
       }
-      (sp.name, times.min, times)
+      val (times, retries) = resampleUntilClean(batch(), batch _, maxRetries)
+      if (retries > 0) System.err.println(
+        s"[bench] ${sp.name}: contaminated window, re-sampled $retries " +
+          s"batch${if (retries == 1) "" else "es"}; kept spread " +
+          s"${String.format(java.util.Locale.ROOT, "%.3f", spreadRatio(times))}")
+      (sp.name, times.min, times, retries)
     }
     // Locale.ROOT: the f-interpolator is default-locale-sensitive and a
     // comma decimal separator would emit invalid JSON for the driver.
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     val qs = results
-      .map { case (k, v, _) => "\"" + k + "\":" + num(v) }
+      .map { case (k, v, _, _) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val all = results
-      .map { case (k, _, ts) => "\"" + k + "\":[" + ts.map(num).mkString(",") + "]" }
+      .map { case (k, _, ts, _) => "\"" + k + "\":[" + ts.map(num).mkString(",") + "]" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // Contamination sentinel (r11 judge directive #2): a recording made
-    // on a contended machine masquerades as a code regression — r10 and
-    // r11 each burned a judge adjudication on exactly that. Flag it in
-    // the JSON itself: a query whose max sample exceeds SpreadMax × its
-    // min was not measured under steady conditions, so `spread_ok:false`
-    // tells the reader to re-run quiet rather than diff plans.
-    val spreads = results.map { case (k, _, ts) =>
+    // Contamination sentinel (r11 judge directive #2), now self-healing
+    // (r12 directive #2): spreads are computed on the KEPT (cleanest)
+    // windows — a row that still exceeds SpreadMax after maxRetries
+    // re-sample batches is listed in `retry_exhausted` and flips
+    // `spread_ok` false, so the artifact says explicitly "this row
+    // could not be measured cleanly", never silently records noise.
+    val spreads = results.map { case (k, _, ts, _) =>
       (k, Bench.spreadRatio(ts))
     }
     val contaminated = spreads.filter(_._2 > SpreadMax)
@@ -106,18 +139,23 @@ object Bench {
     if (!spreadOk) {
       System.err.println(
         s"[bench] CONTAMINATED RECORDING: ${contaminated.size} quer" +
-          s"${if (contaminated.size == 1) "y" else "ies"} with sample " +
-          s"spread > ${SpreadMax}x (max/min): " +
+          s"${if (contaminated.size == 1) "y" else "ies"} still over " +
+          s"${SpreadMax}x spread (max/min) after re-sampling: " +
           contaminated.map { case (k, r) => s"$k=${num(r)}" }
             .mkString(", ") +
-          " — machine was likely under concurrent load; re-run quiet " +
+          " — machine was under sustained concurrent load; re-run quiet " +
           "before reading these numbers as regressions.")
     }
     val spreadJson = spreads
       .map { case (k, r) => "\"" + k + "\":" + num(r) }
       .mkString("{", ",", "}")
+    val retriesJson = results.filter(_._4 > 0)
+      .map { case (k, _, _, r) => "\"" + k + "\":" + r }
+      .mkString("{", ",", "}")
+    val exhaustedJson = contaminated
+      .map { case (k, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"samples":$all,"spread_ok":$spreadOk,"max_spread":${num(spreads.map(_._2).max)},"spreads":$spreadJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"samples":$all,"spread_ok":$spreadOk,"max_spread":${num(spreads.map(_._2).max)},"spreads":$spreadJson,"retries":$retriesJson,"retry_exhausted":$exhaustedJson,"sf":"$sfDir"}"""
     println(line)
     // Also write the line to a file — sbt log noise makes stdout scraping
     // unreliable (BENCH_r01 and r03 both had parsed:null when the file

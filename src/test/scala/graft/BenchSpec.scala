@@ -32,4 +32,63 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.spreadRatio(Seq(1.0, 1.99)) <= Bench.SpreadMax)
     assert(Bench.spreadRatio(Seq(1.0, 2.01)) > Bench.SpreadMax)
   }
+
+  // --- self-healing re-sample policy (r12 judge directive #2) ---
+
+  test("resample: a clean first window is kept untouched, zero retries") {
+    val (win, tried) = Bench.resampleUntilClean(
+      Seq(1.0, 1.1, 1.05),
+      () => fail("must not measure when the first window is clean"),
+      maxRetries = 2)
+    assert(win == Seq(1.0, 1.1, 1.05) && tried == 0)
+  }
+
+  test("resample: a contaminated window triggers retries, stops at first clean batch") {
+    var calls = 0
+    val batches = Iterator(Seq(0.9, 0.95, 0.92), Seq(0.8, 0.82, 0.81))
+    val (win, tried) = Bench.resampleUntilClean(
+      Seq(0.36, 17.5, 17.1), // the r12 d_removal_survivors contamination shape
+      () => { calls += 1; batches.next() },
+      maxRetries = 2)
+    // first retry batch is already clean (spread 1.056) — second never runs
+    assert(calls == 1 && tried == 1)
+    assert(win == Seq(0.9, 0.95, 0.92))
+  }
+
+  test("resample: keeps the CLEANEST window, not merely the last") {
+    // retry 1 is cleaner than retry 2 (noise burst returned); minBy must
+    // pick batch 1 even though batch 2 was measured after it
+    val batches = Iterator(Seq(2.0, 5.0, 2.1), Seq(1.0, 4.0, 1.0))
+    val (win, tried) = Bench.resampleUntilClean(
+      Seq(0.4, 9.0, 0.4), () => batches.next(), maxRetries = 2)
+    assert(tried == 2)
+    assert(win == Seq(2.0, 5.0, 2.1)) // spread 2.5 < batch2's 4.0 < first's 22.5
+  }
+
+  test("resample: retry exhaustion returns the cleanest dirty window") {
+    var calls = 0
+    val (win, tried) = Bench.resampleUntilClean(
+      Seq(1.0, 8.0, 1.0),
+      () => { calls += 1; Seq(1.0, 5.0, 1.0) },
+      maxRetries = 3)
+    assert(calls == 3 && tried == 3)
+    assert(Bench.spreadRatio(win) == 5.0) // still > SpreadMax: caller marks retry_exhausted
+  }
+
+  test("resample: maxRetries = 0 disables healing (sentinel-only mode)") {
+    val dirty = Seq(0.3, 3.0, 0.31)
+    val (win, tried) = Bench.resampleUntilClean(
+      dirty, () => fail("retries disabled"), maxRetries = 0)
+    assert(win == dirty && tried == 0)
+  }
+
+  test("resample: clean-window tie-break is stable to the earliest batch") {
+    val a = Seq(2.0, 2.0, 2.0)
+    val batches = Iterator(a, Seq(1.0, 1.0, 1.0))
+    val (win, tried) = Bench.resampleUntilClean(
+      Seq(1.0, 3.0), () => batches.next(), maxRetries = 2)
+    // batch a has spread 1.0 and stops the loop; the equal-spread later
+    // batch never runs — minBy's first-minimum semantics keep `a`
+    assert(tried == 1 && win == a)
+  }
 }
