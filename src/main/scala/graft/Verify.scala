@@ -4,18 +4,63 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Cap-observation adjudication, pure so the off-local tolerance
+    * branch is spec-pinnable (r12 judge directive #1: this branch had
+    * never been taken — local[n] has no stage retry, so over-count was
+    * dead code until the local-cluster gate existed).
+    *
+    * `expectedCapped` is Some(n_capped from the query's own output) for
+    * the one cap-stating query (dd_capped_star_pairs), None for every
+    * NO-CAP oracle. Returns the action the gate must take. */
+  sealed trait CapVerdict
+  case object CapOk extends CapVerdict
+  final case class CapWarn(msg: String) extends CapVerdict
+  final case class CapFail(msg: String) extends CapVerdict
+
+  def capVerdict(
+      name: String,
+      isLocal: Boolean,
+      tripped: Long,
+      expectedCapped: Option[Long],
+      caps: Map[String, Long]): CapVerdict = expectedCapped match {
+    case None =>
+      if (tripped == 0) CapOk
+      else CapFail(s"star cap tripped under a no-cap oracle: $caps")
+    case Some(expected) =>
+      if (tripped == expected) CapOk
+      else if (!isLocal && tripped > expected)
+        // Exactly-once accumulator updates hold in local[n] (no stage
+        // retry / speculation); on a real cluster a retried stage can
+        // over-count, so off-local we tolerate overshoot with a warning.
+        // UNDER-count has no legitimate cause anywhere — always fail.
+        CapWarn(s"$name: observe metric $tripped > n_capped $expected " +
+          "(accumulator over-count under retry; tolerated off-local)")
+      else CapFail(s"observe metric $tripped != query n_capped $expected: $caps")
+  }
+
   def main(args: Array[String]): Unit = {
     // args: <sfDir> <outDir> [queryName...] — extra names run a subset
     // (local iteration); the driver passes exactly two.
     val Array(sfDir, outDir, only @ _*) = args: @unchecked
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // Process-boundary mode (r12 judge directive #1): everything to date
+    // ran in ONE JVM, where closure/aggregator serialization, broadcast
+    // of driver-built structures (Aho-Corasick tries, HNSW query sets)
+    // and accumulator plumbing are never truly exercised. Setting
+    // SPARK_GRAFT_MASTER=local-cluster[2,4,4096] runs this same gate
+    // with real separate executor JVMs; the executors need our compiled
+    // classes, which forked-JVM java.class.path carries.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (master.startsWith("local-cluster"))
+      builder.config("spark.executor.extraClassPath", sys.props("java.class.path"))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val selected =
@@ -45,28 +90,20 @@ object Verify {
           throw new IllegalStateException(
             s"cap observation(s) never reported (cap state unknown): $unreported")
         }
-        if (name == "dd_capped_star_pairs") {
-          // The query output carries n_capped on every row; the observe
-          // metric must agree with it exactly, not merely be non-zero.
-          // Exact equality assumes exactly-once accumulator updates,
-          // which holds in local[n] (no stage retry / speculation); on a
-          // real cluster a retried stage can over-count, so there we
-          // only require tripped >= expected and warn on the overshoot.
-          val expected = spark.read.parquet(s"$outDir/$name")
-            .select("n_capped").head.getLong(0)
-          if (!spark.sparkContext.isLocal && tripped >= expected) {
-            if (tripped > expected) System.err.println(
-              s"[verify] $name: observe metric $tripped > n_capped " +
-                s"$expected (accumulator over-count under retry; tolerated off-local)")
-          } else if (tripped != expected) {
+        // The cap-stating query's output carries n_capped on every row;
+        // the observe metric must agree with it (exactly on-local; see
+        // capVerdict for the off-local retry tolerance).
+        val expected =
+          if (name == "dd_capped_star_pairs")
+            Some(spark.read.parquet(s"$outDir/$name")
+              .select("n_capped").head.getLong(0))
+          else None
+        capVerdict(name, spark.sparkContext.isLocal, tripped, expected, caps) match {
+          case CapOk =>
+          case CapWarn(msg) => System.err.println(s"[verify] $msg")
+          case CapFail(msg) =>
             deleteRec(new java.io.File(s"$outDir/$name"))
-            throw new IllegalStateException(
-              s"observe metric $tripped != query n_capped $expected: $caps")
-          }
-        } else if (tripped != 0) {
-          deleteRec(new java.io.File(s"$outDir/$name"))
-          throw new IllegalStateException(
-            s"star cap tripped under a no-cap oracle: $caps")
+            throw new IllegalStateException(msg)
         }
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
