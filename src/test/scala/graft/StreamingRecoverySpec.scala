@@ -1,0 +1,149 @@
+package graft
+
+import java.io.File
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CROSS-JVM streaming state recovery (r12 judge directive #4): the
+  * production claim "state store bounded by watermark, exactly-once
+  * sink" had never survived a JVM death — every gate stream lives in
+  * one process under a shutdown-deleted scratch root. This spec runs
+  * [[graft.streaming.RecoveryProbe]] (durable HLL-DAU registers,
+  * parquet sink + checkpoint) in REAL child JVMs:
+  *
+  *   JVM 1: sees batch files 1,2 → drains → process EXITS.
+  *   (batch file 3 arrives)
+  *   JVM 2: same checkpoint → resumes at the next batch, replays
+  *          nothing, drains batch 3 → exits.
+  *   JVM 3: control — fresh checkpoint, all three files at once.
+  *
+  * The interrupted run's sink must equal the uninterrupted control's
+  * exactly (same emitted windows, same register maxima, no
+  * duplicates), and the resumed JVM must have CONTINUED the offset log
+  * rather than restarted it. */
+class StreamingRecoverySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // the build.sbt jdk17AddOpens list in single-token form — child JVMs
+  // create SparkSessions outside spark-submit just like the test JVM
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar"
+  ).map(p => s"--add-opens=$p=ALL-UNNAMED")
+
+  /** Launch RecoveryProbe in a separate JVM; returns (exitCode, log). */
+  private def runProbe(input: String, ckpt: String, out: String): (Int, String) = {
+    val cmd = Seq(s"${System.getProperty("java.home")}/bin/java") ++ addOpens ++
+      Seq("-Xmx2g", "-Dspark.ui.enabled=false",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.streaming.RecoveryProbe", input, ckpt, out)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    // drain concurrently so the child can't block on a full pipe
+    val log = new StringBuilder
+    val drain = new Thread(() => {
+      val r = new java.io.BufferedReader(
+        new java.io.InputStreamReader(p.getInputStream))
+      var line = r.readLine()
+      while (line != null) { log.append(line).append('\n'); line = r.readLine() }
+    })
+    drain.start()
+    val code = p.waitFor()
+    drain.join(10000)
+    (code, log.toString)
+  }
+
+  private def mkTmp(name: String): String = {
+    val d = Files.createTempDirectory(s"graft-recovery-$name").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  /** One single-file parquet batch per TIME TERCILE — batches must be
+    * time-ordered like real arrivals: a value-keyed split makes every
+    * later batch almost entirely late (watermark jumps to global max
+    * after batch 1) and the eviction timeline meaningless. */
+  private def stageBatches(stage: String): Seq[File] = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"ts", $"event_id")
+    val ev = spark.read.parquet(s"${TestSpark.Sf}/events.parquet")
+      .withColumn("_tile", org.apache.spark.sql.functions.ntile(3).over(w))
+    (0 until 3).map { i =>
+      val dir = s"$stage/b$i"
+      ev.filter($"_tile" === i + 1).drop("_tile").coalesce(1)
+        .write.mode("overwrite").parquet(dir)
+      new File(dir).listFiles
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(fail(s"no part file under $dir"))
+    }
+  }
+
+  private def canon(path: String): Map[String, Int] =
+    spark.read.parquet(path)
+      .select($"win_start", $"event_type", $"reg", $"mr")
+      .collect().map(_.toString).groupBy(identity)
+      .map { case (k, v) => (k, v.size) }
+
+  test("JVM death between batches: resumed run equals uninterrupted control") {
+    val stage = mkTmp("stage")
+    val input = mkTmp("input"); val ckpt = mkTmp("ckpt"); val out = mkTmp("out")
+    val inputC = mkTmp("inputc"); val ckptC = mkTmp("ckptc"); val outC = mkTmp("outc")
+    val batches = stageBatches(stage)
+
+    // the file source orders same-batch files by MODIFICATION TIME —
+    // identical mtimes (three cps in one tick) let the control and the
+    // interrupted run consume files in different orders and legitimately
+    // diverge (this spec's first run caught exactly that). Stamp strictly
+    // increasing mtimes so arrival order is the batch order everywhere.
+    val t0 = System.currentTimeMillis() - 60000
+    def arrive(dir: String, f: File, idx: Int): Unit = {
+      val dst = Paths.get(dir, s"batch$idx.parquet")
+      val _ = Files.copy(f.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+      val _2 = dst.toFile.setLastModified(t0 + idx * 1000L)
+    }
+
+    // control: all three files, one uninterrupted JVM
+    batches.zipWithIndex.foreach { case (f, i) => arrive(inputC, f, i) }
+    val (codeC, logC) = runProbe(inputC, ckptC, outC)
+    assert(codeC == 0, s"control probe failed:\n${logC.takeRight(4000)}")
+
+    // interrupted: two files, JVM runs and DIES (process exit)
+    arrive(input, batches(0), 0)
+    arrive(input, batches(1), 1)
+    val (code1, log1) = runProbe(input, ckpt, out)
+    assert(code1 == 0, s"first probe failed:\n${log1.takeRight(4000)}")
+    val offsetsAfter1 = new File(s"$ckpt/offsets").listFiles.length
+    assert(offsetsAfter1 >= 2, "two data files must commit >= 2 micro-batches")
+    val rowsAfter1 = spark.read.parquet(out).count()
+
+    // the third batch arrives; a FRESH JVM resumes from the checkpoint
+    arrive(input, batches(2), 2)
+    val (code2, log2) = runProbe(input, ckpt, out)
+    assert(code2 == 0, s"resumed probe failed:\n${log2.takeRight(4000)}")
+
+    // resumption, not restart: the offset log CONTINUED
+    val offsetsAfter2 = new File(s"$ckpt/offsets").listFiles.length
+    assert(offsetsAfter2 > offsetsAfter1,
+      "resumed JVM must append new micro-batches to the same offset log")
+
+    // and the state survived: final sink == uninterrupted control, exactly
+    val got = canon(out)
+    val expect = canon(outC)
+    assert(expect.nonEmpty, "control must emit watermark-closed windows")
+    assert(got == expect,
+      s"interrupted+resumed sink diverged from control " +
+        s"(got ${got.values.sum} rows, expected ${expect.values.sum})")
+    // the resumed run added rows (batch 3 closed more windows)
+    assert(got.values.sum.toLong > rowsAfter1,
+      "resumed run must emit the windows batch 3 closed")
+    // exactly-once: no duplicate register rows anywhere
+    assert(got.values.forall(_ == 1), "register rows must be unique")
+  }
+}
