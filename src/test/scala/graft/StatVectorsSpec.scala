@@ -165,4 +165,225 @@ class StatVectorsSpec extends AnyFunSuite {
     assert(math.abs(got("en")._2 - -1.046047) < 1e-5, s"en ${got("en")._2}")
     assert(math.abs(got("hi")._2 - -1.120212) < 1e-5, s"hi ${got("hi")._2}")
   }
+
+  // =================================================================
+  // Wave 2: events-table statistics. Planted feed: a 14-day click
+  // series with alternating daily counts [5,1,4,2,6,1,5,2,4,1,6,2,5,1]
+  // (strong lag-1 anticorrelation, Ljung-Box-rejectable), plus 8 users'
+  // view->purchase funnels with known conversion latencies (30/60/600/
+  // 1500/2880/5760 minutes; two users censored). Expected literals from
+  // the same independent Python transcription of the textbook formulas;
+  // KM/logrank additionally cross-checked against the plain product-
+  // limit / hypergeometric forms.
+
+  private lazy val evDir: String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-statvec-ev").toFile
+    d.deleteOnExit()
+    Seq(
+      (1L, 3600000000000L, 100L, "click", 0.5, ""),
+      (2L, 4200000000000L, 101L, "click", 1.5, ""),
+      (3L, 4800000000000L, 102L, "click", 2.5, ""),
+      (4L, 5400000000000L, 103L, "click", 3.5, ""),
+      (5L, 6000000000000L, 104L, "click", 4.5, ""),
+      (6L, 90000000000000L, 102L, "click", 7.5, ""),
+      (7L, 176400000000000L, 104L, "click", 4.5, ""),
+      (8L, 177000000000000L, 100L, "click", 5.5, ""),
+      (9L, 177600000000000L, 101L, "click", 6.5, ""),
+      (10L, 178200000000000L, 102L, "click", 7.5, ""),
+      (11L, 262800000000000L, 101L, "click", 1.5, ""),
+      (12L, 263400000000000L, 102L, "click", 2.5, ""),
+      (13L, 349200000000000L, 103L, "click", 8.5, ""),
+      (14L, 349800000000000L, 104L, "click", 9.5, ""),
+      (15L, 350400000000000L, 100L, "click", 0.5, ""),
+      (16L, 351000000000000L, 101L, "click", 1.5, ""),
+      (17L, 351600000000000L, 102L, "click", 2.5, ""),
+      (18L, 352200000000000L, 103L, "click", 3.5, ""),
+      (19L, 435600000000000L, 100L, "click", 5.5, ""),
+      (20L, 522000000000000L, 102L, "click", 2.5, ""),
+      (21L, 522600000000000L, 103L, "click", 3.5, ""),
+      (22L, 523200000000000L, 104L, "click", 4.5, ""),
+      (23L, 523800000000000L, 100L, "click", 5.5, ""),
+      (24L, 524400000000000L, 101L, "click", 6.5, ""),
+      (25L, 608400000000000L, 104L, "click", 9.5, ""),
+      (26L, 609000000000000L, 100L, "click", 0.5, ""),
+      (27L, 694800000000000L, 101L, "click", 6.5, ""),
+      (28L, 695400000000000L, 102L, "click", 7.5, ""),
+      (29L, 696000000000000L, 103L, "click", 8.5, ""),
+      (30L, 696600000000000L, 104L, "click", 9.5, ""),
+      (31L, 781200000000000L, 103L, "click", 3.5, ""),
+      (32L, 867600000000000L, 100L, "click", 0.5, ""),
+      (33L, 868200000000000L, 101L, "click", 1.5, ""),
+      (34L, 868800000000000L, 102L, "click", 2.5, ""),
+      (35L, 869400000000000L, 103L, "click", 3.5, ""),
+      (36L, 870000000000000L, 104L, "click", 4.5, ""),
+      (37L, 870600000000000L, 100L, "click", 5.5, ""),
+      (38L, 954000000000000L, 102L, "click", 7.5, ""),
+      (39L, 954600000000000L, 103L, "click", 8.5, ""),
+      (40L, 1040400000000000L, 104L, "click", 4.5, ""),
+      (41L, 1041000000000000L, 100L, "click", 5.5, ""),
+      (42L, 1041600000000000L, 101L, "click", 6.5, ""),
+      (43L, 1042200000000000L, 102L, "click", 7.5, ""),
+      (44L, 1042800000000000L, 103L, "click", 8.5, ""),
+      (45L, 1126800000000000L, 101L, "click", 1.5, ""),
+      (46L, 36000000000000L, 1L, "view", 1.25, ""),
+      (47L, 72000000000000L, 1L, "purchase", 2.75, ""),
+      (48L, 122400000000000L, 2L, "view", 2.25, ""),
+      (49L, 295200000000000L, 2L, "purchase", 4.75, ""),
+      (50L, 201600000000000L, 3L, "view", 3.25, ""),
+      (51L, 32400000000000L, 4L, "view", 4.25, ""),
+      (52L, 34200000000000L, 4L, "purchase", 8.75, ""),
+      (53L, 367200000000000L, 5L, "view", 5.25, ""),
+      (54L, 457200000000000L, 5L, "purchase", 10.75, ""),
+      (55L, 475200000000000L, 6L, "view", 6.25, ""),
+      (56L, 93600000000000L, 7L, "view", 7.25, ""),
+      (57L, 97200000000000L, 7L, "purchase", 14.75, ""),
+      (58L, 547200000000000L, 8L, "view", 8.25, ""),
+      (59L, 892800000000000L, 8L, "purchase", 16.75, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${d.getAbsolutePath}/events.parquet")
+    d.getAbsolutePath
+  }
+
+  private def runEv(name: String): Array[Row] =
+    SparkEntry.queries(name)(spark, evDir).collect()
+
+  test("ev_chi2_weekday: Pearson chi2 over the full type x dow grid") {
+    // chi2 = sum over ALL 18 grid cells (zeros included) of (O-E)^2/E
+    val Array(r) = runEv("ev_chi2_weekday")
+    assert(math.abs(r.getDouble(0) - 7.118814) < 1e-4, s"chi2 ${r.getDouble(0)}")
+    assert(r.getLong(1) == 12L && r.getLong(2) == 59L)
+  }
+
+  test("ev_theilsen_trend: median pairwise slope + median residual intercept") {
+    val want = Map( // type -> (slope, intercept, n_days)
+      "click" -> (0.0, 3.0, 14L),
+      "purchase" -> (0.0, 1.0, 5L),
+      "view" -> (-0.166667, 1.916667, 6L))
+    val got = runEv("ev_theilsen_trend")
+    assert(got.length == 3)
+    got.foreach { r =>
+      val (sl, ic, nd) = want(r.getString(0))
+      assert(math.abs(r.getDouble(1) - sl) < 1e-5, s"${r.getString(0)} slope")
+      assert(math.abs(r.getDouble(2) - ic) < 1e-5, s"${r.getString(0)} intercept")
+      assert(r.getLong(3) == nd, s"${r.getString(0)} n_days")
+    }
+  }
+
+  test("ev_winsorized_stats: clip counts at interpolated p01/p99, clipped mean") {
+    val want = Map( // type -> (lo, hi, mean)
+      "click" -> (0L, 0L, 4.788888),
+      "purchase" -> (1L, 1L, 9.75),
+      "view" -> (1L, 1L, 4.75))
+    val got = runEv("ev_winsorized_stats")
+    assert(got.length == 3)
+    got.foreach { r =>
+      val (lo, hi, m) = want(r.getString(0))
+      assert(r.getLong(1) == lo && r.getLong(2) == hi, s"${r.getString(0)} clips")
+      assert(math.abs(r.getDouble(3) - m) < 2e-6, s"${r.getString(0)} mean")
+    }
+  }
+
+  test("ev_two_proportion_ab: pooled z on the planted conversion cohorts") {
+    // grp1 converts 2/4 within 24h, grp0 1/4; z = 0.730296...
+    val Array(r) = runEv("ev_two_proportion_ab")
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 2L, 4L, 1L)))
+    assert(r.getLong(4) == 500000L && r.getLong(5) == 250000L)
+    assert(approx(r.getLong(6), 730296L), s"z ${r.getLong(6)}")
+  }
+
+  test("ev_survival_km: product-limit curve hits the textbook fractions") {
+    // 8 at risk, one conversion at each planted latency, no ties:
+    // S = 7/8, 6/8, ... floored at 1e-6 by the log-sum path
+    val want = Map( // t_min -> (n_at_risk, survival)
+      30L -> (8L, 0.875), 60L -> (7L, 0.75), 600L -> (6L, 0.625),
+      1500L -> (5L, 0.5), 2880L -> (4L, 0.375), 5760L -> (3L, 0.25))
+    val got = runEv("ev_survival_km")
+    assert(got.length == 6)
+    got.foreach { r =>
+      val (ar, sv) = want(r.getLong(0))
+      assert(r.getLong(1) == ar, s"t=${r.getLong(0)} at-risk")
+      assert(r.getLong(2) == 1L && r.getLong(3) == 0L, s"t=${r.getLong(0)} d/c")
+      assert(math.abs(r.getDouble(4) - sv) < 2e-6, s"t=${r.getLong(0)} survival")
+    }
+  }
+
+  test("ev_logrank: hypergeometric E/V sums vs the textbook fold") {
+    // textbook E1 = 2.554761904..., V = 1.394620, z = 0.377020
+    val Array(r) = runEv("ev_logrank")
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((8L, 4L, 3L)))
+    assert(math.abs(r.getLong(3) - 2554761L) <= 6L, // per-term micro floors
+      s"e1 ${r.getLong(3)}")
+    assert(approx(r.getLong(4), 377020L, tol = 3), s"z ${r.getLong(4)}")
+  }
+
+  test("ev_acf_daily: per-lag Pearson over the zero-filled day spine") {
+    val want = Map[(String, Int), Option[Double]](
+      ("click", 1) -> Some(-0.878103), ("click", 2) -> Some(0.786982),
+      ("click", 3) -> Some(-0.869546), ("click", 4) -> Some(0.90028),
+      ("click", 5) -> Some(-0.935414), ("click", 6) -> Some(0.927273),
+      ("click", 7) -> Some(-0.805076),
+      ("purchase", 1) -> Some(0.0), ("purchase", 2) -> Some(0.114708),
+      ("purchase", 3) -> Some(0.046374), ("purchase", 4) -> Some(-0.193649),
+      ("purchase", 5) -> Some(0.685994), ("purchase", 6) -> Some(-0.534522),
+      ("purchase", 7) -> Some(0.0),
+      ("view", 1) -> Some(0.420084), ("view", 2) -> Some(-0.534522),
+      ("view", 3) -> Some(-0.522233),
+      ("view", 4) -> None, ("view", 5) -> None, ("view", 6) -> None)
+    val got = runEv("ev_acf_daily")
+    assert(got.length == want.size, s"rows ${got.length}")
+    got.foreach { r =>
+      val k = (r.getString(0), r.getLong(1).toInt)
+      want(k) match {
+        case Some(v) => assert(!r.isNullAt(3) &&
+          math.abs(r.getDouble(3) - v) < 1e-5, s"$k acf")
+        case None => assert(r.isNullAt(3), s"$k must be null (zero variance)")
+      }
+    }
+  }
+
+  test("ev_ljung_box: Q statistic vs the standard-estimator fold; short series drop") {
+    // click Q = 59.283244 (strong alternation -> rejected at 14.067);
+    // purchase Q = 3.993298 (white-noise-compatible); view spine is 7
+    // days < 8 and must not appear
+    val got = runEv("ev_ljung_box").map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got.keySet == Set("click", "purchase"))
+    assert(got("click")._1 == 14L && got("click")._3)
+    assert(math.abs(got("click")._2 - 59283244L) <= 10L, s"${got("click")._2}")
+    assert(got("purchase")._1 == 11L && !got("purchase")._3)
+    assert(math.abs(got("purchase")._2 - 3993298L) <= 10L, s"${got("purchase")._2}")
+  }
+
+  test("ev_granger_pairs: closed-form lag-1 OLS F per ordered type pair") {
+    val want = Map( // (cause, effect) -> (n, f_micros, signal)
+      ("click", "purchase") -> (10L, 1400000L, false),
+      ("click", "view") -> (6L, 40723L, false),
+      ("purchase", "click") -> (10L, 35368L, false),
+      ("purchase", "view") -> (6L, 5593350L, true),
+      ("view", "click") -> (6L, 15307678L, true),
+      ("view", "purchase") -> (6L, 529411L, false))
+    val got = runEv("ev_granger_pairs")
+    assert(got.length == 6)
+    got.foreach { r =>
+      val (n, f, sig) = want((r.getString(0), r.getString(1)))
+      assert(r.getLong(2) == n, s"${r.getString(0)}->${r.getString(1)} n")
+      assert(approx(r.getLong(3), f, tol = 5),
+        s"${r.getString(0)}->${r.getString(1)} F ${r.getLong(3)}")
+      assert(r.getBoolean(4) == sig, s"${r.getString(0)}->${r.getString(1)} signal")
+    }
+  }
+
+  test("ev_markov_stationary: absorbing click chain -> (1, 0); purchase never a source") {
+    // click->click always; view mass leaks to the absorbing purchase
+    // column and renormalization sends it to the closed click class
+    val got = runEv("ev_markov_stationary").map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == Set("click", "view"),
+      "purchase is never a source state and must not appear")
+    assert(got("click")._1 >= 999995L && got("click")._2 == 762711L)
+    assert(got("view")._1 <= 5L && got("view")._2 == 135593L)
+  }
 }
