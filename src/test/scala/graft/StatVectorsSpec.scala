@@ -386,4 +386,230 @@ class StatVectorsSpec extends AnyFunSuite {
     assert(got("click")._1 >= 999995L && got("click")._2 == 762711L)
     assert(got("view")._1 <= 5L && got("view")._2 == 135593L)
   }
+
+  // =================================================================
+  // Wave 3: entropy / smoothing / calibration / transform vectors.
+
+  test("d_entropy_scores: Shannon entropy per doc vs direct -sum(p log2 p)") {
+    val want = Map( // doc_id -> (len(text), char_entropy, n_tok, token_entropy)
+      1L -> (5L, 1.921929, 2L, 1.0), 2L -> (8L, 2.155639, 3L, 1.584963),
+      3L -> (14L, 2.406667, 5L, 2.32193), 4L -> (11L, 2.118078, 4L, 1.5),
+      5L -> (2L, 1.0, 1L, 0.0), 6L -> (5L, 1.521928, 2L, 0.0),
+      7L -> (8L, 2.155639, 3L, 1.584963), 8L -> (20L, 2.088377, 7L, 1.448815),
+      9L -> (26L, 2.68008, 9L, 3.169926))
+    val got = run("d_entropy_scores")
+    assert(got.length == 9)
+    got.foreach { r =>
+      val (nc, ce, nt, te) = want(r.getLong(0))
+      assert(r.getLong(1) == nc && r.getLong(3) == nt, s"doc ${r.getLong(0)} counts")
+      assert(math.abs(r.getDouble(2) - ce) < 3e-6, s"doc ${r.getLong(0)} char H")
+      assert(math.abs(r.getDouble(4) - te) < 3e-6, s"doc ${r.getLong(0)} token H")
+      assert(r.getBoolean(5) == (ce < 3.0), s"doc ${r.getLong(0)} low flag")
+    }
+  }
+
+  test("d_kneser_ney: interpolated KN bigram probs vs textbook D=0.75 form") {
+    // p_KN(w2|w1) = (max(c-0.75,0) + 0.75·n1+(w1·)·|{·w2}|/T) / c(w1·) —
+    // every planted bigram cross-checked against the plain float form
+    val want = Map(
+      "w1 w2" -> (4L, 581140L), "w2 w3" -> (3L, 601973L),
+      "h1 h2" -> (2L, 495614L), "h2 h1" -> (2L, 342105L),
+      "w3 w4" -> (2L, 644736L), "h1 h3" -> (1L, 135964L),
+      "h2 h2" -> (1L, 151315L), "h2 h3" -> (1L, 121710L),
+      "h3 h2" -> (1L, 243421L), "h3 h4" -> (1L, 164473L),
+      "h4 h5" -> (1L, 289473L), "w1 w1" -> (1L, 61403L),
+      "w1 w3" -> (1L, 81140L), "w2 w2" -> (1L, 101973L),
+      "w4 w5" -> (1L, 289473L), "w5 w6" -> (1L, 289473L),
+      "w6 w7" -> (1L, 289473L), "w7 w8" -> (1L, 289473L),
+      "w8 w9" -> (1L, 289473L))
+    val got = run("d_kneser_ney")
+    assert(got.length == 19, s"19 planted bigram types, got ${got.length}")
+    got.foreach { r =>
+      val (n, pk) = want(r.getString(0))
+      assert(r.getLong(1) == n, s"${r.getString(0)} count")
+      assert(r.getLong(2) == pk, // exact integer path
+        s"${r.getString(0)} p_kn ${r.getLong(2)} want $pk")
+    }
+  }
+
+  test("d_isotonic_calibration: PAV fit pools the planted violation exactly") {
+    // en rates by bucket: 0/2, 2/3, 1/4, 1/1 — buckets 1,2 violate and
+    // must pool to 3/7; hi is already monotone and must pass through
+    val want = Map( // (lang, x) -> (w, n_pos, fitted_micros)
+      ("en", 0L) -> (2L, 0L, 0L), ("en", 1L) -> (3L, 2L, 428571L),
+      ("en", 2L) -> (4L, 1L, 428571L), ("en", 3L) -> (1L, 1L, 1000000L),
+      ("hi", 0L) -> (1L, 0L, 0L), ("hi", 1L) -> (2L, 1L, 500000L),
+      ("hi", 2L) -> (2L, 2L, 1000000L))
+    val got = SparkEntry.queries("d_isotonic_calibration")(spark, isoDir).collect()
+    assert(got.length == 7)
+    got.foreach { r =>
+      val (w, np, f) = want((r.getString(0), r.getLong(1)))
+      assert(r.getLong(2) == w && r.getLong(3) == np,
+        s"(${r.getString(0)},${r.getLong(1)}) inputs")
+      assert(r.getLong(4) == f, // exact: min-max over floored block means
+        s"(${r.getString(0)},${r.getLong(1)}) fitted ${r.getLong(4)} want $f")
+    }
+  }
+
+  test("q_benford_audit: chi-square vs Benford expectations on planted digits") {
+    val want = Map( // digit -> (n, observed, chi_term)
+      "1" -> (7L, 0.35, 0.007966), "2" -> (3L, 0.15, 0.003866),
+      "3" -> (3L, 0.15, 0.005027), "4" -> (1L, 0.05, 0.022707),
+      "5" -> (2L, 0.1, 0.005474), "6" -> (1L, 0.05, 0.00429),
+      "7" -> (1L, 0.05, 0.001101), "8" -> (1L, 0.05, 2.6e-05),
+      "9" -> (1L, 0.05, 0.000393))
+    val got = SparkEntry.queries("q_benford_audit")(spark, benfordDir).collect()
+    assert(got.length == 9)
+    got.foreach { r =>
+      val (n, obs, chi) = want(r.getString(0))
+      assert(r.getLong(1) == n, s"digit ${r.getString(0)} n")
+      assert(math.abs(r.getDouble(2) - obs) < 1e-9, s"digit ${r.getString(0)} observed")
+      // expected must be the true Benford mass, not a mirror of ours
+      assert(math.abs(r.getDouble(3) - math.log10(1 + 1.0 / r.getString(0).toInt))
+        < 1e-6, s"digit ${r.getString(0)} Benford expectation")
+      assert(math.abs(r.getDouble(4) - chi) < 2e-6, s"digit ${r.getString(0)} chi")
+      assert(math.abs(r.getDouble(5) - 0.05085) < 1e-5, "chi total")
+    }
+  }
+
+  test("ev_haar_daily: unnormalized integer Haar transform equals a direct loop") {
+    val want = Map[(String, Long, Long), Long](
+      ("click", 0L, 0L) -> 45L,
+      ("click", 1L, 0L) -> 4L,
+      ("click", 1L, 1L) -> 2L,
+      ("click", 1L, 2L) -> 5L,
+      ("click", 1L, 3L) -> 3L,
+      ("click", 1L, 4L) -> 3L,
+      ("click", 1L, 5L) -> 4L,
+      ("click", 1L, 6L) -> 4L,
+      ("click", 1L, 7L) -> 0L,
+      ("click", 1L, 8L) -> 0L,
+      ("click", 1L, 9L) -> 0L,
+      ("click", 1L, 10L) -> 0L,
+      ("click", 1L, 11L) -> 0L,
+      ("click", 1L, 12L) -> 0L,
+      ("click", 1L, 13L) -> 0L,
+      ("click", 1L, 14L) -> 0L,
+      ("click", 1L, 15L) -> 0L,
+      ("click", 2L, 0L) -> 0L,
+      ("click", 2L, 1L) -> 0L,
+      ("click", 2L, 2L) -> -3L,
+      ("click", 2L, 3L) -> 6L,
+      ("click", 2L, 4L) -> 0L,
+      ("click", 2L, 5L) -> 0L,
+      ("click", 2L, 6L) -> 0L,
+      ("click", 2L, 7L) -> 0L,
+      ("click", 3L, 0L) -> -2L,
+      ("click", 3L, 1L) -> 7L,
+      ("click", 3L, 2L) -> 0L,
+      ("click", 3L, 3L) -> 0L,
+      ("click", 4L, 0L) -> 7L,
+      ("click", 4L, 1L) -> 0L,
+      ("click", 5L, 0L) -> 45L,
+      ("purchase", 0L, 0L) -> 6L,
+      ("purchase", 1L, 0L) -> 1L,
+      ("purchase", 1L, 1L) -> -1L,
+      ("purchase", 1L, 2L) -> -1L,
+      ("purchase", 1L, 3L) -> 0L,
+      ("purchase", 1L, 4L) -> 0L,
+      ("purchase", 1L, 5L) -> 1L,
+      ("purchase", 1L, 6L) -> 0L,
+      ("purchase", 1L, 7L) -> 0L,
+      ("purchase", 1L, 8L) -> 0L,
+      ("purchase", 1L, 9L) -> 0L,
+      ("purchase", 1L, 10L) -> 0L,
+      ("purchase", 1L, 11L) -> 0L,
+      ("purchase", 1L, 12L) -> 0L,
+      ("purchase", 1L, 13L) -> 0L,
+      ("purchase", 1L, 14L) -> 0L,
+      ("purchase", 1L, 15L) -> 0L,
+      ("purchase", 2L, 0L) -> 2L,
+      ("purchase", 2L, 1L) -> 1L,
+      ("purchase", 2L, 2L) -> -1L,
+      ("purchase", 2L, 3L) -> 0L,
+      ("purchase", 2L, 4L) -> 0L,
+      ("purchase", 2L, 5L) -> 0L,
+      ("purchase", 2L, 6L) -> 0L,
+      ("purchase", 2L, 7L) -> 0L,
+      ("purchase", 3L, 0L) -> 3L,
+      ("purchase", 3L, 1L) -> 1L,
+      ("purchase", 3L, 2L) -> 0L,
+      ("purchase", 3L, 3L) -> 0L,
+      ("purchase", 4L, 0L) -> 4L,
+      ("purchase", 4L, 1L) -> 0L,
+      ("purchase", 5L, 0L) -> 6L,
+      ("view", 0L, 0L) -> 8L,
+      ("view", 1L, 0L) -> 0L,
+      ("view", 1L, 1L) -> 1L,
+      ("view", 1L, 2L) -> 0L,
+      ("view", 1L, 3L) -> 1L,
+      ("view", 1L, 4L) -> 0L,
+      ("view", 1L, 5L) -> 0L,
+      ("view", 1L, 6L) -> 0L,
+      ("view", 1L, 7L) -> 0L,
+      ("view", 1L, 8L) -> 0L,
+      ("view", 1L, 9L) -> 0L,
+      ("view", 1L, 10L) -> 0L,
+      ("view", 1L, 11L) -> 0L,
+      ("view", 1L, 12L) -> 0L,
+      ("view", 1L, 13L) -> 0L,
+      ("view", 1L, 14L) -> 0L,
+      ("view", 1L, 15L) -> 0L,
+      ("view", 2L, 0L) -> 3L,
+      ("view", 2L, 1L) -> 1L,
+      ("view", 2L, 2L) -> 0L,
+      ("view", 2L, 3L) -> 0L,
+      ("view", 2L, 4L) -> 0L,
+      ("view", 2L, 5L) -> 0L,
+      ("view", 2L, 6L) -> 0L,
+      ("view", 2L, 7L) -> 0L,
+      ("view", 3L, 0L) -> 2L,
+      ("view", 3L, 1L) -> 0L,
+      ("view", 3L, 2L) -> 0L,
+      ("view", 3L, 3L) -> 0L,
+      ("view", 4L, 0L) -> 8L,
+      ("view", 4L, 1L) -> 0L,
+      ("view", 5L, 0L) -> 8L
+    )
+    val got = runEv("ev_haar_daily")
+    assert(got.length == want.size, s"rows ${got.length} want ${want.size}")
+    got.foreach { r =>
+      val k = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(r.getLong(3) == want(k), s"$k coeff ${r.getLong(3)} want ${want(k)}") // exact ints
+    }
+  }
+
+  /** planted PAV table: q-marked texts with a monotonicity violation */
+  private lazy val isoDir: String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-statvec-iso").toFile
+    d.deleteOnExit()
+    Seq(
+      (1L, "no letter", "en", "s", 50L), (2L, "no letter", "en", "s", 60L),
+      (3L, "has q here", "en", "s", 150L), (4L, "has q here", "en", "s", 160L),
+      (5L, "no letter", "en", "s", 170L), (6L, "no letter", "en", "s", 250L),
+      (7L, "no letter", "en", "s", 260L), (8L, "has q here", "en", "s", 270L),
+      (9L, "no letter", "en", "s", 280L), (10L, "has q here", "en", "s", 350L),
+      (11L, "no letter", "hi", "s", 50L), (12L, "has q here", "hi", "s", 150L),
+      (13L, "no letter", "hi", "s", 160L), (14L, "has q here", "hi", "s", 250L),
+      (15L, "has q here", "hi", "s", 260L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${d.getAbsolutePath}/documents.parquet")
+    d.getAbsolutePath
+  }
+
+  /** planted orders with known leading-digit counts (7,3,3,1,2,1,1,1,1) */
+  private lazy val benfordDir: String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-statvec-ben").toFile
+    d.deleteOnExit()
+    Seq(1.5, 12.0, 19.99, 100.0, 2.25, 25.0, 3.5, 31.0, 35.99, 4.75,
+        5.0, 55.5, 6.0, 7.25, 8.5, 9.99, 11.0, 13.5, 17.0, 21.0)
+      .zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("o_orderkey", "o_totalprice")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${d.getAbsolutePath}/orders.parquet")
+    d.getAbsolutePath
+  }
 }
