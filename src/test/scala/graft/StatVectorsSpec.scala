@@ -579,6 +579,21 @@ class StatVectorsSpec extends AnyFunSuite {
     }
   }
 
+  test("d_mad_lengths: lower median + MAD exact on the planted lengths") {
+    // a: lengths (40,90,150) -> median 90, devs (50,0,60) -> MAD 50
+    // b: (90,200) -> lower median 90, devs (0,110) -> lower median 0
+    // c: (250,250,480,551) -> rank-2 median 250, devs (0,0,230,301) -> 0
+    val want = Map(
+      "a" -> (3L, 90L, 50L), "b" -> (2L, 90L, 0L), "c" -> (4L, 250L, 0L))
+    val got = run("d_mad_lengths")
+    assert(got.length == 3)
+    got.foreach { r =>
+      val (n, med, mad) = want(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == med && r.getLong(3) == mad,
+        s"${r.getString(0)}: (${r.getLong(1)},${r.getLong(2)},${r.getLong(3)})")
+    }
+  }
+
   /** planted PAV table: q-marked texts with a monotonicity violation */
   private lazy val isoDir: String = {
     import spark.implicits._
