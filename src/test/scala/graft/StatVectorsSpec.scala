@@ -627,4 +627,70 @@ class StatVectorsSpec extends AnyFunSuite {
       .parquet(s"${d.getAbsolutePath}/orders.parquet")
     d.getAbsolutePath
   }
+
+  test("ev_seasonal_decompose: two-way additive decomposition on a planted grid") {
+    // 2 days x 3 hours of error counts (2,4,6 / 4,6,9): trend = day
+    // mean over observed hours, seasonal = hour-of-day mean over days,
+    // residual = n - trend - seasonal + grand mean (31/6)
+    val want = Map( // window_start -> (n, trend_day, seasonal_hour, residual)
+      "1970-01-01 01:00:00" -> (2L, 4.0, 3.0, 0.166667),
+      "1970-01-01 02:00:00" -> (4L, 4.0, 5.0, 0.166667),
+      "1970-01-01 03:00:00" -> (6L, 4.0, 7.5, -0.333333),
+      "1970-01-02 01:00:00" -> (4L, 6.333333, 3.0, -0.166667),
+      "1970-01-02 02:00:00" -> (6L, 6.333333, 5.0, -0.166667),
+      "1970-01-02 03:00:00" -> (9L, 6.333333, 7.5, 0.333333))
+    val got = SparkEntry.queries("ev_seasonal_decompose")(spark, seasonalDir).collect()
+    assert(got.length == 6)
+    got.foreach { r =>
+      assert(r.getString(0) == "error")
+      val (n, tr, se, res) = want(r.getString(1))
+      assert(r.getLong(2) == n, s"${r.getString(1)} n")
+      assert(math.abs(r.getDouble(3) - tr) < 1e-6, s"${r.getString(1)} trend")
+      assert(math.abs(r.getDouble(4) - se) < 1e-6, s"${r.getString(1)} seasonal")
+      assert(math.abs(r.getDouble(5) - res) < 2e-6, s"${r.getString(1)} residual")
+    }
+  }
+
+  /** planted error-event hour grid for the seasonal decomposition */
+  private lazy val seasonalDir: String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-statvec-sea").toFile
+    d.deleteOnExit()
+    Seq(
+      (1L, 3600000000000L, 100L, "error", 1.0, ""),
+      (2L, 3660000000000L, 101L, "error", 1.0, ""),
+      (3L, 7200000000000L, 100L, "error", 1.0, ""),
+      (4L, 7260000000000L, 101L, "error", 1.0, ""),
+      (5L, 7320000000000L, 102L, "error", 1.0, ""),
+      (6L, 7380000000000L, 103L, "error", 1.0, ""),
+      (7L, 10800000000000L, 100L, "error", 1.0, ""),
+      (8L, 10860000000000L, 101L, "error", 1.0, ""),
+      (9L, 10920000000000L, 102L, "error", 1.0, ""),
+      (10L, 10980000000000L, 103L, "error", 1.0, ""),
+      (11L, 11040000000000L, 104L, "error", 1.0, ""),
+      (12L, 11100000000000L, 105L, "error", 1.0, ""),
+      (13L, 90000000000000L, 100L, "error", 1.0, ""),
+      (14L, 90060000000000L, 101L, "error", 1.0, ""),
+      (15L, 90120000000000L, 102L, "error", 1.0, ""),
+      (16L, 90180000000000L, 103L, "error", 1.0, ""),
+      (17L, 93600000000000L, 100L, "error", 1.0, ""),
+      (18L, 93660000000000L, 101L, "error", 1.0, ""),
+      (19L, 93720000000000L, 102L, "error", 1.0, ""),
+      (20L, 93780000000000L, 103L, "error", 1.0, ""),
+      (21L, 93840000000000L, 104L, "error", 1.0, ""),
+      (22L, 93900000000000L, 105L, "error", 1.0, ""),
+      (23L, 97200000000000L, 100L, "error", 1.0, ""),
+      (24L, 97260000000000L, 101L, "error", 1.0, ""),
+      (25L, 97320000000000L, 102L, "error", 1.0, ""),
+      (26L, 97380000000000L, 103L, "error", 1.0, ""),
+      (27L, 97440000000000L, 104L, "error", 1.0, ""),
+      (28L, 97500000000000L, 105L, "error", 1.0, ""),
+      (29L, 97560000000000L, 106L, "error", 1.0, ""),
+      (30L, 97620000000000L, 107L, "error", 1.0, ""),
+      (31L, 97680000000000L, 108L, "error", 1.0, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${d.getAbsolutePath}/events.parquet")
+    d.getAbsolutePath
+  }
 }
