@@ -693,4 +693,79 @@ class StatVectorsSpec extends AnyFunSuite {
       .parquet(s"${d.getAbsolutePath}/events.parquet")
     d.getAbsolutePath
   }
+
+  test("d_retrieval_eval: MRR and nDCG@10 vs direct BM25+DCG computation") {
+    // planted index: query terms qa..qf with distinct dfs 8..3 (so the
+    // derived 2x3-term queries are fixed); doc 3 is graded 3 for both
+    // queries but padded to 28 tokens so BM25 demotes it below lower-
+    // graded docs — the ranking DIVERGES from the ideal ordering and
+    // nDCG < 1 (0.996258 / 0.983291 from the independent computation)
+    val want = Map(
+      0L -> (6L, 1.0, 0.996258),
+      1L -> (3L, 1.0, 0.983291))
+    val got = SparkEntry.queries("d_retrieval_eval")(spark, irDir).collect()
+    assert(got.length == 2)
+    got.foreach { r =>
+      val (n3, mrr, ndcg) = want(r.getLong(0))
+      assert(r.getLong(1) == n3, s"q${r.getLong(0)} n_relevant")
+      assert(math.abs(r.getDouble(2) - mrr) < 1e-9, s"q${r.getLong(0)} mrr")
+      assert(math.abs(r.getDouble(3) - ndcg) < 2e-6,
+        s"q${r.getLong(0)} ndcg ${r.getDouble(3)}")
+    }
+  }
+
+  test("d_ranking_agreement: RBO@5 of fully-agreeing 2-neighbor lists = 0.306694") {
+    // three identical docs: both rankers (tfidf cosine, winnow overlap)
+    // order each doc's two neighbors identically (tie-break by id), so
+    // RBO@5 is the closed-form truncated sum
+    // 0.1·(1/1 + 0.9·2/2 + 0.81·2/3 + 0.729·2/4 + 0.6561·2/5) = 0.3066944
+    val got = SparkEntry.queries("d_ranking_agreement")(spark, rboDir).collect()
+    assert(got.length == 3, s"3 agreeing queries, got ${got.length}")
+    assert(got.map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    got.foreach { r =>
+      assert(math.abs(r.getDouble(1) - 0.306694) < 1e-6,
+        s"q${r.getLong(0)} rbo ${r.getDouble(1)}")
+    }
+  }
+
+  /** planted BM25 index: controlled dfs + one long high-grade doc */
+  private lazy val irDir: String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-statvec-ir").toFile
+    d.deleteOnExit()
+    Seq(
+      (1L, "qa qb qc qd qe qf", "en", "s", 10L),
+      (2L, "qa qb qc qd qe qf f2a", "en", "s", 20L),
+      (3L, "qa qb qc qd qe qf f3a f3b f3c f3d f3e f3f f3g f3h f3i f3j f3k f3l f3m f3n f3o f3p f3q f3r f3s f3t f3u f3v", "en", "s", 30L),
+      (4L, "qa qb qc qd qe f4a f4b f4c", "en", "s", 40L),
+      (5L, "qa qb qc qd f5a f5b f5c f5d", "en", "s", 50L),
+      (6L, "qa qb qc f6a f6b f6c f6d f6e", "en", "s", 60L),
+      (7L, "qa qb f7a f7b f7c f7d f7e f7f", "en", "s", 70L),
+      (8L, "qa f8a f8b f8c f8d f8e f8f f8g", "en", "s", 80L),
+      (9L, "f9a f9b f9c", "en", "s", 90L),
+      (10L, "f10a f10b f10c", "en", "s", 100L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${d.getAbsolutePath}/documents.parquet")
+    d.getAbsolutePath
+  }
+
+  /** planted ranking-agreement corpus: 3 identical 12-token docs (both
+    * similarity systems must pair them) + disjoint-vocabulary fillers */
+  private lazy val rboDir: String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-statvec-rbo").toFile
+    d.deleteOnExit()
+    val same = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    Seq(
+      (1L, same, "en", "s", 10L),
+      (2L, same, "en", "s", 20L),
+      (3L, same, "en", "s", 30L),
+      (4L, "u4a u4b u4c u4d u4e u4f u4g u4h u4i", "en", "s", 40L),
+      (5L, "u5a u5b u5c u5d u5e u5f u5g u5h u5i", "en", "s", 50L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${d.getAbsolutePath}/documents.parquet")
+    d.getAbsolutePath
+  }
 }
