@@ -146,4 +146,55 @@ class StreamingRecoverySpec extends AnyFunSuite {
     // exactly-once: no duplicate register rows anywhere
     assert(got.values.forall(_ == 1), "register rows must be unique")
   }
+
+  /** Launch the probe and SIGKILL it as soon as the first micro-batch
+    * offset is logged — a crash MID-STREAM, not a clean drain. */
+  private def runProbeKilled(input: String, ckpt: String, out: String): Unit = {
+    val cmd = Seq(s"${System.getProperty("java.home")}/bin/java") ++ addOpens ++
+      Seq("-Xmx2g", "-Dspark.ui.enabled=false",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.streaming.RecoveryProbe", input, ckpt, out)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(new File("/dev/null"))
+    val p = pb.start()
+    val offsets = new File(s"$ckpt/offsets")
+    val deadline = System.currentTimeMillis() + 120000
+    while (p.isAlive &&
+        !(offsets.isDirectory && offsets.listFiles.exists(_.getName == "0")) &&
+        System.currentTimeMillis() < deadline) {
+      Thread.sleep(50)
+    }
+    Thread.sleep(200) // let batch 1 get underway, then kill hard
+    p.destroyForcibly()
+    val _ = p.waitFor()
+  }
+
+  test("SIGKILL mid-stream: forcible crash resumes without loss or duplication") {
+    val stage = mkTmp("kstage")
+    val input = mkTmp("kinput"); val ckpt = mkTmp("kckpt"); val out = mkTmp("kout")
+    val inputC = mkTmp("kinputc"); val ckptC = mkTmp("kckptc"); val outC = mkTmp("koutc")
+    val batches = stageBatches(stage)
+    val t0 = System.currentTimeMillis() - 60000
+    def arrive(dir: String, f: File, idx: Int): Unit = {
+      val dst = Paths.get(dir, s"batch$idx.parquet")
+      val _ = Files.copy(f.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+      val _2 = dst.toFile.setLastModified(t0 + idx * 1000L)
+    }
+    batches.zipWithIndex.foreach { case (f, i) => arrive(inputC, f, i) }
+    batches.zipWithIndex.foreach { case (f, i) => arrive(input, f, i) }
+    val (codeC, logC) = runProbe(inputC, ckptC, outC)
+    assert(codeC == 0, s"control failed:\n${logC.takeRight(4000)}")
+    // crash the first attempt mid-stream (all three files already queued),
+    // then a fresh JVM drives the SAME checkpoint to completion
+    runProbeKilled(input, ckpt, out)
+    val (code2, log2) = runProbe(input, ckpt, out)
+    assert(code2 == 0, s"post-crash resume failed:\n${log2.takeRight(4000)}")
+    val got = canon(out)
+    val expect = canon(outC)
+    assert(expect.nonEmpty)
+    assert(got == expect,
+      s"post-crash sink diverged (got ${got.values.sum}, want ${expect.values.sum})")
+    assert(got.values.forall(_ == 1), "exactly-once: no duplicate rows after a crash")
+  }
 }
