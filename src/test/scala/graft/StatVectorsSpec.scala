@@ -768,4 +768,93 @@ class StatVectorsSpec extends AnyFunSuite {
       .parquet(s"${d.getAbsolutePath}/documents.parquet")
     d.getAbsolutePath
   }
+
+  // =================================================================
+  // Wave 4: lexical-formula vectors (PMI, RAKE, TextRank, Flesch).
+
+  private lazy val lexDir: String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-statvec-lex").toFile
+    d.deleteOnExit()
+    Seq(
+      (1L, "big deal the red car a big deal", "en", "s", 10L),
+      (2L, "big deal the red car", "en", "s", 20L),
+      (3L, "big deal a red car", "en", "s", 30L),
+      (4L, "big deal red car", "en", "s", 40L),
+      (5L, "big deal the fast train", "en", "s", 50L),
+      (6L, "big deal a fast train", "en", "s", 60L),
+      (7L, "red car the quick brown fox", "en", "s", 70L),
+      (8L, "quick brown fox runs", "en", "s", 80L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${d.getAbsolutePath}/documents.parquet")
+    d.getAbsolutePath
+  }
+  private def runLex(name: String): Array[Row] =
+    SparkEntry.queries(name)(spark, lexDir).collect()
+
+  test("d_collocations: PMI of the planted >= 5-count bigrams vs direct log-ratio") {
+    // "red car" x5 and "big deal" x7 clear the noise floor; PMI =
+    // log10(p(ab)/(p(a)p(b))) with the query's 6dp share rounding
+    val got = runLex("d_collocations")
+    assert(got.length == 2)
+    val byRk = got.map(r => r.getLong(0) ->
+      (r.getString(1), r.getString(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(byRk(1L)._1 == "red" && byRk(1L)._2 == "car" && byRk(1L)._3 == 5L)
+    assert(math.abs(byRk(1L)._4 - 1.016047) < 2e-6, s"${byRk(1L)._4}")
+    assert(byRk(2L)._1 == "big" && byRk(2L)._2 == "deal" && byRk(2L)._3 == 7L)
+    assert(math.abs(byRk(2L)._4 - 0.869919) < 2e-6, s"${byRk(2L)._4}")
+  }
+
+  test("d_rake_keyphrases: deg/freq island scores vs a direct RAKE fold") {
+    val want = Map( // phrase -> (n_words, n_occ, rake_score)
+      "quick brown fox runs" -> (4L, 1L, 14.5),
+      "quick brown fox" -> (3L, 1L, 10.5),
+      "big deal red car" -> (4L, 1L, 9.371428),
+      "red car" -> (2L, 4L, 4.8),
+      "big deal" -> (2L, 6L, 4.571428),
+      "fast train" -> (2L, 2L, 4.0))
+    val got = runLex("d_rake_keyphrases")
+    assert(got.length == 6)
+    got.foreach { r =>
+      val (nw, no, sc) = want(r.getString(0))
+      assert(r.getLong(1) == nw && r.getLong(2) == no, s"${r.getString(0)} counts")
+      assert(math.abs(r.getDouble(3) - sc) < 2e-6, s"${r.getString(0)} score")
+    }
+  }
+
+  test("d_textrank_keywords: 3 damped weighted-PageRank rounds vs a direct loop") {
+    // the isolated fast-train pair is a fixed point at exactly 0.1;
+    // brown (bridging quick/fox with weight 2 edges) ranks first
+    val want = Map( // tok -> (degree, textrank)
+      "brown" -> (2L, 0.15144861), "fox" -> (2L, 0.123534375),
+      "deal" -> (2L, 0.114103951), "red" -> (2L, 0.105686035),
+      "fast" -> (1L, 0.1), "train" -> (1L, 0.1),
+      "big" -> (1L, 0.094313965), "car" -> (1L, 0.08589605),
+      "quick" -> (1L, 0.076465625), "runs" -> (1L, 0.048551389))
+    val got = runLex("d_textrank_keywords")
+    assert(got.length == 10)
+    got.foreach { r =>
+      val (dg, tr) = want(r.getString(0))
+      assert(r.getLong(1) == dg, s"${r.getString(0)} degree")
+      assert(math.abs(r.getDouble(2) - tr) < 1e-8,
+        s"${r.getString(0)} textrank ${r.getDouble(2)}")
+    }
+  }
+
+  test("d_readability: Flesch/FK from vowel-run syllables vs direct formulas") {
+    val want = Map( // doc_id -> (w, sy, sent, fre, fk, band)
+      1L -> (8L, 8L, 1L, 114.115, -0.67, "easy"),
+      5L -> (5L, 5L, 1L, 117.16, -1.84, "easy"))
+    val got = runLex("d_readability")
+    assert(got.length == 2)
+    got.foreach { r =>
+      val (w, sy, sent, fre, fk, band) = want(r.getLong(0))
+      assert(r.getLong(1) == w && r.getLong(2) == sy && r.getLong(3) == sent,
+        s"doc ${r.getLong(0)} counts")
+      assert(math.abs(r.getDouble(4) - fre) < 2e-6, s"doc ${r.getLong(0)} fre")
+      assert(math.abs(r.getDouble(5) - fk) < 2e-6, s"doc ${r.getLong(0)} fk")
+      assert(r.getString(6) == band, s"doc ${r.getLong(0)} band")
+    }
+  }
 }
