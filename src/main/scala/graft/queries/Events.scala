@@ -1455,9 +1455,9 @@ object Events {
       ct$t AS (SELECT pm.nxt AS state,
           CAST(round(x.x * pm.p, 9) AS DECIMAL(28,12)) AS cc
         FROM pm JOIN x${t - 1} x ON x.state = pm.cur),
-      cs$t AS (SELECT state, SUM(cc) AS sc FROM ct$t GROUP BY state),
+      cs$t AS MATERIALIZED (SELECT state, SUM(cc) AS sc FROM ct$t GROUP BY state),
       tt$t AS (SELECT SUM(sc) AS tt FROM cs$t),
-      x$t AS (SELECT s.state,
+      x$t AS MATERIALIZED (SELECT s.state,
           CAST(COALESCE(c.sc, 0) AS DOUBLE) / CAST(t.tt AS DOUBLE) AS x
         FROM states s LEFT JOIN cs$t c ON c.state = s.state
         CROSS JOIN tt$t t)"""
@@ -1591,9 +1591,9 @@ object Events {
       ac$r AS (SELECT pm.nxt AS state,
           CAST(round(h.x * pm.n, 9) AS DECIMAL(28,12)) AS c
         FROM pm JOIN h${r - 1} h ON h.state = pm.cur),
-      acs$r AS (SELECT state, SUM(c) AS sc FROM ac$r GROUP BY state),
+      acs$r AS MATERIALIZED (SELECT state, SUM(c) AS sc FROM ac$r GROUP BY state),
       act$r AS (SELECT SUM(sc) AS tt FROM acs$r),
-      a$r AS (SELECT s.state,
+      a$r AS MATERIALIZED (SELECT s.state,
           CASE WHEN t.tt IS NULL OR t.tt = 0 THEN 0.0e0
                ELSE CAST(COALESCE(c.sc, 0) AS DOUBLE) / CAST(t.tt AS DOUBLE)
           END AS x
@@ -1601,9 +1601,9 @@ object Events {
       hc$r AS (SELECT pm.cur AS state,
           CAST(round(a.x * pm.n, 9) AS DECIMAL(28,12)) AS c
         FROM pm JOIN a$r a ON a.state = pm.nxt),
-      hcs$r AS (SELECT state, SUM(c) AS sc FROM hc$r GROUP BY state),
+      hcs$r AS MATERIALIZED (SELECT state, SUM(c) AS sc FROM hc$r GROUP BY state),
       hct$r AS (SELECT SUM(sc) AS tt FROM hcs$r),
-      h$r AS (SELECT s.state,
+      h$r AS MATERIALIZED (SELECT s.state,
           CASE WHEN t.tt IS NULL OR t.tt = 0 THEN 0.0e0
                ELSE CAST(COALESCE(c.sc, 0) AS DOUBLE) / CAST(t.tt AS DOUBLE)
           END AS x
