@@ -52,13 +52,19 @@ object RecoveryProbe {
 
   def main(args: Array[String]): Unit = {
     val Array(inputDir, ckptDir, outDir) = args: @unchecked
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .appName("graft-recovery-probe")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Production state backend opt-in: a large-state deployment runs
+    // RocksDB, not the default in-memory HDFS-backed store. The spec
+    // pins recovery under BOTH (same checkpoint contract, different
+    // store engine + changelog/SST files on disk).
+    sys.env.get("SPARK_GRAFT_STATE_PROVIDER").foreach(p =>
+      builder.config("spark.sql.streaming.stateStore.providerClass", p))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val src = graft.queries.Events.tsToNanos(
       spark.readStream.schema(StreamOps.eventsSchema)

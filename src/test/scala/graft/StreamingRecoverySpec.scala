@@ -39,12 +39,14 @@ class StreamingRecoverySpec extends AnyFunSuite {
   ).map(p => s"--add-opens=$p=ALL-UNNAMED")
 
   /** Launch RecoveryProbe in a separate JVM; returns (exitCode, log). */
-  private def runProbe(input: String, ckpt: String, out: String): (Int, String) = {
+  private def runProbe(input: String, ckpt: String, out: String,
+      env: Map[String, String] = Map.empty): (Int, String) = {
     val cmd = Seq(s"${System.getProperty("java.home")}/bin/java") ++ addOpens ++
       Seq("-Xmx2g", "-Dspark.ui.enabled=false",
         "-cp", System.getProperty("java.class.path"),
         "graft.streaming.RecoveryProbe", input, ckpt, out)
     val pb = new ProcessBuilder(cmd: _*)
+    env.foreach { case (k, v) => pb.environment().put(k, v) }
     pb.redirectErrorStream(true)
     val p = pb.start()
     // drain concurrently so the child can't block on a full pipe
@@ -196,5 +198,47 @@ class StreamingRecoverySpec extends AnyFunSuite {
     assert(got == expect,
       s"post-crash sink diverged (got ${got.values.sum}, want ${expect.values.sum})")
     assert(got.values.forall(_ == 1), "exactly-once: no duplicate rows after a crash")
+  }
+
+  test("RocksDB state store: JVM handoff recovers identically to the default store") {
+    val Rocks = Map("SPARK_GRAFT_STATE_PROVIDER" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stage = mkTmp("rstage")
+    val input = mkTmp("rinput"); val ckpt = mkTmp("rckpt"); val out = mkTmp("rout")
+    val inputC = mkTmp("rinputc"); val ckptC = mkTmp("rckptc"); val outC = mkTmp("routc")
+    val batches = stageBatches(stage)
+    val t0 = System.currentTimeMillis() - 60000
+    def arrive(dir: String, f: File, idx: Int): Unit = {
+      val dst = Paths.get(dir, s"batch$idx.parquet")
+      val _ = Files.copy(f.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+      val _2 = dst.toFile.setLastModified(t0 + idx * 1000L)
+    }
+    // control: default store, all files, one JVM — the CROSS-ENGINE
+    // anchor: RocksDB state must land on the same answer as the
+    // HDFS-backed store, interrupted or not
+    batches.zipWithIndex.foreach { case (f, i) => arrive(inputC, f, i) }
+    val (codeC, logC) = runProbe(inputC, ckptC, outC)
+    assert(codeC == 0, s"control failed:\n${logC.takeRight(4000)}")
+    // interrupted RocksDB run: two files, exit, third arrives, resume
+    arrive(input, batches(0), 0); arrive(input, batches(1), 1)
+    val (code1, log1) = runProbe(input, ckpt, out, Rocks)
+    assert(code1 == 0, s"rocksdb run 1 failed:\n${log1.takeRight(4000)}")
+    // evidence the RocksDB engine actually ran: its per-operator state
+    // dirs carry RocksDB artifacts (SST/changelog zips), not the
+    // default store's .delta files
+    val stateRoot = new File(s"$ckpt/state")
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk) else Seq(f)
+    val stateFiles = walk(stateRoot).map(_.getName)
+    assert(stateFiles.exists(n => n.endsWith(".zip") || n.endsWith(".changelog")),
+      s"no RocksDB artifacts under $stateRoot: ${stateFiles.take(10)}")
+    arrive(input, batches(2), 2)
+    val (code2, log2) = runProbe(input, ckpt, out, Rocks)
+    assert(code2 == 0, s"rocksdb resume failed:\n${log2.takeRight(4000)}")
+    val got = canon(out); val expect = canon(outC)
+    assert(expect.nonEmpty && got == expect,
+      s"rocksdb interrupted sink != default-store control " +
+        s"(got ${got.values.sum}, want ${expect.values.sum})")
+    assert(got.values.forall(_ == 1))
   }
 }
