@@ -388,4 +388,63 @@ class PlanFuzzSpec extends AnyFunSuite {
     }
     assert(nFired >= 30, s"vacuous sweep: only $nFired cases fired")
   }
+
+  // ---------------------------------------------------------------
+  // Parquet-backed guard sweep: over a REAL scan the dangerous child
+  // features cannot constant-fold away (unlike the LocalRelation cases
+  // above), so here the child-duplicating rules must stay silent for
+  // EVERY generated shape carrying one — and the agg-only rules, which
+  // never duplicate the child, must still produce window-equal results
+  // when they do fire over such children.
+  test("fuzz guards over real scans: 120 shapes with rand/sample/limit children") {
+    case class C(mod: Int, ruleIdx: Int, n: Int, flip: Boolean)
+    val gen = for {
+      mod <- Gen.choose(0, 2)      // 0 rand | 1 sample | 2 limit
+      rule <- Gen.choose(0, 3)     // maxfilter | countfilter | dedup | topk
+      n <- Gen.choose(1, 4); fl <- Gen.prob(0.5)
+    } yield C(mod, rule, n, fl)
+    val base0 = spark.read.parquet(s"${TestSpark.Sf}/nation.parquet")
+      .select($"n_nationkey".as("s"), $"n_regionkey".as("k"),
+        $"n_name".as("v"))
+    var fired = 0
+    sampleAll(gen, 120, 191307L).foreach { c =>
+      def child(): DataFrame = c.mod match {
+        case 0 => base0.withColumn("r", rand(7L))
+        case 1 => base0.sample(withReplacement = false, 0.8, 42L)
+        case _ => base0.limit(20) // 25 nations: the limit SURVIVES
+      }
+      val (rule, mk: (() => DataFrame), dup) = c.ruleIdx match {
+        case 0 =>
+          (graft.plans.WindowMaxFilterToJoin, () => {
+            val df = child().withColumn("mx",
+              max($"s").over(Window.partitionBy($"k")))
+            if (c.flip) df.filter($"mx" === $"s") else df.filter($"s" === $"mx")
+          }, true)
+        case 1 =>
+          (graft.plans.WindowCountFilterToJoin, () => {
+            val df = child().withColumn("cnt",
+              count(lit(1)).over(Window.partitionBy($"k")))
+            if (c.flip) df.filter(lit(c.n) <= $"cnt") else df.filter($"cnt" >= c.n)
+          }, true)
+        case 2 =>
+          (graft.plans.WindowDedupToAgg, () => {
+            child().withColumn("rn", row_number().over(
+              Window.partitionBy($"k").orderBy($"s"))).filter($"rn" === 1)
+          }, false)
+        case _ =>
+          (graft.plans.WindowTopKToAgg, () => {
+            child().withColumn("rk", row_number().over(
+              Window.partitionBy($"k").orderBy($"s"))).filter($"rk" <= c.n)
+          }, false)
+      }
+      // compare only deterministic columns: a rand child's r column is
+      // legitimately different between two executions
+      val cols = Seq("k", "s")
+      val didFire = evalCase(rule, mk, cols, mustNotFire = dup, c.toString)
+      if (didFire) fired += 1
+    }
+    // the agg-only rules must have fired over these children (they are
+    // safe there), else the sweep proved nothing
+    assert(fired >= 20, s"vacuous sweep: only $fired agg-rule cases fired")
+  }
 }
