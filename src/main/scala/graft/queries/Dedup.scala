@@ -1858,6 +1858,7 @@ object Dedup {
       ORDER BY threshold""")) { (s, dir) =>
     import s.implicits._
     val base = Tables.load(s, dir, "documents")
+    requirePlantedHeadroom(base, "doc_id", 1000000L)
     def dropped(mod: Int, res: Int, every: Int, off: Long) =
       base.filter($"doc_id" % mod === res)
         .select(($"doc_id" + off).as("doc_id"),

@@ -1273,6 +1273,11 @@ object Relational {
     import s.implicits._
     val t = Tables.load(s, dir, "orders")
       .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    // Same silent-skew hazard as the dedup planted corpora: the
+    // synthetic insert branch shifts keys by 1e9; a real o_orderkey at
+    // or past the offset would collide with a planted insert while the
+    // oracle (sharing the arithmetic) stays hash-green.
+    Dedup.requirePlantedHeadroom(t, "o_orderkey", 1000000000L)
     val price2 = $"o_totalprice".cast("decimal(18,2)")
     val src = t.filter($"o_orderkey" % 13 === 0)
       .select($"o_orderkey".as("s_key"), lit("U").as("s_status"),
