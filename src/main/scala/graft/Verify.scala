@@ -70,7 +70,19 @@ object Verify {
       Option(f.listFiles).foreach(_.foreach(deleteRec))
       f.delete(); ()
     }
-    selected.foreach { case (name, fn) =>
+    // One pool task per query (r13 judge directive #7: the serial gate's
+    // ~10.5 min wall-clock was the round's scarcest resource — 421
+    // queries on an otherwise idle 32-core scheduler, with the
+    // single-threaded Catalyst planning of each query serialized behind
+    // the previous query's execution). Each task builds AND runs its
+    // query on its own pool thread, which is what makes the cap
+    // accounting sound: Buckets' observation registry is thread-scoped,
+    // so the drain below sees exactly this query's observations.
+    // Checkpoints.sweepAll is NOT thread-safe against in-flight queries
+    // (it would evict another query's live localCheckpoint blocks, which
+    // are not recomputable), so sweeps happen only at batch barriers
+    // when no query is running.
+    def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
       // stderr marker so driver-log warnings attribute to a query
       System.err.println(s"[verify] running $name")
       try {
@@ -108,14 +120,33 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // Discard observations a failed plan left behind — they must
-        // not be attributed to the NEXT query's drain.
+        // not be attributed to the next query this THREAD runs.
         val _ = graft.ops.Buckets.drainCapCounts(timeoutMs = 100)
       }
-      // Drop cached plans / lingering localCheckpoints between queries:
-      // 250+ queries in one JVM would otherwise accumulate block-manager
-      // state (memory pressure, not correctness).
-      graft.ops.Checkpoints.sweepAll(spark)
     }
+    // Pool size: 6 threads cut the full 421-query gate ~3-4× on the
+    // 32-core sandbox (pipelines one query's execution under the next
+    // one's planning); 1 reproduces the historical serial gate exactly.
+    // Results are identical either way — each dump dir is written by
+    // exactly one task and the DuckDB compare sorts before hashing.
+    val threads = math.max(1, sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "6").toInt)
+    val batchSize = if (threads == 1) 1 else threads * 2
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    try {
+      selected.toSeq.grouped(batchSize).foreach { batch =>
+        val futs = batch.map { case (name, fn) =>
+          pool.submit(new Runnable { def run(): Unit = runOne(name, fn) })
+        }
+        // runOne never throws (it catches and logs), so get() only
+        // propagates fatal executor errors — let those kill the gate.
+        futs.foreach(_.get())
+        // Batch barrier: drop cached plans / lingering localCheckpoints —
+        // 400+ queries in one JVM would otherwise accumulate
+        // block-manager state (memory pressure, not correctness). Safe
+        // here because no query is in flight.
+        graft.ops.Checkpoints.sweepAll(spark)
+      }
+    } finally pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -35,9 +35,20 @@ object Buckets {
     * (graft.Verify) can DRAIN the realized metrics per query and assert
     * capped_buckets==0 wherever the oracle states no-cap semantics —
     * the documented observability wired into the gate, not just
-    * available to it. */
+    * available to it.
+    *
+    * THREAD-scoped, not global: graft.Verify's parallel gate builds and
+    * runs each query entirely on one pool thread, so per-thread queues
+    * are exactly per-query attribution — a cap tripped by query A can
+    * never surface in query B's drain (a global queue would interleave
+    * registrations under concurrency and mis-attribute). Single-threaded
+    * callers (tests, the serial gate) see identical behavior to the old
+    * global queue because registration and drain share their thread. */
   private val observations =
-    new java.util.concurrent.ConcurrentLinkedQueue[Observation]()
+    new ThreadLocal[java.util.ArrayDeque[Observation]] {
+      override def initialValue(): java.util.ArrayDeque[Observation] =
+        new java.util.ArrayDeque[Observation]()
+    }
 
   /** Register a cap Observation from another bounded-degradation path
     * (e.g. the incremental-dedup corpus cap) so Verify's drain sees it
@@ -45,14 +56,15 @@ object Buckets {
     * carry a `capped_buckets` long. */
   private[ops] def registerCapObservation(prefix: String): Observation = {
     val obs = Observation(s"${prefix}_${obsId.incrementAndGet()}")
-    observations.add(obs)
-    while (observations.size > MaxPendingObservations) observations.poll()
+    val q = observations.get()
+    q.add(obs)
+    while (q.size > MaxPendingObservations) q.poll()
     obs
   }
 
   /** A long-lived driver that never drains (anything but Verify) must
     * not accumulate Observation refs forever — older entries beyond
-    * this bound are discarded on registration. */
+    * this bound are discarded on registration (bound is per thread). */
   private val MaxPendingObservations = 1024
 
   /** Collect (observation name → capped_buckets) for every registered
@@ -68,9 +80,10 @@ object Buckets {
   def drainCapCounts(timeoutMs: Long = 10000): (Map[String, Long], Seq[String]) = {
     import scala.concurrent.Await
     import scala.concurrent.duration._
+    val q = observations.get()
     val pending = scala.collection.mutable.ListBuffer[Observation]()
-    var o = observations.poll()
-    while (o != null) { pending += o; o = observations.poll() }
+    var o = q.poll()
+    while (o != null) { pending += o; o = q.poll() }
     val deadline = System.nanoTime() + timeoutMs * 1000000L
     val out = scala.collection.mutable.Map[String, Long]()
     val unreported = scala.collection.mutable.ListBuffer[String]()
