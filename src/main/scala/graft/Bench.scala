@@ -41,14 +41,80 @@ object Bench {
       first: Seq[Double],
       measureBatch: () => Seq[Double],
       maxRetries: Int): (Seq[Double], Int) = {
+    val (batches, tried) = resampleBatches(first, measureBatch, maxRetries)
+    (batches.minBy(spreadRatio), tried)
+  }
+
+  /** All measured batches (first + retries), stopping after the first
+    * clean one — the raw material behind [[resampleUntilClean]].
+    * Exposed so the reported per-query MIN can range over EVERY
+    * measured sample: contamination inflates the max, not the min, so
+    * a valid low sample in a rejected batch is still the best estimate
+    * of the plan's cost (r13 ADVICE: keeping only the cleanest batch
+    * made retried rows read slightly high). Spread/spread_ok still
+    * come from the cleanest batch alone. */
+  def resampleBatches(
+      first: Seq[Double],
+      measureBatch: () => Seq[Double],
+      maxRetries: Int): (Vector[Seq[Double]], Int) = {
     var batches = Vector(first)
     var tried = 0
     while (spreadRatio(batches.last) > SpreadMax && tried < maxRetries) {
       batches :+= measureBatch()
       tried += 1
     }
-    (batches.minBy(spreadRatio), tried)
+    (batches, tried)
   }
+
+  /** Reported value for a row: min over every positive sample in every
+    * measured batch (failed runs time near-zero and must not win). */
+  def reportedMin(batches: Seq[Seq[Double]]): Double = {
+    val pos = batches.flatten.filter(_ > 0)
+    if (pos.isEmpty) 0.0 else pos.min
+  }
+
+  // --- load-awareness (r13 judge directive #2) -----------------------
+  // Three r13 artifacts told three stories (driver 46.3 s, builder
+  // quiet control 27.0 s, judge 34.5 s) because SUSTAINED load passes
+  // the per-window spread sentinel: every sample is slowed equally, so
+  // max/min stays clean while absolute numbers inflate. The fix is a
+  // committed quiet-control baseline (bench_baseline.json): each row's
+  // min divides by its baseline min, and a median ratio past
+  // [[LoadSuspectRatio]] flags the WHOLE artifact as recorded under
+  // load — median, not mean or any single row, so one genuinely
+  // regressed query (ratio 5× on its own) can never flag the artifact,
+  // and one genuinely improved query can never mask machine-wide load.
+
+  /** Median env ratio above this ⇒ the recording machine was loaded and
+    * absolute numbers are not comparable to the baseline. 1.3 clears
+    * normal run-to-run jitter (quiet-run medians land within ±10%)
+    * while catching the r13 driver's ~1.7× sustained inflation. */
+  val LoadSuspectRatio = 1.3
+
+  /** Per-row current/baseline ratios, for rows present in both with a
+    * positive baseline (a failed or newly added row has no ratio). */
+  def envRatios(mins: Map[String, Double],
+      baseline: Map[String, Double]): Map[String, Double] =
+    mins.flatMap { case (k, v) =>
+      baseline.get(k).filter(_ > 0).map(b => k -> v / b)
+    }
+
+  def median(xs: Seq[Double]): Double = {
+    if (xs.isEmpty) return 0.0
+    val s = xs.sorted
+    val n = s.size
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
+  /** Minimal flat-JSON number parse for the baseline file (a file this
+    * repo authors, shape {"name":1.234,...}); no third-party JSON dep.
+    * Non-numeric values (e.g. the "sf" string) simply don't match. */
+  def parseBaseline(text: String): Map[String, Double] =
+    "\"([^\"]+)\"\\s*:\\s*([0-9]+(?:\\.[0-9]+)?)".r
+      .findAllMatchIn(text)
+      .map(m => m.group(1) -> m.group(2).toDouble)
+      .filterNot { case (k, _) => k == "cpus" || k == "samples" }
+      .toMap
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -115,12 +181,15 @@ object Bench {
         graft.ops.Checkpoints.sweepAll(spark)
         dt
       }
-      val (times, retries) = resampleUntilClean(batch(), batch _, maxRetries)
+      val (batches, retries) = resampleBatches(batch(), batch _, maxRetries)
+      val times = batches.minBy(spreadRatio)
       if (retries > 0) System.err.println(
         s"[bench] ${sp.name}: contaminated window, re-sampled $retries " +
           s"batch${if (retries == 1) "" else "es"}; kept spread " +
           s"${String.format(java.util.Locale.ROOT, "%.3f", spreadRatio(times))}")
-      (sp.name, times.min, times, retries)
+      // reported min ranges over ALL batches (see reportedMin); the
+      // spread sentinel reads only the kept (cleanest) window
+      (sp.name, reportedMin(batches), times, retries)
     }
     // Locale.ROOT: the f-interpolator is default-locale-sensitive and a
     // comma decimal separator would emit invalid JSON for the driver.
@@ -161,8 +230,30 @@ object Bench {
       .mkString("{", ",", "}")
     val exhaustedJson = contaminated
       .map { case (k, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    // Load sentinel: compare each row's min against the committed
+    // quiet-control baseline (same cpus/sf as the driver's invocation);
+    // a median ratio past LoadSuspectRatio means the machine was under
+    // sustained load the spread sentinel cannot see, and the artifact
+    // says so about itself instead of reading as a regression.
+    val baselinePath = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_BASELINE", "bench_baseline.json")
+    val baseline: Map[String, Double] =
+      try parseBaseline(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(baselinePath)))
+      catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val ratios = envRatios(results.map(r => r._1 -> r._2).toMap, baseline)
+    val ratioMedian = median(ratios.values.toSeq)
+    val loadSuspect = ratios.nonEmpty && ratioMedian > LoadSuspectRatio
+    if (loadSuspect) System.err.println(
+      s"[bench] LOAD SUSPECT: median env ratio ${num(ratioMedian)} vs " +
+        s"quiet baseline $baselinePath exceeds $LoadSuspectRatio — " +
+        "absolute numbers reflect machine load, not plan cost; only " +
+        "rows FASTER than baseline are trustworthy.")
+    val ratioJson = results.flatMap { case (k, _, _, _) =>
+      ratios.get(k).map(r => "\"" + k + "\":" + num(r))
+    }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"samples":$all,"spread_ok":$spreadOk,"max_spread":${num(spreads.map(_._2).max)},"spreads":$spreadJson,"retries":$retriesJson,"retry_exhausted":$exhaustedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"samples":$all,"spread_ok":$spreadOk,"max_spread":${num(spreads.map(_._2).max)},"spreads":$spreadJson,"retries":$retriesJson,"retry_exhausted":$exhaustedJson,"env_ratio":$ratioJson,"env_ratio_median":${num(ratioMedian)},"load_suspect":$loadSuspect,"cpus":$cpus,"sf":"$sfDir"}"""
     println(line)
     // Also write the line to a file — sbt log noise makes stdout scraping
     // unreliable (BENCH_r01 and r03 both had parsed:null when the file

