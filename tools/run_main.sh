@@ -20,5 +20,7 @@ ADD_OPENS=(
 )
 OPENS=()
 for p in "${ADD_OPENS[@]}"; do OPENS+=("--add-opens=$p=ALL-UNNAMED"); done
+# absolute classpath: local-cluster executors launch in their own work
+# dirs and inherit this via java.class.path -> spark.executor.extraClassPath
 exec java "${OPENS[@]}" -Xmx16g -Dspark.ui.enabled=false \
-  -cp "target/scala-2.13/classes:/opt/spark/jars/*" "$MAIN" "$@"
+  -cp "$(pwd)/target/scala-2.13/classes:/opt/spark/jars/*" "$MAIN" "$@"
