@@ -81,6 +81,35 @@ class BucketsSpec extends AnyFunSuite {
     assert(Buckets.drainCapCounts(10)._1.isEmpty, "queue must be drained")
   }
 
+  test("cap observations are THREAD-scoped: concurrent queries never cross-drain") {
+    // The parallel Verify gate's soundness rests on this: two pool
+    // threads each build + run + drain; the thread that trips a cap is
+    // the only one that sees it, and a capless thread drains empty.
+    Buckets.drainCapCounts(10)
+    val tripped = new java.util.concurrent.atomic.AtomicReference[Map[String, Long]]()
+    val clean = new java.util.concurrent.atomic.AtomicReference[Map[String, Long]]()
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val t1 = new Thread(() => {
+      val df = bucketDf((1L to 50L).map(i => ("hot", i)))
+      barrier.await()
+      Buckets.pairs(df, Seq("bkt"), "id", maxBucket = 10).count()
+      tripped.set(Buckets.drainCapCounts()._1)
+    })
+    val t2 = new Thread(() => {
+      val df = bucketDf(Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L)))
+      barrier.await()
+      Buckets.pairs(df, Seq("bkt"), "id", maxBucket = 10).count()
+      clean.set(Buckets.drainCapCounts()._1)
+    })
+    t1.start(); t2.start(); t1.join(120000); t2.join(120000)
+    assert(tripped.get != null && tripped.get.values.sum == 1L,
+      s"capping thread must see its own trip: ${tripped.get}")
+    assert(clean.get != null && clean.get.values.sum == 0L,
+      s"capless thread must never see a sibling's trip: ${clean.get}")
+    // and neither thread's observations leak into this (main) thread
+    assert(Buckets.drainCapCounts(10)._1.isEmpty)
+  }
+
   test("drainCapCounts names a built-but-never-executed plan as unreported") {
     Buckets.drainCapCounts(10) // flush observations left by other tests
     val df = bucketDf(Seq(("a", 1L), ("a", 2L)))
