@@ -87,8 +87,16 @@ object BenchPressure {
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-      if (master.startsWith("local-cluster"))
+      if (master.startsWith("local-cluster")) {
         b.config("spark.executor.extraClassPath", sys.props("java.class.path"))
+        // local-cluster[n,c,mem] sizes the WORKER; the executor request
+        // defaults to 1024 MiB and must fit inside it, so ask for
+        // exactly the worker's budget (this is what makes sub-1GiB
+        // pressure masters like local-cluster[2,2,640] launchable)
+        "\\[\\s*\\d+\\s*,\\s*\\d+\\s*,\\s*(\\d+)\\s*\\]".r
+          .findFirstMatchIn(master)
+          .foreach(m => b.config("spark.executor.memory", s"${m.group(1)}m"))
+      }
       val s = b.getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       s
