@@ -19,8 +19,11 @@ import org.apache.spark.sql.functions._
   * the same argument [[ConnectedComponents.incremental]] uses for its
   * re-entering clusters. A skewed corpus whose density piles into one
   * hot cell therefore costs O(n) there, not O(n²); only CROSS-cell
-  * candidates are enumerated (each point against 8 neighbor cells),
-  * which is the inherent output-bounded cost of an exact eps-join.
+  * candidates are enumerated — and at DISTINCT-COORDINATE granularity
+  * (each unique (x,y) against 8 neighbor cells, carrying its
+  * multiplicity), because co-located points have identical
+  * eps-neighborhoods: coincident mass (bot traffic, replicated users)
+  * costs the join its coordinate count, never a quadratic pair count.
   *
   * DBSCAN semantics (Ester et al., KDD'96), deterministic variant:
   * core = |eps-neighborhood incl. self| >= minPts; clusters = connected
@@ -101,31 +104,60 @@ object Density {
       .withColumn("cell_n", count(lit(1)).over(wCell))
       .localCheckpoint()
 
+    // COORDINATE COLLAPSE before the eps-join (r14 scale fix): all
+    // points sharing (x, y) have IDENTICAL eps-neighborhoods, so the
+    // cross-cell join runs at DISTINCT-coordinate granularity with
+    // multiplicities — a corpus whose mass piles onto coincident
+    // coordinates (bot traffic, replicated users) costs the join its
+    // coordinate count, not its row count. The per-point form OOMed
+    // (not spilled: execution memory exhausted under the checkpointed
+    // pair blob) on the 64× upsample through exactly this blowup —
+    // pair rows between adjacent dense cells grow QUADRATICALLY in the
+    // co-located mass (4096× at 64×), while this form stays flat.
+    // rep = min id at the coordinate; w = multiplicity.
+    val uniq = cells.groupBy($"cx", $"cy", $"x", $"y")
+      .agg(min($"id").as("id"), count(lit(1)).as("w"))
+      .localCheckpoint()
+
     // The eps-join is the expensive frame and THREE consumers scan it
     // (degree count, core-core edges, border anchors) — cache it once
     // instead of re-running the explode+join per consumer. Output-
-    // bounded (the exact eps-pair list), recomputable, evictable.
-    val cross = crossPairs(cells, cells, eps).localCheckpoint()
+    // bounded (the exact coordinate-level eps-pair list), recomputable,
+    // evictable.
+    val cross = crossPairs(uniq, uniq, eps).localCheckpoint()
 
-    // |neighborhood incl. self| = same-cell population + cross-cell
-    // matches; the former never materializes pair rows.
-    val crossDeg = cross.groupBy($"ua").agg(count(lit(1)).as("cdeg"))
+    // |neighborhood incl. self| = same-cell population + weighted
+    // cross-cell matches; neither materializes per-point pair rows.
+    val crossDegU = cross
+      .join(uniq.select($"id".as("ub"), $"w".as("wb")), Seq("ub"))
+      .groupBy($"ua").agg(sum($"wb").as("cdeg"))
+    val uniqDeg = uniq.select($"id".as("rep"), $"x", $"y")
+      .join(crossDegU.withColumnRenamed("ua", "rep"), Seq("rep"), "left")
+      .select($"x", $"y", coalesce($"cdeg", lit(0L)).as("cdeg"))
     val scored = cells
-      .join(crossDeg, cells("id") === crossDeg("ua"), "left")
+      .join(uniqDeg, Seq("x", "y"), "left")
       .select($"id", $"x", $"y", $"cx", $"cy", $"cell_n",
         ($"cell_n" + coalesce($"cdeg", lit(0L)) >= minPts).as("is_core"))
       .localCheckpoint()
 
     // Core graph = per-cell star edges (intra-cell core cliques) +
-    // verified cross-cell core-core pairs.
+    // verified cross-cell core-core REP pairs. Rep granularity keeps
+    // connectivity exact: co-located cores share a cell, so the star
+    // edges already chain them to the cell center; only one
+    // representative per coordinate needs the cross-cell edge. The
+    // component VERTEX sets (and hence min-id labels) are unchanged —
+    // a non-rep core always sits in a multi-core cell (its coordinate
+    // holds ≥ 2 points) and rides a star edge.
     val coreCells = scored.filter($"is_core")
       .withColumn("center", min($"id").over(wCell))
     val starEdges = coreCells.filter($"id" =!= $"center")
       .select($"id".as("src"), $"center".as("dst"))
     val coreIds = scored.filter($"is_core").select($"id")
+    val coreRepIds = uniq.select($"id")
+      .join(coreIds, Seq("id"), "leftsemi")
     val crossCore = cross.filter($"ua" < $"ub")
-      .join(coreIds.select($"id".as("ua")), Seq("ua"), "leftsemi")
-      .join(coreIds.select($"id".as("ub")), Seq("ub"), "leftsemi")
+      .join(coreRepIds.select($"id".as("ua")), Seq("ua"), "leftsemi")
+      .join(coreRepIds.select($"id".as("ub")), Seq("ub"), "leftsemi")
       .select($"ua".as("src"), $"ub".as("dst"))
     val cc = ConnectedComponents.run(starEdges.unionAll(crossCore))
     // isolated cores (no core neighbor anywhere) label themselves
@@ -146,10 +178,19 @@ object Density {
     val nonCore = scored.filter(!$"is_core")
     val cellAnchor = nonCore.join(cellLab, Seq("cx", "cy"))
       .select($"id", $"comp")
-    val crossAnchor = cross
-      .join(nonCore.select($"id".as("ua")), Seq("ua"), "leftsemi")
+    // cross anchors at rep granularity (co-located cores share one
+    // cluster, so the per-point neighbor-comp SET is unchanged), then
+    // expanded back to every point at the border coordinate.
+    val nonCoreRepIds = uniq.select($"id")
+      .join(nonCore.select($"id"), Seq("id"), "leftsemi")
+    val crossAnchorU = cross
+      .join(nonCoreRepIds.select($"id".as("ua")), Seq("ua"), "leftsemi")
       .join(coreLab.withColumnRenamed("id", "ub"), Seq("ub"))
-      .select($"ua".as("id"), $"cluster".as("comp"))
+      .select($"ua", $"cluster".as("comp"))
+    val crossAnchor = crossAnchorU
+      .join(uniq.select($"id".as("ua"), $"x", $"y"), Seq("ua"))
+      .join(nonCore.select($"id", $"x", $"y"), Seq("x", "y"))
+      .select($"id", $"comp")
     val anchorPairs = cellAnchor.unionAll(crossAnchor)
 
     // Assembly: cores from the CC labelling; borders take the min
