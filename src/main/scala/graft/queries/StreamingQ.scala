@@ -1489,7 +1489,42 @@ object StreamingQ {
       .orderBy($"qid", $"rk")
   }
 
+  /** STREAMING media-ingest quarantine — the crawl front door for
+    * binary payloads: documents arrive as an unbounded feed, each
+    * micro-batch's blobs flow through the SAME
+    * [[graft.ops.Multimodal.robustDecodeHash]] as the batch path
+    * (completeness gate → decode → EXIF normalization), and the
+    * rollup counts clean vs quarantined rows by reason. Stateless
+    * per-row decode + a status/reason-bounded aggregate (≤ a handful
+    * of groups), so state never grows with corpus. The oracle restates
+    * the four-byte-class contract (mm_jpeg_robust) in id arithmetic —
+    * the stream must land on exactly the batch outcome counts. */
+  val stMediaQuarantine: Spec = Spec(
+    "st_media_quarantine",
+    oracle = Some("""
+      SELECT status, reason, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM (
+        SELECT
+          CASE WHEN (doc_id // 20) % 5 IN (3, 4) THEN 'quarantined'
+               ELSE 'ok' END AS status,
+          CASE WHEN (doc_id // 20) % 5 = 3 THEN 'undecodable'
+               WHEN (doc_id // 20) % 5 = 4 THEN 'truncated'
+               ELSE 'decoded' END AS reason
+        FROM documents WHERE doc_id % 20 = 10)
+      GROUP BY status, reason ORDER BY status, reason""")) { (s, dir) =>
+    import s.implicits._
+    StreamOps.docsAggStream(s, dir, src => {
+      val ids = src.filter($"doc_id" % 20 === 10)
+        .select($"doc_id").as[java.lang.Long]
+      graft.ops.Multimodal.robustDecodeHash(
+        graft.ops.Multimodal.syntheticRobustJpegBlobs(ids)).toDF()
+        .groupBy($"status", $"reason").agg(count(lit(1)).as("n_docs"))
+    }, "st_media_quarantine_mem")
+      .orderBy($"status", $"reason")
+  }
+
   val specs: Seq[Spec] = Seq(stTumbling, stTumblingAppend, stSliding,
+    stMediaQuarantine,
     stKnnHnsw,
     stDedup, stSessions, stSessionAppend,
     stEnrich, stClickView, stClickViewOuter, dLid, dLidScript,

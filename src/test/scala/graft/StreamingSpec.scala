@@ -612,6 +612,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming media quarantine: multi-batch counts equal the one-shot rollup") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ids = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+      .filter($"doc_id" % 20 === 10).select($"doc_id").as[Long]
+      .collect().toSeq
+    // split so both batches carry a mix of clean and quarantined classes
+    val (b0, b1) = ids.partition(_ % 40 == 10)
+    assert(b0.nonEmpty && b1.nonEmpty)
+    def rollup(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      graft.ops.Multimodal.robustDecodeHash(
+        graft.ops.Multimodal.syntheticRobustJpegBlobs(
+          df.select($"doc_id").as[java.lang.Long])).toDF()
+        .groupBy($"status", $"reason").agg(count(lit(1)).as("n_docs"))
+    val ms = MemoryStream[Long]
+    val q = rollup(ms.toDF().toDF("doc_id")).writeStream
+      .outputMode("complete").format("memory")
+      .queryName("st_media_q_twin").start()
+    try {
+      ms.addData(b0); q.processAllAvailable()
+      ms.addData(b1); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("st_media_q_twin")
+      .as[(String, String, Long)].collect().toSet
+    val direct = rollup(
+      spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
+        .filter($"doc_id" % 20 === 10))
+      .as[(String, String, Long)].collect().toSet
+    assert(got == direct)
+    assert(got.exists(_._1 == "quarantined"),
+      "the corpus must exercise the quarantine path")
+    assert(got.exists(_._1 == "ok"))
+  }
+
   test("streaming minhash: multi-batch accumulation equals one-shot pair set") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
