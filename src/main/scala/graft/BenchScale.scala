@@ -28,6 +28,29 @@ import org.apache.spark.sql.functions._
   * discipline as [[Bench]] (contaminated windows re-sample; rows still
   * dirty flip spread_ok false).
   */
+/** Standalone upsample: `runMain graft.Upsample <srcDir> <dstDir>
+  * <mult>` — materializes the join-consistent N× tables somewhere
+  * PERSISTENT for ad-hoc scale probes (e.g. running graft.Verify
+  * against a 64× corpus to watch the star-cap observability fire on a
+  * pathologically replicated graph). BenchScale/BenchPressure manage
+  * their own temp copies; this main is for everything else. */
+object Upsample {
+  def main(args: Array[String]): Unit = {
+    val Array(src, dst, mult) = args: @unchecked
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(dst).mkdirs()
+    BenchScale.upsample(spark, src, dst, mult.toInt)
+    spark.stop()
+  }
+}
+
 object BenchScale {
 
   /** The 8 most expensive rows of the r12 judge quiet run. */
