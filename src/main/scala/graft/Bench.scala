@@ -252,19 +252,30 @@ object Bench {
     val ratioJson = results.flatMap { case (k, _, _, _) =>
       ratios.get(k).map(r => "\"" + k + "\":" + num(r))
     }.mkString("{", ",", "}")
+    // TWO artifacts, one compact and one full (r14 measurement-contract
+    // fix): BENCH_r13.json recorded `parsed: null` because the stdout
+    // JSON line had grown past the driver's output-tail window (~4 KB
+    // with per-row samples/spreads/ratios for 33 rows — the captured
+    // tail starts MID-LINE), so the driver could parse nothing. The
+    // STDOUT line now carries exactly the contract fields plus scalar
+    // sentinels (~1.2 KB, well inside any tail window); the per-row
+    // diagnostics (samples, spreads, retries, env ratios) move to the
+    // side file, which keeps every byte the old line had.
     val line =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"spread_ok":$spreadOk,"max_spread":${num(spreads.map(_._2).max)},"env_ratio_median":${num(ratioMedian)},"load_suspect":$loadSuspect,"cpus":$cpus,"sf":"$sfDir"}"""
+    val full =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"samples":$all,"spread_ok":$spreadOk,"max_spread":${num(spreads.map(_._2).max)},"spreads":$spreadJson,"retries":$retriesJson,"retry_exhausted":$exhaustedJson,"env_ratio":$ratioJson,"env_ratio_median":${num(ratioMedian)},"load_suspect":$loadSuspect,"cpus":$cpus,"sf":"$sfDir"}"""
     println(line)
-    // Also write the line to a file — sbt log noise makes stdout scraping
-    // unreliable (BENCH_r01 and r03 both had parsed:null when the file
-    // write was absent/opt-in). Default bench_out.json in cwd; env
-    // overrides the path.
+    // Also write the full line to a file — sbt log noise makes stdout
+    // scraping unreliable (BENCH_r01 and r03 both had parsed:null when
+    // the file write was absent/opt-in). Default bench_out.json in cwd;
+    // env overrides the path.
     // Best-effort: an unwritable cwd must not turn a successful bench
     // (metric line already printed) into a non-zero exit.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     // NonFatal, not just IOException: a malformed override path makes
     // Paths.get itself throw InvalidPathException (a RuntimeException).
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), full + "\n")
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }

@@ -12,6 +12,26 @@ import scala.collection.mutable
   * automaton is built once and shared per executor via the expression's
   * transient lazy val — no driver-side state rides the plan.
   */
+object AhoCorasick {
+  // Executor-JVM-wide build cache (optimization guide §4.5: heavyweight
+  // state once per executor, not per row/batch/task). Every task
+  // deserializes its own copy of the expression tree, so a per-instance
+  // `@transient lazy val trie` rebuilds the automaton ONCE PER TASK —
+  // invisible on a 1-task scan stage, but profiled r14 at ~240 ms/task
+  // of pure rebuild when the same funnel ran 32 tasks wide. Keyed by
+  // the keyword list (content equality); lexicons are a fixed small
+  // set, but cap the cache defensively so a pathological caller with
+  // unbounded distinct keyword sets degrades to per-task builds rather
+  // than leaking the executor heap.
+  private val MaxEntries = 64
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[IndexedSeq[String], AhoCorasick]()
+  def shared(keywords: IndexedSeq[String]): AhoCorasick = {
+    if (cache.size > MaxEntries) cache.clear()
+    cache.computeIfAbsent(keywords, kw => new AhoCorasick(kw))
+  }
+}
+
 final class AhoCorasick(val keywords: IndexedSeq[String]) extends Serializable {
 
   // Flat automaton arrays built eagerly; ~O(total pattern chars) states.

@@ -26,7 +26,7 @@ case class KeywordMatches(child: Expression, keywords: Seq[String])
   override def dataType: DataType =
     MapType(StringType, IntegerType, valueContainsNull = false)
   override def nullable: Boolean = child.nullable
-  @transient private lazy val trie = new AhoCorasick(keywords.toIndexedSeq)
+  @transient private lazy val trie = AhoCorasick.shared(keywords.toIndexedSeq)
   override def nullSafeEval(input: Any): Any = compute(input)
 
   def compute(input: Any): org.apache.spark.sql.catalyst.util.MapData = {
@@ -53,7 +53,7 @@ case class KeywordMatches(child: Expression, keywords: Seq[String])
 case class KeywordCount(child: Expression, keywords: Seq[String])
     extends UnaryExpression {
   override def dataType: DataType = IntegerType
-  @transient private lazy val trie = new AhoCorasick(keywords.toIndexedSeq)
+  @transient private lazy val trie = AhoCorasick.shared(keywords.toIndexedSeq)
   override def nullSafeEval(input: Any): Any = compute(input)
 
   def compute(input: Any): Int =
@@ -76,7 +76,7 @@ case class KeywordSpans(child: Expression, keywords: Seq[String])
     extends UnaryExpression {
   override def dataType: DataType =
     ArrayType(ArrayType(IntegerType, containsNull = false), containsNull = false)
-  @transient private lazy val trie = new AhoCorasick(keywords.toIndexedSeq)
+  @transient private lazy val trie = AhoCorasick.shared(keywords.toIndexedSeq)
   override def nullSafeEval(input: Any): Any = compute(input)
 
   def compute(input: Any): ArrayData = {
@@ -116,7 +116,7 @@ case class KeywordSpans(child: Expression, keywords: Seq[String])
 case class KeywordRedact(child: Expression, keywords: Seq[String], mask: String)
     extends UnaryExpression {
   override def dataType: DataType = StringType
-  @transient private lazy val trie = new AhoCorasick(keywords.toIndexedSeq)
+  @transient private lazy val trie = AhoCorasick.shared(keywords.toIndexedSeq)
   override def nullSafeEval(input: Any): Any = compute(input)
 
   def compute(input: Any): UTF8String = {

@@ -256,7 +256,14 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
 
   /** Run all stages. With `checkpointRoot` set, each stage materializes
     * to parquet and the next re-reads (the reference's semantics);
-    * otherwise one fused plan. */
+    * otherwise one fused plan.
+    *
+    * Deliberately NOT fanned out to scheduler width on under-split
+    * inputs: an r14 A/B (Tables.fanOutScan here) cut the funnel stage's
+    * wall 925 → 314 ms but the added exchange + AQE stage cost more
+    * than that (row total 2.42 → 2.73 s). The funnel's per-row work is
+    * allocation-bound and scales ~3×, not 32×, across cores — the
+    * honest lever is per-row allocation, not partitioning. */
   def run(input: DataFrame): DataFrame = applyStages(input, stages)
 
   /** Run + write the final corpus partitioned by language (S9), with

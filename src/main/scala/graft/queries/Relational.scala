@@ -1987,18 +1987,25 @@ object Relational {
     * encoding leaks row identity; a zero spread means it collapsed to
     * the category mean).
     *
-    * Scale shape: brand moments are ONE hash agg (map-side partials —
-    * the shuffle carries |brands| rows); the 25-row stats frame
-    * broadcasts back onto a second pruned scan for the per-row
-    * encoding, and the min/max audit re-aggregates with map-side
-    * combine. No window over the skewed brand key, no row-level
-    * shuffle at any point — at 100 TB the only full-data pass is the
-    * two pruned column scans.
+    * Scale shape (r14: ONE fact pass, was two): enc_i is STRICTLY
+    * MONOTONE DECREASING in x_i — S_g, n_g, μ are constants per brand
+    * and every step (exact decimal S_g − x, cast to double, add 10μ,
+    * divide by the positive constant n_g−1+m) preserves order under
+    * IEEE correct rounding — so min(enc) = enc(max x) and max(enc) =
+    * enc(min x), bit-for-bit (it IS the same op sequence evaluated at
+    * the extreme x). The audit therefore needs only per-brand
+    * (n, S, min x, max x): ONE hash agg over the fact scan (map-side
+    * partials, shuffle carries |brands| rows) and a |brands|-row tail.
+    * The r12 design's second pruned fact scan + broadcast rejoin +
+    * re-aggregation are gone — guide §8's rule (decide on small rows,
+    * never re-touch the payload) applied to the audit itself.
     *
-    * Engine parity: S_g and S_g − x_i are exact DECIMAL(18,2) cents;
+    * Engine parity: S_g and S_g − x are exact DECIMAL(18,2) cents;
     * μ and the encode are fixed-order IEEE double ops on those exact
     * values, so min/max pick identical bits on both engines;
-    * floor-micros makes the surfaced values integer-stable. */
+    * floor-micros makes the surfaced values integer-stable. The oracle
+    * states the original per-row LOO form — the monotonicity argument
+    * above is exactly why the two agree hash-for-hash. */
   val qTargetEncoding: Spec = Spec(
     "q_target_encoding",
     bench = true, // r12 wave-3 row: double fact scan + broadcast rejoin
@@ -2021,25 +2028,33 @@ object Relational {
           AS spread_micros
       FROM enc GROUP BY p_brand, n ORDER BY p_brand""")) { (s, dir) =>
     import s.implicits._
-    def base = Tables.load(s, dir, "lineitem")
+    val base = Tables.load(s, dir, "lineitem")
       .join(broadcast(Tables.load(s, dir, "part")),
         $"p_partkey" === $"l_partkey")
       .select($"p_brand", $"l_extendedprice".cast("decimal(18,2)").as("x"))
+    // |brands| rows, materialized once: TWO consumers (the broadcast μ
+    // subquery and the audit tail) would otherwise each re-run the
+    // fact scan — AQE's exchange reuse does not dedupe across a
+    // broadcast-subquery boundary (r14 profile: two concurrent 3-task
+    // scan stages until this checkpoint).
     val bs = base.groupBy($"p_brand")
-      .agg(count(lit(1)).as("n"), sum($"x").as("s"))
+      .agg(count(lit(1)).as("n"), sum($"x").as("s"),
+        min($"x").as("x_min"), max($"x").as("x_max"))
+      .localCheckpoint()
     val g = broadcast(bs.agg(
       (sum($"s").cast("double") / sum($"n").cast("double")).as("mu")))
-    val e = (($"s" - $"x").cast("double") + lit(10.0) * $"mu") /
+    // enc evaluated at the per-brand extreme x — the identical op
+    // sequence the per-row form would run on that row, so the min/max
+    // bits match the LOO oracle exactly (monotonicity note above).
+    def e(x: org.apache.spark.sql.Column) =
+      (($"s" - x).cast("double") + lit(10.0) * $"mu") /
       ($"n" - 1 + 10).cast("double")
-    base.join(broadcast(bs), Seq("p_brand")).crossJoin(g)
-      .select($"p_brand", $"n", e.as("e"))
-      .groupBy($"p_brand", $"n")
-      .agg(floor(min($"e") * 1e6).cast("long").as("enc_min_micros"),
-        floor(max($"e") * 1e6).cast("long").as("enc_max_micros"),
-        (floor(max($"e") * 1e6) - floor(min($"e") * 1e6)).cast("long")
+    bs.crossJoin(g)
+      .select($"p_brand", $"n".as("n_rows"),
+        floor(e($"x_max") * 1e6).cast("long").as("enc_min_micros"),
+        floor(e($"x_min") * 1e6).cast("long").as("enc_max_micros"),
+        (floor(e($"x_min") * 1e6) - floor(e($"x_max") * 1e6)).cast("long")
           .as("spread_micros"))
-      .select($"p_brand", $"n".as("n_rows"), $"enc_min_micros",
-        $"enc_max_micros", $"spread_micros")
       .orderBy($"p_brand")
   }
 

@@ -23,14 +23,64 @@ object StreamOps {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** Input-volume-derived shuffle/state partition count for a
+    * streaming query (optimization guide §2.2: "fewer, larger reduce
+    * partitions — size spark.sql.shuffle.partitions so partitions are
+    * in the 100 MB–1 GB range rather than a few MB"). A streaming
+    * query pins its state-partition count at first start, and EVERY
+    * state partition pays real fixed costs per micro-batch: provider
+    * load serialized behind StateStore's global `loadedProviders` lock
+    * (r14 stack sampling: the top hot frame of st_sessions, ~40% of
+    * all task samples, was tasks queueing in
+    * StateStore.getStateStoreProvider), delta-file churn, maintenance
+    * threads, and an M×R shuffle-block explosion. Sizing the count
+    * from the bytes the shuffle actually carries — one partition per
+    * `targetBytes` of input, clamped to [1, session shuffle
+    * partitions] — keeps a 2 MB local feed on a handful of state
+    * stores while a 100 TB feed still gets the full cluster width (the
+    * clamp ceiling). The count derives from data, not from local[n];
+    * `graft.streaming.targetPartitionBytes` overrides the 64 MB
+    * default for deployments whose per-key state dwarfs their input
+    * rows. */
+  private[graft] def scaledStatePartitions(s: SparkSession, inputBytes: Long): Int = {
+    val target = s.conf.getOption("graft.streaming.targetPartitionBytes")
+      .map(_.toLong).getOrElse(64L * 1024 * 1024)
+    val ceiling = s.sessionState.conf.numShufflePartitions
+    math.min(ceiling.toLong, math.max(1L, (inputBytes + target - 1) / target)).toInt
+  }
+
+  /** A session whose streaming queries use [[scaledStatePartitions]] of
+    * `dir/file` — a cheap newSession (shared SparkContext; SQL conf
+    * rebuilt from the context's SparkConf, where every builder-time
+    * setting of Verify/Bench lives) so the shared session's batch
+    * queries keep their width and the parallel Verify gate stays
+    * race-free (each derived session is private to its query). Returns
+    * `s` untouched when the derived count already equals the
+    * session's. */
+  private def sessionFor(s: SparkSession, dir: String, file: String): SparkSession = {
+    val bytes =
+      try new java.io.File(s"$dir/$file").length()
+      catch { case scala.util.control.NonFatal(_) => 0L }
+    if (bytes <= 0) return s // unknown size: change nothing
+    val n = scaledStatePartitions(s, bytes)
+    if (n >= s.sessionState.conf.numShufflePartitions) s
+    else {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", n.toString)
+      s2
+    }
+  }
+
   /** Streaming events source with `ts` normalized to raw nanos — the
     * same contract as the batch [[graft.queries.Events.load]], so the
     * file twin and the MemoryStream twin (which feeds long tuples
     * directly) run identical downstream plans. */
-  private def eventsStream(s: SparkSession, dir: String): DataFrame =
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    val s2 = sessionFor(s, dir, "events.parquet")
     graft.queries.Events.tsToNanos(
-      s.readStream.schema(eventsSchema)
+      s2.readStream.schema(eventsSchema)
         .option("pathGlobFilter", "events.parquet").parquet(dir))
+  }
 
   /** Drain a finite streaming aggregate into its memory-sink table.
     * `processAllAvailable` makes any bounded source (file, MemoryStream)
@@ -58,7 +108,10 @@ object StreamOps {
         .filter(_ => Option(q.lastProgress).exists(_.stateOperators.nonEmpty))
       q.stop()
     }
-    s.table(sink)
+    // The memory sink registers its temp view on the QUERY's session,
+    // which may be a partition-scaled clone (sessionFor) — resolve the
+    // table there, not on the caller's session.
+    agg.sparkSession.table(sink)
   }
 
   /** Tumbling 1-hour event counts over ANY streaming events frame
@@ -1310,7 +1363,8 @@ object StreamOps {
     * cannot drift. */
   def docFlagsStream(s: SparkSession, dir: String,
       flagged: DataFrame => DataFrame, sink: String): DataFrame = {
-    val src = s.readStream.schema(documentsSchema)
+    val src = sessionFor(s, dir, "documents.parquet")
+      .readStream.schema(documentsSchema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
     runToTable(s, flagged(src), sink, "append")
   }
@@ -1321,7 +1375,8 @@ object StreamOps {
     * raw documents). */
   def docsAggStream(s: SparkSession, dir: String,
       agg: DataFrame => DataFrame, sink: String): DataFrame = {
-    val src = s.readStream.schema(documentsSchema)
+    val src = sessionFor(s, dir, "documents.parquet")
+      .readStream.schema(documentsSchema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
     runToTable(s, agg(src), sink, "complete")
   }
