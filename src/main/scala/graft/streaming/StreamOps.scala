@@ -39,12 +39,15 @@ object StreamOps {
     * partitions] — keeps a 2 MB local feed on a handful of state
     * stores while a 100 TB feed still gets the full cluster width (the
     * clamp ceiling). The count derives from data, not from local[n];
-    * `graft.streaming.targetPartitionBytes` overrides the 64 MB
-    * default for deployments whose per-key state dwarfs their input
-    * rows. */
+    * `graft.streaming.targetPartitionBytes` overrides the default.
+    * The 4 MiB default is measured, not guessed: the state-build path
+    * processes ~3–4 MB/s/core here (BenchScale st_sessions, 16 MB
+    * upsample: 1 partition 6.0 s, 4 partitions 3.8 s, 32 partitions
+    * 4.5 s — per-partition fixed cost crosses single-thread throughput
+    * at a few MB per partition per batch). */
   private[graft] def scaledStatePartitions(s: SparkSession, inputBytes: Long): Int = {
     val target = s.conf.getOption("graft.streaming.targetPartitionBytes")
-      .map(_.toLong).getOrElse(64L * 1024 * 1024)
+      .map(_.toLong).getOrElse(4L * 1024 * 1024)
     val ceiling = s.sessionState.conf.numShufflePartitions
     math.min(ceiling.toLong, math.max(1L, (inputBytes + target - 1) / target)).toInt
   }

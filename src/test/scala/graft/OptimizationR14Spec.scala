@@ -21,9 +21,10 @@ class OptimizationR14Spec extends AnyFunSuite {
     val ceiling = spark.sessionState.conf.numShufflePartitions
     val mb = 1024L * 1024
     // tiny local feed: a handful of partitions, not the full width
+    // (4 MiB target — measured crossover, see scaledStatePartitions)
     assert(StreamOps.scaledStatePartitions(spark, 2 * mb) == 1)
-    assert(StreamOps.scaledStatePartitions(spark, 64 * mb) == 1)
-    assert(StreamOps.scaledStatePartitions(spark, 65 * mb) == math.min(2, ceiling))
+    assert(StreamOps.scaledStatePartitions(spark, 4 * mb) == 1)
+    assert(StreamOps.scaledStatePartitions(spark, 16 * mb) == math.min(4, ceiling))
     // 100 TB-shaped input saturates at the session's width (the clamp
     // ceiling IS the cluster-scale behavior: plan unchanged at scale)
     assert(StreamOps.scaledStatePartitions(spark, 100L * mb * mb) == ceiling)
