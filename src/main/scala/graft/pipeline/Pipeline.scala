@@ -149,9 +149,19 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
         .withColumn("words_count", Text.wordCount($"text").cast("long"))
         .withColumn("char_count", Text.charCount($"text").cast("long"))
         .withColumn("bytes", Text.byteCount($"text").cast("long"))
+        // sum of token lengths == char_count − (n_tokens − 1), EXACTLY:
+        // tokens is a literal single-space split, so every non-space
+        // char lands in exactly one token and each of the n−1 consumed
+        // separators is one char. Same integers ⇒ same double division
+        // bits as the HOF fold the oracle replays — but as plain
+        // codegen'd arithmetic: the `aggregate` HOF here was the one
+        // non-codegen expression in the collapsed stats Project,
+        // dropping the WHOLE funnel projection to interpreted eval
+        // (r14 stack samples showed SimpleHigherOrderFunction.eval
+        // framing every per-row expression).
         .withColumn("mean_word_len",
-          aggregate(toks, lit(0L), (a, x) => a + length(x)).cast("double") /
-            size(toks))
+          (length($"text").cast("long") - (size(toks).cast("long") - 1L))
+            .cast("double") / size(toks))
         .withColumn("nsfw_ratio",
           GraftFunctions.keywordCount($"text", cfg.keywords).cast("double") /
             size(toks))
