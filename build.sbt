@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver contract: `sbt "runMain graft.Bench"` must end its stdout with a
+// bare one-line JSON. sbt's default fork output strategy prefixes every
+// forked stdout line with "[info] " (and stderr with "[error] ") and then
+// prints its own "[success] Total time: ..." trailer — BENCH_r01..r14 all
+// recorded parsed:null against exactly that framing. StdoutOutput passes
+// the forked process's stdout/stderr through verbatim; showSuccess drops
+// the trailer, so the metric line is the last stdout line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by sbt's command loop, not by any task — exclude it
+// from the unused-key lint so the warning doesn't pollute stdout.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

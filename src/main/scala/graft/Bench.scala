@@ -261,24 +261,34 @@ object Bench {
     // sentinels (~1.2 KB, well inside any tail window); the per-row
     // diagnostics (samples, spreads, retries, env ratios) move to the
     // side file, which keeps every byte the old line had.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // "full" pointer field (r14 ADVICE): the compact line names the side
+    // file so a consumer of the old fat line knows where the per-row
+    // samples/spreads/retries/env ratios moved.
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"spread_ok":$spreadOk,"max_spread":${num(spreads.map(_._2).max)},"env_ratio_median":${num(ratioMedian)},"load_suspect":$loadSuspect,"cpus":$cpus,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"spread_ok":$spreadOk,"max_spread":${num(spreads.map(_._2).max)},"env_ratio_median":${num(ratioMedian)},"load_suspect":$loadSuspect,"cpus":$cpus,"sf":"$sfDir","full":"$out"}"""
     val full =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"samples":$all,"spread_ok":$spreadOk,"max_spread":${num(spreads.map(_._2).max)},"spreads":$spreadJson,"retries":$retriesJson,"retry_exhausted":$exhaustedJson,"env_ratio":$ratioJson,"env_ratio_median":${num(ratioMedian)},"load_suspect":$loadSuspect,"cpus":$cpus,"sf":"$sfDir"}"""
-    println(line)
-    // Also write the full line to a file — sbt log noise makes stdout
+    // Write the full line to a file first — sbt log noise makes stdout
     // scraping unreliable (BENCH_r01 and r03 both had parsed:null when
     // the file write was absent/opt-in). Default bench_out.json in cwd;
     // env overrides the path.
     // Best-effort: an unwritable cwd must not turn a successful bench
     // (metric line already printed) into a non-zero exit.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     // NonFatal, not just IOException: a malformed override path makes
     // Paths.get itself throw InvalidPathException (a RuntimeException).
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), full + "\n")
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
+    // Stop Spark BEFORE printing the contract line: shutdown warnings
+    // (e.g. the localCheckpoint lineage-truncation WARNs) land on stderr
+    // during stop(), and a driver that tails combined output must still
+    // find the bare JSON as the LAST line (14 rounds of parsed:null came
+    // from sbt's [info] prefix + its [success] trailer; build.sbt now
+    // passes forked stdout through verbatim and suppresses the trailer).
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }
