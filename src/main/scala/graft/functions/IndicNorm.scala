@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -123,35 +122,141 @@ object IndicNorm {
     sb.toString
   }
 
-  /** The full reference chain for one document. */
-  def normalize(text: String, lang: String): String = {
+  /** The normalization route a language resolves to — precomputable per
+    * lang value so the per-row path never re-derives it (r15, guide §4:
+    * per-row work). */
+  sealed trait Route extends Serializable
+  case object NfkcRoute extends Route                 // english/unknown: NFKC only
+  case object BaseRoute extends Route                 // Urdu-script: base + NFKC
+  final case class ScriptRoute(script: Script) extends Route // base + script + NFKC
+
+  def routeFor(lang: String): Route = {
     val key = if (lang == null) "" else lang.toLowerCase
-    val pre =
-      if (NfkcOnly.contains(key)) text
-      else langScript.get(key) match {
-        case Some(Some(script)) => applyScript(baseNormalize(text), script)
-        case Some(None)         => baseNormalize(text) // Urdu-script langs
-        case None               => text // unknown → NFKC only
-      }
+    if (NfkcOnly.contains(key)) NfkcRoute
+    else langScript.get(key) match {
+      case Some(Some(script)) => ScriptRoute(script)
+      case Some(None)         => BaseRoute
+      case None               => NfkcRoute // unknown → NFKC only
+    }
+  }
+
+  def normalizeRouted(text: String, route: Route): String = {
+    val pre = route match {
+      case NfkcRoute           => text
+      case BaseRoute           => baseNormalize(text)
+      case ScriptRoute(script) => applyScript(baseNormalize(text), script)
+    }
     java.text.Normalizer.normalize(pre, java.text.Normalizer.Form.NFKC)
   }
+
+  /** The full reference chain for one document. */
+  def normalize(text: String, lang: String): String =
+    normalizeRouted(text, routeFor(lang))
 }
 
 /** Catalyst expression for [[IndicNorm.normalize]] — lang is a per-row
   * column, matching the reference's per-document routing. A NULL lang
   * must NOT null the text (the default binary null-intolerance would
   * silently drop such docs from the pipeline): it falls back to the
-  * unknown-language path (NFKC only). */
+  * unknown-language path (NFKC only).
+  *
+  * r15 hot path (guide §4): the expression was CodegenFallback — the
+  * one interpreted island in the pipeline's clean projection — and
+  * re-derived the lang route + round-tripped UTF8String→String→
+  * UTF8String on every row. Now: (1) codegen'd via the same
+  * plan-reference pattern as every other graft expression; (2) the
+  * lang→route resolution is cached per distinct lang value (a corpus
+  * has a handful); (3) a full-ASCII text whose route provably cannot
+  * change it returns UNCHANGED with zero allocation — ASCII has no
+  * NFKC (de)compositions, base normalization's only ASCII-visible rule
+  * is '' → " (checked), and the script rules need a pipe ('|' → danda,
+  * checked) or a preceding same-script (non-ASCII) char for ':' →
+  * visarga (impossible in pure ASCII). */
 case class IndicNormalize(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = StringType
+
+  /** lang value → route, keyed by the raw UTF8String so the hot path
+    * never decodes it. Keys are defensively re-materialized on insert
+    * (the probe key may point into a reused row buffer). Bounded: an
+    * adversarial unbounded-lang feed stops caching and derives per row
+    * (the old cost), never grows the heap. */
+  @transient private lazy val routes =
+    new java.util.concurrent.ConcurrentHashMap[UTF8String, IndicNorm.Route]()
+  private val MaxLangs = 1024
+
+  private def routeOf(lang: UTF8String): IndicNorm.Route = {
+    if (lang == null) return IndicNorm.NfkcRoute
+    val hit = routes.get(lang)
+    if (hit != null) return hit
+    val r = IndicNorm.routeFor(lang.toString)
+    if (routes.size < MaxLangs)
+      routes.put(UTF8String.fromString(lang.toString), r)
+    r
+  }
+
+  /** True when `route` is an identity on this full-ASCII text: scan for
+    * the only ASCII-visible rewrite triggers ('' always; '|' when the
+    * script reads pipe as danda). NFKC-only routes need no scan. */
+  private def asciiIdentity(text: UTF8String, route: IndicNorm.Route): Boolean =
+    route match {
+      case IndicNorm.NfkcRoute => true
+      case _ =>
+        val checkPipe = route match {
+          case IndicNorm.ScriptRoute(s) => s.pipeToDanda
+          case _                        => false
+        }
+        val n = text.numBytes
+        var i = 0
+        var prevApos = false
+        while (i < n) {
+          val x = text.getByte(i)
+          if (x == '\'') {
+            if (prevApos) return false
+            prevApos = true
+          } else {
+            prevApos = false
+            if (checkPipe && x == '|') return false
+          }
+          i += 1
+        }
+        true
+    }
+
+  def compute(text: UTF8String, lang: UTF8String): UTF8String = {
+    val route = routeOf(lang)
+    if (text.isFullAscii && asciiIdentity(text, route)) text
+    else UTF8String.fromString(IndicNorm.normalizeRouted(text.toString, route))
+  }
+
   override def eval(input: InternalRow): Any = {
     val text = left.eval(input)
     if (text == null) return null
     val lang = right.eval(input)
-    UTF8String.fromString(IndicNorm.normalize(
-      text.asInstanceOf[UTF8String].toString,
-      if (lang == null) null else lang.asInstanceOf[UTF8String].toString))
+    compute(text.asInstanceOf[UTF8String],
+      if (lang == null) null else lang.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val ref = ctx.addReferenceObj("indicNormalize", this,
+      classOf[IndicNormalize].getName)
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val u8 = classOf[UTF8String].getName
+    ev.copy(code = code"""
+      ${leftGen.code}
+      boolean ${ev.isNull} = ${leftGen.isNull};
+      $u8 ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${rightGen.code}
+        ${ev.value} = $ref.compute(${leftGen.value},
+          ${rightGen.isNull} ? null : ${rightGen.value});
+      }
+    """)
   }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

@@ -30,7 +30,7 @@ case class KeywordMatches(child: Expression, keywords: Seq[String])
   override def nullSafeEval(input: Any): Any = compute(input)
 
   def compute(input: Any): org.apache.spark.sql.catalyst.util.MapData = {
-    val counts = trie.countMatches(input.asInstanceOf[UTF8String].toString)
+    val counts = trie.countMatchesUtf8(input.asInstanceOf[UTF8String])
     val keys: Array[Any] = keywords.iterator.zipWithIndex.collect {
       case (k, i) if counts(i) > 0 => UTF8String.fromString(k): Any
     }.toArray
@@ -57,7 +57,7 @@ case class KeywordCount(child: Expression, keywords: Seq[String])
   override def nullSafeEval(input: Any): Any = compute(input)
 
   def compute(input: Any): Int =
-    trie.countMatches(input.asInstanceOf[UTF8String].toString).sum
+    trie.countTotal(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("keywordCount", this,
@@ -214,22 +214,60 @@ case class TrivialTokenize(child: Expression, marks: String)
   }
   override def nullSafeEval(input: Any): Any = compute(input)
 
+  /** Byte-level pass over the raw UTF-8 (r15, guide §4 per-row
+    * allocation): tokens are contiguous byte ranges between separators/
+    * marks, emitted as zero-copy `UTF8String.fromBytes(b, start, len)`
+    * slices of the (already-copied) getBytes array — no
+    * UTF8String→String decode, no StringBuilder, no per-token
+    * re-encode. Separators (space/tab) and ASCII marks are single
+    * bytes; a non-ASCII mark (danda family, Urdu set — all BMP) is
+    * found by decoding just that one codepoint when a lead byte
+    * appears. Equivalence to the old char-level pass is pinned by the
+    * PropertiesSpec regex-composition property. */
   def compute(input: Any): ArrayData = {
-    val s = input.asInstanceOf[UTF8String].toString
+    val b = input.asInstanceOf[UTF8String].getBytes
     val out = new scala.collection.mutable.ArrayBuffer[Any]()
-    val sb = new java.lang.StringBuilder()
-    @inline def flush(): Unit =
-      if (sb.length > 0) { out += UTF8String.fromString(sb.toString); sb.setLength(0) }
+    var tokStart = -1
+    @inline def flush(end: Int): Unit =
+      if (tokStart >= 0) {
+        out += UTF8String.fromBytes(b, tokStart, end - tokStart); tokStart = -1
+      }
     var i = 0
-    while (i < s.length) {
-      val ch = s.charAt(i)
-      if (ch == ' ' || ch == '\t') flush()
-      else if (ch < 0x10000 && isMark.get(ch.toInt)) {
-        flush(); out += UTF8String.fromString(String.valueOf(ch))
-      } else sb.append(ch)
-      i += 1
+    while (i < b.length) {
+      val x = b(i)
+      if (x == ' ' || x == '\t') { flush(i); i += 1 }
+      else if (x >= 0) { // ASCII
+        if (isMark.get(x.toInt)) {
+          flush(i); out += UTF8String.fromBytes(b, i, 1)
+        } else if (tokStart < 0) tokStart = i
+        i += 1
+      } else {
+        // UTF-8 lead byte: sequence length from the high bits; decode
+        // only to test mark-ness (marks are BMP; astral cps can't be)
+        val len =
+          if ((x & 0xE0) == 0xC0) 2
+          else if ((x & 0xF0) == 0xE0) 3
+          else if ((x & 0xF8) == 0xF0) 4
+          else 1 // invalid lead/stray continuation: token byte
+        if (len > 1 && i + len <= b.length) {
+          val cp = len match {
+            case 2 => ((x & 0x1F) << 6) | (b(i + 1) & 0x3F)
+            case 3 => ((x & 0x0F) << 12) | ((b(i + 1) & 0x3F) << 6) |
+              (b(i + 2) & 0x3F)
+            case _ => ((x & 0x07) << 18) | ((b(i + 1) & 0x3F) << 12) |
+              ((b(i + 2) & 0x3F) << 6) | (b(i + 3) & 0x3F)
+          }
+          if (cp < 0x10000 && isMark.get(cp)) {
+            flush(i); out += UTF8String.fromBytes(b, i, len)
+          } else if (tokStart < 0) tokStart = i
+          i += len
+        } else {
+          if (tokStart < 0) tokStart = i
+          i += 1
+        }
+      }
     }
-    flush()
+    flush(b.length)
     if (out.isEmpty) out += UTF8String.EMPTY_UTF8
     new GenericArrayData(out.toArray)
   }
@@ -287,9 +325,17 @@ case class NormalizeUnicode(child: Expression, form: String)
   @transient private lazy val nf = java.text.Normalizer.Form.valueOf(form)
   override def nullSafeEval(input: Any): Any = compute(input)
 
-  def compute(input: Any): UTF8String =
-    UTF8String.fromString(
-      java.text.Normalizer.normalize(input.asInstanceOf[UTF8String].toString, nf))
+  /** ASCII is invariant under all four normalization forms (no ASCII
+    * codepoint has a (de)composition), so a full-ASCII input returns
+    * UNCHANGED — one vectorized byte scan instead of decode + normalize
+    * + re-encode. Real corpora are heavily ASCII even when
+    * multilingual; at 100 TB this removes the normalizer from the hot
+    * path for every such row (r15, guide §4). */
+  def compute(input: Any): UTF8String = {
+    val u = input.asInstanceOf[UTF8String]
+    if (u.isFullAscii) u
+    else UTF8String.fromString(java.text.Normalizer.normalize(u.toString, nf))
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("normalizeUnicode", this,
@@ -354,26 +400,59 @@ case class WordNgramRepScore(child: Expression, n: Int)
   override def dataType: DataType = DoubleType
   override def nullSafeEval(input: Any): Any = compute(input)
 
+  /** r15 (guide §4 per-row allocation): the old path decoded every
+    * token to String and built one StringBuilder+String PER WINDOW just
+    * to key a HashMap. Instead, intern tokens to dense ids (UTF8String
+    * equality IS content equality, no decode), then count windows in an
+    * open-addressed table keyed by window start with elementwise id
+    * compare — two equal id sequences join to the same n-gram string
+    * and vice versa (both tokenizers split on space, so tokens are
+    * space-free and ' '-join is injective). Zero allocation per window. */
   def compute(input: Any): Double = {
     val arr = input.asInstanceOf[ArrayData]
     val sz = arr.numElements()
     if (sz < n) return 0.0d
-    val toks = new Array[String](sz)
+    val ids = new Array[Int](sz)
+    val intern = new java.util.HashMap[UTF8String, Integer](sz * 2)
     var i = 0
-    while (i < sz) { toks(i) = arr.getUTF8String(i).toString; i += 1 }
-    val counts = new java.util.HashMap[String, Int]()
-    val total = sz - n + 1
-    i = 0
-    while (i < total) {
-      val sb = new java.lang.StringBuilder(toks(i))
-      var j = 1
-      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
-      counts.merge(sb.toString, 1, _ + _)
+    while (i < sz) {
+      val t = arr.getUTF8String(i)
+      var id = intern.get(t)
+      if (id == null) { id = Integer.valueOf(intern.size); intern.put(t, id) }
+      ids(i) = id.intValue
       i += 1
     }
-    var rep = 0L
-    val it = counts.values().iterator()
-    while (it.hasNext) { val c = it.next(); if (c >= 2) rep += c }
+    val total = sz - n + 1
+    var cap = 8
+    while (cap < total * 2) cap <<= 1
+    val slotPos = new Array[Int](cap)
+    java.util.Arrays.fill(slotPos, -1)
+    val slotCnt = new Array[Int](cap)
+    val mask = cap - 1
+    var rep = 0L // Σ of final counts that reach ≥2: +2 when a window's
+    i = 0        // count hits 2, +1 for every further repeat
+    while (i < total) {
+      var h = 1
+      var k = 0
+      while (k < n) { h = h * 31 + ids(i + k); k += 1 }
+      var p = h & mask
+      var done = false
+      while (!done) {
+        val q = slotPos(p)
+        if (q < 0) { slotPos(p) = i; slotCnt(p) = 1; done = true }
+        else {
+          var same = true
+          var k2 = 0
+          while (same && k2 < n) { same = ids(q + k2) == ids(i + k2); k2 += 1 }
+          if (same) {
+            slotCnt(p) += 1
+            rep += (if (slotCnt(p) == 2) 2 else 1)
+            done = true
+          } else p = (p + 1) & mask
+        }
+      }
+      i += 1
+    }
     rep.toDouble / total
   }
 
@@ -444,6 +523,83 @@ object NonTerminalPuncSpanRemove {
     }
     val cut = chunk.substring(0, latestIdx + 1)
     if (cut.split(" ", -1).length > chunkLenThreshold) cut else null
+  }
+}
+
+/** Fused out-of-class character ratio for LITERAL-ASCII regex classes
+  * (r15, guide §4): exactly
+  * `when(length(c)=0, 0.0).otherwise(length(regexp_replace(c, re, "")) / length(c))`
+  * — the count of codepoints NOT matching the class over all codepoints
+  * — but as one byte scan with no regex engine and no rebuilt string.
+  * In-class chars are single-byte ASCII, so a byte < 0x80 tests against
+  * a 128-entry table; a UTF-8 lead byte is one non-ASCII codepoint
+  * (in-class only for a negated class); continuation bytes count
+  * nothing. Only classes [[AsciiClassOutRatio.parse]] accepts route
+  * here — anything with escapes/Unicode stays on the regex form. */
+case class AsciiClassOutRatio(child: Expression, classRegex: String)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  @transient private lazy val (allowedAscii, nonAsciiAllowed) =
+    AsciiClassOutRatio.parse(classRegex).get
+  override def nullSafeEval(input: Any): Any = compute(input)
+
+  def compute(input: Any): Double = {
+    val u = input.asInstanceOf[UTF8String]
+    val n = u.numBytes
+    if (n == 0) return 0.0d
+    var chars = 0
+    var outC = 0
+    var i = 0
+    while (i < n) {
+      val x = u.getByte(i)
+      if (x >= 0) {
+        chars += 1
+        if (!allowedAscii(x)) outC += 1
+      } else if ((x & 0xC0) != 0x80) { // lead byte = one non-ASCII cp
+        chars += 1
+        if (!nonAsciiAllowed) outC += 1
+      }
+      i += 1
+    }
+    outC.toDouble / chars
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("asciiClassOutRatio", this,
+      classOf[AsciiClassOutRatio].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.compute($c);
+    """)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "graft_ascii_class_out_ratio"
+}
+
+object AsciiClassOutRatio {
+  /** Parse `[...]` / `[^...]` of literal ASCII chars and simple ranges
+    * into (allowed-ASCII table, non-ASCII-allowed). None for anything
+    * with escapes, nested classes, or non-ASCII — those callers keep
+    * the regex path. */
+  def parse(re: String): Option[(Array[Boolean], Boolean)] = {
+    if (re.length < 3 || re.charAt(0) != '[' || re.last != ']') return None
+    var body = re.substring(1, re.length - 1)
+    val neg = body.startsWith("^")
+    if (neg) body = body.substring(1)
+    if (body.isEmpty) return None
+    val set = new Array[Boolean](128)
+    var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (c >= 128 || c == '\\' || c == '[' || c == ']') return None
+      if (i + 2 < body.length && body.charAt(i + 1) == '-') {
+        val d = body.charAt(i + 2)
+        if (d >= 128 || d == '\\' || d < c) return None
+        var x = c.toInt
+        while (x <= d.toInt) { set(x) = true; x += 1 }
+        i += 3
+      } else { set(c.toInt) = true; i += 1 }
+    }
+    if (neg) Some((set.map(!_), true)) else Some((set, false))
   }
 }
 

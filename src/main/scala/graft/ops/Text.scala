@@ -101,6 +101,21 @@ object Text {
     * `regexp_replace(c, allowed, "")` strips the allowed class, so its
     * length IS the disallowed count. */
   def charClassOutRatio(c: Column, allowedClassRegex: String): Column =
+    // Literal-ASCII classes ("[a-z ]", "[^0-9]") fuse to one byte scan —
+    // same integers, same division bits as the regex form (pinned in
+    // PropertiesSpec); classes with escapes/Unicode (e.g. "[\\p{L}\\s]")
+    // keep the regex composition.
+    if (graft.functions.AsciiClassOutRatio.parse(allowedClassRegex).isDefined)
+      org.apache.spark.sql.graft.bridge.column(
+        graft.functions.AsciiClassOutRatio(
+          org.apache.spark.sql.graft.bridge.expression(c), allowedClassRegex))
+    else charClassOutRatioRegex(c, allowedClassRegex)
+
+  /** The regex composition [[charClassOutRatio]] fuses for ASCII
+    * classes — still the live path for Unicode classes, and the
+    * property-test reference for the fused one. */
+  private[graft] def charClassOutRatioRegex(
+      c: Column, allowedClassRegex: String): Column =
     when(length(c) === 0, 0.0d)
       .otherwise(length(regexp_replace(c, allowedClassRegex, ""))
         .cast("double") / length(c))

@@ -60,15 +60,39 @@ object StreamOps {
     * race-free (each derived session is private to its query). Returns
     * `s` untouched when the derived count already equals the
     * session's. */
+  /** Source size in bytes through the Hadoop FileSystem API (r14 ADVICE:
+    * java.io.File.length() returned the directory-ENTRY size — ~4 KB —
+    * for a directory-shaped parquet dataset, silently collapsing a huge
+    * feed to 1 state partition, and returned 0 off the local
+    * filesystem). getContentSummary sums the contained file lengths on
+    * any Hadoop filesystem; 0 on any failure means "unknown: change
+    * nothing". */
+  private[graft] def sourceBytes(s: SparkSession, path: String): Long =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory) fs.getContentSummary(p).getLength else st.getLen
+    } catch { case scala.util.control.NonFatal(_) => 0L }
+
   private def sessionFor(s: SparkSession, dir: String, file: String): SparkSession = {
-    val bytes =
-      try new java.io.File(s"$dir/$file").length()
-      catch { case scala.util.control.NonFatal(_) => 0L }
+    val bytes = sourceBytes(s, s"$dir/$file")
     if (bytes <= 0) return s // unknown size: change nothing
     val n = scaledStatePartitions(s, bytes)
     if (n >= s.sessionState.conf.numShufflePartitions) s
     else {
       val s2 = s.newSession()
+      // newSession rebuilds SQL conf from the context's SparkConf, which
+      // silently reverts any RUNTIME spark.conf.set(...) overrides on
+      // the parent (r14 ADVICE: a test tweaking e.g. timeZone would see
+      // its streaming twin diverge from the batch twin). Copy the
+      // parent's effective-but-different values onto the clone before
+      // overriding the partition count; non-settable keys are skipped.
+      s.conf.getAll.foreach { case (k, v) =>
+        if (s2.conf.getOption(k) != Some(v))
+          try s2.conf.set(k, v)
+          catch { case scala.util.control.NonFatal(_) => () }
+      }
       s2.conf.set("spark.sql.shuffle.partitions", n.toString)
       s2
     }
