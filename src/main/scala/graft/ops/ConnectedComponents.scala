@@ -29,18 +29,25 @@ object ConnectedComponents {
       smallGraphMax: Long = 2000000L): DataFrame = {
     // Materialize the edge list once — `edges` is usually a lazy plan
     // (e.g. the whole MinHash pipeline) and every label round would
-    // otherwise re-execute it from the scan up.
+    // otherwise re-execute it from the scan up. The edge COUNT rides
+    // the same materialization job via observe() (r15: the separate
+    // count() action was one more ~20 ms driver-fixed-latency job on a
+    // path the dbscan/dedup rows call once per solve — guide §1/7.3:
+    // driver gaps, not stages, dominate these rows at small scale).
+    val obs = org.apache.spark.sql.Observation()
     val sym = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .observe(obs, count(lit(1)).as("n"))
       .localCheckpoint()
+    val symCount = obs.get("n").asInstanceOf[Long]
 
     // Small-graph fast path: one bounded collect + union-find replaces
     // ~2·log(d) shuffle rounds with their per-round actions and
     // checkpoints — identical output (min reachable id, order-free).
-    // The count is cheap (sym is already materialized). This is one of
-    // the repo's documented bounded collects; the distributed
-    // min-label + pointer-jumping loop below remains the 100 TB route.
-    if (sym.count() <= smallGraphMax) return unionFindLocal(sym)
+    // This is one of the repo's documented bounded collects; the
+    // distributed min-label + pointer-jumping loop below remains the
+    // 100 TB route.
+    if (symCount <= smallGraphMax) return unionFindLocal(sym)
 
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))

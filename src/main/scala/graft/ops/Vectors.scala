@@ -486,20 +486,56 @@ object Vectors {
     * their minimum (see Buckets.pairs) instead of going quadratic,
     * which an 8×-corpus stress probe showed dominating the runtime. */
   def neardupLsh(emb: DataFrame, threshold: Double, nBits: Int = 16,
-      bands: Int = 4, dim: Int = 64, maxBucket: Int = 1000): DataFrame = {
+      bands: Int = 4, dim: Int = 64, maxBucket: Int = 1000): DataFrame =
+    neardupVerify(emb,
+      neardupCandidates(emb, nBits, bands, dim, maxBucket), threshold)
+
+  /** The band-bucket candidate pairs of [[neardupLsh]], BEFORE the
+    * exact-cosine verification — split out (r15) so callers with a
+    * cheap pair predicate (e.g. the same-label rule of the pagerank
+    * graph builds) can prune candidates before paying the cosine pass
+    * (guide §3: cheapest predicate first). */
+  def neardupCandidates(emb: DataFrame, nBits: Int = 16,
+      bands: Int = 4, dim: Int = 64, maxBucket: Int = 1000): DataFrame =
+    neardupCandidatesBy(emb, Nil, nBits, bands, dim, maxBucket)
+
+  /** [[neardupCandidates]] with extra columns appended to the band
+    * bucket key (r15, guide §8: push an equality the verify would
+    * apply anyway INTO the blocking key). Bucketing on
+    * (band, key, extra…) emits exactly the (band, key) pairs whose
+    * `extra` columns are equal — the candidate∩equality set — but the
+    * pair expansion, the dedup exchange and every downstream join run
+    * on that already-filtered set instead of filtering after the
+    * explosion. With L roughly-uniform values of one extra column the
+    * pair volume drops ~L×. Star-cap note: the cap triggers per
+    * refined bucket, so a bucket that would trip on the coarse key may
+    * stay exact here — strictly closer to the declared no-cap
+    * semantics (and equal to it whenever the cap is silent, which the
+    * graft_buckets observe metric makes checkable). */
+  def neardupCandidatesBy(emb: DataFrame, extraKeyCols: Seq[String],
+      nBits: Int = 16, bands: Int = 4, dim: Int = 64,
+      maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = nBits / bands
     require(bands * rowsPerBand == nBits, "bands must divide nBits")
+    val keyCols = col("vec_id") +: extraKeyCols.map(col)
+    val banded = emb
+      .select(keyCols :+
+        hyperplaneSignature(col("embedding"), nBits, dim).as("sig"): _*)
+      .select(keyCols :+
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          aggregate(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+            lit(0), (acc, v) => acc * 2 + v))).as(Seq("band", "key")): _*)
+    Buckets.pairs(banded, Seq("band", "key") ++ extraKeyCols, "vec_id",
+      maxBucket = maxBucket)
+  }
+
+  /** Exact-cosine verification of candidate `pairs` (id_a, id_b)
+    * against `emb` — the tail of [[neardupLsh]]. */
+  def neardupVerify(emb: DataFrame, pairs: DataFrame,
+      threshold: Double): DataFrame = {
     val withNorm = emb
       .select(col("vec_id"), col("embedding"))
       .withColumn("n", norm(col("embedding")))
-    val banded = withNorm
-      .withColumn("sig", hyperplaneSignature(col("embedding"), nBits, dim))
-      .select(col("vec_id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-          aggregate(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
-            lit(0), (acc, v) => acc * 2 + v))).as(Seq("band", "key")))
-    val pairs = Buckets.pairs(banded, Seq("band", "key"), "vec_id",
-      maxBucket = maxBucket)
     pairs
       .join(withNorm.select(col("vec_id").as("id_a"),
         col("embedding").as("va"), col("n").as("na")), Seq("id_a"))

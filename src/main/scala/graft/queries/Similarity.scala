@@ -62,13 +62,21 @@ object Similarity {
     * every edge by construction at any scale where the cap is silent. */
   private[graft] def lshLabelEdges(emb: DataFrame, threshold: Double)
       : DataFrame = {
-    val lbl = emb.select(col("vec_id"), col("label"))
-    Vectors.neardupLsh(emb, threshold)
-      .join(lbl.select(col("vec_id").as("id_a"), col("label").as("la")),
-        Seq("id_a"))
-      .join(lbl.select(col("vec_id").as("id_b"), col("label").as("lb")),
-        Seq("id_b"))
-      .filter(col("la") === col("lb"))
+    // r15 (guide §8: push the decision into the blocking key). The old
+    // form generated ALL band-bucket pairs, shuffled them through the
+    // dedup exchange, attached the 64-float embedding payload to every
+    // one, verified the cosine, and only THEN dropped cross-label
+    // pairs — profiled at 8× as an 87 MB pair shuffle + 174 MB
+    // payload-join read with ~70 s of task time. Label equality is an
+    // equality the verify applies anyway, so it moves INTO the bucket
+    // key: (band, key, label) buckets emit exactly the same-label
+    // subset of the (band, key) candidates — identical surviving edge
+    // set wherever the star cap is silent (it is at every oracle SF:
+    // max coarse bucket 178 vs cap 1000, and refined buckets are ~L×
+    // smaller still) — and the pair explosion, dedup exchange, payload
+    // joins and cosine pass all run on ~1/L of the rows (L≈10 labels).
+    Vectors.neardupVerify(emb,
+        Vectors.neardupCandidatesBy(emb, Seq("label")), threshold)
       .select(col("id_a"), col("id_b"))
   }
 
