@@ -74,6 +74,27 @@ object MinHash {
         +: blockCols.map(col)): _*)
       .filter(size(col("sh")) > 0)
       .localCheckpoint()
+    candidatePairsFromSets(withSets, numPerm, bands, threshold, maxBucket,
+      blockCols)
+  }
+
+  /** [[candidatePairs]] over ALREADY-MATERIALIZED (id, sh [, blockCols])
+    * shingle sets (r15): a caller that must checkpoint its input anyway
+    * (the pipeline's fuzzy stage materializes the funnel output for its
+    * final anti-join) can carry the shingle column in that ONE
+    * checkpoint instead of paying a second materialization barrier
+    * here. `sets` must be cheap to re-scan (checkpointed/parquet): the
+    * banding path and both verify join sides each consume it. */
+  def candidatePairsFromSets(
+      sets: DataFrame,
+      numPerm: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000,
+      blockCols: Seq[String] = Nil): DataFrame = {
+    val rowsPerBand = numPerm / bands
+    require(bands * rowsPerBand == numPerm, "bands must divide numPerm")
+    val withSets = sets
 
     val banded = withSets
       .withColumn("sig", signature(col("sh"), numPerm))

@@ -213,9 +213,25 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
       // anti-join consume `df`, and without this the whole upstream
       // clean→stats→flag→window chain executes TWICE per run. Under
       // checkpointRoot the input is already a parquet re-read.
-      val mat = if (cfg.checkpointRoot.isEmpty) df.localCheckpoint() else df
-      val pairs = MinHash.candidatePairs(mat, "doc_id", "text",
-        threshold = cfg.minhashThreshold)
+      // r15: the ONE checkpoint also carries the shingle sets (the
+      // `_sh` column), so MinHash's pair build reads them instead of
+      // paying its own second materialization barrier — one checkpoint
+      // job and one funnel-output scan fewer per run; `_sh` is dropped
+      // before the stage returns, so the output schema is unchanged.
+      val mat0 =
+        if (cfg.checkpointRoot.isEmpty)
+          df.withColumn("_sh", graft.ops.Text.shingleSet($"text", 3))
+            .localCheckpoint()
+        else df
+      val mat = if (cfg.checkpointRoot.isEmpty) mat0.drop("_sh") else mat0
+      val pairs =
+        if (cfg.checkpointRoot.isEmpty)
+          MinHash.candidatePairsFromSets(
+            mat0.select($"doc_id".as("id"), $"_sh".as("sh"))
+              .filter(org.apache.spark.sql.functions.size($"sh") > 0),
+            threshold = cfg.minhashThreshold)
+        else MinHash.candidatePairs(mat, "doc_id", "text",
+          threshold = cfg.minhashThreshold)
       val clusters = MinHash.clusters(pairs)
       val drop =
         if (cfg.keepBestInCluster) {
