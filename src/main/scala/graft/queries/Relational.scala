@@ -623,24 +623,19 @@ object Relational {
       baskets.agg(countDistinct($"ok").as("n_orders")))
     val brandCounts = baskets.groupBy($"br")
       .agg(count(lit(1)).as("n_br"))
-    // Pair generation via per-order brand sets instead of the basket
-    // self-join (r15, guide §2.3 "aggregate before you shuffle"): the
-    // join form shuffled every (order, brand_a, brand_b) PAIR row into
-    // the pair-count exchange (profiled ~11.5 MB at sf0.1 and quadratic
-    // per order at any scale); here pairs are expanded from the
-    // collected per-order set AFTER the groupBy(ok) exchange and
-    // partial-aggregated map-side, so the only pair-keyed shuffle
-    // carries ≤|brands|² partial counts. Same pair multiset by
-    // construction: collect_set over the DISTINCT basket = the order's
-    // brand set, and the x < y expansion is the join's a.br < c.br.
-    val pairs = baskets
-      .groupBy($"ok")
-      .agg(collect_set($"br").as("brs"))
-      .select(explode(expr(
-        """flatten(transform(brs, x -> transform(filter(brs, y -> y > x),
-          |  y -> named_struct('brand_a', x, 'brand_b', y))))""".stripMargin))
-        .as("p"))
-      .groupBy($"p.brand_a".as("brand_a"), $"p.brand_b".as("brand_b"))
+    // r15 REJECTED alternative, kept out after a measured A/B: pair
+    // expansion from a per-order collect_set (pairs partial-aggregated
+    // map-side, the pair-count exchange shrinking 11.5 MB → 0.05 MB and
+    // the plan losing both SortMergeJoins) ran 1.64–1.65 s vs this
+    // form's 1.23–1.27 s back-to-back at sf0.1 — the interpreted HOF
+    // expansion (transform/filter/flatten per order row) costs more CPU
+    // than the pair shuffle it saves at this scale. The shuffle-bytes
+    // argument only wins once pair volume actually stresses the
+    // exchange; revisit with a codegen'd pair-expansion expression if a
+    // real corpus gets there.
+    val pairs = baskets.as("a")
+      .join(baskets.as("c"), $"a.ok" === $"c.ok" && $"a.br" < $"c.br")
+      .groupBy($"a.br".as("brand_a"), $"c.br".as("brand_b"))
       .agg(count(lit(1)).as("n_ab"))
     pairs
       .crossJoin(nOrders)
