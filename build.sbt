@@ -19,7 +19,11 @@ run / fork := true
 // the forked process's stdout/stderr through verbatim; showSuccess drops
 // the trailer, so the metric line is the last stdout line.
 run / outputStrategy := Some(StdoutOutput)
-Global / showSuccess := false
+// Scope the trailer suppression to BENCH invocations (the driver always
+// sets the bench env contract vars for them): a test/compile invocation
+// keeps its normal "[success]" line in case any consumer keys on it.
+Global / showSuccess :=
+  !(sys.env.contains("SPARK_GRAFT_SF_DIR") || sys.env.contains("SPARK_GRAFT_CPUS"))
 // showSuccess is read by sbt's command loop, not by any task — exclude it
 // from the unused-key lint so the warning doesn't pollute stdout.
 Global / excludeLintKeys += showSuccess
