@@ -93,3 +93,68 @@ case class MinHashSignature(child: Expression, numPerm: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "graft_minhash_signature"
 }
+
+/** LSH band keys, fused (r15, guide §4): exactly
+  * `transform(sequence(0, bands-1), b -> md5(concat(b, '|',
+  * array_join(transform(slice(sig, b*r+1, r), v -> cast(v as string)),
+  * ''))))` — each band's key is the md5 hex of
+  * "<band>|<slice longs in decimal, concatenated>" — but as one loop
+  * with a reused digest instead of a 5-deep HOF chain. The HOF form
+  * ran interpreted (SimpleHigherOrderFunction.eval framed the r15
+  * stack samples of the minhash state build) and dropped the whole
+  * state projection out of whole-stage codegen; this form restores
+  * codegen via the shared plan-reference pattern. Equivalence to the
+  * HOF composition is pinned in OptimizationR15Spec. */
+case class LshBandKeys(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  @transient private lazy val digest =
+    java.security.MessageDigest.getInstance("MD5")
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  def compute(arr: ArrayData): ArrayData = {
+    val out = new Array[Any](bands)
+    val sb = new java.lang.StringBuilder(rowsPerBand * 20 + 4)
+    var b = 0
+    while (b < bands) {
+      sb.setLength(0)
+      sb.append(b).append('|')
+      var j = 0
+      while (j < rowsPerBand) {
+        sb.append(arr.getLong(b * rowsPerBand + j))
+        j += 1
+      }
+      digest.reset()
+      // the assembled string is pure ASCII (digits + '|'), so the
+      // UTF-8 bytes Spark's md5(concat(...)) hashes are the low bytes
+      val n = sb.length
+      val bytes = new Array[Byte](n)
+      var i = 0
+      while (i < n) { bytes(i) = sb.charAt(i).toByte; i += 1 }
+      val raw = digest.digest(bytes)
+      val hex = new Array[Byte](32)
+      i = 0
+      while (i < 16) {
+        hex(2 * i) = HexChars((raw(i) >> 4) & 0xf).toByte
+        hex(2 * i + 1) = HexChars(raw(i) & 0xf).toByte
+        i += 1
+      }
+      out(b) = org.apache.spark.unsafe.types.UTF8String.fromBytes(hex)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshBandKeys", this,
+      classOf[LshBandKeys].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.compute($c);
+    """)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "graft_lsh_band_keys"
+}

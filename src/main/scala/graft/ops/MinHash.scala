@@ -30,8 +30,15 @@ object MinHash {
 
   /** LSH band keys: md5 over each `rowsPerBand`-slice of the signature
     * (long values concatenated in decimal, same as the oracle's
-    * array_to_string over a BIGINT list). */
+    * array_to_string over a BIGINT list). Fused tight-loop expression
+    * (r15) — the HOF composition below is kept ONLY as the
+    * property-test reference. */
   def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.functions.LshBandKeys(
+        org.apache.spark.sql.graft.bridge.expression(sig), bands, rowsPerBand))
+
+  private[graft] def bandKeysHof(sig: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
       b => md5(concat(b.cast("string"), lit("|"),
         array_join(

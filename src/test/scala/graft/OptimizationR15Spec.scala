@@ -131,6 +131,21 @@ class OptimizationR15Spec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("fused LshBandKeys == HOF md5/array_join composition") {
+    import graft.ops.{MinHash, Text}
+    val df = (docs(200, 3000L) ++ Seq("a b c d e f g h i j", "x y z"))
+      .toDF("text")
+      .select(Text.shingleSet($"text", 3).as("sh"))
+      .filter(size($"sh") > 0)
+      .select(MinHash.signature($"sh", 32).as("sig"))
+    for ((bands, rpb) <- Seq((8, 4), (4, 8))) {
+      val bad = df.filter(
+        to_json(MinHash.bandKeys($"sig", bands, rpb)) =!=
+          to_json(MinHash.bandKeysHof($"sig", bands, rpb))).count()
+      assert(bad == 0, s"bands=$bands rowsPerBand=$rpb")
+    }
+  }
+
   test("AsciiClassOutRatio fused == regex composition for the engine's classes") {
     val df = (docs(300, 1500L) ++ Seq("", " ", "abc", "ABC", "012",
       "mix 3d é𐍈", "\n\t")).toDF("text")
