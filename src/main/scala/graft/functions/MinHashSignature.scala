@@ -158,3 +158,43 @@ case class LshBandKeys(child: Expression, bands: Int, rowsPerBand: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "graft_lsh_band_keys"
 }
+
+/** Integer band keys over a bit-signature (r15): exactly
+  * `transform(sequence(0, bands-1), b -> aggregate(slice(sig,
+  * b*r+1, r), 0, (acc, v) -> acc*2 + v))` — each band's key is its
+  * r bits read as a binary integer — but as one fused loop. Same
+  * rationale as [[LshBandKeys]]: the HOF chain evaluated interpreted
+  * inside the hyperplane-signature scan stage (the dominant stage of
+  * the graph edge builds) and broke whole-stage codegen there. */
+case class IntBandKeys(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  def compute(arr: ArrayData): ArrayData = {
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 0
+      var j = 0
+      while (j < rowsPerBand) {
+        acc = acc * 2 + arr.getInt(b * rowsPerBand + j)
+        j += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("intBandKeys", this,
+      classOf[IntBandKeys].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.compute($c);
+    """)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "graft_int_band_keys"
+}

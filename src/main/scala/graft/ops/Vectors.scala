@@ -518,16 +518,29 @@ object Vectors {
     val rowsPerBand = nBits / bands
     require(bands * rowsPerBand == nBits, "bands must divide nBits")
     val keyCols = col("vec_id") +: extraKeyCols.map(col)
+    // Band keys via the fused IntBandKeys loop (r15): the HOF
+    // composition (kept below as the property-test reference) ran
+    // interpreted inside the signature scan stage and broke its
+    // whole-stage codegen.
     val banded = emb
       .select(keyCols :+
         hyperplaneSignature(col("embedding"), nBits, dim).as("sig"): _*)
       .select(keyCols :+
-        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-          aggregate(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
-            lit(0), (acc, v) => acc * 2 + v))).as(Seq("band", "key")): _*)
+        posexplode(org.apache.spark.sql.graft.bridge.column(
+          graft.functions.IntBandKeys(
+            org.apache.spark.sql.graft.bridge.expression(col("sig")),
+            bands, rowsPerBand))).as(Seq("band", "key")): _*)
     Buckets.pairs(banded, Seq("band", "key") ++ extraKeyCols, "vec_id",
       maxBucket = maxBucket)
   }
+
+  /** The HOF composition [[neardupCandidatesBy]]'s band keys fuse —
+    * kept ONLY as the property-test reference. */
+  private[graft] def intBandKeysHof(sig: Column, bands: Int,
+      rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      aggregate(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
+        lit(0), (acc, v) => acc * 2 + v))
 
   /** Exact-cosine verification of candidate `pairs` (id_a, id_b)
     * against `emb` — the tail of [[neardupLsh]]. */

@@ -146,6 +146,24 @@ class OptimizationR15Spec extends AnyFunSuite {
     }
   }
 
+  test("fused IntBandKeys == HOF aggregate/slice composition") {
+    import graft.ops.Vectors
+    val sigs = (0 until 150).map { i =>
+      Tuple1((0 until 16).map(j => (i * 31 + j * 7) % 2).toArray)
+    }
+    val df = sigs.toDF("sig")
+    def fused(bands: Int, rpb: Int) =
+      org.apache.spark.sql.graft.bridge.column(
+        graft.functions.IntBandKeys(
+          org.apache.spark.sql.graft.bridge.expression(col("sig")), bands, rpb))
+    for ((bands, rpb) <- Seq((4, 4), (8, 2))) {
+      val bad = df.filter(
+        to_json(fused(bands, rpb)) =!=
+          to_json(Vectors.intBandKeysHof($"sig", bands, rpb))).count()
+      assert(bad == 0, s"bands=$bands rpb=$rpb")
+    }
+  }
+
   test("AsciiClassOutRatio fused == regex composition for the engine's classes") {
     val df = (docs(300, 1500L) ++ Seq("", " ", "abc", "ABC", "012",
       "mix 3d é𐍈", "\n\t")).toDF("text")
